@@ -1,0 +1,69 @@
+package graft
+
+import graft.meta._
+import graft.operators._
+import graft.sinks.Writers
+import graft.sources.Readers
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * The metadata-driven dataflow engine: compiles a [[meta.DataflowSpec]]
+ * into Spark plans and (optionally) writes its sinks
+ * (reference: main.py:81-175 `run_pipeline`,
+ * src/transformations.py:288-377 `apply_transformations`).
+ *
+ * Everything is lazy plan composition — no action happens in
+ * [[plan]]; Catalyst sees the complete metadata-driven pipeline and
+ * optimizes across transformation boundaries (e.g. a `select_columns`
+ * late in the flow still prunes the source scan).
+ */
+object Dataflow {
+
+  /** Compile all transformations; returns every named frame. */
+  def plan(spark: SparkSession, flow: DataflowSpec,
+           inputs: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
+    val sourceFrames: Map[String, DataFrame] =
+      flow.sources.map(s => s.name -> Readers.read(spark, s)).toMap
+
+    flow.transformations.foldLeft(inputs ++ sourceFrames) { (frames, t) =>
+      def in = frames.getOrElse(t.input,
+        throw new IllegalArgumentException(s"transformation '${t.name}': unknown input '${t.input}'"))
+      t match {
+        case s: NormalizeSpec =>
+          frames + (s.output -> Normalize.normalizeFields(in, s.fields, s.autoFlattenNaming))
+        case s: DropColumnsSpec =>
+          frames + (s.output -> Projection.dropColumns(in, s.columns))
+        case s: SelectColumnsSpec =>
+          frames + (s.output -> Projection.selectColumns(in, s.columns))
+        case s: AddFieldsSpec =>
+          frames + (s.output -> Projection.addFields(in, s.fields))
+        case s: ValidateSpec =>
+          val (ok, ko) = Validate.split(in, s.rules)
+          frames + (s.okOutput -> ok) + (s.koOutput -> ko)
+        case s: ComputeStatsSpec =>
+          // stats become named frames; sink them like any other output
+          val stats = StatsOp.fieldStats(in, s.fields.getOrElse(Nil))
+          val withField = frames + (s"${s.name}_fields" -> stats)
+          (s.okInput.flatMap(frames.get), s.koInput.flatMap(frames.get)) match {
+            case (Some(ok), Some(ko)) if s.includeValidationStats =>
+              withField +
+                (s"${s.name}_validation" -> StatsOp.validationStatsFromSplit(ok, ko)) +
+                (s"${s.name}_top_errors" -> StatsOp.topErrors(ko))
+            case _ => withField
+          }
+      }
+    }
+  }
+
+  /** Plan + write all sinks. Returns the frames for inspection. */
+  def run(spark: SparkSession, flow: DataflowSpec,
+          inputs: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
+    val frames = plan(spark, flow, inputs)
+    flow.sinks.foreach { sink =>
+      val df = frames.getOrElse(sink.input,
+        throw new IllegalArgumentException(s"sink '${sink.name}': unknown input '${sink.input}'"))
+      Writers.write(df, sink)
+    }
+    frames
+  }
+}

@@ -1,0 +1,273 @@
+package graft
+
+/**
+ * DuckDB oracle SQL for every SQL-expressible query in [[Queries]].
+ * Each statement mirrors its Spark twin's arithmetic exactly:
+ * decimal-exact sums cast to double, identical division order,
+ * identical regexes (Java/RE2-shared constructs only), identical
+ * column aliases (the driver sorts columns by name before hashing).
+ * Integer-valued computed columns are BIGINT on both sides (Spark
+ * side casts size()/length() to long where needed).
+ */
+object Oracles {
+
+  // -- shared condition fragments (customer validation rules) ---------
+  private val condName = "(c_name IS NOT NULL AND CAST(c_name AS VARCHAR) <> '')"
+  private val condPattern = """(c_name IS NULL OR regexp_matches(c_name, '^Customer#\d+$'))"""
+  private val condBalNotNull = "(c_acctbal IS NOT NULL)"
+  private val condBalNumeric =
+    "(c_acctbal IS NOT NULL AND TRY_CAST(c_acctbal AS DOUBLE) IS NOT NULL)"
+  private val condBalMin =
+    "(c_acctbal IS NULL OR (TRY_CAST(c_acctbal AS DOUBLE) IS NOT NULL AND TRY_CAST(c_acctbal AS DOUBLE) >= 0.0))"
+  private val condSeg = "(c_mktsegment IS NOT NULL AND CAST(c_mktsegment AS VARCHAR) <> '')"
+  private val condKey =
+    "(c_custkey IS NOT NULL AND TRY_CAST(c_custkey AS DOUBLE) IS NOT NULL AND TRY_CAST(c_custkey AS DOUBLE) = CAST(TRY_CAST(c_custkey AS DOUBLE) AS INT))"
+
+  private val allConds = Seq(condName, condPattern, condBalNotNull, condBalNumeric,
+    condBalMin, condSeg, condKey)
+  private val isValid = allConds.map(c => s"COALESCE($c, FALSE)").mkString(" AND ")
+
+  private val errorSpecs: Seq[(String, String)] = Seq(
+    condName -> "c_name:must_be_non_empty",
+    condPattern -> "c_name:must_match_pattern",
+    condBalNotNull -> "c_acctbal:must_not_be_null",
+    condBalNumeric -> "c_acctbal:must_be_numeric",
+    condBalMin -> "c_acctbal:must_be_at_least_0.0",
+    condSeg -> "c_mktsegment:must_be_non_empty",
+    condKey -> "c_custkey:must_be_integer")
+
+  private val errorsExpr = errorSpecs
+    .map { case (c, label) => s"CASE WHEN NOT COALESCE($c, FALSE) THEN '$label' END" }
+    .mkString("concat_ws(',', ", ", ", ")")
+
+  // -- decimal-exact money fragments -----------------------------------
+  private def sumDec(col: String, alias: String) =
+    s"CAST(SUM(CAST($col AS DECIMAL(12,2))) AS DOUBLE) AS $alias"
+  private val revenueExpr =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue"
+
+  // -- text fragments ---------------------------------------------------
+  private val wsTokensSql =
+    """CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END"""
+  private def stopCount(words: Seq[String]) =
+    s"len(list_filter($wsTokensSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  val all: Map[String, String] = Map(
+
+    "src_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "src_csv" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "normalize_coalesce" ->
+      """SELECT c_custkey,
+        |CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS bal_norm
+        |FROM customer""".stripMargin,
+
+    "normalize_flatten" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS p_k
+        |FROM events""".stripMargin,
+
+    "select_columns" ->
+      "SELECT p_partkey, p_name, p_retailprice FROM part",
+
+    "drop_columns" ->
+      "SELECT s_suppkey, s_name FROM supplier",
+
+    "add_fields" ->
+      "SELECT s_suppkey, s_name, 'r1' AS batch_tag FROM supplier",
+
+    "validate_ok" ->
+      s"SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer WHERE $isValid",
+
+    "validate_ko" ->
+      s"""WITH e AS (SELECT *, $errorsExpr AS errors FROM customer)
+         |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, errors
+         |FROM e WHERE errors <> ''""".stripMargin,
+
+    "validate_date_ok" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS start_str,
+        |    CASE WHEN o_orderkey % 7 = 0
+        |      THEN strftime(o_orderdate - INTERVAL 10 DAY, '%Y-%m-%d')
+        |      ELSE strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') END AS end_str
+        |  FROM orders)
+        |SELECT * FROM o
+        |WHERE TRY_CAST(start_str AS DATE) IS NOT NULL
+        |  AND TRY_CAST(end_str AS DATE) IS NOT NULL
+        |  AND TRY_CAST(start_str AS DATE) <= TRY_CAST(end_str AS DATE)
+        |  AND TRY_CAST(end_str AS DATE) >= TRY_CAST(start_str AS DATE)""".stripMargin,
+
+    "field_stats" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey").map { f =>
+        s"""SELECT '$f' AS field,
+           |COUNT(CASE WHEN $f IS NULL THEN 1 END) AS null_count,
+           |COUNT($f) AS non_null_count,
+           |COUNT(DISTINCT $f) AS distinct_count,
+           |CAST(MIN($f) AS DOUBLE) AS min_num,
+           |CAST(MAX($f) AS DOUBLE) AS max_num,
+           |CAST(COUNT(CASE WHEN $f IS NULL THEN 1 END) AS DOUBLE) * 100.0 / COUNT(*) AS null_pct
+           |FROM lineitem""".stripMargin
+      }.mkString("\n UNION ALL \n"),
+
+    "validation_stats" ->
+      s"""WITH v AS (SELECT ($isValid) AS is_valid FROM customer)
+         |SELECT COUNT(*) AS total_records,
+         |COUNT(CASE WHEN is_valid THEN 1 END) AS valid_records,
+         |COUNT(CASE WHEN NOT is_valid THEN 1 END) AS rejected_records,
+         |CAST(COUNT(CASE WHEN is_valid THEN 1 END) AS DOUBLE) * 100.0 / COUNT(*) AS validation_pass_rate,
+         |CAST(COUNT(CASE WHEN NOT is_valid THEN 1 END) AS DOUBLE) * 100.0 / COUNT(*) AS validation_fail_rate
+         |FROM v""".stripMargin,
+
+    "top_errors" ->
+      errorSpecs.map { case (c, label) =>
+        s"SELECT '$label' AS error, COUNT(CASE WHEN NOT COALESCE($c, FALSE) THEN 1 END) AS n FROM customer"
+      }.mkString("WITH f AS (\n", "\n UNION ALL \n", "\n) SELECT error, n FROM f WHERE n > 0"),
+
+    "dataflow_e2e" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment AS segment, 'motor' AS source_tag
+         |FROM customer
+         |WHERE COALESCE($condBalNotNull, FALSE) AND COALESCE($condBalMin, FALSE)
+         |  AND COALESCE($condName, FALSE)""".stripMargin,
+
+    "q1_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${sumDec("l_quantity", "sum_qty")},
+         |${sumDec("l_extendedprice", "sum_base_price")},
+         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+         |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+         |COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_revenue" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $revenueExpr
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+
+    "q5_nation_revenue" ->
+      s"""SELECT n_name, $revenueExpr
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name""".stripMargin,
+
+    "q_top_customers" ->
+      """WITH ranked AS (
+        |  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer)
+        |SELECT n_name, c_custkey, c_name, c_acctbal, rn
+        |FROM ranked JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rn <= 3""".stripMargin,
+
+    "q_no_order_customers" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    // events.ts is parquet TIMESTAMP(NANOS); graft surfaces it at
+    // micro precision, so the oracle casts to plain (micro) TIMESTAMP.
+    "q_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_events_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, COUNT(*) AS n,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_event_pivot" ->
+      """SELECT user_id,
+        |COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+        |COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS views,
+        |COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS clicks,
+        |COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signups,
+        |COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+        |CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM y),
+        |g AS (SELECT user_id, sess_id, COUNT(*) AS sess_events FROM z GROUP BY user_id, sess_id)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |CAST(SUM(sess_events) AS BIGINT) AS n_events,
+        |MAX(sess_events) AS max_session_events
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |CAST(len($wsTokensSql) AS BIGINT) AS n_ws_tokens,
+         |CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+         |CAST(length(text) AS BIGINT) AS n_chars_len
+         |FROM documents""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(len($wsTokensSql) AS BIGINT) AS n_tokens,
+         |    CAST(${stopCount(TextAnalysisCols.EnStop)} AS BIGINT) AS n_stop,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+         |    length(text) AS n_chars
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, n_stop, n_punct,
+         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END AS stop_ratio,
+         |  CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio,
+         |  (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 0.5
+         |    + (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.5 AS quality_score
+         |FROM q""".stripMargin,
+
+    "text_langid" -> {
+      val scores = TextAnalysisCols.LangProfiles.map { case (lang, words) =>
+        lang -> stopCount(words)
+      }
+      val maxExpr = s"greatest(${scores.map(_._2).mkString(", ")})"
+      val caseChain = scores.map { case (lang, e) =>
+        s"WHEN $e > 0 AND $e = $maxExpr THEN '$lang'"
+      }.mkString(" ")
+      s"SELECT doc_id, CASE $caseChain ELSE 'und' END AS lang_pred FROM documents"
+    },
+
+    "text_fingerprint" -> {
+      val lowTokens =
+        """CASE WHEN length(trim(lower(text))) = 0 THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END"""
+      s"""SELECT doc_id, md5(text) AS fp_exact,
+         |md5(array_to_string(list_sort($lowTokens), ' ')) AS fp_norm
+         |FROM documents""".stripMargin
+    })
+}

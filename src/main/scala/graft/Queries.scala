@@ -1,0 +1,367 @@
+package graft
+
+import graft.meta.{AddedField, FieldMapping, ValidationRule}
+import graft.operators._
+import graft.sources.Readers
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The operator catalog: every SURVEY.md §2 entry as a runnable query
+ * over the driver's testdata tables, with a DuckDB oracle where the
+ * semantics are ANSI-SQL-expressible.
+ *
+ * Determinism rules (so Spark and DuckDB hash-match):
+ *  - monetary aggregates cast to decimal BEFORE summing (exact
+ *    arithmetic), final cast back to double for a stable schema;
+ *  - ratios computed as one double division of exact integers;
+ *  - regex patterns restricted to constructs Java and RE2 share;
+ *  - every computed column aliased identically here and in the oracle.
+ */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Readers.table(s, dir, name)
+
+  /** Exact money: double → decimal(12,2). */
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  /** Exact small ratio (discount/tax): double → decimal(4,2). */
+  private def dec4(c: Column): Column = c.cast("decimal(4,2)")
+
+  // ====================================================================
+  // Reference surface: sources
+  // ====================================================================
+
+  /** JSON-lines source round-trip (reference: src/reader.py:25-27). */
+  def srcJson(s: SparkSession, dir: String): DataFrame = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_src_json"
+    t(s, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").json(p)
+    Readers.json(s, p, schema = Some(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "event_id LONG, event_type STRING, value DOUBLE")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+  }
+
+  /** CSV source round-trip (reference: src/reader.py:28-40). */
+  def srcCsv(s: SparkSession, dir: String): DataFrame = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_src_csv"
+    t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").option("header", "true").csv(p)
+    Readers.csv(s, p, schema = Some(
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+  }
+
+  // ====================================================================
+  // Reference surface: normalize / projection / metadata fields
+  // ====================================================================
+
+  /** Coalesce prioritized sources (reference: transformations.py:137). */
+  def normalizeCoalesce(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "customer").withColumn("alt_bal",
+      when(col("c_acctbal") < 0, lit(0.0)).otherwise(lit(null).cast("double")))
+    Normalize.normalizeFields(base,
+        Seq(FieldMapping("bal_norm", Seq("missing_col", "alt_bal", "c_acctbal"))))
+      .select(col("c_custkey"), col("bal_norm"))
+  }
+
+  /** Auto-flatten nested structs (reference: transformations.py:93). */
+  def normalizeFlatten(s: SparkSession, dir: String): DataFrame = {
+    val parsed = t(s, dir, "events")
+      .select(col("event_id"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("p"))
+    Normalize.flattenStructs(parsed, "snake_case")
+      .select(col("event_id"), col("p_k"))
+  }
+
+  def selectColumnsQ(s: SparkSession, dir: String): DataFrame =
+    Projection.selectColumns(t(s, dir, "part"),
+      Seq("p_partkey", "p_name", "p_retailprice", "p_ghost_column"))
+
+  def dropColumnsQ(s: SparkSession, dir: String): DataFrame =
+    Projection.dropColumns(t(s, dir, "supplier"),
+      Seq("s_nationkey", "s_acctbal", "s_ghost_column"))
+
+  def addFieldsQ(s: SparkSession, dir: String): DataFrame =
+    Projection.addFields(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+      Seq(AddedField("batch_tag", None, Some("r1"))))
+
+  // ====================================================================
+  // Reference surface: validation
+  // ====================================================================
+
+  /** Rule set used by the validation queries (mixed pass/fail). */
+  private val customerRules = Seq(
+    ValidationRule("c_name", Seq("notEmpty", "pattern:^Customer#\\d+$")),
+    ValidationRule("c_acctbal", Seq("notNull", "isNumeric", "min:0")),
+    ValidationRule("c_mktsegment", Seq("notEmpty")),
+    ValidationRule("c_custkey", Seq("isInteger")))
+
+  def validateOk(s: SparkSession, dir: String): DataFrame =
+    Validate.split(t(s, dir, "customer"), customerRules)._1
+
+  def validateKo(s: SparkSession, dir: String): DataFrame =
+    Validate.split(t(s, dir, "customer"), customerRules)._2
+      .withColumn("errors", array_join(col(Validate.ErrorsCol), ","))
+      .drop(Validate.ErrorsCol)
+
+  /** Date checks incl. cross-field dateBefore/dateAfter. */
+  def validateDateOk(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("start_str"),
+      date_format(
+        when(col("o_orderkey") % 7 === 0, date_sub(col("o_orderdate"), 10))
+          .otherwise(date_add(col("o_orderdate"), 30)), "yyyy-MM-dd").as("end_str"))
+    Validate.split(o, Seq(
+      ValidationRule("start_str", Seq("isDate", "dateBefore:end_str")),
+      ValidationRule("end_str", Seq("isDate", "dateAfter:start_str"))))._1
+  }
+
+  // ====================================================================
+  // Reference surface: stats
+  // ====================================================================
+
+  private val statsFields = Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey")
+
+  def fieldStatsQ(s: SparkSession, dir: String): DataFrame =
+    StatsOp.fieldStats(t(s, dir, "lineitem"), statsFields)
+      .select(col("field"), col("null_count"), col("non_null_count"),
+        col("distinct_count"), col("min_num"), col("max_num"), col("null_pct"))
+
+  def validationStatsQ(s: SparkSession, dir: String): DataFrame =
+    StatsOp.validationStats(Validate.tagged(t(s, dir, "customer"), customerRules))
+
+  def topErrorsQ(s: SparkSession, dir: String): DataFrame =
+    StatsOp.topErrors(Validate.split(t(s, dir, "customer"), customerRules)._2)
+
+  // ====================================================================
+  // Reference surface: the metadata-driven engine end-to-end
+  // ====================================================================
+
+  def dataflowE2e(s: SparkSession, dir: String): DataFrame = {
+    val spec =
+      s"""{"dataflows":[{
+         |  "name":"customer-ingestion",
+         |  "sources":[{"name":"cust","path":"$dir/customer.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"norm","type":"normalize_fields","params":{
+         |      "input":"cust","output":"normed","fields":[
+         |        {"name":"segment","sources":["missing_col","c_mktsegment"]}]}},
+         |    {"name":"tag","type":"add_fields","params":{
+         |      "input":"normed","output":"tagged_f","fields":[
+         |        {"name":"source_tag","literal":"motor"}]}},
+         |    {"name":"validation","type":"validate_fields","params":{
+         |      "input":"tagged_f",
+         |      "validations":[
+         |        {"field":"c_acctbal","validations":["notNull","min:0"]},
+         |        {"field":"c_name","validations":["notEmpty"]}],
+         |      "ok_output":"validation_ok","ko_output":"validation_ko"}},
+         |    {"name":"final","type":"select_columns","params":{
+         |      "input":"validation_ok",
+         |      "columns":["c_custkey","c_name","segment","source_tag"]}}
+         |  ],
+         |  "sinks":[]}]}""".stripMargin
+    val flow = graft.meta.MetaLoader.loadString(spec).dataflow("customer-ingestion")
+    Dataflow.plan(s, flow)("final")
+  }
+
+  // ====================================================================
+  // Analytics core
+  // ====================================================================
+
+  /** TPC-H Q1-style pricing summary; exact decimal arithmetic. */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    val disc = lit(1) - dec4(col("l_discount"))
+    val charge = dec(col("l_extendedprice")) * disc * (lit(1) + dec4(col("l_tax")))
+    li.groupBy("l_returnflag", "l_linestatus").agg(
+      sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+      sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+      sum(dec(col("l_extendedprice")) * disc).cast("double").as("sum_disc_price"),
+      sum(charge).cast("double").as("sum_charge"),
+      (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+      (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+      count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3-style: top revenue orders for one segment (broadcast dim). */
+  def q3Revenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q5-style: revenue by nation, region-filtered 6-way join. */
+  def q5NationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(s, dir, "nation")
+    val dims = broadcast(nation.join(region, col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name"))
+    val cust = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val supp = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(dims, col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** Window rank: top 3 customers by balance per nation. */
+  def qTopCustomers(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("c_custkey"), col("c_name"), col("c_acctbal"), col("rn"))
+  }
+
+  /** Anti join: customers with no orders. */
+  def qNoOrderCustomers(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders").select("o_custkey")
+    t(s, dir, "customer")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+  }
+
+  /** Time-bucketed event aggregation. */
+  def qEventsHourly(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+
+  /** JSON extraction from a string column. */
+  def qEventsProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"),
+        col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+
+  /** Conditional aggregation (pivot-style event counts per user). */
+  def qEventPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").groupBy("user_id").agg(
+      count(when(col("event_type") === "purchase", 1)).as("purchases"),
+      count(when(col("event_type") === "view", 1)).as("views"),
+      count(when(col("event_type") === "click", 1)).as("clicks"),
+      count(when(col("event_type") === "signup", 1)).as("signups"),
+      count(when(col("event_type") === "error", 1)).as("errors"),
+      sum(when(col("event_type") === "purchase", dec(col("value")))
+        .otherwise(lit(0).cast("decimal(12,2)"))).cast("double").as("purchase_value"))
+
+  /** Gap-based sessionization (30-minute inactivity gap). */
+  def qSessions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(wAll))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("sess_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("sess_events")).as("n_events"),
+        max(col("sess_events")).as("max_session_events"))
+  }
+
+  // ====================================================================
+  // LLM-data ops (batch 1: the SQL-expressible ones)
+  // ====================================================================
+
+  /** Exact dedup: one representative (min id) per distinct content. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents"), col("text"), col("doc_id"))
+
+  /** Token counting: whitespace + BPE-ish regex counts. */
+  def textTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TextAnalysisCols.wsTokenCount(col("text")).as("n_ws_tokens"),
+      TextAnalysisCols.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+      length(col("text")).as("n_chars_len"))
+
+  /** Quality scoring from length/punct/stopword ratios. */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id") +: TextAnalysisCols.qualityFeatures(col("text")): _*)
+
+  /** Stopword-profile language ID. */
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysisCols.langId(col("text")).as("lang_pred"))
+
+  /** Fingerprints: exact md5 + normalized (sorted-token) md5. */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      md5(col("text")).as("fp_exact"),
+      TextAnalysisCols.normFingerprint(col("text")).as("fp_norm"))
+
+  // ====================================================================
+  // Registry
+  // ====================================================================
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_json" -> srcJson _,
+    "src_csv" -> srcCsv _,
+    "normalize_coalesce" -> normalizeCoalesce _,
+    "normalize_flatten" -> normalizeFlatten _,
+    "select_columns" -> selectColumnsQ _,
+    "drop_columns" -> dropColumnsQ _,
+    "add_fields" -> addFieldsQ _,
+    "validate_ok" -> validateOk _,
+    "validate_ko" -> validateKo _,
+    "validate_date_ok" -> validateDateOk _,
+    "field_stats" -> fieldStatsQ _,
+    "validation_stats" -> validationStatsQ _,
+    "top_errors" -> topErrorsQ _,
+    "dataflow_e2e" -> dataflowE2e _,
+    "q1_pricing" -> q1Pricing _,
+    "q3_revenue" -> q3Revenue _,
+    "q5_nation_revenue" -> q5NationRevenue _,
+    "q_top_customers" -> qTopCustomers _,
+    "q_no_order_customers" -> qNoOrderCustomers _,
+    "q_events_hourly" -> qEventsHourly _,
+    "q_events_props" -> qEventsProps _,
+    "q_event_pivot" -> qEventPivot _,
+    "q_sessions" -> qSessions _,
+    "dedup_exact" -> dedupExact _,
+    "text_tokens" -> textTokens _,
+    "text_quality" -> textQuality _,
+    "text_langid" -> textLangId _,
+    "text_fingerprint" -> textFingerprint _)
+}

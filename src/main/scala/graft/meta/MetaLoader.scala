@@ -1,0 +1,114 @@
+package graft.meta
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Parses a pipeline-spec JSON (same shape as the reference's
+ * metadata_motor.json — reference: src/metadata_loader.py:11-24) into
+ * the typed [[PipelineSpec]] model. Explicit JsonNode navigation, no
+ * reflection: schema errors surface as readable exceptions naming the
+ * offending node.
+ */
+object MetaLoader {
+
+  private val mapper = new ObjectMapper()
+
+  def loadFile(path: String): PipelineSpec =
+    loadString(new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))
+
+  def loadString(json: String): PipelineSpec = {
+    val root = mapper.readTree(json)
+    PipelineSpec(arr(root, "dataflows").map(parseDataflow))
+  }
+
+  private def parseDataflow(n: JsonNode): DataflowSpec =
+    DataflowSpec(
+      name = str(n, "name"),
+      sources = arr(n, "sources").map(parseSource),
+      transformations = arr(n, "transformations").map(parseTransform),
+      sinks = arr(n, "sinks").map(parseSink))
+
+  private def parseSource(n: JsonNode): SourceSpec =
+    SourceSpec(
+      name = str(n, "name"),
+      path = str(n, "path"),
+      format = str(n, "format", "json").toLowerCase,
+      options = obj(n, "options"))
+
+  private def parseSink(n: JsonNode): SinkSpec =
+    SinkSpec(
+      input = str(n, "input"),
+      name = str(n, "name"),
+      paths = strArr(n, "paths"),
+      format = str(n, "format", "json").toLowerCase,
+      saveMode = str(n, "saveMode", "overwrite").toLowerCase,
+      partitionBy = strArr(n, "partitionBy"))
+
+  private def parseTransform(n: JsonNode): TransformSpec = {
+    val name = str(n, "name")
+    val p = n.get("params")
+    require(p != null, s"transformation '$name' missing params")
+    val input = str(p, "input")
+    def output = str(p, "output", name)
+    str(n, "type") match {
+      case "normalize_fields" =>
+        NormalizeSpec(name, input, output,
+          fields = arr(p, "fields").map(f => FieldMapping(str(f, "name"), strArr(f, "sources"))),
+          autoFlattenNaming = str(p, "auto_flatten_naming", "snake_case"))
+      case "drop_columns" =>
+        DropColumnsSpec(name, input, output, strArr(p, "columns"))
+      case "select_columns" =>
+        SelectColumnsSpec(name, input, output, strArr(p, "columns"))
+      case "add_fields" =>
+        AddFieldsSpec(name, input, output,
+          arr(p, "fields").map(f => AddedField(str(f, "name"),
+            optStr(f, "function"), optStr(f, "literal"))))
+      case "validate_fields" =>
+        ValidateSpec(name, input,
+          okOutput = str(p, "ok_output", s"${name}_ok"),
+          koOutput = str(p, "ko_output", s"${name}_ko"),
+          rules = arr(p, "validations").map(r =>
+            ValidationRule(str(r, "field"), strArr(r, "validations"))))
+      case "compute_stats" =>
+        ComputeStatsSpec(name, input,
+          fields = if (p.has("fields")) Some(strArr(p, "fields")) else None,
+          includeValidationStats = p.path("include_validation_stats").asBoolean(false),
+          okInput = optStr(p, "ok_input"),
+          koInput = optStr(p, "ko_input"),
+          outputPath = optStr(p, "output_path"))
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported transformation type: '$other' (in '$name')")
+    }
+  }
+
+  // -- JsonNode helpers ------------------------------------------------
+
+  private def str(n: JsonNode, field: String): String = {
+    val v = n.get(field)
+    require(v != null && v.isTextual, s"expected string field '$field' in $n")
+    v.asText
+  }
+
+  private def str(n: JsonNode, field: String, default: String): String =
+    optStr(n, field).getOrElse(default)
+
+  private def optStr(n: JsonNode, field: String): Option[String] =
+    Option(n.get(field)).filter(_.isTextual).map(_.asText)
+
+  private def arr(n: JsonNode, field: String): Seq[JsonNode] = {
+    val v = n.get(field)
+    if (v == null || v.isNull) Nil else v.elements().asScala.toSeq
+  }
+
+  private def strArr(n: JsonNode, field: String): Seq[String] =
+    arr(n, field).map(_.asText)
+
+  private def obj(n: JsonNode, field: String): Map[String, String] = {
+    val v = n.get(field)
+    if (v == null || v.isNull) Map.empty
+    else v.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+  }
+}

@@ -1,0 +1,97 @@
+package graft.meta
+
+/**
+ * Typed model of a graft dataflow specification.
+ *
+ * Mirrors the metadata surface of the reference engine
+ * (reference: metadata_motor.json:1-260, src/metadata_loader.py:11-24):
+ * a pipeline is `sources -> named transformations -> sinks`, fully
+ * declared in JSON so no business logic is hardcoded. graft compiles
+ * each spec straight into Catalyst `Column`/`DataFrame` trees, so the
+ * optimizer sees the whole metadata-driven plan (pushdown, pruning,
+ * constant folding all apply).
+ */
+final case class PipelineSpec(dataflows: Seq[DataflowSpec]) {
+  def dataflow(name: String): DataflowSpec =
+    dataflows.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"Dataflow '$name' not found; have ${dataflows.map(_.name).mkString(", ")}"))
+}
+
+final case class DataflowSpec(
+    name: String,
+    sources: Seq[SourceSpec],
+    transformations: Seq[TransformSpec],
+    sinks: Seq[SinkSpec])
+
+/** reference: src/reader.py:11-47 — named source with format + path. */
+final case class SourceSpec(
+    name: String,
+    path: String,
+    format: String,
+    options: Map[String, String] = Map.empty)
+
+/** reference: main.py:47-78 — sink with format, saveMode, 1+ paths. */
+final case class SinkSpec(
+    input: String,
+    name: String,
+    paths: Seq[String],
+    format: String,
+    saveMode: String,
+    partitionBy: Seq[String] = Nil)
+
+sealed trait TransformSpec {
+  def name: String
+  def input: String
+}
+
+/** reference: src/transformations.py:137-213 (normalize_fields). */
+final case class NormalizeSpec(
+    name: String,
+    input: String,
+    output: String,
+    fields: Seq[FieldMapping],
+    autoFlattenNaming: String = "snake_case")
+  extends TransformSpec
+
+final case class FieldMapping(name: String, sources: Seq[String])
+
+/** reference: src/transformations.py:216-239 (drop_columns). */
+final case class DropColumnsSpec(name: String, input: String, output: String, columns: Seq[String])
+  extends TransformSpec
+
+/** reference: src/transformations.py:242-262 (select_columns). */
+final case class SelectColumnsSpec(name: String, input: String, output: String, columns: Seq[String])
+  extends TransformSpec
+
+/** reference: src/transformations.py:265-285 (add_fields). */
+final case class AddFieldsSpec(name: String, input: String, output: String, fields: Seq[AddedField])
+  extends TransformSpec
+
+/**
+ * One added metadata field: either a supported function
+ * ("current_timestamp") or a constant literal.
+ */
+final case class AddedField(name: String, function: Option[String], literal: Option[String] = None)
+
+/** reference: src/validator.py:117-173 (validate_fields). */
+final case class ValidateSpec(
+    name: String,
+    input: String,
+    okOutput: String,
+    koOutput: String,
+    rules: Seq[ValidationRule])
+  extends TransformSpec
+
+/** Checks are the reference's string mini-language, e.g. "min:18". */
+final case class ValidationRule(field: String, checks: Seq[String])
+
+/** reference: src/transformations.py:330-369 (compute_stats). */
+final case class ComputeStatsSpec(
+    name: String,
+    input: String,
+    fields: Option[Seq[String]],
+    includeValidationStats: Boolean,
+    okInput: Option[String],
+    koInput: Option[String],
+    outputPath: Option[String])
+  extends TransformSpec

@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.TextAnalysisCols
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines.
+ *
+ * Scale design: nothing here is O(n²) over the corpus. Every near-dup
+ * variant reduces to (1) a per-document signature computed in one
+ * codegen'd projection, then (2) a shuffle keyed on a bucket that
+ * provably contains all qualifying pairs (shared shingle / LSH band /
+ * SimHash chunk — pigeonhole), then (3) pair verification bounded to
+ * same-bucket candidates. At 100 TB the shuffle key cardinality is
+ * what matters; all bucket keys here are well-distributed hashes.
+ */
+object Dedup {
+
+  /**
+   * Exact dedup: group by content, keep the minimum id as the
+   * canonical representative. Output: (fp, doc_id, n_copies).
+   * At scale: group on md5(content) instead of raw content to keep
+   * shuffle rows narrow — done here (the fp IS the group key).
+   */
+  def exact(df: DataFrame, content: Column, id: Column): DataFrame =
+    df.select(md5(content).as("fp"), id.as("__id"))
+      .groupBy("fp")
+      .agg(min(col("__id")).as("doc_id"), count(lit(1)).as("n_copies"))
+
+  /**
+   * Word k-shingles of the content, distinct per doc:
+   * (id, shingle). One explode, no UDF.
+   */
+  def shingles(df: DataFrame, content: Column, id: Column, k: Int = 3): DataFrame = {
+    val tokens = TextAnalysisCols.wsTokens(lower(content))
+    val n = size(tokens)
+    val sh = when(n >= k,
+        transform(sequence(lit(0), n - k),
+          i => array_join(slice(tokens, i + lit(1), lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(id.as("doc_id"), explode(sh).as("shingle")).distinct()
+  }
+
+  /**
+   * n-gram Jaccard near-dup pairs via shingle-join (no O(n²) cross
+   * join): docs sharing ≥1 shingle are candidates; intersection size
+   * comes from the join group count, union from per-doc set sizes.
+   * Returns (doc_a, doc_b, inter, size_a, size_b, jaccard) with
+   * jaccard ≥ threshold and doc_a < doc_b.
+   */
+  def ngramJaccard(df: DataFrame, content: Column, id: Column,
+                   k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(df, content, id, k)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+  }
+
+  /**
+   * MinHash signatures: `numHashes` permutations approximated by
+   * xxhash64 with distinct salts, min-aggregated over shingles.
+   * Output: (doc_id, sig: array<bigint>).
+   */
+  def minhashSignatures(df: DataFrame, content: Column, id: Column,
+                        k: Int = 3, numHashes: Int = 16): DataFrame = {
+    val sh = shingles(df, content, id, k)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
+    sh.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /**
+   * MinHash + LSH near-dup: band the signature (`bands` bands of
+   * rows = numHashes/bands), bucket-join on (band index, band hash),
+   * then estimate Jaccard as the fraction of matching signature
+   * positions. Pairs with estimate ≥ threshold, doc_a < doc_b.
+   * The band join is the scale path: candidate generation is a plain
+   * shuffle on band-hash, never a cross join.
+   */
+  def minhashLsh(df: DataFrame, content: Column, id: Column,
+                 k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+                 threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sig = minhashSignatures(df, content, id, k, numHashes).cache()
+    val banded = sig.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val candidates = a.join(b,
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    candidates
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /**
+   * 64-bit SimHash per document: sign-sum of token-hash bits.
+   * Output: (doc_id, simhash). Pure expression tree: tokens →
+   * xxhash64 → per-bit ±1 vote via aggregate over the token array —
+   * no explode, no shuffle for the signature itself.
+   */
+  def simhashSignatures(df: DataFrame, content: Column, id: Column): DataFrame = {
+    val tokens = TextAnalysisCols.wsTokens(lower(content))
+    val tok = df.select(id.as("doc_id"), explode(tokens).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    // votes[b] = Σ tokens (bit b set ? +1 : -1); partial (map-side)
+    // aggregation keeps the shuffle narrow: 64 longs per doc.
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$b"))
+    val agged = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sim = (0 until 64).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+    agged.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /**
+   * SimHash near-dup: pairs with Hamming distance ≤ maxDistance.
+   * Pigeonhole blocking: split 64 bits into `maxDistance + 1` chunks;
+   * any pair within distance shares at least one exact chunk, so
+   * candidates come from equi-joins on (chunk index, chunk value) —
+   * again a shuffle, not a cross join.
+   */
+  def simhash(df: DataFrame, content: Column, id: Column,
+              maxDistance: Int = 3): DataFrame = {
+    val chunks = maxDistance + 1
+    val bitsPerChunk = 64 / chunks
+    val sig = simhashSignatures(df, content, id).cache()
+    val chunked = sig.select(col("doc_id"), col("simhash"),
+        posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+          i => call_function("shiftright", col("simhash"), i * bitsPerChunk)
+            .bitwiseAND((1L << bitsPerChunk) - 1))))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b, col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+}

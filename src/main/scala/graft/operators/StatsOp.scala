@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Global field statistics + validation metrics
+ * (reference: src/stats.py:23-100 `compute_field_stats`,
+ * 103-146 `compute_validation_stats`).
+ *
+ * Spark-first design: the reference runs ONE Spark job per field
+ * (stats.py:69 — `df.agg(...).first()` inside a Python loop), i.e.
+ * N full scans for N fields. graft builds every per-field aggregate
+ * into a single `.agg()` → one scan regardless of field count, then
+ * unpivots the 1×(5·N) row into a long `field × stat` frame with a
+ * driver-free `explode(array(struct(...)))`.
+ *
+ * Scale notes: exact `countDistinct` over many fields plans an
+ * `Expand` (rows × fields) — fine to a few fields, but at 100 TB set
+ * `approxDistinct = true` to use HyperLogLog (`approx_count_distinct`)
+ * which keeps the plan a single pass with constant-size state.
+ */
+object StatsOp {
+
+  /**
+   * Long-format stats: one row per field with
+   * (field, null_count, non_null_count, distinct_count,
+   *  min_num, max_num, min_value, max_value, null_pct).
+   * `min_num`/`max_num` are populated for numeric/date/timestamp
+   * fields (dates as epoch seconds), `min_value`/`max_value` carry
+   * the string rendering for any orderable type.
+   */
+  def fieldStats(df: DataFrame, fieldsIn: Seq[String] = Nil,
+                 approxDistinct: Boolean = false): DataFrame = {
+    val fields =
+      (if (fieldsIn.nonEmpty) fieldsIn.filter(df.columns.contains) else df.columns.toSeq)
+        .filterNot(f => isComplex(df.schema(f).dataType))
+    require(fields.nonEmpty, "no stats-capable fields")
+
+    def distinctAgg(c: Column) =
+      if (approxDistinct) approx_count_distinct(c) else countDistinct(c)
+
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("__total")) ++ fields.flatMap { f =>
+      val c = col(f)
+      val numeric = isNumericLike(df.schema(f).dataType)
+      Seq(
+        count(when(c.isNull, 1)).as(s"$f#null"),
+        count(c).as(s"$f#nonnull"),
+        distinctAgg(c).as(s"$f#distinct"),
+        (if (numeric) min(c).try_cast("double") else lit(null).cast("double")).as(s"$f#minn"),
+        (if (numeric) max(c).try_cast("double") else lit(null).cast("double")).as(s"$f#maxn"),
+        min(c).try_cast("string").as(s"$f#mins"),
+        max(c).try_cast("string").as(s"$f#maxs"))
+    }
+
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val structs = fields.map { f =>
+      struct(
+        lit(f).as("field"),
+        col(s"`$f#null`").as("null_count"),
+        col(s"`$f#nonnull`").as("non_null_count"),
+        col(s"`$f#distinct`").as("distinct_count"),
+        col(s"`$f#minn`").as("min_num"),
+        col(s"`$f#maxn`").as("max_num"),
+        col(s"`$f#mins`").as("min_value"),
+        col(s"`$f#maxs`").as("max_value"),
+        (col(s"`$f#null`").cast("double") * 100.0 / col("__total")).as("null_pct"))
+    }
+    wide.select(explode(array(structs: _*)).as("s")).select("s.*")
+  }
+
+  /**
+   * Validation summary over a [[Validate.tagged]] frame: one row of
+   * totals + pass/fail rates, computed in one pass (the reference
+   * counts ok and ko frames separately — two jobs).
+   */
+  def validationStats(tagged: DataFrame): DataFrame = {
+    val valid = col(Validate.ValidCol)
+    tagged.agg(
+      count(lit(1)).as("total_records"),
+      count(when(valid, 1)).as("valid_records"),
+      count(when(!valid, 1)).as("rejected_records")
+    ).withColumn("validation_pass_rate",
+        col("valid_records").cast("double") * 100.0 / col("total_records"))
+      .withColumn("validation_fail_rate",
+        col("rejected_records").cast("double") * 100.0 / col("total_records"))
+  }
+
+  /** Same summary from an already-split (ok, ko) pair. */
+  def validationStatsFromSplit(ok: DataFrame, ko: DataFrame): DataFrame = {
+    val flags = ok.select(lit(true).as(Validate.ValidCol))
+      .unionAll(ko.select(lit(false).as(Validate.ValidCol)))
+    validationStats(flags)
+  }
+
+  /**
+   * Top validation errors: explode the error array, count per label,
+   * descending (reference: src/stats.py:128-141).
+   */
+  def topErrors(ko: DataFrame, errorsCol: String = Validate.ErrorsCol): DataFrame =
+    ko.select(explode(col(errorsCol)).as("error"))
+      .groupBy("error")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("error"))
+
+  private def isComplex(dt: DataType): Boolean = dt match {
+    case _: StructType | _: ArrayType | _: MapType | _: BinaryType => true
+    case _ => false
+  }
+
+  private def isNumericLike(dt: DataType): Boolean = dt match {
+    case _: NumericType | _: DateType | _: TimestampType => true
+    case _ => false
+  }
+}

@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.meta.SourceSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/**
+ * Source readers (reference: src/reader.py:11-47). JSON-lines, CSV
+ * (header + inferSchema by default) and parquet; glob paths work
+ * natively in Spark so no driver-side expansion is needed.
+ *
+ * Scale notes: schema inference on CSV/JSON is a full extra pass —
+ * at 100 TB always pass an explicit schema (the `schema` overloads);
+ * inference stays available for interactive/small use to match the
+ * reference's behavior.
+ */
+object Readers {
+
+  def read(spark: SparkSession, spec: SourceSpec, schema: Option[StructType] = None): DataFrame =
+    spec.format match {
+      case "json"    => json(spark, spec.path, spec.options, schema)
+      case "csv"     => csv(spark, spec.path, spec.options, schema)
+      case "parquet" => parquet(spark, spec.path)
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported source format: '$other' for source '${spec.name}'")
+    }
+
+  def json(spark: SparkSession, path: String,
+           options: Map[String, String] = Map.empty,
+           schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.options(options)
+    schema.fold(r)(r.schema).json(path)
+  }
+
+  def csv(spark: SparkSession, path: String,
+          options: Map[String, String] = Map.empty,
+          schema: Option[StructType] = None): DataFrame = {
+    val defaults = Map(
+      "header" -> "true", "sep" -> ",", "quote" -> "\"",
+      "escape" -> "\"", "multiLine" -> "false", "encoding" -> "UTF-8")
+    val opts = defaults ++ options
+    val base = spark.read.options(opts)
+    schema match {
+      case Some(s) => base.schema(s).csv(path)
+      case None    => base.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  def parquet(spark: SparkSession, path: String): DataFrame = {
+    // Parquet TIMESTAMP(NANOS) (pandas default) is otherwise an
+    // illegal type for Spark; read as long and convert explicitly.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(path)
+  }
+
+  /** Convenience: a testdata table from an sf directory. The events
+    * table carries a nanosecond `ts`; surfaced as a microsecond
+    * timestamp (`ts div 1000` — integer division, no double rounding)
+    * to match DuckDB's micro-precision TIMESTAMP semantics. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = parquet(spark, s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+}
