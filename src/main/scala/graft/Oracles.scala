@@ -183,7 +183,8 @@ object Oracles {
 
     "q_no_order_customers" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
 
     // events.ts is parquet TIMESTAMP(NANOS); graft surfaces it at
     // micro precision, so the oracle casts to plain (micro) TIMESTAMP.
@@ -229,6 +230,65 @@ object Oracles {
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    // 3-shingle Jaccard pairs; mirrors Dedup.ngramJaccard exactly
+    // (distinct shingles, shared-shingle join, count-based intersection).
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i.i : i.i + 2], ' ') AS shingle
+        |  FROM tok, LATERAL unnest(range(1, len(toks) - 1)) AS i(i)
+        |  WHERE len(toks) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.inter, sa.set_size AS size_a, sb.set_size AS size_b,
+        |  CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON i.doc_a = sa.doc_id
+        |JOIN sizes sb ON i.doc_b = sb.doc_id
+        |WHERE CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) >= 0.8""".stripMargin,
+
+    // DuckDB's list_dot_product / list_sum fold doubles left-to-right,
+    // exactly like graft's aggregate(zip_with(...)) kernels — verified
+    // bit-for-bit — so the embedding ops get full hash oracles.
+    "dedup_embedding" ->
+      """WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM w)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+
+    "sim_topk" ->
+      """WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM w),
+        |p AS (
+        |  SELECT q.vec_id AS id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_sim
+        |  FROM n q JOIN n c ON q.vec_id <> c.vec_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
+        |      FROM p)
+        |SELECT id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 10""".stripMargin,
+
+    // Stubbed codec is md5-derived, so the multimodal metadata path
+    // has a full oracle despite the fake decode.
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  'raw' AS fmt,
+        |  CAST(n_chars % 640 + 1 AS INT) AS width,
+        |  CAST(n_chars % 480 + 1 AS INT) AS height,
+        |  md5(text) AS fp
+        |FROM documents""".stripMargin,
 
     "text_tokens" ->
       s"""SELECT doc_id,

@@ -245,9 +245,12 @@ object Queries {
       .select(col("n_name"), col("c_custkey"), col("c_name"), col("c_acctbal"), col("rn"))
   }
 
-  /** Anti join: customers with no orders. */
+  /** Anti join: customers with no high-value (>300k) order. (Plain
+    * "no orders at all" is empty at every SF in this synthetic data —
+    * the filtered variant actually exercises the anti join.) */
   def qNoOrderCustomers(s: SparkSession, dir: String): DataFrame = {
-    val ord = t(s, dir, "orders").select("o_custkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 300000).select("o_custkey")
     t(s, dir, "customer")
       .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_acctbal")
@@ -306,6 +309,38 @@ object Queries {
   def dedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents"), col("text"), col("doc_id"))
 
+  /** n-gram Jaccard near-dup pairs (3-shingles, j ≥ 0.8). */
+  def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(t(s, dir, "documents"), col("text"), col("doc_id"))
+
+  /** MinHash + LSH near-dup candidates (est. Jaccard ≥ 0.7). */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(t(s, dir, "documents"), col("text"), col("doc_id"))
+
+  /** SimHash near-dup pairs (64-bit, hamming ≤ 3). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(t(s, dir, "documents"), col("text"), col("doc_id"))
+
+  /** Embedding cosine near-dup pairs (threshold tuned to testdata's
+    * similarity range — no planted dups above 0.52). */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineDupPairs(t(s, dir, "embeddings"),
+      col("vec_id"), col("embedding"), threshold = 0.4)
+
+  /** Brute-force cosine top-k ANN (exact baseline). */
+  def simTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(e, e, col("vec_id"), col("embedding"), k = 10)
+  }
+
+  /** LSH-bucketed ANN top-k (the scale path; recall measured in spec). */
+  def simLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 10)
+
+  /** Multimodal: documents → media records → metadata-only summary. */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.multimodalMeta(s, dir)
+
   /** Token counting: whitespace + BPE-ish regex counts. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -360,6 +395,13 @@ object Queries {
     "q_event_pivot" -> qEventPivot _,
     "q_sessions" -> qSessions _,
     "dedup_exact" -> dedupExact _,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard _,
+    "dedup_minhash" -> dedupMinhash _,
+    "dedup_simhash" -> dedupSimhash _,
+    "dedup_embedding" -> dedupEmbedding _,
+    "sim_topk" -> simTopK _,
+    "sim_lsh" -> simLsh _,
+    "multimodal_meta" -> multimodalMeta _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangId _,

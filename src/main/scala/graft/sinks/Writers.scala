@@ -20,15 +20,22 @@ object Writers {
     val prepared = if (spec.format == "csv") flattenArraysForCsv(df) else df
     spec.paths.foreach { path =>
       val w = prepared.write.mode(spec.saveMode).format(spec.format)
-      val p = if (spec.partitionBy.nonEmpty) w.partitionBy(spec.partitionBy: _*) else w
+      // CSV sinks carry a header (the reference writes headerless CSV
+      // its own reader then misparses; graft round-trips cleanly).
+      val wo = if (spec.format == "csv") w.option("header", "true") else w
+      val p = if (spec.partitionBy.nonEmpty) wo.partitionBy(spec.partitionBy: _*) else wo
       p.save(path)
     }
   }
 
-  /** CSV cannot carry arrays; join them with commas like the reference. */
+  /** CSV cannot carry complex types: arrays become comma-joined
+    * strings (like the reference); structs/maps become JSON strings. */
   def flattenArraysForCsv(df: DataFrame): DataFrame =
     df.schema.fields.foldLeft(df) { (acc, f) =>
-      if (f.dataType.typeName == "array") acc.withColumn(f.name, concat_ws(",", col(f.name)))
-      else acc
+      f.dataType.typeName match {
+        case "array" => acc.withColumn(f.name, concat_ws(",", col(f.name)))
+        case "struct" | "map" => acc.withColumn(f.name, to_json(col(f.name)))
+        case _ => acc
+      }
     }
 }

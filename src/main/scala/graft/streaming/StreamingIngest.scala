@@ -1,0 +1,116 @@
+package graft.streaming
+
+import graft.meta.ValidationRule
+import graft.operators.Validate
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming equivalents of the batch ingest surface: the
+ * same metadata-compiled validation Columns run unchanged over a
+ * stream (reference is batch-only; its Airflow DAG re-runs the batch
+ * pipeline — graft's streaming path is the always-on version).
+ *
+ * Scale notes: validation is stateless (one projection, no shuffle);
+ * windowed counts carry watermarked state bounded by
+ * (#keys × window); sessionization state is one small struct per
+ * active user, dropped on timeout. All sinks are exactly-once under
+ * checkpointing (file sinks) / at-least-once (foreachBatch).
+ */
+object StreamingIngest {
+
+  /** JSON-lines directory stream with an explicit schema (schema
+    * inference is not available — nor wanted — on streams). */
+  def jsonStream(spark: SparkSession, path: String, ddl: String): DataFrame =
+    spark.readStream.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl)).json(path)
+
+  /** Tag a stream with validation_errors/is_valid — identical Column
+    * tree to the batch path (same metadata, same semantics). */
+  def validated(stream: DataFrame, rules: Seq[ValidationRule]): DataFrame =
+    Validate.tagged(stream, rules)
+
+  /**
+   * OK/KO split writer: ONE pass per micro-batch, partitioned by
+   * validity at the sink (no double filter/scan). Parquet output
+   * `.../is_valid=true|false/` gives downstream readers partition
+   * pruning on validity.
+   */
+  def okKoWriter(stream: DataFrame, rules: Seq[ValidationRule],
+                 outPath: String, checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    validated(stream, rules)
+      .withColumn(Validate.ErrorsCol, concat_ws(",", col(Validate.ErrorsCol)))
+      .writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(Validate.ValidCol)
+      .outputMode(OutputMode.Append)
+
+  /**
+   * Watermarked tumbling-window counts per event_type:
+   * (window, event_type, n, sum_value). State is dropped
+   * `delay` past the window end.
+   */
+  def windowedCounts(events: DataFrame, tsCol: String = "ts",
+                     window: String = "1 hour", delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+
+  // -- custom state: gap-based streaming sessionization ---------------
+
+  final case class SessionEvent(userId: Long, tsMs: Long)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class SessionOut(userId: Long, startMs: Long, endMs: Long, nEvents: Long)
+
+  /**
+   * flatMapGroupsWithState sessionizer: emits a session row when a
+   * user goes quiet for `gapMs` (event-time order within a batch;
+   * processing-time timeout closes idle sessions). The streaming twin
+   * of the batch `q_sessions` window query.
+   *
+   * `timeout = NoTimeout` disables idle-close (sessions then only
+   * close when a later event arrives past the gap) — used by specs,
+   * because pending processing-time timeouts keep scheduling batches
+   * and `processAllAvailable` never settles.
+   */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout == GroupStateTimeout.ProcessingTimeTimeout
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, timeout) {
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, s.start, s.last, s.n))
+          } else {
+            val sorted = it.map(_.tsMs).toArray.sorted
+            var cur = state.getOption
+            val closed = Iterator.newBuilder[SessionOut]
+            sorted.foreach { ts =>
+              cur match {
+                case Some(s) if ts - s.last <= gapMs =>
+                  cur = Some(s.copy(last = ts, n = s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.start, s.last, s.n)
+                  cur = Some(SessionState(ts, ts, 1))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.result()
+          }
+      }
+  }
+}

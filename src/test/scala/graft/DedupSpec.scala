@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  /** Corpus with planted dups: 1≈2 (one word changed), 3=4 exact, 5 unrelated. */
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the red barn today"),
+    (2L, "the quick brown fox jumps over the lazy cat near the red barn today"),
+    (3L, "completely different content about spark query engines and shuffles"),
+    (4L, "completely different content about spark query engines and shuffles"),
+    (5L, "unrelated short text")).toDF("doc_id", "text")
+
+  /** Exact Jaccard over 3-shingles, computed naively for the oracle. */
+  private def jaccard(a: String, b: String, k: Int = 3): Double = {
+    def sh(s: String) = s.toLowerCase.trim.split("\\s+").sliding(k).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(a), sh(b))
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  test("exact dedup keeps min id and counts copies") {
+    val out = Dedup.exact(docs, col("text"), col("doc_id"))
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out(3L) === 2L)      // 3 and 4 collapse, min id kept
+    assert(out.size === 4)      // 5 rows -> 4 distinct contents
+  }
+
+  test("ngram Jaccard finds the near pair with the exact score") {
+    val out = Dedup.ngramJaccard(docs, col("text"), col("doc_id"), k = 3, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val expected = jaccard(
+      "the quick brown fox jumps over the lazy dog near the red barn today",
+      "the quick brown fox jumps over the lazy cat near the red barn today")
+    assert(out((1L, 2L)) === expected)
+    assert(out((3L, 4L)) === 1.0)
+    assert(!out.contains((1L, 5L)))
+  }
+
+  test("minhash LSH: catches exact + near dups, estimate within 0.3 of truth") {
+    val out = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
+        k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+      .select("doc_a", "doc_b", "est_jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(out((3L, 4L)) === 1.0)                 // identical docs: exact signature match
+    assert(out.contains((1L, 2L)))                // near pair banded together
+    val truth = jaccard(
+      "the quick brown fox jumps over the lazy dog near the red barn today",
+      "the quick brown fox jumps over the lazy cat near the red barn today")
+    assert(math.abs(out((1L, 2L)) - truth) <= 0.3)
+  }
+
+  test("minhash LSH agrees with exact Jaccard >= threshold on real corpus") {
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    val exactPairs = Dedup.ngramJaccard(d, col("text"), col("doc_id"), k = 3, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lshPairs = Dedup.minhashLsh(d, col("text"), col("doc_id"),
+        k = 3, numHashes = 32, bands = 8, threshold = 0.7)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // every true >=0.9 pair must be recalled by LSH at threshold 0.7
+    assert(exactPairs.nonEmpty)
+    assert(exactPairs.subsetOf(lshPairs),
+      s"missed: ${exactPairs.diff(lshPairs)}")
+  }
+
+  test("simhash: identical docs at distance 0, near pair within 3, unrelated absent") {
+    val out = Dedup.simhash(docs, col("text"), col("doc_id"), maxDistance = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+      .map { case (a, b, h) => (a, b) -> h }.toMap
+    assert(out((3L, 4L)) === 0)
+    assert(out.get((1L, 2L)).forall(_ <= 3))      // 1 word of 14 differs
+    assert(!out.contains((1L, 5L)) && !out.contains((3L, 5L)))
+  }
+
+  test("simhash signature is deterministic") {
+    val s1 = Dedup.simhashSignatures(docs, col("text"), col("doc_id"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val s2 = Dedup.simhashSignatures(docs, col("text"), col("doc_id"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(s1 === s2)
+  }
+}

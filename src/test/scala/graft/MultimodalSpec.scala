@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.operators.Multimodal._
+
+class MultimodalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def media = Seq(
+    MediaRecord(1L, "image", "imgbytes".getBytes("UTF-8"), MediaMeta("raw", 640, 480, 0, 0L)),
+    MediaRecord(2L, "audio", "audiobytes".getBytes("UTF-8"), MediaMeta("raw", 0, 0, 16000, 2500L)),
+    MediaRecord(3L, "video", "0123456789".getBytes("UTF-8"), MediaMeta("raw", 640, 480, 0, 3500L))
+  ).toDS()
+
+  test("decodeFeatures: batch shape and determinism") {
+    val out = decodeFeatures(media, dim = 8).collect().sortBy(_.mediaId)
+    assert(out.length === 3)
+    assert(out.forall(_.features.length === 8))
+    assert(out.forall(f => f.features.forall(v => v >= 0f && v < 1f)))
+    // deterministic: same input -> same features
+    val again = decodeFeatures(media, dim = 8).collect().sortBy(_.mediaId)
+    assert(out.map(_.features.toSeq).toSeq === again.map(_.features.toSeq).toSeq)
+    assert(out.head.fp === FakeCodec.md5Hex("imgbytes".getBytes("UTF-8")))
+  }
+
+  test("resizeImages touches only images and updates metadata") {
+    val out = resizeImages(media, 64, 64).collect().sortBy(_.mediaId)
+    assert(out(0).meta.width === 64 && out(0).meta.height === 64)
+    assert(out(1).meta.sampleRate === 16000)           // audio untouched
+    assert(out(1).bytes.toSeq === "audiobytes".getBytes("UTF-8").toSeq)
+    assert(out(2).meta.width === 640)                  // video untouched
+  }
+
+  test("sampleFrames: ceil(duration/interval) frames, executor-side fanout") {
+    val frames = sampleFrames(media, intervalMs = 1000L).collect().sortBy(_.frameIdx)
+    assert(frames.forall(_.mediaId === 3L))            // only the video
+    assert(frames.length === 4)                        // ceil(3500/1000)
+    assert(frames.map(_.tsMs).toSeq === Seq(0L, 1000L, 2000L, 3000L))
+    assert(frames.flatMap(_.bytes).length <= 10)
+  }
+
+  test("metaSummary never needs payload decode and matches documents") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val out = Multimodal.metaSummary(mediaFromDocuments(docs))
+    assert(out.count() === docs.count())
+    assert(out.columns.toSeq ===
+      Seq("media_id", "kind", "n_bytes", "fmt", "width", "height", "fp"))
+    val kinds = out.select("kind").distinct().as[String].collect().toSet
+    assert(kinds === Set("image", "audio", "video"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),   // close to 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 1
+    (4L, Array(-1.0f, 0.0f, 0.0f))). // opposite of 1
+    toDF("vec_id", "embedding")
+
+  private def cosRef(a: Array[Float], b: Array[Float]): Double = {
+    val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    d / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+      math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+  }
+
+  test("cosineDupPairs matches reference arithmetic exactly") {
+    val out = Similarity.cosineDupPairs(vecs, col("vec_id"), col("embedding"), threshold = 0.9)
+      .select("id_a", "id_b", "cos_sim").as[(Long, Long, Double)].collect()
+    assert(out.length === 1)
+    val (a, b, sim) = out.head
+    assert((a, b) === (1L, 2L))
+    assert(sim === cosRef(Array(1.0f, 0, 0), Array(0.9f, 0.1f, 0)))
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak") {
+    val out = Similarity.bruteForceTopK(vecs, vecs, col("vec_id"), col("embedding"), k = 3)
+      .filter(col("id") === 1L).orderBy("rank")
+      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(out === Seq((2L, 1), (3L, 2), (4L, 3))) // 0.99.. > 0.0 > -1.0
+  }
+
+  /** Real embeddings + a planted near-duplicate (1% perturbation) of
+    * every 10th vector — ids offset by 100000. cos(orig, dup) ≈ 0.9999:
+    * the regime LSH near-dup detection is FOR. */
+  private def withPlantedDups = {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dups = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * 0.99 + 0.001).cast("float")).as("embedding"))
+    e.unionAll(dups)
+  }
+
+  test("LSH topk finds the planted near-dup as a top neighbor") {
+    val e = withPlantedDups
+    val out = Similarity.lshTopK(e, col("vec_id"), col("embedding"),
+        k = 3, tables = 8, bits = 8)
+      .filter(col("id") >= 100000L && col("rank") === 1)
+      .select("id", "neighbor_id").as[(Long, Long)].collect()
+    val hit = out.count { case (dup, nb) => nb === dup - 100000L }
+    val recall = hit.toDouble / out.length
+    info(f"planted-dup recall@1 = $recall%.3f over ${out.length} dups")
+    assert(out.length === 50)
+    assert(recall >= 0.95, f"recall $recall%.3f below 0.95")
+  }
+
+  test("lshDupPairs recalls planted dups; moderate recall on weak pairs") {
+    val e = withPlantedDups
+    val planted = Similarity.lshDupPairs(e, col("vec_id"), col("embedding"),
+        threshold = 0.99, tables = 8, bits = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (0 until 500 by 10).map(i => (i.toLong, i + 100000L)).toSet
+    val recall = expected.intersect(planted).size.toDouble / expected.size
+    info(f"planted dup-pair recall = $recall%.3f")
+    assert(recall >= 0.95)
+
+    // weak pairs (cos ~0.45-0.51) sit far from the LSH operating point;
+    // document the floor rather than pretending brute-force recall
+    val base = spark.read.parquet(sf() + "/embeddings.parquet")
+    val exact = Similarity.cosineDupPairs(base, col("vec_id"), col("embedding"), threshold = 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshDupPairs(base, col("vec_id"), col("embedding"),
+        threshold = 0.45, tables = 12, bits = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val weakRecall = exact.intersect(lsh).size.toDouble / exact.size
+    info(f"weak-pair recall = $weakRecall%.3f (expected moderate)")
+    assert(weakRecall >= 0.4)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import graft.meta.ValidationRule
+import graft.operators.Validate
+import graft.streaming.StreamingIngest
+import graft.streaming.StreamingIngest.{SessionEvent, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("validated stream output == batch Validate.tagged (same Column tree)") {
+    implicit val sq = spark.sqlContext
+    val rules = Seq(ValidationRule("name", Seq("notEmpty")),
+      ValidationRule("age", Seq("min:18")))
+    val rows = Seq(("a", 20), ("", 30), ("c", 5))
+    val stream = MemoryStream[(String, Int)]
+    stream.addData(rows: _*)
+    val q = StreamingIngest.validated(stream.toDF().toDF("name", "age"), rules)
+      .writeStream.format("memory").queryName("validated_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("validated_out")
+      .select("name", "age", Validate.ErrorsCol, Validate.ValidCol)
+      .as[(String, Int, Seq[String], Boolean)].collect().toSet
+    val batch = Validate.tagged(rows.toDF("name", "age"), rules)
+      .as[(String, Int, Seq[String], Boolean)].collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("watermarked windowed counts aggregate by hour") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(
+      (Timestamp.valueOf("2026-01-01 10:05:00"), "click", 1.0),
+      (Timestamp.valueOf("2026-01-01 10:55:00"), "click", 2.0),
+      (Timestamp.valueOf("2026-01-01 11:05:00"), "view", 5.0))
+    val q = StreamingIngest.windowedCounts(
+        stream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    stream.addData((Timestamp.valueOf("2026-01-01 13:00:00"), "late-trigger", 0.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("win_out")
+      .select(col("window.start").cast("string"), col("event_type"), col("n"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(out.contains(("2026-01-01 10:00:00", "click", 2L, 3.0)))
+    assert(out.contains(("2026-01-01 11:00:00", "view", 1L, 5.0)))
+  }
+
+  test("flatMapGroupsWithState sessionizer closes sessions on gap") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[SessionEvent]
+    // user 7: events at t=0s,10s then a new session at t=100s (gap 30s)
+    stream.addData(SessionEvent(7L, 0L), SessionEvent(7L, 10000L), SessionEvent(7L, 100000L))
+    val q = StreamingIngest.sessionize(stream.toDS(), gapMs = 30000L,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    q.processAllAvailable()
+    val closed = spark.table("sess_out").as[SessionOut].collect().toSeq
+    q.stop()
+    assert(closed === Seq(SessionOut(7L, 0L, 10000L, 2L))) // first session closed by gap
+  }
+
+  test("ok/ko writer lands one partitioned parquet per validity") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val rules = Seq(ValidationRule("name", Seq("notEmpty")))
+    val stream = MemoryStream[(String, Int)]
+    stream.addData(("a", 1), ("", 2))
+    val q = StreamingIngest.okKoWriter(stream.toDF().toDF("name", "age"), rules,
+      s"$dir/out", s"$dir/ckpt").start()
+    q.processAllAvailable(); q.stop()
+    val written = spark.read.parquet(s"$dir/out")
+    assert(written.filter(col(Validate.ValidCol) === true).count() === 1)
+    assert(written.filter(col(Validate.ValidCol) === false).count() === 1)
+  }
+}
