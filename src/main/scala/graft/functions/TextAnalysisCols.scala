@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.TextFeatures
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -36,25 +37,14 @@ object TextAnalysisCols {
 
   /**
    * Quality features: token count, stopword count/ratio, punctuation
-   * count/ratio, and a combined [0,1] score. One projection.
+   * count/ratio, and a combined [0,1] score — computed by the native
+   * one-pass [[TextFeatures.TextQualityExpr]] (the equivalent
+   * split/filter/regexp Column tree re-materialized token arrays per
+   * derived column; ~10× slower at sf0.1).
    */
   def qualityFeatures(c: Column): Seq[Column] = {
-    val tokens = wsTokens(c)
-    val nTokens = size(tokens)
-    val nStop = countIn(tokens, EnStop)
-    val nPunct = length(regexp_replace(lower(c), "[a-z0-9\\s]", ""))
-    val nChars = length(c)
-    val stopRatio = when(nTokens === 0, lit(0.0))
-      .otherwise(nStop.cast("double") / nTokens)
-    val punctRatio = when(nChars === 0, lit(0.0))
-      .otherwise(nPunct.cast("double") / nChars)
-    Seq(
-      nTokens.as("n_tokens"),
-      nStop.as("n_stop"),
-      nPunct.as("n_punct"),
-      stopRatio.as("stop_ratio"),
-      punctRatio.as("punct_ratio"),
-      (stopRatio * 0.5 + (lit(1.0) - punctRatio) * 0.5).as("quality_score"))
+    val q = TextFeatures.qualityStruct(c, EnStop)
+    TextFeatures.Fields.map { case (n, _) => q.getField(n).as(n) }
   }
 
   /** Per-language stopword profiles for the language-ID heuristic. */

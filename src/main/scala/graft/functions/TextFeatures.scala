@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.regex.Pattern
+
+/**
+ * Native expression for document quality features: one pass over the
+ * string instead of a tree of `split`/`filter`/`regexp_replace` HOFs
+ * that each re-materialize token arrays per row (the HOF version was
+ * the 3rd-slowest headline query at sf0.1 — 12 s for 5000 docs).
+ *
+ * Arithmetic and tokenization are EXACTLY the oracle's semantics:
+ * tokens = Java-regex `\s+` split of the trimmed text (empty → 0),
+ * stopwords matched case-sensitively, punctuation = code points of the
+ * lowercased text outside [a-z0-9\s], ratios as single double
+ * divisions of exact ints — so the DuckDB hash-match still holds.
+ */
+object TextFeatures {
+
+  val Fields: Seq[(String, DataType)] = Seq(
+    "n_tokens" -> IntegerType, "n_stop" -> IntegerType, "n_punct" -> IntegerType,
+    "stop_ratio" -> DoubleType, "punct_ratio" -> DoubleType,
+    "quality_score" -> DoubleType)
+
+  case class TextQualityExpr(child: Expression, stopwords: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      StructType(Fields.map { case (n, t) => StructField(n, t, nullable = false) })
+    override def nullable: Boolean = true
+
+    @transient private lazy val ws = Pattern.compile("\\s+")
+    @transient private lazy val stopSet = stopwords.toSet
+
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      val trimmed = s.trim
+      var nTokens = 0
+      var nStop = 0
+      if (trimmed.nonEmpty) {
+        val toks = ws.split(trimmed, -1)
+        nTokens = toks.length
+        var i = 0
+        while (i < toks.length) {
+          if (stopSet.contains(toks(i))) nStop += 1
+          i += 1
+        }
+      }
+      val lower = s.toLowerCase(java.util.Locale.ROOT)
+      var nPunct = 0
+      var nChars = 0
+      var i = 0
+      while (i < lower.length) {
+        val cp = lower.codePointAt(i)
+        nChars += 1
+        val isKept = (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') ||
+          cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+        if (!isKept) nPunct += 1
+        i += Character.charCount(cp)
+      }
+      val stopRatio = if (nTokens == 0) 0.0 else nStop.toDouble / nTokens
+      val punctRatio = if (nChars == 0) 0.0 else nPunct.toDouble / nChars
+      val score = stopRatio * 0.5 + (1.0 - punctRatio) * 0.5
+      InternalRow(nTokens, nStop, nPunct, stopRatio, punctRatio, score)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def qualityStruct(text: Column, stopwords: Seq[String]): Column =
+    GraftBridge.column(TextQualityExpr(GraftBridge.expression(text), stopwords))
+}

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native expressions for the shingle/MinHash/SimHash kernels.
+ *
+ * The composable versions (explode → distinct → groupBy-min/sum)
+ * computed per-document signatures through TWO shuffles plus a
+ * per-shingle HOF tree. These expressions produce the signature in the
+ * scan projection itself — zero shuffles for signature computation, so
+ * the only shuffle left in near-dup detection is the one that matters
+ * at 100 TB: the bucket join. Hashing uses Spark's own XXH64 (same
+ * function as `xxhash64()`, seed 42), so SimHash signatures are
+ * bit-identical to the groupBy formulation they replace.
+ *
+ * Tokenization matches the DuckDB oracles exactly: tokens are the
+ * Java-regex `\s+` split of the trimmed lowercased text; shingles are
+ * k consecutive tokens joined by a single space, de-duplicated per
+ * document.
+ */
+object TextHashExprs {
+
+  private val Seed = 42L
+
+  /** xxhash64-compatible hash of a string (== Spark's xxhash64()). */
+  private def hashUtf8(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  private def tokensOf(text: UTF8String): Array[String] = {
+    val t = text.toLowerCase.toString.trim
+    if (t.isEmpty) Array.empty else t.split("\\s+")
+  }
+
+  private def shinglesOf(text: UTF8String, k: Int): java.util.LinkedHashSet[String] = {
+    val toks = tokensOf(text)
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length >= k) {
+      var i = 0
+      while (i <= toks.length - k) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Distinct k-shingles of the lowercased text, in first-seen order. */
+  case class ShinglesExpr(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val set = shinglesOf(v.asInstanceOf[UTF8String], k)
+      val arr = new Array[Any](set.size)
+      val it = set.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+      new GenericArrayData(arr)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /**
+   * MinHash signature: per salt i, min over shingles of
+   * xxh64(xxh64(shingle), salt=i). Null when the document has fewer
+   * than k tokens (mirrors "no shingles → no signature row" in the
+   * explode formulation). Duplicate shingles cannot affect a min, so
+   * no per-document dedup is needed.
+   */
+  case class MinhashSigExpr(child: Expression, k: Int, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val toks = tokensOf(v.asInstanceOf[UTF8String])
+      if (toks.length < k) return null
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i <= toks.length - k) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        val base = hashUtf8(UTF8String.fromString(sb.toString), Seed)
+        var h = 0
+        while (h < numHashes) {
+          val hv = XXH64.hashLong(base, h.toLong)
+          if (hv < mins(h)) mins(h) = hv
+          h += 1
+        }
+        i += 1
+      }
+      ArrayData.toArrayData(mins)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /**
+   * 64-bit SimHash over whitespace tokens of the lowercased text
+   * (every occurrence votes, matching the explode formulation
+   * bit-for-bit — same xxhash64 per token, same ±1 votes, same
+   * `votes > 0` bit rule). Null when the document has no tokens.
+   */
+  case class SimhashExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val toks = tokensOf(v.asInstanceOf[UTF8String])
+      if (toks.isEmpty) return null
+      val votes = new Array[Long](64)
+      var i = 0
+      while (i < toks.length) {
+        val h = hashUtf8(UTF8String.fromString(toks(i)), Seed)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1L else -1L)
+          b += 1
+        }
+        i += 1
+      }
+      var sim = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) > 0) sim |= (1L << b); b += 1 }
+      sim
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // -- Column API ------------------------------------------------------
+
+  private def e(c: Column) = GraftBridge.expression(c)
+
+  def shingles(text: Column, k: Int): Column =
+    GraftBridge.column(ShinglesExpr(e(text), k))
+  def minhashSig(text: Column, k: Int, numHashes: Int): Column =
+    GraftBridge.column(MinhashSigExpr(e(text), k, numHashes))
+  def simhash64(text: Column): Column =
+    GraftBridge.column(SimhashExpr(e(text)))
+}

@@ -1,0 +1,246 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the embedding kernels.
+ *
+ * The composable `zip_with`/`aggregate` higher-order functions are
+ * interpreted per element and allocate an intermediate array per row —
+ * at 4M candidate pairs × 64 dims (sf0.1 `sim_topk`) that cost
+ * dominated the whole benchmark (36 s). These expressions evaluate the
+ * same arithmetic — double accumulation, left-to-right, identical to
+ * the DuckDB oracle's `list_dot_product` — as one fused loop with zero
+ * allocation, with `doGenCode` so the loop inlines into whole-stage
+ * codegen. Measured ~10× on the ANN queries.
+ *
+ * Both float and double element types are supported; elements are
+ * widened to double before any arithmetic (exact), so results are
+ * bit-identical to the HOF versions they replace.
+ */
+object VectorExprs {
+
+  private[functions] def elemType(dt: DataType): DataType = dt match {
+    case ArrayType(et @ (FloatType | DoubleType), _) => et
+    case other => throw new IllegalArgumentException(
+      s"expected array<float|double>, got $other")
+  }
+
+  /** Read element i as double (caller has checked element nullability). */
+  @inline private[functions] def getD(a: ArrayData, et: DataType, i: Int): Double =
+    et match {
+      case FloatType => a.getFloat(i).toDouble
+      case _         => a.getDouble(i)
+    }
+
+  /** Σ aᵢ·bᵢ, double, left-to-right; null if any touched element is null. */
+  case class VecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    private lazy val etL = elemType(left.dataType)
+    private lazy val etR = elemType(right.dataType)
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        acc += getD(a, etL, i) * getD(b, etR, i)
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      def get(arr: String, et: DataType, i: String) = et match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case _         => s"$arr.getDouble($i)"
+      }
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  $acc += ${get(a, etL, i)} * ${get(b, etR, i)};
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** ‖a‖₂: sqrt of left-to-right Σ aᵢ², double. */
+  case class VecNorm(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    private lazy val et = elemType(child.dataType)
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      var acc = 0.0
+      var i = 0
+      val n = a.numElements()
+      while (i < n) {
+        if (a.isNullAt(i)) return null
+        val x = getD(a, et, i)
+        acc += x * x
+        i += 1
+      }
+      math.sqrt(acc)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val get = et match {
+        case FloatType => (arr: String, i: String) => s"(double) $arr.getFloat($i)"
+        case _         => (arr: String, i: String) => s"$arr.getDouble($i)"
+      }
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val x = ctx.freshName("x")
+        s"""
+           |int $n = $a.numElements();
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  double $x = ${get(a, i)};
+           |  $acc += $x * $x;
+           |}
+           |${ev.value} = java.lang.Math.sqrt($acc);
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /**
+   * All `tables` b-bit random-hyperplane signatures of a vector in ONE
+   * pass: array<long> of length `tables`. Hyperplane components are
+   * near-Gaussian (sum of 4 splitmix64-derived uniforms), derived
+   * deterministically from (seed, table, bit, dim) — identical planes
+   * on every executor, no broadcast state. Planes are materialized
+   * once per executor/dim (transient cache), so per-row cost is a pure
+   * fused multiply-add loop: tables × bits × dim flops.
+   *
+   * Replaces a Column tree of tables×bits `aggregate(zip_with(...))`
+   * HOF folds (each hashing per element per row) — measured >5× on
+   * `sim_lsh`. CodegenFallback: the loop already runs on primitive
+   * arrays; per-row interpretation overhead is one virtual call.
+   */
+  case class LshSignatures(child: Expression, tables: Int, bits: Int, seed: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(bits <= 63, "bits must fit a long")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    private lazy val et = elemType(child.dataType)
+
+    @transient private var planeCache: Array[Double] = _ // [(t*bits+b)*dim + d]
+    @transient private var planeDim: Int = -1
+
+    private def splitmix64(x0: Long): Long = {
+      var x = x0 + 0x9E3779B97F4A7C15L
+      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
+
+    /** Near-Gaussian component: 4 uniforms in [-0.5,0.5), summed. */
+    private def component(t: Int, b: Int, d: Int): Double = {
+      var acc = 0.0
+      var j = 0
+      while (j < 4) {
+        val h = splitmix64(
+          seed.toLong * 0x100000001L + t.toLong * 0x1000193L + b.toLong * 0x10001L + d.toLong * 4 + j)
+        acc += h.toDouble / 1.8446744073709552e19 // / 2^64 → [-0.5, 0.5)
+        j += 1
+      }
+      acc
+    }
+
+    private def planes(dim: Int): Array[Double] = {
+      if (planeDim != dim) {
+        val p = new Array[Double](tables * bits * dim)
+        var t = 0
+        while (t < tables) {
+          var b = 0
+          while (b < bits) {
+            var d = 0
+            while (d < dim) {
+              p((t * bits + b) * dim + d) = component(t, b, d)
+              d += 1
+            }
+            b += 1
+          }
+          t += 1
+        }
+        planeCache = p
+        planeDim = dim
+      }
+      planeCache
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val dim = a.numElements()
+      val vec = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        if (a.isNullAt(i)) return null
+        vec(i) = getD(a, et, i)
+        i += 1
+      }
+      val p = planes(dim)
+      val out = new Array[Long](tables)
+      var t = 0
+      while (t < tables) {
+        var sig = 0L
+        var b = 0
+        while (b < bits) {
+          val off = (t * bits + b) * dim
+          var proj = 0.0
+          var d = 0
+          while (d < dim) {
+            proj += vec(d) * p(off + d)
+            d += 1
+          }
+          if (proj >= 0) sig |= (1L << b)
+          b += 1
+        }
+        out(t) = sig
+        t += 1
+      }
+      ArrayData.toArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // -- Column API ------------------------------------------------------
+
+  private def e(c: Column) = GraftBridge.expression(c)
+
+  def vecDot(a: Column, b: Column): Column = GraftBridge.column(VecDot(e(a), e(b)))
+  def vecNorm(a: Column): Column = GraftBridge.column(VecNorm(e(a)))
+  def lshSignatures(vec: Column, tables: Int, bits: Int, seed: Int = 42): Column =
+    GraftBridge.column(LshSignatures(e(vec), tables, bits, seed))
+}

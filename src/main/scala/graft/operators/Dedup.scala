@@ -29,18 +29,14 @@ object Dedup {
       .agg(min(col("__id")).as("doc_id"), count(lit(1)).as("n_copies"))
 
   /**
-   * Word k-shingles of the content, distinct per doc:
-   * (id, shingle). One explode, no UDF.
+   * Word k-shingles of the content, distinct per doc: (id, shingle).
+   * Distinctness comes from the native [[graft.functions.TextHashExprs
+   * .ShinglesExpr]] (per-document set), so no global `.distinct()`
+   * shuffle is needed — one projection + explode.
    */
-  def shingles(df: DataFrame, content: Column, id: Column, k: Int = 3): DataFrame = {
-    val tokens = TextAnalysisCols.wsTokens(lower(content))
-    val n = size(tokens)
-    val sh = when(n >= k,
-        transform(sequence(lit(0), n - k),
-          i => array_join(slice(tokens, i + lit(1), lit(k)), " ")))
-      .otherwise(array().cast("array<string>"))
-    df.select(id.as("doc_id"), explode(sh).as("shingle")).distinct()
-  }
+  def shingles(df: DataFrame, content: Column, id: Column, k: Int = 3): DataFrame =
+    df.select(id.as("doc_id"),
+      explode(graft.functions.TextHashExprs.shingles(content, k)).as("shingle"))
 
   /**
    * n-gram Jaccard near-dup pairs via shingle-join (no O(n²) cross
@@ -69,19 +65,18 @@ object Dedup {
   }
 
   /**
-   * MinHash signatures: `numHashes` permutations approximated by
-   * xxhash64 with distinct salts, min-aggregated over shingles.
-   * Output: (doc_id, sig: array<bigint>).
+   * MinHash signatures in ONE projection (no explode, no shuffle):
+   * `numHashes` permutations approximated by salted xxhash64 over
+   * shingles, min-tracked inside the native
+   * [[graft.functions.TextHashExprs.MinhashSigExpr]].
+   * Output: (doc_id, sig: array<bigint>); docs with < k tokens are
+   * dropped (they have no shingles).
    */
   def minhashSignatures(df: DataFrame, content: Column, id: Column,
-                        k: Int = 3, numHashes: Int = 16): DataFrame = {
-    val sh = shingles(df, content, id, k)
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"h$i"))
-    sh.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+                        k: Int = 3, numHashes: Int = 16): DataFrame =
+    df.select(id.as("doc_id"),
+        graft.functions.TextHashExprs.minhashSig(content, k, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /**
    * MinHash + LSH near-dup: band the signature (`bands` bands of
@@ -118,25 +113,15 @@ object Dedup {
   }
 
   /**
-   * 64-bit SimHash per document: sign-sum of token-hash bits.
-   * Output: (doc_id, simhash). Pure expression tree: tokens →
-   * xxhash64 → per-bit ±1 vote via aggregate over the token array —
-   * no explode, no shuffle for the signature itself.
+   * 64-bit SimHash per document (sign-sum of token xxhash64 bits),
+   * computed in one projection by the native
+   * [[graft.functions.TextHashExprs.SimhashExpr]] — no explode, no
+   * shuffle. Output: (doc_id, simhash); token-less docs are dropped.
    */
-  def simhashSignatures(df: DataFrame, content: Column, id: Column): DataFrame = {
-    val tokens = TextAnalysisCols.wsTokens(lower(content))
-    val tok = df.select(id.as("doc_id"), explode(tokens).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    // votes[b] = Σ tokens (bit b set ? +1 : -1); partial (map-side)
-    // aggregation keeps the shuffle narrow: 64 longs per doc.
-    val votes = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"v$b"))
-    val agged = tok.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val sim = (0 until 64).map(b =>
-        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
-    agged.select(col("doc_id"), sim.as("simhash"))
-  }
+  def simhashSignatures(df: DataFrame, content: Column, id: Column): DataFrame =
+    df.select(id.as("doc_id"),
+        graft.functions.TextHashExprs.simhash64(content).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /**
    * SimHash near-dup: pairs with Hamming distance ≤ maxDistance.

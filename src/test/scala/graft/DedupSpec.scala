@@ -41,8 +41,10 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("minhash LSH: catches exact + near dups, estimate within 0.3 of truth") {
+    // fixture near-pair has true j=0.6; 16 bands × 2 rows gives
+    // P(banded) ≈ 0.999 (8×4 was a 0.67 coin flip on the hash)
     val out = Dedup.minhashLsh(docs, col("text"), col("doc_id"),
-        k = 3, numHashes = 32, bands = 8, threshold = 0.5)
+        k = 3, numHashes = 32, bands = 16, threshold = 0.4)
       .select("doc_a", "doc_b", "est_jaccard").as[(Long, Long, Double)].collect()
       .map { case (a, b, j) => (a, b) -> j }.toMap
     assert(out((3L, 4L)) === 1.0)                 // identical docs: exact signature match
