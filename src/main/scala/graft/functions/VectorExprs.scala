@@ -235,6 +235,28 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** Count of positions where two long arrays are equal (over the
+    * shorter length) — the MinHash signature-agreement kernel. */
+  case class LongVecEqCount(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+      val n = math.min(a.numElements(), b.numElements())
+      var eq = 0
+      var i = 0
+      while (i < n) {
+        if (a.getLong(i) == b.getLong(i)) eq += 1
+        i += 1
+      }
+      eq
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // -- Column API ------------------------------------------------------
 
   private def e(c: Column) = GraftBridge.expression(c)
@@ -243,4 +265,6 @@ object VectorExprs {
   def vecNorm(a: Column): Column = GraftBridge.column(VecNorm(e(a)))
   def lshSignatures(vec: Column, tables: Int, bits: Int, seed: Int = 42): Column =
     GraftBridge.column(LshSignatures(e(vec), tables, bits, seed))
+  def longVecEqCount(a: Column, b: Column): Column =
+    GraftBridge.column(LongVecEqCount(e(a), e(b)))
 }

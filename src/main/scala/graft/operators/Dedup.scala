@@ -106,7 +106,7 @@ object Dedup {
       .distinct()
     candidates
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+        graft.functions.VectorExprs.longVecEqCount(col("sig_a"), col("sig_b"))
           .cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")

@@ -118,15 +118,17 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    // cos_sim is computed BEFORE the dedup so the distinct exchange
+    // carries 3 scalars per row, not two 64-float vectors (VecDot is
+    // cheap enough that re-scoring multi-table collisions beats
+    // shuffling payloads)
     a.join(c, col("a.table") === col("c.table") &&
         col("a.bucket") === col("c.bucket") && col("a.id") =!= col("c.id"))
       .select(col("a.id").as("id"), col("c.id").as("neighbor_id"),
-        col("a.vec").as("va"), col("c.vec").as("vc"),
-        (col("a.norm") * col("c.norm")).as("nn"))
+        (dot(col("a.vec"), col("c.vec")) /
+          when(col("a.norm") * col("c.norm") === 0.0, lit(Double.NaN))
+            .otherwise(col("a.norm") * col("c.norm"))).as("cos_sim"))
       .distinct()
-      .select(col("id"), col("neighbor_id"),
-        (dot(col("va"), col("vc")) /
-          when(col("nn") === 0.0, lit(Double.NaN)).otherwise(col("nn"))).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -144,12 +146,10 @@ object Similarity {
     a.join(c, col("a.table") === col("c.table") &&
         col("a.bucket") === col("c.bucket") && col("a.id") < col("c.id"))
       .select(col("a.id").as("id_a"), col("c.id").as("id_b"),
-        col("a.vec").as("va"), col("c.vec").as("vc"),
-        (col("a.norm") * col("c.norm")).as("nn"))
-      .distinct()
-      .select(col("id_a"), col("id_b"),
-        (dot(col("va"), col("vc")) /
-          when(col("nn") === 0.0, lit(Double.NaN)).otherwise(col("nn"))).as("cos_sim"))
+        (dot(col("a.vec"), col("c.vec")) /
+          when(col("a.norm") * col("c.norm") === 0.0, lit(Double.NaN))
+            .otherwise(col("a.norm") * col("c.norm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+      .distinct()
   }
 }
