@@ -41,9 +41,12 @@ object Dataflow {
           val (ok, ko) = Validate.split(in, s.rules)
           frames + (s.okOutput -> ok) + (s.koOutput -> ko)
         case s: ComputeStatsSpec =>
-          // stats become named frames; sink them like any other output
+          // stats become named frames; sink them like any other
+          // output. The input passes through under the transform name
+          // (reference: src/transformations.py:373) so later steps can
+          // chain off a compute_stats node.
           val stats = StatsOp.fieldStats(in, s.fields.getOrElse(Nil))
-          val withField = frames + (s"${s.name}_fields" -> stats)
+          val withField = frames + (s"${s.name}_fields" -> stats) + (s.name -> in)
           (s.okInput.flatMap(frames.get), s.koInput.flatMap(frames.get)) match {
             case (Some(ok), Some(ko)) if s.includeValidationStats =>
               withField +
@@ -55,10 +58,19 @@ object Dataflow {
     }
   }
 
-  /** Plan + write all sinks. Returns the frames for inspection. */
+  /** Plan + write all sinks and stats JSON outputs. Returns the
+    * frames for inspection. */
   def run(spark: SparkSession, flow: DataflowSpec,
           inputs: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
     val frames = plan(spark, flow, inputs)
+    flow.transformations.foreach {
+      case s: ComputeStatsSpec if s.outputPath.isDefined =>
+        StatsOp.writeStatsJson(s.name, s.outputPath.get,
+          frames(s"${s.name}_fields"),
+          frames.get(s"${s.name}_validation"),
+          frames.get(s"${s.name}_top_errors"))
+      case _ =>
+    }
     flow.sinks.foreach { sink =>
       val df = frames.getOrElse(sink.input,
         throw new IllegalArgumentException(s"sink '${sink.name}': unknown input '${sink.input}'"))

@@ -104,6 +104,52 @@ object StatsOp {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("error"))
 
+  /**
+   * Stats report as one JSON file `<dir>/<name>.json`
+   * (reference: src/stats.py:145-170 `format_stats_json` /
+   * `generate_stats_filename`). Stats frames are tiny (one row per
+   * field / one summary row), so a driver-side collect + write is the
+   * right tool — no distributed job for a kilobyte of JSON.
+   */
+  def writeStatsJson(name: String, dir: String, fieldStats: DataFrame,
+                     validationStats: Option[DataFrame],
+                     topErrors: Option[DataFrame]): java.nio.file.Path = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("stats_name", name)
+    root.put("generated_at", java.time.Instant.now().toString)
+
+    def rowsToArray(df: DataFrame, target: com.fasterxml.jackson.databind.node.ArrayNode): Unit =
+      df.collect().foreach { row =>
+        val o = target.addObject()
+        df.schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
+          row.get(i) match {
+            case null       => o.putNull(f)
+            case v: Long    => o.put(f, v)
+            case v: Int     => o.put(f, v)
+            case v: Double  => o.put(f, v)
+            case v: Boolean => o.put(f, v)
+            case v          => o.put(f, v.toString)
+          }
+        }
+      }
+
+    rowsToArray(fieldStats, root.putArray("field_stats"))
+    validationStats.foreach { vs =>
+      val arr = mapper.createArrayNode()
+      rowsToArray(vs, arr)
+      if (!arr.isEmpty) root.set[com.fasterxml.jackson.databind.JsonNode]("validation_stats", arr.get(0))
+    }
+    topErrors.foreach(te => rowsToArray(te, root.putArray("top_validation_errors")))
+
+    val out = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(out)
+    val file = out.resolve(s"$name.json")
+    java.nio.file.Files.writeString(file,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    file
+  }
+
   private def isComplex(dt: DataType): Boolean = dt match {
     case _: StructType | _: ArrayType | _: MapType | _: BinaryType => true
     case _ => false

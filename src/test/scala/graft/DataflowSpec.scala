@@ -39,6 +39,60 @@ class DataflowSpec extends SparkSpecBase {
       "driver_age:must_not_be_null,premium:must_be_numeric"))
   }
 
+  test("RunPipeline: reference-shaped metadata end-to-end with stats JSON") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli").toString
+    Seq(
+      """{"policy_id":"P-1","driver":{"age":34,"license_number":"L-1"},"vehicle":{"plate":"AB-123"},"premium":120.5,"start_date":"2024-01-01","end_date":"2024-12-31"}""",
+      """{"policy_id":"P-2","driver":{"age":15,"license_number":"L-2"},"vehicle":{"plate":"bad"},"premium":99.0,"start_date":"2024-01-01","end_date":"2023-01-01"}""")
+      .toDS().coalesce(1).write.mode("overwrite").text(s"$dir/in")
+    val metadata =
+      s"""{"dataflows":[{
+         |"name":"motor-ingestion",
+         |"sources":[{"name":"policies","path":"$dir/in","format":"json"}],
+         |"transformations":[
+         |  {"name":"standardization","type":"normalize_fields","params":{
+         |    "input":"policies","output":"standardized","fields":[
+         |      {"name":"driver_age","sources":["driver.age"]},
+         |      {"name":"plate","sources":["vehicle.plate"]}]}},
+         |  {"name":"metadata_fields","type":"add_fields","params":{
+         |    "input":"standardized","output":"with_meta","fields":[
+         |      {"name":"ingested_at","function":"current_timestamp"}]}},
+         |  {"name":"validation","type":"validate_fields","params":{
+         |    "input":"with_meta",
+         |    "validations":[
+         |      {"field":"driver_age","validations":["notNull","isInteger","range:18-99"]},
+         |      {"field":"plate","validations":["pattern:^[A-Z]{2}-\\\\d{3}$"]},
+         |      {"field":"premium","validations":["isNumeric","min:0"]},
+         |      {"field":"start_date","validations":["isDate","dateBefore:end_date"]}],
+         |    "ok_output":"validation_ok","ko_output":"validation_ko"}},
+         |  {"name":"policy_stats","type":"compute_stats","params":{
+         |    "input":"with_meta","fields":["driver_age","premium"],
+         |    "include_validation_stats":true,
+         |    "ok_input":"validation_ok","ko_input":"validation_ko",
+         |    "output_path":"$dir/stats"}}],
+         |"sinks":[
+         |  {"input":"validation_ok","name":"ok","paths":["$dir/ok"],"format":"json","saveMode":"overwrite"}]
+         |}]}""".stripMargin
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/meta.json"), metadata)
+
+    val frames = RunPipeline.run(spark, s"$dir/meta.json", Some("motor-ingestion"))
+    assert(frames("validation_ok").select("policy_id").as[String].collect().toSeq === Seq("P-1"))
+    val koErrors = frames("validation_ko")
+      .select(explode(col("validation_errors"))).as[String].collect().toSet
+    assert(koErrors === Set(
+      "driver_age:must_be_between_18.0_and_99.0",
+      "plate:must_match_pattern",
+      "start_date:must_be_before_end_date"))
+    // stats JSON landed with field stats + validation summary
+    val statsJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/stats/policy_stats.json")), "UTF-8")
+    assert(statsJson.contains("\"stats_name\" : \"policy_stats\""))
+    assert(statsJson.contains("\"field\" : \"driver_age\""))
+    assert(statsJson.contains("\"validation_pass_rate\" : 50.0"))
+    // ok sink written and readable
+    assert(spark.read.json(s"$dir/ok").count() === 1)
+  }
+
   test("unknown transformation type fails loudly") {
     val bad = """{"dataflows":[{"name":"x","sources":[],"transformations":[
                 |{"name":"t","type":"frobnicate","params":{"input":"a"}}],"sinks":[]}]}""".stripMargin

@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.{TextHashExprs, VectorExprs}
+import org.apache.spark.sql.functions._
+
+/** Edge cases for the native Catalyst expressions, including parity
+  * between codegen and interpreted paths. */
+class NativeExprSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("vecDot/vecNorm: empty arrays, zero vectors, null array") {
+    val df = Seq(
+      (1L, Some(Array.empty[Float]), Some(Array.empty[Float])),
+      (2L, Some(Array(3.0f, 4.0f)), Some(Array(1.0f, 0.0f))),
+      (3L, None, Some(Array(1.0f, 1.0f)))).toDF("id", "a", "b")
+    val out = df.select(col("id"),
+        VectorExprs.vecDot(col("a"), col("b")).as("d"),
+        VectorExprs.vecNorm(col("a")).as("n"))
+      .orderBy("id")
+      .as[(Long, Option[Double], Option[Double])].collect().toSeq
+    assert(out(0) === ((1L, Some(0.0), Some(0.0))))
+    assert(out(1) === ((2L, Some(3.0), Some(5.0))))
+    assert(out(2) === ((3L, None, None)))
+  }
+
+  test("vecDot handles double arrays and mismatched lengths") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(10.0, 20.0))).toDF("a", "b")
+    // min-length semantics: 1*10 + 2*20
+    assert(df.select(VectorExprs.vecDot(col("a"), col("b"))).as[Double].head === 50.0)
+  }
+
+  test("vecDot interpreted eval == codegen result") {
+    val df = Seq((Array(0.1f, 0.2f, 0.3f), Array(0.4f, 0.5f, 0.6f))).toDF("a", "b")
+    val viaPlan = df.select(VectorExprs.vecDot(col("a"), col("b"))).as[Double].head
+    val manual = 0.1f.toDouble * 0.4f.toDouble + 0.2f.toDouble * 0.5f.toDouble +
+      0.3f.toDouble * 0.6f.toDouble
+    assert(viaPlan === manual)
+  }
+
+  test("lshSignatures: deterministic, tables-length, bit-bounded") {
+    val df = Seq((1L, Array.fill(16)(0.5f)), (2L, Array.fill(16)(-0.5f))).toDF("id", "v")
+    val sigs = df.select(col("id"),
+        VectorExprs.lshSignatures(col("v"), tables = 4, bits = 8).as("s"))
+      .orderBy("id").as[(Long, Seq[Long])].collect()
+    assert(sigs.forall(_._2.length === 4))
+    assert(sigs.forall(_._2.forall(s => s >= 0 && s < 256)))
+    // antipodal vectors get complementary signatures
+    assert(sigs(0)._2.zip(sigs(1)._2).forall { case (a, b) => (a ^ b) === 255L })
+  }
+
+  test("shingles: distinct, ordered, empty under k tokens") {
+    val df = Seq("a b a b a", "a b", "", "  Mixed   CASE text  ").toDF("t")
+    val out = df.select(TextHashExprs.shingles(col("t"), 3).as("s"))
+      .as[Seq[String]].collect().toSeq
+    assert(out(0) === Seq("a b a", "b a b"))        // dups removed, order kept
+    assert(out(1) === Nil)
+    assert(out(2) === Nil)
+    assert(out(3) === Seq("mixed case text"))       // lowercased, ws collapsed
+  }
+
+  test("minhashSig: null under k tokens; identical docs share signatures") {
+    val df = Seq((1L, "one two three four"), (2L, "one two three four"), (3L, "x y")).toDF("id", "t")
+    val sigs = df.select(col("id"), TextHashExprs.minhashSig(col("t"), 3, 8).as("s"))
+      .orderBy("id").as[(Long, Option[Seq[Long]])].collect()
+    assert(sigs(0)._2 === sigs(1)._2)
+    assert(sigs(0)._2.get.length === 8)
+    assert(sigs(2)._2 === None)
+  }
+
+  test("simhash64 equals the xxhash64 groupBy formulation it replaced") {
+    val docs = Seq((1L, "the quick brown fox"), (2L, "lorem ipsum dolor sit amet")).toDF("id", "t")
+    val native = docs.select(col("id"), TextHashExprs.simhash64(col("t")).as("sh"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // reconstruct via Spark's own xxhash64 over exploded tokens
+    val toks = docs.select(col("id"),
+        explode(split(trim(lower(col("t"))), "\\s+")).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(when(call_function("shiftright", col("h"), lit(b)).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"v$b"))
+    val agg = toks.groupBy("id").agg(votes.head, votes.tail: _*)
+    val sim = (0 until 64).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ bitwiseOR _)
+    val reference = agg.select(col("id"), sim.as("sh"))
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(native === reference)
+  }
+
+  test("text quality: empty and whitespace-only strings") {
+    val df = Seq("", "   ", "the cat!!!").toDF("text")
+    val out = df.select(TextAnalysisCols.qualityFeatures(col("text")): _*)
+      .as[(Int, Int, Int, Double, Double, Double)].collect().toSeq
+    assert(out(0) === ((0, 0, 0, 0.0, 0.0, 0.5)))
+    assert(out(1) === ((0, 0, 0, 0.0, 0.0, 0.5)))
+    val (nt, ns, np, sr, pr, q) = out(2)
+    assert((nt, ns, np) === ((2, 1, 3)))
+    assert(sr === 0.5 && pr === 3.0 / 10.0)
+    assert(q === 0.5 * 0.5 + (1.0 - 0.3) * 0.5)
+  }
+}
