@@ -17,7 +17,7 @@ object Bench {
     "q1_pricing", "q3_revenue", "q5_nation_revenue", "q_top_customers",
     "q_events_hourly", "q_sessions", "q_event_pivot",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
-    "sim_topk", "sim_lsh", "text_quality", "field_stats", "validate_ok",
+    "sim_topk", "sim_lsh", "sim_ivf", "text_quality", "field_stats", "validate_ok",
     "multimodal_meta")
 
   def main(args: Array[String]): Unit = {

@@ -337,6 +337,11 @@ object Queries {
   def simLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 10)
 
+  /** IVF-Flat ANN top-k (k-means cells, nprobe probing). */
+  def simIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+      k = 10, nlist = 16, nprobe = 4)
+
   /** Multimodal: documents → media records → metadata-only summary. */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.multimodalMeta(s, dir)
@@ -401,6 +406,7 @@ object Queries {
     "dedup_embedding" -> dedupEmbedding _,
     "sim_topk" -> simTopK _,
     "sim_lsh" -> simLsh _,
+    "sim_ivf" -> simIvf _,
     "multimodal_meta" -> multimodalMeta _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,

@@ -235,6 +235,63 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /**
+   * IDs of the `nprobe` nearest centroids (squared-L2) to the vector,
+   * nearest first — the IVF assignment/probe kernel. Centroids ride
+   * along as expression state (serialized once per task, not per row;
+   * an IVF list count is small — hundreds to low thousands — so this
+   * beats a broadcast-join formulation that would shuffle the data
+   * side). Ties break toward the lower centroid id.
+   */
+  case class NearestCentroids(child: Expression, centroids: Array[Array[Double]],
+                              nprobe: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(centroids.nonEmpty && nprobe >= 1)
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    private lazy val et = elemType(child.dataType)
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val dim = math.min(a.numElements(), centroids(0).length)
+      val vec = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        if (a.isNullAt(i)) return null
+        vec(i) = getD(a, et, i)
+        i += 1
+      }
+      val p = math.min(nprobe, centroids.length)
+      val bestIds = new Array[Int](p)
+      val bestD = new Array[Double](p)
+      java.util.Arrays.fill(bestD, Double.MaxValue)
+      var c = 0
+      while (c < centroids.length) {
+        val cen = centroids(c)
+        var d2 = 0.0
+        var j = 0
+        while (j < dim) {
+          val diff = vec(j) - cen(j)
+          d2 += diff * diff
+          j += 1
+        }
+        // insertion into the small top-p list (p is tiny)
+        if (d2 < bestD(p - 1)) {
+          var pos = p - 1
+          while (pos > 0 && bestD(pos - 1) > d2) {
+            bestD(pos) = bestD(pos - 1); bestIds(pos) = bestIds(pos - 1); pos -= 1
+          }
+          bestD(pos) = d2; bestIds(pos) = c
+        }
+        c += 1
+      }
+      ArrayData.toArrayData(bestIds)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Count of positions where two long arrays are equal (over the
     * shorter length) — the MinHash signature-agreement kernel. */
   case class LongVecEqCount(left: Expression, right: Expression)
@@ -267,4 +324,6 @@ object VectorExprs {
     GraftBridge.column(LshSignatures(e(vec), tables, bits, seed))
   def longVecEqCount(a: Column, b: Column): Column =
     GraftBridge.column(LongVecEqCount(e(a), e(b)))
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
+    GraftBridge.column(NearestCentroids(e(vec), centroids, nprobe))
 }

@@ -134,6 +134,81 @@ object Similarity {
   }
 
   /**
+   * Deterministic driver-side Lloyd's k-means over a bounded sample —
+   * the IVF coarse quantizer. The sample is small by construction
+   * (trainSize vectors × dim doubles); training an IVF codebook on a
+   * sample is the standard construction (the codebook quality barely
+   * moves past ~100×nlist samples). Init picks evenly-spaced sample
+   * points after sorting by id → same centroids on every run.
+   */
+  def trainKmeans(df: DataFrame, id: Column, vec: Column, nlist: Int,
+                  trainSize: Int = 10000, iters: Int = 10): Array[Array[Double]] = {
+    val sample = df.select(id.cast("long").as("id"), vec.cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(trainSize)
+      .collect().map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val k = math.min(nlist, sample.length)
+    val dim = sample(0).length
+    var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d2 = 0.0; var j = 0
+          while (j < dim) { val d = v(j) - centroids(c)(j); d2 += d * d; j += 1 }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else { val m = new Array[Double](dim); var j = 0
+          while (j < dim) { m(j) = sums(c)(j) / counts(c); j += 1 }; m }
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /**
+   * IVF-Flat ANN top-k: corpus vectors are assigned to their nearest
+   * centroid cell (one projection); each query probes its `nprobe`
+   * nearest cells; candidates = cell equi-join (a plain hash shuffle
+   * keyed by cell id — at scale, cells are the partition unit and the
+   * codebook is the only coordinated state). Exact cosine rescoring +
+   * top-k window, same contract as [[lshTopK]]/[[bruteForceTopK]].
+   */
+  def ivfTopK(df: DataFrame, id: Column, vec: Column, k: Int = 10,
+              nlist: Int = 16, nprobe: Int = 4,
+              centroidsIn: Option[Array[Array[Double]]] = None): DataFrame = {
+    import graft.functions.VectorExprs.nearestCentroids
+    val centroids = centroidsIn.getOrElse(trainKmeans(df, id, vec, nlist))
+    val v = withNorm(df, id, vec)
+    val data = v.select(col("id"), col("vec"), col("norm"),
+      element_at(nearestCentroids(col("vec"), centroids, 1), 1).as("cell"))
+    val queries = v.select(col("id").as("qid"), col("vec").as("qvec"), col("norm").as("qnorm"),
+        explode(nearestCentroids(col("vec"), centroids, nprobe)).as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    queries.join(data, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid").as("id"), col("id").as("neighbor_id"),
+        (dot(col("qvec"), col("vec")) /
+          when(col("qnorm") * col("norm") === 0.0, lit(Double.NaN))
+            .otherwise(col("qnorm") * col("norm"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /**
    * LSH near-dup pairs (scale path for [[cosineDupPairs]]):
    * same-bucket candidates, exact rescoring, threshold filter.
    */

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Scale
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+class ScaleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("saltedEquiJoin == plain join, spread over salt reducers") {
+    // skewed fact: key 1 holds 90% of rows
+    val fact = ((1 to 900).map(i => (1L, s"v$i")) ++ (1 to 100).map(i => (i.toLong % 7 + 2, s"w$i")))
+      .toDF("k", "payload")
+    val dim = (1L to 10L).map(k => (k, s"dim$k")).toDF("k", "attr")
+    val plain = fact.join(dim, "k").select("k", "payload", "attr")
+      .as[(Long, String, String)].collect().toSet
+    val salted = Scale.saltedEquiJoin(fact, dim, "k", salts = 8)
+      .select("k", "payload", "attr").as[(Long, String, String)].collect().toSet
+    assert(salted === plain)
+    assert(!salted.isEmpty)
+  }
+
+  test("bucketed tables join without exchange or sort") {
+    spark.sql("DROP TABLE IF EXISTS g_orders_b")
+    spark.sql("DROP TABLE IF EXISTS g_lineitem_b")
+    val orders = spark.read.parquet(sf() + "/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val lineitem = spark.read.parquet(sf() + "/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    Scale.writeBucketed(orders, "g_orders_b", Seq("o_orderkey"), 4)
+    Scale.writeBucketed(lineitem, "g_lineitem_b", Seq("l_orderkey"), 4)
+
+    val joined = spark.table("g_lineitem_b")
+      .join(spark.table("g_orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+    val shuffles = joined.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty, s"expected 0 shuffles:\n${joined.queryExecution.executedPlan}")
+    // and it still computes the right thing
+    val expected = lineitem.join(orders, col("l_orderkey") === col("o_orderkey")).count()
+    assert(joined.count() === expected)
+  }
+}

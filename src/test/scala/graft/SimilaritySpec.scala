@@ -61,6 +61,28 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.95, f"recall $recall%.3f below 0.95")
   }
 
+  test("IVF topk: planted dups land in the same cell; good weak-pair recall") {
+    val e = withPlantedDups
+    val out = Similarity.ivfTopK(e, col("vec_id"), col("embedding"),
+        k = 3, nlist = 16, nprobe = 4)
+      .filter(col("id") >= 100000L && col("rank") === 1)
+      .select("id", "neighbor_id").as[(Long, Long)].collect()
+    val hit = out.count { case (dup, nb) => nb === dup - 100000L }
+    assert(out.length === 50)
+    assert(hit.toDouble / out.length >= 0.95)
+
+    // recall@5 vs brute force on the raw corpus
+    val base = spark.read.parquet(sf() + "/embeddings.parquet")
+    val exact = Similarity.bruteForceTopK(base, base, col("vec_id"), col("embedding"), k = 5)
+      .select("id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(base, col("vec_id"), col("embedding"),
+        k = 5, nlist = 16, nprobe = 6)
+      .select("id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    info(f"IVF recall@5 = $recall%.3f")
+    assert(recall >= 0.5)
+  }
+
   test("lshDupPairs recalls planted dups; moderate recall on weak pairs") {
     val e = withPlantedDups
     val planted = Similarity.lshDupPairs(e, col("vec_id"), col("embedding"),
