@@ -21,8 +21,18 @@ class ScaleSpec extends SparkSpecBase {
   }
 
   test("bucketed tables join without exchange or sort") {
-    spark.sql("DROP TABLE IF EXISTS g_orders_b")
-    spark.sql("DROP TABLE IF EXISTS g_lineitem_b")
+    // the in-memory catalog resets per JVM but the warehouse dirs
+    // survive — DROP alone can't see orphaned locations
+    Seq("g_orders_b", "g_lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     val orders = spark.read.parquet(sf() + "/orders.parquet")
       .select("o_orderkey", "o_totalprice")
     val lineitem = spark.read.parquet(sf() + "/lineitem.parquet")
