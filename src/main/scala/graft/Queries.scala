@@ -33,9 +33,14 @@ object Queries {
   // Reference surface: sources
   // ====================================================================
 
+  /** Scratch dir unique per input dir (parallel Verify runs on
+    * different SFs must not clobber each other's round-trip files). */
+  private def scratch(tag: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(dir.hashCode)}"
+
   /** JSON-lines source round-trip (reference: src/reader.py:25-27). */
   def srcJson(s: SparkSession, dir: String): DataFrame = {
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft_src_json"
+    val p = scratch("src_json", dir)
     t(s, dir, "events").select(col("event_id"), col("event_type"), col("value"))
       .write.mode("overwrite").json(p)
     Readers.json(s, p, schema = Some(
@@ -48,7 +53,7 @@ object Queries {
 
   /** CSV source round-trip (reference: src/reader.py:28-40). */
   def srcCsv(s: SparkSession, dir: String): DataFrame = {
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft_src_csv"
+    val p = scratch("src_csv", dir)
     t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .write.mode("overwrite").option("header", "true").csv(p)
     Readers.csv(s, p, schema = Some(

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * SQL-side registration of graft's native expressions, so `spark.sql`
+ * users (and the Spark SQL CLI) can call them directly:
+ *
+ * {{{
+ *   GraftFunctions.register(spark)
+ *   spark.sql("SELECT vec_dot(a.embedding, b.embedding) FROM ...")
+ * }}}
+ *
+ * Registration goes straight into the session's FunctionRegistry —
+ * works on ANY live session, including ones graft did not build
+ * (a `SparkSessionExtensions` class requires owning the builder; the
+ * driver and notebooks usually don't hand that over).
+ */
+object GraftFunctions {
+
+  private case class Fn(name: String, usage: String, arity: Int,
+                        build: Seq[Expression] => Expression)
+
+  private val fns: Seq[Fn] = Seq(
+    Fn("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays", 2,
+      args => VectorExprs.VecDot(args(0), args(1))),
+    Fn("vec_norm", "vec_norm(a) - L2 norm of a float/double array", 1,
+      args => VectorExprs.VecNorm(args(0))),
+    Fn("vec_cosine", "vec_cosine(a, b) - cosine similarity", 2, { args =>
+      // raw catalyst nodes, not Columns: a registry builder must return
+      // an already-resolvable tree (Column round-trips embed
+      // unresolved ColumnNode functions the analyzer won't touch here)
+      import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Divide, EqualTo, Literal, Multiply}
+      val n = Multiply(VectorExprs.VecNorm(args(0)), VectorExprs.VecNorm(args(1)))
+      CaseWhen(Seq((EqualTo(n, Literal(0.0)), Literal(0.0))),
+        Some(Divide(VectorExprs.VecDot(args(0), args(1)), n)))
+    }),
+    Fn("text_shingles", "text_shingles(text, k) - distinct k-word shingles", 2,
+      args => TextHashExprs.ShinglesExpr(args(0),
+        foldableInt(args(1), "text_shingles k"))),
+    Fn("minhash_sig", "minhash_sig(text, k, n) - MinHash signature", 3,
+      args => TextHashExprs.MinhashSigExpr(args(0),
+        foldableInt(args(1), "minhash_sig k"), foldableInt(args(2), "minhash_sig n"))),
+    Fn("simhash64", "simhash64(text) - 64-bit SimHash", 1,
+      args => TextHashExprs.SimhashExpr(args(0))),
+    Fn("text_quality", "text_quality(text) - quality feature struct", 1,
+      args => TextFeatures.TextQualityExpr(args(0), graft.TextAnalysisCols.EnStop)))
+
+  private def foldableInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval(null).asInstanceOf[Number].intValue()
+  }
+
+  /** Register every graft function in the session's catalog. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    fns.foreach { f =>
+      registry.registerFunction(
+        FunctionIdentifier(f.name),
+        new ExpressionInfo("graft", f.name, f.usage),
+        (args: Seq[Expression]) => {
+          require(args.length == f.arity,
+            s"${f.name} expects ${f.arity} arguments, got ${args.length}")
+          f.build(args)
+        })
+    }
+  }
+}

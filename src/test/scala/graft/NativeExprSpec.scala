@@ -86,6 +86,27 @@ class NativeExprSpec extends SparkSpecBase {
     assert(native === reference)
   }
 
+  test("GraftFunctions: native expressions callable from spark.sql") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((Array(3.0f, 4.0f), Array(1.0f, 0.0f), "the quick brown fox the end"))
+      .toDF("a", "b", "t").createOrReplaceTempView("gf_test")
+    val row = spark.sql(
+      """SELECT vec_dot(a, b) AS d, vec_norm(a) AS n, vec_cosine(a, a) AS c,
+        |       size(text_shingles(t, 3)) AS ns, size(minhash_sig(t, 3, 8)) AS nm,
+        |       simhash64(t) AS sh, text_quality(t).n_tokens AS nt
+        |FROM gf_test""".stripMargin).collect().head
+    assert(row.getAs[Double]("d") === 3.0)
+    assert(row.getAs[Double]("n") === 5.0)
+    assert(row.getAs[Double]("c") === 1.0)
+    assert(row.getAs[Int]("ns") === 4)
+    assert(row.getAs[Int]("nm") === 8)
+    assert(row.getAs[Int]("nt") === 6)
+    // arity errors are loud
+    val err = intercept[Exception](spark.sql("SELECT vec_dot(array(1.0)) AS x").collect())
+    assert(err.getMessage.contains("expects 2 arguments") ||
+      err.getMessage.toLowerCase.contains("invalid"))
+  }
+
   test("text quality: empty and whitespace-only strings") {
     val df = Seq("", "   ", "the cat!!!").toDF("text")
     val out = df.select(TextAnalysisCols.qualityFeatures(col("text")): _*)
