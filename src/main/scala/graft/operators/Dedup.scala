@@ -35,8 +35,9 @@ object Dedup {
    * shuffle is needed — one projection + explode.
    */
   def shingles(df: DataFrame, content: Column, id: Column, k: Int = 3): DataFrame =
-    df.select(id.as("doc_id"),
-      explode(graft.functions.TextHashExprs.shingles(content, k)).as("shingle"))
+    Scale.ensureParallelism(
+      df.select(id.as("doc_id"),
+        explode(graft.functions.TextHashExprs.shingles(content, k)).as("shingle")))
 
   /**
    * n-gram Jaccard near-dup pairs via shingle-join (no O(n²) cross
@@ -74,9 +75,10 @@ object Dedup {
    */
   def minhashSignatures(df: DataFrame, content: Column, id: Column,
                         k: Int = 3, numHashes: Int = 16): DataFrame =
-    df.select(id.as("doc_id"),
-        graft.functions.TextHashExprs.minhashSig(content, k, numHashes).as("sig"))
-      .filter(col("sig").isNotNull)
+    Scale.ensureParallelism(
+      df.select(id.as("doc_id"),
+          graft.functions.TextHashExprs.minhashSig(content, k, numHashes).as("sig"))
+        .filter(col("sig").isNotNull))
 
   /**
    * MinHash + LSH near-dup: band the signature (`bands` bands of
@@ -119,9 +121,10 @@ object Dedup {
    * shuffle. Output: (doc_id, simhash); token-less docs are dropped.
    */
   def simhashSignatures(df: DataFrame, content: Column, id: Column): DataFrame =
-    df.select(id.as("doc_id"),
-        graft.functions.TextHashExprs.simhash64(content).as("simhash"))
-      .filter(col("simhash").isNotNull)
+    Scale.ensureParallelism(
+      df.select(id.as("doc_id"),
+          graft.functions.TextHashExprs.simhash64(content).as("simhash"))
+        .filter(col("simhash").isNotNull))
 
   /**
    * SimHash near-dup: pairs with Hamming distance ≤ maxDistance.

@@ -21,6 +21,20 @@ object Scale {
   val SaltCol = "__graft_salt"
 
   /**
+   * Guard against under-partitioned inputs: a few small parquet files
+   * arrive as 1-2 partitions, which serializes every downstream
+   * map-side operator (explode fan-outs, signature kernels, cross
+   * joins) onto one core. Repartitions ONLY when the scan has fewer
+   * partitions than the session's default parallelism — on a real
+   * multi-TB input this is a no-op, so no gratuitous full shuffle of
+   * big data.
+   */
+  def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  /**
    * Skew-safe equi-join: the fact side gets a deterministic salt in
    * [0, salts) (hash of the whole row — reproducible, no RNG state),
    * the dim side is replicated once per salt, and the join key becomes

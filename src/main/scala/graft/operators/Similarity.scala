@@ -41,9 +41,12 @@ object Similarity {
   }
 
   /** (id, vec, norm) projection used by the pairwise kernels: norms
-    * are computed once per vector, not once per pair. */
+    * are computed once per vector, not once per pair. Parallelism is
+    * guarded — a 1-partition corpus would otherwise serialize the
+    * pairwise scoring onto one core. */
   private def withNorm(df: DataFrame, id: Column, vec: Column): DataFrame =
-    df.select(id.as("id"), vec.as("vec"), l2Norm(vec).as("norm"))
+    Scale.ensureParallelism(
+      df.select(id.as("id"), vec.as("vec"), l2Norm(vec).as("norm")))
 
   /**
    * Embedding near-dup pairs: (id_a, id_b, cos_sim) with
