@@ -18,7 +18,7 @@ object Bench {
     "q_events_hourly", "q_sessions", "q_event_pivot",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
     "sim_topk", "sim_lsh", "sim_ivf", "text_quality", "field_stats", "validate_ok",
-    "multimodal_meta")
+    "multimodal_meta", "pipeline_docs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

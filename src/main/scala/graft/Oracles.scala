@@ -51,6 +51,16 @@ object Oracles {
     """CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END"""
   private def stopCount(words: Seq[String]) =
     s"len(list_filter($wsTokensSql, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+  private val langCaseSql: String = {
+    val scores = TextAnalysisCols.LangProfiles.map { case (lang, words) =>
+      lang -> stopCount(words)
+    }
+    val maxExpr = s"greatest(${scores.map(_._2).mkString(", ")})"
+    val caseChain = scores.map { case (lang, e) =>
+      s"WHEN $e > 0 AND $e = $maxExpr THEN '$lang'"
+    }.mkString(" ")
+    s"CASE $caseChain ELSE 'und' END"
+  }
 
   val all: Map[String, String] = Map(
 
@@ -312,16 +322,50 @@ object Oracles {
          |    + (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.5 AS quality_score
          |FROM q""".stripMargin,
 
-    "text_langid" -> {
-      val scores = TextAnalysisCols.LangProfiles.map { case (lang, words) =>
-        lang -> stopCount(words)
-      }
-      val maxExpr = s"greatest(${scores.map(_._2).mkString(", ")})"
-      val caseChain = scores.map { case (lang, e) =>
-        s"WHEN $e > 0 AND $e = $maxExpr THEN '$lang'"
-      }.mkString(" ")
-      s"SELECT doc_id, CASE $caseChain ELSE 'und' END AS lang_pred FROM documents"
-    },
+    "text_langid" ->
+      s"SELECT doc_id, $langCaseSql AS lang_pred FROM documents",
+
+    // the composed training-data-prep pipeline: language filter →
+    // quality filter → exact dedup (min id) → ngram near-dup removal
+    "pipeline_docs" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, text,
+         |    CAST(len($wsTokensSql) AS BIGINT) AS n_tokens,
+         |    CAST(${stopCount(TextAnalysisCols.EnStop)} AS BIGINT) AS n_stop,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+         |    length(text) AS n_chars,
+         |    $langCaseSql AS lang_pred
+         |  FROM documents),
+         |scored AS (
+         |  SELECT *,
+         |    (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 0.5
+         |      + (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.5 AS quality_score
+         |  FROM q),
+         |f AS (SELECT * FROM scored WHERE lang_pred = 'en' AND quality_score >= 0.51),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text),
+         |kept AS (SELECT f.* FROM f JOIN keep USING (doc_id)),
+         |tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(lower(text))) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+         |  FROM kept),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(toks[i.i : i.i + 2], ' ') AS shingle
+         |  FROM tok, LATERAL unnest(range(1, len(toks) - 1)) AS i(i)
+         |  WHERE len(toks) >= 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT DISTINCT i.doc_b AS doc_id
+         |  FROM inter i
+         |  JOIN sizes sa ON i.doc_a = sa.doc_id
+         |  JOIN sizes sb ON i.doc_b = sb.doc_id
+         |  WHERE CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) >= 0.8)
+         |SELECT doc_id, lang_pred, quality_score, n_tokens FROM kept
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
 
     "text_fingerprint" -> {
       val lowTokens =

@@ -376,6 +376,33 @@ object Queries {
       md5(col("text")).as("fp_exact"),
       TextAnalysisCols.normFingerprint(col("text")).as("fp_norm"))
 
+  /**
+   * Flagship composed pipeline: LLM training-data prep over the
+   * documents table — language filter → quality filter → exact dedup
+   * (keep min id) → n-gram near-dup removal (drop the higher id of
+   * each pair). Every stage is one of the catalog operators; the whole
+   * thing is ONE Catalyst plan with a full DuckDB oracle.
+   */
+  def pipelineDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = docs.select(
+      (col("doc_id") +: TextAnalysisCols.qualityFeatures(col("text"))) :+
+        TextAnalysisCols.langId(col("text")).as("lang_pred") :+ col("text"): _*)
+    val filtered = scored
+      .filter(col("lang_pred") === "en" && col("quality_score") >= 0.51)
+    // exact dedup keep-min-id as a window (one shuffle on content,
+    // no groupBy+self-join; the schema passes through untouched)
+    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    val kept = filtered.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    // near-dup removal: drop doc_b of every jaccard>=0.8 pair
+    val drop = Dedup.ngramJaccard(kept, col("text"), col("doc_id"))
+      .select(col("doc_b").as("doc_id")).distinct()
+    kept.join(drop, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang_pred"), col("quality_score"),
+        col("n_tokens").cast("long").as("n_tokens"))
+  }
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -416,5 +443,6 @@ object Queries {
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_langid" -> textLangId _,
-    "text_fingerprint" -> textFingerprint _)
+    "text_fingerprint" -> textFingerprint _,
+    "pipeline_docs" -> pipelineDocs _)
 }
