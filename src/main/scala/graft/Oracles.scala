@@ -126,6 +126,24 @@ object Oracles {
            |FROM lineitem""".stripMargin
       }.mkString("\n UNION ALL \n"),
 
+    "field_quantiles" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount").map { f =>
+        s"""SELECT '$f' AS field,
+           |quantile_cont(CAST($f AS DOUBLE), [0.5, 0.9, 0.99]) AS quantiles
+           |FROM lineitem""".stripMargin
+      }.mkString("\n UNION ALL \n"),
+
+    "field_topk" ->
+      """WITH p AS (
+        |  SELECT field, value FROM (
+        |    SELECT 'o_orderstatus' AS field, CAST(o_orderstatus AS VARCHAR) AS value FROM orders
+        |    UNION ALL
+        |    SELECT 'o_orderpriority' AS field, CAST(o_orderpriority AS VARCHAR) AS value FROM orders)),
+        |c AS (SELECT field, value, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY field ORDER BY n DESC, value ASC) AS "rank" FROM c)
+        |SELECT field, value, n, "rank" FROM r WHERE "rank" <= 3""".stripMargin,
+
     "validation_stats" ->
       s"""WITH v AS (SELECT ($isValid) AS is_valid FROM customer)
          |SELECT COUNT(*) AS total_records,

@@ -142,6 +142,14 @@ object Queries {
       .select(col("field"), col("null_count"), col("non_null_count"),
         col("distinct_count"), col("min_num"), col("max_num"), col("null_pct"))
 
+  def fieldQuantilesQ(s: SparkSession, dir: String): DataFrame =
+    StatsOp.numericQuantiles(t(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount"))
+
+  def fieldTopkQ(s: SparkSession, dir: String): DataFrame =
+    StatsOp.topValues(t(s, dir, "orders"),
+      Seq("o_orderstatus", "o_orderpriority"), k = 3)
+
   def validationStatsQ(s: SparkSession, dir: String): DataFrame =
     StatsOp.validationStats(Validate.tagged(t(s, dir, "customer"), customerRules))
 
@@ -419,6 +427,8 @@ object Queries {
     "validate_ko" -> validateKo _,
     "validate_date_ok" -> validateDateOk _,
     "field_stats" -> fieldStatsQ _,
+    "field_quantiles" -> fieldQuantilesQ _,
+    "field_topk" -> fieldTopkQ _,
     "validation_stats" -> validationStatsQ _,
     "top_errors" -> topErrorsQ _,
     "dataflow_e2e" -> dataflowE2e _,

@@ -105,6 +105,52 @@ object StatsOp {
       .orderBy(col("n").desc, col("error"))
 
   /**
+   * Exact interpolated quantiles per numeric field, one scan for all
+   * fields (`percentile` with a probability array). Long format:
+   * (field, quantiles: array<double>). Exact percentile holds the
+   * column sorted per group — at 100 TB switch to
+   * `approx_percentile` (t-digest, constant state) via `approx=true`.
+   */
+  def numericQuantiles(df: DataFrame, fieldsIn: Seq[String],
+                       probs: Seq[Double] = Seq(0.5, 0.9, 0.99),
+                       approx: Boolean = false): DataFrame = {
+    val fields = fieldsIn.filter(f =>
+      df.columns.contains(f) && isNumericLike(df.schema(f).dataType))
+    require(fields.nonEmpty, "no numeric fields")
+    val probsArr = array(probs.map(lit): _*)
+    val aggs = fields.map { f =>
+      val c = col(f).cast("double")
+      (if (approx) percentile_approx(c, probsArr, lit(10000))
+       else expr(s"percentile(CAST(`$f` AS DOUBLE), array(${probs.mkString(",")}))"))
+        .as(s"$f#q")
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val structs = fields.map(f =>
+      struct(lit(f).as("field"), col(s"`$f#q`").as("quantiles")))
+    wide.select(explode(array(structs: _*)).as("s")).select("s.*")
+  }
+
+  /**
+   * Top-k most frequent values per field in ONE scan: field values
+   * are exploded to (field, value) rows, counted, then ranked per
+   * field (ties break on the value string for determinism).
+   */
+  def topValues(df: DataFrame, fieldsIn: Seq[String], k: Int = 5): DataFrame = {
+    val fields = fieldsIn.filter(df.columns.contains)
+    require(fields.nonEmpty, "no fields")
+    val pairs = df.select(explode(array(fields.map(f =>
+      struct(lit(f).as("field"), col(f).cast("string").as("value"))): _*)).as("p"))
+      .select("p.*")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("field"))
+      .orderBy(col("n").desc, col("value").asc)
+    pairs.groupBy("field", "value")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /**
    * Stats report as one JSON file `<dir>/<name>.json`
    * (reference: src/stats.py:145-170 `format_stats_json` /
    * `generate_stats_filename`). Stats frames are tiny (one row per
