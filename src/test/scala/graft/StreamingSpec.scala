@@ -62,6 +62,18 @@ class StreamingSpec extends SparkSpecBase {
     assert(closed === Seq(SessionOut(7L, 0L, 10000L, 2L))) // first session closed by gap
   }
 
+  test("jsonStream: file-source stream with explicit schema") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonstream").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/batch1.json"),
+      """{"name":"a","age":20}
+        |{"name":"","age":30}""".stripMargin)
+    val q = StreamingIngest.jsonStream(spark, dir, "name STRING, age INT")
+      .writeStream.format("memory").queryName("js_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("js_out").as[(String, Int)].collect().toSet
+    assert(rows === Set(("a", 20), ("", 30)))
+  }
+
   test("ok/ko writer lands one partitioned parquet per validity") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
