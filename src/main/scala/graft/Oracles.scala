@@ -255,6 +255,20 @@ object Oracles {
         |MAX(sess_events) AS max_session_events
         |FROM g GROUP BY user_id""".stripMargin,
 
+    // DuckDB has native ASOF JOIN — the perfect oracle for graft's
+    // union+window implementation.
+    "q_asof_order" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+        |                       ORDER BY o_orderkey DESC) AS rn
+        |  FROM orders),
+        |rr AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM r WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, rr.o_orderkey, rr.o_totalprice
+        |FROM events e
+        |ASOF LEFT JOIN rr
+        |  ON e.user_id = rr.o_custkey AND e.ts >= rr.o_orderdate""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,

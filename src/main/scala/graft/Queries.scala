@@ -384,6 +384,23 @@ object Queries {
       md5(col("text")).as("fp_exact"),
       TextAnalysisCols.normFingerprint(col("text")).as("fp_norm"))
 
+  /** As-of join: every event enriched with the user's most recent
+    * order at or before the event time (orders deduped to one per
+    * (custkey, date) for determinism). */
+  def qAsofOrder(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+      .orderBy(col("o_orderkey").desc)
+    val orders = t(s, dir, "orders")
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+    val events = t(s, dir, "events").select("event_id", "user_id", "ts")
+    AsOf.join(events, orders,
+        leftTs = "ts", rightTs = "o_orderdate",
+        leftKeys = Seq("user_id"), rightKeys = Seq("o_custkey"),
+        rightCols = Seq("o_orderkey", "o_totalprice"))
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+  }
+
   /**
    * Flagship composed pipeline: LLM training-data prep over the
    * documents table — language filter → quality filter → exact dedup
@@ -441,6 +458,7 @@ object Queries {
     "q_events_props" -> qEventsProps _,
     "q_event_pivot" -> qEventPivot _,
     "q_sessions" -> qSessions _,
+    "q_asof_order" -> qAsofOrder _,
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash" -> dedupMinhash _,
