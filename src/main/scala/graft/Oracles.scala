@@ -269,6 +269,19 @@ object Oracles {
         |ASOF LEFT JOIN rr
         |  ON e.user_id = rr.o_custkey AND e.ts >= rr.o_orderdate""".stripMargin,
 
+    "q_range_join" ->
+      """WITH w AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    TIMESTAMP '2024-01-01' + (o_orderkey % 28) * INTERVAL 1 DAY AS start_ts
+        |  FROM orders)
+        |SELECT o_orderkey, COUNT(*) AS n_events,
+        |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events e
+        |JOIN w ON e.user_id = w.o_custkey
+        |  AND e.ts >= w.start_ts
+        |  AND e.ts < w.start_ts + INTERVAL 3 DAY
+        |GROUP BY o_orderkey""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,

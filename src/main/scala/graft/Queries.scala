@@ -384,6 +384,28 @@ object Queries {
       md5(col("text")).as("fp_exact"),
       TextAnalysisCols.normFingerprint(col("text")).as("fp_norm"))
 
+  /** Range join: events landing inside 3-day per-customer promo
+    * windows (deterministically derived from orders — the orders
+    * table's own dates predate the event stream by decades), one
+    * window per order, aggregated per window. Bucketed equi-join
+    * (1-day buckets), not a nested loop. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events").select("event_id", "user_id", "ts", "value")
+    val windows = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        (lit("2024-01-01").cast("timestamp") +
+          make_interval(lit(0), lit(0), lit(0),
+            (col("o_orderkey") % 28).cast("int"))).as("start_ts"))
+      .withColumn("end_ts", col("start_ts") + expr("INTERVAL 3 DAYS"))
+    RangeJoin.intervalJoin(events, windows,
+        leftTs = "ts", rightStart = "start_ts", rightEnd = "end_ts",
+        leftKeys = Seq("user_id"), rightKeys = Seq("o_custkey"),
+        bucketSeconds = 24 * 3600)
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+  }
+
   /** As-of join: every event enriched with the user's most recent
     * order at or before the event time (orders deduped to one per
     * (custkey, date) for determinism). */
@@ -459,6 +481,7 @@ object Queries {
     "q_event_pivot" -> qEventPivot _,
     "q_sessions" -> qSessions _,
     "q_asof_order" -> qAsofOrder _,
+    "q_range_join" -> qRangeJoin _,
     "dedup_exact" -> dedupExact _,
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash" -> dedupMinhash _,
