@@ -367,6 +367,18 @@ object Oracles {
          |    + (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.5 AS quality_score
          |FROM q""".stripMargin,
 
+    "text_repetition" -> {
+      val lowToks =
+        """CASE WHEN length(trim(lower(text))) = 0 THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END"""
+      s"""SELECT doc_id,
+         |CAST(len($lowToks) AS BIGINT) AS n_tokens,
+         |CAST(len(list_distinct($lowToks)) AS BIGINT) AS n_distinct_tokens,
+         |CASE WHEN len($lowToks) = 0 THEN 0.0
+         |     ELSE 1.0 - CAST(len(list_distinct($lowToks)) AS DOUBLE) / len($lowToks) END
+         |  AS repetition_ratio
+         |FROM documents""".stripMargin
+    },
+
     "text_langid" ->
       s"SELECT doc_id, $langCaseSql AS lang_pred FROM documents",
 

@@ -377,6 +377,20 @@ object Queries {
     t(s, dir, "documents").select(col("doc_id"),
       TextAnalysisCols.langId(col("text")).as("lang_pred"))
 
+  /** Repetition ratio: repeated-token fraction (1 - distinct/total),
+    * the standard boilerplate/spam signal. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextAnalysisCols.wsTokens(lower(col("text")))
+    val n = size(toks)
+    val nd = size(array_distinct(toks))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      nd.cast("long").as("n_distinct_tokens"),
+      when(n === 0, lit(0.0))
+        .otherwise(lit(1.0) - nd.cast("double") / n).as("repetition_ratio"))
+  }
+
   /** Fingerprints: exact md5 + normalized (sorted-token) md5. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -495,5 +509,6 @@ object Queries {
     "text_quality" -> textQuality _,
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
+    "text_repetition" -> textRepetition _,
     "pipeline_docs" -> pipelineDocs _)
 }
