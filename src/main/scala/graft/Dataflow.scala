@@ -40,6 +40,29 @@ object Dataflow {
         case s: ValidateSpec =>
           val (ok, ko) = Validate.split(in, s.rules)
           frames + (s.okOutput -> ok) + (s.koOutput -> ko)
+        case s: FilterSpec =>
+          frames + (s.output -> in.filter(org.apache.spark.sql.functions.expr(s.condition)))
+        case s: JoinSpec =>
+          val right = frames.getOrElse(s.rightInput,
+            throw new IllegalArgumentException(
+              s"join '${s.name}': unknown right input '${s.rightInput}'"))
+          val (l, r) = s.broadcastSide.map(_.toLowerCase) match {
+            case Some("left")  => (org.apache.spark.sql.functions.broadcast(in), right)
+            case Some("right") => (in, org.apache.spark.sql.functions.broadcast(right))
+            case _             => (in, right)
+          }
+          frames + (s.output -> l.join(r, s.on, s.how))
+        case s: AggregateSpec =>
+          import org.apache.spark.sql.functions.{col, expr}
+          val aggs = s.aggs.map(a => expr(a.expr).as(a.name))
+          val out =
+            if (s.groupBy.isEmpty) in.agg(aggs.head, aggs.tail: _*)
+            else in.groupBy(s.groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          frames + (s.output -> out)
+        case s: SqlSpec =>
+          // every named frame is visible to the query as a temp view
+          frames.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+          frames + (s.output -> spark.sql(s.query))
         case s: ComputeStatsSpec =>
           // stats become named frames; sink them like any other
           // output. The input passes through under the transform name

@@ -72,6 +72,21 @@ object MetaLoader {
           koOutput = str(p, "ko_output", s"${name}_ko"),
           rules = arr(p, "validations").map(r =>
             ValidationRule(str(r, "field"), strArr(r, "validations"))))
+      case "filter" =>
+        FilterSpec(name, input, output, str(p, "condition"))
+      case "join" =>
+        JoinSpec(name, input,
+          rightInput = str(p, "right_input"),
+          output = output,
+          on = strArr(p, "on"),
+          how = str(p, "how", "inner").toLowerCase,
+          broadcastSide = optStr(p, "broadcast"))
+      case "aggregate" =>
+        AggregateSpec(name, input, output,
+          groupBy = strArr(p, "group_by"),
+          aggs = arr(p, "aggs").map(a => NamedExpr(str(a, "name"), str(a, "expr"))))
+      case "sql" =>
+        SqlSpec(name, input, output, str(p, "query"))
       case "compute_stats" =>
         ComputeStatsSpec(name, input,
           fields = if (p.has("fields")) Some(strArr(p, "fields")) else None,

@@ -85,6 +85,43 @@ final case class ValidateSpec(
 /** Checks are the reference's string mini-language, e.g. "min:18". */
 final case class ValidationRule(field: String, checks: Seq[String])
 
+/** graft extension: SQL-expression row filter. */
+final case class FilterSpec(name: String, input: String, output: String, condition: String)
+  extends TransformSpec
+
+/**
+ * graft extension: equi-join of two named frames. `broadcast` may
+ * name "right" or "left" to hint the build side (dimension joins at
+ * scale should broadcast; the default lets Catalyst/AQE decide).
+ */
+final case class JoinSpec(
+    name: String,
+    input: String,
+    rightInput: String,
+    output: String,
+    on: Seq[String],
+    how: String = "inner",
+    broadcastSide: Option[String] = None)
+  extends TransformSpec
+
+/** graft extension: grouped aggregation with SQL aggregate exprs. */
+final case class AggregateSpec(
+    name: String,
+    input: String,
+    output: String,
+    groupBy: Seq[String],
+    aggs: Seq[NamedExpr])
+  extends TransformSpec
+
+final case class NamedExpr(name: String, expr: String)
+
+/**
+ * graft extension: free-form SQL over the named frames (each frame is
+ * visible as a temp view named after itself).
+ */
+final case class SqlSpec(name: String, input: String, output: String, query: String)
+  extends TransformSpec
+
 /** reference: src/transformations.py:330-369 (compute_stats). */
 final case class ComputeStatsSpec(
     name: String,

@@ -93,6 +93,51 @@ class DataflowSpec extends SparkSpecBase {
     assert(spark.read.json(s"$dir/ok").count() === 1)
   }
 
+  test("extended transforms: filter, join (broadcast), aggregate, sql") {
+    val spec =
+      s"""{"dataflows":[{
+         |"name":"analytics",
+         |"sources":[
+         |  {"name":"ord","path":"${sf()}/orders.parquet","format":"parquet"}],
+         |"transformations":[
+         |  {"name":"big","type":"filter","params":{
+         |    "input":"ord","output":"big_orders","condition":"o_totalprice > 100000"}},
+         |  {"name":"enrich","type":"join","params":{
+         |    "input":"big_orders","right_input":"cust","output":"joined",
+         |    "on":[],"how":"inner","broadcast":"right"}},
+         |  {"name":"agg","type":"aggregate","params":{
+         |    "input":"joined","output":"by_segment",
+         |    "group_by":["c_mktsegment"],
+         |    "aggs":[{"name":"n","expr":"count(1)"},
+         |            {"name":"total","expr":"CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)"}]}},
+         |  {"name":"top","type":"sql","params":{
+         |    "input":"by_segment","output":"final",
+         |    "query":"SELECT c_mktsegment, n, total FROM by_segment ORDER BY total DESC LIMIT 3"}}],
+         |"sinks":[]}]}""".stripMargin
+    // join needs a key: patch 'on' via direct spec construction instead
+    val flow0 = MetaLoader.loadString(spec).dataflow("analytics")
+    val flow = flow0.copy(transformations = flow0.transformations.map {
+      case j: graft.meta.JoinSpec => j.copy(on = Seq("o_custkey"))
+      case t => t
+    })
+    // align join key name: rename c_custkey -> o_custkey on the fly is
+    // awkward in pure metadata; use normalize via SQL instead
+    val custFixed = spark.read.parquet(sf() + "/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val frames = Dataflow.plan(spark, flow,
+      inputs = Map("cust" -> custFixed))
+    val out = frames("final").collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Long]("n")).forall(_ > 0))
+    // broadcast hint landed in the plan
+    val plan = frames("joined").queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"expected broadcast join:\n$plan")
+    // filter pushdown reached the scan through the metadata-built plan
+    val scan = frames("big_orders").queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("o_totalprice"),
+      s"expected pushed filter:\n$scan")
+  }
+
   test("unknown transformation type fails loudly") {
     val bad = """{"dataflows":[{"name":"x","sources":[],"transformations":[
                 |{"name":"t","type":"frobnicate","params":{"input":"a"}}],"sinks":[]}]}""".stripMargin
