@@ -236,6 +236,28 @@ object Oracles {
         |CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS purchase_value
         |FROM events GROUP BY user_id""".stripMargin,
 
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |NTILE(4) OVER w AS bal_quartile,
+        |CAST(FLOOR(PERCENT_RANK() OVER w * 1000) AS BIGINT) AS pr_millis
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin,
+
+    "q_set_ops" ->
+      """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+        |urgent AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |           WHERE o_orderpriority = '1-URGENT')
+        |SELECT c_custkey, 'rich_and_urgent' AS category FROM (SELECT * FROM rich INTERSECT SELECT * FROM urgent)
+        |UNION ALL
+        |SELECT c_custkey, 'rich_only' FROM (SELECT * FROM rich EXCEPT SELECT * FROM urgent)
+        |UNION ALL
+        |SELECT c_custkey, 'urgent_only' FROM (SELECT * FROM urgent EXCEPT SELECT * FROM rich)""".stripMargin,
+
     "q_sessions" ->
       """WITH x AS (
         |  SELECT user_id, ts, event_id,

@@ -296,6 +296,39 @@ object Queries {
       sum(when(col("event_type") === "purchase", dec(col("value")))
         .otherwise(lit(0).cast("decimal(12,2)"))).cast("double").as("purchase_value"))
 
+  /** Rollup: revenue at (flag, status), (flag), and grand-total
+    * levels in one pass (partial-agg friendly GROUPING SETS). */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
+
+  /** Window ntile: quartile of each customer's balance per segment. */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).as("bal_quartile"),
+        // explicit floor: DuckDB's double→BIGINT cast rounds, Spark's
+        // truncates — floor() agrees on both engines
+        floor(percent_rank().over(w) * 1000).cast("long").as("pr_millis"))
+  }
+
+  /** Set ops: high-balance customers vs customers with urgent orders —
+    * intersect and except in one union-tagged result. */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+      .select("c_custkey")
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    rich.intersect(urgent).withColumn("category", lit("rich_and_urgent"))
+      .unionAll(rich.except(urgent).withColumn("category", lit("rich_only")))
+      .unionAll(urgent.except(rich).withColumn("category", lit("urgent_only")))
+  }
+
   /** Gap-based sessionization (30-minute inactivity gap). */
   def qSessions(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -493,6 +526,9 @@ object Queries {
     "q_events_hourly" -> qEventsHourly _,
     "q_events_props" -> qEventsProps _,
     "q_event_pivot" -> qEventPivot _,
+    "q_rollup" -> qRollup _,
+    "q_ntile" -> qNtile _,
+    "q_set_ops" -> qSetOps _,
     "q_sessions" -> qSessions _,
     "q_asof_order" -> qAsofOrder _,
     "q_range_join" -> qRangeJoin _,
