@@ -129,7 +129,9 @@ object Oracles {
     "field_quantiles" ->
       Seq("l_quantity", "l_extendedprice", "l_discount").map { f =>
         s"""SELECT '$f' AS field,
-           |quantile_cont(CAST($f AS DOUBLE), [0.5, 0.9, 0.99]) AS quantiles
+           |quantile_cont(CAST($f AS DOUBLE), 0.5) AS q50,
+           |quantile_cont(CAST($f AS DOUBLE), 0.9) AS q90,
+           |quantile_cont(CAST($f AS DOUBLE), 0.99) AS q99
            |FROM lineitem""".stripMargin
       }.mkString("\n UNION ALL \n"),
 

@@ -125,8 +125,12 @@ object StatsOp {
         .as(s"$f#q")
     }
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val structs = fields.map(f =>
-      struct(lit(f).as("field"), col(s"`$f#q`").as("quantiles")))
+    val structs = fields.map { f =>
+      val qCols = probs.zipWithIndex.map { case (p, i) =>
+        element_at(col(s"`$f#q`"), i + 1).as(s"q${(p * 100).round}")
+      }
+      struct(lit(f).as("field") +: qCols: _*)
+    }
     wide.select(explode(array(structs: _*)).as("s")).select("s.*")
   }
 
