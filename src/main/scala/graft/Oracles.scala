@@ -391,6 +391,19 @@ object Oracles {
          |    + (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.5 AS quality_score
          |FROM q""".stripMargin,
 
+    "split_assign" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CASE WHEN bucket < 80 THEN 'train'
+        |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM s GROUP BY split""".stripMargin,
+
     "text_repetition" -> {
       val lowToks =
         """CASE WHEN length(trim(lower(text))) = 0 THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END"""

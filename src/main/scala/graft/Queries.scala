@@ -424,6 +424,13 @@ object Queries {
         .otherwise(lit(1.0) - nd.cast("double") / n).as("repetition_ratio"))
   }
 
+  /** Deterministic train/val/test split sizes (hash-stable — a doc
+    * never migrates between splits across runs or engines). */
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    Sampling.hashSplit(t(s, dir, "documents"), col("doc_id"))
+      .groupBy("split").agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+
   /** Fingerprints: exact md5 + normalized (sorted-token) md5. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -546,5 +553,6 @@ object Queries {
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
     "text_repetition" -> textRepetition _,
+    "split_assign" -> splitAssign _,
     "pipeline_docs" -> pipelineDocs _)
 }
