@@ -70,6 +70,42 @@ object TextHashExprs {
   }
 
   /**
+   * Sorted array of distinct shingle xxh64 hashes — the input to
+   * prefix-filtered similarity joins: ascending hash value is the
+   * global total order the prefix-filter theorem needs, and sorted
+   * arrays let intersection counts run as an O(n+m) merge.
+   * Null when the document has fewer than k tokens.
+   */
+  case class ShingleHashesExpr(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val set = shinglesOf(v.asInstanceOf[UTF8String], k)
+      if (set.isEmpty) return null
+      val hs = new Array[Long](set.size)
+      val it = set.iterator()
+      var i = 0
+      while (it.hasNext) {
+        hs(i) = hashUtf8(UTF8String.fromString(it.next()), Seed)
+        i += 1
+      }
+      java.util.Arrays.sort(hs)
+      // drop (astronomically unlikely) duplicate hashes so counts
+      // stay set-semantics
+      var n = 0
+      var j = 0
+      while (j < hs.length) {
+        if (j == 0 || hs(j) != hs(j - 1)) { hs(n) = hs(j); n += 1 }
+        j += 1
+      }
+      ArrayData.toArrayData(if (n == hs.length) hs else java.util.Arrays.copyOf(hs, n))
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /**
    * MinHash signature: per salt i, min over shingles of
    * xxh64(xxh64(shingle), salt=i). Null when the document has fewer
    * than k tokens (mirrors "no shingles → no signature row" in the
@@ -143,6 +179,8 @@ object TextHashExprs {
 
   def shingles(text: Column, k: Int): Column =
     GraftBridge.column(ShinglesExpr(e(text), k))
+  def shingleHashes(text: Column, k: Int): Column =
+    GraftBridge.column(ShingleHashesExpr(e(text), k))
   def minhashSig(text: Column, k: Int, numHashes: Int): Column =
     GraftBridge.column(MinhashSigExpr(e(text), k, numHashes))
   def simhash64(text: Column): Column =

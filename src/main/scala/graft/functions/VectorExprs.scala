@@ -292,6 +292,30 @@ object VectorExprs {
       copy(child = newChild)
   }
 
+  /** |A ∩ B| for two ASCENDING-sorted long arrays — O(n+m) merge
+    * walk, the rescoring kernel of the prefix-filtered set-similarity
+    * join. */
+  case class SortedLongIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+      val (n, m) = (a.numElements(), b.numElements())
+      var i = 0; var j = 0; var c = 0
+      while (i < n && j < m) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      c
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Count of positions where two long arrays are equal (over the
     * shorter length) — the MinHash signature-agreement kernel. */
   case class LongVecEqCount(left: Expression, right: Expression)
@@ -324,6 +348,8 @@ object VectorExprs {
     GraftBridge.column(LshSignatures(e(vec), tables, bits, seed))
   def longVecEqCount(a: Column, b: Column): Column =
     GraftBridge.column(LongVecEqCount(e(a), e(b)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(SortedLongIntersectCount(e(a), e(b)))
   def nearestCentroids(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     GraftBridge.column(NearestCentroids(e(vec), centroids, nprobe))
 }

@@ -40,25 +40,49 @@ object Dedup {
         explode(graft.functions.TextHashExprs.shingles(content, k)).as("shingle")))
 
   /**
-   * n-gram Jaccard near-dup pairs via shingle-join (no O(n²) cross
-   * join): docs sharing ≥1 shingle are candidates; intersection size
-   * comes from the join group count, union from per-doc set sizes.
-   * Returns (doc_a, doc_b, inter, size_a, size_b, jaccard) with
-   * jaccard ≥ threshold and doc_a < doc_b.
+   * n-gram Jaccard near-dup pairs via a PREFIX-FILTERED set-similarity
+   * join (PPJoin-style; see Xiao et al., WWW'08): each document keeps
+   * a sorted array of shingle hashes; only its first
+   * `|s| - ⌈t·|s|⌉ + 1` hashes (its prefix under the global hash
+   * order) generate join candidates — any pair with Jaccard ≥ t must
+   * share a prefix element, so there are no false negatives, while
+   * candidates shrink dramatically vs the join-on-every-shingle
+   * formulation. Survivors are rescored exactly with an O(n+m)
+   * sorted-merge intersection. Returns (doc_a, doc_b, inter, size_a,
+   * size_b, jaccard) with jaccard ≥ threshold and doc_a < doc_b.
+   *
+   * At scale: candidate generation is a hash shuffle on prefix-hash
+   * (bounded fan-out per doc), rescoring touches only candidate
+   * pairs, and the doc payload carried through the join is one
+   * long-array per side.
    */
   def ngramJaccard(df: DataFrame, content: Column, id: Column,
                    k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(df, content, id, k)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("set_size"))
-    val a = sh.as("a")
-    val b = sh.as("b")
-    val inter = a.join(b, col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("set_size", "size_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("set_size", "size_b"), "doc_b")
+    import graft.functions.{TextHashExprs, VectorExprs}
+    // cached: the signature frame is referenced four times (both
+    // prefix sides + both rescoring joins); without the cache an
+    // expensive upstream (e.g. pipeline_docs' scored/filtered
+    // subtree) is recomputed per reference. The cache is narrow —
+    // one (id, hash-array) row per doc — the same tradeoff as the
+    // MinHash signature cache.
+    val sigs = Scale.ensureParallelism(
+      df.select(id.as("doc_id"),
+          TextHashExprs.shingleHashes(content, k).as("sh"))
+        .filter(col("sh").isNotNull)).cache()
+    val prefixLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
+    val prefixes = sigs.select(col("doc_id"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("ph"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        VectorExprs.sortedIntersectCount(col("sh_a"), col("sh_b")).cast("long").as("inter"),
+        size(col("sh_a")).cast("long").as("size_a"),
+        size(col("sh_b")).cast("long").as("size_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
