@@ -3,13 +3,22 @@ import org.apache.spark.sql.SparkSession
 
 /**
  * Benchmark main: headline queries (SURVEY.md §6) against
- * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+ * SPARK_GRAFT_SF_DIR; emits ONE JSON line on stdout AND writes the
+ * same line to a file (default `bench_out.json` in the working
+ * directory, override with SPARK_GRAFT_BENCH_OUT) so harnesses that
+ * can't untangle sbt's log-prefixed stdout still get clean JSON.
  *
  * Each query is forced through the `noop` sink — unlike `.count()`,
  * which Catalyst collapses to a metadata-only scan for pure
  * projections, noop executes the full physical plan (all expressions,
  * all shuffles) without write-side cost. One q1 warmup run pays the
  * JVM/codegen startup so per-query numbers measure the plan.
+ *
+ * Noise control: every query runs SPARK_GRAFT_BENCH_RUNS times
+ * (default 3) and reports the MEDIAN — single runs on a shared box
+ * swing ±50% under load spikes. A query that throws is reported in a
+ * "failed" array and the process exits nonzero, so a crash can never
+ * masquerade as a faster total.
  */
 object Bench {
   /** Headline set: the scale-critical operators, per SURVEY.md §6. */
@@ -23,11 +32,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -40,15 +51,33 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
+      finally spark.catalog.clearCache() // drop per-query signature caches
       (System.nanoTime() - t0) / 1e9
     }
 
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      s(s.length / 2)
+    }
+
     runOnce("q1_pricing") // warmup: JVM + codegen + parquet footer cache
-    val results = headline.map(n => n -> runOnce(n))
+    val results = headline.map { n =>
+      val times = (1 to runs).map(_ => runOnce(n))
+      n -> (if (times.exists(_ < 0)) -1.0 else median(times))
+    }
+    val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$failedJson,"runs":$runs,"sf":"$sfDir"}"""
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
+    println(line)
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

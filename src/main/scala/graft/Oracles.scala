@@ -62,6 +62,30 @@ object Oracles {
     s"CASE $caseChain ELSE 'und' END"
   }
 
+  /** Exact 3-shingle Jaccard pairs at j ≥ 0.8 — the ground truth both
+    * `dedup_ngram_jaccard` and the verified-MinHash path must equal. */
+  private val ngramJaccardPairsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(lower(text))) = 0 THEN []
+      |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(toks[i.i : i.i + 2], ' ') AS shingle
+      |  FROM tok, LATERAL unnest(range(1, len(toks) - 1)) AS i(i)
+      |  WHERE len(toks) >= 3),
+      |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT i.doc_a, i.doc_b, i.inter, sa.set_size AS size_a, sb.set_size AS size_b,
+      |  CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) AS jaccard
+      |FROM inter i
+      |JOIN sizes sa ON i.doc_a = sa.doc_id
+      |JOIN sizes sb ON i.doc_b = sb.doc_id
+      |WHERE CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) >= 0.8""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "src_json" ->
@@ -312,27 +336,13 @@ object Oracles {
 
     // 3-shingle Jaccard pairs; mirrors Dedup.ngramJaccard exactly
     // (distinct shingles, shared-shingle join, count-based intersection).
-    "dedup_ngram_jaccard" ->
-      """WITH tok AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(trim(lower(text))) = 0 THEN []
-        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, array_to_string(toks[i.i : i.i + 2], ' ') AS shingle
-        |  FROM tok, LATERAL unnest(range(1, len(toks) - 1)) AS i(i)
-        |  WHERE len(toks) >= 3),
-        |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
-        |inter AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT i.doc_a, i.doc_b, i.inter, sa.set_size AS size_a, sb.set_size AS size_b,
-        |  CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) AS jaccard
-        |FROM inter i
-        |JOIN sizes sa ON i.doc_a = sa.doc_id
-        |JOIN sizes sb ON i.doc_b = sb.doc_id
-        |WHERE CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) >= 0.8""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramJaccardPairsSql,
+
+    // Dedup.minhashLshVerified rescores LSH candidates against the
+    // TRUE shingle sets, so its output is the exact-Jaccard pair set
+    // (candidate miss probability ~8e-8 per pair at j=0.8 with
+    // 32 hashes × 16 bands) — same oracle as the prefix-filter join.
+    "dedup_minhash" -> ngramJaccardPairsSql,
 
     // DuckDB's list_dot_product / list_sum fold doubles left-to-right,
     // exactly like graft's aggregate(zip_with(...)) kernels — verified

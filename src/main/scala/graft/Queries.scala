@@ -359,9 +359,11 @@ object Queries {
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(t(s, dir, "documents"), col("text"), col("doc_id"))
 
-  /** MinHash + LSH near-dup candidates (est. Jaccard ≥ 0.7). */
+  /** MinHash + LSH near-dup pairs, exactly verified (true Jaccard
+    * ≥ 0.8) — the LSH-then-verify construction, full DuckDB oracle.
+    * The raw-estimate path (`Dedup.minhashLsh`) is spec-covered. */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLsh(t(s, dir, "documents"), col("text"), col("doc_id"))
+    Dedup.minhashLshVerified(t(s, dir, "documents"), col("text"), col("doc_id"))
 
   /** SimHash near-dup pairs (64-bit, hamming ≤ 3). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -491,9 +493,11 @@ object Queries {
         TextAnalysisCols.langId(col("text")).as("lang_pred") :+ col("text"): _*)
     val filtered = scored
       .filter(col("lang_pred") === "en" && col("quality_score") >= 0.51)
-    // exact dedup keep-min-id as a window (one shuffle on content,
-    // no groupBy+self-join; the schema passes through untouched)
-    val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+    // exact dedup keep-min-id as a window: ONE shuffle, keyed by the
+    // 128-bit content fingerprint (32-byte key) instead of the raw
+    // document — at 100 TB the exchange never carries text as a key.
+    // md5 collisions (2⁻¹²⁸-scale) are the accepted equivalence.
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     val kept = filtered.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     // near-dup removal: drop doc_b of every jaccard>=0.8 pair

@@ -149,6 +149,7 @@ object VectorExprs {
   case class LshSignatures(child: Expression, tables: Int, bits: Int, seed: Int)
       extends UnaryExpression with CodegenFallback {
     require(bits <= 63, "bits must fit a long")
+    require(tables <= 4096, "tables must fit the 12-bit field of the plane key")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = true
     private lazy val et = elemType(child.dataType)
@@ -163,20 +164,27 @@ object VectorExprs {
       x ^ (x >>> 31)
     }
 
-    /** Near-Gaussian component: 4 uniforms in [-0.5,0.5), summed. */
+    /** Near-Gaussian component: 4 uniforms in [-0.5,0.5), summed.
+      * (t, b, d, j) are packed into DISJOINT bit fields of the
+      * splitmix64 input — j: bits 0-1, d: 2-25 (≤16M dims),
+      * b: 26-31, t: 32-43, seed: 44-63 — so no two (bit, dim)
+      * indices can ever share a key (a multiplicative packing
+      * overlapped for dim > ~16k, duplicating plane components and
+      * degrading hyperplane independence for high-dim vectors). */
     private def component(t: Int, b: Int, d: Int): Double = {
       var acc = 0.0
       var j = 0
       while (j < 4) {
-        val h = splitmix64(
-          seed.toLong * 0x100000001L + t.toLong * 0x1000193L + b.toLong * 0x10001L + d.toLong * 4 + j)
-        acc += h.toDouble / 1.8446744073709552e19 // / 2^64 → [-0.5, 0.5)
+        val key = (seed.toLong << 44) | (t.toLong << 32) | (b.toLong << 26) |
+          (d.toLong << 2) | j
+        acc += splitmix64(key).toDouble / 1.8446744073709552e19 // / 2^64 → [-0.5, 0.5)
         j += 1
       }
       acc
     }
 
     private def planes(dim: Int): Array[Double] = {
+      require(dim <= (1 << 24), "dim must fit the 24-bit field of the plane key")
       if (planeDim != dim) {
         val p = new Array[Double](tables * bits * dim)
         var t = 0
@@ -236,10 +244,14 @@ object VectorExprs {
   }
 
   /**
-   * IDs of the `nprobe` nearest centroids (squared-L2) to the vector,
-   * nearest first — the IVF assignment/probe kernel. Centroids ride
-   * along as expression state (serialized once per task, not per row;
-   * an IVF list count is small — hundreds to low thousands — so this
+   * IDs of the `nprobe` nearest centroids (squared-L2) to the
+   * L2-NORMALIZED vector, nearest first — the IVF assignment/probe
+   * kernel. The input vector is unit-normalized before distance (and
+   * the codebook is trained on unit vectors — spherical k-means), so
+   * cell geometry agrees with the cosine ranking IVF serves:
+   * ‖u−c‖² = 2 − 2·cos(u, c) on unit vectors. Centroids ride along
+   * as expression state (serialized once per task, not per row; an
+   * IVF list count is small — hundreds to low thousands — so this
    * beats a broadcast-join formulation that would shuffle the data
    * side). Ties break toward the lower centroid id.
    */
@@ -256,10 +268,17 @@ object VectorExprs {
       val dim = math.min(a.numElements(), centroids(0).length)
       val vec = new Array[Double](dim)
       var i = 0
+      var sq = 0.0
       while (i < dim) {
         if (a.isNullAt(i)) return null
         vec(i) = getD(a, et, i)
+        sq += vec(i) * vec(i)
         i += 1
+      }
+      if (sq > 0) {
+        val inv = 1.0 / math.sqrt(sq)
+        var j = 0
+        while (j < dim) { vec(j) *= inv; j += 1 }
       }
       val p = math.min(nprobe, centroids.length)
       val bestIds = new Array[Int](p)

@@ -55,6 +55,17 @@ object Dedup {
    * (bounded fan-out per doc), rescoring touches only candidate
    * pairs, and the doc payload carried through the join is one
    * long-array per side.
+   *
+   * Candidate pruning (both join-side, zero extra passes):
+   *  - length filter: Jaccard ≥ t forces t·|a| ≤ |b| ≤ |a|/t —
+   *    any pair violating the mutual size bound is dropped in the
+   *    join condition before it materializes;
+   *  - positional filter: a pair whose FIRST shared prefix element
+   *    sits at 0-based positions (i, j) can overlap in at most
+   *    min(|a|−i, |b|−j) elements, and Jaccard ≥ t needs overlap
+   *    ≥ ⌈t/(1+t)·(|a|+|b|)⌉; occurrences that cannot reach that
+   *    bound are dropped (the first-match occurrence of every true
+   *    pair always survives, so no false negatives).
    */
   def ngramJaccard(df: DataFrame, content: Column, id: Column,
                    k: Int = 3, threshold: Double = 0.8): DataFrame = {
@@ -63,17 +74,24 @@ object Dedup {
     // prefix sides + both rescoring joins); without the cache an
     // expensive upstream (e.g. pipeline_docs' scored/filtered
     // subtree) is recomputed per reference. The cache is narrow —
-    // one (id, hash-array) row per doc — the same tradeoff as the
-    // MinHash signature cache.
+    // one (id, hash-array) row per doc. Long-lived sessions looping
+    // many queries should clear it between queries
+    // (spark.catalog.clearCache(), as graft.Verify/Bench do).
     val sigs = Scale.ensureParallelism(
       df.select(id.as("doc_id"),
           TextHashExprs.shingleHashes(content, k).as("sh"))
         .filter(col("sh").isNotNull)).cache()
     val prefixLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
-    val prefixes = sigs.select(col("doc_id"),
-      explode(slice(col("sh"), lit(1), prefixLen)).as("ph"))
+    val prefixes = sigs.select(col("doc_id"), size(col("sh")).as("sz"),
+        posexplode(slice(col("sh"), lit(1), prefixLen)))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "ph")
+    val minOverlap = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("a.sz") + col("b.sz")))
     val cand = prefixes.as("a").join(prefixes.as("b"),
-        col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id"))
+        col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.sz") >= lit(threshold) * col("b.sz") &&
+          col("b.sz") >= lit(threshold) * col("a.sz") &&
+          least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) >= minOverlap)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
@@ -136,6 +154,51 @@ object Dedup {
           .cast("double") / numHashes)
       .filter(col("est_jaccard") >= threshold)
       .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /**
+   * MinHash + LSH with EXACT verification: candidates from the band
+   * join, rescored against the true shingle sets (sorted-merge
+   * intersection, same kernel as [[ngramJaccard]]), so the output is
+   * true-Jaccard pairs, not estimates. With a wide band layout
+   * (default 32 hashes × 16 bands of 2 rows) the per-pair candidate
+   * miss probability at j ≥ t is (1−j²)^bands ≈ 8·10⁻⁸ at j = 0.8 —
+   * the standard LSH-then-verify construction where false positives
+   * cost only rescoring and false negatives are driven to negligible.
+   * Same output contract as [[ngramJaccard]]: (doc_a, doc_b, inter,
+   * size_a, size_b, jaccard), jaccard ≥ threshold, doc_a < doc_b.
+   */
+  def minhashLshVerified(df: DataFrame, content: Column, id: Column,
+                         k: Int = 3, numHashes: Int = 32, bands: Int = 16,
+                         threshold: Double = 0.8): DataFrame = {
+    import graft.functions.{TextHashExprs, VectorExprs}
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val sigs = Scale.ensureParallelism(
+      df.select(id.as("doc_id"),
+          TextHashExprs.minhashSig(content, k, numHashes).as("sig"),
+          TextHashExprs.shingleHashes(content, k).as("sh"))
+        .filter(col("sig").isNotNull)).cache()
+    val banded = sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        VectorExprs.sortedIntersectCount(col("sh_a"), col("sh_b")).cast("long").as("inter"),
+        size(col("sh_a")).cast("long").as("size_a"),
+        size(col("sh_b")).cast("long").as("size_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
   }
 
   /**
