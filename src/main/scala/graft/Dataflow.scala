@@ -63,6 +63,63 @@ object Dataflow {
           // every named frame is visible to the query as a temp view
           frames.foreach { case (n, df) => df.createOrReplaceTempView(n) }
           frames + (s.output -> spark.sql(s.query))
+        case s: DedupTransformSpec =>
+          import org.apache.spark.sql.functions.col
+          val content = col(s.contentCol)
+          val id = col(s.idCol)
+          def pairs = s.method match {
+            case "ngram_jaccard" =>
+              Dedup.ngramJaccard(in, content, id, threshold = s.threshold)
+            case "minhash_lsh" =>
+              Dedup.minhashLshVerified(in, content, id, threshold = s.threshold)
+            case "simhash" =>
+              Dedup.simhash(in, content, id)
+            case "embedding_cosine" =>
+              Similarity.lshDupPairs(in, id, content, threshold = s.threshold)
+                .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+            case other =>
+              throw new IllegalArgumentException(s"dedup '${s.name}': unknown method '$other'")
+          }
+          val out = (s.method, s.mode) match {
+            case ("exact", _) =>
+              // one canonical row (min id) per distinct content
+              in.join(Dedup.exact(in, content, id)
+                  .select(col("doc_id").as(s.idCol)), Seq(s.idCol), "left_semi")
+            case (_, "pairs") => pairs
+            case (_, _) =>
+              // drop the higher id of every near-dup pair
+              in.join(pairs.select(col("doc_b").as(s.idCol)).distinct(),
+                Seq(s.idCol), "left_anti")
+          }
+          frames + (s.output -> out)
+        case s: TextAnalysisSpec =>
+          import org.apache.spark.sql.functions._
+          val c = col(s.contentCol)
+          val out = s.analyses.foldLeft(in) { (df, a) => a match {
+            case "tokens" => df
+              .withColumn("n_ws_tokens", TextAnalysisCols.wsTokenCount(c))
+              .withColumn("n_bpe_tokens", TextAnalysisCols.bpeTokenCount(c))
+            case "quality" =>
+              df.select(col("*") +: TextAnalysisCols.qualityFeatures(c): _*)
+            case "langid" =>
+              df.withColumn("lang_pred", TextAnalysisCols.langId(c))
+            case "fingerprint" => df
+              .withColumn("fp_exact", md5(c))
+              .withColumn("fp_norm", TextAnalysisCols.normFingerprint(c))
+            case "repetition" =>
+              val toks = TextAnalysisCols.wsTokens(lower(c))
+              val n = size(toks)
+              df.withColumn("repetition_ratio",
+                when(n === 0, lit(0.0))
+                  .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / n))
+            case other =>
+              throw new IllegalArgumentException(
+                s"text_analysis '${s.name}': unknown analysis '$other'")
+          }}
+          frames + (s.output -> out)
+        case s: SplitSpec =>
+          frames + (s.output -> Sampling.hashSplit(
+            in, org.apache.spark.sql.functions.col(s.idCol), s.trainPct, s.valPct))
         case s: ComputeStatsSpec =>
           // stats become named frames; sink them like any other
           // output. The input passes through under the transform name

@@ -385,10 +385,10 @@ object Queries {
   def simLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 10)
 
-  /** IVF-Flat ANN top-k (k-means cells, nprobe probing). */
+  /** IVF-Flat ANN top-k (spherical k-means cells, √n lists,
+    * ~12% probe fraction — the auto defaults). */
   def simIvf(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
-      k = 10, nlist = 16, nprobe = 4)
+    Similarity.ivfTopK(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 10)
 
   /** Multimodal: documents → media records → metadata-only summary. */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =

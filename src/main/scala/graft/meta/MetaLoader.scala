@@ -87,6 +87,22 @@ object MetaLoader {
           aggs = arr(p, "aggs").map(a => NamedExpr(str(a, "name"), str(a, "expr"))))
       case "sql" =>
         SqlSpec(name, input, output, str(p, "query"))
+      case "dedup" =>
+        DedupTransformSpec(name, input, output,
+          method = str(p, "method", "exact"),
+          contentCol = str(p, "content", "text"),
+          idCol = str(p, "id", "doc_id"),
+          mode = str(p, "mode", "filter"),
+          threshold = p.path("threshold").asDouble(0.8))
+      case "text_analysis" =>
+        TextAnalysisSpec(name, input, output,
+          contentCol = str(p, "content", "text"),
+          analyses = if (p.has("analyses")) strArr(p, "analyses") else Seq("quality"))
+      case "split" =>
+        SplitSpec(name, input, output,
+          idCol = str(p, "id", "doc_id"),
+          trainPct = p.path("train_pct").asInt(80),
+          valPct = p.path("val_pct").asInt(10))
       case "compute_stats" =>
         ComputeStatsSpec(name, input,
           fields = if (p.has("fields")) Some(strArr(p, "fields")) else None,

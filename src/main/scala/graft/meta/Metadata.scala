@@ -122,6 +122,49 @@ final case class NamedExpr(name: String, expr: String)
 final case class SqlSpec(name: String, input: String, output: String, query: String)
   extends TransformSpec
 
+/**
+ * graft extension: deduplication step over a content column.
+ * `method`: exact | ngram_jaccard | minhash_lsh | simhash |
+ * embedding_cosine. `mode`: "filter" (default) keeps one canonical
+ * row per duplicate group / drops the higher id of each near-dup
+ * pair; "pairs" emits the pair frame itself.
+ */
+final case class DedupTransformSpec(
+    name: String,
+    input: String,
+    output: String,
+    method: String,
+    contentCol: String = "text",
+    idCol: String = "doc_id",
+    mode: String = "filter",
+    threshold: Double = 0.8)
+  extends TransformSpec
+
+/**
+ * graft extension: append text-analysis columns. `analyses` from
+ * {tokens, quality, langid, fingerprint, repetition}.
+ */
+final case class TextAnalysisSpec(
+    name: String,
+    input: String,
+    output: String,
+    contentCol: String = "text",
+    analyses: Seq[String] = Seq("quality"))
+  extends TransformSpec
+
+/**
+ * graft extension: deterministic hash-based train/val/test split —
+ * appends a `split` column that is a pure function of the id.
+ */
+final case class SplitSpec(
+    name: String,
+    input: String,
+    output: String,
+    idCol: String = "doc_id",
+    trainPct: Int = 80,
+    valPct: Int = 10)
+  extends TransformSpec
+
 /** reference: src/transformations.py:330-369 (compute_stats). */
 final case class ComputeStatsSpec(
     name: String,

@@ -137,38 +137,74 @@ object Similarity {
   }
 
   /**
-   * Deterministic driver-side Lloyd's k-means over a bounded sample —
-   * the IVF coarse quantizer. The sample is small by construction
-   * (trainSize vectors × dim doubles); training an IVF codebook on a
-   * sample is the standard construction (the codebook quality barely
+   * Deterministic SPHERICAL Lloyd's k-means over a bounded sample —
+   * the IVF coarse quantizer. Sample vectors are L2-normalized before
+   * training (and [[graft.functions.VectorExprs.NearestCentroids]]
+   * normalizes at assignment time), so cell geometry matches the
+   * cosine ranking IVF serves: ‖u−c‖² = 2 − 2·cos(u,c) on unit
+   * vectors. The sample is small by construction (trainSize vectors ×
+   * dim doubles ≈ 5 MB at the defaults); training an IVF codebook on
+   * a sample is the standard construction (codebook quality barely
    * moves past ~100×nlist samples). Init picks evenly-spaced sample
    * points after sorting by id → same centroids on every run.
+   *
+   * The assignment step of each Lloyd iteration — the O(sample × k ×
+   * dim) hot loop — fans out over all cores via parallel streams with
+   * per-chunk partial sums (deterministic: float-free integer counts,
+   * per-chunk double sums merged in chunk order). For cluster-scale
+   * reuse, persist the codebook once with [[saveCentroids]] and feed
+   * it back through `centroidsIn` — training is a one-off, not a
+   * per-query cost.
    */
   def trainKmeans(df: DataFrame, id: Column, vec: Column, nlist: Int,
                   trainSize: Int = 10000, iters: Int = 10): Array[Array[Double]] = {
     val sample = df.select(id.cast("long").as("id"), vec.cast("array<double>").as("v"))
       .orderBy(col("id")).limit(trainSize)
-      .collect().map(_.getSeq[Double](1).toArray)
+      .collect().map { r =>
+        val v = r.getSeq[Double](1).toArray
+        var sq = 0.0; var j = 0
+        while (j < v.length) { sq += v(j) * v(j); j += 1 }
+        if (sq > 0) { val inv = 1.0 / math.sqrt(sq); j = 0
+          while (j < v.length) { v(j) *= inv; j += 1 } }
+        v
+      }
     require(sample.nonEmpty, "empty training sample")
     val k = math.min(nlist, sample.length)
     val dim = sample(0).length
     var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
+    val chunkSize = math.max(256, sample.length / (4 * Runtime.getRuntime.availableProcessors))
+    val chunks: Array[Array[Array[Double]]] = sample.grouped(chunkSize).toArray
     var it = 0
     while (it < iters) {
+      val cents = centroids
+      val partials = java.util.Arrays.stream(chunks).parallel().map { chunk =>
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Long](k)
+        chunk.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d2 = 0.0; var j = 0
+            while (j < dim) { val d = v(j) - cents(c)(j); d2 += d * d; j += 1 }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        }
+        (sums, counts)
+      }.collect(java.util.stream.Collectors.toList[(Array[Array[Double]], Array[Long])])
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)
-      sample.foreach { v =>
-        var best = 0; var bestD = Double.MaxValue
+      partials.forEach { case (ps, pc) =>  // sequential merge, chunk order → deterministic
         var c = 0
         while (c < k) {
-          var d2 = 0.0; var j = 0
-          while (j < dim) { val d = v(j) - centroids(c)(j); d2 += d * d; j += 1 }
-          if (d2 < bestD) { bestD = d2; best = c }
+          counts(c) += pc(c)
+          var j = 0
+          while (j < dim) { sums(c)(j) += ps(c)(j); j += 1 }
           c += 1
         }
-        counts(best) += 1
-        var j = 0
-        while (j < dim) { sums(best)(j) += v(j); j += 1 }
       }
       centroids = Array.tabulate(k) { c =>
         if (counts(c) == 0) centroids(c)
@@ -180,6 +216,21 @@ object Similarity {
     centroids
   }
 
+  /** Persist a trained codebook (one CSV line per centroid) for reuse
+    * via `centroidsIn` — at cluster scale the codebook is trained
+    * once and shipped to every query, never retrained per job. */
+  def saveCentroids(path: String, centroids: Array[Array[Double]]): Unit = {
+    val sb = new StringBuilder
+    centroids.foreach { c => sb.append(c.mkString(",")).append('\n') }
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
+  /** Load a codebook written by [[saveCentroids]]. */
+  def loadCentroids(path: String): Array[Array[Double]] =
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      .toArray(Array.empty[String]).filter(_.nonEmpty)
+      .map(_.split(",").map(_.toDouble))
+
   /**
    * IVF-Flat ANN top-k: corpus vectors are assigned to their nearest
    * centroid cell (one projection); each query probes its `nprobe`
@@ -187,17 +238,29 @@ object Similarity {
    * keyed by cell id — at scale, cells are the partition unit and the
    * codebook is the only coordinated state). Exact cosine rescoring +
    * top-k window, same contract as [[lshTopK]]/[[bruteForceTopK]].
+   *
+   * Defaults scale with the corpus: `nlist ≤ 0` resolves to
+   * max(16, ⌈√n⌉) — the standard IVF sizing, keeping both cell size
+   * (n/√n) and probe cost (nprobe·√n candidates per query) sublinear —
+   * and `nprobe ≤ 0` resolves to max(4, nlist/8), a fixed ~12% cell
+   * fraction. Pass a persisted codebook via `centroidsIn` (see
+   * [[saveCentroids]]) to skip training entirely.
    */
   def ivfTopK(df: DataFrame, id: Column, vec: Column, k: Int = 10,
-              nlist: Int = 16, nprobe: Int = 4,
+              nlist: Int = 0, nprobe: Int = 0,
               centroidsIn: Option[Array[Array[Double]]] = None): DataFrame = {
     import graft.functions.VectorExprs.nearestCentroids
-    val centroids = centroidsIn.getOrElse(trainKmeans(df, id, vec, nlist))
+    val centroids = centroidsIn.getOrElse {
+      val lists = if (nlist > 0) nlist
+        else math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt)
+      trainKmeans(df, id, vec, lists)
+    }
+    val probes = if (nprobe > 0) nprobe else math.max(4, centroids.length / 8)
     val v = withNorm(df, id, vec)
     val data = v.select(col("id"), col("vec"), col("norm"),
       element_at(nearestCentroids(col("vec"), centroids, 1), 1).as("cell"))
     val queries = v.select(col("id").as("qid"), col("vec").as("qvec"), col("norm").as("qnorm"),
-        explode(nearestCentroids(col("vec"), centroids, nprobe)).as("cell"))
+        explode(nearestCentroids(col("vec"), centroids, probes)).as("cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)

@@ -17,39 +17,63 @@ import org.apache.spark.sql.types._
  * driver-free `explode(array(struct(...)))`.
  *
  * Scale notes: exact `countDistinct` over many fields plans an
- * `Expand` (rows × fields) — fine to a few fields, but at 100 TB set
- * `approxDistinct = true` to use HyperLogLog (`approx_count_distinct`)
- * which keeps the plan a single pass with constant-size state.
+ * `Expand` (rows × fields) — fine to a few fields, but at scale the
+ * HyperLogLog path (`approx_count_distinct`) keeps the plan a single
+ * pass with constant-size state. `fieldStats` AUTO-SWITCHES: inputs
+ * whose Catalyst size estimate exceeds
+ * `spark.graft.stats.approxThresholdBytes` (default 4 MiB — small on
+ * purpose so bench-scale data exercises the scale path; correctness
+ * gates run below it) use HLL; pass `approxDistinct = Some(false)`
+ * to force exact anywhere.
  */
 object StatsOp {
+
+  /** Conf key: plan-size estimate above which fieldStats switches
+    * distinct counting to HyperLogLog. */
+  val ApproxThresholdConf = "spark.graft.stats.approxThresholdBytes"
+  val ApproxThresholdDefault: Long = 4L << 20
 
   /**
    * Long-format stats: one row per field with
    * (field, null_count, non_null_count, distinct_count,
    *  min_num, max_num, min_value, max_value, null_pct).
    * `min_num`/`max_num` are populated for numeric/date/timestamp
-   * fields (dates as epoch seconds), `min_value`/`max_value` carry
-   * the string rendering for any orderable type.
+   * fields (dates/timestamps as epoch seconds), `min_value`/
+   * `max_value` carry the string rendering for any orderable type.
+   * `approxDistinct`: None = auto by input size (see object docs).
    */
   def fieldStats(df: DataFrame, fieldsIn: Seq[String] = Nil,
-                 approxDistinct: Boolean = false): DataFrame = {
+                 approxDistinct: Option[Boolean] = None): DataFrame = {
     val fields =
       (if (fieldsIn.nonEmpty) fieldsIn.filter(df.columns.contains) else df.columns.toSeq)
         .filterNot(f => isComplex(df.schema(f).dataType))
     require(fields.nonEmpty, "no stats-capable fields")
 
+    val useApprox = approxDistinct.getOrElse {
+      val threshold = df.sparkSession.conf
+        .getOption(ApproxThresholdConf).map(_.toLong).getOrElse(ApproxThresholdDefault)
+      df.queryExecution.optimizedPlan.stats.sizeInBytes > threshold
+    }
     def distinctAgg(c: Column) =
-      if (approxDistinct) approx_count_distinct(c) else countDistinct(c)
+      if (useApprox) approx_count_distinct(c) else countDistinct(c)
 
     val aggs: Seq[Column] = Seq(count(lit(1)).as("__total")) ++ fields.flatMap { f =>
       val c = col(f)
-      val numeric = isNumericLike(df.schema(f).dataType)
+      val dt = df.schema(f).dataType
+      // DATE → DOUBLE is an illegal cast even under try_cast; route
+      // dates through timestamp (session TZ is UTC in graft mains) so
+      // min_num/max_num are epoch seconds as documented.
+      def asNum(x: Column): Column = dt match {
+        case _: DateType => x.cast("timestamp").try_cast("double")
+        case _           => x.try_cast("double")
+      }
+      val numeric = isNumericLike(dt)
       Seq(
         count(when(c.isNull, 1)).as(s"$f#null"),
         count(c).as(s"$f#nonnull"),
         distinctAgg(c).as(s"$f#distinct"),
-        (if (numeric) min(c).try_cast("double") else lit(null).cast("double")).as(s"$f#minn"),
-        (if (numeric) max(c).try_cast("double") else lit(null).cast("double")).as(s"$f#maxn"),
+        (if (numeric) asNum(min(c)) else lit(null).cast("double")).as(s"$f#minn"),
+        (if (numeric) asNum(max(c)) else lit(null).cast("double")).as(s"$f#maxn"),
         min(c).try_cast("string").as(s"$f#mins"),
         max(c).try_cast("string").as(s"$f#maxs"))
     }

@@ -16,7 +16,23 @@ import org.apache.spark.sql.types.StructType
  */
 object Readers {
 
-  def read(spark: SparkSession, spec: SourceSpec, schema: Option[StructType] = None): DataFrame =
+  /**
+   * Fail fast when a source path/glob matches nothing — the reference
+   * raises FileNotFoundError before starting Spark work (reference:
+   * main.py:26-39); Spark's own failure mode is a less actionable
+   * AnalysisException (or an empty stream on some paths). One
+   * driver-side globStatus, no data read.
+   */
+  def requireMatches(spark: SparkSession, path: String, sourceName: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hit = Option(fs.globStatus(p)).exists(_.nonEmpty)
+    if (!hit) throw new java.io.FileNotFoundException(
+      s"Source '$sourceName': path '$path' matched no files")
+  }
+
+  def read(spark: SparkSession, spec: SourceSpec, schema: Option[StructType] = None): DataFrame = {
+    requireMatches(spark, spec.path, spec.name)
     spec.format match {
       case "json"    => json(spark, spec.path, spec.options, schema)
       case "csv"     => csv(spark, spec.path, spec.options, schema)
@@ -24,6 +40,7 @@ object Readers {
       case other =>
         throw new IllegalArgumentException(s"Unsupported source format: '$other' for source '${spec.name}'")
     }
+  }
 
   def json(spark: SparkSession, path: String,
            options: Map[String, String] = Map.empty,
@@ -49,7 +66,13 @@ object Readers {
   def parquet(spark: SparkSession, path: String): DataFrame = {
     // Parquet TIMESTAMP(NANOS) (pandas default) is otherwise an
     // illegal type for Spark; read as long and convert explicitly.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // NOTE this conf is SESSION-WIDE and must stay set until the scan
+    // executes (footers are re-read at execution) — save/restore
+    // around the read would break the lazy plan. graft's own mains
+    // set it at session construction; for user sessions this is the
+    // documented side effect of using Readers.parquet.
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path)
   }
 

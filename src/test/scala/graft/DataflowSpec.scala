@@ -138,6 +138,52 @@ class DataflowSpec extends SparkSpecBase {
       s"expected pushed filter:\n$scan")
   }
 
+  test("metadata-driven dedup / text_analysis / split steps compile and run") {
+    val spec =
+      s"""{"dataflows":[{"name":"llm",
+         |  "sources":[{"name":"docs","path":"${sf()}/documents.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"analyze","type":"text_analysis","params":{
+         |      "input":"docs","output":"scored","analyses":["quality","langid"]}},
+         |    {"name":"dedup","type":"dedup","params":{
+         |      "input":"scored","output":"unique","method":"exact"}},
+         |    {"name":"near","type":"dedup","params":{
+         |      "input":"unique","output":"cleaned","method":"ngram_jaccard","threshold":0.8}},
+         |    {"name":"assign","type":"split","params":{
+         |      "input":"cleaned","output":"final","train_pct":80,"val_pct":10}}
+         |  ],"sinks":[]}]}""".stripMargin
+    val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("llm"))
+    val out = frames("final")
+    // analysis columns appended, split assigned
+    assert(out.columns.contains("quality_score") && out.columns.contains("lang_pred")
+      && out.columns.contains("split"))
+    // exact dedup via metadata equals the operator's own keeper count
+    val direct = graft.operators.Dedup.exact(
+      frames("scored"), col("text"), col("doc_id")).count()
+    assert(frames("unique").count() === direct)
+    // near-dup step only ever removes rows
+    assert(out.count() <= frames("unique").count())
+    assert(out.count() > 0)
+    // plan assertions: exact dedup groups on the md5 fingerprint (no
+    // raw-text shuffle key) and the near-dup drop is a left-anti join
+    val plan = frames("cleaned").queryExecution.optimizedPlan.toString
+    assert(plan.contains("md5"), s"expected fingerprint grouping:\n$plan")
+    assert(plan.toLowerCase.contains("leftanti"), s"expected anti join:\n$plan")
+    assert(!frames("unique").queryExecution.executedPlan.toString
+      .contains("hashpartitioning(text#"), "raw text used as shuffle key")
+  }
+
+  test("empty source glob fails fast with a FileNotFoundError-style message") {
+    val spec =
+      """{"dataflows":[{"name":"x",
+        |  "sources":[{"name":"src","path":"/tmp/graft_no_such_dir/*.json","format":"json"}],
+        |  "transformations":[],"sinks":[]}]}""".stripMargin
+    val flow = MetaLoader.loadString(spec).dataflow("x")
+    val e = intercept[java.io.FileNotFoundException](Dataflow.plan(spark, flow))
+    assert(e.getMessage.contains("matched no files") && e.getMessage.contains("src"),
+      s"unexpected message: ${e.getMessage}")
+  }
+
   test("unknown transformation type fails loudly") {
     val bad = """{"dataflows":[{"name":"x","sources":[],"transformations":[
                 |{"name":"t","type":"frobnicate","params":{"input":"a"}}],"sinks":[]}]}""".stripMargin
@@ -162,5 +208,34 @@ class DataflowSpec extends SparkSpecBase {
     val scans = plan.collect { case l: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
         if l.getClass.getSimpleName == "LogicalRelation" => l }
     assert(scans.size === 1, s"expected 1 scan, plan:\n$plan")
+  }
+
+  test("fieldStats handles a true DATE column (epoch-second min/max)") {
+    val df = Seq("2020-01-02", "2021-03-04", "2019-12-31")
+      .toDF("s").select(to_date(col("s")).as("d"))
+    assert(df.schema("d").dataType ===
+      org.apache.spark.sql.types.DateType)
+    val st = graft.operators.StatsOp.fieldStats(df, Seq("d")).collect().head
+    // session TZ is UTC → 2019-12-31 = 18261 days × 86400
+    assert(st.getAs[Double]("min_num") === 18261.0 * 86400)
+    assert(st.getAs[Double]("max_num") === 18690.0 * 86400)
+    assert(st.getAs[String]("min_value") === "2019-12-31")
+  }
+
+  test("fieldStats auto-switches distinct counting to HLL above the size threshold") {
+    val df = spark.read.parquet(sf() + "/lineitem.parquet")
+    def planOf(thresholdBytes: Long) = {
+      spark.conf.set(graft.operators.StatsOp.ApproxThresholdConf, thresholdBytes.toString)
+      try graft.operators.StatsOp.fieldStats(df, Seq("l_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      finally spark.conf.unset(graft.operators.StatsOp.ApproxThresholdConf)
+    }
+    val small = planOf(1L)             // everything is "big" → HLL
+    val large = planOf(1L << 40)       // everything is "small" → exact
+    assert(small.contains("approx_count_distinct"), s"expected HLL plan:\n$small")
+    assert(!large.contains("approx_count_distinct") && large.contains("count(distinct"),
+      s"expected exact-distinct plan:\n$large")
+    // the HLL plan must stay a single pass: no Expand node
+    assert(!small.contains("Expand"), s"HLL path should not Expand:\n$small")
   }
 }

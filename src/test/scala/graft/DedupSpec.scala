@@ -68,6 +68,32 @@ class DedupSpec extends SparkSpecBase {
       s"missed: ${exactPairs.diff(lshPairs)}")
   }
 
+  test("minhashLshVerified equals the exact prefix-filter join on real corpus") {
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    val exact = Dedup.ngramJaccard(d, col("text"), col("doc_id"), k = 3, threshold = 0.8)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val verified = Dedup.minhashLshVerified(d, col("text"), col("doc_id"),
+        k = 3, threshold = 0.8)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(verified === exact,
+      s"missed: ${exact.diff(verified)}, extra: ${verified.diff(exact)}")
+  }
+
+  test("ngramJaccard length filter prunes size-incompatible candidates, not true pairs") {
+    // doc 6 shares its 3 shingles with doc 7's long text but can never
+    // reach j >= 0.5 on size alone — the length filter must drop it;
+    // 1≈2 (true pair at j=0.87) must survive all candidate pruning
+    val d = docs.unionAll(Seq(
+      (6L, "alpha beta gamma delta epsilon"),
+      (7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon")).toDF("doc_id", "text"))
+    val out = Dedup.ngramJaccard(d, col("text"), col("doc_id"), k = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(out.contains((1L, 2L)) && out.contains((3L, 4L)))
+    assert(!out.contains((6L, 7L)))
+  }
+
   test("simhash: identical docs at distance 0, near pair within 3, unrelated absent") {
     val out = Dedup.simhash(docs, col("text"), col("doc_id"), maxDistance = 3)
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()

@@ -62,9 +62,9 @@ class SimilaritySpec extends SparkSpecBase {
   }
 
   test("IVF topk: planted dups land in the same cell; good weak-pair recall") {
+    // auto defaults throughout: nlist = max(16, ⌈√n⌉), nprobe = max(4, nlist/8)
     val e = withPlantedDups
-    val out = Similarity.ivfTopK(e, col("vec_id"), col("embedding"),
-        k = 3, nlist = 16, nprobe = 4)
+    val out = Similarity.ivfTopK(e, col("vec_id"), col("embedding"), k = 3)
       .filter(col("id") >= 100000L && col("rank") === 1)
       .select("id", "neighbor_id").as[(Long, Long)].collect()
     val hit = out.count { case (dup, nb) => nb === dup - 100000L }
@@ -75,11 +75,10 @@ class SimilaritySpec extends SparkSpecBase {
     val base = spark.read.parquet(sf() + "/embeddings.parquet")
     val exact = Similarity.bruteForceTopK(base, base, col("vec_id"), col("embedding"), k = 5)
       .select("id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val ivf = Similarity.ivfTopK(base, col("vec_id"), col("embedding"),
-        k = 5, nlist = 16, nprobe = 6)
+    val ivf = Similarity.ivfTopK(base, col("vec_id"), col("embedding"), k = 5)
       .select("id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = exact.intersect(ivf).size.toDouble / exact.size
-    info(f"IVF recall@5 = $recall%.3f")
+    info(f"IVF recall@5 = $recall%.3f (auto nlist/nprobe, spherical cells)")
     assert(recall >= 0.5)
   }
 
