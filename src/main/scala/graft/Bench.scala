@@ -51,7 +51,10 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      finally spark.catalog.clearCache() // drop per-query signature caches
+      finally {
+        graft.operators.OpCache.releaseAll() // drop per-query signature caches
+        spark.catalog.clearCache()
+      }
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -81,6 +81,10 @@ object Dataflow {
               throw new IllegalArgumentException(s"dedup '${s.name}': unknown method '$other'")
           }
           val out = (s.method, s.mode) match {
+            case ("exact", "pairs") =>
+              // the duplicate-group report frame itself: one row per
+              // distinct content with its canonical id + copy count
+              Dedup.exact(in, content, id)
             case ("exact", _) =>
               // one canonical row (min id) per distinct content
               in.join(Dedup.exact(in, content, id)
@@ -116,6 +120,22 @@ object Dataflow {
               throw new IllegalArgumentException(
                 s"text_analysis '${s.name}': unknown analysis '$other'")
           }}
+          frames + (s.output -> out)
+        case s: AnnSpec =>
+          import org.apache.spark.sql.functions.col
+          val idC = col(s.idCol)
+          val vecC = col(s.vecCol)
+          val out = s.method match {
+            case "lsh" =>
+              Similarity.lshTopK(in, idC, vecC, s.k, s.tables, s.bits)
+            case "ivf" =>
+              Similarity.ivfTopK(in, idC, vecC, s.k, s.nlist, s.nprobe,
+                s.codebookPath.map(Similarity.loadCentroids))
+            case "brute" =>
+              Similarity.bruteForceTopK(in, in, idC, vecC, s.k)
+            case other =>
+              throw new IllegalArgumentException(s"ann '${s.name}': unknown method '$other'")
+          }
           frames + (s.output -> out)
         case s: SplitSpec =>
           frames + (s.output -> Sampling.hashSplit(

@@ -338,6 +338,10 @@ object Oracles {
     // (distinct shingles, shared-shingle join, count-based intersection).
     "dedup_ngram_jaccard" -> ngramJaccardPairsSql,
 
+    // SimHash-blocked + exact-Jaccard-verified — same ground truth;
+    // a hash-exact match certifies blocking recall 1 on this corpus
+    "dedup_simhash" -> ngramJaccardPairsSql,
+
     // Dedup.minhashLshVerified rescores LSH candidates against the
     // TRUE shingle sets, so its output is the exact-Jaccard pair set
     // (candidate miss probability ~8e-8 per pair at j=0.8 with

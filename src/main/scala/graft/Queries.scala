@@ -365,9 +365,12 @@ object Queries {
   def dedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshVerified(t(s, dir, "documents"), col("text"), col("doc_id"))
 
-  /** SimHash near-dup pairs (64-bit, hamming ≤ 3). */
+  /** SimHash-blocked near-dup pairs, exactly verified (true Jaccard
+    * ≥ 0.8) — hamming ≤ 8 pigeonhole blocking, exact rescore, full
+    * DuckDB oracle. The raw hamming-pairs path (`Dedup.simhash`) is
+    * spec-covered. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhash(t(s, dir, "documents"), col("text"), col("doc_id"))
+    Dedup.simhashVerified(t(s, dir, "documents"), col("text"), col("doc_id"))
 
   /** Embedding cosine near-dup pairs (threshold tuned to testdata's
     * similarity range — no planted dups above 0.52). */

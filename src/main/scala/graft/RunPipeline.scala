@@ -11,19 +11,63 @@ import org.apache.spark.sql.SparkSession
  * validation summary.
  *
  * Usage:
- *   runMain graft.RunPipeline <metadata.json> [dataflowName] [inputPathOverride]
+ *   runMain graft.RunPipeline <metadata.json> [dataflowName] [inputPathOverride] [--verbose]
  *
  * Unlike the reference — which caches + counts OK/KO eagerly before
  * writing (two extra jobs) — graft computes the validation summary
  * from the single-pass [[operators.StatsOp.validationStatsFromSplit]]
  * plan and lets the sinks drive execution.
+ *
+ * `--verbose` prints one `[stage]` line per source and transformation
+ * output — row count + columns (reference: src/logger.py:1-58, which
+ * file-logs around every pipeline stage). Row counts are extra
+ * actions per stage; that cost is exactly what the flag opts into.
  */
 object RunPipeline {
+
+  /** Output frame names a transformation contributes (for stage
+    * reporting). */
+  private def outputsOf(t: meta.TransformSpec): Seq[String] = t match {
+    case v: meta.ValidateSpec     => Seq(v.okOutput, v.koOutput)
+    case s: meta.ComputeStatsSpec => Seq(s"${s.name}_fields")
+    case s: meta.NormalizeSpec    => Seq(s.output)
+    case s: meta.DropColumnsSpec  => Seq(s.output)
+    case s: meta.SelectColumnsSpec => Seq(s.output)
+    case s: meta.AddFieldsSpec    => Seq(s.output)
+    case s: meta.FilterSpec       => Seq(s.output)
+    case s: meta.JoinSpec         => Seq(s.output)
+    case s: meta.AggregateSpec    => Seq(s.output)
+    case s: meta.SqlSpec          => Seq(s.output)
+    case s: meta.DedupTransformSpec => Seq(s.output)
+    case s: meta.TextAnalysisSpec => Seq(s.output)
+    case s: meta.SplitSpec        => Seq(s.output)
+    case s: meta.AnnSpec          => Seq(s.output)
+  }
+
+  /** One `[stage]` line per source / transformation output: name,
+    * transform type, row count, columns. Pure so the spec can assert
+    * the shape without capturing stdout. */
+  def stageSummary(flow: meta.DataflowSpec,
+                   frames: Map[String, org.apache.spark.sql.DataFrame]): Seq[String] = {
+    val sourceLines = flow.sources.flatMap { s =>
+      frames.get(s.name).map(df =>
+        s"[stage] source '${s.name}' (${s.format}): ${df.count()} rows, " +
+          s"cols=[${df.columns.mkString(", ")}]")
+    }
+    val stageLines = flow.transformations.flatMap { t =>
+      val tpe = t.getClass.getSimpleName.stripSuffix("Spec")
+      outputsOf(t).flatMap(o => frames.get(o).map(df =>
+        s"[stage] ${t.name} ($tpe) -> '$o': ${df.count()} rows, " +
+          s"cols=[${df.columns.mkString(", ")}]"))
+    }
+    sourceLines ++ stageLines
+  }
 
   /** Resolve + run one dataflow; returns its named frames. */
   def run(spark: SparkSession, metadataPath: String,
           dataflowName: Option[String] = None,
-          inputOverride: Option[String] = None): Map[String, org.apache.spark.sql.DataFrame] = {
+          inputOverride: Option[String] = None,
+          verbose: Boolean = false): Map[String, org.apache.spark.sql.DataFrame] = {
     val pipeline = MetaLoader.loadFile(metadataPath)
     require(pipeline.dataflows.nonEmpty, "No dataflows defined in metadata.")
     val flow0 = dataflowName.map(pipeline.dataflow)
@@ -35,6 +79,7 @@ object RunPipeline {
       case _ => flow0
     }
     val frames = Dataflow.run(spark, flow)
+    if (verbose) stageSummary(flow, frames).foreach(println)
     for {
       ok <- frames.get("validation_ok")
       ko <- frames.get("validation_ko")
@@ -48,9 +93,11 @@ object RunPipeline {
     frames
   }
 
-  def main(args: Array[String]): Unit = {
+  def main(argsIn: Array[String]): Unit = {
+    val verbose = argsIn.contains("--verbose")
+    val args = argsIn.filterNot(_.startsWith("--"))
     require(args.nonEmpty,
-      "usage: RunPipeline <metadata.json> [dataflowName] [inputPathOverride]")
+      "usage: RunPipeline <metadata.json> [dataflowName] [inputPathOverride] [--verbose]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,7 +109,7 @@ object RunPipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, args(0), args.lift(1), args.lift(2))
+    try run(spark, args(0), args.lift(1), args.lift(2), verbose)
     finally spark.stop()
   }
 }

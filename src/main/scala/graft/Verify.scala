@@ -24,6 +24,7 @@ object Verify {
       }
       // dedup/similarity operators cache signature frames; drop them
       // between queries so a 47-query loop doesn't accumulate blocks
+      graft.operators.OpCache.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -141,6 +141,95 @@ object TextHashExprs {
   }
 
   /**
+   * MinHash signature AND the sorted distinct shingle-hash array in
+   * ONE pass over the text: struct(sig: array<long>, sh: array<long>).
+   * The LSH-then-verify construction needs both per document (bands
+   * from `sig`, exact rescoring from `sh`); computing them as two
+   * expressions tokenizes and base-hashes every shingle twice. This
+   * kernel shares one tokenize+hash pass, and applies the `numHashes`
+   * salted hashes per DISTINCT shingle (repetitive documents don't
+   * redo the salt loop per repeated occurrence). Output is
+   * bit-identical to ([[MinhashSigExpr]], [[ShingleHashesExpr]]).
+   * Null when the document has fewer than k tokens.
+   */
+  case class MinhashWithShinglesExpr(child: Expression, k: Int, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("sig", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("sh", ArrayType(LongType, containsNull = false), nullable = false)))
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val set = shinglesOf(v.asInstanceOf[UTF8String], k)
+      if (set.isEmpty) return null
+      val hs = new Array[Long](set.size)
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      val it = set.iterator()
+      var i = 0
+      while (it.hasNext) {
+        val base = hashUtf8(UTF8String.fromString(it.next()), Seed)
+        hs(i) = base
+        var h = 0
+        while (h < numHashes) {
+          val hv = XXH64.hashLong(base, h.toLong)
+          if (hv < mins(h)) mins(h) = hv
+          h += 1
+        }
+        i += 1
+      }
+      java.util.Arrays.sort(hs)
+      var n = 0
+      var j = 0
+      while (j < hs.length) {
+        if (j == 0 || hs(j) != hs(j - 1)) { hs(n) = hs(j); n += 1 }
+        j += 1
+      }
+      val sh = if (n == hs.length) hs else java.util.Arrays.copyOf(hs, n)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](ArrayData.toArrayData(mins), ArrayData.toArrayData(sh)))
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /**
+   * Reorders a shingle-hash array into the PPJoin GLOBAL FREQUENCY
+   * order (isFrequent, hash): hashes absent from `freqSorted` first
+   * (ascending hash), then the frequent ones (ascending hash). Any
+   * consistent total order preserves the prefix-filter theorem's
+   * no-false-negative property; THIS order pushes high-document-
+   * frequency shingles (stopword n-grams) to the array tail, so the
+   * sliced prefix — the first |s|−⌈t·|s|⌉+1 elements — holds the
+   * RAREST shingles. Without it, a shingle present in f documents
+   * lands in ~(1−t) of all prefixes, creating ~((1−t)·f)²/2 candidate
+   * pairs on a single join key: a quadratic, skewed shuffle at scale.
+   * Membership test is a binary search over the sorted frequent set.
+   */
+  case class FreqReorderExpr(child: Expression, freqSorted: Array[Long])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      val n = a.numElements()
+      val out = new Array[Long](n)
+      val freq = new Array[Long](n)
+      var rare = 0
+      var nf = 0
+      var i = 0
+      while (i < n) {
+        val h = a.getLong(i)
+        if (java.util.Arrays.binarySearch(freqSorted, h) >= 0) { freq(nf) = h; nf += 1 }
+        else { out(rare) = h; rare += 1 }
+        i += 1
+      }
+      System.arraycopy(freq, 0, out, rare, nf)
+      ArrayData.toArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /**
    * 64-bit SimHash over whitespace tokens of the lowercased text
    * (every occurrence votes, matching the explode formulation
    * bit-for-bit — same xxhash64 per token, same ±1 votes, same
@@ -183,6 +272,10 @@ object TextHashExprs {
     GraftBridge.column(ShingleHashesExpr(e(text), k))
   def minhashSig(text: Column, k: Int, numHashes: Int): Column =
     GraftBridge.column(MinhashSigExpr(e(text), k, numHashes))
+  def minhashWithShingles(text: Column, k: Int, numHashes: Int): Column =
+    GraftBridge.column(MinhashWithShinglesExpr(e(text), k, numHashes))
+  def freqReorder(sh: Column, freqSorted: Array[Long]): Column =
+    GraftBridge.column(FreqReorderExpr(e(sh), freqSorted))
   def simhash64(text: Column): Column =
     GraftBridge.column(SimhashExpr(e(text)))
 }

@@ -150,6 +150,9 @@ object VectorExprs {
       extends UnaryExpression with CodegenFallback {
     require(bits <= 63, "bits must fit a long")
     require(tables <= 4096, "tables must fit the 12-bit field of the plane key")
+    require(seed >= 0 && seed < (1 << 20),
+      "seed must fit the 20-bit field of the plane key (0 <= seed < 2^20); " +
+        "seeds differing only above bit 19 would silently generate identical hyperplanes")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = true
     private lazy val et = elemType(child.dataType)

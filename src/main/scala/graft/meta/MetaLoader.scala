@@ -103,6 +103,17 @@ object MetaLoader {
           idCol = str(p, "id", "doc_id"),
           trainPct = p.path("train_pct").asInt(80),
           valPct = p.path("val_pct").asInt(10))
+      case "ann" =>
+        AnnSpec(name, input, output,
+          method = str(p, "method", "lsh").toLowerCase,
+          idCol = str(p, "id", "vec_id"),
+          vecCol = str(p, "vec", "embedding"),
+          k = p.path("k").asInt(10),
+          tables = p.path("tables").asInt(8),
+          bits = p.path("bits").asInt(8),
+          nlist = p.path("nlist").asInt(0),
+          nprobe = p.path("nprobe").asInt(0),
+          codebookPath = optStr(p, "codebook_path"))
       case "compute_stats" =>
         ComputeStatsSpec(name, input,
           fields = if (p.has("fields")) Some(strArr(p, "fields")) else None,

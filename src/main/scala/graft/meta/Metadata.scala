@@ -165,6 +165,30 @@ final case class SplitSpec(
     valPct: Int = 10)
   extends TransformSpec
 
+/**
+ * graft extension: approximate-nearest-neighbor retrieval over an
+ * embedding column — the declarative surface for the similarity
+ * catalog. `method`: lsh | ivf | brute. Output frame: (id,
+ * neighbor_id, cos_sim, rank) with rank 1..k. `codebookPath` points
+ * at a persisted IVF codebook (`Similarity.saveCentroids`) so
+ * cluster runs reuse a train-once artifact instead of retraining
+ * per pipeline.
+ */
+final case class AnnSpec(
+    name: String,
+    input: String,
+    output: String,
+    method: String = "lsh",
+    idCol: String = "vec_id",
+    vecCol: String = "embedding",
+    k: Int = 10,
+    tables: Int = 8,
+    bits: Int = 8,
+    nlist: Int = 0,
+    nprobe: Int = 0,
+    codebookPath: Option[String] = None)
+  extends TransformSpec
+
 /** reference: src/transformations.py:330-369 (compute_stats). */
 final case class ComputeStatsSpec(
     name: String,

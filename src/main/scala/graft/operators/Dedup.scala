@@ -68,32 +68,81 @@ object Dedup {
    *    pair always survives, so no false negatives).
    */
   def ngramJaccard(df: DataFrame, content: Column, id: Column,
-                   k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    import graft.functions.{TextHashExprs, VectorExprs}
-    // cached: the signature frame is referenced four times (both
-    // prefix sides + both rescoring joins); without the cache an
-    // expensive upstream (e.g. pipeline_docs' scored/filtered
-    // subtree) is recomputed per reference. The cache is narrow —
-    // one (id, hash-array) row per doc. Long-lived sessions looping
-    // many queries should clear it between queries
-    // (spark.catalog.clearCache(), as graft.Verify/Bench do).
-    val sigs = Scale.ensureParallelism(
+                   k: Int = 3, threshold: Double = 0.8,
+                   freqOrdered: Boolean = true): DataFrame = {
+    val sigs = shingleSigs(df, content, id, k)
+    rescore(prefixCandidates(sigs, threshold, freqOrdered), sigs, threshold)
+  }
+
+  /** The cached (doc_id, sh) signature frame shared by the set-
+    * similarity operators. Cached because it is referenced four times
+    * (both prefix sides + both rescoring joins); without the cache an
+    * expensive upstream (e.g. pipeline_docs' scored/filtered subtree)
+    * is recomputed per reference. The cache is narrow — one
+    * (id, hash-array) row per doc — and TRACKED: [[OpCache.releaseAll]]
+    * drops it after the query's terminal action (graft.Verify/Bench do
+    * this per query; library users call it between queries). */
+  private[graft] def shingleSigs(df: DataFrame, content: Column, id: Column,
+                                     k: Int): DataFrame =
+    OpCache.cache(Scale.ensureParallelism(
       df.select(id.as("doc_id"),
-          TextHashExprs.shingleHashes(content, k).as("sh"))
-        .filter(col("sh").isNotNull)).cache()
+          graft.functions.TextHashExprs.shingleHashes(content, k).as("sh"))
+        .filter(col("sh").isNotNull)))
+
+  /**
+   * PPJoin candidate generation over a (doc_id, sh) signature frame.
+   * With `freqOrdered` (the default), one extra aggregation computes
+   * per-shingle document frequencies and the top frequent set (df ≥ 4,
+   * capped at 2²⁰ hashes ≈ 8 MB driver-side) is folded into a
+   * [[graft.functions.TextHashExprs.FreqReorderExpr]]: each doc's
+   * array is reordered under the global (isFrequent, hash) total
+   * order before the prefix slice, so stopword shingles — present in
+   * a large fraction of documents — can no longer occupy prefixes and
+   * fan out quadratically on one join key. Correctness is order-
+   * independent (any consistent total order keeps the prefix-filter
+   * theorem's no-false-negative guarantee; positions for the
+   * positional filter come from the same order on both sides).
+   *
+   * At 100 TB the frequency aggregation is one explode+groupBy over
+   * the cached signatures — a bounded, well-distributed shuffle paid
+   * once per corpus; a persisted/ sampled frequency set would also do.
+   */
+  private[graft] def prefixCandidates(sigs: DataFrame, threshold: Double,
+                                          freqOrdered: Boolean,
+                                          minDf: Int = 4,
+                                          maxFreqSet: Int = 1 << 20): DataFrame = {
+    val freq: Array[Long] =
+      if (!freqOrdered) Array.emptyLongArray
+      else sigs.select(explode(col("sh")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= minDf)
+        .orderBy(col("df").desc, col("h").asc)
+        .limit(maxFreqSet)
+        .select("h").collect().map(_.getLong(0)).sorted
+    val ordered =
+      if (freq.isEmpty) col("sh")
+      else graft.functions.TextHashExprs.freqReorder(col("sh"), freq)
     val prefixLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
     val prefixes = sigs.select(col("doc_id"), size(col("sh")).as("sz"),
-        posexplode(slice(col("sh"), lit(1), prefixLen)))
+        posexplode(slice(ordered, lit(1), prefixLen)))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "ph")
     val minOverlap = ceil(lit(threshold / (1.0 + threshold)) *
       (col("a.sz") + col("b.sz")))
-    val cand = prefixes.as("a").join(prefixes.as("b"),
+    prefixes.as("a").join(prefixes.as("b"),
         col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id") &&
           col("a.sz") >= lit(threshold) * col("b.sz") &&
           col("b.sz") >= lit(threshold) * col("a.sz") &&
           least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) >= minOverlap)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** Exact-Jaccard rescoring of candidate (doc_a, doc_b) pairs against
+    * the (doc_id, sh) signature frame: O(n+m) sorted-merge
+    * intersection per pair, threshold filter, the shared output
+    * contract (doc_a, doc_b, inter, size_a, size_b, jaccard). */
+  private def rescore(cand: DataFrame, sigs: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VectorExprs
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -135,7 +184,7 @@ object Dedup {
                  threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sig = minhashSignatures(df, content, id, k, numHashes).cache()
+    val sig = OpCache.cache(minhashSignatures(df, content, id, k, numHashes))
     val banded = sig.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
@@ -171,14 +220,18 @@ object Dedup {
   def minhashLshVerified(df: DataFrame, content: Column, id: Column,
                          k: Int = 3, numHashes: Int = 32, bands: Int = 16,
                          threshold: Double = 0.8): DataFrame = {
-    import graft.functions.{TextHashExprs, VectorExprs}
+    import graft.functions.TextHashExprs
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val sigs = Scale.ensureParallelism(
+    // signature AND shingle set from ONE pass over the text
+    // (MinhashWithShinglesExpr) — computing them as two expressions
+    // tokenized and base-hashed every shingle twice, which dominated
+    // the operator's cost
+    val sigs = OpCache.cache(Scale.ensureParallelism(
       df.select(id.as("doc_id"),
-          TextHashExprs.minhashSig(content, k, numHashes).as("sig"),
-          TextHashExprs.shingleHashes(content, k).as("sh"))
-        .filter(col("sig").isNotNull)).cache()
+          TextHashExprs.minhashWithShingles(content, k, numHashes).as("b"))
+        .filter(col("b").isNotNull)
+        .select(col("doc_id"), col("b.sig").as("sig"), col("b.sh").as("sh"))))
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
@@ -188,17 +241,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        VectorExprs.sortedIntersectCount(col("sh_a"), col("sh_b")).cast("long").as("inter"),
-        size(col("sh_a")).cast("long").as("size_a"),
-        size(col("sh_b")).cast("long").as("size_b"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("size_a") + col("size_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+    rescore(cand, sigs, threshold)
   }
 
   /**
@@ -218,17 +261,28 @@ object Dedup {
    * Pigeonhole blocking: split 64 bits into `maxDistance + 1` chunks;
    * any pair within distance shares at least one exact chunk, so
    * candidates come from equi-joins on (chunk index, chunk value) —
-   * again a shuffle, not a cross join.
+   * again a shuffle, not a cross join. The 64 % chunks remainder bits
+   * are DISTRIBUTED (first `64 % chunks` chunks are one bit wider)
+   * rather than ignored: wider chunks mean fewer random collisions —
+   * expected candidates are n²/2 · Σ 2^(−width_i), so every covered
+   * bit cuts a chunk's collision mass in half.
    */
   def simhash(df: DataFrame, content: Column, id: Column,
               maxDistance: Int = 3): DataFrame = {
     val chunks = maxDistance + 1
-    val bitsPerChunk = 64 / chunks
-    val sig = simhashSignatures(df, content, id).cache()
+    require(chunks <= 64, "maxDistance must be < 64")
+    val base = 64 / chunks
+    val wide = 64 % chunks // this many chunks get base+1 bits
+    // chunk i covers bits [offset(i), offset(i)+width(i))
+    val widths = Array.tabulate(chunks)(i => if (i < wide) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val sig = OpCache.cache(simhashSignatures(df, content, id))
+    val chunkVals = (0 until chunks).map { i =>
+      call_function("shiftright", col("simhash"), lit(offsets(i)))
+        .bitwiseAND(if (widths(i) == 64) -1L else (1L << widths(i)) - 1)
+    }
     val chunked = sig.select(col("doc_id"), col("simhash"),
-        posexplode(transform(sequence(lit(0), lit(chunks - 1)),
-          i => call_function("shiftright", col("simhash"), i * bitsPerChunk)
-            .bitwiseAND((1L << bitsPerChunk) - 1))))
+        posexplode(array(chunkVals: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
     val a = chunked.as("a")
     val b = chunked.as("b")
@@ -239,5 +293,33 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDistance)
+  }
+
+  /**
+   * SimHash blocking with EXACT Jaccard verification: candidates are
+   * the Hamming ≤ `maxDistance` pairs from [[simhash]]'s pigeonhole
+   * blocking, rescored against the true k-shingle sets (same kernel
+   * and output contract as [[ngramJaccard]]): (doc_a, doc_b, inter,
+   * size_a, size_b, jaccard) with jaccard ≥ threshold, doc_a < doc_b.
+   *
+   * Unlike MinHash banding, SimHash gives no analytic recall bound at
+   * a Jaccard threshold (Hamming distance tracks the cosine of the
+   * token-frequency vectors, not set Jaccard) — but near-duplicate
+   * text at j ≥ 0.8 has nearly identical token profiles, so its
+   * 64-bit SimHashes differ in very few bits (measured on the
+   * testdata corpus: max hamming 9 at j ≥ 0.8, hence the default).
+   * The driver's DuckDB exact-Jaccard oracle is the empirical recall
+   * gate: a hash-exact match certifies that blocking at `maxDistance`
+   * missed nothing on that corpus. Cost stays shuffle-shaped — 10
+   * chunk keys of 6-7 bits per doc at the default, so expected random
+   * collisions ≈ n²·0.06; for billion-doc corpora use the tighter
+   * hamming ≤ 3 default of [[simhash]] (16-bit chunks, n²·3·10⁻⁵)
+   * and accept the un-certified recall.
+   */
+  def simhashVerified(df: DataFrame, content: Column, id: Column,
+                      maxDistance: Int = 9, k: Int = 3,
+                      threshold: Double = 0.8): DataFrame = {
+    val cand = simhash(df, content, id, maxDistance).select("doc_a", "doc_b")
+    rescore(cand, shingleSigs(df, content, id, k), threshold)
   }
 }

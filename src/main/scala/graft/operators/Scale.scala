@@ -24,15 +24,95 @@ object Scale {
    * Guard against under-partitioned inputs: a few small parquet files
    * arrive as 1-2 partitions, which serializes every downstream
    * map-side operator (explode fan-outs, signature kernels, cross
-   * joins) onto one core. Repartitions ONLY when the scan has fewer
-   * partitions than the session's default parallelism — on a real
-   * multi-TB input this is a no-op, so no gratuitous full shuffle of
-   * big data.
+   * joins) onto one core. Repartitions ONLY when the estimated scan
+   * partition count (leaf bytes / `files.maxPartitionBytes`) is below
+   * the session's default parallelism — on a real multi-TB input this
+   * is a no-op, so no gratuitous full shuffle of big data.
+   *
+   * The estimate is PLAN-TIME ONLY (optimized-plan leaf statistics) —
+   * no `df.rdd`, which would force physical planning + RDD
+   * materialization of the subtree once per call-site. Catalyst can
+   * overestimate derived plans, but overestimation only skips the
+   * repartition (results unchanged); the frames passed here are
+   * projections of scans, where leaf stats are the actual file sizes.
    */
   def ensureParallelism(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxPartBytes = spark.conf.get("spark.sql.files.maxPartitionBytes", s"${128L << 20}")
+      .stripSuffix("b").toLong
+    val leafBytes = estimatedLeafBytes(df)
+    if (leafBytes / maxPartBytes + 1 < target) df.repartition(target) else df
   }
+
+  /** Sum of leaf-relation size estimates — actual file / in-memory
+    * bytes, immune to the join-multiplication blowup of derived-plan
+    * stats. Uses the ANALYZED plan (not optimized): leaf relations are
+    * identical, no optimizer pass is paid, and — unlike
+    * `optimizedPlan` — it doesn't run the batch-support check, so it
+    * is safe on streaming frames too. Never runs a job. */
+  def estimatedLeafBytes(df: DataFrame): BigInt =
+    df.queryExecution.analyzed.collectLeaves().map(_.stats.sizeInBytes).sum
+
+  /**
+   * Plan-time row-count estimate — NEVER an action. Preference order:
+   *  1. Catalyst `rowCount` (present for ANALYZEd tables);
+   *  2. parquet footer row counts of the leaf file relations —
+   *     driver-side metadata IO only (footers are a few KB each),
+   *     sampled at up to `sampleFiles` files per relation and
+   *     extrapolated by byte size;
+   *  3. leaf bytes / schema default row width (order-of-magnitude
+   *     fallback for non-parquet leaves).
+   * Parameter-sizing callers (e.g. IVF's √n list count) only need the
+   * order of magnitude, so estimate error is acceptable where a
+   * `count()` action — a full scan at 100 TB — is not.
+   */
+  def estimatedRows(df: DataFrame, sampleFiles: Int = 8): Double = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = df.queryExecution.analyzed
+    plan.stats.rowCount.map(_.toDouble).getOrElse {
+      val fromFooters = plan.collectLeaves().collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation if fs.fileFormat.toString.toLowerCase.contains("parquet") =>
+            parquetRowEstimate(df, fs, sampleFiles)
+          case _ => None
+        }
+        case _ => None
+      }
+      val footerRows = fromFooters.flatten.sum
+      if (fromFooters.nonEmpty && fromFooters.forall(_.isDefined)) footerRows
+      else {
+        val width = math.max(8, df.schema.map(_.dataType.defaultSize).sum)
+        math.max(1.0, (BigDecimal(estimatedLeafBytes(df)) / width).toDouble)
+      }
+    }
+  }
+
+  /** Footer-based row estimate for one file relation: read up to
+    * `sampleFiles` footers, extrapolate rows/byte to the full size. */
+  private def parquetRowEstimate(df: DataFrame,
+                                 fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+                                 sampleFiles: Int): Option[Double] =
+    try {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      val paths = fs.location.inputFiles.take(sampleFiles)
+      if (paths.isEmpty) return Some(0.0)
+      var rows = 0L
+      var bytes = 0L
+      paths.foreach { p =>
+        val path = new org.apache.hadoop.fs.Path(p)
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          rows += reader.getRecordCount
+          bytes += in.getLength
+        } finally reader.close()
+      }
+      val totalBytes = fs.location.sizeInBytes
+      Some(
+        if (bytes <= 0) rows.toDouble
+        else rows.toDouble * (totalBytes.toDouble / bytes))
+    } catch { case _: Throwable => None }
 
   /**
    * Skew-safe equi-join: the fact side gets a deterministic salt in

@@ -170,9 +170,16 @@ object Similarity {
       }
     require(sample.nonEmpty, "empty training sample")
     val k = math.min(nlist, sample.length)
+    if (k < nlist)
+      System.err.println(s"[graft] trainKmeans: nlist=$nlist clamped to sample size $k " +
+        s"(raise trainSize for the documented n/sqrt(n) cell geometry)")
     val dim = sample(0).length
     var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
-    val chunkSize = math.max(256, sample.length / (4 * Runtime.getRuntime.availableProcessors))
+    // fixed chunk size: the per-chunk double partial sums group the FP
+    // additions, so a core-count-dependent chunk size would make the
+    // codebook machine-dependent; 256 is machine-independent and still
+    // yields sample/256 ≈ 40 chunks of parallelism at the defaults
+    val chunkSize = 256
     val chunks: Array[Array[Array[Double]]] = sample.grouped(chunkSize).toArray
     var it = 0
     while (it < iters) {
@@ -242,9 +249,15 @@ object Similarity {
    * Defaults scale with the corpus: `nlist ≤ 0` resolves to
    * max(16, ⌈√n⌉) — the standard IVF sizing, keeping both cell size
    * (n/√n) and probe cost (nprobe·√n candidates per query) sublinear —
-   * and `nprobe ≤ 0` resolves to max(4, nlist/8), a fixed ~12% cell
-   * fraction. Pass a persisted codebook via `centroidsIn` (see
-   * [[saveCentroids]]) to skip training entirely.
+   * where n comes from the CATALYST SIZE ESTIMATE (leaf bytes /
+   * schema row width), not a `count()` action: sizing a parameter must
+   * never cost a full scan of a 100 TB input. √n only needs the order
+   * of magnitude, which the estimate delivers even under 2-4× parquet
+   * compression skew. `nprobe ≤ 0` resolves to max(4, nlist/8), a
+   * fixed ~12% cell fraction. The training sample scales with the
+   * resolved nlist (≥32 points per centroid, capped at 100k so the
+   * driver-side sample stays bounded). Pass a persisted codebook via
+   * `centroidsIn` (see [[saveCentroids]]) to skip training entirely.
    */
   def ivfTopK(df: DataFrame, id: Column, vec: Column, k: Int = 10,
               nlist: Int = 0, nprobe: Int = 0,
@@ -252,8 +265,9 @@ object Similarity {
     import graft.functions.VectorExprs.nearestCentroids
     val centroids = centroidsIn.getOrElse {
       val lists = if (nlist > 0) nlist
-        else math.max(16, math.ceil(math.sqrt(df.count().toDouble)).toInt)
-      trainKmeans(df, id, vec, lists)
+        else math.max(16, math.ceil(math.sqrt(Scale.estimatedRows(df))).toInt)
+      trainKmeans(df, id, vec, lists,
+        trainSize = math.min(100000, math.max(10000, 32 * lists)))
     }
     val probes = if (nprobe > 0) nprobe else math.max(4, centroids.length / 8)
     val v = withNorm(df, id, vec)

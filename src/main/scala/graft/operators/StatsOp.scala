@@ -52,7 +52,15 @@ object StatsOp {
     val useApprox = approxDistinct.getOrElse {
       val threshold = df.sparkSession.conf
         .getOption(ApproxThresholdConf).map(_.toLong).getOrElse(ApproxThresholdDefault)
-      df.queryExecution.optimizedPlan.stats.sizeInBytes > threshold
+      // Gate on the SUM OF LEAF sizes, not the derived-plan estimate:
+      // Catalyst multiplies child estimates through joins and defaults
+      // stat-less leaves to huge values, which would silently flip a
+      // small joined frame to approximate counting. Leaf stats are the
+      // actual file/in-memory sizes — the quantity "is this input big"
+      // actually means.
+      val leafBytes = df.queryExecution.optimizedPlan.collectLeaves()
+        .map(_.stats.sizeInBytes).sum
+      leafBytes > threshold
     }
     def distinctAgg(c: Column) =
       if (useApprox) approx_count_distinct(c) else countDistinct(c)

@@ -173,6 +173,67 @@ class DataflowSpec extends SparkSpecBase {
       .contains("hashpartitioning(text#"), "raw text used as shuffle key")
   }
 
+  test("metadata-driven ann step compiles, runs, and never cross-joins") {
+    val spec =
+      s"""{"dataflows":[{"name":"annflow",
+         |  "sources":[{"name":"emb","path":"${sf()}/embeddings.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"nn","type":"ann","params":{
+         |      "input":"emb","output":"neighbors","method":"lsh",
+         |      "id":"vec_id","vec":"embedding","k":5}}],
+         |  "sinks":[]}]}""".stripMargin
+    val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("annflow"))
+    val out = frames("neighbors")
+    assert(out.columns.toSeq === Seq("id", "neighbor_id", "cos_sim", "rank"))
+    assert(out.count() > 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"ANN metadata plan must be a bucket equi-join, not a cross join:\n$plan")
+    // unknown method fails loudly
+    val bad = spec.replace("\"method\":\"lsh\"", "\"method\":\"nope\"")
+    intercept[IllegalArgumentException](
+      Dataflow.plan(spark, MetaLoader.loadString(bad).dataflow("annflow")))
+  }
+
+  test("dedup metadata step: method=exact mode=pairs emits the group report frame") {
+    val spec =
+      s"""{"dataflows":[{"name":"d",
+         |  "sources":[{"name":"docs","path":"${sf()}/documents.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"groups","type":"dedup","params":{
+         |      "input":"docs","output":"report","method":"exact","mode":"pairs"}}],
+         |  "sinks":[]}]}""".stripMargin
+    val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("d"))
+    val report = frames("report")
+    assert(report.columns.toSeq === Seq("fp", "doc_id", "n_copies"))
+    assert(report.count() ===
+      graft.operators.Dedup.exact(frames("docs"), col("text"), col("doc_id")).count())
+  }
+
+  test("RunPipeline stage summary: one [stage] line per source + output, with counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_verbose").toString
+    Seq("""{"id":1,"v":"x"}""", """{"id":2,"v":""}""")
+      .toDS().coalesce(1).write.mode("overwrite").text(s"$dir/in")
+    val spec =
+      s"""{"dataflows":[{"name":"vb",
+         |"sources":[{"name":"raw","path":"$dir/in","format":"json"}],
+         |"transformations":[
+         |  {"name":"val","type":"validate_fields","params":{"input":"raw",
+         |    "validations":[{"field":"v","validations":["notEmpty"]}],
+         |    "ok_output":"ok","ko_output":"ko"}}],
+         |"sinks":[]}]}""".stripMargin
+    val flow = MetaLoader.loadString(spec).dataflow("vb")
+    val frames = Dataflow.plan(spark, flow)
+    val lines = RunPipeline.stageSummary(flow, frames)
+    assert(lines.forall(_.startsWith("[stage] ")))
+    assert(lines.exists(_.matches(
+      """\[stage\] source 'raw' \(json\): 2 rows, cols=\[.*\]""")), lines.mkString("\n"))
+    assert(lines.exists(_.matches(
+      """\[stage\] val \(Validate\) -> 'ok': 1 rows, cols=\[.*\]""")), lines.mkString("\n"))
+    assert(lines.exists(_.matches(
+      """\[stage\] val \(Validate\) -> 'ko': 1 rows, cols=\[.*\]""")), lines.mkString("\n"))
+  }
+
   test("empty source glob fails fast with a FileNotFoundError-style message") {
     val spec =
       """{"dataflows":[{"name":"x",

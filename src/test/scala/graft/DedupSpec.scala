@@ -103,6 +103,54 @@ class DedupSpec extends SparkSpecBase {
     assert(!out.contains((1L, 5L)) && !out.contains((3L, 5L)))
   }
 
+  test("frequency-ordered prefixes cut candidates on a skewed corpus, same pairs") {
+    // 40 docs sharing a 10-word stopword-ish run (8 shared shingles,
+    // df=40 each) plus 2 unique words — pairwise jaccard 8/12 < 0.8,
+    // so the TRUE answer is empty; with hash-ordered prefixes the
+    // shared shingles flood the prefix join anyway
+    val skewed = (1 to 40).map { i =>
+      (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta iota kappa u$i v$i")
+    }.toDF("doc_id", "text")
+    val sigs = Dedup.shingleSigs(skewed, col("text"), col("doc_id"), 3)
+    val candHash = Dedup.prefixCandidates(sigs, 0.8, freqOrdered = false).count()
+    val candFreq = Dedup.prefixCandidates(sigs, 0.8, freqOrdered = true).count()
+    assert(candHash > 0, "fixture should flood hash-ordered prefixes")
+    assert(candFreq < candHash,
+      s"freq ordering should shrink candidates: $candFreq vs $candHash")
+    // and on the real corpus the final pair set is identical either way
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    val byHash = Dedup.ngramJaccard(d, col("text"), col("doc_id"), freqOrdered = false)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val byFreq = Dedup.ngramJaccard(d, col("text"), col("doc_id"), freqOrdered = true)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(byHash.nonEmpty && byFreq === byHash)
+  }
+
+  test("simhashVerified equals the exact prefix-filter join on real corpus") {
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    val exact = Dedup.ngramJaccard(d, col("text"), col("doc_id"), k = 3, threshold = 0.8)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val verified = Dedup.simhashVerified(d, col("text"), col("doc_id"))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(verified === exact,
+      s"missed: ${exact.diff(verified)}, extra: ${verified.diff(exact)}")
+  }
+
+  test("operator-internal caches are tracked and fully released") {
+    import graft.operators.OpCache
+    OpCache.releaseAll()
+    spark.catalog.clearCache() // clean slate (other specs may have cached)
+    (1 to 2).foreach { _ =>
+      Dedup.ngramJaccard(docs, col("text"), col("doc_id")).count()
+    }
+    assert(OpCache.trackedCount >= 2)
+    OpCache.releaseAll()
+    assert(OpCache.trackedCount === 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked cached RDDs: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
   test("simhash signature is deterministic") {
     val s1 = Dedup.simhashSignatures(docs, col("text"), col("doc_id"))
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq

@@ -118,4 +118,41 @@ class NativeExprSpec extends SparkSpecBase {
     assert(sr === 0.5 && pr === 3.0 / 10.0)
     assert(q === 0.5 * 0.5 + (1.0 - 0.3) * 0.5)
   }
+
+  test("minhashWithShingles == (minhashSig, shingleHashes) bit-for-bit") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(50)
+    val both = docs.select(
+        TextHashExprs.minhashWithShingles(col("text"), 3, 32).as("b"),
+        TextHashExprs.minhashSig(col("text"), 3, 32).as("sig0"),
+        TextHashExprs.shingleHashes(col("text"), 3).as("sh0"))
+      .select(col("b.sig").as("sig"), col("b.sh").as("sh"), col("sig0"), col("sh0"))
+      .as[(Seq[Long], Seq[Long], Seq[Long], Seq[Long])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (sig, sh, sig0, sh0) =>
+      assert(sig === sig0)
+      assert(sh === sh0)
+    }
+    // null contract: under k tokens both are null together
+    val tiny = Seq("one two").toDF("text")
+      .select(TextHashExprs.minhashWithShingles(col("text"), 3, 8).as("b"))
+    assert(tiny.filter(col("b").isNotNull).count() === 0)
+  }
+
+  test("freqReorder: frequent hashes move to the tail, order preserved") {
+    val df = Seq("a b c d e f g").toDF("text")
+    val sh = df.select(TextHashExprs.shingleHashes(col("text"), 3).as("sh"))
+      .as[Seq[Long]].head()
+    assert(sh.length === 5)
+    val freq = Array(sh(0), sh(3)).sorted // pretend these two are frequent
+    val reord = df.select(TextHashExprs.freqReorder(
+        TextHashExprs.shingleHashes(col("text"), 3), freq).as("r"))
+      .as[Seq[Long]].head()
+    assert(reord === sh.filterNot(freq.contains) ++ sh.filter(freq.contains))
+    // empty frequent set is identity
+    val id = df.select(TextHashExprs.freqReorder(
+        TextHashExprs.shingleHashes(col("text"), 3), Array.emptyLongArray).as("r"))
+      .as[Seq[Long]].head()
+    assert(id === sh)
+  }
 }

@@ -51,4 +51,39 @@ class ScaleSpec extends SparkSpecBase {
     val expected = lineitem.join(orders, col("l_orderkey") === col("o_orderkey")).count()
     assert(joined.count() === expected)
   }
+
+  test("ensureParallelism is plan-time only — no job, works on streaming frames") {
+    // a streaming frame cannot be physically materialized outside a
+    // query; the old df.rdd.getNumPartitions probe would throw here,
+    // the leaf-stats probe must not
+    val stream = spark.readStream.format("rate").load()
+    val out = graft.operators.Scale.ensureParallelism(stream)
+    assert(out.isStreaming)
+
+    // and on a batch frame it submits no Spark job (the read itself
+    // runs a schema-inference job — force analysis BEFORE listening)
+    val df = spark.read.parquet(sf() + "/documents.parquet").select("doc_id")
+    df.queryExecution.analyzed
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.operators.Scale.ensureParallelism(df)
+      Thread.sleep(500) // listener bus is async; give a start event time to land
+      assert(jobs.get() === 0, "ensureParallelism submitted a Spark job")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("estimatedRows: parquet footer estimate is close to the true count") {
+    val df = spark.read.parquet(sf() + "/documents.parquet")
+    val est = graft.operators.Scale.estimatedRows(df)
+    val actual = df.count().toDouble
+    assert(est > actual * 0.5 && est < actual * 2.0,
+      s"footer estimate $est too far from $actual")
+  }
 }
