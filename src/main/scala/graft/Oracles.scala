@@ -481,5 +481,44 @@ object Oracles {
       s"""SELECT doc_id, md5(text) AS fp_exact,
          |md5(array_to_string(list_sort($lowTokens), ' ')) AS fp_norm
          |FROM documents""".stripMargin
+    },
+
+    // deterministic stratified sampling: md5-bucket filter at 1/10000
+    // resolution, per-language fractions (en 0.5, und 0.25, else 1.0)
+    "sample_stratified" ->
+      s"""WITH l AS (
+         |  SELECT doc_id, $langCaseSql AS lang_pred,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10000 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, lang_pred FROM l
+         |WHERE bucket < (CASE WHEN lang_pred = 'en' THEN 0.5
+         |                     WHEN lang_pred = 'und' THEN 0.25
+         |                     ELSE 1.0 END) * 10000""".stripMargin,
+
+    // token-budget sequence packing: exclusive running token sum per
+    // hash shard, sequence id = floor(cumsum_before / 2048)
+    "pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($wsTokensSql) AS BIGINT) AS n_tokens,
+         |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100) % 8 AS shard
+         |  FROM documents),
+         |c AS (
+         |  SELECT shard, doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+         |  FROM d)
+         |SELECT shard, CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS seq_id,
+         |  COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // benchmark decontamination: anti join on the normalized (sorted
+    // lowercased token) fingerprint against the doc_id%97 subset
+    "decontaminate" -> {
+      val lowTokens =
+        """CASE WHEN length(trim(lower(text))) = 0 THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END"""
+      s"""WITH fp AS (
+         |  SELECT doc_id, md5(array_to_string(list_sort($lowTokens), ' ')) AS f
+         |  FROM documents)
+         |SELECT d.doc_id FROM fp d
+         |WHERE d.f NOT IN (SELECT f FROM fp WHERE doc_id % 97 = 0)""".stripMargin
     })
 }

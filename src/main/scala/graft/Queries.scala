@@ -436,6 +436,40 @@ object Queries {
       .groupBy("split").agg(count(lit(1)).as("n"),
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
 
+  /** Deterministic stratified sampling: rebalance by predicted
+    * language (downsample the dominant strata) — pure map-side
+    * hash filter, no shuffle, no RNG. */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(
+        t(s, dir, "documents")
+          .withColumn("lang_pred", TextAnalysisCols.langId(col("text"))),
+        col("lang_pred"), col("doc_id"),
+        fractions = Map("en" -> 0.5, "und" -> 0.25))
+      .select("doc_id", "lang_pred")
+
+  /** Token-budget sequence packing: 2048-token sequences packed per
+    * hash shard (shards pack independently — the cluster-parallel
+    * formulation), summarized per sequence. */
+  def packSequencesQ(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      TextAnalysisCols.wsTokenCount(col("text")).cast("long").as("n_tokens"))
+    Sampling.packSequences(d,
+        shard = Sampling.hashBucket(col("doc_id")) % 8,
+        id = col("doc_id"), tokens = col("n_tokens"), budget = 2048)
+      .groupBy("shard", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+  }
+
+  /** Benchmark decontamination: remove every doc whose normalized
+    * fingerprint matches the synthetic "benchmark" subset (every 97th
+    * doc) — including paraphrase-insensitive exact copies. */
+  def decontaminateQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decontaminate(docs, col("text"),
+        docs.filter(col("doc_id") % 97 === 0), col("text"))
+      .select("doc_id")
+  }
+
   /** Fingerprints: exact md5 + normalized (sorted-token) md5. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -561,5 +595,8 @@ object Queries {
     "text_fingerprint" -> textFingerprint _,
     "text_repetition" -> textRepetition _,
     "split_assign" -> splitAssign _,
+    "sample_stratified" -> sampleStratified _,
+    "pack_sequences" -> packSequencesQ _,
+    "decontaminate" -> decontaminateQ _,
     "pipeline_docs" -> pipelineDocs _)
 }

@@ -322,4 +322,24 @@ object Dedup {
     val cand = simhash(df, content, id, maxDistance).select("doc_a", "doc_b")
     rescore(cand, shingleSigs(df, content, id, k), threshold)
   }
+
+  /**
+   * Benchmark DECONTAMINATION: drop corpus documents whose NORMALIZED
+   * fingerprint (md5 of the sorted lowercased token list — order- and
+   * whitespace-insensitive) appears in a benchmark/eval set — the
+   * standard guard against test-set leakage into training data.
+   * Anti join on a 32-char fingerprint: fingerprints are computed
+   * map-side on both scans, the join key is narrow, and the benchmark
+   * side (an eval suite — tiny in practice) is broadcast by default,
+   * so the corpus is never shuffled at all.
+   */
+  def decontaminate(df: DataFrame, content: Column,
+                    benchmark: DataFrame, benchContent: Column,
+                    broadcastBench: Boolean = true): DataFrame = {
+    val fps = benchmark
+      .select(TextAnalysisCols.normFingerprint(benchContent).as("__bench_fp"))
+      .distinct()
+    val b = if (broadcastBench) broadcast(fps) else fps
+    df.join(b, TextAnalysisCols.normFingerprint(content) === col("__bench_fp"), "left_anti")
+  }
 }

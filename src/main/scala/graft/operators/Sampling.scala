@@ -32,4 +32,55 @@ object Sampling {
         .when(b < trainPct + valPct, lit("val"))
         .otherwise(lit("test")))
   }
+
+  /** Stable fine-grained bucket in [0, 10000) from the id's md5 —
+    * resolution for sub-percent sampling fractions. */
+  def hashBucket10k(id: Column): Column =
+    (conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long") % 10000)
+
+  /**
+   * Deterministic STRATIFIED sampling: keep each row with its
+   * stratum's fraction, decided by the id hash — rebalancing
+   * over-represented strata (the standard language/domain/source
+   * mixing step of a training-data pipeline). Pure map-side filter:
+   * no shuffle, no RNG state, identical keep-set on every run,
+   * engine and partitioning independent. Fractions are interpreted
+   * at 1/10000 resolution; strata absent from `fractions` keep
+   * `defaultFraction`.
+   */
+  def stratifiedSample(df: DataFrame, strata: Column,
+                       id: Column, fractions: Map[String, Double],
+                       defaultFraction: Double = 1.0): DataFrame = {
+    require((fractions.values ++ Seq(defaultFraction)).forall(f => f >= 0 && f <= 1),
+      "fractions must be in [0, 1]")
+    val frac = fractions.foldLeft(lit(defaultFraction)) {
+      case (acc, (stratum, f)) => when(strata === stratum, lit(f)).otherwise(acc)
+    }
+    df.filter(hashBucket10k(id) < frac * 10000)
+  }
+
+  /**
+   * Token-budget SEQUENCE PACKING: assign each document to the
+   * training sequence (of `budget` tokens, concatenated corpus order)
+   * in which it starts — `seq_id = floor(exclusive_cumsum(tokens) /
+   * budget)` over the (shard, id) order. The packing view of a token
+   * stream cut every `budget` tokens; deterministic given the order.
+   *
+   * Scale: a GLOBAL order is a single-reducer window, so packing is
+   * per-`shard` (partitionBy(shard).orderBy(id)) — shards pack
+   * independently and in parallel, which is how packing actually runs
+   * on a cluster (each worker packs its shard of the corpus). Pass a
+   * hash-derived shard (e.g. [[hashBucket]] % nShards) for balanced
+   * shards.
+   */
+  def packSequences(df: DataFrame, shard: Column, id: Column,
+                    tokens: Column, budget: Int): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(id)
+    val tok = tokens.cast("long")
+    df.withColumn("shard", shard)
+      .withColumn("seq_id",
+        floor((sum(tok).over(w) - tok) / budget).cast("long"))
+  }
 }

@@ -82,6 +82,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.5)
   }
 
+  test("IVF codebook round-trips through save/load; centroidsIn reuse matches fresh training") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val cb = Similarity.trainKmeans(e, col("vec_id"), col("embedding"), nlist = 32)
+    val path = java.nio.file.Files.createTempFile("graft_cb", ".csv").toString
+    Similarity.saveCentroids(path, cb)
+    val loaded = Similarity.loadCentroids(path)
+    assert(loaded.length === cb.length)
+    loaded.zip(cb).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    // steady-state path: a persisted codebook gives the same result as
+    // fresh training (training is deterministic), with zero train cost
+    val fresh = Similarity.ivfTopK(e, col("vec_id"), col("embedding"), k = 5, nlist = 32)
+      .select("id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val reused = Similarity.ivfTopK(e, col("vec_id"), col("embedding"), k = 5,
+        centroidsIn = Some(loaded))
+      .select("id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(reused === fresh)
+  }
+
   test("lshDupPairs recalls planted dups; moderate recall on weak pairs") {
     val e = withPlantedDups
     val planted = Similarity.lshDupPairs(e, col("vec_id"), col("embedding"),
