@@ -62,10 +62,10 @@ object Oracles {
     s"CASE $caseChain ELSE 'und' END"
   }
 
-  /** Exact 3-shingle Jaccard pairs at j ≥ 0.8 — the ground truth both
-    * `dedup_ngram_jaccard` and the verified-MinHash path must equal. */
-  private val ngramJaccardPairsSql: String =
-    """WITH tok AS (
+  /** Shared CTE chain computing exact 3-shingle Jaccard pairs at
+    * j ≥ 0.8 (no leading WITH so callers can prepend/extend). */
+  private val ngramPairsCtes: String =
+    """tok AS (
       |  SELECT doc_id,
       |    CASE WHEN length(trim(lower(text))) = 0 THEN []
       |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
@@ -78,13 +78,37 @@ object Oracles {
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT i.doc_a, i.doc_b, i.inter, sa.set_size AS size_a, sb.set_size AS size_b,
-      |  CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) AS jaccard
-      |FROM inter i
-      |JOIN sizes sa ON i.doc_a = sa.doc_id
-      |JOIN sizes sb ON i.doc_b = sb.doc_id
-      |WHERE CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) >= 0.8""".stripMargin
+      |  GROUP BY 1, 2),
+      |jpairs AS (
+      |  SELECT i.doc_a, i.doc_b, i.inter, sa.set_size AS size_a, sb.set_size AS size_b,
+      |    CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) AS jaccard
+      |  FROM inter i
+      |  JOIN sizes sa ON i.doc_a = sa.doc_id
+      |  JOIN sizes sb ON i.doc_b = sb.doc_id
+      |  WHERE CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) >= 0.8)""".stripMargin
+
+  /** Exact 3-shingle Jaccard pairs at j ≥ 0.8 — the ground truth the
+    * prefix-filter, verified-MinHash and verified-SimHash paths must
+    * all equal. */
+  private val ngramJaccardPairsSql: String =
+    s"""WITH $ngramPairsCtes
+       |SELECT doc_a, doc_b, inter, size_a, size_b, jaccard FROM jpairs""".stripMargin
+
+  /** Connected components over the near-dup pair graph via recursive
+    * reachability closure; cluster id = min doc_id of the component.
+    * Closure is exponential-free here because near-dup components are
+    * tiny (the oracle runs on test corpora). */
+  private val dedupClustersSql: String =
+    s"""WITH RECURSIVE $ngramPairsCtes,
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM jpairs),
+       |walk(src, reach) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
+       |SELECT src AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY src""".stripMargin
 
   val all: Map[String, String] = Map(
 
@@ -341,6 +365,9 @@ object Oracles {
     // SimHash-blocked + exact-Jaccard-verified — same ground truth;
     // a hash-exact match certifies blocking recall 1 on this corpus
     "dedup_simhash" -> ngramJaccardPairsSql,
+
+    // connected components over the near-dup graph (min-id labels)
+    "dedup_clusters" -> dedupClustersSql,
 
     // Dedup.minhashLshVerified rescores LSH candidates against the
     // TRUE shingle sets, so its output is the exact-Jaccard pair set

@@ -372,6 +372,12 @@ object Queries {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashVerified(t(s, dir, "documents"), col("text"), col("doc_id"))
 
+  /** Duplicate clusters: connected components over the exact
+    * near-dup pair graph, min-id canonical labels. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(
+      Dedup.ngramJaccard(t(s, dir, "documents"), col("text"), col("doc_id")))
+
   /** Embedding cosine near-dup pairs (threshold tuned to testdata's
     * similarity range — no planted dups above 0.52). */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
@@ -584,6 +590,7 @@ object Queries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
+    "dedup_clusters" -> dedupClusters _,
     "dedup_embedding" -> dedupEmbedding _,
     "sim_topk" -> simTopK _,
     "sim_lsh" -> simLsh _,

@@ -324,6 +324,54 @@ object Dedup {
   }
 
   /**
+   * Duplicate CLUSTERS from a near-dup pair frame: connected
+   * components over the pair graph, labeling every document that
+   * appears in a pair with the MINIMUM doc_id of its component — the
+   * canonical representative. Pairwise "drop doc_b" dedup is only an
+   * approximation on transitive chains (a~b, b~c without a~c);
+   * cluster-level dedup keeps exactly one representative per
+   * component, which is what corpus-level fuzzy dedup means.
+   *
+   * Iterative hash-min label propagation: labels start at doc_id;
+   * each round every doc takes the min label among itself and its
+   * neighbors; fixed point in ≤ diameter rounds (near-dup components
+   * are tiny, so single-digit rounds in practice — `maxIters` is a
+   * pathology guard, logged if hit). Each round is one equi-join +
+   * one aggregation over the edge list — bounded shuffles keyed by
+   * doc id, the standard scalable CC formulation; labels are cached
+   * per round and the previous round is unpersisted immediately.
+   * Output: (doc_id, cluster_id), one row per doc appearing in pairs.
+   */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = OpCache.cache(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = OpCache.cache(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("cluster_id", col("doc_id")))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val neighborLabels = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
+        .select(col("src").as("doc_id"), col("cluster_id"))
+      val next = OpCache.cache(
+        labels.unionAll(neighborLabels)
+          .groupBy("doc_id")
+          .agg(min(col("cluster_id")).as("cluster_id")))
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.cluster_id") < col("o.cluster_id")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      it += 1
+    }
+    if (changed > 0)
+      System.err.println(s"[graft] duplicateClusters: not converged after $maxIters rounds " +
+        "(pathologically long duplicate chain); labels are an upper approximation")
+    labels
+  }
+
+  /**
    * Benchmark DECONTAMINATION: drop corpus documents whose NORMALIZED
    * fingerprint (md5 of the sorted lowercased token list — order- and
    * whitespace-insensitive) appears in a benchmark/eval set — the

@@ -137,6 +137,23 @@ class DedupSpec extends SparkSpecBase {
       s"missed: ${exact.diff(verified)}, extra: ${verified.diff(exact)}")
   }
 
+  test("duplicateClusters: transitive chains collapse to min-id components") {
+    // components: {1,2,3,4} via chain 1-2, 2-3, 3-4 (no direct 1-3,
+    // 1-4, 2-4 edges) and {10,11}; 20 absent from any pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // pairwise drop-doc_b would also drop 2,3,4 here — same outcome on
+    // a chain, but cluster labels additionally expose the grouping;
+    // check a star where pairwise dedup over-drops: (5,6),(5,7) keeps
+    // only 5 under both, but cluster ids prove 6,7 belong to 5
+    val star = Dedup.duplicateClusters(Seq((5L, 6L), (5L, 7L)).toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(star === Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
   test("operator-internal caches are tracked and fully released") {
     import graft.operators.OpCache
     OpCache.releaseAll()
