@@ -537,6 +537,28 @@ object Oracles {
          |  COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
          |FROM c GROUP BY 1, 2""".stripMargin,
 
+    // PII redaction over synthetically decorated text: same regexes
+    // (Java/RE2-shared subset), same replace order (email, ip, phone)
+    "text_redact" -> {
+      val decorated =
+        """text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+          |'@example.com or +1 555 010 ' || CAST(doc_id AS VARCHAR) ||
+          |' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'""".stripMargin
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val ip = """\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"""
+      val phone = """\+?[0-9][0-9()\- ]{6,}[0-9]"""
+      s"""WITH d AS (SELECT doc_id, $decorated AS t FROM documents),
+         |r AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$email', '<PII>', 'g'),
+         |    '$ip', '<PII>', 'g'),
+         |    '$phone', '<PII>', 'g') AS redacted
+         |  FROM d)
+         |SELECT doc_id, redacted,
+         |  CAST((length(redacted) - length(replace(redacted, '<PII>', ''))) / 5 AS BIGINT) AS n_pii
+         |FROM r""".stripMargin
+    },
+
     // benchmark decontamination: anti join on the normalized (sorted
     // lowercased token) fingerprint against the doc_id%97 subset
     "decontaminate" -> {

@@ -476,6 +476,20 @@ object Queries {
       .select("doc_id")
   }
 
+  /** PII redaction: documents decorated with deterministic synthetic
+    * PII (email + phone + IP derived from doc_id), then scrubbed;
+    * output carries the redacted text and the per-doc PII count. */
+  def textRedact(s: SparkSession, dir: String): DataFrame = {
+    val decorated = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1 555 010 "), col("doc_id").cast("string"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      graft.functions.Redaction.redactPii(decorated).as("redacted"),
+      graft.functions.Redaction.piiCount(decorated).as("n_pii"))
+  }
+
   /** Fingerprints: exact md5 + normalized (sorted-token) md5. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -601,6 +615,7 @@ object Queries {
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
     "text_repetition" -> textRepetition _,
+    "text_redact" -> textRedact _,
     "split_assign" -> splitAssign _,
     "sample_stratified" -> sampleStratified _,
     "pack_sequences" -> packSequencesQ _,

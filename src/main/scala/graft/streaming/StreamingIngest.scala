@@ -48,6 +48,26 @@ object StreamingIngest {
       .outputMode(OutputMode.Append)
 
   /**
+   * Streaming EXACT DEDUP: drop records whose content fingerprint was
+   * already seen, with state bounded by a watermark — the always-on
+   * form of `Dedup.exact` for ingest pipelines (a re-crawled or
+   * re-delivered document must not enter the corpus twice). State per
+   * key is one 32-char fingerprint row, expired `delay` past the
+   * event time, so the state store stays proportional to the dedup
+   * horizon, not the stream's history.
+   */
+  def dedupStream(stream: DataFrame, content: String, tsCol: String,
+                  delay: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("__fp", md5(col(content)))
+      .withWatermark(tsCol, delay)
+      // WithinWatermark variant: plain dropDuplicates(fp) would keep
+      // fingerprint state forever; this one expires state once the
+      // watermark passes first-seen + delay
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
+  /**
    * Watermarked tumbling-window counts per event_type:
    * (window, event_type, n, sum_value). State is dropped
    * `delay` past the window end.

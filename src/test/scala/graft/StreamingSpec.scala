@@ -29,6 +29,22 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed === batch)
   }
 
+  test("streaming exact dedup drops re-delivered content, keeps first-seen") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    stream.addData(
+      (Timestamp.valueOf("2026-01-01 10:00:00"), 1L, "doc one text"),
+      (Timestamp.valueOf("2026-01-01 10:01:00"), 2L, "doc two text"),
+      (Timestamp.valueOf("2026-01-01 10:02:00"), 3L, "doc one text"), // re-delivery
+      (Timestamp.valueOf("2026-01-01 10:03:00"), 4L, "doc three text"))
+    val q = StreamingIngest.dedupStream(
+        stream.toDF().toDF("ts", "doc_id", "text"), "text", "ts")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L, 4L), s"got $out")
+  }
+
   test("watermarked windowed counts aggregate by hour") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, Double)]
