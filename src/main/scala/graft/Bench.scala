@@ -25,9 +25,10 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_pricing", "q3_revenue", "q5_nation_revenue", "q_top_customers",
     "q_events_hourly", "q_sessions", "q_event_pivot",
-    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard",
+    "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters",
     "sim_topk", "sim_lsh", "sim_ivf", "text_quality", "field_stats", "validate_ok",
-    "multimodal_meta", "pipeline_docs")
+    "multimodal_meta", "sample_stratified", "pack_sequences", "decontaminate",
+    "text_redact", "pipeline_docs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
