@@ -1,0 +1,20 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/**
+ * `SparkSessionExtensions` entry point: enables graft's native SQL
+ * functions in sessions configured — not constructed — by the user:
+ *
+ * {{{
+ *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+ * }}}
+ *
+ * Injects the same function set as
+ * [[functions.GraftFunctions.register]] (which remains the way to add
+ * them to an already-live session, e.g. a notebook).
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    functions.GraftFunctions.inject(ext)
+}

@@ -54,6 +54,13 @@ object GraftFunctions {
     e.eval(null).asInstanceOf[Number].intValue()
   }
 
+  private def builderOf(f: Fn): Seq[Expression] => Expression =
+    (args: Seq[Expression]) => {
+      require(args.length == f.arity,
+        s"${f.name} expects ${f.arity} arguments, got ${args.length}")
+      f.build(args)
+    }
+
   /** Register every graft function in the session's catalog. */
   def register(spark: SparkSession): Unit = {
     val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -62,11 +69,17 @@ object GraftFunctions {
       registry.registerFunction(
         FunctionIdentifier(f.name),
         new ExpressionInfo("graft", f.name, f.usage),
-        (args: Seq[Expression]) => {
-          require(args.length == f.arity,
-            s"${f.name} expects ${f.arity} arguments, got ${args.length}")
-          f.build(args)
-        })
+        builderOf(f))
     }
   }
+
+  /** Inject every graft function through `SparkSessionExtensions`
+    * (see [[graft.GraftExtensions]] for the spark.sql.extensions
+    * entry point). */
+  def inject(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    fns.foreach { f =>
+      ext.injectFunction((FunctionIdentifier(f.name),
+        new ExpressionInfo("graft", f.name, f.usage),
+        builderOf(f)))
+    }
 }

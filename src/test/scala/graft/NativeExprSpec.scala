@@ -119,6 +119,30 @@ class NativeExprSpec extends SparkSpecBase {
     assert(q === 0.5 * 0.5 + (1.0 - 0.3) * 0.5)
   }
 
+  test("GraftExtensions injects the function set into a configured session") {
+    import org.apache.spark.sql.SparkSession
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // reuses the JVM's SparkContext; builds a NEW session with the
+      // extensions applied, as spark.sql.extensions would
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(e => new GraftExtensions().apply(e))
+        .getOrCreate()
+      val row = s2.sql(
+        "SELECT simhash64('a b c') AS h, vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .collect().head
+      assert(row.getAs[Long]("h") !== 0L)
+      assert(row.getAs[Double]("d") === 11.0)
+    } finally {
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("minhashWithShingles == (minhashSig, shingleHashes) bit-for-bit") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(50)
