@@ -346,23 +346,30 @@ object Dedup {
     val edges = OpCache.cache(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
-    var labels = OpCache.cache(
+    var cached = OpCache.cache(
       edges.select(col("src").as("doc_id")).distinct()
         .withColumn("cluster_id", col("doc_id")))
+    var labels = cached
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
       val neighborLabels = edges
         .join(labels.withColumnRenamed("doc_id", "dst"), "dst")
-        .select(col("src").as("doc_id"), col("cluster_id"))
-      val next = OpCache.cache(
-        labels.unionAll(neighborLabels)
+        .select(col("src").as("doc_id"), col("cluster_id"),
+          lit(false).as("self"))
+      // one aggregation yields BOTH the new label and the old one
+      // (min over self-rows), so convergence needs no join — the
+      // changed-count is a filter over the frame this round caches
+      // anyway
+      val step = OpCache.cache(
+        labels.withColumn("self", lit(true)).unionAll(neighborLabels)
           .groupBy("doc_id")
-          .agg(min(col("cluster_id")).as("cluster_id")))
-      changed = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.cluster_id") < col("o.cluster_id")).count()
-      labels.unpersist(blocking = false)
-      labels = next
+          .agg(min(col("cluster_id")).as("cluster_id"),
+            min(when(col("self"), col("cluster_id"))).as("prev")))
+      changed = step.filter(col("cluster_id") < col("prev")).count()
+      cached.unpersist(blocking = false) // the previous round's cache
+      cached = step
+      labels = step.select("doc_id", "cluster_id")
       it += 1
     }
     if (changed > 0)
