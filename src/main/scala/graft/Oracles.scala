@@ -502,6 +502,72 @@ object Oracles {
          |SELECT doc_id, lang_pred, quality_score, n_tokens FROM kept
          |WHERE doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin,
 
+    // round-3 flagship: filter → exact dedup → CLUSTER-canonical
+    // near-dedup (recursive closure) → hash split → sequence packing
+    "pipeline_docs_v2" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id, text,
+         |    CAST(len($wsTokensSql) AS BIGINT) AS n_tokens,
+         |    CAST(${stopCount(TextAnalysisCols.EnStop)} AS BIGINT) AS n_stop,
+         |    CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+         |    length(text) AS n_chars,
+         |    $langCaseSql AS lang_pred
+         |  FROM documents),
+         |scored AS (
+         |  SELECT *,
+         |    (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 0.5
+         |      + (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.5 AS quality_score
+         |  FROM q),
+         |f AS (SELECT * FROM scored WHERE lang_pred = 'en' AND quality_score >= 0.51),
+         |keep AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text),
+         |kept AS (SELECT f.* FROM f JOIN keep USING (doc_id)),
+         |tok AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(lower(text))) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks
+         |  FROM kept),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(toks[i.i : i.i + 2], ' ') AS shingle
+         |  FROM tok, LATERAL unnest(range(1, len(toks) - 1)) AS i(i)
+         |  WHERE len(toks) >= 3),
+         |sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |jp AS (
+         |  SELECT i.doc_a, i.doc_b
+         |  FROM inter i
+         |  JOIN sizes sa ON i.doc_a = sa.doc_id
+         |  JOIN sizes sb ON i.doc_b = sb.doc_id
+         |  WHERE CAST(i.inter AS DOUBLE) / (sa.set_size + sb.set_size - i.inter) >= 0.8),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jp
+         |  UNION ALL SELECT doc_b, doc_a FROM jp),
+         |walk(src, reach) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+         |noncanon AS (
+         |  SELECT src AS doc_id FROM walk GROUP BY src HAVING MIN(reach) <> src),
+         |ded AS (
+         |  SELECT doc_id, n_tokens FROM kept
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)),
+         |sp AS (
+         |  SELECT doc_id, n_tokens,
+         |    CASE WHEN bucket < 80 THEN 'train'
+         |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT *,
+         |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS bucket
+         |    FROM ded)),
+         |c AS (
+         |  SELECT split, doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id) AS cum
+         |  FROM sp)
+         |SELECT split, CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS seq_id,
+         |  COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+         |FROM c GROUP BY 1, 2""".stripMargin,
+
     "text_fingerprint" -> {
       val lowTokens =
         """CASE WHEN length(trim(lower(text))) = 0 THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END"""

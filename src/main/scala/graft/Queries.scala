@@ -565,6 +565,38 @@ object Queries {
         col("n_tokens").cast("long").as("n_tokens"))
   }
 
+  /**
+   * Flagship pipeline v2 — the round-3 operator set composed
+   * end-to-end: language + quality filter → exact dedup (md5 window)
+   * → near-dup CLUSTER dedup (connected components; keep only each
+   * component's min-id canonical — stricter than pairwise drop on
+   * asymmetric chains) → hash train/val/test split → token-budget
+   * sequence packing per split. Output: one row per packed sequence
+   * (split, seq_id, n_docs, sum_tokens), full DuckDB oracle.
+   */
+  def pipelineDocsV2(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val scored = docs.select(
+      (col("doc_id") +: TextAnalysisCols.qualityFeatures(col("text"))) :+
+        TextAnalysisCols.langId(col("text")).as("lang_pred") :+ col("text"): _*)
+    val filtered = scored
+      .filter(col("lang_pred") === "en" && col("quality_score") >= 0.51)
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val kept = filtered.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val nonCanonical = Dedup
+      .duplicateClusters(Dedup.ngramJaccard(kept, col("text"), col("doc_id")))
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select("doc_id")
+    val deduped = kept.join(nonCanonical, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
+    val split = Sampling.hashSplit(deduped, col("doc_id"))
+    Sampling.packSequences(split, col("split"), col("doc_id"),
+        col("n_tokens"), budget = 2048)
+      .groupBy(col("shard").as("split"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+  }
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -620,5 +652,6 @@ object Queries {
     "sample_stratified" -> sampleStratified _,
     "pack_sequences" -> packSequencesQ _,
     "decontaminate" -> decontaminateQ _,
-    "pipeline_docs" -> pipelineDocs _)
+    "pipeline_docs" -> pipelineDocs _,
+    "pipeline_docs_v2" -> pipelineDocsV2 _)
 }
