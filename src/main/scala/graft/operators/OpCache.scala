@@ -14,6 +14,10 @@ import org.apache.spark.sql.DataFrame
  * terminal action has run. This is the caller-visible handle: it
  * releases ONLY operator-internal caches, never frames the user
  * cached themselves (unlike `spark.catalog.clearCache()`).
+ *
+ * The registry is PROCESS-wide (one JVM = one driver); applications
+ * running multiple concurrent SparkSessions in a single JVM should
+ * serialize releaseAll with their query boundaries.
  */
 object OpCache {
 
