@@ -122,6 +122,11 @@ object Oracles {
         |CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
+    "src_orc" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM part GROUP BY p_brand""".stripMargin,
+
     "normalize_coalesce" ->
       """SELECT c_custkey,
         |CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS bal_norm

@@ -64,6 +64,18 @@ object Queries {
         sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
   }
 
+  /** ORC source round-trip (columnar alternative to parquet; built-in
+    * datasource, same pushdown/pruning). */
+  def srcOrc(s: SparkSession, dir: String): DataFrame = {
+    val p = scratch("src_orc", dir)
+    t(s, dir, "part").select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+      .write.mode("overwrite").orc(p)
+    Readers.orc(s, p)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("p_retailprice"))).cast("double").as("sum_price"))
+  }
+
   // ====================================================================
   // Reference surface: normalize / projection / metadata fields
   // ====================================================================
@@ -604,6 +616,7 @@ object Queries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_json" -> srcJson _,
     "src_csv" -> srcCsv _,
+    "src_orc" -> srcOrc _,
     "normalize_coalesce" -> normalizeCoalesce _,
     "normalize_flatten" -> normalizeFlatten _,
     "select_columns" -> selectColumnsQ _,

@@ -343,9 +343,13 @@ object Dedup {
    * Output: (doc_id, cluster_id), one row per doc appearing in pairs.
    */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = OpCache.cache(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    // cache the (possibly expensive) pair frame FIRST: the edge list
+    // reads it twice (both union directions), and every propagation
+    // round reads the edges — without this the upstream near-dup join
+    // would run once per union branch
+    val p = OpCache.cache(pairs.select("doc_a", "doc_b"))
+    val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     var cached = OpCache.cache(
       edges.select(col("src").as("doc_id")).distinct()
         .withColumn("cluster_id", col("doc_id")))

@@ -37,6 +37,7 @@ object Readers {
       case "json"    => json(spark, spec.path, spec.options, schema)
       case "csv"     => csv(spark, spec.path, spec.options, schema)
       case "parquet" => parquet(spark, spec.path)
+      case "orc"     => orc(spark, spec.path)
       case other =>
         throw new IllegalArgumentException(s"Unsupported source format: '$other' for source '${spec.name}'")
     }
@@ -75,6 +76,11 @@ object Readers {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path)
   }
+
+  /** ORC source (columnar like parquet; same pushdown/pruning via the
+    * built-in datasource — no extra jars). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 
   /** Convenience: a testdata table from an sf directory. The events
     * table carries a nanosecond `ts`; surfaced as a microsecond
