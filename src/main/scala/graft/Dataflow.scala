@@ -90,6 +90,16 @@ object Dataflow {
               in.join(Dedup.exact(in, content, id)
                   .select(col("doc_id").as(s.idCol)), Seq(s.idCol), "left_semi")
             case (_, "pairs") => pairs
+            case (_, "clusters") =>
+              // connected-component labels over the near-dup graph
+              Dedup.duplicateClusters(pairs)
+            case (_, "cluster_filter") =>
+              // keep only each component's min-id canonical (plus
+              // rows that appear in no pair at all)
+              in.join(Dedup.duplicateClusters(pairs)
+                  .filter(col("cluster_id") =!= col("doc_id"))
+                  .select(col("doc_id").as(s.idCol)),
+                Seq(s.idCol), "left_anti")
             case (_, _) =>
               // drop the higher id of every near-dup pair
               in.join(pairs.select(col("doc_b").as(s.idCol)).distinct(),
@@ -116,11 +126,21 @@ object Dataflow {
               df.withColumn("repetition_ratio",
                 when(n === 0, lit(0.0))
                   .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double") / n))
+            case "redact" => df
+              .withColumn("text_redacted", graft.functions.Redaction.redactPii(c))
+              .withColumn("n_pii", graft.functions.Redaction.piiCount(c))
             case other =>
               throw new IllegalArgumentException(
                 s"text_analysis '${s.name}': unknown analysis '$other'")
           }}
           frames + (s.output -> out)
+        case s: DecontaminateSpec =>
+          val bench = frames.getOrElse(s.benchInput,
+            throw new IllegalArgumentException(
+              s"decontaminate '${s.name}': unknown bench input '${s.benchInput}'"))
+          frames + (s.output -> Dedup.decontaminate(in,
+            org.apache.spark.sql.functions.col(s.contentCol),
+            bench, org.apache.spark.sql.functions.col(s.benchContentCol)))
         case s: AnnSpec =>
           import org.apache.spark.sql.functions.col
           val idC = col(s.idCol)

@@ -94,6 +94,12 @@ object MetaLoader {
           idCol = str(p, "id", "doc_id"),
           mode = str(p, "mode", "filter"),
           threshold = p.path("threshold").asDouble(0.8))
+      case "decontaminate" =>
+        DecontaminateSpec(name, input,
+          benchInput = str(p, "bench_input"),
+          output = output,
+          contentCol = str(p, "content", "text"),
+          benchContentCol = str(p, "bench_content", "text"))
       case "text_analysis" =>
         TextAnalysisSpec(name, input, output,
           contentCol = str(p, "content", "text"),

@@ -127,7 +127,9 @@ final case class SqlSpec(name: String, input: String, output: String, query: Str
  * `method`: exact | ngram_jaccard | minhash_lsh | simhash |
  * embedding_cosine. `mode`: "filter" (default) keeps one canonical
  * row per duplicate group / drops the higher id of each near-dup
- * pair; "pairs" emits the pair frame itself.
+ * pair; "pairs" emits the pair frame itself; "clusters" emits the
+ * connected-component labels (doc_id, cluster_id); "cluster_filter"
+ * keeps only each component's min-id canonical (plus unpaired rows).
  */
 final case class DedupTransformSpec(
     name: String,
@@ -141,8 +143,22 @@ final case class DedupTransformSpec(
   extends TransformSpec
 
 /**
+ * graft extension: remove rows whose normalized content fingerprint
+ * appears in another named frame (the benchmark/eval set) — the
+ * declarative decontamination step.
+ */
+final case class DecontaminateSpec(
+    name: String,
+    input: String,
+    benchInput: String,
+    output: String,
+    contentCol: String = "text",
+    benchContentCol: String = "text")
+  extends TransformSpec
+
+/**
  * graft extension: append text-analysis columns. `analyses` from
- * {tokens, quality, langid, fingerprint, repetition}.
+ * {tokens, quality, langid, fingerprint, repetition, redact}.
  */
 final case class TextAnalysisSpec(
     name: String,

@@ -210,6 +210,43 @@ class DataflowSpec extends SparkSpecBase {
       graft.operators.Dedup.exact(frames("docs"), col("text"), col("doc_id")).count())
   }
 
+  test("metadata reach: cluster_filter dedup, redact analysis, decontaminate") {
+    val spec =
+      s"""{"dataflows":[{"name":"llm2",
+         |  "sources":[{"name":"docs","path":"${sf()}/documents.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"bench","type":"filter","params":{
+         |      "input":"docs","output":"benchset","condition":"doc_id % 97 = 0"}},
+         |    {"name":"clean","type":"decontaminate","params":{
+         |      "input":"docs","bench_input":"benchset","output":"decon"}},
+         |    {"name":"scrub","type":"text_analysis","params":{
+         |      "input":"decon","output":"scrubbed","analyses":["redact"]}},
+         |    {"name":"near","type":"dedup","params":{
+         |      "input":"scrubbed","output":"canon","method":"ngram_jaccard",
+         |      "mode":"cluster_filter","threshold":0.8}},
+         |    {"name":"labels","type":"dedup","params":{
+         |      "input":"scrubbed","output":"clusters","method":"ngram_jaccard",
+         |      "mode":"clusters","threshold":0.8}}
+         |  ],"sinks":[]}]}""".stripMargin
+    val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("llm2"))
+    val docs = frames("docs")
+    // decontaminate step == the operator called directly
+    val direct = graft.operators.Dedup.decontaminate(
+      docs, col("text"), docs.filter(col("doc_id") % 97 === 0), col("text")).count()
+    assert(frames("decon").count() === direct)
+    assert(direct < docs.count()) // the benchmark docs match themselves
+    // redact analysis appends the scrub columns
+    assert(frames("scrubbed").columns.contains("text_redacted")
+      && frames("scrubbed").columns.contains("n_pii"))
+    // cluster labels frame has the (doc_id, cluster_id) contract and
+    // cluster_filter keeps docs minus the non-canonical members
+    val labels = frames("clusters")
+    assert(labels.columns.toSeq === Seq("doc_id", "cluster_id"))
+    val nonCanon = labels.filter(col("cluster_id") =!= col("doc_id")).count()
+    assert(frames("canon").count() === frames("scrubbed").count() - nonCanon)
+    assert(nonCanon > 0)
+  }
+
   test("RunPipeline stage summary: one [stage] line per source + output, with counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_verbose").toString
     Seq("""{"id":1,"v":"x"}""", """{"id":2,"v":""}""")
