@@ -350,9 +350,15 @@ object Dedup {
     val p = OpCache.cache(pairs.select("doc_a", "doc_b"))
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // init = identity labels with ONE propagation round pre-applied
+    // (min over self + direct neighbors, computable in the same
+    // aggregation that would deduplicate the node list anyway) —
+    // saves a full iteration for the common tiny-component case
     var cached = OpCache.cache(
-      edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("cluster_id", col("doc_id")))
+      edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("__m"))
+        .select(col("src").as("doc_id"),
+          least(col("src"), col("__m")).as("cluster_id")))
     var labels = cached
     var changed = 1L
     var it = 0
