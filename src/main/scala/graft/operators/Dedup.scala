@@ -306,18 +306,20 @@ object Dedup {
    * a Jaccard threshold (Hamming distance tracks the cosine of the
    * token-frequency vectors, not set Jaccard) — but near-duplicate
    * text at j ≥ 0.8 has nearly identical token profiles, so its
-   * 64-bit SimHashes differ in very few bits (measured on the
-   * testdata corpus: max hamming 9 at j ≥ 0.8, hence the default).
-   * The driver's DuckDB exact-Jaccard oracle is the empirical recall
-   * gate: a hash-exact match certifies that blocking at `maxDistance`
-   * missed nothing on that corpus. Cost stays shuffle-shaped — 10
-   * chunk keys of 6-7 bits per doc at the default, so expected random
-   * collisions ≈ n²·0.06; for billion-doc corpora use the tighter
-   * hamming ≤ 3 default of [[simhash]] (16-bit chunks, n²·3·10⁻⁵)
-   * and accept the un-certified recall.
+   * 64-bit SimHashes differ in few bits (measured on the testdata
+   * corpora: max hamming 5 at sf0.01, 9 at sf0.001, 12 at sf0.1 —
+   * hence the default covers all three). The DuckDB exact-Jaccard
+   * oracle is the empirical recall gate: a hash-exact match certifies
+   * that blocking at `maxDistance` missed nothing on that corpus.
+   * Cost stays shuffle-shaped — 13 chunk keys of 4-5 bits per doc at
+   * the default, expected random collisions ≈ n²·0.22; for
+   * billion-doc corpora use the tighter hamming ≤ 3 default of
+   * [[simhash]] (16-bit chunks, n²·3·10⁻⁵) and accept the
+   * un-certified recall, or MinHash banding which has the analytic
+   * bound.
    */
   def simhashVerified(df: DataFrame, content: Column, id: Column,
-                      maxDistance: Int = 9, k: Int = 3,
+                      maxDistance: Int = 12, k: Int = 3,
                       threshold: Double = 0.8): DataFrame = {
     val cand = simhash(df, content, id, maxDistance).select("doc_a", "doc_b")
     rescore(cand, shingleSigs(df, content, id, k), threshold)
