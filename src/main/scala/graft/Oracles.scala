@@ -630,6 +630,27 @@ object Oracles {
          |FROM r""".stripMargin
     },
 
+    // context-window chunking: 500-char windows, step 400, >= 1 chunk
+    "text_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    GREATEST(CAST(CEIL((length(text) - 100) / 400.0) AS BIGINT), 1) AS n
+        |  FROM documents)
+        |SELECT doc_id, i.i AS chunk_id,
+        |  substr(text, CAST(i.i * 400 + 1 AS INT), 500) AS chunk_text
+        |FROM d, LATERAL unnest(range(0, n)) AS i(i)""".stripMargin,
+
+    // vocabulary by document frequency over lowercased ws tokens
+    "vocab_df" ->
+      """WITH tk AS (
+        |  SELECT DISTINCT doc_id, t.t AS token
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN length(trim(lower(text))) = 0 THEN []
+        |               ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |        FROM documents), LATERAL unnest(toks) AS t(t))
+        |SELECT token, COUNT(*) AS doc_freq FROM tk
+        |GROUP BY token HAVING COUNT(*) >= 3""".stripMargin,
+
     // benchmark decontamination: anti join on the normalized (sorted
     // lowercased token) fingerprint against the doc_id%97 subset
     "decontaminate" -> {

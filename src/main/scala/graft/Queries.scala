@@ -502,6 +502,16 @@ object Queries {
       graft.functions.Redaction.piiCount(decorated).as("n_pii"))
   }
 
+  /** Context-window chunking: 500-char windows with 100-char overlap
+    * (scan-side explode, no shuffle). */
+  def textChunks(s: SparkSession, dir: String): DataFrame =
+    Chunking.chunk(t(s, dir, "documents"), col("text"), col("doc_id"),
+      size = 500, overlap = 100)
+
+  /** Vocabulary by document frequency (tokens in >= 3 docs). */
+  def vocabDfQ(s: SparkSession, dir: String): DataFrame =
+    Chunking.vocabDf(t(s, dir, "documents"), col("text"), minDf = 3)
+
   /** Fingerprints: exact md5 + normalized (sorted-token) md5. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -661,6 +671,8 @@ object Queries {
     "text_fingerprint" -> textFingerprint _,
     "text_repetition" -> textRepetition _,
     "text_redact" -> textRedact _,
+    "text_chunks" -> textChunks _,
+    "vocab_df" -> vocabDfQ _,
     "split_assign" -> splitAssign _,
     "sample_stratified" -> sampleStratified _,
     "pack_sequences" -> packSequencesQ _,

@@ -53,6 +53,34 @@ class SamplingSpec extends SparkSpecBase {
     assert(seqs.forall(_._3 > 0))
   }
 
+  test("chunking: windows tile the document with the configured overlap") {
+    val text = ('a' to 'z').mkString * 40 // 1040 chars
+    val out = graft.operators.Chunking.chunk(
+        Seq((1L, text), (2L, "tiny"), (3L, "")).toDF("doc_id", "text"),
+        col("text"), col("doc_id"), size = 500, overlap = 100)
+      .select("doc_id", "chunk_id", "chunk_text")
+      .as[(Long, Long, String)].collect()
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    // ceil((1040-100)/400) = 3 chunks at offsets 0, 400, 800
+    assert(d1.length === 3)
+    assert(d1(0) === text.substring(0, 500))
+    assert(d1(1) === text.substring(400, 900))
+    assert(d1(2) === text.substring(800))
+    // short and empty docs come back whole as a single chunk
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq === Seq("tiny"))
+    assert(out.filter(_._1 == 3L).map(_._3).toSeq === Seq(""))
+  }
+
+  test("vocabDf counts documents, not occurrences") {
+    val docs = Seq(
+      (1L, "spark spark spark rules"),
+      (2L, "spark is fast"),
+      (3L, "duckdb is fast")).toDF("doc_id", "text")
+    val out = graft.operators.Chunking.vocabDf(docs, col("text"), minDf = 2)
+      .as[(String, Long)].collect().toMap
+    assert(out === Map("spark" -> 2L, "is" -> 2L, "fast" -> 2L))
+  }
+
   test("decontaminate drops benchmark matches incl. token-permuted paraphrases") {
     val corpus = Seq(
       (1L, "the quick brown fox"),
