@@ -134,6 +134,10 @@ object Dataflow {
                 s"text_analysis '${s.name}': unknown analysis '$other'")
           }}
           frames + (s.output -> out)
+        case s: ChunkSpec =>
+          frames + (s.output -> Chunking.chunk(in,
+            org.apache.spark.sql.functions.col(s.contentCol),
+            org.apache.spark.sql.functions.col(s.idCol), s.size, s.overlap))
         case s: DecontaminateSpec =>
           val bench = frames.getOrElse(s.benchInput,
             throw new IllegalArgumentException(

@@ -43,6 +43,7 @@ object RunPipeline {
     case s: meta.SplitSpec        => Seq(s.output)
     case s: meta.AnnSpec          => Seq(s.output)
     case s: meta.DecontaminateSpec => Seq(s.output)
+    case s: meta.ChunkSpec        => Seq(s.output)
   }
 
   /** One `[stage]` line per source / transformation output: name,

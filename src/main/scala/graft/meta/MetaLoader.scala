@@ -94,6 +94,12 @@ object MetaLoader {
           idCol = str(p, "id", "doc_id"),
           mode = str(p, "mode", "filter"),
           threshold = p.path("threshold").asDouble(0.8))
+      case "chunk" =>
+        ChunkSpec(name, input, output,
+          contentCol = str(p, "content", "text"),
+          idCol = str(p, "id", "doc_id"),
+          size = p.path("size").asInt(512),
+          overlap = p.path("overlap").asInt(64))
       case "decontaminate" =>
         DecontaminateSpec(name, input,
           benchInput = str(p, "bench_input"),

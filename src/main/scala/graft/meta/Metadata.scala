@@ -157,6 +157,21 @@ final case class DecontaminateSpec(
   extends TransformSpec
 
 /**
+ * graft extension: split documents into fixed-size overlapping
+ * character windows (context-window chunking). Output: (idCol,
+ * chunk_id, chunk_text).
+ */
+final case class ChunkSpec(
+    name: String,
+    input: String,
+    output: String,
+    contentCol: String = "text",
+    idCol: String = "doc_id",
+    size: Int = 512,
+    overlap: Int = 64)
+  extends TransformSpec
+
+/**
  * graft extension: append text-analysis columns. `analyses` from
  * {tokens, quality, langid, fingerprint, repetition, redact}.
  */

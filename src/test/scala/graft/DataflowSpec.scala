@@ -226,7 +226,9 @@ class DataflowSpec extends SparkSpecBase {
          |      "mode":"cluster_filter","threshold":0.8}},
          |    {"name":"labels","type":"dedup","params":{
          |      "input":"scrubbed","output":"clusters","method":"ngram_jaccard",
-         |      "mode":"clusters","threshold":0.8}}
+         |      "mode":"clusters","threshold":0.8}},
+         |    {"name":"window","type":"chunk","params":{
+         |      "input":"canon","output":"chunks","size":200,"overlap":50}}
          |  ],"sinks":[]}]}""".stripMargin
     val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("llm2"))
     val docs = frames("docs")
@@ -245,6 +247,9 @@ class DataflowSpec extends SparkSpecBase {
     val nonCanon = labels.filter(col("cluster_id") =!= col("doc_id")).count()
     assert(frames("canon").count() === frames("scrubbed").count() - nonCanon)
     assert(nonCanon > 0)
+    // chunk step fans out and keeps every doc at least once
+    assert(frames("chunks").columns.toSeq === Seq("doc_id", "chunk_id", "chunk_text"))
+    assert(frames("chunks").select("doc_id").distinct().count() === frames("canon").count())
   }
 
   test("RunPipeline stage summary: one [stage] line per source + output, with counts") {
