@@ -28,7 +28,7 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters",
     "sim_topk", "sim_lsh", "sim_ivf", "text_quality", "field_stats", "validate_ok",
     "multimodal_meta", "sample_stratified", "pack_sequences", "decontaminate",
-    "text_redact", "pipeline_docs", "pipeline_docs_v2")
+    "text_redact", "text_chunks", "vocab_df", "pipeline_docs", "pipeline_docs_v2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
