@@ -374,6 +374,12 @@ object Oracles {
     // connected components over the near-dup graph (min-id labels)
     "dedup_clusters" -> dedupClustersSql,
 
+    // incremental dedup: all pairs touching the doc_id%10=0 batch
+    "dedup_incremental" ->
+      s"""WITH $ngramPairsCtes
+         |SELECT doc_a, doc_b, inter, size_a, size_b, jaccard FROM jpairs
+         |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0""".stripMargin,
+
     // Dedup.minhashLshVerified rescores LSH candidates against the
     // TRUE shingle sets, so its output is the exact-Jaccard pair set
     // (candidate miss probability ~8e-8 per pair at j=0.8 with

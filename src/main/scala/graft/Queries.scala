@@ -384,6 +384,17 @@ object Queries {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashVerified(t(s, dir, "documents"), col("text"), col("doc_id"))
 
+  /** Incremental near-dup: every 10th doc plays the "incoming batch",
+    * the rest the standing corpus; output pairs involve at least one
+    * incoming doc (corpus-internal pairs are not re-derived). */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.ngramJaccardIncremental(
+      corpus = docs.filter(col("doc_id") % 10 =!= 0),
+      incoming = docs.filter(col("doc_id") % 10 === 0),
+      col("text"), col("doc_id"))
+  }
+
   /** Duplicate clusters: connected components over the exact
     * near-dup pair graph, min-id canonical labels. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
@@ -660,6 +671,7 @@ object Queries {
     "dedup_minhash" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_clusters" -> dedupClusters _,
+    "dedup_incremental" -> dedupIncremental _,
     "dedup_embedding" -> dedupEmbedding _,
     "sim_topk" -> simTopK _,
     "sim_lsh" -> simLsh _,

@@ -326,6 +326,65 @@ object Dedup {
   }
 
   /**
+   * INCREMENTAL n-gram Jaccard near-dup: pairs (jaccard ≥ t,
+   * doc_a < doc_b) where AT LEAST ONE side comes from the `incoming`
+   * batch — the daily-crawl pattern, where re-pairing the whole
+   * corpus per delivery would be quadratic waste. Only incoming
+   * documents generate prefix probes; the corpus side contributes its
+   * (indexable, precomputable) prefix table, so candidate cost scales
+   * with |incoming| × fan-out, not |corpus|². Corpus-internal pairs
+   * are deliberately NOT re-emitted (they were found when those docs
+   * themselves arrived).
+   *
+   * Same pruning, ordering and rescoring as [[ngramJaccard]] (the
+   * frequency order is computed over corpus ∪ incoming so both sides
+   * slice prefixes under one global order — required for the
+   * no-false-negative property).
+   */
+  def ngramJaccardIncremental(corpus: DataFrame, incoming: DataFrame,
+                              content: Column, id: Column,
+                              k: Int = 3, threshold: Double = 0.8,
+                              freqOrdered: Boolean = true): DataFrame = {
+    import graft.functions.TextHashExprs
+    val sigsAll = shingleSigs(corpus.select(content.as("__c"), id.as("__i"))
+        .unionAll(incoming.select(content.as("__c"), id.as("__i"))),
+      col("__c"), col("__i"), k)
+    val sigsNew = shingleSigs(incoming, content, id, k)
+    val freq: Array[Long] =
+      if (!freqOrdered) Array.emptyLongArray
+      else sigsAll.select(explode(col("sh")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 4)
+        .orderBy(col("df").desc, col("h").asc)
+        .limit(1 << 20)
+        .select("h").collect().map(_.getLong(0)).sorted
+    def prefixFrame(sigs: DataFrame): DataFrame = {
+      val ordered =
+        if (freq.isEmpty) col("sh")
+        else TextHashExprs.freqReorder(col("sh"), freq)
+      val prefixLen =
+        (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
+      sigs.select(col("doc_id"), size(col("sh")).as("sz"),
+          posexplode(slice(ordered, lit(1), prefixLen)))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "ph")
+    }
+    val minOverlap = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("a.sz") + col("b.sz")))
+    // new-side probes against the full prefix table; new-new pairs
+    // surface twice (once per orientation) — least/greatest + distinct
+    // canonicalizes them
+    val cand = prefixFrame(sigsNew).as("a").join(prefixFrame(sigsAll).as("b"),
+        col("a.ph") === col("b.ph") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("a.sz") >= lit(threshold) * col("b.sz") &&
+          col("b.sz") >= lit(threshold) * col("a.sz") &&
+          least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) >= minOverlap)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    rescore(cand, sigsAll, threshold)
+  }
+
+  /**
    * Duplicate CLUSTERS from a near-dup pair frame: connected
    * components over the pair graph, labeling every document that
    * appears in a pair with the MINIMUM doc_id of its component — the

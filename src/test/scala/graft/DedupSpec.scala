@@ -137,6 +137,19 @@ class DedupSpec extends SparkSpecBase {
       s"missed: ${exact.diff(verified)}, extra: ${verified.diff(exact)}")
   }
 
+  test("incremental near-dup == full join restricted to batch-touching pairs") {
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    val full = Dedup.ngramJaccard(d, col("text"), col("doc_id"))
+      .filter(col("doc_a") % 10 === 0 || col("doc_b") % 10 === 0)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val inc = Dedup.ngramJaccardIncremental(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        col("text"), col("doc_id"))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(full.nonEmpty)
+    assert(inc === full, s"missed: ${full.diff(inc)}, extra: ${inc.diff(full)}")
+  }
+
   test("duplicateClusters: transitive chains collapse to min-id components") {
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4 (no direct 1-3,
     // 1-4, 2-4 edges) and {10,11}; 20 absent from any pair
