@@ -111,30 +111,48 @@ object Dedup {
                                           freqOrdered: Boolean,
                                           minDf: Int = 4,
                                           maxFreqSet: Int = 1 << 20): DataFrame = {
-    val freq: Array[Long] =
-      if (!freqOrdered) Array.emptyLongArray
-      else sigs.select(explode(col("sh")).as("h"))
-        .groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= minDf)
-        .orderBy(col("df").desc, col("h").asc)
-        .limit(maxFreqSet)
-        .select("h").collect().map(_.getLong(0)).sorted
+    val freq = if (freqOrdered) frequentSet(sigs, minDf, maxFreqSet)
+               else Array.emptyLongArray
+    val prefixes = prefixFrame(sigs, threshold, freq)
+    prefixes.as("a").join(prefixes.as("b"),
+        col("a.doc_id") < col("b.doc_id") && prefixJoinCond(threshold))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Top frequent shingle hashes (document frequency ≥ minDf, capped),
+    * sorted for the binary-search membership test in FreqReorderExpr.
+    * One explode+groupBy aggregation over the cached signatures. */
+  private def frequentSet(sigs: DataFrame, minDf: Int, maxFreqSet: Int): Array[Long] =
+    sigs.select(explode(col("sh")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("h").asc)
+      .limit(maxFreqSet)
+      .select("h").collect().map(_.getLong(0)).sorted
+
+  /** (doc_id, sz, p, ph): one row per prefix element of each doc's
+    * shingle array under the global (isFrequent, hash) order. */
+  private def prefixFrame(sigs: DataFrame, threshold: Double,
+                          freq: Array[Long]): DataFrame = {
     val ordered =
       if (freq.isEmpty) col("sh")
       else graft.functions.TextHashExprs.freqReorder(col("sh"), freq)
     val prefixLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
-    val prefixes = sigs.select(col("doc_id"), size(col("sh")).as("sz"),
+    sigs.select(col("doc_id"), size(col("sh")).as("sz"),
         posexplode(slice(ordered, lit(1), prefixLen)))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "ph")
+  }
+
+  /** Shared prefix-join predicate: equal prefix hash + mutual length
+    * bound + positional max-overlap bound (see [[ngramJaccard]]). */
+  private def prefixJoinCond(threshold: Double): Column = {
     val minOverlap = ceil(lit(threshold / (1.0 + threshold)) *
       (col("a.sz") + col("b.sz")))
-    prefixes.as("a").join(prefixes.as("b"),
-        col("a.ph") === col("b.ph") && col("a.doc_id") < col("b.doc_id") &&
-          col("a.sz") >= lit(threshold) * col("b.sz") &&
-          col("b.sz") >= lit(threshold) * col("a.sz") &&
-          least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) >= minOverlap)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    col("a.ph") === col("b.ph") &&
+      col("a.sz") >= lit(threshold) * col("b.sz") &&
+      col("b.sz") >= lit(threshold) * col("a.sz") &&
+      least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) >= minOverlap
   }
 
   /** Exact-Jaccard rescoring of candidate (doc_a, doc_b) pairs against
@@ -345,39 +363,18 @@ object Dedup {
                               content: Column, id: Column,
                               k: Int = 3, threshold: Double = 0.8,
                               freqOrdered: Boolean = true): DataFrame = {
-    import graft.functions.TextHashExprs
     val sigsAll = shingleSigs(corpus.select(content.as("__c"), id.as("__i"))
         .unionAll(incoming.select(content.as("__c"), id.as("__i"))),
       col("__c"), col("__i"), k)
     val sigsNew = shingleSigs(incoming, content, id, k)
-    val freq: Array[Long] =
-      if (!freqOrdered) Array.emptyLongArray
-      else sigsAll.select(explode(col("sh")).as("h"))
-        .groupBy("h").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 4)
-        .orderBy(col("df").desc, col("h").asc)
-        .limit(1 << 20)
-        .select("h").collect().map(_.getLong(0)).sorted
-    def prefixFrame(sigs: DataFrame): DataFrame = {
-      val ordered =
-        if (freq.isEmpty) col("sh")
-        else TextHashExprs.freqReorder(col("sh"), freq)
-      val prefixLen =
-        (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
-      sigs.select(col("doc_id"), size(col("sh")).as("sz"),
-          posexplode(slice(ordered, lit(1), prefixLen)))
-        .withColumnRenamed("pos", "p").withColumnRenamed("col", "ph")
-    }
-    val minOverlap = ceil(lit(threshold / (1.0 + threshold)) *
-      (col("a.sz") + col("b.sz")))
+    val freq = if (freqOrdered) frequentSet(sigsAll, minDf = 4, maxFreqSet = 1 << 20)
+               else Array.emptyLongArray
     // new-side probes against the full prefix table; new-new pairs
     // surface twice (once per orientation) — least/greatest + distinct
     // canonicalizes them
-    val cand = prefixFrame(sigsNew).as("a").join(prefixFrame(sigsAll).as("b"),
-        col("a.ph") === col("b.ph") && col("a.doc_id") =!= col("b.doc_id") &&
-          col("a.sz") >= lit(threshold) * col("b.sz") &&
-          col("b.sz") >= lit(threshold) * col("a.sz") &&
-          least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) >= minOverlap)
+    val cand = prefixFrame(sigsNew, threshold, freq).as("a")
+      .join(prefixFrame(sigsAll, threshold, freq).as("b"),
+        col("a.doc_id") =!= col("b.doc_id") && prefixJoinCond(threshold))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
