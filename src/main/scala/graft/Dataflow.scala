@@ -164,6 +164,15 @@ object Dataflow {
         case s: SplitSpec =>
           frames + (s.output -> Sampling.hashSplit(
             in, org.apache.spark.sql.functions.col(s.idCol), s.trainPct, s.valPct))
+        case s: StratifiedSampleSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Sampling.stratifiedSample(
+            in, col(s.strataCol), col(s.idCol), s.fractions, s.defaultFraction))
+        case s: PackSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Sampling.packSequences(in,
+            shard = Sampling.hashBucket(col(s.idCol)) % s.shards,
+            id = col(s.idCol), tokens = col(s.tokensCol), budget = s.budget))
         case s: ComputeStatsSpec =>
           // stats become named frames; sink them like any other
           // output. The input passes through under the transform name

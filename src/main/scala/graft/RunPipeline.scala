@@ -44,6 +44,8 @@ object RunPipeline {
     case s: meta.AnnSpec          => Seq(s.output)
     case s: meta.DecontaminateSpec => Seq(s.output)
     case s: meta.ChunkSpec        => Seq(s.output)
+    case s: meta.StratifiedSampleSpec => Seq(s.output)
+    case s: meta.PackSpec         => Seq(s.output)
   }
 
   /** One `[stage]` line per source / transformation output: name,

@@ -110,6 +110,18 @@ object MetaLoader {
         TextAnalysisSpec(name, input, output,
           contentCol = str(p, "content", "text"),
           analyses = if (p.has("analyses")) strArr(p, "analyses") else Seq("quality"))
+      case "stratified_sample" =>
+        StratifiedSampleSpec(name, input, output,
+          strataCol = str(p, "strata"),
+          idCol = str(p, "id", "doc_id"),
+          fractions = obj(p, "fractions").map { case (k, v) => k -> v.toDouble },
+          defaultFraction = p.path("default_fraction").asDouble(1.0))
+      case "pack" =>
+        PackSpec(name, input, output,
+          tokensCol = str(p, "tokens"),
+          idCol = str(p, "id", "doc_id"),
+          budget = p.path("budget").asInt(2048),
+          shards = p.path("shards").asInt(8))
       case "split" =>
         SplitSpec(name, input, output,
           idCol = str(p, "id", "doc_id"),

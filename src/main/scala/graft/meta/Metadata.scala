@@ -184,6 +184,36 @@ final case class TextAnalysisSpec(
   extends TransformSpec
 
 /**
+ * graft extension: deterministic stratified sampling — keep each row
+ * with its stratum's fraction, decided by the id hash (no RNG, no
+ * shuffle). Strata absent from `fractions` keep `defaultFraction`.
+ */
+final case class StratifiedSampleSpec(
+    name: String,
+    input: String,
+    output: String,
+    strataCol: String,
+    idCol: String = "doc_id",
+    fractions: Map[String, Double] = Map.empty,
+    defaultFraction: Double = 1.0)
+  extends TransformSpec
+
+/**
+ * graft extension: token-budget sequence packing — assigns each row
+ * to the training sequence in which it starts, packing independently
+ * per hash shard.
+ */
+final case class PackSpec(
+    name: String,
+    input: String,
+    output: String,
+    tokensCol: String,
+    idCol: String = "doc_id",
+    budget: Int = 2048,
+    shards: Int = 8)
+  extends TransformSpec
+
+/**
  * graft extension: deterministic hash-based train/val/test split —
  * appends a `split` column that is a pure function of the id.
  */

@@ -228,7 +228,13 @@ class DataflowSpec extends SparkSpecBase {
          |      "input":"scrubbed","output":"clusters","method":"ngram_jaccard",
          |      "mode":"clusters","threshold":0.8}},
          |    {"name":"window","type":"chunk","params":{
-         |      "input":"canon","output":"chunks","size":200,"overlap":50}}
+         |      "input":"canon","output":"chunks","size":200,"overlap":50}},
+         |    {"name":"counted","type":"text_analysis","params":{
+         |      "input":"chunks","output":"countedc","content":"chunk_text","analyses":["tokens"]}},
+         |    {"name":"packed","type":"pack","params":{
+         |      "input":"countedc","output":"packedc","tokens":"n_ws_tokens","budget":256,"shards":2}},
+         |    {"name":"sampled","type":"stratified_sample","params":{
+         |      "input":"scrubbed","output":"sampledc","strata":"lang","fractions":{"en":0.5}}}
          |  ],"sinks":[]}]}""".stripMargin
     val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("llm2"))
     val docs = frames("docs")
@@ -250,6 +256,16 @@ class DataflowSpec extends SparkSpecBase {
     // chunk step fans out and keeps every doc at least once
     assert(frames("chunks").columns.toSeq === Seq("doc_id", "chunk_id", "chunk_text"))
     assert(frames("chunks").select("doc_id").distinct().count() === frames("canon").count())
+    // pack assigns every chunk row a (shard, seq_id)
+    val packed = frames("packedc")
+    assert(packed.columns.contains("shard") && packed.columns.contains("seq_id"))
+    assert(packed.count() === frames("countedc").count())
+    // stratified sampling thins only the configured stratum
+    val scrubbed = frames("scrubbed")
+    val sampled = frames("sampledc")
+    assert(sampled.count() < scrubbed.count() && sampled.count() > 0)
+    assert(sampled.filter(col("lang") =!= "en").count() ===
+      scrubbed.filter(col("lang") =!= "en").count())
   }
 
   test("RunPipeline stage summary: one [stage] line per source + output, with counts") {
