@@ -407,6 +407,17 @@ object Queries {
     Similarity.cosineDupPairs(t(s, dir, "embeddings"),
       col("vec_id"), col("embedding"), threshold = 0.4)
 
+  /** Cross-frame embedding near-dup (fuzzy decontamination shape):
+    * full corpus vs the vec_id%20 "benchmark" subset, exact cosine,
+    * broadcast bench side. */
+  def simCross(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.cosineCrossPairs(
+      e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") % 20 === 0), col("vec_id"), col("embedding"),
+      threshold = 0.4)
+  }
+
   /** Brute-force cosine top-k ANN (exact baseline). */
   def simTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -674,6 +685,7 @@ object Queries {
     "dedup_incremental" -> dedupIncremental _,
     "dedup_embedding" -> dedupEmbedding _,
     "sim_topk" -> simTopK _,
+    "sim_cross" -> simCross _,
     "sim_lsh" -> simLsh _,
     "sim_ivf" -> simIvf _,
     "multimodal_meta" -> multimodalMeta _,

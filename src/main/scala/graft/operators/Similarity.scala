@@ -289,6 +289,51 @@ object Similarity {
   }
 
   /**
+   * CROSS-frame cosine near-dup pairs: (id_a, id_b, cos_sim) with
+   * cos_sim ≥ threshold, id_a from `dfA`, id_b from `dfB` — the
+   * embedding-space form of decontamination (corpus vs benchmark) and
+   * of delta-vs-corpus dedup. Brute force with a BROADCAST right side
+   * (benchmarks/deltas are the small side by construction): one scan
+   * of dfA, no shuffle. Use [[lshCrossPairs]] when both sides are
+   * large. Self-matches (a doc present in both frames) are kept —
+   * for decontamination the self-match IS the signal.
+   */
+  def cosineCrossPairs(dfA: DataFrame, idA: Column, vecA: Column,
+                       dfB: DataFrame, idB: Column, vecB: Column,
+                       threshold: Double = 0.95): DataFrame = {
+    val a = withNorm(dfA, idA, vecA)
+    val b = withNorm(dfB, idB, vecB)
+      .select(col("id").as("bid"), col("vec").as("bvec"), col("norm").as("bnorm"))
+    a.crossJoin(broadcast(b))
+      .select(col("id").as("id_a"), col("bid").as("id_b"),
+        (dot(col("vec"), col("bvec")) /
+          when(col("norm") * col("bnorm") === 0.0, lit(Double.NaN))
+            .otherwise(col("norm") * col("bnorm"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /**
+   * Scale path for [[cosineCrossPairs]]: both sides LSH-bucketed with
+   * the SAME hyperplanes (same seed → same buckets), candidates from
+   * the (table, bucket) equi-join, exact rescoring — a hash shuffle,
+   * never a cross join, when the benchmark side outgrows broadcast.
+   */
+  def lshCrossPairs(dfA: DataFrame, idA: Column, vecA: Column,
+                    dfB: DataFrame, idB: Column, vecB: Column,
+                    threshold: Double = 0.95, tables: Int = 8, bits: Int = 8,
+                    seed: Int = 42): DataFrame = {
+    val a = bucketed(dfA, idA, vecA, tables, bits, seed).as("a")
+    val b = bucketed(dfB, idB, vecB, tables, bits, seed).as("b")
+    a.join(b, col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.vec"), col("b.vec")) /
+          when(col("a.norm") * col("b.norm") === 0.0, lit(Double.NaN))
+            .otherwise(col("a.norm") * col("b.norm"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+  }
+
+  /**
    * LSH near-dup pairs (scale path for [[cosineDupPairs]]):
    * same-bucket candidates, exact rescoring, threshold filter.
    */

@@ -82,6 +82,28 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.5)
   }
 
+  test("lshCrossPairs recalls cross-frame planted dups found by the exact baseline") {
+    val base = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // benchmark = perturbed copies of every 10th vector (ids + 100000)
+    val bench = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * 0.99 + 0.001).cast("float")).as("embedding"))
+    val exact = Similarity.cosineCrossPairs(base, col("vec_id"), col("embedding"),
+        bench, col("vec_id"), col("embedding"), threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val lsh = Similarity.lshCrossPairs(base, col("vec_id"), col("embedding"),
+        bench, col("vec_id"), col("embedding"), threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    info(f"cross-pair recall = $recall%.3f over ${exact.size} exact pairs")
+    assert(recall >= 0.95)
+    // lsh emits no pair the exact baseline rejects (scores are exact)
+    assert(lsh.subsetOf(exact) || lsh.diff(exact).isEmpty)
+  }
+
   test("IVF codebook round-trips through save/load; centroidsIn reuse matches fresh training") {
     val e = spark.read.parquet(sf() + "/embeddings.parquet")
     val cb = Similarity.trainKmeans(e, col("vec_id"), col("embedding"), nlist = 32)
