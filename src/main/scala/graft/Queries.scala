@@ -626,8 +626,13 @@ object Queries {
     val filtered = scored
       .filter(col("lang_pred") === "en" && col("quality_score") >= 0.51)
     val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val kept = filtered.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // cached: the scored+filtered+deduped subtree feeds BOTH the
+    // near-dup signature path and the final anti join — without the
+    // cache the full text-scoring pipeline runs twice
+    val kept = operators.OpCache.cache(
+      filtered.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+        .select(col("doc_id"), col("text"), col("n_tokens")))
     val nonCanonical = Dedup
       .duplicateClusters(Dedup.ngramJaccard(kept, col("text"), col("doc_id")))
       .filter(col("cluster_id") =!= col("doc_id"))
