@@ -80,6 +80,11 @@ object Dataflow {
             case other =>
               throw new IllegalArgumentException(s"dedup '${s.name}': unknown method '$other'")
           }
+          val validModes = Set("filter", "pairs", "clusters", "cluster_filter")
+          require(validModes.contains(s.mode),
+            s"dedup '${s.name}': unknown mode '${s.mode}' (expected one of ${validModes.mkString(", ")})")
+          require(s.method != "exact" || s.mode == "filter" || s.mode == "pairs",
+            s"dedup '${s.name}': mode '${s.mode}' needs a near-dup method (exact dedup has no pair graph)")
           val out = (s.method, s.mode) match {
             case ("exact", "pairs") =>
               // the duplicate-group report frame itself: one row per

@@ -366,7 +366,10 @@ object Dedup {
     val sigsAll = shingleSigs(corpus.select(content.as("__c"), id.as("__i"))
         .unionAll(incoming.select(content.as("__c"), id.as("__i"))),
       col("__c"), col("__i"), k)
-    val sigsNew = shingleSigs(incoming, content, id, k)
+    // the incoming side's signatures are a semi-join slice of the
+    // cached union — no second tokenize+hash pass over the batch
+    val sigsNew = sigsAll.join(
+      incoming.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
     val freq = if (freqOrdered) frequentSet(sigsAll, minDf = 4, maxFreqSet = 1 << 20)
                else Array.emptyLongArray
     // new-side probes against the full prefix table; new-new pairs

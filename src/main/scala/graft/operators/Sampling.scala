@@ -15,9 +15,14 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
-  /** Stable bucket in [0, 100) from the id's md5. */
-  def hashBucket(id: Column): Column =
-    (conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long") % 100)
+  /** Stable bucket in [0, buckets) from the id's md5 — the ONE bucket
+    * formula every sampler/splitter shares (the DuckDB oracles encode
+    * it verbatim; keep them in sync). */
+  def hashBucket(id: Column, buckets: Int): Column =
+    (conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long") % buckets)
+
+  /** Stable percentage bucket in [0, 100). */
+  def hashBucket(id: Column): Column = hashBucket(id, 100)
 
   /**
    * Assign train/val/test by hash bucket: [0, trainPct) → train,
@@ -33,10 +38,9 @@ object Sampling {
         .otherwise(lit("test")))
   }
 
-  /** Stable fine-grained bucket in [0, 10000) from the id's md5 —
-    * resolution for sub-percent sampling fractions. */
-  def hashBucket10k(id: Column): Column =
-    (conv(substring(md5(id.cast("string")), 1, 6), 16, 10).cast("long") % 10000)
+  /** Stable fine-grained bucket in [0, 10000) — resolution for
+    * sub-percent sampling fractions. */
+  def hashBucket10k(id: Column): Column = hashBucket(id, 10000)
 
   /**
    * Deterministic STRATIFIED sampling: keep each row with its

@@ -37,12 +37,37 @@ object Scale {
    * projections of scans, where leaf stats are the actual file sizes.
    */
   def ensureParallelism(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val target = spark.sparkContext.defaultParallelism
-    val maxPartBytes = spark.conf.get("spark.sql.files.maxPartitionBytes", s"${128L << 20}")
-      .stripSuffix("b").toLong
-    val leafBytes = estimatedLeafBytes(df)
-    if (leafBytes / maxPartBytes + 1 < target) df.repartition(target) else df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (estimatedScanPartitions(df) < target) df.repartition(target) else df
+  }
+
+  /** Plan-time scan-partition estimate: leaf bytes over the session's
+    * `files.maxPartitionBytes` (typed conf accessor — the raw string
+    * may carry a size suffix), CAPPED at the file count when every
+    * file of a non-columnar relation has a non-splittable compression
+    * extension — a single 2 GB .json.gz arrives as ONE partition no
+    * matter what the byte math says. */
+  private def estimatedScanPartitions(df: DataFrame): BigInt = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val maxPartBytes =
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val byBytes = estimatedLeafBytes(df) / maxPartBytes + 1
+    val nonSplittable = Seq(".gz", ".zip", ".deflate", ".zst", ".lz4", ".br")
+    val caps = df.queryExecution.analyzed.collectLeaves().collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation
+            if !fs.fileFormat.toString.toLowerCase.contains("parquet") &&
+              !fs.fileFormat.toString.toLowerCase.contains("orc") =>
+          val files = fs.location.inputFiles
+          if (files.nonEmpty &&
+              files.forall(f => nonSplittable.exists(f.toLowerCase.endsWith)))
+            Some(BigInt(files.length))
+          else None
+        case _ => None
+      }
+      case _ => None
+    }.flatten
+    caps.foldLeft(byBytes)(_ min _)
   }
 
   /** Sum of leaf-relation size estimates — actual file / in-memory
@@ -112,7 +137,7 @@ object Scale {
       Some(
         if (bytes <= 0) rows.toDouble
         else rows.toDouble * (totalBytes.toDouble / bytes))
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /**
    * Skew-safe equi-join: the fact side gets a deterministic salt in

@@ -60,9 +60,9 @@ object Similarity {
     val b = v.as("b")
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (dot(col("a.vec"), col("b.vec")) /
-          when(col("a.norm") * col("b.norm") === 0.0, lit(Double.NaN))
-            .otherwise(col("a.norm") * col("b.norm"))).as("cos_sim"))
+        when(col("a.norm") * col("b.norm") === 0.0, lit(0.0))
+          .otherwise(dot(col("a.vec"), col("b.vec")) /
+            (col("a.norm") * col("b.norm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -84,9 +84,9 @@ object Similarity {
     c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("neighbor_id"),
-        (dot(col("qvec"), col("vec")) /
-          when(col("qnorm") * col("norm") === 0.0, lit(Double.NaN))
-            .otherwise(col("qnorm") * col("norm"))).as("cos_sim"))
+        when(col("qnorm") * col("norm") === 0.0, lit(0.0))
+          .otherwise(dot(col("qvec"), col("vec")) /
+            (col("qnorm") * col("norm"))).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .withColumnRenamed("qid", "id")
@@ -128,9 +128,9 @@ object Similarity {
     a.join(c, col("a.table") === col("c.table") &&
         col("a.bucket") === col("c.bucket") && col("a.id") =!= col("c.id"))
       .select(col("a.id").as("id"), col("c.id").as("neighbor_id"),
-        (dot(col("a.vec"), col("c.vec")) /
-          when(col("a.norm") * col("c.norm") === 0.0, lit(Double.NaN))
-            .otherwise(col("a.norm") * col("c.norm"))).as("cos_sim"))
+        when(col("a.norm") * col("c.norm") === 0.0, lit(0.0))
+          .otherwise(dot(col("a.vec"), col("c.vec")) /
+            (col("a.norm") * col("c.norm"))).as("cos_sim"))
       .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -281,9 +281,9 @@ object Similarity {
     queries.join(data, Seq("cell"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid").as("id"), col("id").as("neighbor_id"),
-        (dot(col("qvec"), col("vec")) /
-          when(col("qnorm") * col("norm") === 0.0, lit(Double.NaN))
-            .otherwise(col("qnorm") * col("norm"))).as("cos_sim"))
+        when(col("qnorm") * col("norm") === 0.0, lit(0.0))
+          .otherwise(dot(col("qvec"), col("vec")) /
+            (col("qnorm") * col("norm"))).as("cos_sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -306,9 +306,9 @@ object Similarity {
       .select(col("id").as("bid"), col("vec").as("bvec"), col("norm").as("bnorm"))
     a.crossJoin(broadcast(b))
       .select(col("id").as("id_a"), col("bid").as("id_b"),
-        (dot(col("vec"), col("bvec")) /
-          when(col("norm") * col("bnorm") === 0.0, lit(Double.NaN))
-            .otherwise(col("norm") * col("bnorm"))).as("cos_sim"))
+        when(col("norm") * col("bnorm") === 0.0, lit(0.0))
+          .otherwise(dot(col("vec"), col("bvec")) /
+            (col("norm") * col("bnorm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -326,9 +326,9 @@ object Similarity {
     val b = bucketed(dfB, idB, vecB, tables, bits, seed).as("b")
     a.join(b, col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (dot(col("a.vec"), col("b.vec")) /
-          when(col("a.norm") * col("b.norm") === 0.0, lit(Double.NaN))
-            .otherwise(col("a.norm") * col("b.norm"))).as("cos_sim"))
+        when(col("a.norm") * col("b.norm") === 0.0, lit(0.0))
+          .otherwise(dot(col("a.vec"), col("b.vec")) /
+            (col("a.norm") * col("b.norm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .distinct()
   }
@@ -346,9 +346,9 @@ object Similarity {
     a.join(c, col("a.table") === col("c.table") &&
         col("a.bucket") === col("c.bucket") && col("a.id") < col("c.id"))
       .select(col("a.id").as("id_a"), col("c.id").as("id_b"),
-        (dot(col("a.vec"), col("c.vec")) /
-          when(col("a.norm") * col("c.norm") === 0.0, lit(Double.NaN))
-            .otherwise(col("a.norm") * col("c.norm"))).as("cos_sim"))
+        when(col("a.norm") * col("c.norm") === 0.0, lit(0.0))
+          .otherwise(dot(col("a.vec"), col("c.vec")) /
+            (col("a.norm") * col("c.norm"))).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .distinct()
   }
