@@ -79,6 +79,31 @@ class ScaleSpec extends SparkSpecBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("ensureParallelism: file-count cap for non-splittable inputs, suffixed conf ok") {
+    import graft.operators.Scale
+    val dir = java.nio.file.Files.createTempDirectory("graft_gz").toString
+    spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").option("compression", "gzip").json(dir)
+    // suffixed conf value must parse (the typed accessor, not toLong)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+    try {
+      // ONE .json.gz file: byte math says many partitions at a 1k
+      // split size, but gzip is non-splittable → the file-count cap
+      // kicks in and the guard repartitions
+      val gz = spark.read.json(dir)
+      val out = Scale.ensureParallelism(gz.select("doc_id"))
+      assert(out.queryExecution.logical.toString.contains("Repartition"),
+        "non-splittable single-file input must be repartitioned")
+      // a splittable parquet scan with the same tiny split size is
+      // estimated wide and must NOT be repartitioned
+      val pq = spark.read.parquet(sf() + "/documents.parquet")
+      val outPq = Scale.ensureParallelism(pq.select("doc_id"))
+      assert(!outPq.queryExecution.logical.toString.contains("Repartition"),
+        "splittable input with a wide estimate must not be repartitioned")
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("estimatedRows: parquet footer estimate is close to the true count") {
     val df = spark.read.parquet(sf() + "/documents.parquet")
     val est = graft.operators.Scale.estimatedRows(df)
