@@ -50,11 +50,16 @@ object AsOf {
         struct(left.columns.map(col): _*).as("__l"),
         lit(null).cast(structType(right, carry)).as("__r")): _*)
     val rSide = right.select(
-      rightKeys.zip(k).map { case (c, a) => col(c).as(a) } ++ Seq(
-        col(rightTs).cast("timestamp").as("__ts"),
-        lit(0).as("__tag"),
-        lit(null).cast(structType(left, left.columns.toSeq)).as("__l"),
-        struct(carry.map(col): _*).as("__r")): _*)
+        rightKeys.zip(k).map { case (c, a) => col(c).as(a) } ++ Seq(
+          col(rightTs).cast("timestamp").as("__ts"),
+          lit(0).as("__tag"),
+          lit(null).cast(structType(left, left.columns.toSeq)).as("__l"),
+          struct(carry.map(col): _*).as("__r")): _*)
+      // a right row with a null (or unparseable) timestamp can never
+      // satisfy rightTs <= leftTs, but nulls sort FIRST under asc —
+      // kept, it would be carried into every left row before the
+      // first real right row
+      .filter(col("__ts").isNotNull)
 
     // right rows (tag 0) sort before left rows (tag 1) at equal ts →
     // the match is inclusive (rightTs == leftTs counts)

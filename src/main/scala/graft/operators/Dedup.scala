@@ -35,9 +35,11 @@ object Dedup {
    * shuffle is needed — one projection + explode.
    */
   def shingles(df: DataFrame, content: Column, id: Column, k: Int = 3): DataFrame =
-    Scale.ensureParallelism(
-      df.select(id.as("doc_id"),
-        explode(graft.functions.TextHashExprs.shingles(content, k)).as("shingle")))
+    // repartition BEFORE the projection: the kernel must run on the
+    // spread partitions, not serialize on the narrow scan
+    Scale.ensureParallelism(df)
+      .select(id.as("doc_id"),
+        explode(graft.functions.TextHashExprs.shingles(content, k)).as("shingle"))
 
   /**
    * n-gram Jaccard near-dup pairs via a PREFIX-FILTERED set-similarity
@@ -84,10 +86,12 @@ object Dedup {
     * this per query; library users call it between queries). */
   private[graft] def shingleSigs(df: DataFrame, content: Column, id: Column,
                                      k: Int): DataFrame =
-    OpCache.cache(Scale.ensureParallelism(
-      df.select(id.as("doc_id"),
+    // repartition the INPUT, then project: the tokenize+hash kernel
+    // is the expensive part and must run after the spread
+    OpCache.cache(Scale.ensureParallelism(df)
+      .select(id.as("doc_id"),
           graft.functions.TextHashExprs.shingleHashes(content, k).as("sh"))
-        .filter(col("sh").isNotNull)))
+      .filter(col("sh").isNotNull))
 
   /**
    * PPJoin candidate generation over a (doc_id, sh) signature frame.
@@ -184,10 +188,10 @@ object Dedup {
    */
   def minhashSignatures(df: DataFrame, content: Column, id: Column,
                         k: Int = 3, numHashes: Int = 16): DataFrame =
-    Scale.ensureParallelism(
-      df.select(id.as("doc_id"),
+    Scale.ensureParallelism(df)
+      .select(id.as("doc_id"),
           graft.functions.TextHashExprs.minhashSig(content, k, numHashes).as("sig"))
-        .filter(col("sig").isNotNull))
+      .filter(col("sig").isNotNull)
 
   /**
    * MinHash + LSH near-dup: band the signature (`bands` bands of
@@ -245,11 +249,11 @@ object Dedup {
     // (MinhashWithShinglesExpr) — computing them as two expressions
     // tokenized and base-hashed every shingle twice, which dominated
     // the operator's cost
-    val sigs = OpCache.cache(Scale.ensureParallelism(
-      df.select(id.as("doc_id"),
+    val sigs = OpCache.cache(Scale.ensureParallelism(df)
+      .select(id.as("doc_id"),
           TextHashExprs.minhashWithShingles(content, k, numHashes).as("b"))
-        .filter(col("b").isNotNull)
-        .select(col("doc_id"), col("b.sig").as("sig"), col("b.sh").as("sh"))))
+      .filter(col("b").isNotNull)
+      .select(col("doc_id"), col("b.sig").as("sig"), col("b.sh").as("sh")))
     val banded = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
@@ -269,10 +273,10 @@ object Dedup {
    * shuffle. Output: (doc_id, simhash); token-less docs are dropped.
    */
   def simhashSignatures(df: DataFrame, content: Column, id: Column): DataFrame =
-    Scale.ensureParallelism(
-      df.select(id.as("doc_id"),
+    Scale.ensureParallelism(df)
+      .select(id.as("doc_id"),
           graft.functions.TextHashExprs.simhash64(content).as("simhash"))
-        .filter(col("simhash").isNotNull))
+      .filter(col("simhash").isNotNull)
 
   /**
    * SimHash near-dup: pairs with Hamming distance ≤ maxDistance.
@@ -363,8 +367,14 @@ object Dedup {
                               content: Column, id: Column,
                               k: Int = 3, threshold: Double = 0.8,
                               freqOrdered: Boolean = true): DataFrame = {
-    val sigsAll = shingleSigs(corpus.select(content.as("__c"), id.as("__i"))
-        .unionAll(incoming.select(content.as("__c"), id.as("__i"))),
+    // a re-delivered id supersedes its corpus version: keep the
+    // incoming copy only, or the unioned signature frame would hold
+    // two texts under one id and fan out every rescore join
+    val corpusOnly = corpus.select(content.as("__c"), id.as("__i"))
+      .join(incoming.select(id.as("__i")), Seq("__i"), "left_anti")
+      .select("__c", "__i") // using-join hoists __i first; union is positional
+    val sigsAll = shingleSigs(
+      corpusOnly.unionAll(incoming.select(content.as("__c"), id.as("__i"))),
       col("__c"), col("__i"), k)
     // the incoming side's signatures are a semi-join slice of the
     // cached union — no second tokenize+hash pass over the batch

@@ -24,10 +24,14 @@ import org.apache.spark.sql.functions._
  */
 object Multimodal {
 
-  /** Typed media metadata (parquet-queryable without payload reads). */
+  /** Typed media metadata (parquet-queryable without payload reads).
+    * `nBytes`/`fp` are computed ONCE where the payload is created or
+    * mutated, so metadata-only queries never have to read the blob to
+    * report size or fingerprint. */
   final case class MediaMeta(
       format: String, width: Int, height: Int,
-      sampleRate: Int, durationMs: Long)
+      sampleRate: Int, durationMs: Long,
+      nBytes: Long, fp: String)
 
   /** One media record: opaque payload + typed metadata. */
   final case class MediaRecord(
@@ -82,7 +86,9 @@ object Multimodal {
           (col("n_chars") % 640 + 1).cast("int").as("width"),
           (col("n_chars") % 480 + 1).cast("int").as("height"),
           lit(16000).as("sampleRate"),
-          (col("n_chars") * 10).cast("long").as("durationMs")).as("meta"))
+          (col("n_chars") * 10).cast("long").as("durationMs"),
+          length(encode(col("text"), "UTF-8")).cast("long").as("nBytes"),
+          md5(encode(col("text"), "UTF-8")).as("fp")).as("meta"))
       .as[MediaRecord]
   }
 
@@ -105,10 +111,12 @@ object Multimodal {
   def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
-      if (m.kind == "image")
-        m.copy(bytes = FakeCodec.resize(m.bytes, w, h),
-          meta = m.meta.copy(width = w, height = h))
-      else m
+      if (m.kind == "image") {
+        val resized = FakeCodec.resize(m.bytes, w, h)
+        m.copy(bytes = resized,
+          meta = m.meta.copy(width = w, height = h,
+            nBytes = resized.length.toLong, fp = FakeCodec.md5Hex(resized)))
+      } else m
     })
   }
 
@@ -132,15 +140,16 @@ object Multimodal {
     })
   }
 
-  /** Metadata-only summary — at scale this plan never touches payload
-    * bytes (parquet column pruning drops the binary column). */
+  /** Metadata-only summary — the plan reads ONLY the metadata struct
+    * (size and fingerprint live there, written at payload creation),
+    * so parquet column pruning genuinely drops the binary column. */
   def metaSummary(media: Dataset[MediaRecord]): DataFrame =
     media.toDF().select(
       col("mediaId").as("media_id"), col("kind"),
-      length(col("bytes")).cast("long").as("n_bytes"),
+      col("meta.nBytes").as("n_bytes"),
       col("meta.format").as("fmt"),
       col("meta.width").as("width"), col("meta.height").as("height"),
-      md5(col("bytes")).as("fp"))
+      col("meta.fp").as("fp"))
 
   /** The SparkEntry query: documents → media → metadata summary. */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame =

@@ -33,6 +33,7 @@ object RangeJoin {
                    leftKeys: Seq[String], rightKeys: Seq[String],
                    bucketSeconds: Long): DataFrame = {
     require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty)
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
     def bucketOf(c: Column): Column =
       floor(unix_timestamp(c.cast("timestamp")) / bucketSeconds)
 
@@ -41,13 +42,17 @@ object RangeJoin {
     // boundary does not cover that bucket
     val r = right.withColumn("__bucket",
       explode(sequence(bucketOf(col(rightStart)),
-        bucketOf(col(rightEnd) - expr("INTERVAL 1 MICROSECOND")))))
+        bucketOf(col(rightEnd).cast("timestamp") - expr("INTERVAL 1 MICROSECOND")))))
 
     val keyCond = leftKeys.zip(rightKeys)
       .map { case (lk, rk) => l(lk) === r(rk) }
       .reduce(_ && _)
+    // the residual must compare under the SAME timestamp cast the
+    // bucketing used — raw string columns would compare
+    // lexicographically and silently drop matches
     l.join(r, keyCond && l("__bucket") === r("__bucket") &&
-        l(leftTs) >= r(rightStart) && l(leftTs) < r(rightEnd))
+        l(leftTs).cast("timestamp") >= r(rightStart).cast("timestamp") &&
+        l(leftTs).cast("timestamp") < r(rightEnd).cast("timestamp"))
       .drop("__bucket")
   }
 }

@@ -60,7 +60,10 @@ object Sampling {
     val frac = fractions.foldLeft(lit(defaultFraction)) {
       case (acc, (stratum, f)) => when(strata === stratum, lit(f)).otherwise(acc)
     }
-    df.filter(hashBucket10k(id) < frac * 10000)
+    // null ids hash to a null bucket, which would fail the comparison
+    // and silently drop the row even at fraction 1.0 — pin them to
+    // bucket 0 (always kept unless the stratum's fraction is 0)
+    df.filter(coalesce(hashBucket10k(id), lit(0L)) < frac * 10000)
   }
 
   /**

@@ -45,8 +45,8 @@ object Similarity {
     * guarded — a 1-partition corpus would otherwise serialize the
     * pairwise scoring onto one core. */
   private def withNorm(df: DataFrame, id: Column, vec: Column): DataFrame =
-    Scale.ensureParallelism(
-      df.select(id.as("id"), vec.as("vec"), l2Norm(vec).as("norm")))
+    Scale.ensureParallelism(df)
+      .select(id.as("id"), vec.as("vec"), l2Norm(vec).as("norm"))
 
   /**
    * Embedding near-dup pairs: (id_a, id_b, cos_sim) with
@@ -159,6 +159,7 @@ object Similarity {
   def trainKmeans(df: DataFrame, id: Column, vec: Column, nlist: Int,
                   trainSize: Int = 10000, iters: Int = 10): Array[Array[Double]] = {
     val sample = df.select(id.cast("long").as("id"), vec.cast("array<double>").as("v"))
+      .filter(col("v").isNotNull) // null vectors: skip, like every scoring path
       .orderBy(col("id")).limit(trainSize)
       .collect().map { r =>
         val v = r.getSeq[Double](1).toArray

@@ -50,17 +50,18 @@ object StatsOp {
     require(fields.nonEmpty, "no stats-capable fields")
 
     val useApprox = approxDistinct.getOrElse {
-      val threshold = df.sparkSession.conf
-        .getOption(ApproxThresholdConf).map(_.toLong).getOrElse(ApproxThresholdDefault)
+      // size-suffixed values ("4m") are valid for every Spark size
+      // conf; parse them the same way instead of a bare toLong
+      val threshold = df.sparkSession.conf.getOption(ApproxThresholdConf)
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(ApproxThresholdDefault)
       // Gate on the SUM OF LEAF sizes, not the derived-plan estimate:
       // Catalyst multiplies child estimates through joins and defaults
       // stat-less leaves to huge values, which would silently flip a
       // small joined frame to approximate counting. Leaf stats are the
       // actual file/in-memory sizes — the quantity "is this input big"
       // actually means.
-      val leafBytes = df.queryExecution.optimizedPlan.collectLeaves()
-        .map(_.stats.sizeInBytes).sum
-      leafBytes > threshold
+      Scale.estimatedLeafBytes(df) > threshold
     }
     def distinctAgg(c: Column) =
       if (useApprox) approx_count_distinct(c) else countDistinct(c)

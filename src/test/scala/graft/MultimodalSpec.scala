@@ -6,10 +6,16 @@ import graft.operators.Multimodal._
 class MultimodalSpec extends SparkSpecBase {
   import spark.implicits._
 
+  private def mk(id: Long, kind: String, payload: String,
+                 w: Int, h: Int, sr: Int, dur: Long) = {
+    val b = payload.getBytes("UTF-8")
+    MediaRecord(id, kind, b,
+      MediaMeta("raw", w, h, sr, dur, b.length.toLong, FakeCodec.md5Hex(b)))
+  }
   private def media = Seq(
-    MediaRecord(1L, "image", "imgbytes".getBytes("UTF-8"), MediaMeta("raw", 640, 480, 0, 0L)),
-    MediaRecord(2L, "audio", "audiobytes".getBytes("UTF-8"), MediaMeta("raw", 0, 0, 16000, 2500L)),
-    MediaRecord(3L, "video", "0123456789".getBytes("UTF-8"), MediaMeta("raw", 640, 480, 0, 3500L))
+    mk(1L, "image", "imgbytes", 640, 480, 0, 0L),
+    mk(2L, "audio", "audiobytes", 0, 0, 16000, 2500L),
+    mk(3L, "video", "0123456789", 640, 480, 0, 3500L)
   ).toDS()
 
   test("decodeFeatures: batch shape and determinism") {
@@ -26,6 +32,9 @@ class MultimodalSpec extends SparkSpecBase {
   test("resizeImages touches only images and updates metadata") {
     val out = resizeImages(media, 64, 64).collect().sortBy(_.mediaId)
     assert(out(0).meta.width === 64 && out(0).meta.height === 64)
+    // payload-derived metadata stays in sync with the mutated bytes
+    assert(out(0).meta.fp === FakeCodec.md5Hex(out(0).bytes))
+    assert(out(0).meta.nBytes === out(0).bytes.length.toLong)
     assert(out(1).meta.sampleRate === 16000)           // audio untouched
     assert(out(1).bytes.toSeq === "audiobytes".getBytes("UTF-8").toSeq)
     assert(out(2).meta.width === 640)                  // video untouched
