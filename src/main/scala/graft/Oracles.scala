@@ -586,7 +586,7 @@ object Oracles {
          |    SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id) AS cum
          |  FROM sp)
          |SELECT split, CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS seq_id,
-         |  COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
          |FROM c GROUP BY 1, 2""".stripMargin,
 
     "text_fingerprint" -> {
@@ -621,7 +621,7 @@ object Oracles {
          |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
          |  FROM d)
          |SELECT shard, CAST(FLOOR((cum - n_tokens) / 2048) AS BIGINT) AS seq_id,
-         |  COUNT(*) AS n_docs, SUM(n_tokens) AS sum_tokens
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
          |FROM c GROUP BY 1, 2""".stripMargin,
 
     // PII redaction over synthetically decorated text: same regexes

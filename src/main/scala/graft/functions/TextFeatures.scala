@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -20,6 +20,14 @@ import java.util.regex.Pattern
  * stopwords matched case-sensitively, punctuation = code points of the
  * lowercased text outside [a-z0-9\s], ratios as single double
  * divisions of exact ints — so the DuckDB hash-match still holds.
+ *
+ * The expression has a REAL `doGenCode` (a static call into
+ * [[TextFeatures.evalQuality]]), not CodegenFallback: Spark's
+ * whole-stage subexpression elimination skips any tree containing a
+ * CodegenFallback node, so a fallback version is re-evaluated once per
+ * struct-field reference — 6 fields + a quality filter meant ~7 full
+ * text passes per row in the composed pipelines. With codegen the
+ * projection evaluates the struct once and the getFields share it.
  */
 object TextFeatures {
 
@@ -28,45 +36,60 @@ object TextFeatures {
     "stop_ratio" -> DoubleType, "punct_ratio" -> DoubleType,
     "quality_score" -> DoubleType)
 
+  private val ws = Pattern.compile("\\s+")
+
+  /** One-pass quality features; static so generated code can call it. */
+  def evalQuality(v: UTF8String, stopSet: java.util.HashSet[String]): InternalRow = {
+    val s = v.toString
+    val trimmed = s.trim
+    var nTokens = 0
+    var nStop = 0
+    if (trimmed.nonEmpty) {
+      val toks = ws.split(trimmed, -1)
+      nTokens = toks.length
+      var i = 0
+      while (i < toks.length) {
+        if (stopSet.contains(toks(i))) nStop += 1
+        i += 1
+      }
+    }
+    val lower = s.toLowerCase(java.util.Locale.ROOT)
+    var nPunct = 0
+    var nChars = 0
+    var i = 0
+    while (i < lower.length) {
+      val cp = lower.codePointAt(i)
+      nChars += 1
+      val isKept = (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') ||
+        cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+      if (!isKept) nPunct += 1
+      i += Character.charCount(cp)
+    }
+    val stopRatio = if (nTokens == 0) 0.0 else nStop.toDouble / nTokens
+    val punctRatio = if (nChars == 0) 0.0 else nPunct.toDouble / nChars
+    val score = stopRatio * 0.5 + (1.0 - punctRatio) * 0.5
+    InternalRow(nTokens, nStop, nPunct, stopRatio, punctRatio, score)
+  }
+
   case class TextQualityExpr(child: Expression, stopwords: Seq[String])
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     override def dataType: DataType =
       StructType(Fields.map { case (n, t) => StructField(n, t, nullable = false) })
     override def nullable: Boolean = true
 
-    @transient private lazy val ws = Pattern.compile("\\s+")
-    @transient private lazy val stopSet = stopwords.toSet
+    @transient private lazy val stopSet: java.util.HashSet[String] = {
+      val h = new java.util.HashSet[String]()
+      stopwords.foreach(h.add)
+      h
+    }
 
-    override def nullSafeEval(v: Any): Any = {
-      val s = v.asInstanceOf[UTF8String].toString
-      val trimmed = s.trim
-      var nTokens = 0
-      var nStop = 0
-      if (trimmed.nonEmpty) {
-        val toks = ws.split(trimmed, -1)
-        nTokens = toks.length
-        var i = 0
-        while (i < toks.length) {
-          if (stopSet.contains(toks(i))) nStop += 1
-          i += 1
-        }
-      }
-      val lower = s.toLowerCase(java.util.Locale.ROOT)
-      var nPunct = 0
-      var nChars = 0
-      var i = 0
-      while (i < lower.length) {
-        val cp = lower.codePointAt(i)
-        nChars += 1
-        val isKept = (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') ||
-          cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
-        if (!isKept) nPunct += 1
-        i += Character.charCount(cp)
-      }
-      val stopRatio = if (nTokens == 0) 0.0 else nStop.toDouble / nTokens
-      val punctRatio = if (nChars == 0) 0.0 else nPunct.toDouble / nChars
-      val score = stopRatio * 0.5 + (1.0 - punctRatio) * 0.5
-      InternalRow(nTokens, nStop, nPunct, stopRatio, punctRatio, score)
+    override def nullSafeEval(v: Any): Any =
+      evalQuality(v.asInstanceOf[UTF8String], stopSet)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val stopRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextFeatures.evalQuality($c, $stopRef);")
     }
 
     override protected def withNewChildInternal(newChild: Expression): Expression =

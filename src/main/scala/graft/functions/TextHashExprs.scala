@@ -208,6 +208,11 @@ object TextHashExprs {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = true
+    // never stringify the frequent set into plan descriptions — a
+    // megabyte argString per node makes every explain/AQE plan dump
+    // allocate (then truncate) huge strings
+    override def stringArgs: Iterator[Any] =
+      Iterator(child, s"freqSet[${freqSorted.length}]")
     override def nullSafeEval(v: Any): Any = {
       val a = v.asInstanceOf[ArrayData]
       val n = a.numElements()

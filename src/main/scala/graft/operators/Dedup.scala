@@ -71,10 +71,32 @@ object Dedup {
    */
   def ngramJaccard(df: DataFrame, content: Column, id: Column,
                    k: Int = 3, threshold: Double = 0.8,
-                   freqOrdered: Boolean = true): DataFrame = {
+                   freqOrdered: Boolean = true,
+                   freqIn: Option[Array[Long]] = None): DataFrame = {
     val sigs = shingleSigs(df, content, id, k)
-    rescore(prefixCandidates(sigs, threshold, freqOrdered), sigs, threshold)
+    rescore(prefixCandidates(sigs, threshold, freqOrdered, freqIn = freqIn),
+      sigs, threshold)
   }
+
+  /**
+   * Shingle document frequencies as a TRAIN-ONCE corpus artifact: the
+   * sorted array of "frequent" shingle hashes (document frequency ≥
+   * `minDf`, top `cap` by df) that [[ngramJaccard]]'s `freqIn` takes.
+   * Same steady-state pattern as [[Similarity]]'s IVF codebook —
+   * corpus-level statistics are computed once and reused across
+   * queries and runs, not re-derived at every plan construction.
+   * Staleness is safe: ANY consistent frequent set preserves
+   * exactness (the order only shapes candidate counts), so a
+   * yesterday's-corpus set is a valid order for today's delta.
+   */
+  def shingleFrequencies(df: DataFrame, content: Column, id: Column,
+                         k: Int = 3, minDf: Int = 4,
+                         cap: Int = 1 << 20): Array[Long] =
+    frequentSet(
+      Scale.ensureParallelism(df)
+        .select(graft.functions.TextHashExprs.shingleHashes(content, k).as("sh"))
+        .filter(col("sh").isNotNull),
+      minDf, cap)
 
   /** The cached (doc_id, sh) signature frame shared by the set-
     * similarity operators. Cached because it is referenced four times
@@ -114,9 +136,11 @@ object Dedup {
   private[graft] def prefixCandidates(sigs: DataFrame, threshold: Double,
                                           freqOrdered: Boolean,
                                           minDf: Int = 4,
-                                          maxFreqSet: Int = 1 << 20): DataFrame = {
-    val freq = if (freqOrdered) frequentSet(sigs, minDf, maxFreqSet)
-               else Array.emptyLongArray
+                                          maxFreqSet: Int = 1 << 20,
+                                          freqIn: Option[Array[Long]] = None): DataFrame = {
+    val freq = freqIn.getOrElse(
+      if (freqOrdered) frequentSet(sigs, minDf, maxFreqSet)
+      else Array.emptyLongArray)
     val prefixes = prefixFrame(sigs, threshold, freq)
     prefixes.as("a").join(prefixes.as("b"),
         col("a.doc_id") < col("b.doc_id") && prefixJoinCond(threshold))
@@ -366,7 +390,8 @@ object Dedup {
   def ngramJaccardIncremental(corpus: DataFrame, incoming: DataFrame,
                               content: Column, id: Column,
                               k: Int = 3, threshold: Double = 0.8,
-                              freqOrdered: Boolean = true): DataFrame = {
+                              freqOrdered: Boolean = true,
+                              freqIn: Option[Array[Long]] = None): DataFrame = {
     // a re-delivered id supersedes its corpus version: keep the
     // incoming copy only, or the unioned signature frame would hold
     // two texts under one id and fan out every rescore join
@@ -380,8 +405,9 @@ object Dedup {
     // cached union — no second tokenize+hash pass over the batch
     val sigsNew = sigsAll.join(
       incoming.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
-    val freq = if (freqOrdered) frequentSet(sigsAll, minDf = 4, maxFreqSet = 1 << 20)
-               else Array.emptyLongArray
+    val freq = freqIn.getOrElse(
+      if (freqOrdered) frequentSet(sigsAll, minDf = 4, maxFreqSet = 1 << 20)
+      else Array.emptyLongArray)
     // new-side probes against the full prefix table; new-new pairs
     // surface twice (once per orientation) — least/greatest + distinct
     // canonicalizes them
