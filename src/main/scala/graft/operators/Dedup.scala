@@ -439,12 +439,27 @@ object Dedup {
    * per round and the previous round is unpersisted immediately.
    * Output: (doc_id, cluster_id), one row per doc appearing in pairs.
    */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
+                        localEdgeThreshold: Long = 1L << 20): DataFrame = {
     // cache the (possibly expensive) pair frame FIRST: the edge list
     // reads it twice (both union directions), and every propagation
     // round reads the edges — without this the upstream near-dup join
     // would run once per union branch
     val p = OpCache.cache(pairs.select("doc_a", "doc_b"))
+    // near-dup pair graphs are usually FAR smaller than the corpus
+    // (edges ≈ number of duplicate documents). Below the threshold
+    // (default 2²⁰ edges ≈ 16 MB collected) solve with a driver-side
+    // union-find and broadcast the labels back: the distributed loop
+    // pays per-round shuffle+action overhead that exceeds the entire
+    // local solve — the same size-switch philosophy as Spark's
+    // broadcast-join threshold. Above it (billion-doc corpora), the
+    // iterative hash-min propagation below is the scale path. The two
+    // paths are semantically identical (spec-asserted).
+    val localDtOk = {
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+      Seq(IntegerType, LongType, StringType).contains(p.schema("doc_a").dataType)
+    }
+    if (localDtOk && p.count() <= localEdgeThreshold) return localClusters(p)
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // init = identity labels with ONE propagation round pre-applied
@@ -465,16 +480,18 @@ object Dedup {
         .select(col("src").as("doc_id"), col("cluster_id"),
           lit(false).as("self"))
       // one aggregation yields BOTH the new label and the old one
-      // (min over self-rows), so convergence needs no join — the
-      // changed-count is a filter over the frame this round caches
-      // anyway
-      val step = OpCache.cache(
+      // (min over self-rows), so convergence needs no join. Each round
+      // is CHECKPOINTED, not cached: the round plan references the
+      // previous round twice (union + neighbor join), so without
+      // lineage truncation the logical plan doubles every round —
+      // exponential analysis cost even though caching dedups execution
+      val step = OpCache.checkpoint(
         labels.withColumn("self", lit(true)).unionAll(neighborLabels)
           .groupBy("doc_id")
           .agg(min(col("cluster_id")).as("cluster_id"),
             min(when(col("self"), col("cluster_id"))).as("prev")))
       changed = step.filter(col("cluster_id") < col("prev")).count()
-      cached.unpersist(blocking = false) // the previous round's cache
+      OpCache.unpersistEager(cached) // the previous round's data
       cached = step
       labels = step.select("doc_id", "cluster_id")
       it += 1
@@ -483,6 +500,58 @@ object Dedup {
       System.err.println(s"[graft] duplicateClusters: not converged after $maxIters rounds " +
         "(pathologically long duplicate chain); labels are an upper approximation")
     labels
+  }
+
+  /** Driver-side connected components for small pair graphs: classic
+    * union-find with path compression + union by rank, min-element
+    * canonical label per component (natural ordering of the id type —
+    * identical to the distributed path's `min`/`least` semantics for
+    * int/long/string ids, which the size-switch restricts to). */
+  private def localClusters(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      p.schema("doc_a").copy(name = "doc_id"),
+      p.schema("doc_a").copy(name = "cluster_id")))
+    val rows = p.collect()
+    val idx = new java.util.HashMap[Any, Int]()
+    val nodes = scala.collection.mutable.ArrayBuffer[Any]()
+    def nodeId(v: Any): Int =
+      if (idx.containsKey(v)) idx.get(v)
+      else { idx.put(v, nodes.length); nodes += v; nodes.length - 1 }
+    val parent = scala.collection.mutable.ArrayBuffer[Int]()
+    val rank = scala.collection.mutable.ArrayBuffer[Byte]()
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    rows.foreach { r =>
+      val a = nodeId(r.get(0)); val b = nodeId(r.get(1))
+      while (parent.length < nodes.length) { parent += parent.length; rank += 0 }
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = (rank(ra) + 1).toByte }
+      }
+    }
+    val lt: (Any, Any) => Boolean = p.schema("doc_a").dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        (a, b) => a.asInstanceOf[String] < b.asInstanceOf[String]
+      case _ => (a, b) => // int/long — guarded by the caller's type check
+        a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
+    }
+    // min element per component
+    val minOf = new java.util.HashMap[Int, Any]()
+    nodes.indices.foreach { i =>
+      val root = find(i)
+      val cur = minOf.get(root)
+      if (cur == null || lt(nodes(i), cur)) minOf.put(root, nodes(i))
+    }
+    val out = nodes.indices.map { i =>
+      org.apache.spark.sql.Row(nodes(i), minOf.get(find(i)))
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
   }
 
   /**

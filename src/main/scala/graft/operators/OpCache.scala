@@ -22,6 +22,7 @@ import org.apache.spark.sql.DataFrame
 object OpCache {
 
   private val frames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private val rdds = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]()
 
   /** Cache `df` and track it for later [[releaseAll]]. */
   def cache(df: DataFrame): DataFrame = {
@@ -29,7 +30,38 @@ object OpCache {
     df.cache()
   }
 
-  /** Unpersist every tracked frame (blocking, so
+  /**
+   * Eager local checkpoint with tracked cleanup: TRUNCATES the logical
+   * plan (the result is a scan over materialized partitions), which
+   * iterative algorithms need — a loop whose round-n plan references
+   * round n−1 more than once otherwise doubles its plan tree every
+   * round (exponential analysis cost, driver OOM past ~10 rounds).
+   * `.cache()` cannot help there: it dedups execution, not the plan.
+   * The checkpointed partitions are registered here so [[releaseAll]]
+   * frees them like any operator-internal cache.
+   */
+  def checkpoint(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(eager = true)
+    backingRdd(out).foreach(rdds.add)
+    out
+  }
+
+  /** The cached RDD behind a localCheckpoint'ed frame, if any. */
+  private def backingRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
+  /** Free one tracked frame EARLY (loop rounds that no longer need the
+    * previous round's data) — idempotent with the final [[releaseAll]]. */
+  def unpersistEager(df: DataFrame): Unit =
+    backingRdd(df) match {
+      case Some(rdd) => rdd.unpersist(blocking = false)
+      case None => df.unpersist(blocking = false)
+    }
+
+  /** Unpersist every tracked frame and checkpoint (blocking, so
     * `sparkContext.getPersistentRDDs` is empty on return when no
     * user-level caches exist) and clear the registry. */
   def releaseAll(): Unit = {
@@ -38,8 +70,13 @@ object OpCache {
       df.unpersist(blocking = true)
       df = frames.poll()
     }
+    var rdd = rdds.poll()
+    while (rdd != null) {
+      rdd.unpersist(blocking = true)
+      rdd = rdds.poll()
+    }
   }
 
   /** Number of currently tracked cached frames (for tests). */
-  def trackedCount: Int = frames.size()
+  def trackedCount: Int = frames.size() + rdds.size()
 }

@@ -167,6 +167,23 @@ class DedupSpec extends SparkSpecBase {
     assert(star === Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("duplicateClusters: local union-find and distributed propagation agree") {
+    // a mix of chains, stars and a larger ring so the component
+    // structure is non-trivial; run the SAME edges through both paths
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (5L, 6L), (5L, 7L)) ++
+      (100L until 140L by 2).map(i => (i, i + 2)) ++ // long chain
+      Seq((139L, 100L))).toDF("doc_a", "doc_b")
+    val local = Dedup.duplicateClusters(edges)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.duplicateClusters(edges, localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local === dist, "local union-find must match the iterative propagation")
+    // string ids exercise the lexicographic branch of the local path
+    val s = Seq(("b", "c"), ("a", "b")).toDF("doc_a", "doc_b")
+    val sLocal = Dedup.duplicateClusters(s).as[(String, String)].collect().toMap
+    assert(sLocal === Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
   test("operator-internal caches are tracked and fully released") {
     import graft.operators.OpCache
     OpCache.releaseAll()
