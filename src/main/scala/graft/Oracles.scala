@@ -667,6 +667,76 @@ object Oracles {
         |SELECT token, COUNT(*) AS doc_freq FROM tk
         |GROUP BY token HAVING COUNT(*) >= 3""".stripMargin,
 
+    // BM25 (rational log-free idf; k1=1.2, b=0.75): contributions
+    // mirror the Spark arithmetic parenthesis-for-parenthesis; the
+    // per-doc score folds term-ordered contributions left-to-right
+    // (list_dot_product with ones ≡ Spark aggregate() fold)
+    "search_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(toks) AS dl, toks FROM tok),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |                 CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM base),
+        |hits AS (
+        |  SELECT doc_id, dl, term,
+        |    CAST(len(list_filter(toks, x -> x = term)) AS DOUBLE) AS tf
+        |  FROM base, (SELECT unnest(['spark', 'hash', 'window']) AS term) q
+        |  WHERE len(list_filter(toks, x -> x = term)) > 0),
+        |dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM hits GROUP BY term),
+        |contrib AS (
+        |  SELECT h.doc_id, h.term,
+        |    (((s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+        |      ((h.tf * (1.2 + 1.0)) /
+        |        (h.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (h.dl / (s.sum_dl / s.n_docs)))))) AS c
+        |  FROM hits h JOIN dfs d USING (term), stats s),
+        |scored AS (
+        |  SELECT doc_id,
+        |    list_dot_product(list(c ORDER BY term),
+        |                     list_transform(list(c ORDER BY term), x -> 1.0)) AS score
+        |  FROM contrib GROUP BY doc_id),
+        |top AS (SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT doc_id, score,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        |FROM top""".stripMargin,
+
+    // sqrt-temperature mix over lang: keep fraction sqrt(n_min/n_s),
+    // decided by the shared md5 hash bucket (exact division +
+    // IEEE-correctly-rounded sqrt = bit-identical cross-engine)
+    "mix_sqrt" ->
+      """WITH c AS (SELECT lang AS st, CAST(COUNT(*) AS DOUBLE) AS n
+        |           FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(n) AS n_min FROM c)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN c ON d.lang = c.st, m
+        |WHERE COALESCE(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 10000, 0)
+        |      < sqrt(m.n_min / c.n) * 10000""".stripMargin,
+
+    // per-label embedding centroids: fixed-point accumulation
+    // (floor(v*1e7) as BIGINT — exact commutative sums), exact
+    // division back; FLOOR because engines disagree on float->int
+    // casts but not on floor
+    "emb_centroids" ->
+      """WITH e AS (
+        |  SELECT label, i.i - 1 AS pos, embedding[i.i] AS v
+        |  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS i(i)),
+        |a AS (
+        |  SELECT label, pos, COUNT(*) AS n,
+        |    CAST(SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 10000000.0) AS BIGINT)) AS BIGINT) AS s
+        |  FROM e GROUP BY 1, 2)
+        |SELECT label, pos, CAST(s AS DOUBLE) / n / 10000000.0 AS centroid, n
+        |FROM a""".stripMargin,
+
+    // join-key skew diagnostic: top-20 heaviest user_ids with share
+    "skew_keys" ->
+      """WITH c AS (SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+        |top AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key LIMIT 20)
+        |SELECT key, cnt, CAST(cnt AS DOUBLE) / total AS share,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS INT) AS rank
+        |FROM top, t""".stripMargin,
+
     // benchmark decontamination: anti join on the normalized (sorted
     // lowercased token) fingerprint against the doc_id%97 subset
     "decontaminate" -> {

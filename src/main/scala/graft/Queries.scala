@@ -550,6 +550,29 @@ object Queries {
   def vocabDfQ(s: SparkSession, dir: String): DataFrame =
     Chunking.vocabDf(t(s, dir, "documents"), col("text"), minDf = 3)
 
+  /** BM25 search: top-20 documents for a three-term query (rational
+    * log-free idf — see [[operators.Search.bm25]]'s determinism notes). */
+  def searchBm25(s: SparkSession, dir: String): DataFrame =
+    Search.bm25(t(s, dir, "documents"), col("text"), col("doc_id"),
+      terms = Seq("spark", "hash", "window"))
+
+  /** √-temperature corpus mixing over the (skewed) lang column: the
+    * dominant language is downsampled toward √-flattened shares,
+    * rare languages kept whole — deterministic hash decision. */
+  def mixSqrt(s: SparkSession, dir: String): DataFrame =
+    Sampling.sqrtTemperatureMix(t(s, dir, "documents"),
+        col("lang"), col("doc_id"))
+      .select("doc_id", "lang")
+
+  /** Per-label embedding centroids (fixed-point accumulation). */
+  def embCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(t(s, dir, "embeddings"),
+      col("label"), col("embedding"))
+
+  /** Join-key skew diagnostic: 20 heaviest event user_ids with share. */
+  def skewKeys(s: SparkSession, dir: String): DataFrame =
+    StatsOp.keyHistogram(t(s, dir, "events"), col("user_id"), topN = 20)
+
   /** Fingerprints: exact md5 + normalized (sorted-token) md5. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -720,6 +743,10 @@ object Queries {
     "text_redact" -> textRedact _,
     "text_chunks" -> textChunks _,
     "vocab_df" -> vocabDfQ _,
+    "search_bm25" -> searchBm25 _,
+    "mix_sqrt" -> mixSqrt _,
+    "emb_centroids" -> embCentroids _,
+    "skew_keys" -> skewKeys _,
     "split_assign" -> splitAssign _,
     "sample_stratified" -> sampleStratified _,
     "pack_sequences" -> packSequencesQ _,

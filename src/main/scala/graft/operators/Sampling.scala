@@ -67,6 +67,36 @@ object Sampling {
   }
 
   /**
+   * SQUARE-ROOT TEMPERATURE corpus mixing (τ = 0.5): downsample each
+   * stratum so the kept distribution is proportional to √p_s — the
+   * standard multilingual/multi-source rebalancing exponent (flattens
+   * dominant strata without drowning rare ones). Derivation: target
+   * share q_s ∝ √p_s achieved by downsampling only ⇒ keep fraction
+   * f_s = √(n_min / n_s) (the rarest stratum is kept whole; the
+   * normalizer cancels). Kept size per stratum is √(n_s·n_min).
+   *
+   * Determinism: n_min/n_s is an IEEE-exact double division and
+   * `sqrt` is correctly rounded by IEEE-754 in every engine (unlike
+   * `pow`, which is why the operator pins τ = 0.5 instead of taking a
+   * free exponent) — so the keep decision `bucket < f_s·10⁴` is
+   * bit-identical across engines, and the same hash-bucket discipline
+   * as [[stratifiedSample]] makes it partitioning- and run-stable.
+   *
+   * Scale: one aggregation for stratum counts (tiny frame), broadcast
+   * back, map-side filter — the corpus is never shuffled.
+   */
+  def sqrtTemperatureMix(df: DataFrame, strata: Column, id: Column): DataFrame = {
+    val counts = df.groupBy(strata.as("__stratum"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__n_min"))
+    val frac = sqrt(col("__n_min") / col("__n"))
+    df.join(broadcast(counts), strata === col("__stratum"))
+      .crossJoin(broadcast(minN))
+      .filter(coalesce(hashBucket10k(id), lit(0L)) < frac * 10000)
+      .drop("__stratum", "__n", "__n_min")
+  }
+
+  /**
    * Token-budget SEQUENCE PACKING: assign each document to the
    * training sequence (of `budget` tokens, concatenated corpus order)
    * in which it starts — `seq_id = floor(exclusive_cumsum(tokens) /

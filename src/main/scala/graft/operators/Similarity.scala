@@ -353,4 +353,35 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .distinct()
   }
+
+  /**
+   * Per-group embedding CENTROIDS (cluster/label/language prototype
+   * vectors — the aggregation behind IVF training, topic profiling
+   * and per-source drift monitoring). Output: one row per (group,
+   * pos) with the centroid component and the group size.
+   *
+   * Determinism at scale: double summation is order-dependent, and a
+   * shuffled tree aggregation has no stable order — so components are
+   * accumulated FIXED-POINT: floor(value·10^q) as a long (exact, and
+   * long sums commute), divided back exactly at the end. The centroid
+   * is quantized to 10^-q (default 10⁻⁷ — well below any embedding
+   * model's noise floor) in exchange for bit-identical results on any
+   * partitioning, any engine — same discipline as the decimal-cast
+   * money aggregates. FLOOR (not cast) because engines disagree on
+   * float→int rounding, not on floor.
+   *
+   * Scale: one explode keyed (group, pos) with map-side partial sums —
+   * the shuffle carries (groups × dim × partitions) partials, never
+   * the corpus.
+   */
+  def labelCentroids(df: DataFrame, label: Column, vec: Column,
+                     quantDigits: Int = 7): DataFrame = {
+    val q = math.pow(10.0, quantDigits)
+    df.select(label.as("label"), posexplode(vec))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("col").cast("double") * q).cast("long")).as("__s"))
+      .select(col("label"), col("pos"),
+        (col("__s").cast("double") / col("n") / q).as("centroid"), col("n"))
+  }
 }

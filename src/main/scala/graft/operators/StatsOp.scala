@@ -233,6 +233,27 @@ object StatsOp {
     file
   }
 
+  /**
+   * Join/group-key SKEW DIAGNOSTIC: the `topN` heaviest values of a
+   * key with count and share of total — the operational first question
+   * at 100 TB ("which keys will hot-spot this shuffle, and do they
+   * need salting?"). One aggregation over the corpus; total and ranks
+   * come from the (small) per-key count frame, never a second corpus
+   * scan. Output: (key, cnt, share, rank), rank by (cnt desc, key asc).
+   */
+  def keyHistogram(df: DataFrame, key: Column, topN: Int = 20): DataFrame = {
+    val counts = OpCache.cache(
+      df.select(key.as("key")).groupBy("key").agg(count(lit(1)).as("cnt")))
+    val total = counts.agg(sum(col("cnt")).cast("double").as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(topN)
+    top.crossJoin(broadcast(total))
+      .select(col("key"), col("cnt"),
+        (col("cnt").cast("double") / col("total")).as("share"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("key").asc)))
+  }
+
   private def isComplex(dt: DataType): Boolean = dt match {
     case _: StructType | _: ArrayType | _: MapType | _: BinaryType => true
     case _ => false

@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Sampling, Search, Similarity, StatsOp}
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-4 operators: BM25 search, √-temperature
+  * mixing, per-label centroids, key-skew histogram. */
+class SearchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("bm25: higher tf wins at equal length; rarity outweighs common terms") {
+    val docs = Seq(
+      (1L, "spark spark spark filler filler filler filler filler"),
+      (2L, "spark filler filler filler filler filler filler filler"),
+      (3L, "filler spark hash hash hash filler filler filler"),
+      (4L, "nothing here at all eight tokens exactly filler")).toDF("doc_id", "text")
+    val out = Search.bm25(docs, col("text"), col("doc_id"),
+      terms = Seq("spark", "hash"), topK = 10)
+      .select("doc_id", "rank").as[(Long, Int)].collect().toMap
+    // doc 3 matches BOTH terms (hash is rarer => bigger idf) → rank 1;
+    // doc 1 (tf=3 spark) beats doc 2 (tf=1); doc 4 matches nothing
+    assert(out(3L) === 1, s"got $out")
+    assert(out(1L) === 2, s"got $out")
+    assert(out(2L) === 3, s"got $out")
+    assert(!out.contains(4L), "non-matching docs must not be ranked")
+  }
+
+  test("bm25: deterministic under repartition; topK bounds output") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val a = Search.bm25(docs, col("text"), col("doc_id"),
+      terms = Seq("spark", "hash"), topK = 5)
+      .select("doc_id", "score", "rank").collect().toSeq
+    val b = Search.bm25(docs.repartition(13), col("text"), col("doc_id"),
+      terms = Seq("spark", "hash"), topK = 5)
+      .select("doc_id", "score", "rank").collect().toSeq
+    assert(a.toSet === b.toSet, "bm25 must be partitioning-invariant")
+    assert(a.size === 5)
+    graft.operators.OpCache.releaseAll()
+  }
+
+  test("sqrtTemperatureMix: rarest stratum kept whole, dominant flattened to ~sqrt") {
+    val df = spark.read.parquet(sf() + "/documents.parquet")
+    val out = Sampling.sqrtTemperatureMix(df, col("lang"), col("doc_id"))
+    val before = df.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val after = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val minLang = before.minBy(_._2)._1
+    assert(after(minLang) === before(minLang), "rarest stratum must be kept whole")
+    // expected kept ≈ sqrt(n_s * n_min) per stratum (hash noise ±20%)
+    val nMin = before(minLang).toDouble
+    before.foreach { case (lang, n) =>
+      val expected = math.sqrt(n * nMin)
+      assert(math.abs(after(lang) - expected) <= expected * 0.2 + 3,
+        s"$lang: kept ${after(lang)}, expected ~$expected")
+    }
+    // deterministic: same keep-set after repartition
+    val again = Sampling.sqrtTemperatureMix(df.repartition(7), col("lang"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === out.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("labelCentroids: matches per-component mean within quantization") {
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f), 0),
+      (2L, Array(3.0f, 4.0f), 0),
+      (3L, Array(10.0f, 20.0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(df, col("label"), col("embedding"))
+      .select("label", "pos", "centroid").as[(Int, Int, Double)].collect()
+      .map { case (l, p, c) => (l, p) -> c }.toMap
+    assert(math.abs(out((0, 0)) - 2.0) < 1e-6)
+    assert(math.abs(out((0, 1)) - 1.0) < 1e-6)
+    assert(math.abs(out((1, 0)) - 10.0) < 1e-6)
+    assert(math.abs(out((1, 1)) - 20.0) < 1e-6)
+    // partitioning-invariant (fixed-point sums commute)
+    val again = Similarity.labelCentroids(df.repartition(5), col("label"), col("embedding"))
+      .select("label", "pos", "centroid").as[(Int, Int, Double)].collect()
+      .map { case (l, p, c) => (l, p) -> c }.toMap
+    assert(again === out, "centroids must be bit-identical under repartition")
+  }
+
+  test("keyHistogram: ranks by count desc with exact shares") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c"))
+      .toDF("k")
+    val out = StatsOp.keyHistogram(df, col("k"), topN = 2)
+      .select("key", "cnt", "share", "rank")
+      .as[(String, Long, Double, Int)].collect().sortBy(_._4)
+    assert(out.toSeq === Seq(("a", 6L, 0.6, 1), ("b", 3L, 0.3, 2)))
+    graft.operators.OpCache.releaseAll()
+  }
+}
