@@ -178,6 +178,21 @@ object Dataflow {
           frames + (s.output -> Sampling.packSequences(in,
             shard = Sampling.hashBucket(col(s.idCol)) % s.shards,
             id = col(s.idCol), tokens = col(s.tokensCol), budget = s.budget))
+        case s: MixSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Sampling.sqrtTemperatureMix(
+            in, col(s.strataCol), col(s.idCol)))
+        case s: SearchSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Search.bm25(
+            in, col(s.contentCol), col(s.idCol), s.terms, topK = s.k))
+        case s: CentroidsSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Similarity.labelCentroids(
+            in, col(s.labelCol), col(s.vecCol)))
+        case s: KeyHistogramSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> StatsOp.keyHistogram(in, col(s.keyCol), s.topN))
         case s: ComputeStatsSpec =>
           // stats become named frames; sink them like any other
           // output. The input passes through under the transform name

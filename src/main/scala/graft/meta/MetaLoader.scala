@@ -138,6 +138,24 @@ object MetaLoader {
           nlist = p.path("nlist").asInt(0),
           nprobe = p.path("nprobe").asInt(0),
           codebookPath = optStr(p, "codebook_path"))
+      case "mix" =>
+        MixSpec(name, input, output,
+          strataCol = str(p, "strata"),
+          idCol = str(p, "id", "doc_id"))
+      case "search" =>
+        SearchSpec(name, input, output,
+          terms = strArr(p, "terms"),
+          contentCol = str(p, "content", "text"),
+          idCol = str(p, "id", "doc_id"),
+          k = p.path("k").asInt(20))
+      case "centroids" =>
+        CentroidsSpec(name, input, output,
+          labelCol = str(p, "label", "label"),
+          vecCol = str(p, "vec", "embedding"))
+      case "key_histogram" =>
+        KeyHistogramSpec(name, input, output,
+          keyCol = str(p, "key"),
+          topN = p.path("top_n").asInt(20))
       case "compute_stats" =>
         ComputeStatsSpec(name, input,
           fields = if (p.has("fields")) Some(strArr(p, "fields")) else None,

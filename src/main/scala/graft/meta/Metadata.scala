@@ -250,6 +250,58 @@ final case class AnnSpec(
     codebookPath: Option[String] = None)
   extends TransformSpec
 
+/**
+ * graft extension: √-temperature corpus mixing — downsample each
+ * stratum toward √-flattened shares (keep fraction √(n_min/n_s)),
+ * decided by the id hash. The multilingual/multi-source rebalancing
+ * step, declaratively.
+ */
+final case class MixSpec(
+    name: String,
+    input: String,
+    output: String,
+    strataCol: String,
+    idCol: String = "doc_id")
+  extends TransformSpec
+
+/**
+ * graft extension: BM25 corpus search — top-k documents for a bag of
+ * query terms (rational log-free idf, deterministic cross-engine).
+ */
+final case class SearchSpec(
+    name: String,
+    input: String,
+    output: String,
+    terms: Seq[String],
+    contentCol: String = "text",
+    idCol: String = "doc_id",
+    k: Int = 20)
+  extends TransformSpec
+
+/**
+ * graft extension: per-group embedding centroids (fixed-point exact
+ * accumulation — partitioning-invariant results).
+ */
+final case class CentroidsSpec(
+    name: String,
+    input: String,
+    output: String,
+    labelCol: String = "label",
+    vecCol: String = "embedding")
+  extends TransformSpec
+
+/**
+ * graft extension: join-key skew diagnostic — top-N heaviest values
+ * of a key with count and share.
+ */
+final case class KeyHistogramSpec(
+    name: String,
+    input: String,
+    output: String,
+    keyCol: String,
+    topN: Int = 20)
+  extends TransformSpec
+
 /** reference: src/transformations.py:330-369 (compute_stats). */
 final case class ComputeStatsSpec(
     name: String,

@@ -268,6 +268,41 @@ class DataflowSpec extends SparkSpecBase {
       scrubbed.filter(col("lang") =!= "en").count())
   }
 
+  test("metadata reach: mix, search, centroids, key_histogram") {
+    val spec =
+      s"""{"dataflows":[{"name":"r4",
+         |  "sources":[
+         |    {"name":"docs","path":"${sf()}/documents.parquet","format":"parquet"},
+         |    {"name":"emb","path":"${sf()}/embeddings.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"mixed","type":"mix","params":{
+         |      "input":"docs","output":"mixedc","strata":"lang"}},
+         |    {"name":"found","type":"search","params":{
+         |      "input":"docs","output":"hits","terms":["spark","hash"],"k":5}},
+         |    {"name":"proto","type":"centroids","params":{
+         |      "input":"emb","output":"protos"}},
+         |    {"name":"hot","type":"key_histogram","params":{
+         |      "input":"docs","output":"hotkeys","key":"lang","top_n":3}}
+         |  ],"sinks":[]}]}""".stripMargin
+    val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("r4"))
+    val docs = frames("docs")
+    // mix == the operator called directly
+    val direct = graft.operators.Sampling.sqrtTemperatureMix(
+      docs, col("lang"), col("doc_id")).count()
+    assert(frames("mixedc").count() === direct && direct > 0 && direct < docs.count())
+    // search returns k ranked hits
+    val hits = frames("hits").select("doc_id", "score", "rank")
+    assert(hits.count() === 5)
+    // centroids: one row per (label, pos)
+    val dim = frames("emb").select(size(col("embedding"))).first().getInt(0)
+    val nLabels = frames("emb").select("label").distinct().count()
+    assert(frames("protos").count() === nLabels * dim)
+    // key histogram ranks the requested top-N
+    val hot = frames("hotkeys").select("key", "rank").collect()
+    assert(hot.length === 3 && hot.map(_.getInt(1)).sorted.toSeq === Seq(1, 2, 3))
+    graft.operators.OpCache.releaseAll()
+  }
+
   test("RunPipeline stage summary: one [stage] line per source + output, with counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_verbose").toString
     Seq("""{"id":1,"v":"x"}""", """{"id":2,"v":""}""")
