@@ -728,6 +728,43 @@ object Oracles {
         |SELECT label, pos, CAST(s AS DOUBLE) / n / 10000000.0 AS centroid, n
         |FROM a""".stripMargin,
 
+    // n-gram contamination: fraction of each doc's distinct 8-gram
+    // shingles present in the doc_id%97 benchmark subset (string
+    // shingles ≡ Spark's collision-free shingle hashes)
+    "contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(toks[i.i : i.i + 7], ' ') AS s
+        |  FROM tok, LATERAL unnest(range(1, len(toks) - 6)) AS i(i)
+        |  WHERE len(toks) >= 8),
+        |t AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM sh GROUP BY doc_id),
+        |b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+        |h AS (SELECT doc_id, COUNT(*) AS n_contaminated
+        |      FROM sh JOIN b USING (s) GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n_ngrams AS BIGINT) AS n_ngrams,
+        |  CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        |  CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / t.n_ngrams AS contamination
+        |FROM t LEFT JOIN h USING (doc_id)""".stripMargin,
+
+    // equi-width histogram of event values over [0, 500), 25 buckets;
+    // edges/buckets use only IEEE-exact ops + floor
+    "event_histogram" ->
+      """WITH v AS (
+        |  SELECT CAST(value AS DOUBLE) AS x FROM events
+        |  WHERE CAST(value AS DOUBLE) >= 0.0 AND CAST(value AS DOUBLE) < 500.0),
+        |bk AS (
+        |  SELECT LEAST(24, CAST(FLOOR((x - 0.0) / ((500.0 - 0.0) / 25)) AS INT)) AS bucket
+        |  FROM v)
+        |SELECT bucket,
+        |  0.0 + bucket * ((500.0 - 0.0) / 25) AS lo_edge,
+        |  0.0 + (bucket + 1) * ((500.0 - 0.0) / 25) AS hi_edge,
+        |  COUNT(*) AS cnt
+        |FROM bk GROUP BY bucket""".stripMargin,
+
     // join-key skew diagnostic: top-20 heaviest user_ids with share
     "skew_keys" ->
       """WITH c AS (SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id),

@@ -573,6 +573,21 @@ object Queries {
   def skewKeys(s: SparkSession, dir: String): DataFrame =
     StatsOp.keyHistogram(t(s, dir, "events"), col("user_id"), topN = 20)
 
+  /** N-gram contamination scoring vs the synthetic benchmark subset
+    * (doc_id % 97): fraction of each doc's distinct 8-gram shingles
+    * that appear anywhere in the benchmark — the overlap metric
+    * behind partial-inclusion decontamination. */
+  def contaminationQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contaminationScore(docs, col("text"), col("doc_id"),
+      docs.filter(col("doc_id") % 97 === 0), col("text"), n = 8)
+  }
+
+  /** Equi-width histogram of event values: 25 buckets over [0, 500). */
+  def eventHistogram(s: SparkSession, dir: String): DataFrame =
+    StatsOp.numericHistogram(t(s, dir, "events"), col("value"),
+      lo = 0.0, hi = 500.0, buckets = 25)
+
   /** Fingerprints: exact md5 + normalized (sorted-token) md5. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -747,6 +762,8 @@ object Queries {
     "mix_sqrt" -> mixSqrt _,
     "emb_centroids" -> embCentroids _,
     "skew_keys" -> skewKeys _,
+    "contamination" -> contaminationQ _,
+    "event_histogram" -> eventHistogram _,
     "split_assign" -> splitAssign _,
     "sample_stratified" -> sampleStratified _,
     "pack_sequences" -> packSequencesQ _,

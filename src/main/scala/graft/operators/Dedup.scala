@@ -573,4 +573,48 @@ object Dedup {
     val b = if (broadcastBench) broadcast(fps) else fps
     df.join(b, TextAnalysisCols.normFingerprint(content) === col("__bench_fp"), "left_anti")
   }
+
+  /**
+   * N-GRAM CONTAMINATION SCORE: per document, the fraction of its
+   * distinct word n-grams that appear anywhere in the benchmark set —
+   * the standard overlap-based decontamination metric (catches partial
+   * inclusion and paraphrase-with-shared-spans leakage that the exact
+   * [[decontaminate]] fingerprint cannot; threshold on `contamination`
+   * to drop). Documents with fewer than `n` tokens have no n-grams and
+   * are omitted.
+   *
+   * Scale: benchmark n-gram hashes are distinct'd (eval suites are
+   * small) and BROADCAST; the corpus side is a scan-side shingle
+   * projection + explode, so the only shuffle is the per-doc count of
+   * CONTAMINATED hits — a frame bounded by the contaminated subset,
+   * not the corpus. Totals are map-side. For benchmark sets too big to
+   * broadcast exactly, pre-filter with a Bloom filter and rescore the
+   * survivors with this exact join.
+   *
+   * Output: (doc_id, n_ngrams, n_contaminated, contamination).
+   */
+  def contaminationScore(df: DataFrame, content: Column, id: Column,
+                         benchmark: DataFrame, benchContent: Column,
+                         n: Int = 8): DataFrame = {
+    import graft.functions.TextHashExprs
+    val totals = Scale.ensureParallelism(df)
+      .select(id.as("doc_id"), TextHashExprs.shingleHashes(content, n).as("sh"))
+      .filter(col("sh").isNotNull)
+    val benchSet = benchmark
+      .select(explode(TextHashExprs.shingleHashes(benchContent, n)).as("h"))
+      .distinct()
+    val hits = totals.select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(broadcast(benchSet), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    // no broadcast hint on hits: it is usually tiny (AQE broadcasts it
+    // at runtime) but is bounded by the contaminated subset, not by
+    // the eval suite — a forced broadcast could OOM on a pathologically
+    // contaminated corpus
+    totals.select(col("doc_id"), size(col("sh")).cast("long").as("n_ngrams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") / col("n_ngrams"))
+  }
 }

@@ -254,6 +254,33 @@ object StatsOp {
           .orderBy(col("cnt").desc, col("key").asc)))
   }
 
+  /**
+   * Equi-width HISTOGRAM of a numeric column over [lo, hi): bucket
+   * b = min(buckets−1, floor((x−lo)/w)), w = (hi−lo)/buckets; values
+   * outside [lo, hi) are dropped (count them separately if needed).
+   * One scan, map-side partials, shuffle of `buckets` partial rows —
+   * the distribution-shape primitive behind length/quality-threshold
+   * tuning. Buckets with no values produce no row (dense rendering is
+   * presentation). Output: (bucket, lo_edge, hi_edge, cnt).
+   *
+   * Determinism: edges and bucket ids use only IEEE-exact +,−,×,÷ and
+   * floor, so Spark and DuckDB agree bit-for-bit.
+   */
+  def numericHistogram(df: DataFrame, value: Column,
+                       lo: Double, hi: Double, buckets: Int): DataFrame = {
+    require(buckets > 0 && hi > lo, "need hi > lo and buckets > 0")
+    val w = (lit(hi) - lit(lo)) / lit(buckets)
+    val x = value.cast("double")
+    df.filter(x >= lo && x < hi)
+      .select(least(lit(buckets - 1),
+        floor((x - lit(lo)) / w).cast("int")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * w).as("lo_edge"),
+        (lit(lo) + (col("bucket") + 1) * w).as("hi_edge"),
+        col("cnt"))
+  }
+
   private def isComplex(dt: DataType): Boolean = dt match {
     case _: StructType | _: ArrayType | _: MapType | _: BinaryType => true
     case _ => false

@@ -68,6 +68,23 @@ object StreamingIngest {
       .drop("__fp")
 
   /**
+   * STREAM-STATIC ENRICHMENT: join each micro-batch against a static
+   * dimension frame (no streaming state at all — the static side is
+   * planned per batch, broadcast when small). The streaming twin of
+   * the batch dimension join: `how` defaults to "left" so unmatched
+   * stream rows pass through with nulls rather than being dropped
+   * mid-pipeline.
+   *
+   * At scale: hint the dimension side with `broadcast(dim)` at the
+   * call site when it fits (the usual case); a large dimension falls
+   * back to a shuffled join per micro-batch, which is still correct
+   * but motivates pre-bucketing the dimension table.
+   */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   keys: Seq[String], how: String = "left"): DataFrame =
+    stream.join(dim, keys, how)
+
+  /**
    * Watermarked tumbling-window counts per event_type:
    * (window, event_type, n, sum_value). State is dropped
    * `delay` past the window end.

@@ -77,6 +77,37 @@ class SearchSpec extends SparkSpecBase {
     assert(again === out, "centroids must be bit-identical under repartition")
   }
 
+  test("contaminationScore: full, partial and zero overlap") {
+    import graft.operators.Dedup
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),       // identical: 4/4 trigrams
+      (2L, "alpha beta gamma delta nine ten eleven"),    // shares 2 of 5 trigrams
+      (3L, "one two three four five six")).toDF("doc_id", "text") // disjoint
+    val out = Dedup.contaminationScore(docs, col("text"), col("doc_id"),
+        bench, col("text"), n = 3)
+      .select("doc_id", "n_ngrams", "n_contaminated")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) === ((4L, 4L)))
+    assert(out(2L) === ((5L, 2L)))
+    assert(out(3L) === ((4L, 0L)))
+    graft.operators.OpCache.releaseAll()
+  }
+
+  test("numericHistogram: bucket edges and clamping") {
+    val df = Seq(0.0, 0.5, 9.99, 10.0, 25.0, 99.99, 100.0, -1.0).toDF("x")
+    val out = StatsOp.numericHistogram(df, col("x"), lo = 0.0, hi = 100.0, buckets = 10)
+      .select("bucket", "lo_edge", "hi_edge", "cnt")
+      .as[(Int, Double, Double, Long)].collect().map(r => r._1 -> r).toMap
+    // -1 and 100.0 are out of [0,100); 0.0,0.5,9.99 → bucket 0;
+    // 10.0 → bucket 1; 25.0 → bucket 2; 99.99 → bucket 9
+    assert(out(0) === ((0, 0.0, 10.0, 3L)))
+    assert(out(1) === ((1, 10.0, 20.0, 1L)))
+    assert(out(2) === ((2, 20.0, 30.0, 1L)))
+    assert(out(9) === ((9, 90.0, 100.0, 1L)))
+    assert(out.values.map(_._4).sum === 6L)
+  }
+
   test("keyHistogram: ranks by count desc with exact shares") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c"))
       .toDF("k")

@@ -45,6 +45,23 @@ class StreamingSpec extends SparkSpecBase {
     assert(out === Set(1L, 2L, 4L), s"got $out")
   }
 
+  test("stream-static enrichment joins each batch against a broadcast dim") {
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val stream = MemoryStream[(Long, Double)]
+    stream.addData((1L, 10.0), (2L, 20.0), (9L, 30.0)) // 9 has no dim row
+    val q = StreamingIngest.enrichStream(
+        stream.toDF().toDF("user_id", "value"), broadcast(dim), Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("enriched_out")
+      .select("user_id", "value", "tier")
+      .as[(Long, Double, Option[String])].collect().toSet
+    // left join: unmatched rows pass through with null tier
+    assert(out === Set((1L, 10.0, Some("gold")), (2L, 20.0, Some("silver")),
+      (9L, 30.0, None)))
+  }
+
   test("watermarked windowed counts aggregate by hour") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, Double)]
