@@ -169,4 +169,45 @@ object Scale {
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
+
+  /**
+   * COMPACT a dataset into ~`targetBytes` output files — the
+   * small-files remedy (a 100 TB lake accumulating thousands of
+   * kilobyte files per ingest hour pays footer/task overhead on every
+   * read until compacted). File count = leaf-byte estimate over
+   * `targetBytes` (plan-time; no count job). Returns the file count.
+   *
+   * Uses coalesce (no shuffle) when shrinking the partition count —
+   * compaction is IO-bound and the rows are already where they need
+   * to be; repartition would shuffle the whole dataset once for
+   * nothing. If the input has FEWER partitions than the target (rare
+   * for a small-files problem) coalesce keeps them as-is.
+   */
+  def compact(df: DataFrame, outPath: String,
+              targetBytes: Long = 512L << 20,
+              format: String = "parquet"): Int = {
+    require(targetBytes > 0)
+    val n = ((estimatedLeafBytes(df) / targetBytes) + 1).toInt
+    df.coalesce(n).write.mode(SaveMode.Overwrite).format(format).save(outPath)
+    n
+  }
+
+  /**
+   * RANGE-LAYOUT write: repartitionByRange + sortWithinPartitions on
+   * `keys`, so every output file covers a DISJOINT key range and its
+   * parquet column min/max footer stats actually prune — a point or
+   * range predicate on the layout key reads one file instead of all
+   * of them. The single-dimension, no-table-format ancestor of
+   * Z-ordering; the right layout for append-then-scan-by-time/id
+   * datasets. (Asserted in ScaleSpec by reading back per-file min/max
+   * ranges and checking pairwise disjointness.)
+   */
+  def writeRangeLayout(df: DataFrame, outPath: String, keys: Seq[String],
+                       partitions: Int,
+                       format: String = "parquet"): Unit = {
+    require(keys.nonEmpty && partitions >= 1)
+    df.repartitionByRange(partitions, keys.map(col): _*)
+      .sortWithinPartitions(keys.map(col): _*)
+      .write.mode(SaveMode.Overwrite).format(format).save(outPath)
+  }
 }

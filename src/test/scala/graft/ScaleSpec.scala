@@ -111,4 +111,46 @@ class ScaleSpec extends SparkSpecBase {
     assert(est > actual * 0.5 && est < actual * 2.0,
       s"footer estimate $est too far from $actual")
   }
+
+  test("compact: many small files collapse to the byte-sized target, rows conserved") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val small = s"$tmp/small"
+    val compacted = s"$tmp/compacted"
+    val src = spark.read.parquet(sf() + "/documents.parquet").select("doc_id", "text")
+    src.repartition(40).write.parquet(small) // the small-files problem
+    def dataFiles(p: String) =
+      new java.io.File(p).listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(dataFiles(small) === 40)
+    val reread = spark.read.parquet(small)
+    val n = Scale.compact(reread, compacted, targetBytes = 1L << 30)
+    assert(n === 1, s"tiny dataset must compact to 1 file, got $n")
+    assert(dataFiles(compacted) === 1)
+    assert(spark.read.parquet(compacted).count() === src.count())
+    // no shuffle: compaction coalesces (same shape compact() writes)
+    val plan = reread.coalesce(1).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compact must not shuffle:\n$plan")
+  }
+
+  test("writeRangeLayout: per-file key ranges are pairwise disjoint") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_range").toString
+    val src = spark.read.parquet(sf() + "/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    Scale.writeRangeLayout(src, tmp, Seq("o_orderkey"), partitions = 8)
+    val files = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files.length >= 4, s"expected multiple range files, got ${files.length}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.min("o_orderkey"),
+          org.apache.spark.sql.functions.max("o_orderkey")).first()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) =>
+        assert(hiA < loB, s"file ranges overlap: $hiA >= $loB (${ranges.toSeq})")
+      case _ =>
+    }
+    // and the layout conserves the data
+    assert(spark.read.parquet(tmp).count() === src.count())
+  }
 }
