@@ -765,6 +765,29 @@ object Oracles {
         |  COUNT(*) AS cnt
         |FROM bk GROUP BY bucket""".stripMargin,
 
+    // per-source boilerplate line removal: same decoration, line df
+    // per (source, line) counted over DISTINCT docs, ordered rebuild
+    "strip_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    text || chr(10) || 'AD: subscribe now!' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'promo code ' || source ELSE '' END) ||
+        |    chr(10) || '(c) ' || source || ' newsletter' AS t
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, source, i.i - 1 AS p, parts[i.i] AS line
+        |  FROM (SELECT doc_id, source, string_split(t, chr(10)) AS parts FROM d),
+        |       LATERAL unnest(range(1, len(parts) + 1)) AS i(i)),
+        |f AS (SELECT source, line FROM l
+        |      GROUP BY source, line HAVING COUNT(DISTINCT doc_id) >= 10),
+        |k AS (SELECT l.doc_id, l.p, l.line, f.line IS NULL AS keep
+        |      FROM l LEFT JOIN f ON l.source = f.source AND l.line = f.line)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY p), '') AS text_clean,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |FROM k GROUP BY doc_id""".stripMargin,
+
     // join-key skew diagnostic: top-20 heaviest user_ids with share
     "skew_keys" ->
       """WITH c AS (SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id),

@@ -583,6 +583,21 @@ object Queries {
       docs.filter(col("doc_id") % 97 === 0), col("text"), n = 8)
   }
 
+  /** Per-source boilerplate removal over synthetically decorated docs:
+    * a universal ad line, an every-other-doc promo line and a
+    * per-source footer are injected, then lines repeating in ≥ 10 docs
+    * of one source are stripped (the CCNet/RefinedWeb line-df filter). */
+  def stripBoilerplateQ(s: SparkSession, dir: String): DataFrame = {
+    val decorated = concat(
+      col("text"), lit("\nAD: subscribe now!"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("\npromo code "), col("source"))).otherwise(lit("")),
+      lit("\n(c) "), col("source"), lit(" newsletter"))
+    Chunking.stripBoilerplate(
+      t(s, dir, "documents").select(col("doc_id"), col("source"), decorated.as("text")),
+      col("text"), col("doc_id"), col("source"), minDf = 10)
+  }
+
   /** Equi-width histogram of event values: 25 buckets over [0, 500). */
   def eventHistogram(s: SparkSession, dir: String): DataFrame =
     StatsOp.numericHistogram(t(s, dir, "events"), col("value"),
@@ -764,6 +779,7 @@ object Queries {
     "skew_keys" -> skewKeys _,
     "contamination" -> contaminationQ _,
     "event_histogram" -> eventHistogram _,
+    "strip_boilerplate" -> stripBoilerplateQ _,
     "split_assign" -> splitAssign _,
     "sample_stratified" -> sampleStratified _,
     "pack_sequences" -> packSequencesQ _,

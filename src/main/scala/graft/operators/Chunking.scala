@@ -45,4 +45,48 @@ object Chunking {
       .groupBy("token")
       .agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= minDf)
+
+  /**
+   * PER-SOURCE BOILERPLATE REMOVAL: drop every line that repeats in
+   * ≥ `minDf` documents OF THE SAME SOURCE (navigation bars, cookie
+   * banners, subscribe footers — the dominant noise in web-crawled
+   * training corpora; CCNet/RefinedWeb do exactly this line-df
+   * filtering). Scoped per source because a line that is boilerplate
+   * on one site can be content on another.
+   *
+   * Scale: two bounded shuffles — line document-frequency keyed by
+   * (source, line-hash), and the per-doc rebuild keyed by id. The
+   * frequent-line frame (df ≥ minDf only) is tiny and broadcast into
+   * the tagging join; lines travel as md5 hashes, never as text keys.
+   * Rebuild order is positional (sort_array of (pos, line) structs),
+   * so output text is byte-deterministic.
+   *
+   * Output: (doc_id, text_clean, n_kept, n_dropped) — docs whose every
+   * line is boilerplate survive with text_clean = "".
+   */
+  def stripBoilerplate(df: DataFrame, content: Column, id: Column,
+                       source: Column, minDf: Int = 10,
+                       sep: String = "\n"): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would strip every line")
+    val lines = df.select(id.as("doc_id"), source.as("__src"),
+        posexplode(split(content, java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "line")
+    val frequent = lines
+      .groupBy(col("__src"), md5(col("line")).as("__lh"))
+      .agg(countDistinct(col("doc_id")).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select("__src", "__lh")
+    lines.join(broadcast(frequent),
+        lines("__src") === frequent("__src") && md5(col("line")) === frequent("__lh"),
+        "left")
+      .select(col("doc_id"), col("p"), col("line"),
+        frequent("__lh").isNull.as("__keep"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"), struct(col("p"), col("line"))))),
+          s => s.getField("line")), sep).as("text_clean"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"))
+  }
 }

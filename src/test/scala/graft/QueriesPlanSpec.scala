@@ -31,4 +31,36 @@ class QueriesPlanSpec extends SparkSpecBase {
     assert(!plan.contains("l_comment"),
       s"scan reads columns the query never touches:\n$plan")
   }
+
+  test("bm25: term stats broadcast; the only cross join is the 1-row corpus stats") {
+    val plan = Queries.searchBm25(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-term df must broadcast into the hits frame:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"bm25 must never cartesian-join the corpus:\n$plan")
+    graft.operators.OpCache.releaseAll()
+  }
+
+  test("sqrt mix: corpus side joins broadcast stats without shuffling itself") {
+    val plan = Queries.mixSqrt(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the only exchanges allowed are on the tiny counts/min frames —
+    // the documents scan itself must feed the join directly
+    assert(plan.contains("BroadcastHashJoin"), s"counts must broadcast:\n$plan")
+    val scanToJoin = plan.linesIterator
+      .dropWhile(l => !l.contains("BroadcastHashJoin")).take(40).mkString("\n")
+    assert(!scanToJoin.contains("Exchange hashpartitioning(doc_id"),
+      s"corpus must not shuffle for the mix filter:\n$plan")
+  }
+
+  test("contamination: benchmark n-gram set broadcasts into the hits join") {
+    val plan = Queries.contaminationQ(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench set must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"contamination must never cartesian-join:\n$plan")
+    graft.operators.OpCache.releaseAll()
+  }
 }

@@ -108,6 +108,29 @@ class SearchSpec extends SparkSpecBase {
     assert(out.values.map(_._4).sum === 6L)
   }
 
+  test("stripBoilerplate: per-source line df, position-ordered rebuild") {
+    import graft.operators.Chunking
+    // "footer" repeats in 3 docs of src A (df>=3 → stripped), but only
+    // once in src B (kept there); doc 4 is all boilerplate
+    val docs = Seq(
+      (1L, "A", "alpha\nfooter\nbeta"),
+      (2L, "A", "gamma\nfooter"),
+      (3L, "A", "footer\ndelta"),
+      (4L, "A", "footer"),
+      (5L, "B", "epsilon\nfooter")).toDF("doc_id", "src", "text")
+    val out = Chunking.stripBoilerplate(docs, col("text"), col("doc_id"),
+        col("src"), minDf = 3)
+      .select("doc_id", "text_clean", "n_kept", "n_dropped")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === (("alpha\nbeta", 2L, 1L)))
+    assert(out(2L) === (("gamma", 1L, 1L)))
+    assert(out(3L) === (("delta", 1L, 1L)))
+    assert(out(4L) === (("", 0L, 1L)), "all-boilerplate doc survives empty")
+    assert(out(5L) === (("epsilon\nfooter", 2L, 0L)),
+      "same line in another source is content there")
+  }
+
   test("keyHistogram: ranks by count desc with exact shares") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c"))
       .toDF("k")
