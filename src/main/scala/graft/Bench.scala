@@ -32,7 +32,8 @@ object Bench {
     "multimodal_meta", "sample_stratified", "pack_sequences", "decontaminate",
     "text_redact", "text_chunks", "vocab_df", "search_bm25", "mix_sqrt",
     "emb_centroids", "skew_keys", "contamination", "event_histogram",
-    "strip_boilerplate", "pipeline_docs", "pipeline_docs_v2")
+    "strip_boilerplate", "dedup_paragraph", "shuffle_order",
+    "pipeline_docs", "pipeline_docs_v2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

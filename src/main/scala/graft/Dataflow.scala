@@ -193,6 +193,28 @@ object Dataflow {
         case s: KeyHistogramSpec =>
           import org.apache.spark.sql.functions.col
           frames + (s.output -> StatsOp.keyHistogram(in, col(s.keyCol), s.topN))
+        case s: CapSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Sampling.capPerGroup(
+            in, col(s.groupCol), col(s.idCol), s.maxN))
+        case s: QuantileGateSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Sampling.quantileGate(
+            in, col(s.groupCol), col(s.metricCol), s.q))
+        case s: UpsampleSpec =>
+          frames + (s.output -> Sampling.upsampleEpochs(
+            in, org.apache.spark.sql.functions.expr(s.weightExpr)))
+        case s: GlobalOrderSpec =>
+          frames + (s.output -> Sampling.globalOrder(
+            in, org.apache.spark.sql.functions.col(s.idCol), s.seed))
+        case s: BoilerplateSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Chunking.stripBoilerplate(
+            in, col(s.contentCol), col(s.idCol), col(s.sourceCol), s.minDf))
+        case s: ParagraphDedupSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Dedup.dedupParagraphs(
+            in, col(s.contentCol), col(s.idCol)))
         case s: ComputeStatsSpec =>
           // stats become named frames; sink them like any other
           // output. The input passes through under the transform name

@@ -788,6 +788,62 @@ object Oracles {
         |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
         |FROM k GROUP BY doc_id""".stripMargin,
 
+    // corpus-wide paragraph dedup: canonical = first (doc_id, pos)
+    // occurrence; singletons always kept, rebuild position-ordered
+    "dedup_paragraph" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'a widely shared paragraph' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'repeat me' || chr(10) || 'repeat me' ELSE '' END) AS t
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, i.i - 1 AS p, parts[i.i] AS para
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS parts FROM d),
+        |       LATERAL unnest(range(1, len(parts) + 1)) AS i(i)),
+        |r AS (
+        |  SELECT doc_id, p, para,
+        |    ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, p) AS rn,
+        |    COUNT(*) OVER (PARTITION BY para) AS cnt
+        |  FROM l),
+        |k AS (SELECT doc_id, p, para, (cnt = 1 OR rn = 1) AS keep FROM r)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY p), '') AS text_clean,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    // per-source cap: hash-order row_number, keep rank <= 10
+    "cap_per_source" ->
+      """SELECT doc_id, source, grp_rank FROM (
+        |  SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS grp_rank
+        |  FROM documents) WHERE grp_rank <= 10""".stripMargin,
+
+    // per-source exact median gate on n_chars (quantile_cont ==
+    // Spark percentile, shared interpolation formula)
+    "quality_gate" ->
+      """WITH thr AS (
+        |  SELECT source AS g, quantile_cont(n_chars, 0.5) AS threshold
+        |  FROM documents GROUP BY source)
+        |SELECT doc_id, source, n_chars, threshold
+        |FROM documents JOIN thr ON source = g
+        |WHERE CAST(n_chars AS DOUBLE) >= threshold""".stripMargin,
+
+    // epoch upsampling: weight = doc_id % 4 (zero drops the row)
+    "upsample_epochs" ->
+      """SELECT d.doc_id, CAST(i.epoch AS BIGINT) AS epoch
+        |FROM documents d,
+        |     LATERAL unnest(range(1, (d.doc_id % 4) + 1)) AS i(epoch)""".stripMargin,
+
+    // seeded global order: exact rank of md5('s42' || id)
+    "shuffle_order" ->
+      """SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (
+        |    ORDER BY md5('s42' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS order_id
+        |FROM documents""".stripMargin,
+
     // join-key skew diagnostic: top-20 heaviest user_ids with share
     "skew_keys" ->
       """WITH c AS (SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id),

@@ -598,6 +598,47 @@ object Queries {
       col("text"), col("doc_id"), col("source"), minDf = 10)
   }
 
+  /** Corpus-wide paragraph dedup over decorated docs: a shared
+    * paragraph is injected into every 3rd doc (cross-doc dup) and an
+    * identical pair of lines into every 7th (intra-doc dup); only the
+    * canonical first occurrence of each survives. */
+  def dedupParagraphQ(s: SparkSession, dir: String): DataFrame = {
+    val decorated = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0, lit("\na widely shared paragraph"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("\nrepeat me\nrepeat me"))
+        .otherwise(lit("")))
+    Dedup.dedupParagraphs(
+      t(s, dir, "documents").select(col("doc_id"), decorated.as("text")),
+      col("text"), col("doc_id"))
+  }
+
+  /** Per-source document cap: at most 10 docs per source, hash order. */
+  def capPerSource(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerGroup(
+      t(s, dir, "documents").select(col("doc_id"), col("source")),
+      col("source"), col("doc_id"), maxN = 10)
+
+  /** Per-source median-length gate: keep docs at or above their
+    * source's exact 0.5-quantile of n_chars. */
+  def qualityGate(s: SparkSession, dir: String): DataFrame =
+    Sampling.quantileGate(
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+      col("source"), col("n_chars"), q = 0.5)
+
+  /** Epoch upsampling with a deterministic 0–3 weight (zero drops). */
+  def upsampleEpochsQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.upsampleEpochs(
+      t(s, dir, "documents").select(col("doc_id")),
+      col("doc_id") % 4)
+
+  /** Seeded global training order over the corpus. */
+  def shuffleOrder(s: SparkSession, dir: String): DataFrame =
+    Sampling.globalOrder(
+      t(s, dir, "documents").select(col("doc_id")),
+      col("doc_id"), seed = "s42")
+
   /** Equi-width histogram of event values: 25 buckets over [0, 500). */
   def eventHistogram(s: SparkSession, dir: String): DataFrame =
     StatsOp.numericHistogram(t(s, dir, "events"), col("value"),
@@ -780,6 +821,11 @@ object Queries {
     "contamination" -> contaminationQ _,
     "event_histogram" -> eventHistogram _,
     "strip_boilerplate" -> stripBoilerplateQ _,
+    "dedup_paragraph" -> dedupParagraphQ _,
+    "cap_per_source" -> capPerSource _,
+    "quality_gate" -> qualityGate _,
+    "upsample_epochs" -> upsampleEpochsQ _,
+    "shuffle_order" -> shuffleOrder _,
     "split_assign" -> splitAssign _,
     "sample_stratified" -> sampleStratified _,
     "pack_sequences" -> packSequencesQ _,

@@ -156,6 +156,33 @@ object MetaLoader {
         KeyHistogramSpec(name, input, output,
           keyCol = str(p, "key"),
           topN = p.path("top_n").asInt(20))
+      case "cap" =>
+        CapSpec(name, input, output,
+          groupCol = str(p, "group"),
+          idCol = str(p, "id", "doc_id"),
+          maxN = p.path("max_n").asInt(1000))
+      case "quantile_gate" =>
+        QuantileGateSpec(name, input, output,
+          groupCol = str(p, "group"),
+          metricCol = str(p, "metric"),
+          q = p.path("q").asDouble(0.5))
+      case "upsample" =>
+        UpsampleSpec(name, input, output,
+          weightExpr = str(p, "weight_expr"))
+      case "order" =>
+        GlobalOrderSpec(name, input, output,
+          idCol = str(p, "id", "doc_id"),
+          seed = str(p, "seed", "graft"))
+      case "boilerplate" =>
+        BoilerplateSpec(name, input, output,
+          contentCol = str(p, "content", "text"),
+          idCol = str(p, "id", "doc_id"),
+          sourceCol = str(p, "source", "source"),
+          minDf = p.path("min_df").asInt(10))
+      case "paragraph_dedup" =>
+        ParagraphDedupSpec(name, input, output,
+          contentCol = str(p, "content", "text"),
+          idCol = str(p, "id", "doc_id"))
       case "compute_stats" =>
         ComputeStatsSpec(name, input,
           fields = if (p.has("fields")) Some(strArr(p, "fields")) else None,

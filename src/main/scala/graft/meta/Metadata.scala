@@ -291,6 +291,85 @@ final case class CentroidsSpec(
   extends TransformSpec
 
 /**
+ * graft extension: per-group document cap — at most `maxN` rows per
+ * group, chosen by deterministic hash order (the "N pages per domain"
+ * rule).
+ */
+final case class CapSpec(
+    name: String,
+    input: String,
+    output: String,
+    groupCol: String,
+    idCol: String = "doc_id",
+    maxN: Int = 1000)
+  extends TransformSpec
+
+/**
+ * graft extension: per-group quantile gate — keep rows whose metric
+ * reaches their group's exact q-quantile (relative quality filter).
+ */
+final case class QuantileGateSpec(
+    name: String,
+    input: String,
+    output: String,
+    groupCol: String,
+    metricCol: String,
+    q: Double = 0.5)
+  extends TransformSpec
+
+/**
+ * graft extension: epoch upsampling — repeat each row `weight_expr`
+ * times (a SQL expression over the row), tagged with a 1-based
+ * `epoch`; weight 0 drops.
+ */
+final case class UpsampleSpec(
+    name: String,
+    input: String,
+    output: String,
+    weightExpr: String)
+  extends TransformSpec
+
+/**
+ * graft extension: seeded deterministic global training order —
+ * appends `order_id`, the exact global rank of md5(seed ‖ id).
+ */
+final case class GlobalOrderSpec(
+    name: String,
+    input: String,
+    output: String,
+    idCol: String = "doc_id",
+    seed: String = "graft")
+  extends TransformSpec
+
+/**
+ * graft extension: per-source boilerplate line removal — drops every
+ * line repeating in ≥ minDf documents of the same source; output has
+ * (id, text_clean, n_kept, n_dropped).
+ */
+final case class BoilerplateSpec(
+    name: String,
+    input: String,
+    output: String,
+    contentCol: String = "text",
+    idCol: String = "doc_id",
+    sourceCol: String = "source",
+    minDf: Int = 10)
+  extends TransformSpec
+
+/**
+ * graft extension: corpus-wide paragraph dedup — keeps only the
+ * canonical first occurrence of every duplicated paragraph; output
+ * has (id, text_clean, n_kept, n_dropped).
+ */
+final case class ParagraphDedupSpec(
+    name: String,
+    input: String,
+    output: String,
+    contentCol: String = "text",
+    idCol: String = "doc_id")
+  extends TransformSpec
+
+/**
  * graft extension: join-key skew diagnostic — top-N heaviest values
  * of a key with count and share.
  */

@@ -617,4 +617,49 @@ object Dedup {
       .withColumn("contamination",
         col("n_contaminated").cast("double") / col("n_ngrams"))
   }
+
+  /**
+   * CORPUS-WIDE PARAGRAPH DEDUP: every paragraph that occurs more than
+   * once in the corpus (across documents OR repeated inside one) is
+   * kept only at its canonical first occurrence — the smallest
+   * (doc_id, position) — and dropped everywhere else (RefinedWeb-style
+   * exact substring dedup at paragraph granularity; the complement of
+   * [[Chunking.stripBoilerplate]], which drops frequent lines
+   * everywhere including their first occurrence).
+   *
+   * Scale: paragraphs travel as md5 keys, never as text join keys.
+   * The duplicate set (count > 1 only) is the join side — bounded by
+   * the corpus' duplicate mass, not its size — and carries one 16-byte
+   * canonical struct per duplicated paragraph. Rebuild is one shuffle
+   * keyed by doc id with a positional sort inside the aggregation, so
+   * output text is byte-deterministic regardless of partitioning.
+   *
+   * Output: (doc_id, text_clean, n_kept, n_dropped); a document whose
+   * every paragraph is a non-canonical duplicate survives with
+   * text_clean = "".
+   */
+  def dedupParagraphs(df: DataFrame, content: Column, id: Column,
+                      sep: String = "\n"): DataFrame = {
+    val paras = df.select(id.as("doc_id"),
+        posexplode(split(content, java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "para")
+      .withColumn("__h", md5(col("para")))
+    val dups = paras.groupBy("__h")
+      .agg(min(struct(col("doc_id"), col("p"))).as("__canon"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .select(col("__h").as("__dh"), col("__canon"))
+    paras.join(dups, col("__h") === col("__dh"), "left")
+      .select(col("doc_id"), col("p"), col("para"),
+        (col("__dh").isNull ||
+          (col("__canon.doc_id") === col("doc_id") && col("__canon.p") === col("p")))
+          .as("__keep"))
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"), struct(col("p"), col("para"))))),
+          s => s.getField("para")), sep).as("text_clean"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"))
+  }
 }

@@ -120,4 +120,121 @@ object Sampling {
       .withColumn("seq_id",
         floor((sum(tok).over(w) - tok) / budget).cast("long"))
   }
+
+  /**
+   * PER-GROUP DOCUMENT CAP: keep at most `maxN` rows of each group,
+   * chosen by deterministic hash order (the "no more than N pages per
+   * domain" rule every web-corpus pipeline applies so one giant site
+   * cannot dominate training). The hash order makes the kept subset a
+   * uniform sample of the group that is stable across runs, engines
+   * and partitionings — no RNG, no first-N-in-file bias.
+   *
+   * Scale: one shuffle keyed by the group for the per-group
+   * row_number. A pathologically heavy group concentrates its sort in
+   * one task; AQE skew handling splits the sort spill, and because the
+   * emitted rank only has to be correct UP TO maxN, a pre-filter on
+   * `hashBucket10k(id) < ~(maxN/est_group_size)·10⁴·slack` can shrink
+   * a giant group before the window when maxN ≪ group size.
+   *
+   * Output: the input columns + `grp_rank` (1-based hash-order rank
+   * within the group, ≤ maxN).
+   */
+  def capPerGroup(df: DataFrame, group: Column, id: Column,
+                  maxN: Int): DataFrame = {
+    require(maxN > 0, "maxN must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(md5(id.cast("string")), id)
+    df.withColumn("grp_rank", row_number().over(w).cast("long"))
+      .filter(col("grp_rank") <= maxN)
+  }
+
+  /**
+   * QUANTILE QUALITY GATE: keep rows whose metric reaches their
+   * group's exact `q`-quantile — "drop the worst quarter of each
+   * source by quality score", the relative-threshold filtering step
+   * that absolute cutoffs can't express when sources have different
+   * score distributions.
+   *
+   * Determinism: Spark's exact `percentile` and DuckDB's
+   * `quantile_cont` share the same linear-interpolation definition,
+   * so the threshold is cross-engine identical (validated by the
+   * field_quantiles oracle).
+   *
+   * Scale: thresholds are one aggregation over (group) — a tiny frame
+   * broadcast back into a map-side filter; the corpus itself is never
+   * shuffled. Exact per-group percentile sorts each group's metric
+   * vector inside the aggregation buffer; for groups too large for
+   * that, swap `percentile` for `approx_percentile` at the call site
+   * (same plan shape, bounded memory).
+   *
+   * Output: input columns + `threshold` (the group's quantile value).
+   */
+  def quantileGate(df: DataFrame, group: Column, metric: Column,
+                   q: Double): DataFrame = {
+    require(q >= 0 && q <= 1, "q must be in [0, 1]")
+    val thr = df.groupBy(group.as("__grp"))
+      .agg(percentile(metric, lit(q)).as("threshold"))
+    df.join(broadcast(thr), group === col("__grp"))
+      .filter(metric.cast("double") >= col("threshold"))
+      .drop("__grp")
+  }
+
+  /**
+   * EPOCH UPSAMPLING: repeat each row `weight` times, tagged with a
+   * 1-based `epoch` index — the materialized form of per-source epoch
+   * counts ("2 epochs of books, 1 of web") that data-mixture recipes
+   * prescribe. Materializing the repeats keeps downstream packing /
+   * shuffling / splitting uniform: they see one stream of rows.
+   *
+   * Scale: a pure map-side explode — no shuffle, no state; output
+   * size is Σ weights, exactly the token-budget math the mixture
+   * recipe already did. Weight 0 drops the row (a mixture weight of
+   * zero IS a filter); negative weights are rejected at runtime.
+   */
+  def upsampleEpochs(df: DataFrame, weight: Column): DataFrame = {
+    val w = weight.cast("int")
+    // sequence(1, 0) yields [1, 0] (Spark picks step -1 when start >
+    // stop), so weight 0 must be an explicit empty array; negatives
+    // fail loudly instead of silently exploding a descending range
+    val epochs = when(w >= 1, sequence(lit(1), w))
+      .when(w === 0, array().cast("array<int>"))
+      .otherwise(raise_error(lit("upsampleEpochs: negative weight")).cast("array<int>"))
+    // explode must be a top-level select item (not nested in a cast)
+    df.select(col("*"), explode(epochs).as("__e"))
+      .withColumn("epoch", col("__e").cast("long")).drop("__e")
+  }
+
+  /**
+   * DETERMINISTIC GLOBAL TRAINING ORDER: a seeded, engine-stable
+   * permutation of the corpus — `order_id` is the exact global rank of
+   * md5(seed ‖ id). Training-data order matters (curriculum, shard
+   * assignment, resumable loaders) and `orderBy(rand())` is none of
+   * reproducible, partitioning-stable, or engine-portable; a keyed
+   * hash rank is all three.
+   *
+   * Scale: the global rank is computed WITHOUT a single-reducer sort:
+   * rows bucket by the key's first byte (256 buckets), per-bucket
+   * counts (a 256-row frame) turn into cumulative offsets on the
+   * driver-free broadcast side, and each bucket ranks internally in
+   * parallel — `order_id = offset(bucket) + rank_within_bucket`. Two
+   * narrow shuffles (256-key bucket partition + the tiny counts agg),
+   * no global exchange of the corpus beyond the bucketing itself.
+   */
+  def globalOrder(df: DataFrame, id: Column, seed: String): DataFrame = {
+    val keyed = df.withColumn("__k",
+        md5(concat(lit(seed), id.cast("string"))))
+      .withColumn("__b", substring(col("__k"), 1, 2))
+    val offsets = keyed.groupBy("__b").agg(count(lit(1)).as("__n"))
+      .withColumn("__off",
+        coalesce(sum(col("__n")).over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("__b"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("__b").as("__ob"), col("__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__k"), id)
+    keyed.join(broadcast(offsets), col("__b") === col("__ob"))
+      .withColumn("order_id", (col("__off") + row_number().over(w)).cast("long"))
+      .drop("__k", "__b", "__ob", "__off")
+  }
 }

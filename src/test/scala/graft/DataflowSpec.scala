@@ -303,6 +303,48 @@ class DataflowSpec extends SparkSpecBase {
     graft.operators.OpCache.releaseAll()
   }
 
+  test("metadata reach: cap, quantile_gate, upsample, order, boilerplate, paragraph_dedup") {
+    val spec =
+      s"""{"dataflows":[{"name":"r4b",
+         |  "sources":[
+         |    {"name":"docs","path":"${sf()}/documents.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"capped","type":"cap","params":{
+         |      "input":"docs","output":"cap_out","group":"source","max_n":5}},
+         |    {"name":"gated","type":"quantile_gate","params":{
+         |      "input":"docs","output":"gate_out","group":"source","metric":"n_chars","q":0.5}},
+         |    {"name":"rep","type":"upsample","params":{
+         |      "input":"docs","output":"rep_out","weight_expr":"CAST(doc_id % 3 AS INT)"}},
+         |    {"name":"ord","type":"order","params":{
+         |      "input":"docs","output":"ord_out","id":"doc_id","seed":"s1"}},
+         |    {"name":"bp","type":"boilerplate","params":{
+         |      "input":"docs","output":"bp_out","min_df":5}},
+         |    {"name":"pd","type":"paragraph_dedup","params":{
+         |      "input":"docs","output":"pd_out"}}
+         |  ],"sinks":[]}]}""".stripMargin
+    val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("r4b"))
+    val docs = frames("docs")
+    val n = docs.count()
+    // cap: ≤ 5 per source
+    assert(frames("cap_out").groupBy("source").count()
+      .agg(max("count")).first().getLong(0) <= 5L)
+    // gate: strictly fewer rows, none below its source threshold
+    val gated = frames("gate_out")
+    assert(gated.count() < n && gated.count() > 0)
+    assert(gated.filter(col("n_chars").cast("double") < col("threshold")).count() === 0)
+    // upsample: sum of weights rows (doc_id % 3 ∈ {0,1,2})
+    val expectRep = docs.select(sum(col("doc_id") % 3)).first().getLong(0)
+    assert(frames("rep_out").count() === expectRep)
+    // order: dense permutation 1..n
+    assert(frames("ord_out").agg(max("order_id")).first().getLong(0) === n)
+    assert(frames("ord_out").select("order_id").distinct().count() === n)
+    // boilerplate / paragraph_dedup: one row per doc, rebuild columns
+    assert(frames("bp_out").count() === n)
+    assert(frames("pd_out").columns.toSet ===
+      Set("doc_id", "text_clean", "n_kept", "n_dropped"))
+    assert(frames("pd_out").count() === n)
+  }
+
   test("RunPipeline stage summary: one [stage] line per source + output, with counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_verbose").toString
     Seq("""{"id":1,"v":"x"}""", """{"id":2,"v":""}""")

@@ -205,4 +205,27 @@ class DedupSpec extends SparkSpecBase {
       .orderBy("doc_id").as[(Long, Long)].collect().toSeq
     assert(s1 === s2)
   }
+
+  test("dedupParagraphs: first occurrence survives, cross- and intra-doc dups drop") {
+    // "shared" appears in docs 1,2,3 → kept only at (1, pos 1);
+    // doc 3 repeats "twice" internally → second copy dropped;
+    // unique paragraphs untouched
+    val d = Seq(
+      (1L, "alpha\nshared\nbeta"),
+      (2L, "gamma\nshared"),
+      (3L, "shared\ntwice\ntwice")).toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(d, col("text"), col("doc_id"))
+      .select("doc_id", "text_clean", "n_kept", "n_dropped")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === (("alpha\nshared\nbeta", 3L, 0L)))
+    assert(out(2L) === (("gamma", 1L, 1L)))
+    assert(out(3L) === (("twice", 1L, 2L)),
+      "canonical is the smallest (doc_id, pos): doc 1 owns 'shared', doc 3 keeps first 'twice'")
+    // duplicate set joins on md5 keys, never raw text
+    val plan = Dedup.dedupParagraphs(d, col("text"), col("doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(para"),
+      s"paragraph text must not be a shuffle key:\n$plan")
+  }
 }

@@ -95,4 +95,71 @@ class SamplingSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("Broadcast"), s"expected broadcast anti join:\n$plan")
   }
+
+  test("capPerGroup: at most N per group, hash-deterministic across partitionings") {
+    val df = spark.read.parquet(sf() + "/documents.parquet")
+    val out = Sampling.capPerGroup(df, col("source"), col("doc_id"), maxN = 10)
+    val perGroup = out.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(perGroup.values.forall(_ <= 10), s"group over cap: $perGroup")
+    assert(out.agg(max("grp_rank")).as[Long].head() <= 10L)
+    val again = Sampling.capPerGroup(df.repartition(13), col("source"),
+        col("doc_id"), maxN = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === out.select("doc_id").as[Long].collect().toSet,
+      "kept set must be partitioning-independent")
+  }
+
+  test("quantileGate: per-group threshold, corpus side broadcast-joined") {
+    val d = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 4L, 100L), ("b", 5L, 200L), ("b", 6L, 300L), ("b", 7L, 400L))
+      .toDF("g", "id", "m")
+    val out = Sampling.quantileGate(d, col("g"), col("m"), q = 0.5)
+      .select("id").as[Long].collect().toSet
+    // medians: a → 20, b → 250 (interpolated) ⇒ keep {2,3} and {6,7}
+    assert(out === Set(2L, 3L, 6L, 7L))
+    val plan = Sampling.quantileGate(d, col("g"), col("m"), q = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"thresholds must broadcast into a map-side filter:\n$plan")
+  }
+
+  test("upsampleEpochs: weight-many copies, zero drops, negative raises") {
+    val d = Seq((1L, 3), (2L, 1), (3L, 0)).toDF("id", "w")
+    val out = Sampling.upsampleEpochs(d, col("w"))
+      .select("id", "epoch").as[(Long, Long)].collect().toSeq.sorted
+    assert(out === Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)))
+    val neg = Seq((9L, -1)).toDF("id", "w")
+    intercept[Exception] {
+      Sampling.upsampleEpochs(neg, col("w")).collect()
+    }
+    // map-side only: no exchange
+    assert(!Sampling.upsampleEpochs(d, col("w"))
+      .queryExecution.executedPlan.toString.contains("Exchange"),
+      "upsampling must not shuffle")
+  }
+
+  test("globalOrder: exact global md5 rank without a single-reducer sort") {
+    val df = spark.read.parquet(sf() + "/documents.parquet").select("doc_id")
+    val out = Sampling.globalOrder(df, col("doc_id"), seed = "s42")
+      .select("doc_id", "order_id").as[(Long, Long)].collect()
+    val n = out.length
+    assert(out.map(_._2).sorted.toSeq === (1L to n).toSeq,
+      "order_id must be a dense 1..n permutation")
+    // rank agrees with a driver-side sort of the same key
+    def key(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("s42" + id).getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val expected = out.map(_._1).sortBy(id => (key(id), id))
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    assert(out.map(t => t._1 -> t._2).toMap === expected)
+    // the only window partitions by bucket — no global-order exchange
+    val plan = Sampling.globalOrder(df, col("doc_id"), seed = "s42")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"global rank must not range-sort the corpus:\n$plan")
+  }
 }
