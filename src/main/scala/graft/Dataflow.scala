@@ -134,6 +134,8 @@ object Dataflow {
             case "redact" => df
               .withColumn("text_redacted", graft.functions.Redaction.redactPii(c))
               .withColumn("n_pii", graft.functions.Redaction.piiCount(c))
+            case "gopher" =>
+              df.select(col("*") +: TextAnalysisCols.gopherFeatures(c): _*)
             case other =>
               throw new IllegalArgumentException(
                 s"text_analysis '${s.name}': unknown analysis '$other'")
@@ -215,6 +217,10 @@ object Dataflow {
           import org.apache.spark.sql.functions.col
           frames + (s.output -> Dedup.dedupParagraphs(
             in, col(s.contentCol), col(s.idCol)))
+        case s: C4CleanSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Chunking.c4Clean(
+            in, col(s.contentCol), col(s.idCol), s.minWords))
         case s: ComputeStatsSpec =>
           // stats become named frames; sink them like any other
           // output. The input passes through under the transform name

@@ -813,6 +813,89 @@ object Oracles {
         |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
         |FROM k GROUP BY doc_id""".stripMargin,
 
+    // Gopher-rule quality features: exact integer counts, one double
+    // division per ratio, keep flag from the published thresholds
+    "text_gopher" ->
+      """WITH base AS (
+        |  SELECT doc_id, text AS t,
+        |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(text), '\s+') END AS words,
+        |    CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS lwords,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, t,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(COALESCE(list_sum(list_transform(words, x -> len(x))), 0) AS BIGINT) AS sum_len,
+        |    CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS BIGINT) AS n_alpha,
+        |    CAST((CASE WHEN list_contains(lwords, 'the') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN list_contains(lwords, 'be') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN list_contains(lwords, 'to') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN list_contains(lwords, 'of') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN list_contains(lwords, 'and') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN list_contains(lwords, 'that') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN list_contains(lwords, 'have') THEN 1 ELSE 0 END) +
+        |         (CASE WHEN list_contains(lwords, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS n_stopwords,
+        |    CAST(len(list_filter(lines, l -> starts_with(l, '- ') OR starts_with(l, '* ')
+        |         OR starts_with(l, '• '))) AS BIGINT) AS n_bullet,
+        |    CAST(len(list_filter(lines, l -> ends_with(l, '...') OR ends_with(l, '…'))) AS BIGINT) AS n_ell,
+        |    CAST((len(t) - len(replace(t, '#', ''))) +
+        |         (len(t) - len(replace(t, '…', ''))) AS BIGINT) AS n_sym
+        |  FROM base),
+        |g AS (
+        |  SELECT doc_id, n_words, n_stopwords,
+        |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(sum_len AS DOUBLE) / n_words END AS mean_word_len,
+        |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_alpha AS DOUBLE) / n_words END AS frac_alpha_words,
+        |    CAST(n_bullet AS DOUBLE) / n_lines AS frac_lines_bullet,
+        |    CAST(n_ell AS DOUBLE) / n_lines AS frac_lines_ellipsis,
+        |    CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_sym AS DOUBLE) / n_words END AS symbol_ratio
+        |  FROM f)
+        |SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stopwords,
+        |  frac_lines_bullet, frac_lines_ellipsis, symbol_ratio,
+        |  (n_words >= 50 AND n_words <= 100000 AND
+        |   mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND
+        |   frac_lines_bullet < 0.9 AND frac_lines_ellipsis < 0.3 AND
+        |   frac_alpha_words > 0.8 AND n_stopwords >= 2 AND
+        |   symbol_ratio < 0.1) AS gopher_keep
+        |FROM g""".stripMargin,
+
+    // C4 line filtering: same decoration, per-line keep rules,
+    // doc-level lorem-ipsum/brace drop, position-ordered rebuild
+    "c4_clean" ->
+      """WITH d AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    substr(text, 1, 40),
+        |    'The doc says ' || substr(text, 1, 20) || '.',
+        |    'Short one.',
+        |    'Is this a question?',
+        |    CASE WHEN doc_id % 5 = 0 THEN 'Please enable javascript and accept our cookie.' END,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'filler lorem ipsum line' END,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'code { block' END) AS t
+        |  FROM documents),
+        |ok AS (SELECT * FROM d
+        |       WHERE NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{')),
+        |l AS (
+        |  SELECT doc_id, i.i - 1 AS p, parts[i.i] AS line
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS parts FROM ok),
+        |       LATERAL unnest(range(1, len(parts) + 1)) AS i(i)),
+        |k AS (
+        |  SELECT doc_id, p, line,
+        |    ((ends_with(trim(line), '.') OR ends_with(trim(line), '!') OR
+        |      ends_with(trim(line), '?') OR ends_with(trim(line), '"')) AND
+        |     len(CASE WHEN trim(line) = '' THEN CAST([] AS VARCHAR[])
+        |              ELSE string_split_regex(trim(line), '\s+') END) >= 3 AND
+        |     NOT contains(lower(line), 'javascript') AND
+        |     NOT contains(lower(line), 'cookie')) AS keep
+        |  FROM l)
+        |SELECT * FROM (
+        |  SELECT doc_id,
+        |    COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY p), '') AS text_clean,
+        |    CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+        |  FROM k GROUP BY doc_id) WHERE n_kept > 0""".stripMargin,
+
     // per-source cap: hash-order row_number, keep rank <= 10
     "cap_per_source" ->
       """SELECT doc_id, source, grp_rank FROM (

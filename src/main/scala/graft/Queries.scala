@@ -614,6 +614,30 @@ object Queries {
       col("text"), col("doc_id"))
   }
 
+  /** Gopher/FineWeb-style quality rule features over the corpus. */
+  def textGopher(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id") +: graft.TextAnalysisCols.gopherFeatures(col("text")): _*)
+
+  /** C4-style line filtering over synthetically decorated docs: a
+    * punctuation-less preview line and a too-short line drop, two
+    * sentence lines survive, a javascript/cookie notice drops on
+    * every 5th doc, and "lorem ipsum" / brace docs drop whole. */
+  def c4CleanQ(s: SparkSession, dir: String): DataFrame = {
+    val decorated = concat_ws("\n",
+      substring(col("text"), 1, 40),
+      concat(lit("The doc says "), substring(col("text"), 1, 20), lit(".")),
+      lit("Short one."),
+      lit("Is this a question?"),
+      when(col("doc_id") % 5 === 0,
+        lit("Please enable javascript and accept our cookie.")),
+      when(col("doc_id") % 11 === 0, lit("filler lorem ipsum line")),
+      when(col("doc_id") % 13 === 0, lit("code { block")))
+    Chunking.c4Clean(
+      t(s, dir, "documents").select(col("doc_id"), decorated.as("text")),
+      col("text"), col("doc_id"))
+  }
+
   /** Per-source document cap: at most 10 docs per source, hash order. */
   def capPerSource(s: SparkSession, dir: String): DataFrame =
     Sampling.capPerGroup(
@@ -822,6 +846,8 @@ object Queries {
     "event_histogram" -> eventHistogram _,
     "strip_boilerplate" -> stripBoilerplateQ _,
     "dedup_paragraph" -> dedupParagraphQ _,
+    "text_gopher" -> textGopher _,
+    "c4_clean" -> c4CleanQ _,
     "cap_per_source" -> capPerSource _,
     "quality_gate" -> qualityGate _,
     "upsample_epochs" -> upsampleEpochsQ _,

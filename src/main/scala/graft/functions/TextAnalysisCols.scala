@@ -70,4 +70,60 @@ object TextAnalysisCols {
   /** Normalized fingerprint: md5 over sorted lowercase tokens. */
   def normFingerprint(c: Column): Column =
     md5(array_join(array_sort(wsTokens(lower(c))), " "))
+
+  /** Gopher-rule stopwords (the "must contain ≥ 2 of" set). */
+  val GopherStop: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * GOPHER-STYLE QUALITY RULES (the repetition-free subset of the
+   * Gopher/MassiveText document filters, as also used by FineWeb):
+   * word-count bounds, mean word length, bullet/ellipsis line
+   * fractions, alphabetic-word fraction, stopword presence and a
+   * symbol-to-word ratio, combined into one `gopher_keep` flag.
+   * Emitted as FEATURES (not a filter) so thresholds stay a
+   * downstream policy decision and every document remains auditable.
+   *
+   * Determinism: every ratio is one double division of exact integer
+   * counts; regexes are in the Java∩RE2 subset; no libm calls — the
+   * features hash-match a DuckDB oracle bit-for-bit.
+   *
+   * Scale: a pure scan-side Column tree (no UDFs, no shuffle); the
+   * whole rule set is one pass inside whole-stage codegen.
+   */
+  def gopherFeatures(c: Column): Seq[Column] = {
+    val words = wsTokens(c)
+    val nW = size(words).cast("long")
+    val sumLen = aggregate(words, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    val meanLen = when(nW === 0, lit(0.0)).otherwise(sumLen.cast("double") / nW)
+    val nAlpha = size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val fracAlpha = when(nW === 0, lit(0.0)).otherwise(nAlpha.cast("double") / nW)
+    val lowWords = wsTokens(lower(c))
+    val nStop = GopherStop.map(sw =>
+      when(array_contains(lowWords, sw), lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    val lines = split(c, "\n")
+    val nL = size(lines).cast("long") // split never yields [], so nL >= 1
+    val nBullet = size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• "))).cast("long")
+    val nEllipsis = size(filter(lines, l =>
+      l.endsWith("...") || l.endsWith("…"))).cast("long")
+    val nSymbols = (length(c) - length(regexp_replace(c, "#", ""))).cast("long") +
+      (length(c) - length(regexp_replace(c, "…", ""))).cast("long")
+    val symRatio = when(nW === 0, lit(0.0)).otherwise(nSymbols.cast("double") / nW)
+    val fracBullet = nBullet.cast("double") / nL
+    val fracEllipsis = nEllipsis.cast("double") / nL
+    val keep = nW >= 50 && nW <= 100000 &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      fracBullet < 0.9 && fracEllipsis < 0.3 &&
+      fracAlpha > 0.8 && nStop >= 2 && symRatio < 0.1
+    Seq(
+      nW.as("n_words"),
+      meanLen.as("mean_word_len"),
+      fracAlpha.as("frac_alpha_words"),
+      nStop.as("n_stopwords"),
+      fracBullet.as("frac_lines_bullet"),
+      fracEllipsis.as("frac_lines_ellipsis"),
+      symRatio.as("symbol_ratio"),
+      keep.as("gopher_keep"))
+  }
 }

@@ -183,6 +183,11 @@ object MetaLoader {
         ParagraphDedupSpec(name, input, output,
           contentCol = str(p, "content", "text"),
           idCol = str(p, "id", "doc_id"))
+      case "c4_clean" =>
+        C4CleanSpec(name, input, output,
+          contentCol = str(p, "content", "text"),
+          idCol = str(p, "id", "doc_id"),
+          minWords = p.path("min_words").asInt(3))
       case "compute_stats" =>
         ComputeStatsSpec(name, input,
           fields = if (p.has("fields")) Some(strArr(p, "fields")) else None,

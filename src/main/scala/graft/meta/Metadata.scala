@@ -357,6 +357,21 @@ final case class BoilerplateSpec(
   extends TransformSpec
 
 /**
+ * graft extension: C4-style line filtering — keep lines ending in
+ * terminal punctuation with ≥ minWords words, drop javascript/cookie
+ * lines, drop lorem-ipsum/brace documents whole; output has
+ * (id, text_clean, n_kept, n_dropped).
+ */
+final case class C4CleanSpec(
+    name: String,
+    input: String,
+    output: String,
+    contentCol: String = "text",
+    idCol: String = "doc_id",
+    minWords: Int = 3)
+  extends TransformSpec
+
+/**
  * graft extension: corpus-wide paragraph dedup — keeps only the
  * canonical first occurrence of every duplicated paragraph; output
  * has (id, text_clean, n_kept, n_dropped).

@@ -64,6 +64,45 @@ object Chunking {
    * Output: (doc_id, text_clean, n_kept, n_dropped) — docs whose every
    * line is boilerplate survive with text_clean = "".
    */
+  /**
+   * C4-STYLE LINE FILTERING: the classic C4 cleaning pass — keep only
+   * lines that end in terminal punctuation (./!/?/") and have at
+   * least `minWords` words, drop lines mentioning javascript/cookie
+   * notices, and drop WHOLE documents containing "lorem ipsum" or a
+   * curly brace (code). Documents with zero surviving lines are
+   * dropped. Output: (doc_id, text_clean, n_kept, n_dropped).
+   *
+   * Scale: entirely scan-side per-line predicates (one codegen'd
+   * filter over the exploded lines) plus the one per-doc rebuild
+   * shuffle keyed by id — there is no corpus-wide state at all, so
+   * the pass is embarrassingly parallel at any scale.
+   */
+  def c4Clean(df: DataFrame, content: Column, id: Column,
+              minWords: Int = 3): DataFrame = {
+    val docOk = !lower(content).contains("lorem ipsum") && !content.contains("{")
+    val lines = df.filter(docOk)
+      .select(id.as("doc_id"), posexplode(split(content, "\n")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "line")
+    val t = trim(col("line"))
+    val endsPunct = t.endsWith(".") || t.endsWith("!") ||
+      t.endsWith("?") || t.endsWith("\"")
+    val enoughWords =
+      size(when(length(t) === 0, array().cast("array<string>"))
+        .otherwise(split(t, "\\s+"))) >= minWords
+    val noJunk = !lower(col("line")).contains("javascript") &&
+      !lower(col("line")).contains("cookie")
+    lines
+      .withColumn("__keep", endsPunct && enoughWords && noJunk)
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("__keep"), struct(col("p"), col("line"))))),
+          s => s.getField("line")), "\n").as("text_clean"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"))
+      .filter(col("n_kept") > 0)
+  }
+
   def stripBoilerplate(df: DataFrame, content: Column, id: Column,
                        source: Column, minDf: Int = 10,
                        sep: String = "\n"): DataFrame = {

@@ -131,6 +131,46 @@ class SearchSpec extends SparkSpecBase {
       "same line in another source is content there")
   }
 
+  test("gopherFeatures: hand-checked rules on crafted docs") {
+    import graft.TextAnalysisCols
+    val longGood = (Seq.fill(30)("the quick brown fox runs") :+ "of and that have")
+      .mkString(" ") // 154 words, all alpha, 5 stopwords
+    val bullets = "- one two three.\n- four five six.\n- seven eight nine."
+    val docs = Seq(
+      (1L, longGood), (2L, bullets), (3L, ""), (4L, "# # # # tiny")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id") +: TextAnalysisCols.gopherFeatures(col("text")): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("gopher_keep"), "long clean doc passes")
+    assert(out(1L).getAs[Long]("n_words") === 154L)
+    assert(out(1L).getAs[Long]("n_stopwords") >= 2L)
+    assert(out(2L).getAs[Double]("frac_lines_bullet") === 1.0)
+    assert(!out(2L).getAs[Boolean]("gopher_keep"), "all-bullet doc fails")
+    assert(out(3L).getAs[Long]("n_words") === 0L)
+    assert(out(3L).getAs[Double]("mean_word_len") === 0.0)
+    assert(out(4L).getAs[Double]("symbol_ratio") === 0.8)
+    assert(!out(4L).getAs[Boolean]("gopher_keep"))
+    // scan-side only: no exchange in the feature plan
+    assert(!docs.select(TextAnalysisCols.gopherFeatures(col("text")): _*)
+      .queryExecution.executedPlan.toString.contains("Exchange"),
+      "gopher features must not shuffle")
+  }
+
+  test("c4Clean: line rules, junk lines, doc-level drops, rebuild order") {
+    import graft.operators.Chunking
+    val docs = Seq(
+      (1L, "No punct preview\nThis line is kept.\nTiny.\nAnother kept line!\nenable javascript today."),
+      (2L, "contains lorem ipsum somewhere\nThis line is kept."),
+      (3L, "code { snippet\nThis line is kept."),
+      (4L, "nothing survives here")).toDF("doc_id", "text")
+    val out = Chunking.c4Clean(docs, col("text"), col("doc_id"))
+      .select("doc_id", "text_clean", "n_kept", "n_dropped")
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out.keySet === Set(1L),
+      "lorem-ipsum and brace docs drop whole; zero-kept docs drop")
+    assert(out(1L) === (("This line is kept.\nAnother kept line!", 2L, 3L)))
+  }
+
   test("keyHistogram: ranks by count desc with exact shares") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c"))
       .toDF("k")
