@@ -136,6 +136,8 @@ object Dataflow {
               .withColumn("n_pii", graft.functions.Redaction.piiCount(c))
             case "gopher" =>
               df.select(col("*") +: TextAnalysisCols.gopherFeatures(c): _*)
+            case "gopher_rep" =>
+              df.select(col("*") +: TextAnalysisCols.gopherRepFeatures(c): _*)
             case other =>
               throw new IllegalArgumentException(
                 s"text_analysis '${s.name}': unknown analysis '$other'")

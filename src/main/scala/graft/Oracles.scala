@@ -861,6 +861,60 @@ object Oracles {
         |   symbol_ratio < 0.1) AS gopher_keep
         |FROM g""".stripMargin,
 
+    // Gopher repetition rules: dup-line fraction/chars + top-bigram
+    // share over the same 4-line decoration, count ties break to the
+    // lexicographically larger bigram (ORDER BY cnt DESC, bigram DESC)
+    "text_gopher_rep" ->
+      """WITH d AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    substr(text, 1, 50),
+        |    substr(text, 51, 50),
+        |    CASE WHEN doc_id % 2 = 0 THEN substr(text, 1, 50) ELSE substr(text, 101, 50) END,
+        |    substr(text, 151, 30)) AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM d),
+        |lineagg AS (
+        |  SELECT doc_id, line, COUNT(*) AS cnt, len(line) AS ln
+        |  FROM (SELECT doc_id, unnest(lines) AS line FROM l)
+        |  GROUP BY doc_id, line),
+        |linestats AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_lines,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |    CAST(SUM((cnt - 1) * ln) AS BIGINT) AS dup_chars
+        |  FROM lineagg GROUP BY doc_id),
+        |w AS (SELECT doc_id,
+        |        CASE WHEN trim(lower(t)) = '' THEN CAST([] AS VARCHAR[])
+        |             ELSE string_split_regex(trim(lower(t)), '\s+') END AS words
+        |      FROM l),
+        |b AS (SELECT doc_id,
+        |        CASE WHEN len(words) < 2 THEN CAST([] AS VARCHAR[])
+        |             ELSE list_transform(range(1, len(words)), i -> words[i] || ' ' || words[i + 1]) END AS bigrams
+        |      FROM w),
+        |bc AS (SELECT doc_id, bigram, COUNT(*) AS cnt
+        |       FROM (SELECT doc_id, unnest(bigrams) AS bigram FROM b)
+        |       GROUP BY doc_id, bigram),
+        |topb AS (SELECT doc_id, bigram, cnt FROM (
+        |    SELECT doc_id, bigram, cnt,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bigram DESC) AS rn
+        |    FROM bc) WHERE rn = 1),
+        |g AS (
+        |  SELECT l.doc_id, s.n_lines,
+        |    CAST(s.n_lines - s.n_distinct AS DOUBLE) / s.n_lines AS frac_dup_lines,
+        |    CASE WHEN len(l.t) = 0 THEN 0.0
+        |         ELSE CAST(s.dup_chars AS DOUBLE) / len(l.t) END AS frac_chars_dup_lines,
+        |    COALESCE(tb.bigram, '') AS top_bigram,
+        |    CAST(COALESCE(tb.cnt, 0) AS BIGINT) AS top_bigram_count,
+        |    CASE WHEN len(l.t) = 0 OR tb.bigram IS NULL THEN 0.0
+        |         ELSE CAST(tb.cnt * len(tb.bigram) AS DOUBLE) / len(l.t) END AS top_bigram_char_frac
+        |  FROM l JOIN linestats s USING (doc_id)
+        |  LEFT JOIN topb tb ON l.doc_id = tb.doc_id)
+        |SELECT doc_id, n_lines, frac_dup_lines, frac_chars_dup_lines,
+        |  top_bigram, top_bigram_count, top_bigram_char_frac,
+        |  (frac_dup_lines < 0.3 AND frac_chars_dup_lines < 0.2 AND
+        |   top_bigram_char_frac < 0.18) AS rep_keep
+        |FROM g""".stripMargin,
+
     // C4 line filtering: same decoration, per-line keep rules,
     // doc-level lorem-ipsum/brace drop, position-ordered rebuild
     "c4_clean" ->

@@ -619,6 +619,20 @@ object Queries {
     t(s, dir, "documents").select(
       col("doc_id") +: graft.TextAnalysisCols.gopherFeatures(col("text")): _*)
 
+  /** Gopher repetition-rule features over 4-line decorated docs (the
+    * raw corpus is single-line): every other doc repeats its first
+    * line, natural word repetition drives the bigram share. */
+  def textGopherRep(s: SparkSession, dir: String): DataFrame = {
+    val decorated = concat_ws("\n",
+      substring(col("text"), 1, 50),
+      substring(col("text"), 51, 50),
+      when(col("doc_id") % 2 === 0, substring(col("text"), 1, 50))
+        .otherwise(substring(col("text"), 101, 50)),
+      substring(col("text"), 151, 30))
+    t(s, dir, "documents").select(col("doc_id"), decorated.as("text"))
+      .select(col("doc_id") +: graft.TextAnalysisCols.gopherRepFeatures(col("text")): _*)
+  }
+
   /** C4-style line filtering over synthetically decorated docs: a
     * punctuation-less preview line and a too-short line drop, two
     * sentence lines survive, a javascript/cookie notice drops on
@@ -847,6 +861,7 @@ object Queries {
     "strip_boilerplate" -> stripBoilerplateQ _,
     "dedup_paragraph" -> dedupParagraphQ _,
     "text_gopher" -> textGopher _,
+    "text_gopher_rep" -> textGopherRep _,
     "c4_clean" -> c4CleanQ _,
     "cap_per_source" -> capPerSource _,
     "quality_gate" -> qualityGate _,

@@ -126,4 +126,88 @@ object TextAnalysisCols {
       symRatio.as("symbol_ratio"),
       keep.as("gopher_keep"))
   }
+
+  /**
+   * GOPHER REPETITION RULES: duplicate-line fraction, the fraction of
+   * characters inside duplicated lines (occurrences beyond the first),
+   * and the character share of the most frequent word bigram — the
+   * within-document repetition half of the Gopher/MassiveText filters
+   * (the cross-document half is the dedup family).
+   *
+   * Each statistic is a SINGLE MAP-SIDE PASS: sort the per-doc line /
+   * bigram array once, then fold it with `aggregate`, counting run
+   * lengths — no explode, no shuffle, no per-element re-scan (the
+   * naive `filter(lines, l => l === x)` inner loop would be O(L²) per
+   * document). Ties for the top bigram break to the lexicographically
+   * larger value, mirroring the oracle's ORDER BY count DESC, bigram
+   * DESC.
+   *
+   * Thresholds in `rep_keep` are the published Gopher cuts:
+   * dup-line fraction < 0.3, dup-line char fraction < 0.2, top-bigram
+   * char share < 0.18.
+   */
+  def gopherRepFeatures(c: Column): Seq[Column] = {
+    val totalChars = length(c).cast("long")
+    val lines = split(c, "\n")
+    val nL = size(lines).cast("long")
+    val nDistinct = size(array_distinct(lines)).cast("long")
+    val fracDupLines = (nL - nDistinct).cast("double") / nL
+    // chars in duplicate line occurrences beyond the first: fold the
+    // sorted array, adding (run - 1) * len when a run closes
+    val sortedLines = array_sort(lines)
+    val dupChars = aggregate(sortedLines,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("chars")),
+      (acc, x) => {
+        val same = acc.getField("prev") <=> x
+        val closed = when(same, acc.getField("chars")).otherwise(
+          acc.getField("chars") +
+            (acc.getField("run") - 1) * coalesce(length(acc.getField("prev")).cast("long"), lit(0L)))
+        struct(x.as("prev"),
+          when(same, acc.getField("run") + 1).otherwise(lit(1L)).as("run"),
+          closed.as("chars"))
+      },
+      acc => acc.getField("chars") +
+        (acc.getField("run") - 1) * coalesce(length(acc.getField("prev")).cast("long"), lit(0L)))
+    val fracDupChars = when(totalChars === 0, lit(0.0))
+      .otherwise(dupChars.cast("double") / totalChars)
+    // top word bigram by (count, value): same sorted-run fold
+    val words = wsTokens(lower(c))
+    val bigrams = when(size(words) < 2, array().cast("array<string>"))
+      .otherwise(zip_with(slice(words, lit(1), size(words) - 1),
+        slice(words, lit(2), size(words) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    val sortedB = array_sort(bigrams)
+    val top = aggregate(sortedB,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("bestCnt"), lit("").as("bestVal")),
+      (acc, x) => {
+        val same = acc.getField("prev") <=> x
+        // runs close in ascending value order, so on equal counts the
+        // later (larger) value wins: >= is the (cnt, value) lex max
+        val closeWins = !same && acc.getField("run") >= acc.getField("bestCnt")
+        struct(x.as("prev"),
+          when(same, acc.getField("run") + 1).otherwise(lit(1L)).as("run"),
+          when(closeWins, acc.getField("run")).otherwise(acc.getField("bestCnt")).as("bestCnt"),
+          when(closeWins, acc.getField("prev")).otherwise(acc.getField("bestVal")).as("bestVal"))
+      },
+      acc => {
+        val lastWins = acc.getField("run") >= acc.getField("bestCnt")
+        struct(
+          when(lastWins, coalesce(acc.getField("prev"), lit(""))).otherwise(acc.getField("bestVal")).as("v"),
+          when(lastWins, acc.getField("run")).otherwise(acc.getField("bestCnt")).as("n"))
+      })
+    val topBigram = when(size(bigrams) === 0, lit("")).otherwise(top.getField("v"))
+    val topCount = when(size(bigrams) === 0, lit(0L)).otherwise(top.getField("n"))
+    val topShare = when(totalChars === 0 || size(bigrams) === 0, lit(0.0))
+      .otherwise(topCount * length(topBigram).cast("long") / totalChars.cast("double"))
+    val keep = fracDupLines < 0.3 && fracDupChars < 0.2 && topShare < 0.18
+    Seq(
+      nL.as("n_lines"),
+      fracDupLines.as("frac_dup_lines"),
+      fracDupChars.as("frac_chars_dup_lines"),
+      topBigram.as("top_bigram"),
+      topCount.as("top_bigram_count"),
+      topShare.as("top_bigram_char_frac"),
+      keep.as("rep_keep"))
+  }
 }

@@ -155,6 +155,30 @@ class SearchSpec extends SparkSpecBase {
       "gopher features must not shuffle")
   }
 
+  test("gopherRepFeatures: run-fold equals hand counts, ties break to larger bigram") {
+    import graft.TextAnalysisCols
+    val docs = Seq(
+      // 4 lines, "dup line" twice (8 chars dup beyond first); text len 25
+      (1L, "dup line\ndup line\nxx\nyyyy"),
+      // "b c" and "a b" both occur twice -> tie, "b c" (larger) wins
+      (2L, "a b c a b c"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id") +: TextAnalysisCols.gopherRepFeatures(col("text")): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_lines") === 4L)
+    assert(out(1L).getAs[Double]("frac_dup_lines") === 0.25)
+    assert(out(1L).getAs[Double]("frac_chars_dup_lines") === 8.0 / 25.0)
+    assert(out(2L).getAs[String]("top_bigram") === "b c")
+    assert(out(2L).getAs[Long]("top_bigram_count") === 2L)
+    assert(out(3L).getAs[String]("top_bigram") === "")
+    assert(out(3L).getAs[Double]("frac_chars_dup_lines") === 0.0)
+    assert(out(3L).getAs[Boolean]("rep_keep"))
+    // map-side only
+    assert(!docs.select(TextAnalysisCols.gopherRepFeatures(col("text")): _*)
+      .queryExecution.executedPlan.toString.contains("Exchange"),
+      "repetition features must not shuffle")
+  }
+
   test("c4Clean: line rules, junk lines, doc-level drops, rebuild order") {
     import graft.operators.Chunking
     val docs = Seq(
