@@ -992,13 +992,18 @@ object Oracles {
 
     // benchmark decontamination: anti join on the normalized (sorted
     // lowercased token) fingerprint against the doc_id%97 subset
-    "decontaminate" -> {
-      val lowTokens =
-        """CASE WHEN length(trim(lower(text))) = 0 THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END"""
-      s"""WITH fp AS (
-         |  SELECT doc_id, md5(array_to_string(list_sort($lowTokens), ' ')) AS f
-         |  FROM documents)
-         |SELECT d.doc_id FROM fp d
-         |WHERE d.f NOT IN (SELECT f FROM fp WHERE doc_id % 97 = 0)""".stripMargin
-    })
+    "decontaminate" -> decontaminateOracle,
+    // the bloom prefilter is result-identical to the exact operator
+    // by construction (no false negatives + exact rescore) — same oracle
+    "decontaminate_bloom" -> decontaminateOracle)
+
+  private lazy val decontaminateOracle: String = {
+    val lowTokens =
+      """CASE WHEN length(trim(lower(text))) = 0 THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END"""
+    s"""WITH fp AS (
+       |  SELECT doc_id, md5(array_to_string(list_sort($lowTokens), ' ')) AS f
+       |  FROM documents)
+       |SELECT d.doc_id FROM fp d
+       |WHERE d.f NOT IN (SELECT f FROM fp WHERE doc_id % 97 = 0)""".stripMargin
+  }
 }

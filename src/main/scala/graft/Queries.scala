@@ -526,6 +526,16 @@ object Queries {
       .select("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination: result-identical to
+    * [[decontaminateQ]] (same oracle), but only the might-contain
+    * sliver of the corpus reaches the exact anti join. */
+  def decontaminateBloomQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.decontaminateBloom(docs, col("text"),
+        docs.filter(col("doc_id") % 97 === 0), col("text"))
+      .select("doc_id")
+  }
+
   /** PII redaction: documents decorated with deterministic synthetic
     * PII (email + phone + IP derived from doc_id), then scrubbed;
     * output carries the redacted text and the per-doc PII count. */
@@ -871,6 +881,7 @@ object Queries {
     "sample_stratified" -> sampleStratified _,
     "pack_sequences" -> packSequencesQ _,
     "decontaminate" -> decontaminateQ _,
+    "decontaminate_bloom" -> decontaminateBloomQ _,
     "pipeline_docs" -> pipelineDocs _,
     "pipeline_docs_v2" -> pipelineDocsV2 _)
 }

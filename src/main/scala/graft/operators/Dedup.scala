@@ -575,6 +575,55 @@ object Dedup {
   }
 
   /**
+   * BLOOM-PREFILTERED DECONTAMINATION: result-identical to
+   * [[decontaminate]], built for benchmark sets too large to
+   * broadcast as an exact hash set. A Bloom filter over the
+   * benchmark's fingerprint hashes (built once, `fpp` false-positive
+   * rate, kilobytes→megabytes regardless of corpus size) is shipped
+   * inside a codegen'd `might_contain` predicate — the same
+   * mechanism as Spark's own runtime bloom-filter join pruning:
+   *
+   *  - rows whose fingerprint is definitely NOT in the benchmark
+   *    (no false negatives) pass through with NO join at all;
+   *  - only the might-contain sliver (true matches + fpp of the
+   *    clean corpus) reaches the exact anti join, so the shuffle is
+   *    bounded by ~(matches + fpp·n), not n.
+   *
+   * Null/empty content hashes to null, which the bloom reports as
+   * null — coalesced to "clean" so such rows survive, matching the
+   * exact operator's null-join semantics.
+   */
+  def decontaminateBloom(df: DataFrame, content: Column,
+                         benchmark: DataFrame, benchContent: Column,
+                         expectedItems: Long = 0L,
+                         fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    val benchFp = benchmark
+      .select(TextAnalysisCols.normFingerprint(benchContent).as("__bench_fp"))
+      .distinct()
+    val hashes = benchFp.select(xxhash64(col("__bench_fp")).as("__h"))
+    // sizing the filter needs a cardinality; an explicit expectation
+    // avoids the extra action on repeated builds
+    val n = if (expectedItems > 0) expectedItems else math.max(hashes.count(), 1L)
+    val bloom = hashes.stat.bloomFilter("__h", n, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val fp = TextAnalysisCols.normFingerprint(content)
+    val might = coalesce(
+      GraftBridge.column(BloomFilterMightContain(
+        Literal(bytes, BinaryType), GraftBridge.expression(xxhash64(fp)))),
+      lit(false))
+    df.filter(!might)
+      .unionByName(df.filter(might)
+        .join(benchFp, fp === col("__bench_fp"), "left_anti"))
+  }
+
+  /**
    * N-GRAM CONTAMINATION SCORE: per document, the fraction of its
    * distinct word n-grams that appear anywhere in the benchmark set —
    * the standard overlap-based decontamination metric (catches partial

@@ -96,6 +96,28 @@ class SamplingSpec extends SparkSpecBase {
     assert(plan.contains("Broadcast"), s"expected broadcast anti join:\n$plan")
   }
 
+  test("decontaminateBloom: parity with exact decontaminate, might_contain prefilter in plan") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val exact = Dedup.decontaminate(docs, col("text"), bench, col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    val bloomed = Dedup.decontaminateBloom(docs, col("text"), bench, col("text"))
+    assert(bloomed.select("doc_id").as[Long].collect().toSet === exact,
+      "bloom path must be result-identical (no false negatives + exact rescore)")
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom predicate must reach the scan filter:\n$plan")
+    // null content survives both paths
+    val withNull = Seq((1L, "the quick brown fox"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val benchOne = Seq("the quick brown fox").toDF("text")
+    val keptB = Dedup.decontaminateBloom(withNull, col("text"), benchOne, col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    val keptE = Dedup.decontaminate(withNull, col("text"), benchOne, col("text"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptB === keptE && keptB === Set(2L))
+  }
+
   test("capPerGroup: at most N per group, hash-deterministic across partitionings") {
     val df = spark.read.parquet(sf() + "/documents.parquet")
     val out = Sampling.capPerGroup(df, col("source"), col("doc_id"), maxN = 10)
