@@ -33,7 +33,8 @@ object Bench {
     "text_redact", "text_chunks", "vocab_df", "search_bm25", "mix_sqrt",
     "emb_centroids", "skew_keys", "contamination", "event_histogram",
     "strip_boilerplate", "dedup_paragraph", "shuffle_order",
-    "text_gopher", "c4_clean", "pipeline_docs", "pipeline_docs_v2")
+    "text_gopher", "c4_clean", "decontaminate_bloom",
+    "pipeline_docs", "pipeline_docs_v2", "pipeline_docs_v3")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

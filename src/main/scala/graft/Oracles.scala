@@ -981,6 +981,53 @@ object Oracles {
         |    ORDER BY md5('s42' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS order_id
         |FROM documents""".stripMargin,
 
+    // FineWeb-shaped pipeline v3: boilerplate strip → per-source
+    // length-median gate → exact dedup → cap 15/source → hash split
+    // → seeded global order (composes the proven per-stage oracles)
+    "pipeline_docs_v3" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    text || chr(10) || 'AD: subscribe now!' ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'promo code ' || source ELSE '' END) ||
+        |    chr(10) || '(c) ' || source || ' newsletter' AS t
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id, source, i.i - 1 AS p, parts[i.i] AS line
+        |  FROM (SELECT doc_id, source, string_split(t, chr(10)) AS parts FROM d),
+        |       LATERAL unnest(range(1, len(parts) + 1)) AS i(i)),
+        |f AS (SELECT source, line FROM l
+        |      GROUP BY source, line HAVING COUNT(DISTINCT doc_id) >= 10),
+        |k AS (SELECT l.doc_id, l.p, l.line, f.line IS NULL AS keep
+        |      FROM l LEFT JOIN f ON l.source = f.source AND l.line = f.line),
+        |sb AS (SELECT doc_id,
+        |         COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY p), '') AS text_clean
+        |       FROM k GROUP BY doc_id),
+        |sb2 AS (SELECT sb.doc_id, doc.source, sb.text_clean,
+        |          CAST(len(sb.text_clean) AS BIGINT) AS len_clean
+        |        FROM sb JOIN documents doc ON sb.doc_id = doc.doc_id),
+        |thr AS (SELECT source, quantile_cont(len_clean, 0.5) AS threshold
+        |        FROM sb2 GROUP BY source),
+        |g AS (SELECT sb2.* FROM sb2 JOIN thr ON sb2.source = thr.source
+        |      WHERE CAST(len_clean AS DOUBLE) >= threshold),
+        |dd AS (SELECT doc_id, source, text_clean, len_clean FROM (
+        |         SELECT g.*, MIN(doc_id) OVER (PARTITION BY text_clean) AS cmin FROM g)
+        |       WHERE doc_id = cmin),
+        |cap AS (SELECT * FROM (
+        |         SELECT dd.*, CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS grp_rank
+        |         FROM dd)
+        |        WHERE grp_rank <= 15),
+        |sp AS (SELECT *,
+        |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM (SELECT cap.*,
+        |               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS b
+        |             FROM cap))
+        |SELECT doc_id, source, len_clean, grp_rank, split,
+        |  CAST(ROW_NUMBER() OVER (
+        |    ORDER BY md5('v3' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS order_id
+        |FROM sp""".stripMargin,
+
     // join-key skew diagnostic: top-20 heaviest user_ids with share
     "skew_keys" ->
       """WITH c AS (SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id),

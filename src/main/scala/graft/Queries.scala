@@ -687,6 +687,34 @@ object Queries {
       t(s, dir, "documents").select(col("doc_id")),
       col("doc_id"), seed = "s42")
 
+  /** FINEWEB-SHAPED PIPELINE (v3): boilerplate strip → per-source
+    * length-median gate → exact dedup on cleaned text → per-source
+    * cap → hash split → seeded global order, one composed plan. The
+    * whole chain stays declarative, so Catalyst prunes and reorders
+    * across stage boundaries exactly as it would for hand-fused code. */
+  def pipelineDocsV3(s: SparkSession, dir: String): DataFrame = {
+    val decorated = concat(
+      col("text"), lit("\nAD: subscribe now!"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("\npromo code "), col("source"))).otherwise(lit("")),
+      lit("\n(c) "), col("source"), lit(" newsletter"))
+    val base = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), decorated.as("text"))
+    val stripped = Chunking.stripBoilerplate(base, col("text"), col("doc_id"),
+        col("source"), minDf = 10)
+      .join(base.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("len_clean", length(col("text_clean")).cast("long"))
+    val gated = Sampling.quantileGate(stripped, col("source"), col("len_clean"), q = 0.5)
+    val deduped = gated.join(
+      Dedup.exact(gated, col("text_clean"), col("doc_id")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val capped = Sampling.capPerGroup(deduped, col("source"), col("doc_id"), maxN = 15)
+    val assigned = Sampling.hashSplit(capped, col("doc_id"))
+    Sampling.globalOrder(assigned, col("doc_id"), seed = "v3")
+      .select(col("doc_id"), col("source"), col("len_clean"), col("grp_rank"),
+        col("split"), col("order_id"))
+  }
+
   /** Equi-width histogram of event values: 25 buckets over [0, 500). */
   def eventHistogram(s: SparkSession, dir: String): DataFrame =
     StatsOp.numericHistogram(t(s, dir, "events"), col("value"),
@@ -877,6 +905,7 @@ object Queries {
     "quality_gate" -> qualityGate _,
     "upsample_epochs" -> upsampleEpochsQ _,
     "shuffle_order" -> shuffleOrder _,
+    "pipeline_docs_v3" -> pipelineDocsV3 _,
     "split_assign" -> splitAssign _,
     "sample_stratified" -> sampleStratified _,
     "pack_sequences" -> packSequencesQ _,

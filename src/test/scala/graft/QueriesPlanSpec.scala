@@ -54,6 +54,19 @@ class QueriesPlanSpec extends SparkSpecBase {
       s"corpus must not shuffle for the mix filter:\n$plan")
   }
 
+  test("pipeline v3: thresholds/caps broadcast or hash-join, never cartesian") {
+    val plan = Queries.pipelineDocsV3(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"composed pipeline must never cartesian-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-source thresholds and the frequent-line set must broadcast:\n$plan")
+    // raw decorated text must never be a shuffle key (md5 keys only)
+    assert(!plan.contains("hashpartitioning(text,")
+      && !plan.contains("hashpartitioning(text#"),
+      s"raw text must not key a shuffle:\n$plan")
+  }
+
   test("contamination: benchmark n-gram set broadcasts into the hits join") {
     val plan = Queries.contaminationQ(spark, sf())
       .queryExecution.executedPlan.toString
