@@ -1028,6 +1028,39 @@ object Oracles {
         |    ORDER BY md5('v3' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS order_id
         |FROM sp""".stripMargin,
 
+    // Tukey fences per event type: quantile_cont == Spark percentile,
+    // IEEE-exact fence arithmetic
+    "iqr_outliers" ->
+      """WITH q AS (
+        |  SELECT event_type AS g,
+        |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type),
+        |f AS (SELECT g, q1 - 1.5 * (q3 - q1) AS fence_lo,
+        |             q3 + 1.5 * (q3 - q1) AS fence_hi FROM q)
+        |SELECT event_id, event_type, value, fence_lo, fence_hi,
+        |  (CAST(value AS DOUBLE) < fence_lo OR CAST(value AS DOUBLE) > fence_hi) AS is_outlier
+        |FROM events JOIN f ON event_type = f.g""".stripMargin,
+
+    // duplicate-mass diagnostic: every 4th doc shares a template
+    "dup_rate_by_source" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 4 = 0 THEN 'tmpl-' || source ELSE text END AS c
+        |  FROM documents)
+        |SELECT source AS grp,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT c) AS BIGINT) AS n_distinct,
+        |  1.0 - CAST(COUNT(DISTINCT c) AS DOUBLE) / COUNT(*) AS dup_ratio
+        |FROM d GROUP BY source""".stripMargin,
+
+    // per-source token budget: inclusive hash-order running sum
+    "token_budget" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(SUM(n_chars) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS tok_cumsum
+        |  FROM documents) WHERE tok_cumsum <= 3000""".stripMargin,
+
     // join-key skew diagnostic: top-20 heaviest user_ids with share
     "skew_keys" ->
       """WITH c AS (SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id),

@@ -715,6 +715,27 @@ object Queries {
         col("split"), col("order_id"))
   }
 
+  /** Tukey-fence outliers of event value within each event type. */
+  def iqrOutliersQ(s: SparkSession, dir: String): DataFrame =
+    StatsOp.iqrOutliers(
+      t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+      col("event_type"), col("value"))
+
+  /** Exact-duplicate mass per source (every 4th doc shares a per-source
+    * template so the diagnostic has signal). */
+  def dupRateBySource(s: SparkSession, dir: String): DataFrame =
+    StatsOp.dupRateByGroup(
+      t(s, dir, "documents").select(col("source"),
+        when(col("doc_id") % 4 === 0, concat(lit("tmpl-"), col("source")))
+          .otherwise(col("text")).as("c")),
+      col("source"), col("c"))
+
+  /** Per-source 3000-char token budget: hash-order prefix per source. */
+  def tokenBudgetQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.tokenBudgetPerGroup(
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+      col("source"), col("doc_id"), col("n_chars"), budget = 3000L)
+
   /** Equi-width histogram of event values: 25 buckets over [0, 500). */
   def eventHistogram(s: SparkSession, dir: String): DataFrame =
     StatsOp.numericHistogram(t(s, dir, "events"), col("value"),
@@ -896,6 +917,9 @@ object Queries {
     "skew_keys" -> skewKeys _,
     "contamination" -> contaminationQ _,
     "event_histogram" -> eventHistogram _,
+    "iqr_outliers" -> iqrOutliersQ _,
+    "dup_rate_by_source" -> dupRateBySource _,
+    "token_budget" -> tokenBudgetQ _,
     "strip_boilerplate" -> stripBoilerplateQ _,
     "dedup_paragraph" -> dedupParagraphQ _,
     "text_gopher" -> textGopher _,

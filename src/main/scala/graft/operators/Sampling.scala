@@ -205,6 +205,27 @@ object Sampling {
   }
 
   /**
+   * PER-GROUP TOKEN BUDGET: keep each group's hash-order prefix whose
+   * cumulative token count stays within `budget` — the mixture
+   * MATERIALIZATION primitive ("exactly 10 B tokens of web, 2 B of
+   * code") where [[capPerGroup]] counts documents, this counts
+   * tokens. Hash order makes the kept prefix a uniform, run-stable
+   * sample of the group.
+   *
+   * Scale: one shuffle keyed by the group for the running sum; the
+   * window is the same per-group sort [[capPerGroup]] pays. Output:
+   * input columns + `tok_cumsum` (inclusive running total, ≤ budget).
+   */
+  def tokenBudgetPerGroup(df: DataFrame, group: Column, id: Column,
+                          tokens: Column, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(md5(id.cast("string")), id)
+    df.withColumn("tok_cumsum", sum(tokens.cast("long")).over(w))
+      .filter(col("tok_cumsum") <= budget)
+  }
+
+  /**
    * DETERMINISTIC GLOBAL TRAINING ORDER: a seeded, engine-stable
    * permutation of the corpus — `order_id` is the exact global rank of
    * md5(seed ‖ id). Training-data order matters (curriculum, shard

@@ -281,6 +281,49 @@ object StatsOp {
         col("cnt"))
   }
 
+  /**
+   * PER-GROUP IQR OUTLIER FLAGGING (Tukey fences): flag rows whose
+   * metric falls outside [q1 − k·IQR, q3 + k·IQR] of their group —
+   * the standard relative outlier rule when groups have different
+   * scales. Exact quantiles (`percentile` ≡ DuckDB `quantile_cont`)
+   * and IEEE-exact fence arithmetic make the flag cross-engine
+   * deterministic.
+   *
+   * Scale: one aggregation for the per-group quantile pair (tiny
+   * frame), broadcast back into a map-side flag — the data itself is
+   * never shuffled. Output: input + `fence_lo`, `fence_hi`,
+   * `is_outlier`.
+   */
+  def iqrOutliers(df: DataFrame, group: Column, metric: Column,
+                  k: Double = 1.5): DataFrame = {
+    require(k >= 0, "k must be non-negative")
+    val q = df.groupBy(group.as("__g"))
+      .agg(percentile(metric, lit(0.25)).as("__q1"),
+        percentile(metric, lit(0.75)).as("__q3"))
+      .select(col("__g"),
+        (col("__q1") - lit(k) * (col("__q3") - col("__q1"))).as("fence_lo"),
+        (col("__q3") + lit(k) * (col("__q3") - col("__q1"))).as("fence_hi"))
+    df.join(broadcast(q), group === col("__g"))
+      .withColumn("is_outlier",
+        metric.cast("double") < col("fence_lo") ||
+          metric.cast("double") > col("fence_hi"))
+      .drop("__g")
+  }
+
+  /**
+   * DUPLICATION-RATE DIAGNOSTIC: per group, how much of the corpus is
+   * exact-duplicate mass — `dup_ratio = 1 − distinct/total`. The
+   * triage report that decides whether a source needs the full
+   * near-dup pass at all. One aggregation; content travels as a
+   * 16-byte md5, and the distinct count is per-group exact.
+   */
+  def dupRateByGroup(df: DataFrame, group: Column, content: Column): DataFrame =
+    df.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(content)).as("n_distinct"))
+      .withColumn("dup_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_docs"))
+
   private def isComplex(dt: DataType): Boolean = dt match {
     case _: StructType | _: ArrayType | _: MapType | _: BinaryType => true
     case _ => false

@@ -162,6 +162,49 @@ class SamplingSpec extends SparkSpecBase {
       "upsampling must not shuffle")
   }
 
+  test("tokenBudgetPerGroup: prefix within budget, deterministic, leftover excluded") {
+    val d = Seq(
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L),
+      ("b", 4L, 500L), ("b", 5L, 500L)).toDF("g", "id", "tok")
+    val out = Sampling.tokenBudgetPerGroup(d, col("g"), col("id"), col("tok"), 250L)
+    val byG = out.select("g", "id", "tok_cumsum").as[(String, Long, Long)]
+      .collect().groupBy(_._1)
+    // group a: at most 2 docs fit (100+100=200 <= 250, +100 > 250)
+    assert(byG("a").length === 2 && byG("a").map(_._3).max === 200L)
+    // group b: every doc alone exceeds the budget → nothing kept
+    assert(!byG.contains("b"))
+    val again = Sampling.tokenBudgetPerGroup(d.repartition(5), col("g"),
+        col("id"), col("tok"), 250L)
+      .select("id").as[Long].collect().toSet
+    assert(again === out.select("id").as[Long].collect().toSet)
+  }
+
+  test("iqrOutliers: fences from exact quartiles, thresholds broadcast") {
+    import graft.operators.StatsOp
+    // group x: values 1..9 plus a wild 100 → 100 is the only outlier
+    val rows = ((1 to 9).map(v => ("x", v.toDouble)) :+ ("x", 100.0)) ++
+      Seq(("y", 5.0), ("y", 6.0))
+    val d = rows.toDF("g", "v")
+    val out = StatsOp.iqrOutliers(d, col("g"), col("v"))
+    assert(out.filter(col("is_outlier")).select("v").as[Double].collect().toSeq
+      === Seq(100.0))
+    assert(out.count() === 12)
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "fences must broadcast into a map-side flag")
+  }
+
+  test("dupRateByGroup: ratio of exact-duplicate mass per group") {
+    import graft.operators.StatsOp
+    val d = Seq(("a", "same"), ("a", "same"), ("a", "diff"),
+      ("b", "u1"), ("b", "u2")).toDF("g", "t")
+    val out = StatsOp.dupRateByGroup(d, col("g"), col("t"))
+      .select("grp", "n_docs", "n_distinct", "dup_ratio")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a") === (("a", 3L, 2L, 1.0 - 2.0 / 3.0)))
+    assert(out("b") === (("b", 2L, 2L, 0.0)))
+  }
+
   test("globalOrder: exact global md5 rank without a single-reducer sort") {
     val df = spark.read.parquet(sf() + "/documents.parquet").select("doc_id")
     val out = Sampling.globalOrder(df, col("doc_id"), seed = "s42")
