@@ -85,6 +85,26 @@ object StreamingIngest {
     stream.join(dim, keys, how)
 
   /**
+   * STREAMING DECONTAMINATION: drop every arriving document whose
+   * normalized fingerprint (whitespace/case/order-insensitive, same
+   * kernel as the batch `Dedup.decontaminate`) matches the static
+   * benchmark frame — the ingest-time guard that keeps eval leakage
+   * out of a continuously-growing corpus instead of cleaning it after
+   * the fact. Stream-static anti joins are stateless: the benchmark
+   * is re-planned per micro-batch (broadcast when small), no
+   * watermark or state store involved.
+   */
+  def decontaminateStream(stream: DataFrame, content: String,
+                          benchmark: DataFrame, benchContent: String): DataFrame = {
+    val fps = benchmark
+      .select(graft.TextAnalysisCols.normFingerprint(col(benchContent)).as("__bench_fp"))
+      .distinct()
+    stream.join(fps,
+      graft.TextAnalysisCols.normFingerprint(col(content)) === col("__bench_fp"),
+      "left_anti")
+  }
+
+  /**
    * Watermarked tumbling-window counts per event_type:
    * (window, event_type, n, sum_value). State is dropped
    * `delay` past the window end.

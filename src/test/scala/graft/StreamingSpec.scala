@@ -62,6 +62,22 @@ class StreamingSpec extends SparkSpecBase {
       (9L, 30.0, None)))
   }
 
+  test("streaming decontamination drops benchmark matches incl. paraphrases") {
+    implicit val sq = spark.sqlContext
+    val bench = Seq("the quick brown fox").toDF("text")
+    val stream = MemoryStream[(Long, String)]
+    stream.addData(
+      (1L, "the quick brown fox"),   // exact benchmark copy
+      (2L, "fox brown quick the"),   // token permutation — same fingerprint
+      (3L, "completely different text"))
+    val q = StreamingIngest.decontaminateStream(
+        stream.toDF().toDF("doc_id", "text"), "text", bench, "text")
+      .writeStream.format("memory").queryName("decon_out").outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("decon_out").select("doc_id").as[Long].collect().toSet
+      === Set(3L))
+  }
+
   test("watermarked windowed counts aggregate by hour") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, Double)]
