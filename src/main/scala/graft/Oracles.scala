@@ -780,13 +780,13 @@ object Oracles {
         |       LATERAL unnest(range(1, len(parts) + 1)) AS i(i)),
         |f AS (SELECT source, line FROM l
         |      GROUP BY source, line HAVING COUNT(DISTINCT doc_id) >= 10),
-        |k AS (SELECT l.doc_id, l.p, l.line, f.line IS NULL AS keep
+        |k AS (SELECT l.doc_id, l.source, l.p, l.line, f.line IS NULL AS keep
         |      FROM l LEFT JOIN f ON l.source = f.source AND l.line = f.line)
-        |SELECT doc_id,
+        |SELECT doc_id, source,
         |  COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY p), '') AS text_clean,
         |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
-        |FROM k GROUP BY doc_id""".stripMargin,
+        |FROM k GROUP BY doc_id, source""".stripMargin,
 
     // corpus-wide paragraph dedup: canonical = first (doc_id, pos)
     // occurrence; singletons always kept, rebuild position-ordered
@@ -997,14 +997,14 @@ object Oracles {
         |       LATERAL unnest(range(1, len(parts) + 1)) AS i(i)),
         |f AS (SELECT source, line FROM l
         |      GROUP BY source, line HAVING COUNT(DISTINCT doc_id) >= 10),
-        |k AS (SELECT l.doc_id, l.p, l.line, f.line IS NULL AS keep
+        |k AS (SELECT l.doc_id, l.source, l.p, l.line, f.line IS NULL AS keep
         |      FROM l LEFT JOIN f ON l.source = f.source AND l.line = f.line),
-        |sb AS (SELECT doc_id,
+        |sb AS (SELECT doc_id, source,
         |         COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY p), '') AS text_clean
-        |       FROM k GROUP BY doc_id),
-        |sb2 AS (SELECT sb.doc_id, doc.source, sb.text_clean,
-        |          CAST(len(sb.text_clean) AS BIGINT) AS len_clean
-        |        FROM sb JOIN documents doc ON sb.doc_id = doc.doc_id),
+        |       FROM k GROUP BY doc_id, source),
+        |sb2 AS (SELECT doc_id, source, text_clean,
+        |          CAST(len(text_clean) AS BIGINT) AS len_clean
+        |        FROM sb),
         |thr AS (SELECT source, quantile_cont(len_clean, 0.5) AS threshold
         |        FROM sb2 GROUP BY source),
         |g AS (SELECT sb2.* FROM sb2 JOIN thr ON sb2.source = thr.source

@@ -702,7 +702,6 @@ object Queries {
       .select(col("doc_id"), col("source"), decorated.as("text"))
     val stripped = Chunking.stripBoilerplate(base, col("text"), col("doc_id"),
         col("source"), minDf = 10)
-      .join(base.select(col("doc_id"), col("source")), Seq("doc_id"))
       .withColumn("len_clean", length(col("text_clean")).cast("long"))
     val gated = Sampling.quantileGate(stripped, col("source"), col("len_clean"), q = 0.5)
     val deduped = gated.join(

@@ -47,24 +47,6 @@ object Chunking {
       .filter(col("doc_freq") >= minDf)
 
   /**
-   * PER-SOURCE BOILERPLATE REMOVAL: drop every line that repeats in
-   * ≥ `minDf` documents OF THE SAME SOURCE (navigation bars, cookie
-   * banners, subscribe footers — the dominant noise in web-crawled
-   * training corpora; CCNet/RefinedWeb do exactly this line-df
-   * filtering). Scoped per source because a line that is boilerplate
-   * on one site can be content on another.
-   *
-   * Scale: two bounded shuffles — line document-frequency keyed by
-   * (source, line-hash), and the per-doc rebuild keyed by id. The
-   * frequent-line frame (df ≥ minDf only) is tiny and broadcast into
-   * the tagging join; lines travel as md5 hashes, never as text keys.
-   * Rebuild order is positional (sort_array of (pos, line) structs),
-   * so output text is byte-deterministic.
-   *
-   * Output: (doc_id, text_clean, n_kept, n_dropped) — docs whose every
-   * line is boilerplate survive with text_clean = "".
-   */
-  /**
    * C4-STYLE LINE FILTERING: the classic C4 cleaning pass — keep only
    * lines that end in terminal punctuation (./!/?/") and have at
    * least `minWords` words, drop lines mentioning javascript/cookie
@@ -103,6 +85,24 @@ object Chunking {
       .filter(col("n_kept") > 0)
   }
 
+  /**
+   * PER-SOURCE BOILERPLATE REMOVAL: drop every line that repeats in
+   * ≥ `minDf` documents OF THE SAME SOURCE (navigation bars, cookie
+   * banners, subscribe footers — the dominant noise in web-crawled
+   * training corpora; CCNet/RefinedWeb do exactly this line-df
+   * filtering). Scoped per source because a line that is boilerplate
+   * on one site can be content on another.
+   *
+   * Scale: two bounded shuffles — line document-frequency keyed by
+   * (source, line-hash), and the per-doc rebuild keyed by id. The
+   * frequent-line frame (df ≥ minDf only) is tiny and broadcast into
+   * the tagging join; lines travel as md5 hashes, never as text keys.
+   * Rebuild order is positional (sort_array of (pos, line) structs),
+   * so output text is byte-deterministic.
+   *
+   * Output: (doc_id, source, text_clean, n_kept, n_dropped) — docs
+   * whose every line is boilerplate survive with text_clean = "".
+   */
   def stripBoilerplate(df: DataFrame, content: Column, id: Column,
                        source: Column, minDf: Int = 10,
                        sep: String = "\n"): DataFrame = {
@@ -111,17 +111,20 @@ object Chunking {
         posexplode(split(content, java.util.regex.Pattern.quote(sep))))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "line")
     val frequent = lines
-      .groupBy(col("__src"), md5(col("line")).as("__lh"))
+      .groupBy(col("__src").as("__fsrc"), md5(col("line")).as("__lh"))
       .agg(countDistinct(col("doc_id")).as("__df"))
       .filter(col("__df") >= minDf)
-      .select("__src", "__lh")
+      .select("__fsrc", "__lh")
     lines.join(broadcast(frequent),
-        lines("__src") === frequent("__src") && md5(col("line")) === frequent("__lh"),
+        col("__src") === col("__fsrc") && md5(col("line")) === col("__lh"),
         "left")
-      .select(col("doc_id"), col("p"), col("line"),
-        frequent("__lh").isNull.as("__keep"))
+      .select(col("doc_id"), col("__src"), col("p"), col("line"),
+        col("__lh").isNull.as("__keep"))
       .groupBy("doc_id")
       .agg(
+        // constant per doc, so first() is deterministic — carrying it
+        // here lets per-source downstream stages chain with no re-join
+        first(col("__src")).as("source"),
         array_join(transform(
           array_sort(collect_list(when(col("__keep"), struct(col("p"), col("line"))))),
           s => s.getField("line")), sep).as("text_clean"),
