@@ -57,4 +57,30 @@ class MultimodalSpec extends SparkSpecBase {
     val kinds = out.select("kind").distinct().as[String].collect().toSet
     assert(kinds === Set("image", "audio", "video"))
   }
+
+  test("binaryFiles source: glob filter, size guard, metadata-only prunes content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "a.img").toPath,
+        Array.fill[Byte](100)(1))
+      java.nio.file.Files.write(new java.io.File(dir, "b.img").toPath,
+        Array.fill[Byte](5000)(2))
+      java.nio.file.Files.write(new java.io.File(dir, "c.txt").toPath,
+        Array.fill[Byte](10)(3))
+      val all = graft.sources.Readers.binaryFiles(spark, dir.getAbsolutePath,
+        glob = Some("*.img"))
+      assert(all.count() === 2, "glob must exclude c.txt")
+      val guarded = graft.sources.Readers.binaryFiles(spark, dir.getAbsolutePath,
+        glob = Some("*.img"), maxBytes = 1000)
+      val rows = guarded.select("length", "content").collect()
+      assert(rows.length === 1 && rows.head.getAs[Array[Byte]]("content").length === 100)
+      // metadata-only projection prunes the payload from the read schema
+      val metaPlan = all.select("path", "length")
+        .queryExecution.executedPlan.toString
+      assert(!metaPlan.contains("content"),
+        s"metadata projection must not read payloads:\n$metaPlan")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
 }
