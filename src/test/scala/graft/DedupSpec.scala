@@ -206,6 +206,40 @@ class DedupSpec extends SparkSpecBase {
     assert(s1 === s2)
   }
 
+  test("dedupParagraphs invariants on a random corpus: conservation, uniqueness, canonical position") {
+    val rnd = new scala.util.Random(7)
+    val paras = Vector("p0", "p1", "p2", "p3", "p4", "p5", "p6", "p7")
+    val corpus = (1 to 60).map(i =>
+      (i.toLong, (0 until 1 + rnd.nextInt(5))
+        .map(_ => paras(rnd.nextInt(paras.size))).mkString("\n")))
+    val df = corpus.toDF("doc_id", "text")
+    val out = Dedup.dedupParagraphs(df, col("text"), col("doc_id"))
+      .select("doc_id", "text_clean", "n_kept", "n_dropped")
+      .as[(Long, String, Long, Long)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // conservation: kept + dropped == the doc's line count
+    corpus.foreach { case (id, t) =>
+      val r = byId(id)
+      assert(r._3 + r._4 === t.split("\n", -1).length.toLong, s"doc $id")
+    }
+    // uniqueness: across all cleaned docs, every distinct paragraph
+    // of the corpus survives exactly once
+    val keptAll = out.toSeq.filter(_._2.nonEmpty)
+      .flatMap(r => r._2.split("\n", -1).map(p => (r._1, p)))
+    val corpusDistinct = corpus.flatMap(_._2.split("\n", -1)).toSet
+    assert(keptAll.map(_._2).sorted ===
+      keptAll.map(_._2).distinct.sorted, "no paragraph may survive twice")
+    assert(keptAll.map(_._2).toSet === corpusDistinct,
+      "every distinct paragraph must survive somewhere")
+    // canonical position: the survivor is the doc with the smallest id
+    // among all docs containing that paragraph
+    val firstDocOf = corpus.flatMap { case (id, t) => t.split("\n", -1).map(_ -> id) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).min }
+    keptAll.foreach { case (id, p) =>
+      assert(id === firstDocOf(p), s"'$p' survived in doc $id, first seen in ${firstDocOf(p)}")
+    }
+  }
+
   test("dedupParagraphs: first occurrence survives, cross- and intra-doc dups drop") {
     // "shared" appears in docs 1,2,3 → kept only at (1, pos 1);
     // doc 3 repeats "twice" internally → second copy dropped;

@@ -179,6 +179,52 @@ class SearchSpec extends SparkSpecBase {
       "repetition features must not shuffle")
   }
 
+  test("gopherRepFeatures: sorted-run folds agree with a naive model on 200 random docs") {
+    import graft.TextAnalysisCols
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "dd", "eee", "ffff")
+    def randDoc(): String =
+      (0 until rnd.nextInt(6)).map(_ =>
+        Vector.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+        .mkString("\n")
+    // replicate Spark semantics exactly: trim strips ONLY 0x20 and
+    // split keeps trailing empties (limit -1)
+    def trimSp(s: String) = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    def model(t: String): (Long, Long, Long, String, Long) = {
+      val lines = t.split("\n", -1)
+      val dupLines = lines.length - lines.distinct.length
+      val dupChars = lines.groupBy(identity).values
+        .map(g => (g.length - 1).toLong * g.head.length).sum
+      val tl = trimSp(t.toLowerCase)
+      val words = if (tl.isEmpty) Array.empty[String] else tl.split("\\s+", -1)
+      val bigrams =
+        if (words.length < 2) Array.empty[String]
+        else words.sliding(2).map(_.mkString(" ")).toArray
+      val (tb, tc) =
+        if (bigrams.isEmpty) ("", 0L)
+        else {
+          val counts = bigrams.groupBy(identity).map { case (k, v) => k -> v.length }
+          val maxC = counts.values.max
+          (counts.filter(_._2 == maxC).keys.max, maxC.toLong)
+        }
+      (lines.length.toLong, dupLines.toLong, dupChars, tb, tc)
+    }
+    val docs = (1 to 200).map(i => (i.toLong, randDoc()))
+    val out = docs.toDF("doc_id", "text")
+      .select(col("doc_id") +: TextAnalysisCols.gopherRepFeatures(col("text")): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    docs.foreach { case (id, t) =>
+      val (nL, dupL, dupC, tb, tc) = model(t)
+      val r = out(id)
+      assert(r.getAs[Long]("n_lines") === nL, s"doc $id: ${t.replace("\n", "⏎")}")
+      assert(r.getAs[Double]("frac_dup_lines") === dupL.toDouble / nL, s"doc $id")
+      if (t.nonEmpty)
+        assert(r.getAs[Double]("frac_chars_dup_lines") === dupC.toDouble / t.length, s"doc $id")
+      assert(r.getAs[String]("top_bigram") === tb, s"doc $id: ${t.replace("\n", "⏎")}")
+      assert(r.getAs[Long]("top_bigram_count") === tc, s"doc $id")
+    }
+  }
+
   test("c4Clean: line rules, junk lines, doc-level drops, rebuild order") {
     import graft.operators.Chunking
     val docs = Seq(
