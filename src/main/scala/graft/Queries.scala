@@ -163,8 +163,13 @@ object Queries {
 
   private val statsFields = Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey")
 
+  /** Pinned to exact distinct so the DuckDB oracle holds at EVERY
+    * scale factor — the HLL auto-switch (the default) would flip to
+    * approx_count_distinct above the size threshold (~sf0.1 lineitem)
+    * and is exercised by its own spec instead. */
   def fieldStatsQ(s: SparkSession, dir: String): DataFrame =
-    StatsOp.fieldStats(t(s, dir, "lineitem"), statsFields)
+    StatsOp.fieldStats(t(s, dir, "lineitem"), statsFields,
+        approxDistinct = Some(false))
       .select(col("field"), col("null_count"), col("non_null_count"),
         col("distinct_count"), col("min_num"), col("max_num"), col("null_pct"))
 

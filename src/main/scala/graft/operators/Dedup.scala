@@ -685,7 +685,9 @@ object Dedup {
    *
    * Output: (doc_id, text_clean, n_kept, n_dropped); a document whose
    * every paragraph is a non-canonical duplicate survives with
-   * text_clean = "".
+   * text_clean = "". A null content column generates no paragraphs,
+   * so null-text documents are absent from the output — filter or
+   * coalesce upstream if they must be preserved.
    */
   def dedupParagraphs(df: DataFrame, content: Column, id: Column,
                       sep: String = "\n"): DataFrame = {

@@ -240,6 +240,10 @@ object Sampling {
    * parallel — `order_id = offset(bucket) + rank_within_bucket`. Two
    * narrow shuffles (256-key bucket partition + the tiny counts agg),
    * no global exchange of the corpus beyond the bucketing itself.
+   *
+   * A null id hashes to a null bucket, which the offsets join cannot
+   * match — null-id rows are absent from the output (rank them by a
+   * coalesced surrogate upstream if needed).
    */
   def globalOrder(df: DataFrame, id: Column, seed: String): DataFrame = {
     val keyed = df.withColumn("__k",
