@@ -345,6 +345,28 @@ class DataflowSpec extends SparkSpecBase {
     assert(frames("pd_out").count() === n)
   }
 
+  test("metadata reach: c4_clean transform and gopher/gopher_rep analyses") {
+    val spec =
+      s"""{"dataflows":[{"name":"r4c",
+         |  "sources":[
+         |    {"name":"docs","path":"${sf()}/documents.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"c4","type":"c4_clean","params":{
+         |      "input":"docs","output":"c4_out","min_words":2}},
+         |    {"name":"gq","type":"text_analysis","params":{
+         |      "input":"docs","output":"g_out","analyses":["gopher","gopher_rep"]}}
+         |  ],"sinks":[]}]}""".stripMargin
+    val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("r4c"))
+    // raw docs have no terminal punctuation → c4 keeps nothing, but the
+    // transform compiles and runs with the configured min_words
+    assert(frames("c4_out").columns.toSet ===
+      Set("doc_id", "text_clean", "n_kept", "n_dropped"))
+    val g = frames("g_out")
+    assert(g.count() === frames("docs").count())
+    for (c <- Seq("n_words", "gopher_keep", "frac_dup_lines", "top_bigram", "rep_keep"))
+      assert(g.columns.contains(c), s"missing $c")
+  }
+
   test("RunPipeline stage summary: one [stage] line per source + output, with counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_verbose").toString
     Seq("""{"id":1,"v":"x"}""", """{"id":2,"v":""}""")
