@@ -974,6 +974,29 @@ object Oracles {
         |FROM documents d,
         |     LATERAL unnest(range(1, (d.doc_id % 4) + 1)) AS i(epoch)""".stripMargin,
 
+    // exact-N sample: first 100 of the seeded permutation
+    "sample_exact_n" ->
+      """SELECT * FROM (
+        |  SELECT doc_id, source,
+        |    CAST(ROW_NUMBER() OVER (
+        |      ORDER BY md5('sampleN' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS order_id
+        |  FROM documents) WHERE order_id <= 100""".stripMargin,
+
+    // CCNet normalization: lower → ctl→space → (punct→space) →
+    // ws-collapse → trim; [[:punct:]] == Java \p{Punct} (ASCII set)
+    "text_normalize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    '  MIXED Case!!' || chr(9) || text || '  trailing,,  punct... ' || chr(10) AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |         regexp_replace(lower(t), '[\x00-\x1f\x7f]', ' ', 'g') AS a
+        |       FROM m)
+        |SELECT doc_id,
+        |  trim(regexp_replace(a, '\s+', ' ', 'g')) AS text_norm,
+        |  trim(regexp_replace(regexp_replace(a, '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS text_norm_nopunct
+        |FROM s1""".stripMargin,
+
     // seeded global order: exact rank of md5('s42' || id)
     "shuffle_order" ->
       """SELECT doc_id,

@@ -692,6 +692,23 @@ object Queries {
       t(s, dir, "documents").select(col("doc_id")),
       col("doc_id"), seed = "s42")
 
+  /** Exactly 100 docs, deterministic seeded sample. */
+  def sampleExactN(s: SparkSession, dir: String): DataFrame =
+    Sampling.takeExactly(
+      t(s, dir, "documents").select(col("doc_id"), col("source")),
+      col("doc_id"), n = 100L, seed = "sampleN")
+
+  /** CCNet-style normalization over decorated text (tabs, control
+    * chars, mixed case, punctuation runs injected). */
+  def textNormalize(s: SparkSession, dir: String): DataFrame = {
+    val messy = concat(lit("  MIXED Case!!\t"), col("text"),
+      lit("  trailing,,  punct... \n"))
+    t(s, dir, "documents").select(col("doc_id"),
+      graft.TextAnalysisCols.normalizeText(messy).as("text_norm"),
+      graft.TextAnalysisCols.normalizeText(messy, stripPunct = true)
+        .as("text_norm_nopunct"))
+  }
+
   /** FINEWEB-SHAPED PIPELINE (v3): boilerplate strip → per-source
     * length-median gate → exact dedup on cleaned text → per-source
     * cap → hash split → seeded global order, one composed plan. The
@@ -933,6 +950,8 @@ object Queries {
     "quality_gate" -> qualityGate _,
     "upsample_epochs" -> upsampleEpochsQ _,
     "shuffle_order" -> shuffleOrder _,
+    "sample_exact_n" -> sampleExactN _,
+    "text_normalize" -> textNormalize _,
     "pipeline_docs_v3" -> pipelineDocsV3 _,
     "split_assign" -> splitAssign _,
     "sample_stratified" -> sampleStratified _,

@@ -71,6 +71,21 @@ object TextAnalysisCols {
   def normFingerprint(c: Column): Column =
     md5(array_join(array_sort(wsTokens(lower(c))), " "))
 
+  /**
+   * CCNet-STYLE TEXT NORMALIZATION (the canonical form hashed for
+   * fuzzy dedup keys): lowercase → control chars to spaces →
+   * (optionally ASCII punctuation to spaces) → whitespace runs
+   * collapsed to one space → trimmed. A pure Column tree, one
+   * codegen'd pass; regex classes restricted to the Java∩RE2 subset
+   * (`\p{Punct}` here ≡ `[[:punct:]]` in RE2 — the same ASCII set).
+   */
+  def normalizeText(c: Column, stripPunct: Boolean = false): Column = {
+    val noCtl = regexp_replace(lower(c), "[\\x00-\\x1f\\x7f]", " ")
+    val noPunct =
+      if (stripPunct) regexp_replace(noCtl, "\\p{Punct}", " ") else noCtl
+    trim(regexp_replace(noPunct, "\\s+", " "))
+  }
+
   /** Gopher-rule stopwords (the "must contain ≥ 2 of" set). */
   val GopherStop: Seq[String] =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")

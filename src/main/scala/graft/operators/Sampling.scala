@@ -245,6 +245,20 @@ object Sampling {
    * match — null-id rows are absent from the output (rank them by a
    * coalesced surrogate upstream if needed).
    */
+  /**
+   * EXACT-N DETERMINISTIC SAMPLE: precisely `n` rows (fewer only if
+   * the corpus is smaller), chosen as the first `n` of the seeded
+   * [[globalOrder]] permutation — "give me exactly 100 k documents"
+   * without the ±√n wobble of fraction sampling or the
+   * partitioning-dependence of `limit`. Same two narrow shuffles as
+   * the underlying global rank; the emitted `order_id` (1..n) doubles
+   * as a stable position within the sample.
+   */
+  def takeExactly(df: DataFrame, id: Column, n: Long, seed: String): DataFrame = {
+    require(n > 0, "n must be positive")
+    globalOrder(df, id, seed).filter(col("order_id") <= n)
+  }
+
   def globalOrder(df: DataFrame, id: Column, seed: String): DataFrame = {
     val keyed = df.withColumn("__k",
         md5(concat(lit(seed), id.cast("string"))))

@@ -205,6 +205,34 @@ class SamplingSpec extends SparkSpecBase {
     assert(out("b") === (("b", 2L, 2L, 0.0)))
   }
 
+  test("takeExactly: precisely n rows, stable across partitionings and reruns") {
+    val df = spark.read.parquet(sf() + "/documents.parquet").select("doc_id")
+    val a = Sampling.takeExactly(df, col("doc_id"), 37L, "s")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.size === 37)
+    val b = Sampling.takeExactly(df.repartition(9), col("doc_id"), 37L, "s")
+      .select("doc_id").as[Long].collect().toSet
+    assert(b === a)
+    // a larger n is a superset: the permutation is a fixed order
+    val c = Sampling.takeExactly(df, col("doc_id"), 80L, "s")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(c))
+  }
+
+  test("normalizeText: case, controls, punctuation, whitespace runs") {
+    import graft.TextAnalysisCols
+    val d = Seq((1L, "  Hello\u0007WORLD!!  foo\t\tbar  ")).toDF("id", "t")
+    val out = d.select(
+        TextAnalysisCols.normalizeText(col("t")).as("a"),
+        TextAnalysisCols.normalizeText(col("t"), stripPunct = true).as("b"))
+      .as[(String, String)].head()
+    assert(out._1 === "hello world!! foo bar")
+    assert(out._2 === "hello world foo bar")
+    // scan-side only
+    assert(!d.select(TextAnalysisCols.normalizeText(col("t")))
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("globalOrder: exact global md5 rank without a single-reducer sort") {
     val df = spark.read.parquet(sf() + "/documents.parquet").select("doc_id")
     val out = Sampling.globalOrder(df, col("doc_id"), seed = "s42")
