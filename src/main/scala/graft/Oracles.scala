@@ -997,6 +997,20 @@ object Oracles {
         |  trim(regexp_replace(regexp_replace(a, '[[:punct:]]', ' ', 'g'), '\s+', ' ', 'g')) AS text_norm_nopunct
         |FROM s1""".stripMargin,
 
+    // sentence chunking: sentinel rewrite after [.!?] + split;
+    // RE2 \1 backref == Java $1
+    "text_sentences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 30) || '. ' || substr(text, 31, 30) || '! ' ||
+        |    substr(text, 61, 30) || '? ' || substr(text, 91, 20) AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |        string_split(regexp_replace(t, '([.!?]) ', '\1' || chr(1), 'g'), chr(1)) AS parts
+        |      FROM d)
+        |SELECT doc_id, CAST(i.i - 1 AS INT) AS sent_id, parts[i.i] AS sentence
+        |FROM m, LATERAL unnest(range(1, len(parts) + 1)) AS i(i)""".stripMargin,
+
     // seeded global order: exact rank of md5('s42' || id)
     "shuffle_order" ->
       """SELECT doc_id,

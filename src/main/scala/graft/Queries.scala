@@ -698,6 +698,19 @@ object Queries {
       t(s, dir, "documents").select(col("doc_id"), col("source")),
       col("doc_id"), n = 100L, seed = "sampleN")
 
+  /** Sentence chunking over decorated docs (boundaries injected — the
+    * raw corpus has no punctuation). */
+  def textSentences(s: SparkSession, dir: String): DataFrame = {
+    val decorated = concat(
+      substring(col("text"), 1, 30), lit(". "),
+      substring(col("text"), 31, 30), lit("! "),
+      substring(col("text"), 61, 30), lit("? "),
+      substring(col("text"), 91, 20))
+    Chunking.sentences(
+      t(s, dir, "documents").select(col("doc_id"), decorated.as("text")),
+      col("text"), col("doc_id"))
+  }
+
   /** CCNet-style normalization over decorated text (tabs, control
     * chars, mixed case, punctuation runs injected). */
   def textNormalize(s: SparkSession, dir: String): DataFrame = {
@@ -952,6 +965,7 @@ object Queries {
     "shuffle_order" -> shuffleOrder _,
     "sample_exact_n" -> sampleExactN _,
     "text_normalize" -> textNormalize _,
+    "text_sentences" -> textSentences _,
     "pipeline_docs_v3" -> pipelineDocsV3 _,
     "split_assign" -> splitAssign _,
     "sample_stratified" -> sampleStratified _,

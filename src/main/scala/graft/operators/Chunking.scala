@@ -47,6 +47,26 @@ object Chunking {
       .filter(col("doc_freq") >= minDf)
 
   /**
+   * SENTENCE-BOUNDARY CHUNKING: split each document into sentences at
+   * ". " / "! " / "? " boundaries — the granularity sentence-level
+   * dedup and alignment pipelines operate on (char windows are
+   * [[chunk]]; lines are [[stripBoilerplate]]'s unit). Implemented by
+   * a sentinel rewrite (`$1\u0001` after each boundary) + split, which
+   * keeps the terminal punctuation attached AND stays inside the
+   * Java∩RE2 regex subset — a lookbehind split would not (RE2 has no
+   * lookbehind, so no DuckDB oracle could verify it).
+   *
+   * Scale: one scan-side projection + explode; no shuffle at all.
+   * Output: (doc_id, sent_id, sentence) with 0-based in-doc position.
+   */
+  def sentences(df: DataFrame, content: Column, id: Column): DataFrame =
+    df.select(id.as("doc_id"),
+        posexplode(split(
+          regexp_replace(content, "([.!?]) ", "$1\u0001"), "\u0001")))
+      .withColumnRenamed("pos", "sent_id")
+      .withColumnRenamed("col", "sentence")
+
+  /**
    * C4-STYLE LINE FILTERING: the classic C4 cleaning pass — keep only
    * lines that end in terminal punctuation (./!/?/") and have at
    * least `minWords` words, drop lines mentioning javascript/cookie

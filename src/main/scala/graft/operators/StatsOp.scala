@@ -324,6 +324,18 @@ object StatsOp {
       .withColumn("dup_ratio",
         lit(1.0) - col("n_distinct").cast("double") / col("n_docs"))
 
+  /**
+   * PER-FILE MANIFEST: row count per underlying input file — the
+   * data-debugging view that finds skewed, truncated or runaway files
+   * in a 100 TB layout before they stall a stage. `input_file_name`
+   * is populated at the scan, so the only work is one aggregation
+   * over (file → count); run it on a raw `spark.read` frame (the
+   * column is empty after joins/shuffles re-derive rows).
+   */
+  def fileManifest(df: DataFrame): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("n_rows"))
+
   private def isComplex(dt: DataType): Boolean = dt match {
     case _: StructType | _: ArrayType | _: MapType | _: BinaryType => true
     case _ => false

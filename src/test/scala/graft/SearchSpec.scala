@@ -241,6 +241,40 @@ class SearchSpec extends SparkSpecBase {
     assert(out(1L) === (("This line is kept.\nAnother kept line!", 2L, 3L)))
   }
 
+  test("sentences: boundary split keeps punctuation, positions in order") {
+    import graft.operators.Chunking
+    val d = Seq(
+      (1L, "One two. Three four! Five six? tail"),
+      (2L, "no boundaries here"),
+      (3L, "Ends exactly. ")).toDF("doc_id", "text")
+    val out = Chunking.sentences(d, col("text"), col("doc_id"))
+      .select("doc_id", "sent_id", "sentence")
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(_._3).toSeq }
+    assert(out(1L) === Seq("One two.", "Three four!", "Five six?", "tail"))
+    assert(out(2L) === Seq("no boundaries here"))
+    assert(out(3L) === Seq("Ends exactly.", ""), "trailing boundary yields an empty tail")
+    // scan-side only: no shuffle
+    assert(!Chunking.sentences(d, col("text"), col("doc_id"))
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("fileManifest: per-file row counts over a multi-file layout") {
+    import graft.operators.StatsOp
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toFile
+    try {
+      spark.range(100).repartition(4)
+        .write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val manifest = StatsOp.fileManifest(spark.read.parquet(dir.getAbsolutePath))
+        .as[(String, Long)].collect()
+      assert(manifest.length === 4)
+      assert(manifest.map(_._2).sum === 100L)
+      assert(manifest.forall(_._1.endsWith(".parquet")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("keyHistogram: ranks by count desc with exact shares") {
     val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq.fill(1)("c"))
       .toDF("k")
