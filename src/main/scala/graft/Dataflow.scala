@@ -223,6 +223,17 @@ object Dataflow {
           import org.apache.spark.sql.functions.col
           frames + (s.output -> Chunking.c4Clean(
             in, col(s.contentCol), col(s.idCol), s.minWords))
+        case s: SentencesSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Chunking.sentences(
+            in, col(s.contentCol), col(s.idCol)))
+        case s: NormalizeTextSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> in.withColumn("text_norm",
+            TextAnalysisCols.normalizeText(col(s.contentCol), s.stripPunct)))
+        case s: TakeSpec =>
+          frames + (s.output -> Sampling.takeExactly(
+            in, org.apache.spark.sql.functions.col(s.idCol), s.n, s.seed))
         case s: ComputeStatsSpec =>
           // stats become named frames; sink them like any other
           // output. The input passes through under the transform name

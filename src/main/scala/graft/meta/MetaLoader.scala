@@ -188,6 +188,19 @@ object MetaLoader {
           contentCol = str(p, "content", "text"),
           idCol = str(p, "id", "doc_id"),
           minWords = p.path("min_words").asInt(3))
+      case "sentences" =>
+        SentencesSpec(name, input, output,
+          contentCol = str(p, "content", "text"),
+          idCol = str(p, "id", "doc_id"))
+      case "normalize_text" =>
+        NormalizeTextSpec(name, input, output,
+          contentCol = str(p, "content", "text"),
+          stripPunct = p.path("strip_punct").asBoolean(false))
+      case "take" =>
+        TakeSpec(name, input, output,
+          n = p.path("n").asLong(1000L),
+          idCol = str(p, "id", "doc_id"),
+          seed = str(p, "seed", "graft"))
       case "compute_stats" =>
         ComputeStatsSpec(name, input,
           fields = if (p.has("fields")) Some(strArr(p, "fields")) else None,

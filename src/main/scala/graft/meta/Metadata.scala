@@ -385,6 +385,44 @@ final case class ParagraphDedupSpec(
   extends TransformSpec
 
 /**
+ * graft extension: sentence-boundary chunking — one row per sentence
+ * with its 0-based in-doc position.
+ */
+final case class SentencesSpec(
+    name: String,
+    input: String,
+    output: String,
+    contentCol: String = "text",
+    idCol: String = "doc_id")
+  extends TransformSpec
+
+/**
+ * graft extension: CCNet-style text normalization — appends
+ * `text_norm` (lowercase, controls/whitespace collapsed; `strip_punct`
+ * also maps ASCII punctuation to spaces).
+ */
+final case class NormalizeTextSpec(
+    name: String,
+    input: String,
+    output: String,
+    contentCol: String = "text",
+    stripPunct: Boolean = false)
+  extends TransformSpec
+
+/**
+ * graft extension: exact-N deterministic sample — first n of the
+ * seeded global permutation.
+ */
+final case class TakeSpec(
+    name: String,
+    input: String,
+    output: String,
+    n: Long,
+    idCol: String = "doc_id",
+    seed: String = "graft")
+  extends TransformSpec
+
+/**
  * graft extension: join-key skew diagnostic — top-N heaviest values
  * of a key with count and share.
  */

@@ -367,6 +367,27 @@ class DataflowSpec extends SparkSpecBase {
       assert(g.columns.contains(c), s"missing $c")
   }
 
+  test("metadata reach: sentences, normalize_text, take") {
+    val spec =
+      s"""{"dataflows":[{"name":"r4d",
+         |  "sources":[
+         |    {"name":"docs","path":"${sf()}/documents.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"sent","type":"sentences","params":{
+         |      "input":"docs","output":"s_out"}},
+         |    {"name":"norm","type":"normalize_text","params":{
+         |      "input":"docs","output":"n_out","strip_punct":true}},
+         |    {"name":"sub","type":"take","params":{
+         |      "input":"docs","output":"t_out","n":42,"seed":"z"}}
+         |  ],"sinks":[]}]}""".stripMargin
+    val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("r4d"))
+    // raw docs have no boundaries → one sentence per doc
+    assert(frames("s_out").count() === frames("docs").count())
+    assert(frames("s_out").columns.toSet === Set("doc_id", "sent_id", "sentence"))
+    assert(frames("n_out").columns.contains("text_norm"))
+    assert(frames("t_out").count() === 42)
+  }
+
   test("RunPipeline stage summary: one [stage] line per source + output, with counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_verbose").toString
     Seq("""{"id":1,"v":"x"}""", """{"id":2,"v":""}""")
