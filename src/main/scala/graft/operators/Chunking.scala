@@ -67,6 +67,20 @@ object Chunking {
       .withColumnRenamed("col", "sentence")
 
   /**
+   * Position-ordered per-doc rebuild shared by the line/paragraph
+   * cleaners: aggregation columns producing `text_clean` (parts where
+   * `__keep`, joined by `sep` in `p` order — byte-deterministic
+   * regardless of partitioning), `n_kept` and `n_dropped`. Expects
+   * the grouped frame to carry (`p`, `part`, `__keep`).
+   */
+  private[operators] def rebuildByPosition(part: String, sep: String): Seq[Column] = Seq(
+    array_join(transform(
+      array_sort(collect_list(when(col("__keep"), struct(col("p"), col(part))))),
+      s => s.getField(part)), sep).as("text_clean"),
+    sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+    sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"))
+
+  /**
    * C4-STYLE LINE FILTERING: the classic C4 cleaning pass — keep only
    * lines that end in terminal punctuation (./!/?/") and have at
    * least `minWords` words, drop lines mentioning javascript/cookie
@@ -88,20 +102,15 @@ object Chunking {
     val t = trim(col("line"))
     val endsPunct = t.endsWith(".") || t.endsWith("!") ||
       t.endsWith("?") || t.endsWith("\"")
-    val enoughWords =
-      size(when(length(t) === 0, array().cast("array<string>"))
-        .otherwise(split(t, "\\s+"))) >= minWords
+    // the repo's canonical tokenizer (trim + \s+ split, empty-safe)
+    val enoughWords = graft.TextAnalysisCols.wsTokenCount(col("line")) >= minWords
     val noJunk = !lower(col("line")).contains("javascript") &&
       !lower(col("line")).contains("cookie")
+    val aggs = rebuildByPosition("line", "\n")
     lines
       .withColumn("__keep", endsPunct && enoughWords && noJunk)
       .groupBy("doc_id")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(when(col("__keep"), struct(col("p"), col("line"))))),
-          s => s.getField("line")), "\n").as("text_clean"),
-        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"))
+      .agg(aggs.head, aggs.tail: _*)
       .filter(col("n_kept") > 0)
   }
 
@@ -115,17 +124,21 @@ object Chunking {
    *
    * Scale: two bounded shuffles — line document-frequency keyed by
    * (source, line-hash), and the per-doc rebuild keyed by id. The
-   * frequent-line frame (df ≥ minDf only) is tiny and broadcast into
-   * the tagging join; lines travel as md5 hashes, never as text keys.
-   * Rebuild order is positional (sort_array of (pos, line) structs),
-   * so output text is byte-deterministic.
+   * frequent-line frame (df ≥ minDf only) is broadcast into the
+   * tagging join; its size is (frequent lines/source × sources), so
+   * with millions of domains pass `hintBroadcast = false` and let
+   * Spark choose (the tagging join then shuffles on the narrow
+   * (source, hash) key instead). Lines travel as md5 hashes, never
+   * as text keys. Rebuild order is positional (sort_array of
+   * (pos, line) structs), so output text is byte-deterministic.
    *
    * Output: (doc_id, source, text_clean, n_kept, n_dropped) — docs
    * whose every line is boilerplate survive with text_clean = "".
    */
   def stripBoilerplate(df: DataFrame, content: Column, id: Column,
                        source: Column, minDf: Int = 10,
-                       sep: String = "\n"): DataFrame = {
+                       sep: String = "\n",
+                       hintBroadcast: Boolean = true): DataFrame = {
     require(minDf >= 2, "minDf < 2 would strip every line")
     val lines = df.select(id.as("doc_id"), source.as("__src"),
         posexplode(split(content, java.util.regex.Pattern.quote(sep))))
@@ -135,20 +148,15 @@ object Chunking {
       .agg(countDistinct(col("doc_id")).as("__df"))
       .filter(col("__df") >= minDf)
       .select("__fsrc", "__lh")
-    lines.join(broadcast(frequent),
+    lines.join(if (hintBroadcast) broadcast(frequent) else frequent,
         col("__src") === col("__fsrc") && md5(col("line")) === col("__lh"),
         "left")
       .select(col("doc_id"), col("__src"), col("p"), col("line"),
         col("__lh").isNull.as("__keep"))
       .groupBy("doc_id")
-      .agg(
-        // constant per doc, so first() is deterministic — carrying it
-        // here lets per-source downstream stages chain with no re-join
-        first(col("__src")).as("source"),
-        array_join(transform(
-          array_sort(collect_list(when(col("__keep"), struct(col("p"), col("line"))))),
-          s => s.getField("line")), sep).as("text_clean"),
-        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"))
+      // source is constant per doc, so first() is deterministic —
+      // carrying it lets per-source downstream stages chain join-free
+      .agg(first(col("__src")).as("source"),
+        rebuildByPosition("line", sep): _*)
   }
 }

@@ -589,9 +589,14 @@ object Dedup {
    *    clean corpus) reaches the exact anti join, so the shuffle is
    *    bounded by ~(matches + fpp·n), not n.
    *
-   * Null/empty content hashes to null, which the bloom reports as
-   * null — coalesced to "clean" so such rows survive, matching the
-   * exact operator's null-join semantics.
+   * TRADE-OFF: the two branches are two scans of `df` — the operator
+   * spends scan I/O (cheap, columnar, scan-side-filtered) to keep the
+   * SHUFFLE bounded by the sliver, which is the binding constraint
+   * when the benchmark cannot broadcast. Null content rows survive
+   * either way: `xxhash64(null)` is the hash seed, so a null row
+   * lands in whichever branch the seed's bloom bit dictates, and if
+   * it reaches the anti join its null fingerprint matches nothing —
+   * same outcome as the exact operator.
    */
   def decontaminateBloom(df: DataFrame, content: Column,
                          benchmark: DataFrame, benchContent: Column,
@@ -600,9 +605,11 @@ object Dedup {
     import org.apache.spark.sql.GraftBridge
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.types.BinaryType
-    val benchFp = benchmark
+    // cached: read by the cardinality count, the bloom build and the
+    // anti join (released via OpCache like every operator cache)
+    val benchFp = OpCache.cache(benchmark
       .select(TextAnalysisCols.normFingerprint(benchContent).as("__bench_fp"))
-      .distinct()
+      .distinct())
     val hashes = benchFp.select(xxhash64(col("__bench_fp")).as("__h"))
     // sizing the filter needs a cardinality; an explicit expectation
     // avoids the extra action on repeated builds
@@ -700,17 +707,13 @@ object Dedup {
         count(lit(1)).as("__n"))
       .filter(col("__n") > 1)
       .select(col("__h").as("__dh"), col("__canon"))
+    val aggs = Chunking.rebuildByPosition("para", sep)
     paras.join(dups, col("__h") === col("__dh"), "left")
       .select(col("doc_id"), col("p"), col("para"),
         (col("__dh").isNull ||
           (col("__canon.doc_id") === col("doc_id") && col("__canon.p") === col("p")))
           .as("__keep"))
       .groupBy("doc_id")
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(when(col("__keep"), struct(col("p"), col("para"))))),
-          s => s.getField("para")), sep).as("text_clean"),
-        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_dropped"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -160,21 +160,28 @@ object Sampling {
    * so the threshold is cross-engine identical (validated by the
    * field_quantiles oracle).
    *
-   * Scale: thresholds are one aggregation over (group) — a tiny frame
-   * broadcast back into a map-side filter; the corpus itself is never
-   * shuffled. Exact per-group percentile sorts each group's metric
-   * vector inside the aggregation buffer; for groups too large for
-   * that, swap `percentile` for `approx_percentile` at the call site
-   * (same plan shape, bounded memory).
+   * Scale: thresholds are one aggregation over (group) — one row per
+   * group, broadcast back into a map-side filter, so the corpus
+   * itself is never shuffled. The hint assumes the group count is
+   * broadcastable (languages, sources: yes; millions of web domains:
+   * pass `hintBroadcast = false` and let Spark pick the join). Exact
+   * per-group percentile sorts each group's metric vector inside the
+   * aggregation buffer; for groups too large for that, swap
+   * `percentile` for `approx_percentile` at the call site (same plan
+   * shape, bounded memory).
+   *
+   * Rows with a null group cannot match the threshold join and are
+   * dropped (same as their absence from any per-group threshold).
    *
    * Output: input columns + `threshold` (the group's quantile value).
    */
   def quantileGate(df: DataFrame, group: Column, metric: Column,
-                   q: Double): DataFrame = {
+                   q: Double, hintBroadcast: Boolean = true): DataFrame = {
     require(q >= 0 && q <= 1, "q must be in [0, 1]")
     val thr = df.groupBy(group.as("__grp"))
       .agg(percentile(metric, lit(q)).as("threshold"))
-    df.join(broadcast(thr), group === col("__grp"))
+    val side = if (hintBroadcast) broadcast(thr) else thr
+    df.join(side, group === col("__grp"))
       .filter(metric.cast("double") >= col("threshold"))
       .drop("__grp")
   }
@@ -188,16 +195,18 @@ object Sampling {
    *
    * Scale: a pure map-side explode — no shuffle, no state; output
    * size is Σ weights, exactly the token-budget math the mixture
-   * recipe already did. Weight 0 drops the row (a mixture weight of
-   * zero IS a filter); negative weights are rejected at runtime.
+   * recipe already did. Weight 0 or null drops the row (a mixture
+   * weight of zero IS a filter, and a left-join miss means "not in
+   * the recipe"); negative weights are rejected at runtime.
    */
   def upsampleEpochs(df: DataFrame, weight: Column): DataFrame = {
     val w = weight.cast("int")
     // sequence(1, 0) yields [1, 0] (Spark picks step -1 when start >
-    // stop), so weight 0 must be an explicit empty array; negatives
-    // fail loudly instead of silently exploding a descending range
+    // stop), so weight 0/null must be an explicit empty array;
+    // negatives fail loudly instead of silently exploding a
+    // descending range
     val epochs = when(w >= 1, sequence(lit(1), w))
-      .when(w === 0, array().cast("array<int>"))
+      .when(w === 0 || w.isNull, array().cast("array<int>"))
       .otherwise(raise_error(lit("upsampleEpochs: negative weight")).cast("array<int>"))
     // explode must be a top-level select item (not nested in a cast)
     df.select(col("*"), explode(epochs).as("__e"))
@@ -241,27 +250,22 @@ object Sampling {
    * narrow shuffles (256-key bucket partition + the tiny counts agg),
    * no global exchange of the corpus beyond the bucketing itself.
    *
-   * A null id hashes to a null bucket, which the offsets join cannot
-   * match — null-id rows are absent from the output (rank them by a
-   * coalesced surrogate upstream if needed).
+   * A null id hashes to a null key and is dropped BEFORE bucketing,
+   * so null-id rows are absent from the output and the emitted ranks
+   * remain a dense 1..n permutation of the non-null rows (coalesce a
+   * surrogate id upstream if nulls must be ranked). Ids are assumed
+   * UNIQUE: duplicate ids (e.g. an [[upsampleEpochs]] output) tie on
+   * the full sort key and their relative order is then
+   * partitioning-dependent — rank a composite id
+   * (`concat(id, '#', epoch)`) instead.
    */
-  /**
-   * EXACT-N DETERMINISTIC SAMPLE: precisely `n` rows (fewer only if
-   * the corpus is smaller), chosen as the first `n` of the seeded
-   * [[globalOrder]] permutation — "give me exactly 100 k documents"
-   * without the ±√n wobble of fraction sampling or the
-   * partitioning-dependence of `limit`. Same two narrow shuffles as
-   * the underlying global rank; the emitted `order_id` (1..n) doubles
-   * as a stable position within the sample.
-   */
-  def takeExactly(df: DataFrame, id: Column, n: Long, seed: String): DataFrame = {
-    require(n > 0, "n must be positive")
-    globalOrder(df, id, seed).filter(col("order_id") <= n)
-  }
-
   def globalOrder(df: DataFrame, id: Column, seed: String): DataFrame = {
     val keyed = df.withColumn("__k",
         md5(concat(lit(seed), id.cast("string"))))
+      // a null key would form its own bucket and inflate every real
+      // bucket's cumulative offset (nulls sort first) — drop it here
+      // so order_id stays a dense 1..n permutation
+      .filter(col("__k").isNotNull)
       .withColumn("__b", substring(col("__k"), 1, 2))
     val offsets = keyed.groupBy("__b").agg(count(lit(1)).as("__n"))
       .withColumn("__off",
@@ -275,5 +279,20 @@ object Sampling {
     keyed.join(broadcast(offsets), col("__b") === col("__ob"))
       .withColumn("order_id", (col("__off") + row_number().over(w)).cast("long"))
       .drop("__k", "__b", "__ob", "__off")
+  }
+
+  /**
+   * EXACT-N DETERMINISTIC SAMPLE: precisely `n` rows (fewer only if
+   * the corpus is smaller), chosen as the first `n` of the seeded
+   * [[globalOrder]] permutation — "give me exactly 100 k documents"
+   * without the ±√n wobble of fraction sampling or the
+   * partitioning-dependence of `limit`. Same two narrow shuffles as
+   * the underlying global rank; the emitted `order_id` (1..n) doubles
+   * as a stable position within the sample. Inherits [[globalOrder]]'s
+   * contract: unique non-null ids.
+   */
+  def takeExactly(df: DataFrame, id: Column, n: Long, seed: String): DataFrame = {
+    require(n > 0, "n must be positive")
+    globalOrder(df, id, seed).filter(col("order_id") <= n)
   }
 }

@@ -289,13 +289,16 @@ object StatsOp {
    * and IEEE-exact fence arithmetic make the flag cross-engine
    * deterministic.
    *
-   * Scale: one aggregation for the per-group quantile pair (tiny
-   * frame), broadcast back into a map-side flag — the data itself is
-   * never shuffled. Output: input + `fence_lo`, `fence_hi`,
+   * Scale: one aggregation for the per-group quantile pair (one row
+   * per group), broadcast back into a map-side flag — the data itself
+   * is never shuffled. The hint assumes a broadcastable group count;
+   * pass `hintBroadcast = false` for per-key fences over millions of
+   * groups. Rows with a null group cannot match the fence join and
+   * are dropped. Output: input + `fence_lo`, `fence_hi`,
    * `is_outlier`.
    */
   def iqrOutliers(df: DataFrame, group: Column, metric: Column,
-                  k: Double = 1.5): DataFrame = {
+                  k: Double = 1.5, hintBroadcast: Boolean = true): DataFrame = {
     require(k >= 0, "k must be non-negative")
     val q = df.groupBy(group.as("__g"))
       .agg(percentile(metric, lit(0.25)).as("__q1"),
@@ -303,7 +306,8 @@ object StatsOp {
       .select(col("__g"),
         (col("__q1") - lit(k) * (col("__q3") - col("__q1"))).as("fence_lo"),
         (col("__q3") + lit(k) * (col("__q3") - col("__q1"))).as("fence_hi"))
-    df.join(broadcast(q), group === col("__g"))
+    val side = if (hintBroadcast) broadcast(q) else q
+    df.join(side, group === col("__g"))
       .withColumn("is_outlier",
         metric.cast("double") < col("fence_lo") ||
           metric.cast("double") > col("fence_hi"))

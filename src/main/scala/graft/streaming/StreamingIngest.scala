@@ -95,14 +95,11 @@ object StreamingIngest {
    * watermark or state store involved.
    */
   def decontaminateStream(stream: DataFrame, content: String,
-                          benchmark: DataFrame, benchContent: String): DataFrame = {
-    val fps = benchmark
-      .select(graft.TextAnalysisCols.normFingerprint(col(benchContent)).as("__bench_fp"))
-      .distinct()
-    stream.join(fps,
-      graft.TextAnalysisCols.normFingerprint(col(content)) === col("__bench_fp"),
-      "left_anti")
-  }
+                          benchmark: DataFrame, benchContent: String): DataFrame =
+    // the batch kernel is plan-compatible with a streaming left side —
+    // one implementation, one set of fingerprint semantics
+    graft.operators.Dedup.decontaminate(stream, col(content),
+      benchmark, col(benchContent))
 
   /**
    * Watermarked tumbling-window counts per event_type:

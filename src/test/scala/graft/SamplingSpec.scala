@@ -205,6 +205,21 @@ class SamplingSpec extends SparkSpecBase {
     assert(out("b") === (("b", 2L, 2L, 0.0)))
   }
 
+  test("globalOrder: null ids drop and ranks stay dense from 1 (offset regression)") {
+    val d = Seq(Some(1L), Some(2L), None, Some(3L), None)
+      .toDF("id")
+    val out = Sampling.globalOrder(d, col("id"), "z")
+      .select("order_id").as[Long].collect().sorted.toSeq
+    // null-id rows must not inflate the bucket offsets: the three
+    // real rows rank exactly 1..3
+    assert(out === Seq(1L, 2L, 3L))
+    // and upsampled null weights drop instead of raising
+    val w = Seq((1L, Some(2)), (2L, None)).toDF("id", "w")
+    val up = Sampling.upsampleEpochs(w, col("w"))
+      .select("id", "epoch").as[(Long, Long)].collect().toSet
+    assert(up === Set((1L, 1L), (1L, 2L)))
+  }
+
   test("takeExactly: precisely n rows, stable across partitionings and reruns") {
     val df = spark.read.parquet(sf() + "/documents.parquet").select("doc_id")
     val a = Sampling.takeExactly(df, col("doc_id"), 37L, "s")
