@@ -46,6 +46,20 @@ object RunPipeline {
     case s: meta.ChunkSpec        => Seq(s.output)
     case s: meta.StratifiedSampleSpec => Seq(s.output)
     case s: meta.PackSpec         => Seq(s.output)
+    case s: meta.MixSpec          => Seq(s.output)
+    case s: meta.SearchSpec       => Seq(s.output)
+    case s: meta.CentroidsSpec    => Seq(s.output)
+    case s: meta.KeyHistogramSpec => Seq(s.output)
+    case s: meta.CapSpec          => Seq(s.output)
+    case s: meta.QuantileGateSpec => Seq(s.output)
+    case s: meta.UpsampleSpec     => Seq(s.output)
+    case s: meta.GlobalOrderSpec  => Seq(s.output)
+    case s: meta.BoilerplateSpec  => Seq(s.output)
+    case s: meta.ParagraphDedupSpec => Seq(s.output)
+    case s: meta.C4CleanSpec      => Seq(s.output)
+    case s: meta.SentencesSpec    => Seq(s.output)
+    case s: meta.NormalizeTextSpec => Seq(s.output)
+    case s: meta.TakeSpec         => Seq(s.output)
   }
 
   /** One `[stage]` line per source / transformation output: name,

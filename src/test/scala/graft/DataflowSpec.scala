@@ -367,6 +367,20 @@ class DataflowSpec extends SparkSpecBase {
       assert(g.columns.contains(c), s"missing $c")
   }
 
+  test("examples/corpus_pipeline.json runs end-to-end via RunPipeline --verbose") {
+    val frames = RunPipeline.run(spark, "examples/corpus_pipeline.json",
+      Some("corpus-clean"), inputOverride = Some(sf() + "/documents.parquet"),
+      verbose = true) // verbose also exercises stage summaries for the r4 transform types
+    val fin = frames("final")
+    val n = fin.count()
+    assert(n > 0 && n <= 20L * 20) // <= max_n per source x sources
+    // dense seeded order survives the whole declarative chain
+    assert(fin.agg(max("order_id")).first().getLong(0) === n)
+    assert(fin.columns.contains("split"))
+    // the sink landed
+    assert(spark.read.parquet("/tmp/graft_example_corpus").count() === n)
+  }
+
   test("metadata reach: sentences, normalize_text, take") {
     val spec =
       s"""{"dataflows":[{"name":"r4d",
