@@ -47,7 +47,7 @@ object AsOf {
       leftKeys.zip(k).map { case (c, a) => col(c).as(a) } ++ Seq(
         col(leftTs).cast("timestamp").as("__ts"),
         lit(1).as("__tag"),
-        struct(left.columns.map(col): _*).as("__l"),
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
         lit(null).cast(structType(right, carry)).as("__r")): _*)
     val rSide = right.select(
         rightKeys.zip(k).map { case (c, a) => col(c).as(a) } ++ Seq(
@@ -70,7 +70,7 @@ object AsOf {
     lSide.unionByName(rSide)
       .withColumn("__carried", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select(left.columns.map(c => col(s"__l.`$c`").as(c)) ++
+      .select(left.columns.toIndexedSeq.map(c => col(s"__l.`$c`").as(c)) ++
         carry.map(c => col(s"__carried.`$c`").as(c)): _*)
   }
 

@@ -25,7 +25,7 @@ object Normalize {
     case "snake_case" => path.replace(".", "_")
     case "camelCase" =>
       val parts = path.split('.')
-      parts.head + parts.tail.map(p => if (p.isEmpty) "" else p.head.toUpper + p.tail).mkString
+      parts.head + parts.tail.map(p => if (p.isEmpty) "" else s"${p.head.toUpper}${p.tail}").mkString
     case other =>
       throw new IllegalArgumentException(
         s"Unsupported naming convention: '$other'. Supported: snake_case, keep_dot, camelCase")

@@ -151,7 +151,7 @@ object Scale {
                      salts: Int): DataFrame = {
     require(salts >= 1)
     val saltedFact = fact.withColumn(SaltCol,
-      pmod(hash(struct(fact.columns.map(col): _*)), lit(salts)))
+      pmod(hash(struct(fact.columns.toIndexedSeq.map(col): _*)), lit(salts)))
     val saltedDim = dim.withColumn(SaltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     saltedFact.join(saltedDim, Seq(key, SaltCol)).drop(SaltCol)
