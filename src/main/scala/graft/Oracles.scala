@@ -40,6 +40,19 @@ object Oracles {
     .map { case (c, label) => s"CASE WHEN NOT COALESCE($c, FALSE) THEN '$label' END" }
     .mkString("concat_ws(',', ", ", ", ")")
 
+  // -- LSH hyperplane literals (sim_lsh oracle) ------------------------
+  // 8 tables × 8 bits × 64 dims of deterministic plane weights, one
+  // DOUBLE[] VALUES row per (table, bit) — generated from the same
+  // code the LshSignatures expression uses.
+  private def lshPlanesValues: String =
+    (for { tb <- 0 until 8; b <- 0 until 8 } yield {
+      val arr = (0 until 64)
+        .map(d => java.lang.Double.toString(
+          graft.functions.VectorExprs.lshPlaneComponent(42, tb, b, d)))
+        .mkString("[", ", ", "]")
+      s"($tb, $b, $arr::DOUBLE[])"
+    }).mkString(",\n  ")
+
   // -- decimal-exact money fragments -----------------------------------
   private def sumDec(col: String, alias: String) =
     s"CAST(SUM(CAST($col AS DECIMAL(12,2))) AS DOUBLE) AS $alias"
@@ -417,6 +430,79 @@ object Oracles {
         |r AS (SELECT *, ROW_NUMBER() OVER
         |        (PARTITION BY id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
         |      FROM p)
+        |SELECT id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 10""".stripMargin,
+
+    // Full ANN oracles: the LSH oracle replicates graft's
+    // random-hyperplane bucketing exactly — plane weights come from
+    // the same deterministic generator the Catalyst expression uses
+    // (VectorExprs.lshPlaneComponent, single source of truth),
+    // embedded here as SQL literals (Double.toString round-trips
+    // bit-exactly through DuckDB's correctly-rounded parser), and
+    // list_dot_product folds left-to-right like VecDot — so
+    // signatures, buckets, candidate pairs and rescored ranks are
+    // bit-identical across engines.
+    "sim_lsh" ->
+      s"""WITH planes(t, b, p) AS (VALUES
+        |  $lshPlanesValues),
+        |w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM w),
+        |sig AS (
+        |  SELECT n.vec_id, pl.t,
+        |    CAST(SUM(CASE WHEN list_dot_product(n.v, pl.p) >= 0
+        |                  THEN (CAST(1 AS BIGINT) << pl.b) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM n, planes pl GROUP BY n.vec_id, pl.t),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id, c.vec_id AS neighbor_id
+        |  FROM sig a JOIN sig c ON a.t = c.t AND a.bucket = c.bucket
+        |   AND a.vec_id <> c.vec_id),
+        |sc AS (
+        |  SELECT cand.id, cand.neighbor_id,
+        |    CASE WHEN qa.nrm * qc.nrm = 0 THEN 0.0
+        |         ELSE list_dot_product(qa.v, qc.v) / (qa.nrm * qc.nrm) END AS cos_sim
+        |  FROM cand JOIN n qa ON qa.vec_id = cand.id
+        |            JOIN n qc ON qc.vec_id = cand.neighbor_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank" FROM sc)
+        |SELECT id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 10""".stripMargin,
+
+    // The IVF oracle rebuilds the catalog query's pinned codebook
+    // from the parquet (32 lowest-id vectors, inv-multiply
+    // normalization — the exact arithmetic NearestCentroids uses),
+    // then replicates assignment (ordered Σdiff² fold), 4-cell
+    // probing, and exact cosine rescoring.
+    "sim_ivf" ->
+      """WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS ss FROM w),
+        |u AS (SELECT vec_id, v, sqrt(ss) AS nrm,
+        |        CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0/sqrt(ss)))
+        |             ELSE v END AS uv
+        |      FROM n),
+        |cent AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |         CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0/sqrt(ss)))
+        |              ELSE v END AS c
+        |  FROM (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS ss
+        |        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |              WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 32))),
+        |asg AS (
+        |  SELECT u.vec_id, cent.cid,
+        |    list_sum(list_transform(generate_series(1, len(u.uv)),
+        |      i -> (u.uv[i] - cent.c[i]) * (u.uv[i] - cent.c[i]))) AS d2
+        |  FROM u, cent),
+        |pr AS (SELECT vec_id, cid, ROW_NUMBER() OVER
+        |         (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS p FROM asg),
+        |cand AS (
+        |  SELECT q.vec_id AS id, d.vec_id AS neighbor_id
+        |  FROM pr q JOIN pr d ON q.cid = d.cid AND d.p = 1 AND q.p <= 4
+        |   AND q.vec_id <> d.vec_id),
+        |sc AS (
+        |  SELECT cand.id, cand.neighbor_id,
+        |    CASE WHEN qa.nrm * qc.nrm = 0 THEN 0.0
+        |         ELSE list_dot_product(qa.v, qc.v) / (qa.nrm * qc.nrm) END AS cos_sim
+        |  FROM cand JOIN u qa ON qa.vec_id = cand.id
+        |            JOIN u qc ON qc.vec_id = cand.neighbor_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank" FROM sc)
         |SELECT id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 10""".stripMargin,
 
     // Stubbed codec is md5-derived, so the multimodal metadata path

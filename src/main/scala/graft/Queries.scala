@@ -449,10 +449,38 @@ object Queries {
   def simLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 10)
 
-  /** IVF-Flat ANN top-k (spherical k-means cells, √n lists,
-    * ~12% probe fraction — the auto defaults). */
-  def simIvf(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 10)
+  /** Deterministic pinned codebook for the catalog's IVF query: the
+    * 32 lowest-id embeddings, unit-normalized with the SAME
+    * inv-multiply arithmetic [[graft.functions.VectorExprs.NearestCentroids]]
+    * uses at assignment time — so the DuckDB oracle can rebuild the
+    * identical codebook from the parquet and the whole serve path is
+    * cross-engine-exact. Bounded driver collect (32 rows). */
+  private def ivfAnchorCodebook(e: DataFrame): Array[Array[Double]] =
+    e.select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy(col("id")).limit(32)
+      .collect().map { r =>
+        val v = r.getSeq[Double](1).toArray
+        var sq = 0.0; var j = 0
+        while (j < v.length) { sq += v(j) * v(j); j += 1 }
+        if (sq > 0) { val inv = 1.0 / math.sqrt(sq); j = 0
+          while (j < v.length) { v(j) *= inv; j += 1 } }
+        v
+      }
+
+  /** IVF-Flat ANN top-k, serving from a PINNED codebook — the
+    * cluster-scale production shape (train the codebook once with
+    * [[graft.operators.Similarity.trainKmeans]], persist it, serve
+    * every query as pure assignment + probe + rescore with zero
+    * training cost). The pinned codebook here is data-derived and
+    * deterministic, which gives the serve path a full DuckDB oracle;
+    * the trained-kmeans path is covered by the recall spec. */
+  def simIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(e, col("vec_id"), col("embedding"), k = 10,
+      nprobe = 4, centroidsIn = Some(ivfAnchorCodebook(e)))
+  }
 
   /** Multimodal: documents → media records → metadata-only summary. */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =

@@ -38,6 +38,34 @@ object VectorExprs {
       case _         => a.getDouble(i)
     }
 
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Deterministic near-Gaussian LSH hyperplane component for
+    * (seed, table, bit, dim index): 4 splitmix64-derived uniforms in
+    * [-0.5, 0.5), summed. The SINGLE source of truth for hyperplane
+    * weights — [[LshSignatures]] materializes planes from it per
+    * executor, and the DuckDB oracle generator embeds the same values
+    * as SQL literals, so the LSH bucketing is cross-engine-exact.
+    * (t, b, d, j) pack into DISJOINT bit fields of the splitmix64
+    * input — j: bits 0-1, d: 2-25 (≤16M dims), b: 26-31, t: 32-43,
+    * seed: 44-63 — so no two (bit, dim) indices ever share a key. */
+  def lshPlaneComponent(seed: Int, t: Int, b: Int, d: Int): Double = {
+    var acc = 0.0
+    var j = 0
+    while (j < 4) {
+      val key = (seed.toLong << 44) | (t.toLong << 32) | (b.toLong << 26) |
+        (d.toLong << 2) | j
+      acc += splitmix64(key).toDouble / 1.8446744073709552e19 // / 2^64 → [-0.5, 0.5)
+      j += 1
+    }
+    acc
+  }
+
   /** Σ aᵢ·bᵢ, double, left-to-right; null if any touched element is null. */
   case class VecDot(left: Expression, right: Expression)
       extends BinaryExpression {
@@ -160,32 +188,6 @@ object VectorExprs {
     @transient private var planeCache: Array[Double] = _ // [(t*bits+b)*dim + d]
     @transient private var planeDim: Int = -1
 
-    private def splitmix64(x0: Long): Long = {
-      var x = x0 + 0x9E3779B97F4A7C15L
-      x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
-      x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
-      x ^ (x >>> 31)
-    }
-
-    /** Near-Gaussian component: 4 uniforms in [-0.5,0.5), summed.
-      * (t, b, d, j) are packed into DISJOINT bit fields of the
-      * splitmix64 input — j: bits 0-1, d: 2-25 (≤16M dims),
-      * b: 26-31, t: 32-43, seed: 44-63 — so no two (bit, dim)
-      * indices can ever share a key (a multiplicative packing
-      * overlapped for dim > ~16k, duplicating plane components and
-      * degrading hyperplane independence for high-dim vectors). */
-    private def component(t: Int, b: Int, d: Int): Double = {
-      var acc = 0.0
-      var j = 0
-      while (j < 4) {
-        val key = (seed.toLong << 44) | (t.toLong << 32) | (b.toLong << 26) |
-          (d.toLong << 2) | j
-        acc += splitmix64(key).toDouble / 1.8446744073709552e19 // / 2^64 → [-0.5, 0.5)
-        j += 1
-      }
-      acc
-    }
-
     private def planes(dim: Int): Array[Double] = {
       require(dim <= (1 << 24), "dim must fit the 24-bit field of the plane key")
       if (planeDim != dim) {
@@ -196,7 +198,7 @@ object VectorExprs {
           while (b < bits) {
             var d = 0
             while (d < dim) {
-              p((t * bits + b) * dim + d) = component(t, b, d)
+              p((t * bits + b) * dim + d) = lshPlaneComponent(seed, t, b, d)
               d += 1
             }
             b += 1
