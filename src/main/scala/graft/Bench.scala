@@ -34,6 +34,7 @@ object Bench {
     "emb_centroids", "skew_keys", "contamination", "event_histogram",
     "strip_boilerplate", "dedup_paragraph", "shuffle_order",
     "text_gopher", "c4_clean", "decontaminate_bloom",
+    "semdedup", "dup_ngram_coverage", "text_familiarity",
     "pipeline_docs", "pipeline_docs_v2", "pipeline_docs_v3")
 
   def main(args: Array[String]): Unit = {

@@ -166,10 +166,27 @@ object Dataflow {
                 s.codebookPath.map(Similarity.loadCentroids))
             case "brute" =>
               Similarity.bruteForceTopK(in, in, idC, vecC, s.k)
+            case "semdedup" =>
+              // codebook from the persisted artifact when given, else
+              // trained here (same auto-sizing as ivfTopK)
+              val cents = s.codebookPath.map(Similarity.loadCentroids).getOrElse {
+                val lists = if (s.nlist > 0) s.nlist
+                  else math.max(16, math.ceil(math.sqrt(Scale.estimatedRows(in))).toInt)
+                Similarity.trainKmeans(in, idC, vecC, lists)
+              }
+              Similarity.semDedup(in, idC, vecC, cents, s.threshold)
             case other =>
               throw new IllegalArgumentException(s"ann '${s.name}': unknown method '$other'")
           }
           frames + (s.output -> out)
+        case s: FamiliaritySpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Chunking.lexicalFamiliarity(
+            in, col(s.contentCol), col(s.idCol), s.minDf))
+        case s: DupNgramCoverageSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Dedup.dupNgramCoverage(
+            in, col(s.contentCol), col(s.idCol), s.n, s.minDocs))
         case s: SplitSpec =>
           frames + (s.output -> Sampling.hashSplit(
             in, org.apache.spark.sql.functions.col(s.idCol), s.trainPct, s.valPct))

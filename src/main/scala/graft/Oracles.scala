@@ -505,6 +505,91 @@ object Oracles {
         |        (PARTITION BY id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank" FROM sc)
         |SELECT id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 10""".stripMargin,
 
+    // SemDeDup: same pinned codebook + assignment as sim_ivf; a row
+    // is dropped when a strictly-lower-id same-cell neighbor sits at
+    // cosine >= 0.4.
+    "semdedup" ->
+      """WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS ss FROM w),
+        |u AS (SELECT vec_id, v, sqrt(ss) AS nrm,
+        |        CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0/sqrt(ss)))
+        |             ELSE v END AS uv
+        |      FROM n),
+        |cent AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |         CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0/sqrt(ss)))
+        |              ELSE v END AS c
+        |  FROM (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS ss
+        |        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |              WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 32))),
+        |asg AS (
+        |  SELECT u.vec_id, cent.cid,
+        |    list_sum(list_transform(generate_series(1, len(u.uv)),
+        |      i -> (u.uv[i] - cent.c[i]) * (u.uv[i] - cent.c[i]))) AS d2
+        |  FROM u, cent),
+        |cell AS (SELECT vec_id, cid AS cell FROM
+        |           (SELECT vec_id, cid, ROW_NUMBER() OVER
+        |              (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS p FROM asg)
+        |         WHERE p = 1),
+        |dropped AS (
+        |  SELECT DISTINCT a.vec_id AS id
+        |  FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id > b.vec_id
+        |  JOIN u ua ON ua.vec_id = a.vec_id
+        |  JOIN u ub ON ub.vec_id = b.vec_id
+        |  WHERE (CASE WHEN ua.nrm * ub.nrm = 0 THEN 0.0
+        |              ELSE list_dot_product(ua.v, ub.v) / (ua.nrm * ub.nrm) END) >= 0.4)
+        |SELECT c.vec_id AS id, c.cell, (d.id IS NULL) AS kept
+        |FROM cell c LEFT JOIN dropped d ON d.id = c.vec_id""".stripMargin,
+
+    // duplicate 5-gram coverage: positional n-gram instances vs the
+    // >=2-doc n-gram set (word-string n-grams mirror the Spark side's
+    // concat_ws(' ', slice(toks, i, 5)) instance-for-instance)
+    "dup_ngram_coverage" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 5
+        |         THEN list_transform(generate_series(1, len(toks) - 4),
+        |                i -> array_to_string(toks[i : i + 4], ' '))
+        |         ELSE [] END AS ngrams
+        |  FROM tok),
+        |inst AS (SELECT doc_id, s.s FROM base, LATERAL unnest(ngrams) AS s(s)),
+        |dfreq AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM inst)
+        |          GROUP BY s HAVING COUNT(*) >= 2),
+        |dup AS (SELECT doc_id, COUNT(*) AS n_dup FROM inst JOIN dfreq USING (s)
+        |        GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(len(b.ngrams) AS BIGINT) AS n_ngrams,
+        |  CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup,
+        |  CASE WHEN len(b.ngrams) = 0 THEN 0.0
+        |       ELSE CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / len(b.ngrams) END AS dup_frac
+        |FROM base b LEFT JOIN dup d USING (doc_id)""".stripMargin,
+
+    // lexical familiarity: instance-weighted mean token df + OOV rate
+    // vs the corpus' own vocabulary (OOV = token df < 3)
+    "text_familiarity" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |inst AS (SELECT doc_id, t.t AS token FROM tok, LATERAL unnest(toks) AS t(t)),
+        |dfreq AS (SELECT token, COUNT(*) AS doc_freq
+        |          FROM (SELECT DISTINCT doc_id, token FROM inst) GROUP BY token),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |               CAST(SUM(doc_freq) AS BIGINT) AS sum_df,
+        |               CAST(SUM(CASE WHEN doc_freq < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |        FROM inst JOIN dfreq USING (token) GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0.0
+        |       ELSE CAST(a.sum_df AS DOUBLE) / a.n_tokens END AS mean_df,
+        |  CASE WHEN COALESCE(a.n_tokens, 0) = 0 THEN 0.0
+        |       ELSE CAST(a.n_oov AS DOUBLE) / a.n_tokens END AS oov_frac
+        |FROM tok t LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
     // Stubbed codec is md5-derived, so the multimodal metadata path
     // has a full oracle despite the fake decode.
     "multimodal_meta" ->

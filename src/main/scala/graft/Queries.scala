@@ -482,6 +482,26 @@ object Queries {
       nprobe = 4, centroidsIn = Some(ivfAnchorCodebook(e)))
   }
 
+  /** SemDeDup over the pinned anchor codebook (the train-once
+    * production shape): same-cell cosine ≥ 0.4 drops the higher id.
+    * Threshold matches [[dedupEmbedding]]'s testdata tuning. */
+  def semDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.semDedup(e, col("vec_id"), col("embedding"),
+      ivfAnchorCodebook(e), threshold = 0.4)
+  }
+
+  /** Duplicate 5-gram coverage per document — the substring-level
+    * dedup diagnostic (fraction of n-gram instances repeated in ≥ 2
+    * docs). */
+  def dupNgramCoverageQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupNgramCoverage(t(s, dir, "documents"), col("text"), col("doc_id"))
+
+  /** Lexical familiarity: mean token document-frequency + OOV rate
+    * per document vs the corpus' own vocabulary. */
+  def textFamiliarityQ(s: SparkSession, dir: String): DataFrame =
+    Chunking.lexicalFamiliarity(t(s, dir, "documents"), col("text"), col("doc_id"))
+
   /** Multimodal: documents → media records → metadata-only summary. */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.multimodalMeta(s, dir)
@@ -964,6 +984,9 @@ object Queries {
     "sim_cross" -> simCross _,
     "sim_lsh" -> simLsh _,
     "sim_ivf" -> simIvf _,
+    "semdedup" -> semDedupQ _,
+    "dup_ngram_coverage" -> dupNgramCoverageQ _,
+    "text_familiarity" -> textFamiliarityQ _,
     "multimodal_meta" -> multimodalMeta _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,

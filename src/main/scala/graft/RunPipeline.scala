@@ -60,6 +60,8 @@ object RunPipeline {
     case s: meta.SentencesSpec    => Seq(s.output)
     case s: meta.NormalizeTextSpec => Seq(s.output)
     case s: meta.TakeSpec         => Seq(s.output)
+    case s: meta.FamiliaritySpec  => Seq(s.output)
+    case s: meta.DupNgramCoverageSpec => Seq(s.output)
   }
 
   /** One `[stage]` line per source / transformation output: name,

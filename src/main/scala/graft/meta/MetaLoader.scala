@@ -137,7 +137,19 @@ object MetaLoader {
           bits = p.path("bits").asInt(8),
           nlist = p.path("nlist").asInt(0),
           nprobe = p.path("nprobe").asInt(0),
-          codebookPath = optStr(p, "codebook_path"))
+          codebookPath = optStr(p, "codebook_path"),
+          threshold = p.path("threshold").asDouble(0.95))
+      case "familiarity" =>
+        FamiliaritySpec(name, input, output,
+          contentCol = str(p, "content", "text"),
+          idCol = str(p, "id", "doc_id"),
+          minDf = p.path("min_df").asInt(3))
+      case "dup_ngram_coverage" =>
+        DupNgramCoverageSpec(name, input, output,
+          contentCol = str(p, "content", "text"),
+          idCol = str(p, "id", "doc_id"),
+          n = p.path("n").asInt(5),
+          minDocs = p.path("min_docs").asInt(2))
       case "mix" =>
         MixSpec(name, input, output,
           strataCol = str(p, "strata"),

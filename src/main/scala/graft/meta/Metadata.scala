@@ -247,7 +247,39 @@ final case class AnnSpec(
     bits: Int = 8,
     nlist: Int = 0,
     nprobe: Int = 0,
-    codebookPath: Option[String] = None)
+    codebookPath: Option[String] = None,
+    threshold: Double = 0.95)
+  extends TransformSpec
+
+/**
+ * graft extension: per-document lexical familiarity vs the corpus'
+ * own vocabulary — instance-weighted mean token document frequency
+ * and OOV rate (token df < minDf). Output frame:
+ * (idCol, n_tokens, mean_df, oov_frac).
+ */
+final case class FamiliaritySpec(
+    name: String,
+    input: String,
+    output: String,
+    contentCol: String = "text",
+    idCol: String = "doc_id",
+    minDf: Int = 3)
+  extends TransformSpec
+
+/**
+ * graft extension: duplicate n-gram coverage — per document, the
+ * fraction of its positional n-gram instances whose n-gram occurs in
+ * ≥ minDocs distinct documents (the substring-dedup diagnostic).
+ * Output frame: (idCol, n_ngrams, n_dup, dup_frac).
+ */
+final case class DupNgramCoverageSpec(
+    name: String,
+    input: String,
+    output: String,
+    contentCol: String = "text",
+    idCol: String = "doc_id",
+    n: Int = 5,
+    minDocs: Int = 2)
   extends TransformSpec
 
 /**

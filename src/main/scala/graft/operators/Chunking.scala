@@ -47,6 +47,44 @@ object Chunking {
       .filter(col("doc_freq") >= minDf)
 
   /**
+   * LEXICAL FAMILIARITY: per-document mean token document-frequency
+   * and out-of-vocabulary rate against the corpus' own vocabulary
+   * (OOV = token appearing in < `minDf` docs) — the cheap lexical
+   * prior used alongside quality scores when filtering pretraining
+   * data (garbled or hyper-niche documents score low mean_df / high
+   * oov_frac). Token INSTANCES are weighted, so a doc repeating a
+   * common word stays familiar. Output:
+   * (doc_id, n_tokens, mean_df, oov_frac); empty docs → (0, 0.0, 0.0).
+   *
+   * Scale: two hash shuffles (distinct doc-token, then groupBy token)
+   * build the df table — bounded by vocabulary cardinality — and the
+   * instance join is an equi-join on the token key with map-side
+   * partial aggregation after it. Same skeleton as [[vocabDf]]; no
+   * driver-side state.
+   */
+  def lexicalFamiliarity(df: DataFrame, content: Column, id: Column,
+                         minDf: Int = 3): DataFrame = {
+    val toks = graft.TextAnalysisCols.wsTokens(lower(content))
+    val base = Scale.ensureParallelism(df).select(id.as("doc_id"), toks.as("toks"))
+    val inst = base.select(col("doc_id"), explode(col("toks")).as("token"))
+    val dfreq = inst.distinct()
+      .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+    val agg = inst.join(dfreq, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("doc_freq")).as("sum_df"),
+        sum(when(col("doc_freq") < minDf, 1L).otherwise(0L)).as("n_oov"))
+    base.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("sum_df").cast("double") / col("n_tokens")).as("mean_df"),
+        when(coalesce(col("n_tokens"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_oov").cast("double") / col("n_tokens")).as("oov_frac"))
+  }
+
+  /**
    * SENTENCE-BOUNDARY CHUNKING: split each document into sentences at
    * ". " / "! " / "? " boundaries — the granularity sentence-level
    * dedup and alignment pipelines operate on (char windows are

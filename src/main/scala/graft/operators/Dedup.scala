@@ -675,6 +675,47 @@ object Dedup {
   }
 
   /**
+   * DUPLICATE-NGRAM COVERAGE (the memorization-risk diagnostic behind
+   * exact-substring dedup — Lee et al. '21, "Deduplicating Training
+   * Data Makes Language Models Better", arXiv:2107.06499): for each
+   * document, the fraction of its n-gram INSTANCES (positional, not
+   * distinct) whose n-gram also occurs in ≥ `minDocs` distinct
+   * documents. High coverage = the document is largely assembled from
+   * corpus-repeated spans — the rows substring-level dedup would carve.
+   * Output: (doc_id, n_ngrams, n_dup, dup_frac).
+   *
+   * Scale: instances and the n-gram document-frequency table are both
+   * hash-shuffled on the n-gram key; the df side is bounded by
+   * distinct-ngram cardinality and shrunk by the ≥ minDocs filter
+   * BEFORE the join (the join side carries only repeated n-grams, a
+   * small fraction of any healthy corpus). Nothing is all-pairs. At
+   * 100 TB, swap the string join key for xxhash64(ngram) — counts are
+   * identical modulo 64-bit collisions.
+   */
+  def dupNgramCoverage(df: DataFrame, content: Column, id: Column,
+                       n: Int = 5, minDocs: Int = 2): DataFrame = {
+    val toks = graft.TextAnalysisCols.wsTokens(lower(content))
+    val base = Scale.ensureParallelism(df).select(id.as("doc_id"),
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>")).as("ngrams"))
+    val inst = base.select(col("doc_id"), explode(col("ngrams")).as("s"))
+    val dfreq = inst.distinct()
+      .groupBy("s").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs)
+    val dup = inst.join(dfreq.select("s"), "s")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    base.select(col("doc_id"), size(col("ngrams")).cast("long").as("n_ngrams"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        when(col("n_ngrams") === 0, lit(0.0))
+          .otherwise(col("n_dup").cast("double") / col("n_ngrams")))
+  }
+
+  /**
    * CORPUS-WIDE PARAGRAPH DEDUP: every paragraph that occurs more than
    * once in the corpus (across documents OR repeated inside one) is
    * kept only at its canonical first occurrence — the smallest

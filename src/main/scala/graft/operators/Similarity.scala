@@ -355,6 +355,43 @@ object Similarity {
   }
 
   /**
+   * SemDeDup (Abbas et al. '23, arXiv:2303.09540): SEMANTIC
+   * deduplication in embedding space — every vector is assigned to its
+   * nearest codebook cell, cosine pairs are computed WITHIN a cell
+   * only, and a document is dropped when a strictly-lower-id neighbor
+   * in its cell sits at cosine ≥ `threshold` (lowest id is the
+   * canonical survivor, the same deterministic keep rule as the text
+   * dedup operators). Output: (id, cell, kept) for every input row.
+   *
+   * Scale: assignment is a scan-side projection (the codebook rides
+   * inside the expression — train once with [[trainKmeans]], persist
+   * with [[saveCentroids]]); the pairwise stage is an equi-join keyed
+   * by cell, so candidate fan-out is bounded by cell size (~n/nlist
+   * with a √n codebook), never O(n²). This is exactly the SemDeDup
+   * paper's construction: k-means cells make the quadratic step local.
+   */
+  def semDedup(df: DataFrame, id: Column, vec: Column,
+               centroids: Array[Array[Double]],
+               threshold: Double = 0.95): DataFrame = {
+    import graft.functions.VectorExprs.nearestCentroids
+    val v = withNorm(df, id, vec)
+      .withColumn("cell", element_at(nearestCentroids(col("vec"), centroids, 1), 1))
+    val a = v.as("a")
+    val b = v.as("b")
+    val dropped = a.join(b, col("a.cell") === col("b.cell") && col("a.id") > col("b.id"))
+      .select(col("a.id").as("id"),
+        when(col("a.norm") * col("b.norm") === 0.0, lit(0.0))
+          .otherwise(dot(col("a.vec"), col("b.vec")) /
+            (col("a.norm") * col("b.norm"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .select("id").distinct()
+    v.select(col("id"), col("cell"))
+      .join(dropped.withColumn("__dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        not(coalesce(col("__dup"), lit(false))).as("kept"))
+  }
+
+  /**
    * Per-group embedding CENTROIDS (cluster/label/language prototype
    * vectors — the aggregation behind IVF training, topic profiling
    * and per-source drift monitoring). Output: one row per (group,

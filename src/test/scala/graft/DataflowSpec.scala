@@ -195,6 +195,35 @@ class DataflowSpec extends SparkSpecBase {
       Dataflow.plan(spark, MetaLoader.loadString(bad).dataflow("annflow")))
   }
 
+  test("metadata corpus signals: familiarity, dup_ngram_coverage, ann semdedup") {
+    val spec =
+      s"""{"dataflows":[{"name":"sig",
+         |  "sources":[
+         |    {"name":"docs","path":"${sf()}/documents.parquet","format":"parquet"},
+         |    {"name":"emb","path":"${sf()}/embeddings.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"fam","type":"familiarity","params":{
+         |      "input":"docs","output":"fam_out","min_df":3}},
+         |    {"name":"cov","type":"dup_ngram_coverage","params":{
+         |      "input":"docs","output":"cov_out","n":5}},
+         |    {"name":"sd","type":"ann","params":{
+         |      "input":"emb","output":"sd_out","method":"semdedup",
+         |      "id":"vec_id","vec":"embedding","nlist":16,"threshold":0.4}}],
+         |  "sinks":[]}]}""".stripMargin
+    val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("sig"))
+    assert(frames("fam_out").columns.toSeq ===
+      Seq("doc_id", "n_tokens", "mean_df", "oov_frac"))
+    assert(frames("cov_out").columns.toSeq ===
+      Seq("doc_id", "n_ngrams", "n_dup", "dup_frac"))
+    assert(frames("sd_out").columns.toSeq === Seq("id", "cell", "kept"))
+    val n = frames("sd_out").count()
+    assert(n > 0 && n === frames("sd_out").select("id").distinct().count(),
+      "semdedup emits exactly one verdict row per input vector")
+    val plan = frames("sd_out").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"semdedup must pair within cells via equi-join, not cross join:\n$plan")
+  }
+
   test("dedup metadata step: method=exact mode=pairs emits the group report frame") {
     val spec =
       s"""{"dataflows":[{"name":"d",

@@ -28,6 +28,19 @@ class DedupSpec extends SparkSpecBase {
     assert(out.size === 4)      // 5 rows -> 4 distinct contents
   }
 
+  test("dupNgramCoverage: instance fractions, short docs score zero") {
+    val d = Seq(
+      (1L, "a b c d e f"),  // 5-grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e x"),  // 5-grams: "a b c d e", "b c d e x"
+      (3L, "z z")           // too short: no 5-grams
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupNgramCoverage(d, col("text"), col("doc_id"))
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    // "a b c d e" occurs in docs 1 and 2 → each doc has 1 of its 2
+    // instances duplicated; doc 3 has no ngrams at all
+    assert(out === Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 0L, 0L, 0.0)))
+  }
+
   test("ngram Jaccard finds the near pair with the exact score") {
     val out = Dedup.ngramJaccard(docs, col("text"), col("doc_id"), k = 3, threshold = 0.5)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()

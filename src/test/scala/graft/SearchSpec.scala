@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Sampling, Search, Similarity, StatsOp}
+import graft.operators.{Chunking, Sampling, Search, Similarity, StatsOp}
 import org.apache.spark.sql.functions._
 
 /** Specs for the round-4 operators: BM25 search, √-temperature
@@ -92,6 +92,20 @@ class SearchSpec extends SparkSpecBase {
     assert(out(2L) === ((5L, 2L)))
     assert(out(3L) === ((4L, 0L)))
     graft.operators.OpCache.releaseAll()
+  }
+
+  test("lexicalFamiliarity: mean df instance-weighted, OOV below minDf") {
+    val d = Seq(
+      (1L, "cat cat dog"), // cat df=2, dog df=2 → mean (2+2+2)/3=2, oov 0
+      (2L, "cat dog rare"), // rare df=1 → oov 1/3
+      (3L, "")              // empty → zeros
+    ).toDF("doc_id", "text")
+    val out = Chunking.lexicalFamiliarity(d, col("text"), col("doc_id"), minDf = 2)
+      .orderBy("doc_id").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 2.0, 0.0),
+      (2L, 3L, (2.0 + 2.0 + 1.0) / 3, 1.0 / 3),
+      (3L, 0L, 0.0, 0.0)))
   }
 
   test("numericHistogram: bucket edges and clamping") {

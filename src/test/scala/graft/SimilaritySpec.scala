@@ -35,6 +35,17 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out === Seq((2L, 1), (3L, 2), (4L, 3))) // 0.99.. > 0.0 > -1.0
   }
 
+  test("semDedup: higher id dropped within a cell, orthogonal cellmates kept") {
+    // two orthogonal cells: vecs 1,2 land in cell 0 (cos ≈ 0.994 →
+    // dup, higher id 2 dropped); 3,4 land in cell 1 but are
+    // orthogonal/opposite → both kept
+    val cents = Array(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val out = Similarity.semDedup(vecs, col("vec_id"), col("embedding"),
+        cents, threshold = 0.9)
+      .orderBy("id").as[(Long, Int, Boolean)].collect().toSeq
+    assert(out === Seq((1L, 0, true), (2L, 0, false), (3L, 1, true), (4L, 1, true)))
+  }
+
   /** Real embeddings + a planted near-duplicate (1% perturbation) of
     * every 10th vector — ids offset by 100000. cos(orig, dup) ≈ 0.9999:
     * the regime LSH near-dup detection is FOR. */
