@@ -63,6 +63,34 @@ object ScaleProbe {
       Dedup.dedupParagraphs(big, col("text"), col("doc_id"))
         .write.format("noop").mode("overwrite").save()
     }
+    // NB: same caveat as ngram_jaccard — every copy duplicates every
+    // 5-gram, so the >=2-docs dup set saturates (≈ every ngram) and
+    // the instance join fans out to the full instance count; this is
+    // the dup-heavy worst case, not the typical-corpus case
+    time("dup_ngram_coverage") {
+      Dedup.dupNgramCoverage(big, col("text"), col("doc_id"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("lexical_familiarity") {
+      Chunking.lexicalFamiliarity(big, col("text"), col("doc_id"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val bigEmb = (0 until copies).map { i =>
+      embBase.select((col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionByName _)
+    // exact-copy stress: every cell holds `copies` clones of each
+    // member, so within-cell pair output grows ~copies² — the √n
+    // codebook keeps cell size (and the equi-join fan-out) sublinear
+    time("semdedup") {
+      val cents = graft.operators.Similarity.trainKmeans(
+        bigEmb, col("vec_id"), col("embedding"),
+        nlist = math.max(16, math.ceil(math.sqrt((n0 * copies).toDouble)).toInt))
+      graft.operators.Similarity.semDedup(
+          bigEmb, col("vec_id"), col("embedding"), cents, threshold = 0.95)
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }

@@ -53,6 +53,36 @@ object TextHashExprs {
     out
   }
 
+  /** xxhash64 of every k-gram INSTANCE in positional order — NON-
+    * distinct, one hash per position (the multiplicity-preserving
+    * sibling of [[ShingleHashesExpr]], for instance-level coverage
+    * metrics). Empty array when the text has fewer than k tokens.
+    * One fused tokenize+hash pass per row; the composable
+    * `transform(sequence, …concat_ws(slice))` HOF tree this replaces
+    * is interpreted per element and built every n-gram as a Catalyst
+    * string — measured ~10× slower at sf0.1. */
+  case class NgramHashInstancesExpr(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val toks = tokensOf(v.asInstanceOf[UTF8String])
+      if (toks.length < k) return new GenericArrayData(Array.emptyLongArray)
+      val out = new Array[Long](toks.length - k + 1)
+      var i = 0
+      while (i <= toks.length - k) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out(i) = hashUtf8(UTF8String.fromString(sb.toString), Seed)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Distinct k-shingles of the lowercased text, in first-seen order. */
   case class ShinglesExpr(child: Expression, k: Int)
       extends UnaryExpression with CodegenFallback {
@@ -275,6 +305,8 @@ object TextHashExprs {
     GraftBridge.column(ShinglesExpr(e(text), k))
   def shingleHashes(text: Column, k: Int): Column =
     GraftBridge.column(ShingleHashesExpr(e(text), k))
+  def ngramHashInstances(text: Column, k: Int): Column =
+    GraftBridge.column(NgramHashInstancesExpr(e(text), k))
   def minhashSig(text: Column, k: Int, numHashes: Int): Column =
     GraftBridge.column(MinhashSigExpr(e(text), k, numHashes))
   def minhashWithShingles(text: Column, k: Int, numHashes: Int): Column =

@@ -684,29 +684,35 @@ object Dedup {
    * corpus-repeated spans — the rows substring-level dedup would carve.
    * Output: (doc_id, n_ngrams, n_dup, dup_frac).
    *
-   * Scale: instances and the n-gram document-frequency table are both
-   * hash-shuffled on the n-gram key; the df side is bounded by
-   * distinct-ngram cardinality and shrunk by the ≥ minDocs filter
-   * BEFORE the join (the join side carries only repeated n-grams, a
-   * small fraction of any healthy corpus). Nothing is all-pairs. At
-   * 100 TB, swap the string join key for xxhash64(ngram) — counts are
-   * identical modulo 64-bit collisions.
+   * Scale: n-grams travel as 64-bit xxhash64 keys, never as strings —
+   * every shuffle carries (doc_id, hash, count) triples (counts are
+   * identical modulo 64-bit collisions; the DuckDB oracle joins on
+   * the strings themselves and hash-matches, certifying
+   * collision-freeness on the gate data). One aggregation keyed
+   * (doc, hash) yields both the per-doc instance counts and the
+   * distinct doc-ngram pairs; the document-frequency side is bounded
+   * by distinct-ngram cardinality and shrunk by the ≥ minDocs filter
+   * BEFORE the join, so the join side carries only repeated n-grams —
+   * a small fraction of any healthy corpus. Nothing is all-pairs.
    */
   def dupNgramCoverage(df: DataFrame, content: Column, id: Column,
                        n: Int = 5, minDocs: Int = 2): DataFrame = {
-    val toks = graft.TextAnalysisCols.wsTokens(lower(content))
-    val base = Scale.ensureParallelism(df).select(id.as("doc_id"),
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-        .otherwise(array().cast("array<string>")).as("ngrams"))
-    val inst = base.select(col("doc_id"), explode(col("ngrams")).as("s"))
-    val dfreq = inst.distinct()
-      .groupBy("s").agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= minDocs)
-    val dup = inst.join(dfreq.select("s"), "s")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
-    base.select(col("doc_id"), size(col("ngrams")).cast("long").as("n_ngrams"))
+    // one fused tokenize+hash kernel per row (positional, multiplicity
+    // kept); cached because the frame feeds both the instance pipeline
+    // and the per-doc totals — (id, long-array) rows, narrow
+    val base = OpCache.cache(Scale.ensureParallelism(df)
+      .select(id.as("doc_id"),
+        graft.functions.TextHashExprs.ngramHashInstances(content, n).as("hs")))
+    // per-(doc, ngram-hash) instance counts: one shuffle yields both
+    // the per-doc multiplicities and the distinct doc-ngram pairs
+    val perDoc = base.select(col("doc_id"), explode(col("hs")).as("h"))
+      .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
+    val dupSet = perDoc.groupBy("h").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= minDocs).select("h")
+    val dup = perDoc.join(dupSet, "h")
+      .groupBy("doc_id").agg(sum("cnt").as("n_dup"))
+    base.select(col("doc_id"),
+        coalesce(size(col("hs")).cast("long"), lit(0L)).as("n_ngrams"))
       .join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_ngrams"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"))
