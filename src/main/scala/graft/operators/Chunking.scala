@@ -74,7 +74,9 @@ object Chunking {
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("doc_freq")).as("sum_df"),
         sum(when(col("doc_freq") < minDf, 1L).otherwise(0L)).as("n_oov"))
-    base.select(col("doc_id"))
+    // id-only projection (column-pruned scan) — re-deriving doc ids
+    // from `base` would tokenize the corpus a second time
+    df.select(id.as("doc_id"))
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),

@@ -374,8 +374,10 @@ object Similarity {
                centroids: Array[Array[Double]],
                threshold: Double = 0.95): DataFrame = {
     import graft.functions.VectorExprs.nearestCentroids
-    val v = withNorm(df, id, vec)
-      .withColumn("cell", element_at(nearestCentroids(col("vec"), centroids, 1), 1))
+    // cached: referenced by both pair sides and the final projection —
+    // without it the assignment kernel runs three times per row
+    val v = OpCache.cache(withNorm(df, id, vec)
+      .withColumn("cell", element_at(nearestCentroids(col("vec"), centroids, 1), 1)))
     val a = v.as("a")
     val b = v.as("b")
     val dropped = a.join(b, col("a.cell") === col("b.cell") && col("a.id") > col("b.id"))
