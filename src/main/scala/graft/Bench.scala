@@ -56,6 +56,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String): Double = {
+      // Untimed collection first: 40+ queries share one heap, and
+      // without it whichever allocation-heavy query runs late in the
+      // sequence pays the accumulated garbage of every query before
+      // it (observed as a floating ~10 s full-GC tax that moves
+      // between queries across otherwise-identical runs). GC cost a
+      // query causes ITSELF still lands inside its own timing.
+      System.gc()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

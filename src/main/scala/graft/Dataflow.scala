@@ -138,6 +138,8 @@ object Dataflow {
               df.select(col("*") +: TextAnalysisCols.gopherFeatures(c): _*)
             case "gopher_rep" =>
               df.select(col("*") +: TextAnalysisCols.gopherRepFeatures(c): _*)
+            case "script" =>
+              df.select(col("*") +: TextAnalysisCols.scriptProfile(c): _*)
             case other =>
               throw new IllegalArgumentException(
                 s"text_analysis '${s.name}': unknown analysis '$other'")
@@ -179,6 +181,20 @@ object Dataflow {
               throw new IllegalArgumentException(s"ann '${s.name}': unknown method '$other'")
           }
           frames + (s.output -> out)
+        case s: ClassifySpec =>
+          import org.apache.spark.sql.functions.col
+          val weights = s.weightsPath
+            .map(p => Scoring.loadWeights(spark, p, s.buckets))
+            .getOrElse(Scoring.syntheticWeights(s.buckets))
+          frames + (s.output -> Scoring.classifyQuality(
+            in, col(s.contentCol), weights, s.bias, s.threshold))
+        case s: VersionDeltaSpec =>
+          import org.apache.spark.sql.functions.col
+          val neu = frames.getOrElse(s.newInput,
+            throw new IllegalArgumentException(
+              s"version_delta '${s.name}': unknown new input '${s.newInput}'"))
+          frames + (s.output -> Versioning.delta(in, neu,
+            col(s.idCol), col(s.contentCol), col(s.idCol), col(s.contentCol)))
         case s: FamiliaritySpec =>
           import org.apache.spark.sql.functions.col
           frames + (s.output -> Chunking.lexicalFamiliarity(

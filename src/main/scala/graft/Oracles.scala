@@ -1283,7 +1283,78 @@ object Oracles {
     "decontaminate" -> decontaminateOracle,
     // the bloom prefilter is result-identical to the exact operator
     // by construction (no false negatives + exact rescore) — same oracle
-    "decontaminate_bloom" -> decontaminateOracle)
+    "decontaminate_bloom" -> decontaminateOracle,
+
+    // hashed linear quality classifier: md5-prefix bucket (the shared
+    // hashBucket formula, over the raw token) → synthetic pretrained
+    // integer weights w(b) = (b·2654435761) mod 1997 − 998, bias 3;
+    // integer sums are order-free so the logit is cross-engine exact
+    "quality_classifier" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(3 + COALESCE(list_sum(list_transform(toks, t ->
+        |      ((CAST(('0x' || substr(md5(t), 1, 6)) AS BIGINT) % 4096)
+        |        * 2654435761) % 1997 - 998)), 0) AS BIGINT) AS logit
+        |  FROM d)
+        |SELECT doc_id, logit, logit > 0 AS keep FROM s""".stripMargin,
+
+    // Unicode script profile over decorated text (snippet list and
+    // \x{…} class patterns shared verbatim with the Column tree)
+    "text_script" -> textScriptOracle,
+
+    // corpus version delta: full outer join on id, md5 content compare
+    "corpus_delta" ->
+      """WITH neu AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 1 THEN text || ' [rev2]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    'new page ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id % 19 = 2),
+        |o AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+        |n AS (SELECT doc_id, md5(text) AS new_hash FROM neu)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash = new_hash THEN 'unchanged'
+        |       ELSE 'updated' END AS status,
+        |  old_hash, new_hash
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin)
+
+  /** Script-profile oracle, generated from the same ScriptClasses /
+    * ScriptSnippets constants the Spark query uses — one source of
+    * truth for patterns and snippet order. */
+  private lazy val textScriptOracle: String = {
+    val snippets = Queries.ScriptSnippets.map(s => s"'$s'").mkString("[", ", ", "]")
+    val classes = TextAnalysisCols.ScriptClasses
+    val countCols = classes.map { case (n, cls) =>
+      s"CAST(length(t) - length(regexp_replace(t, '$cls', '', 'g')) AS BIGINT) AS n_$n"
+    }.mkString(",\n    ")
+    val names = classes.map(_._1)
+    val m = names.map(n => s"n_$n").mkString("GREATEST(", ", ", ")")
+    val mainCase = names.map(n =>
+      s"WHEN n_$n > 0 AND n_$n = $m THEN '$n'").mkString("CASE ", " ", " ELSE 'none' END")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    text || ($snippets)[CAST(doc_id % 5 + 1 AS INT)] AS t
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    $countCols,
+       |    CAST(length(regexp_replace(t, '\\s', '', 'g')) AS BIGINT) AS n_nonspace
+       |  FROM d)
+       |SELECT doc_id, ${names.map(n => s"n_$n").mkString(", ")}, n_nonspace,
+       |  $mainCase AS main_script,
+       |  CASE WHEN ($mainCase) = 'none' THEN 0.0
+       |       ELSE CAST($m AS DOUBLE) / CAST(n_nonspace AS DOUBLE) END AS main_frac
+       |FROM c""".stripMargin
+  }
 
   private lazy val decontaminateOracle: String = {
     val lowTokens =

@@ -937,6 +937,43 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
   }
 
+  /** Hashed linear quality classifier (fastText-style serving path):
+    * 4096-bucket synthetic pretrained weights, integer logits. */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame =
+    operators.Scoring.classifyQuality(t(s, dir, "documents"), col("text"),
+        operators.Scoring.syntheticWeights(4096), bias = 3L)
+      .select("doc_id", "logit", "keep")
+
+  /** Unicode decoration snippets for the script-profile query: the
+    * synthetic corpus is ASCII, so per doc_id%5 a non-Latin phrase is
+    * appended to exercise every script class (index 1 = no snippet). */
+  private[graft] val ScriptSnippets: Seq[String] = Seq(
+    "", " Привет мир", " 你好世界 です", " مرحبا بالعالم", " γειά σου κόσμε")
+
+  /** Per-document Unicode script profile over decorated text. */
+  def textScript(s: SparkSession, dir: String): DataFrame = {
+    val dec = concat(col("text"),
+      element_at(typedLit(ScriptSnippets), (col("doc_id") % 5 + 1).cast("int")))
+    t(s, dir, "documents").select(
+      col("doc_id") +: TextAnalysisCols.scriptProfile(dec): _*)
+  }
+
+  /** Corpus version delta: documents vs a synthetic next crawl
+    * (every 17th page gone, every 13th revised, every 19th spawning
+    * a brand-new page). */
+  def corpusDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val neu = docs.filter(col("doc_id") % 17 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 1, concat(col("text"), lit(" [rev2]")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 19 === 2)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("new page "), col("doc_id").cast("string")).as("text")))
+    operators.Versioning.delta(docs, neu,
+      col("doc_id"), col("text"), col("doc_id"), col("text"))
+  }
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -1024,5 +1061,8 @@ object Queries {
     "decontaminate" -> decontaminateQ _,
     "decontaminate_bloom" -> decontaminateBloomQ _,
     "pipeline_docs" -> pipelineDocs _,
-    "pipeline_docs_v2" -> pipelineDocsV2 _)
+    "pipeline_docs_v2" -> pipelineDocsV2 _,
+    "quality_classifier" -> qualityClassifier _,
+    "text_script" -> textScript _,
+    "corpus_delta" -> corpusDelta _)
 }

@@ -225,4 +225,51 @@ object TextAnalysisCols {
       topShare.as("top_bigram_char_frac"),
       keep.as("rep_keep"))
   }
+
+  /** Unicode script classes for [[scriptProfile]]: name → character
+    * class, in dominant-script tie-break order. Ranges are BMP-only
+    * and written `\x{…}` — the hex-escape syntax Java and RE2 share,
+    * so the DuckDB oracle uses the identical pattern strings. */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]",
+    "cjk" -> "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]")
+
+  /** Count of characters of `c` matching regex class `cls` — the
+    * strip-and-diff formulation (`len(s) − len(s without cls)`) that
+    * DuckDB reproduces verbatim. */
+  private def charClassCount(c: Column, cls: String): Column =
+    (length(c) - length(regexp_replace(c, cls, ""))).cast("long")
+
+  /**
+   * SCRIPT PROFILE — per-document Unicode script composition: the
+   * character count per script class, the dominant script (most
+   * characters; ties break in [[ScriptClasses]] order; no script
+   * characters at all → "none"), and the dominant script's fraction
+   * of non-whitespace characters. Language-ID by stopwords
+   * ([[langId]]) only works within an alphabet; script detection is
+   * the coarse routing step before it (a Cyrillic document should
+   * never reach an English quality model), and a high "other"
+   * fraction is itself a junk signal (mojibake, binary spill).
+   *
+   * One codegen'd pass, zero shuffle — at 100 TB this rides the same
+   * scan as every other text gate.
+   */
+  def scriptProfile(c: Column): Seq[Column] = {
+    val counts = ScriptClasses.map { case (n, cls) => n -> charClassCount(c, cls) }
+    val wsCount = (length(c) - length(regexp_replace(c, "\\s", ""))).cast("long")
+    val total = (length(c) - wsCount) // non-whitespace characters
+    val maxCount = greatest(counts.map(_._2): _*)
+    val main = counts.foldRight(lit("none")) { case ((name, cnt), els) =>
+      when(cnt > 0 && cnt === maxCount, lit(name)).otherwise(els)
+    }
+    val mainFrac = when(total === 0, lit(0.0))
+      .otherwise(maxCount.cast("double") / total.cast("double"))
+    counts.map { case (n, cnt) => cnt.as(s"n_$n") } ++ Seq(
+      total.as("n_nonspace"),
+      main.as("main_script"),
+      when(main === "none", lit(0.0)).otherwise(mainFrac).as("main_frac"))
+  }
 }

@@ -139,6 +139,19 @@ object MetaLoader {
           nprobe = p.path("nprobe").asInt(0),
           codebookPath = optStr(p, "codebook_path"),
           threshold = p.path("threshold").asDouble(0.95))
+      case "classify" =>
+        ClassifySpec(name, input, output,
+          contentCol = str(p, "content", "text"),
+          buckets = p.path("buckets").asInt(4096),
+          bias = p.path("bias").asLong(0L),
+          threshold = p.path("threshold").asLong(0L),
+          weightsPath = optStr(p, "weights_path"))
+      case "version_delta" =>
+        VersionDeltaSpec(name, input,
+          newInput = str(p, "new_input"),
+          output = output,
+          idCol = str(p, "id", "doc_id"),
+          contentCol = str(p, "content", "text"))
       case "familiarity" =>
         FamiliaritySpec(name, input, output,
           contentCol = str(p, "content", "text"),

@@ -252,6 +252,39 @@ final case class AnnSpec(
   extends TransformSpec
 
 /**
+ * graft extension: hashed linear quality-classifier scoring
+ * (fastText-style model serving). Weights load from `weightsPath`
+ * (a parquet/csv of (bucket, weight) written at training time) or
+ * fall back to the deterministic synthetic stand-in model for demo
+ * flows. Adds integer `logit` and boolean `keep` columns.
+ */
+final case class ClassifySpec(
+    name: String,
+    input: String,
+    output: String,
+    contentCol: String = "text",
+    buckets: Int = 4096,
+    bias: Long = 0L,
+    threshold: Long = 0L,
+    weightsPath: Option[String] = None)
+  extends TransformSpec
+
+/**
+ * graft extension: corpus version delta — classify ids across two
+ * named frames (old vs new snapshot) as added / removed / updated /
+ * unchanged by content hash. Output frame: (doc_id, status,
+ * old_hash, new_hash).
+ */
+final case class VersionDeltaSpec(
+    name: String,
+    input: String,
+    newInput: String,
+    output: String,
+    idCol: String = "doc_id",
+    contentCol: String = "text")
+  extends TransformSpec
+
+/**
  * graft extension: per-document lexical familiarity vs the corpus'
  * own vocabulary — instance-weighted mean token document frequency
  * and OOV rate (token df < minDf). Output frame:

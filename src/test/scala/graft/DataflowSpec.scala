@@ -431,6 +431,39 @@ class DataflowSpec extends SparkSpecBase {
     assert(frames("t_out").count() === 42)
   }
 
+  test("metadata reach: classify, version_delta, script analysis") {
+    val spec =
+      s"""{"dataflows":[{"name":"r5",
+         |  "sources":[
+         |    {"name":"docs","path":"${sf()}/documents.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"old_docs","type":"filter","params":{
+         |      "input":"docs","output":"olds","condition":"doc_id % 2 = 0"}},
+         |    {"name":"scored","type":"classify","params":{
+         |      "input":"docs","output":"scoredc","buckets":512,"bias":2}},
+         |    {"name":"delta","type":"version_delta","params":{
+         |      "input":"olds","new_input":"docs","output":"deltac"}},
+         |    {"name":"scripts","type":"text_analysis","params":{
+         |      "input":"docs","output":"scriptc","analyses":["script"]}}
+         |  ],"sinks":[]}]}""".stripMargin
+    val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("r5"))
+    val docs = frames("docs")
+    // classify == direct operator call with the same synthetic model
+    val direct = graft.operators.Scoring.classifyQuality(
+      docs, col("text"), graft.operators.Scoring.syntheticWeights(512), bias = 2L)
+      .select("doc_id", "logit").collect().toSet
+    assert(frames("scoredc").select("doc_id", "logit").collect().toSet === direct)
+    // every doc in `docs` but not in `olds` must be "added"; evens unchanged
+    val st = frames("deltac").groupBy("status").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st("added") === docs.filter(col("doc_id") % 2 === 1).count())
+    assert(st("unchanged") === docs.filter(col("doc_id") % 2 === 0).count())
+    assert(!st.contains("removed") && !st.contains("updated"))
+    // script analysis appends the profile columns
+    assert(frames("scriptc").columns.toSeq.takeRight(3) ===
+      Seq("n_nonspace", "main_script", "main_frac"))
+  }
+
   test("RunPipeline stage summary: one [stage] line per source + output, with counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_verbose").toString
     Seq("""{"id":1,"v":"x"}""", """{"id":2,"v":""}""")
