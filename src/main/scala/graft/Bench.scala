@@ -27,7 +27,7 @@ object Bench {
     "q_events_hourly", "q_sessions", "q_event_pivot",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_incremental",
-    "sim_topk", "sim_lsh", "sim_ivf", "sim_cross",
+    "sim_topk", "sim_lsh", "sim_ivf", "sim_pq", "sim_cross",
     "text_quality", "field_stats", "validate_ok",
     "multimodal_meta", "sample_stratified", "pack_sequences", "decontaminate",
     "text_redact", "text_chunks", "vocab_df", "search_bm25", "mix_sqrt",
@@ -35,6 +35,7 @@ object Bench {
     "strip_boilerplate", "dedup_paragraph", "shuffle_order",
     "text_gopher", "c4_clean", "decontaminate_bloom",
     "semdedup", "dup_ngram_coverage", "text_familiarity",
+    "quality_classifier", "text_script", "corpus_delta",
     "pipeline_docs", "pipeline_docs_v2", "pipeline_docs_v3")
 
   def main(args: Array[String]): Unit = {

@@ -168,6 +168,18 @@ object Dataflow {
                 s.codebookPath.map(Similarity.loadCentroids))
             case "brute" =>
               Similarity.bruteForceTopK(in, in, idC, vecC, s.k)
+            case "ivf_pq" =>
+              // both codebooks are train-once artifacts; paths load
+              // them, absence trains here (same sizing as `ivf`)
+              val cells = s.codebookPath.map(Similarity.loadCentroids).getOrElse {
+                val lists = if (s.nlist > 0) s.nlist
+                  else math.max(16, math.ceil(math.sqrt(Scale.estimatedRows(in))).toInt)
+                Similarity.trainKmeans(in, idC, vecC, lists)
+              }
+              val pq = s.pqPath.map(Similarity.loadPqCodebook)
+                .getOrElse(Similarity.trainPqCodebook(in, idC, vecC))
+              val probes = if (s.nprobe > 0) s.nprobe else math.max(4, cells.length / 8)
+              Similarity.ivfPqTopK(in, idC, vecC, s.k, probes, cells, pq)
             case "semdedup" =>
               // codebook from the persisted artifact when given, else
               // trained here (same auto-sizing as ivfTopK)

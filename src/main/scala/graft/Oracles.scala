@@ -505,6 +505,69 @@ object Oracles {
         |        (PARTITION BY id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank" FROM sc)
         |SELECT id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 10""".stripMargin,
 
+    // IVF-PQ: the sim_ivf skeleton (pinned 32-anchor coarse cells,
+    // 4-cell probe) plus product quantization — a pinned 16-anchor
+    // codebook cut into 8 subspaces; per-subspace argmin encoding
+    // (ordered Σdiff² folds, ties → lowest pid), decode to the
+    // reconstructed vector, and flat-fold ADC distance — each step
+    // the exact arithmetic of PqEncode/PqDecode/VecSqDist.
+    "sim_pq" ->
+      """WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS ss FROM w),
+        |u AS (SELECT vec_id, v,
+        |        CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0/sqrt(ss)))
+        |             ELSE v END AS uv
+        |      FROM n),
+        |cent AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |         CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0/sqrt(ss)))
+        |              ELSE v END AS c
+        |  FROM (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS ss
+        |        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |              WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 32))),
+        |panch AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS pid,
+        |         CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0/sqrt(ss)))
+        |              ELSE v END AS c
+        |  FROM (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS ss
+        |        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |              WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 16))),
+        |asg AS (
+        |  SELECT u.vec_id, cent.cid,
+        |    list_sum(list_transform(generate_series(1, len(u.uv)),
+        |      i -> (u.uv[i] - cent.c[i]) * (u.uv[i] - cent.c[i]))) AS d2
+        |  FROM u, cent),
+        |pr AS (SELECT vec_id, cid, ROW_NUMBER() OVER
+        |         (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS p FROM asg),
+        |enc0 AS (
+        |  SELECT u.vec_id, sp.s, panch.pid,
+        |    list_sum(list_transform(generate_series(1, 8),
+        |      j -> (u.uv[sp.s*8 + j] - panch.c[sp.s*8 + j])
+        |         * (u.uv[sp.s*8 + j] - panch.c[sp.s*8 + j]))) AS d2
+        |  FROM u, generate_series(0, 7) AS sp(s), panch),
+        |enc1 AS (SELECT vec_id, s, pid, ROW_NUMBER() OVER
+        |           (PARTITION BY vec_id, s ORDER BY d2 ASC, pid ASC) AS rn FROM enc0),
+        |codes AS (SELECT vec_id, list(pid ORDER BY s) AS code
+        |          FROM enc1 WHERE rn = 1 GROUP BY vec_id),
+        |rv AS (
+        |  SELECT codes.vec_id,
+        |    list_transform(generate_series(1, 64),
+        |      i -> cbl.cb[codes.code[((i-1)//8)+1] + 1][i]) AS rv
+        |  FROM codes, (SELECT list(c ORDER BY pid) AS cb FROM panch) cbl),
+        |cand AS (
+        |  SELECT q.vec_id AS id, d.vec_id AS neighbor_id
+        |  FROM pr q JOIN pr d ON q.cid = d.cid AND d.p = 1 AND q.p <= 4
+        |   AND q.vec_id <> d.vec_id),
+        |adc AS (
+        |  SELECT cand.id, cand.neighbor_id,
+        |    list_sum(list_transform(generate_series(1, 64),
+        |      i -> (qu.uv[i] - rv.rv[i]) * (qu.uv[i] - rv.rv[i]))) AS adc_dist
+        |  FROM cand JOIN u qu ON qu.vec_id = cand.id
+        |            JOIN rv ON rv.vec_id = cand.neighbor_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY id ORDER BY adc_dist ASC, neighbor_id ASC) AS "rank" FROM adc)
+        |SELECT id, neighbor_id, adc_dist, "rank" FROM r WHERE "rank" <= 10""".stripMargin,
+
     // SemDeDup: same pinned codebook + assignment as sim_ivf; a row
     // is dropped when a strictly-lower-id same-cell neighbor sits at
     // cosine >= 0.4.

@@ -455,11 +455,11 @@ object Queries {
     * uses at assignment time — so the DuckDB oracle can rebuild the
     * identical codebook from the parquet and the whole serve path is
     * cross-engine-exact. Bounded driver collect (32 rows). */
-  private def ivfAnchorCodebook(e: DataFrame): Array[Array[Double]] =
+  private def ivfAnchorCodebook(e: DataFrame, n: Int = 32): Array[Array[Double]] =
     e.select(col("vec_id").cast("long").as("id"),
         col("embedding").cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
-      .orderBy(col("id")).limit(32)
+      .orderBy(col("id")).limit(n)
       .collect().map { r =>
         val v = r.getSeq[Double](1).toArray
         var sq = 0.0; var j = 0
@@ -937,6 +937,25 @@ object Queries {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
   }
 
+  /** Pinned PQ codebook for the catalog's IVF-PQ query: the 16
+    * lowest-id unit vectors cut into 8 subspaces — the same
+    * data-derived train-once shape as [[ivfAnchorCodebook]], so the
+    * DuckDB oracle rebuilds it from the parquet exactly. */
+  private def pqAnchorCodebook(e: DataFrame, m: Int = 8): Array[Array[Array[Double]]] = {
+    val anchors = ivfAnchorCodebook(e, 16)
+    val dsub = anchors(0).length / m
+    Array.tabulate(m)(s =>
+      anchors.map(a => java.util.Arrays.copyOfRange(a, s * dsub, (s + 1) * dsub)))
+  }
+
+  /** IVF-PQ ANN top-k: pinned 32-cell coarse quantizer + pinned
+    * 8×16 PQ codebook, 4-cell probe, ADC scoring. */
+  def simPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfPqTopK(e, col("vec_id"), col("embedding"), k = 10,
+      nprobe = 4, cells = ivfAnchorCodebook(e), pq = pqAnchorCodebook(e))
+  }
+
   /** Hashed linear quality classifier (fastText-style serving path):
     * 4096-bucket synthetic pretrained weights, integer logits. */
   def qualityClassifier(s: SparkSession, dir: String): DataFrame =
@@ -1064,5 +1083,6 @@ object Queries {
     "pipeline_docs_v2" -> pipelineDocsV2 _,
     "quality_classifier" -> qualityClassifier _,
     "text_script" -> textScript _,
-    "corpus_delta" -> corpusDelta _)
+    "corpus_delta" -> corpusDelta _,
+    "sim_pq" -> simPq _)
 }

@@ -362,6 +362,149 @@ object VectorExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /**
+   * Product-quantization ENCODE: the input UNIT vector is cut into
+   * `m` equal subspaces; in each, the nearest (Σdiff², ascending-j
+   * fold, ties → lowest index) of the codebook's `anchors` — full-dim
+   * vectors sliced per subspace — becomes that subspace's code.
+   * Output: array<int> of length m (8 codes ≈ the classic 8-byte PQ
+   * word; stored instead of the 256-byte float vector — the 100 TB
+   * memory story of PQ). The codebook is an expression constant:
+   * broadcast once inside the plan, never a join.
+   */
+  case class PqEncode(child: Expression, cb: Array[Array[Array[Double]]])
+      extends UnaryExpression with CodegenFallback {
+    require(cb.nonEmpty && cb.forall(s => s.nonEmpty && s.forall(_.length == s(0).length)),
+      "codebook must be m × ksub × dsub")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    private lazy val et = elemType(child.dataType)
+    private val m = cb.length
+    private val dsub = cb(0)(0).length
+    private val dim = m * dsub
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() < dim) return null
+      val codes = new Array[Int](m)
+      var s = 0
+      while (s < m) {
+        val sub = cb(s)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < sub.length) {
+          val cen = sub(c)
+          var d2 = 0.0
+          var j = 0
+          while (j < dsub) {
+            val g = s * dsub + j
+            if (a.isNullAt(g)) return null
+            val diff = getD(a, et, g) - cen(j)
+            d2 += diff * diff
+            j += 1
+          }
+          if (d2 < bestD) { bestD = d2; best = c }
+          c += 1
+        }
+        codes(s) = best
+        s += 1
+      }
+      ArrayData.toArrayData(codes)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /**
+   * Product-quantization DECODE: codes (array<int>, length m) → the
+   * reconstructed quantized vector rv, rv[i] = anchors[code[i/dsub]][i].
+   * Pure indexing, no arithmetic — ADC distance against rv is then an
+   * ordinary Σdiff² ([[VecSqDist]]), whose flat fold the DuckDB
+   * oracle replicates exactly.
+   */
+  case class PqDecode(child: Expression, cb: Array[Array[Array[Double]]])
+      extends UnaryExpression with CodegenFallback {
+    require(cb.nonEmpty && cb.forall(s => s.nonEmpty && s.forall(_.length == s(0).length)))
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullable: Boolean = true
+    private val m = cb.length
+    private val dsub = cb(0)(0).length
+    private val dim = m * dsub
+
+    override def nullSafeEval(v: Any): Any = {
+      val a = v.asInstanceOf[ArrayData]
+      if (a.numElements() < m) return null
+      val rv = new Array[Double](dim)
+      var s = 0
+      while (s < m) {
+        val c = a.getInt(s)
+        if (c < 0 || c >= cb(s).length) return null
+        val cen = cb(s)(c)
+        var j = 0
+        while (j < dsub) { rv(s * dsub + j) = cen(j); j += 1 }
+        s += 1
+      }
+      ArrayData.toArrayData(rv)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Σ (aᵢ−bᵢ)² — squared L2 distance, one flat left-to-right fold
+    * (bit-identical to `list_sum(list_transform(...))` in DuckDB).
+    * The ADC scoring kernel of the PQ path; codegen'd like VecDot. */
+  case class VecSqDist(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    private lazy val etL = elemType(left.dataType)
+    private lazy val etR = elemType(right.dataType)
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val d = getD(a, etL, i) - getD(b, etR, i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      def get(arr: String, et: DataType, i: String) = et match {
+        case FloatType => s"(double) $arr.getFloat($i)"
+        case _         => s"$arr.getDouble($i)"
+      }
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |  double $d = ${get(a, etL, i)} - ${get(b, etR, i)};
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // -- Column API ------------------------------------------------------
 
   private def e(c: Column) = GraftBridge.expression(c)
@@ -376,4 +519,10 @@ object VectorExprs {
     GraftBridge.column(SortedLongIntersectCount(e(a), e(b)))
   def nearestCentroids(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     GraftBridge.column(NearestCentroids(e(vec), centroids, nprobe))
+  def pqEncode(vec: Column, cb: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(PqEncode(e(vec), cb))
+  def pqDecode(codes: Column, cb: Array[Array[Array[Double]]]): Column =
+    GraftBridge.column(PqDecode(e(codes), cb))
+  def vecSqDist(a: Column, b: Column): Column =
+    GraftBridge.column(VecSqDist(e(a), e(b)))
 }

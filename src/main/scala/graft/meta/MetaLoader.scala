@@ -138,6 +138,7 @@ object MetaLoader {
           nlist = p.path("nlist").asInt(0),
           nprobe = p.path("nprobe").asInt(0),
           codebookPath = optStr(p, "codebook_path"),
+          pqPath = optStr(p, "pq_path"),
           threshold = p.path("threshold").asDouble(0.95))
       case "classify" =>
         ClassifySpec(name, input, output,

@@ -248,6 +248,7 @@ final case class AnnSpec(
     nlist: Int = 0,
     nprobe: Int = 0,
     codebookPath: Option[String] = None,
+    pqPath: Option[String] = None,
     threshold: Double = 0.95)
   extends TransformSpec
 

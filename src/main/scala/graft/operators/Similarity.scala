@@ -158,7 +158,21 @@ object Similarity {
    */
   def trainKmeans(df: DataFrame, id: Column, vec: Column, nlist: Int,
                   trainSize: Int = 10000, iters: Int = 10): Array[Array[Double]] = {
-    val sample = df.select(id.cast("long").as("id"), vec.cast("array<double>").as("v"))
+    val sample = normalizedSample(df, id, vec, trainSize)
+    require(sample.nonEmpty, "empty training sample")
+    val k = math.min(nlist, sample.length)
+    if (k < nlist)
+      System.err.println(s"[graft] trainKmeans: nlist=$nlist clamped to sample size $k " +
+        s"(raise trainSize for the documented n/sqrt(n) cell geometry)")
+    lloyd(sample, k, iters)
+  }
+
+  /** Bounded driver-side training sample: lowest-id `trainSize`
+    * vectors, L2-normalized with the inv-multiply arithmetic every
+    * assignment path shares. */
+  private def normalizedSample(df: DataFrame, id: Column, vec: Column,
+                               trainSize: Int): Array[Array[Double]] =
+    df.select(id.cast("long").as("id"), vec.cast("array<double>").as("v"))
       .filter(col("v").isNotNull) // null vectors: skip, like every scoring path
       .orderBy(col("id")).limit(trainSize)
       .collect().map { r =>
@@ -169,11 +183,11 @@ object Similarity {
           while (j < v.length) { v(j) *= inv; j += 1 } }
         v
       }
-    require(sample.nonEmpty, "empty training sample")
-    val k = math.min(nlist, sample.length)
-    if (k < nlist)
-      System.err.println(s"[graft] trainKmeans: nlist=$nlist clamped to sample size $k " +
-        s"(raise trainSize for the documented n/sqrt(n) cell geometry)")
+
+  /** Deterministic chunk-parallel Lloyd iterations over an in-memory
+    * sample (see [[trainKmeans]] for the determinism argument). */
+  private def lloyd(sample: Array[Array[Double]], k: Int,
+                    iters: Int): Array[Array[Double]] = {
     val dim = sample(0).length
     var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
     // fixed chunk size: the per-chunk double partial sums group the FP
@@ -285,6 +299,99 @@ object Similarity {
         when(col("qnorm") * col("norm") === 0.0, lit(0.0))
           .otherwise(dot(col("qvec"), col("vec")) /
             (col("qnorm") * col("norm"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /**
+   * Train a PRODUCT-QUANTIZATION codebook: the unit-normalized
+   * training sample is cut into `m` equal subspaces and an
+   * independent [[lloyd]] k-means (ksub centroids) runs in each —
+   * the classic PQ construction (Jégou et al., TPAMI'11). Returns
+   * cb[m][ksub][dim/m]. Same train-once/serve-forever shape as the
+   * IVF codebook ([[savePqCodebook]]/[[loadPqCodebook]]).
+   */
+  def trainPqCodebook(df: DataFrame, id: Column, vec: Column,
+                      m: Int = 8, ksub: Int = 16,
+                      trainSize: Int = 10000, iters: Int = 10): Array[Array[Array[Double]]] = {
+    val sample = normalizedSample(df, id, vec, trainSize)
+    require(sample.nonEmpty, "empty training sample")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    val k = math.min(ksub, sample.length)
+    Array.tabulate(m) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      lloyd(sub, k, iters)
+    }
+  }
+
+  /** Persist / load a PQ codebook (CSV: `subspace,centroid,v0,v1,…`). */
+  def savePqCodebook(path: String, cb: Array[Array[Array[Double]]]): Unit = {
+    val sb = new StringBuilder
+    for (s <- cb.indices; c <- cb(s).indices)
+      sb.append(s).append(',').append(c).append(',')
+        .append(cb(s)(c).mkString(",")).append('\n')
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
+  def loadPqCodebook(path: String): Array[Array[Array[Double]]] = {
+    val rows = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      .toArray(Array.empty[String]).filter(_.nonEmpty)
+      .map { l =>
+        val p = l.split(",")
+        (p(0).toInt, p(1).toInt, p.drop(2).map(_.toDouble))
+      }
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, cs) =>
+      cs.sortBy(_._2).map(_._3)
+    }.toArray
+  }
+
+  /**
+   * IVF-PQ ANN top-k — the composition that actually serves
+   * billion-vector corpora: IVF cells bound the candidate set
+   * (`nprobe` cells per query) and PRODUCT QUANTIZATION compresses
+   * every candidate to an `m`-byte-scale code (8 ints here vs 256
+   * bytes of floats — the index fits in memory at 100 TB where raw
+   * vectors cannot). Scoring is ASYMMETRIC DISTANCE COMPUTATION: the
+   * exact query vector against the candidate's quantized
+   * reconstruction, `adc_dist = ‖q − decode(code)‖²` (on unit
+   * vectors, cos ≈ 1 − adc/2, so ascending adc IS descending
+   * cosine). Output: (id, neighbor_id, adc_dist, rank 1..k).
+   *
+   * Plan shape: both encode (corpus side) and probe (query side) are
+   * scan-side native expressions; candidates are ONE hash shuffle
+   * keyed by cell id; the shuffle payload is the 8-int code, never a
+   * float vector. Codebooks are expression constants (no join, no
+   * broadcast state). Approximation is two-layer (cell recall ×
+   * quantization error) — rescore survivors with exact vectors
+   * downstream when serving demands it.
+   */
+  def ivfPqTopK(df: DataFrame, id: Column, vec: Column, k: Int = 10,
+                nprobe: Int = 4,
+                cells: Array[Array[Double]],
+                pq: Array[Array[Array[Double]]]): DataFrame = {
+    import graft.functions.VectorExprs.{nearestCentroids, pqEncode, pqDecode, vecSqDist}
+    val vd = vec.cast("array<double>")
+    val ss = aggregate(vd, lit(0.0), (a, x) => a + x * x)
+    // unit vector with the shared inv-multiply arithmetic (oracle
+    // replicates: x * (1.0/sqrt(ss)))
+    val uv = when(ss > 0.0, transform(vd, x => x * (lit(1.0) / sqrt(ss))))
+      .otherwise(vd)
+    val base = Scale.ensureParallelism(df)
+      .select(id.as("id"), vd.as("v"), uv.as("uv"))
+    val data = base.select(col("id"),
+      pqEncode(col("uv"), pq).as("code"),
+      element_at(nearestCentroids(col("v"), cells, 1), 1).as("cell"))
+    val queries = base.select(col("id").as("qid"), col("uv").as("quv"),
+      explode(nearestCentroids(col("v"), cells, nprobe)).as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    queries.join(data, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid").as("id"), col("id").as("neighbor_id"),
+        vecSqDist(col("quv"), pqDecode(col("code"), pq)).as("adc_dist"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }

