@@ -45,7 +45,10 @@ object MetaLoader {
       paths = strArr(n, "paths"),
       format = str(n, "format", "json").toLowerCase,
       saveMode = str(n, "saveMode", "overwrite").toLowerCase,
-      partitionBy = strArr(n, "partitionBy"))
+      partitionBy = strArr(n, "partitionBy"),
+      layout = str(n, "layout", "none").toLowerCase,
+      layoutKeys = strArr(n, "layoutKeys"),
+      layoutPartitions = n.path("layoutPartitions").asInt(0))
 
   private def parseTransform(n: JsonNode): TransformSpec = {
     val name = str(n, "name")

@@ -37,7 +37,10 @@ final case class SinkSpec(
     paths: Seq[String],
     format: String,
     saveMode: String,
-    partitionBy: Seq[String] = Nil)
+    partitionBy: Seq[String] = Nil,
+    layout: String = "none",           // none | range | zorder
+    layoutKeys: Seq[String] = Nil,
+    layoutPartitions: Int = 0)
 
 sealed trait TransformSpec {
   def name: String

@@ -17,6 +17,22 @@ import org.apache.spark.sql.functions._
 object Writers {
 
   def write(df: DataFrame, spec: SinkSpec): Unit = {
+    // data-skipping layouts (declarative reach for Scale's file-layout
+    // writers): cluster files by key range / Morton curve so parquet
+    // footer stats prune for downstream readers
+    if (spec.layout == "range" || spec.layout == "zorder") {
+      require(spec.layoutKeys.nonEmpty && spec.layoutPartitions >= 1,
+        s"sink '${spec.name}': layout '${spec.layout}' needs layoutKeys + layoutPartitions")
+      spec.paths.foreach { path =>
+        if (spec.layout == "range")
+          graft.operators.Scale.writeRangeLayout(df, path, spec.layoutKeys,
+            spec.layoutPartitions, spec.format)
+        else
+          graft.operators.Scale.writeZOrder(df, path, spec.layoutKeys,
+            spec.layoutPartitions, format = spec.format)
+      }
+      return
+    }
     val prepared = if (spec.format == "csv") flattenArraysForCsv(df) else df
     spec.paths.foreach { path =>
       val w = prepared.write.mode(spec.saveMode).format(spec.format)

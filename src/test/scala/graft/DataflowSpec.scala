@@ -451,6 +451,26 @@ class DataflowSpec extends SparkSpecBase {
     graft.operators.OpCache.releaseAll()
   }
 
+  test("metadata sink: zorder layout clusters files on both keys") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zsink").toString
+    val spec =
+      s"""{"dataflows":[{"name":"r5z",
+         |  "sources":[
+         |    {"name":"ord","path":"${sf()}/orders.parquet","format":"parquet"}],
+         |  "transformations":[],
+         |  "sinks":[{"input":"ord","name":"zsink","paths":["$tmp/z"],
+         |    "format":"parquet","saveMode":"overwrite",
+         |    "layout":"zorder","layoutKeys":["o_orderkey","o_custkey"],
+         |    "layoutPartitions":4}]}]}""".stripMargin
+    val flow = MetaLoader.loadString(spec).dataflow("r5z")
+    Dataflow.run(spark, flow)
+    val files = new java.io.File(s"$tmp/z").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 2, s"expected multiple z files, got ${files.length}")
+    assert(spark.read.parquet(s"$tmp/z").count() ===
+      spark.read.parquet(sf() + "/orders.parquet").count())
+  }
+
   test("metadata reach: classify, version_delta, script analysis") {
     val spec =
       s"""{"dataflows":[{"name":"r5",

@@ -153,4 +153,36 @@ class ScaleSpec extends SparkSpecBase {
     // and the layout conserves the data
     assert(spark.read.parquet(tmp).count() === src.count())
   }
+
+  test("writeZOrder: per-file spans narrow on BOTH keys vs single-key layout") {
+    val src = spark.read.parquet(sf() + "/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    def fileSpans(dir: String, key: String): Seq[Double] = {
+      val g = spark.read.parquet(dir)
+        .agg(org.apache.spark.sql.functions.min(key),
+          org.apache.spark.sql.functions.max(key)).first()
+      val (gLo, gHi) = (g.getLong(0).toDouble, g.getLong(1).toDouble)
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+        .map { f =>
+          val r = spark.read.parquet(f)
+            .agg(org.apache.spark.sql.functions.min(key),
+              org.apache.spark.sql.functions.max(key)).first()
+          (r.getLong(1) - r.getLong(0)).toDouble / (gHi - gLo)
+        }
+    }
+    def mean(xs: Seq[Double]) = xs.sum / xs.size
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    Scale.writeZOrder(src, zDir, Seq("o_orderkey", "o_custkey"), partitions = 8)
+    val rDir = java.nio.file.Files.createTempDirectory("graft_r").toString
+    Scale.writeRangeLayout(src, rDir, Seq("o_orderkey"), partitions = 8)
+    assert(spark.read.parquet(zDir).count() === src.count())
+    val (zA, zB) = (mean(fileSpans(zDir, "o_orderkey")), mean(fileSpans(zDir, "o_custkey")))
+    val rB = mean(fileSpans(rDir, "o_custkey"))
+    info(f"z-order mean span: orderkey $zA%.2f custkey $zB%.2f; range-layout custkey $rB%.2f")
+    // the single-key layout leaves the second key unclustered (every
+    // file spans ~the whole custkey range); z-order narrows both
+    assert(zA < 0.75 && zB < 0.75, f"z spans too wide: $zA%.2f / $zB%.2f")
+    assert(zB < rB * 0.8, f"z-order custkey span $zB%.2f not better than range's $rB%.2f")
+  }
 }
