@@ -207,6 +207,11 @@ object Dataflow {
               s"version_delta '${s.name}': unknown new input '${s.newInput}'"))
           frames + (s.output -> Versioning.delta(in, neu,
             col(s.idCol), col(s.contentCol), col(s.idCol), col(s.contentCol)))
+        case s: FuzzySpec =>
+          import org.apache.spark.sql.functions.{col, substring}
+          frames + (s.output -> Fuzzy.selfFuzzyPairs(
+            in, col(s.idCol), col(s.keyCol),
+            block = k => substring(k, 1, s.blockPrefix), maxDist = s.maxDist))
         case s: FamiliaritySpec =>
           import org.apache.spark.sql.functions.col
           frames + (s.output -> Chunking.lexicalFamiliarity(

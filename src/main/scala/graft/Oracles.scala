@@ -1370,6 +1370,28 @@ object Oracles {
     // \x{…} class patterns shared verbatim with the Column tree)
     "text_script" -> textScriptOracle,
 
+    // blocked fuzzy join: 16-char-prefix blocking, classic-DP
+    // levenshtein (identical in both engines, integer-exact)
+    "fuzzy_names" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS key,
+        |             substr(c_name, 1, 16) AS blk FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.key, b.key) AS INT) AS dist
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.key, b.key) <= 1""".stripMargin,
+
+    // rolling 3-row window per user: order-free / integer aggregates
+    // only, so sliding-frame evaluation order cannot skew doubles
+    "q_rolling" ->
+      """SELECT user_id, event_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS roll_cnt,
+        |  CAST(SUM(CAST(FLOOR(value) AS BIGINT)) OVER w AS BIGINT) AS roll_sum,
+        |  MIN(value) OVER w AS roll_min,
+        |  MAX(value) OVER w AS roll_max
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     // corpus version delta: full outer join on id, md5 content compare
     "corpus_delta" ->
       """WITH neu AS (

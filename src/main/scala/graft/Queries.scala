@@ -993,6 +993,29 @@ object Queries {
       col("doc_id"), col("text"), col("doc_id"), col("text"))
   }
 
+  /** Blocked fuzzy self-join: customer-name pairs within edit
+    * distance 1, candidates blocked on the 16-char name prefix (the
+    * stable part of the entity key). */
+  def fuzzyNames(s: SparkSession, dir: String): DataFrame =
+    operators.Fuzzy.selfFuzzyPairs(t(s, dir, "customer"),
+        col("c_custkey"), col("c_name"),
+        block = k => substring(k, 1, 16), maxDist = 1)
+      .select("id_a", "id_b", "dist")
+
+  /** Rolling 3-row window per user over the event stream: count,
+    * floor-sum, min, max — integer/order-free aggregates, so the
+    * incremental sliding-frame evaluation is cross-engine exact. */
+  def qRolling(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-2, 0)
+    t(s, dir, "events").select(
+      col("user_id"), col("event_id"),
+      count(lit(1)).over(w).as("roll_cnt"),
+      sum(floor(col("value")).cast("long")).over(w).as("roll_sum"),
+      min(col("value")).over(w).as("roll_min"),
+      max(col("value")).over(w).as("roll_max"))
+  }
+
   // ====================================================================
   // Registry
   // ====================================================================
@@ -1084,5 +1107,7 @@ object Queries {
     "quality_classifier" -> qualityClassifier _,
     "text_script" -> textScript _,
     "corpus_delta" -> corpusDelta _,
-    "sim_pq" -> simPq _)
+    "sim_pq" -> simPq _,
+    "fuzzy_names" -> fuzzyNames _,
+    "q_rolling" -> qRolling _)
 }

@@ -156,6 +156,12 @@ object MetaLoader {
           output = output,
           idCol = str(p, "id", "doc_id"),
           contentCol = str(p, "content", "text"))
+      case "fuzzy" =>
+        FuzzySpec(name, input, output,
+          keyCol = str(p, "key"),
+          idCol = str(p, "id", "doc_id"),
+          blockPrefix = p.path("block_prefix").asInt(8),
+          maxDist = p.path("max_dist").asInt(1))
       case "familiarity" =>
         FamiliaritySpec(name, input, output,
           contentCol = str(p, "content", "text"),

@@ -289,6 +289,21 @@ final case class VersionDeltaSpec(
   extends TransformSpec
 
 /**
+ * graft extension: blocked fuzzy (edit-distance) self-join — pairs
+ * within `maxDist`, candidates blocked on a `blockPrefix`-char key
+ * prefix. Output: (id_a, id_b, dist).
+ */
+final case class FuzzySpec(
+    name: String,
+    input: String,
+    output: String,
+    keyCol: String,
+    idCol: String = "doc_id",
+    blockPrefix: Int = 8,
+    maxDist: Int = 1)
+  extends TransformSpec
+
+/**
  * graft extension: per-document lexical familiarity vs the corpus'
  * own vocabulary — instance-weighted mean token document frequency
  * and OOV rate (token df < minDf). Output frame:

@@ -102,6 +102,28 @@ object StreamingIngest {
       benchmark, col(benchContent))
 
   /**
+   * STREAM-STREAM INTERVAL JOIN: match rows of two live streams whose
+   * event times fall within `within` of each other (click-to-view
+   * attribution, request/response pairing, impression↔conversion).
+   * Both sides carry a watermark and the join condition bounds the
+   * right timestamp into [left − within, left + within], so Spark can
+   * prove state eviction: each side buffers only `watermark + within`
+   * of history — bounded state at any throughput, the requirement for
+   * running attribution on an unbounded stream.
+   */
+  def joinStreams(left: DataFrame, right: DataFrame,
+                  key: String, leftTs: String, rightTs: String,
+                  within: String = "10 minutes",
+                  delay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, delay)
+    val r = right.withWatermark(rightTs, delay)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - org.apache.spark.sql.functions.expr(s"INTERVAL $within") &&
+        r(rightTs) <= l(leftTs) + org.apache.spark.sql.functions.expr(s"INTERVAL $within"))
+  }
+
+  /**
    * Watermarked tumbling-window counts per event_type:
    * (window, event_type, n, sum_value). State is dropped
    * `delay` past the window end.

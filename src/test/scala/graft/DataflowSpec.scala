@@ -471,6 +471,24 @@ class DataflowSpec extends SparkSpecBase {
       spark.read.parquet(sf() + "/orders.parquet").count())
   }
 
+  test("metadata reach: fuzzy transform emits blocked edit-distance pairs") {
+    val spec =
+      """{"dataflows":[{"name":"r5f","sources":[],
+        |  "transformations":[
+        |    {"name":"pairs","type":"fuzzy","params":{
+        |      "input":"recs","output":"pairsc","key":"name","id":"rid",
+        |      "block_prefix":4,"max_dist":1}}
+        |  ],"sinks":[]}]}""".stripMargin
+    val recs = Seq((1L, "smith-a"), (2L, "smith-b"), (3L, "smith-xx"),
+      (4L, "jones-a")).toDF("rid", "name")
+    val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("r5f"),
+      inputs = Map("recs" -> recs))
+    val out = frames("pairsc").select("id_a", "id_b", "dist")
+      .as[(Long, Long, Int)].collect().toSet
+    // 1-2 differ by one char; 3 is 2+ edits away; 4 is in another block
+    assert(out === Set((1L, 2L, 1)))
+  }
+
   test("metadata reach: classify, version_delta, script analysis") {
     val spec =
       s"""{"dataflows":[{"name":"r5",

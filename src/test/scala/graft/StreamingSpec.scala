@@ -78,6 +78,27 @@ class StreamingSpec extends SparkSpecBase {
       === Set(3L))
   }
 
+  test("stream-stream interval join pairs events within the time bound") {
+    implicit val sq = spark.sqlContext
+    def ts(min: Int) = new Timestamp(3600_000L + min * 60_000L)
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    clicks.addData((1L, ts(0)), (2L, ts(0)), (3L, ts(0)))
+    views.addData(
+      (1L, ts(5)),    // within 10 min → joins
+      (2L, ts(40)),   // outside the bound → dropped
+      (9L, ts(1)))    // no matching click key
+    val out = StreamingIngest.joinStreams(
+        clicks.toDF().toDF("user_id", "click_ts"),
+        views.toDF().toDF("user_id", "view_ts"),
+        key = "user_id", leftTs = "click_ts", rightTs = "view_ts")
+      .writeStream.format("memory").queryName("ss_join_out").outputMode("append").start()
+    out.processAllAvailable(); out.stop()
+    val rows = spark.table("ss_join_out").collect()
+    assert(rows.length === 1, s"expected exactly the in-window pair, got ${rows.toSeq}")
+    assert(rows.head.getLong(0) === 1L)
+  }
+
   test("watermarked windowed counts aggregate by hour") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[(Timestamp, String, Double)]
