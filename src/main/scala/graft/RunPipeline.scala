@@ -62,6 +62,9 @@ object RunPipeline {
     case s: meta.TakeSpec         => Seq(s.output)
     case s: meta.FamiliaritySpec  => Seq(s.output)
     case s: meta.DupNgramCoverageSpec => Seq(s.output)
+    case s: meta.ClassifySpec     => Seq(s.output)
+    case s: meta.VersionDeltaSpec => Seq(s.output)
+    case s: meta.FuzzySpec        => Seq(s.output)
   }
 
   /** One `[stage]` line per source / transformation output: name,
