@@ -140,6 +140,9 @@ object Dataflow {
               df.select(col("*") +: TextAnalysisCols.gopherRepFeatures(c): _*)
             case "script" =>
               df.select(col("*") +: TextAnalysisCols.scriptProfile(c): _*)
+            case "blocklist" =>
+              df.withColumn("n_blocked",
+                TextAnalysisCols.blocklistHits(c, s.blocklistTerms))
             case other =>
               throw new IllegalArgumentException(
                 s"text_analysis '${s.name}': unknown analysis '$other'")

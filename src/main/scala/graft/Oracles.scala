@@ -1370,6 +1370,16 @@ object Oracles {
     // \x{…} class patterns shared verbatim with the Column tree)
     "text_script" -> textScriptOracle,
 
+    // Aho-Corasick blocklist screen: the automaton's distinct-match
+    // count has exactly `contains` substring semantics per term
+    "text_blocklist" -> {
+      val terms = Queries.BlocklistTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+         |  CAST(len(list_filter($terms, t -> contains(text, t))) AS BIGINT) AS n_blocked,
+         |  len(list_filter($terms, t -> contains(text, t))) = 0 AS keep
+         |FROM documents""".stripMargin
+    },
+
     // blocked fuzzy join: 16-char-prefix blocking, classic-DP
     // levenshtein (identical in both engines, integer-exact)
     "fuzzy_names" ->

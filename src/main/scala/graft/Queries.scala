@@ -993,6 +993,19 @@ object Queries {
       col("doc_id"), col("text"), col("doc_id"), col("text"))
   }
 
+  /** Blocklist screening terms for the catalog query: data-ish words
+    * and phrases present in the synthetic corpus + one absent term,
+    * shared verbatim with the DuckDB oracle. */
+  private[graft] val BlocklistTerms: Seq[String] =
+    Seq("slow", "vector", "big table", "stream", "zzyzx")
+
+  /** Aho-Corasick blocklist screen: distinct blocked terms per doc
+    * (one O(len) automaton pass) + the keep flag. */
+  def textBlocklist(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysisCols.blocklistHits(col("text"), BlocklistTerms).as("n_blocked"))
+      .withColumn("keep", col("n_blocked") === 0L)
+
   /** Blocked fuzzy self-join: customer-name pairs within edit
     * distance 1, candidates blocked on the 16-char name prefix (the
     * stable part of the entity key). */
@@ -1109,5 +1122,6 @@ object Queries {
     "corpus_delta" -> corpusDelta _,
     "sim_pq" -> simPq _,
     "fuzzy_names" -> fuzzyNames _,
-    "q_rolling" -> qRolling _)
+    "q_rolling" -> qRolling _,
+    "text_blocklist" -> textBlocklist _)
 }

@@ -226,6 +226,14 @@ object TextAnalysisCols {
       keep.as("rep_keep"))
   }
 
+  /** Blocklist screening via the [[graft.functions.AhoCorasick]]
+    * automaton: number of DISTINCT `terms` present as substrings —
+    * ONE O(len) pass however many terms (vs O(terms·len) for
+    * per-term contains probes). Substring semantics matches DuckDB
+    * `contains`, so the oracle replicates counts exactly. */
+  def blocklistHits(c: Column, terms: Seq[String]): Column =
+    graft.functions.AhoCorasick.multiMatchCount(c, terms)
+
   /** Unicode script classes for [[scriptProfile]]: name → character
     * class, in dominant-script tie-break order. Ranges are BMP-only
     * and written `\x{…}` — the hex-escape syntax Java and RE2 share,

@@ -112,7 +112,8 @@ object MetaLoader {
       case "text_analysis" =>
         TextAnalysisSpec(name, input, output,
           contentCol = str(p, "content", "text"),
-          analyses = if (p.has("analyses")) strArr(p, "analyses") else Seq("quality"))
+          analyses = if (p.has("analyses")) strArr(p, "analyses") else Seq("quality"),
+          blocklistTerms = strArr(p, "blocklist_terms"))
       case "stratified_sample" =>
         StratifiedSampleSpec(name, input, output,
           strataCol = str(p, "strata"),

@@ -183,7 +183,8 @@ final case class TextAnalysisSpec(
     input: String,
     output: String,
     contentCol: String = "text",
-    analyses: Seq[String] = Seq("quality"))
+    analyses: Seq[String] = Seq("quality"),
+    blocklistTerms: Seq[String] = Nil)
   extends TransformSpec
 
 /**

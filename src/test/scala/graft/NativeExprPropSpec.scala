@@ -120,4 +120,19 @@ class NativeExprPropSpec extends AnyFunSuite {
       d == model
     })
   }
+
+  test("AhoCorasick.distinctMatches == naive distinct-contains count") {
+    val termGen = Gen.nonEmptyListOf(
+      Gen.chooseNum(1, 4).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString)))
+      .map(_.map(_.trim).filter(_.nonEmpty).distinct.take(8))
+      .suchThat(_.nonEmpty)
+    val textGen = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString))
+    check(Prop.forAll(termGen, textGen) { (terms, text) =>
+      val trie = graft.functions.AhoCorasick.Trie.build(terms.toArray)
+      val naive = terms.count(text.contains(_))
+      trie.distinctMatches(text) == naive
+    })
+  }
 }
