@@ -210,6 +210,14 @@ object Dataflow {
               s"version_delta '${s.name}': unknown new input '${s.newInput}'"))
           frames + (s.output -> Versioning.delta(in, neu,
             col(s.idCol), col(s.contentCol), col(s.idCol), col(s.contentCol)))
+        case s: FunnelSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Funnel.counts(in,
+            col(s.userCol), col(s.ordCol), col(s.typeCol), s.steps))
+        case s: CohortSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Funnel.cohortRetention(in,
+            col(s.userCol), col(s.tsCol), col(s.typeCol), s.cohortType))
         case s: FuzzySpec =>
           import org.apache.spark.sql.functions.{col, substring}
           frames + (s.output -> Fuzzy.selfFuzzyPairs(

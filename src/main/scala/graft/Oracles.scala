@@ -1390,6 +1390,40 @@ object Oracles {
         |FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
         |WHERE levenshtein(a.key, b.key) <= 1""".stripMargin,
 
+    // ordered funnel: first view, first later click, first later
+    // purchase — ordering by the integer event id
+    "q_funnel" ->
+      """WITH ev AS (SELECT * FROM events WHERE event_id % 29 = 0),
+        |s1 AS (SELECT user_id, min(event_id) AS e0 FROM ev
+        |            WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.event_id) AS e1 FROM ev e
+        |       JOIN s1 ON e.user_id = s1.user_id AND e.event_id > s1.e0
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.event_id) AS e2 FROM ev e
+        |       JOIN s2 ON e.user_id = s2.user_id AND e.event_id > s2.e1
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM ev)
+        |SELECT CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |                 WHEN s2.user_id IS NOT NULL THEN 2
+        |                 WHEN s1.user_id IS NOT NULL THEN 1
+        |                 ELSE 0 END AS INT) AS stage,
+        |  COUNT(*) AS n_users
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |       LEFT JOIN s3 USING (user_id)
+        |GROUP BY 1""".stripMargin,
+
+    // weekly signup-cohort retention (date_trunc week = Monday in
+    // both engines; offsets are exact integer day-diffs / 7)
+    "q_cohort" ->
+      """WITH c AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+        |SELECT CAST(c.cw AS DATE) AS cohort_week,
+        |  CAST(FLOOR(datediff('day', c.cw, a.aw) / 7.0) AS INT) AS week_offset,
+        |  COUNT(*) AS n_active
+        |FROM c JOIN a USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
     // rolling 3-row window per user: order-free / integer aggregates
     // only, so sliding-frame evaluation order cannot skew doubles
     "q_rolling" ->

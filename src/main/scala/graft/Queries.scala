@@ -1006,6 +1006,21 @@ object Queries {
         TextAnalysisCols.blocklistHits(col("text"), BlocklistTerms).as("n_blocked"))
       .withColumn("keep", col("n_blocked") === 0L)
 
+  /** Ordered funnel view→click→purchase: users per furthest stage.
+    * Ordering by event_id (monotone in ts, integer-exact); the
+    * deterministic 1/29 thinning sparsifies the synthetic stream so
+    * stages actually differentiate (unthinned, every user converts). */
+  def qFunnel(s: SparkSession, dir: String): DataFrame =
+    operators.Funnel.counts(
+      t(s, dir, "events").filter(col("event_id") % 29 === 0),
+      col("user_id"), col("event_id"), col("event_type"),
+      steps = Seq("view", "click", "purchase"))
+
+  /** Weekly signup-cohort retention curve. */
+  def qCohort(s: SparkSession, dir: String): DataFrame =
+    operators.Funnel.cohortRetention(t(s, dir, "events"),
+      col("user_id"), col("ts"), col("event_type"), cohortType = "signup")
+
   /** Blocked fuzzy self-join: customer-name pairs within edit
     * distance 1, candidates blocked on the 16-char name prefix (the
     * stable part of the entity key). */
@@ -1123,5 +1138,7 @@ object Queries {
     "sim_pq" -> simPq _,
     "fuzzy_names" -> fuzzyNames _,
     "q_rolling" -> qRolling _,
-    "text_blocklist" -> textBlocklist _)
+    "text_blocklist" -> textBlocklist _,
+    "q_funnel" -> qFunnel _,
+    "q_cohort" -> qCohort _)
 }

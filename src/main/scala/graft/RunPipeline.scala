@@ -65,6 +65,8 @@ object RunPipeline {
     case s: meta.ClassifySpec     => Seq(s.output)
     case s: meta.VersionDeltaSpec => Seq(s.output)
     case s: meta.FuzzySpec        => Seq(s.output)
+    case s: meta.FunnelSpec       => Seq(s.output)
+    case s: meta.CohortSpec       => Seq(s.output)
   }
 
   /** One `[stage]` line per source / transformation output: name,

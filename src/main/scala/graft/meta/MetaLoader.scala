@@ -157,6 +157,18 @@ object MetaLoader {
           output = output,
           idCol = str(p, "id", "doc_id"),
           contentCol = str(p, "content", "text"))
+      case "funnel" =>
+        FunnelSpec(name, input, output,
+          steps = strArr(p, "steps"),
+          userCol = str(p, "user", "user_id"),
+          ordCol = str(p, "ord", "event_id"),
+          typeCol = str(p, "type_col", "event_type"))
+      case "cohort" =>
+        CohortSpec(name, input, output,
+          cohortType = str(p, "cohort_type"),
+          userCol = str(p, "user", "user_id"),
+          tsCol = str(p, "ts", "ts"),
+          typeCol = str(p, "type_col", "event_type"))
       case "fuzzy" =>
         FuzzySpec(name, input, output,
           keyCol = str(p, "key"),

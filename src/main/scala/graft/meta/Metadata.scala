@@ -290,6 +290,34 @@ final case class VersionDeltaSpec(
   extends TransformSpec
 
 /**
+ * graft extension: ordered event funnel — users per furthest stage
+ * of `steps`, matched in `ordCol` order. Output: (stage, n_users).
+ */
+final case class FunnelSpec(
+    name: String,
+    input: String,
+    output: String,
+    steps: Seq[String],
+    userCol: String = "user_id",
+    ordCol: String = "event_id",
+    typeCol: String = "event_type")
+  extends TransformSpec
+
+/**
+ * graft extension: weekly cohort retention by first `cohortType`
+ * event. Output: (cohort_week, week_offset, n_active).
+ */
+final case class CohortSpec(
+    name: String,
+    input: String,
+    output: String,
+    cohortType: String,
+    userCol: String = "user_id",
+    tsCol: String = "ts",
+    typeCol: String = "event_type")
+  extends TransformSpec
+
+/**
  * graft extension: blocked fuzzy (edit-distance) self-join — pairs
  * within `maxDist`, candidates blocked on a `blockPrefix`-char key
  * prefix. Output: (id_a, id_b, dist).
