@@ -47,7 +47,23 @@ object GraftFunctions {
     Fn("simhash64", "simhash64(text) - 64-bit SimHash", 1,
       args => TextHashExprs.SimhashExpr(args(0))),
     Fn("text_quality", "text_quality(text) - quality feature struct", 1,
-      args => TextFeatures.TextQualityExpr(args(0), graft.TextAnalysisCols.EnStop)))
+      args => TextFeatures.TextQualityExpr(args(0), graft.TextAnalysisCols.EnStop)),
+    Fn("vec_sqdist", "vec_sqdist(a, b) - squared L2 distance of two arrays", 2,
+      args => VectorExprs.VecSqDist(args(0), args(1))),
+    Fn("multi_match_count",
+      "multi_match_count(text, array('t1','t2',…)) - distinct terms present (Aho-Corasick)", 2,
+      args => AhoCorasick.MultiMatchCount(args(0), foldableStringArray(args(1)))))
+
+  private def foldableStringArray(e: Expression): Seq[String] = {
+    require(e.foldable, "multi_match_count terms must be a literal array")
+    e.eval(null) match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map(i =>
+          a.getUTF8String(i).toString)
+      case other => throw new IllegalArgumentException(
+        s"expected array<string> literal, got $other")
+    }
+  }
 
   private def foldableInt(e: Expression, what: String): Int = {
     require(e.foldable, s"$what must be a literal")

@@ -93,7 +93,9 @@ class NativeExprSpec extends SparkSpecBase {
     val row = spark.sql(
       """SELECT vec_dot(a, b) AS d, vec_norm(a) AS n, vec_cosine(a, a) AS c,
         |       size(text_shingles(t, 3)) AS ns, size(minhash_sig(t, 3, 8)) AS nm,
-        |       simhash64(t) AS sh, text_quality(t).n_tokens AS nt
+        |       simhash64(t) AS sh, text_quality(t).n_tokens AS nt,
+        |       vec_sqdist(a, b) AS sq,
+        |       multi_match_count(t, array('quick', 'brown fox', 'zzz')) AS mm
         |FROM gf_test""".stripMargin).collect().head
     assert(row.getAs[Double]("d") === 3.0)
     assert(row.getAs[Double]("n") === 5.0)
@@ -101,6 +103,8 @@ class NativeExprSpec extends SparkSpecBase {
     assert(row.getAs[Int]("ns") === 4)
     assert(row.getAs[Int]("nm") === 8)
     assert(row.getAs[Int]("nt") === 6)
+    assert(row.getAs[Double]("sq") === 20.0) // (3-1)^2 + (4-0)^2
+    assert(row.getAs[Long]("mm") === 2L)
     // arity errors are loud
     val err = intercept[Exception](spark.sql("SELECT vec_dot(array(1.0)) AS x").collect())
     assert(err.getMessage.contains("expects 2 arguments") ||
