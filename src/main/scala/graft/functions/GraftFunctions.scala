@@ -52,7 +52,13 @@ object GraftFunctions {
       args => VectorExprs.VecSqDist(args(0), args(1))),
     Fn("multi_match_count",
       "multi_match_count(text, array('t1','t2',…)) - distinct terms present (Aho-Corasick)", 2,
-      args => AhoCorasick.MultiMatchCount(args(0), foldableStringArray(args(1)))))
+      args => AhoCorasick.MultiMatchCount(args(0), foldableStringArray(args(1)))),
+    Fn("hll_sketch", "hll_sketch(col) - mergeable HLL distinct sketch (binary, p=12)", 1,
+      args => HllExprs.HllSketchAgg(args(0), 12).toAggregateExpression()),
+    Fn("hll_union", "hll_union(sketch) - union of HLL sketches", 1,
+      args => HllExprs.HllUnionAgg(args(0)).toAggregateExpression()),
+    Fn("hll_estimate", "hll_estimate(sketch) - distinct estimate of an HLL sketch", 1,
+      args => HllExprs.HllEstimate(args(0))))
 
   private def foldableStringArray(e: Expression): Seq[String] = {
     require(e.foldable, "multi_match_count terms must be a literal array")
