@@ -50,6 +50,31 @@ class ScoringSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"classifier must not shuffle:\n$plan")
   }
 
+  test("train -> quantize -> persist -> serve: the full quality-model loop") {
+    // synthetic labels: docs mentioning "slow" or "error" are bad
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+      .limit(400)
+      .withColumn("label",
+        when(col("text").contains("slow") || col("text").contains("error"), 0.0)
+          .otherwise(1.0))
+    val both = docs.groupBy("label").count().count()
+    assert(both === 2, "need both classes in the training sample")
+    val (w, bias) = operators.Scoring.trainQualityModel(
+      docs, col("text"), col("label"), buckets = 512)
+    // persist in the loadWeights shape and serve from the artifact
+    val path = java.nio.file.Files.createTempDirectory("graft_w").toString + "/w"
+    operators.Scoring.saveWeights(spark, path, w)
+    val served = operators.Scoring.classifyQuality(docs, col("text"),
+        operators.Scoring.loadWeights(spark, path, 512), bias = bias)
+      .select(col("label"), col("keep"))
+    val agree = served.filter(
+      (col("label") === 1.0 && col("keep")) ||
+        (col("label") === 0.0 && !col("keep"))).count()
+    val acc = agree.toDouble / docs.count()
+    info(f"quantized-serving train accuracy = $acc%.3f")
+    assert(acc >= 0.85, f"quantized model should fit the training set, got $acc%.3f")
+  }
+
   test("script profile: counts, dominant script, none on script-free text") {
     val docs = Seq(
       (1L, "hello world"),
