@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+
+/**
+ * Mergeable QUANTILE sketches — DDSketch (Masson, Lee & Rim,
+ * VLDB'19): values land in log-scale buckets at γᵏ boundaries with
+ * γ = (1+α)/(1−α), so any quantile estimate is within RELATIVE
+ * error α, and a sketch is just a bucket→count map. Unlike t-digest
+ * or KLL, merging is COUNT ADDITION — associative, commutative,
+ * insertion-order-free — so sketches are partitioning-invariant
+ * bit-for-bit and persistable per day/source/split, then unioned
+ * over any window without rescanning (the same incremental shape as
+ * [[HllExprs]]). Covers strictly-positive values plus an explicit
+ * zero count (lengths, latencies, token counts — the quantities a
+ * pipeline actually tracks); negatives fail loudly.
+ *
+ * Serialized form: [alphaBits: 8B][zeroCount: 8B][n: 4B] then n ×
+ * [bucketIndex: 4B][count: 8B], buckets ascending.
+ */
+object DdSketchExprs {
+
+  final class Sketch(val alpha: Double) {
+    val gamma: Double = (1.0 + alpha) / (1.0 - alpha)
+    private val logGamma = math.log(gamma)
+    var zeroCount: Long = 0L
+    val counts = new java.util.TreeMap[Int, java.lang.Long]()
+
+    def add(v: Double): Unit = {
+      require(v >= 0.0 && !v.isNaN,
+        s"dd_sketch covers values >= 0, got $v (mirror negatives upstream)")
+      if (v == 0.0) zeroCount += 1
+      else {
+        val k = math.ceil(math.log(v) / logGamma).toInt
+        val cur = counts.get(k)
+        counts.put(k, if (cur == null) 1L else cur + 1L)
+      }
+    }
+
+    def mergeIn(o: Sketch): Sketch = {
+      require(o.alpha == alpha,
+        s"cannot union sketches of different accuracies ($alpha vs ${o.alpha})")
+      zeroCount += o.zeroCount
+      o.counts.forEach { (k, c) =>
+        val cur = counts.get(k)
+        counts.put(k, if (cur == null) c else cur + c)
+      }
+      this
+    }
+
+    def total: Long =
+      zeroCount + counts.values().stream().mapToLong(_.longValue()).sum()
+
+    /** Quantile estimate: the geometric midpoint 2γᵏ/(γ+1) of the
+      * bucket holding rank ⌈q·n⌉ — within relative error α. */
+    def quantile(q: Double): Option[Double] = {
+      require(q >= 0.0 && q <= 1.0, s"quantile $q outside [0,1]")
+      val n = total
+      if (n == 0) return None
+      val rank = math.max(1L, math.ceil(q * n).toLong)
+      if (rank <= zeroCount) return Some(0.0)
+      var seen = zeroCount
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        seen += e.getValue
+        if (seen >= rank)
+          return Some(2.0 * math.pow(gamma, e.getKey) / (gamma + 1.0))
+      }
+      Some(2.0 * math.pow(gamma, counts.lastKey()) / (gamma + 1.0))
+    }
+
+    def serialize(): Array[Byte] = {
+      val n = counts.size()
+      val buf = java.nio.ByteBuffer.allocate(8 + 8 + 4 + n * 12)
+      buf.putDouble(alpha).putLong(zeroCount).putInt(n)
+      counts.forEach { (k, c) => buf.putInt(k); buf.putLong(c) }
+      buf.array()
+    }
+  }
+
+  object Sketch {
+    def deserialize(b: Array[Byte]): Sketch = {
+      val buf = java.nio.ByteBuffer.wrap(b)
+      val s = new Sketch(buf.getDouble)
+      s.zeroCount = buf.getLong
+      val n = buf.getInt
+      var i = 0
+      while (i < n) { s.counts.put(buf.getInt, buf.getLong); i += 1 }
+      s
+    }
+  }
+
+  private def numAsDouble(v: Any, dt: DataType): Double = dt match {
+    case DoubleType => v.asInstanceOf[Double]
+    case FloatType => v.asInstanceOf[Float].toDouble
+    case LongType => v.asInstanceOf[Long].toDouble
+    case IntegerType => v.asInstanceOf[Int].toDouble
+    case d: DecimalType => v.asInstanceOf[org.apache.spark.sql.types.Decimal].toDouble
+    case other => throw new IllegalArgumentException(
+      s"dd_sketch: unsupported input type $other")
+  }
+
+  /** Build a sketch from a numeric column. */
+  case class DdSketchAgg(child: Expression, alpha: Double,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Sketch] with UnaryLike[Expression] {
+    require(alpha > 0 && alpha < 0.5, "alpha must be in (0, 0.5)")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): Sketch = new Sketch(alpha)
+    override def update(s: Sketch, row: InternalRow): Sketch = {
+      val v = child.eval(row)
+      if (v != null) s.add(numAsDouble(v, child.dataType))
+      s
+    }
+    override def merge(a: Sketch, b: Sketch): Sketch = a.mergeIn(b)
+    override def eval(s: Sketch): Any = s.serialize()
+    override def serialize(s: Sketch): Array[Byte] = s.serialize()
+    override def deserialize(b: Array[Byte]): Sketch = Sketch.deserialize(b)
+    override def withNewMutableAggBufferOffset(o: Int): DdSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): DdSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): DdSketchAgg =
+      copy(child = newChild)
+  }
+
+  /** Union previously-built sketches (binary column). */
+  case class DdUnionAgg(child: Expression,
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Option[Sketch]] with UnaryLike[Expression] {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def createAggregationBuffer(): Option[Sketch] = None
+    override def update(s: Option[Sketch], row: InternalRow): Option[Sketch] =
+      child.eval(row) match {
+        case null => s
+        case b: Array[Byte] =>
+          val in = Sketch.deserialize(b)
+          s match { case None => Some(in); case Some(acc) => Some(acc.mergeIn(in)) }
+      }
+    override def merge(a: Option[Sketch], b: Option[Sketch]): Option[Sketch] =
+      (a, b) match {
+        case (None, x) => x
+        case (x, None) => x
+        case (Some(x), Some(y)) => Some(x.mergeIn(y))
+      }
+    override def eval(s: Option[Sketch]): Any = s.map(_.serialize()).orNull
+    override def serialize(s: Option[Sketch]): Array[Byte] =
+      s.map(_.serialize()).getOrElse(Array.emptyByteArray)
+    override def deserialize(b: Array[Byte]): Option[Sketch] =
+      if (b.isEmpty) None else Some(Sketch.deserialize(b))
+    override def withNewMutableAggBufferOffset(o: Int): DdUnionAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): DdUnionAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): DdUnionAgg =
+      copy(child = newChild)
+  }
+
+  /** Quantile of a serialized sketch (scalar). */
+  case class DdQuantile(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(sk: Any, q: Any): Any =
+      Sketch.deserialize(sk.asInstanceOf[Array[Byte]])
+        .quantile(q.asInstanceOf[Double]).orNull
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // -- Column API ------------------------------------------------------
+
+  private def e(c: Column) = GraftBridge.expression(c)
+
+  def ddSketch(c: Column, alpha: Double = 0.01): Column =
+    GraftBridge.column(DdSketchAgg(e(c), alpha).toAggregateExpression())
+  def ddUnion(c: Column): Column =
+    GraftBridge.column(DdUnionAgg(e(c)).toAggregateExpression())
+  def ddQuantile(c: Column, q: Column): Column =
+    GraftBridge.column(DdQuantile(e(c), e(q)))
+}

@@ -58,7 +58,13 @@ object GraftFunctions {
     Fn("hll_union", "hll_union(sketch) - union of HLL sketches", 1,
       args => HllExprs.HllUnionAgg(args(0)).toAggregateExpression()),
     Fn("hll_estimate", "hll_estimate(sketch) - distinct estimate of an HLL sketch", 1,
-      args => HllExprs.HllEstimate(args(0))))
+      args => HllExprs.HllEstimate(args(0))),
+    Fn("dd_sketch", "dd_sketch(col) - mergeable DDSketch quantile sketch (alpha=0.01)", 1,
+      args => DdSketchExprs.DdSketchAgg(args(0), 0.01).toAggregateExpression()),
+    Fn("dd_union", "dd_union(sketch) - union of DDSketch quantile sketches", 1,
+      args => DdSketchExprs.DdUnionAgg(args(0)).toAggregateExpression()),
+    Fn("dd_quantile", "dd_quantile(sketch, q) - quantile estimate of a DDSketch", 2,
+      args => DdSketchExprs.DdQuantile(args(0), args(1))))
 
   private def foldableStringArray(e: Expression): Seq[String] = {
     require(e.foldable, "multi_match_count terms must be a literal array")
