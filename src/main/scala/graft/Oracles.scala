@@ -1390,6 +1390,40 @@ object Oracles {
         |FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
         |WHERE levenshtein(a.key, b.key) <= 1""".stripMargin,
 
+    // gate audit: every pipelineDocs gate as a flag + first failure
+    "q_gate_audit" -> {
+      val blockTerms = Queries.BlocklistTerms.map(t => s"'$t'").mkString("[", ", ", "]")
+      val lowTokens =
+        """CASE WHEN length(trim(lower(text))) = 0 THEN [] ELSE regexp_split_to_array(trim(lower(text)), '\s+') END"""
+      val qscore =
+        s"""(CASE WHEN len($wsTokensSql) = 0 THEN 0.0
+           |  ELSE CAST(${stopCount(TextAnalysisCols.EnStop)} AS DOUBLE) / len($wsTokensSql) END) * 0.5
+           |+ (1.0 - CASE WHEN length(text) = 0 THEN 0.0
+           |  ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END) * 0.5""".stripMargin
+      s"""WITH flags AS (
+         |  SELECT doc_id,
+         |    ($langCaseSql) = 'en' AS lang_ok,
+         |    ($qscore) >= 0.51 AS quality_ok,
+         |    len(list_filter($blockTerms, t -> contains(text, t))) = 0 AS blocklist_ok,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1 AS dup_canonical,
+         |    md5(array_to_string(list_sort($lowTokens), ' ')) AS f
+         |  FROM documents),
+         |bench AS (
+         |  SELECT DISTINCT md5(array_to_string(list_sort($lowTokens), ' ')) AS f
+         |  FROM documents WHERE doc_id % 97 = 0)
+         |SELECT doc_id, lang_ok, quality_ok, blocklist_ok, dup_canonical,
+         |  bench.f IS NULL AS decon_ok,
+         |  (lang_ok AND quality_ok AND blocklist_ok AND dup_canonical
+         |    AND bench.f IS NULL) AS keep,
+         |  CASE WHEN NOT lang_ok THEN 'lang'
+         |       WHEN NOT quality_ok THEN 'quality'
+         |       WHEN NOT blocklist_ok THEN 'blocklist'
+         |       WHEN NOT dup_canonical THEN 'duplicate'
+         |       WHEN bench.f IS NOT NULL THEN 'contaminated'
+         |       ELSE '' END AS first_failed
+         |FROM flags LEFT JOIN bench ON flags.f = bench.f""".stripMargin
+    },
+
     // ordered funnel: first view, first later click, first later
     // purchase — ordering by the integer event id
     "q_funnel" ->

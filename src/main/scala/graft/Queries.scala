@@ -1006,6 +1006,45 @@ object Queries {
         TextAnalysisCols.blocklistHits(col("text"), BlocklistTerms).as("n_blocked"))
       .withColumn("keep", col("n_blocked") === 0L)
 
+  /**
+   * GATE AUDIT — per-document attribution across the cleaning gates:
+   * every flag computed in one pass (language, quality, blocklist,
+   * exact-dup canonicality, benchmark contamination), plus the final
+   * keep and the FIRST failed gate. When a pipeline drops 40% of a
+   * crawl, "which gate, per document" is the first operational
+   * question; filtering pipelines answer it only by re-running each
+   * stage. Flags here are the same predicates pipelineDocs applies.
+   */
+  def qGateAudit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val fp = TextAnalysisCols.normFingerprint(col("text"))
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(TextAnalysisCols.normFingerprint(col("text")).as("bfp")).distinct()
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val qscore = graft.functions.TextFeatures
+      .qualityStruct(col("text"), TextAnalysisCols.EnStop).getField("quality_score")
+    val flagged = docs
+      .withColumn("lang_ok", TextAnalysisCols.langId(col("text")) === "en")
+      .withColumn("quality_ok", qscore >= 0.51)
+      .withColumn("blocklist_ok",
+        TextAnalysisCols.blocklistHits(col("text"), BlocklistTerms) === 0L)
+      .withColumn("dup_canonical", row_number().over(w) === 1)
+      .withColumn("__fp", fp)
+      .join(broadcast(bench), col("__fp") === col("bfp"), "left")
+      .withColumn("decon_ok", col("bfp").isNull)
+    flagged.select(col("doc_id"),
+      col("lang_ok"), col("quality_ok"), col("blocklist_ok"),
+      col("dup_canonical"), col("decon_ok"),
+      (col("lang_ok") && col("quality_ok") && col("blocklist_ok") &&
+        col("dup_canonical") && col("decon_ok")).as("keep"),
+      when(!col("lang_ok"), lit("lang"))
+        .when(!col("quality_ok"), lit("quality"))
+        .when(!col("blocklist_ok"), lit("blocklist"))
+        .when(!col("dup_canonical"), lit("duplicate"))
+        .when(!col("decon_ok"), lit("contaminated"))
+        .otherwise(lit("")).as("first_failed"))
+  }
+
   /** Ordered funnel view→click→purchase: users per furthest stage.
     * Ordering by event_id (monotone in ts, integer-exact); the
     * deterministic 1/29 thinning sparsifies the synthetic stream so
@@ -1140,5 +1179,6 @@ object Queries {
     "q_rolling" -> qRolling _,
     "text_blocklist" -> textBlocklist _,
     "q_funnel" -> qFunnel _,
-    "q_cohort" -> qCohort _)
+    "q_cohort" -> qCohort _,
+    "q_gate_audit" -> qGateAudit _)
 }
