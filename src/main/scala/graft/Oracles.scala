@@ -309,6 +309,23 @@ object Oracles {
         |CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // hourly resample with gap filling: dense hour axis per type via
+    // generate_series, zero-filled left join
+    "q_resample" ->
+      """WITH ev AS (SELECT event_type, date_trunc('hour', ts) AS h FROM events),
+        |c AS (SELECT event_type, h, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM ev GROUP BY 1),
+        |ax AS (SELECT event_type,
+        |         unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b)
+        |SELECT ax.event_type, CAST(ax.h AS VARCHAR) AS hour,
+        |  COALESCE(c.n, 0) AS n
+        |FROM ax LEFT JOIN c ON ax.event_type = c.event_type AND ax.h = c.h""".stripMargin,
+
     "q_ntile" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
         |NTILE(4) OVER w AS bal_quartile,

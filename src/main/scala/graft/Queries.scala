@@ -335,6 +335,32 @@ object Queries {
       .agg(count(lit(1)).as("n"),
         sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
 
+  /** Full CUBE over (returnflag, linestatus): all four grouping
+    * combinations in one pass. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+
+  /** Hourly resample WITH gap filling: every hour between each
+    * event_type's first and last event exists in the output, empty
+    * hours as zero — sequence+explode generates the dense time axis,
+    * a left join fills it (the time-series densify primitive). */
+  def qResample(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+    val counts = ev.groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+    val axis = ev.groupBy("event_type")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+    axis.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h").cast("string").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   /** Window ntile: quartile of each customer's balance per segment. */
   def qNtile(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("c_mktsegment"))
@@ -1180,5 +1206,7 @@ object Queries {
     "text_blocklist" -> textBlocklist _,
     "q_funnel" -> qFunnel _,
     "q_cohort" -> qCohort _,
-    "q_gate_audit" -> qGateAudit _)
+    "q_gate_audit" -> qGateAudit _,
+    "q_cube" -> qCube _,
+    "q_resample" -> qResample _)
 }
