@@ -210,6 +210,9 @@ object Dataflow {
               s"version_delta '${s.name}': unknown new input '${s.newInput}'"))
           frames + (s.output -> Versioning.delta(in, neu,
             col(s.idCol), col(s.contentCol), col(s.idCol), col(s.contentCol)))
+        case s: ShardSpec =>
+          frames + (s.output -> Sampling.exportShards(in,
+            org.apache.spark.sql.functions.col(s.idCol), s.seed, s.docsPerShard))
         case s: FunnelSpec =>
           import org.apache.spark.sql.functions.col
           frames + (s.output -> Funnel.counts(in,

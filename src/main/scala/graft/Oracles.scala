@@ -1263,6 +1263,19 @@ object Oracles {
         |FROM m, LATERAL unnest(range(1, len(parts) + 1)) AS i(i)""".stripMargin,
 
     // seeded global order: exact rank of md5('s42' || id)
+    // export sharding: shard = (rank-1) div 64 over the same seeded
+    // permutation as shuffle_order; manifest per shard
+    "export_shards" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CAST(ROW_NUMBER() OVER (
+        |      ORDER BY md5('s42' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS order_id
+        |  FROM documents)
+        |SELECT CAST((order_id - 1) // 64 AS BIGINT) AS shard_id,
+        |  COUNT(*) AS n_docs,
+        |  MIN(order_id) AS first_order, MAX(order_id) AS last_order
+        |FROM r GROUP BY 1""".stripMargin,
+
     "shuffle_order" ->
       """SELECT doc_id,
         |  CAST(ROW_NUMBER() OVER (

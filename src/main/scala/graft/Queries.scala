@@ -1071,6 +1071,13 @@ object Queries {
         .otherwise(lit("")).as("first_failed"))
   }
 
+  /** Export sharding: 64-doc shards under the seeded permutation,
+    * summarized by the shard manifest. */
+  def exportShardsQ(s: SparkSession, dir: String): DataFrame =
+    operators.Sampling.shardManifest(
+      operators.Sampling.exportShards(t(s, dir, "documents"),
+        col("doc_id"), seed = "s42", docsPerShard = 64))
+
   /** Ordered funnel view→click→purchase: users per furthest stage.
     * Ordering by event_id (monotone in ts, integer-exact); the
     * deterministic 1/29 thinning sparsifies the synthetic stream so
@@ -1208,5 +1215,6 @@ object Queries {
     "q_cohort" -> qCohort _,
     "q_gate_audit" -> qGateAudit _,
     "q_cube" -> qCube _,
-    "q_resample" -> qResample _)
+    "q_resample" -> qResample _,
+    "export_shards" -> exportShardsQ _)
 }

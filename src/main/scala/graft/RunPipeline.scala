@@ -67,6 +67,7 @@ object RunPipeline {
     case s: meta.FuzzySpec        => Seq(s.output)
     case s: meta.FunnelSpec       => Seq(s.output)
     case s: meta.CohortSpec       => Seq(s.output)
+    case s: meta.ShardSpec        => Seq(s.output)
   }
 
   /** One `[stage]` line per source / transformation output: name,

@@ -157,6 +157,11 @@ object MetaLoader {
           output = output,
           idCol = str(p, "id", "doc_id"),
           contentCol = str(p, "content", "text"))
+      case "shard" =>
+        ShardSpec(name, input, output,
+          idCol = str(p, "id", "doc_id"),
+          seed = str(p, "seed", "graft"),
+          docsPerShard = p.path("docs_per_shard").asInt(1024))
       case "funnel" =>
         FunnelSpec(name, input, output,
           steps = strArr(p, "steps"),

@@ -290,6 +290,19 @@ final case class VersionDeltaSpec(
   extends TransformSpec
 
 /**
+ * graft extension: export sharding — (shard_id, pos_in_shard) under
+ * the seeded global permutation, `docsPerShard` rows per shard.
+ */
+final case class ShardSpec(
+    name: String,
+    input: String,
+    output: String,
+    idCol: String = "doc_id",
+    seed: String = "graft",
+    docsPerShard: Int = 1024)
+  extends TransformSpec
+
+/**
  * graft extension: ordered event funnel — users per furthest stage
  * of `steps`, matched in `ordCol` order. Output: (stage, n_users).
  */

@@ -295,4 +295,34 @@ object Sampling {
     require(n > 0, "n must be positive")
     globalOrder(df, id, seed).filter(col("order_id") <= n)
   }
+
+  /**
+   * EXPORT SHARDING — assign every row a (shard_id, pos_in_shard)
+   * under the seeded [[globalOrder]] permutation, `docsPerShard` rows
+   * per shard: the WebDataset/tfrecord materialization step where
+   * training data becomes numbered shards that loaders stream and
+   * resume by offset. Deterministic (same seed → same shards on any
+   * cluster), shards are dense 0..⌈n/docsPerShard⌉−1, and writing is
+   * `partitionBy("shard_id")` on the result. Same two narrow
+   * shuffles as the underlying global rank.
+   */
+  def exportShards(df: DataFrame, id: Column, seed: String,
+                   docsPerShard: Int): DataFrame = {
+    require(docsPerShard > 0, "docsPerShard must be positive")
+    globalOrder(df, id, seed)
+      .withColumn("shard_id",
+        floor((col("order_id") - 1) / docsPerShard).cast("long"))
+      .withColumn("pos_in_shard",
+        ((col("order_id") - 1) % docsPerShard).cast("long"))
+  }
+
+  /** Shard MANIFEST for an [[exportShards]] assignment: row count +
+    * order range per shard — what a training loader checks before
+    * streaming, and the completeness audit after a distributed
+    * write (every shard full except possibly the last). */
+  def shardManifest(shards: DataFrame): DataFrame =
+    shards.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("order_id")).as("first_order"),
+        max(col("order_id")).as("last_order"))
 }

@@ -234,6 +234,30 @@ class SamplingSpec extends SparkSpecBase {
     assert(a.subsetOf(c))
   }
 
+  test("exportShards: dense full shards, stable under repartitioning") {
+    val df = spark.read.parquet(sf() + "/documents.parquet").select("doc_id")
+    val n = df.count()
+    val shards = Sampling.exportShards(df, col("doc_id"), "sh", docsPerShard = 16)
+    val manifest = Sampling.shardManifest(shards)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    // dense ids 0..k-1; every shard full except possibly the last
+    assert(manifest.map(_._1).toSeq === manifest.indices.map(_.toLong))
+    manifest.dropRight(1).foreach { case (_, cnt, _, _) => assert(cnt === 16L) }
+    assert(manifest.map(_._2).sum === n)
+    // order ranges tile [1, n] without overlap
+    manifest.sliding(2).foreach {
+      case Array((_, _, _, lastA), (_, _, firstB, _)) => assert(lastA + 1 === firstB)
+      case _ =>
+    }
+    // assignment is partitioning-invariant
+    val a = shards.select("doc_id", "shard_id", "pos_in_shard")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Sampling.exportShards(df.repartition(11), col("doc_id"), "sh", 16)
+      .select("doc_id", "shard_id", "pos_in_shard")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
   test("normalizeText: case, controls, punctuation, whitespace runs") {
     import graft.TextAnalysisCols
     val d = Seq((1L, "  Hello\u0007WORLD!!  foo\t\tbar  ")).toDF("id", "t")
