@@ -28,7 +28,7 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_incremental",
     "sim_topk", "sim_lsh", "sim_ivf", "sim_pq", "sim_cross",
-    "text_quality", "field_stats", "validate_ok",
+    "text_quality", "field_stats", "field_stats_approx", "validate_ok",
     "multimodal_meta", "sample_stratified", "pack_sequences", "decontaminate",
     "text_redact", "text_chunks", "vocab_df", "search_bm25", "mix_sqrt",
     "emb_centroids", "skew_keys", "contamination", "event_histogram",

@@ -141,6 +141,9 @@ object Dataflow {
             case "script" =>
               df.select(col("*") +: TextAnalysisCols.scriptProfile(c): _*)
             case "blocklist" =>
+              require(s.blocklistTerms.nonEmpty,
+                s"text_analysis '${s.name}': analysis 'blocklist' needs a " +
+                  "non-empty blocklist_terms list")
               df.withColumn("n_blocked",
                 TextAnalysisCols.blocklistHits(c, s.blocklistTerms))
             case other =>

@@ -1486,6 +1486,7 @@ object Oracles {
         |  CAST(FLOOR(datediff('day', c.cw, a.aw) / 7.0) AS INT) AS week_offset,
         |  COUNT(*) AS n_active
         |FROM c JOIN a USING (user_id)
+        |WHERE a.aw >= c.cw
         |GROUP BY 1, 2""".stripMargin,
 
     // rolling 3-row window per user: order-free / integer aggregates

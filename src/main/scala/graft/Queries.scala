@@ -173,6 +173,18 @@ object Queries {
       .select(col("field"), col("null_count"), col("non_null_count"),
         col("distinct_count"), col("min_num"), col("max_num"), col("null_pct"))
 
+  /** The SCALE branch of fieldStats — HyperLogLog distinct counting,
+    * single pass, constant-size state per field (what a 100 TB run
+    * executes). No DuckDB oracle: HLL estimates are engine-specific,
+    * so the driver records the weaker rows-only check; exactness
+    * bounds + plan shape (no exact-distinct Expand) are spec-gated in
+    * StatsOpSpec/PlanGuardSpec. */
+  def fieldStatsApproxQ(s: SparkSession, dir: String): DataFrame =
+    StatsOp.fieldStats(t(s, dir, "lineitem"), statsFields,
+        approxDistinct = Some(true))
+      .select(col("field"), col("null_count"), col("non_null_count"),
+        col("distinct_count"), col("min_num"), col("max_num"), col("null_pct"))
+
   def fieldQuantilesQ(s: SparkSession, dir: String): DataFrame =
     StatsOp.numericQuantiles(t(s, dir, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount"))
@@ -909,13 +921,17 @@ object Queries {
         TextAnalysisCols.langId(col("text")).as("lang_pred") :+ col("text"): _*)
     val filtered = scored
       .filter(col("lang_pred") === "en" && col("quality_score") >= 0.51)
-    // exact dedup keep-min-id as a window: ONE shuffle, keyed by the
-    // 128-bit content fingerprint (32-byte key) instead of the raw
-    // document — at 100 TB the exchange never carries text as a key.
-    // md5 collisions (2⁻¹²⁸-scale) are the accepted equivalence.
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    val kept = filtered.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // exact dedup keep-min-id as groupBy + min_by: ONE shuffle keyed by
+    // the 128-bit content fingerprint, with map-side partial combine so
+    // duplicate texts collapse before the exchange and no sort is paid.
+    // md5 collisions (2⁻¹²⁸-scale) are the accepted equivalence. Cached:
+    // the subtree feeds both the signature path and the final anti join.
+    val kc = Seq("doc_id", "lang_pred", "quality_score", "n_tokens", "text")
+    val kept = operators.OpCache.cache(
+      filtered
+        .groupBy(md5(col("text")).as("__fp"))
+        .agg(min_by(struct(kc.map(col): _*), col("doc_id")).as("__r"))
+        .select(kc.map(c => col(s"__r.$c")): _*))
     // near-dup removal: drop doc_b of every jaccard>=0.8 pair
     val drop = Dedup.ngramJaccard(kept, col("text"), col("doc_id"),
         freqIn = corpusFreq(s, dir))
@@ -941,14 +957,19 @@ object Queries {
         TextAnalysisCols.langId(col("text")).as("lang_pred") :+ col("text"): _*)
     val filtered = scored
       .filter(col("lang_pred") === "en" && col("quality_score") >= 0.51)
-    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-    // cached: the scored+filtered+deduped subtree feeds BOTH the
-    // near-dup signature path and the final anti join — without the
-    // cache the full text-scoring pipeline runs twice
+    // exact dedup keep-min-id as groupBy + min_by (not a window): hash
+    // aggregation carries PARTIAL map-side combine, so duplicate texts
+    // collapse before the exchange — at 100 TB the shuffle moves one
+    // row per UNIQUE text, and no sort is paid. Cached: the deduped
+    // subtree feeds BOTH the near-dup signature path and the final
+    // anti join — without the cache the text-scoring pipeline runs
+    // twice.
     val kept = operators.OpCache.cache(
-      filtered.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-        .select(col("doc_id"), col("text"), col("n_tokens")))
+      filtered
+        .groupBy(md5(col("text")).as("__fp"))
+        .agg(min_by(struct(col("doc_id"), col("text"), col("n_tokens")),
+          col("doc_id")).as("__r"))
+        .select(col("__r.doc_id"), col("__r.text"), col("__r.n_tokens")))
     val nonCanonical = Dedup
       .duplicateClusters(Dedup.ngramJaccard(kept, col("text"), col("doc_id"),
         freqIn = corpusFreq(s, dir)))
@@ -1133,6 +1154,7 @@ object Queries {
     "validate_ko" -> validateKo _,
     "validate_date_ok" -> validateDateOk _,
     "field_stats" -> fieldStatsQ _,
+    "field_stats_approx" -> fieldStatsApproxQ _,
     "field_quantiles" -> fieldQuantilesQ _,
     "field_topk" -> fieldTopkQ _,
     "validation_stats" -> validationStatsQ _,

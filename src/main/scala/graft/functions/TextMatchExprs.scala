@@ -107,11 +107,23 @@ object AhoCorasick {
     }
   }
 
+  // bounded per-JVM automaton cache: long-lived executors run many
+  // queries with different term lists; an unbounded map would leak
+  // large tries (10k-term automata are MBs each). Access-ordered
+  // LinkedHashMap = small LRU; synchronized because eviction mutates.
+  private val MaxCachedTries = 32
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Seq[String], Trie]()
+    new java.util.LinkedHashMap[Seq[String], Trie](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Seq[String], Trie]): Boolean =
+        size() > MaxCachedTries
+    }
 
-  def trieFor(terms: Seq[String]): Trie =
-    cache.computeIfAbsent(terms, ts => Trie.build(ts.toArray))
+  def trieFor(terms: Seq[String]): Trie = cache.synchronized {
+    val hit = cache.get(terms)
+    if (hit != null) hit
+    else { val t = Trie.build(terms.toArray); cache.put(terms, t); t }
+  }
 
   /** n of distinct `terms` present in the string child (LongType). */
   case class MultiMatchCount(child: Expression, terms: Seq[String])
@@ -127,9 +139,12 @@ object AhoCorasick {
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
           s"expected string, got ${child.dataType}")
     }
+    // per-task memo: one LRU lookup per task, not per row — the
+    // expression instance is deserialized per task, so this costs one
+    // reference per task and removes the shared-cache lock from rows
+    @transient private lazy val trie = AhoCorasick.trieFor(terms)
     override def nullSafeEval(v: Any): Any =
-      AhoCorasick.trieFor(terms)
-        .distinctMatches(v.asInstanceOf[UTF8String].toString).toLong
+      trie.distinctMatches(v.asInstanceOf[UTF8String].toString).toLong
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }

@@ -459,7 +459,16 @@ object Dedup {
       import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
       Seq(IntegerType, LongType, StringType).contains(p.schema("doc_a").dataType)
     }
-    if (localDtOk && p.count() <= localEdgeThreshold) return localClusters(p)
+    if (localDtOk && localEdgeThreshold > 0) {
+      // ONE bounded action instead of count()-then-collect(): take
+      // threshold+1 rows — getting fewer proves the whole edge list is
+      // in hand, so the local solve starts immediately. Composed
+      // pipelines thus pay a single blocking materialization of the
+      // (cached) pair frame, not two.
+      val lim = math.min(localEdgeThreshold, (Int.MaxValue - 8).toLong).toInt
+      val sample = p.take(lim + 1)
+      if (sample.length <= lim) return localClusters(p, sample)
+    }
     val edges = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // init = identity labels with ONE propagation round pre-applied
@@ -507,12 +516,12 @@ object Dedup {
     * canonical label per component (natural ordering of the id type —
     * identical to the distributed path's `min`/`least` semantics for
     * int/long/string ids, which the size-switch restricts to). */
-  private def localClusters(p: DataFrame): DataFrame = {
+  private def localClusters(p: DataFrame,
+                            rows: Array[org.apache.spark.sql.Row]): DataFrame = {
     val spark = p.sparkSession
     val schema = org.apache.spark.sql.types.StructType(Seq(
       p.schema("doc_a").copy(name = "doc_id"),
       p.schema("doc_a").copy(name = "cluster_id")))
-    val rows = p.collect()
     val idx = new java.util.HashMap[Any, Int]()
     val nodes = scala.collection.mutable.ArrayBuffer[Any]()
     def nodeId(v: Any): Int =

@@ -71,6 +71,9 @@ object Funnel {
    * DATE, week_offset, n_active) — the retention-curve table.
    * Week boundaries come from `date_trunc('week', …)` (Monday in
    * both Spark and DuckDB); offsets are exact integer day-diffs / 7.
+   * Activity BEFORE the first cohort event (possible when cohortType
+   * is not the user's first event) is outside the curve's domain and
+   * is dropped: offsets are >= 0 by construction.
    */
   def cohortRetention(events: DataFrame, user: Column, ts: Column,
                       eventType: Column, cohortType: String): DataFrame = {
@@ -83,6 +86,7 @@ object Funnel {
       date_trunc("week", col("ts")).as("aw")).distinct()
     cohorts.join(active, "user_id")
       .select(col("cw"), col("aw"))
+      .filter(col("aw") >= col("cw")) // pre-cohort activity: out of domain
       .groupBy(col("cw").cast("date").as("cohort_week"),
         floor(datediff(col("aw"), col("cw")) / 7.0).cast("int").as("week_offset"))
       .agg(count(lit(1)).as("n_active"))

@@ -204,11 +204,12 @@ object Scale {
    */
   def writeRangeLayout(df: DataFrame, outPath: String, keys: Seq[String],
                        partitions: Int,
-                       format: String = "parquet"): Unit = {
+                       format: String = "parquet",
+                       mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(keys.nonEmpty && partitions >= 1)
     df.repartitionByRange(partitions, keys.map(col): _*)
       .sortWithinPartitions(keys.map(col): _*)
-      .write.mode(SaveMode.Overwrite).format(format).save(outPath)
+      .write.mode(mode).format(format).save(outPath)
   }
 
   /**
@@ -261,12 +262,13 @@ object Scale {
    */
   def writeZOrder(df: DataFrame, outPath: String, keys: Seq[String],
                   partitions: Int, bitsPerKey: Int = 8,
-                  format: String = "parquet"): Unit = {
+                  format: String = "parquet",
+                  mode: SaveMode = SaveMode.Overwrite): Unit = {
     require(partitions >= 1)
     df.withColumn("__z", zOrderKey(df, keys, bitsPerKey))
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
-      .write.mode(SaveMode.Overwrite).format(format).save(outPath)
+      .write.mode(mode).format(format).save(outPath)
   }
 }

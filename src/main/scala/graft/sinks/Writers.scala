@@ -23,13 +23,29 @@ object Writers {
     if (spec.layout == "range" || spec.layout == "zorder") {
       require(spec.layoutKeys.nonEmpty && spec.layoutPartitions >= 1,
         s"sink '${spec.name}': layout '${spec.layout}' needs layoutKeys + layoutPartitions")
+      // layout writers cluster whole FILES by key range; a hive-style
+      // partitionBy would shatter that clustering — reject the combo
+      // loudly instead of silently dropping one of the two
+      require(spec.partitionBy.isEmpty,
+        s"sink '${spec.name}': layout '${spec.layout}' cannot be combined with " +
+          s"partitionBy (${spec.partitionBy.mkString(",")}) — the layout already " +
+          "dictates the file clustering; drop one of the two")
+      val mode = org.apache.spark.sql.SaveMode.valueOf(
+        spec.saveMode.toLowerCase match {
+          case "overwrite" => "Overwrite"
+          case "append" => "Append"
+          case "ignore" => "Ignore"
+          case "error" | "errorifexists" => "ErrorIfExists"
+          case other => throw new IllegalArgumentException(
+            s"sink '${spec.name}': unknown saveMode '$other'")
+        })
       spec.paths.foreach { path =>
         if (spec.layout == "range")
           graft.operators.Scale.writeRangeLayout(df, path, spec.layoutKeys,
-            spec.layoutPartitions, spec.format)
+            spec.layoutPartitions, spec.format, mode)
         else
           graft.operators.Scale.writeZOrder(df, path, spec.layoutKeys,
-            spec.layoutPartitions, format = spec.format)
+            spec.layoutPartitions, format = spec.format, mode = mode)
       }
       return
     }

@@ -32,6 +32,26 @@ class QueriesPlanSpec extends SparkSpecBase {
       s"scan reads columns the query never touches:\n$plan")
   }
 
+  test("field_stats_approx runs the HLL branch: no exact-distinct Expand, bounded error") {
+    val df = Queries.fieldStatsApproxQ(spark, sf())
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("approx_count_distinct"),
+      s"approx entry must aggregate with HyperLogLog:\n$plan")
+    // exact multi-column countDistinct plans via Expand (rows × fields);
+    // the scale branch must stay a single pass
+    assert(!plan.contains("Expand"),
+      s"HLL branch must not pay the exact-distinct Expand:\n$plan")
+    // estimates within HLL's default rsd (5%) ± slack of the exact counts
+    val exact = Queries.fieldStatsQ(spark, sf()).select("field", "distinct_count")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    df.select("field", "distinct_count").collect().foreach { r =>
+      val (f, est) = (r.getString(0), r.getLong(1))
+      val ex = exact(f).toDouble
+      assert(math.abs(est - ex) / ex <= 0.15,
+        s"$f: HLL estimate $est too far from exact ${exact(f)}")
+    }
+  }
+
   test("bm25: term stats broadcast; the only cross join is the 1-row corpus stats") {
     val plan = Queries.searchBm25(spark, sf())
       .queryExecution.executedPlan.toString
