@@ -27,20 +27,55 @@ object Fuzzy {
    * Pairs (id_a, id_b, key_a, key_b, dist) with dist ≤ maxDist,
    * id_a < id_b, candidates blocked on `block(key)`. Self-join form:
    * pass the same frame/columns for both sides.
+   *
+   * SKEW GUARD: per-block cost is O(|block|²·L²) and the plain
+   * blocked join lands each block on ONE task — a dirty blocking key
+   * (everyone in the same city, an empty-name block) goes quadratic
+   * on a single straggler at scale. `saltBuckets = S > 1` switches to
+   * GRID-SALTED pairing: every row gets a bucket u = hash(id) mod S,
+   * the a-side is replicated across grid cells (u, 0..S-1) and the
+   * b-side across (0..S-1, v), so the pair (x, y) meets in EXACTLY
+   * one cell (uₓ, v_y) — results are identical to the unsalted join
+   * (spec-asserted), but a hot block's pair work spreads over S²
+   * shuffle keys, bounding per-task pairs at ~(|block|/S)². The cost
+   * is S× replication of the block's rows through the shuffle — the
+   * standard triangle-decomposition trade. Use [[blockHistogram]] to
+   * decide: a top block holding a double-digit share of rows is the
+   * signal to salt.
    */
   def selfFuzzyPairs(df: DataFrame, id: Column, key: Column,
-                     block: Column => Column, maxDist: Int): DataFrame = {
+                     block: Column => Column, maxDist: Int,
+                     saltBuckets: Int = 1): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
     val side = Scale.ensureParallelism(df)
       .select(id.as("id"), key.as("key"), block(key).as("blk"))
-    val a = side.as("a")
-    val b = side.as("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+    val (a, b) =
+      if (saltBuckets == 1) (side.as("a"), side.as("b"))
+      else {
+        val bucket = pmod(xxhash64(col("id")), lit(saltBuckets)).cast("int")
+        val grid = explode(sequence(lit(0), lit(saltBuckets - 1)))
+        (side.withColumn("sa", bucket).withColumn("sb", grid).as("a"),
+         side.withColumn("sb", bucket).withColumn("sa", grid).as("b"))
+      }
+    val saltCond =
+      if (saltBuckets == 1) lit(true)
+      else col("a.sa") === col("b.sa") && col("a.sb") === col("b.sb")
+    a.join(b, col("a.blk") === col("b.blk") && saltCond && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.key").as("key_a"), col("b.key").as("key_b"),
         levenshtein(col("a.key"), col("b.key")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Block-key skew diagnostic for sizing [[selfFuzzyPairs]]'
+    * `saltBuckets`: top blocks by row count with their share — a
+    * reuse of [[StatsOp.keyHistogram]] over the blocking key. The
+    * quadratic per-block pair count means a block with share s of n
+    * rows does s²·n² of the work; salt when the top share is large. */
+  def blockHistogram(df: DataFrame, key: Column,
+                     block: Column => Column, topN: Int = 20): DataFrame =
+    StatsOp.keyHistogram(df.select(block(key).as("blk")), col("blk"), topN)
 
   /**
    * Cross-frame blocked fuzzy join (left records matched to right
@@ -50,13 +85,27 @@ object Fuzzy {
    */
   def fuzzyJoin(left: DataFrame, leftId: Column, leftKey: Column,
                 right: DataFrame, rightId: Column, rightKey: Column,
-                block: Column => Column, maxDist: Int): DataFrame = {
+                block: Column => Column, maxDist: Int,
+                saltBuckets: Int = 1): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
-    val l = Scale.ensureParallelism(left)
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val l0 = Scale.ensureParallelism(left)
       .select(leftId.as("id_l"), leftKey.as("key_l"), block(leftKey).as("blk"))
-    val r = right
+    val r0 = right
       .select(rightId.as("id_r"), rightKey.as("key_r"), block(rightKey).as("blk"))
-    l.join(r, Seq("blk"))
+    // same grid-salting as selfFuzzyPairs: (l, r) meets in exactly one
+    // cell (bucket(l), bucket(r)); hot blocks spread over S² tasks
+    val (l, r, joinKeys) =
+      if (saltBuckets == 1) (l0, r0, Seq("blk"))
+      else {
+        val grid = explode(sequence(lit(0), lit(saltBuckets - 1)))
+        (l0.withColumn("sa", pmod(xxhash64(col("id_l")), lit(saltBuckets)).cast("int"))
+           .withColumn("sb", grid),
+         r0.withColumn("sb", pmod(xxhash64(col("id_r")), lit(saltBuckets)).cast("int"))
+           .withColumn("sa", grid),
+         Seq("blk", "sa", "sb"))
+      }
+    l.join(r, joinKeys)
       .select(col("id_l"), col("id_r"), col("key_l"), col("key_r"),
         levenshtein(col("key_l"), col("key_r")).as("dist"))
       .filter(col("dist") <= maxDist)

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.Fuzzy
+import org.apache.spark.sql.functions._
+
+/** Skew-guard contract of the blocked fuzzy join: grid-salting must
+  * keep results IDENTICAL to the plain blocked join while bounding
+  * the candidate-pair count any single shuffle key (= task) can see
+  * on a deliberately hot block. */
+class FuzzySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val S = 8
+
+  /** One pathological block: 600 near-identical names share the same
+    * 4-char blocking prefix; 200 well-behaved rows spread elsewhere. */
+  private lazy val skewed = {
+    val hot = (0 until 600).map(i => (i.toLong, f"hotblock-name-$i%04d"))
+    val ok = (0 until 200).map(i => (1000L + i, f"src$i%03d-name-$i%04d"))
+    (hot ++ ok).toDF("id", "name")
+  }
+
+  private def blockFn(c: org.apache.spark.sql.Column) = substring(c, 1, 4)
+
+  test("salted self fuzzy pairs are identical to the unsalted join") {
+    val plain = Fuzzy.selfFuzzyPairs(skewed, col("id"), col("name"),
+        blockFn, maxDist = 2)
+      .select("id_a", "id_b", "dist").collect().map(_.toSeq).toSet
+    val salted = Fuzzy.selfFuzzyPairs(skewed, col("id"), col("name"),
+        blockFn, maxDist = 2, saltBuckets = S)
+      .select("id_a", "id_b", "dist").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty, "skewed fixture must actually produce pairs")
+  }
+
+  test("salting bounds the per-task candidate product on a hot block") {
+    // replicate the operator's cell assignment: bucket = xxhash64(id) mod S;
+    // a cell (blk, u, v) sees n_u × n_v candidates. Unsalted, the hot
+    // block's single task sees n² — salted, no cell may exceed ~(n/S)².
+    val sides = skewed.select(blockFn(col("name")).as("blk"),
+      pmod(xxhash64(col("id")), lit(S)).cast("int").as("bkt"))
+    val perBucket = sides.groupBy("blk", "bkt").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val blocks = perBucket.keys.map(_._1).toSeq.distinct
+    val maxCell = (for {
+      blk <- blocks
+      u <- 0 until S
+      v <- 0 until S
+    } yield perBucket.getOrElse((blk, u), 0L) * perBucket.getOrElse((blk, v), 0L)).max
+    val hotN = 600L
+    assert(maxCell <= 4 * (hotN / S) * (hotN / S),
+      s"a single cell still sees $maxCell candidate pairs")
+    assert(maxCell < hotN * hotN / 8,
+      "salting must cut the single-task worst case by at least the grid factor")
+  }
+
+  test("salted cross-frame fuzzyJoin matches unsalted") {
+    val right = skewed.select((col("id") + 5000).as("rid"),
+      concat(col("name"), lit("x")).as("rname"))
+    val plain = Fuzzy.fuzzyJoin(skewed, col("id"), col("name"),
+        right, col("rid"), col("rname"), blockFn, maxDist = 3)
+      .select("id_l", "id_r", "dist").collect().map(_.toSeq).toSet
+    val salted = Fuzzy.fuzzyJoin(skewed, col("id"), col("name"),
+        right, col("rid"), col("rname"), blockFn, maxDist = 3, saltBuckets = S)
+      .select("id_l", "id_r", "dist").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+}
