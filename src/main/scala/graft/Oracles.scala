@@ -123,7 +123,13 @@ object Oracles {
        |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src)
        |SELECT src AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY src""".stripMargin
 
-  val all: Map[String, String] = Map(
+  /** Full catalog: the literal map plus aliases for queries that are
+    * result-identical by construction (sim_pq_served loads persisted
+    * codebooks instead of deriving them — same pinned values, same
+    * oracle). */
+  lazy val all: Map[String, String] = base + ("sim_pq_served" -> base("sim_pq"))
+
+  private lazy val base: Map[String, String] = Map(
 
     "src_json" ->
       """SELECT event_type, COUNT(*) AS n,
@@ -436,6 +442,31 @@ object Oracles {
         |FROM n a, n b
         |WHERE b.vec_id % 20 = 0
         |  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
+
+    // scale path of sim_cross: LSH-bucketed candidates on BOTH sides
+    // (same plane literals as sim_lsh), exact rescoring. Self-matches
+    // (b is a subset of a) are kept, like the brute variant.
+    "sim_cross_lsh" ->
+      s"""WITH planes(t, b, p) AS (VALUES
+        |  $lshPlanesValues),
+        |w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM w),
+        |sig AS (
+        |  SELECT n.vec_id, pl.t,
+        |    CAST(SUM(CASE WHEN list_dot_product(n.v, pl.p) >= 0
+        |                  THEN (CAST(1 AS BIGINT) << pl.b) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM n, planes pl GROUP BY n.vec_id, pl.t),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+        |  FROM sig a JOIN sig c ON a.t = c.t AND a.bucket = c.bucket
+        |  WHERE c.vec_id % 20 = 0),
+        |sc AS (
+        |  SELECT cand.id_a, cand.id_b,
+        |    CASE WHEN qa.nrm * qc.nrm = 0 THEN 0.0
+        |         ELSE list_dot_product(qa.v, qc.v) / (qa.nrm * qc.nrm) END AS cos_sim
+        |  FROM cand JOIN n qa ON qa.vec_id = cand.id_a
+        |            JOIN n qc ON qc.vec_id = cand.id_b)
+        |SELECT id_a, id_b, cos_sim FROM sc WHERE cos_sim >= 0.4""".stripMargin,
 
     "sim_topk" ->
       """WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -477,6 +477,19 @@ object Queries {
       threshold = 0.4)
   }
 
+  /** The SCALE path of [[simCross]]: both sides LSH-bucketed with the
+    * same deterministic hyperplanes, candidates from the (table,
+    * bucket) equi-join, exact rescoring — what a 100 TB run executes
+    * when the benchmark side outgrows broadcast. Full DuckDB oracle
+    * (the planes are SQL literals, like sim_lsh). */
+  def simCrossLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.lshCrossPairs(
+      e, col("vec_id"), col("embedding"),
+      e.filter(col("vec_id") % 20 === 0), col("vec_id"), col("embedding"),
+      threshold = 0.4)
+  }
+
   /** Brute-force cosine top-k ANN (exact baseline). */
   def simTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
@@ -1003,6 +1016,30 @@ object Queries {
       nprobe = 4, cells = ivfAnchorCodebook(e), pq = pqAnchorCodebook(e))
   }
 
+  /** STEADY-STATE IVF-PQ serving: codebooks persisted (saveCentroids /
+    * savePqCodebook artifacts) on first touch per input dir, then
+    * every query LOADS the persisted artifacts and serves — the timed
+    * region contains zero training / derivation cost, exactly the
+    * 100 TB production shape (train once, persist, serve forever).
+    * Result-identical to [[simPq]] (same pinned codebooks), so it
+    * shares the same DuckDB oracle. */
+  private val pqPathMemo = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  def simPqServed(s: SparkSession, dir: String): DataFrame = {
+    val (cellsPath, pqPath) = pqPathMemo.computeIfAbsent(dir, _ => {
+      val e = t(s, dir, "embeddings")
+      val base = scratch("pq_codebook", dir)
+      new java.io.File(base).mkdirs()
+      val cp = s"$base/cells"; val pp = s"$base/pq"
+      Similarity.saveCentroids(cp, ivfAnchorCodebook(e))
+      Similarity.savePqCodebook(pp, pqAnchorCodebook(e))
+      (cp, pp)
+    })
+    Similarity.ivfPqTopK(t(s, dir, "embeddings"), col("vec_id"),
+      col("embedding"), k = 10, nprobe = 4,
+      cells = Similarity.loadCentroids(cellsPath),
+      pq = Similarity.loadPqCodebook(pqPath))
+  }
+
   /** Hashed linear quality classifier (fastText-style serving path):
     * 4096-bucket synthetic pretrained weights, integer logits. */
   def qualityClassifier(s: SparkSession, dir: String): DataFrame =
@@ -1183,8 +1220,10 @@ object Queries {
     "dedup_embedding" -> dedupEmbedding _,
     "sim_topk" -> simTopK _,
     "sim_cross" -> simCross _,
+    "sim_cross_lsh" -> simCrossLsh _,
     "sim_lsh" -> simLsh _,
     "sim_ivf" -> simIvf _,
+    "sim_pq_served" -> simPqServed _,
     "semdedup" -> semDedupQ _,
     "dup_ngram_coverage" -> dupNgramCoverageQ _,
     "text_familiarity" -> textFamiliarityQ _,
