@@ -16,13 +16,25 @@ import org.apache.spark.sql.functions._
  * ([[Dataset]] + `mapPartitions`) — the Scala-native equivalent of a
  * batched decode UDF: one iterator per partition, no driver
  * round-trip, codec state reusable across a partition's records.
- * The actual codec call is STUBBED ([[FakeCodec]] — this container
- * ships no image/audio libraries); the stub is deterministic
- * (md5-derived) so plumbing is oracle- and spec-testable. Swapping in
- * a real codec changes only [[FakeCodec]]'s body: schema, batch
- * shape, partitioning and signatures all stay.
+ * Codecs are pluggable behind [[Codec]]: [[ImageIoCodec]] is a REAL
+ * pure-JVM image path (javax.imageio — PNG/BMP/GIF/JPEG ship with the
+ * JDK, no new dependencies); [[FakeCodec]] is the deterministic
+ * md5-derived stand-in for formats the JVM cannot decode (audio/video
+ * — this container ships no media libraries). The default
+ * [[AutoCodec]] probes each payload and routes: decodable images get
+ * real features/resizes, everything else degrades to the stub, so the
+ * catalog's text-payload oracle is unaffected while real fixtures
+ * exercise the real path (MultimodalSpec).
  */
 object Multimodal {
+
+  /** Pluggable per-payload codec (executor-side, serializable). */
+  trait Codec extends Serializable {
+    /** `dim` floats summarizing the payload. */
+    def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float]
+    /** Re-encoded payload at (w, h). */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
 
   /** Typed media metadata (parquet-queryable without payload reads).
     * `nBytes`/`fp` are computed ONCE where the payload is created or
@@ -43,12 +55,12 @@ object Multimodal {
       features: Array[Float])
 
   /**
-   * STUB codec — deterministic stand-in for image/audio decoding.
-   * Real implementation would call an image/audio library here; the
-   * container has none, so features are md5-derived pseudo-floats.
-   * Everything downstream of this object is real Spark plumbing.
+   * STUB codec — deterministic stand-in for payloads the JVM cannot
+   * decode (audio/video; the container ships no media libraries).
+   * Features are md5-derived pseudo-floats, so plumbing stays oracle-
+   * and spec-testable.
    */
-  object FakeCodec {
+  object FakeCodec extends Codec {
     def md5Hex(bytes: Array[Byte]): String =
       java.security.MessageDigest.getInstance("MD5").digest(bytes)
         .map("%02x".format(_)).mkString
@@ -65,6 +77,89 @@ object Multimodal {
     /** "Resize": deterministic payload for the new dims. */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
       (md5Hex(bytes) + s":${w}x$h").getBytes("UTF-8")
+  }
+
+  /**
+   * REAL image codec on nothing but the JDK: `javax.imageio` decodes
+   * PNG/BMP/GIF/JPEG/WBMP. Features are grid-cell mean luminances
+   * (image split into a row-major ⌈√dim⌉ grid, per-cell average of
+   * Rec.601 luma, [0,1]) — deterministic, content-derived, and
+   * resolution-invariant enough for near-dup screening. Resize paints
+   * into a fresh RGB raster and re-encodes PNG (deterministic: no
+   * dithering, no timestamped metadata).
+   */
+  object ImageIoCodec extends Codec {
+    // executors have no display: force headless before any AWT class
+    // loads (harmless if already set)
+    System.setProperty("java.awt.headless", "true")
+
+    def tryRead(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
+      featuresOf(tryRead(bytes).getOrElse(
+        throw new IllegalArgumentException("payload is not a JVM-decodable image")), dim)
+
+    private[operators] def featuresOf(img: java.awt.image.BufferedImage,
+                                      dim: Int): Array[Float] = {
+      val g = math.ceil(math.sqrt(dim.toDouble)).toInt
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sums = new Array[Double](g * g)
+      val counts = new Array[Long](g * g)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(y * g / h, g - 1)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(x * g / w, g - 1)
+          val rgb = img.getRGB(x, y)
+          val luma = 0.299 * ((rgb >> 16) & 0xff) +
+            0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+          val cell = cy * g + cx
+          sums(cell) += luma / 255.0
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(dim) { i =>
+        if (i < g * g && counts(i) > 0) (sums(i) / counts(i)).toFloat else 0f
+      }
+    }
+
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      resizeImg(tryRead(bytes).getOrElse(
+        throw new IllegalArgumentException("payload is not a JVM-decodable image")), w, h)
+
+    private[operators] def resizeImg(img: java.awt.image.BufferedImage,
+                                     w: Int, h: Int): Array[Byte] = {
+      val out = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gfx = out.createGraphics()
+      try gfx.drawImage(img, 0, 0, w, h, null) finally gfx.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      baos.toByteArray
+    }
+  }
+
+  /** Default codec: decodable images take the REAL javax.imageio path,
+    * everything else (audio/video/non-image bytes) degrades to the
+    * deterministic stub — so pipelines run end-to-end regardless of
+    * payload mix, and text-payload oracles are unchanged. */
+  object AutoCodec extends Codec {
+    def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
+      ImageIoCodec.tryRead(bytes) match {
+        case Some(img) => ImageIoCodec.featuresOf(img, dim)
+        case None => FakeCodec.decodeFeatures(bytes, dim)
+      }
+
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      ImageIoCodec.tryRead(bytes) match {
+        case Some(img) => ImageIoCodec.resizeImg(img, w, h)
+        case None => FakeCodec.resize(bytes, w, h)
+      }
   }
 
   /**
@@ -97,22 +192,24 @@ object Multimodal {
    * This is the operator a real pipeline runs over billions of blobs;
    * partition count (not row count) bounds codec-state allocations.
    */
-  def decodeFeatures(media: Dataset[MediaRecord], dim: Int = 8): Dataset[MediaFeatures] = {
+  def decodeFeatures(media: Dataset[MediaRecord], dim: Int = 8,
+                     codec: Codec = AutoCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
         MediaFeatures(m.mediaId, m.kind, m.bytes.length.toLong,
-          FakeCodec.md5Hex(m.bytes), FakeCodec.decodeFeatures(m.bytes, dim))
+          FakeCodec.md5Hex(m.bytes), codec.decodeFeatures(m.bytes, dim))
       }
     }
   }
 
   /** Resize images to (w, h); non-images pass through untouched. */
-  def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+  def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int,
+                   codec: Codec = AutoCodec): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.map { m =>
       if (m.kind == "image") {
-        val resized = FakeCodec.resize(m.bytes, w, h)
+        val resized = codec.resize(m.bytes, w, h)
         m.copy(bytes = resized,
           meta = m.meta.copy(width = w, height = h,
             nBytes = resized.length.toLong, fp = FakeCodec.md5Hex(resized)))

@@ -58,6 +58,51 @@ class MultimodalSpec extends SparkSpecBase {
     assert(kinds === Set("image", "audio", "video"))
   }
 
+  /** Real 32×32 PNG: left half black, right half white — grid-cell
+    * luminance features are exactly predictable. */
+  private def pngFixture: Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("real PNG decodes through javax.imageio end-to-end (no stub)") {
+    val png = pngFixture
+    val real = MediaRecord(10L, "image", png,
+      MediaMeta("png", 32, 32, 0, 0L, png.length.toLong, FakeCodec.md5Hex(png)))
+    val mixed = Seq(real, mk(11L, "audio", "audiobytes", 0, 0, 16000, 2500L)).toDS()
+    val out = decodeFeatures(mixed, dim = 4).collect().sortBy(_.mediaId)
+    // 2×2 grid over half-black/half-white: cells (0,0)/(1,0) black,
+    // (0,1)/(1,1) white — content-derived, not md5-derived
+    val f = out(0).features
+    assert(f(0) < 0.01f && f(2) < 0.01f, s"left cells must be black: ${f.toSeq}")
+    assert(f(1) > 0.99f && f(3) > 0.99f, s"right cells must be white: ${f.toSeq}")
+    assert(f.toSeq != FakeCodec.decodeFeatures(png, 4).toSeq,
+      "image payload must NOT route to the stub")
+    // the audio record still degrades to the deterministic stub
+    assert(out(1).features.toSeq ===
+      FakeCodec.decodeFeatures("audiobytes".getBytes("UTF-8"), 4).toSeq)
+  }
+
+  test("real PNG resize produces a decodable PNG with the target dims") {
+    val png = pngFixture
+    val rec = MediaRecord(12L, "image", png,
+      MediaMeta("png", 32, 32, 0, 0L, png.length.toLong, FakeCodec.md5Hex(png)))
+    val out = resizeImages(Seq(rec).toDS(), 16, 8).collect().head
+    assert(out.meta.width === 16 && out.meta.height === 8)
+    val back = ImageIoCodec.tryRead(out.bytes)
+    assert(back.isDefined, "resized payload must be a real decodable image")
+    assert(back.get.getWidth === 16 && back.get.getHeight === 8)
+    // content survives the resize: left still dark, right still bright
+    val f = ImageIoCodec.decodeFeatures(out.bytes, 4)
+    assert(f(0) < 0.1f && f(1) > 0.9f, s"resize must preserve content: ${f.toSeq}")
+    assert(out.meta.fp === FakeCodec.md5Hex(out.bytes))
+  }
+
   test("binaryFiles source: glob filter, size guard, metadata-only prunes content") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bin").toFile
     try {
