@@ -22,6 +22,11 @@ object Dataflow {
   /** Compile all transformations; returns every named frame. */
   def plan(spark: SparkSession, flow: DataflowSpec,
            inputs: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
+    // the graft SQL kernels (hll_sketch/dd_sketch/… — mergeable sketch
+    // aggregates in particular) must resolve inside `aggregate`/`sql`/
+    // `filter` expressions of a JSON-declared flow; registration is
+    // idempotent, so make the whole catalog reachable unconditionally
+    graft.functions.GraftFunctions.register(spark)
     val sourceFrames: Map[String, DataFrame] =
       flow.sources.map(s => s.name -> Readers.read(spark, s)).toMap
 

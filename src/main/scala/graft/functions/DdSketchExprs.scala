@@ -167,14 +167,22 @@ object DdSketchExprs {
       copy(child = newChild)
   }
 
-  /** Quantile of a serialized sketch (scalar). */
+  /** Quantile of a serialized sketch (scalar). The quantile argument
+    * accepts any SQL numeric (a bare `0.5` literal parses as DECIMAL;
+    * the Column API passes DOUBLE) — coerced at eval. */
   case class DdQuantile(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
-    override def nullSafeEval(sk: Any, q: Any): Any =
-      Sketch.deserialize(sk.asInstanceOf[Array[Byte]])
-        .quantile(q.asInstanceOf[Double]).orNull
+    override def nullSafeEval(sk: Any, q: Any): Any = {
+      val qd = q match {
+        case d: Decimal => d.toDouble
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"dd_quantile: non-numeric quantile $other")
+      }
+      Sketch.deserialize(sk.asInstanceOf[Array[Byte]]).quantile(qd).orNull
+    }
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)

@@ -522,6 +522,47 @@ class DataflowSpec extends SparkSpecBase {
       Seq("n_nonspace", "main_script", "main_frac"))
   }
 
+  test("sketch-persisting flow from JSON: per-group HLL/DDSketch parquet round-trip, union == global") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch_flow").toString
+    val spec =
+      s"""{"dataflows":[{
+         |"name":"sketches",
+         |"sources":[{"name":"docs","path":"${sf()}/documents.parquet","format":"parquet"}],
+         |"transformations":[
+         |  {"name":"per_source","type":"aggregate","params":{
+         |    "input":"docs","output":"sk",
+         |    "group_by":["source"],
+         |    "aggs":[
+         |      {"name":"doc_sketch","expr":"hll_sketch(doc_id)"},
+         |      {"name":"len_sketch","expr":"dd_sketch(n_chars)"},
+         |      {"name":"n","expr":"count(1)"}]}}],
+         |"sinks":[
+         |  {"input":"sk","name":"skSink","paths":["$dir/sk"],"format":"parquet","saveMode":"overwrite"}]
+         |}]}""".stripMargin
+    Dataflow.run(spark, MetaLoader.loadString(spec).dataflow("sketches"))
+    // the scheduled-pipeline shape: per-partition sketches persisted as
+    // COLUMN VALUES, then merged downstream without touching raw data
+    graft.functions.GraftFunctions.register(spark)
+    val persisted = spark.read.parquet(s"$dir/sk")
+    persisted.createOrReplaceTempView("persisted_sketches")
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    docs.createOrReplaceTempView("sketch_docs")
+    val merged = spark.sql(
+      """SELECT hll_estimate(hll_union(doc_sketch)) AS nd,
+        |       dd_quantile(dd_union(len_sketch), 0.5) AS med
+        |FROM persisted_sketches""".stripMargin).head()
+    val global = spark.sql(
+      """SELECT hll_estimate(hll_sketch(doc_id)) AS nd,
+        |       dd_quantile(dd_sketch(n_chars), 0.5) AS med
+        |FROM sketch_docs""".stripMargin).head()
+    // mergeability contract: union of persisted per-group sketches IS
+    // the global sketch (same estimate, not merely close)
+    assert(merged.getLong(0) === global.getLong(0))
+    assert(merged.getDouble(1) === global.getDouble(1))
+    val exact = docs.select(countDistinct(col("doc_id"))).head().getLong(0)
+    assert(math.abs(merged.getLong(0) - exact).toDouble / exact <= 0.05)
+  }
+
   test("RunPipeline stage summary: one [stage] line per source + output, with counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_verbose").toString
     Seq("""{"id":1,"v":"x"}""", """{"id":2,"v":""}""")
