@@ -21,7 +21,12 @@ object MetaLoader {
 
   def loadString(json: String): PipelineSpec = {
     val root = mapper.readTree(json)
-    PipelineSpec(arr(root, "dataflows").map(parseDataflow))
+    val schedule = Option(root.get("schedule")).map(s =>
+      ScheduleSpec(
+        interval = str(s, "interval"),
+        anchor = str(s, "anchor"),
+        catchup = !s.path("catchup").isBoolean || s.get("catchup").asBoolean()))
+    PipelineSpec(arr(root, "dataflows").map(parseDataflow), schedule)
   }
 
   private def parseDataflow(n: JsonNode): DataflowSpec =

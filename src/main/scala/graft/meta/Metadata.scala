@@ -11,7 +11,8 @@ package graft.meta
  * optimizer sees the whole metadata-driven plan (pushdown, pruning,
  * constant folding all apply).
  */
-final case class PipelineSpec(dataflows: Seq[DataflowSpec]) {
+final case class PipelineSpec(dataflows: Seq[DataflowSpec],
+    schedule: Option[ScheduleSpec] = None) {
   def dataflow(name: String): DataflowSpec =
     dataflows.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"Dataflow '$name' not found; have ${dataflows.map(_.name).mkString(", ")}"))

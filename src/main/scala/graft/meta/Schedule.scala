@@ -1,0 +1,111 @@
+package graft.meta
+
+import java.time.{Duration, Instant, ZoneOffset}
+import java.time.format.DateTimeFormatter
+
+/**
+ * Scheduling + catchup semantics for metadata pipelines — the
+ * orchestrator-free equivalent of the reference's Airflow DAG
+ * (reference: dags/motor_pipeline_dag.py:1-60, `schedule_interval`
+ * + `catchup`). The reference delegates "run this pipeline daily,
+ * backfill what was missed" to Airflow; graft expresses the same
+ * contract as a pure function over (anchor, interval, last-completed,
+ * now), so any scheduler — cron, CI, a while-loop — can drive it and
+ * the catchup math stays testable.
+ *
+ * Model (Airflow's data-interval semantics): boundaries are
+ * `anchor + k·interval`; the run with logical time `t` covers the
+ * data interval `[t, t + interval)` and becomes DUE once that
+ * interval has closed (`now >= t + interval`). `dueRuns` enumerates
+ * every closed, not-yet-completed boundary — that list IS the
+ * backfill. With `catchup = false` only the most recent due run
+ * fires (Airflow's `catchup=False`).
+ *
+ * Paths in the spec may carry `${run_date}`, `${run_hour}`,
+ * `${run_ts}` and `${prev_run_date}` templates; [[bind]] resolves
+ * them for one logical run, turning a static dataflow into a
+ * date-partitioned incremental one (see
+ * examples/scheduled_delta.json: yesterday's snapshot vs today's
+ * through the corpus_delta operator).
+ */
+object Schedule {
+
+  private val dateFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd").withZone(ZoneOffset.UTC)
+  private val hourFmt = DateTimeFormatter.ofPattern("HH").withZone(ZoneOffset.UTC)
+
+  def intervalOf(name: String): Duration = name.toLowerCase match {
+    case "hourly" => Duration.ofHours(1)
+    case "daily"  => Duration.ofDays(1)
+    case "weekly" => Duration.ofDays(7)
+    case other => throw new IllegalArgumentException(
+      s"schedule: unknown interval '$other' (hourly|daily|weekly)")
+  }
+
+  /**
+   * Logical times of every run that is due: boundaries strictly after
+   * `lastCompleted` (all of them, if none yet) whose data interval has
+   * closed by `now`. Oldest first, so executing the list in order and
+   * recording each completion is a crash-safe backfill.
+   */
+  def dueRuns(spec: ScheduleSpec, lastCompleted: Option[Instant],
+              now: Instant): Seq[Instant] = {
+    val step = intervalOf(spec.interval)
+    val anchor = Instant.parse(spec.anchor)
+    if (now.isBefore(anchor.plus(step))) return Nil
+    // first candidate: the boundary after lastCompleted, else the anchor
+    val first = lastCompleted match {
+      case Some(lc) =>
+        val k = Duration.between(anchor, lc).toMillis / step.toMillis
+        anchor.plus(step.multipliedBy(k + 1))
+      case None => anchor
+    }
+    val due = Iterator.iterate(first)(_.plus(step))
+      .takeWhile(t => !now.isBefore(t.plus(step)))
+      .toSeq
+    if (spec.catchup || due.isEmpty) due else Seq(due.last)
+  }
+
+  /** Resolve `${run_date}`/`${run_hour}`/`${run_ts}`/`${prev_run_date}`
+    * in a path for the run with logical time `t`. */
+  def substitute(path: String, t: Instant, interval: String): String = {
+    val prev = t.minus(intervalOf(interval))
+    path
+      .replace("${run_date}", dateFmt.format(t))
+      .replace("${run_hour}", hourFmt.format(t))
+      .replace("${run_ts}", t.getEpochSecond.toString)
+      .replace("${prev_run_date}", dateFmt.format(prev))
+  }
+
+  /** Bind one logical run: substitute date templates in every source
+    * and sink path of the flow. */
+  def bind(flow: DataflowSpec, t: Instant, interval: String): DataflowSpec =
+    flow.copy(
+      sources = flow.sources.map(s => s.copy(path = substitute(s.path, t, interval))),
+      sinks = flow.sinks.map(k => k.copy(paths = k.paths.map(substitute(_, t, interval)))))
+
+  // -- completion state (what Airflow keeps in its metadata DB) -------
+
+  /** Read the last completed logical time from a one-line state file;
+    * None if the file does not exist (first run => full backfill). */
+  def readState(path: java.nio.file.Path): Option[Instant] =
+    if (java.nio.file.Files.exists(path))
+      Some(Instant.parse(java.nio.file.Files.readString(path).trim))
+    else None
+
+  /** Record a completed logical time (atomic move, so a crash mid-write
+    * never corrupts the state). */
+  def writeState(path: java.nio.file.Path, t: Instant): Unit = {
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, t.toString)
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+/** Optional `schedule` block of a pipeline spec. `anchor` is the ISO
+  * instant of the first data interval's start. */
+final case class ScheduleSpec(
+    interval: String,            // hourly | daily | weekly
+    anchor: String,              // e.g. "2026-08-01T00:00:00Z"
+    catchup: Boolean = true)

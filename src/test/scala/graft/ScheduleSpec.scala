@@ -1,0 +1,108 @@
+package graft
+
+import graft.meta.{Schedule, ScheduleSpec => SchedSpec}
+
+import java.time.Instant
+
+class ScheduleSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val daily = SchedSpec("daily", "2026-08-01T00:00:00Z")
+
+  test("dueRuns: full catchup from anchor when no state") {
+    // now = Aug 4 06:00 -> intervals [1,2) [2,3) [3,4) have closed
+    val due = Schedule.dueRuns(daily, None, Instant.parse("2026-08-04T06:00:00Z"))
+    assert(due === Seq("2026-08-01T00:00:00Z", "2026-08-02T00:00:00Z",
+      "2026-08-03T00:00:00Z").map(Instant.parse))
+  }
+
+  test("dueRuns: resumes strictly after last completed, no duplicates") {
+    val due = Schedule.dueRuns(daily,
+      Some(Instant.parse("2026-08-02T00:00:00Z")),
+      Instant.parse("2026-08-04T06:00:00Z"))
+    assert(due === Seq(Instant.parse("2026-08-03T00:00:00Z")))
+  }
+
+  test("dueRuns: nothing due before the first interval closes") {
+    assert(Schedule.dueRuns(daily, None,
+      Instant.parse("2026-08-01T23:59:59Z")).isEmpty)
+    // last=Aug 3, now=Aug 4 23:00 -> Aug 4's interval [4,5) is still
+    // open, so nothing is due yet
+    assert(Schedule.dueRuns(daily,
+      Some(Instant.parse("2026-08-03T00:00:00Z")),
+      Instant.parse("2026-08-04T23:00:00Z")).isEmpty)
+    // ...and becomes due the moment it closes
+    assert(Schedule.dueRuns(daily,
+      Some(Instant.parse("2026-08-04T00:00:00Z")),
+      Instant.parse("2026-08-06T00:00:00Z")) ===
+      Seq(Instant.parse("2026-08-05T00:00:00Z")))
+  }
+
+  test("dueRuns: catchup=false keeps only the most recent due run") {
+    val noCatchup = daily.copy(catchup = false)
+    val due = Schedule.dueRuns(noCatchup, None,
+      Instant.parse("2026-08-10T12:00:00Z"))
+    assert(due === Seq(Instant.parse("2026-08-09T00:00:00Z")))
+  }
+
+  test("substitute binds run_date / prev_run_date / run_hour / run_ts") {
+    val t = Instant.parse("2026-08-03T00:00:00Z")
+    assert(Schedule.substitute(
+      "/d/s=${run_date}/p=${prev_run_date}/h=${run_hour}/t=${run_ts}",
+      t, "daily") ===
+      s"/d/s=2026-08-03/p=2026-08-02/h=00/t=${t.getEpochSecond}")
+  }
+
+  test("ScheduleRunner: daily delta backfill end-to-end with crash-safe state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sched").toString
+    // three daily snapshots: day2 updates doc 2 and adds doc 4;
+    // day3 removes doc 1
+    def write(date: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/corpus/snapshot_date=$date")
+    write("2026-08-01", Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    write("2026-08-02", Seq(1L -> "a", 2L -> "B!", 3L -> "c", 4L -> "d"))
+    write("2026-08-03", Seq(2L -> "B!", 3L -> "c", 4L -> "d"))
+    val metaJson =
+      s"""{"schedule":{"interval":"daily","anchor":"2026-08-01T00:00:00Z"},
+         |"dataflows":[{"name":"delta",
+         |"sources":[
+         | {"name":"prev","path":"$dir/corpus/snapshot_date=$${prev_run_date}","format":"parquet"},
+         | {"name":"cur","path":"$dir/corpus/snapshot_date=$${run_date}","format":"parquet"}],
+         |"transformations":[
+         | {"name":"d","type":"version_delta","params":{"input":"prev","new_input":"cur",
+         |   "output":"delta","id":"doc_id","content":"text"}},
+         | {"name":"ch","type":"sql","params":{"input":"delta","output":"changed",
+         |   "query":"SELECT doc_id, status FROM delta WHERE status <> 'unchanged'"}}],
+         |"sinks":[{"input":"changed","name":"out",
+         | "paths":["$dir/delta/run_date=$${run_date}"],"format":"parquet","saveMode":"overwrite"}]
+         |}]}""".stripMargin
+    val metaPath = s"$dir/pipeline.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(metaPath), metaJson)
+    val statePath = s"$dir/state"
+
+    // logical runs 08-02 and 08-03 are due at now=08-04 (run t compares
+    // ${prev_run_date}=t-1d to ${run_date}=t; the 08-01 anchor run has
+    // no 07-31 snapshot, so the anchor is set to the first COMPARABLE
+    // run minus nothing — state pre-seeded to 08-01 models "initial
+    // snapshot loaded, deltas from then on")
+    Schedule.writeState(java.nio.file.Paths.get(statePath),
+      Instant.parse("2026-08-01T00:00:00Z"))
+    val ran = ScheduleRunner.runDue(spark, metaPath, statePath, None,
+      Instant.parse("2026-08-04T06:00:00Z"))
+    assert(ran === Seq("2026-08-02T00:00:00Z", "2026-08-03T00:00:00Z").map(Instant.parse))
+
+    val d2 = spark.read.parquet(s"$dir/delta/run_date=2026-08-02")
+      .as[(Long, String)].collect().toSet
+    assert(d2 === Set(2L -> "updated", 4L -> "added"))
+    val d3 = spark.read.parquet(s"$dir/delta/run_date=2026-08-03")
+      .as[(Long, String)].collect().toSet
+    assert(d3 === Set(1L -> "removed"))
+
+    // state advanced to the last completed run; nothing further due
+    assert(Schedule.readState(java.nio.file.Paths.get(statePath)) ===
+      Some(Instant.parse("2026-08-03T00:00:00Z")))
+    assert(ScheduleRunner.runDue(spark, metaPath, statePath, None,
+      Instant.parse("2026-08-04T06:00:00Z")).isEmpty)
+  }
+}
