@@ -735,6 +735,24 @@ object Oracles {
          |    + (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.5 AS quality_score
          |FROM q""".stripMargin,
 
+    // char entropy: exact counts, one LOG2 per distinct char; both
+    // sides round half-away at 6dp so summation-order ulps can't
+    // break the hash; 0.0 - SUM(...) keeps the single-char case +0.0
+    "text_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |f AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
+        |t AS (SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS dst FROM f GROUP BY 1)
+        |SELECT f.doc_id,
+        |  CAST(MAX(t.n) AS INT) AS n_codepoints,
+        |  CAST(MAX(t.dst) AS INT) AS n_distinct_chars,
+        |  ROUND(0.0 - SUM((CAST(f.cnt AS DOUBLE) / t.n) * LOG2(CAST(f.cnt AS DOUBLE) / t.n)), 6) AS char_entropy,
+        |  ROUND(CASE WHEN MAX(t.dst) > 1
+        |    THEN (0.0 - SUM((CAST(f.cnt AS DOUBLE) / t.n) * LOG2(CAST(f.cnt AS DOUBLE) / t.n))) / LOG2(CAST(MAX(t.dst) AS DOUBLE))
+        |    ELSE 0.0 END, 6) AS entropy_ratio
+        |FROM f JOIN t USING (doc_id)
+        |GROUP BY f.doc_id""".stripMargin,
+
     "split_assign" ->
       """WITH b AS (
         |  SELECT doc_id,
@@ -1255,6 +1273,17 @@ object Oracles {
       """SELECT d.doc_id, CAST(i.epoch AS BIGINT) AS epoch
         |FROM documents d,
         |     LATERAL unnest(range(1, (d.doc_id % 4) + 1)) AS i(epoch)""".stripMargin,
+
+    // A-ES weighted sample: top-120 by u^(1/w), u from 13 md5 hex
+    // chars (52 bits — exactly representable in a double on both
+    // engines)
+    "sample_weighted" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    POW((CAST('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1.0)
+        |        / POW(16.0, 13.0), 1.0 / n_chars) AS k
+        |  FROM documents)
+        |ORDER BY k DESC, doc_id LIMIT 120""".stripMargin,
 
     // exact-N sample: first 100 of the seeded permutation
     "sample_exact_n" ->

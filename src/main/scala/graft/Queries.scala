@@ -500,6 +500,15 @@ object Queries {
   def simLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(t(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 10)
 
+  /** The occupancy-sized LSH path (`bits = 0` → [[Similarity.autoBits]]
+    * from parquet footers): candidate volume stays LINEAR in corpus
+    * size instead of quadratic-per-bucket. Rows-only check — the
+    * static pinned-plane oracle can't express scale-dependent bits;
+    * recall is spec-gated (SimilaritySpec). */
+  def simLshAuto(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+      k = 10, bits = 0)
+
   /** Deterministic pinned codebook for the catalog's IVF query: the
     * 32 lowest-id embeddings, unit-normalized with the SAME
     * inv-multiply arithmetic [[graft.functions.VectorExprs.NearestCentroids]]
@@ -569,6 +578,17 @@ object Queries {
   def textQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id") +: TextAnalysisCols.qualityFeatures(col("text")): _*)
+
+  /** Char-entropy quality signal: one scan-side native pass
+    * ([[graft.functions.TextFeatures.CharEntropyExpr]]). */
+  def textEntropy(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.functions.TextFeatures.entropyStruct(col("text"))
+    t(s, dir, "documents").select(col("doc_id"),
+      e.getField("n_codepoints").as("n_codepoints"),
+      e.getField("n_distinct_chars").as("n_distinct_chars"),
+      e.getField("char_entropy").as("char_entropy"),
+      e.getField("entropy_ratio").as("entropy_ratio"))
+  }
 
   /** Stopword-profile language ID. */
   def textLangId(s: SparkSession, dir: String): DataFrame =
@@ -796,6 +816,13 @@ object Queries {
     Sampling.takeExactly(
       t(s, dir, "documents").select(col("doc_id"), col("source")),
       col("doc_id"), n = 100L, seed = "sampleN")
+
+  /** Length-weighted A-ES sample: long documents proportionally more
+    * likely, exactly 120 rows, seed-reproducible. */
+  def sampleWeighted(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSample(
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+      col("doc_id"), col("n_chars"), n = 120L, seed = "wsample")
 
   /** Sentence chunking over decorated docs (boundaries injected — the
     * raw corpus has no punctuation). */
@@ -1222,6 +1249,7 @@ object Queries {
     "sim_cross" -> simCross _,
     "sim_cross_lsh" -> simCrossLsh _,
     "sim_lsh" -> simLsh _,
+    "sim_lsh_auto" -> simLshAuto _,
     "sim_ivf" -> simIvf _,
     "sim_pq_served" -> simPqServed _,
     "semdedup" -> semDedupQ _,
@@ -1230,6 +1258,7 @@ object Queries {
     "multimodal_meta" -> multimodalMeta _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
+    "text_entropy" -> textEntropy _,
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
     "text_repetition" -> textRepetition _,
@@ -1255,6 +1284,7 @@ object Queries {
     "upsample_epochs" -> upsampleEpochsQ _,
     "shuffle_order" -> shuffleOrder _,
     "sample_exact_n" -> sampleExactN _,
+    "sample_weighted" -> sampleWeighted _,
     "text_normalize" -> textNormalize _,
     "text_sentences" -> textSentences _,
     "pipeline_docs_v3" -> pipelineDocsV3 _,

@@ -98,4 +98,69 @@ object TextFeatures {
 
   def qualityStruct(text: Column, stopwords: Seq[String]): Column =
     GraftBridge.column(TextQualityExpr(GraftBridge.expression(text), stopwords))
+
+  val EntropyFields: Seq[(String, DataType)] = Seq(
+    "n_codepoints" -> IntegerType, "n_distinct_chars" -> IntegerType,
+    "char_entropy" -> DoubleType, "entropy_ratio" -> DoubleType)
+
+  /** Round half-away-from-zero at 6 dp — both Spark's `round()` and
+    * DuckDB's ROUND, so cross-engine sums that differ in the last
+    * ulps (summation order) still hash-match. */
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+      .doubleValue()
+
+  /** One-pass Shannon char-entropy features; static for codegen. */
+  def evalEntropy(v: UTF8String): InternalRow = {
+    val s = v.toString
+    val counts = new java.util.TreeMap[Integer, Integer]() // sorted => deterministic sum order
+    var n = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val prev = counts.get(cp)
+      counts.put(cp, if (prev == null) 1 else prev + 1)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      h -= p * (math.log(p) / math.log(2.0))
+    }
+    val distinct = counts.size
+    val ratio = if (distinct > 1) h / (math.log(distinct.toDouble) / math.log(2.0)) else 0.0
+    InternalRow(n, distinct, r6(h), r6(ratio))
+  }
+
+  /**
+   * CHAR-ENTROPY quality signal — Shannon entropy over the document's
+   * code-point distribution plus its normalized form (entropy /
+   * log2(alphabet)). Low entropy ⇒ repetitive/degenerate text
+   * (keyboard mashing, padding, single-char floods); near-1 ratio ⇒
+   * the document uses its alphabet uniformly. The cheap
+   * compression-ratio proxy corpus filters use when a real compressor
+   * per document is too expensive. Scan-side, one pass, codegen'd —
+   * zero shuffle at any corpus size. Empty text ⇒ null (no
+   * distribution to measure).
+   */
+  case class CharEntropyExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      StructType(EntropyFields.map { case (n, t) => StructField(n, t, nullable = false) })
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val u = v.asInstanceOf[UTF8String]
+      if (u.numBytes == 0) null else evalEntropy(u)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""if ($c.numBytes() == 0) { ${ev.isNull} = true; }
+           |else { ${ev.value} = graft.functions.TextFeatures.evalEntropy($c); }""".stripMargin)
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def entropyStruct(text: Column): Column =
+    GraftBridge.column(CharEntropyExpr(GraftBridge.expression(text)))
 }

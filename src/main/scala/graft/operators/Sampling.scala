@@ -325,4 +325,32 @@ object Sampling {
       .agg(count(lit(1)).as("n_docs"),
         min(col("order_id")).as("first_order"),
         max(col("order_id")).as("last_order"))
+
+  /**
+   * WEIGHTED RESERVOIR SAMPLE (Efraimidis–Spirakis A-ES): exactly `n`
+   * rows drawn WITHOUT replacement with inclusion probability
+   * proportional to `weight` — "sample 100k documents, long documents
+   * proportionally more often" (token-weighted corpus subsampling,
+   * importance-weighted eval slices). Each row gets the A-ES key
+   * u^(1/w) with u derived deterministically from md5(seed, id)
+   * (13 hex chars = 52 bits, exactly representable in a double, so
+   * the same seed reproduces the same sample on any cluster or
+   * engine); the sample is the global top-n by key.
+   *
+   * Scale: top-n is `orderBy(key).limit(n)` — Spark plans
+   * TakeOrderedAndProject: a per-partition heap of n, then one
+   * n-sized merge at the driver-side of the final stage. No full
+   * sort, no full shuffle; the corpus is scanned once.
+   * Contract: unique non-null ids, strictly positive weights.
+   */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+                     n: Long, seed: String): DataFrame = {
+    require(n > 0 && n <= Int.MaxValue, "n must be in (0, Int.MaxValue]")
+    val u = (conv(substring(md5(concat(lit(seed), id.cast("string"))), 1, 13),
+      16, 10).cast("long").cast("double") + 1.0) / math.pow(16, 13)
+    df.withColumn("__aes", pow(u, lit(1.0) / weight.cast("double")))
+      .orderBy(col("__aes").desc, id)
+      .limit(n.toInt)
+      .drop("__aes")
+  }
 }

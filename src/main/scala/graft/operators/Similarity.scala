@@ -101,11 +101,34 @@ object Similarity {
     * uniforms), planes cached per executor, no broadcast state. */
   private def bucketed(df: DataFrame, id: Column, vec: Column,
                        tables: Int, bits: Int, seed: Int): DataFrame = {
+    val b = if (bits > 0) bits else autoBits(df)
     val v = withNorm(df, id, vec)
     v.select(col("id"), col("vec"), col("norm"),
-        posexplode(graft.functions.VectorExprs.lshSignatures(col("vec"), tables, bits, seed)))
+        posexplode(graft.functions.VectorExprs.lshSignatures(col("vec"), tables, b, seed)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
   }
+
+  /**
+   * OCCUPANCY-DRIVEN plane count (pass `bits = 0` to any LSH entry
+   * point): candidate pairs grow as (n / 2^bits)² per bucket, so a
+   * FIXED bits is quadratic in corpus growth — measured by the 10×
+   * scale probe as a ×94 shuffle blow-up (ScaleBench, sim_lsh,
+   * bits=8). Sizing 2^bits ∝ n pins mean bucket occupancy at
+   * ~[[TargetBucket]] vectors, making candidate volume LINEAR in n:
+   * bits = log2(n / TargetBucket), clamped to [4, 20]. Row count
+   * comes from parquet footers / plan stats ([[Scale.estimatedRows]])
+   * — no count() action, same trick as IVF's √n cell sizing.
+   */
+  def autoBits(df: DataFrame): Int = {
+    val n = Scale.estimatedRows(df)
+    math.min(20, math.max(4,
+      math.ceil(math.log(math.max(1.0, n / TargetBucket)) / math.log(2.0)).toInt))
+  }
+
+  /** Target mean LSH bucket occupancy under [[autoBits]]: small enough
+    * to bound per-bucket pair blow-up, large enough that a k=10
+    * neighborhood usually collides in ≥1 of the tables. */
+  val TargetBucket: Int = 32
 
   /**
    * LSH-bucketed ANN top-k: candidates are corpus vectors sharing at

@@ -111,6 +111,27 @@ class NativeExprSpec extends SparkSpecBase {
       err.getMessage.toLowerCase.contains("invalid"))
   }
 
+  test("char entropy: exact values on known distributions") {
+    import graft.functions.TextFeatures
+    val df = Seq(
+      (1L, "aabb"),     // uniform over 2 chars -> H = 1.0, ratio 1.0
+      (2L, "abcd"),     // uniform over 4 -> H = 2.0
+      (3L, "aaaa"),     // single char -> H = 0, ratio 0 (degenerate alphabet)
+      (4L, ""),         // empty -> null struct
+      (5L, "aab"))      // H = -(2/3 log2(2/3) + 1/3 log2(1/3)) ~= 0.918296
+      .toDF("id", "s")
+    val out = df.select(col("id"), TextFeatures.entropyStruct(col("s")).as("e"))
+      .selectExpr("id", "e.n_codepoints", "e.n_distinct_chars",
+        "e.char_entropy", "e.entropy_ratio")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) === 4 && out(1L).getInt(2) === 2)
+    assert(out(1L).getDouble(3) === 1.0 && out(1L).getDouble(4) === 1.0)
+    assert(out(2L).getDouble(3) === 2.0)
+    assert(out(3L).getDouble(3) === 0.0 && out(3L).getDouble(4) === 0.0)
+    assert(out(4L).isNullAt(1))
+    assert(out(5L).getDouble(3) === 0.918296)
+  }
+
   test("text quality: empty and whitespace-only strings") {
     val df = Seq("", "   ", "the cat!!!").toDF("text")
     val out = df.select(TextAnalysisCols.qualityFeatures(col("text")): _*)

@@ -234,6 +234,29 @@ class SamplingSpec extends SparkSpecBase {
     assert(a.subsetOf(c))
   }
 
+  test("weightedSample: exact n, partitioning-invariant, weight-proportional") {
+    val df = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val a = Sampling.weightedSample(df, col("doc_id"), col("n_chars"), 100L, "ws")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.size === 100)
+    val b = Sampling.weightedSample(df.repartition(7), col("doc_id"), col("n_chars"),
+        100L, "ws")
+      .select("doc_id").as[Long].collect().toSet
+    assert(b === a)
+    // A-ES property: inclusion tracks weight — mean length of the
+    // sample must exceed the corpus mean (lengths vary 48..~4k)
+    val corpusMean = df.agg(avg("n_chars")).as[Double].collect().head
+    val sampleMean = df.filter(col("doc_id").isInCollection(a))
+      .agg(avg("n_chars")).as[Double].collect().head
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+    // degenerate: uniform weights reduce to an unweighted sample that
+    // still returns exactly n
+    val u = Sampling.weightedSample(df, col("doc_id"), lit(1.0), 50L, "ws")
+    assert(u.count() === 50)
+  }
+
   test("exportShards: dense full shards, stable under repartitioning") {
     val df = spark.read.parquet(sf() + "/documents.parquet").select("doc_id")
     val n = df.count()

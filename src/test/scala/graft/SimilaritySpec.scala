@@ -190,6 +190,24 @@ class SimilaritySpec extends SparkSpecBase {
     assert(reused === fresh)
   }
 
+  test("autoBits: occupancy-driven sizing grows with the frame, auto path recalls dups") {
+    val small = spark.range(100).select(col("id").as("vec_id"),
+      array(rand(1).cast("float"), rand(2).cast("float")).as("embedding"))
+    val big = spark.range(1000000).select(col("id").as("vec_id"),
+      array(rand(1).cast("float"), rand(2).cast("float")).as("embedding"))
+    val bSmall = Similarity.autoBits(small)
+    val bBig = Similarity.autoBits(big)
+    assert(bSmall === 4)                       // floor: 100/32 -> 2 bits, clamped
+    assert(bBig === 15)                        // ceil(log2(1e6/32))
+    assert(bBig > bSmall)
+    // the auto-sized path still finds the planted near-dup pair
+    val planted = vecs
+    val out = Similarity.lshTopK(planted, col("vec_id"), col("embedding"),
+        k = 1, bits = 0)
+      .filter(col("id") === 1L).select("neighbor_id").as[Long].collect()
+    assert(out.toSeq === Seq(2L))
+  }
+
   test("lshDupPairs recalls planted dups; moderate recall on weak pairs") {
     val e = withPlantedDups
     val planted = Similarity.lshDupPairs(e, col("vec_id"), col("embedding"),
