@@ -735,6 +735,36 @@ object Oracles {
          |    + (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.5 AS quality_score
          |FROM q""".stripMargin,
 
+    // CCNet-shaped bigram-LM scoring: add-0.5 smoothing, V = distinct
+    // unigrams, bigram model pruned at cnt>=2; LN/POW rounded 6dp on
+    // both engines (summation-order ulps)
+    "lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, COUNT(*) AS cnt
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+        |pairs AS (
+        |  SELECT doc_id, t[r.i] AS w1, t[r.i + 1] AS w2
+        |  FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)),
+        |big AS (
+        |  SELECT w1, w2, COUNT(*) AS cnt FROM pairs
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sc AS (
+        |  SELECT p.doc_id,
+        |    LN((COALESCE(b.cnt, 0) + 0.5) / (COALESCE(u.cnt, 0) + 0.5 * v.v)) AS lp
+        |  FROM pairs p
+        |  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  LEFT JOIN uni u ON u.w = p.w1
+        |  CROSS JOIN v)
+        |SELECT doc_id,
+        |  COUNT(*) AS n_bigrams,
+        |  ROUND((0.0 - SUM(lp)) / (COUNT(*) * LN(2.0)), 6) AS bits_per_token,
+        |  ROUND(POW(2.0, (0.0 - SUM(lp)) / (COUNT(*) * LN(2.0))), 6) AS ppl
+        |FROM sc GROUP BY 1""".stripMargin,
+
     // char entropy: exact counts, one LOG2 per distinct char; both
     // sides round half-away at 6dp so summation-order ulps can't
     // break the hash; 0.0 - SUM(...) keeps the single-char case +0.0

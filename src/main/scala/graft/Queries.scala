@@ -579,6 +579,17 @@ object Queries {
     t(s, dir, "documents").select(
       col("doc_id") +: TextAnalysisCols.qualityFeatures(col("text")): _*)
 
+  /** CCNet-shaped LM quality scoring: bigram model trained on the
+    * corpus itself (minCount=2), every document scored by
+    * bits-per-token under add-α smoothing. */
+  def lmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val uni = operators.LanguageModel.unigramCounts(docs, col("text"))
+    val big = operators.LanguageModel.bigramCounts(docs, col("text"), minCount = 2L)
+    operators.LanguageModel.perplexity(docs, col("doc_id"), col("text"), uni, big)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** Char-entropy quality signal: one scan-side native pass
     * ([[graft.functions.TextFeatures.CharEntropyExpr]]). */
   def textEntropy(s: SparkSession, dir: String): DataFrame = {
@@ -1259,6 +1270,7 @@ object Queries {
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_entropy" -> textEntropy _,
+    "lm_perplexity" -> lmPerplexity _,
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
     "text_repetition" -> textRepetition _,

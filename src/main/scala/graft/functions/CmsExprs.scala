@@ -1,0 +1,186 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.types._
+
+/**
+ * MERGEABLE Count-Min sketches as first-class values (Cormode &
+ * Muthukrishnan '05) — the frequency-estimation member of graft's
+ * sketch family (HLL = distinct counts, DDSketch = quantiles, CMS =
+ * heavy hitters). The 100 TB question it answers incrementally:
+ * "how often does this token / domain / url appear", per day,
+ * persisted, then unioned over any window without rescanning — the
+ * primitive behind streaming heavy-hitter detection, frequency-based
+ * vocab pruning, and hot-key diagnosis on live pipelines.
+ *
+ *   cms_sketch(col[, d, w]) → binary (d×w long counters) per group
+ *   cms_union(sketch)       → binary — merge previously-built sketches
+ *   cms_estimate(sketch, v) → bigint — frequency upper bound for v
+ *
+ * Counter matrices are ADDED element-wise, so sketches are
+ * associative and commutative — bit-for-bit partitioning-invariant
+ * (exact integer adds, no float drift). Estimates are one-sided:
+ * never below the true count, above by at most εN (ε ≈ e/w) with
+ * probability 1−δ (δ ≈ e^−d). Hashing is Spark's own XXH64 with one
+ * seed per row of the matrix — stable across runs and engines.
+ */
+object CmsExprs {
+
+  private val Seed = 42L
+  val DefaultDepth = 5
+  val DefaultWidth = 2048
+
+  private[functions] def hashOf(v: Any, dt: DataType, seed: Long): Long = dt match {
+    case LongType => XXH64.hashLong(v.asInstanceOf[Long], seed)
+    case IntegerType => XXH64.hashLong(v.asInstanceOf[Int].toLong, seed)
+    case StringType =>
+      val s = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+    case DoubleType =>
+      XXH64.hashLong(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]), seed)
+    case other => throw new IllegalArgumentException(
+      s"cms_sketch: unsupported input type $other")
+  }
+
+  /** Sketch = header (depth, width as ints) + d·w long counters. */
+  final class Cms(val depth: Int, val width: Int,
+                  val counters: Array[Long]) {
+    def add(v: Any, dt: DataType): Unit = {
+      var i = 0
+      while (i < depth) {
+        val h = hashOf(v, dt, Seed + i)
+        counters(i * width + ((h & Long.MaxValue) % width).toInt) += 1L
+        i += 1
+      }
+    }
+    def estimate(v: Any, dt: DataType): Long = {
+      var min = Long.MaxValue
+      var i = 0
+      while (i < depth) {
+        val h = hashOf(v, dt, Seed + i)
+        val c = counters(i * width + ((h & Long.MaxValue) % width).toInt)
+        if (c < min) min = c
+        i += 1
+      }
+      min
+    }
+    def addAll(o: Cms): Cms = {
+      require(o.depth == depth && o.width == width,
+        s"cannot union CMS of different shapes (${depth}x$width vs ${o.depth}x${o.width})")
+      var i = 0
+      while (i < counters.length) { counters(i) += o.counters(i); i += 1 }
+      this
+    }
+    def toBytes: Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + counters.length * 8)
+      bb.putInt(depth).putInt(width)
+      var i = 0
+      while (i < counters.length) { bb.putLong(counters(i)); i += 1 }
+      bb.array()
+    }
+  }
+
+  private[functions] def fromBytes(b: Array[Byte]): Cms = {
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val d = bb.getInt
+    val w = bb.getInt
+    val c = new Array[Long](d * w)
+    var i = 0
+    while (i < c.length) { c(i) = bb.getLong; i += 1 }
+    new Cms(d, w, c)
+  }
+
+  /** Build a sketch from raw values. */
+  case class CmsSketchAgg(child: Expression, depth: Int, width: Int,
+                          mutableAggBufferOffset: Int = 0,
+                          inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Cms] with UnaryLike[Expression] {
+    require(depth >= 1 && depth <= 16, "depth must be in [1, 16]")
+    require(width >= 16 && width <= (1 << 24), "width must be in [16, 2^24]")
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): Cms =
+      new Cms(depth, width, new Array[Long](depth * width))
+    override def update(buf: Cms, row: InternalRow): Cms = {
+      val v = child.eval(row)
+      if (v != null) buf.add(v, child.dataType)
+      buf
+    }
+    override def merge(a: Cms, b: Cms): Cms = a.addAll(b)
+    override def eval(buf: Cms): Any = buf.toBytes
+    override def serialize(buf: Cms): Array[Byte] = buf.toBytes
+    override def deserialize(storage: Array[Byte]): Cms = fromBytes(storage)
+    override def withNewMutableAggBufferOffset(o: Int): CmsSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): CmsSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): CmsSketchAgg =
+      copy(child = newChild)
+  }
+
+  /** Union previously-built sketches (binary column). */
+  case class CmsUnionAgg(child: Expression,
+                         mutableAggBufferOffset: Int = 0,
+                         inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Option[Cms]] with UnaryLike[Expression] {
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = true
+    override def createAggregationBuffer(): Option[Cms] = None
+    override def update(buf: Option[Cms], row: InternalRow): Option[Cms] =
+      child.eval(row) match {
+        case null => buf
+        case b: Array[Byte] =>
+          val in = fromBytes(b)
+          buf match {
+            case None => Some(in)
+            case Some(acc) => Some(acc.addAll(in))
+          }
+      }
+    override def merge(a: Option[Cms], b: Option[Cms]): Option[Cms] = (a, b) match {
+      case (None, x) => x
+      case (x, None) => x
+      case (Some(x), Some(y)) => Some(x.addAll(y))
+    }
+    override def eval(buf: Option[Cms]): Any = buf.map(_.toBytes).orNull
+    override def serialize(buf: Option[Cms]): Array[Byte] =
+      buf.map(_.toBytes).getOrElse(Array.emptyByteArray)
+    override def deserialize(storage: Array[Byte]): Option[Cms] =
+      if (storage.isEmpty) None else Some(fromBytes(storage))
+    override def withNewMutableAggBufferOffset(o: Int): CmsUnionAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): CmsUnionAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): CmsUnionAgg =
+      copy(child = newChild)
+  }
+
+  /** Frequency upper bound of `value` in a sketch (scalar). */
+  case class CmsEstimate(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(sketch: Any, v: Any): Any =
+      fromBytes(sketch.asInstanceOf[Array[Byte]]).estimate(v, right.dataType)
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // -- Column API ------------------------------------------------------
+
+  private def e(c: Column) = GraftBridge.expression(c)
+  private def agg(a: TypedImperativeAggregate[_]): Column =
+    GraftBridge.column(a.toAggregateExpression())
+
+  def cmsSketch(c: Column, depth: Int = DefaultDepth,
+                width: Int = DefaultWidth): Column =
+    agg(CmsSketchAgg(e(c), depth, width))
+  def cmsUnion(c: Column): Column = agg(CmsUnionAgg(e(c)))
+  def cmsEstimate(sketch: Column, value: Column): Column =
+    GraftBridge.column(CmsEstimate(e(sketch), e(value)))
+}

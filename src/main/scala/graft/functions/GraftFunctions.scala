@@ -64,7 +64,14 @@ object GraftFunctions {
     Fn("dd_union", "dd_union(sketch) - union of DDSketch quantile sketches", 1,
       args => DdSketchExprs.DdUnionAgg(args(0)).toAggregateExpression()),
     Fn("dd_quantile", "dd_quantile(sketch, q) - quantile estimate of a DDSketch", 2,
-      args => DdSketchExprs.DdQuantile(args(0), args(1))))
+      args => DdSketchExprs.DdQuantile(args(0), args(1))),
+    Fn("cms_sketch", "cms_sketch(col) - mergeable Count-Min frequency sketch (binary, 5x2048)", 1,
+      args => CmsExprs.CmsSketchAgg(args(0), CmsExprs.DefaultDepth,
+        CmsExprs.DefaultWidth).toAggregateExpression()),
+    Fn("cms_union", "cms_union(sketch) - union of Count-Min sketches", 1,
+      args => CmsExprs.CmsUnionAgg(args(0)).toAggregateExpression()),
+    Fn("cms_estimate", "cms_estimate(sketch, value) - frequency upper bound for value", 2,
+      args => CmsExprs.CmsEstimate(args(0), args(1))))
 
   private def foldableStringArray(e: Expression): Seq[String] = {
     require(e.foldable, "multi_match_count terms must be a literal array")

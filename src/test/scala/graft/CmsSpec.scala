@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.CmsExprs
+import org.apache.spark.sql.functions._
+
+/** Mergeable Count-Min sketches: one-sided error bound, bit-exact
+  * partitioning invariance, the persist-then-union flow, and SQL
+  * registry access. */
+class CmsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // Zipf-ish corpus: token t_k appears k times (k = 1..200), so true
+  // frequencies are known exactly and span 1..200
+  private def zipf = (1 to 200).flatMap(k => Seq.fill(k)(s"t$k"))
+    .toDF("tok")
+
+  test("estimates are one-sided: never below truth, within eps*N above") {
+    val sk = zipf.agg(CmsExprs.cmsSketch(col("tok")).as("s"))
+    val n = 200 * 201 / 2 // total updates
+    val checks = Seq("t200" -> 200L, "t100" -> 100L, "t17" -> 17L, "t1" -> 1L)
+    val ests = checks.map { case (t, _) =>
+      sk.select(CmsExprs.cmsEstimate(col("s"), lit(t))).first().getLong(0) }
+    checks.zip(ests).foreach { case ((t, truth), est) =>
+      assert(est >= truth, s"$t: estimate $est below true count $truth")
+      // eps = e/w; bound holds with prob 1 - e^-d, deterministic here
+      assert(est <= truth + (math.E / CmsExprs.DefaultWidth * n).ceil.toLong + 1,
+        s"$t: estimate $est too far above $truth")
+    }
+    // an absent token collides into existing counters only
+    val absent = sk.select(CmsExprs.cmsEstimate(col("s"), lit("nope"))).first().getLong(0)
+    assert(absent <= (math.E / CmsExprs.DefaultWidth * n).ceil.toLong + 1)
+  }
+
+  test("counters are bit-identical under repartitioning (exact adds)") {
+    def bytes(d: org.apache.spark.sql.DataFrame): Seq[Byte] =
+      d.agg(CmsExprs.cmsSketch(col("tok")).as("s"))
+        .first().getAs[Array[Byte]]("s").toSeq
+    assert(bytes(zipf) === bytes(zipf.repartition(13)))
+  }
+
+  test("persisted per-group sketches union to the global sketch bit-for-bit") {
+    val df = zipf.withColumn("day", (crc32(col("tok")) % 7))
+    val daily = df.groupBy("day").agg(CmsExprs.cmsSketch(col("tok")).as("sketch"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    daily.write.mode("overwrite").parquet(tmp)
+    val merged = spark.read.parquet(tmp)
+      .agg(CmsExprs.cmsUnion(col("sketch")).as("s"))
+      .first().getAs[Array[Byte]]("s").toSeq
+    val direct = zipf.agg(CmsExprs.cmsSketch(col("tok")).as("s"))
+      .first().getAs[Array[Byte]]("s").toSeq
+    assert(direct === merged, "union of partial sketches must equal the global sketch")
+    // and the unioned sketch still answers point queries
+    val est = spark.read.parquet(tmp)
+      .agg(CmsExprs.cmsEstimate(CmsExprs.cmsUnion(col("sketch")), lit("t200")).as("e"))
+      .first().getLong(0)
+    assert(est >= 200L)
+  }
+
+  test("SQL registry: cms_sketch/cms_union/cms_estimate round-trip") {
+    graft.functions.GraftFunctions.register(spark)
+    zipf.createOrReplaceTempView("cms_toks")
+    val est = spark.sql(
+      """SELECT cms_estimate(cms_sketch(tok), 't150') AS e FROM cms_toks""")
+      .first().getLong(0)
+    assert(est >= 150L)
+  }
+}
