@@ -37,7 +37,8 @@ object Bench {
     "text_gopher", "c4_clean", "decontaminate_bloom",
     "semdedup", "dup_ngram_coverage", "text_familiarity",
     "quality_classifier", "text_script", "corpus_delta",
-    "fuzzy_names", "q_rolling", "text_blocklist", "q_funnel", "q_cohort",
+    "fuzzy_names", "fuzzy_names_jw", "q_rolling", "text_blocklist",
+    "q_funnel", "q_cohort",
     "q_gate_audit", "q_cube", "q_resample", "export_shards",
     "pipeline_docs", "pipeline_docs_v2", "pipeline_docs_v3")
 

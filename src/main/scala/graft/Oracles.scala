@@ -1510,6 +1510,17 @@ object Oracles {
         |FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
         |WHERE levenshtein(a.key, b.key) <= 1""".stripMargin,
 
+    // Jaro-Winkler mode: graft's native kernel pins DuckDB's exact
+    // semantics (empty->0, window = max/2-1, boost only above 0.7);
+    // sim rounded 6dp on both engines
+    "fuzzy_names_jw" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS key,
+        |             substr(c_name, 1, 12) AS blk FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  ROUND(jaro_winkler_similarity(a.key, b.key), 6) AS sim
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |WHERE ROUND(jaro_winkler_similarity(a.key, b.key), 6) >= 0.98""".stripMargin,
+
     // gate audit: every pipelineDocs gate as a flag + first failure
     "q_gate_audit" -> {
       val blockTerms = Queries.BlocklistTerms.map(t => s"'$t'").mkString("[", ", ", "]")

@@ -1198,6 +1198,15 @@ object Queries {
         block = k => substring(k, 1, 16), maxDist = 1)
       .select("id_a", "id_b", "dist")
 
+  /** Jaro-Winkler similarity mode of the blocked fuzzy join —
+    * transposition-tolerant name matching, oracle-exact against
+    * DuckDB's jaro_winkler_similarity. */
+  def fuzzyNamesJw(s: SparkSession, dir: String): DataFrame =
+    operators.Fuzzy.selfSimilarityPairs(t(s, dir, "customer"),
+        col("c_custkey"), col("c_name"),
+        block = k => substring(k, 1, 12), minSim = 0.98)
+      .select("id_a", "id_b", "sim")
+
   /** Rolling 3-row window per user over the event stream: count,
     * floor-sum, min, max — integer/order-free aggregates, so the
     * incremental sliding-frame evaluation is cross-engine exact. */
@@ -1312,6 +1321,7 @@ object Queries {
     "corpus_delta" -> corpusDelta _,
     "sim_pq" -> simPq _,
     "fuzzy_names" -> fuzzyNames _,
+    "fuzzy_names_jw" -> fuzzyNamesJw _,
     "q_rolling" -> qRolling _,
     "text_blocklist" -> textBlocklist _,
     "q_funnel" -> qFunnel _,

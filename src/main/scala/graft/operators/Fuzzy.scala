@@ -47,6 +47,35 @@ object Fuzzy {
                      block: Column => Column, maxDist: Int,
                      saltBuckets: Int = 1): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
+    selfCandidates(df, id, key, block, saltBuckets)
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b")))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /**
+   * Similarity-mode sibling of [[selfFuzzyPairs]]: Jaro-Winkler ≥
+   * `minSim` instead of edit distance ≤ maxDist — the scorer record
+   * linkage prefers for human-entered names (transposition-tolerant,
+   * prefix-rewarding; see
+   * [[graft.functions.StringSimExprs.JaroWinklerExpr]]). Same blocked
+   * + grid-salted candidate machinery, same skew guard; `sim` is
+   * rounded at 6 dp (cross-engine hash stability).
+   */
+  def selfSimilarityPairs(df: DataFrame, id: Column, key: Column,
+                          block: Column => Column, minSim: Double,
+                          saltBuckets: Int = 1): DataFrame = {
+    require(minSim >= 0.0 && minSim <= 1.0, "minSim must be in [0, 1]")
+    selfCandidates(df, id, key, block, saltBuckets)
+      .withColumn("sim", round(
+        graft.functions.StringSimExprs.jaroWinkler(col("key_a"), col("key_b")), 6))
+      .filter(col("sim") >= minSim)
+  }
+
+  /** Blocked (and optionally grid-salted) candidate pairs
+    * (id_a < id_b): the shared core of both scoring modes. */
+  private def selfCandidates(df: DataFrame, id: Column, key: Column,
+                             block: Column => Column,
+                             saltBuckets: Int): DataFrame = {
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
     val side = Scale.ensureParallelism(df)
       .select(id.as("id"), key.as("key"), block(key).as("blk"))
@@ -63,9 +92,7 @@ object Fuzzy {
       else col("a.sa") === col("b.sa") && col("a.sb") === col("b.sb")
     a.join(b, col("a.blk") === col("b.blk") && saltCond && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.key").as("key_a"), col("b.key").as("key_b"),
-        levenshtein(col("a.key"), col("b.key")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        col("a.key").as("key_a"), col("b.key").as("key_b"))
   }
 
   /** Block-key skew diagnostic for sizing [[selfFuzzyPairs]]'

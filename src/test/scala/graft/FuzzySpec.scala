@@ -54,6 +54,44 @@ class FuzzySpec extends SparkSpecBase {
       "salting must cut the single-task worst case by at least the grid factor")
   }
 
+  test("jaroWinkler kernel: DuckDB-pinned reference values") {
+    import graft.functions.StringSimExprs.{jaroWinkler => jw}
+    def v(a: String, b: String): Double =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a) match {
+        case ua => graft.functions.StringSimExprs.jaroWinkler(ua,
+          org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      }
+    // values observed from DuckDB jaro_winkler_similarity
+    assert(math.abs(v("martha", "marhta") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(v("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(v("jones", "johnson") - 0.8323809523809523) < 1e-12)
+    assert(v("", "abc") === 0.0)       // DuckDB: any empty side -> 0
+    assert(v("", "") === 0.0)
+    assert(v("abc", "abc") === 1.0)
+    assert(v("ab", "ba") === 0.0)      // window 0: no same-position match
+    // no boost below the 0.7 jaro threshold despite a shared prefix
+    assert(math.abs(v("abqqqq", "abzzzz") - 0.5555555555555555) < 1e-12)
+    // odd transposition count floors (integer halving, DuckDB semantics)
+    assert(math.abs(v("Customer#000000911", "Customer#000001092") -
+      ((0.943355146101521 * 0.6) + 0.4)) < 1e-6)
+    // the Column API agrees with the static kernel
+    val viaCol = Seq(("martha", "marhta")).toDF("a", "b")
+      .select(jw(col("a"), col("b"))).first().getDouble(0)
+    assert(math.abs(viaCol - 0.9611111111111111) < 1e-12)
+  }
+
+  test("selfSimilarityPairs: salted matches unsalted, sim filter applies") {
+    val plain = Fuzzy.selfSimilarityPairs(skewed, col("id"), col("name"),
+        blockFn, minSim = 0.9)
+      .select("id_a", "id_b", "sim").collect().map(_.toSeq).toSet
+    val salted = Fuzzy.selfSimilarityPairs(skewed, col("id"), col("name"),
+        blockFn, minSim = 0.9, saltBuckets = S)
+      .select("id_a", "id_b", "sim").collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    assert(plain.nonEmpty)
+    assert(plain.forall(_(2).asInstanceOf[Double] >= 0.9))
+  }
+
   test("salted cross-frame fuzzyJoin matches unsalted") {
     val right = skewed.select((col("id") + 5000).as("rid"),
       concat(col("name"), lit("x")).as("rname"))
