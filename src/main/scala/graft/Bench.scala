@@ -36,6 +36,7 @@ object Bench {
     "strip_boilerplate", "dedup_paragraph", "shuffle_order",
     "text_gopher", "c4_clean", "decontaminate_bloom",
     "semdedup", "dup_ngram_coverage", "text_familiarity",
+    "text_entropy", "lm_perplexity", "bpe_tokens", "sample_weighted",
     "quality_classifier", "text_script", "corpus_delta",
     "fuzzy_names", "fuzzy_names_jw", "q_rolling", "text_blocklist",
     "q_funnel", "q_cohort",

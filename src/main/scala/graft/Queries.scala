@@ -579,6 +579,18 @@ object Queries {
     t(s, dir, "documents").select(
       col("doc_id") +: TextAnalysisCols.qualityFeatures(col("text")): _*)
 
+  /** BPE tokenizer induction end-to-end: train 200 merges on the
+    * corpus (distributed word histogram → bounded driver merge loop),
+    * then encode every document scan-side with the trained table as a
+    * plan literal. Rows-only check (iterative training is not
+    * SQL-expressible); the merge algebra is spec-gated (BpeSpec). */
+  def bpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = operators.Bpe.trainMerges(docs, col("text"), numMerges = 200)
+    docs.select(col("doc_id"),
+      size(operators.Bpe.encode(col("text"), merges)).as("n_subwords"))
+  }
+
   /** CCNet-shaped LM quality scoring: bigram model trained on the
     * corpus itself (minCount=2), every document scored by
     * bits-per-token under add-α smoothing. */
@@ -1280,6 +1292,7 @@ object Queries {
     "text_quality" -> textQuality _,
     "text_entropy" -> textEntropy _,
     "lm_perplexity" -> lmPerplexity _,
+    "bpe_tokens" -> bpeTokens _,
     "text_langid" -> textLangId _,
     "text_fingerprint" -> textFingerprint _,
     "text_repetition" -> textRepetition _,
