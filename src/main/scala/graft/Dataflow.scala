@@ -151,6 +151,12 @@ object Dataflow {
                   "non-empty blocklist_terms list")
               df.withColumn("n_blocked",
                 TextAnalysisCols.blocklistHits(c, s.blocklistTerms))
+            case "entropy" =>
+              val e = graft.functions.TextFeatures.entropyStruct(c)
+              df.withColumn("n_codepoints", e.getField("n_codepoints"))
+                .withColumn("n_distinct_chars", e.getField("n_distinct_chars"))
+                .withColumn("char_entropy", e.getField("char_entropy"))
+                .withColumn("entropy_ratio", e.getField("entropy_ratio"))
             case other =>
               throw new IllegalArgumentException(
                 s"text_analysis '${s.name}': unknown analysis '$other'")
@@ -231,9 +237,16 @@ object Dataflow {
             col(s.userCol), col(s.tsCol), col(s.typeCol), s.cohortType))
         case s: FuzzySpec =>
           import org.apache.spark.sql.functions.{col, substring}
-          frames + (s.output -> Fuzzy.selfFuzzyPairs(
-            in, col(s.idCol), col(s.keyCol),
-            block = k => substring(k, 1, s.blockPrefix), maxDist = s.maxDist))
+          val blk = (k: org.apache.spark.sql.Column) => substring(k, 1, s.blockPrefix)
+          val pairs = s.method match {
+            case "levenshtein" => Fuzzy.selfFuzzyPairs(
+              in, col(s.idCol), col(s.keyCol), blk, maxDist = s.maxDist)
+            case "jaro_winkler" => Fuzzy.selfSimilarityPairs(
+              in, col(s.idCol), col(s.keyCol), blk, minSim = s.minSim)
+            case other => throw new IllegalArgumentException(
+              s"fuzzy '${s.name}': unknown method '$other' (levenshtein|jaro_winkler)")
+          }
+          frames + (s.output -> pairs)
         case s: FamiliaritySpec =>
           import org.apache.spark.sql.functions.col
           frames + (s.output -> Chunking.lexicalFamiliarity(
@@ -306,6 +319,28 @@ object Dataflow {
         case s: TakeSpec =>
           frames + (s.output -> Sampling.takeExactly(
             in, org.apache.spark.sql.functions.col(s.idCol), s.n, s.seed))
+        case s: WeightedSampleSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Sampling.weightedSample(
+            in, col(s.idCol), col(s.weightCol), s.n, s.seed))
+        case s: LmScoreSpec =>
+          import org.apache.spark.sql.functions.col
+          val ref = if (s.referenceInput.isEmpty) in
+            else frames.getOrElse(s.referenceInput,
+              throw new IllegalArgumentException(
+                s"lm_score '${s.name}': unknown reference input '${s.referenceInput}'"))
+          val uni = LanguageModel.unigramCounts(ref, col(s.contentCol))
+          val big = LanguageModel.bigramCounts(ref, col(s.contentCol), s.minCount)
+          frames + (s.output -> LanguageModel.perplexity(
+              in, col(s.idCol), col(s.contentCol), uni, big, s.alpha)
+            .withColumnRenamed("id", s.idCol))
+        case s: BpeTokenizeSpec =>
+          import org.apache.spark.sql.functions.col
+          val merges =
+            if (s.mergesPath.nonEmpty) Bpe.loadMerges(spark, s.mergesPath)
+            else Bpe.trainMerges(in, col(s.contentCol), s.numMerges)
+          frames + (s.output -> in.withColumn("bpe_tokens",
+            Bpe.encode(col(s.contentCol), merges)))
         case s: ComputeStatsSpec =>
           // stats become named frames; sink them like any other
           // output. The input passes through under the transform name

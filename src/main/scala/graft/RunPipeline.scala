@@ -60,6 +60,9 @@ object RunPipeline {
     case s: meta.SentencesSpec    => Seq(s.output)
     case s: meta.NormalizeTextSpec => Seq(s.output)
     case s: meta.TakeSpec         => Seq(s.output)
+    case s: meta.WeightedSampleSpec => Seq(s.output)
+    case s: meta.LmScoreSpec      => Seq(s.output)
+    case s: meta.BpeTokenizeSpec  => Seq(s.output)
     case s: meta.FamiliaritySpec  => Seq(s.output)
     case s: meta.DupNgramCoverageSpec => Seq(s.output)
     case s: meta.ClassifySpec     => Seq(s.output)

@@ -184,7 +184,9 @@ object MetaLoader {
           keyCol = str(p, "key"),
           idCol = str(p, "id", "doc_id"),
           blockPrefix = p.path("block_prefix").asInt(8),
-          maxDist = p.path("max_dist").asInt(1))
+          maxDist = p.path("max_dist").asInt(1),
+          method = str(p, "method", "levenshtein").toLowerCase,
+          minSim = p.path("min_sim").asDouble(0.9))
       case "familiarity" =>
         FamiliaritySpec(name, input, output,
           contentCol = str(p, "content", "text"),
@@ -259,6 +261,24 @@ object MetaLoader {
           n = p.path("n").asLong(1000L),
           idCol = str(p, "id", "doc_id"),
           seed = str(p, "seed", "graft"))
+      case "weighted_sample" =>
+        WeightedSampleSpec(name, input, output,
+          n = p.path("n").asLong(1000L),
+          weightCol = str(p, "weight"),
+          idCol = str(p, "id", "doc_id"),
+          seed = str(p, "seed", "graft"))
+      case "lm_score" =>
+        LmScoreSpec(name, input, output,
+          contentCol = str(p, "content", "text"),
+          idCol = str(p, "id", "doc_id"),
+          referenceInput = str(p, "reference_input", ""),
+          minCount = p.path("min_count").asLong(2L),
+          alpha = p.path("alpha").asDouble(0.5))
+      case "bpe_tokenize" =>
+        BpeTokenizeSpec(name, input, output,
+          contentCol = str(p, "content", "text"),
+          numMerges = p.path("num_merges").asInt(200),
+          mergesPath = str(p, "merges_path", ""))
       case "compute_stats" =>
         ComputeStatsSpec(name, input,
           fields = if (p.has("fields")) Some(strArr(p, "fields")) else None,

@@ -343,7 +343,9 @@ final case class FuzzySpec(
     keyCol: String,
     idCol: String = "doc_id",
     blockPrefix: Int = 8,
-    maxDist: Int = 1)
+    maxDist: Int = 1,
+    method: String = "levenshtein",   // levenshtein | jaro_winkler
+    minSim: Double = 0.9)             // jaro_winkler threshold
   extends TransformSpec
 
 /**
@@ -547,6 +549,51 @@ final case class TakeSpec(
     n: Long,
     idCol: String = "doc_id",
     seed: String = "graft")
+  extends TransformSpec
+
+/**
+ * graft extension: Efraimidis-Spirakis weighted reservoir sample —
+ * exactly n rows, inclusion probability proportional to `weightCol`,
+ * deterministic under `seed`.
+ */
+final case class WeightedSampleSpec(
+    name: String,
+    input: String,
+    output: String,
+    n: Long,
+    weightCol: String,
+    idCol: String = "doc_id",
+    seed: String = "graft")
+  extends TransformSpec
+
+/**
+ * graft extension: n-gram LM quality scoring (CCNet-shaped) — train
+ * add-α-smoothed bigram counts on `referenceInput` (default: the
+ * input itself) and emit (id, n_bigrams, bits_per_token, ppl).
+ */
+final case class LmScoreSpec(
+    name: String,
+    input: String,
+    output: String,
+    contentCol: String = "text",
+    idCol: String = "doc_id",
+    referenceInput: String = "",      // empty = train on the input
+    minCount: Long = 2L,
+    alpha: Double = 0.5)
+  extends TransformSpec
+
+/**
+ * graft extension: BPE tokenizer induction + encoding — train
+ * `numMerges` merges on the input corpus (or load a persisted table
+ * from `mergesPath`) and add a `bpe_tokens` subword-array column.
+ */
+final case class BpeTokenizeSpec(
+    name: String,
+    input: String,
+    output: String,
+    contentCol: String = "text",
+    numMerges: Int = 200,
+    mergesPath: String = "")          // non-empty = load instead of train
   extends TransformSpec
 
 /**

@@ -563,6 +563,40 @@ class DataflowSpec extends SparkSpecBase {
     assert(math.abs(merged.getLong(0) - exact).toDouble / exact <= 0.05)
   }
 
+  test("round-5 transforms from JSON: weighted_sample, lm_score, bpe_tokenize, jw fuzzy, entropy") {
+    val spec =
+      s"""{"dataflows":[{
+         |"name":"r5",
+         |"sources":[
+         |  {"name":"docs","path":"${sf()}/documents.parquet","format":"parquet"},
+         |  {"name":"cust","path":"${sf()}/customer.parquet","format":"parquet"}],
+         |"transformations":[
+         |  {"name":"ws","type":"weighted_sample","params":{
+         |    "input":"docs","output":"sampled","n":40,"weight":"n_chars","seed":"ws"}},
+         |  {"name":"lm","type":"lm_score","params":{
+         |    "input":"docs","output":"scored","min_count":2}},
+         |  {"name":"bpe","type":"bpe_tokenize","params":{
+         |    "input":"docs","output":"tokenized","num_merges":50}},
+         |  {"name":"ent","type":"text_analysis","params":{
+         |    "input":"docs","output":"entropic","analyses":["entropy"]}},
+         |  {"name":"jw","type":"fuzzy","params":{
+         |    "input":"cust","output":"jw_pairs","key":"c_name","id":"c_custkey",
+         |    "block_prefix":12,"method":"jaro_winkler","min_sim":0.98}}],
+         |"sinks":[]
+         |}]}""".stripMargin
+    val frames = Dataflow.run(spark, MetaLoader.loadString(spec).dataflow("r5"))
+    assert(frames("sampled").count() === 40)
+    val scored = frames("scored")
+    assert(scored.columns.toSet === Set("doc_id", "n_bigrams", "bits_per_token", "ppl"))
+    assert(scored.filter(col("ppl").isNotNull).count() === frames("docs").count())
+    val toks = frames("tokenized").select("bpe_tokens").first().getSeq[String](0)
+    assert(toks.nonEmpty)
+    assert(frames("entropic").columns.contains("char_entropy"))
+    assert(frames("jw_pairs").columns.toSeq ===
+      Seq("id_a", "id_b", "key_a", "key_b", "sim"))
+    assert(frames("jw_pairs").count() > 0)
+  }
+
   test("RunPipeline stage summary: one [stage] line per source + output, with counts") {
     val dir = java.nio.file.Files.createTempDirectory("graft_verbose").toString
     Seq("""{"id":1,"v":"x"}""", """{"id":2,"v":""}""")
