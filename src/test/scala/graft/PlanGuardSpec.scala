@@ -16,7 +16,8 @@ class PlanGuardSpec extends SparkSpecBase {
     "dedup_embedding", // O(n²) documented baseline (lshDupPairs = scale path)
     "search_bm25", // crossJoin(broadcast(1-row corpus stats))
     "mix_sqrt",    // crossJoin(broadcast(1-row min-stratum count))
-    "skew_keys"    // crossJoin(broadcast(1-row total count))
+    "skew_keys",   // crossJoin(broadcast(1-row total count))
+    "lm_perplexity" // crossJoin(broadcast(1-row vocab size V))
   )
   private val globalWindowAllowed = Set(
     "search_bm25",   // rank over topK rows after limit
