@@ -1515,7 +1515,7 @@ object Oracles {
     // sim rounded 6dp on both engines
     "fuzzy_names_jw" ->
       """WITH c AS (SELECT c_custkey AS id, c_name AS key,
-        |             substr(c_name, 1, 12) AS blk FROM customer)
+        |             substr(c_name, 1, 16) AS blk FROM customer)
         |SELECT a.id AS id_a, b.id AS id_b,
         |  ROUND(jaro_winkler_similarity(a.key, b.key), 6) AS sim
         |FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id

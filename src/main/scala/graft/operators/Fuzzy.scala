@@ -84,8 +84,18 @@ object Fuzzy {
       else {
         val bucket = pmod(xxhash64(col("id")), lit(saltBuckets)).cast("int")
         val grid = explode(sequence(lit(0), lit(saltBuckets - 1)))
-        (side.withColumn("sa", bucket).withColumn("sb", grid).as("a"),
-         side.withColumn("sb", bucket).withColumn("sa", grid).as("b"))
+        // EXPLICIT-count repartition on the grid keys: the whole point
+        // of salting is spreading pair COMPUTE, but the salted rows are
+        // only a few MB — AQE's byte-based coalescing would merge the
+        // join back onto one task and re-concentrate the quadratic work
+        // (measured: salt=16 2.4× SLOWER than unsalted under
+        // coalescing). REPARTITION_BY_NUM exchanges are exempt from
+        // AQE coalescing, and the equi-join reuses them directly.
+        val n = df.sparkSession.sessionState.conf.numShufflePartitions
+        (side.withColumn("sa", bucket).withColumn("sb", grid)
+           .repartition(n, col("blk"), col("sa"), col("sb")).as("a"),
+         side.withColumn("sb", bucket).withColumn("sa", grid)
+           .repartition(n, col("blk"), col("sa"), col("sb")).as("b"))
       }
     val saltCond =
       if (saltBuckets == 1) lit(true)
@@ -126,10 +136,16 @@ object Fuzzy {
       if (saltBuckets == 1) (l0, r0, Seq("blk"))
       else {
         val grid = explode(sequence(lit(0), lit(saltBuckets - 1)))
+        // explicit-count repartition: exempt from AQE byte-coalescing,
+        // which would otherwise re-concentrate the spread compute
+        // (see selfCandidates)
+        val n = left.sparkSession.sessionState.conf.numShufflePartitions
         (l0.withColumn("sa", pmod(xxhash64(col("id_l")), lit(saltBuckets)).cast("int"))
-           .withColumn("sb", grid),
+           .withColumn("sb", grid)
+           .repartition(n, col("blk"), col("sa"), col("sb")),
          r0.withColumn("sb", pmod(xxhash64(col("id_r")), lit(saltBuckets)).cast("int"))
-           .withColumn("sa", grid),
+           .withColumn("sa", grid)
+           .repartition(n, col("blk"), col("sa"), col("sb")),
          Seq("blk", "sa", "sb"))
       }
     l.join(r, joinKeys)
