@@ -41,7 +41,8 @@ object Bench {
     "fuzzy_names", "fuzzy_names_jw", "q_rolling", "text_blocklist",
     "q_funnel", "q_cohort",
     "q_gate_audit", "q_cube", "q_resample", "export_shards",
-    "pipeline_docs", "pipeline_docs_v2", "pipeline_docs_v3")
+    "pipeline_docs", "pipeline_docs_v2", "pipeline_docs_v3",
+    "pipeline_docs_v4")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -735,6 +735,59 @@ object Oracles {
          |    + (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.5 AS quality_score
          |FROM q""".stripMargin,
 
+    // composed v4: entropy gate -> corpus-LM ppl gate -> A-ES sample
+    // (composes the text_entropy, lm_perplexity and sample_weighted
+    // oracles; gates compare the same 6dp-rounded values both engines
+    // compute)
+    "pipeline_docs_v4" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |f AS (SELECT doc_id, ch, COUNT(*) AS cnt FROM c GROUP BY 1, 2),
+        |t AS (SELECT doc_id, SUM(cnt) AS n, COUNT(*) AS dst FROM f GROUP BY 1),
+        |ent AS (
+        |  SELECT f.doc_id,
+        |    ROUND(0.0 - SUM((CAST(f.cnt AS DOUBLE) / t.n) * LOG2(CAST(f.cnt AS DOUBLE) / t.n)), 6) AS char_entropy,
+        |    ROUND((0.0 - SUM((CAST(f.cnt AS DOUBLE) / t.n) * LOG2(CAST(f.cnt AS DOUBLE) / t.n))) / LOG2(CAST(MAX(t.dst) AS DOUBLE)), 6) AS entropy_ratio
+        |  FROM f JOIN t USING (doc_id) GROUP BY f.doc_id),
+        |gated AS (
+        |  SELECT d.doc_id, d.source, d.n_chars, e.char_entropy
+        |  FROM documents d JOIN ent e USING (doc_id)
+        |  WHERE e.entropy_ratio >= 0.87),
+        |toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w, COUNT(*) AS cnt
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uni),
+        |pairs AS (
+        |  SELECT doc_id, t[r.i] AS w1, t[r.i + 1] AS w2
+        |  FROM toks, LATERAL unnest(range(1, len(t))) AS r(i)),
+        |big AS (
+        |  SELECT w1, w2, COUNT(*) AS cnt FROM pairs
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sc AS (
+        |  SELECT p.doc_id,
+        |    LN((COALESCE(b.cnt, 0) + 0.5) / (COALESCE(u.cnt, 0) + 0.5 * v.v)) AS lp
+        |  FROM pairs p
+        |  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+        |  LEFT JOIN uni u ON u.w = p.w1
+        |  CROSS JOIN v),
+        |ppl AS (
+        |  SELECT doc_id,
+        |    ROUND(POW(2.0, (0.0 - SUM(lp)) / (COUNT(*) * LN(2.0))), 6) AS ppl
+        |  FROM sc GROUP BY 1),
+        |kept AS (
+        |  SELECT g.doc_id, g.source, g.n_chars, g.char_entropy, p.ppl
+        |  FROM gated g JOIN ppl p USING (doc_id)
+        |  WHERE p.ppl <= 31.0)
+        |SELECT doc_id, source, n_chars, char_entropy, ppl FROM (
+        |  SELECT *,
+        |    POW((CAST('0x' || substr(md5('v4' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1.0)
+        |        / POW(16.0, 13.0), 1.0 / n_chars) AS k
+        |  FROM kept)
+        |ORDER BY k DESC, doc_id LIMIT 100""".stripMargin,
+
     // CCNet-shaped bigram-LM scoring: add-0.5 smoothing, V = distinct
     // unigrams, bigram model pruned at cnt>=2; LN/POW rounded 6dp on
     // both engines (summation-order ulps)

@@ -876,6 +876,33 @@ object Queries {
     * cap → hash split → seeded global order, one composed plan. The
     * whole chain stays declarative, so Catalyst prunes and reorders
     * across stage boundaries exactly as it would for hand-fused code. */
+  /** Composed pipeline v4 — the round-5 quality stack in ONE plan:
+    * char-entropy gate (drop degenerate text) → corpus-LM perplexity
+    * gate (drop LM-implausible text, model trained on the full corpus
+    * inside the same plan) → length-weighted A-ES sample of 100.
+    * Scale shape: both gates are scan-side or map-reduced, the LM
+    * model join is AQE-broadcastable, the sample is a per-partition
+    * heap. Output: (doc_id, source, n_chars, char_entropy, ppl). */
+  def pipelineDocsV4(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val e = graft.functions.TextFeatures.entropyStruct(col("text"))
+    val gated = docs.select(col("doc_id"), col("source"), col("n_chars"),
+        col("text"),
+        e.getField("char_entropy").as("char_entropy"),
+        e.getField("entropy_ratio").as("entropy_ratio"))
+      .filter(col("entropy_ratio") >= 0.87)
+    val uni = operators.LanguageModel.unigramCounts(docs, col("text"))
+    val big = operators.LanguageModel.bigramCounts(docs, col("text"), minCount = 2L)
+    val scored = operators.LanguageModel.perplexity(
+        gated, col("doc_id"), col("text"), uni, big)
+      .select(col("id").as("doc_id"), col("ppl"))
+    val kept = gated.join(scored, Seq("doc_id"))
+      .filter(col("ppl") <= 31.0)
+      .select("doc_id", "source", "n_chars", "char_entropy", "ppl")
+    Sampling.weightedSample(kept, col("doc_id"), col("n_chars"),
+      n = 100L, seed = "v4")
+  }
+
   def pipelineDocsV3(s: SparkSession, dir: String): DataFrame = {
     val decorated = concat(
       col("text"), lit("\nAD: subscribe now!"),
@@ -1329,6 +1356,7 @@ object Queries {
     "text_normalize" -> textNormalize _,
     "text_sentences" -> textSentences _,
     "pipeline_docs_v3" -> pipelineDocsV3 _,
+    "pipeline_docs_v4" -> pipelineDocsV4 _,
     "split_assign" -> splitAssign _,
     "sample_stratified" -> sampleStratified _,
     "pack_sequences" -> packSequencesQ _,
