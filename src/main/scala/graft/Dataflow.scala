@@ -321,8 +321,11 @@ object Dataflow {
             in, org.apache.spark.sql.functions.col(s.idCol), s.n, s.seed))
         case s: WeightedSampleSpec =>
           import org.apache.spark.sql.functions.col
-          frames + (s.output -> Sampling.weightedSample(
-            in, col(s.idCol), col(s.weightCol), s.n, s.seed))
+          frames + (s.output ->
+            (if (s.groupCol.isEmpty)
+              Sampling.weightedSample(in, col(s.idCol), col(s.weightCol), s.n, s.seed)
+            else Sampling.weightedSamplePerGroup(in, col(s.groupCol),
+              col(s.idCol), col(s.weightCol), s.n.toInt, s.seed)))
         case s: LmScoreSpec =>
           import org.apache.spark.sql.functions.col
           val ref = if (s.referenceInput.isEmpty) in

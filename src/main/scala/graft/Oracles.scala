@@ -1368,6 +1368,16 @@ object Oracles {
         |  FROM documents)
         |ORDER BY k DESC, doc_id LIMIT 120""".stripMargin,
 
+    // per-group A-ES: top-8 per source by u^(1/w)
+    "sample_weighted_group" ->
+      """SELECT doc_id, source, n_chars, CAST(r AS INT) AS sample_rank FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+        |      POW((CAST('0x' || substr(md5('wsg' || CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) + 1.0)
+        |          / POW(16.0, 13.0), 1.0 / n_chars) DESC, doc_id) AS r
+        |  FROM documents)
+        |WHERE r <= 8""".stripMargin,
+
     // exact-N sample: first 100 of the seeded permutation
     "sample_exact_n" ->
       """SELECT * FROM (
@@ -1562,6 +1572,25 @@ object Oracles {
         |  CAST(levenshtein(a.key, b.key) AS INT) AS dist
         |FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
         |WHERE levenshtein(a.key, b.key) <= 1""".stripMargin,
+
+    // multi-pass blocking: prefix-16 ∪ suffix-4 passes, deduped —
+    // full single-substitution recall on the 18-char name domain
+    "fuzzy_names_multi" ->
+      """WITH c1 AS (SELECT c_custkey AS id, c_name AS key,
+        |              substr(c_name, 1, 16) AS blk FROM customer),
+        |c2 AS (SELECT c_custkey AS id, c_name AS key,
+        |         substr(c_name, -4, 4) AS blk FROM customer),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(levenshtein(a.key, b.key) AS INT) AS dist
+        |  FROM c1 a JOIN c1 b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.key, b.key) <= 1
+        |  UNION ALL
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(levenshtein(a.key, b.key) AS INT) AS dist
+        |  FROM c2 a JOIN c2 b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE levenshtein(a.key, b.key) <= 1)
+        |SELECT DISTINCT id_a, id_b, dist FROM p""".stripMargin,
 
     // Jaro-Winkler mode: graft's native kernel pins DuckDB's exact
     // semantics (empty->0, window = max/2-1, boost only above 0.7);

@@ -602,6 +602,26 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Multi-pass blocked fuzzy join: prefix-16 pass (sees typos in the
+    * last 2 chars) ∪ suffix-4 pass (sees typos anywhere before) —
+    * together, FULL recall for single-substitution pairs on 18-char
+    * names, where either pass alone is blind to the other's region.
+    * The standard multi-pass/canopy blocking construction. */
+  def fuzzyNamesMulti(s: SparkSession, dir: String): DataFrame =
+    operators.Fuzzy.multiPassFuzzyPairs(t(s, dir, "customer"),
+        col("c_custkey"), col("c_name"),
+        blocks = Seq(k => substring(k, 1, 16), k => substring(k, -4, 4)),
+        maxDist = 1)
+      .select("id_a", "id_b", "dist")
+
+  /** Per-group length-weighted sample: 8 docs per source, longer
+    * docs proportionally more likely, seed-reproducible. */
+  def sampleWeightedGroup(s: SparkSession, dir: String): DataFrame =
+    Sampling.weightedSamplePerGroup(
+      t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+      col("source"), col("doc_id"), col("n_chars"),
+      nPerGroup = 8, seed = "wsg")
+
   /** Char-entropy quality signal: one scan-side native pass
     * ([[graft.functions.TextFeatures.CharEntropyExpr]]). */
   def textEntropy(s: SparkSession, dir: String): DataFrame = {
@@ -1353,6 +1373,7 @@ object Queries {
     "shuffle_order" -> shuffleOrder _,
     "sample_exact_n" -> sampleExactN _,
     "sample_weighted" -> sampleWeighted _,
+    "sample_weighted_group" -> sampleWeightedGroup _,
     "text_normalize" -> textNormalize _,
     "text_sentences" -> textSentences _,
     "pipeline_docs_v3" -> pipelineDocsV3 _,
@@ -1370,6 +1391,7 @@ object Queries {
     "sim_pq" -> simPq _,
     "fuzzy_names" -> fuzzyNames _,
     "fuzzy_names_jw" -> fuzzyNamesJw _,
+    "fuzzy_names_multi" -> fuzzyNamesMulti _,
     "q_rolling" -> qRolling _,
     "text_blocklist" -> textBlocklist _,
     "q_funnel" -> qFunnel _,

@@ -266,7 +266,8 @@ object MetaLoader {
           n = p.path("n").asLong(1000L),
           weightCol = str(p, "weight"),
           idCol = str(p, "id", "doc_id"),
-          seed = str(p, "seed", "graft"))
+          seed = str(p, "seed", "graft"),
+          groupCol = str(p, "group", ""))
       case "lm_score" =>
         LmScoreSpec(name, input, output,
           contentCol = str(p, "content", "text"),

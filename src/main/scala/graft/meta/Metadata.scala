@@ -563,7 +563,8 @@ final case class WeightedSampleSpec(
     n: Long,
     weightCol: String,
     idCol: String = "doc_id",
-    seed: String = "graft")
+    seed: String = "graft",
+    groupCol: String = "")            // non-empty = n rows PER GROUP
   extends TransformSpec
 
 /**

@@ -71,6 +71,32 @@ object Fuzzy {
       .filter(col("sim") >= minSim)
   }
 
+  /**
+   * MULTI-PASS blocking: union the pairs of several blocking keys and
+   * deduplicate — the standard recall fix when no single cheap key
+   * covers every true match (a prefix pass only sees suffix typos,
+   * a suffix pass only prefix/middle typos; their union sees every
+   * single-substitution pair). Cost is additive in the passes, each
+   * pass keeps its own hash-shuffle plan, and the dedup exchange
+   * carries only (id_a, id_b, score) — never keys or text.
+   */
+  def multiPassFuzzyPairs(df: DataFrame, id: Column, key: Column,
+                          blocks: Seq[Column => Column], maxDist: Int,
+                          saltBuckets: Int = 1): DataFrame = {
+    require(blocks.nonEmpty, "need at least one blocking pass")
+    blocks.map(b => selfFuzzyPairs(df, id, key, b, maxDist, saltBuckets))
+      .reduce(_.unionAll(_)).distinct()
+  }
+
+  /** Similarity-mode sibling of [[multiPassFuzzyPairs]]. */
+  def multiPassSimilarityPairs(df: DataFrame, id: Column, key: Column,
+                               blocks: Seq[Column => Column], minSim: Double,
+                               saltBuckets: Int = 1): DataFrame = {
+    require(blocks.nonEmpty, "need at least one blocking pass")
+    blocks.map(b => selfSimilarityPairs(df, id, key, b, minSim, saltBuckets))
+      .reduce(_.unionAll(_)).distinct()
+  }
+
   /** Blocked (and optionally grid-salted) candidate pairs
     * (id_a < id_b): the shared core of both scoring modes. */
   private def selfCandidates(df: DataFrame, id: Column, key: Column,

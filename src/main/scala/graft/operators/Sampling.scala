@@ -346,11 +346,38 @@ object Sampling {
   def weightedSample(df: DataFrame, id: Column, weight: Column,
                      n: Long, seed: String): DataFrame = {
     require(n > 0 && n <= Int.MaxValue, "n must be in (0, Int.MaxValue]")
-    val u = (conv(substring(md5(concat(lit(seed), id.cast("string"))), 1, 13),
-      16, 10).cast("long").cast("double") + 1.0) / math.pow(16, 13)
-    df.withColumn("__aes", pow(u, lit(1.0) / weight.cast("double")))
+    df.withColumn("__aes", aesKey(id, weight, seed))
       .orderBy(col("__aes").desc, id)
       .limit(n.toInt)
+      .drop("__aes")
+  }
+
+  /** The A-ES sampling key u^(1/w): u from 13 md5 hex chars (52 bits,
+    * exactly double-representable — cross-engine reproducible). */
+  private def aesKey(id: Column, weight: Column, seed: String): Column = {
+    val u = (conv(substring(md5(concat(lit(seed), id.cast("string"))), 1, 13),
+      16, 10).cast("long").cast("double") + 1.0) / math.pow(16, 13)
+    pow(u, lit(1.0) / weight.cast("double"))
+  }
+
+  /**
+   * PER-GROUP weighted sample: `nPerGroup` rows from EACH group,
+   * inclusion ∝ weight within the group — the weighted counterpart of
+   * [[capPerGroup]] ("keep 1000 pages per domain, longer pages more
+   * often"). Same A-ES keys, ranked by a group-partitioned window —
+   * one hash shuffle on the group key, no global sort, no hot task
+   * unless one group dominates the corpus (then cap or salt upstream;
+   * [[StatsOp.keyHistogram]] diagnoses it).
+   */
+  def weightedSamplePerGroup(df: DataFrame, group: Column, id: Column,
+                             weight: Column, nPerGroup: Int,
+                             seed: String): DataFrame = {
+    require(nPerGroup > 0, "nPerGroup must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(col("__aes").desc, id)
+    df.withColumn("__aes", aesKey(id, weight, seed))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= nPerGroup)
       .drop("__aes")
   }
 }

@@ -92,6 +92,24 @@ class FuzzySpec extends SparkSpecBase {
     assert(plain.forall(_(2).asInstanceOf[Double] >= 0.9))
   }
 
+  test("multiPassFuzzyPairs: union of passes recalls pairs each pass misses") {
+    val names = Seq(
+      (1L, "ABCDEF01"), (2L, "ABCDEF91"),  // differ at pos 7: prefix-6 pass sees
+      (3L, "XBCDEF02"), (4L, "YBCDEF02"))  // differ at pos 1: suffix-4 pass sees
+      .toDF("id", "name")
+    val prefix = (k: org.apache.spark.sql.Column) => substring(k, 1, 6)
+    val suffix = (k: org.apache.spark.sql.Column) => substring(k, -4, 4)
+    def pairs(d: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      d.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val pOnly = pairs(Fuzzy.selfFuzzyPairs(names, col("id"), col("name"), prefix, 1))
+    val sOnly = pairs(Fuzzy.selfFuzzyPairs(names, col("id"), col("name"), suffix, 1))
+    val multi = pairs(Fuzzy.multiPassFuzzyPairs(names, col("id"), col("name"),
+      Seq(prefix, suffix), 1))
+    assert(pOnly === Set((1L, 2L)))          // blind to the pos-1 typo
+    assert(sOnly === Set((3L, 4L)))          // blind to the pos-7 typo
+    assert(multi === Set((1L, 2L), (3L, 4L))) // union sees both
+  }
+
   test("salted cross-frame fuzzyJoin matches unsalted") {
     val right = skewed.select((col("id") + 5000).as("rid"),
       concat(col("name"), lit("x")).as("rname"))

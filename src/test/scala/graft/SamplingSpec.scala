@@ -257,6 +257,20 @@ class SamplingSpec extends SparkSpecBase {
     assert(u.count() === 50)
   }
 
+  test("weightedSamplePerGroup: exact n per group, partitioning-invariant") {
+    val df = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val out = Sampling.weightedSamplePerGroup(df, col("source"), col("doc_id"),
+      col("n_chars"), nPerGroup = 5, seed = "g")
+    val perGroup = out.groupBy("source").count().select("count")
+      .as[Long].collect()
+    assert(perGroup.forall(_ === 5L))
+    val again = Sampling.weightedSamplePerGroup(df.repartition(9), col("source"),
+        col("doc_id"), col("n_chars"), nPerGroup = 5, seed = "g")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === out.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("exportShards: dense full shards, stable under repartitioning") {
     val df = spark.read.parquet(sf() + "/documents.parquet").select("doc_id")
     val n = df.count()
