@@ -135,6 +135,10 @@ object Similarity {
    * least one (table, bucket) with the query, scored exactly, then
    * ranked. Returns (id, neighbor_id, cos_sim, rank). Recall tunes
    * with `tables` (↑recall) and `bits` (↓bucket size / ↑speed).
+   * Prefer `bits = 0` ([[autoBits]]): a fixed bits both explodes
+   * candidates at 10× corpus growth (ScaleBench: ×94 shuffle) AND
+   * halves recall when oversized for the corpus (RECALL.md: 0.15 vs
+   * 0.36 at identical cost) — occupancy sizing fixes both ends.
    */
   def lshTopK(df: DataFrame, id: Column, vec: Column, k: Int = 10,
               tables: Int = 8, bits: Int = 8, seed: Int = 42): DataFrame = {
