@@ -26,7 +26,7 @@ object Bench {
     "q1_pricing", "q3_revenue", "q5_nation_revenue", "q_top_customers",
     "q_events_hourly", "q_sessions", "q_event_pivot",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters",
-    "dedup_incremental",
+    "dedup_incremental", "dedup_substrings",
     "sim_topk", "sim_lsh", "sim_lsh_auto", "sim_ivf", "sim_pq", "sim_pq_served",
     "sim_cross", "sim_cross_lsh",
     "text_quality", "field_stats", "field_stats_approx", "validate_ok",

@@ -735,6 +735,44 @@ object Oracles {
          |    + (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.5 AS quality_score
          |FROM q""".stripMargin,
 
+    // exact substring dedup: repeated 8-token windows, canonical =
+    // min (doc_id, pos); md5 of the space-joined window matches the
+    // native kernel byte-for-byte; positions 0-based on both engines
+    "dedup_substrings" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |win AS (
+        |  SELECT doc_id, r.i - 1 AS p,
+        |    md5(array_to_string(list_slice(t, r.i, r.i + 7), ' ')) AS h
+        |  FROM toks, LATERAL unnest(range(1, len(t) - 8 + 2)) AS r(i)),
+        |marked AS (
+        |  SELECT doc_id, p,
+        |    COUNT(*) OVER (PARTITION BY h) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+        |  FROM win),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, p + r.j AS cp
+        |  FROM marked, LATERAL unnest(range(0, 8)) AS r(j)
+        |  WHERE n > 1 AND rn > 1),
+        |tokens AS (
+        |  SELECT doc_id, r.i - 1 AS pos, t[r.i] AS tok
+        |  FROM toks, LATERAL unnest(range(1, len(t) + 1)) AS r(i)),
+        |kept AS (
+        |  SELECT tk.doc_id, string_agg(tk.tok, ' ' ORDER BY tk.pos) AS text_dedup
+        |  FROM tokens tk
+        |  LEFT JOIN covered c ON c.doc_id = tk.doc_id AND c.cp = tk.pos
+        |  WHERE c.cp IS NULL
+        |  GROUP BY tk.doc_id),
+        |cov_n AS (SELECT doc_id, COUNT(*) AS n_removed FROM covered GROUP BY 1)
+        |SELECT t.doc_id,
+        |  CAST(len(t.t) AS INT) AS n_tokens,
+        |  CAST(COALESCE(cn.n_removed, 0) AS INT) AS n_removed,
+        |  COALESCE(k.text_dedup, '') AS text_dedup
+        |FROM toks t
+        |LEFT JOIN cov_n cn ON cn.doc_id = t.doc_id
+        |LEFT JOIN kept k ON k.doc_id = t.doc_id""".stripMargin,
+
     // composed v4: entropy gate -> corpus-LM ppl gate -> A-ES sample
     // (composes the text_entropy, lm_perplexity and sample_weighted
     // oracles; gates compare the same 6dp-rounded values both engines

@@ -602,6 +602,13 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** Exact substring dedup (Lee et al. '21): every repeated 8-token
+    * span removed corpus-wide except its canonical first occurrence;
+    * rebuild is scan-side (the corpus text never shuffles). */
+  def dedupSubstrings(s: SparkSession, dir: String): DataFrame =
+    operators.Dedup.dedupSubstrings(t(s, dir, "documents"),
+      col("text"), col("doc_id"), w = 8)
+
   /** Multi-pass blocked fuzzy join: prefix-16 pass (sees typos in the
     * last 2 chars) ∪ suffix-4 pass (sees typos anywhere before) —
     * together, FULL recall for single-substitution pairs on 18-char
@@ -1330,6 +1337,7 @@ object Queries {
     "dedup_simhash" -> dedupSimhash _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_incremental" -> dedupIncremental _,
+    "dedup_substrings" -> dedupSubstrings _,
     "dedup_embedding" -> dedupEmbedding _,
     "sim_topk" -> simTopK _,
     "sim_cross" -> simCross _,

@@ -83,6 +83,47 @@ object TextHashExprs {
       copy(child = newChild)
   }
 
+  /**
+   * md5 hex of every k-gram INSTANCE in positional order — the
+   * window-identity kernel for exact-substring dedup, where the
+   * DuckDB oracle must derive the IDENTICAL id from the same window
+   * (`md5(string_agg(tok, ' '))`): 128-bit md5 of the space-joined
+   * RAW tokens (no lowercasing — substring dedup must preserve the
+   * original text it rebuilds). One fused tokenize+hash pass per row.
+   */
+  case class NgramMd5InstancesExpr(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val t = v.asInstanceOf[UTF8String].toString.trim
+      val toks: Array[String] = if (t.isEmpty) Array.empty else t.split("\\s+")
+      if (toks.length < k) return new GenericArrayData(Array.empty[Any])
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val out = new Array[Any](toks.length - k + 1)
+      var i = 0
+      while (i <= toks.length - k) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        md.reset()
+        val digest = md.digest(sb.toString.getBytes("UTF-8"))
+        val hex = new java.lang.StringBuilder(32)
+        var b = 0
+        while (b < digest.length) {
+          hex.append(Character.forDigit((digest(b) >> 4) & 0xf, 16))
+          hex.append(Character.forDigit(digest(b) & 0xf, 16))
+          b += 1
+        }
+        out(i) = UTF8String.fromString(hex.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Distinct k-shingles of the lowercased text, in first-seen order. */
   case class ShinglesExpr(child: Expression, k: Int)
       extends UnaryExpression with CodegenFallback {
@@ -307,6 +348,8 @@ object TextHashExprs {
     GraftBridge.column(ShingleHashesExpr(e(text), k))
   def ngramHashInstances(text: Column, k: Int): Column =
     GraftBridge.column(NgramHashInstancesExpr(e(text), k))
+  def ngramMd5Instances(text: Column, k: Int): Column =
+    GraftBridge.column(NgramMd5InstancesExpr(e(text), k))
   def minhashSig(text: Column, k: Int, numHashes: Int): Column =
     GraftBridge.column(MinhashSigExpr(e(text), k, numHashes))
   def minhashWithShingles(text: Column, k: Int, numHashes: Int): Column =

@@ -772,4 +772,63 @@ object Dedup {
       .groupBy("doc_id")
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /**
+   * EXACT SUBSTRING DEDUP (Lee et al. '21, "Deduplicating Training
+   * Data Makes Language Models Better"): remove every ≥`w`-token span
+   * that occurs verbatim more than once in the corpus, keeping ONE
+   * canonical occurrence (the minimal (doc_id, position)). The
+   * memorization-critical dedup the document-level family cannot do:
+   * boilerplate paragraphs, license headers and quoted chunks
+   * duplicate across otherwise-distinct documents.
+   *
+   * Construction (all exchanges carry hashes/positions, never text):
+   *  1. scan-side window ids: md5 of every w-token window instance
+   *     ([[graft.functions.TextHashExprs.NgramMd5InstancesExpr]], one
+   *     fused pass) → posexplode to (doc_id, pos, h).
+   *  2. one hash-shuffle groupBy(h): instance count + min
+   *     (doc_id, pos) canonical — 16-byte keys.
+   *  3. non-canonical instances of repeated windows expand to their
+   *     covered positions [pos, pos+w); the per-doc cover set
+   *     aggregates over COVERED positions only — bounded by duplicate
+   *     mass, not corpus size.
+   *  4. rebuild is SCAN-SIDE: the cover array joins back on doc_id
+   *     and a filter-with-index HOF drops covered tokens — the corpus
+   *     text itself is never shuffled.
+   *
+   * Output: (doc_id, text_dedup, n_tokens, n_removed); a fully-
+   * duplicated document survives with text_dedup = "" (whitespace is
+   * normalized to single spaces by reconstruction). Overlapping
+   * repeated windows union their covered ranges, so a long duplicated
+   * passage is removed once, wholly,  without double-counting.
+   */
+  def dedupSubstrings(df: DataFrame, content: Column, id: Column,
+                      w: Int = 50): DataFrame = {
+    require(w >= 2, "window must be at least 2 tokens")
+    val base = df.select(id.as("doc_id"), content.as("__text"))
+    val windows = base.select(col("doc_id"),
+        posexplode(graft.functions.TextHashExprs.ngramMd5Instances(col("__text"), w)))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
+    val repeated = windows.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("p"))).as("canon"),
+        count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .select(col("h").as("rh"), col("canon"))
+    val covered = windows.join(repeated, col("h") === col("rh"))
+      .filter(!(col("canon.doc_id") === col("doc_id") && col("canon.p") === col("p")))
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + lit(w - 1))).as("cp"))
+      .distinct()
+    val covers = covered.groupBy("doc_id")
+      .agg(collect_list(col("cp")).as("__cover"))
+    val toks = split(trim(col("__text")), "\\s+")
+    base.join(covers, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(length(trim(col("__text"))) === 0, lit(0))
+          .otherwise(size(toks)).cast("int").as("n_tokens"),
+        coalesce(size(col("__cover")), lit(0)).cast("int").as("n_removed"),
+        when(col("__cover").isNull, concat_ws(" ", toks))
+          .otherwise(concat_ws(" ",
+            filter(toks, (t, i) => !array_contains(col("__cover"), i))))
+          .as("text_dedup"))
+  }
 }

@@ -275,4 +275,40 @@ class DedupSpec extends SparkSpecBase {
     assert(!plan.contains("hashpartitioning(para"),
       s"paragraph text must not be a shuffle key:\n$plan")
   }
+
+  test("dedupSubstrings: repeated spans removed except canonical, overlaps union") {
+    val span = "q w e r t y u i"            // the 8-token duplicated span
+    val d = Seq(
+      (1L, s"a b c $span d e"),             // canonical owner (doc 1, pos 3)
+      (2L, s"x y $span z"),                 // copy -> span removed
+      (3L, span),                           // fully duplicated doc -> ""
+      (4L, s"n o p q r s t u v w"))         // no repeated window -> untouched
+      .toDF("doc_id", "text")
+    val out = Dedup.dedupSubstrings(d, col("text"), col("doc_id"), w = 8)
+      .select("doc_id", "text_dedup", "n_tokens", "n_removed")
+      .as[(Long, String, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((s"a b c $span d e", 13, 0)),
+      "the canonical (min doc_id, pos) occurrence keeps its span")
+    assert(out(2L) === (("x y z", 11, 8)))
+    assert(out(3L) === (("", 8, 8)), "a fully-duplicated doc survives empty")
+    assert(out(4L) === ((s"n o p q r s t u v w", 10, 0)))
+
+    // overlapping repetition: a 10-token duplicated passage = three
+    // overlapping repeated 8-windows; covered union removes it ONCE
+    val long = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    val d2 = Seq((1L, s"$long tail1"), (2L, s"head $long")).toDF("doc_id", "text")
+    val o2 = Dedup.dedupSubstrings(d2, col("text"), col("doc_id"), w = 8)
+      .select("doc_id", "text_dedup", "n_removed")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(o2(1L) === ((s"$long tail1", 0)))
+    assert(o2(2L) === (("head", 10)), "union of overlapping windows covers the whole passage")
+
+    // the corpus text is never a shuffle key and never shuffled:
+    // exchanges carry md5 window ids and integer positions only
+    val plan = Dedup.dedupSubstrings(d, col("text"), col("doc_id"), w = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("hashpartitioning(__text"),
+      s"document text must not be a shuffle key:\n$plan")
+  }
 }
