@@ -337,6 +337,10 @@ object Dataflow {
           frames + (s.output -> LanguageModel.perplexity(
               in, col(s.idCol), col(s.contentCol), uni, big, s.alpha)
             .withColumnRenamed("id", s.idCol))
+        case s: SubstringDedupSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Dedup.dedupSubstrings(
+            in, col(s.contentCol), col(s.idCol), s.window))
         case s: BpeTokenizeSpec =>
           import org.apache.spark.sql.functions.col
           val merges =

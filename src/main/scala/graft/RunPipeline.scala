@@ -63,6 +63,7 @@ object RunPipeline {
     case s: meta.WeightedSampleSpec => Seq(s.output)
     case s: meta.LmScoreSpec      => Seq(s.output)
     case s: meta.BpeTokenizeSpec  => Seq(s.output)
+    case s: meta.SubstringDedupSpec => Seq(s.output)
     case s: meta.FamiliaritySpec  => Seq(s.output)
     case s: meta.DupNgramCoverageSpec => Seq(s.output)
     case s: meta.ClassifySpec     => Seq(s.output)

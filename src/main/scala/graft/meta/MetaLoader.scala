@@ -275,6 +275,11 @@ object MetaLoader {
           referenceInput = str(p, "reference_input", ""),
           minCount = p.path("min_count").asLong(2L),
           alpha = p.path("alpha").asDouble(0.5))
+      case "substring_dedup" =>
+        SubstringDedupSpec(name, input, output,
+          contentCol = str(p, "content", "text"),
+          idCol = str(p, "id", "doc_id"),
+          window = p.path("window").asInt(50))
       case "bpe_tokenize" =>
         BpeTokenizeSpec(name, input, output,
           contentCol = str(p, "content", "text"),

@@ -584,6 +584,21 @@ final case class LmScoreSpec(
   extends TransformSpec
 
 /**
+ * graft extension: exact substring dedup (Lee et al. '21) — remove
+ * every repeated ≥`window`-token span corpus-wide except its
+ * canonical first occurrence; output carries (doc_id, text_dedup,
+ * n_tokens, n_removed).
+ */
+final case class SubstringDedupSpec(
+    name: String,
+    input: String,
+    output: String,
+    contentCol: String = "text",
+    idCol: String = "doc_id",
+    window: Int = 50)
+  extends TransformSpec
+
+/**
  * graft extension: BPE tokenizer induction + encoding — train
  * `numMerges` merges on the input corpus (or load a persisted table
  * from `mergesPath`) and add a `bpe_tokens` subword-array column.

@@ -581,7 +581,9 @@ class DataflowSpec extends SparkSpecBase {
          |    "input":"docs","output":"entropic","analyses":["entropy"]}},
          |  {"name":"jw","type":"fuzzy","params":{
          |    "input":"cust","output":"jw_pairs","key":"c_name","id":"c_custkey",
-         |    "block_prefix":12,"method":"jaro_winkler","min_sim":0.98}}],
+         |    "block_prefix":12,"method":"jaro_winkler","min_sim":0.98}},
+         |  {"name":"ss","type":"substring_dedup","params":{
+         |    "input":"docs","output":"span_deduped","window":8}}],
          |"sinks":[]
          |}]}""".stripMargin
     val frames = Dataflow.run(spark, MetaLoader.loadString(spec).dataflow("r5"))
@@ -595,6 +597,9 @@ class DataflowSpec extends SparkSpecBase {
     assert(frames("jw_pairs").columns.toSeq ===
       Seq("id_a", "id_b", "key_a", "key_b", "sim"))
     assert(frames("jw_pairs").count() > 0)
+    val ss = frames("span_deduped")
+    assert(ss.columns.toSet === Set("doc_id", "n_tokens", "n_removed", "text_dedup"))
+    assert(ss.count() === frames("docs").count())
   }
 
   test("RunPipeline stage summary: one [stage] line per source + output, with counts") {
