@@ -1038,17 +1038,18 @@ object Queries {
         TextAnalysisCols.langId(col("text")).as("lang_pred") :+ col("text"): _*)
     val filtered = scored
       .filter(col("lang_pred") === "en" && col("quality_score") >= 0.51)
-    // exact dedup keep-min-id as groupBy + min_by: ONE shuffle keyed by
-    // the 128-bit content fingerprint, with map-side partial combine so
-    // duplicate texts collapse before the exchange and no sort is paid.
-    // md5 collisions (2⁻¹²⁸-scale) are the accepted equivalence. Cached:
-    // the subtree feeds both the signature path and the final anti join.
-    val kc = Seq("doc_id", "lang_pred", "quality_score", "n_tokens", "text")
-    val kept = operators.OpCache.cache(
-      filtered
-        .groupBy(md5(col("text")).as("__fp"))
-        .agg(min_by(struct(kc.map(col): _*), col("doc_id")).as("__r"))
-        .select(kc.map(c => col(s"__r.$c")): _*))
+    // exact dedup keep-min-id as a window: ONE shuffle, keyed by the
+    // 128-bit content fingerprint (32-byte key) instead of the raw
+    // document. Both downstream consumers (the near-dup signature
+    // path and the final anti join) hang off the SAME exchange, so
+    // Spark's ReusedExchange pays the scoring scan and the shuffle
+    // once — measured faster than either an OpCache materialization
+    // (cache write+read tax) or a drop-list anti join (two scans of
+    // the scoring subtree). md5 collisions (2⁻¹²⁸-scale) are the
+    // accepted equivalence.
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val kept = filtered.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
     // near-dup removal: drop doc_b of every jaccard>=0.8 pair
     val drop = Dedup.ngramJaccard(kept, col("text"), col("doc_id"),
         freqIn = corpusFreq(s, dir))
