@@ -83,6 +83,33 @@ object TextHashExprs {
       copy(child = newChild)
   }
 
+  /** XXH64 of every k-gram instance over RAW (case-preserving)
+    * tokens — the compact window id for exact-substring dedup's
+    * 100 TB path (8 bytes/window vs md5's 32-char hex; same
+    * tokenizer as [[NgramMd5InstancesExpr]], no lowercasing). */
+  case class NgramRawHashInstancesExpr(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val t = v.asInstanceOf[UTF8String].toString.trim
+      val toks: Array[String] = if (t.isEmpty) Array.empty else t.split("\\s+")
+      if (toks.length < k) return new GenericArrayData(Array.emptyLongArray)
+      val out = new Array[Long](toks.length - k + 1)
+      var i = 0
+      while (i <= toks.length - k) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out(i) = hashUtf8(UTF8String.fromString(sb.toString), Seed)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /**
    * md5 hex of every k-gram INSTANCE in positional order — the
    * window-identity kernel for exact-substring dedup, where the
@@ -350,6 +377,8 @@ object TextHashExprs {
     GraftBridge.column(NgramHashInstancesExpr(e(text), k))
   def ngramMd5Instances(text: Column, k: Int): Column =
     GraftBridge.column(NgramMd5InstancesExpr(e(text), k))
+  def ngramRawHashInstances(text: Column, k: Int): Column =
+    GraftBridge.column(NgramRawHashInstancesExpr(e(text), k))
   def minhashSig(text: Column, k: Int, numHashes: Int): Column =
     GraftBridge.column(MinhashSigExpr(e(text), k, numHashes))
   def minhashWithShingles(text: Column, k: Int, numHashes: Int): Column =

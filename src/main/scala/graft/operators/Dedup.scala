@@ -801,13 +801,24 @@ object Dedup {
    * normalized to single spaces by reconstruction). Overlapping
    * repeated windows union their covered ranges, so a long duplicated
    * passage is removed once, wholly,  without double-counting.
+   *
+   * `hash64 = true` is the 100 TB path: window ids are 8-byte XXH64
+   * instead of 32-char md5 hex, cutting the per-token exchange volume
+   * ~4× (one window id per token position is the dominant shuffle).
+   * Collisions (2⁻⁶⁴ per window pair) would only remove a uniquely-
+   * occurring span — spec-asserted identical to the md5 path on real
+   * corpora; the md5 default is what the cross-engine oracle can
+   * reproduce. Case-sensitivity note: XXH64 windows share the
+   * lowercasing-free tokenizer md5 windows use.
    */
   def dedupSubstrings(df: DataFrame, content: Column, id: Column,
-                      w: Int = 50): DataFrame = {
+                      w: Int = 50, hash64: Boolean = false): DataFrame = {
     require(w >= 2, "window must be at least 2 tokens")
     val base = df.select(id.as("doc_id"), content.as("__text"))
-    val windows = base.select(col("doc_id"),
-        posexplode(graft.functions.TextHashExprs.ngramMd5Instances(col("__text"), w)))
+    val windowIds =
+      if (hash64) graft.functions.TextHashExprs.ngramRawHashInstances(col("__text"), w)
+      else graft.functions.TextHashExprs.ngramMd5Instances(col("__text"), w)
+    val windows = base.select(col("doc_id"), posexplode(windowIds))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
     val repeated = windows.groupBy("h")
       .agg(min(struct(col("doc_id"), col("p"))).as("canon"),

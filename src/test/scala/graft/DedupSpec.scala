@@ -310,5 +310,18 @@ class DedupSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("hashpartitioning(__text"),
       s"document text must not be a shuffle key:\n$plan")
+
+    // the 64-bit compact-hash scale path is result-identical to the
+    // oracle-matched md5 path (on real data and every planted case)
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    def rows(h64: Boolean) =
+      Dedup.dedupSubstrings(docs, col("text"), col("doc_id"), w = 8, hash64 = h64)
+        .select("doc_id", "text_dedup", "n_removed")
+        .as[(Long, String, Int)].collect().toSet
+    assert(rows(true) === rows(false))
+    val planted = Dedup.dedupSubstrings(d, col("text"), col("doc_id"),
+        w = 8, hash64 = true)
+      .select("doc_id", "text_dedup").as[(Long, String)].collect().toMap
+    assert(planted(2L) === "x y z" && planted(3L) === "")
   }
 }
