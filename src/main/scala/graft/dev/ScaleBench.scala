@@ -39,7 +39,11 @@ object ScaleBench {
     "q1_pricing", "q3_revenue", "q_sessions", "q_events_hourly",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_paragraph",
     "strip_boilerplate", "text_gopher", "vocab_df", "decontaminate_bloom",
-    "sim_lsh", "emb_centroids", "shuffle_order", "pipeline_docs_v3")
+    "sim_lsh", "emb_centroids", "shuffle_order", "pipeline_docs_v3",
+    // round-5 additions
+    "sim_lsh_auto", "text_entropy", "lm_perplexity", "bpe_tokens",
+    "sample_weighted", "fuzzy_names_jw", "dedup_substrings",
+    "pipeline_docs_v4")
 
   /** Union `mult` copies of sf0.1 into `out`, keys offset, documents
     * word-permuted, embeddings rotated (see object doc). */
@@ -69,7 +73,12 @@ object ScaleBench {
       wr((0 until mult).map(k => keys(rd(t), k)).reduce(_.unionAll(_)), t, parts)
 
     offsetCopies("customer", 4)((df, k) =>
-      df.withColumn("c_custkey", col("c_custkey") + lit(custS * k)))
+      df.withColumn("c_custkey", col("c_custkey") + lit(custS * k))
+        // regenerate the name from the offset key (the TPC-H rule):
+        // verbatim name copies would give every customer 10 exact
+        // aliases and blow blocked entity resolution quadratically —
+        // an artifact, not a property of a bigger corpus
+        .withColumn("c_name", format_string("Customer#%09d", col("c_custkey"))))
     offsetCopies("supplier", 2)((df, k) =>
       df.withColumn("s_suppkey", col("s_suppkey") + lit(suppS * k)))
     offsetCopies("part", 4)((df, k) =>

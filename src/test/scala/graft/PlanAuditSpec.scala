@@ -41,4 +41,19 @@ class PlanAuditSpec extends SparkSpecBase {
       s"shuffle grew with document size: 1x=$m1 10x=$m10")
     assert(m10("disk_spill_bytes") === 0L, s"no spill expected at sf0.01: $m10")
   }
+
+  test("substring dedup: 64-bit window ids cut the measured shuffle vs md5") {
+    def run(hash64: Boolean) = PlanAudit.measure(spark) {
+      operators.Dedup.dedupSubstrings(docs, col("text"), col("doc_id"),
+          w = 8, hash64 = hash64)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val md5Path = run(hash64 = false)
+    val h64Path = run(hash64 = true)
+    assert(md5Path("shuffle_write_bytes") > 0)
+    // 8-byte longs vs 32-char hex strings on the dominant per-token
+    // window-id exchange: expect well under 60% of the md5 volume
+    assert(h64Path("shuffle_write_bytes") < md5Path("shuffle_write_bytes") * 6 / 10,
+      s"compact ids should shrink shuffle: md5=$md5Path h64=$h64Path")
+  }
 }
