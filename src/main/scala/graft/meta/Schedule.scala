@@ -52,12 +52,15 @@ object Schedule {
     val step = intervalOf(spec.interval)
     val anchor = Instant.parse(spec.anchor)
     if (now.isBefore(anchor.plus(step))) return Nil
-    // first candidate: the boundary after lastCompleted, else the anchor
+    // first candidate: the boundary after lastCompleted, else the
+    // anchor. A state timestamp BEFORE the anchor (hand-edited /
+    // anchor moved later) must not skip the anchor run — treat it as
+    // no state.
     val first = lastCompleted match {
-      case Some(lc) =>
+      case Some(lc) if !lc.isBefore(anchor) =>
         val k = Duration.between(anchor, lc).toMillis / step.toMillis
         anchor.plus(step.multipliedBy(k + 1))
-      case None => anchor
+      case _ => anchor
     }
     val due = Iterator.iterate(first)(_.plus(step))
       .takeWhile(t => !now.isBefore(t.plus(step)))

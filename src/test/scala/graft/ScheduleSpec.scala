@@ -38,6 +38,14 @@ class ScheduleSpec extends SparkSpecBase {
       Seq(Instant.parse("2026-08-05T00:00:00Z")))
   }
 
+  test("dueRuns: state before the anchor does not skip the anchor run") {
+    val due = Schedule.dueRuns(daily,
+      Some(Instant.parse("2026-07-15T00:00:00Z")),  // predates the anchor
+      Instant.parse("2026-08-03T06:00:00Z"))
+    assert(due.head === Instant.parse("2026-08-01T00:00:00Z"))
+    assert(due.size === 2)
+  }
+
   test("dueRuns: catchup=false keeps only the most recent due run") {
     val noCatchup = daily.copy(catchup = false)
     val due = Schedule.dueRuns(noCatchup, None,
