@@ -834,7 +834,7 @@ object Dedup {
     val toks = split(trim(col("__text")), "\\s+")
     base.join(covers, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(length(trim(col("__text"))) === 0, lit(0))
+        when(col("__text").isNull || length(trim(col("__text"))) === 0, lit(0))
           .otherwise(size(toks)).cast("int").as("n_tokens"),
         coalesce(size(col("__cover")), lit(0)).cast("int").as("n_removed"),
         when(col("__cover").isNull, concat_ws(" ", toks))

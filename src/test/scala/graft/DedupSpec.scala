@@ -323,5 +323,13 @@ class DedupSpec extends SparkSpecBase {
         w = 8, hash64 = true)
       .select("doc_id", "text_dedup").as[(Long, String)].collect().toMap
     assert(planted(2L) === "x y z" && planted(3L) === "")
+
+    // null / empty text keeps its row with zero counts, not -1 or a crash
+    val withNull = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "a b"))
+      .toDF("doc_id", "text")
+    val nOut = Dedup.dedupSubstrings(withNull, col("text"), col("doc_id"), w = 2)
+      .select("doc_id", "n_tokens", "n_removed")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(nOut(1L) === ((0, 0)) && nOut(2L) === ((0, 0)) && nOut(3L) === ((2, 0)))
   }
 }
