@@ -740,7 +740,9 @@ object Oracles {
     // native kernel byte-for-byte; positions 0-based on both engines
     "dedup_substrings" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS t
         |  FROM documents),
         |win AS (
         |  SELECT doc_id, r.i - 1 AS p,
@@ -792,7 +794,9 @@ object Oracles {
         |  FROM documents d JOIN ent e USING (doc_id)
         |  WHERE e.entropy_ratio >= 0.87),
         |toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(lower(text))) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
         |  FROM documents),
         |uni AS (
         |  SELECT w, COUNT(*) AS cnt
@@ -831,7 +835,9 @@ object Oracles {
     // both engines (summation-order ulps)
     "lm_perplexity" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(lower(text))) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS t
         |  FROM documents),
         |uni AS (
         |  SELECT w, COUNT(*) AS cnt

@@ -108,12 +108,18 @@ object ScaleBench {
                |    sequence(1, size(split(text, ' '))),
                |    (w, i) -> struct(xxhash64(w, i, $k) AS h, w AS w))),
                |  x -> x.w))""".stripMargin)))
-    offsetCopies("embeddings", 8)((df, k) =>
+    offsetCopies("embeddings", 8)((df, k) => {
+      // rotation must never be 0 for k>0 — k % dim would make copies
+      // at multiples of the modulus exact verbatim duplicates and
+      // reintroduce the dup-stacking this materializer exists to
+      // avoid; 1 + (k-1) % 15 stays in [1, 15] for any mult
+      val rot = 1 + ((k - 1) % 15)
       df.withColumn("vec_id", col("vec_id") + lit(vecS * k))
         .withColumn("embedding",
           if (k == 0) col("embedding")
-          else expr(s"concat(slice(embedding, ${k % 16} + 1, size(embedding))," +
-            s" slice(embedding, 1, ${k % 16}))")))
+          else expr(s"concat(slice(embedding, $rot + 1, size(embedding))," +
+            s" slice(embedding, 1, $rot))"))
+    })
   }
 
   def main(args: Array[String]): Unit = {

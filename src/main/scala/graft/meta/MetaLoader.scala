@@ -25,7 +25,9 @@ object MetaLoader {
       ScheduleSpec(
         interval = str(s, "interval"),
         anchor = str(s, "anchor"),
-        catchup = !s.path("catchup").isBoolean || s.get("catchup").asBoolean()))
+        // asBoolean(default) coerces textual "false"/"true" too — a
+        // quoted value must not silently trigger a full backfill
+        catchup = s.path("catchup").asBoolean(true)))
     PipelineSpec(arr(root, "dataflows").map(parseDataflow), schedule)
   }
 

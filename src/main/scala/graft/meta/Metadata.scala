@@ -602,6 +602,12 @@ final case class SubstringDedupSpec(
  * graft extension: BPE tokenizer induction + encoding — train
  * `numMerges` merges on the input corpus (or load a persisted table
  * from `mergesPath`) and add a `bpe_tokens` subword-array column.
+ *
+ * NOTE: with an empty `mergesPath`, training runs AT PLAN TIME (the
+ * merge table must exist to build the encode expression) — the one
+ * transform whose compile is not free. Scheduled / repeatedly-planned
+ * pipelines should train once and set `merges_path`, like the
+ * classifier's `weights_path` and the ANN codebook paths.
  */
 final case class BpeTokenizeSpec(
     name: String,

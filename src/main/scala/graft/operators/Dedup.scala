@@ -832,6 +832,14 @@ object Dedup {
     val covers = covered.groupBy("doc_id")
       .agg(collect_list(col("cp")).as("__cover"))
     val toks = split(trim(col("__text")), "\\s+")
+    // rebuild via array_except over POSITIONS (hash-set based, linear)
+    // rather than filter+array_contains, whose per-token linear probe
+    // of the cover array is O(n_tokens × covered) — quadratic exactly
+    // on the heavily-duplicated documents this operator targets;
+    // array_except preserves first-array order, so the positional
+    // rebuild stays byte-deterministic
+    val keptPositions = array_except(
+      sequence(lit(0), size(toks) - 1), col("__cover"))
     base.join(covers, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("__text").isNull || length(trim(col("__text"))) === 0, lit(0))
@@ -839,7 +847,7 @@ object Dedup {
         coalesce(size(col("__cover")), lit(0)).cast("int").as("n_removed"),
         when(col("__cover").isNull, concat_ws(" ", toks))
           .otherwise(concat_ws(" ",
-            filter(toks, (t, i) => !array_contains(col("__cover"), i))))
+            transform(keptPositions, i => element_at(toks, i + 1))))
           .as("text_dedup"))
   }
 }

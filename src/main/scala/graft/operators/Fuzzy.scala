@@ -84,8 +84,8 @@ object Fuzzy {
                           blocks: Seq[Column => Column], maxDist: Int,
                           saltBuckets: Int = 1): DataFrame = {
     require(blocks.nonEmpty, "need at least one blocking pass")
-    blocks.map(b => selfFuzzyPairs(df, id, key, b, maxDist, saltBuckets))
-      .reduce(_.unionAll(_)).distinct()
+    dedupPasses(blocks.map(b =>
+      selfFuzzyPairs(df, id, key, b, maxDist, saltBuckets)), "dist")
   }
 
   /** Similarity-mode sibling of [[multiPassFuzzyPairs]]. */
@@ -93,9 +93,21 @@ object Fuzzy {
                                blocks: Seq[Column => Column], minSim: Double,
                                saltBuckets: Int = 1): DataFrame = {
     require(blocks.nonEmpty, "need at least one blocking pass")
-    blocks.map(b => selfSimilarityPairs(df, id, key, b, minSim, saltBuckets))
-      .reduce(_.unionAll(_)).distinct()
+    dedupPasses(blocks.map(b =>
+      selfSimilarityPairs(df, id, key, b, minSim, saltBuckets)), "sim")
   }
+
+  /** Cross-pass dedup keyed on the ids ONLY: keys and score are
+    * functionally determined by (id_a, id_b), so a groupBy(ids) +
+    * `first` dedups on the 16-byte id pair (map-side combine collapses
+    * within-partition repeats before the exchange) instead of a
+    * distinct() that hashes and compares the full row including both
+    * key strings. */
+  private def dedupPasses(passes: Seq[DataFrame], scoreCol: String): DataFrame =
+    passes.reduce(_.unionAll(_))
+      .groupBy("id_a", "id_b")
+      .agg(first(col("key_a")).as("key_a"), first(col("key_b")).as("key_b"),
+        first(col(scoreCol)).as(scoreCol))
 
   /** Blocked (and optionally grid-salted) candidate pairs
     * (id_a < id_b): the shared core of both scoring modes. */

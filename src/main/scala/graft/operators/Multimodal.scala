@@ -34,6 +34,13 @@ object Multimodal {
     def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float]
     /** Re-encoded payload at (w, h). */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte]
+    /** Kind-aware hook — default ignores the kind; [[AutoCodec]]
+      * overrides it to skip image probing for payloads declared
+      * audio/video (a per-blob ImageIO reader probe is pure waste at
+      * billions of blobs, and a container whose leading bytes happen
+      * to parse as an image must not get image features). */
+    def decodeFeatures(kind: String, bytes: Array[Byte], dim: Int): Array[Float] =
+      decodeFeatures(bytes, dim)
   }
 
   /** Typed media metadata (parquet-queryable without payload reads).
@@ -155,6 +162,11 @@ object Multimodal {
         case None => FakeCodec.decodeFeatures(bytes, dim)
       }
 
+    override def decodeFeatures(kind: String, bytes: Array[Byte],
+                                dim: Int): Array[Float] =
+      if (kind == "image") decodeFeatures(bytes, dim)
+      else FakeCodec.decodeFeatures(bytes, dim)
+
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
       ImageIoCodec.tryRead(bytes) match {
         case Some(img) => ImageIoCodec.resizeImg(img, w, h)
@@ -198,7 +210,7 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { m =>
         MediaFeatures(m.mediaId, m.kind, m.bytes.length.toLong,
-          FakeCodec.md5Hex(m.bytes), codec.decodeFeatures(m.bytes, dim))
+          FakeCodec.md5Hex(m.bytes), codec.decodeFeatures(m.kind, m.bytes, dim))
       }
     }
   }

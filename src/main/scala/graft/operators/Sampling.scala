@@ -346,7 +346,12 @@ object Sampling {
   def weightedSample(df: DataFrame, id: Column, weight: Column,
                      n: Long, seed: String): DataFrame = {
     require(n > 0 && n <= Int.MaxValue, "n must be in (0, Int.MaxValue]")
-    df.withColumn("__aes", aesKey(id, weight, seed))
+    // zero/negative weights have zero inclusion probability under
+    // A-ES; without this filter w<0 would give keys u^(negative) > 1
+    // that deterministically OUTRANK every valid row — a silently
+    // inverted sample if the weight column carries bad rows
+    df.filter(weight.cast("double") > 0.0)
+      .withColumn("__aes", aesKey(id, weight, seed))
       .orderBy(col("__aes").desc, id)
       .limit(n.toInt)
       .drop("__aes")
@@ -375,7 +380,8 @@ object Sampling {
     require(nPerGroup > 0, "nPerGroup must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(group).orderBy(col("__aes").desc, id)
-    df.withColumn("__aes", aesKey(id, weight, seed))
+    df.filter(weight.cast("double") > 0.0) // see weightedSample
+      .withColumn("__aes", aesKey(id, weight, seed))
       .withColumn("sample_rank", row_number().over(w))
       .filter(col("sample_rank") <= nPerGroup)
       .drop("__aes")

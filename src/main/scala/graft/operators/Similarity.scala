@@ -457,8 +457,13 @@ object Similarity {
                     dfB: DataFrame, idB: Column, vecB: Column,
                     threshold: Double = 0.95, tables: Int = 8, bits: Int = 8,
                     seed: Int = 42): DataFrame = {
-    val a = bucketed(dfA, idA, vecA, tables, bits, seed).as("a")
-    val b = bucketed(dfB, idB, vecB, tables, bits, seed).as("b")
+    // bits must resolve ONCE for both frames: per-side autoBits would
+    // put a big corpus and a small benchmark in different bucket
+    // spaces and the equi-join would match only hash coincidences.
+    // Size from the larger side — the occupancy that matters.
+    val b0 = if (bits > 0) bits else math.max(autoBits(dfA), autoBits(dfB))
+    val a = bucketed(dfA, idA, vecA, tables, b0, seed).as("a")
+    val b = bucketed(dfB, idB, vecB, tables, b0, seed).as("b")
     a.join(b, col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         when(col("a.norm") * col("b.norm") === 0.0, lit(0.0))
