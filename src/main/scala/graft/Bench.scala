@@ -24,7 +24,7 @@ object Bench {
   /** Headline set: the scale-critical operators, per SURVEY.md §6. */
   val headline: Seq[String] = Seq(
     "q1_pricing", "q3_revenue", "q5_nation_revenue", "q_top_customers",
-    "q_events_hourly", "q_sessions", "q_event_pivot",
+    "q_events_hourly", "q_sessions", "q_sessions_sw", "q_event_pivot",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_incremental", "dedup_substrings",
     "sim_topk", "sim_lsh", "sim_lsh_auto", "sim_ivf", "sim_pq", "sim_pq_served",

@@ -349,6 +349,27 @@ object Oracles {
         |UNION ALL
         |SELECT c_custkey, 'urgent_only' FROM (SELECT * FROM urgent EXCEPT SELECT * FROM rich)""".stripMargin,
 
+    // native session_window semantics: exclusive end — an event at
+    // exactly prev + gap opens a NEW session (>=, not >)
+    "q_sessions_sw" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM y)
+        |SELECT user_id,
+        |  MIN(ts) AS sess_start,
+        |  MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+        |  COUNT(*) AS sess_events
+        |FROM z GROUP BY user_id, sess_id""".stripMargin,
+
     "q_sessions" ->
       """WITH x AS (
         |  SELECT user_id, ts, event_id,

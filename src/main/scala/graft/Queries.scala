@@ -399,6 +399,21 @@ object Queries {
   }
 
   /** Gap-based sessionization (30-minute inactivity gap). */
+  /** Gap sessionization via Spark's NATIVE session_window — the
+    * codegen'd built-in the custom lag/cumsum construction predates;
+    * one shuffle on (user, evolving session), no window functions.
+    * Emits the session interval itself: window end = last event +
+    * gap, and an event landing EXACTLY on the end boundary opens a
+    * new session (exclusive end — the oracle mirrors with `>=`). */
+  def qSessionsSw(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("sess_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("sess_events"))
+
   def qSessions(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val wAll = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1330,6 +1345,7 @@ object Queries {
     "q_ntile" -> qNtile _,
     "q_set_ops" -> qSetOps _,
     "q_sessions" -> qSessions _,
+    "q_sessions_sw" -> qSessionsSw _,
     "q_asof_order" -> qAsofOrder _,
     "q_range_join" -> qRangeJoin _,
     "dedup_exact" -> dedupExact _,

@@ -136,6 +136,28 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
 
+  /**
+   * NATIVE streaming sessionization: Spark's built-in `session_window`
+   * aggregation — gap-merged session state managed by the engine, with
+   * watermark-driven eviction and codegen. Prefer this when a session
+   * is just windowed AGGREGATES (counts/sums over the interval); the
+   * `flatMapGroupsWithState` [[sessionize]] below remains for custom
+   * per-session state machines (e.g. emit-on-idle with bespoke
+   * payloads). Sessions emit once the watermark passes their end.
+   */
+  def sessionWindowCounts(events: DataFrame, userCol: String = "user_id",
+                          tsCol: String = "ts", gap: String = "30 minutes",
+                          delay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, delay)
+      .groupBy(col(userCol),
+        org.apache.spark.sql.functions.session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("sess_events"))
+      .select(col(userCol),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("sess_events"))
+
   // -- custom state: gap-based streaming sessionization ---------------
 
   final case class SessionEvent(userId: Long, tsMs: Long)

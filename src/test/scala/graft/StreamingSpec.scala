@@ -118,6 +118,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.contains(("2026-01-01 11:00:00", "view", 1L, 5.0)))
   }
 
+  test("native session_window: gap-merged sessions emit once the watermark passes") {
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    // user 1: two events 5 min apart (one session), then 40 min idle
+    // -> second session; user 2: one event
+    stream.addData(
+      (1L, Timestamp.valueOf("2026-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2026-01-01 10:05:00")),
+      (1L, Timestamp.valueOf("2026-01-01 10:45:00")),
+      (2L, Timestamp.valueOf("2026-01-01 10:10:00")))
+    val q = StreamingIngest.sessionWindowCounts(
+        stream.toDF().toDF("user_id", "ts"), gap = "30 minutes")
+      .writeStream.format("memory").queryName("sw_out").outputMode("append").start()
+    // advance the watermark far past every session end
+    stream.addData((99L, Timestamp.valueOf("2026-01-01 14:00:00")))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sw_out")
+      .select(col("user_id"), col("sess_start").cast("string"),
+        col("sess_end").cast("string"), col("sess_events"))
+      .as[(Long, String, String, Long)].collect().toSet
+    // session end = last event + gap
+    assert(out.contains((1L, "2026-01-01 10:00:00", "2026-01-01 10:35:00", 2L)))
+    assert(out.contains((1L, "2026-01-01 10:45:00", "2026-01-01 11:15:00", 1L)))
+    assert(out.contains((2L, "2026-01-01 10:10:00", "2026-01-01 10:40:00", 1L)))
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions on gap") {
     implicit val sq = spark.sqlContext
     val stream = MemoryStream[SessionEvent]
