@@ -46,6 +46,21 @@ class BpeSpec extends SparkSpecBase {
     assert(Bpe.loadMerges(spark, s"$tmp/merges") === merges)
   }
 
+  test("distributed trainer produces the identical merge table") {
+    val corpus = Seq(
+      "low low low low low lower lower",
+      "newest newest newest newest newest newest",
+      "widest widest widest").toDF("text")
+    val driver = Bpe.trainMerges(corpus, col("text"), numMerges = 4)
+    val dist = Bpe.trainMergesDistributed(corpus, col("text"), numMerges = 4)
+    assert(dist === driver)
+    // and on real data: same first merges either way
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val d1 = Bpe.trainMerges(docs, col("text"), numMerges = 3)
+    val d2 = Bpe.trainMergesDistributed(docs, col("text"), numMerges = 3)
+    assert(d2 === d1)
+  }
+
   test("encoding empty/whitespace text yields an empty token array") {
     val merges = Seq("e" -> "s")
     val out = Seq("", "   ").toDF("text")
