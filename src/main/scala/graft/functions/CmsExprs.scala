@@ -159,6 +159,45 @@ object CmsExprs {
       copy(child = newChild)
   }
 
+  /**
+   * JOIN-SIZE estimate from two sketches (Cormode & Muthukrishnan
+   * '05 §4.2): the equi-join row count |A ⋈ B| on the sketched key
+   * is Σ_v f_A(v)·f_B(v), estimated as min over rows d of
+   * Σ_j a[d][j]·b[d][j] — one-sided (never under the true size,
+   * over by at most ε·N_A·N_B w.h.p.). The pre-flight diagnostic a
+   * planner wants before committing to a shuffle: two KB-sized
+   * sketches answer "how big is this join" without touching either
+   * table again.
+   */
+  case class CmsJoinSize(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = true
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = fromBytes(a.asInstanceOf[Array[Byte]])
+      val y = fromBytes(b.asInstanceOf[Array[Byte]])
+      require(x.depth == y.depth && x.width == y.width,
+        s"cannot estimate join size across CMS shapes " +
+          s"(${x.depth}x${x.width} vs ${y.depth}x${y.width})")
+      var min = Long.MaxValue
+      var d = 0
+      while (d < x.depth) {
+        var s = 0L
+        var j = 0
+        while (j < x.width) {
+          s += x.counters(d * x.width + j) * y.counters(d * y.width + j)
+          j += 1
+        }
+        if (s < min) min = s
+        d += 1
+      }
+      min
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Frequency upper bound of `value` in a sketch (scalar). */
   case class CmsEstimate(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
@@ -183,4 +222,6 @@ object CmsExprs {
   def cmsUnion(c: Column): Column = agg(CmsUnionAgg(e(c)))
   def cmsEstimate(sketch: Column, value: Column): Column =
     GraftBridge.column(CmsEstimate(e(sketch), e(value)))
+  def cmsJoinSize(a: Column, b: Column): Column =
+    GraftBridge.column(CmsJoinSize(e(a), e(b)))
 }

@@ -71,7 +71,9 @@ object GraftFunctions {
     Fn("cms_union", "cms_union(sketch) - union of Count-Min sketches", 1,
       args => CmsExprs.CmsUnionAgg(args(0)).toAggregateExpression()),
     Fn("cms_estimate", "cms_estimate(sketch, value) - frequency upper bound for value", 2,
-      args => CmsExprs.CmsEstimate(args(0), args(1))))
+      args => CmsExprs.CmsEstimate(args(0), args(1))),
+    Fn("cms_join_size", "cms_join_size(a, b) - equi-join row-count estimate from two sketches", 2,
+      args => CmsExprs.CmsJoinSize(args(0), args(1))))
 
   private def foldableStringArray(e: Expression): Seq[String] = {
     require(e.foldable, "multi_match_count terms must be a literal array")

@@ -56,6 +56,29 @@ class CmsSpec extends SparkSpecBase {
     assert(est >= 200L)
   }
 
+  test("join-size estimate: one-sided over the exact equi-join count") {
+    // orders join lineitem on orderkey: exact size known, keys skewed
+    val a = spark.range(1, 501).select((col("id") % 50).as("k"))       // 500 rows, 50 keys
+    val b = spark.range(1, 2001).select((col("id") % 100).as("k"))     // 2000 rows, 100 keys
+    val exact = a.join(b, "k").count()
+    val est = a.agg(CmsExprs.cmsSketch(col("k")).as("sa"))
+      .crossJoin(b.agg(CmsExprs.cmsSketch(col("k")).as("sb")))
+      .select(CmsExprs.cmsJoinSize(col("sa"), col("sb")).as("e"))
+      .first().getLong(0)
+    assert(est >= exact, s"join-size estimate $est below exact $exact")
+    // eps*Na*Nb slack (e/w * 500 * 2000)
+    val slack = (math.E / CmsExprs.DefaultWidth * 500L * 2000L).ceil.toLong
+    assert(est <= exact + slack, s"estimate $est too far above $exact (+$slack)")
+    // SQL surface
+    graft.functions.GraftFunctions.register(spark)
+    a.createOrReplaceTempView("cms_a"); b.createOrReplaceTempView("cms_b")
+    val sqlEst = spark.sql(
+      """SELECT cms_join_size((SELECT cms_sketch(k) FROM cms_a),
+        |                     (SELECT cms_sketch(k) FROM cms_b)) AS e""".stripMargin)
+      .first().getLong(0)
+    assert(sqlEst === est)
+  }
+
   test("SQL registry: cms_sketch/cms_union/cms_estimate round-trip") {
     graft.functions.GraftFunctions.register(spark)
     zipf.createOrReplaceTempView("cms_toks")
