@@ -39,7 +39,7 @@ object Bench {
     "text_entropy", "lm_perplexity", "bpe_tokens", "sample_weighted",
     "quality_classifier", "text_script", "corpus_delta",
     "fuzzy_names", "fuzzy_names_jw", "fuzzy_names_multi",
-    "sample_weighted_group", "q_rolling", "text_blocklist",
+    "sample_weighted_group", "q_rolling", "q_anomaly", "text_blocklist",
     "q_funnel", "q_cohort",
     "q_gate_audit", "q_cube", "q_resample", "export_shards",
     "pipeline_docs", "pipeline_docs_v2", "pipeline_docs_v3",

@@ -349,6 +349,23 @@ object Oracles {
         |UNION ALL
         |SELECT c_custkey, 'urgent_only' FROM (SELECT * FROM urgent EXCEPT SELECT * FROM rich)""".stripMargin,
 
+    // rolling z-score anomalies: trailing frame excludes the current
+    // row; stats + z rounded 6dp (sliding-frame stddev ulps)
+    "q_anomaly" ->
+      """SELECT user_id, event_id,
+        |  CAST(COUNT(*) OVER wnd AS BIGINT) AS n_hist,
+        |  ROUND(AVG(value) OVER wnd, 6) AS hist_mean,
+        |  ROUND(STDDEV_SAMP(value) OVER wnd, 6) AS hist_std,
+        |  CASE WHEN COUNT(*) OVER wnd >= 5 AND STDDEV_SAMP(value) OVER wnd > 0
+        |    THEN ROUND((value - AVG(value) OVER wnd) / (STDDEV_SAMP(value) OVER wnd), 6)
+        |  END AS z,
+        |  COALESCE(ABS(CASE WHEN COUNT(*) OVER wnd >= 5 AND STDDEV_SAMP(value) OVER wnd > 0
+        |    THEN ROUND((value - AVG(value) OVER wnd) / (STDDEV_SAMP(value) OVER wnd), 6)
+        |  END) > 3.0, false) AS is_anomaly
+        |FROM events
+        |WINDOW wnd AS (PARTITION BY user_id ORDER BY event_id
+        |               ROWS BETWEEN 9 PRECEDING AND 1 PRECEDING)""".stripMargin,
+
     // native session_window semantics: exclusive end — an event at
     // exactly prev + gap opens a NEW session (>=, not >)
     "q_sessions_sw" ->

@@ -399,6 +399,27 @@ object Queries {
   }
 
   /** Gap-based sessionization (30-minute inactivity gap). */
+  /** Rolling z-score anomaly flags: each event scored against its
+    * user's TRAILING window (current row excluded — the score must
+    * not see the value it judges); z and the stats are 6dp-rounded so
+    * the incremental sliding-frame stddev is cross-engine stable.
+    * The live-metrics outlier primitive beside the batch IQR gate. */
+  def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val wnd = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-9, -1)
+    val m = avg(col("value")).over(wnd)
+    val sd = stddev_samp(col("value")).over(wnd)
+    val n = count(lit(1)).over(wnd)
+    val z = when(n >= 5 && sd > 0, round((col("value") - m) / sd, 6))
+    t(s, dir, "events").select(
+      col("user_id"), col("event_id"),
+      n.as("n_hist"),
+      round(m, 6).as("hist_mean"),
+      round(sd, 6).as("hist_std"),
+      z.as("z"),
+      coalesce(abs(z) > 3.0, lit(false)).as("is_anomaly"))
+  }
+
   /** Gap sessionization via Spark's NATIVE session_window — the
     * codegen'd built-in the custom lag/cumsum construction predates;
     * one shuffle on (user, evolving session), no window functions.
@@ -1346,6 +1367,7 @@ object Queries {
     "q_set_ops" -> qSetOps _,
     "q_sessions" -> qSessions _,
     "q_sessions_sw" -> qSessionsSw _,
+    "q_anomaly" -> qAnomaly _,
     "q_asof_order" -> qAsofOrder _,
     "q_range_join" -> qRangeJoin _,
     "dedup_exact" -> dedupExact _,
