@@ -324,8 +324,16 @@ object Dataflow {
           frames + (s.output ->
             (if (s.groupCol.isEmpty)
               Sampling.weightedSample(in, col(s.idCol), col(s.weightCol), s.n, s.seed)
-            else Sampling.weightedSamplePerGroup(in, col(s.groupCol),
-              col(s.idCol), col(s.weightCol), s.n.toInt, s.seed)))
+            else {
+              // toIntExact, not toInt: a spec n above Int.MaxValue must
+              // fail loudly at plan time, not silently wrap to a tiny
+              // per-group sample
+              require(s.n <= Int.MaxValue,
+                s"weighted_sample '${s.name}': per-group n=${s.n} exceeds " +
+                  s"Int.MaxValue (${Int.MaxValue})")
+              Sampling.weightedSamplePerGroup(in, col(s.groupCol),
+                col(s.idCol), col(s.weightCol), Math.toIntExact(s.n), s.seed)
+            }))
         case s: LmScoreSpec =>
           import org.apache.spark.sql.functions.col
           val ref = if (s.referenceInput.isEmpty) in

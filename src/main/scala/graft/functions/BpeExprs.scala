@@ -45,7 +45,9 @@ object BpeExprs {
     private def encodeWord(w: String): Array[String] = {
       val cached = memo.get(w)
       if (cached != null) return cached
-      var syms = w.map(_.toString).toArray
+      // code-point split, matching the trainer's initial alphabet — a
+      // surrogate pair is ONE symbol, not two half-surrogates
+      var syms = graft.operators.Bpe.codePointSymbols(w)
       var continue = syms.length > 1
       while (continue) {
         var bestRank = Int.MaxValue

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.{Column, GraftBridge, GraftInputTypes}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
@@ -34,6 +34,12 @@ object CmsExprs {
   private val Seed = 42L
   val DefaultDepth = 5
   val DefaultWidth = 2048
+
+  /** The key types [[hashOf]] supports — enforced at ANALYSIS time via
+    * ExpectsInputTypes so SQL-registry misuse (wrong probe type, non-
+    * binary sketch arg) fails in the analyzer, not at runtime. */
+  private val KeyTypes: Seq[DataType] =
+    Seq(LongType, IntegerType, StringType, DoubleType)
 
   private[functions] def hashOf(v: Any, dt: DataType, seed: Long): Long = dt match {
     case LongType => XXH64.hashLong(v.asInstanceOf[Long], seed)
@@ -86,9 +92,19 @@ object CmsExprs {
   }
 
   private[functions] def fromBytes(b: Array[Byte]): Cms = {
+    // the header of an arbitrary binary input is untrusted: validate
+    // shape bounds (same [1,16]/[16,2^24] as the agg) and that the
+    // payload length matches BEFORE allocating d*w counters, so a
+    // corrupt / non-sketch value fails loudly instead of throwing
+    // NegativeArraySizeException or allocating gigabytes
+    require(b.length >= 8, s"not a CMS sketch: ${b.length} bytes, need >= 8 header bytes")
     val bb = java.nio.ByteBuffer.wrap(b)
     val d = bb.getInt
     val w = bb.getInt
+    require(d >= 1 && d <= 16 && w >= 16 && w <= (1 << 24),
+      s"not a CMS sketch: header says depth=$d width=$w, outside [1,16]x[16,2^24]")
+    require(b.length == 8 + d.toLong * w * 8,
+      s"not a CMS sketch: ${b.length} bytes for claimed ${d}x$w (need ${8 + d.toLong * w * 8})")
     val c = new Array[Long](d * w)
     var i = 0
     while (i < c.length) { c(i) = bb.getLong; i += 1 }
@@ -99,9 +115,11 @@ object CmsExprs {
   case class CmsSketchAgg(child: Expression, depth: Int, width: Int,
                           mutableAggBufferOffset: Int = 0,
                           inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[Cms] with UnaryLike[Expression] {
+      extends TypedImperativeAggregate[Cms] with GraftInputTypes
+      with UnaryLike[Expression] {
     require(depth >= 1 && depth <= 16, "depth must be in [1, 16]")
     require(width >= 16 && width <= (1 << 24), "width must be in [16, 2^24]")
+    override def graftInputTypes: Seq[Seq[DataType]] = Seq(KeyTypes)
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = false
     override def createAggregationBuffer(): Cms =
@@ -127,7 +145,9 @@ object CmsExprs {
   case class CmsUnionAgg(child: Expression,
                          mutableAggBufferOffset: Int = 0,
                          inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[Option[Cms]] with UnaryLike[Expression] {
+      extends TypedImperativeAggregate[Option[Cms]] with GraftInputTypes
+      with UnaryLike[Expression] {
+    override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(BinaryType))
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = true
     override def createAggregationBuffer(): Option[Cms] = None
@@ -170,7 +190,9 @@ object CmsExprs {
    * table again.
    */
   case class CmsJoinSize(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
+      extends BinaryExpression with CodegenFallback with GraftInputTypes
+      with BinaryLike[Expression] {
+    override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(BinaryType), Seq(BinaryType))
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
     override def nullSafeEval(a: Any, b: Any): Any = {
@@ -182,13 +204,28 @@ object CmsExprs {
       var min = Long.MaxValue
       var d = 0
       while (d < x.depth) {
+        // counters scale ~N/width, so the inner product is ~N²/width and
+        // CAN exceed Long at the corpus sizes this targets — detect with
+        // multiplyHigh/sign checks and saturate the row to Long.MaxValue
+        // (a saturated row simply can't become the min) rather than
+        // silently wrapping negative and breaking the one-sided bound
         var s = 0L
+        var overflow = false
         var j = 0
-        while (j < x.width) {
-          s += x.counters(d * x.width + j) * y.counters(d * y.width + j)
+        while (j < x.width && !overflow) {
+          val a = x.counters(d * x.width + j)
+          val b = y.counters(d * y.width + j)
+          if (a != 0L && b != 0L) {
+            val lo = a * b
+            if (Math.multiplyHigh(a, b) != 0L || lo < 0L) overflow = true
+            else {
+              s += lo
+              if (s < 0L) overflow = true // both addends >= 0: wrap is the only way negative
+            }
+          }
           j += 1
         }
-        if (s < min) min = s
+        if (!overflow && s < min) min = s
         d += 1
       }
       min
@@ -200,7 +237,9 @@ object CmsExprs {
 
   /** Frequency upper bound of `value` in a sketch (scalar). */
   case class CmsEstimate(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback with BinaryLike[Expression] {
+      extends BinaryExpression with CodegenFallback with GraftInputTypes
+      with BinaryLike[Expression] {
+    override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(BinaryType), KeyTypes)
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
     override def nullSafeEval(sketch: Any, v: Any): Any =

@@ -53,13 +53,40 @@ object Bpe {
     trainOnHistogram(hist, numMerges)
   }
 
+  /** Code-point (= UTF-8 byte) lexicographic comparison. The
+    * distributed trainer's argmax tie-break is Spark `orderBy(l, r)`
+    * over UTF8String — binary UTF-8, i.e. code-point order — while
+    * Java's `String` `<` compares UTF-16 code UNITS; the two disagree
+    * for supplementary characters (emoji, CJK extensions), so the
+    * driver loop must compare code points for the documented
+    * "identical merge table by construction" claim to hold beyond
+    * the BMP. */
+  private[operators] def cmpCodePoint(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Split into code-point symbols — matches the distributed path's
+    * Spark `substring(word, i, 1)`, which counts code points, not
+    * UTF-16 units (a surrogate pair is ONE initial symbol in both). */
+  private[graft] def codePointSymbols(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   /** The merge loop itself, exposed for specs: deterministic BPE over
     * an in-memory (word, count) histogram. */
   def trainOnHistogram(hist: Array[(String, Long)],
                        numMerges: Int): Seq[(String, String)] = {
     // each word as its current symbol sequence, weighted by count
     var words: Array[(Array[String], Long)] =
-      hist.map { case (w, c) => (w.map(_.toString).toArray, c) }
+      hist.map { case (w, c) => (codePointSymbols(w), c) }
     val merges = Seq.newBuilder[(String, String)]
     var iter = 0
     var done = false
@@ -86,9 +113,13 @@ object Bpe {
           val e = it.next()
           val k = e.getKey
           val c = e.getValue.longValue()
-          // deterministic: count desc, then pair lexicographic
-          if (c > bestC || (c == bestC &&
-              (k._1 < best._1 || (k._1 == best._1 && k._2 < best._2)))) {
+          // deterministic: count desc, then pair lexicographic by
+          // CODE POINT (matches the distributed trainer's UTF8String
+          // orderBy — see cmpCodePoint)
+          if (c > bestC || (c == bestC && {
+              val c1 = cmpCodePoint(k._1, best._1)
+              c1 < 0 || (c1 == 0 && cmpCodePoint(k._2, best._2) < 0)
+            })) {
             best = k; bestC = c
           }
         }

@@ -61,6 +61,27 @@ class BpeSpec extends SparkSpecBase {
     assert(d2 === d1)
   }
 
+  test("non-BMP tie-break: driver and distributed trainers agree beyond the BMP") {
+    // U+FFEE (BMP) sorts BEFORE U+10000 (supplementary) by code point,
+    // but AFTER it by UTF-16 code unit (0xFFEE > 0xD800): a tie between
+    // the two pairs distinguishes the orderings
+    val bmp = "￮"
+    val supp = new String(Character.toChars(0x10000))
+    val corpus = (Seq.fill(5)(s"a$supp") ++ Seq.fill(5)(s"a$bmp")).mkString(" ")
+    val df = Seq(corpus).toDF("text")
+    val driver = Bpe.trainMerges(df, col("text"), numMerges = 1)
+    val dist = Bpe.trainMergesDistributed(df, col("text"), numMerges = 1)
+    assert(driver === dist, "driver and distributed tie-breaks must agree")
+    assert(driver === Seq("a" -> bmp), "ties must break by CODE POINT order")
+    // and a surrogate pair is ONE initial symbol, not two half-surrogates
+    assert(Bpe.codePointSymbols(s"x$supp").toSeq === Seq("x", supp))
+    // encoding applies the merge across the surrogate boundary intact
+    val toks = Seq(s"a$supp").toDF("text")
+      .select(Bpe.encode(col("text"), Seq("a" -> supp)).as("t"))
+      .first().getSeq[String](0)
+    assert(toks === Seq(s"a$supp"))
+  }
+
   test("encoding empty/whitespace text yields an empty token array") {
     val merges = Seq("e" -> "s")
     val out = Seq("", "   ").toDF("text")

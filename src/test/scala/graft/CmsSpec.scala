@@ -79,6 +79,60 @@ class CmsSpec extends SparkSpecBase {
     assert(sqlEst === est)
   }
 
+  test("join-size inner product saturates on overflow instead of wrapping") {
+    // counters ~2^31 per cell: each cell product is 2^62, so summing two
+    // cells overflows Long — the row must saturate to Long.MaxValue (and
+    // stay one-sided), never wrap to a negative/garbage estimate
+    val huge = new CmsExprs.Cms(1, 16, Array.fill(16)(1L << 31))
+    val sat = spark.range(1)
+      .select(CmsExprs.cmsJoinSize(lit(huge.toBytes), lit(huge.toBytes)).as("e"))
+      .first().getLong(0)
+    assert(sat === Long.MaxValue, s"overflowed row must saturate, got $sat")
+    // a non-overflowing row still wins the min over a saturated one
+    val mixed = new CmsExprs.Cms(2, 16,
+      Array.fill(16)(1L << 31) ++ Array.fill(16)(3L))
+    val est = spark.range(1)
+      .select(CmsExprs.cmsJoinSize(lit(mixed.toBytes), lit(mixed.toBytes)).as("e"))
+      .first().getLong(0)
+    assert(est === 16L * 9L, "clean row must provide the min")
+  }
+
+  test("corrupt binary input fails loudly as 'not a CMS sketch'") {
+    def allMsgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ allMsgs(e.getCause))
+    // too short for a header
+    val e1 = intercept[Exception] {
+      spark.range(1)
+        .select(CmsExprs.cmsEstimate(lit(Array[Byte](1, 2, 3)), lit("x")))
+        .collect()
+    }
+    assert(allMsgs(e1).exists(_.contains("not a CMS sketch")))
+    // plausible header claiming a gigabyte-scale shape with no payload:
+    // must be rejected by the length check, not allocated
+    val bogus = java.nio.ByteBuffer.allocate(16).putInt(8).putInt(1 << 24).array()
+    val e2 = intercept[Exception] {
+      spark.range(1)
+        .select(CmsExprs.cmsJoinSize(lit(bogus), lit(bogus)))
+        .collect()
+    }
+    assert(allMsgs(e2).exists(_.contains("not a CMS sketch")))
+  }
+
+  test("SQL misuse fails at analysis time, not at runtime") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(true, false).toDF("b").createOrReplaceTempView("cms_bool")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cms_sketch(b) FROM cms_bool").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      // sketch argument must be BINARY, not a string
+      spark.sql("SELECT cms_estimate('junk', 1)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cms_join_size('junk', 'junk')").collect()
+    }
+  }
+
   test("SQL registry: cms_sketch/cms_union/cms_estimate round-trip") {
     graft.functions.GraftFunctions.register(spark)
     zipf.createOrReplaceTempView("cms_toks")
