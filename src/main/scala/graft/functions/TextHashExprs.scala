@@ -83,6 +83,38 @@ object TextHashExprs {
       copy(child = newChild)
   }
 
+  /** Distinct values of a long array with their multiplicities, as
+    * `array<struct<h: long, cnt: long>>` sorted ascending by value —
+    * the scan-side half of per-(doc, n-gram) instance counting. Doing
+    * this in the projection replaces a whole `groupBy(doc_id, hash)`
+    * exchange of raw instances with a map-side sort+run-length pass,
+    * so the first thing that ever shuffles is the already-distinct
+    * (doc, hash, cnt) triple. Null in → null out; empty in → empty. */
+  case class LongCountsExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(StructField("h", LongType, nullable = false),
+        StructField("cnt", LongType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = true
+    override def nullSafeEval(v: Any): Any = {
+      val in = v.asInstanceOf[ArrayData].toLongArray()
+      if (in.isEmpty) return new GenericArrayData(Array.empty[Any])
+      val sorted = in.clone()
+      java.util.Arrays.sort(sorted)
+      val out = new scala.collection.mutable.ArrayBuffer[Any](16)
+      var i = 0
+      while (i < sorted.length) {
+        var j = i
+        while (j < sorted.length && sorted(j) == sorted(i)) j += 1
+        out += org.apache.spark.sql.catalyst.InternalRow(sorted(i), (j - i).toLong)
+        i = j
+      }
+      new GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** XXH64 of every k-gram instance over RAW (case-preserving)
     * tokens — the compact window id for exact-substring dedup's
     * 100 TB path (8 bytes/window vs md5's 32-char hex; same
@@ -379,6 +411,8 @@ object TextHashExprs {
     GraftBridge.column(NgramMd5InstancesExpr(e(text), k))
   def ngramRawHashInstances(text: Column, k: Int): Column =
     GraftBridge.column(NgramRawHashInstancesExpr(e(text), k))
+  def longCounts(hashes: Column): Column =
+    GraftBridge.column(LongCountsExpr(e(hashes)))
   def minhashSig(text: Column, k: Int, numHashes: Int): Column =
     GraftBridge.column(MinhashSigExpr(e(text), k, numHashes))
   def minhashWithShingles(text: Column, k: Int, numHashes: Int): Column =

@@ -712,10 +712,16 @@ object Dedup {
     val base = OpCache.cache(Scale.ensureParallelism(df)
       .select(id.as("doc_id"),
         graft.functions.TextHashExprs.ngramHashInstances(content, n).as("hs")))
-    // per-(doc, ngram-hash) instance counts: one shuffle yields both
-    // the per-doc multiplicities and the distinct doc-ngram pairs
-    val perDoc = base.select(col("doc_id"), explode(col("hs")).as("h"))
-      .groupBy("doc_id", "h").agg(count(lit(1)).as("cnt"))
+    // per-(doc, ngram-hash) instance counts computed IN the scan
+    // projection (LongCountsExpr: sort + run-length over the hash
+    // array) — the exchange that used to aggregate raw instances by
+    // (doc_id, h) is gone; only already-distinct (doc, h, cnt)
+    // triples ever shuffle, and the two by-`h` consumers below share
+    // one exchange (ReusedExchange)
+    val perDoc = base
+      .select(col("doc_id"),
+        explode(graft.functions.TextHashExprs.longCounts(col("hs"))).as("p"))
+      .select(col("doc_id"), col("p.h").as("h"), col("p.cnt").as("cnt"))
     val dupSet = perDoc.groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select("h")
     val dup = perDoc.join(dupSet, "h")
