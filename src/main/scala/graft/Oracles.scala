@@ -44,14 +44,31 @@ object Oracles {
   // 8 tables × 8 bits × 64 dims of deterministic plane weights, one
   // DOUBLE[] VALUES row per (table, bit) — generated from the same
   // code the LshSignatures expression uses.
-  private def lshPlanesValues: String =
-    (for { tb <- 0 until 8; b <- 0 until 8 } yield {
+  private def lshPlanesValues: String = lshPlanesValuesUpTo(8)
+
+  // The auto-sized variant pins planes for the FULL clamp range of
+  // Similarity.autoBits (bit indices 0..19): lshPlaneComponent is a
+  // pure function of (seed, table, bit, dim), so plane (t, b) is the
+  // same whatever total bit count the sizing picks, and the oracle
+  // just filters `b < bits` after re-deriving bits from count(*).
+  private def lshPlanesValuesUpTo(maxBits: Int): String =
+    (for { tb <- 0 until 8; b <- 0 until maxBits } yield {
       val arr = (0 until 64)
         .map(d => java.lang.Double.toString(
           graft.functions.VectorExprs.lshPlaneComponent(42, tb, b, d)))
         .mkString("[", ", ", "]")
       s"($tb, $b, $arr::DOUBLE[])"
     }).mkString(",\n  ")
+
+  // Similarity.autoBits re-derived in integer SQL: q = ceil(n/32),
+  // bits = ceil(log2(q)) clamped to [4, 20] — expressed as a CASE
+  // chain over exact BIGINT comparisons (no libm on either engine).
+  private def autoBitsSql(nExpr: String): String = {
+    val cases = (4 to 19)
+      .map(b => s"WHEN ($nExpr + 31) // 32 <= ${1L << b} THEN $b")
+      .mkString(" ")
+    s"(CASE $cases ELSE 20 END)"
+  }
 
   // -- decimal-exact money fragments -----------------------------------
   private def sumDec(col: String, alias: String) =
@@ -537,6 +554,38 @@ object Oracles {
         |    CAST(SUM(CASE WHEN list_dot_product(n.v, pl.p) >= 0
         |                  THEN (CAST(1 AS BIGINT) << pl.b) ELSE 0 END) AS BIGINT) AS bucket
         |  FROM n, planes pl GROUP BY n.vec_id, pl.t),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id, c.vec_id AS neighbor_id
+        |  FROM sig a JOIN sig c ON a.t = c.t AND a.bucket = c.bucket
+        |   AND a.vec_id <> c.vec_id),
+        |sc AS (
+        |  SELECT cand.id, cand.neighbor_id,
+        |    CASE WHEN qa.nrm * qc.nrm = 0 THEN 0.0
+        |         ELSE list_dot_product(qa.v, qc.v) / (qa.nrm * qc.nrm) END AS cos_sim
+        |  FROM cand JOIN n qa ON qa.vec_id = cand.id
+        |            JOIN n qc ON qc.vec_id = cand.neighbor_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank" FROM sc)
+        |SELECT id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 10""".stripMargin,
+
+    // Occupancy-sized LSH: same pipeline as sim_lsh, but the plane
+    // count is re-derived from count(*) exactly as
+    // Similarity.autoBits does (integer ceil-log2 of ceil(n/32),
+    // clamped to [4,20]; footer-exact row counts make the two n's
+    // equal for single-dir parquet reads) and the pinned plane table
+    // carries the full clamp range, filtered to `b < bits`.
+    "sim_lsh_auto" ->
+      s"""WITH planes(t, b, p) AS (VALUES
+        |  ${lshPlanesValuesUpTo(20)}),
+        |bits AS (SELECT ${autoBitsSql("COUNT(*)")} AS nb FROM embeddings),
+        |w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM w),
+        |sig AS (
+        |  SELECT n.vec_id, pl.t,
+        |    CAST(SUM(CASE WHEN list_dot_product(n.v, pl.p) >= 0
+        |                  THEN (CAST(1 AS BIGINT) << pl.b) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM n, planes pl WHERE pl.b < (SELECT nb FROM bits)
+        |  GROUP BY n.vec_id, pl.t),
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id, c.vec_id AS neighbor_id
         |  FROM sig a JOIN sig c ON a.t = c.t AND a.bucket = c.bucket

@@ -538,9 +538,11 @@ object Queries {
 
   /** The occupancy-sized LSH path (`bits = 0` → [[Similarity.autoBits]]
     * from parquet footers): candidate volume stays LINEAR in corpus
-    * size instead of quadratic-per-bucket. Rows-only check — the
-    * static pinned-plane oracle can't express scale-dependent bits;
-    * recall is spec-gated (SimilaritySpec). */
+    * size instead of quadratic-per-bucket. Full oracle: autoBits is
+    * integer ceil-log2, so the DuckDB side re-derives bits from
+    * count(*) and filters a pinned 20-bit plane table — the sizing
+    * itself is part of what's cross-checked. Recall stays spec-gated
+    * (SimilaritySpec). */
   def simLshAuto(s: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
       k = 10, bits = 0)

@@ -115,14 +115,23 @@ object Similarity {
    * scale probe as a ×94 shuffle blow-up (ScaleBench, sim_lsh,
    * bits=8). Sizing 2^bits ∝ n pins mean bucket occupancy at
    * ~[[TargetBucket]] vectors, making candidate volume LINEAR in n:
-   * bits = log2(n / TargetBucket), clamped to [4, 20]. Row count
-   * comes from parquet footers / plan stats ([[Scale.estimatedRows]])
-   * — no count() action, same trick as IVF's √n cell sizing.
+   * bits = ceil(log2(n / TargetBucket)), clamped to [4, 20]. Row
+   * count comes from parquet footers / plan stats
+   * ([[Scale.estimatedRows]]) — no count() action, same trick as
+   * IVF's √n cell sizing. The ceil-log2 is INTEGER arithmetic
+   * (`numberOfLeadingZeros`), not `log/log(2)`: at exact
+   * power-of-two occupancies a libm ulp can flip `ceil` either way,
+   * and the sizing must be reproducible by any engine (the
+   * `sim_lsh_auto` oracle re-derives it from `count(*)`).
    */
   def autoBits(df: DataFrame): Int = {
     val n = Scale.estimatedRows(df)
-    math.min(20, math.max(4,
-      math.ceil(math.log(math.max(1.0, n / TargetBucket)) / math.log(2.0)).toInt))
+    // n/32 is an exact double op (scaling by 2^-5), so q is the exact
+    // ceiling of n / TargetBucket for any footer-exact count
+    val q = math.ceil(n / TargetBucket).toLong
+    val ceilLog2 =
+      if (q <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(q - 1L)
+    math.min(20, math.max(4, ceilLog2))
   }
 
   /** Target mean LSH bucket occupancy under [[autoBits]]: small enough
