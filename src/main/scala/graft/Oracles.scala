@@ -70,6 +70,23 @@ object Oracles {
     s"(CASE $cases ELSE 20 END)"
   }
 
+  // -- BPE rank-order replay (bpe_tokens oracle) -----------------------
+  // Each symbol travels as chr(1)||sym||chr(2): a pair pattern can
+  // neither match across symbol boundaries (chr(2)chr(1) separates
+  // them and symbols contain neither sentinel) nor consume the next
+  // occurrence's boundary, so replace()'s left-to-right
+  // non-overlapping scan is exactly Bpe.mergePair's semantics.
+  // Rank-priority encoding == sequential rank-order replay (see
+  // Queries.BpePinnedMerges), so folding one replace() per merge over
+  // the wrapped string reproduces BpeEncodeExpr, and the surviving
+  // symbol count is just the count of chr(1) sentinels.
+  private def bpeSymSql(s: String): String =
+    s"chr(1)||'${s.replace("'", "''")}'||chr(2)"
+  private def bpeReplaySql(inner: String): String =
+    Queries.BpePinnedMerges.foldLeft(inner) { case (acc, (l, r)) =>
+      s"replace($acc, ${bpeSymSql(l)}||${bpeSymSql(r)}, ${bpeSymSql(l + r)})"
+    }
+
   // -- decimal-exact money fragments -----------------------------------
   private def sumDec(col: String, alias: String) =
     s"CAST(SUM(CAST($col AS DECIMAL(12,2))) AS DOUBLE) AS $alias"
@@ -821,6 +838,23 @@ object Oracles {
          |  (CASE WHEN n_tokens = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_tokens END) * 0.5
          |    + (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 0.5 AS quality_score
          |FROM q""".stripMargin,
+
+    // BPE encode with the pinned merge table: words = whitespace
+    // tokens of the lowercased text (Java trim vs space-only trim
+    // nets out: the extra empty tokens encode to zero symbols),
+    // initial symbols = code points ('.' in RE2 = one code point,
+    // matching codePointSymbols), then one replace() per merge in
+    // rank order over sentinel-wrapped strings (bpeReplaySql)
+    "bpe_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(COALESCE(list_sum(list_transform(
+         |    list_transform(regexp_split_to_array(trim(lower(text)), '\\s+'),
+         |      w -> ${bpeReplaySql(
+                "array_to_string(list_transform(regexp_extract_all(w, '.')," +
+                  " c -> chr(1)||c||chr(2)), '')")}),
+         |    s -> length(s) - length(replace(s, chr(1), '')))), 0) AS BIGINT)
+         |    AS n_subwords
+         |FROM documents""".stripMargin,
 
     // exact substring dedup: repeated 8-token windows, canonical =
     // min (doc_id, pos); md5 of the space-joined window matches the

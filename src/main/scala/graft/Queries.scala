@@ -617,17 +617,42 @@ object Queries {
     t(s, dir, "documents").select(
       col("doc_id") +: TextAnalysisCols.qualityFeatures(col("text")): _*)
 
-  /** BPE tokenizer induction end-to-end: train 200 merges on the
-    * corpus (distributed word histogram → bounded driver merge loop),
-    * then encode every document scan-side with the trained table as a
-    * plan literal. Rows-only check (iterative training is not
-    * SQL-expressible); the merge algebra is spec-gated (BpeSpec). */
+  /** BPE encoding end-to-end: every document tokenized scan-side
+    * against the pinned 50-merge table ([[BpePinnedMerges]]) riding
+    * along as a plan literal — zero shuffle at any corpus size. Full
+    * oracle: DuckDB replays the same merges in rank order. */
   def bpeTokens(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val merges = operators.Bpe.trainMerges(docs, col("text"), numMerges = 200)
     docs.select(col("doc_id"),
-      size(operators.Bpe.encode(col("text"), merges)).as("n_subwords"))
+      size(operators.Bpe.encode(col("text"), BpePinnedMerges)).as("n_subwords"))
   }
+
+  /** PINNED 50-merge BPE table for the `bpe_tokens` catalog query —
+    * the `sim_ivf` pinned-codebook pattern applied to tokenization:
+    * train once ([[graft.dev.BpeTrainDump]] reproduces this literal
+    * from the sf0.01 documents table), then serve the table as a plan
+    * literal so both engines tokenize identically. The DuckDB oracle
+    * replays these merges in rank order over sentinel-wrapped symbol
+    * strings — valid because rank-priority encoding
+    * ([[graft.functions.BpeExprs.BpeEncodeExpr]]) equals sequential
+    * rank-order replay: a merge only creates adjacencies involving
+    * its OWN output symbol, whose merges all rank later by
+    * construction, so no lower-rank pair ever re-forms. Training at
+    * other corpus sizes stays covered by BpeSpec (driver and
+    * distributed trainers). */
+  val BpePinnedMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"),
+    ("s", "mall"), ("g", "e"), ("l", "ow"), ("mer", "ge"),
+    ("s", "low"), ("c", "t"), ("ct", "or"), ("d", "er"),
+    ("e", "ctor"), ("or", "der"), ("v", "ector"), ("in", "e"),
+    ("l", "ine"))
 
   /** CCNet-shaped LM quality scoring: bigram model trained on the
     * corpus itself (minCount=2), every document scored by
