@@ -70,6 +70,25 @@ object Oracles {
     s"(CASE $cases ELSE 20 END)"
   }
 
+  // -- portable-HLL replay (field_stats_approx oracle) -----------------
+  // Rebuilds graft's portable HLL sketch (p=12, md5-prefix hashing —
+  // HllExprs.hash52/addHash52) in pure SQL. All arithmetic is either
+  // exact-integer (register sums: every 2^-r is a multiple of 2^-41
+  // and the total fits 53 bits, so float accumulation is lossless on
+  // both engines) or an identical IEEE op sequence, so the ESTIMATE
+  // matches bit-for-bit, not approximately. The linear-counting
+  // branch's m·ln(m/zeros) is pinned as a 4096-entry literal computed
+  // by the same JVM libm the Spark side uses — no cross-engine log.
+  private def hllRankCaseSql: String = {
+    val cases = (39 to 0 by -1)
+      .map(k => s"WHEN rem >= ${1L << k} THEN ${40 - k}")
+      .mkString(" ")
+    s"(CASE WHEN rem = 0 THEN 41 $cases END)"
+  }
+  private def hllLinearCountLits: String =
+    (1 to 4096).map(z => Math.round(4096 * math.log(4096.0 / z)))
+      .mkString("[", ", ", "]")
+
   // -- BPE rank-order replay (bpe_tokens oracle) -----------------------
   // Each symbol travels as chr(1)||sym||chr(2): a pair pattern can
   // neither match across symbol boundaries (chr(2)chr(1) separates
@@ -231,6 +250,55 @@ object Oracles {
            |CAST(COUNT(CASE WHEN $f IS NULL THEN 1 END) AS DOUBLE) * 100.0 / COUNT(*) AS null_pct
            |FROM lineitem""".stripMargin
       }.mkString("\n UNION ALL \n"),
+
+    // The approx branch with the PORTABLE sketch: registers rebuilt
+    // from md5 prefixes (idx = top 12 bits of 52, rank = 41 - bitlen
+    // of the low 40), estimate replayed with the exact op sequence of
+    // HllExprs.estimate. distinct_count here is an HLL ESTIMATE that
+    // both engines derive independently and must agree on exactly.
+    "field_stats_approx" -> {
+      val fields = Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey")
+      val vals = fields.map(f =>
+        s"SELECT '$f' AS field, CAST($f AS VARCHAR) AS s FROM lineitem WHERE $f IS NOT NULL")
+        .mkString("\n  UNION ALL\n  ")
+      val base = fields.map { f =>
+        s"""SELECT '$f' AS field,
+           |  COUNT(CASE WHEN $f IS NULL THEN 1 END) AS null_count,
+           |  COUNT($f) AS non_null_count,
+           |  CAST(MIN($f) AS DOUBLE) AS min_num,
+           |  CAST(MAX($f) AS DOUBLE) AS max_num,
+           |  CAST(COUNT(CASE WHEN $f IS NULL THEN 1 END) AS DOUBLE) * 100.0 / COUNT(*) AS null_pct
+           |  FROM lineitem""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH lct AS (SELECT $hllLinearCountLits AS lc),
+         |vals AS (
+         |  $vals),
+         |h AS (SELECT field, CAST('0x' || substr(md5(s), 1, 13) AS BIGINT) AS h52 FROM vals),
+         |reg AS (
+         |  SELECT field, h52 >> 40 AS idx, MAX($hllRankCaseSql) AS r
+         |  FROM (SELECT field, h52, h52 & ${(1L << 40) - 1} AS rem FROM h)
+         |  GROUP BY 1, 2),
+         |sk AS (SELECT field,
+         |        CAST(SUM(CAST(1 AS BIGINT) << (41 - r)) AS BIGINT) AS s_present,
+         |        COUNT(*) AS m_present
+         |       FROM reg GROUP BY 1),
+         |est AS (SELECT field,
+         |        (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096 * 4096 /
+         |          (CAST(s_present + (4096 - m_present) * ${1L << 41} AS DOUBLE)
+         |            / ${(1L << 41).toDouble}) AS e_raw,
+         |        4096 - m_present AS zeros
+         |       FROM sk),
+         |dc AS (SELECT field,
+         |        CASE WHEN e_raw <= 10240.0 AND zeros > 0 THEN lc[CAST(zeros AS INT)]
+         |             ELSE CAST(ROUND(e_raw) AS BIGINT) END AS distinct_count
+         |       FROM est, lct),
+         |base AS (
+         |  $base)
+         |SELECT b.field, b.null_count, b.non_null_count,
+         |  COALESCE(d.distinct_count, 0) AS distinct_count,
+         |  b.min_num, b.max_num, b.null_pct
+         |FROM base b LEFT JOIN dc d USING (field)""".stripMargin
+    },
 
     "field_quantiles" ->
       Seq("l_quantity", "l_extendedprice", "l_discount").map { f =>

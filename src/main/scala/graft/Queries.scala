@@ -175,13 +175,16 @@ object Queries {
 
   /** The SCALE branch of fieldStats — HyperLogLog distinct counting,
     * single pass, constant-size state per field (what a 100 TB run
-    * executes). No DuckDB oracle: HLL estimates are engine-specific,
-    * so the driver records the weaker rows-only check; exactness
-    * bounds + plan shape (no exact-distinct Expand) are spec-gated in
-    * StatsOpSpec/PlanGuardSpec. */
+    * executes). Full oracle via the PORTABLE sketch mode
+    * ([[graft.functions.HllExprs.HllSketchAgg]]): md5-prefix hashing
+    * + integer-exact register sums make the estimate reproducible
+    * bit-for-bit by any md5-capable engine, so DuckDB rebuilds the
+    * registers in SQL and the approximation itself is cross-checked.
+    * Exactness bounds + plan shape (no exact-distinct Expand) stay
+    * spec-gated in StatsOpSpec/PlanGuardSpec. */
   def fieldStatsApproxQ(s: SparkSession, dir: String): DataFrame =
     StatsOp.fieldStats(t(s, dir, "lineitem"), statsFields,
-        approxDistinct = Some(true))
+        approxDistinct = Some(true), portableSketch = true)
       .select(col("field"), col("null_count"), col("non_null_count"),
         col("distinct_count"), col("min_num"), col("max_num"), col("null_pct"))
 

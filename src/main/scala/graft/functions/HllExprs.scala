@@ -31,6 +31,50 @@ object HllExprs {
 
   private val Seed = 42L
 
+  /** Bits of hash a PORTABLE sketch uses: the first 13 hex chars of
+    * md5 — the largest prefix that parses losslessly into a signed
+    * 64-bit int on every engine (the repo-wide deterministic-uniform
+    * convention). Register index takes the top p bits, rank the
+    * remaining (52-p); max storable rank is 52-p+1. */
+  private val PortableBits = 52
+
+  private val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Top 52 bits of md5(utf8 bytes) — equals DuckDB's
+    * `CAST('0x' || substr(md5(s), 1, 13) AS BIGINT)`. Portable
+    * hashing is STRING-ONLY by design: every engine renders its own
+    * numeric-to-string forms, so the caller casts to string first and
+    * owns that the rendering is canonical across engines. */
+  private[functions] def hash52(v: Any, dt: DataType): Long = {
+    require(dt == StringType,
+      "portable hll_sketch input must be STRING (cast first: the string " +
+        s"rendering is the cross-engine canonical form); got $dt")
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val d = md5Local.get()
+    d.reset()
+    val md = d.digest(bytes)
+    // first 13 hex nibbles = top 52 of the first 7 bytes' 56 bits
+    val b56 =
+      ((md(0) & 0xffL) << 48) | ((md(1) & 0xffL) << 40) |
+      ((md(2) & 0xffL) << 32) | ((md(3) & 0xffL) << 24) |
+      ((md(4) & 0xffL) << 16) | ((md(5) & 0xffL) << 8) | (md(6) & 0xffL)
+    b56 >>> 4
+  }
+
+  /** Register update for a 52-bit portable hash. */
+  private[functions] def addHash52(regs: Array[Byte], p: Int, h: Long): Unit = {
+    val w = PortableBits - p
+    val idx = (h >>> w).toInt
+    val rem = h & ((1L << w) - 1L)
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(rem) // 0 for rem=0
+    val rank = w + 1 - bitlen
+    if (rank > (regs(idx) & 0xff)) regs(idx) = rank.toByte
+  }
+
   private[functions] def hashOf(v: Any, dt: DataType): Long = dt match {
     case LongType => XXH64.hashLong(v.asInstanceOf[Long], Seed)
     case IntegerType => XXH64.hashLong(v.asInstanceOf[Int].toLong, Seed)
@@ -89,7 +133,17 @@ object HllExprs {
   }
 
   /** Build a sketch from raw values. */
+  /** `portable = true` switches hashing from XXH64 to the md5-prefix
+    * scheme ([[hash52]]): any engine with md5 can build, merge and
+    * estimate bit-identical sketches (the `field_stats_approx` oracle
+    * rebuilds them in DuckDB SQL). The register format is unchanged,
+    * so estimate/union code is shared — but don't union sketches
+    * built under different hash modes; like mixing seeds, nothing can
+    * detect it and the estimate silently degrades. XXH64 stays the
+    * default: it's several times faster per value and the 100 TB path
+    * doesn't need cross-engine replay. */
   case class HllSketchAgg(child: Expression, p: Int,
+                          portable: Boolean = false,
                           mutableAggBufferOffset: Int = 0,
                           inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
@@ -99,7 +153,10 @@ object HllExprs {
     override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)
     override def update(buf: Array[Byte], row: InternalRow): Array[Byte] = {
       val v = child.eval(row)
-      if (v != null) addHash(buf, p, hashOf(v, child.dataType))
+      if (v != null) {
+        if (portable) addHash52(buf, p, hash52(v, child.dataType))
+        else addHash(buf, p, hashOf(v, child.dataType))
+      }
       buf
     }
     override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = maxMerge(a, b)
@@ -159,7 +216,8 @@ object HllExprs {
   private def agg(a: TypedImperativeAggregate[Array[Byte]]): Column =
     GraftBridge.column(a.toAggregateExpression())
 
-  def hllSketch(c: Column, p: Int = 12): Column = agg(HllSketchAgg(e(c), p))
+  def hllSketch(c: Column, p: Int = 12, portable: Boolean = false): Column =
+    agg(HllSketchAgg(e(c), p, portable))
   def hllUnion(c: Column): Column = agg(HllUnionAgg(e(c)))
   def hllEstimate(c: Column): Column = GraftBridge.column(HllEstimate(e(c)))
 }

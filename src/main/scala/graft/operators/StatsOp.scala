@@ -43,7 +43,8 @@ object StatsOp {
    * `approxDistinct`: None = auto by input size (see object docs).
    */
   def fieldStats(df: DataFrame, fieldsIn: Seq[String] = Nil,
-                 approxDistinct: Option[Boolean] = None): DataFrame = {
+                 approxDistinct: Option[Boolean] = None,
+                 portableSketch: Boolean = false): DataFrame = {
     val fields =
       (if (fieldsIn.nonEmpty) fieldsIn.filter(df.columns.contains) else df.columns.toSeq)
         .filterNot(f => isComplex(df.schema(f).dataType))
@@ -63,8 +64,17 @@ object StatsOp {
       // actually means.
       Scale.estimatedLeafBytes(df) > threshold
     }
+    // Approximate counting: Spark's HLL++ by default; `portableSketch`
+    // swaps in graft's md5-hashed portable HLL (p=12) over the string
+    // rendering — estimates any md5-capable engine can reproduce
+    // bit-for-bit (the field_stats_approx oracle rebuilds the
+    // registers in DuckDB SQL), at a slower per-value hash.
     def distinctAgg(c: Column) =
-      if (useApprox) approx_count_distinct(c) else countDistinct(c)
+      if (useApprox && portableSketch)
+        graft.functions.HllExprs.hllEstimate(
+          graft.functions.HllExprs.hllSketch(c.cast("string"), 12, portable = true))
+      else if (useApprox) approx_count_distinct(c)
+      else countDistinct(c)
 
     val aggs: Seq[Column] = Seq(count(lit(1)).as("__total")) ++ fields.flatMap { f =>
       val c = col(f)

@@ -54,4 +54,28 @@ class HllSpec extends SparkSpecBase {
       HllExprs.hllSketch(col("v"))).as("e")).first().getLong(0)
     assert(est === 3L, s"tiny cardinalities must be exact via linear counting, got $est")
   }
+
+  test("portable sketch: accurate, partition-invariant, string-only") {
+    val df = spark.range(20000).select(col("id").cast("string").as("v"))
+    val est = df.agg(HllExprs.hllEstimate(
+      HllExprs.hllSketch(col("v"), 12, portable = true)).as("e")).first().getLong(0)
+    val err = math.abs(est - 20000.0) / 20000.0
+    info(f"portable hll estimate $est (err ${err * 100}%.2f%%)")
+    assert(err < 0.03, s"portable estimate $est too far from 20000")
+
+    def regs(d: org.apache.spark.sql.DataFrame): Seq[Byte] =
+      d.agg(HllExprs.hllSketch(col("v"), 12, portable = true).as("s"))
+        .first().getAs[Array[Byte]]("s").toSeq
+    assert(regs(df) === regs(df.repartition(13)),
+      "portable sketches must be partitioning-invariant bit-for-bit")
+
+    // non-string input must fail loudly, not silently hash a
+    // non-canonical rendering
+    val ex = intercept[Exception] {
+      spark.range(10).agg(HllExprs.hllEstimate(
+        HllExprs.hllSketch(col("id"), 12, portable = true))).collect()
+    }
+    assert(ex.getMessage.contains("STRING") ||
+      Option(ex.getCause).exists(_.getMessage.contains("STRING")))
+  }
 }
