@@ -28,7 +28,20 @@ import java.time.Instant
  */
 object ScheduleRunner {
 
-  /** Compute + execute due runs; returns the logical times executed. */
+  /** Compute + execute due runs; returns the logical times that
+    * actually executed (a run waiting out its retry_delay, and every
+    * later run behind it, is excluded — runs execute strictly in
+    * order because `${prev_run_date}` chains them).
+    *
+    * Failure semantics mirror the reference DAG's
+    * `retries`/`retry_delay` (dags/motor_pipeline_dag.py:13-14),
+    * trigger-driven instead of daemon-driven: a failed run records
+    * (logical, attempts, lastFail) crash-safely next to the
+    * completion state, and a later trigger re-attempts it only once
+    * `retry_delay_minutes` has elapsed — the runner never sleeps, the
+    * catchup math decides. When attempts exceed `retries` the runner
+    * rethrows (Airflow's terminal `failed` state: fixing the cause
+    * and clearing the `failed` state line is the manual re-run). */
   def runDue(spark: SparkSession, metadataPath: String, statePath: String,
              dataflowName: Option[String], now: Instant,
              dryRun: Boolean = false): Seq[Instant] = {
@@ -38,18 +51,53 @@ object ScheduleRunner {
     val flow0 = dataflowName.map(pipeline.dataflow)
       .getOrElse(pipeline.dataflows.head)
     val state = Paths.get(statePath)
-    val due = Schedule.dueRuns(sched, Schedule.readState(state), now)
+    var st = Schedule.readFullState(state)
+    val due = Schedule.dueRuns(sched, st.lastCompleted, now)
+    val executed = Seq.newBuilder[Instant]
+    var halted = false
     due.foreach { t =>
-      val bound = Schedule.bind(flow0, t, sched.interval)
-      println(s"[schedule] run logical=$t flow='${bound.name}'" +
-        (if (dryRun) " (dry-run)" else ""))
-      if (!dryRun) {
-        Dataflow.run(spark, bound)
-        Schedule.writeState(state, t)
+      if (!halted) {
+        val prior = st.failure.filter(_.logical == t)
+        val readyAt = prior.map(_.lastFail.plus(
+          java.time.Duration.ofMinutes(sched.retryDelayMinutes)))
+        if (readyAt.exists(now.isBefore)) {
+          println(s"[schedule] run logical=$t waits for retry_delay " +
+            s"(attempt ${prior.get.attempts + 1} ready at ${readyAt.get})")
+          halted = true
+        } else {
+          val bound = Schedule.bind(flow0, t, sched.interval)
+          println(s"[schedule] run logical=$t flow='${bound.name}'" +
+            prior.map(f => s" retry attempt ${f.attempts + 1}").getOrElse("") +
+            (if (dryRun) " (dry-run)" else ""))
+          if (!dryRun) {
+            try {
+              Dataflow.run(spark, bound)
+              st = Schedule.SchedState(Some(t), None)
+              Schedule.writeFullState(state, st)
+              executed += t
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                val attempts = prior.map(_.attempts).getOrElse(0) + 1
+                st = st.copy(failure =
+                  Some(Schedule.RunFailure(t, attempts, now)))
+                Schedule.writeFullState(state, st)
+                if (attempts > sched.retries)
+                  throw new RuntimeException(
+                    s"schedule: run $t failed on attempt $attempts with " +
+                      s"retries=${sched.retries} exhausted; fix the cause and " +
+                      s"clear the 'failed' line in $statePath to re-run", e)
+                println(s"[schedule] run logical=$t failed " +
+                  s"(attempt $attempts of ${sched.retries + 1}): " +
+                  s"${e.getMessage}; retrying after " +
+                  s"${sched.retryDelayMinutes}m")
+                halted = true
+            }
+          } else executed += t
+        }
       }
     }
     if (due.isEmpty) println("[schedule] nothing due")
-    due
+    executed.result()
   }
 
   def main(argsIn: Array[String]): Unit = {

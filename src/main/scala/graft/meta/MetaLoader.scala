@@ -27,7 +27,9 @@ object MetaLoader {
         anchor = str(s, "anchor"),
         // asBoolean(default) coerces textual "false"/"true" too — a
         // quoted value must not silently trigger a full backfill
-        catchup = s.path("catchup").asBoolean(true)))
+        catchup = s.path("catchup").asBoolean(true),
+        retries = s.path("retries").asInt(0),
+        retryDelayMinutes = s.path("retry_delay_minutes").asLong(5)))
     PipelineSpec(arr(root, "dataflows").map(parseDataflow), schedule)
   }
 

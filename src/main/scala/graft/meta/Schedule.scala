@@ -88,18 +88,53 @@ object Schedule {
 
   // -- completion state (what Airflow keeps in its metadata DB) -------
 
-  /** Read the last completed logical time from a one-line state file;
-    * None if the file does not exist (first run => full backfill). */
+  /** One failed-and-retryable run: which logical time, how many
+    * attempts so far, and when the last one failed (the retry gate is
+    * `lastFail + retry_delay`). The Airflow analogue is a task
+    * instance in `up_for_retry`. */
+  final case class RunFailure(logical: Instant, attempts: Int, lastFail: Instant)
+
+  /** Full schedule state: last completed boundary plus an optional
+    * in-flight failure. Serialized as line 1 = completed instant (or
+    * `-` before the first completion) and an optional line 2
+    * `failed <logical> <attempts> <lastFail>` — the legacy
+    * single-line files parse unchanged. */
+  final case class SchedState(lastCompleted: Option[Instant],
+                              failure: Option[RunFailure])
+
+  /** Read the last completed logical time; None if the file does not
+    * exist (first run => full backfill). */
   def readState(path: java.nio.file.Path): Option[Instant] =
-    if (java.nio.file.Files.exists(path))
-      Some(Instant.parse(java.nio.file.Files.readString(path).trim))
-    else None
+    readFullState(path).lastCompleted
+
+  def readFullState(path: java.nio.file.Path): SchedState =
+    if (!java.nio.file.Files.exists(path)) SchedState(None, None)
+    else {
+      val lines = java.nio.file.Files.readString(path)
+        .split('\n').map(_.trim).filter(_.nonEmpty)
+      val lc = lines.headOption.filter(_ != "-").map(Instant.parse)
+      val fail = lines.find(_.startsWith("failed ")).map { l =>
+        val p = l.split("\\s+")
+        RunFailure(Instant.parse(p(1)), p(2).toInt, Instant.parse(p(3)))
+      }
+      SchedState(lc, fail)
+    }
 
   /** Record a completed logical time (atomic move, so a crash mid-write
-    * never corrupts the state). */
-  def writeState(path: java.nio.file.Path, t: Instant): Unit = {
+    * never corrupts the state). Clears any recorded failure — the run
+    * that just completed IS the one that was failing, or supersedes it. */
+  def writeState(path: java.nio.file.Path, t: Instant): Unit =
+    writeFullState(path, SchedState(Some(t), None))
+
+  /** Persist the full state with the same atomic-move crash safety as
+    * completions: a crash between attempt and state write re-runs the
+    * attempt (at-least-once, like Airflow). */
+  def writeFullState(path: java.nio.file.Path, st: SchedState): Unit = {
+    val body = st.lastCompleted.map(_.toString).getOrElse("-") +
+      st.failure.map(f => s"\nfailed ${f.logical} ${f.attempts} ${f.lastFail}")
+        .getOrElse("")
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    java.nio.file.Files.writeString(tmp, t.toString)
+    java.nio.file.Files.writeString(tmp, body)
     java.nio.file.Files.move(tmp, path,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -107,8 +142,15 @@ object Schedule {
 }
 
 /** Optional `schedule` block of a pipeline spec. `anchor` is the ISO
-  * instant of the first data interval's start. */
+  * instant of the first data interval's start. `retries` /
+  * `retryDelayMinutes` mirror the reference DAG's
+  * `retries`/`retry_delay` default_args (reference:
+  * dags/motor_pipeline_dag.py:13-14): a failed run is re-attempted up
+  * to `retries` more times, each attempt gated on `retry_delay`
+  * having elapsed since the last failure. */
 final case class ScheduleSpec(
     interval: String,            // hourly | daily | weekly
     anchor: String,              // e.g. "2026-08-01T00:00:00Z"
-    catchup: Boolean = true)
+    catchup: Boolean = true,
+    retries: Int = 0,
+    retryDelayMinutes: Long = 5)

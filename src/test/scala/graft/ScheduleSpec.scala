@@ -113,4 +113,68 @@ class ScheduleSpec extends SparkSpecBase {
     assert(ScheduleRunner.runDue(spark, metaPath, statePath, None,
       Instant.parse("2026-08-04T06:00:00Z")).isEmpty)
   }
+
+  test("ScheduleRunner: retries + retry_delay, crash-safe attempt state") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sched_retry").toString
+    def write(date: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/corpus/snapshot_date=$date")
+    write("2026-08-02", Seq(1L -> "a", 2L -> "b"))
+    // the 08-03 snapshot has NOT landed yet — the flaky fixture: the
+    // run fails on read until late upstream data arrives
+    val metaJson =
+      s"""{"schedule":{"interval":"daily","anchor":"2026-08-01T00:00:00Z",
+         |  "retries":1,"retry_delay_minutes":5},
+         |"dataflows":[{"name":"delta",
+         |"sources":[
+         | {"name":"prev","path":"$dir/corpus/snapshot_date=$${prev_run_date}","format":"parquet"},
+         | {"name":"cur","path":"$dir/corpus/snapshot_date=$${run_date}","format":"parquet"}],
+         |"transformations":[
+         | {"name":"d","type":"version_delta","params":{"input":"prev","new_input":"cur",
+         |   "output":"delta","id":"doc_id","content":"text"}}],
+         |"sinks":[{"input":"delta","name":"out",
+         | "paths":["$dir/delta/run_date=$${run_date}"],"format":"parquet","saveMode":"overwrite"}]
+         |}]}""".stripMargin
+    val metaPath = s"$dir/pipeline.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(metaPath), metaJson)
+    val statePath = s"$dir/state"
+    val stateP = java.nio.file.Paths.get(statePath)
+    Schedule.writeState(stateP, Instant.parse("2026-08-02T00:00:00Z"))
+
+    // attempt 1 fails (cur snapshot missing), is swallowed (retries
+    // remain), and the failure is recorded next to the completion
+    assert(ScheduleRunner.runDue(spark, metaPath, statePath, None,
+      Instant.parse("2026-08-04T00:10:00Z")).isEmpty)
+    val st1 = Schedule.readFullState(stateP)
+    assert(st1.lastCompleted === Some(Instant.parse("2026-08-02T00:00:00Z")))
+    assert(st1.failure.map(f => (f.logical, f.attempts)) ===
+      Some((Instant.parse("2026-08-03T00:00:00Z"), 1)))
+
+    // a trigger INSIDE the retry_delay window does nothing
+    assert(ScheduleRunner.runDue(spark, metaPath, statePath, None,
+      Instant.parse("2026-08-04T00:12:00Z")).isEmpty)
+    assert(Schedule.readFullState(stateP) === st1,
+      "a too-early trigger must not consume an attempt")
+
+    // upstream lands late; the next trigger past the delay retries and
+    // succeeds, clearing the failure and advancing the completion
+    write("2026-08-03", Seq(1L -> "a", 2L -> "B!"))
+    assert(ScheduleRunner.runDue(spark, metaPath, statePath, None,
+      Instant.parse("2026-08-04T00:16:00Z")) ===
+      Seq(Instant.parse("2026-08-03T00:00:00Z")))
+    val st2 = Schedule.readFullState(stateP)
+    assert(st2 === Schedule.SchedState(
+      Some(Instant.parse("2026-08-03T00:00:00Z")), None))
+
+    // exhaustion: the 08-04 run fails twice (snapshot never lands) —
+    // second failure exceeds retries=1 and rethrows terminally
+    assert(ScheduleRunner.runDue(spark, metaPath, statePath, None,
+      Instant.parse("2026-08-05T00:10:00Z")).isEmpty)
+    val ex = intercept[RuntimeException] {
+      ScheduleRunner.runDue(spark, metaPath, statePath, None,
+        Instant.parse("2026-08-05T00:20:00Z"))
+    }
+    assert(ex.getMessage.contains("retries=1 exhausted"))
+    assert(Schedule.readFullState(stateP).failure.map(_.attempts) === Some(2))
+  }
 }
