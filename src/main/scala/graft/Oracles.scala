@@ -112,6 +112,16 @@ object Oracles {
   private val revenueExpr =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue"
 
+  private lazy val q3RevenueSql: String =
+    s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $revenueExpr
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin
+
   // -- text fragments ---------------------------------------------------
   private val wsTokensSql =
     """CASE WHEN length(trim(text)) = 0 THEN [] ELSE regexp_split_to_array(trim(text), '\s+') END"""
@@ -353,15 +363,12 @@ object Oracles {
          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
-    "q3_revenue" ->
-      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $revenueExpr
-         |FROM lineitem
-         |JOIN orders ON l_orderkey = o_orderkey
-         |JOIN customer ON o_custkey = c_custkey
-         |WHERE c_mktsegment = 'BUILDING'
-         |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
-         |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
-         |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+    "q3_revenue" -> q3RevenueSql,
+
+    // the pre-bucketed variant MUST produce hash-identical rows: the
+    // bucketed layout is a physical-plan change only, so it shares
+    // q3_revenue's oracle verbatim
+    "q3_revenue_bucketed" -> q3RevenueSql,
 
     "q5_nation_revenue" ->
       s"""SELECT n_name, $revenueExpr

@@ -270,6 +270,46 @@ object Queries {
         .cast("double").as("revenue"))
   }
 
+  /** Q3 over PRE-BUCKETED fact tables — the regime-boundary answer to
+    * what ScaleBench measured at ×10 data: orders outgrows the
+    * broadcast threshold and q3's orders⋈lineitem flips to a shuffle
+    * join (×117 shuffle bytes). Bucketing both facts by the join key
+    * at WRITE time moves that exchange out of every subsequent query:
+    * the sort-merge join reads co-located buckets (ZERO
+    * ShuffleExchange in the plan — asserted by ScaleSpec), the
+    * customer dim still broadcasts (broadcast-hash-join preserves the
+    * streamed side's bucketed distribution), and the post-join
+    * aggregate reuses the same distribution because its grouping keys
+    * contain the bucket key. Buckets are written once per SF dir
+    * (name carries a dir tag) and reused across runs — the write is
+    * the once-per-ingest cost this layout amortizes; at cluster scale
+    * the bucket count scales with the data (32 here ≈ one per core at
+    * local[32], think 2048+ for 100 TB). Rows are hash-identical to
+    * `q3_revenue`: same oracle, physical-plan change only. */
+  def q3RevenueBucketed(s: SparkSession, dir: String): DataFrame = {
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val ordT = s"graft_orders_bkt_$tag"
+    val liT = s"graft_lineitem_bkt_$tag"
+    Scale.ensureBucketed(s, ordT, Seq("o_orderkey"), numBuckets = 32)(
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"))
+    Scale.ensureBucketed(s, liT, Seq("l_orderkey"), numBuckets = 32)(
+      t(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"))
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = s.table(ordT)
+      .filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+    val li = s.table(liT)
+      .filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
   /** TPC-H Q5-style: revenue by nation, region-filtered 6-way join. */
   def q5NationRevenue(s: SparkSession, dir: String): DataFrame = {
     val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
@@ -1386,6 +1426,7 @@ object Queries {
     "dataflow_e2e" -> dataflowE2e _,
     "q1_pricing" -> q1Pricing _,
     "q3_revenue" -> q3Revenue _,
+    "q3_revenue_bucketed" -> q3RevenueBucketed _,
     "q5_nation_revenue" -> q5NationRevenue _,
     "q_top_customers" -> qTopCustomers _,
     "q_no_order_customers" -> qNoOrderCustomers _,

@@ -170,6 +170,28 @@ object Scale {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
+  /** [[writeBucketed]] only if `table` isn't in the session catalog
+    * yet — the write-once/reuse-everywhere contract for layout
+    * tables. Reclaims an ORPHANED warehouse location first: the
+    * in-memory catalog forgets tables when the JVM exits but the
+    * warehouse directory persists, and a managed-table CREATE in a
+    * fresh session then fails with LOCATION_ALREADY_EXISTS. `df` is
+    * by-name so the source scan is only planned when a write actually
+    * happens. */
+  def ensureBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
+                     keys: Seq[String], numBuckets: Int)
+                    (df: => DataFrame): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val loc = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      writeBucketed(df, table, keys, numBuckets)
+    }
+
   /**
    * COMPACT a dataset into ~`targetBytes` output files — the
    * small-files remedy (a 100 TB lake accumulating thousands of

@@ -35,7 +35,9 @@ class QueriesPlanSpec extends SparkSpecBase {
   test("field_stats_approx runs the HLL branch: no exact-distinct Expand, bounded error") {
     val df = Queries.fieldStatsApproxQ(spark, sf())
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("approx_count_distinct"),
+    // the catalog entry runs the PORTABLE sketch (md5-hashed, so the
+    // DuckDB oracle can replay the registers); still one HLL pass
+    assert(plan.contains("hllsketchagg"),
       s"approx entry must aggregate with HyperLogLog:\n$plan")
     // exact multi-column countDistinct plans via Expand (rows × fields);
     // the scale branch must stay a single pass

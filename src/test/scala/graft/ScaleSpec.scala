@@ -52,6 +52,33 @@ class ScaleSpec extends SparkSpecBase {
     assert(joined.count() === expected)
   }
 
+  test("q3_revenue_bucketed: zero shuffle exchanges, rows == q3_revenue") {
+    // the catalog variant writes its own per-dir bucketed tables on
+    // first use; clean any orphaned warehouse locations first
+    val tag = java.lang.Integer.toHexString(sf().hashCode)
+    Seq(s"graft_orders_bkt_$tag", s"graft_lineitem_bkt_$tag").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = java.nio.file.Paths.get(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    val bucketed = Queries.q3RevenueBucketed(spark, sf())
+    val plain = Queries.q3Revenue(spark, sf())
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, java.sql.Timestamp, String, Double)].collect().toSet
+    assert(rows(bucketed) === rows(plain),
+      "bucketing is a physical layout change only — rows must be identical")
+    // count() above finalized AQE; the rendered final plan must carry
+    // no shuffle exchange (the broadcast exchange for customer is fine)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles === 0, s"expected 0 shuffle exchanges:\n$plan")
+  }
+
   test("ensureParallelism is plan-time only — no job, works on streaming frames") {
     // a streaming frame cannot be physically materialized outside a
     // query; the old df.rdd.getNumPartitions probe would throw here,
