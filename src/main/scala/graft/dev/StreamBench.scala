@@ -99,6 +99,18 @@ object StreamBench {
       }),
       // Watermarked tumbling-window aggregation: state is
       // (#event_types x open windows), dropped 3s past window end.
+      // CMS heavy-hitters sink: STATELESS foreachBatch (no state
+      // store rows at all) — the "state" is the persisted sketch log,
+      // whose size is batches × (depth·width·8 B + m keys) regardless
+      // of event volume. 20% of traffic lands on 7 hot keys, the rest
+      // spreads over 100k.
+      Scenario("cms_heavy_hitters", s => {
+        val dir = tmpDir("cms")
+        val keys = rate(s, 400000)
+          .select(when(col("value") % 5 === 0, col("value") % 7)
+            .otherwise(col("value") % 100000).as("k"))
+        StreamingIngest.cmsHeavyHittersSink(keys, "k", s"$dir/out", s"$dir/ckpt")
+      }),
       Scenario("windowed_agg", s => {
         val events = rate(s, 400000)
           .select(col("timestamp").as("ts"),

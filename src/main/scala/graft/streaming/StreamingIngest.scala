@@ -211,4 +211,74 @@ object StreamingIngest {
           }
       }
   }
+
+  // -- streaming CMS heavy-hitters sink --------------------------------
+
+  /**
+   * STREAMING CMS HEAVY-HITTERS SINK — the streaming twin of the
+   * batch `skew_keys` probe. Each micro-batch folds the key column
+   * into ONE Count-Min sketch row (sum-mergeable counters) plus the
+   * batch's top-`candidatesPerBatch` keys, appended to a parquet
+   * sketch log via foreachBatch. Raw events are never retained: a day
+   * of 10^11 events compacts to batches × (depth·width·8 B + a few
+   * candidate keys), and [[cmsTopHotKeys]] answers "hot keys over any
+   * period" from that log alone with one tiny scan.
+   *
+   * The candidate log bounds the answer set (a CMS can score any key
+   * but cannot enumerate keys): a key hot over the whole period is
+   * locally frequent in at least one batch unless its traffic is
+   * spread thinner than the per-batch top-`m` floor in every batch —
+   * so `m` defaults to generous slack over any k you intend to ask
+   * for. Estimates come from the UNIONED sketch, so a candidate's
+   * count includes every batch, including ones where it was not a
+   * candidate. foreachBatch is at-least-once: a replayed batch
+   * appends a duplicate sketch row keyed by batch_id, and readers
+   * dedup on it (cmsTopHotKeys does).
+   */
+  def cmsHeavyHittersSink(stream: DataFrame, keyCol: String, outPath: String,
+                          checkpoint: String, candidatesPerBatch: Int = 64,
+                          depth: Int = graft.functions.CmsExprs.DefaultDepth,
+                          width: Int = graft.functions.CmsExprs.DefaultWidth)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val keyed = batch.select(col(keyCol).as("k")).persist()
+        try {
+          keyed.agg(
+              graft.functions.CmsExprs.cmsSketch(col("k"), depth, width)
+                .as("sketch"),
+              count(lit(1)).as("n_rows"))
+            .withColumn("batch_id", lit(batchId))
+            .coalesce(1).write.mode("append").parquet(s"$outPath/sketches")
+          keyed.groupBy("k").agg(count(lit(1)).as("n"))
+            .orderBy(col("n").desc, col("k"))
+            .limit(candidatesPerBatch)
+            .select(col("k"), lit(batchId).as("batch_id"))
+            .coalesce(1).write.mode("append").parquet(s"$outPath/candidates")
+        } finally { keyed.unpersist(); () }
+      }
+      .start()
+
+  /**
+   * Read a [[cmsHeavyHittersSink]] log and rank the hot keys: union
+   * every batch sketch into one (dedup'd by batch_id against
+   * at-least-once replays), then score the distinct candidate union
+   * against it. Returns (k, est_n) top-`k` by estimate. The scan is
+   * sketch-sized, not event-sized — the whole point.
+   */
+  def cmsTopHotKeys(spark: SparkSession, outPath: String, k: Int): DataFrame = {
+    val merged = spark.read.parquet(s"$outPath/sketches")
+      .groupBy("batch_id").agg(first(col("sketch")).as("sketch"))
+      .agg(graft.functions.CmsExprs.cmsUnion(col("sketch")).as("sk"))
+    val cands = spark.read.parquet(s"$outPath/candidates")
+      .select("k").distinct()
+    // 1-row sketch frame broadcast against the (small) candidate set
+    cands.crossJoin(broadcast(merged))
+      .select(col("k"),
+        graft.functions.CmsExprs.cmsEstimate(col("sk"), col("k")).as("est_n"))
+      .orderBy(col("est_n").desc, col("k"))
+      .limit(k)
+  }
 }

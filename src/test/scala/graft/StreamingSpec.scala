@@ -183,4 +183,40 @@ class StreamingSpec extends SparkSpecBase {
     assert(written.filter(col(Validate.ValidCol) === true).count() === 1)
     assert(written.filter(col(Validate.ValidCol) === false).count() === 1)
   }
+
+  test("cms heavy-hitters sink: persisted sketches union to eps*N-exact top-k") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_hh").toString
+    val stream = MemoryStream[Long]
+    // three micro-batches, zipf-ish: five hot keys + a long unique tail
+    def batchData(b: Int): Seq[Long] =
+      (1 to 300).map(_ => 1L) ++ (1 to 150).map(_ => 2L) ++
+        (1 to 80).map(_ => 3L) ++ (1 to 40).map(_ => 4L) ++
+        (1 to 20).map(_ => 5L) ++
+        (1 to 200).map(i => 1000L + b * 1000 + i)
+    val q = StreamingIngest.cmsHeavyHittersSink(stream.toDF().toDF("k"),
+      "k", s"$dir/out", s"$dir/ckpt", candidatesPerBatch = 16,
+      depth = 5, width = 1024)
+    (1 to 3).foreach { b => stream.addData(batchData(b): _*); q.processAllAvailable() }
+    q.stop()
+
+    // the log holds per-batch sketch rows + bounded candidate sets,
+    // not events: that IS the state the 100 TB path persists
+    assert(spark.read.parquet(s"$dir/out/sketches").count() >= 3)
+    assert(spark.read.parquet(s"$dir/out/candidates")
+      .groupBy("batch_id").count().agg(max("count")).first().getLong(0) <= 16)
+
+    val top = StreamingIngest.cmsTopHotKeys(spark, s"$dir/out", 5)
+      .as[(Long, Long)].collect()
+    val all = (1 to 3).flatMap(batchData)
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val epsN = math.ceil(math.E / 1024 * all.size).toLong
+    assert(top.map(_._1).toSet === Set(1L, 2L, 3L, 4L, 5L),
+      s"hot keys must rank above the tail, got ${top.toSeq}")
+    top.foreach { case (key, est) =>
+      val ex = exact(key)
+      assert(est >= ex, s"CMS must never underestimate: key $key est $est < $ex")
+      assert(est <= ex + epsN, s"key $key: est $est exceeds exact $ex + epsN $epsN")
+    }
+  }
 }
