@@ -51,6 +51,16 @@ object Dataflow {
           val right = frames.getOrElse(s.rightInput,
             throw new IllegalArgumentException(
               s"join '${s.name}': unknown right input '${s.rightInput}'"))
+          // pre-flight cardinality hint: when the spec points at
+          // persisted CMS sketches of both join keys, log the
+          // cms_join_size estimate (one-sided: never under) BEFORE
+          // the join plans. Sketch-sized IO, no job over the facts,
+          // and strictly a log — the plan below is unchanged.
+          for (lp <- s.leftSketch; rp <- s.rightSketch) {
+            val est = joinSizeHint(spark, lp, rp)
+            println(s"[dataflow] join '${s.name}': estimated join " +
+              s"cardinality <= $est (cms_join_size over $lp x $rp)")
+          }
           val (l, r) = s.broadcastSide.map(_.toLowerCase) match {
             case Some("left")  => (org.apache.spark.sql.functions.broadcast(in), right)
             case Some("right") => (in, org.apache.spark.sql.functions.broadcast(right))
@@ -372,6 +382,25 @@ object Dataflow {
           }
       }
     }
+  }
+
+  /** Union every sketch row at `path` (parquet with a binary `sketch`
+    * column, as `cms_sketch` persists) and estimate the inner-join
+    * cardinality of the two sketched key columns with
+    * [[graft.functions.CmsExprs.cmsJoinSize]]. One-sided (never
+    * under-estimates); sketch-sized IO only — the facts themselves
+    * are never read. */
+  def joinSizeHint(spark: SparkSession, leftPath: String,
+                   rightPath: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val l = spark.read.parquet(leftPath)
+      .agg(graft.functions.CmsExprs.cmsUnion(col("sketch")).as("lsk"))
+    val r = spark.read.parquet(rightPath)
+      .agg(graft.functions.CmsExprs.cmsUnion(col("sketch")).as("rsk"))
+    l.crossJoin(r)
+      .select(graft.functions.CmsExprs.cmsJoinSize(col("lsk"), col("rsk"))
+        .as("est"))
+      .first().getLong(0)
   }
 
   /** Plan + write all sinks and stats JSON outputs. Returns the

@@ -92,7 +92,9 @@ object MetaLoader {
           output = output,
           on = strArr(p, "on"),
           how = str(p, "how", "inner").toLowerCase,
-          broadcastSide = optStr(p, "broadcast"))
+          broadcastSide = optStr(p, "broadcast"),
+          leftSketch = optStr(p, "left_sketch"),
+          rightSketch = optStr(p, "right_sketch"))
       case "aggregate" =>
         AggregateSpec(name, input, output,
           groupBy = strArr(p, "group_by"),

@@ -105,7 +105,14 @@ final case class JoinSpec(
     output: String,
     on: Seq[String],
     how: String = "inner",
-    broadcastSide: Option[String] = None)
+    broadcastSide: Option[String] = None,
+    // optional pre-flight: parquet paths holding CMS sketches
+    // (binary `sketch` column) of the two join keys; when both are
+    // set, Dataflow logs the cms_join_size cardinality estimate
+    // before planning the join — a sketch-sized sanity check that a
+    // fact-fact join won't explode, with NO plan change
+    leftSketch: Option[String] = None,
+    rightSketch: Option[String] = None)
   extends TransformSpec
 
 /** graft extension: grouped aggregation with SQL aggregate exprs. */

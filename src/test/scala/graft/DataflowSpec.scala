@@ -691,4 +691,56 @@ class DataflowSpec extends SparkSpecBase {
     // the HLL plan must stay a single pass: no Expand node
     assert(!small.contains("Expand"), s"HLL path should not Expand:\n$small")
   }
+
+  test("join cardinality pre-flight: cms_join_size hint logs, plan unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_join_hint").toString
+    // two keyed frames: keys 1..20 on the left (key 1 hot ×10),
+    // keys 1..5 on the right ×4 — true inner-join size 10*4 + 4*4 = 56
+    val left = ((1 to 10).map(_ => 1L) ++ (2L to 20L)).toDF("k")
+    val right = (1L to 5L).flatMap(k => Seq.fill(4)(k)).toDF("k")
+    left.coalesce(1).write.mode("overwrite").parquet(s"$dir/left")
+    right.coalesce(1).write.mode("overwrite").parquet(s"$dir/right")
+    // persist CMS sketches of both keys (the cms_sketch SQL kernel —
+    // what a daily ingest would leave behind)
+    left.agg(graft.functions.CmsExprs.cmsSketch(col("k")).as("sketch"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lsk")
+    right.agg(graft.functions.CmsExprs.cmsSketch(col("k")).as("sketch"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/rsk")
+    val spec =
+      s"""{"dataflows":[{
+         |"name":"j",
+         |"sources":[
+         |  {"name":"l","path":"$dir/left","format":"parquet"},
+         |  {"name":"r","path":"$dir/right","format":"parquet"}],
+         |"transformations":[
+         |  {"name":"jn","type":"join","params":{"input":"l","right_input":"r",
+         |    "output":"out","on":["k"],"how":"inner",
+         |    "left_sketch":"$dir/lsk","right_sketch":"$dir/rsk"}}],
+         |"sinks":[]
+         |}]}""".stripMargin
+    val flow = MetaLoader.loadString(spec).dataflow("j")
+
+    val buf = new java.io.ByteArrayOutputStream()
+    val frames = Console.withOut(new java.io.PrintStream(buf)) {
+      Dataflow.plan(spark, flow)
+    }
+    val logged = buf.toString
+    val m = """estimated join cardinality <= (\d+) \(cms_join_size""".r
+      .findFirstMatchIn(logged)
+    assert(m.isDefined, s"pre-flight hint line missing in:\n$logged")
+    // one-sided estimator: never below the true join size
+    assert(m.get.group(1).toLong >= 56L, s"hint under-estimated: ${m.get.group(1)}")
+
+    // and the hint is strictly a log: same rows, same plan as no-hint
+    val noHint = flow.copy(transformations = flow.transformations.map {
+      case s: graft.meta.JoinSpec => s.copy(leftSketch = None, rightSketch = None)
+      case other => other
+    })
+    val plain = Dataflow.plan(spark, noHint)
+    assert(frames("out").count() === 56L)
+    def shape(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.optimizedPlan.toString.replaceAll("#\\d+", "#_")
+    assert(shape(frames("out")) === shape(plain("out")),
+      "the hint must not change the plan")
+  }
 }
