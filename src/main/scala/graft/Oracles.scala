@@ -209,6 +209,13 @@ object Oracles {
         |CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
         |FROM part GROUP BY p_brand""".stripMargin,
 
+    // the avro round-trip is lossless for long/double, so the oracle
+    // aggregates straight from the source parquet table
+    "src_avro" ->
+      """SELECT s_nationkey, COUNT(*) AS n,
+        |CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
+
     "normalize_coalesce" ->
       """SELECT c_custkey,
         |CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS bal_norm

@@ -90,6 +90,22 @@ object Queries {
         sum(dec(col("p_retailprice"))).cast("double").as("sum_price"))
   }
 
+  /** Avro source round-trip (the row-oriented interchange format:
+    * write the projection out as Avro, read it back, aggregate).
+    * Spark 4 ships the Avro DataSource inside spark-sql but reserves
+    * the "avro" name for the external artifact — [[Readers.avro]]
+    * names the implementation class to reach it. */
+  def srcAvro(s: SparkSession, dir: String): DataFrame = {
+    val p = scratch("src_avro", dir)
+    Readers.writeAvro(
+      t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal")), p)
+    Readers.avro(s, p)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("s_acctbal"))).cast("double").as("sum_bal"))
+  }
+
   // ====================================================================
   // Reference surface: normalize / projection / metadata fields
   // ====================================================================
@@ -1409,6 +1425,7 @@ object Queries {
     "src_json" -> srcJson _,
     "src_csv" -> srcCsv _,
     "src_orc" -> srcOrc _,
+    "src_avro" -> srcAvro _,
     "normalize_coalesce" -> normalizeCoalesce _,
     "normalize_flatten" -> normalizeFlatten _,
     "select_columns" -> selectColumnsQ _,
