@@ -39,19 +39,21 @@ object Writers {
           case other => throw new IllegalArgumentException(
             s"sink '${spec.name}': unknown saveMode '$other'")
         })
+      val fmt = graft.sources.Readers.resolveFormat(spec.format)
       spec.paths.foreach { path =>
         if (spec.layout == "range")
           graft.operators.Scale.writeRangeLayout(df, path, spec.layoutKeys,
-            spec.layoutPartitions, spec.format, mode)
+            spec.layoutPartitions, fmt, mode)
         else
           graft.operators.Scale.writeZOrder(df, path, spec.layoutKeys,
-            spec.layoutPartitions, format = spec.format, mode = mode)
+            spec.layoutPartitions, format = fmt, mode = mode)
       }
       return
     }
     val prepared = if (spec.format == "csv") flattenArraysForCsv(df) else df
     spec.paths.foreach { path =>
-      val w = prepared.write.mode(spec.saveMode).format(spec.format)
+      val w = prepared.write.mode(spec.saveMode)
+        .format(graft.sources.Readers.resolveFormat(spec.format))
       // CSV sinks carry a header (the reference writes headerless CSV
       // its own reader then misparses; graft round-trips cleanly).
       val wo = if (spec.format == "csv") w.option("header", "true") else w

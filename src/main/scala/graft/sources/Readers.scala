@@ -71,6 +71,13 @@ object Readers {
     try { Class.forName(AvroFormatClass); true }
     catch { case _: ClassNotFoundException => false }
 
+  /** Map a metadata format name to what Spark's DataSource lookup
+    * accepts: "avro" must travel as the implementation class (the
+    * friendly name is reserved for the external artifact — see
+    * [[avro]]); everything else passes through. Sinks use this too. */
+  def resolveFormat(format: String): String =
+    if (format == "avro") AvroFormatClass else format
+
   def json(spark: SparkSession, path: String,
            options: Map[String, String] = Map.empty,
            schema: Option[StructType] = None): DataFrame = {

@@ -12,6 +12,11 @@ class SourcesSpec extends SparkSpecBase {
       val dir = java.nio.file.Files.createTempDirectory("graft_avro").toString
       Readers.writeAvro(spark.range(5).toDF("v"), s"$dir/a")
       assert(Readers.avro(spark, s"$dir/a").count() === 5)
+      // metadata sink path resolves the format name the same way
+      graft.sinks.Writers.write(spark.range(7).toDF("v"),
+        graft.meta.SinkSpec(input = "x", name = "s",
+          paths = Seq(s"$dir/b"), format = "avro", saveMode = "overwrite"))
+      assert(Readers.avro(spark, s"$dir/b").count() === 7)
     } else {
       // this deployment carries only avro-core jars, not the
       // spark-avro DataSource — the probe must say so, not throw a
