@@ -33,7 +33,8 @@ object Bench {
     "text_quality", "field_stats", "field_stats_approx", "validate_ok",
     "multimodal_meta", "sample_stratified", "pack_sequences", "decontaminate",
     "text_redact", "text_chunks", "vocab_df", "search_bm25", "mix_sqrt",
-    "emb_centroids", "skew_keys", "contamination", "event_histogram",
+    "emb_centroids", "skew_keys", "skew_keys_approx", "contamination",
+    "event_histogram",
     "strip_boilerplate", "dedup_paragraph", "shuffle_order",
     "text_gopher", "c4_clean", "decontaminate_bloom",
     "semdedup", "dup_ngram_coverage", "text_familiarity",

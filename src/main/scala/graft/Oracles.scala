@@ -1771,6 +1771,26 @@ object Oracles {
         |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS INT) AS rank
         |FROM top, t""".stripMargin,
 
+    // the portable-CMS twin: rebuild the 5x2048 counter matrix from
+    // md5-prefix double hashing ((h1 + i*h2) % width — all < 2^56,
+    // exact BIGINT on both engines), then rank keys by the MIN of
+    // their row counters. distinct_count-style: the ESTIMATES must
+    // match exactly, not approximately.
+    "skew_keys_approx" ->
+      """WITH v AS (SELECT CAST(user_id AS VARCHAR) AS s FROM events
+        |           WHERE user_id IS NOT NULL),
+        |h AS (SELECT s, CAST('0x' || substr(md5(s), 1, 13) AS BIGINT) AS h1,
+        |             CAST('0x' || substr(md5(s), 14, 13) AS BIGINT) AS h2 FROM v),
+        |occ AS (SELECT t.i, (h1 + t.i * h2) % 2048 AS b, COUNT(*) AS c
+        |        FROM h CROSS JOIN range(5) t(i) GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT s, h1, h2 FROM h),
+        |est AS (SELECT k.s AS key, MIN(o.c) AS est_n
+        |        FROM keys k CROSS JOIN range(5) t(i)
+        |        JOIN occ o ON o.i = t.i AND o.b = (k.h1 + t.i * k.h2) % 2048
+        |        GROUP BY 1)
+        |SELECT key, CAST(est_n AS BIGINT) AS est_n FROM est
+        |ORDER BY est_n DESC, key LIMIT 20""".stripMargin,
+
     // benchmark decontamination: anti join on the normalized (sorted
     // lowercased token) fingerprint against the doc_id%97 subset
     "decontaminate" -> decontaminateOracle,

@@ -879,6 +879,30 @@ object Queries {
   def skewKeys(s: SparkSession, dir: String): DataFrame =
     StatsOp.keyHistogram(t(s, dir, "events"), col("user_id"), topN = 20)
 
+  /** The APPROX twin of skew_keys — hot keys ranked by Count-Min
+    * frequency ESTIMATES from one 80 KB sketch instead of exact
+    * per-key counts: the shape a 100 TB hot-key probe takes when the
+    * key space itself is too wide to groupBy (the sketch is the only
+    * aggregate state; candidates here are the distinct keys, at scale
+    * they come from the streaming sink's candidate log). PORTABLE
+    * hashing (md5-prefix double hashing, pure integer row buckets)
+    * makes the estimates engine-reproducible, so the DuckDB oracle
+    * rebuilds the counters and must match the ESTIMATES exactly —
+    * same trade as field_stats_approx's portable HLL. */
+  def skewKeysApprox(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("string").as("key"))
+    val sk = e.agg(graft.functions.CmsExprs
+      .cmsSketch(col("key"), portable = true).as("sk"))
+    e.distinct().crossJoin(broadcast(sk))
+      .select(col("key"),
+        graft.functions.CmsExprs.cmsEstimate(col("sk"), col("key"),
+          portable = true).as("est_n"))
+      .orderBy(col("est_n").desc, col("key"))
+      .limit(20)
+  }
+
   /** N-gram contamination scoring vs the synthetic benchmark subset
     * (doc_id % 97): fraction of each doc's distinct 8-gram shingles
     * that appear anywhere in the benchmark — the overlap metric
@@ -1492,6 +1516,7 @@ object Queries {
     "mix_sqrt" -> mixSqrt _,
     "emb_centroids" -> embCentroids _,
     "skew_keys" -> skewKeys _,
+    "skew_keys_approx" -> skewKeysApprox _,
     "contamination" -> contaminationQ _,
     "event_histogram" -> eventHistogram _,
     "iqr_outliers" -> iqrOutliersQ _,

@@ -75,6 +75,29 @@ object CmsExprs {
       }
       min
     }
+    // PORTABLE row buckets: Kirsch-Mitzenmacher double hashing over
+    // the two 52-bit md5 prefixes — (h1 + i·h2) < 2^56 stays exact in
+    // a signed 64-bit int on every engine, so the whole sketch is
+    // pure integer arithmetic any SQL dialect can replay
+    def addPortable(v: Any, dt: DataType): Unit = {
+      val (h1, h2) = HllExprs.md5Pair(v, dt)
+      var i = 0
+      while (i < depth) {
+        counters(i * width + ((h1 + i * h2) % width).toInt) += 1L
+        i += 1
+      }
+    }
+    def estimatePortable(v: Any, dt: DataType): Long = {
+      val (h1, h2) = HllExprs.md5Pair(v, dt)
+      var min = Long.MaxValue
+      var i = 0
+      while (i < depth) {
+        val c = counters(i * width + ((h1 + i * h2) % width).toInt)
+        if (c < min) min = c
+        i += 1
+      }
+      min
+    }
     def addAll(o: Cms): Cms = {
       require(o.depth == depth && o.width == width,
         s"cannot union CMS of different shapes (${depth}x$width vs ${o.depth}x${o.width})")
@@ -111,8 +134,15 @@ object CmsExprs {
     new Cms(d, w, c)
   }
 
-  /** Build a sketch from raw values. */
+  /** Build a sketch from raw values. `portable = true` swaps XXH64
+    * for the md5-prefix double-hash scheme (string input only, cast
+    * first): any md5-capable engine can rebuild the counters exactly —
+    * the same portability trade as HllSketchAgg's portable mode, and
+    * what earns `skew_keys_approx` its full oracle. Counter layout is
+    * unchanged; union and join-size work on either (they never hash),
+    * but estimate must use the same mode the sketch was built with. */
   case class CmsSketchAgg(child: Expression, depth: Int, width: Int,
+                          portable: Boolean = false,
                           mutableAggBufferOffset: Int = 0,
                           inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[Cms] with GraftInputTypes
@@ -126,7 +156,10 @@ object CmsExprs {
       new Cms(depth, width, new Array[Long](depth * width))
     override def update(buf: Cms, row: InternalRow): Cms = {
       val v = child.eval(row)
-      if (v != null) buf.add(v, child.dataType)
+      if (v != null) {
+        if (portable) buf.addPortable(v, child.dataType)
+        else buf.add(v, child.dataType)
+      }
       buf
     }
     override def merge(a: Cms, b: Cms): Cms = a.addAll(b)
@@ -235,15 +268,20 @@ object CmsExprs {
       copy(left = newLeft, right = newRight)
   }
 
-  /** Frequency upper bound of `value` in a sketch (scalar). */
-  case class CmsEstimate(left: Expression, right: Expression)
+  /** Frequency upper bound of `value` in a sketch (scalar).
+    * `portable` must match the mode the sketch was built with. */
+  case class CmsEstimate(left: Expression, right: Expression,
+                         portable: Boolean = false)
       extends BinaryExpression with CodegenFallback with GraftInputTypes
       with BinaryLike[Expression] {
     override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(BinaryType), KeyTypes)
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
-    override def nullSafeEval(sketch: Any, v: Any): Any =
-      fromBytes(sketch.asInstanceOf[Array[Byte]]).estimate(v, right.dataType)
+    override def nullSafeEval(sketch: Any, v: Any): Any = {
+      val cms = fromBytes(sketch.asInstanceOf[Array[Byte]])
+      if (portable) cms.estimatePortable(v, right.dataType)
+      else cms.estimate(v, right.dataType)
+    }
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
@@ -256,11 +294,12 @@ object CmsExprs {
     GraftBridge.column(a.toAggregateExpression())
 
   def cmsSketch(c: Column, depth: Int = DefaultDepth,
-                width: Int = DefaultWidth): Column =
-    agg(CmsSketchAgg(e(c), depth, width))
+                width: Int = DefaultWidth, portable: Boolean = false): Column =
+    agg(CmsSketchAgg(e(c), depth, width, portable))
   def cmsUnion(c: Column): Column = agg(CmsUnionAgg(e(c)))
-  def cmsEstimate(sketch: Column, value: Column): Column =
-    GraftBridge.column(CmsEstimate(e(sketch), e(value)))
+  def cmsEstimate(sketch: Column, value: Column,
+                  portable: Boolean = false): Column =
+    GraftBridge.column(CmsEstimate(e(sketch), e(value), portable))
   def cmsJoinSize(a: Column, b: Column): Column =
     GraftBridge.column(CmsJoinSize(e(a), e(b)))
 }

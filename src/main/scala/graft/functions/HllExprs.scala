@@ -49,20 +49,33 @@ object HllExprs {
     * hashing is STRING-ONLY by design: every engine renders its own
     * numeric-to-string forms, so the caller casts to string first and
     * owns that the rendering is canonical across engines. */
-  private[functions] def hash52(v: Any, dt: DataType): Long = {
+  private[functions] def hash52(v: Any, dt: DataType): Long =
+    md5Pair(v, dt)._1
+
+  /** BOTH 52-bit md5 prefixes of a value — hex chars 1-13 and 14-26,
+    * i.e. DuckDB's `CAST('0x'||substr(md5(s),1,13) AS BIGINT)` and
+    * `...substr(md5(s),14,13)...` — one digest. The second value is
+    * the independent companion for Kirsch-Mitzenmacher double hashing
+    * (portable CMS rows: h1 + i·h2). */
+  private[functions] def md5Pair(v: Any, dt: DataType): (Long, Long) = {
     require(dt == StringType,
-      "portable hll_sketch input must be STRING (cast first: the string " +
+      "portable sketch input must be STRING (cast first: the string " +
         s"rendering is the cross-engine canonical form); got $dt")
     val bytes = v.asInstanceOf[UTF8String].getBytes
     val d = md5Local.get()
     d.reset()
     val md = d.digest(bytes)
-    // first 13 hex nibbles = top 52 of the first 7 bytes' 56 bits
+    // nibbles 0-12 = top 52 of the first 7 bytes' 56 bits
     val b56 =
       ((md(0) & 0xffL) << 48) | ((md(1) & 0xffL) << 40) |
       ((md(2) & 0xffL) << 32) | ((md(3) & 0xffL) << 24) |
       ((md(4) & 0xffL) << 16) | ((md(5) & 0xffL) << 8) | (md(6) & 0xffL)
-    b56 >>> 4
+    // nibbles 13-25 = low nibble of byte 6 then bytes 7-12
+    val h2 =
+      ((md(6) & 0x0fL) << 48) | ((md(7) & 0xffL) << 40) |
+      ((md(8) & 0xffL) << 32) | ((md(9) & 0xffL) << 24) |
+      ((md(10) & 0xffL) << 16) | ((md(11) & 0xffL) << 8) | (md(12) & 0xffL)
+    (b56 >>> 4, h2)
   }
 
   /** Register update for a 52-bit portable hash. */

@@ -141,4 +141,28 @@ class CmsSpec extends SparkSpecBase {
       .first().getLong(0)
     assert(est >= 150L)
   }
+
+  test("portable sketch: one-sided, partition-invariant, string-only") {
+    val sk = zipf.agg(CmsExprs.cmsSketch(col("tok"), portable = true).as("s"))
+    val n = 200 * 201 / 2
+    Seq("t200" -> 200L, "t17" -> 17L).foreach { case (t, truth) =>
+      val est = sk.select(CmsExprs.cmsEstimate(col("s"), lit(t),
+        portable = true)).first().getLong(0)
+      assert(est >= truth, s"$t: portable estimate $est below $truth")
+      assert(est <= truth + (math.E / CmsExprs.DefaultWidth * n).ceil.toLong + 1)
+    }
+    def bytes(d: org.apache.spark.sql.DataFrame): Seq[Byte] =
+      d.agg(CmsExprs.cmsSketch(col("tok"), portable = true).as("s"))
+        .first().getAs[Array[Byte]]("s").toSeq
+    assert(bytes(zipf) === bytes(zipf.repartition(13)),
+      "portable counters must be partitioning-invariant bit-for-bit")
+    // non-string input fails loudly (string rendering is the
+    // cross-engine canonical form)
+    val ex = intercept[Exception] {
+      spark.range(10).agg(CmsExprs.cmsSketch(col("id"),
+        portable = true)).collect()
+    }
+    assert(ex.getMessage.contains("STRING") ||
+      Option(ex.getCause).exists(_.getMessage.contains("STRING")))
+  }
 }

@@ -17,6 +17,7 @@ class PlanGuardSpec extends SparkSpecBase {
     "search_bm25", // crossJoin(broadcast(1-row corpus stats))
     "mix_sqrt",    // crossJoin(broadcast(1-row min-stratum count))
     "skew_keys",   // crossJoin(broadcast(1-row total count))
+    "skew_keys_approx", // crossJoin(broadcast(1-row CMS sketch))
     "lm_perplexity", // crossJoin(broadcast(1-row vocab size V))
     "pipeline_docs_v4" // inherits lm_perplexity's 1-row V broadcast
   )
