@@ -73,7 +73,23 @@ object GraftFunctions {
     Fn("cms_estimate", "cms_estimate(sketch, value) - frequency upper bound for value", 2,
       args => CmsExprs.CmsEstimate(args(0), args(1))),
     Fn("cms_join_size", "cms_join_size(a, b) - equi-join row-count estimate from two sketches", 2,
-      args => CmsExprs.CmsJoinSize(args(0), args(1))))
+      args => CmsExprs.CmsJoinSize(args(0), args(1))),
+    // PORTABLE sketch modes: md5-prefix hashing over STRING input —
+    // slower per value than the XXH64 defaults, but any md5-capable
+    // engine rebuilds the registers/counters bit-for-bit (the
+    // field_stats_approx / skew_keys_approx oracles do exactly that).
+    // Union the same-mode sketches only.
+    Fn("hll_sketch_portable",
+      "hll_sketch_portable(str) - engine-reproducible HLL sketch (md5, p=12)", 1,
+      args => HllExprs.HllSketchAgg(args(0), 12, portable = true)
+        .toAggregateExpression()),
+    Fn("cms_sketch_portable",
+      "cms_sketch_portable(str) - engine-reproducible Count-Min sketch (md5, 5x2048)", 1,
+      args => CmsExprs.CmsSketchAgg(args(0), CmsExprs.DefaultDepth,
+        CmsExprs.DefaultWidth, portable = true).toAggregateExpression()),
+    Fn("cms_estimate_portable",
+      "cms_estimate_portable(sketch, str) - frequency upper bound in a portable sketch", 2,
+      args => CmsExprs.CmsEstimate(args(0), args(1), portable = true)))
 
   private def foldableStringArray(e: Expression): Seq[String] = {
     require(e.foldable, "multi_match_count terms must be a literal array")

@@ -142,6 +142,21 @@ class CmsSpec extends SparkSpecBase {
     assert(est >= 150L)
   }
 
+  test("SQL registry: portable sketch functions round-trip") {
+    graft.functions.GraftFunctions.register(spark)
+    zipf.createOrReplaceTempView("cms_toks_p")
+    val est = spark.sql(
+      """SELECT cms_estimate_portable(cms_sketch_portable(tok), 't150') AS e
+        |FROM cms_toks_p""".stripMargin).first().getLong(0)
+    assert(est >= 150L)
+    val hll = spark.sql(
+      """SELECT hll_estimate(hll_sketch_portable(tok)) AS e FROM cms_toks_p""")
+      .first().getLong(0)
+    // linear-counting regime: near-exact (a register collision among
+    // 200 keys at m=4096 can nudge the log estimate by ±1-2)
+    assert(math.abs(hll - 200L) <= 4, s"200 distinct tokens, got $hll")
+  }
+
   test("portable sketch: one-sided, partition-invariant, string-only") {
     val sk = zipf.agg(CmsExprs.cmsSketch(col("tok"), portable = true).as("s"))
     val n = 200 * 201 / 2
