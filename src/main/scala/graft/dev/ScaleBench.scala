@@ -43,7 +43,11 @@ object ScaleBench {
     // round-5 additions
     "sim_lsh_auto", "text_entropy", "lm_perplexity", "bpe_tokens",
     "sample_weighted", "fuzzy_names_jw", "dedup_substrings",
-    "pipeline_docs_v4")
+    "pipeline_docs_v4",
+    // round-6 additions: the zero-exchange bucketed join and the
+    // sketch-only hot-key probe — both exist BECAUSE of what this
+    // tool measured at 10x
+    "q3_revenue_bucketed", "skew_keys_approx")
 
   /** Union `mult` copies of sf0.1 into `out`, keys offset, documents
     * word-permuted, embeddings rotated (see object doc). */
