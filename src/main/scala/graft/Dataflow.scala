@@ -57,9 +57,17 @@ object Dataflow {
           // the join plans. Sketch-sized IO, no job over the facts,
           // and strictly a log — the plan below is unchanged.
           for (lp <- s.leftSketch; rp <- s.rightSketch) {
-            val est = joinSizeHint(spark, lp, rp)
-            println(s"[dataflow] join '${s.name}': estimated join " +
-              s"cardinality <= $est (cms_join_size over $lp x $rp)")
+            // the hint is advisory: a missing/malformed sketch log
+            // must not fail the pipeline it merely annotates
+            try {
+              val est = joinSizeHint(spark, lp, rp)
+              println(s"[dataflow] join '${s.name}': estimated join " +
+                s"cardinality <= $est (cms_join_size over $lp x $rp)")
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                println(s"[dataflow] join '${s.name}': cardinality " +
+                  s"pre-flight skipped (${e.getMessage})")
+            }
           }
           val (l, r) = s.broadcastSide.map(_.toLowerCase) match {
             case Some("left")  => (org.apache.spark.sql.functions.broadcast(in), right)

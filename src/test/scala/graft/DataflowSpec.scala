@@ -738,6 +738,19 @@ class DataflowSpec extends SparkSpecBase {
     })
     val plain = Dataflow.plan(spark, noHint)
     assert(frames("out").count() === 56L)
+
+    // a missing sketch log must not fail the pipeline — advisory only
+    val broken = flow.copy(transformations = flow.transformations.map {
+      case s: graft.meta.JoinSpec => s.copy(leftSketch = Some(s"$dir/nope"))
+      case other => other
+    })
+    val buf2 = new java.io.ByteArrayOutputStream()
+    val framesB = Console.withOut(new java.io.PrintStream(buf2)) {
+      Dataflow.plan(spark, broken)
+    }
+    assert(framesB("out").count() === 56L)
+    assert(buf2.toString.contains("pre-flight skipped"),
+      s"expected the skip line, got:\n${buf2.toString}")
     def shape(d: org.apache.spark.sql.DataFrame) =
       d.queryExecution.optimizedPlan.toString.replaceAll("#\\d+", "#_")
     assert(shape(frames("out")) === shape(plain("out")),
