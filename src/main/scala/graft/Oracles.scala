@@ -670,9 +670,10 @@ object Oracles {
     // Occupancy-sized LSH: same pipeline as sim_lsh, but the plane
     // count is re-derived from count(*) exactly as
     // Similarity.autoBits does (integer ceil-log2 of ceil(n/32),
-    // clamped to [4,20]; footer-exact row counts make the two n's
-    // equal for single-dir parquet reads) and the pinned plane table
-    // carries the full clamp range, filtered to `b < bits`.
+    // clamped to [4,20]; Scale.estimatedRows reads every footer for
+    // dirs up to 64 files, so its n equals COUNT(*) exactly on the
+    // gate data) and the pinned plane table carries the full clamp
+    // range, filtered to `b < bits`.
     "sim_lsh_auto" ->
       s"""WITH planes(t, b, p) AS (VALUES
         |  ${lshPlanesValuesUpTo(20)}),

@@ -58,6 +58,15 @@ object ScheduleRunner {
     due.foreach { t =>
       if (!halted) {
         val prior = st.failure.filter(_.logical == t)
+        // exhausted failures are TERMINAL until manually cleared —
+        // without this gate every later trigger would re-execute the
+        // broken run (and its partial sink writes) forever
+        prior.filter(_.attempts > sched.retries).foreach { f =>
+          throw new RuntimeException(
+            s"schedule: run $t already failed ${f.attempts} times with " +
+              s"retries=${sched.retries} exhausted; fix the cause and " +
+              s"clear the 'failed' line in $statePath to re-run")
+        }
         val readyAt = prior.map(_.lastFail.plus(
           java.time.Duration.ofMinutes(sched.retryDelayMinutes)))
         if (readyAt.exists(now.isBefore)) {

@@ -97,8 +97,6 @@ object StreamBench {
           .option("checkpointLocation", tmpDir("dd"))
           .outputMode("append").start()
       }),
-      // Watermarked tumbling-window aggregation: state is
-      // (#event_types x open windows), dropped 3s past window end.
       // CMS heavy-hitters sink: STATELESS foreachBatch (no state
       // store rows at all) — the "state" is the persisted sketch log,
       // whose size is batches × (depth·width·8 B + m keys) regardless
@@ -111,6 +109,8 @@ object StreamBench {
             .otherwise(col("value") % 100000).as("k"))
         StreamingIngest.cmsHeavyHittersSink(keys, "k", s"$dir/out", s"$dir/ckpt")
       }),
+      // Watermarked tumbling-window aggregation: state is
+      // (#event_types x open windows), dropped 3s past window end.
       Scenario("windowed_agg", s => {
         val events = rate(s, 400000)
           .select(col("timestamp").as("ts"),

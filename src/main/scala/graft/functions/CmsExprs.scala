@@ -149,7 +149,11 @@ object CmsExprs {
       with UnaryLike[Expression] {
     require(depth >= 1 && depth <= 16, "depth must be in [1, 16]")
     require(width >= 16 && width <= (1 << 24), "width must be in [16, 2^24]")
-    override def graftInputTypes: Seq[Seq[DataType]] = Seq(KeyTypes)
+    // portable hashing is string-only — enforce in the ANALYZER, not
+    // per-row mid-job (the same contract the non-portable KeyTypes
+    // check exists for)
+    override def graftInputTypes: Seq[Seq[DataType]] =
+      if (portable) Seq(Seq(StringType)) else Seq(KeyTypes)
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = false
     override def createAggregationBuffer(): Cms =
@@ -274,7 +278,8 @@ object CmsExprs {
                          portable: Boolean = false)
       extends BinaryExpression with CodegenFallback with GraftInputTypes
       with BinaryLike[Expression] {
-    override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(BinaryType), KeyTypes)
+    override def graftInputTypes: Seq[Seq[DataType]] =
+      Seq(Seq(BinaryType), if (portable) Seq(StringType) else KeyTypes)
     override def dataType: DataType = LongType
     override def nullable: Boolean = true
     override def nullSafeEval(sketch: Any, v: Any): Any = {

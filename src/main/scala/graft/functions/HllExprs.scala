@@ -159,8 +159,15 @@ object HllExprs {
                           portable: Boolean = false,
                           mutableAggBufferOffset: Int = 0,
                           inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
+      extends TypedImperativeAggregate[Array[Byte]]
+      with org.apache.spark.sql.GraftInputTypes with UnaryLike[Expression] {
     require(p >= 4 && p <= 16, "precision must be in [4, 16]")
+    // analysis-time typing: hashOf's supported set, narrowed to
+    // string-only in portable mode (md5 needs the canonical string
+    // rendering) — SQL misuse fails in the analyzer, not per-row
+    override def graftInputTypes: Seq[Seq[DataType]] =
+      if (portable) Seq(Seq(StringType))
+      else Seq(Seq(LongType, IntegerType, StringType, DoubleType))
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = false
     override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)

@@ -722,7 +722,12 @@ object Dedup {
       .select(col("doc_id"),
         explode(graft.functions.TextHashExprs.longCounts(col("hs"))).as("p"))
       .select(col("doc_id"), col("p.h").as("h"), col("p.cnt").as("cnt"))
-    val dupSet = perDoc.groupBy("h").agg(count(lit(1)).as("nd"))
+    // document frequency counts DISTINCT doc_ids: LongCountsExpr
+    // dedups within one row's array, so without this a doc_id split
+    // across input rows (re-ingested shard, unioned snapshots) would
+    // count once per ROW and flag its every n-gram as corpus-repeated
+    val dupSet = perDoc.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= minDocs).select("h")
     val dup = perDoc.join(dupSet, "h")
       .groupBy("doc_id").agg(sum("cnt").as("n_dup"))

@@ -92,7 +92,14 @@ object Scale {
    * order of magnitude, so estimate error is acceptable where a
    * `count()` action — a full scan at 100 TB — is not.
    */
-  def estimatedRows(df: DataFrame, sampleFiles: Int = 8): Double = {
+  /** `sampleFiles` footers are read and extrapolated by bytes; a
+    * directory with AT MOST that many files therefore gets the EXACT
+    * row count (all footers read, extrapolation factor exactly 1.0) —
+    * the property `sim_lsh_auto`'s oracle relies on to re-derive
+    * `autoBits` from COUNT(*). The default covers every test-scale
+    * dir incl. the materialized sf1; footer reads are ~ms each, so
+    * even the 64-footer worst case is plan-time noise. */
+  def estimatedRows(df: DataFrame, sampleFiles: Int = 64): Double = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val plan = df.queryExecution.analyzed
     plan.stats.rowCount.map(_.toDouble).getOrElse {
@@ -186,8 +193,10 @@ object Scale {
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
       if (java.nio.file.Files.exists(loc)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(loc)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(java.nio.file.Files.delete)
+        finally walk.close()
       }
       writeBucketed(df, table, keys, numBuckets)
     }

@@ -52,19 +52,17 @@ object Readers {
     * reserved-name check and reaches it. */
   private val AvroFormatClass = "org.apache.spark.sql.avro.AvroFileFormat"
 
-  /** Avro source, probed at runtime so the same binary works
-    * wherever the implementation ships (spark-sql in Spark 4, the
-    * spark-avro artifact elsewhere). */
+  /** Avro source, probed at runtime (via [[resolveFormat]]) so the
+    * same binary works wherever the implementation ships (spark-sql
+    * in Spark 4, the spark-avro artifact elsewhere). */
   def avro(spark: SparkSession, path: String): DataFrame =
-    if (avroAvailable) spark.read.format(AvroFormatClass).load(path)
-    else throw new IllegalArgumentException(
-      "Source format 'avro' requires the Avro DataSource " +
-        "(spark-sql >= 4 or the org.apache.spark:spark-avro module) " +
-        "on the classpath; it is not present in this deployment")
+    spark.read.format(resolveFormat("avro")).load(path)
 
-  /** Avro sink, same probe. */
+  /** Avro sink, same probe as the read path — an avro-less
+    * deployment gets the remediation message, not a raw
+    * ClassNotFoundException from the DataSource resolver. */
   def writeAvro(df: DataFrame, path: String): Unit =
-    df.write.format(AvroFormatClass).mode("overwrite").save(path)
+    df.write.format(resolveFormat("avro")).mode("overwrite").save(path)
 
   /** True when the Avro DataSource implementation is loadable. */
   def avroAvailable: Boolean =
@@ -74,9 +72,18 @@ object Readers {
   /** Map a metadata format name to what Spark's DataSource lookup
     * accepts: "avro" must travel as the implementation class (the
     * friendly name is reserved for the external artifact — see
-    * [[avro]]); everything else passes through. Sinks use this too. */
+    * [[avro]]); everything else passes through. Sinks use this too,
+    * and the probe runs HERE so every avro path (read, write, layout
+    * writers) fails with the same remediation message when the
+    * DataSource is absent. */
   def resolveFormat(format: String): String =
-    if (format == "avro") AvroFormatClass else format
+    if (format == "avro") {
+      if (!avroAvailable) throw new IllegalArgumentException(
+        "Format 'avro' requires the Avro DataSource (spark-sql >= 4 or " +
+          "the org.apache.spark:spark-avro module) on the classpath; it " +
+          "is not present in this deployment")
+      AvroFormatClass
+    } else format
 
   def json(spark: SparkSession, path: String,
            options: Map[String, String] = Map.empty,

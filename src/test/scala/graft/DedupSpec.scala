@@ -41,6 +41,20 @@ class DedupSpec extends SparkSpecBase {
     assert(out === Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 0L, 0L, 0.0)))
   }
 
+  test("dupNgramCoverage: a doc_id split across input rows is ONE document") {
+    // re-ingested shard: doc 1 arrives twice with the same text — its
+    // n-grams must not self-certify as corpus-repeated (document
+    // frequency counts DISTINCT doc_ids, as the docstring promises)
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (1L, "a b c d e f"),
+      (2L, "u v w x y z")).toDF("doc_id", "text")
+    val out = Dedup.dupNgramCoverage(d, col("text"), col("doc_id"))
+      .select("doc_id", "n_dup").as[(Long, Long)].collect()
+    assert(out.forall(_._2 === 0L),
+      s"no n-gram occurs in >= 2 distinct docs, got $out")
+  }
+
   test("ngram Jaccard finds the near pair with the exact score") {
     val out = Dedup.ngramJaccard(docs, col("text"), col("doc_id"), k = 3, threshold = 0.5)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()

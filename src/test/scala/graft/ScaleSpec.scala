@@ -53,19 +53,11 @@ class ScaleSpec extends SparkSpecBase {
   }
 
   test("q3_revenue_bucketed: zero shuffle exchanges, rows == q3_revenue") {
-    // the catalog variant writes its own per-dir bucketed tables on
-    // first use; clean any orphaned warehouse locations first
+    // drop stale catalog entries; ensureBucketed itself reclaims any
+    // orphaned warehouse locations from prior JVMs
     val tag = java.lang.Integer.toHexString(sf().hashCode)
-    Seq(s"graft_orders_bkt_$tag", s"graft_lineitem_bkt_$tag").foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val dir = java.nio.file.Paths.get(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-      if (java.nio.file.Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-    }
+    Seq(s"graft_orders_bkt_$tag", s"graft_lineitem_bkt_$tag")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val bucketed = Queries.q3RevenueBucketed(spark, sf())
     val plain = Queries.q3Revenue(spark, sf())
     def rows(d: org.apache.spark.sql.DataFrame) =

@@ -176,5 +176,15 @@ class ScheduleSpec extends SparkSpecBase {
     }
     assert(ex.getMessage.contains("retries=1 exhausted"))
     assert(Schedule.readFullState(stateP).failure.map(_.attempts) === Some(2))
+
+    // exhaustion is TERMINAL: a later trigger rethrows without
+    // executing or consuming attempts — clearing the state line is
+    // the only way back (Airflow's manual task clear)
+    val ex2 = intercept[RuntimeException] {
+      ScheduleRunner.runDue(spark, metaPath, statePath, None,
+        Instant.parse("2026-08-05T02:00:00Z"))
+    }
+    assert(ex2.getMessage.contains("already failed 2 times"))
+    assert(Schedule.readFullState(stateP).failure.map(_.attempts) === Some(2))
   }
 }
