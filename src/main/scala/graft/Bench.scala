@@ -29,6 +29,7 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_incremental", "dedup_substrings",
     "sim_topk", "sim_lsh", "sim_lsh_auto", "sim_ivf", "sim_pq", "sim_pq_served",
+    "emb_quantize",
     "sim_cross", "sim_cross_lsh",
     "text_quality", "field_stats", "field_stats_approx", "validate_ok",
     "multimodal_meta", "sample_stratified", "pack_sequences", "decontaminate",

@@ -622,6 +622,23 @@ object Oracles {
         |            JOIN n qc ON qc.vec_id = cand.id_b)
         |SELECT id_a, id_b, cos_sim FROM sc WHERE cos_sim >= 0.4""".stripMargin,
 
+    // int8 quantization arithmetic replayed exactly: same IEEE op
+    // sequence (abs/max fold, /127, HALF_UP round — DuckDB and Spark
+    // both round halves away from zero — clamp, multiply, max) over
+    // exact doubles, so max_abs_err must match to the last bit
+    "emb_quantize" ->
+      """WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        COALESCE(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 0.0)
+        |          / 127.0 AS q_scale
+        |      FROM w)
+        |SELECT vec_id, q_scale,
+        |  COALESCE(list_aggregate(list_transform(v, x ->
+        |    abs((CASE WHEN q_scale = 0.0 THEN 0.0
+        |         ELSE least(greatest(round(x / q_scale), -127.0), 127.0) END)
+        |      * q_scale - x)), 'max'), 0.0) AS max_abs_err
+        |FROM s""".stripMargin,
+
     "sim_topk" ->
       """WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM w),

@@ -1259,6 +1259,31 @@ object Queries {
       anchors.map(a => java.util.Arrays.copyOfRange(a, s * dsub, (s + 1) * dsub)))
   }
 
+  /** Scalar int8 quantization of the embedding store — the STORAGE
+    * half of the vector pipeline (PQ answers serving): symmetric
+    * per-vector scale = max|x|/127, q = round(x/scale) clamped to
+    * [-127,127], a 4× smaller store (plus the 8-byte scale) with the
+    * reconstruction error reported per vector. Every op is an
+    * identical IEEE sequence in SQL (division, HALF_UP round,
+    * multiply, max), so the oracle checks the quantization
+    * arithmetic EXACTLY — max_abs_err is computed, not asserted.
+    * Scan-side projection: zero shuffle at any corpus size. */
+  def embQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val withScale = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("q_scale",
+        aggregate(transform(col("v"), x => abs(x)), lit(0.0),
+          (acc, x) => greatest(acc, x)) / lit(127.0))
+    withScale.select(col("vec_id"), col("q_scale"),
+      aggregate(
+        transform(col("v"), x =>
+          abs(when(col("q_scale") === 0.0, lit(0.0))
+            .otherwise(least(greatest(round(x / col("q_scale")), lit(-127.0)),
+              lit(127.0))) * col("q_scale") - x)),
+        lit(0.0), (acc, d) => greatest(acc, d)).as("max_abs_err"))
+  }
+
   /** IVF-PQ ANN top-k: pinned 32-cell coarse quantizer + pinned
     * 8×16 PQ codebook, 4-cell probe, ADC scoring. */
   def simPq(s: SparkSession, dir: String): DataFrame = {
@@ -1548,6 +1573,7 @@ object Queries {
     "quality_classifier" -> qualityClassifier _,
     "text_script" -> textScript _,
     "corpus_delta" -> corpusDelta _,
+    "emb_quantize" -> embQuantize _,
     "sim_pq" -> simPq _,
     "fuzzy_names" -> fuzzyNames _,
     "fuzzy_names_jw" -> fuzzyNamesJw _,

@@ -19,6 +19,9 @@ class PlanAuditSpec extends SparkSpecBase {
         .write.format("noop").mode("overwrite").save()
       docs.select(col("doc_id") +: TextAnalysisCols.gopherFeatures(col("text")): _*)
         .write.format("noop").mode("overwrite").save()
+      // int8 quantization is a pure projection over the embedding store
+      Queries.embQuantize(spark, sf("sf0.01"))
+        .write.format("noop").mode("overwrite").save()
     }
     assert(m("input_bytes") > 0, s"expected real input: $m")
     assert(m("shuffle_write_bytes") === 0L,
