@@ -564,6 +564,29 @@ object Oracles {
     // connected components over the near-dup graph (min-id labels)
     "dedup_clusters" -> dedupClustersSql,
 
+    // keep-best selection over the same component closure: survivors
+    // = everything minus per-cluster rank>1 by (length desc, id asc)
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $ngramPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM jpairs
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM jpairs),
+         |walk(src, reach) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+         |cl AS (SELECT src AS doc_id, MIN(reach) AS cluster_id FROM walk GROUP BY src),
+         |ranked AS (
+         |  SELECT d.doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+         |      ORDER BY length(d.text) DESC, d.doc_id ASC) AS rk
+         |  FROM documents d JOIN cl USING (doc_id)),
+         |dropped AS (SELECT doc_id FROM ranked WHERE rk > 1)
+         |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+         |FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+
     // incremental dedup: all pairs touching the doc_id%10=0 batch
     "dedup_incremental" ->
       s"""WITH $ngramPairsCtes

@@ -555,6 +555,17 @@ object Queries {
       Dedup.ngramJaccard(t(s, dir, "documents"), col("text"), col("doc_id"),
         freqIn = corpusFreq(s, dir)))
 
+  /** Keep-best dedup over the same cluster graph: each near-dup
+    * family survives through its LONGEST member (ties: lowest id) —
+    * the quality-aware alternative to keep-min-id. */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.dedupKeepBest(docs, col("doc_id"), length(col("text")),
+        Dedup.ngramJaccard(docs, col("text"), col("doc_id"),
+          freqIn = corpusFreq(s, dir)))
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+  }
+
   /** Embedding cosine near-dup pairs (threshold tuned to testdata's
     * similarity range — no planted dups above 0.52). */
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
@@ -1512,6 +1523,7 @@ object Queries {
     "dedup_minhash" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_clusters" -> dedupClusters _,
+    "dedup_keep_best" -> dedupKeepBest _,
     "dedup_incremental" -> dedupIncremental _,
     "dedup_substrings" -> dedupSubstrings _,
     "dedup_embedding" -> dedupEmbedding _,

@@ -439,6 +439,32 @@ object Dedup {
    * per round and the previous round is unpersisted immediately.
    * Output: (doc_id, cluster_id), one row per doc appearing in pairs.
    */
+  /**
+   * KEEP-BEST near-dup selection — the production alternative to
+   * keep-min-id when a quality signal exists: within each duplicate
+   * cluster keep the member with the HIGHEST `score` (ties: lowest
+   * id), drop the rest; documents outside every cluster survive
+   * untouched. Returns the surviving rows of `df`, all columns.
+   *
+   * Scale: the cluster frame is bounded by the duplicate mass (docs
+   * that appear in a near-dup pair), the ranking window partitions
+   * by cluster_id, and the corpus itself participates only in one
+   * anti join keyed by id — no full-corpus window, no payload
+   * shuffle.
+   */
+  def dedupKeepBest(df: DataFrame, id: Column, score: Column,
+                    pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    val dropped = df.select(id.as("doc_id"), score.as("__score"))
+      .join(clusters, "doc_id")
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+          .orderBy(col("__score").desc, col("doc_id").asc)))
+      .filter(col("__rk") > 1)
+      .select(col("doc_id").as("__drop_id"))
+    df.join(dropped, id === col("__drop_id"), "left_anti")
+  }
+
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
                         localEdgeThreshold: Long = 1L << 20): DataFrame = {
     // cache the (possibly expensive) pair frame FIRST: the edge list

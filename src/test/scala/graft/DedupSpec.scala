@@ -41,6 +41,25 @@ class DedupSpec extends SparkSpecBase {
     assert(out === Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 0L, 0L, 0.0)))
   }
 
+  test("dedupKeepBest: longest member of each cluster survives, singletons pass") {
+    val d = Seq(
+      (1L, "short", 10.0), (2L, "longer text", 20.0), (3L, "longest of all", 30.0),
+      (4L, "unrelated", 5.0), (5L, "also here", 7.0)).toDF("doc_id", "text", "q")
+    // planted pair graph: {1,2,3} one cluster via 1-2, 2-3; 4 and 5 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupKeepBest(d, col("doc_id"), col("q"), pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out === Set(3L, 4L, 5L),
+      s"cluster {1,2,3} must survive through its best member only, got $out")
+
+    // tie on score: lowest id wins
+    val tied = Seq((1L, "a", 1.0), (2L, "b", 1.0)).toDF("doc_id", "text", "q")
+    val out2 = Dedup.dedupKeepBest(tied, col("doc_id"), col("q"),
+        Seq((1L, 2L)).toDF("doc_a", "doc_b"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2 === Set(1L))
+  }
+
   test("dupNgramCoverage: a doc_id split across input rows is ONE document") {
     // re-ingested shard: doc 1 arrives twice with the same text — its
     // n-grams must not self-certify as corpus-repeated (document
