@@ -103,7 +103,8 @@ object Dataflow {
             case other =>
               throw new IllegalArgumentException(s"dedup '${s.name}': unknown method '$other'")
           }
-          val validModes = Set("filter", "pairs", "clusters", "cluster_filter")
+          val validModes = Set("filter", "pairs", "clusters", "cluster_filter",
+            "keep_best")
           require(validModes.contains(s.mode),
             s"dedup '${s.name}': unknown mode '${s.mode}' (expected one of ${validModes.mkString(", ")})")
           require(s.method != "exact" || s.mode == "filter" || s.mode == "pairs",
@@ -128,6 +129,13 @@ object Dataflow {
                   .filter(col("cluster_id") =!= col("doc_id"))
                   .select(col("doc_id").as(s.idCol)),
                 Seq(s.idCol), "left_anti")
+            case (_, "keep_best") =>
+              // quality-aware canonical: each component survives
+              // through its highest-scored member (default score:
+              // content length)
+              val score = s.scoreCol.map(col).getOrElse(
+                org.apache.spark.sql.functions.length(content).cast("double"))
+              Dedup.dedupKeepBest(in, id, score, pairs)
             case (_, _) =>
               // drop the higher id of every near-dup pair
               in.join(pairs.select(col("doc_b").as(s.idCol)).distinct(),

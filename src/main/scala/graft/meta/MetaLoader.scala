@@ -107,7 +107,8 @@ object MetaLoader {
           contentCol = str(p, "content", "text"),
           idCol = str(p, "id", "doc_id"),
           mode = str(p, "mode", "filter"),
-          threshold = p.path("threshold").asDouble(0.8))
+          threshold = p.path("threshold").asDouble(0.8),
+          scoreCol = optStr(p, "score"))
       case "chunk" =>
         ChunkSpec(name, input, output,
           contentCol = str(p, "content", "text"),

@@ -150,7 +150,10 @@ final case class DedupTransformSpec(
     contentCol: String = "text",
     idCol: String = "doc_id",
     mode: String = "filter",
-    threshold: Double = 0.8)
+    threshold: Double = 0.8,
+    // mode=keep_best ranks each cluster by this column (default:
+    // content length) and keeps only the top member
+    scoreCol: Option[String] = None)
   extends TransformSpec
 
 /**

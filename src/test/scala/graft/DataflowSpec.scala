@@ -692,6 +692,28 @@ class DataflowSpec extends SparkSpecBase {
     assert(!small.contains("Expand"), s"HLL path should not Expand:\n$small")
   }
 
+  test("metadata dedup mode=keep_best: best-scored cluster member survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kb_meta").toString
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", 0.2),
+      (2L, "the quick brown fox jumps over the lazy dog today indeed", 0.9),
+      (3L, "completely unrelated text about something else entirely", 0.5))
+      .toDF("doc_id", "text", "quality")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/docs")
+    val spec =
+      s"""{"dataflows":[{"name":"kb",
+         |  "sources":[{"name":"docs","path":"$dir/docs","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"kb","type":"dedup","params":{
+         |      "input":"docs","output":"out","method":"ngram_jaccard",
+         |      "threshold":0.7,"mode":"keep_best","score":"quality"}}],
+         |  "sinks":[]}]}""".stripMargin
+    val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("kb"))
+    val kept = frames("out").select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L),
+      s"doc 2 (higher quality) must outlive its near-dup 1, got $kept")
+  }
+
   test("join cardinality pre-flight: cms_join_size hint logs, plan unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft_join_hint").toString
     // two keyed frames: keys 1..20 on the left (key 1 hot ×10),
