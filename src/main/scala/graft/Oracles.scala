@@ -564,6 +564,28 @@ object Oracles {
     // connected components over the near-dup graph (min-id labels)
     "dedup_clusters" -> dedupClustersSql,
 
+    // top repeated 8-token spans: winners picked by (count desc, md5
+    // asc) — md5 so the selection replays here — then recounted with
+    // their text and distinct-document counts
+    "top_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, s.s
+        |  FROM (SELECT doc_id,
+        |          list_transform(generate_series(1, len(toks) - 7),
+        |            i -> array_to_string(toks[i : i + 7], ' ')) AS sp
+        |        FROM tok WHERE len(toks) >= 8),
+        |  LATERAL unnest(sp) AS s(s)),
+        |counts AS (SELECT md5(s) AS h, COUNT(*) AS n_inst FROM spans GROUP BY 1),
+        |top AS (SELECT h FROM counts ORDER BY n_inst DESC, h LIMIT 20)
+        |SELECT s AS span, COUNT(*) AS n_inst, COUNT(DISTINCT doc_id) AS n_docs
+        |FROM spans WHERE md5(s) IN (SELECT h FROM top)
+        |GROUP BY s""".stripMargin,
+
     // keep-best selection over the same component closure: survivors
     // = everything minus per-cluster rank>1 by (length desc, id asc)
     "dedup_keep_best" ->

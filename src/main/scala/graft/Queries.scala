@@ -555,6 +555,11 @@ object Queries {
       Dedup.ngramJaccard(t(s, dir, "documents"), col("text"), col("doc_id"),
         freqIn = corpusFreq(s, dir)))
 
+  /** The 20 most repeated 8-token spans corpus-wide — what IS the
+    * boilerplate substring dedup would carve. */
+  def topSpansQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.topSpans(t(s, dir, "documents"), col("text"), col("doc_id"))
+
   /** Keep-best dedup over the same cluster graph: each near-dup
     * family survives through its LONGEST member (ties: lowest id) —
     * the quality-aware alternative to keep-min-id. */
@@ -1524,6 +1529,7 @@ object Queries {
     "dedup_simhash" -> dedupSimhash _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_keep_best" -> dedupKeepBest _,
+    "top_spans" -> topSpansQ _,
     "dedup_incremental" -> dedupIncremental _,
     "dedup_substrings" -> dedupSubstrings _,
     "dedup_embedding" -> dedupEmbedding _,

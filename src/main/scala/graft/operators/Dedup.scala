@@ -440,6 +440,42 @@ object Dedup {
    * Output: (doc_id, cluster_id), one row per doc appearing in pairs.
    */
   /**
+   * TOP REPEATED SPANS report — the diagnostic view behind substring
+   * dedup: the `k` most frequent `w`-token windows corpus-wide with
+   * instance and distinct-document counts (what IS all that repeated
+   * boilerplate?). Two passes so the corpus text never shuffles:
+   * counts aggregate on md5 window keys (hash + id exchanges only),
+   * then ONLY the k winning spans' text is retrieved by a scan-side
+   * recompute filtered against the broadcast winner set — a bounded
+   * driver collect of k hashes, the same precedent as the pinned
+   * codebooks. Winners tie-break on (count desc, md5 asc): md5, not
+   * xxhash64, so any engine can reproduce the selection.
+   * Output: (span, n_inst, n_docs).
+   */
+  def topSpans(df: DataFrame, content: Column, id: Column,
+               w: Int = 8, k: Int = 20): DataFrame = {
+    val toks = when(length(trim(content)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(content), "\\s+"))
+    def spans(d: DataFrame): DataFrame =
+      d.select(id.as("doc_id"), toks.as("t"))
+        .filter(size(col("t")) >= w)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("t")) - (w - 1)),
+            i => concat_ws(" ", slice(col("t"), i, lit(w))))).as("span"))
+    val winners = spans(df)
+      .select(md5(col("span")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("n_inst"))
+      .orderBy(col("n_inst").desc, col("h").asc)
+      .limit(k)
+      .collect().map(_.getString(0))
+    spans(df)
+      .filter(md5(col("span")).isin(winners.toIndexedSeq: _*))
+      .groupBy("span")
+      .agg(count(lit(1)).as("n_inst"),
+        countDistinct(col("doc_id")).as("n_docs"))
+  }
+
+  /**
    * KEEP-BEST near-dup selection — the production alternative to
    * keep-min-id when a quality signal exists: within each duplicate
    * cluster keep the member with the HIGHEST `score` (ties: lowest

@@ -41,6 +41,21 @@ class DedupSpec extends SparkSpecBase {
     assert(out === Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 0L, 0L, 0.0)))
   }
 
+  test("topSpans: planted repeated window tops the report with exact counts") {
+    val boiler = "one two three four five six seven eight"
+    val d = Seq(
+      (1L, s"$boiler alpha beta"),
+      (2L, s"prefix $boiler"),
+      (3L, s"$boiler"),
+      (4L, "totally different words with no eight gram repeats at all"))
+      .toDF("doc_id", "text")
+    val top = Dedup.topSpans(d, col("text"), col("doc_id"), w = 8, k = 3)
+      .orderBy(col("n_inst").desc, col("span"))
+      .as[(String, Long, Long)].collect()
+    assert(top.head === ((boiler, 3L, 3L)),
+      s"the planted window must lead with 3 instances in 3 docs, got ${top.head}")
+  }
+
   test("dedupKeepBest: longest member of each cluster survives, singletons pass") {
     val d = Seq(
       (1L, "short", 10.0), (2L, "longer text", 20.0), (3L, "longest of all", 30.0),
