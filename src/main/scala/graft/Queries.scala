@@ -1286,8 +1286,11 @@ object Queries {
     * Scan-side projection: zero shuffle at any corpus size. */
   def embQuantize(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
+    // null embeddings quantize to (0.0, 0.0), same as the oracle's
+    // COALESCE — not to null rows the hash compare would trip on
     val withScale = e.select(col("vec_id"),
-        col("embedding").cast("array<double>").as("v"))
+        coalesce(col("embedding").cast("array<double>"),
+          array().cast("array<double>")).as("v"))
       .withColumn("q_scale",
         aggregate(transform(col("v"), x => abs(x)), lit(0.0),
           (acc, x) => greatest(acc, x)) / lit(127.0))

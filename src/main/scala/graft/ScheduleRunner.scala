@@ -60,16 +60,25 @@ object ScheduleRunner {
         val prior = st.failure.filter(_.logical == t)
         // exhausted failures are TERMINAL until manually cleared —
         // without this gate every later trigger would re-execute the
-        // broken run (and its partial sink writes) forever
+        // broken run (and its partial sink writes) forever. Dry-run
+        // REPORTS the terminal state instead of crashing: a rehearsal
+        // must keep listing, never execute or throw.
         prior.filter(_.attempts > sched.retries).foreach { f =>
-          throw new RuntimeException(
+          if (dryRun) {
+            println(s"[schedule] run logical=$t is FAILED terminal " +
+              s"(${f.attempts} attempts, retries=${sched.retries}); " +
+              s"clear the 'failed' line in $statePath to re-run (dry-run)")
+            halted = true
+          } else throw new RuntimeException(
             s"schedule: run $t already failed ${f.attempts} times with " +
               s"retries=${sched.retries} exhausted; fix the cause and " +
               s"clear the 'failed' line in $statePath to re-run")
         }
         val readyAt = prior.map(_.lastFail.plus(
           java.time.Duration.ofMinutes(sched.retryDelayMinutes)))
-        if (readyAt.exists(now.isBefore)) {
+        if (halted) {
+          // terminal failure reported above (dry-run): skip execution
+        } else if (readyAt.exists(now.isBefore)) {
           println(s"[schedule] run logical=$t waits for retry_delay " +
             s"(attempt ${prior.get.attempts + 1} ready at ${readyAt.get})")
           halted = true

@@ -421,25 +421,6 @@ object Dedup {
   }
 
   /**
-   * Duplicate CLUSTERS from a near-dup pair frame: connected
-   * components over the pair graph, labeling every document that
-   * appears in a pair with the MINIMUM doc_id of its component — the
-   * canonical representative. Pairwise "drop doc_b" dedup is only an
-   * approximation on transitive chains (a~b, b~c without a~c);
-   * cluster-level dedup keeps exactly one representative per
-   * component, which is what corpus-level fuzzy dedup means.
-   *
-   * Iterative hash-min label propagation: labels start at doc_id;
-   * each round every doc takes the min label among itself and its
-   * neighbors; fixed point in ≤ diameter rounds (near-dup components
-   * are tiny, so single-digit rounds in practice — `maxIters` is a
-   * pathology guard, logged if hit). Each round is one equi-join +
-   * one aggregation over the edge list — bounded shuffles keyed by
-   * doc id, the standard scalable CC formulation; labels are cached
-   * per round and the previous round is unpersisted immediately.
-   * Output: (doc_id, cluster_id), one row per doc appearing in pairs.
-   */
-  /**
    * TOP REPEATED SPANS report — the diagnostic view behind substring
    * dedup: the `k` most frequent `w`-token windows corpus-wide with
    * instance and distinct-document counts (what IS all that repeated
@@ -501,6 +482,25 @@ object Dedup {
     df.join(dropped, id === col("__drop_id"), "left_anti")
   }
 
+  /**
+   * Duplicate CLUSTERS from a near-dup pair frame: connected
+   * components over the pair graph, labeling every document that
+   * appears in a pair with the MINIMUM doc_id of its component — the
+   * canonical representative. Pairwise "drop doc_b" dedup is only an
+   * approximation on transitive chains (a~b, b~c without a~c);
+   * cluster-level dedup keeps exactly one representative per
+   * component, which is what corpus-level fuzzy dedup means.
+   *
+   * Iterative hash-min label propagation: labels start at doc_id;
+   * each round every doc takes the min label among itself and its
+   * neighbors; fixed point in ≤ diameter rounds (near-dup components
+   * are tiny, so single-digit rounds in practice — `maxIters` is a
+   * pathology guard, logged if hit). Each round is one equi-join +
+   * one aggregation over the edge list — bounded shuffles keyed by
+   * doc id, the standard scalable CC formulation; labels are cached
+   * per round and the previous round is unpersisted immediately.
+   * Output: (doc_id, cluster_id), one row per doc appearing in pairs.
+   */
   def duplicateClusters(pairs: DataFrame, maxIters: Int = 20,
                         localEdgeThreshold: Long = 1L << 20): DataFrame = {
     // cache the (possibly expensive) pair frame FIRST: the edge list
@@ -777,9 +777,10 @@ object Dedup {
     // per-(doc, ngram-hash) instance counts computed IN the scan
     // projection (LongCountsExpr: sort + run-length over the hash
     // array) — the exchange that used to aggregate raw instances by
-    // (doc_id, h) is gone; only already-distinct (doc, h, cnt)
-    // triples ever shuffle, and the two by-`h` consumers below share
-    // one exchange (ReusedExchange)
+    // (doc_id, h) is gone; only already-distinct-per-row (doc, h,
+    // cnt) triples ever shuffle. The dupSet branch re-keys its copy
+    // to (h, doc_id) for the distinct-document count, the dup branch
+    // exchanges by h — both narrow.
     val perDoc = base
       .select(col("doc_id"),
         explode(graft.functions.TextHashExprs.longCounts(col("hs"))).as("p"))
@@ -793,8 +794,14 @@ object Dedup {
       .filter(col("nd") >= minDocs).select("h")
     val dup = perDoc.join(dupSet, "h")
       .groupBy("doc_id").agg(sum("cnt").as("n_dup"))
+    // per-DOC totals (not per input row): a split doc's rows merge
+    // here, so n_dup is always measured against the document's full
+    // instance count and dup_frac stays in [0, 1]; both this tiny
+    // (doc_id, int) aggregate and `dup` key by doc_id, so the final
+    // join co-partitions without a further exchange
     base.select(col("doc_id"),
-        coalesce(size(col("hs")).cast("long"), lit(0L)).as("n_ngrams"))
+        coalesce(size(col("hs")).cast("long"), lit(0L)).as("nn"))
+      .groupBy("doc_id").agg(sum("nn").as("n_ngrams"))
       .join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_ngrams"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"))

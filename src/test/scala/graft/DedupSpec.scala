@@ -78,15 +78,29 @@ class DedupSpec extends SparkSpecBase {
   test("dupNgramCoverage: a doc_id split across input rows is ONE document") {
     // re-ingested shard: doc 1 arrives twice with the same text — its
     // n-grams must not self-certify as corpus-repeated (document
-    // frequency counts DISTINCT doc_ids, as the docstring promises)
+    // frequency counts DISTINCT doc_ids, as the docstring promises),
+    // and the output merges the rows: ONE row per doc, totals summed
     val d = Seq(
       (1L, "a b c d e f"),
       (1L, "a b c d e f"),
       (2L, "u v w x y z")).toDF("doc_id", "text")
     val out = Dedup.dupNgramCoverage(d, col("text"), col("doc_id"))
-      .select("doc_id", "n_dup").as[(Long, Long)].collect()
-    assert(out.forall(_._2 === 0L),
-      s"no n-gram occurs in >= 2 distinct docs, got $out")
+      .select("doc_id", "n_ngrams", "n_dup")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 4L, 0L), (2L, 2L, 0L)),
+      s"split doc must merge to one row with summed totals, got $out")
+
+    // and a split doc sharing n-grams with ANOTHER doc keeps
+    // dup_frac measured against its FULL instance count (<= 1.0)
+    val d2 = Seq(
+      (1L, "a b c d e f"),
+      (1L, "p q r s t u v w"),
+      (2L, "a b c d e f")).toDF("doc_id", "text")
+    val fr = Dedup.dupNgramCoverage(d2, col("text"), col("doc_id"))
+      .select("doc_id", "n_ngrams", "n_dup", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(fr === Seq((1L, 6L, 2L, 2.0 / 6.0), (2L, 2L, 2L, 1.0)),
+      s"got $fr")
   }
 
   test("ngram Jaccard finds the near pair with the exact score") {
