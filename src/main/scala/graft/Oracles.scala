@@ -989,7 +989,12 @@ object Oracles {
     // nets out: the extra empty tokens encode to zero symbols),
     // initial symbols = code points ('.' in RE2 = one code point,
     // matching codePointSymbols), then one replace() per merge in
-    // rank order over sentinel-wrapped strings (bpeReplaySql)
+    // rank order over sentinel-wrapped strings (bpeReplaySql).
+    // ASSUMES control-char-free text: \x01/\x02 collide with the
+    // sentinels, and \x0B splits under Java \s but not RE2 \s —
+    // documents containing [\x00-\x08\x0B] would diverge the two
+    // engines (not present in the corpus; pre-strip both sides if
+    // ingesting such data)
     "bpe_tokens" ->
       s"""SELECT doc_id,
          |  CAST(COALESCE(list_sum(list_transform(

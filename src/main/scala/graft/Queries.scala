@@ -303,7 +303,10 @@ object Queries {
     * local[32], think 2048+ for 100 TB). Rows are hash-identical to
     * `q3_revenue`: same oracle, physical-plan change only. */
   def q3RevenueBucketed(s: SparkSession, dir: String): DataFrame = {
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    // content fingerprint, not dir.hashCode: a regenerated source dir
+    // changes the tag (no stale bucketed rows), and distinct SF dirs
+    // cannot alias one table (Scale.sourceTag docs)
+    val tag = Scale.sourceTag(Seq(s"$dir/orders.parquet", s"$dir/lineitem.parquet"))
     val ordT = s"graft_orders_bkt_$tag"
     val liT = s"graft_lineitem_bkt_$tag"
     Scale.ensureBucketed(s, ordT, Seq("o_orderkey"), numBuckets = 32)(

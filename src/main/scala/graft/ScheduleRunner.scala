@@ -28,6 +28,13 @@ import java.time.Instant
  */
 object ScheduleRunner {
 
+  /** Renders the runs a failing trigger already executed (they are
+    * committed in the state file; only the return value is lost to a
+    * rethrow) for inclusion in the exception message. */
+  private def executedNote(runs: Seq[Instant]): String =
+    if (runs.isEmpty) ""
+    else runs.mkString(" [executed this trigger before the failure: ", ", ", "]")
+
   /** Compute + execute due runs; returns the logical times that
     * actually executed (a run waiting out its retry_delay, and every
     * later run behind it, is excluded — runs execute strictly in
@@ -72,7 +79,8 @@ object ScheduleRunner {
           } else throw new RuntimeException(
             s"schedule: run $t already failed ${f.attempts} times with " +
               s"retries=${sched.retries} exhausted; fix the cause and " +
-              s"clear the 'failed' line in $statePath to re-run")
+              s"clear the 'failed' line in $statePath to re-run" +
+              executedNote(executed.result()))
         }
         val readyAt = prior.map(_.lastFail.plus(
           java.time.Duration.ofMinutes(sched.retryDelayMinutes)))
@@ -100,10 +108,15 @@ object ScheduleRunner {
                   Some(Schedule.RunFailure(t, attempts, now)))
                 Schedule.writeFullState(state, st)
                 if (attempts > sched.retries)
+                  // earlier due runs in this trigger DID execute and
+                  // commit state; the rethrow loses the returned Seq,
+                  // so carry them in the message (and stdout) for the
+                  // caller's post-mortem
                   throw new RuntimeException(
                     s"schedule: run $t failed on attempt $attempts with " +
                       s"retries=${sched.retries} exhausted; fix the cause and " +
-                      s"clear the 'failed' line in $statePath to re-run", e)
+                      s"clear the 'failed' line in $statePath to re-run" +
+                      executedNote(executed.result()), e)
                 println(s"[schedule] run logical=$t failed " +
                   s"(attempt $attempts of ${sched.retries + 1}): " +
                   s"${e.getMessage}; retrying after " +

@@ -472,7 +472,15 @@ object Dedup {
   def dedupKeepBest(df: DataFrame, id: Column, score: Column,
                     pairs: DataFrame): DataFrame = {
     val clusters = duplicateClusters(pairs)
+    // One (doc_id, score) row per id BEFORE the ranking window: if an
+    // id appears on multiple input rows (re-ingested shards — the case
+    // dupNgramCoverage documents), each copy would otherwise get its
+    // own row_number, rank the best doc's second copy rk>1, and the
+    // anti join would then drop EVERY copy of the best member. The
+    // max-score aggregate makes keep/drop a per-id decision; survivors
+    // keep all their input rows.
     val dropped = df.select(id.as("doc_id"), score.as("__score"))
+      .groupBy("doc_id").agg(max(col("__score")).as("__score"))
       .join(clusters, "doc_id")
       .withColumn("__rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")

@@ -177,6 +177,34 @@ object Scale {
       .sortBy(keys.head, keys.tail: _*)
       .saveAsTable(table)
 
+  /** Content FINGERPRINT of source paths (files or directories): md5
+    * over every regular file's (relative path, size, mtime), 16 hex
+    * chars. Derive layout-table names from this tag instead of
+    * `path.hashCode`: regenerating the source changes the tag, so a
+    * stale bucketed table is simply never addressed again (and its
+    * location reclaimed lazily by [[ensureBucketed]]), and two
+    * distinct source dirs cannot alias one table the way a 32-bit
+    * String.hashCode can. Metadata-only walk — no data reads. */
+  def sourceTag(paths: Seq[String]): String = {
+    import scala.jdk.CollectionConverters._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    paths.sorted.foreach { p =>
+      val root = java.nio.file.Paths.get(p)
+      md.update(p.getBytes("UTF-8"))
+      if (java.nio.file.Files.exists(root)) {
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(f => s"${root.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
+          .toSeq.sorted
+          .foreach(s => md.update(s.getBytes("UTF-8")))
+        finally walk.close()
+      }
+    }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
   /** [[writeBucketed]] only if `table` isn't in the session catalog
     * yet — the write-once/reuse-everywhere contract for layout
     * tables. Reclaims an ORPHANED warehouse location first: the
@@ -184,22 +212,58 @@ object Scale {
     * warehouse directory persists, and a managed-table CREATE in a
     * fresh session then fails with LOCATION_ALREADY_EXISTS. `df` is
     * by-name so the source scan is only planned when a write actually
-    * happens. */
+    * happens.
+    *
+    * The check-reclaim-write sequence is guarded by an ATOMIC lock
+    * file beside the location (`Files.createFile` either claims or
+    * throws): a concurrent caller cannot delete a location another
+    * claim is mid-write on; it waits for the lock, re-checks the
+    * catalog, and proceeds only if the table is still absent there.
+    * Reclaims are logged (location + file count). Name tables with
+    * [[sourceTag]] so a regenerated source gets a FRESH name rather
+    * than silently serving stale bucketed rows. Cross-JVM note: two
+    * JVMs have independent in-memory catalogs, so the lock serializes
+    * their writes but the second JVM still rebuilds — safe, not
+    * shared; a shared metastore is the cluster answer. */
   def ensureBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
                      keys: Seq[String], numBuckets: Int)
-                    (df: => DataFrame): Unit =
-    if (!spark.catalog.tableExists(table)) {
-      val loc = java.nio.file.Paths.get(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-      if (java.nio.file.Files.exists(loc)) {
+                    (df: => DataFrame): Unit = {
+    import java.nio.file.{Files, Paths}
+    if (spark.catalog.tableExists(table)) return
+    val wh = Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Files.createDirectories(wh)
+    val loc = wh.resolve(table)
+    val lock = wh.resolve(s"$table._graft_lock")
+    val deadlineNs = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    var claimed = false
+    while (!claimed) {
+      try { Files.createFile(lock); claimed = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // another claim is writing this table; wait for it rather
+          // than deleting files out from under its readers
+          if (spark.catalog.tableExists(table)) return
+          if (System.nanoTime() > deadlineNs) throw new IllegalStateException(
+            s"ensureBucketed: lock $lock held > 120s — stale lock from a " +
+              "crashed run? remove it manually if no writer is alive")
+          Thread.sleep(100)
+      }
+    }
+    try {
+      if (spark.catalog.tableExists(table)) return // raced, other claim won
+      if (Files.exists(loc)) {
         import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(loc)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-        finally walk.close()
+        val walk = Files.walk(loc)
+        val files = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+        org.apache.logging.log4j.LogManager.getLogger(getClass)
+          .warn(s"ensureBucketed: reclaiming orphaned location $loc " +
+            s"(${files.count(Files.isRegularFile(_))} files, no catalog entry)")
+        files.foreach(Files.delete)
       }
       writeBucketed(df, table, keys, numBuckets)
-    }
+    } finally Files.deleteIfExists(lock)
+  }
 
   /**
    * COMPACT a dataset into ~`targetBytes` output files — the

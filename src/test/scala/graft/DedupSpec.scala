@@ -75,6 +75,21 @@ class DedupSpec extends SparkSpecBase {
     assert(out2 === Set(1L))
   }
 
+  test("dedupKeepBest: re-ingested copies of the best member ALL survive") {
+    // doc 3 (the cluster's best) arrives twice — the shard-re-ingest
+    // case. Without per-id pre-aggregation each copy would get its own
+    // row_number, one copy would rank rk>1, and the anti join would
+    // drop BOTH copies — the cluster would lose all its rows.
+    val d = Seq(
+      (1L, "short", 10.0), (2L, "longer", 20.0),
+      (3L, "best copy a", 30.0), (3L, "best copy b", 30.0)).toDF("doc_id", "text", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupKeepBest(d, col("doc_id"), col("q"), pairs)
+      .select("doc_id").as[Long].collect()
+    assert(out.toSet === Set(3L) && out.length === 2,
+      s"both rows of best doc 3 must survive, got ${out.toSeq}")
+  }
+
   test("dupNgramCoverage: a doc_id split across input rows is ONE document") {
     // re-ingested shard: doc 1 arrives twice with the same text — its
     // n-grams must not self-certify as corpus-repeated (document

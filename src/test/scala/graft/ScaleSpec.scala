@@ -55,7 +55,8 @@ class ScaleSpec extends SparkSpecBase {
   test("q3_revenue_bucketed: zero shuffle exchanges, rows == q3_revenue") {
     // drop stale catalog entries; ensureBucketed itself reclaims any
     // orphaned warehouse locations from prior JVMs
-    val tag = java.lang.Integer.toHexString(sf().hashCode)
+    val tag = graft.operators.Scale.sourceTag(
+      Seq(s"${sf()}/orders.parquet", s"${sf()}/lineitem.parquet"))
     Seq(s"graft_orders_bkt_$tag", s"graft_lineitem_bkt_$tag")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val bucketed = Queries.q3RevenueBucketed(spark, sf())
