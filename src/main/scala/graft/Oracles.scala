@@ -2037,7 +2037,22 @@ object Oracles {
         |       WHEN old_hash = new_hash THEN 'unchanged'
         |       ELSE 'updated' END AS status,
         |  old_hash, new_hash
-        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin)
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
+    // keyed copy-on-write merge: the oracle states the merged END
+    // STATE relationally (deletes filtered, revisions applied in
+    // place, moved docs carrying their new partition value) — hash
+    // equality against the physically-merged table proves the
+    // partition-level rewrite ≡ a full rewrite
+    "corpus_merge" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text,
+        |  lang,
+        |  CASE WHEN doc_id % 7 = 0 AND doc_id % 3 = 0 THEN 'src_new'
+        |       ELSE source END AS source,
+        |  CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE doc_id % 13 <> 0""".stripMargin)
 
   /** Script-profile oracle, generated from the same ScriptClasses /
     * ScriptSnippets constants the Spark query uses — one source of

@@ -1375,6 +1375,30 @@ object Queries {
       col("doc_id"), col("text"), col("doc_id"), col("text"))
   }
 
+  /** Keyed copy-on-write MERGE (the write-side companion of
+    * `corpus_delta`): seed a source-partitioned target from
+    * `documents`, apply a deterministic change set — every 7th doc
+    * revised (every 21st additionally MOVING to a new partition),
+    * every 13th deleted — through [[operators.Merge.mergeInto]], and
+    * return the merged table. Only partitions containing changed keys
+    * rewrite (MergeSpec asserts untouched files byte-identical); the
+    * oracle states the end state relationally, so hash equality
+    * proves merge ≡ full rewrite. */
+  def corpusMerge(s: SparkSession, dir: String): DataFrame = {
+    val p = scratch("corpus_merge", dir)
+    val docs = t(s, dir, "documents")
+    docs.write.mode("overwrite").partitionBy("source").parquet(p)
+    val upserts = docs
+      .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
+      .withColumn("text", concat(col("text"), lit(" [v2]")))
+      .withColumn("n_chars", col("n_chars") + 5)
+      .withColumn("source",
+        when(col("doc_id") % 3 === 0, lit("src_new")).otherwise(col("source")))
+    val deletes = docs.filter(col("doc_id") % 13 === 0).select("doc_id")
+    Merge.mergeInto(s, p, upserts, deletes, "doc_id", "source")
+    s.read.parquet(p).select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** Blocklist screening terms for the catalog query: data-ish words
     * and phrases present in the synthetic corpus + one absent term,
     * shared verbatim with the DuckDB oracle. */
@@ -1597,6 +1621,7 @@ object Queries {
     "quality_classifier" -> qualityClassifier _,
     "text_script" -> textScript _,
     "corpus_delta" -> corpusDelta _,
+    "corpus_merge" -> corpusMerge _,
     "emb_quantize" -> embQuantize _,
     "sim_pq" -> simPq _,
     "fuzzy_names" -> fuzzyNames _,

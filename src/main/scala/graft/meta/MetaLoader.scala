@@ -57,7 +57,8 @@ object MetaLoader {
       partitionBy = strArr(n, "partitionBy"),
       layout = str(n, "layout", "none").toLowerCase,
       layoutKeys = strArr(n, "layoutKeys"),
-      layoutPartitions = n.path("layoutPartitions").asInt(0))
+      layoutPartitions = n.path("layoutPartitions").asInt(0),
+      mergeKey = str(n, "mergeKey", ""))
 
   private def parseTransform(n: JsonNode): TransformSpec = {
     val name = str(n, "name")

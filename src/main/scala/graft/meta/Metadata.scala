@@ -37,11 +37,15 @@ final case class SinkSpec(
     name: String,
     paths: Seq[String],
     format: String,
-    saveMode: String,
+    saveMode: String,                  // overwrite | append | ignore | error | merge
     partitionBy: Seq[String] = Nil,
     layout: String = "none",           // none | range | zorder
     layoutKeys: Seq[String] = Nil,
-    layoutPartitions: Int = 0)
+    layoutPartitions: Int = 0,
+    // saveMode=merge: key column for the copy-on-write upsert into the
+    // hive-partitioned target (operators.Merge); rows whose optional
+    // `__deleted` boolean is true are delete keys, the rest upserts
+    mergeKey: String = "")
 
 sealed trait TransformSpec {
   def name: String

@@ -17,6 +17,37 @@ import org.apache.spark.sql.functions._
 object Writers {
 
   def write(df: DataFrame, spec: SinkSpec): Unit = {
+    // keyed copy-on-write merge (operators.Merge): incoming rows with
+    // `__deleted = true` are delete keys, the rest insert-or-replace
+    // by mergeKey; only partitions containing changed keys rewrite
+    if (spec.saveMode == "merge") {
+      require(spec.mergeKey.nonEmpty,
+        s"sink '${spec.name}': saveMode merge needs mergeKey")
+      require(spec.partitionBy.size == 1,
+        s"sink '${spec.name}': saveMode merge needs exactly one partitionBy " +
+          s"column (got ${spec.partitionBy.mkString(",")})")
+      require(spec.layout == "none",
+        s"sink '${spec.name}': merge and layout are mutually exclusive — " +
+          "the target's hive partitioning IS the layout")
+      val del =
+        if (df.columns.contains("__deleted"))
+          df.filter(coalesce(col("__deleted"), lit(false))).select(spec.mergeKey)
+        else df.limit(0).select(spec.mergeKey)
+      val ups =
+        if (df.columns.contains("__deleted"))
+          df.filter(!coalesce(col("__deleted"), lit(false))).drop("__deleted")
+        else df
+      val fmt = graft.sources.Readers.resolveFormat(spec.format)
+      spec.paths.foreach { path =>
+        val stats = graft.operators.Merge.mergeInto(df.sparkSession, path,
+          ups, del, spec.mergeKey, spec.partitionBy.head, fmt)
+        println(s"[sink ${spec.name}] merged into $path: " +
+          s"${stats.upsertRows} upserts, ${stats.deleteKeys} delete keys, " +
+          s"rewrote ${stats.rewritten.size} partition(s), " +
+          s"dropped ${stats.dropped.size}")
+      }
+      return
+    }
     // data-skipping layouts (declarative reach for Scale's file-layout
     // writers): cluster files by key range / Morton curve so parquet
     // footer stats prune for downstream readers
