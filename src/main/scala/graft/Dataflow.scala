@@ -307,7 +307,18 @@ object Dataflow {
             in, col(s.labelCol), col(s.vecCol)))
         case s: KeyHistogramSpec =>
           import org.apache.spark.sql.functions.col
-          frames + (s.output -> StatsOp.keyHistogram(in, col(s.keyCol), s.topN))
+          frames + (s.output -> (s.method match {
+            case "exact" => StatsOp.keyHistogram(in, col(s.keyCol), s.topN)
+            case "cms" => StatsOp.keyHistogramApprox(in, col(s.keyCol), s.topN)
+            case other => throw new IllegalArgumentException(
+              s"key_histogram '${s.name}': unknown method '$other' (exact|cms)")
+          }))
+        case s: TopSpansSpec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Dedup.topSpans(
+            in, col(s.contentCol), col(s.idCol), w = s.window, k = s.k))
+        case s: QuantizeSpec =>
+          frames + (s.output -> Similarity.quantizeInt8(in, s.idCol, s.vecCol))
         case s: CapSpec =>
           import org.apache.spark.sql.functions.col
           frames + (s.output -> Sampling.capPerGroup(
@@ -387,7 +398,17 @@ object Dataflow {
           // output. The input passes through under the transform name
           // (reference: src/transformations.py:373) so later steps can
           // chain off a compute_stats node.
-          val stats = StatsOp.fieldStats(in, s.fields.getOrElse(Nil))
+          val (approxDistinct, portable) = s.distinctMode match {
+            case "auto" => (None, false)
+            case "exact" => (Some(false), false)
+            case "approx" => (Some(true), false)
+            case "approx_portable" => (Some(true), true)
+            case other => throw new IllegalArgumentException(
+              s"compute_stats '${s.name}': unknown distinct_mode '$other' " +
+                "(auto|exact|approx|approx_portable)")
+          }
+          val stats = StatsOp.fieldStats(in, s.fields.getOrElse(Nil),
+            approxDistinct, portable)
           val withField = frames + (s"${s.name}_fields" -> stats) + (s.name -> in)
           (s.okInput.flatMap(frames.get), s.koInput.flatMap(frames.get)) match {
             case (Some(ok), Some(ko)) if s.includeValidationStats =>

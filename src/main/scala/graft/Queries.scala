@@ -908,19 +908,8 @@ object Queries {
     * makes the estimates engine-reproducible, so the DuckDB oracle
     * rebuilds the counters and must match the ESTIMATES exactly —
     * same trade as field_stats_approx's portable HLL. */
-  def skewKeysApprox(s: SparkSession, dir: String): DataFrame = {
-    val e = t(s, dir, "events")
-      .filter(col("user_id").isNotNull)
-      .select(col("user_id").cast("string").as("key"))
-    val sk = e.agg(graft.functions.CmsExprs
-      .cmsSketch(col("key"), portable = true).as("sk"))
-    e.distinct().crossJoin(broadcast(sk))
-      .select(col("key"),
-        graft.functions.CmsExprs.cmsEstimate(col("sk"), col("key"),
-          portable = true).as("est_n"))
-      .orderBy(col("est_n").desc, col("key"))
-      .limit(20)
-  }
+  def skewKeysApprox(s: SparkSession, dir: String): DataFrame =
+    StatsOp.keyHistogramApprox(t(s, dir, "events"), col("user_id"), topN = 20)
 
   /** N-gram contamination scoring vs the synthetic benchmark subset
     * (doc_id % 97): fraction of each doc's distinct 8-gram shingles

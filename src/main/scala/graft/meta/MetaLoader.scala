@@ -223,7 +223,18 @@ object MetaLoader {
       case "key_histogram" =>
         KeyHistogramSpec(name, input, output,
           keyCol = str(p, "key"),
-          topN = p.path("top_n").asInt(20))
+          topN = p.path("top_n").asInt(20),
+          method = str(p, "method", "exact").toLowerCase)
+      case "top_spans" =>
+        TopSpansSpec(name, input, output,
+          contentCol = str(p, "content", "text"),
+          idCol = str(p, "id", "doc_id"),
+          window = p.path("window").asInt(8),
+          k = p.path("k").asInt(20))
+      case "quantize" =>
+        QuantizeSpec(name, input, output,
+          vecCol = str(p, "vec", "embedding"),
+          idCol = str(p, "id", "vec_id"))
       case "cap" =>
         CapSpec(name, input, output,
           groupCol = str(p, "group"),
@@ -299,7 +310,8 @@ object MetaLoader {
           includeValidationStats = p.path("include_validation_stats").asBoolean(false),
           okInput = optStr(p, "ok_input"),
           koInput = optStr(p, "ko_input"),
-          outputPath = optStr(p, "output_path"))
+          outputPath = optStr(p, "output_path"),
+          distinctMode = str(p, "distinct_mode", "auto").toLowerCase)
       case other =>
         throw new IllegalArgumentException(s"Unsupported transformation type: '$other' (in '$name')")
     }

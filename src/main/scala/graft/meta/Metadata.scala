@@ -634,17 +634,55 @@ final case class BpeTokenizeSpec(
 
 /**
  * graft extension: join-key skew diagnostic — top-N heaviest values
- * of a key with count and share.
+ * of a key. `method`: "exact" groups and counts (count + share
+ * columns); "cms" ranks by Count-Min frequency ESTIMATES from one
+ * fixed-size sketch (est_n column) — the shape the probe takes when
+ * the key space is too wide to groupBy.
  */
 final case class KeyHistogramSpec(
     name: String,
     input: String,
     output: String,
     keyCol: String,
-    topN: Int = 20)
+    topN: Int = 20,
+    method: String = "exact")          // exact | cms
   extends TransformSpec
 
-/** reference: src/transformations.py:330-369 (compute_stats). */
+/**
+ * graft extension: top repeated spans report — the k most frequent
+ * `window`-token windows corpus-wide with instance and distinct-doc
+ * counts (what IS all that repeated boilerplate?). Output: (span,
+ * n_inst, n_docs).
+ */
+final case class TopSpansSpec(
+    name: String,
+    input: String,
+    output: String,
+    contentCol: String = "text",
+    idCol: String = "doc_id",
+    window: Int = 8,
+    k: Int = 20)
+  extends TransformSpec
+
+/**
+ * graft extension: symmetric int8 scalar quantization of an embedding
+ * column — the 4×-smaller vector STORE (per-vector scale = max|x|/127).
+ * Output: (idCol, q_scale double, q array<tinyint>); reconstruct with
+ * q * q_scale.
+ */
+final case class QuantizeSpec(
+    name: String,
+    input: String,
+    output: String,
+    vecCol: String = "embedding",
+    idCol: String = "vec_id")
+  extends TransformSpec
+
+/** reference: src/transformations.py:330-369 (compute_stats).
+  * `distinctMode` picks the distinct-count strategy: "auto"
+  * (size-gated, the default), "exact", "approx" (Spark HLL++), or
+  * "approx_portable" (graft's md5-hashed mergeable HLL whose
+  * estimates any md5-capable engine replays bit-for-bit). */
 final case class ComputeStatsSpec(
     name: String,
     input: String,
@@ -652,5 +690,6 @@ final case class ComputeStatsSpec(
     includeValidationStats: Boolean,
     okInput: Option[String],
     koInput: Option[String],
-    outputPath: Option[String])
+    outputPath: Option[String],
+    distinctMode: String = "auto")     // auto | exact | approx | approx_portable
   extends TransformSpec

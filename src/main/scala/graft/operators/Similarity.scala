@@ -571,4 +571,28 @@ object Similarity {
       .select(col("label"), col("pos"),
         (col("__s").cast("double") / col("n") / q).as("centroid"), col("n"))
   }
+
+  /**
+   * Symmetric INT8 scalar quantization of an embedding column — the
+   * 4×-smaller vector STORE (the storage half of the vector pipeline;
+   * `emb_quantize` reports the reconstruction error of exactly this
+   * arithmetic). Per-vector scale = max|x|/127; q_i = round(x_i/scale)
+   * clamped to [-127, 127], carried as `array<tinyint>`. Reconstruct
+   * with q_i * q_scale. Null/empty vectors quantize to (0.0, []).
+   * Scan-side projection — zero shuffle at any corpus size.
+   */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = coalesce(col(vecCol).cast("array<double>"),
+      array().cast("array<double>"))
+    df.select(col(idCol), v.as("__v"))
+      .withColumn("q_scale",
+        aggregate(transform(col("__v"), x => abs(x)), lit(0.0),
+          (acc, x) => greatest(acc, x)) / lit(127.0))
+      .select(col(idCol), col("q_scale"),
+        when(col("q_scale") === 0.0,
+            transform(col("__v"), _ => lit(0)).cast("array<tinyint>"))
+          .otherwise(transform(col("__v"), x =>
+            least(greatest(round(x / col("q_scale")), lit(-127.0)), lit(127.0)))
+            .cast("array<tinyint>")).as("q"))
+  }
 }

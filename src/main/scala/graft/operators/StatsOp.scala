@@ -265,6 +265,31 @@ object StatsOp {
   }
 
   /**
+   * The APPROX twin of [[keyHistogram]] — hot keys ranked by Count-Min
+   * frequency ESTIMATES from one fixed-size (~80 KB) sketch instead of
+   * exact per-key counts: the shape a 100 TB hot-key probe takes when
+   * the key space itself is too wide to groupBy (the sketch is the
+   * only aggregate state; candidates here are the distinct keys — at
+   * scale they come from the streaming sink's candidate log).
+   * `portable=true` (default) uses md5-prefix double hashing so the
+   * estimates are engine-reproducible (the skew_keys_approx oracle
+   * rebuilds the counters in DuckDB and matches exactly).
+   * Output: (key, est_n), ranked (est_n desc, key asc), top-N.
+   */
+  def keyHistogramApprox(df: DataFrame, key: Column, topN: Int = 20,
+                         portable: Boolean = true): DataFrame = {
+    val e = df.filter(key.isNotNull).select(key.cast("string").as("key"))
+    val sk = e.agg(graft.functions.CmsExprs
+      .cmsSketch(col("key"), portable = portable).as("sk"))
+    e.distinct().crossJoin(broadcast(sk))
+      .select(col("key"),
+        graft.functions.CmsExprs.cmsEstimate(col("sk"), col("key"),
+          portable = portable).as("est_n"))
+      .orderBy(col("est_n").desc, col("key"))
+      .limit(topN)
+  }
+
+  /**
    * Equi-width HISTOGRAM of a numeric column over [lo, hi): bucket
    * b = min(buckets−1, floor((x−lo)/w)), w = (hi−lo)/buckets; values
    * outside [lo, hi) are dropped (count them separately if needed).

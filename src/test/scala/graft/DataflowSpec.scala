@@ -714,6 +714,93 @@ class DataflowSpec extends SparkSpecBase {
       s"doc 2 (higher quality) must outlive its near-dup 1, got $kept")
   }
 
+  test("metadata top_spans: the planted repeated window leads the report") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ts_meta").toString
+    val boiler = "one two three four five six seven eight"
+    Seq(
+      (1L, s"intro words $boiler trailing a"),
+      (2L, s"other start $boiler trailing b"),
+      (3L, s"third lead-in $boiler more"),
+      (4L, "totally different words with no repeated window at all here"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/docs")
+    val spec =
+      s"""{"dataflows":[{"name":"ts",
+         |  "sources":[{"name":"docs","path":"$dir/docs","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"ts","type":"top_spans","params":{
+         |      "input":"docs","output":"out","window":8,"k":2}}],
+         |  "sinks":[]}]}""".stripMargin
+    val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("ts"))
+    val top = frames("out").orderBy(col("n_inst").desc, col("span"))
+      .as[(String, Long, Long)].collect()
+    assert(top.head === ((boiler, 3L, 3L)), s"got ${top.head}")
+  }
+
+  test("metadata key_histogram method=cms ranks the hot key first") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_meta").toString
+    ((1 to 50).map(_ => "hot") ++ (1 to 10).map(i => s"cold$i"))
+      .toDF("k").coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    val spec =
+      s"""{"dataflows":[{"name":"kh",
+         |  "sources":[{"name":"in","path":"$dir/in","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"kh","type":"key_histogram","params":{
+         |      "input":"in","output":"out","key":"k","top_n":3,"method":"cms"}}],
+         |  "sinks":[]}]}""".stripMargin
+    val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("kh"))
+    val rows = frames("out").as[(String, Long)].collect()
+    assert(rows.length === 3)
+    assert(rows.head._1 === "hot" && rows.head._2 >= 50L,
+      s"CMS never underestimates; got ${rows.head}")
+  }
+
+  test("metadata quantize: int8 store columns, reconstruction within scale/2") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_q8_meta").toString
+    Seq((1L, Array(0.5f, -1.0f, 0.25f)), (2L, Array(2.0f, 0.0f, -2.0f)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/emb")
+    val spec =
+      s"""{"dataflows":[{"name":"qz",
+         |  "sources":[{"name":"emb","path":"$dir/emb","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"qz","type":"quantize","params":{
+         |      "input":"emb","output":"out"}}],
+         |  "sinks":[]}]}""".stripMargin
+    val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("qz"))
+    val out = frames("out")
+    assert(out.schema("q").dataType.simpleString === "array<tinyint>",
+      "the store must actually be int8")
+    val rows = out.as[(Long, Double, Seq[Byte])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val (s1, q1) = rows(1L)
+    assert(math.abs(q1(0) * s1 - 0.5) <= s1 / 2 + 1e-12)
+    assert(math.abs(q1(1) * s1 + 1.0) <= s1 / 2 + 1e-12)
+    assert(rows(2L)._1 === 2.0 / 127.0)
+  }
+
+  test("metadata compute_stats distinct_mode=approx_portable matches exact here") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dm_meta").toString
+    (1L to 200L).map(i => (i, s"v${i % 40}")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    def statsWith(mode: String): Map[String, Long] = {
+      val spec =
+        s"""{"dataflows":[{"name":"st",
+           |  "sources":[{"name":"in","path":"$dir/in","format":"parquet"}],
+           |  "transformations":[
+           |    {"name":"st","type":"compute_stats","params":{
+           |      "input":"in","fields":["v"],"distinct_mode":"$mode"}}],
+           |  "sinks":[]}]}""".stripMargin
+      Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("st"))("st_fields")
+        .select("field", "distinct_count").as[(String, Long)].collect().toMap
+    }
+    // 40 distinct values: far below the HLL's ±2% envelope at p=12 —
+    // the portable estimate must equal the exact count here, proving
+    // the declarative switch reaches the portable sketch
+    assert(statsWith("exact")("v") === 40L)
+    assert(statsWith("approx_portable")("v") === 40L)
+  }
+
   test("join cardinality pre-flight: cms_join_size hint logs, plan unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft_join_hint").toString
     // two keyed frames: keys 1..20 on the left (key 1 hot ×10),
