@@ -29,7 +29,7 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_keep_best", "dedup_incremental", "dedup_substrings", "top_spans",
     "sim_topk", "sim_lsh", "sim_lsh_auto", "sim_ivf", "sim_pq", "sim_pq_served",
-    "emb_quantize",
+    "sim_ivf_int8", "emb_quantize",
     "sim_cross", "sim_cross_lsh",
     "text_quality", "field_stats", "field_stats_approx", "validate_ok",
     "multimodal_meta", "sample_stratified", "pack_sequences", "decontaminate",
@@ -40,7 +40,7 @@ object Bench {
     "text_gopher", "c4_clean", "decontaminate_bloom",
     "semdedup", "dup_ngram_coverage", "text_familiarity",
     "text_entropy", "lm_perplexity", "bpe_tokens", "sample_weighted",
-    "quality_classifier", "text_script", "corpus_delta",
+    "quality_classifier", "text_script", "corpus_delta", "corpus_merge",
     "fuzzy_names", "fuzzy_names_jw", "fuzzy_names_multi",
     "sample_weighted_group", "q_rolling", "q_anomaly", "text_blocklist",
     "q_funnel", "q_cohort",

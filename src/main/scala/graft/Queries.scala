@@ -658,6 +658,36 @@ object Queries {
       nprobe = 4, centroidsIn = Some(ivfAnchorCodebook(e)))
   }
 
+  /** IVF-Flat ANN serving FROM the persisted INT8 STORE — the
+    * composition of `emb_quantize` (#143, the 4×-smaller storage) with
+    * the pinned-codebook IVF serve path (#34b): the store is written
+    * once per input dir ([[graft.operators.Similarity.quantizeInt8]],
+    * array<tinyint> + per-vector scale), and the timed query LOADS
+    * int8, reconstructs q·q_scale at scan time (exact IEEE multiply),
+    * and runs assignment + 4-cell probe + cosine rescoring entirely on
+    * reconstructed vectors. The oracle replays quantization,
+    * reconstruction, and the whole serve path bit-for-bit (round/clamp
+    * arithmetic shared with emb_quantize's oracle); recall vs the fp32
+    * path is measured in RECALL.md. Null embeddings don't enter a
+    * store (filtered at quantization — a store row without a vector
+    * means nothing). */
+  private val int8StoreMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def simIvfInt8(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val store = int8StoreMemo.computeIfAbsent(dir, _ => {
+      val p = scratch("int8_store", dir)
+      Similarity.quantizeInt8(e.filter(col("embedding").isNotNull),
+          "vec_id", "embedding")
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    val recon = s.read.parquet(store).select(col("vec_id"),
+      transform(col("q").cast("array<double>"),
+        x => x * col("q_scale")).as("embedding"))
+    Similarity.ivfTopK(recon, col("vec_id"), col("embedding"), k = 10,
+      nprobe = 4, centroidsIn = Some(ivfAnchorCodebook(e)))
+  }
+
   /** SemDeDup over the pinned anchor codebook (the train-once
     * production shape): same-cell cosine ≥ 0.4 drops the higher id.
     * Threshold matches [[dedupEmbedding]]'s testdata tuning. */
@@ -1558,6 +1588,7 @@ object Queries {
     "sim_lsh" -> simLsh _,
     "sim_lsh_auto" -> simLshAuto _,
     "sim_ivf" -> simIvf _,
+    "sim_ivf_int8" -> simIvfInt8 _,
     "sim_pq_served" -> simPqServed _,
     "semdedup" -> semDedupQ _,
     "dup_ngram_coverage" -> dupNgramCoverageQ _,

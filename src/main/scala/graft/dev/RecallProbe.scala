@@ -70,7 +70,30 @@ object RecallProbe {
       timed("ivf_pq_p8")(Similarity.ivfPqTopK(emb, id, v, k, nprobe = 8,
         cells = cells, pq = pq)),
       timed("ivf_pq_p16")(Similarity.ivfPqTopK(emb, id, v, k, nprobe = 16,
-        cells = cells, pq = pq)))
+        cells = cells, pq = pq))) ++ {
+      // int8-store serving (sim_ivf_int8's shape): reconstruct q·scale
+      // at scan time, same codebook — measures what 4× storage costs
+      // in recall, plus its direct agreement with the fp32 IVF path
+      val recon = Similarity.quantizeInt8(
+          emb.filter(v.isNotNull), "vec_id", "embedding")
+        .select(col("vec_id"),
+          transform(col("q").cast("array<double>"),
+            x => x * col("q_scale")).as("embedding"))
+      val int8Lines = Seq(
+        timed("ivf_int8_p8")(Similarity.ivfTopK(recon, id, v, k, nprobe = 8,
+          centroidsIn = Some(cells))),
+        timed("ivf_int8_p16")(Similarity.ivfTopK(recon, id, v, k, nprobe = 16,
+          centroidsIn = Some(cells))))
+      val fp32 = Similarity.ivfTopK(emb, id, v, k, nprobe = 16,
+        centroidsIn = Some(cells)).select(col("id"), col("neighbor_id"))
+      val int8 = Similarity.ivfTopK(recon, id, v, k, nprobe = 16,
+        centroidsIn = Some(cells)).select(col("id"), col("neighbor_id"))
+      val agree = recallAgainst(fp32, int8, k)
+      graft.operators.OpCache.releaseAll()
+      val agreeLine = f"""{"method":"ivf_int8_vs_fp32_p16","agreement_at_$k":$agree%.3f}"""
+      println(agreeLine)
+      int8Lines :+ agreeLine
+    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("recall_out.json"),
       lines.mkString("", "\n", "\n"))
