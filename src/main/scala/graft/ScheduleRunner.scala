@@ -52,6 +52,53 @@ object ScheduleRunner {
   def runDue(spark: SparkSession, metadataPath: String, statePath: String,
              dataflowName: Option[String], now: Instant,
              dryRun: Boolean = false): Seq[Instant] = {
+    // CONCURRENCY GUARD (Airflow's max_active_runs=1): an atomic lock
+    // claim beside the state file — two overlapping triggers (cron
+    // overlap, a manual run racing cron) would otherwise both read
+    // "due" and double-execute the same logical runs against the same
+    // sinks. The loser NO-OPS (returns empty — the catchup math makes
+    // the next trigger pick up whatever remains), it never queues.
+    // A lock left by a crashed holder is stolen once it is older than
+    // [[StaleLockMinutes]] (logged); dry-run takes no lock — a
+    // rehearsal must always be able to list.
+    if (dryRun) return runDueLocked(spark, metadataPath, statePath,
+      dataflowName, now, dryRun)
+    val lock = Paths.get(statePath + ".lock")
+    Option(lock.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    def tryClaim(): Boolean =
+      try { java.nio.file.Files.createFile(lock); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    var claimed = tryClaim()
+    if (!claimed) {
+      val ageMin =
+        try java.time.Duration.between(
+          java.nio.file.Files.getLastModifiedTime(lock).toInstant,
+          Instant.now()).toMinutes
+        catch { case _: java.io.IOException => 0L } // holder just released
+      if (ageMin >= StaleLockMinutes) {
+        // steal = delete + reclaim; the createFile retry keeps the
+        // steal atomic when two triggers race for the same stale lock
+        println(s"[schedule] deleting stale lock $lock (${ageMin}m old — " +
+          "holder presumed crashed)")
+        java.nio.file.Files.deleteIfExists(lock)
+        claimed = tryClaim()
+      }
+      if (!claimed) {
+        println(s"[schedule] another trigger holds $lock — " +
+          "skipping (max_active_runs=1)")
+        return Nil
+      }
+    }
+    try runDueLocked(spark, metadataPath, statePath, dataflowName, now, dryRun)
+    finally if (claimed) java.nio.file.Files.deleteIfExists(lock)
+  }
+
+  /** A crashed trigger's lock is considered stale after this long. */
+  val StaleLockMinutes = 360L
+
+  private def runDueLocked(spark: SparkSession, metadataPath: String,
+                           statePath: String, dataflowName: Option[String],
+                           now: Instant, dryRun: Boolean): Seq[Instant] = {
     val pipeline = MetaLoader.loadFile(metadataPath)
     val sched = pipeline.schedule.getOrElse(throw new IllegalArgumentException(
       s"$metadataPath has no 'schedule' block"))

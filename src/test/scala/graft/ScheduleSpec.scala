@@ -187,4 +187,72 @@ class ScheduleSpec extends SparkSpecBase {
     assert(ex2.getMessage.contains("already failed 2 times"))
     assert(Schedule.readFullState(stateP).failure.map(_.attempts) === Some(2))
   }
+
+  /** A minimal daily append-sink pipeline for the lock tests: a
+    * double-execution of the same logical run doubles the sink rows,
+    * so row counts detect it. Returns (metaPath, statePath, sinkDir). */
+  private def lockFixture(): (String, String, String) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sched_lock").toString
+    Seq(1L -> "a", 2L -> "b").toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val metaJson =
+      s"""{"schedule":{"interval":"daily","anchor":"2026-08-01T00:00:00Z"},
+         |"dataflows":[{"name":"copy",
+         |"sources":[{"name":"in","path":"$dir/in","format":"parquet"}],
+         |"transformations":[],
+         |"sinks":[{"input":"in","name":"out",
+         | "paths":["$dir/out"],"format":"parquet","saveMode":"append"}]
+         |}]}""".stripMargin
+    val metaPath = s"$dir/pipeline.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(metaPath), metaJson)
+    Schedule.writeState(java.nio.file.Paths.get(s"$dir/state"),
+      Instant.parse("2026-08-01T00:00:00Z"))
+    (metaPath, s"$dir/state", s"$dir/out")
+  }
+
+  test("concurrency guard: a held lock makes a trigger no-op; stale locks are stolen") {
+    val (metaPath, statePath, out) = lockFixture()
+    val lock = java.nio.file.Paths.get(statePath + ".lock")
+    val now = Instant.parse("2026-08-03T06:00:00Z")
+
+    // fresh lock held by "another trigger": this one must no-op
+    java.nio.file.Files.createFile(lock)
+    assert(ScheduleRunner.runDue(spark, metaPath, statePath, None, now).isEmpty)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out)),
+      "a skipped trigger must not have executed anything")
+    // ...but dry-run still lists (rehearsals never block)
+    assert(ScheduleRunner.runDue(spark, metaPath, statePath, None, now,
+      dryRun = true).nonEmpty)
+
+    // age the lock past the staleness bound: the next trigger steals
+    // it, runs, and releases
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.from(
+        Instant.now().minusSeconds((ScheduleRunner.StaleLockMinutes + 1) * 60)))
+    val ran = ScheduleRunner.runDue(spark, metaPath, statePath, None, now)
+    assert(ran === Seq(Instant.parse("2026-08-02T00:00:00Z")))
+    assert(!java.nio.file.Files.exists(lock), "the winner must release the lock")
+    assert(spark.read.parquet(out).count() === 2)
+  }
+
+  test("concurrency guard: two racing triggers — one runs, one no-ops, no double sink write") {
+    val (metaPath, statePath, out) = lockFixture()
+    val now = Instant.parse("2026-08-03T06:00:00Z")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def trigger(): Future[Seq[Instant]] = Future {
+      barrier.await()
+      ScheduleRunner.runDue(spark, metaPath, statePath, None, now)
+    }
+    val (a, b) = (trigger(), trigger())
+    val results = Seq(a, b).map(Await.result(_, scala.concurrent.duration.Duration("120s")))
+    // exactly one trigger executed the due run (the loser either hit
+    // the lock or, if fully serialized, found nothing left due)
+    assert(results.flatten === Seq(Instant.parse("2026-08-02T00:00:00Z")),
+      s"exactly one trigger must win, got $results")
+    // and the append sink holds ONE run's rows — the double-write the
+    // lock exists to prevent would show 4 here
+    assert(spark.read.parquet(out).count() === 2)
+  }
 }
