@@ -225,15 +225,26 @@ object StreamingIngest {
    * period" from that log alone with one tiny scan.
    *
    * The candidate log bounds the answer set (a CMS can score any key
-   * but cannot enumerate keys): a key hot over the whole period is
-   * locally frequent in at least one batch unless its traffic is
-   * spread thinner than the per-batch top-`m` floor in every batch —
-   * so `m` defaults to generous slack over any k you intend to ask
-   * for. Estimates come from the UNIONED sketch, so a candidate's
-   * count includes every batch, including ones where it was not a
+   * but cannot enumerate keys). Per-batch top-`m` alone would miss a
+   * key hot in AGGREGATE but never locally frequent (traffic spread
+   * thinner than the batch floor in every batch), so the sink also
+   * maintains a CUMULATIVE HEAP: each batch rescores (previous heap ∪
+   * this batch's distinct keys) against the merged sketch log —
+   * cumulative estimates, not batch counts — and appends the top `m`
+   * as that batch's heap row set. A key can only be excluded from the
+   * final heap if, at its last appearance, `m` other keys already
+   * held cumulative estimates at or above its FULL cumulative count
+   * (CMS never underestimates) — so any key whose true total clears
+   * the m-th true count by the sketch's εN envelope survives
+   * (adversarial spec: hot-overall-but-never-per-batch-top-m is
+   * found). The per-batch rescoring job is sketch-broadcast ×
+   * batch-distinct-keys — bounded by batch size, never by history.
+   * Estimates come from the UNIONED sketch, so a candidate's count
+   * includes every batch, including ones where it was not a
    * candidate. foreachBatch is at-least-once: a replayed batch
-   * appends a duplicate sketch row keyed by batch_id, and readers
-   * dedup on it (cmsTopHotKeys does).
+   * appends duplicate sketch/heap rows keyed by batch_id, and readers
+   * dedup on it (cmsTopHotKeys does); the heap recompute is
+   * deterministic, so replayed heap rows are byte-identical.
    */
   def cmsHeavyHittersSink(stream: DataFrame, keyCol: String, outPath: String,
                           checkpoint: String, candidatesPerBatch: Int = 64,
@@ -257,6 +268,31 @@ object StreamingIngest {
             .limit(candidatesPerBatch)
             .select(col("k"), lit(batchId).as("batch_id"))
             .coalesce(1).write.mode("append").parquet(s"$outPath/candidates")
+          // cumulative heap: previous heap keys ∪ this batch's keys,
+          // rescored by CUMULATIVE estimate (merged sketch log, which
+          // already includes this batch's row written above)
+          val ss = batch.sparkSession
+          val merged = ss.read.parquet(s"$outPath/sketches")
+            .groupBy("batch_id").agg(first(col("sketch")).as("sketch"))
+            .agg(graft.functions.CmsExprs.cmsUnion(col("sketch")).as("sk"))
+          val heapDir = s"$outPath/heap"
+          val prevKeys =
+            if (new java.io.File(heapDir).exists()) {
+              // live heap = the LATEST batch's row set (earlier rows are
+              // history; rescoring them too would grow per-batch work
+              // with batch count instead of batch size)
+              val prev = ss.read.parquet(heapDir)
+              val latest = prev.agg(max(col("batch_id"))).first().getLong(0)
+              prev.filter(col("batch_id") === latest).select(col("k")).distinct()
+            } else keyed.limit(0).select(col("k"))
+          keyed.select(col("k")).unionByName(prevKeys).distinct()
+            .crossJoin(broadcast(merged))
+            .select(col("k"),
+              graft.functions.CmsExprs.cmsEstimate(col("sk"), col("k")).as("est_n"))
+            .orderBy(col("est_n").desc, col("k"))
+            .limit(candidatesPerBatch)
+            .withColumn("batch_id", lit(batchId))
+            .coalesce(1).write.mode("append").parquet(heapDir)
         } finally { keyed.unpersist(); () }
       }
       .start()
@@ -264,16 +300,25 @@ object StreamingIngest {
   /**
    * Read a [[cmsHeavyHittersSink]] log and rank the hot keys: union
    * every batch sketch into one (dedup'd by batch_id against
-   * at-least-once replays), then score the distinct candidate union
-   * against it. Returns (k, est_n) top-`k` by estimate. The scan is
-   * sketch-sized, not event-sized — the whole point.
+   * at-least-once replays), then score the distinct union of the
+   * per-batch candidates AND the cumulative heap keys against it
+   * (the heap is what recovers keys hot in aggregate but never
+   * per-batch frequent). Returns (k, est_n) top-`k` by estimate. The
+   * scan is sketch-sized, not event-sized — the whole point.
    */
   def cmsTopHotKeys(spark: SparkSession, outPath: String, k: Int): DataFrame = {
     val merged = spark.read.parquet(s"$outPath/sketches")
       .groupBy("batch_id").agg(first(col("sketch")).as("sketch"))
       .agg(graft.functions.CmsExprs.cmsUnion(col("sketch")).as("sk"))
-    val cands = spark.read.parquet(s"$outPath/candidates")
-      .select("k").distinct()
+    val heapDir = s"$outPath/heap"
+    val heapKeys =
+      if (new java.io.File(heapDir).exists())
+        Seq(spark.read.parquet(heapDir).select(col("k")))
+      else Nil
+    val cands = heapKeys
+      .foldLeft(spark.read.parquet(s"$outPath/candidates").select(col("k")))(
+        _ unionByName _)
+      .distinct()
     // 1-row sketch frame broadcast against the (small) candidate set
     cands.crossJoin(broadcast(merged))
       .select(col("k"),

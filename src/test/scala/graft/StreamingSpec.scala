@@ -219,4 +219,37 @@ class StreamingSpec extends SparkSpecBase {
       assert(est <= ex + epsN, s"key $key: est $est exceeds exact $ex + epsN $epsN")
     }
   }
+
+  test("CMS sink cumulative heap finds a key hot overall but never per-batch top-m") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_adv").toString
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Long]
+    // adversary vs candidatesPerBatch = 2: every batch has two FRESH
+    // decoys × 10 that outrank key 9 × 9 locally, so 9 is NEVER a
+    // per-batch top-2 candidate — but its 27 total beats every decoy's
+    // 10. The per-batch candidate log alone cannot surface it; the
+    // cumulative heap rescores it each batch at its growing cumulative
+    // estimate and must rank it first overall.
+    def batchData(b: Int): Seq[Long] =
+      (1 to 10).map(_ => 100L + b * 10) ++ (1 to 10).map(_ => 100L + b * 10 + 1) ++
+        (1 to 9).map(_ => 9L)
+    val q = StreamingIngest.cmsHeavyHittersSink(stream.toDF().toDF("k"),
+      "k", s"$dir/out", s"$dir/ckpt", candidatesPerBatch = 2,
+      depth = 5, width = 1024)
+    (1 to 3).foreach { b => stream.addData(batchData(b): _*); q.processAllAvailable() }
+    q.stop()
+
+    // the candidate log proves the adversary worked: key 9 never made
+    // a per-batch top-2
+    val candKeys = spark.read.parquet(s"$dir/out/candidates")
+      .select("k").as[Long].collect().toSet
+    assert(!candKeys.contains(9L),
+      s"fixture broken: 9 must never be a per-batch candidate, got $candKeys")
+
+    val top = StreamingIngest.cmsTopHotKeys(spark, s"$dir/out", 1)
+      .as[(Long, Long)].collect()
+    assert(top.map(_._1).toSeq === Seq(9L),
+      s"the cumulative heap must surface key 9 (27 total), got ${top.toSeq}")
+    assert(top.head._2 >= 27L)
+  }
 }
