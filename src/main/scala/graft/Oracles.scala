@@ -70,6 +70,78 @@ object Oracles {
     s"(CASE $cases ELSE 20 END)"
   }
 
+  // -- exact power-of-two table + canonical-double replay --------------
+  // 2^k for k in [-1074, 1023] built by recursive doubling/halving —
+  // every step an EXACT IEEE multiply/divide, so the table is exact in
+  // any engine without libm. Feeds (a) PortableNum.canonString's SQL
+  // replay (exponent via max k with 2^k <= |v|, mantissa via exact
+  // power-of-two scaling, split into two factors where 52-e exceeds
+  // the exponent range) and (b) the portable DDSketch bucket/estimate
+  // replay. Oracles using these CTEs must open with WITH RECURSIVE.
+  private val pow2Ctes: String =
+    "pup AS (SELECT 0 AS k, CAST(1.0 AS DOUBLE) AS p" +
+      " UNION ALL SELECT k+1, p*2 FROM pup WHERE k < 1023),\n" +
+    "pdn AS (SELECT 0 AS k, CAST(1.0 AS DOUBLE) AS p" +
+      " UNION ALL SELECT k-1, p/2 FROM pdn WHERE k > -1074),\n" +
+    // GROUP BY, not UNION-distinct: DuckDB's recursive-CTE UNION can
+    // leave the (0, 1.0) anchor row duplicated across the two branches,
+    // and a duplicate k double-counts every row joining through it
+    "pow2 AS (SELECT k, max(p) AS p FROM" +
+      " (SELECT * FROM pup UNION ALL SELECT * FROM pdn) GROUP BY k)"
+
+  /** (field, s) rows rendering a DOUBLE column exactly as
+    * PortableNum.canonString: `{-}{m}p{e}` with m in [2^52, 2^53),
+    * "0" for both zero signs, NaN/Inf literals. */
+  private def canonDoubleValsSql(f: String, table: String): String =
+    // NOTE: this fragment is embedded inside oracles that run their own
+    // stripMargin — no line may start with whitespace + '|' (a leading
+    // '||' concat would lose its first pipe), so '||' sits at line ends
+    s"""SELECT '$f' AS field,
+       |    CASE WHEN isnan(x.v) THEN 'NaN'
+       |         WHEN x.v = 'inf'::DOUBLE THEN 'Inf'
+       |         WHEN x.v = '-inf'::DOUBLE THEN '-Inf'
+       |         WHEN x.v = 0 THEN '0'
+       |         ELSE (CASE WHEN x.v < 0 THEN '-' ELSE '' END) ||
+       |              CAST(CAST((abs(x.v) * p1.p) * p2.p AS BIGINT) AS VARCHAR) ||
+       |              'p' || CAST(x.e - 52 AS VARCHAR) END AS s
+       |  FROM (SELECT v, (SELECT max(k) FROM pow2 WHERE p <= abs(t.v)) AS e
+       |        FROM (SELECT $f AS v FROM $table WHERE $f IS NOT NULL) t) x
+       |  LEFT JOIN pow2 p1 ON p1.k =
+       |    CASE WHEN 52 - x.e > 1023 THEN 1000 ELSE 52 - x.e END
+       |  LEFT JOIN pow2 p2 ON p2.k =
+       |    CASE WHEN 52 - x.e > 1023 THEN 52 - x.e - 1000 ELSE 0 END""".stripMargin
+
+  /** Portable-DDSketch replay for one positive numeric column (j=6):
+    * bucket k = (e+1022)·64 + ⌊(v/2^e − 1)·64⌋ (all ops IEEE-exact),
+    * rank ⌈q·n⌉ against cumulative counts (zeros rank first), and the
+    * exact arithmetic-midpoint decode 2^e·(1+(2·sb+1)/128). Emits
+    * CTEs `<a>N/<a>Z/<a>B/<a>C/<a>S/<a>E`; read estimates from
+    * `<a>E(q, est)`. Requires `pow2` and `qs(q)` CTEs in scope. */
+  private def ddPortableFieldSql(f: String, a: String): String =
+    s"""${a}N AS (SELECT COUNT($f) AS n FROM lineitem),
+       |${a}Z AS (SELECT COUNT(CASE WHEN $f = 0 THEN 1 END) AS z FROM lineitem),
+       |${a}B AS (SELECT k, COUNT(*) AS c FROM (
+       |    SELECT CASE WHEN x.e < -1022 THEN 0
+       |                ELSE (x.e + 1022) * 64 +
+       |                  CAST(floor((x.v / pe.p - 1.0) * 64.0) AS BIGINT) END AS k
+       |    FROM (SELECT v, (SELECT max(k) FROM pow2 WHERE p <= t.v) AS e
+       |          FROM (SELECT $f AS v FROM lineitem
+       |                WHERE $f IS NOT NULL AND $f > 0) t) x
+       |    JOIN pow2 pe ON pe.k = greatest(x.e, -1022))
+       |  GROUP BY k),
+       |${a}C AS (SELECT k, SUM(c) OVER (ORDER BY k) AS cum FROM ${a}B),
+       |${a}S AS (SELECT qs.q,
+       |    CASE WHEN greatest(1, CAST(ceil(qs.q * ${a}N.n) AS BIGINT)) <= ${a}Z.z
+       |         THEN NULL
+       |         ELSE (SELECT min(k) FROM ${a}C
+       |               WHERE cum + ${a}Z.z >=
+       |                 greatest(1, CAST(ceil(qs.q * ${a}N.n) AS BIGINT))) END AS k
+       |  FROM qs, ${a}N, ${a}Z),
+       |${a}E AS (SELECT s.q,
+       |    CASE WHEN s.k IS NULL THEN 0.0
+       |         ELSE p.p * (1.0 + (2 * (s.k % 64) + 1) / 128.0) END AS est
+       |  FROM ${a}S s LEFT JOIN pow2 p ON p.k = (s.k // 64) - 1022)""".stripMargin
+
   // -- portable-HLL replay (field_stats_approx oracle) -----------------
   // Rebuilds graft's portable HLL sketch (p=12, md5-prefix hashing —
   // HllExprs.hash52/addHash52) in pure SQL. All arithmetic is either
@@ -274,10 +346,16 @@ object Oracles {
     // HllExprs.estimate. distinct_count here is an HLL ESTIMATE that
     // both engines derive independently and must agree on exactly.
     "field_stats_approx" -> {
+      // DOUBLE fields hash their exact-canonical (m, e) rendering
+      // (PortableNum.canonString replayed in SQL via the pow2 table —
+      // engine string renderings of doubles diverge past 1e7 and on
+      // -0.0, so CAST AS VARCHAR is only portable for the rest)
       val fields = Seq("l_quantity", "l_extendedprice", "l_discount", "l_orderkey")
-      val vals = fields.map(f =>
-        s"SELECT '$f' AS field, CAST($f AS VARCHAR) AS s FROM lineitem WHERE $f IS NOT NULL")
-        .mkString("\n  UNION ALL\n  ")
+      val doubleFields = Set("l_quantity", "l_extendedprice", "l_discount")
+      val vals = fields.map { f =>
+        if (doubleFields(f)) canonDoubleValsSql(f, "lineitem")
+        else s"SELECT '$f' AS field, CAST($f AS VARCHAR) AS s FROM lineitem WHERE $f IS NOT NULL"
+      }.mkString("\n  UNION ALL\n  ")
       val base = fields.map { f =>
         s"""SELECT '$f' AS field,
            |  COUNT(CASE WHEN $f IS NULL THEN 1 END) AS null_count,
@@ -287,7 +365,8 @@ object Oracles {
            |  CAST(COUNT(CASE WHEN $f IS NULL THEN 1 END) AS DOUBLE) * 100.0 / COUNT(*) AS null_pct
            |  FROM lineitem""".stripMargin
       }.mkString("\n  UNION ALL\n  ")
-      s"""WITH lct AS (SELECT $hllLinearCountLits AS lc),
+      s"""WITH RECURSIVE $pow2Ctes,
+         |lct AS (SELECT $hllLinearCountLits AS lc),
          |vals AS (
          |  $vals),
          |h AS (SELECT field, CAST('0x' || substr(md5(s), 1, 13) AS BIGINT) AS h52 FROM vals),
@@ -316,6 +395,18 @@ object Oracles {
          |  b.min_num, b.max_num, b.null_pct
          |FROM base b LEFT JOIN dc d USING (field)""".stripMargin
     },
+
+    // portable DDSketch quantiles: buckets, ranks, and estimates all
+    // rebuilt from the raw values with exact arithmetic (pow2 table) —
+    // an approximate quantile sketch with a bit-exact oracle
+    "dd_quantile_portable" ->
+      s"""WITH RECURSIVE $pow2Ctes,
+         |qs AS (SELECT CAST(q AS DOUBLE) AS q
+         |       FROM (VALUES (0.25),(0.5),(0.9),(0.99)) t(q)),
+         |${ddPortableFieldSql("l_extendedprice", "fp")},
+         |${ddPortableFieldSql("l_quantity", "fq")}
+         |SELECT qs.q, fpE.est AS est_price, fqE.est AS est_qty
+         |FROM qs JOIN fpE ON fpE.q = qs.q JOIN fqE ON fqE.q = qs.q""".stripMargin,
 
     "field_quantiles" ->
       Seq("l_quantity", "l_extendedprice", "l_discount").map { f =>

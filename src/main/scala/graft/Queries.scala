@@ -208,6 +208,26 @@ object Queries {
     StatsOp.numericQuantiles(t(s, dir, "lineitem"),
       Seq("l_quantity", "l_extendedprice", "l_discount"))
 
+  /** PORTABLE DDSketch quantiles (j=6 → relative error ≤ 2^-7 ≈
+    * 0.78%): power-of-two sub-bucketed buckets indexed by bit math,
+    * estimates decoded with exact IEEE arithmetic — so this APPROX
+    * quantile operator carries a full oracle: DuckDB rebuilds the
+    * buckets from the raw values with a recursive-doubling pow2 table
+    * and must match every estimate bit-for-bit (the same
+    * verification trick as the portable HLL/CMS modes; closes the
+    * "DDSketch is the only sketch without a portable mode" gap). */
+  def ddQuantilePortable(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.DdSketchExprs.{ddSketchPortable, ddQuantile}
+    t(s, dir, "lineitem")
+      .agg(ddSketchPortable(col("l_extendedprice"), 6).as("skp"),
+        ddSketchPortable(col("l_quantity"), 6).as("skq"))
+      .select(explode(typedLit(Seq(0.25, 0.5, 0.9, 0.99))).as("q"),
+        col("skp"), col("skq"))
+      .select(col("q"),
+        ddQuantile(col("skp"), col("q")).as("est_price"),
+        ddQuantile(col("skq"), col("q")).as("est_qty"))
+  }
+
   def fieldTopkQ(s: SparkSession, dir: String): DataFrame =
     StatsOp.topValues(t(s, dir, "orders"),
       Seq("o_orderstatus", "o_orderpriority"), k = 3)
@@ -604,10 +624,30 @@ object Queries {
       threshold = 0.4)
   }
 
-  /** Brute-force cosine top-k ANN (exact baseline). */
+  /** Above this many estimated corpus rows, [[simTopK]] caps its QUERY
+    * side to a deterministic hash sample of about this many ids. */
+  val SimTopKMaxQueries = 4096L
+
+  /** Brute-force cosine top-k ANN — the exact baseline the recall
+    * probe measures against. QUADRATIC by construction, so past
+    * [[SimTopKMaxQueries]] estimated rows (footer-exact at test
+    * scales — Scale.estimatedRows) the QUERY side caps to a
+    * deterministic hash-sampled ~4096 ids: work becomes O(s·n),
+    * spill-free at any corpus size (r6 planaudit: 5.3 GB spill at
+    * sf1 uncapped), and each sampled query still gets its EXACT
+    * top-k — precisely the ground-truth role a quadratic baseline
+    * exists for. Every driver verify SF sits far below the cap, so
+    * the full-set DuckDB oracle is unchanged; SURVEY §6 carries the
+    * capped-regime evidence. */
   def simTopK(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Similarity.bruteForceTopK(e, e, col("vec_id"), col("embedding"), k = 10)
+    val est = Scale.estimatedRows(e)
+    val q =
+      if (est > SimTopKMaxQueries) {
+        val mod = math.max(1L, math.round(est / SimTopKMaxQueries.toDouble))
+        e.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+      } else e
+    Similarity.bruteForceTopK(q, e, col("vec_id"), col("embedding"), k = 10)
   }
 
   /** LSH-bucketed ANN top-k (the scale path; recall measured in spec). */
@@ -1551,6 +1591,7 @@ object Queries {
     "field_stats" -> fieldStatsQ _,
     "field_stats_approx" -> fieldStatsApproxQ _,
     "field_quantiles" -> fieldQuantilesQ _,
+    "dd_quantile_portable" -> ddQuantilePortable _,
     "field_topk" -> fieldTopkQ _,
     "validation_stats" -> validationStatsQ _,
     "top_errors" -> topErrorsQ _,

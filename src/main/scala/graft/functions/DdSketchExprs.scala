@@ -26,18 +26,45 @@ import org.apache.spark.sql.types._
  */
 object DdSketchExprs {
 
+  /**
+   * `alpha > 0`: standard DDSketch log-γ buckets. `alpha < 0`:
+   * PORTABLE mode sentinel — `alpha = -j` selects power-of-two
+   * buckets with `2^j` mantissa sub-buckets per octave, indexed by
+   * PURE BIT MANIPULATION (no libm): for v ∈ [2^e, 2^(e+1)),
+   * k = (e+1022)·2^j + (top j mantissa bits). Bucket width ratio is
+   * 1+2^-j → relative error ≤ 2^-(j+1) (j=6 ≈ 0.78%, the default
+   * alpha ballpark). The estimate for bucket k is the arithmetic
+   * midpoint 2^e·(1+(2·sb+1)/2^(j+1)) — every op exact in IEEE, so
+   * any engine reproduces estimates BIT-FOR-BIT from (value, j)
+   * alone: the dd_quantile_portable oracle rebuilds buckets, ranks,
+   * and estimates in DuckDB with a recursive-doubling power-of-two
+   * table and must match exactly. Same serialized form (the sentinel
+   * travels in the alpha field), same mergeability. Values below
+   * 2^-1022 (subnormals) collapse into bucket 0 with the first
+   * normal sub-bucket — documented clamp, irrelevant for pipeline
+   * metrics; infinities are rejected.
+   */
   final class Sketch(val alpha: Double) {
-    val gamma: Double = (1.0 + alpha) / (1.0 - alpha)
-    private val logGamma = math.log(gamma)
+    val portableJ: Int = if (alpha < 0) (-alpha).toInt else 0
+    def portable: Boolean = portableJ > 0
+    lazy val gamma: Double = (1.0 + alpha) / (1.0 - alpha)
+    private lazy val logGamma = math.log(gamma)
     var zeroCount: Long = 0L
     val counts = new java.util.TreeMap[Int, java.lang.Long]()
 
     def add(v: Double): Unit = {
-      require(v >= 0.0 && !v.isNaN,
-        s"dd_sketch covers values >= 0, got $v (mirror negatives upstream)")
+      require(v >= 0.0 && !v.isNaN && (!portable || !v.isInfinite),
+        s"dd_sketch covers finite values >= 0, got $v (mirror negatives upstream)")
       if (v == 0.0) zeroCount += 1
       else {
-        val k = math.ceil(math.log(v) / logGamma).toInt
+        val k =
+          if (portable) {
+            val bits = java.lang.Double.doubleToRawLongBits(v)
+            val be = ((bits >>> 52) & 0x7FFL).toInt
+            if (be == 0) 0 // subnormal clamp (see class docs)
+            else ((be - 1) << portableJ) |
+              ((bits & 0xFFFFFFFFFFFFFL) >>> (52 - portableJ)).toInt
+          } else math.ceil(math.log(v) / logGamma).toInt
         val cur = counts.get(k)
         counts.put(k, if (cur == null) 1L else cur + 1L)
       }
@@ -57,8 +84,19 @@ object DdSketchExprs {
     def total: Long =
       zeroCount + counts.values().stream().mapToLong(_.longValue()).sum()
 
-    /** Quantile estimate: the geometric midpoint 2γᵏ/(γ+1) of the
-      * bucket holding rank ⌈q·n⌉ — within relative error α. */
+    /** Bucket estimate: standard mode = geometric midpoint
+      * 2γᵏ/(γ+1); portable mode = exact arithmetic midpoint
+      * 2^e·(1+(2·sb+1)/2^(j+1)) via scalb (every op IEEE-exact,
+      * engine-reproducible). */
+    private def estimate(k: Int): Double =
+      if (portable) {
+        val e = (k >> portableJ) - 1022
+        val sb = k & ((1 << portableJ) - 1)
+        Math.scalb(1.0 + (2.0 * sb + 1.0) / (1L << (portableJ + 1)), e)
+      } else 2.0 * math.pow(gamma, k) / (gamma + 1.0)
+
+    /** Quantile estimate: the bucket holding rank ⌈q·n⌉ — within
+      * relative error α (standard) / 2^-(j+1) (portable). */
     def quantile(q: Double): Option[Double] = {
       require(q >= 0.0 && q <= 1.0, s"quantile $q outside [0,1]")
       val n = total
@@ -70,10 +108,9 @@ object DdSketchExprs {
       while (it.hasNext) {
         val e = it.next()
         seen += e.getValue
-        if (seen >= rank)
-          return Some(2.0 * math.pow(gamma, e.getKey) / (gamma + 1.0))
+        if (seen >= rank) return Some(estimate(e.getKey))
       }
-      Some(2.0 * math.pow(gamma, counts.lastKey()) / (gamma + 1.0))
+      Some(estimate(counts.lastKey()))
     }
 
     def serialize(): Array[Byte] = {
@@ -112,7 +149,10 @@ object DdSketchExprs {
                          mutableAggBufferOffset: Int = 0,
                          inputAggBufferOffset: Int = 0)
       extends TypedImperativeAggregate[Sketch] with UnaryLike[Expression] {
-    require(alpha > 0 && alpha < 0.5, "alpha must be in (0, 0.5)")
+    require((alpha > 0 && alpha < 0.5) ||
+      (alpha < 0 && alpha == math.floor(alpha) && -alpha >= 1 && -alpha <= 16),
+      "alpha must be in (0, 0.5), or a negative integer -j (j in 1..16) " +
+        "selecting the portable power-of-two bucket mode")
     override def dataType: DataType = BinaryType
     override def nullable: Boolean = false
     override def createAggregationBuffer(): Sketch = new Sketch(alpha)
@@ -194,6 +234,12 @@ object DdSketchExprs {
 
   def ddSketch(c: Column, alpha: Double = 0.01): Column =
     GraftBridge.column(DdSketchAgg(e(c), alpha).toAggregateExpression())
+  /** Portable power-of-two bucket mode (see [[Sketch]] docs):
+    * relative error ≤ 2^-(j+1), estimates bit-for-bit reproducible
+    * by any IEEE engine — and the bucket index is integer bit math,
+    * cheaper than the standard mode's per-value log. */
+  def ddSketchPortable(c: Column, j: Int = 6): Column =
+    GraftBridge.column(DdSketchAgg(e(c), -j.toDouble).toAggregateExpression())
   def ddUnion(c: Column): Column =
     GraftBridge.column(DdUnionAgg(e(c)).toAggregateExpression())
   def ddQuantile(c: Column, q: Column): Column =

@@ -65,14 +65,25 @@ object StatsOp {
       Scale.estimatedLeafBytes(df) > threshold
     }
     // Approximate counting: Spark's HLL++ by default; `portableSketch`
-    // swaps in graft's md5-hashed portable HLL (p=12) over the string
-    // rendering — estimates any md5-capable engine can reproduce
-    // bit-for-bit (the field_stats_approx oracle rebuilds the
-    // registers in DuckDB SQL), at a slower per-value hash.
-    def distinctAgg(c: Column) =
+    // swaps in graft's md5-hashed portable HLL (p=12) over a CANONICAL
+    // string rendering — estimates any md5-capable engine can
+    // reproduce bit-for-bit (the field_stats_approx oracle rebuilds
+    // the registers in DuckDB SQL), at a slower per-value hash.
+    // Float/double fields canonicalize through PortableNum (exact
+    // (m, e) rendering): engine string renderings of doubles diverge
+    // past 1e7 (scientific-notation thresholds) and on -0.0, so
+    // `cast(string)` is only portable for the remaining types.
+    def portableRender(c: Column, dt: DataType): Column = dt match {
+      case DoubleType => graft.functions.PortableNum.canonDouble(c)
+      case FloatType =>
+        graft.functions.PortableNum.canonDouble(c.cast("double")) // exact widening
+      case _ => c.cast("string")
+    }
+    def distinctAgg(c: Column, dt: DataType) =
       if (useApprox && portableSketch)
         graft.functions.HllExprs.hllEstimate(
-          graft.functions.HllExprs.hllSketch(c.cast("string"), 12, portable = true))
+          graft.functions.HllExprs.hllSketch(portableRender(c, dt), 12,
+            portable = true))
       else if (useApprox) approx_count_distinct(c)
       else countDistinct(c)
 
@@ -90,7 +101,7 @@ object StatsOp {
       Seq(
         count(when(c.isNull, 1)).as(s"$f#null"),
         count(c).as(s"$f#nonnull"),
-        distinctAgg(c).as(s"$f#distinct"),
+        distinctAgg(c, dt).as(s"$f#distinct"),
         (if (numeric) asNum(min(c)) else lit(null).cast("double")).as(s"$f#minn"),
         (if (numeric) asNum(max(c)) else lit(null).cast("double")).as(s"$f#maxn"),
         min(c).try_cast("string").as(s"$f#mins"),
