@@ -3,6 +3,7 @@ package graft
 import graft.meta.{Schedule, ScheduleSpec => SchedSpec}
 
 import java.time.Instant
+import scala.jdk.CollectionConverters._
 
 class ScheduleSpec extends SparkSpecBase {
   import spark.implicits._
@@ -208,6 +209,75 @@ class ScheduleSpec extends SparkSpecBase {
     Schedule.writeState(java.nio.file.Paths.get(s"$dir/state"),
       Instant.parse("2026-08-01T00:00:00Z"))
     (metaPath, s"$dir/state", s"$dir/out")
+  }
+
+  test("scheduled incremental refresh: delta -> merge sink rewrites only " +
+    "changed-key partitions of the serving table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sched_merge").toString
+    def write(date: String, rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "lang").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/corpus/snapshot_date=$date")
+    // day1: en={1,2}, de={3}, fr={4,6}; day2 updates doc2, adds doc5
+    // (en), removes doc4 (fr). de is untouched by the refresh.
+    val day1 = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"),
+      (4L, "d", "fr"), (6L, "f", "fr"))
+    val day2 = Seq((1L, "a", "en"), (2L, "B!", "en"), (3L, "c", "de"),
+      (5L, "e", "en"), (6L, "f", "fr"))
+    write("2026-08-01", day1)
+    write("2026-08-02", day2)
+    val serving = s"$dir/serving"
+    day1.toDF("doc_id", "text", "lang")
+      .write.partitionBy("lang").parquet(serving)
+    val fileStateDe = {
+      val root = java.nio.file.Paths.get(serving, "lang=de")
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => f.toString ->
+          java.nio.file.Files.getLastModifiedTime(f).toMillis).toMap
+      finally walk.close()
+    }
+
+    val metaJson =
+      s"""{"schedule":{"interval":"daily","anchor":"2026-08-01T00:00:00Z"},
+         |"dataflows":[{"name":"refresh",
+         |"sources":[
+         | {"name":"prev","path":"$dir/corpus/snapshot_date=$${prev_run_date}","format":"parquet"},
+         | {"name":"cur","path":"$dir/corpus/snapshot_date=$${run_date}","format":"parquet"}],
+         |"transformations":[
+         | {"name":"d","type":"version_delta","params":{"input":"prev","new_input":"cur",
+         |   "output":"delta","id":"doc_id","content":"text"}},
+         | {"name":"chg","type":"sql","params":{"input":"delta","output":"changes",
+         |   "query":"SELECT c.doc_id, c.text, c.lang, false AS __deleted FROM delta d JOIN cur c ON d.doc_id = c.doc_id WHERE d.status IN ('added','updated') UNION ALL SELECT d.doc_id, CAST(NULL AS STRING), CAST(NULL AS STRING), true FROM delta d WHERE d.status = 'removed'"}}],
+         |"sinks":[{"input":"changes","name":"serve","paths":["$serving"],
+         | "format":"parquet","saveMode":"merge","mergeKey":"doc_id",
+         | "partitionBy":["lang"]}]
+         |}]}""".stripMargin
+    val metaPath = s"$dir/pipeline.json"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(metaPath), metaJson)
+    val statePath = s"$dir/state"
+    Schedule.writeState(java.nio.file.Paths.get(statePath),
+      Instant.parse("2026-08-01T00:00:00Z"))
+
+    val ran = ScheduleRunner.runDue(spark, metaPath, statePath, None,
+      Instant.parse("2026-08-03T06:00:00Z"))
+    assert(ran === Seq(Instant.parse("2026-08-02T00:00:00Z")))
+
+    // serving table now equals the day-2 snapshot
+    assert(spark.read.parquet(serving).select("doc_id", "text", "lang")
+      .as[(Long, String, String)].collect().toSet === day2.toSet)
+    // the unchanged partition's files were not rewritten
+    val afterDe = {
+      val root = java.nio.file.Paths.get(serving, "lang=de")
+      val walk = java.nio.file.Files.walk(root)
+      try walk.iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(f => f.toString ->
+          java.nio.file.Files.getLastModifiedTime(f).toMillis).toMap
+      finally walk.close()
+    }
+    assert(afterDe === fileStateDe,
+      "lang=de saw no change — the scheduled merge must not rewrite it")
   }
 
   test("concurrency guard: a held lock makes a trigger no-op; stale locks are stolen") {
