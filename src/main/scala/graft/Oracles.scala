@@ -2194,7 +2194,23 @@ object Oracles {
         |       ELSE source END AS source,
         |  CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
         |FROM documents
-        |WHERE doc_id % 13 <> 0""".stripMargin)
+        |WHERE doc_id % 13 <> 0""".stripMargin,
+
+    // incremental aggregate maintenance: the oracle aggregates the
+    // merged end state ONE-SHOT (same change set as corpus_merge);
+    // hash equality against the delta-maintained table proves
+    // maintenance ≡ full recompute — exact because sums carry
+    // decimal(38,6) on both engines
+    "agg_maintain" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 7 = 0 AND doc_id % 13 <> 0 AND doc_id % 3 = 0
+        |              THEN 'src_new' ELSE source END AS source,
+        |         CASE WHEN doc_id % 7 = 0 AND doc_id % 13 <> 0
+        |              THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT source, COUNT(*) AS n,
+        |  CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sum_n_chars
+        |FROM m GROUP BY source""".stripMargin)
 
   /** Script-profile oracle, generated from the same ScriptClasses /
     * ScriptSnippets constants the Spark query uses — one source of

@@ -1458,6 +1458,30 @@ object Queries {
     s.read.parquet(p).select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Incremental aggregate maintenance over `corpus_merge`'s change
+    * set: bootstrap the per-source (n, sum_n_chars) table from the
+    * pre-merge corpus, then apply the change as DELTA-SIZED work —
+    * subtract the old versions of revised+deleted docs, add the
+    * revised ones — through [[operators.IncrementalAgg.maintain]].
+    * The oracle aggregates the merged END STATE one-shot, so hash
+    * equality proves maintenance ≡ full recompute (decimal sums make
+    * it bit-exact and order-free). */
+  def aggMaintain(s: SparkSession, dir: String): DataFrame = {
+    val p = scratch("agg_maintain", dir)
+    val docs = t(s, dir, "documents")
+    operators.IncrementalAgg.build(docs, Seq("source"), Seq("n_chars"))
+      .write.mode("overwrite").parquet(p)
+    val removed = docs.filter(col("doc_id") % 7 === 0 || col("doc_id") % 13 === 0)
+    val added = docs
+      .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
+      .withColumn("n_chars", col("n_chars") + 5)
+      .withColumn("source",
+        when(col("doc_id") % 3 === 0, lit("src_new")).otherwise(col("source")))
+    operators.IncrementalAgg.maintain(s, p, Seq("source"), Seq("n_chars"),
+      removed, added)
+    s.read.parquet(p).select("source", "n", "sum_n_chars")
+  }
+
   /** Blocklist screening terms for the catalog query: data-ish words
     * and phrases present in the synthetic corpus + one absent term,
     * shared verbatim with the DuckDB oracle. */
@@ -1683,6 +1707,7 @@ object Queries {
     "text_script" -> textScript _,
     "corpus_delta" -> corpusDelta _,
     "corpus_merge" -> corpusMerge _,
+    "agg_maintain" -> aggMaintain _,
     "emb_quantize" -> embQuantize _,
     "sim_pq" -> simPq _,
     "fuzzy_names" -> fuzzyNames _,
