@@ -495,8 +495,10 @@ object Oracles {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)""".stripMargin,
 
-    // events.ts is parquet TIMESTAMP(NANOS); graft surfaces it at
-    // micro precision, so the oracle casts to plain (micro) TIMESTAMP.
+    // events.ts is surfaced by graft at micro-precision TIMESTAMP
+    // whatever the file's physical type (NANOS-as-long with exact
+    // div-1000, or native micros — see Readers.table); the oracle
+    // casts to plain (micro) TIMESTAMP to match.
     "q_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type, COUNT(*) AS n,
         |CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value

@@ -98,9 +98,14 @@ object ScaleBench {
       df.withColumn("event_id", col("event_id") + lit(evtS * k))
         .withColumn("user_id", col("user_id") + lit(userS * k))
         // shift each copy a few minutes so sessions/windows don't
-        // stack (ts is a NANOS long under nanosAsLong — see
-        // Readers.table; plain INT64 reads back as the same long)
-        .withColumn("ts", col("ts") + lit(k * 7L * 60L * 1000000000L)))
+        // stack; ts is a NANOS long under nanosAsLong on the legacy
+        // testdata layout, a (NTZ) timestamp on the micros layout —
+        // shift in whichever domain the file carries
+        .withColumn("ts", df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            col("ts") + lit(k * 7L * 60L * 1000000000L)
+          case _ => col("ts") + expr(s"INTERVAL '${k * 7}' MINUTE")
+        }))
     offsetCopies("documents", 16)((df, k) =>
       df.withColumn("doc_id", col("doc_id") + lit(docS * k))
         .withColumn("text",

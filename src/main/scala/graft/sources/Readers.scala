@@ -146,13 +146,24 @@ object Readers {
   }
 
   /** Convenience: a testdata table from an sf directory. The events
-    * table carries a nanosecond `ts`; surfaced as a microsecond
-    * timestamp (`ts div 1000` — integer division, no double rounding)
-    * to match DuckDB's micro-precision TIMESTAMP semantics. */
+    * table's `ts` is surfaced as a micro-precision `TIMESTAMP`
+    * (DuckDB's semantics) whatever the file's physical type:
+    * parquet TIMESTAMP(NANOS) arrives as a nanosecond long (via the
+    * nanosAsLong conf) and converts by exact integer division;
+    * TIMESTAMP(MICROS) without UTC adjustment arrives as
+    * TIMESTAMP_NTZ and casts to the session-zone timestamp (UTC in
+    * every graft session — same instants either way); an
+    * already-adjusted TIMESTAMP passes through. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val df = parquet(spark, s"$sfDir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      df.schema("ts").dataType match {
+        case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+        case _                => df
+      }
     else df
   }
 }
