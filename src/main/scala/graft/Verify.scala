@@ -10,6 +10,13 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // graft's bounded-heap top-k agg (TopKExprs) keeps one k-sized
+      // buffer per query id; the 128-group default would push it into
+      // sort-based fallback (re-sorting the candidate frame — the
+      // exact spill this agg exists to remove). Catalog sketch aggs
+      // (HLL/CMS/DDSketch) only ever group by low-cardinality keys,
+      // so the raised cap never bites them.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

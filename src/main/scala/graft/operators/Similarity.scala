@@ -48,6 +48,36 @@ object Similarity {
     Scale.ensureParallelism(df)
       .select(id.as("id"), vec.as("vec"), l2Norm(vec).as("norm"))
 
+  /** Candidate frame (qid, neighbor_id, <score>) → ranked
+    * (id, neighbor_id, <score>, rank 1..k) via the bounded-heap
+    * aggregate ([[graft.functions.TopKExprs]]) instead of
+    * `row_number() OVER`: the window form sorts the ENTIRE candidate
+    * frame (the ~630 MB-per-entry sf1 spill planaudit flagged — at
+    * 100 TB, the bottleneck), while the heap partial-aggregates
+    * map-side to ≤k rows per query before the exchange. Identical
+    * selection semantics (score best-first, neighbor id asc on ties);
+    * `distinctIds` folds LSH's multi-table duplicate drop into the
+    * same pass (duplicates carry identical scores, so id-dedup inside
+    * the heap ≡ `.distinct()` + window, one exchange fewer). */
+  private def rankCandidates(cand: DataFrame, k: Int, scoreName: String,
+                             bigBetter: Boolean,
+                             distinctIds: Boolean = false): DataFrame = {
+    import graft.functions.TopKExprs
+    val sel =
+      if (bigBetter)
+        TopKExprs.topKBySim(col("neighbor_id"), col(scoreName), k,
+          distinctIds, scoreName)
+      else
+        TopKExprs.topKByDist(col("neighbor_id"), col(scoreName), k,
+          distinctIds, scoreName)
+    cand.groupBy(col("qid"))
+      .agg(sel.as("__nn"))
+      .select(col("qid").as("id"), posexplode(col("__nn")))
+      .select(col("id"), col("col.neighbor_id").as("neighbor_id"),
+        col(s"col.$scoreName").as(scoreName),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /**
    * Embedding near-dup pairs: (id_a, id_b, cos_sim) with
    * cos_sim ≥ threshold and id_a < id_b. Brute force O(n²) — the
@@ -78,18 +108,13 @@ object Similarity {
     val q = withNorm(queries, id, vec)
       .select(col("id").as("qid"), col("vec").as("qvec"), col("norm").as("qnorm"))
     val c = withNorm(corpus, id, vec)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    c.crossJoin(broadcast(q))
+    val cand = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("neighbor_id"),
         when(col("qnorm") * col("norm") === 0.0, lit(0.0))
           .otherwise(dot(col("qvec"), col("vec")) /
             (col("qnorm") * col("norm"))).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .withColumnRenamed("qid", "id")
+    rankCandidates(cand, k, "cos_sim", bigBetter = true)
   }
 
   /** (id, vec, norm, table, bucket) — one row per (vector, table).
@@ -154,22 +179,18 @@ object Similarity {
     val b = bucketed(df, id, vec, tables, bits, seed)
     val a = b.as("a")
     val c = b.as("c")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    // cos_sim is computed BEFORE the dedup so the distinct exchange
-    // carries 3 scalars per row, not two 64-float vectors (VecDot is
-    // cheap enough that re-scoring multi-table collisions beats
-    // shuffling payloads)
-    a.join(c, col("a.table") === col("c.table") &&
+    // cos_sim is computed BEFORE the heap so the exchange carries
+    // k-sized heap partials, not two 64-float vectors per candidate
+    // (VecDot is cheap enough that re-scoring multi-table collisions
+    // beats shuffling payloads); distinctIds folds the multi-table
+    // duplicate drop into the heap — one exchange for dedup AND rank
+    val cand = a.join(c, col("a.table") === col("c.table") &&
         col("a.bucket") === col("c.bucket") && col("a.id") =!= col("c.id"))
-      .select(col("a.id").as("id"), col("c.id").as("neighbor_id"),
+      .select(col("a.id").as("qid"), col("c.id").as("neighbor_id"),
         when(col("a.norm") * col("c.norm") === 0.0, lit(0.0))
           .otherwise(dot(col("a.vec"), col("c.vec")) /
             (col("a.norm") * col("c.norm"))).as("cos_sim"))
-      .distinct()
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankCandidates(cand, k, "cos_sim", bigBetter = true, distinctIds = true)
   }
 
   /**
@@ -326,17 +347,13 @@ object Similarity {
       element_at(nearestCentroids(col("vec"), centroids, 1), 1).as("cell"))
     val queries = v.select(col("id").as("qid"), col("vec").as("qvec"), col("norm").as("qnorm"),
         explode(nearestCentroids(col("vec"), centroids, probes)).as("cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    queries.join(data, Seq("cell"))
+    val cand = queries.join(data, Seq("cell"))
       .filter(col("qid") =!= col("id"))
-      .select(col("qid").as("id"), col("id").as("neighbor_id"),
+      .select(col("qid"), col("id").as("neighbor_id"),
         when(col("qnorm") * col("norm") === 0.0, lit(0.0))
           .otherwise(dot(col("qvec"), col("vec")) /
             (col("qnorm") * col("norm"))).as("cos_sim"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankCandidates(cand, k, "cos_sim", bigBetter = true)
   }
 
   /**
@@ -421,15 +438,11 @@ object Similarity {
       element_at(nearestCentroids(col("v"), cells, 1), 1).as("cell"))
     val queries = base.select(col("id").as("qid"), col("uv").as("quv"),
       explode(nearestCentroids(col("v"), cells, nprobe)).as("cell"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id"))
-      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    queries.join(data, Seq("cell"))
+    val cand = queries.join(data, Seq("cell"))
       .filter(col("qid") =!= col("id"))
-      .select(col("qid").as("id"), col("id").as("neighbor_id"),
+      .select(col("qid"), col("id").as("neighbor_id"),
         vecSqDist(col("quv"), pqDecode(col("code"), pq)).as("adc_dist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankCandidates(cand, k, "adc_dist", bigBetter = false)
   }
 
   /**

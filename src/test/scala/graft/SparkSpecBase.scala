@@ -15,6 +15,9 @@ object SparkSpecBase {
       .master("local[4]")
       .appName("graft-spec")
       .config("spark.sql.shuffle.partitions", "4")
+      // match the production builders: keep TopKExprs' per-query heap
+      // aggregation hash-based past 128 groups (see Bench.scala)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", (1 << 20).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
