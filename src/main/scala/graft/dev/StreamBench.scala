@@ -109,6 +109,24 @@ object StreamBench {
             .otherwise(col("value") % 100000).as("k"))
         StreamingIngest.cmsHeavyHittersSink(keys, "k", s"$dir/out", s"$dir/ckpt")
       }),
+      // Streaming CDC merge apply: STATELESS foreachBatch (the
+      // "state" is the merged table itself) — each micro-batch
+      // collapses to last-change-per-key and rewrites only the
+      // partitions containing changed keys. Keys spread over 10k ids
+      // in 40 hive partitions; ~4% deletes. Rate sized so the
+      // per-batch copy-on-write file rewrite keeps up locally: the
+      // bound here is partition-rewrite I/O, not row throughput.
+      Scenario("cdc_merge", s => {
+        val dir = tmpDir("cdc")
+        val changes = rate(s, 20000)
+          .select((col("value") % 10000).as("k"),
+            ((col("value") % 10000) % 40).cast("int").as("part"),
+            col("value").as("seq"),
+            (col("value") % 23 === 0).as("__deleted"),
+            concat(lit("payload-"), col("value")).as("payload"))
+        StreamingIngest.cdcMergeSink(changes, s"$dir/target", s"$dir/ckpt",
+          key = "k", partitionCol = "part", seqCol = "seq")
+      }),
       // Watermarked tumbling-window aggregation: state is
       // (#event_types x open windows), dropped 3s past window end.
       Scenario("windowed_agg", s => {

@@ -58,7 +58,9 @@ object MetaLoader {
       layout = str(n, "layout", "none").toLowerCase,
       layoutKeys = strArr(n, "layoutKeys"),
       layoutPartitions = n.path("layoutPartitions").asInt(0),
-      mergeKey = str(n, "mergeKey", ""))
+      mergeKey = str(n, "mergeKey", ""),
+      aggGroupBy = strArr(n, "aggGroupBy"),
+      aggSums = strArr(n, "aggSums"))
 
   private def parseTransform(n: JsonNode): TransformSpec = {
     val name = str(n, "name")

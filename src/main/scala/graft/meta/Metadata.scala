@@ -45,7 +45,15 @@ final case class SinkSpec(
     // saveMode=merge: key column for the copy-on-write upsert into the
     // hive-partitioned target (operators.Merge); rows whose optional
     // `__deleted` boolean is true are delete keys, the rest upserts
-    mergeKey: String = "")
+    mergeKey: String = "",
+    // saveMode=agg_maintain: maintain a grouped-aggregate table
+    // (operators.IncrementalAgg) from a CHANGE frame — rows whose
+    // optional `__removed` boolean is true are OLD versions whose
+    // contribution is subtracted, the rest are added; a missing
+    // target bootstraps from the added rows. Delta-sized work at any
+    // corpus size — the declarative read-side twin of saveMode=merge.
+    aggGroupBy: Seq[String] = Nil,
+    aggSums: Seq[String] = Nil)
 
 sealed trait TransformSpec {
   def name: String

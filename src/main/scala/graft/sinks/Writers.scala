@@ -48,6 +48,46 @@ object Writers {
       }
       return
     }
+    // incremental aggregate maintenance (operators.IncrementalAgg):
+    // the input is a CHANGE frame — rows with `__removed = true` are
+    // the OLD versions of updated/deleted corpus rows (contribution
+    // subtracted), the rest are added. Delta-sized maintenance of a
+    // grouped (n, sum_*) table; a missing target bootstraps from the
+    // added rows. parquet-only (the table is read back to maintain).
+    if (spec.saveMode == "agg_maintain") {
+      require(spec.aggGroupBy.nonEmpty,
+        s"sink '${spec.name}': saveMode agg_maintain needs aggGroupBy")
+      require(spec.format == "parquet",
+        s"sink '${spec.name}': saveMode agg_maintain is parquet-only " +
+          s"(got ${spec.format})")
+      require(spec.layout == "none" && spec.partitionBy.isEmpty,
+        s"sink '${spec.name}': agg_maintain and layout/partitionBy are " +
+          "mutually exclusive — the aggregate table is KB-sized")
+      val rem =
+        if (df.columns.contains("__removed"))
+          df.filter(coalesce(col("__removed"), lit(false))).drop("__removed")
+        else df.limit(0)
+      val add =
+        if (df.columns.contains("__removed"))
+          df.filter(!coalesce(col("__removed"), lit(false))).drop("__removed")
+        else df
+      spec.paths.foreach { path =>
+        val dir = new java.io.File(path)
+        val exists = dir.isDirectory && dir.listFiles() != null &&
+          dir.listFiles().exists(f => !f.getName.startsWith(".") &&
+            !f.getName.startsWith("_"))
+        if (!exists) {
+          graft.operators.IncrementalAgg.build(add, spec.aggGroupBy, spec.aggSums)
+            .write.mode("overwrite").parquet(path)
+          println(s"[sink ${spec.name}] bootstrapped aggregate table at $path")
+        } else {
+          graft.operators.IncrementalAgg.maintain(df.sparkSession, path,
+            spec.aggGroupBy, spec.aggSums, rem, add)
+          println(s"[sink ${spec.name}] maintained aggregate table at $path")
+        }
+      }
+      return
+    }
     // data-skipping layouts (declarative reach for Scale's file-layout
     // writers): cluster files by key range / Morton curve so parquet
     // footer stats prune for downstream readers

@@ -101,4 +101,23 @@ class IncrementalAggSpec extends SparkSpecBase {
     }
     assert(ex.getMessage.contains("expected"))
   }
+
+  test("metadata sink saveMode=agg_maintain: bootstrap then delta-maintain") {
+    import org.apache.spark.sql.functions.lit
+    val path = fresh("meta")
+    def sink = graft.meta.SinkSpec(
+      input = "in", name = "agg_sink", paths = Seq(path),
+      format = "parquet", saveMode = "agg_maintain",
+      aggGroupBy = Seq("source"), aggSums = Seq("tokens"))
+    // first write: no table yet — the change frame's added rows (the
+    // whole v1 corpus) bootstrap it
+    graft.sinks.Writers.write(df(v1), sink)
+    assert(readAgg(path) === recompute(v1))
+    // second write: a change frame with __removed marking the old
+    // versions; result must equal the one-shot recompute of v2
+    val change = df(removed).withColumn("__removed", lit(true))
+      .unionByName(df(added).withColumn("__removed", lit(false)))
+    graft.sinks.Writers.write(change, sink)
+    assert(readAgg(path) === recompute(v2))
+  }
 }
