@@ -33,10 +33,13 @@ object Queries {
     * valid global order; it only shapes candidate counts (results are
     * rescored exactly), so a set computed on the full corpus serves
     * filtered subsets of it too. */
-  private val freqMemo = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
-  private def corpusFreq(s: SparkSession, dir: String): Option[Array[Long]] =
+  private val freqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Dedup.ShingleStats]()
+  private def corpusStats(s: SparkSession, dir: String): Option[Dedup.ShingleStats] =
     Some(freqMemo.computeIfAbsent(dir, _ =>
-      Dedup.shingleFrequencies(t(s, dir, "documents"), col("text"), col("doc_id"))))
+      Dedup.shingleStats(t(s, dir, "documents"), col("text"), col("doc_id"))))
+  private def corpusFreq(s: SparkSession, dir: String): Option[Array[Long]] =
+    corpusStats(s, dir).map(_.frequent)
 
   /** Exact money: double → decimal(12,2). */
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
@@ -545,7 +548,7 @@ object Queries {
   /** n-gram Jaccard near-dup pairs (3-shingles, j ≥ 0.8). */
   def dedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(t(s, dir, "documents"), col("text"), col("doc_id"),
-      freqIn = corpusFreq(s, dir))
+      statsIn = corpusStats(s, dir))
 
   /** MinHash + LSH near-dup pairs, exactly verified (true Jaccard
     * ≥ 0.8) — the LSH-then-verify construction, full DuckDB oracle.
@@ -576,7 +579,7 @@ object Queries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicateClusters(
       Dedup.ngramJaccard(t(s, dir, "documents"), col("text"), col("doc_id"),
-        freqIn = corpusFreq(s, dir)))
+        statsIn = corpusStats(s, dir)))
 
   /** The 20 most repeated 8-token spans corpus-wide — what IS the
     * boilerplate substring dedup would carve. */
@@ -590,7 +593,7 @@ object Queries {
     val docs = t(s, dir, "documents")
     Dedup.dedupKeepBest(docs, col("doc_id"), length(col("text")),
         Dedup.ngramJaccard(docs, col("text"), col("doc_id"),
-          freqIn = corpusFreq(s, dir)))
+          statsIn = corpusStats(s, dir)))
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
   }
 
@@ -1276,7 +1279,7 @@ object Queries {
       .filter(col("__rn") === 1).drop("__rn")
     // near-dup removal: drop doc_b of every jaccard>=0.8 pair
     val drop = Dedup.ngramJaccard(kept, col("text"), col("doc_id"),
-        freqIn = corpusFreq(s, dir))
+        statsIn = corpusStats(s, dir))
       .select(col("doc_b").as("doc_id")).distinct()
     kept.join(drop, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang_pred"), col("quality_score"),
@@ -1314,7 +1317,7 @@ object Queries {
         .select(col("__r.doc_id"), col("__r.text"), col("__r.n_tokens")))
     val nonCanonical = Dedup
       .duplicateClusters(Dedup.ngramJaccard(kept, col("text"), col("doc_id"),
-        freqIn = corpusFreq(s, dir)))
+        statsIn = corpusStats(s, dir)))
       .filter(col("cluster_id") =!= col("doc_id"))
       .select("doc_id")
     val deduped = kept.join(nonCanonical, Seq("doc_id"), "left_anti")

@@ -89,7 +89,21 @@ object GraftFunctions {
         CmsExprs.DefaultWidth, portable = true).toAggregateExpression()),
     Fn("cms_estimate_portable",
       "cms_estimate_portable(sketch, str) - frequency upper bound in a portable sketch", 2,
-      args => CmsExprs.CmsEstimate(args(0), args(1), portable = true)))
+      args => CmsExprs.CmsEstimate(args(0), args(1), portable = true)),
+    // bounded-heap top-k selection (the ANN serve-path aggregate):
+    // array<struct<neighbor_id, score>> sorted best-first — rank is
+    // posexplode position + 1. Replaces row_number() OVER (PARTITION
+    // BY ... ORDER BY ...) <= k without sorting the candidate frame.
+    Fn("topk_by_sim",
+      "topk_by_sim(id, score, k) - top-k (neighbor_id, cos_sim) per group by DESCENDING score, ties id asc", 3,
+      args => TopKExprs.TopKPairsAgg(args(0), args(1),
+        foldableInt(args(2), "topk_by_sim k"), bigBetter = true,
+        distinctIds = false, scoreName = "cos_sim").toAggregateExpression()),
+    Fn("topk_by_dist",
+      "topk_by_dist(id, score, k) - top-k (neighbor_id, adc_dist) per group by ASCENDING score, ties id asc", 3,
+      args => TopKExprs.TopKPairsAgg(args(0), args(1),
+        foldableInt(args(2), "topk_by_dist k"), bigBetter = false,
+        distinctIds = false, scoreName = "adc_dist").toAggregateExpression()))
 
   private def foldableStringArray(e: Expression): Seq[String] = {
     require(e.foldable, "multi_match_count terms must be a literal array")

@@ -72,10 +72,88 @@ object Dedup {
   def ngramJaccard(df: DataFrame, content: Column, id: Column,
                    k: Int = 3, threshold: Double = 0.8,
                    freqOrdered: Boolean = true,
-                   freqIn: Option[Array[Long]] = None): DataFrame = {
+                   freqIn: Option[Array[Long]] = None,
+                   statsIn: Option[ShingleStats] = None,
+                   maxCandidatesPerDoc: Int = DefaultMaxCandidatesPerDoc): DataFrame = {
+    // CANDIDATE-VOLUME PRE-FLIGHT (found by the r7 documents-x100
+    // probe): on a VOCABULARY-BOUNDED corpus every shingle is
+    // high-df, the (isFrequent, hash) order degenerates, and prefix
+    // buckets go quadratic — 500k synthetic docs over ~30k distinct
+    // 3-shingles produced ~1e9 candidate pairs (71 GB of shuffle
+    // before the run died). The df aggregation the freq order
+    // already pays yields the estimate for free:
+    //   E[candidates] ≈ prefixFrac² · Σ_h df_h²,  prefixFrac ≈ (1-t) + 1/|s|
+    // Past `maxCandidatesPerDoc` (0 disables) the operator routes to
+    // [[minhashLshVerified]] — identical output contract, exact
+    // rescoring, candidate volume governed by BAND collisions (the
+    // whole-set hash) instead of per-shingle df, so the degenerate
+    // corpus costs nothing extra. The trade is the standard LSH miss
+    // probability ((1-t²)^16 ≈ 8e-8 at t = 0.8) — negligible, and
+    // only ever taken in the regime where the exact path cannot run.
     val sigs = shingleSigs(df, content, id, k)
-    rescore(prefixCandidates(sigs, threshold, freqOrdered, freqIn = freqIn),
-      sigs, threshold)
+    val stats = statsIn.orElse {
+      if (freqIn.isDefined || !freqOrdered || maxCandidatesPerDoc <= 0) None
+      else Some(statsOf(sigs))
+    }
+    stats.filter(st => maxCandidatesPerDoc > 0 &&
+        st.estCandidatesPerDoc(threshold) > maxCandidatesPerDoc) match {
+      case Some(st) =>
+        println(f"[graft] ngramJaccard: est. ${st.estCandidatesPerDoc(threshold)}%.0f " +
+          s"candidates/doc > $maxCandidatesPerDoc — vocabulary-bounded corpus, " +
+          "routing to minhashLshVerified (same contract, banded candidates)")
+        minhashLshVerified(df, content, id, k, threshold = threshold)
+      case None =>
+        rescore(prefixCandidates(sigs, threshold, freqOrdered,
+          freqIn = freqIn.orElse(stats.map(_.frequent))), sigs, threshold)
+    }
+  }
+
+  /** Above this estimated candidate-pair count PER DOCUMENT,
+    * [[ngramJaccard]] abandons prefix filtering for banded-LSH
+    * candidates. At the catalog scales the estimate is ~20/doc; the
+    * degenerate x100 probe corpus measures ~2000/doc. */
+  val DefaultMaxCandidatesPerDoc: Int = 512
+
+  /** Corpus shingle statistics: the frequent-set order artifact plus
+    * the df moments the candidate pre-flight needs. Train-once per
+    * corpus (same lifecycle as the IVF codebook); staleness is safe
+    * for `frequent` (any consistent order is exact) and advisory for
+    * the estimate. */
+  final case class ShingleStats(frequent: Array[Long], nDocs: Long,
+                                sumDfSq: Double, meanSize: Double) {
+    /** prefixFrac² · Σdf² / n — expected prefix-join candidate pairs
+      * per document at Jaccard threshold `t`. */
+    def estCandidatesPerDoc(t: Double): Double =
+      if (nDocs <= 0 || meanSize <= 0) 0.0
+      else {
+        val prefixFrac = math.min(1.0, (1.0 - t) + 1.0 / meanSize)
+        prefixFrac * prefixFrac * sumDfSq / nDocs
+      }
+  }
+
+  /** [[ShingleStats]] from a corpus — one explode+groupBy over the
+    * cached signatures (the same aggregation the frequency order
+    * already runs) plus two scalar actions on its output. */
+  def shingleStats(df: DataFrame, content: Column, id: Column,
+                   k: Int = 3, minDf: Int = 4,
+                   cap: Int = 1 << 20): ShingleStats =
+    statsOf(shingleSigs(df, content, id, k), minDf, cap)
+
+  private def statsOf(sigs: DataFrame, minDf: Int = 4,
+                      cap: Int = 1 << 20): ShingleStats = {
+    val grouped = sigs.select(explode(col("sh")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val frequent = grouped.filter(col("df") >= minDf)
+      .orderBy(col("df").desc, col("h").asc)
+      .limit(cap)
+      .select("h").collect().map(_.getLong(0)).sorted
+    val m = grouped.agg(
+        coalesce(sum(col("df") * col("df")), lit(0L)).cast("double").as("df2"),
+        coalesce(sum(col("df")), lit(0L)).cast("double").as("inst"))
+      .collect()(0)
+    val n = sigs.count()
+    ShingleStats(frequent, n, m.getDouble(0),
+      if (n == 0) 0.0 else m.getDouble(1) / n)
   }
 
   /**
@@ -189,9 +267,17 @@ object Dedup {
     * contract (doc_a, doc_b, inter, size_a, size_b, jaccard). */
   private def rescore(cand: DataFrame, sigs: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.VectorExprs
+    // shuffle_hash on the signature side: a sort-merge join would SORT
+    // the signature frame (per-doc hash arrays — the widest thing in
+    // this operator) once per side; hash-building a signature
+    // partition is cheap and partition-bounded at any corpus size.
+    // Measured at the degenerate x100 probe: the rescore SMJ sorts
+    // were most of a 7.5 GB spill.
     cand
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        .hint("shuffle_hash"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         VectorExprs.sortedIntersectCount(col("sh_a"), col("sh_b")).cast("long").as("inter"),
         size(col("sh_a")).cast("long").as("size_a"),

@@ -130,6 +130,50 @@ class DedupSpec extends SparkSpecBase {
     assert(!out.contains((1L, 5L)))
   }
 
+  test("candidate pre-flight: vocabulary-bounded corpus routes to banded LSH") {
+    // DEGENERATE corpus (the r7 documents-x100 probe's failure shape):
+    // 1200 docs of 30 words drawn from a 12-word vocabulary — every
+    // 3-shingle is shared by hundreds of docs, so prefix filtering
+    // has no selective hashes to stand on. Plus one planted near-dup
+    // pair (ids 100000/100001) that must survive the route switch.
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    val base = (0 until 1200).map { d =>
+      val words = (0 until 30).map(i => vocab((d * 31 + i * 17) % 12))
+      (d.toLong, words.mkString(" "))
+    }
+    val nearA = (0 until 30).map(i => vocab((7 * 31 + i * 17) % 12)).mkString(" ")
+    val planted = Seq((100000L, nearA + " omega"), (100001L, nearA + " omega"))
+    val corpus = (base ++ planted).toDF("doc_id", "text")
+
+    val stats = Dedup.shingleStats(corpus, col("text"), col("doc_id"))
+    assert(stats.estCandidatesPerDoc(0.8) > Dedup.DefaultMaxCandidatesPerDoc,
+      s"degenerate corpus must trip the pre-flight " +
+        s"(est ${stats.estCandidatesPerDoc(0.8)})")
+
+    // the auto path (switches to banded LSH) still finds the planted
+    // exact pair, and agrees with the explicit LSH-verified operator
+    val auto = Dedup.ngramJaccard(corpus, col("text"), col("doc_id"))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val lsh = Dedup.minhashLshVerified(corpus, col("text"), col("doc_id"))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(auto === lsh)
+    assert(auto.exists { case (a, b, j) => a == 100000L && b == 100001L && j == 1.0 })
+
+    // healthy corpus: the pre-flight stays far under the bound and
+    // the exact prefix path runs (same result with the switch disabled)
+    val healthyStats = Dedup.shingleStats(docs, col("text"), col("doc_id"))
+    assert(healthyStats.estCandidatesPerDoc(0.8) < 16)
+    val viaAuto = Dedup.ngramJaccard(docs, col("text"), col("doc_id"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val viaExact = Dedup.ngramJaccard(docs, col("text"), col("doc_id"),
+        maxCandidatesPerDoc = 0)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(viaAuto === viaExact)
+  }
+
   test("minhash LSH: catches exact + near dups, estimate within 0.3 of truth") {
     // fixture near-pair has true j=0.6; 16 bands × 2 rows gives
     // P(banded) ≈ 0.999 (8×4 was a 0.67 coin flip on the hash)

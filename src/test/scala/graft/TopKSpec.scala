@@ -91,6 +91,21 @@ class TopKSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("SQL registry: topk_by_sim selects what the window selects") {
+    graft.functions.GraftFunctions.register(spark)
+    candidates(dups = false).createOrReplaceTempView("topk_cand")
+    val viaSql = spark.sql(
+      """SELECT qid AS id, nn.neighbor_id, nn.cos_sim,
+        |       CAST(pos + 1 AS INT) AS rank
+        |FROM (SELECT qid, topk_by_sim(neighbor_id, cos_sim, 5) AS arr
+        |      FROM topk_cand GROUP BY qid)
+        |LATERAL VIEW posexplode(arr) t AS pos, nn""".stripMargin)
+      .collect().map(_.toSeq).toSet
+    val viaWindow = windowTopK(candidates(dups = false), 5, asc = false,
+      distinct = false).collect().map(_.toSeq).toSet
+    assert(viaSql == viaWindow)
+  }
+
   test("serialization round-trips a partial heap exactly") {
     val buf = new TopKExprs.TopKBuf(5, true, true)
     Seq((4L, 0.5), (9L, 0.5), (2L, 0.9), (7L, 0.1), (1L, 0.7), (3L, 0.6),
