@@ -101,10 +101,14 @@ object StreamBench {
       // store rows at all) — the "state" is the persisted sketch log,
       // whose size is batches × (depth·width·8 B + m keys) regardless
       // of event volume. 20% of traffic lands on 7 hot keys, the rest
-      // spreads over 100k.
+      // spreads over 100k. Rate sized UNDER the sink's per-batch
+      // fixed cost (the r7 cumulative heap adds a log union-read and
+      // a rescore pass per batch — ~8 Spark jobs each): overdriving a
+      // foreachBatch sink measures snowballing backlog, not
+      // throughput.
       Scenario("cms_heavy_hitters", s => {
         val dir = tmpDir("cms")
-        val keys = rate(s, 400000)
+        val keys = rate(s, 150000)
           .select(when(col("value") % 5 === 0, col("value") % 7)
             .otherwise(col("value") % 100000).as("k"))
         StreamingIngest.cmsHeavyHittersSink(keys, "k", s"$dir/out", s"$dir/ckpt")

@@ -256,6 +256,10 @@ object StreamingIngest {
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val keyed = batch.select(col(keyCol).as("k")).persist()
+        // one groupBy serves BOTH the per-batch candidate write and
+        // the heap's key universe — a second distinct pass over the
+        // batch was most of the sink's fixed per-batch cost
+        val counts = keyed.groupBy("k").agg(count(lit(1)).as("n")).persist()
         try {
           keyed.agg(
               graft.functions.CmsExprs.cmsSketch(col("k"), depth, width)
@@ -263,7 +267,7 @@ object StreamingIngest {
               count(lit(1)).as("n_rows"))
             .withColumn("batch_id", lit(batchId))
             .coalesce(1).write.mode("append").parquet(s"$outPath/sketches")
-          keyed.groupBy("k").agg(count(lit(1)).as("n"))
+          counts
             .orderBy(col("n").desc, col("k"))
             .limit(candidatesPerBatch)
             .select(col("k"), lit(batchId).as("batch_id"))
@@ -280,12 +284,18 @@ object StreamingIngest {
             if (new java.io.File(heapDir).exists()) {
               // live heap = the LATEST batch's row set (earlier rows are
               // history; rescoring them too would grow per-batch work
-              // with batch count instead of batch size)
+              // with batch count instead of batch size). max(batch_id)
+              // is NULL when every prior batch was empty (a rate
+              // stream's batch 0 usually is) — the heap dir then exists
+              // with zero rows, and an unguarded getLong killed the
+              // query at batch 1.
               val prev = ss.read.parquet(heapDir)
-              val latest = prev.agg(max(col("batch_id"))).first().getLong(0)
-              prev.filter(col("batch_id") === latest).select(col("k")).distinct()
+              val latest = prev.agg(max(col("batch_id"))).first()
+              if (latest.isNullAt(0)) keyed.limit(0).select(col("k"))
+              else prev.filter(col("batch_id") === latest.getLong(0))
+                .select(col("k")).distinct()
             } else keyed.limit(0).select(col("k"))
-          keyed.select(col("k")).unionByName(prevKeys).distinct()
+          counts.select(col("k")).unionByName(prevKeys).distinct()
             .crossJoin(broadcast(merged))
             .select(col("k"),
               graft.functions.CmsExprs.cmsEstimate(col("sk"), col("k")).as("est_n"))
@@ -293,7 +303,7 @@ object StreamingIngest {
             .limit(candidatesPerBatch)
             .withColumn("batch_id", lit(batchId))
             .coalesce(1).write.mode("append").parquet(heapDir)
-        } finally { keyed.unpersist(); () }
+        } finally { counts.unpersist(); keyed.unpersist(); () }
       }
       .start()
 

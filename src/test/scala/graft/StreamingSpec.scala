@@ -220,6 +220,32 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("CMS sink survives an EMPTY first batch (rate streams start with one)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_empty").toString
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[Long]
+    // negative keys are filtered out, so a batch of them reaches the
+    // sink as ZERO rows — the shape a rate stream's batch 0 has
+    val q = StreamingIngest.cmsHeavyHittersSink(
+      stream.toDF().toDF("k").filter(col("k") >= 0),
+      "k", s"$dir/out", s"$dir/ckpt", candidatesPerBatch = 4,
+      depth = 5, width = 1024)
+    // batch 0 EMPTY: writes a zero-row heap — the regression was an
+    // unguarded max(batch_id).getLong over it killing batch 1
+    stream.addData(-1L, -2L)
+    q.processAllAvailable()
+    stream.addData((1 to 20).map(_ => 7L) ++ (1 to 3).map(_ => 8L): _*)
+    q.processAllAvailable()
+    stream.addData((1 to 5).map(_ => 7L): _*)
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, s"sink died: ${q.exception}")
+    q.stop()
+    val top = StreamingIngest.cmsTopHotKeys(spark, s"$dir/out", 1)
+      .as[(Long, Long)].collect()
+    assert(top.map(_._1).toSeq === Seq(7L))
+    assert(top.head._2 >= 25L)
+  }
+
   test("CMS sink cumulative heap finds a key hot overall but never per-batch top-m") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cms_adv").toString
     implicit val sq = spark.sqlContext
