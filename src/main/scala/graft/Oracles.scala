@@ -895,6 +895,45 @@ object Oracles {
         |        (PARTITION BY id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank" FROM sc)
         |SELECT id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 10""".stripMargin,
 
+    // Cross-frame IVF search: sim_ivf's pinned-codebook construction
+    // with the query side restricted to the query batch (vec_id % 20)
+    // and NO self-exclusion — a query present in the corpus ranks
+    // itself first at cos 1.0 (the membership signal).
+    "sim_search" ->
+      """WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS ss FROM w),
+        |u AS (SELECT vec_id, v, sqrt(ss) AS nrm,
+        |        CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0/sqrt(ss)))
+        |             ELSE v END AS uv
+        |      FROM n),
+        |cent AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |         CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0/sqrt(ss)))
+        |              ELSE v END AS c
+        |  FROM (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS ss
+        |        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |              WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 32))),
+        |asg AS (
+        |  SELECT u.vec_id, cent.cid,
+        |    list_sum(list_transform(generate_series(1, len(u.uv)),
+        |      i -> (u.uv[i] - cent.c[i]) * (u.uv[i] - cent.c[i]))) AS d2
+        |  FROM u, cent),
+        |pr AS (SELECT vec_id, cid, ROW_NUMBER() OVER
+        |         (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS p FROM asg),
+        |cand AS (
+        |  SELECT q.vec_id AS id, d.vec_id AS neighbor_id
+        |  FROM pr q JOIN pr d ON q.cid = d.cid AND d.p = 1 AND q.p <= 4
+        |  WHERE q.vec_id % 20 = 0),
+        |sc AS (
+        |  SELECT cand.id, cand.neighbor_id,
+        |    CASE WHEN qa.nrm * qc.nrm = 0 THEN 0.0
+        |         ELSE list_dot_product(qa.v, qc.v) / (qa.nrm * qc.nrm) END AS cos_sim
+        |  FROM cand JOIN u qa ON qa.vec_id = cand.id
+        |            JOIN u qc ON qc.vec_id = cand.neighbor_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank" FROM sc)
+        |SELECT id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 10""".stripMargin,
+
     // INT8-store IVF serving: sim_ivf's serve path with the DATA side
     // replaced by int8 reconstruction — quantize (emb_quantize's
     // round/clamp arithmetic), reconstruct q·q_scale, then the

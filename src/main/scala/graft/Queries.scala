@@ -701,6 +701,19 @@ object Queries {
       nprobe = 4, centroidsIn = Some(ivfAnchorCodebook(e)))
   }
 
+  /** CROSS-frame IVF search — a query batch (every 20th vector)
+    * against the full corpus through the pinned-codebook serve path:
+    * the production lookup shape ([[operators.Similarity.ivfSearch]]).
+    * Self-matches kept (each query ranks itself at cos 1.0 — the
+    * membership signal). Same full oracle construction as `sim_ivf`
+    * with the query-side filter and no self-exclusion. */
+  def simSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfSearch(e.filter(col("vec_id") % 20 === 0), e,
+      col("vec_id"), col("embedding"), k = 10, nprobe = 4,
+      centroidsIn = Some(ivfAnchorCodebook(e)))
+  }
+
   /** IVF-Flat ANN serving FROM the persisted INT8 STORE — the
     * composition of `emb_quantize` (#143, the 4×-smaller storage) with
     * the pinned-codebook IVF serve path (#34b): the store is written
@@ -1656,6 +1669,7 @@ object Queries {
     "sim_lsh" -> simLsh _,
     "sim_lsh_auto" -> simLshAuto _,
     "sim_ivf" -> simIvf _,
+    "sim_search" -> simSearch _,
     "sim_ivf_int8" -> simIvfInt8 _,
     "sim_pq_served" -> simPqServed _,
     "semdedup" -> semDedupQ _,

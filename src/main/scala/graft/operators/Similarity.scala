@@ -333,22 +333,46 @@ object Similarity {
    */
   def ivfTopK(df: DataFrame, id: Column, vec: Column, k: Int = 10,
               nlist: Int = 0, nprobe: Int = 0,
-              centroidsIn: Option[Array[Array[Double]]] = None): DataFrame = {
+              centroidsIn: Option[Array[Array[Double]]] = None): DataFrame =
+    ivfCore(df, df, id, vec, k, nlist, nprobe, centroidsIn, excludeSelf = true)
+
+  /**
+   * CROSS-frame IVF serving — the actual production shape: a QUERY
+   * BATCH against a separately-indexed corpus (the self-join
+   * [[ivfTopK]] is its diagnostic special case). The corpus is
+   * assigned to cells once (write-once index work), each query probes
+   * its `nprobe` nearest cells, candidates rescore exactly and the
+   * bounded-heap aggregate ranks per query. Self-matches are KEPT
+   * (a query present in the corpus ranks itself at cos 1.0 — for
+   * membership/decontamination lookups the self-match IS the
+   * signal; drop rank 1 when serving "other" neighbors).
+   */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, id: Column, vec: Column,
+                k: Int = 10, nlist: Int = 0, nprobe: Int = 0,
+                centroidsIn: Option[Array[Array[Double]]] = None): DataFrame =
+    ivfCore(queries, corpus, id, vec, k, nlist, nprobe, centroidsIn,
+      excludeSelf = false)
+
+  private def ivfCore(queries: DataFrame, corpus: DataFrame,
+                      id: Column, vec: Column, k: Int,
+                      nlist: Int, nprobe: Int,
+                      centroidsIn: Option[Array[Array[Double]]],
+                      excludeSelf: Boolean): DataFrame = {
     import graft.functions.VectorExprs.nearestCentroids
     val centroids = centroidsIn.getOrElse {
       val lists = if (nlist > 0) nlist
-        else math.max(16, math.ceil(math.sqrt(Scale.estimatedRows(df))).toInt)
-      trainKmeans(df, id, vec, lists,
+        else math.max(16, math.ceil(math.sqrt(Scale.estimatedRows(corpus))).toInt)
+      trainKmeans(corpus, id, vec, lists,
         trainSize = math.min(100000, math.max(10000, 32 * lists)))
     }
     val probes = if (nprobe > 0) nprobe else math.max(4, centroids.length / 8)
-    val v = withNorm(df, id, vec)
-    val data = v.select(col("id"), col("vec"), col("norm"),
+    val data = withNorm(corpus, id, vec).select(col("id"), col("vec"), col("norm"),
       element_at(nearestCentroids(col("vec"), centroids, 1), 1).as("cell"))
-    val queries = v.select(col("id").as("qid"), col("vec").as("qvec"), col("norm").as("qnorm"),
+    val q = withNorm(queries, id, vec)
+      .select(col("id").as("qid"), col("vec").as("qvec"), col("norm").as("qnorm"),
         explode(nearestCentroids(col("vec"), centroids, probes)).as("cell"))
-    val cand = queries.join(data, Seq("cell"))
-      .filter(col("qid") =!= col("id"))
+    val joined = q.join(data, Seq("cell"))
+    val cand = (if (excludeSelf) joined.filter(col("qid") =!= col("id")) else joined)
       .select(col("qid"), col("id").as("neighbor_id"),
         when(col("qnorm") * col("norm") === 0.0, lit(0.0))
           .otherwise(dot(col("qvec"), col("vec")) /
