@@ -47,7 +47,10 @@ object ScaleBench {
     // round-6 additions: the zero-exchange bucketed join and the
     // sketch-only hot-key probe — both exist BECAUSE of what this
     // tool measured at 10x
-    "q3_revenue_bucketed", "skew_keys_approx")
+    "q3_revenue_bucketed", "skew_keys_approx",
+    // round-7 additions: the incremental family (delta-sized by
+    // construction) and the heap-ranked ANN serve paths
+    "corpus_merge", "agg_maintain", "sim_ivf_int8", "sim_search")
 
   /** Union `mult` copies of sf0.1 into `out`, keys offset, documents
     * word-permuted, embeddings rotated (see object doc). */
