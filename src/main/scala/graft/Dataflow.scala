@@ -203,14 +203,27 @@ object Dataflow {
           import org.apache.spark.sql.functions.col
           val idC = col(s.idCol)
           val vecC = col(s.vecCol)
+          // cross-frame serving: `input` is the corpus, queries_input
+          // the query batch (ivf/brute only — the top-k contract)
+          val queriesFrame = s.queriesInput.map(q => frames.getOrElse(q,
+            throw new IllegalArgumentException(
+              s"ann '${s.name}': unknown queries_input '$q'")))
+          require(queriesFrame.isEmpty || Set("ivf", "brute")(s.method),
+            s"ann '${s.name}': queries_input supports methods ivf|brute " +
+              s"(got '${s.method}')")
           val out = s.method match {
             case "lsh" =>
               Similarity.lshTopK(in, idC, vecC, s.k, s.tables, s.bits)
             case "ivf" =>
-              Similarity.ivfTopK(in, idC, vecC, s.k, s.nlist, s.nprobe,
-                s.codebookPath.map(Similarity.loadCentroids))
+              val cb = s.codebookPath.map(Similarity.loadCentroids)
+              queriesFrame match {
+                case Some(qf) =>
+                  Similarity.ivfSearch(qf, in, idC, vecC, s.k, s.nlist, s.nprobe, cb)
+                case None =>
+                  Similarity.ivfTopK(in, idC, vecC, s.k, s.nlist, s.nprobe, cb)
+              }
             case "brute" =>
-              Similarity.bruteForceTopK(in, in, idC, vecC, s.k)
+              Similarity.bruteForceTopK(queriesFrame.getOrElse(in), in, idC, vecC, s.k)
             case "ivf_pq" =>
               // both codebooks are train-once artifacts; paths load
               // them, absence trains here (same sizing as `ivf`)

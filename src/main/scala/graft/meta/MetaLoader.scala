@@ -158,7 +158,8 @@ object MetaLoader {
           nprobe = p.path("nprobe").asInt(0),
           codebookPath = optStr(p, "codebook_path"),
           pqPath = optStr(p, "pq_path"),
-          threshold = p.path("threshold").asDouble(0.95))
+          threshold = p.path("threshold").asDouble(0.95),
+          queriesInput = optStr(p, "queries_input"))
       case "classify" =>
         ClassifySpec(name, input, output,
           contentCol = str(p, "content", "text"),

@@ -276,7 +276,12 @@ final case class AnnSpec(
     nprobe: Int = 0,
     codebookPath: Option[String] = None,
     pqPath: Option[String] = None,
-    threshold: Double = 0.95)
+    threshold: Double = 0.95,
+    // cross-frame serving: when set, `input` is the CORPUS and this
+    // frame is the query batch (methods ivf / brute). ivf keeps
+    // self-matches (membership signal, see Similarity.ivfSearch);
+    // brute keeps bruteForceTopK's same-id exclusion.
+    queriesInput: Option[String] = None)
   extends TransformSpec
 
 /**

@@ -195,6 +195,35 @@ class DataflowSpec extends SparkSpecBase {
       Dataflow.plan(spark, MetaLoader.loadString(bad).dataflow("annflow")))
   }
 
+  test("metadata ann queries_input: cross-frame IVF serves the query batch") {
+    val spec =
+      s"""{"dataflows":[{"name":"searchflow",
+         |  "sources":[{"name":"emb","path":"${sf()}/embeddings.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"qs","type":"filter","params":{
+         |      "input":"emb","output":"queries","condition":"vec_id % 50 = 0"}},
+         |    {"name":"nn","type":"ann","params":{
+         |      "input":"emb","output":"hits","method":"ivf","queries_input":"queries",
+         |      "id":"vec_id","vec":"embedding","k":5,"nlist":16,"nprobe":4}}],
+         |  "sinks":[]}]}""".stripMargin
+    val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("searchflow"))
+    val hits = frames("hits")
+    assert(hits.columns.toSeq === Seq("id", "neighbor_id", "cos_sim", "rank"))
+    import spark.implicits._
+    val ids = hits.select("id").distinct().as[Long].collect().toSet
+    assert(ids.nonEmpty && ids.forall(_ % 50 == 0),
+      "only query-batch ids may appear as search ids")
+    // a query present in the corpus ranks itself first at cos 1.0
+    val self = hits.filter(col("rank") === 1)
+      .select("id", "neighbor_id", "cos_sim").as[(Long, Long, Double)].collect()
+    assert(self.nonEmpty && self.forall { case (q, n, c) => q == n && c > 0.999 },
+      s"rank-1 must be the self-match, got ${self.take(3).toSeq}")
+    // queries_input on a pair method fails loudly
+    val bad = spec.replace("\"method\":\"ivf\"", "\"method\":\"lsh\"")
+    intercept[IllegalArgumentException](
+      Dataflow.plan(spark, MetaLoader.loadString(bad).dataflow("searchflow")))
+  }
+
   test("metadata corpus signals: familiarity, dup_ngram_coverage, ann semdedup") {
     val spec =
       s"""{"dataflows":[{"name":"sig",
