@@ -92,7 +92,20 @@ object Dataflow {
           val id = col(s.idCol)
           def pairs = s.method match {
             case "ngram_jaccard" =>
-              Dedup.ngramJaccard(in, content, id, threshold = s.threshold)
+              // stats_path: load the train-once ShingleStats artifact
+              // when present; compute-and-save when not (the scheduled
+              // re-run then skips the frequency aggregation entirely)
+              val stats = s.statsPath.map { p =>
+                if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+                  Dedup.loadShingleStats(p)
+                else {
+                  val st = Dedup.shingleStats(in, content, id)
+                  Dedup.saveShingleStats(p, st)
+                  st
+                }
+              }
+              Dedup.ngramJaccard(in, content, id, threshold = s.threshold,
+                statsIn = stats)
             case "minhash_lsh" =>
               Dedup.minhashLshVerified(in, content, id, threshold = s.threshold)
             case "simhash" =>

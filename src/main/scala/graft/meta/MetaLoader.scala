@@ -111,7 +111,8 @@ object MetaLoader {
           idCol = str(p, "id", "doc_id"),
           mode = str(p, "mode", "filter"),
           threshold = p.path("threshold").asDouble(0.8),
-          scoreCol = optStr(p, "score"))
+          scoreCol = optStr(p, "score"),
+          statsPath = optStr(p, "stats_path"))
       case "chunk" =>
         ChunkSpec(name, input, output,
           contentCol = str(p, "content", "text"),

@@ -165,7 +165,12 @@ final case class DedupTransformSpec(
     threshold: Double = 0.8,
     // mode=keep_best ranks each cluster by this column (default:
     // content length) and keeps only the top member
-    scoreCol: Option[String] = None)
+    scoreCol: Option[String] = None,
+    // method=ngram_jaccard: persisted ShingleStats artifact (frequent
+    // set + df moments) — loaded when the file exists, computed AND
+    // saved when it doesn't; the train-once lifecycle codebook_path
+    // gives ann, here for the PPJoin family
+    statsPath: Option[String] = None)
   extends TransformSpec
 
 /**

@@ -139,6 +139,31 @@ object Dedup {
                    cap: Int = 1 << 20): ShingleStats =
     statsOf(shingleSigs(df, content, id, k), minDf, cap)
 
+  /** Persist / load the [[ShingleStats]] corpus artifact (text: one
+    * header line `nDocs,sumDfSqBits,meanSizeBits` with doubles as
+    * raw IEEE bits for exact round-trips, then one frequent hash per
+    * line) — same train-once lifecycle as [[Similarity.saveCentroids]],
+    * and what the metadata language's `stats_path` reads/writes. */
+  def saveShingleStats(path: String, st: ShingleStats): Unit = {
+    val sb = new StringBuilder
+    sb.append(st.nDocs).append(',')
+      .append(java.lang.Double.doubleToLongBits(st.sumDfSq)).append(',')
+      .append(java.lang.Double.doubleToLongBits(st.meanSize)).append('\n')
+    st.frequent.foreach(h => sb.append(h).append('\n'))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+  }
+
+  def loadShingleStats(path: String): ShingleStats = {
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      .toArray(Array.empty[String]).filter(_.nonEmpty)
+    require(lines.nonEmpty, s"empty shingle-stats file: $path")
+    val h = lines(0).split(",")
+    ShingleStats(lines.drop(1).map(_.toLong),
+      h(0).toLong,
+      java.lang.Double.longBitsToDouble(h(1).toLong),
+      java.lang.Double.longBitsToDouble(h(2).toLong))
+  }
+
   private def statsOf(sigs: DataFrame, minDf: Int = 4,
                       cap: Int = 1 << 20): ShingleStats = {
     val grouped = sigs.select(explode(col("sh")).as("h"))

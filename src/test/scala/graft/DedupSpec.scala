@@ -174,6 +174,40 @@ class DedupSpec extends SparkSpecBase {
     assert(viaAuto === viaExact)
   }
 
+  test("ShingleStats artifact round-trips exactly and drives stats_path reuse") {
+    val st = Dedup.shingleStats(docs, col("text"), col("doc_id"))
+    val p = java.nio.file.Files.createTempFile("graft_shstats", ".csv").toString
+    Dedup.saveShingleStats(p, st)
+    val back = Dedup.loadShingleStats(p)
+    assert(back.nDocs === st.nDocs)
+    assert(back.sumDfSq === st.sumDfSq)         // exact (raw IEEE bits)
+    assert(back.meanSize === st.meanSize)
+    assert(back.frequent.toSeq === st.frequent.toSeq)
+
+    // metadata stats_path: first plan computes + saves, second loads —
+    // identical pairs either way
+    java.nio.file.Files.delete(java.nio.file.Paths.get(p))
+    val sfDocs = s"${sf()}/documents.parquet"
+    def spec =
+      s"""{"dataflows":[{"name":"ddflow",
+         |  "sources":[{"name":"docs","path":"$sfDocs","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"dd","type":"dedup","params":{
+         |      "input":"docs","output":"pairs_out","method":"ngram_jaccard",
+         |      "mode":"pairs","stats_path":"$p"}}],
+         |  "sinks":[]}]}""".stripMargin
+    val first = graft.Dataflow
+      .plan(spark, graft.meta.MetaLoader.loadString(spec).dataflow("ddflow"))
+      .apply("pairs_out").select("doc_a", "doc_b").collect().map(_.toSeq).toSet
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(p)),
+      "first run must persist the stats artifact")
+    val second = graft.Dataflow
+      .plan(spark, graft.meta.MetaLoader.loadString(spec).dataflow("ddflow"))
+      .apply("pairs_out").select("doc_a", "doc_b").collect().map(_.toSeq).toSet
+    assert(first === second)
+    assert(first.nonEmpty)
+  }
+
   test("minhash LSH: catches exact + near dups, estimate within 0.3 of truth") {
     // fixture near-pair has true j=0.6; 16 bands × 2 rows gives
     // P(banded) ≈ 0.999 (8×4 was a 0.67 coin flip on the hash)
