@@ -439,6 +439,26 @@ class DataflowSpec extends SparkSpecBase {
     assert(spark.read.parquet("/tmp/graft_example_corpus").count() === n)
   }
 
+  test("shipped example specs parse: incremental_refresh, scheduled_delta") {
+    // these compose ${run_date} templates + /data paths, so they can't
+    // execute here — but every transform/sink must RESOLVE (a typo'd
+    // type or param in a shipped example is a user-facing break)
+    for (f <- Seq("examples/incremental_refresh.json",
+                  "examples/scheduled_delta.json")) {
+      val p = MetaLoader.loadFile(f)
+      assert(p.schedule.isDefined, s"$f: schedule block must parse")
+      val flows = p.dataflows
+      assert(flows.nonEmpty && flows.forall(_.transformations.nonEmpty), f)
+    }
+    // the r7 agg_maintain sink in incremental_refresh carries its
+    // group/sum columns through the parser
+    val refresh = MetaLoader.loadFile("examples/incremental_refresh.json")
+    val aggSink = refresh.dataflows.head.sinks.find(_.saveMode == "agg_maintain")
+    assert(aggSink.isDefined, "incremental_refresh must ship an agg_maintain sink")
+    assert(aggSink.get.aggGroupBy === Seq("lang"))
+    assert(aggSink.get.aggSums === Seq("n_chars"))
+  }
+
   test("metadata reach: sentences, normalize_text, take") {
     val spec =
       s"""{"dataflows":[{"name":"r4d",
