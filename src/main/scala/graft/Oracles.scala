@@ -2237,6 +2237,39 @@ object Oracles {
         |FROM documents
         |WHERE doc_id % 13 <> 0""".stripMargin,
 
+    // versioned snapshot table, read AS OF v2: the oracle replays only
+    // the FIRST change set (identical to corpus_merge's end state) —
+    // hash equality proves the v3 commit is invisible to the v2 read
+    // and the manifest serves the exact historical file set
+    "snapshot_timetravel" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text,
+        |  lang,
+        |  CASE WHEN doc_id % 7 = 0 AND doc_id % 3 = 0 THEN 'src_new'
+        |       ELSE source END AS source,
+        |  CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE doc_id % 13 <> 0""".stripMargin,
+
+    // stats-pruned range read of the snapshot LATEST (v3): replay both
+    // change sets, then the range predicate — hash equality proves the
+    // manifest's min/max file pruning is an IO optimization only
+    "snapshot_pruned" ->
+      """WITH s1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text,
+        |    lang,
+        |    CASE WHEN doc_id % 7 = 0 AND doc_id % 3 = 0 THEN 'src_new'
+        |         ELSE source END AS source,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 5 THEN text || ' [v3]' ELSE text END AS text,
+        |  lang, source,
+        |  CASE WHEN doc_id % 11 = 5 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |FROM s1
+        |WHERE doc_id % 23 <> 7 AND doc_id BETWEEN 100 AND 299""".stripMargin,
+
     // incremental aggregate maintenance: the oracle aggregates the
     // merged end state ONE-SHOT (same change set as corpus_merge);
     // hash equality against the delta-maintained table proves

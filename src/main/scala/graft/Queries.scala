@@ -1498,6 +1498,65 @@ object Queries {
     s.read.parquet(p).select("source", "n", "sum_n_chars")
   }
 
+  /** Build-ONCE versioned snapshot table for the time-travel /
+    * pruned-read catalog queries (the train-once serving shape, like
+    * the IVF codebook memo): v1 = create from `documents` partitioned
+    * by source with per-file doc_id/n_chars stats (fileRanges=8 → the
+    * range layout that makes stats pruning effective), v2 = the
+    * corpus_merge change set, v3 = a second revision wave (every
+    * doc_id%11==5 survivor revised ' [v3]'/+7 chars, every %23==7
+    * deleted) — so the log holds three distinct states. */
+  private val snapshotMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def snapshotTablePath(s: SparkSession, dir: String): String =
+    snapshotMemo.computeIfAbsent(dir, _ => {
+      val p = scratch("snapshot_tbl", dir)
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) { // fresh build per JVM
+        val walk = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+        } finally walk.close()
+      }
+      val docs = t(s, dir, "documents")
+      Snapshot.create(s, p, docs, key = "doc_id", partitionCol = "source",
+        statsCols = Seq("doc_id", "n_chars"), fileRanges = 8)
+      val ups1 = docs
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
+        .withColumn("text", concat(col("text"), lit(" [v2]")))
+        .withColumn("n_chars", col("n_chars") + 5)
+        .withColumn("source",
+          when(col("doc_id") % 3 === 0, lit("src_new")).otherwise(col("source")))
+      Snapshot.merge(s, p, ups1, docs.filter(col("doc_id") % 13 === 0).select("doc_id"))
+      val state1 = Snapshot.readAt(s, p, 2)
+      val ups2 = state1
+        .filter(col("doc_id") % 11 === 5 && col("doc_id") % 23 =!= 7)
+        .withColumn("text", concat(col("text"), lit(" [v3]")))
+        .withColumn("n_chars", col("n_chars") + 7)
+      Snapshot.merge(s, p, ups2,
+        state1.filter(col("doc_id") % 23 === 7).select("doc_id"))
+      p
+    })
+
+  /** TIME TRAVEL over the versioned snapshot table: after three
+    * commits (create, merge, merge), read the table AS OF v2 — the
+    * later commit must be invisible and v2's bytes still live. The
+    * oracle replays only the FIRST change set relationally, so hash
+    * equality proves commits are isolated and the manifest serves the
+    * exact historical state. */
+  def snapshotTimetravel(s: SparkSession, dir: String): DataFrame =
+    Snapshot.readAt(s, snapshotTablePath(s, dir), 2)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+
+  /** Stats-pruned range read of the snapshot table's LATEST version:
+    * the manifest's per-file doc_id min/max admit only a fraction of
+    * the files (SnapshotSpec asserts the skip count); the oracle
+    * replays both change sets and filters, so hash equality proves
+    * pruning never changes semantics. */
+  def snapshotPruned(s: SparkSession, dir: String): DataFrame =
+    Snapshot.readWhere(s, snapshotTablePath(s, dir), "doc_id", 100, 299)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+
   /** Blocklist screening terms for the catalog query: data-ish words
     * and phrases present in the synthetic corpus + one absent term,
     * shared verbatim with the DuckDB oracle. */
@@ -1725,6 +1784,8 @@ object Queries {
     "corpus_delta" -> corpusDelta _,
     "corpus_merge" -> corpusMerge _,
     "agg_maintain" -> aggMaintain _,
+    "snapshot_timetravel" -> snapshotTimetravel _,
+    "snapshot_pruned" -> snapshotPruned _,
     "emb_quantize" -> embQuantize _,
     "sim_pq" -> simPq _,
     "fuzzy_names" -> fuzzyNames _,

@@ -1,0 +1,513 @@
+package graft.operators
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Versioned snapshot table — a manifest-committed table format over
+ * plain parquet: every commit (create / merge / rollback) writes its
+ * data files ONCE, immutably, and publishes an atomic per-version
+ * manifest listing the live files, so the table supports
+ *
+ *  - **time travel**: `readAt(v)` serves any retained version —
+ *    commits never touch earlier versions' files;
+ *  - **cross-partition atomic commits**: readers resolve ONE manifest,
+ *    so they see a whole commit or none of it (the gap
+ *    [[Merge.mergeInto]]'s per-partition directory swap documents as
+ *    out of scope for plain-parquet layouts);
+ *  - **rollback**: publish a new version whose file list IS an old
+ *    version's — an O(manifest) undo that rewrites zero data;
+ *  - **vacuum**: delete files unreferenced by retained versions;
+ *  - **data skipping**: the manifest carries per-file min/max/null
+ *    stats for declared columns, so `readWhere` hands Spark only the
+ *    files whose ranges admit the predicate — pruning happens before
+ *    the scan is planned, the lakehouse-format move (Delta/Iceberg
+ *    file skipping) that parquet footer pruning alone cannot express
+ *    (footers still require opening every file).
+ *
+ * Scale shape (100 TB): a merge commit writes only changed-partition
+ * bytes (copy-on-write at partition granularity, same discovery scan
+ * as [[Merge.mergeInto]] — key+partition columns only); manifests are
+ * O(files) driver-side JSON, the same cardinality every table format
+ * round-trips; reads open zero data files before pruning (the
+ * manifest replaces the file listing AND the footer pass).
+ *
+ * Layout:
+ * {{{
+ *   table/_log/v00000001.json      one manifest per version (atomic rename)
+ *   table/_log/_commit.lock        writer mutual exclusion (atomic create)
+ *   table/files/c00000001/__part=<value>/part-*.parquet
+ * }}}
+ * Data files keep the partition column as a REAL column (the hive dir
+ * name is a shadow copy `__part`), so a version is readable as a bare
+ * parquet file list with no partition-inference coupling.
+ *
+ * Reference: this generalizes the reference's append/overwrite sink
+ * (main.py saveMode) the same way [[Merge.mergeInto]] does, adding the
+ * versioned-commit layer on top.
+ */
+object Snapshot {
+
+  private val mapper = new ObjectMapper()
+
+  /** Per-file statistics for one tracked column. `kind` is "num"
+    * (compared as BigDecimal) or "str" (compared lexicographically);
+    * min/max are null-safe renderings (null = all-null file). */
+  final case class ColStats(kind: String, min: Option[String],
+                            max: Option[String], nulls: Long)
+
+  /** One immutable data file of a version: path relative to the table
+    * root, its row count, and per-column stats. */
+  final case class FileEntry(path: String, rows: Long,
+                             stats: Map[String, ColStats])
+
+  /** A version's complete state: the live files per partition value
+    * plus the table contract (key / partition / stats columns). */
+  final case class Manifest(version: Int, parent: Int, op: String,
+                            key: String, partitionCol: String,
+                            statsCols: Seq[String],
+                            partitions: Map[String, Seq[FileEntry]]) {
+    def files: Seq[FileEntry] = partitions.values.flatten.toSeq
+    def rows: Long = files.map(_.rows).sum
+  }
+
+  final case class CommitStats(version: Int, rewrittenPartitions: Seq[String],
+                               droppedPartitions: Seq[String],
+                               filesWritten: Int)
+
+  final case class VacuumStats(filesDeleted: Int, manifestsDeleted: Int,
+                               bytesFreed: Long)
+
+  /** Thrown when a writer cannot claim the commit lock — a concurrent
+    * commit is in flight. Retry after it completes. */
+  final class ConcurrentCommitException(msg: String)
+    extends RuntimeException(msg)
+
+  // ---------------------------------------------------------------- paths
+
+  private def logDir(table: String): Path = Paths.get(table, "_log")
+  private def lockFile(table: String): Path = logDir(table).resolve("_commit.lock")
+  private def manifestPath(table: String, v: Int): Path =
+    logDir(table).resolve(f"v$v%08d.json")
+  private def commitDir(table: String, v: Int): String =
+    f"$table%s/files/c$v%08d"
+
+  /** Highest committed version, or 0 for a missing/empty table. */
+  def currentVersion(table: String): Int = {
+    val log = logDir(table)
+    if (!Files.isDirectory(log)) return 0
+    val listing = Files.list(log)
+    try listing.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.matches("v\\d{8}\\.json") => s.substring(1, 9).toInt }
+      .foldLeft(0)(math.max)
+    finally listing.close()
+  }
+
+  def exists(table: String): Boolean = currentVersion(table) > 0
+
+  // ------------------------------------------------------------- manifests
+
+  private def writeManifest(table: String, m: Manifest): Unit = {
+    val root = mapper.createObjectNode()
+    root.put("version", m.version); root.put("parent", m.parent)
+    root.put("op", m.op); root.put("key", m.key)
+    root.put("partition_col", m.partitionCol)
+    val sc = root.putArray("stats_cols"); m.statsCols.foreach(sc.add)
+    val parts = root.putObject("partitions")
+    m.partitions.toSeq.sortBy(_._1).foreach { case (p, files) =>
+      val arr = parts.putArray(p)
+      files.sortBy(_.path).foreach { f =>
+        val fn = arr.addObject()
+        fn.put("path", f.path); fn.put("rows", f.rows)
+        val st = fn.putObject("stats")
+        f.stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+          val cn = st.putObject(c)
+          cn.put("kind", cs.kind); cn.put("nulls", cs.nulls)
+          cs.min.foreach(v => cn.put("min", v))
+          cs.max.foreach(v => cn.put("max", v))
+        }
+      }
+    }
+    Files.createDirectories(logDir(table))
+    val tmp = logDir(table).resolve(s"_tmp_v${m.version}.json")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    val dst = manifestPath(table, m.version)
+    if (Files.exists(dst))
+      throw new ConcurrentCommitException(
+        s"snapshot $table: version ${m.version} already committed")
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  def readManifest(table: String, version: Int): Manifest = {
+    val p = manifestPath(table, version)
+    require(Files.exists(p),
+      s"snapshot $table: version $version does not exist " +
+        s"(current=${currentVersion(table)}; vacuumed versions are gone for good)")
+    val root = mapper.readTree(Files.readAllBytes(p))
+    def colStats(n: JsonNode): Map[String, ColStats] =
+      n.properties().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> ColStats(v.get("kind").asText(),
+          Option(v.get("min")).map(_.asText()),
+          Option(v.get("max")).map(_.asText()),
+          v.get("nulls").asLong())
+      }.toMap
+    val parts = root.get("partitions").properties().asScala.map { e =>
+      e.getKey -> e.getValue.elements().asScala.map { fn =>
+        FileEntry(fn.get("path").asText(), fn.get("rows").asLong(),
+          colStats(fn.get("stats")))
+      }.toSeq
+    }.toMap
+    Manifest(root.get("version").asInt(), root.get("parent").asInt(),
+      root.get("op").asText(), root.get("key").asText(),
+      root.get("partition_col").asText(),
+      root.get("stats_cols").elements().asScala.map(_.asText()).toSeq, parts)
+  }
+
+  /** (version, op, parent, partitions, files, rows) per retained
+    * version, oldest first — the table's commit history. */
+  def history(table: String): Seq[(Int, String, Int, Int, Int, Long)] = {
+    val cur = currentVersion(table)
+    (1 to cur).flatMap { v =>
+      if (Files.exists(manifestPath(table, v))) {
+        val m = readManifest(table, v)
+        Some((v, m.op, m.parent, m.partitions.size, m.files.size, m.rows))
+      } else None
+    }
+  }
+
+  // ----------------------------------------------------------------- lock
+
+  /** Claim the commit lock (atomic create-new). A lock older than
+    * `staleMs` is presumed abandoned (crashed writer) and stolen
+    * race-safely: steal = delete + re-claim, and losing the re-claim
+    * race still fails closed. */
+  private def withCommitLock[A](table: String, staleMs: Long = 6 * 3600 * 1000L)
+                               (body: => A): A = {
+    Files.createDirectories(logDir(table))
+    val lf = lockFile(table)
+    def claim(): Boolean =
+      try { Files.createFile(lf); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    val got = claim() || {
+      val stale = try
+        System.currentTimeMillis() - Files.getLastModifiedTime(lf).toMillis > staleMs
+      catch { case _: java.nio.file.NoSuchFileException => true }
+      if (stale) { try Files.deleteIfExists(lf) catch { case _: Exception => () }; claim() }
+      else false
+    }
+    if (!got) throw new ConcurrentCommitException(
+      s"snapshot $table: a commit is in flight (lock ${lf} held); retry later")
+    try body finally Files.deleteIfExists(lf)
+  }
+
+  // ---------------------------------------------------------------- stats
+
+  private def statKind(dt: DataType): Option[String] = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+         _: FloatType | _: DoubleType | _: DecimalType => Some("num")
+    case _: StringType => Some("str")
+    case _ => None // stats unsupported (binary/array/...): column skipped
+  }
+
+  /** Read back a just-written commit dir and compute the manifest
+    * entries: per file (one column-pruned scan of the NEW files only)
+    * the row count and min/max/nulls of each tracked column. */
+  private def commitEntries(spark: SparkSession, table: String, v: Int,
+                            statsCols: Seq[String]): Map[String, Seq[FileEntry]] = {
+    val dir = commitDir(table, v)
+    // a delete-only commit that empties its partitions writes no
+    // partition dirs at all — nothing to read, nothing to list
+    val hasParts = Files.isDirectory(Paths.get(dir)) && {
+      val ls = Files.list(Paths.get(dir))
+      try ls.iterator().asScala.exists(p =>
+        Files.isDirectory(p) && p.getFileName.toString.startsWith("__part="))
+      finally ls.close()
+    }
+    if (!hasParts) return Map.empty
+    val df = spark.read.parquet(dir) // partition discovery restores __part
+    val tracked = statsCols.flatMap(c =>
+      statKind(df.schema(c).dataType).map(c -> _))
+    val aggs = count(lit(1)).as("__rows") +: tracked.flatMap { case (c, _) => Seq(
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) }
+    val rows = df.groupBy(input_file_name().as("__file"),
+        col("__part").cast("string").as("__p"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one row per data file, manifest cardinality
+    // relativize via the commit-dir marker — robust to file:/ vs
+    // file:/// URI renderings of the table root
+    val marker = f"/files/c$v%08d/"
+    rows.groupBy(_.getAs[String]("__p")).map { case (p, fs) =>
+      p -> fs.map { r =>
+        val full = r.getAs[String]("__file")
+        val at = full.lastIndexOf(marker)
+        require(at >= 0, s"snapshot: unexpected file path $full")
+        val rel = full.substring(at + 1)
+        FileEntry(rel, r.getAs[Long]("__rows"),
+          tracked.map { case (c, kind) =>
+            c -> ColStats(kind,
+              Option(r.getAs[String](s"__min_$c")),
+              Option(r.getAs[String](s"__max_$c")),
+              r.getAs[Long](s"__nulls_$c"))
+          }.toMap)
+      }.toSeq.sortBy(_.path)
+    }
+  }
+
+  /** Write `df`'s rows for this commit. `fileRanges > 0` range-
+    * partitions on (partition, key) first so each file covers a narrow
+    * key range — the layout that makes `readWhere`'s stats pruning
+    * effective (same trade as [[Scale.writeRangeLayout]]); 0 writes
+    * with no extra shuffle. */
+  private def writeCommit(df: DataFrame, table: String, v: Int,
+                          partitionCol: String, key: String,
+                          fileRanges: Int): Unit = {
+    val shadow = df.withColumn("__part", col(partitionCol).cast("string"))
+    val arranged =
+      if (fileRanges > 0) shadow.repartitionByRange(fileRanges, col("__part"), col(key))
+      else shadow
+    arranged.write.mode("error").partitionBy("__part").parquet(commitDir(table, v))
+  }
+
+  private def validatePartitionValues(df: DataFrame, partitionCol: String): Unit = {
+    val bad = df.select(col(partitionCol).cast("string").as("p")).distinct()
+      .filter(col("p").isNull || !col("p").rlike("^[A-Za-z0-9._-]+$"))
+      .limit(1).collect()
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"snapshot: partition value '${bad.head.get(0)}' is null or needs hive escaping — unsupported")
+  }
+
+  // -------------------------------------------------------------- commits
+
+  /**
+   * Create the table at version 1 from `df`. `statsCols` declares the
+   * columns whose per-file min/max/null stats the manifest tracks
+   * (numeric and string columns only; the key is always tracked).
+   */
+  def create(spark: SparkSession, table: String, df: DataFrame,
+             key: String, partitionCol: String,
+             statsCols: Seq[String] = Nil, fileRanges: Int = 0): CommitStats =
+    withCommitLock(table) {
+      require(currentVersion(table) == 0,
+        s"snapshot $table already exists (v${currentVersion(table)})")
+      require(df.columns.contains(key) && df.columns.contains(partitionCol),
+        s"snapshot: df lacks key '$key' or partition column '$partitionCol'")
+      validatePartitionValues(df, partitionCol)
+      val tracked = (key +: statsCols.filterNot(_ == key)).filter(df.columns.contains)
+      writeCommit(df, table, 1, partitionCol, key, fileRanges)
+      val parts = commitEntries(spark, table, 1, tracked)
+      writeManifest(table, Manifest(1, 0, "create", key, partitionCol, tracked, parts))
+      CommitStats(1, parts.keys.toSeq.sorted, Nil, parts.values.map(_.size).sum)
+    }
+
+  /**
+   * Commit a keyed MERGE as a new version: insert-or-replace `upserts`
+   * by key, remove `deleteKeys` (a frame carrying the key column).
+   * Copy-on-write at partition granularity — only partitions containing
+   * changed keys get new files; every other partition's manifest
+   * entries carry forward verbatim (same files, untouched on disk).
+   * Earlier versions remain readable: nothing is deleted until vacuum.
+   */
+  def merge(spark: SparkSession, table: String, upserts: DataFrame,
+            deleteKeys: DataFrame, fileRanges: Int = 0): CommitStats =
+    withCommitLock(table) {
+      val cur = currentVersion(table)
+      require(cur > 0, s"snapshot $table does not exist — create() first")
+      val m = readManifest(table, cur)
+      val (key, pc) = (m.key, m.partitionCol)
+      val target = readManifestFiles(spark, table, m)
+      require(upserts.columns.sorted.sameElements(target.columns.sorted),
+        s"snapshot merge: upserts schema ${upserts.columns.sorted.mkString(",")} " +
+          s"must match table ${target.columns.sorted.mkString(",")}")
+
+      val ups = OpCache.cache(upserts)
+      val dels = OpCache.cache(deleteKeys.select(col(key)).distinct())
+      val overlap = ups.select(col(key)).join(dels, key).limit(1).count()
+      require(overlap == 0,
+        "snapshot merge: key(s) present in BOTH upserts and deleteKeys — " +
+          "remove the ambiguity upstream")
+      validatePartitionValues(ups, pc)
+
+      // affected partitions = where incoming rows land ∪ where changed
+      // keys currently live (column-pruned discovery scan of the live
+      // file set — at 100 TB this reads two columns, never payloads)
+      val allKeys = OpCache.cache(ups.select(col(key)).unionByName(dels).distinct())
+      val resident = target.select(col(key), col(pc))
+        .join(allKeys, Seq(key), "left_semi")
+        .select(col(pc).cast("string").as("p"))
+      val incoming = ups.select(col(pc).cast("string").as("p"))
+      val affected = resident.unionByName(incoming).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      val v = cur + 1
+      val out =
+        if (affected.isEmpty) { // no-op merge still commits (audit trail)
+          writeManifest(table, m.copy(version = v, parent = cur, op = "merge"))
+          CommitStats(v, Nil, Nil, 0)
+        } else {
+          // survivors of affected partitions + upserts → this commit's files
+          val affectedFiles = m.partitions.filter(e => affected.contains(e._1))
+            .values.flatten.map(f => s"$table/${f.path}").toSeq
+          val merged = (if (affectedFiles.isEmpty) ups.limit(0)
+                        else spark.read.parquet(affectedFiles: _*)
+                          .join(allKeys, Seq(key), "left_anti"))
+            .unionByName(ups.select(target.columns.map(col): _*))
+          writeCommit(merged, table, v, pc, key, fileRanges)
+          val fresh = commitEntries(spark, table, v, m.statsCols)
+
+          val kept = m.partitions.filterNot(e => affected.contains(e._1))
+          val dropped = affected.filterNot(fresh.contains) // emptied by deletes
+          writeManifest(table, Manifest(v, cur, "merge", key, pc, m.statsCols,
+            kept ++ fresh))
+          CommitStats(v, fresh.keys.toSeq.sorted, dropped,
+            fresh.values.map(_.size).sum)
+        }
+      Seq(ups, dels, allKeys).foreach(OpCache.unpersistEager)
+      out
+    }
+
+  /** Publish a new version whose live file set IS `toVersion`'s — an
+    * O(manifest) undo. History is preserved (rollback is itself a
+    * commit); the rolled-back-over versions stay readable. */
+  def rollback(spark: SparkSession, table: String, toVersion: Int): CommitStats =
+    withCommitLock(table) {
+      val cur = currentVersion(table)
+      val old = readManifest(table, toVersion)
+      val v = cur + 1
+      writeManifest(table, old.copy(version = v, parent = cur, op = s"rollback($toVersion)"))
+      CommitStats(v, Nil, Nil, 0)
+    }
+
+  /** Delete data files referenced by NO retained version and drop the
+    * expired manifests. Retains the last `retainLast` versions (and
+    * always the current one). Time travel to a vacuumed version fails
+    * with a clear error; later versions are untouched — their files
+    * are referenced and survive. */
+  def vacuum(spark: SparkSession, table: String, retainLast: Int = 2): VacuumStats =
+    withCommitLock(table) {
+      val cur = currentVersion(table)
+      require(cur > 0, s"snapshot $table does not exist")
+      val cutoff = math.max(1, cur - math.max(1, retainLast) + 1)
+      val referenced = (cutoff to cur)
+        .filter(v => Files.exists(manifestPath(table, v)))
+        .flatMap(v => readManifest(table, v).files.map(_.path)).toSet
+      val filesRoot = Paths.get(table, "files")
+      val tableRoot = Paths.get(table)
+      var deleted = 0; var freed = 0L
+      if (Files.isDirectory(filesRoot)) {
+        def isSidecar(p: Path): Boolean = {
+          val n = p.getFileName.toString
+          n.startsWith("_") || n.startsWith(".")
+        }
+        val walk = Files.walk(filesRoot)
+        val all = try walk.iterator().asScala.filter(Files.isRegularFile(_)).toList
+                  finally walk.close()
+        // pass 1: unreferenced data files
+        all.filter(f => !isSidecar(f) &&
+            !referenced.contains(tableRoot.relativize(f).toString))
+          .foreach { f => freed += Files.size(f); Files.delete(f); deleted += 1 }
+        // pass 2, bottom-up: directories left holding only sidecars are
+        // fully vacuumed — drop the sidecars, then the empty dirs
+        val dirsWalk = Files.walk(filesRoot)
+        val dirs = try dirsWalk.iterator().asScala
+          .filter(Files.isDirectory(_)).toSeq.reverse
+          finally dirsWalk.close()
+        dirs.foreach { d =>
+          val ls = Files.list(d)
+          val children = try ls.iterator().asScala.toList finally ls.close()
+          if (children.forall(c => Files.isRegularFile(c) && isSidecar(c))) {
+            children.foreach { c => Files.delete(c); deleted += 1 }
+            if (d != filesRoot) Files.delete(d)
+          }
+        }
+      }
+      var mDeleted = 0
+      (1 until cutoff).foreach { v =>
+        val p = manifestPath(table, v)
+        if (Files.exists(p)) { Files.delete(p); mDeleted += 1 }
+      }
+      VacuumStats(deleted, mDeleted, freed)
+    }
+
+  // ---------------------------------------------------------------- reads
+
+  private def readManifestFiles(spark: SparkSession, table: String,
+                                m: Manifest, only: Seq[FileEntry] = null): DataFrame = {
+    val entries = if (only == null) m.files else only
+    if (entries.isEmpty)
+      throw new IllegalStateException(s"snapshot $table v${m.version}: empty file set")
+    spark.read.parquet(entries.map(f => s"$table/${f.path}"): _*)
+  }
+
+  /** The table as of `version` (time travel). */
+  def readAt(spark: SparkSession, table: String, version: Int): DataFrame =
+    readManifestFiles(spark, table, readManifest(table, version))
+
+  def readLatest(spark: SparkSession, table: String): DataFrame = {
+    val cur = currentVersion(table)
+    require(cur > 0, s"snapshot $table does not exist")
+    readAt(spark, table, cur)
+  }
+
+  /** Does `[min,max]` (stats strings of `kind`) intersect `[lo,hi]`?
+    * All-null files (no min/max) never match a range predicate. */
+  private def admits(cs: ColStats, lo: Any, hi: Any): Boolean =
+    (cs.min, cs.max) match {
+      case (Some(mn), Some(mx)) if cs.kind == "num" =>
+        val (l, h) = (BigDecimal(lo.toString), BigDecimal(hi.toString))
+        BigDecimal(mx) >= l && BigDecimal(mn) <= h
+      case (Some(mn), Some(mx)) =>
+        mx >= lo.toString && mn <= hi.toString
+      case _ => false
+    }
+
+  /** The manifest entries of `version` (latest if 0) surviving a
+    * `column BETWEEN lo AND hi` predicate — partition-level pruning
+    * when `column` is the partition column, per-file stats pruning
+    * when it is a tracked stats column. Exposed for tests/diagnostics;
+    * `readWhere` is the serving path. */
+  def pruneRange(table: String, column: String, lo: Any, hi: Any,
+                 version: Int = 0): (Seq[FileEntry], Int) = {
+    val v = if (version > 0) version else currentVersion(table)
+    val m = readManifest(table, v)
+    val total = m.files.size
+    val kept =
+      if (column == m.partitionCol)
+        m.partitions.filter { case (p, _) =>
+          p >= lo.toString && p <= hi.toString }.values.flatten.toSeq
+      else {
+        require(m.statsCols.contains(column),
+          s"snapshot $table: no stats tracked for '$column' " +
+            s"(tracked: ${m.statsCols.mkString(",")})")
+        m.files.filter(f => f.stats.get(column).forall(admits(_, lo, hi)))
+      }
+    (kept, total)
+  }
+
+  /**
+   * Stats-pruned range read: only files whose manifest stats admit
+   * `column ∈ [lo, hi]` are handed to the scan (the predicate is ALSO
+   * applied, so the result is exact — pruning is an IO optimization,
+   * never a semantics change). Zero matching files short-circuits to
+   * an empty frame without touching storage.
+   */
+  def readWhere(spark: SparkSession, table: String, column: String,
+                lo: Any, hi: Any, version: Int = 0): DataFrame = {
+    val v = if (version > 0) version else currentVersion(table)
+    val m = readManifest(table, v)
+    val (kept, _) = pruneRange(table, column, lo, hi, v)
+    val base =
+      if (kept.isEmpty) readManifestFiles(spark, table, m).limit(0)
+      else readManifestFiles(spark, table, m, kept)
+    base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+}

@@ -1,0 +1,204 @@
+package graft
+
+import graft.operators.Snapshot
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+class SnapshotSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def fresh(tag: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_snapspec_$tag"
+    val root = Paths.get(p)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
+    p
+  }
+
+  private def seedDf: DataFrame = Seq(
+    (1L, "alpha", "p1"), (2L, "bravo", "p1"), (3L, "charlie", "p1"),
+    (4L, "delta", "p2"), (5L, "echo", "p2"),
+    (6L, "foxtrot", "p3"), (7L, "golf", "p3"),
+    (8L, "hotel", "p4")).toDF("id", "payload", "part")
+
+  private def rowsOf(df: DataFrame): Set[(Long, String, String)] =
+    df.select("id", "payload", "part").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  /** v2 change set: upsert ids 2 (revise), 9 (new, p2), 6 (moves p3→p1);
+    * delete ids 5 and 8 (8 empties p4). */
+  private def commitV2(t: String): Snapshot.CommitStats =
+    Snapshot.merge(spark, t,
+      upserts = Seq((2L, "bravo2", "p1"), (9L, "india", "p2"),
+        (6L, "foxtrot2", "p1")).toDF("id", "payload", "part"),
+      deleteKeys = Seq(5L, 8L).toDF("id"))
+
+  private val v2Expected: Set[(Long, String, String)] = Set(
+    (1L, "alpha", "p1"), (2L, "bravo2", "p1"), (3L, "charlie", "p1"),
+    (4L, "delta", "p2"), (9L, "india", "p2"),
+    (6L, "foxtrot2", "p1"), (7L, "golf", "p3"))
+
+  test("create + readLatest round-trips; history starts at v1") {
+    val t = fresh("create")
+    val st = Snapshot.create(spark, t, seedDf, "id", "part")
+    assert(st.version == 1 && st.rewrittenPartitions == Seq("p1", "p2", "p3", "p4"))
+    assert(rowsOf(Snapshot.readLatest(spark, t)) == rowsOf(seedDf))
+    assert(Snapshot.history(t).map(h => (h._1, h._2)) == Seq((1, "create")))
+  }
+
+  test("merge commits a new version; old version still readable; untouched partition files carried forward verbatim") {
+    val t = fresh("merge")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    val m1 = Snapshot.readManifest(t, 1)
+    val st = commitV2(t)
+    assert(st.version == 2)
+    assert(st.droppedPartitions == Seq("p4")) // emptied by delete of id 8
+    val m2 = Snapshot.readManifest(t, 2)
+    // p3 lost id 6 (moved) — affected; p1, p2 affected; only p4 dropped.
+    // An UNTOUCHED partition keeps the exact same manifest entries:
+    // build a table where one partition is untouched to assert that.
+    assert(rowsOf(Snapshot.readAt(spark, t, 1)) == rowsOf(seedDf)) // time travel
+    assert(rowsOf(Snapshot.readLatest(spark, t)) == v2Expected)
+    // every v1 file still exists on disk (immutability: nothing deleted)
+    m1.files.foreach(f => assert(Files.exists(Paths.get(t, f.path)), f.path))
+    assert(m2.parent == 1 && m2.op == "merge")
+  }
+
+  test("a partition no changed key touches carries identical manifest entries and is not rewritten") {
+    val t = fresh("untouched")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    val before = Snapshot.readManifest(t, 1).partitions("p3")
+    // change set touching only p1
+    Snapshot.merge(spark, t,
+      upserts = Seq((1L, "alpha2", "p1")).toDF("id", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id"))
+    val after = Snapshot.readManifest(t, 2).partitions("p3")
+    assert(after == before) // same files, same stats — carried, not rewritten
+  }
+
+  test("rollback publishes an old file set as a new version; vacuum deletes unreferenced files and expires manifests") {
+    val t = fresh("rollback")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    commitV2(t)
+    val rb = Snapshot.rollback(spark, t, 1)
+    assert(rb.version == 3)
+    assert(rowsOf(Snapshot.readLatest(spark, t)) == rowsOf(seedDf))
+    assert(Snapshot.history(t).map(_._2) ==
+      Seq("create", "merge", "rollback(1)"))
+
+    // retain last 2 (v2, v3): v1's manifest expires, but v1's FILES are
+    // referenced by v3 (the rollback) and must survive
+    val v2Files = Snapshot.readManifest(t, 2).files.map(_.path).toSet
+    val v3Files = Snapshot.readManifest(t, 3).files.map(_.path).toSet
+    val vs = Snapshot.vacuum(spark, t, retainLast = 2)
+    assert(vs.manifestsDeleted == 1)
+    v3Files.foreach(f => assert(Files.exists(Paths.get(t, f))))
+    v2Files.foreach(f => assert(Files.exists(Paths.get(t, f))))
+    assert(rowsOf(Snapshot.readLatest(spark, t)) == rowsOf(seedDf))
+    val err = intercept[IllegalArgumentException](Snapshot.readAt(spark, t, 1))
+    assert(err.getMessage.contains("vacuumed"))
+  }
+
+  test("vacuum after a second divergent merge deletes the rolled-over commit's files") {
+    val t = fresh("vacuum2")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    commitV2(t) // v2 rewrites p1,p2,p3 → new files in commit dir c2
+    // v3 rewrites p1 again: c2's p1 files become unreferenced once v2 expires
+    Snapshot.merge(spark, t,
+      upserts = Seq((3L, "charlie3", "p1")).toDF("id", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id"))
+    val c2p1 = Snapshot.readManifest(t, 2).partitions("p1").map(_.path)
+    val vs = Snapshot.vacuum(spark, t, retainLast = 1)
+    assert(vs.filesDeleted > 0 && vs.bytesFreed > 0)
+    c2p1.foreach(f => assert(!Files.exists(Paths.get(t, f)), s"$f should be vacuumed"))
+    // latest still fully readable
+    assert(rowsOf(Snapshot.readLatest(spark, t)) ==
+      (v2Expected - ((3L, "charlie", "p1")) + ((3L, "charlie3", "p1"))))
+  }
+
+  test("concurrent commit: held lock fails the second writer; release allows it") {
+    val t = fresh("lock")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    val lock = Paths.get(t, "_log", "_commit.lock")
+    Files.createFile(lock)
+    intercept[Snapshot.ConcurrentCommitException](commitV2(t))
+    assert(Snapshot.currentVersion(t) == 1) // nothing committed
+    Files.delete(lock)
+    assert(commitV2(t).version == 2)
+  }
+
+  test("stale lock (older than threshold) is stolen, commit proceeds") {
+    val t = fresh("stale")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    val lock = Paths.get(t, "_log", "_commit.lock")
+    Files.createFile(lock)
+    Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7 * 3600 * 1000L))
+    assert(commitV2(t).version == 2)
+    assert(!Files.exists(lock))
+  }
+
+  test("stats pruning: range read touches only files whose key range admits the predicate, result exact") {
+    val t = fresh("prune")
+    val wide = spark.range(0, 4000).select(
+      col("id"),
+      concat(lit("doc "), col("id")).as("payload"),
+      (col("id") % 4).cast("string").as("part"))
+    Snapshot.create(spark, t, wide, "id", "part", fileRanges = 16)
+    val (kept, total) = Snapshot.pruneRange(t, "id", 100, 299)
+    assert(total >= 16, s"expected >=16 files, got $total")
+    assert(kept.size < total / 2, s"pruning kept ${kept.size} of $total")
+    val got = Snapshot.readWhere(spark, t, "id", 100, 299)
+    assert(got.count() == 200)
+    assert(got.agg(sum("id")).as[Long].head ==
+      (100L to 299L).sum)
+    // partition-column pruning path
+    val (keptP, totalP) = Snapshot.pruneRange(t, "part", "2", "2")
+    assert(keptP.size < totalP)
+    assert(Snapshot.readWhere(spark, t, "part", "2", "2").count() == 1000)
+  }
+
+  test("merge validations: schema mismatch, upsert∩delete overlap, bad partition value") {
+    val t = fresh("validate")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    intercept[IllegalArgumentException] {
+      Snapshot.merge(spark, t,
+        Seq((1L, "x")).toDF("id", "payload"), Seq.empty[Long].toDF("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.merge(spark, t,
+        Seq((1L, "x", "p1")).toDF("id", "payload", "part"),
+        Seq(1L).toDF("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Snapshot.merge(spark, t,
+        Seq((9L, "x", "bad value!")).toDF("id", "payload", "part"),
+        Seq.empty[Long].toDF("id"))
+    }
+    assert(Snapshot.currentVersion(t) == 1) // no partial commits
+  }
+
+  test("delete-only merge and no-op merge both commit clean versions") {
+    val t = fresh("delonly")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    val st = Snapshot.merge(spark, t,
+      upserts = seedDf.limit(0),
+      deleteKeys = Seq(4L, 5L).toDF("id")) // empties p2
+    assert(st.version == 2 && st.droppedPartitions == Seq("p2"))
+    assert(rowsOf(Snapshot.readLatest(spark, t)) ==
+      rowsOf(seedDf.filter(!col("id").isin(4L, 5L))))
+    // keys absent from the table: a committed no-op
+    val st2 = Snapshot.merge(spark, t,
+      upserts = seedDf.limit(0), deleteKeys = Seq(999L).toDF("id"))
+    assert(st2.version == 3 && st2.rewrittenPartitions.isEmpty)
+    assert(rowsOf(Snapshot.readLatest(spark, t)) ==
+      rowsOf(seedDf.filter(!col("id").isin(4L, 5L))))
+  }
+}
