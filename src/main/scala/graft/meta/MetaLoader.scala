@@ -59,6 +59,7 @@ object MetaLoader {
       layoutKeys = strArr(n, "layoutKeys"),
       layoutPartitions = n.path("layoutPartitions").asInt(0),
       mergeKey = str(n, "mergeKey", ""),
+      statsCols = strArr(n, "statsCols"),
       aggGroupBy = strArr(n, "aggGroupBy"),
       aggSums = strArr(n, "aggSums"))
 

@@ -52,6 +52,14 @@ final case class SinkSpec(
     // contribution is subtracted, the rest are added; a missing
     // target bootstraps from the added rows. Delta-sized work at any
     // corpus size — the declarative read-side twin of saveMode=merge.
+    // saveMode=snapshot: commit into a VERSIONED snapshot table
+    // (operators.Snapshot) — create at v1 if the table is missing,
+    // else a copy-on-write merge commit (same `__deleted` delete-key
+    // convention as saveMode=merge); every commit is atomic across
+    // partitions and time-travel readable (source format "snapshot",
+    // option "version"). statsCols declares per-file min/max columns
+    // the manifest tracks for data-skipping reads.
+    statsCols: Seq[String] = Nil,
     aggGroupBy: Seq[String] = Nil,
     aggSums: Seq[String] = Nil)
 

@@ -48,6 +48,42 @@ object Writers {
       }
       return
     }
+    // versioned snapshot commit (operators.Snapshot): create at v1 if
+    // the table is missing, else a copy-on-write MERGE commit — same
+    // `__deleted` delete-key convention as saveMode=merge, but every
+    // commit is cross-partition atomic and time-travel readable
+    // (source format "snapshot" + option "version")
+    if (spec.saveMode == "snapshot") {
+      require(spec.mergeKey.nonEmpty,
+        s"sink '${spec.name}': saveMode snapshot needs mergeKey")
+      require(spec.partitionBy.size == 1,
+        s"sink '${spec.name}': saveMode snapshot needs exactly one partitionBy " +
+          s"column (got ${spec.partitionBy.mkString(",")})")
+      require(spec.format == "parquet",
+        s"sink '${spec.name}': snapshot tables are parquet (got ${spec.format})")
+      require(spec.layout == "none",
+        s"sink '${spec.name}': snapshot and layout are mutually exclusive")
+      val del =
+        if (df.columns.contains("__deleted"))
+          df.filter(coalesce(col("__deleted"), lit(false))).select(spec.mergeKey)
+        else df.limit(0).select(spec.mergeKey)
+      val ups =
+        if (df.columns.contains("__deleted"))
+          df.filter(!coalesce(col("__deleted"), lit(false))).drop("__deleted")
+        else df
+      spec.paths.foreach { path =>
+        val st =
+          if (!graft.operators.Snapshot.exists(path))
+            graft.operators.Snapshot.create(df.sparkSession, path, ups,
+              spec.mergeKey, spec.partitionBy.head, spec.statsCols)
+          else
+            graft.operators.Snapshot.merge(df.sparkSession, path, ups, del)
+        println(s"[sink ${spec.name}] snapshot $path now v${st.version}: " +
+          s"rewrote ${st.rewrittenPartitions.size} partition(s), " +
+          s"dropped ${st.droppedPartitions.size}, ${st.filesWritten} file(s)")
+      }
+      return
+    }
     // incremental aggregate maintenance (operators.IncrementalAgg):
     // the input is a CHANGE frame — rows with `__removed = true` are
     // the OLD versions of updated/deleted corpus rows (contribution

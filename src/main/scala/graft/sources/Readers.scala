@@ -32,6 +32,13 @@ object Readers {
   }
 
   def read(spark: SparkSession, spec: SourceSpec, schema: Option[StructType] = None): DataFrame = {
+    // a snapshot table is a directory with its own manifest log, not a
+    // file glob — resolved via the table format, not globStatus
+    if (spec.format == "snapshot") {
+      val v = spec.options.get("version").map(_.toInt)
+        .getOrElse(graft.operators.Snapshot.currentVersion(spec.path))
+      return graft.operators.Snapshot.readAt(spark, spec.path, v)
+    }
     requireMatches(spark, spec.path, spec.name)
     spec.format match {
       case "json"    => json(spark, spec.path, spec.options, schema)

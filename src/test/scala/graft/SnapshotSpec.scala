@@ -185,6 +185,31 @@ class SnapshotSpec extends SparkSpecBase {
     assert(Snapshot.currentVersion(t) == 1) // no partial commits
   }
 
+  test("metadata reach: saveMode=snapshot bootstraps then commits; source format=snapshot time-travels by version option") {
+    val t = fresh("meta")
+    val sink = graft.meta.SinkSpec(
+      input = "in", name = "snap_sink", paths = Seq(t),
+      format = "parquet", saveMode = "snapshot",
+      partitionBy = Seq("part"), mergeKey = "id", statsCols = Seq("id"))
+    graft.sinks.Writers.write(seedDf, sink) // bootstrap → v1
+    assert(Snapshot.currentVersion(t) == 1)
+    val incoming = Seq(
+      (2L, "bravo-meta", "p1", false),
+      (5L, "ignored", "p2", true)).toDF("id", "payload", "part", "__deleted")
+    graft.sinks.Writers.write(incoming, sink) // merge commit → v2
+    assert(Snapshot.currentVersion(t) == 2)
+    def viaSource(version: Option[String]) =
+      graft.sources.Readers.read(spark, graft.meta.SourceSpec(
+        name = "snap_src", path = t, format = "snapshot",
+        options = version.map("version" -> _).toMap))
+    assert(rowsOf(viaSource(None)) ==
+      rowsOf(seedDf.filter(col("id") =!= 5L))
+        .map { case (2L, _, p) => (2L, "bravo-meta", p); case r => r })
+    assert(rowsOf(viaSource(Some("1"))) == rowsOf(seedDf)) // time travel
+    // manifest stats reached the metadata-built table
+    assert(Snapshot.readManifest(t, 2).statsCols == Seq("id"))
+  }
+
   test("delete-only merge and no-op merge both commit clean versions") {
     val t = fresh("delonly")
     Snapshot.create(spark, t, seedDf, "id", "part")
