@@ -131,6 +131,19 @@ object StreamBench {
         StreamingIngest.cdcMergeSink(changes, s"$dir/target", s"$dir/ckpt",
           key = "k", partitionCol = "part", seqCol = "seq")
       }),
+      // HLL distinct sink: STATELESS foreachBatch — one sketch row
+      // per group per batch (2^p registers ≈ 4 KB at p=12), however
+      // many events pass. Users spread over 2M ids across 8 groups;
+      // per-batch work is one groupBy over the batch, no log re-read,
+      // so it sustains a higher rate than the CMS sink.
+      Scenario("hll_distinct", s => {
+        val dir = tmpDir("hll")
+        val events = rate(s, 300000)
+          .select((col("value") % 2000000).as("user_id"),
+            concat(lit("e"), (col("value") % 8)).as("event_type"))
+        StreamingIngest.hllDistinctSink(events, "user_id", "event_type",
+          s"$dir/out", s"$dir/ckpt")
+      }),
       // Watermarked tumbling-window aggregation: state is
       // (#event_types x open windows), dropped 3s past window end.
       Scenario("windowed_agg", s => {

@@ -398,6 +398,56 @@ object StreamingIngest {
    * per-batch frequent). Returns (k, est_n) top-`k` by estimate. The
    * scan is sketch-sized, not event-sized — the whole point.
    */
+  /**
+   * Streaming DISTINCT-COUNT sink — the cardinality companion of
+   * [[cmsHeavyHittersSink]]: per micro-batch, append ONE mergeable HLL
+   * sketch row per group (`groupCol`, e.g. event_type) keyed by
+   * batch_id. "How many distinct users per event type, ever / over any
+   * batch range" is then answered from the sketch log alone by
+   * [[hllDistinctByGroup]] — a KB-sized scan however many events
+   * passed through, the state-bound shape exact streaming distinct
+   * cannot have (its state grows with the distinct universe).
+   *
+   * foreachBatch is at-least-once: a replayed batch appends a
+   * duplicate (group, batch_id) row; readers dedup on batch_id before
+   * the union, and HLL register-max makes the union idempotent anyway
+   * (re-merging the same sketch is a no-op) — both layers hold.
+   */
+  def hllDistinctSink(stream: DataFrame, keyCol: String, groupCol: String,
+                      outPath: String, checkpoint: String, p: Int = 12)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.groupBy(col(groupCol).cast("string").as("g"))
+          .agg(graft.functions.HllExprs.hllSketch(col(keyCol), p).as("sketch"),
+            count(lit(1)).as("n_rows"))
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1).write.mode("append").parquet(s"$outPath/sketches")
+        ()
+      }
+      .start()
+
+  /**
+   * Read a [[hllDistinctSink]] log and estimate distinct keys per
+   * group: dedup (group, batch_id) against at-least-once replays,
+   * union each group's sketches, estimate. Returns
+   * (g, est_distinct, n_rows) — the row count rides along exactly
+   * (a sum over the deduped log), so exact-volume and
+   * approx-cardinality come from the same tiny scan.
+   */
+  def hllDistinctByGroup(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(s"$outPath/sketches")
+      .groupBy("g", "batch_id")
+      .agg(first(col("sketch")).as("sketch"), first(col("n_rows")).as("n_rows"))
+      .groupBy("g")
+      .agg(graft.functions.HllExprs.hllUnion(col("sketch")).as("sk"),
+        sum(col("n_rows")).as("n_rows"))
+      .select(col("g"),
+        graft.functions.HllExprs.hllEstimate(col("sk")).as("est_distinct"),
+        col("n_rows"))
+
   def cmsTopHotKeys(spark: SparkSession, outPath: String, k: Int): DataFrame = {
     val merged = spark.read.parquet(s"$outPath/sketches")
       .groupBy("batch_id").agg(first(col("sketch")).as("sketch"))

@@ -278,4 +278,38 @@ class StreamingSpec extends SparkSpecBase {
       s"the cumulative heap must surface key 9 (27 total), got ${top.toSeq}")
     assert(top.head._2 >= 27L)
   }
+
+  test("HLL distinct sink: per-group cardinality from the sketch log, replay-idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_sink").toString
+    implicit val sq = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.hllDistinctSink(
+      stream.toDF().toDF("user_id", "event_type"),
+      "user_id", "event_type", s"$dir/out", s"$dir/ckpt", p = 12)
+    // users overlap across batches: the union must NOT double-count
+    def batchData(b: Int): Seq[(Long, String)] =
+      (1 to 400).map(i => ((i % 250).toLong, "click")) ++      // 250 distinct, every batch
+        (1 to 100).map(i => ((b * 1000 + i).toLong, "view"))   // 100 FRESH per batch
+    (1 to 3).foreach { b => stream.addData(batchData(b): _*); q.processAllAvailable() }
+    q.stop()
+
+    // the log is sketch rows (one per group per batch), never events
+    val log = spark.read.parquet(s"$dir/out/sketches")
+    assert(log.count() === 6) // 2 groups × 3 batches
+    val got = StreamingIngest.hllDistinctByGroup(spark, s"$dir/out")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("click")._2 === 1200L) // exact row counts ride along
+    assert(got("view")._2 === 300L)
+    // HLL p=12 → ~1.6% relative error envelope; assert within 5%
+    assert(math.abs(got("click")._1 - 250L) <= 13, s"click est ${got("click")._1}")
+    assert(math.abs(got("view")._1 - 300L) <= 15, s"view est ${got("view")._1}")
+
+    // at-least-once replay: duplicating a batch's sketch rows changes
+    // nothing — readers dedup on (g, batch_id) before the union
+    val dup = log.filter(col("batch_id") === 1)
+    dup.write.mode("append").parquet(s"$dir/out/sketches")
+    val replayed = StreamingIngest.hllDistinctByGroup(spark, s"$dir/out")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(replayed === got, "replayed sketch rows must be invisible")
+  }
 }
