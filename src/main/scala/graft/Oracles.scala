@@ -2270,6 +2270,30 @@ object Oracles {
         |FROM s1
         |WHERE doc_id % 23 <> 7 AND doc_id BETWEEN 100 AND 299""".stripMargin,
 
+    // change feed between snapshot versions v2 and v3: rebuild both
+    // committed states relationally, then the same md5 full-outer
+    // delta as corpus_delta — removed = the %23 deletions, updated =
+    // the %11 revisions, everything else unchanged (no adds in the
+    // v3 change set)
+    "snapshot_delta" ->
+      """WITH s1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |s2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 5 THEN text || ' [v3]' ELSE text END AS text
+        |  FROM s1 WHERE doc_id % 23 <> 7),
+        |o AS (SELECT doc_id, md5(text) AS old_hash FROM s1),
+        |n AS (SELECT doc_id, md5(text) AS new_hash FROM s2)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash = new_hash THEN 'unchanged'
+        |       ELSE 'updated' END AS status,
+        |  old_hash, new_hash
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
     // incremental aggregate maintenance: the oracle aggregates the
     // merged end state ONE-SHOT (same change set as corpus_merge);
     // hash equality against the delta-maintained table proves

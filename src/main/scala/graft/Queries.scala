@@ -1557,6 +1557,19 @@ object Queries {
     Snapshot.readWhere(s, snapshotTablePath(s, dir), "doc_id", 100, 299)
       .select("doc_id", "text", "lang", "source", "n_chars")
 
+  /** CHANGE FEED between two snapshot versions: #105's corpus delta
+    * composed with the table format — `delta(readAt(v2), readAt(v3))`
+    * classifies every doc across the two committed states from the
+    * manifests alone, no external "previous snapshot" copy needed.
+    * The incremental-consumer entry point: re-embed added+updated,
+    * retire removed, skip the unchanged mass. */
+  def snapshotDelta(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotTablePath(s, dir)
+    operators.Versioning.delta(
+      Snapshot.readAt(s, p, 2), Snapshot.readAt(s, p, 3),
+      col("doc_id"), col("text"), col("doc_id"), col("text"))
+  }
+
   /** Blocklist screening terms for the catalog query: data-ish words
     * and phrases present in the synthetic corpus + one absent term,
     * shared verbatim with the DuckDB oracle. */
@@ -1786,6 +1799,7 @@ object Queries {
     "agg_maintain" -> aggMaintain _,
     "snapshot_timetravel" -> snapshotTimetravel _,
     "snapshot_pruned" -> snapshotPruned _,
+    "snapshot_delta" -> snapshotDelta _,
     "emb_quantize" -> embQuantize _,
     "sim_pq" -> simPq _,
     "fuzzy_names" -> fuzzyNames _,

@@ -375,6 +375,40 @@ object Snapshot {
       out
     }
 
+  /**
+   * COMPACT fragmented partitions as a commit: every partition holding
+   * more than `maxFilesPerPartition` files is rewritten into one file
+   * per partition (rows unchanged — a pure layout commit), every other
+   * partition carries forward verbatim. The trickle-merge failure mode
+   * (a 2%/day refresh leaves each hot partition with one small file
+   * per commit) is repaired atomically and time-travel-safely: readers
+   * of older versions keep the old files until vacuum.
+   */
+  def compact(spark: SparkSession, table: String,
+              maxFilesPerPartition: Int = 4): CommitStats =
+    withCommitLock(table) {
+      val cur = currentVersion(table)
+      require(cur > 0, s"snapshot $table does not exist")
+      val m = readManifest(table, cur)
+      val frag = m.partitions.filter(_._2.size > maxFilesPerPartition)
+      val v = cur + 1
+      if (frag.isEmpty) {
+        writeManifest(table, m.copy(version = v, parent = cur, op = "compact"))
+        CommitStats(v, Nil, Nil, 0)
+      } else {
+        val paths = frag.values.flatten.map(f => s"$table/${f.path}").toSeq
+        // one task per partition value → one output file per partition
+        spark.read.parquet(paths: _*)
+          .withColumn("__part", col(m.partitionCol).cast("string"))
+          .repartition(col("__part"))
+          .write.mode("error").partitionBy("__part").parquet(commitDir(table, v))
+        val fresh = commitEntries(spark, table, v, m.statsCols)
+        writeManifest(table, Manifest(v, cur, "compact", m.key, m.partitionCol,
+          m.statsCols, m.partitions.filterNot(e => frag.contains(e._1)) ++ fresh))
+        CommitStats(v, fresh.keys.toSeq.sorted, Nil, fresh.values.map(_.size).sum)
+      }
+    }
+
   /** Publish a new version whose live file set IS `toVersion`'s — an
     * O(manifest) undo. History is preserved (rollback is itself a
     * commit); the rolled-back-over versions stay readable. */

@@ -185,6 +185,32 @@ class SnapshotSpec extends SparkSpecBase {
     assert(Snapshot.currentVersion(t) == 1) // no partial commits
   }
 
+  test("compact rewrites only fragmented partitions as a commit; rows identical, files reduced, history intact") {
+    val t = fresh("compact")
+    // build fragmentation: create + 4 single-row merges into p1
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    (1 to 4).foreach { i =>
+      Snapshot.merge(spark, t,
+        upserts = Seq((100L + i, s"extra$i", "p1")).toDF("id", "payload", "part"),
+        deleteKeys = spark.emptyDataset[Long].toDF("id"))
+    }
+    val before = Snapshot.readManifest(t, 5)
+    assert(before.partitions("p1").size > 2, "p1 should be fragmented")
+    val p4Before = before.partitions("p4")
+    val rowsBefore = rowsOf(Snapshot.readLatest(spark, t))
+
+    val st = Snapshot.compact(spark, t, maxFilesPerPartition = 2)
+    assert(st.version == 6)
+    val after = Snapshot.readManifest(t, 6)
+    assert(after.partitions("p1").size == 1, "p1 compacts to one file")
+    assert(after.partitions("p4") == p4Before, "unfragmented partition carried forward")
+    assert(rowsOf(Snapshot.readLatest(spark, t)) == rowsBefore, "compaction is a pure layout commit")
+    assert(rowsOf(Snapshot.readAt(spark, t, 5)) == rowsBefore, "pre-compaction version still readable")
+    assert(after.op == "compact")
+    // stats survive the rewrite (manifest still prunes)
+    assert(after.partitions("p1").head.stats.contains("id"))
+  }
+
   test("metadata reach: saveMode=snapshot bootstraps then commits; source format=snapshot time-travels by version option") {
     val t = fresh("meta")
     val sink = graft.meta.SinkSpec(
