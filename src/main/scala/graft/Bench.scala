@@ -42,6 +42,7 @@ object Bench {
     "text_entropy", "lm_perplexity", "bpe_tokens", "sample_weighted",
     "quality_classifier", "text_script", "corpus_delta", "corpus_merge",
     "agg_maintain", "dd_quantile_portable",
+    "snapshot_timetravel", "snapshot_pruned", "snapshot_delta",
     "fuzzy_names", "fuzzy_names_jw", "fuzzy_names_multi",
     "sample_weighted_group", "q_rolling", "q_anomaly", "text_blocklist",
     "q_funnel", "q_cohort",

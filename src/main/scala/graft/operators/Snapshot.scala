@@ -67,12 +67,26 @@ object Snapshot {
   final case class FileEntry(path: String, rows: Long,
                              stats: Map[String, ColStats])
 
+  /** How commit data is arranged into files. `fileRanges = 0` writes
+    * with no extra shuffle; > 0 range-partitions into that many file
+    * ranges — `mode = "range"` on (partition, key) for single-key
+    * skipping, `mode = "zorder"` on the Morton interleave of
+    * `zorderKeys` ([[Scale.zOrderKey]]) so per-file min/max stats are
+    * narrow on EVERY layout key at once (multi-column `readWhereAll`
+    * pruning). Declared once at create; every later commit (merge,
+    * compact) reuses it from the manifest — layout is a TABLE
+    * property, not a per-writer choice. */
+  final case class Layout(fileRanges: Int = 0, mode: String = "range",
+                          zorderKeys: Seq[String] = Nil)
+
   /** A version's complete state: the live files per partition value
-    * plus the table contract (key / partition / stats columns). */
+    * plus the table contract (key / partition / stats columns /
+    * layout). */
   final case class Manifest(version: Int, parent: Int, op: String,
                             key: String, partitionCol: String,
                             statsCols: Seq[String],
-                            partitions: Map[String, Seq[FileEntry]]) {
+                            partitions: Map[String, Seq[FileEntry]],
+                            layout: Layout = Layout()) {
     def files: Seq[FileEntry] = partitions.values.flatten.toSeq
     def rows: Long = files.map(_.rows).sum
   }
@@ -120,6 +134,9 @@ object Snapshot {
     root.put("op", m.op); root.put("key", m.key)
     root.put("partition_col", m.partitionCol)
     val sc = root.putArray("stats_cols"); m.statsCols.foreach(sc.add)
+    val lo = root.putObject("layout")
+    lo.put("file_ranges", m.layout.fileRanges); lo.put("mode", m.layout.mode)
+    val lk = lo.putArray("zorder_keys"); m.layout.zorderKeys.foreach(lk.add)
     val parts = root.putObject("partitions")
     m.partitions.toSeq.sortBy(_._1).foreach { case (p, files) =>
       val arr = parts.putArray(p)
@@ -166,10 +183,15 @@ object Snapshot {
           colStats(fn.get("stats")))
       }.toSeq
     }.toMap
+    val layout = Option(root.get("layout")).map(l =>
+      Layout(l.get("file_ranges").asInt(), l.get("mode").asText(),
+        l.get("zorder_keys").elements().asScala.map(_.asText()).toSeq))
+      .getOrElse(Layout())
     Manifest(root.get("version").asInt(), root.get("parent").asInt(),
       root.get("op").asText(), root.get("key").asText(),
       root.get("partition_col").asText(),
-      root.get("stats_cols").elements().asScala.map(_.asText()).toSeq, parts)
+      root.get("stats_cols").elements().asScala.map(_.asText()).toSeq, parts,
+      layout)
   }
 
   /** (version, op, parent, partitions, files, rows) per retained
@@ -264,18 +286,21 @@ object Snapshot {
     }
   }
 
-  /** Write `df`'s rows for this commit. `fileRanges > 0` range-
-    * partitions on (partition, key) first so each file covers a narrow
-    * key range — the layout that makes `readWhere`'s stats pruning
-    * effective (same trade as [[Scale.writeRangeLayout]]); 0 writes
-    * with no extra shuffle. */
+  /** Write `df`'s rows for this commit, arranged per the table
+    * [[Layout]] — the shuffle (when any) is bounded by this COMMIT's
+    * bytes, never the table's (same trade as
+    * [[Scale.writeRangeLayout]]/[[Scale.writeZOrder]], applied
+    * per-commit). */
   private def writeCommit(df: DataFrame, table: String, v: Int,
                           partitionCol: String, key: String,
-                          fileRanges: Int): Unit = {
+                          layout: Layout): Unit = {
     val shadow = df.withColumn("__part", col(partitionCol).cast("string"))
     val arranged =
-      if (fileRanges > 0) shadow.repartitionByRange(fileRanges, col("__part"), col(key))
-      else shadow
+      if (layout.fileRanges <= 0) shadow
+      else if (layout.mode == "zorder")
+        shadow.repartitionByRange(layout.fileRanges, col("__part"),
+          Scale.zOrderKey(shadow, layout.zorderKeys))
+      else shadow.repartitionByRange(layout.fileRanges, col("__part"), col(key))
     arranged.write.mode("error").partitionBy("__part").parquet(commitDir(table, v))
   }
 
@@ -296,17 +321,25 @@ object Snapshot {
    */
   def create(spark: SparkSession, table: String, df: DataFrame,
              key: String, partitionCol: String,
-             statsCols: Seq[String] = Nil, fileRanges: Int = 0): CommitStats =
+             statsCols: Seq[String] = Nil, fileRanges: Int = 0,
+             layoutMode: String = "range",
+             zorderKeys: Seq[String] = Nil): CommitStats =
     withCommitLock(table) {
       require(currentVersion(table) == 0,
         s"snapshot $table already exists (v${currentVersion(table)})")
       require(df.columns.contains(key) && df.columns.contains(partitionCol),
         s"snapshot: df lacks key '$key' or partition column '$partitionCol'")
+      require(layoutMode == "range" || layoutMode == "zorder",
+        s"snapshot: unknown layout mode '$layoutMode'")
+      require(layoutMode != "zorder" || zorderKeys.nonEmpty,
+        "snapshot: layout zorder needs zorderKeys")
       validatePartitionValues(df, partitionCol)
       val tracked = (key +: statsCols.filterNot(_ == key)).filter(df.columns.contains)
-      writeCommit(df, table, 1, partitionCol, key, fileRanges)
+      val layout = Layout(fileRanges, layoutMode, zorderKeys)
+      writeCommit(df, table, 1, partitionCol, key, layout)
       val parts = commitEntries(spark, table, 1, tracked)
-      writeManifest(table, Manifest(1, 0, "create", key, partitionCol, tracked, parts))
+      writeManifest(table, Manifest(1, 0, "create", key, partitionCol, tracked,
+        parts, layout))
       CommitStats(1, parts.keys.toSeq.sorted, Nil, parts.values.map(_.size).sum)
     }
 
@@ -319,7 +352,7 @@ object Snapshot {
    * Earlier versions remain readable: nothing is deleted until vacuum.
    */
   def merge(spark: SparkSession, table: String, upserts: DataFrame,
-            deleteKeys: DataFrame, fileRanges: Int = 0): CommitStats =
+            deleteKeys: DataFrame): CommitStats =
     withCommitLock(table) {
       val cur = currentVersion(table)
       require(cur > 0, s"snapshot $table does not exist — create() first")
@@ -361,13 +394,13 @@ object Snapshot {
                         else spark.read.parquet(affectedFiles: _*)
                           .join(allKeys, Seq(key), "left_anti"))
             .unionByName(ups.select(target.columns.map(col): _*))
-          writeCommit(merged, table, v, pc, key, fileRanges)
+          writeCommit(merged, table, v, pc, key, m.layout)
           val fresh = commitEntries(spark, table, v, m.statsCols)
 
           val kept = m.partitions.filterNot(e => affected.contains(e._1))
           val dropped = affected.filterNot(fresh.contains) // emptied by deletes
           writeManifest(table, Manifest(v, cur, "merge", key, pc, m.statsCols,
-            kept ++ fresh))
+            kept ++ fresh, m.layout))
           CommitStats(v, fresh.keys.toSeq.sorted, dropped,
             fresh.values.map(_.size).sum)
         }
@@ -404,7 +437,8 @@ object Snapshot {
           .write.mode("error").partitionBy("__part").parquet(commitDir(table, v))
         val fresh = commitEntries(spark, table, v, m.statsCols)
         writeManifest(table, Manifest(v, cur, "compact", m.key, m.partitionCol,
-          m.statsCols, m.partitions.filterNot(e => frag.contains(e._1)) ++ fresh))
+          m.statsCols, m.partitions.filterNot(e => frag.contains(e._1)) ++ fresh,
+          m.layout))
         CommitStats(v, fresh.keys.toSeq.sorted, Nil, fresh.values.map(_.size).sum)
       }
     }
@@ -527,6 +561,24 @@ object Snapshot {
     (kept, total)
   }
 
+  /** CONJUNCTIVE multi-column pruning: the manifest entries surviving
+    * every `(column, lo, hi)` predicate at once — a file is read only
+    * if ALL its ranges intersect. Under a zorder [[Layout]] the
+    * per-file ranges are narrow on every layout key simultaneously,
+    * so multi-predicate selectivities multiply instead of the
+    * second predicate pruning nothing (SnapshotSpec quantifies). */
+  def pruneAll(table: String, preds: Seq[(String, Any, Any)],
+               version: Int = 0): (Seq[FileEntry], Int) = {
+    require(preds.nonEmpty, "pruneAll needs at least one predicate")
+    val v = if (version > 0) version else currentVersion(table)
+    val total = readManifest(table, v).files.size
+    val kept = preds.map { case (c, lo, hi) =>
+      pruneRange(table, c, lo, hi, v)._1.map(_.path).toSet }
+      .reduce(_ intersect _)
+    val m = readManifest(table, v)
+    (m.files.filter(f => kept.contains(f.path)), total)
+  }
+
   /**
    * Stats-pruned range read: only files whose manifest stats admit
    * `column ∈ [lo, hi]` are handed to the scan (the predicate is ALSO
@@ -535,13 +587,20 @@ object Snapshot {
    * an empty frame without touching storage.
    */
   def readWhere(spark: SparkSession, table: String, column: String,
-                lo: Any, hi: Any, version: Int = 0): DataFrame = {
+                lo: Any, hi: Any, version: Int = 0): DataFrame =
+    readWhereAll(spark, table, Seq((column, lo, hi)), version)
+
+  /** [[readWhere]] for a CONJUNCTION of range predicates (see
+    * [[pruneAll]]); every predicate is also applied as a filter. */
+  def readWhereAll(spark: SparkSession, table: String,
+                   preds: Seq[(String, Any, Any)], version: Int = 0): DataFrame = {
     val v = if (version > 0) version else currentVersion(table)
     val m = readManifest(table, v)
-    val (kept, _) = pruneRange(table, column, lo, hi, v)
+    val (kept, _) = pruneAll(table, preds, v)
     val base =
       if (kept.isEmpty) readManifestFiles(spark, table, m).limit(0)
       else readManifestFiles(spark, table, m, kept)
-    base.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
+    preds.foldLeft(base) { case (df, (c, lo, hi)) =>
+      df.filter(col(c) >= lit(lo) && col(c) <= lit(hi)) }
   }
 }

@@ -61,8 +61,10 @@ object Writers {
           s"column (got ${spec.partitionBy.mkString(",")})")
       require(spec.format == "parquet",
         s"sink '${spec.name}': snapshot tables are parquet (got ${spec.format})")
-      require(spec.layout == "none",
-        s"sink '${spec.name}': snapshot and layout are mutually exclusive")
+      // layout range|zorder maps onto the table's commit layout — a
+      // TABLE property fixed at bootstrap (later commits reuse the
+      // manifest's layout; a differing spec on an existing table is
+      // ignored by design, like statsCols)
       val del =
         if (df.columns.contains("__deleted"))
           df.filter(coalesce(col("__deleted"), lit(false))).select(spec.mergeKey)
@@ -75,7 +77,10 @@ object Writers {
         val st =
           if (!graft.operators.Snapshot.exists(path))
             graft.operators.Snapshot.create(df.sparkSession, path, ups,
-              spec.mergeKey, spec.partitionBy.head, spec.statsCols)
+              spec.mergeKey, spec.partitionBy.head, spec.statsCols,
+              fileRanges = spec.layoutPartitions,
+              layoutMode = if (spec.layout == "none") "range" else spec.layout,
+              zorderKeys = spec.layoutKeys)
           else
             graft.operators.Snapshot.merge(df.sparkSession, path, ups, del)
         println(s"[sink ${spec.name}] snapshot $path now v${st.version}: " +

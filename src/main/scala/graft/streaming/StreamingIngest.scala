@@ -390,6 +390,57 @@ object StreamingIngest {
   }
 
   /**
+   * [[cdcMergeSink]]'s VERSIONED twin: apply the change stream to a
+   * [[graft.operators.Snapshot]] table — each micro-batch collapses to
+   * the last change per key (same seq/delete-ties rule) and lands as
+   * ONE atomic commit, so the table's version log IS the batch audit
+   * trail: any historical state is `readAt` away, a bad batch is one
+   * `rollback` away, and readers never see a half-applied batch (the
+   * cross-partition atomicity [[cdcMergeSink]]'s plain-hive target
+   * documents as out of scope). A missing table bootstraps at v1 from
+   * the first batch. At-least-once replay converges: the collapse is
+   * deterministic and re-merging an applied change set commits a
+   * content-identical version.
+   */
+  def cdcSnapshotSink(stream: DataFrame, tablePath: String, checkpoint: String,
+                      key: String, partitionCol: String, seqCol: String,
+                      deletedCol: String = "__deleted",
+                      statsCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyCdcSnapshotBatch(batch, tablePath, key, partitionCol, seqCol,
+          deletedCol, statsCols)
+      }
+      .start()
+
+  private[graft] def applyCdcSnapshotBatch(batch: DataFrame, tablePath: String,
+                                           key: String, partitionCol: String,
+                                           seqCol: String, deletedCol: String,
+                                           statsCols: Seq[String]): Unit = {
+    val isDel = coalesce(col(deletedCol), lit(false))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key))
+      .orderBy(col(seqCol).desc, isDel.desc)
+    val last = batch
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk")
+    val dataCols = batch.columns
+      .filterNot(c => c == seqCol || c == deletedCol).map(col)
+    val ups = last.filter(!isDel).select(dataCols: _*)
+    val dels = last.filter(isDel).select(col(key))
+    if (!graft.operators.Snapshot.exists(tablePath))
+      graft.operators.Snapshot.create(batch.sparkSession, tablePath, ups,
+        key, partitionCol, statsCols)
+    else
+      graft.operators.Snapshot.merge(batch.sparkSession, tablePath, ups, dels)
+    ()
+  }
+
+  /**
    * Read a [[cmsHeavyHittersSink]] log and rank the hot keys: union
    * every batch sketch into one (dedup'd by batch_id against
    * at-least-once replays), then score the distinct union of the

@@ -165,6 +165,48 @@ class SnapshotSpec extends SparkSpecBase {
     assert(Snapshot.readWhere(spark, t, "part", "2", "2").count() == 1000)
   }
 
+  test("zorder layout: multi-column pruning beats the range layout's second key; layout persists across merge commits") {
+    def mk(tag: String, mode: String, zk: Seq[String]) = {
+      val t = fresh(tag)
+      // two independent uniform keys: a range layout on (part, id) has
+      // narrow id ranges but FULL-span b ranges per file
+      val wide = spark.range(0, 8000).select(
+        col("id"),
+        ((col("id") * 2654435761L) % 8000).as("b"),
+        concat(lit("doc "), col("id")).as("payload"),
+        lit("p0").as("part"))
+      Snapshot.create(spark, t, wide, "id", "part",
+        statsCols = Seq("id", "b"), fileRanges = 32,
+        layoutMode = mode, zorderKeys = zk)
+      t
+    }
+    val ranged = mk("zo_range", "range", Nil)
+    val zorded = mk("zo_z", "zorder", Seq("id", "b"))
+    val preds = Seq(("id", 1000L, 1999L), ("b", 1000L, 1999L))
+    val (keptR, totR) = Snapshot.pruneAll(ranged, preds)
+    val (keptZ, totZ) = Snapshot.pruneAll(zorded, preds)
+    assert(totR >= 16 && totZ >= 16)
+    // range layout: id prunes to ~1/8, b prunes nothing within those
+    // files; zorder: both predicates prune — strictly fewer files
+    assert(keptZ.size < keptR.size,
+      s"zorder kept ${keptZ.size}, range kept ${keptR.size} of $totZ/$totR")
+    // results identical (and identical to a full-scan filter)
+    val a = Snapshot.readWhereAll(spark, zorded, preds)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = Snapshot.readWhereAll(spark, ranged, preds)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val full = Snapshot.readLatest(spark, zorded)
+      .filter(col("id").between(1000, 1999) && col("b").between(1000, 1999))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a == full && a.nonEmpty)
+    // the layout is a table property: a merge commit reuses it
+    Snapshot.merge(spark, zorded,
+      upserts = Seq((9000L, 123L, "x", "p0")).toDF("id", "b", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id"))
+    assert(Snapshot.readManifest(zorded, 2).layout ==
+      Snapshot.Layout(32, "zorder", Seq("id", "b")))
+  }
+
   test("merge validations: schema mismatch, upsert∩delete overlap, bad partition value") {
     val t = fresh("validate")
     Snapshot.create(spark, t, seedDf, "id", "part")
@@ -234,6 +276,49 @@ class SnapshotSpec extends SparkSpecBase {
     assert(rowsOf(viaSource(Some("1"))) == rowsOf(seedDf)) // time travel
     // manifest stats reached the metadata-built table
     assert(Snapshot.readManifest(t, 2).statsCols == Seq("id"))
+  }
+
+  test("cdcSnapshotSink: each micro-batch is one atomic commit; history audit-readable; replay converges") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = fresh("cdc")
+    val cp = fresh("cdc_cp")
+    val stream = MemoryStream[(Long, String, String, Long, Boolean)]
+    val q = graft.streaming.StreamingIngest.cdcSnapshotSink(
+      stream.toDF().toDF("id", "payload", "part", "seq", "__deleted"),
+      t, cp, key = "id", partitionCol = "part", seqCol = "seq",
+      statsCols = Seq("id"))
+    // batch 0 bootstraps v1
+    stream.addData((1L, "a", "p1", 1L, false), (2L, "b", "p1", 2L, false),
+      (3L, "c", "p2", 3L, false))
+    q.processAllAvailable()
+    // batch 1: update id 2 (seq order within batch), delete id 3
+    stream.addData((2L, "b-old", "p1", 10L, false),
+      (2L, "b-new", "p1", 11L, false), (3L, null, "p2", 12L, true))
+    q.processAllAvailable()
+    // batch 2: insert id 4
+    stream.addData((4L, "d", "p2", 20L, false))
+    q.processAllAvailable(); q.stop()
+
+    assert(Snapshot.currentVersion(t) == 3, "one version per micro-batch")
+    def rows(v: Int) = Snapshot.readAt(spark, t, v)
+      .select("id", "payload", "part").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows(1) == Set((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2")))
+    assert(rows(2) == Set((1L, "a", "p1"), (2L, "b-new", "p1")))
+    assert(rows(3) == Set((1L, "a", "p1"), (2L, "b-new", "p1"), (4L, "d", "p2")))
+
+    // at-least-once replay of the last batch: converges (one more
+    // version, content identical)
+    graft.streaming.StreamingIngest.applyCdcSnapshotBatch(
+      Seq((4L, "d", "p2", 20L, false)).toDF("id", "payload", "part", "seq", "__deleted"),
+      t, "id", "part", "seq", "__deleted", Seq("id"))
+    assert(rows(Snapshot.currentVersion(t)) == rows(3),
+      "replayed batch must commit a content-identical version")
+
+    // a bad batch is one rollback away — the audit-trail payoff
+    Snapshot.rollback(spark, t, 2)
+    assert(rows(Snapshot.currentVersion(t)) == rows(2))
   }
 
   test("delete-only merge and no-op merge both commit clean versions") {
