@@ -444,7 +444,8 @@ class DataflowSpec extends SparkSpecBase {
     // execute here — but every transform/sink must RESOLVE (a typo'd
     // type or param in a shipped example is a user-facing break)
     for (f <- Seq("examples/incremental_refresh.json",
-                  "examples/scheduled_delta.json")) {
+                  "examples/scheduled_delta.json",
+                  "examples/versioned_corpus.json")) {
       val p = MetaLoader.loadFile(f)
       assert(p.schedule.isDefined, s"$f: schedule block must parse")
       val flows = p.dataflows
@@ -457,6 +458,16 @@ class DataflowSpec extends SparkSpecBase {
     assert(aggSink.isDefined, "incremental_refresh must ship an agg_maintain sink")
     assert(aggSink.get.aggGroupBy === Seq("lang"))
     assert(aggSink.get.aggSums === Seq("n_chars"))
+    // the r8 snapshot sink/source in versioned_corpus carries its
+    // layout + stats columns and the pinned-version source option
+    val versioned = MetaLoader.loadFile("examples/versioned_corpus.json")
+    val snapSink = versioned.dataflows.head.sinks.find(_.saveMode == "snapshot")
+    assert(snapSink.isDefined, "versioned_corpus must ship a snapshot sink")
+    assert(snapSink.get.statsCols === Seq("doc_id", "n_chars"))
+    assert(snapSink.get.layout === "zorder" &&
+      snapSink.get.layoutKeys === Seq("doc_id", "n_chars"))
+    val pinned = versioned.dataflows(1).sources.head
+    assert(pinned.format === "snapshot" && pinned.options("version") === "7")
   }
 
   test("metadata reach: sentences, normalize_text, take") {
