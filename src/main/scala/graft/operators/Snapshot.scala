@@ -549,10 +549,21 @@ object Snapshot {
     val m = readManifest(table, v)
     val total = m.files.size
     val kept =
-      if (column == m.partitionCol)
+      if (column == m.partitionCol) {
+        // numeric partition values must compare numerically ("10" is
+        // not < "9") — fall back to lexicographic only when the value
+        // space or the bounds are non-numeric
+        val nums = m.partitions.keys.map(p => p -> scala.util.Try(BigDecimal(p))).toMap
+        val bounds = scala.util.Try((BigDecimal(lo.toString), BigDecimal(hi.toString)))
+        val numeric = bounds.isSuccess && nums.values.forall(_.isSuccess)
         m.partitions.filter { case (p, _) =>
-          p >= lo.toString && p <= hi.toString }.values.flatten.toSeq
-      else {
+          if (numeric) {
+            val (l, h) = bounds.get
+            val v = nums(p).get
+            v >= l && v <= h
+          } else p >= lo.toString && p <= hi.toString
+        }.values.flatten.toSeq
+      } else {
         require(m.statsCols.contains(column),
           s"snapshot $table: no stats tracked for '$column' " +
             s"(tracked: ${m.statsCols.mkString(",")})")

@@ -165,6 +165,20 @@ class SnapshotSpec extends SparkSpecBase {
     assert(Snapshot.readWhere(spark, t, "part", "2", "2").count() == 1000)
   }
 
+  test("numeric partition values prune numerically, not lexicographically") {
+    val t = fresh("numpart")
+    // partitions 0..12: lexicographic [2,10] would wrongly drop "3".."9"
+    val df = spark.range(0, 1300).select(
+      col("id"), (col("id") % 13).cast("string").as("part"))
+    Snapshot.create(spark, t, df, "id", "part")
+    val (kept, _) = Snapshot.pruneRange(t, "part", 2, 10)
+    val keptParts = kept.map(_.path.split("/")(2)).toSet // files/cN/__part=V/...
+    assert((2 to 10).forall(v => keptParts.contains(s"__part=$v")),
+      s"numeric range must keep partitions 2..10, got $keptParts")
+    assert(!keptParts.contains("__part=1") && !keptParts.contains("__part=11"))
+    assert(Snapshot.readWhere(spark, t, "part", 2, 10).count() == 900)
+  }
+
   test("zorder layout: multi-column pruning beats the range layout's second key; layout persists across merge commits") {
     def mk(tag: String, mode: String, zk: Seq[String]) = {
       val t = fresh(tag)
