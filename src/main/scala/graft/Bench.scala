@@ -45,7 +45,7 @@ object Bench {
     "snapshot_timetravel", "snapshot_pruned", "snapshot_delta",
     "fuzzy_names", "fuzzy_names_jw", "fuzzy_names_multi",
     "sample_weighted_group", "q_rolling", "q_anomaly", "text_blocklist",
-    "q_funnel", "q_cohort",
+    "q_funnel", "q_cohort", "q_event_bigrams",
     "q_gate_audit", "q_cube", "q_resample", "export_shards",
     "pipeline_docs", "pipeline_docs_v2", "pipeline_docs_v3",
     "pipeline_docs_v4")

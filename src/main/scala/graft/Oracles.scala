@@ -2157,6 +2157,16 @@ object Oracles {
 
     // ordered funnel: first view, first later click, first later
     // purchase — ordering by the integer event id
+    // event-transition bigrams: same per-user lag in event_id order
+    // (integer-exact, tie-free), same global pair count
+    "q_event_bigrams" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS e1
+        |  FROM events)
+        |SELECT e1, event_type AS e2, COUNT(*) AS n
+        |FROM s WHERE e1 IS NOT NULL GROUP BY e1, e2""".stripMargin,
+
     "q_funnel" ->
       """WITH ev AS (SELECT * FROM events WHERE event_id % 29 = 0),
         |s1 AS (SELECT user_id, min(event_id) AS e0 FROM ev

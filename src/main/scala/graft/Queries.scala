@@ -1639,6 +1639,23 @@ object Queries {
       col("user_id"), col("event_id"), col("event_type"),
       steps = Seq("view", "click", "purchase"))
 
+  /** Event-transition bigrams (the Markov view of the stream): per
+    * user, consecutive event-type pairs in event_id order (monotone in
+    * ts, integer-exact tie-free ordering), counted globally. One lag
+    * window PARTITIONED BY user — no global sort, scales by user key —
+    * plus one groupBy over a (|types|²)-bounded pair space. The
+    * "what do users do next" primitive behind next-action models and
+    * funnel discovery. */
+  def qEventBigrams(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("e1", lag(col("event_type"), 1).over(w))
+      .filter(col("e1").isNotNull)
+      .groupBy(col("e1"), col("event_type").as("e2"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Weekly signup-cohort retention curve. */
   def qCohort(s: SparkSession, dir: String): DataFrame =
     operators.Funnel.cohortRetention(t(s, dir, "events"),
@@ -1809,6 +1826,7 @@ object Queries {
     "text_blocklist" -> textBlocklist _,
     "q_funnel" -> qFunnel _,
     "q_cohort" -> qCohort _,
+    "q_event_bigrams" -> qEventBigrams _,
     "q_gate_audit" -> qGateAudit _,
     "q_cube" -> qCube _,
     "q_resample" -> qResample _,

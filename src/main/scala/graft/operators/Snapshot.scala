@@ -86,7 +86,8 @@ object Snapshot {
                             key: String, partitionCol: String,
                             statsCols: Seq[String],
                             partitions: Map[String, Seq[FileEntry]],
-                            layout: Layout = Layout()) {
+                            layout: Layout = Layout(),
+                            schemaDdl: String = "") {
     def files: Seq[FileEntry] = partitions.values.flatten.toSeq
     def rows: Long = files.map(_.rows).sum
   }
@@ -137,6 +138,7 @@ object Snapshot {
     val lo = root.putObject("layout")
     lo.put("file_ranges", m.layout.fileRanges); lo.put("mode", m.layout.mode)
     val lk = lo.putArray("zorder_keys"); m.layout.zorderKeys.foreach(lk.add)
+    root.put("schema_ddl", m.schemaDdl)
     val parts = root.putObject("partitions")
     m.partitions.toSeq.sortBy(_._1).foreach { case (p, files) =>
       val arr = parts.putArray(p)
@@ -191,7 +193,8 @@ object Snapshot {
       root.get("op").asText(), root.get("key").asText(),
       root.get("partition_col").asText(),
       root.get("stats_cols").elements().asScala.map(_.asText()).toSeq, parts,
-      layout)
+      layout,
+      Option(root.get("schema_ddl")).map(_.asText()).getOrElse(""))
   }
 
   /** (version, op, parent, partitions, files, rows) per retained
@@ -339,7 +342,7 @@ object Snapshot {
       writeCommit(df, table, 1, partitionCol, key, layout)
       val parts = commitEntries(spark, table, 1, tracked)
       writeManifest(table, Manifest(1, 0, "create", key, partitionCol, tracked,
-        parts, layout))
+        parts, layout, df.schema.toDDL))
       CommitStats(1, parts.keys.toSeq.sorted, Nil, parts.values.map(_.size).sum)
     }
 
@@ -359,9 +362,20 @@ object Snapshot {
       val m = readManifest(table, cur)
       val (key, pc) = (m.key, m.partitionCol)
       val target = readManifestFiles(spark, table, m)
-      require(upserts.columns.sorted.sameElements(target.columns.sorted),
-        s"snapshot merge: upserts schema ${upserts.columns.sorted.mkString(",")} " +
-          s"must match table ${target.columns.sorted.mkString(",")}")
+      // ADDITIVE schema evolution: upserts may carry NEW columns (old
+      // rows read back as null); they must still carry every existing
+      // column, and shared columns must keep their types — narrowing
+      // or dropping is a rewrite, not a merge
+      val added = upserts.schema.fields.filterNot(f => target.columns.contains(f.name))
+      require(target.columns.forall(upserts.columns.contains),
+        s"snapshot merge: upserts lack table column(s) " +
+          s"${target.columns.filterNot(upserts.columns.contains).mkString(",")}")
+      upserts.schema.fields.filter(f => target.columns.contains(f.name)).foreach { f =>
+        val tf = target.schema(f.name)
+        require(f.dataType == tf.dataType,
+          s"snapshot merge: column '${f.name}' type ${f.dataType.simpleString} " +
+            s"does not match table's ${tf.dataType.simpleString}")
+      }
 
       val ups = OpCache.cache(upserts)
       val dels = OpCache.cache(deleteKeys.select(col(key)).distinct())
@@ -387,20 +401,29 @@ object Snapshot {
           writeManifest(table, m.copy(version = v, parent = cur, op = "merge"))
           CommitStats(v, Nil, Nil, 0)
         } else {
-          // survivors of affected partitions + upserts → this commit's files
+          // survivors of affected partitions + upserts → this commit's
+          // files; under evolution the survivors gain the new columns
+          // as nulls (unionByName allowMissingColumns)
           val affectedFiles = m.partitions.filter(e => affected.contains(e._1))
             .values.flatten.map(f => s"$table/${f.path}").toSeq
-          val merged = (if (affectedFiles.isEmpty) ups.limit(0)
+          val newCols = target.columns ++ added.map(_.name)
+          val merged = (if (affectedFiles.isEmpty) ups.select(newCols.map(col): _*).limit(0)
                         else spark.read.parquet(affectedFiles: _*)
                           .join(allKeys, Seq(key), "left_anti"))
-            .unionByName(ups.select(target.columns.map(col): _*))
+            .unionByName(ups.select(newCols.map(col): _*),
+              allowMissingColumns = true)
           writeCommit(merged, table, v, pc, key, m.layout)
           val fresh = commitEntries(spark, table, v, m.statsCols)
 
+          val newDdl =
+            if (added.isEmpty) m.schemaDdl
+            else StructType((if (m.schemaDdl.nonEmpty)
+                StructType.fromDDL(m.schemaDdl).fields
+              else target.schema.fields) ++ added).toDDL
           val kept = m.partitions.filterNot(e => affected.contains(e._1))
           val dropped = affected.filterNot(fresh.contains) // emptied by deletes
           writeManifest(table, Manifest(v, cur, "merge", key, pc, m.statsCols,
-            kept ++ fresh, m.layout))
+            kept ++ fresh, m.layout, newDdl))
           CommitStats(v, fresh.keys.toSeq.sorted, dropped,
             fresh.values.map(_.size).sum)
         }
@@ -431,7 +454,11 @@ object Snapshot {
       } else {
         val paths = frag.values.flatten.map(f => s"$table/${f.path}").toSeq
         // one task per partition value → one output file per partition
-        spark.read.parquet(paths: _*)
+        // (manifest schema: post-evolution commits hold mixed-schema
+        // files; the compacted file carries the full current schema)
+        (if (m.schemaDdl.nonEmpty)
+           spark.read.schema(StructType.fromDDL(m.schemaDdl))
+         else spark.read).parquet(paths: _*)
           .withColumn("__part", col(m.partitionCol).cast("string"))
           .repartition(col("__part"))
           .write.mode("error").partitionBy("__part").parquet(commitDir(table, v))
@@ -513,7 +540,14 @@ object Snapshot {
     val entries = if (only == null) m.files else only
     if (entries.isEmpty)
       throw new IllegalStateException(s"snapshot $table v${m.version}: empty file set")
-    spark.read.parquet(entries.map(f => s"$table/${f.path}"): _*)
+    // the manifest schema drives the read: files predating an additive
+    // evolution lack the new columns and come back null-filled —
+    // WITHOUT mergeSchema's all-footers inference pass (at 100 TB the
+    // manifest IS the schema authority, the table-format answer)
+    val reader =
+      if (m.schemaDdl.nonEmpty) spark.read.schema(StructType.fromDDL(m.schemaDdl))
+      else spark.read
+    reader.parquet(entries.map(f => s"$table/${f.path}"): _*)
   }
 
   /** The table as of `version` (time travel). */
@@ -570,6 +604,64 @@ object Snapshot {
         m.files.filter(f => f.stats.get(column).forall(admits(_, lo, hi)))
       }
     (kept, total)
+  }
+
+  /** One [[fsck]] finding: what is wrong with which file. */
+  final case class FsckIssue(version: Int, file: String, problem: String)
+
+  /**
+   * Integrity audit of the table: for every RETAINED version, check
+   * (a) each manifest-referenced file exists on disk, (b) the current
+   * version's per-file row counts match a recount, and (c) no orphan
+   * data files sit under `files/` that no retained manifest references
+   * (a crashed writer's droppings — vacuum reclaims them, but an
+   * operator should see them first). Returns every finding; an empty
+   * list is a clean bill. The recount is one column-pruned scan of the
+   * current file set; historical versions get the existence check only
+   * (their bytes are immutable — if the file is there, it is right).
+   */
+  def fsck(spark: SparkSession, table: String): Seq[FsckIssue] = {
+    val cur = currentVersion(table)
+    require(cur > 0, s"snapshot $table does not exist")
+    val issues = Seq.newBuilder[FsckIssue]
+    val retained = (1 to cur).filter(v => Files.exists(manifestPath(table, v)))
+    val referenced = scala.collection.mutable.Set[String]()
+    retained.foreach { v =>
+      val m = readManifest(table, v)
+      m.files.foreach { f =>
+        referenced += f.path
+        if (!Files.exists(Paths.get(table, f.path)))
+          issues += FsckIssue(v, f.path, "missing on disk")
+      }
+    }
+    // recount the CURRENT version (key column only — pruned scan)
+    val m = readManifest(table, cur)
+    if (m.files.nonEmpty && m.files.forall(f => Files.exists(Paths.get(table, f.path)))) {
+      val counted = readManifestFiles(spark, table, m)
+        .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getAs[String]("f") -> r.getAs[Long]("n")).toMap
+      m.files.foreach { f =>
+        val n = counted.collectFirst {
+          case (path, c) if path.endsWith(f.path) => c }.getOrElse(0L)
+        if (n != f.rows)
+          issues += FsckIssue(cur, f.path, s"row count $n != manifest ${f.rows}")
+      }
+    }
+    // orphans: data files no retained manifest references
+    val filesRoot = Paths.get(table, "files")
+    if (Files.isDirectory(filesRoot)) {
+      val walk = Files.walk(filesRoot)
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && {
+          val n = p.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+        .map(p => Paths.get(table).relativize(p).toString)
+        .filterNot(referenced.contains)
+        .foreach(p => issues += FsckIssue(0, p, "orphan (no retained version references it)"))
+      finally walk.close()
+    }
+    issues.result()
   }
 
   /** CONJUNCTIVE multi-column pruning: the manifest entries surviving

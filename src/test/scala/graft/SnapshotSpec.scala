@@ -292,6 +292,61 @@ class SnapshotSpec extends SparkSpecBase {
     assert(Snapshot.readManifest(t, 2).statsCols == Seq("id"))
   }
 
+  test("fsck: clean table reports nothing; missing file, tampered rows, and orphans are found") {
+    val t = fresh("fsck")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    commitV2(t)
+    assert(Snapshot.fsck(spark, t).isEmpty, "fresh table must audit clean")
+    // orphan: a stray file a crashed writer left behind
+    val orphan = Paths.get(t, "files", "c00000001", "stray.parquet")
+    Files.write(orphan, Array[Byte](1, 2, 3))
+    // missing: delete one referenced data file of v1
+    val victim = Snapshot.readManifest(t, 1).partitions("p2").head.path
+    Files.delete(Paths.get(t, victim))
+    val issues = Snapshot.fsck(spark, t)
+    assert(issues.exists(i => i.problem == "missing on disk" && i.file == victim))
+    assert(issues.exists(i => i.problem.startsWith("orphan")))
+    // current version's files are intact, so no row-count findings
+    assert(!issues.exists(_.problem.contains("row count")))
+  }
+
+  test("additive schema evolution: merge with a new column; old rows null-filled; old versions keep the old schema; compact preserves the evolved schema") {
+    val t = fresh("evolve")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    // v2: upserts carry a NEW 'score' column — table schema evolves
+    val ups = Seq((2L, "bravo2", "p1", 0.9), (9L, "india", "p2", 0.5))
+      .toDF("id", "payload", "part", "score")
+    Snapshot.merge(spark, t, ups, spark.emptyDataset[Long].toDF("id"))
+    val latest = Snapshot.readLatest(spark, t)
+    assert(latest.columns.sorted.toSeq == Seq("id", "part", "payload", "score"))
+    val byId = latest.select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(byId(2L).contains(0.9) && byId(9L).contains(0.5))
+    // survivors in the rewritten partitions AND rows in untouched
+    // partitions (old files, manifest-schema read) are null-filled
+    assert(byId(1L).isEmpty, "survivor row in rewritten partition")
+    assert(byId(8L).isEmpty, "row in untouched partition (old file)")
+    // time travel serves the OLD schema
+    assert(!Snapshot.readAt(spark, t, 1).columns.contains("score"))
+    // type conflicts on shared columns are rejected
+    intercept[IllegalArgumentException] {
+      Snapshot.merge(spark, t,
+        Seq((3L, 7, "p1", 0.1)).toDF("id", "payload", "part", "score"),
+        spark.emptyDataset[Long].toDF("id"))
+    }
+    // a column the table has cannot be silently dropped
+    intercept[IllegalArgumentException] {
+      Snapshot.merge(spark, t,
+        Seq((3L, "x", "p1")).toDF("id", "payload", "part"),
+        spark.emptyDataset[Long].toDF("id"))
+    }
+    // compact across mixed-schema files keeps the evolved schema
+    Snapshot.compact(spark, t, maxFilesPerPartition = 0)
+    val compacted = Snapshot.readLatest(spark, t)
+    assert(compacted.columns.sorted.toSeq == Seq("id", "part", "payload", "score"))
+    assert(compacted.count() == latest.count())
+  }
+
   test("cdcSnapshotSink: each micro-batch is one atomic commit; history audit-readable; replay converges") {
     implicit val sq = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
