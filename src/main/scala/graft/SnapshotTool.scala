@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.Snapshot
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Ops CLI for versioned snapshot tables — the maintenance verbs a
+ * lakehouse schedules (compaction after trickle merges, vacuum after
+ * retention windows, fsck before audits, rollback after a bad
+ * commit), driveable from cron / CI exactly like
+ * [[ScheduleRunner]]:
+ *
+ * {{{
+ *   runMain graft.SnapshotTool history  /data/corpus_v
+ *   runMain graft.SnapshotTool fsck     /data/corpus_v        # exit 1 on findings
+ *   runMain graft.SnapshotTool compact  /data/corpus_v [maxFilesPerPartition=4]
+ *   runMain graft.SnapshotTool vacuum   /data/corpus_v [retainLast=2]
+ *   runMain graft.SnapshotTool rollback /data/corpus_v <version>
+ * }}}
+ */
+object SnapshotTool {
+
+  /** Run one verb; returns (output lines, exit code). Factored from
+    * main so specs drive it without forking a JVM. */
+  def run(spark: SparkSession, args: Seq[String]): (Seq[String], Int) =
+    args match {
+      case Seq("history", table) =>
+        val lines = Snapshot.history(table).map { case (v, op, parent, parts, files, rows) =>
+          f"v$v%-4d $op%-14s parent=v$parent%-3d partitions=$parts%-4d files=$files%-5d rows=$rows"
+        }
+        (lines, 0)
+      case Seq("fsck", table) =>
+        val issues = Snapshot.fsck(spark, table)
+        if (issues.isEmpty) (Seq(s"fsck $table: clean"), 0)
+        else (issues.map(i => s"fsck ${if (i.version > 0) s"v${i.version}" else "-"} ${i.file}: ${i.problem}"), 1)
+      case Seq("compact", table, rest @ _*) =>
+        val maxFiles = rest.headOption.map(_.toInt).getOrElse(4)
+        val st = Snapshot.compact(spark, table, maxFiles)
+        (Seq(s"compacted $table → v${st.version}: rewrote " +
+          s"${st.rewrittenPartitions.size} partition(s), ${st.filesWritten} file(s)"), 0)
+      case Seq("vacuum", table, rest @ _*) =>
+        val retain = rest.headOption.map(_.toInt).getOrElse(2)
+        val vs = Snapshot.vacuum(spark, table, retain)
+        (Seq(s"vacuumed $table: ${vs.filesDeleted} file(s), " +
+          s"${vs.manifestsDeleted} manifest(s), ${vs.bytesFreed} bytes freed"), 0)
+      case Seq("rollback", table, v) =>
+        val st = Snapshot.rollback(spark, table, v.toInt)
+        (Seq(s"rolled back $table to v$v → new version v${st.version}"), 0)
+      case other =>
+        (Seq(s"unknown invocation: ${other.mkString(" ")}",
+          "usage: SnapshotTool history|fsck|compact|vacuum|rollback <table> [args]"), 2)
+    }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-snapshot-tool")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val (lines, code) = run(spark, args.toSeq)
+      lines.foreach(println)
+      if (code != 0) sys.exit(code)
+    } finally spark.stop()
+  }
+}

@@ -292,6 +292,25 @@ class SnapshotSpec extends SparkSpecBase {
     assert(Snapshot.readManifest(t, 2).statsCols == Seq("id"))
   }
 
+  test("SnapshotTool CLI verbs: history, fsck exit codes, compact, vacuum, rollback") {
+    val t = fresh("tool")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    commitV2(t)
+    val (hist, hc) = graft.SnapshotTool.run(spark, Seq("history", t))
+    assert(hc == 0 && hist.size == 2 && hist.head.startsWith("v1"))
+    assert(graft.SnapshotTool.run(spark, Seq("fsck", t))._2 == 0)
+    val (_, rc) = graft.SnapshotTool.run(spark, Seq("rollback", t, "1"))
+    assert(rc == 0 && Snapshot.currentVersion(t) == 3)
+    assert(rowsOf(Snapshot.readLatest(spark, t)) == rowsOf(seedDf))
+    assert(graft.SnapshotTool.run(spark, Seq("vacuum", t, "2"))._2 == 0)
+    assert(graft.SnapshotTool.run(spark, Seq("compact", t, "0"))._2 == 0)
+    assert(graft.SnapshotTool.run(spark, Seq("nope"))._2 == 2)
+    // fsck flags a broken table with exit 1
+    Files.delete(Paths.get(t,
+      Snapshot.readManifest(t, Snapshot.currentVersion(t)).files.head.path))
+    assert(graft.SnapshotTool.run(spark, Seq("fsck", t))._2 == 1)
+  }
+
   test("fsck: clean table reports nothing; missing file, tampered rows, and orphans are found") {
     val t = fresh("fsck")
     Snapshot.create(spark, t, seedDf, "id", "part")
