@@ -336,16 +336,23 @@ object Dedup {
    * The band join is the scale path: candidate generation is a plain
    * shuffle on band-hash, never a cross join.
    */
+  /** (doc_id, sig, band, band_hash): one row per LSH band of each
+    * (doc_id, sig) row — the banding kernel shared by [[minhashLsh]],
+    * [[minhashLshVerified]] and the streaming near-dup sink
+    * ([[graft.streaming.StreamingIngest.nearDedupSink]]). */
+  private[graft] def bandFrame(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+
   def minhashLsh(df: DataFrame, content: Column, id: Column,
                  k: Int = 3, numHashes: Int = 16, bands: Int = 4,
                  threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
     val sig = OpCache.cache(minhashSignatures(df, content, id, k, numHashes))
-    val banded = sig.select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val banded = bandFrame(sig, bands, rows)
     val a = banded.as("a")
     val b = banded.as("b")
     val candidates = a.join(b,
@@ -389,10 +396,7 @@ object Dedup {
           TextHashExprs.minhashWithShingles(content, k, numHashes).as("b"))
       .filter(col("b").isNotNull)
       .select(col("doc_id"), col("b.sig").as("sig"), col("b.sh").as("sh")))
-    val banded = sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val banded = bandFrame(sigs.select("doc_id", "sig"), bands, rows).drop("sig")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))

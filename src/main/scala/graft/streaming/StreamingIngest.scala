@@ -499,6 +499,138 @@ object StreamingIngest {
         graft.functions.HllExprs.hllEstimate(col("sk")).as("est_distinct"),
         col("n_rows"))
 
+  // -- streaming near-duplicate dedup sink -----------------------------
+
+  /**
+   * STREAMING NEAR-DUP DEDUP — the always-on form of MinHash+LSH
+   * near-dup (the batch operator family at
+   * [[graft.operators.Dedup.minhashLsh]]), closing the gap between
+   * [[dedupStream]] (exact fingerprints only) and the batch
+   * incremental index (`Dedup.ngramJaccardIncremental`): a micro-batch
+   * document is admitted to the corpus only if it is NOT a
+   * near-duplicate of (a) any previously admitted document or (b) a
+   * smaller-id document of its own batch. Admitted rows append to
+   * `$out/data`; their MinHash signatures and LSH band keys append to
+   * `$out/store/{sigs,bands}` — the only state the next batch probes.
+   * Raw history is never rescanned: per batch the work is its own
+   * signature pass plus a band-key equi-join against the store
+   * (shuffle keyed on (band, band_hash), candidates rescored by
+   * signature-position equality — the same LSH-then-estimate
+   * construction and estimator as the batch operator), so cost scales
+   * with |batch| × fan-out, never |corpus|².
+   *
+   * The admission policy is declarative, not greedy: drop iff a
+   * candidate match ≥ `threshold` exists against the store or against
+   * ANY smaller-id batch doc. The admitted corpus is therefore
+   * PAIRWISE near-dup-free at the detection threshold — any two
+   * admitted same-batch docs produced no qualifying pair, and an
+   * admitted doc matched nothing admitted before it. A within-batch
+   * chain (a~b, b~c, a≁c) drops BOTH b and c — slightly more
+   * aggressive than per-cluster representative selection, identical
+   * on every chain-free corpus, and never admits a duplicate.
+   *
+   * foreachBatch is at-least-once: every write carries batch_id, and
+   * the store probe ignores rows with `batch_id >= current` (a
+   * replayed batch's own rows are already in the store — without the
+   * guard every doc would self-match and the replay would admit
+   * nothing). Replays therefore recompute the identical survivor set
+   * and append byte-identical rows, which [[nearDedupCorpus]] drops.
+   *
+   * State growth: one signature row (`numHashes` longs) + `bands`
+   * band rows per ADMITTED doc — proportional to the deduped corpus,
+   * not the stream; compactable offline like any append log. Docs
+   * with fewer than `k` tokens have no shingles, match nothing, and
+   * are admitted as-is (same contract as the batch operators, which
+   * drop them from the signature frame).
+   */
+  def nearDedupSink(stream: DataFrame, content: String, id: String,
+                    outPath: String, checkpoint: String,
+                    k: Int = 3, numHashes: Int = 32, bands: Int = 16,
+                    threshold: Double = 0.7)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyNearDedupBatch(batch, batchId, content, id, outPath,
+          k, numHashes, bands, threshold)
+      }
+      .start()
+
+  /** One micro-batch of [[nearDedupSink]] — also the replay surface
+    * the spec drives directly (same batchId ⇒ byte-identical appends). */
+  private[graft] def applyNearDedupBatch(batch: DataFrame, batchId: Long,
+      content: String, id: String, outPath: String,
+      k: Int, numHashes: Int, bands: Int, threshold: Double): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val ss = batch.sparkSession
+    import graft.operators.Dedup
+    val cached = batch.persist()
+    val sigs = Dedup.minhashSignatures(cached, col(content), col(id),
+      k, numHashes).persist()
+    try {
+      val bandedB = Dedup.bandFrame(sigs, bands, rows)
+      val sigsDir = s"$outPath/store/sigs"
+      val bandsDir = s"$outPath/store/bands"
+      val est = graft.functions.VectorExprs
+        .longVecEqCount(col("sig_a"), col("sig_b")).cast("double") / numHashes
+      // (1) cross-batch: band-key equality against admitted docs of
+      // STRICTLY EARLIER batches (replay guard), estimate from the
+      // signature pair
+      val dupStore =
+        if (new java.io.File(bandsDir).exists()) {
+          val storeBands = ss.read.parquet(bandsDir)
+            .filter(col("batch_id") < batchId)
+            .select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+            .dropDuplicates("doc_b", "band") // replayed appends
+          val storeSigs = ss.read.parquet(sigsDir)
+            .filter(col("batch_id") < batchId)
+            .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+            .dropDuplicates("doc_b")
+          bandedB
+            .select(col("doc_id"), col("sig").as("sig_a"),
+              col("band"), col("band_hash"))
+            .join(storeBands, Seq("band", "band_hash"))
+            .select("doc_id", "sig_a", "doc_b").distinct()
+            .join(storeSigs, "doc_b")
+            .filter(est >= threshold)
+            .select("doc_id").distinct()
+        } else sigs.select("doc_id").limit(0)
+      // (2) within-batch: a qualifying pair with ANY smaller-id doc
+      val dupLocal = bandedB.as("a").join(bandedB.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") > col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"), col("a.sig").as("sig_a"),
+          col("b.sig").as("sig_b"))
+        .distinct()
+        .filter(est >= threshold)
+        .select("doc_id").distinct()
+      val dropped = dupStore.unionByName(dupLocal).distinct().persist()
+      val admittedSigs = sigs.join(dropped, Seq("doc_id"), "left_anti").persist()
+      // admitted rows: survivors + shingle-less docs (nothing to match)
+      cached.join(dropped.withColumnRenamed("doc_id", id), Seq(id), "left_anti")
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("append").parquet(s"$outPath/data")
+      admittedSigs.withColumn("batch_id", lit(batchId))
+        .coalesce(1).write.mode("append").parquet(sigsDir)
+      Dedup.bandFrame(admittedSigs, bands, rows).drop("sig")
+        .withColumn("batch_id", lit(batchId))
+        .coalesce(1).write.mode("append").parquet(bandsDir)
+      dropped.unpersist(); admittedSigs.unpersist()
+      ()
+    } finally { sigs.unpersist(); cached.unpersist(); () }
+  }
+
+  /** The admitted corpus of a [[nearDedupSink]] log, replay-safe:
+    * at-least-once re-appends are byte-identical (deterministic
+    * recompute under the batch_id guard), so one dropDuplicates on
+    * (id, batch_id) restores exactly-once semantics. */
+  def nearDedupCorpus(spark: SparkSession, outPath: String,
+                      id: String): DataFrame =
+    spark.read.parquet(s"$outPath/data").dropDuplicates(id, "batch_id")
+
   def cmsTopHotKeys(spark: SparkSession, outPath: String, k: Int): DataFrame = {
     val merged = spark.read.parquet(s"$outPath/sketches")
       .groupBy("batch_id").agg(first(col("sketch")).as("sketch"))

@@ -312,4 +312,57 @@ class StreamingSpec extends SparkSpecBase {
       .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(replayed === got, "replayed sketch rows must be invisible")
   }
+
+  test("near-dup dedup sink: cross-batch + within-batch drops, pairwise-free corpus, replay idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardedup").toString
+    implicit val sq = spark.sqlContext
+    // 40-word base text; the near-dup variants change one word
+    // (true 3-shingle Jaccard ≈ 0.86 — comfortably above the 0.7
+    // threshold, and banding at 16 bands × 2 rows makes the candidate
+    // miss probability negligible)
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    def variant(slot: Int, tag: String): String =
+      (1 to 40).map(i => if (i == slot) tag else s"w$i").mkString(" ")
+    val distinct1 = (1 to 40).map(i => s"x$i").mkString(" ")
+    val distinct2 = (1 to 40).map(i => s"y$i").mkString(" ")
+
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.nearDedupSink(
+      stream.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", s"$dir/out", s"$dir/ckpt")
+    // batch 0: 1=base, 2=near-dup of 1 (within-batch drop, 2 > 1),
+    //          3=distinct
+    stream.addData((1L, base), (2L, variant(40, "changed")), (3L, distinct1))
+    q.processAllAvailable()
+    // batch 1: 4=near-dup of the ADMITTED 1 (cross-batch drop),
+    //          5=distinct, 6=shingle-less (< 3 tokens — admitted as-is)
+    stream.addData((4L, variant(1, "other")), (5L, distinct2), (6L, "ab"))
+    q.processAllAvailable(); q.stop()
+
+    def corpusIds(): Set[Long] =
+      StreamingIngest.nearDedupCorpus(spark, s"$dir/out", "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+    assert(corpusIds() === Set(1L, 3L, 5L, 6L))
+
+    // the admitted corpus is pairwise near-dup-free under the SAME
+    // detector (the batch operator)
+    val corpus = StreamingIngest.nearDedupCorpus(spark, s"$dir/out", "doc_id")
+    val pairs = graft.operators.Dedup.minhashLsh(
+      corpus, col("text"), col("doc_id"),
+      k = 3, numHashes = 32, bands = 16, threshold = 0.7)
+    assert(pairs.count() === 0L, "admitted corpus must be pairwise near-dup-free")
+
+    // state is store-sized: sigs hold one row per admitted SHINGLED doc
+    val sigRows = spark.read.parquet(s"$dir/out/store/sigs")
+    assert(sigRows.count() === 3L) // docs 1, 3, 5 (6 has no shingles)
+
+    // at-least-once replay of batch 1: the batch_id guard makes the
+    // recompute identical, and the reader collapses the duplicate rows
+    StreamingIngest.applyNearDedupBatch(
+      Seq((4L, variant(1, "other")), (5L, distinct2), (6L, "ab"))
+        .toDF("doc_id", "text"),
+      1L, "text", "doc_id", s"$dir/out", 3, 32, 16, 0.7)
+    assert(corpusIds() === Set(1L, 3L, 5L, 6L),
+      "replaying a micro-batch must not change the visible corpus")
+  }
 }
