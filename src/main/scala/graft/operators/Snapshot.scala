@@ -104,6 +104,13 @@ object Snapshot {
   final class ConcurrentCommitException(msg: String)
     extends RuntimeException(msg)
 
+  /** Thrown by [[commitStaged]] when a commit that landed between
+    * [[stageMerge]]'s read version and now touched the same partitions
+    * or keys (or evolved the schema) — the staged files are stale.
+    * Abort the stage and recompute ([[mergeOptimistic]] does). */
+  final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
   // ---------------------------------------------------------------- paths
 
   private def logDir(table: String): Path = Paths.get(table, "_log")
@@ -243,12 +250,14 @@ object Snapshot {
     case _ => None // stats unsupported (binary/array/...): column skipped
   }
 
-  /** Read back a just-written commit dir and compute the manifest
-    * entries: per file (one column-pruned scan of the NEW files only)
-    * the row count and min/max/nulls of each tracked column. */
-  private def commitEntries(spark: SparkSession, table: String, v: Int,
-                            statsCols: Seq[String]): Map[String, Seq[FileEntry]] = {
-    val dir = commitDir(table, v)
+  /** Read back a just-written data dir (a commit dir or an optimistic
+    * staging dir) and compute manifest entries: per file (one
+    * column-pruned scan of the NEW files only) the row count and
+    * min/max/nulls of each tracked column. Entry paths are relative to
+    * `dir` (the part AFTER `marker`) — callers prefix the final commit
+    * location. */
+  private def entriesOf(spark: SparkSession, dir: String, marker: String,
+                        statsCols: Seq[String]): Map[String, Seq[FileEntry]] = {
     // a delete-only commit that empties its partitions writes no
     // partition dirs at all — nothing to read, nothing to list
     val hasParts = Files.isDirectory(Paths.get(dir)) && {
@@ -269,15 +278,14 @@ object Snapshot {
         col("__part").cast("string").as("__p"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one row per data file, manifest cardinality
-    // relativize via the commit-dir marker — robust to file:/ vs
-    // file:/// URI renderings of the table root
-    val marker = f"/files/c$v%08d/"
+    // relativize via the dir marker — robust to file:/ vs file:///
+    // URI renderings of the table root
     rows.groupBy(_.getAs[String]("__p")).map { case (p, fs) =>
       p -> fs.map { r =>
         val full = r.getAs[String]("__file")
         val at = full.lastIndexOf(marker)
         require(at >= 0, s"snapshot: unexpected file path $full")
-        val rel = full.substring(at + 1)
+        val rel = full.substring(at + marker.length)
         FileEntry(rel, r.getAs[Long]("__rows"),
           tracked.map { case (c, kind) =>
             c -> ColStats(kind,
@@ -289,6 +297,13 @@ object Snapshot {
     }
   }
 
+  private def commitEntries(spark: SparkSession, table: String, v: Int,
+                            statsCols: Seq[String]): Map[String, Seq[FileEntry]] = {
+    val prefix = f"files/c$v%08d/"
+    entriesOf(spark, commitDir(table, v), s"/$prefix", statsCols)
+      .map { case (p, fs) => p -> fs.map(f => f.copy(path = prefix + f.path)) }
+  }
+
   /** Write `df`'s rows for this commit, arranged per the table
     * [[Layout]] — the shuffle (when any) is bounded by this COMMIT's
     * bytes, never the table's (same trade as
@@ -296,7 +311,12 @@ object Snapshot {
     * per-commit). */
   private def writeCommit(df: DataFrame, table: String, v: Int,
                           partitionCol: String, key: String,
-                          layout: Layout): Unit = {
+                          layout: Layout): Unit =
+    writeArranged(df, commitDir(table, v), partitionCol, key, layout)
+
+  private def writeArranged(df: DataFrame, dir: String,
+                            partitionCol: String, key: String,
+                            layout: Layout): Unit = {
     val shadow = df.withColumn("__part", col(partitionCol).cast("string"))
     val arranged =
       if (layout.fileRanges <= 0) shadow
@@ -304,7 +324,7 @@ object Snapshot {
         shadow.repartitionByRange(layout.fileRanges, col("__part"),
           Scale.zOrderKey(shadow, layout.zorderKeys))
       else shadow.repartitionByRange(layout.fileRanges, col("__part"), col(key))
-    arranged.write.mode("error").partitionBy("__part").parquet(commitDir(table, v))
+    arranged.write.mode("error").partitionBy("__part").parquet(dir)
   }
 
   private def validatePartitionValues(df: DataFrame, partitionCol: String): Unit = {
@@ -354,82 +374,265 @@ object Snapshot {
    * entries carry forward verbatim (same files, untouched on disk).
    * Earlier versions remain readable: nothing is deleted until vacuum.
    */
+  /** The shared compute of [[merge]] and [[stageMerge]]: validation,
+    * affected-partition discovery and the merged survivor frame —
+    * everything EXCEPT where the files land and which manifest version
+    * publishes them. `caches` must be released after the write. */
+  private final case class MergePlan(affected: Seq[String],
+                                     merged: Option[DataFrame],
+                                     newDdl: String, caches: Seq[DataFrame])
+
+  private def planMerge(spark: SparkSession, table: String, m: Manifest,
+                        upserts: DataFrame, deleteKeys: DataFrame): MergePlan = {
+    val (key, pc) = (m.key, m.partitionCol)
+    val target = readManifestFiles(spark, table, m)
+    // ADDITIVE schema evolution: upserts may carry NEW columns (old
+    // rows read back as null); they must still carry every existing
+    // column, and shared columns must keep their types — narrowing
+    // or dropping is a rewrite, not a merge
+    val added = upserts.schema.fields.filterNot(f => target.columns.contains(f.name))
+    require(target.columns.forall(upserts.columns.contains),
+      s"snapshot merge: upserts lack table column(s) " +
+        s"${target.columns.filterNot(upserts.columns.contains).mkString(",")}")
+    upserts.schema.fields.filter(f => target.columns.contains(f.name)).foreach { f =>
+      val tf = target.schema(f.name)
+      require(f.dataType == tf.dataType,
+        s"snapshot merge: column '${f.name}' type ${f.dataType.simpleString} " +
+          s"does not match table's ${tf.dataType.simpleString}")
+    }
+
+    val ups = OpCache.cache(upserts)
+    val dels = OpCache.cache(deleteKeys.select(col(key)).distinct())
+    val overlap = ups.select(col(key)).join(dels, key).limit(1).count()
+    require(overlap == 0,
+      "snapshot merge: key(s) present in BOTH upserts and deleteKeys — " +
+        "remove the ambiguity upstream")
+    validatePartitionValues(ups, pc)
+
+    // affected partitions = where incoming rows land ∪ where changed
+    // keys currently live (column-pruned discovery scan of the live
+    // file set — at 100 TB this reads two columns, never payloads)
+    val allKeys = OpCache.cache(ups.select(col(key)).unionByName(dels).distinct())
+    val resident = target.select(col(key), col(pc))
+      .join(allKeys, Seq(key), "left_semi")
+      .select(col(pc).cast("string").as("p"))
+    val incoming = ups.select(col(pc).cast("string").as("p"))
+    val affected = resident.unionByName(incoming).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val newDdl =
+      if (added.isEmpty) m.schemaDdl
+      else StructType((if (m.schemaDdl.nonEmpty)
+          StructType.fromDDL(m.schemaDdl).fields
+        else target.schema.fields) ++ added).toDDL
+    val merged =
+      if (affected.isEmpty) None
+      else {
+        // survivors of affected partitions + upserts → this commit's
+        // files; under evolution the survivors gain the new columns
+        // as nulls (unionByName allowMissingColumns)
+        val affectedFiles = m.partitions.filter(e => affected.contains(e._1))
+          .values.flatten.map(f => s"$table/${f.path}").toSeq
+        val newCols = target.columns ++ added.map(_.name)
+        Some((if (affectedFiles.isEmpty) ups.select(newCols.map(col): _*).limit(0)
+              else spark.read.parquet(affectedFiles: _*)
+                .join(allKeys, Seq(key), "left_anti"))
+          .unionByName(ups.select(newCols.map(col): _*),
+            allowMissingColumns = true))
+      }
+    MergePlan(affected, merged, newDdl, Seq(ups, dels, allKeys))
+  }
+
   def merge(spark: SparkSession, table: String, upserts: DataFrame,
             deleteKeys: DataFrame): CommitStats =
     withCommitLock(table) {
       val cur = currentVersion(table)
       require(cur > 0, s"snapshot $table does not exist — create() first")
       val m = readManifest(table, cur)
-      val (key, pc) = (m.key, m.partitionCol)
-      val target = readManifestFiles(spark, table, m)
-      // ADDITIVE schema evolution: upserts may carry NEW columns (old
-      // rows read back as null); they must still carry every existing
-      // column, and shared columns must keep their types — narrowing
-      // or dropping is a rewrite, not a merge
-      val added = upserts.schema.fields.filterNot(f => target.columns.contains(f.name))
-      require(target.columns.forall(upserts.columns.contains),
-        s"snapshot merge: upserts lack table column(s) " +
-          s"${target.columns.filterNot(upserts.columns.contains).mkString(",")}")
-      upserts.schema.fields.filter(f => target.columns.contains(f.name)).foreach { f =>
-        val tf = target.schema(f.name)
-        require(f.dataType == tf.dataType,
-          s"snapshot merge: column '${f.name}' type ${f.dataType.simpleString} " +
-            s"does not match table's ${tf.dataType.simpleString}")
-      }
-
-      val ups = OpCache.cache(upserts)
-      val dels = OpCache.cache(deleteKeys.select(col(key)).distinct())
-      val overlap = ups.select(col(key)).join(dels, key).limit(1).count()
-      require(overlap == 0,
-        "snapshot merge: key(s) present in BOTH upserts and deleteKeys — " +
-          "remove the ambiguity upstream")
-      validatePartitionValues(ups, pc)
-
-      // affected partitions = where incoming rows land ∪ where changed
-      // keys currently live (column-pruned discovery scan of the live
-      // file set — at 100 TB this reads two columns, never payloads)
-      val allKeys = OpCache.cache(ups.select(col(key)).unionByName(dels).distinct())
-      val resident = target.select(col(key), col(pc))
-        .join(allKeys, Seq(key), "left_semi")
-        .select(col(pc).cast("string").as("p"))
-      val incoming = ups.select(col(pc).cast("string").as("p"))
-      val affected = resident.unionByName(incoming).distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
+      val plan = planMerge(spark, table, m, upserts, deleteKeys)
       val v = cur + 1
-      val out =
-        if (affected.isEmpty) { // no-op merge still commits (audit trail)
+      val out = plan.merged match {
+        case None => // no-op merge still commits (audit trail)
           writeManifest(table, m.copy(version = v, parent = cur, op = "merge"))
           CommitStats(v, Nil, Nil, 0)
-        } else {
-          // survivors of affected partitions + upserts → this commit's
-          // files; under evolution the survivors gain the new columns
-          // as nulls (unionByName allowMissingColumns)
-          val affectedFiles = m.partitions.filter(e => affected.contains(e._1))
-            .values.flatten.map(f => s"$table/${f.path}").toSeq
-          val newCols = target.columns ++ added.map(_.name)
-          val merged = (if (affectedFiles.isEmpty) ups.select(newCols.map(col): _*).limit(0)
-                        else spark.read.parquet(affectedFiles: _*)
-                          .join(allKeys, Seq(key), "left_anti"))
-            .unionByName(ups.select(newCols.map(col): _*),
-              allowMissingColumns = true)
-          writeCommit(merged, table, v, pc, key, m.layout)
+        case Some(merged) =>
+          writeCommit(merged, table, v, m.partitionCol, m.key, m.layout)
           val fresh = commitEntries(spark, table, v, m.statsCols)
-
-          val newDdl =
-            if (added.isEmpty) m.schemaDdl
-            else StructType((if (m.schemaDdl.nonEmpty)
-                StructType.fromDDL(m.schemaDdl).fields
-              else target.schema.fields) ++ added).toDDL
-          val kept = m.partitions.filterNot(e => affected.contains(e._1))
-          val dropped = affected.filterNot(fresh.contains) // emptied by deletes
-          writeManifest(table, Manifest(v, cur, "merge", key, pc, m.statsCols,
-            kept ++ fresh, m.layout, newDdl))
+          val kept = m.partitions.filterNot(e => plan.affected.contains(e._1))
+          val dropped = plan.affected.filterNot(fresh.contains) // emptied
+          writeManifest(table, Manifest(v, cur, "merge", m.key, m.partitionCol,
+            m.statsCols, kept ++ fresh, m.layout, plan.newDdl))
           CommitStats(v, fresh.keys.toSeq.sorted, dropped,
             fresh.values.map(_.size).sum)
-        }
-      Seq(ups, dels, allKeys).foreach(OpCache.unpersistEager)
+      }
+      plan.caches.foreach(OpCache.unpersistEager)
       out
     }
+
+  // ------------------------------------------- optimistic concurrency
+
+  /** A merge computed and written WITHOUT the commit lock — the
+    * expensive phase of an optimistic commit. [[commitStaged]]
+    * publishes it; [[abort]] discards it. */
+  final case class StagedMerge private[operators] (
+      table: String, readVersion: Int, stagingName: Option[String],
+      subEntries: Map[String, Seq[FileEntry]], affected: Seq[String],
+      newDdl: String, upserts: DataFrame, deleteKeys: DataFrame) {
+    /** Delete the staged files without committing (conflict cleanup). */
+    def abort(): Unit = stagingName.foreach { n =>
+      val root = Paths.get(table, "files", n)
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      }
+    }
+  }
+
+  /**
+   * Phase 1 of an OPTIMISTIC commit: compute the merge against the
+   * current version and write its files to `files/_staging-*` —
+   * WITHOUT holding the commit lock. The pessimistic [[merge]]
+   * serializes writers for its whole compute+write; at 100 TB that
+   * makes the slowest writer everyone's latency. Staging moves the
+   * critical section to [[commitStaged]], which holds the lock only
+   * for a conflict check + an atomic directory rename + the manifest
+   * write — concurrent writers touching DISJOINT partitions and keys
+   * serialize on milliseconds, not on each other's shuffles.
+   */
+  def stageMerge(spark: SparkSession, table: String, upserts: DataFrame,
+                 deleteKeys: DataFrame): StagedMerge = {
+    val cur = currentVersion(table)
+    require(cur > 0, s"snapshot $table does not exist — create() first")
+    val m = readManifest(table, cur)
+    val plan = planMerge(spark, table, m, upserts, deleteKeys)
+    val out = plan.merged match {
+      case None =>
+        StagedMerge(table, cur, None, Map.empty, Nil, plan.newDdl,
+          upserts, deleteKeys)
+      case Some(merged) =>
+        val name = "_staging-" + java.util.UUID.randomUUID().toString.take(13)
+        writeArranged(merged, s"$table/files/$name", m.partitionCol,
+          m.key, m.layout)
+        val sub = entriesOf(spark, s"$table/files/$name", s"/$name/",
+          m.statsCols)
+        StagedMerge(table, cur, Some(name), sub, plan.affected, plan.newDdl,
+          upserts, deleteKeys)
+    }
+    plan.caches.foreach(OpCache.unpersistEager)
+    out
+  }
+
+  /**
+   * Phase 2: publish a [[StagedMerge]] under the commit lock. If other
+   * commits landed since the stage's read version, the stage is
+   * REBASED onto the new current manifest — its fresh files replace
+   * only its own affected partitions; every concurrent disjoint change
+   * carries forward — unless a true conflict is detected, each thrown
+   * as [[CommitConflictException]] (staged files are left for the
+   * caller to [[StagedMerge.abort]]):
+   *
+   *  - an intervening commit rewrote/dropped one of the stage's
+   *    affected partitions (the staged survivors are stale);
+   *  - an intervening commit landed one of the stage's keys in a
+   *    partition the stage did not rewrite (a concurrent upsert of the
+   *    same key elsewhere — publishing would duplicate or resurrect
+   *    the key). Checked by a key-pruned scan of ONLY the files the
+   *    intervening commits added;
+   *  - the schema evolved (the staged files were written under the old
+   *    DDL), or the stage's base manifest has been vacuumed (nothing
+   *    left to diff against).
+   */
+  def commitStaged(spark: SparkSession, staged: StagedMerge): CommitStats =
+    withCommitLock(staged.table) {
+      val table = staged.table
+      val curNow = currentVersion(table)
+      val mC = readManifest(table, curNow)
+      if (curNow != staged.readVersion) {
+        def conflict(why: String) = throw new CommitConflictException(
+          s"snapshot $table: staged merge (read v${staged.readVersion}, " +
+            s"now v$curNow) conflicts: $why")
+        if (!Files.exists(manifestPath(table, staged.readVersion)))
+          conflict(s"base manifest v${staged.readVersion} was vacuumed")
+        val mB = readManifest(table, staged.readVersion)
+        if (mC.schemaDdl != mB.schemaDdl)
+          conflict("concurrent schema evolution")
+        val changed = (mB.partitions.keySet ++ mC.partitions.keySet)
+          .filter(p => mB.partitions.get(p) != mC.partitions.get(p))
+        val overlap = changed intersect staged.affected.toSet
+        if (overlap.nonEmpty)
+          conflict(s"partition(s) ${overlap.toSeq.sorted.mkString(",")} " +
+            "also rewritten by a concurrent commit")
+        val basePaths = mB.files.map(_.path).toSet
+        val newFiles = mC.files.filterNot(f => basePaths.contains(f.path))
+        if (newFiles.nonEmpty) {
+          val stagedKeys = staged.upserts.select(col(mC.key))
+            .unionByName(staged.deleteKeys.select(col(mC.key))).distinct()
+          val moved = readManifestFiles(spark, table, mC, newFiles)
+            .select(col(mC.key))
+            .join(stagedKeys, Seq(mC.key), "left_semi")
+            .limit(1).count()
+          if (moved > 0)
+            conflict("a concurrent commit wrote row(s) for the same key(s)")
+        }
+      }
+      val v = curNow + 1
+      staged.stagingName match {
+        case None =>
+          writeManifest(table, mC.copy(version = v, parent = curNow, op = "merge"))
+          CommitStats(v, Nil, Nil, 0)
+        case Some(name) =>
+          val prefix = f"files/c$v%08d/"
+          Files.move(Paths.get(table, "files", name),
+            Paths.get(commitDir(table, v))) // atomic: same filesystem
+          val fresh = staged.subEntries.map { case (p, fs) =>
+            p -> fs.map(f => f.copy(path = prefix + f.path)) }
+          val kept = mC.partitions.filterNot(e => staged.affected.contains(e._1))
+          val dropped = staged.affected.filterNot(fresh.contains)
+          writeManifest(table, Manifest(v, curNow, "merge", mC.key,
+            mC.partitionCol, mC.statsCols, kept ++ fresh, mC.layout,
+            staged.newDdl))
+          CommitStats(v, fresh.keys.toSeq.sorted, dropped,
+            fresh.values.map(_.size).sum)
+      }
+    }
+
+  /**
+   * Optimistic merge loop: [[stageMerge]] (no lock) → [[commitStaged]]
+   * (milliseconds under the lock). Lock contention waits and retries
+   * the COMMIT only (the staged files stay valid); a true
+   * [[CommitConflictException]] aborts the stage and recomputes
+   * against the new current version, up to `maxConflictRetries`.
+   * Single-writer behavior is identical to [[merge]].
+   */
+  def mergeOptimistic(spark: SparkSession, table: String,
+                      upserts: DataFrame, deleteKeys: DataFrame,
+                      maxConflictRetries: Int = 3,
+                      lockWaitMs: Long = 60000L): CommitStats = {
+    var attempt = 0
+    var out: Option[CommitStats] = None
+    while (out.isEmpty) {
+      val staged = stageMerge(spark, table, upserts, deleteKeys)
+      try {
+        val deadline = System.currentTimeMillis() + lockWaitMs
+        var done: Option[CommitStats] = None
+        while (done.isEmpty) {
+          try done = Some(commitStaged(spark, staged))
+          catch {
+            case e: ConcurrentCommitException =>
+              if (System.currentTimeMillis() >= deadline) throw e
+              Thread.sleep(100)
+          }
+        }
+        out = done
+      } catch {
+        case e: CommitConflictException =>
+          staged.abort()
+          attempt += 1
+          if (attempt > maxConflictRetries) throw e
+      }
+    }
+    out.get
+  }
 
   /**
    * COMPACT fragmented partitions as a commit: every partition holding
@@ -487,7 +690,8 @@ object Snapshot {
     * always the current one). Time travel to a vacuumed version fails
     * with a clear error; later versions are untouched — their files
     * are referenced and survive. */
-  def vacuum(spark: SparkSession, table: String, retainLast: Int = 2): VacuumStats =
+  def vacuum(spark: SparkSession, table: String, retainLast: Int = 2,
+             stagingStaleMs: Long = 6 * 3600 * 1000L): VacuumStats =
     withCommitLock(table) {
       val cur = currentVersion(table)
       require(cur > 0, s"snapshot $table does not exist")
@@ -503,18 +707,29 @@ object Snapshot {
           val n = p.getFileName.toString
           n.startsWith("_") || n.startsWith(".")
         }
+        // an in-flight optimistic stage ([[stageMerge]]) lives under
+        // files/_staging-*; its files are NOT orphans — skip the whole
+        // subtree in both passes, reap only ABANDONED stages below
+        def underStaging(p: Path): Boolean = {
+          var q = p
+          while (q != null && q != filesRoot) {
+            if (q.getFileName.toString.startsWith("_staging-")) return true
+            q = q.getParent
+          }
+          false
+        }
         val walk = Files.walk(filesRoot)
         val all = try walk.iterator().asScala.filter(Files.isRegularFile(_)).toList
                   finally walk.close()
         // pass 1: unreferenced data files
-        all.filter(f => !isSidecar(f) &&
+        all.filter(f => !isSidecar(f) && !underStaging(f) &&
             !referenced.contains(tableRoot.relativize(f).toString))
           .foreach { f => freed += Files.size(f); Files.delete(f); deleted += 1 }
         // pass 2, bottom-up: directories left holding only sidecars are
         // fully vacuumed — drop the sidecars, then the empty dirs
         val dirsWalk = Files.walk(filesRoot)
         val dirs = try dirsWalk.iterator().asScala
-          .filter(Files.isDirectory(_)).toSeq.reverse
+          .filter(d => Files.isDirectory(d) && !underStaging(d)).toSeq.reverse
           finally dirsWalk.close()
         dirs.foreach { d =>
           val ls = Files.list(d)
@@ -522,6 +737,23 @@ object Snapshot {
           if (children.forall(c => Files.isRegularFile(c) && isSidecar(c))) {
             children.foreach { c => Files.delete(c); deleted += 1 }
             if (d != filesRoot) Files.delete(d)
+          }
+        }
+        // reap staging dirs older than stagingStaleMs — a crashed
+        // optimistic writer's droppings (a LIVE stage is minutes old)
+        val lsRoot = Files.list(filesRoot)
+        val stale = try lsRoot.iterator().asScala.filter(d =>
+            Files.isDirectory(d) &&
+              d.getFileName.toString.startsWith("_staging-") &&
+              System.currentTimeMillis() -
+                Files.getLastModifiedTime(d).toMillis > stagingStaleMs).toList
+          finally lsRoot.close()
+        stale.foreach { d =>
+          val w = Files.walk(d)
+          val everything = try w.iterator().asScala.toSeq.reverse finally w.close()
+          everything.foreach { p =>
+            if (Files.isRegularFile(p)) { freed += Files.size(p); deleted += 1 }
+            Files.deleteIfExists(p)
           }
         }
       }
@@ -647,7 +879,10 @@ object Snapshot {
           issues += FsckIssue(cur, f.path, s"row count $n != manifest ${f.rows}")
       }
     }
-    // orphans: data files no retained manifest references
+    // orphans: data files no retained manifest references. Files under
+    // a _staging- dir are an optimistic commit in flight (or a crashed
+    // writer's droppings) — reported as one issue per stage, not as
+    // per-file orphans
     val filesRoot = Paths.get(table, "files")
     if (Files.isDirectory(filesRoot)) {
       val walk = Files.walk(filesRoot)
@@ -658,8 +893,17 @@ object Snapshot {
         })
         .map(p => Paths.get(table).relativize(p).toString)
         .filterNot(referenced.contains)
+        .filterNot(_.contains("/_staging-"))
         .foreach(p => issues += FsckIssue(0, p, "orphan (no retained version references it)"))
       finally walk.close()
+      val ls = Files.list(filesRoot)
+      try ls.iterator().asScala
+        .filter(d => Files.isDirectory(d) &&
+          d.getFileName.toString.startsWith("_staging-"))
+        .foreach(d => issues += FsckIssue(0,
+          s"files/${d.getFileName}",
+          "staging dir (optimistic commit in flight, or abandoned — vacuum reaps after staleness)"))
+      finally ls.close()
     }
     issues.result()
   }

@@ -425,4 +425,119 @@ class SnapshotSpec extends SparkSpecBase {
     assert(rowsOf(Snapshot.readLatest(spark, t)) ==
       rowsOf(seedDf.filter(!col("id").isin(4L, 5L))))
   }
+
+  test("optimistic commit: disjoint-partition writers both succeed; the staged commit rebases onto the concurrent one") {
+    val t = fresh("opt_disjoint")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    // writer A stages a p1-only change (no lock held afterwards)
+    val staged = Snapshot.stageMerge(spark, t,
+      upserts = Seq((1L, "alpha2", "p1")).toDF("id", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id"))
+    assert(!Files.exists(Paths.get(t, "_log", "_commit.lock")),
+      "staging must not hold the commit lock")
+    // writer B commits a p2-only change meanwhile
+    val b = Snapshot.merge(spark, t,
+      upserts = Seq((9L, "india", "p2")).toDF("id", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id"))
+    assert(b.version == 2)
+    // A publishes: rebased to v3, carrying B's p2 files forward
+    val a = Snapshot.commitStaged(spark, staged)
+    assert(a.version == 3 && a.rewrittenPartitions == Seq("p1"))
+    val m3 = Snapshot.readManifest(t, 3)
+    assert(m3.partitions("p2") == Snapshot.readManifest(t, 2).partitions("p2"),
+      "the concurrent commit's p2 entries must carry forward verbatim")
+    assert(rowsOf(Snapshot.readLatest(spark, t)) ==
+      rowsOf(seedDf) - ((1L, "alpha", "p1")) +
+        ((1L, "alpha2", "p1")) + ((9L, "india", "p2")))
+    // no staging droppings left behind
+    val ls = Files.list(Paths.get(t, "files"))
+    val staging = try ls.iterator().asScala.filter(
+        _.getFileName.toString.startsWith("_staging-")).toList
+      finally ls.close()
+    assert(staging.isEmpty, "published staging dir must have been renamed away")
+  }
+
+  test("optimistic commit: concurrent rewrite of the SAME partition conflicts; mergeOptimistic recomputes and converges") {
+    val t = fresh("opt_conflict")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    val staged = Snapshot.stageMerge(spark, t,
+      upserts = Seq((1L, "alpha2", "p1")).toDF("id", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id"))
+    // concurrent writer also rewrites p1 (different key)
+    Snapshot.merge(spark, t,
+      upserts = Seq((2L, "bravo2", "p1")).toDF("id", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id"))
+    val e = intercept[Snapshot.CommitConflictException](
+      Snapshot.commitStaged(spark, staged))
+    assert(e.getMessage.contains("p1"))
+    staged.abort()
+    // the retry loop recomputes against v2 and lands BOTH changes
+    val st = Snapshot.mergeOptimistic(spark, t,
+      upserts = Seq((1L, "alpha2", "p1")).toDF("id", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id"))
+    assert(st.version == 3)
+    assert(rowsOf(Snapshot.readLatest(spark, t)) ==
+      rowsOf(seedDf) - ((1L, "alpha", "p1")) - ((2L, "bravo", "p1")) +
+        ((1L, "alpha2", "p1")) + ((2L, "bravo2", "p1")))
+    val ls = Files.list(Paths.get(t, "files"))
+    val staging = try ls.iterator().asScala.filter(
+        _.getFileName.toString.startsWith("_staging-")).toList
+      finally ls.close()
+    assert(staging.isEmpty, "aborted stage must have been cleaned up")
+  }
+
+  test("optimistic commit: a concurrent upsert of the SAME key in a partition the stage did not touch is a key conflict") {
+    val t = fresh("opt_key")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    // A stages an upsert of NEW key 100 landing in p1 (affected = {p1})
+    val staged = Snapshot.stageMerge(spark, t,
+      upserts = Seq((100L, "new-a", "p1")).toDF("id", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id"))
+    // B commits the same key 100 into p5 — disjoint PARTITIONS, same key
+    Snapshot.merge(spark, t,
+      upserts = Seq((100L, "new-b", "p5")).toDF("id", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id"))
+    val e = intercept[Snapshot.CommitConflictException](
+      Snapshot.commitStaged(spark, staged))
+    assert(e.getMessage.contains("same key"))
+    staged.abort()
+    // recomputing sees key 100 resident in p5 and relocates it to p1
+    Snapshot.mergeOptimistic(spark, t,
+      upserts = Seq((100L, "new-a", "p1")).toDF("id", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id"))
+    val rows = rowsOf(Snapshot.readLatest(spark, t))
+    assert(rows.count(_._1 == 100L) == 1, "key 100 must exist exactly once")
+    assert(rows.contains((100L, "new-a", "p1")))
+  }
+
+  test("vacuum skips a live staging dir, reaps a stale one; fsck reports staging distinctly") {
+    val t = fresh("opt_vacuum")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    commitV2(t)
+    val live = Snapshot.stageMerge(spark, t,
+      upserts = Seq((3L, "charlie3", "p1")).toDF("id", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id"))
+    val liveDir = Paths.get(t, "files", live.stagingName.get)
+    // fabricate an ABANDONED stage: old mtime
+    val staleDir = Paths.get(t, "files", "_staging-dead")
+    Files.createDirectories(staleDir)
+    Files.write(staleDir.resolve("part-0.parquet"), Array[Byte](1, 2, 3))
+    Files.setLastModifiedTime(staleDir,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7 * 3600 * 1000L))
+
+    val issues = Snapshot.fsck(spark, t)
+    assert(issues.count(_.problem.contains("staging dir")) == 2)
+    assert(!issues.exists(_.problem.contains("orphan")),
+      "staging files must not be misreported as orphans")
+
+    Snapshot.vacuum(spark, t, retainLast = 2)
+    assert(Files.exists(liveDir), "live staging dir must survive vacuum")
+    assert(!Files.exists(staleDir), "stale staging dir must be reaped")
+    // the live stage still publishes cleanly after the vacuum
+    val st = Snapshot.commitStaged(spark, live)
+    assert(st.version == 3)
+    assert(rowsOf(Snapshot.readLatest(spark, t)) ==
+      v2Expected - ((3L, "charlie", "p1")) + ((3L, "charlie3", "p1")))
+  }
 }
