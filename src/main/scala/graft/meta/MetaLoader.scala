@@ -61,7 +61,8 @@ object MetaLoader {
       mergeKey = str(n, "mergeKey", ""),
       statsCols = strArr(n, "statsCols"),
       aggGroupBy = strArr(n, "aggGroupBy"),
-      aggSums = strArr(n, "aggSums"))
+      aggSums = strArr(n, "aggSums"),
+      constraints = obj(n, "constraints"))
 
   private def parseTransform(n: JsonNode): TransformSpec = {
     val name = str(n, "name")

@@ -61,7 +61,13 @@ final case class SinkSpec(
     // the manifest tracks for data-skipping reads.
     statsCols: Seq[String] = Nil,
     aggGroupBy: Seq[String] = Nil,
-    aggSums: Seq[String] = Nil)
+    aggSums: Seq[String] = Nil,
+    // saveMode=snapshot: named CHECK constraints (SQL boolean
+    // expressions over the incoming rows) fixed at table bootstrap;
+    // every later commit — metadata-driven or programmatic — is
+    // rejected atomically if an incoming row violates one. SQL CHECK
+    // null semantics: a NULL predicate passes (use `x IS NOT NULL`).
+    constraints: Map[String, String] = Map.empty)
 
 sealed trait TransformSpec {
   def name: String

@@ -87,7 +87,8 @@ object Snapshot {
                             statsCols: Seq[String],
                             partitions: Map[String, Seq[FileEntry]],
                             layout: Layout = Layout(),
-                            schemaDdl: String = "") {
+                            schemaDdl: String = "",
+                            constraints: Map[String, String] = Map.empty) {
     def files: Seq[FileEntry] = partitions.values.flatten.toSeq
     def rows: Long = files.map(_.rows).sum
   }
@@ -109,6 +110,12 @@ object Snapshot {
     * or keys (or evolved the schema) — the staged files are stale.
     * Abort the stage and recompute ([[mergeOptimistic]] does). */
   final class CommitConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Thrown when a commit's incoming rows violate a table CHECK
+    * constraint — the commit is rejected BEFORE anything is written,
+    * so the table (and its version counter) is untouched. */
+  final class ConstraintViolationException(msg: String)
     extends RuntimeException(msg)
 
   // ---------------------------------------------------------------- paths
@@ -146,6 +153,8 @@ object Snapshot {
     lo.put("file_ranges", m.layout.fileRanges); lo.put("mode", m.layout.mode)
     val lk = lo.putArray("zorder_keys"); m.layout.zorderKeys.foreach(lk.add)
     root.put("schema_ddl", m.schemaDdl)
+    val cons = root.putObject("constraints")
+    m.constraints.toSeq.sortBy(_._1).foreach { case (n, e) => cons.put(n, e) }
     val parts = root.putObject("partitions")
     m.partitions.toSeq.sortBy(_._1).foreach { case (p, files) =>
       val arr = parts.putArray(p)
@@ -201,7 +210,10 @@ object Snapshot {
       root.get("partition_col").asText(),
       root.get("stats_cols").elements().asScala.map(_.asText()).toSeq, parts,
       layout,
-      Option(root.get("schema_ddl")).map(_.asText()).getOrElse(""))
+      Option(root.get("schema_ddl")).map(_.asText()).getOrElse(""),
+      Option(root.get("constraints")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty))
   }
 
   /** (version, op, parent, partitions, files, rows) per retained
@@ -327,6 +339,18 @@ object Snapshot {
     arranged.write.mode("error").partitionBy("__part").parquet(dir)
   }
 
+  /** Reject the commit if any incoming row violates a table CHECK
+    * constraint. SQL CHECK semantics: a NULL predicate PASSES (declare
+    * `x IS NOT NULL` to reject nulls). One key-pruned pass per
+    * constraint over the incoming rows only — never the table. */
+  private def enforceConstraints(df: DataFrame,
+                                 constraints: Map[String, String]): Unit =
+    constraints.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      val bad = df.filter(!coalesce(expr(sql), lit(true))).limit(1).collect()
+      if (bad.nonEmpty) throw new ConstraintViolationException(
+        s"CHECK constraint '$name' ($sql) violated, e.g. by row ${bad.head}")
+    }
+
   private def validatePartitionValues(df: DataFrame, partitionCol: String): Unit = {
     val bad = df.select(col(partitionCol).cast("string").as("p")).distinct()
       .filter(col("p").isNull || !col("p").rlike("^[A-Za-z0-9._-]+$"))
@@ -346,7 +370,8 @@ object Snapshot {
              key: String, partitionCol: String,
              statsCols: Seq[String] = Nil, fileRanges: Int = 0,
              layoutMode: String = "range",
-             zorderKeys: Seq[String] = Nil): CommitStats =
+             zorderKeys: Seq[String] = Nil,
+             constraints: Map[String, String] = Map.empty): CommitStats =
     withCommitLock(table) {
       require(currentVersion(table) == 0,
         s"snapshot $table already exists (v${currentVersion(table)})")
@@ -357,12 +382,13 @@ object Snapshot {
       require(layoutMode != "zorder" || zorderKeys.nonEmpty,
         "snapshot: layout zorder needs zorderKeys")
       validatePartitionValues(df, partitionCol)
+      enforceConstraints(df, constraints)
       val tracked = (key +: statsCols.filterNot(_ == key)).filter(df.columns.contains)
       val layout = Layout(fileRanges, layoutMode, zorderKeys)
       writeCommit(df, table, 1, partitionCol, key, layout)
       val parts = commitEntries(spark, table, 1, tracked)
       writeManifest(table, Manifest(1, 0, "create", key, partitionCol, tracked,
-        parts, layout, df.schema.toDDL))
+        parts, layout, df.schema.toDDL, constraints))
       CommitStats(1, parts.keys.toSeq.sorted, Nil, parts.values.map(_.size).sum)
     }
 
@@ -400,6 +426,10 @@ object Snapshot {
         s"snapshot merge: column '${f.name}' type ${f.dataType.simpleString} " +
           s"does not match table's ${tf.dataType.simpleString}")
     }
+
+    // table invariants gate EVERY commit — checked before anything is
+    // cached or written, so a rejected commit leaves zero residue
+    enforceConstraints(upserts, m.constraints)
 
     val ups = OpCache.cache(upserts)
     val dels = OpCache.cache(deleteKeys.select(col(key)).distinct())
@@ -460,7 +490,7 @@ object Snapshot {
           val kept = m.partitions.filterNot(e => plan.affected.contains(e._1))
           val dropped = plan.affected.filterNot(fresh.contains) // emptied
           writeManifest(table, Manifest(v, cur, "merge", m.key, m.partitionCol,
-            m.statsCols, kept ++ fresh, m.layout, plan.newDdl))
+            m.statsCols, kept ++ fresh, m.layout, plan.newDdl, m.constraints))
           CommitStats(v, fresh.keys.toSeq.sorted, dropped,
             fresh.values.map(_.size).sum)
       }
@@ -590,7 +620,7 @@ object Snapshot {
           val dropped = staged.affected.filterNot(fresh.contains)
           writeManifest(table, Manifest(v, curNow, "merge", mC.key,
             mC.partitionCol, mC.statsCols, kept ++ fresh, mC.layout,
-            staged.newDdl))
+            staged.newDdl, mC.constraints))
           CommitStats(v, fresh.keys.toSeq.sorted, dropped,
             fresh.values.map(_.size).sum)
       }
@@ -666,9 +696,12 @@ object Snapshot {
           .repartition(col("__part"))
           .write.mode("error").partitionBy("__part").parquet(commitDir(table, v))
         val fresh = commitEntries(spark, table, v, m.statsCols)
+        // carry schemaDdl (kept pre-evolution files still need the
+        // manifest schema authority) and constraints forward — a
+        // layout-only commit changes neither
         writeManifest(table, Manifest(v, cur, "compact", m.key, m.partitionCol,
           m.statsCols, m.partitions.filterNot(e => frag.contains(e._1)) ++ fresh,
-          m.layout))
+          m.layout, m.schemaDdl, m.constraints))
         CommitStats(v, fresh.keys.toSeq.sorted, Nil, fresh.values.map(_.size).sum)
       }
     }

@@ -80,7 +80,8 @@ object Writers {
               spec.mergeKey, spec.partitionBy.head, spec.statsCols,
               fileRanges = spec.layoutPartitions,
               layoutMode = if (spec.layout == "none") "range" else spec.layout,
-              zorderKeys = spec.layoutKeys)
+              zorderKeys = spec.layoutKeys,
+              constraints = spec.constraints)
           else
             graft.operators.Snapshot.merge(df.sparkSession, path, ups, del)
         println(s"[sink ${spec.name}] snapshot $path now v${st.version}: " +

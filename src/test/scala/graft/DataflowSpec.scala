@@ -466,6 +466,9 @@ class DataflowSpec extends SparkSpecBase {
     assert(snapSink.get.statsCols === Seq("doc_id", "n_chars"))
     assert(snapSink.get.layout === "zorder" &&
       snapSink.get.layoutKeys === Seq("doc_id", "n_chars"))
+    assert(snapSink.get.constraints ===
+      Map("doc_id_present" -> "doc_id IS NOT NULL",
+        "chars_positive" -> "n_chars > 0"))
     val pinned = versioned.dataflows(1).sources.head
     assert(pinned.format === "snapshot" && pinned.options("version") === "7")
   }

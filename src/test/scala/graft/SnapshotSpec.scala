@@ -426,6 +426,52 @@ class SnapshotSpec extends SparkSpecBase {
       rowsOf(seedDf.filter(!col("id").isin(4L, 5L))))
   }
 
+  test("CHECK constraints gate every commit path atomically; NULL predicates pass (SQL semantics)") {
+    val t = fresh("constraints")
+    val cons = Map("payload_present" -> "payload IS NOT NULL",
+      "id_positive" -> "id > 0")
+    // violating CREATE is rejected before anything lands
+    intercept[Snapshot.ConstraintViolationException](
+      Snapshot.create(spark, t,
+        Seq((0L, "zero", "p1")).toDF("id", "payload", "part"),
+        "id", "part", constraints = cons))
+    assert(Snapshot.currentVersion(t) == 0, "rejected create must leave no table")
+    // valid create persists the constraints in the manifest
+    Snapshot.create(spark, t, seedDf, "id", "part", constraints = cons)
+    assert(Snapshot.readManifest(t, 1).constraints === cons)
+    // violating merge: typed rejection, version untouched, zero residue
+    intercept[Snapshot.ConstraintViolationException](Snapshot.merge(spark, t,
+      upserts = Seq((9L, null.asInstanceOf[String], "p1")).toDF("id", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id")))
+    assert(Snapshot.currentVersion(t) == 1)
+    // the optimistic path enforces the same gate (before staging files)
+    intercept[Snapshot.ConstraintViolationException](
+      Snapshot.mergeOptimistic(spark, t,
+        upserts = Seq((-1L, "neg", "p1")).toDF("id", "payload", "part"),
+        deleteKeys = spark.emptyDataset[Long].toDF("id")))
+    val ls = Files.list(Paths.get(t, "files"))
+    val staging = try ls.iterator().asScala.filter(
+        _.getFileName.toString.startsWith("_staging-")).toList
+      finally ls.close()
+    assert(staging.isEmpty, "a rejected stage must write nothing")
+    // valid merge still flows; constraints carry to the new manifest
+    // and to compact commits
+    assert(Snapshot.merge(spark, t,
+      upserts = Seq((9L, "india", "p2")).toDF("id", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id")).version == 2)
+    assert(Snapshot.readManifest(t, 2).constraints === cons)
+    assert(Snapshot.compact(spark, t).version == 3)
+    assert(Snapshot.readManifest(t, 3).constraints === cons)
+    // NULL predicate passes: a constraint over a column that is null
+    // in the incoming row evaluates UNKNOWN, which SQL CHECK admits
+    val t2 = fresh("constraints_null")
+    Snapshot.create(spark, t2, seedDf, "id", "part",
+      constraints = Map("payload_len" -> "length(payload) < 100"))
+    assert(Snapshot.merge(spark, t2,
+      upserts = Seq((9L, null.asInstanceOf[String], "p1")).toDF("id", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id")).version == 2)
+  }
+
   test("optimistic commit: disjoint-partition writers both succeed; the staged commit rebases onto the concurrent one") {
     val t = fresh("opt_disjoint")
     Snapshot.create(spark, t, seedDf, "id", "part")
