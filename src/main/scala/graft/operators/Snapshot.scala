@@ -63,9 +63,12 @@ object Snapshot {
                             max: Option[String], nulls: Long)
 
   /** One immutable data file of a version: path relative to the table
-    * root, its row count, and per-column stats. */
+    * root, its row count, per-column stats, and (when the table
+    * declares `bloomCols`) a serialized [[graft.functions.BloomExprs]]
+    * filter per bloom column — the point-lookup existence index. */
   final case class FileEntry(path: String, rows: Long,
-                             stats: Map[String, ColStats])
+                             stats: Map[String, ColStats],
+                             blooms: Map[String, Array[Byte]] = Map.empty)
 
   /** How commit data is arranged into files. `fileRanges = 0` writes
     * with no extra shuffle; > 0 range-partitions into that many file
@@ -88,7 +91,9 @@ object Snapshot {
                             partitions: Map[String, Seq[FileEntry]],
                             layout: Layout = Layout(),
                             schemaDdl: String = "",
-                            constraints: Map[String, String] = Map.empty) {
+                            constraints: Map[String, String] = Map.empty,
+                            bloomCols: Seq[String] = Nil,
+                            bloomBits: Int = 0, bloomK: Int = 6) {
     def files: Seq[FileEntry] = partitions.values.flatten.toSeq
     def rows: Long = files.map(_.rows).sum
   }
@@ -155,6 +160,9 @@ object Snapshot {
     root.put("schema_ddl", m.schemaDdl)
     val cons = root.putObject("constraints")
     m.constraints.toSeq.sortBy(_._1).foreach { case (n, e) => cons.put(n, e) }
+    val bc = root.putArray("bloom_cols"); m.bloomCols.foreach(bc.add)
+    root.put("bloom_bits", m.bloomBits); root.put("bloom_k", m.bloomK)
+    val b64 = java.util.Base64.getEncoder
     val parts = root.putObject("partitions")
     m.partitions.toSeq.sortBy(_._1).foreach { case (p, files) =>
       val arr = parts.putArray(p)
@@ -167,6 +175,11 @@ object Snapshot {
           cn.put("kind", cs.kind); cn.put("nulls", cs.nulls)
           cs.min.foreach(v => cn.put("min", v))
           cs.max.foreach(v => cn.put("max", v))
+        }
+        if (f.blooms.nonEmpty) {
+          val bl = fn.putObject("blooms")
+          f.blooms.toSeq.sortBy(_._1).foreach { case (c, bytes) =>
+            bl.put(c, b64.encodeToString(bytes)) }
         }
       }
     }
@@ -195,10 +208,14 @@ object Snapshot {
           Option(v.get("max")).map(_.asText()),
           v.get("nulls").asLong())
       }.toMap
+    val b64 = java.util.Base64.getDecoder
     val parts = root.get("partitions").properties().asScala.map { e =>
       e.getKey -> e.getValue.elements().asScala.map { fn =>
         FileEntry(fn.get("path").asText(), fn.get("rows").asLong(),
-          colStats(fn.get("stats")))
+          colStats(fn.get("stats")),
+          Option(fn.get("blooms")).map(_.properties().asScala.map(b =>
+            b.getKey -> b64.decode(b.getValue.asText())).toMap)
+            .getOrElse(Map.empty))
       }.toSeq
     }.toMap
     val layout = Option(root.get("layout")).map(l =>
@@ -213,7 +230,11 @@ object Snapshot {
       Option(root.get("schema_ddl")).map(_.asText()).getOrElse(""),
       Option(root.get("constraints")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      Option(root.get("bloom_cols")).map(_.elements().asScala
+        .map(_.asText()).toSeq).getOrElse(Nil),
+      Option(root.get("bloom_bits")).map(_.asInt()).getOrElse(0),
+      Option(root.get("bloom_k")).map(_.asInt()).getOrElse(6))
   }
 
   /** (version, op, parent, partitions, files, rows) per retained
@@ -269,7 +290,9 @@ object Snapshot {
     * `dir` (the part AFTER `marker`) — callers prefix the final commit
     * location. */
   private def entriesOf(spark: SparkSession, dir: String, marker: String,
-                        statsCols: Seq[String]): Map[String, Seq[FileEntry]] = {
+                        statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+                        bloomBits: Int = 0,
+                        bloomK: Int = 6): Map[String, Seq[FileEntry]] = {
     // a delete-only commit that empties its partitions writes no
     // partition dirs at all — nothing to read, nothing to list
     val hasParts = Files.isDirectory(Paths.get(dir)) && {
@@ -282,10 +305,14 @@ object Snapshot {
     val df = spark.read.parquet(dir) // partition discovery restores __part
     val tracked = statsCols.flatMap(c =>
       statKind(df.schema(c).dataType).map(c -> _))
-    val aggs = count(lit(1)).as("__rows") +: tracked.flatMap { case (c, _) => Seq(
+    val bloomed = if (bloomBits <= 0) Nil
+      else bloomCols.filter(df.columns.contains)
+    val aggs = (count(lit(1)).as("__rows") +: tracked.flatMap { case (c, _) => Seq(
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) }
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) }) ++
+      bloomed.map(c => graft.functions.BloomExprs
+        .bloomBuild(col(c).cast("string"), bloomBits, bloomK).as(s"__bloom_$c"))
     val rows = df.groupBy(input_file_name().as("__file"),
         col("__part").cast("string").as("__p"))
       .agg(aggs.head, aggs.tail: _*)
@@ -304,15 +331,19 @@ object Snapshot {
               Option(r.getAs[String](s"__min_$c")),
               Option(r.getAs[String](s"__max_$c")),
               r.getAs[Long](s"__nulls_$c"))
-          }.toMap)
+          }.toMap,
+          bloomed.map(c => c -> r.getAs[Array[Byte]](s"__bloom_$c")).toMap)
       }.toSeq.sortBy(_.path)
     }
   }
 
   private def commitEntries(spark: SparkSession, table: String, v: Int,
-                            statsCols: Seq[String]): Map[String, Seq[FileEntry]] = {
+                            statsCols: Seq[String], bloomCols: Seq[String] = Nil,
+                            bloomBits: Int = 0,
+                            bloomK: Int = 6): Map[String, Seq[FileEntry]] = {
     val prefix = f"files/c$v%08d/"
-    entriesOf(spark, commitDir(table, v), s"/$prefix", statsCols)
+    entriesOf(spark, commitDir(table, v), s"/$prefix", statsCols,
+        bloomCols, bloomBits, bloomK)
       .map { case (p, fs) => p -> fs.map(f => f.copy(path = prefix + f.path)) }
   }
 
@@ -371,7 +402,9 @@ object Snapshot {
              statsCols: Seq[String] = Nil, fileRanges: Int = 0,
              layoutMode: String = "range",
              zorderKeys: Seq[String] = Nil,
-             constraints: Map[String, String] = Map.empty): CommitStats =
+             constraints: Map[String, String] = Map.empty,
+             bloomCols: Seq[String] = Nil,
+             bloomBits: Int = 1 << 17, bloomK: Int = 6): CommitStats =
     withCommitLock(table) {
       require(currentVersion(table) == 0,
         s"snapshot $table already exists (v${currentVersion(table)})")
@@ -381,14 +414,17 @@ object Snapshot {
         s"snapshot: unknown layout mode '$layoutMode'")
       require(layoutMode != "zorder" || zorderKeys.nonEmpty,
         "snapshot: layout zorder needs zorderKeys")
+      bloomCols.foreach(c => require(df.columns.contains(c),
+        s"snapshot: bloom column '$c' not in df"))
       validatePartitionValues(df, partitionCol)
       enforceConstraints(df, constraints)
       val tracked = (key +: statsCols.filterNot(_ == key)).filter(df.columns.contains)
       val layout = Layout(fileRanges, layoutMode, zorderKeys)
+      val (bBits, bK) = if (bloomCols.isEmpty) (0, 6) else (bloomBits, bloomK)
       writeCommit(df, table, 1, partitionCol, key, layout)
-      val parts = commitEntries(spark, table, 1, tracked)
+      val parts = commitEntries(spark, table, 1, tracked, bloomCols, bBits, bK)
       writeManifest(table, Manifest(1, 0, "create", key, partitionCol, tracked,
-        parts, layout, df.schema.toDDL, constraints))
+        parts, layout, df.schema.toDDL, constraints, bloomCols, bBits, bK))
       CommitStats(1, parts.keys.toSeq.sorted, Nil, parts.values.map(_.size).sum)
     }
 
@@ -486,11 +522,12 @@ object Snapshot {
           CommitStats(v, Nil, Nil, 0)
         case Some(merged) =>
           writeCommit(merged, table, v, m.partitionCol, m.key, m.layout)
-          val fresh = commitEntries(spark, table, v, m.statsCols)
+          val fresh = commitEntries(spark, table, v, m.statsCols,
+            m.bloomCols, m.bloomBits, m.bloomK)
           val kept = m.partitions.filterNot(e => plan.affected.contains(e._1))
           val dropped = plan.affected.filterNot(fresh.contains) // emptied
-          writeManifest(table, Manifest(v, cur, "merge", m.key, m.partitionCol,
-            m.statsCols, kept ++ fresh, m.layout, plan.newDdl, m.constraints))
+          writeManifest(table, m.copy(version = v, parent = cur, op = "merge",
+            partitions = kept ++ fresh, schemaDdl = plan.newDdl))
           CommitStats(v, fresh.keys.toSeq.sorted, dropped,
             fresh.values.map(_.size).sum)
       }
@@ -544,7 +581,7 @@ object Snapshot {
         writeArranged(merged, s"$table/files/$name", m.partitionCol,
           m.key, m.layout)
         val sub = entriesOf(spark, s"$table/files/$name", s"/$name/",
-          m.statsCols)
+          m.statsCols, m.bloomCols, m.bloomBits, m.bloomK)
         StagedMerge(table, cur, Some(name), sub, plan.affected, plan.newDdl,
           upserts, deleteKeys)
     }
@@ -618,9 +655,9 @@ object Snapshot {
             p -> fs.map(f => f.copy(path = prefix + f.path)) }
           val kept = mC.partitions.filterNot(e => staged.affected.contains(e._1))
           val dropped = staged.affected.filterNot(fresh.contains)
-          writeManifest(table, Manifest(v, curNow, "merge", mC.key,
-            mC.partitionCol, mC.statsCols, kept ++ fresh, mC.layout,
-            staged.newDdl, mC.constraints))
+          writeManifest(table, mC.copy(version = v, parent = curNow,
+            op = "merge", partitions = kept ++ fresh,
+            schemaDdl = staged.newDdl))
           CommitStats(v, fresh.keys.toSeq.sorted, dropped,
             fresh.values.map(_.size).sum)
       }
@@ -695,13 +732,13 @@ object Snapshot {
           .withColumn("__part", col(m.partitionCol).cast("string"))
           .repartition(col("__part"))
           .write.mode("error").partitionBy("__part").parquet(commitDir(table, v))
-        val fresh = commitEntries(spark, table, v, m.statsCols)
+        val fresh = commitEntries(spark, table, v, m.statsCols,
+          m.bloomCols, m.bloomBits, m.bloomK)
         // carry schemaDdl (kept pre-evolution files still need the
         // manifest schema authority) and constraints forward — a
         // layout-only commit changes neither
-        writeManifest(table, Manifest(v, cur, "compact", m.key, m.partitionCol,
-          m.statsCols, m.partitions.filterNot(e => frag.contains(e._1)) ++ fresh,
-          m.layout, m.schemaDdl, m.constraints))
+        writeManifest(table, m.copy(version = v, parent = cur, op = "compact",
+          partitions = m.partitions.filterNot(e => frag.contains(e._1)) ++ fresh))
         CommitStats(v, fresh.keys.toSeq.sorted, Nil, fresh.values.map(_.size).sum)
       }
     }
@@ -982,5 +1019,58 @@ object Snapshot {
       else readManifestFiles(spark, table, m, kept)
     preds.foldLeft(base) { case (df, (c, lo, hi)) =>
       df.filter(col(c) >= lit(lo) && col(c) <= lit(hi)) }
+  }
+
+  /**
+   * POINT-LOOKUP pruning: the manifest entries that might contain
+   * `column = value`, combining every index the manifest has for the
+   * column — partition pruning (partition column), min/max stats
+   * (tracked stats columns), and the per-file BLOOM filter (declared
+   * `bloomCols`). The bloom is what makes point lookups cheap on
+   * columns UNCORRELATED with the file layout: their per-file ranges
+   * are near-full-width (stats keep everything), while a negative
+   * bloom test PROVES absence — an existence check or a point read
+   * touches only the files that really might hold the key, and an
+   * absent key touches none (up to the documented FP rate) without a
+   * single data-file open.
+   */
+  def pruneEq(table: String, column: String, value: Any,
+              version: Int = 0): (Seq[FileEntry], Int) = {
+    require(value != null, "pruneEq: a point lookup is never `= NULL`")
+    val v = if (version > 0) version else currentVersion(table)
+    val m = readManifest(table, v)
+    val total = m.files.size
+    val hasStats = column == m.partitionCol || m.statsCols.contains(column)
+    val hasBloom = m.bloomCols.contains(column)
+    require(hasStats || hasBloom,
+      s"snapshot $table: no index for '$column' (partition: ${m.partitionCol}; " +
+        s"stats: ${m.statsCols.mkString(",")}; blooms: ${m.bloomCols.mkString(",")})")
+    val statsKept: Set[String] =
+      if (hasStats) pruneRange(table, column, value, value, v)._1.map(_.path).toSet
+      else m.files.map(_.path).toSet
+    val s = value.toString
+    val kept = m.files.filter { f =>
+      statsKept.contains(f.path) &&
+        // missing bloom on a bloom-tracked column = conservative keep
+        // (an all-null file aggregates an EMPTY bloom, which correctly
+        // tests negative for every value)
+        (!hasBloom || f.blooms.get(column).forall(
+          graft.functions.BloomExprs.mightContain(_, s)))
+    }
+    (kept, total)
+  }
+
+  /** Point read `column = value`: [[pruneEq]] file skipping + the
+    * exact filter (pruning is an IO optimization, never a semantics
+    * change — a bloom false positive is filtered away). */
+  def readWhereEq(spark: SparkSession, table: String, column: String,
+                  value: Any, version: Int = 0): DataFrame = {
+    val v = if (version > 0) version else currentVersion(table)
+    val m = readManifest(table, v)
+    val (kept, _) = pruneEq(table, column, value, v)
+    val base =
+      if (kept.isEmpty) readManifestFiles(spark, table, m).limit(0)
+      else readManifestFiles(spark, table, m, kept)
+    base.filter(col(column) === lit(value))
   }
 }

@@ -586,4 +586,74 @@ class SnapshotSpec extends SparkSpecBase {
     assert(rowsOf(Snapshot.readLatest(spark, t)) ==
       v2Expected - ((3L, "charlie", "p1")) + ((3L, "charlie3", "p1")))
   }
+
+  // --------------------------------------------------- bloom point lookups
+
+  /** 64 rows, 4 partitions, range layout on id → tokens (hash-
+    * scrambled, UNCORRELATED with the layout) have near-full-range
+    * per-file spans: min/max stats cannot prune a token lookup, the
+    * bloom can. */
+  private def bloomSeed = (1L to 64L)
+    .map(i => (i, s"w${i * 2654435761L % 997}", s"p${i % 4}"))
+    .toDF("id", "token", "part")
+
+  test("bloom point lookup: absent key touches ZERO files; present key only its own") {
+    val t = fresh("bloom")
+    Snapshot.create(spark, t, bloomSeed, "id", "part", statsCols = Seq("id"),
+      fileRanges = 8, bloomCols = Seq("token"), bloomBits = 4096)
+    val m = Snapshot.readManifest(t, 1)
+    assert(m.files.size > 4, "fixture must be multi-file")
+    assert(m.files.forall(_.blooms.contains("token")))
+
+    // absent key: bloom proves absence — no data file is opened at all
+    val (keptAbsent, total) = Snapshot.pruneEq(t, "token", "nope")
+    assert(keptAbsent.isEmpty, s"absent key kept ${keptAbsent.size} of $total files")
+    assert(Snapshot.readWhereEq(spark, t, "token", "nope").count() == 0)
+
+    // present key: pruned to a strict subset, result exact
+    val probe = s"w${17L * 2654435761L % 997}"
+    val (kept, _) = Snapshot.pruneEq(t, "token", probe)
+    assert(kept.nonEmpty && kept.size < total,
+      s"present key kept ${kept.size} of $total files — bloom pruned nothing")
+    val got = Snapshot.readWhereEq(spark, t, "token", probe)
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(17L))
+  }
+
+  test("bloom point lookup on the stats-tracked key combines range + bloom pruning") {
+    val t = fresh("bloom_key")
+    Snapshot.create(spark, t, bloomSeed, "id", "part", statsCols = Seq("id"),
+      fileRanges = 8, bloomCols = Seq("id"), bloomBits = 4096)
+    val (kept, total) = Snapshot.pruneEq(t, "id", 33L)
+    assert(kept.nonEmpty && kept.size < total)
+    assert(Snapshot.readWhereEq(spark, t, "id", 33L)
+      .select("token").as[String].collect().toSeq ==
+      Seq(s"w${33L * 2654435761L % 997}"))
+  }
+
+  test("blooms survive merge: carried files keep theirs, fresh files get new ones, deleted key goes absent") {
+    val t = fresh("bloom_merge")
+    Snapshot.create(spark, t, bloomSeed, "id", "part", statsCols = Seq("id"),
+      fileRanges = 8, bloomCols = Seq("token"), bloomBits = 4096)
+    val before = Snapshot.readManifest(t, 1)
+    // rewrite p1 only: revise id 5, insert id 101, delete id 9 (all p1)
+    Snapshot.merge(spark, t,
+      upserts = Seq((5L, "tok_revised", "p1"), (101L, "tok_new", "p1"))
+        .toDF("id", "token", "part"),
+      deleteKeys = Seq(9L).toDF("id"))
+    val after = Snapshot.readManifest(t, 2)
+    // untouched partitions carry IDENTICAL bloom bytes
+    Seq("p0", "p2", "p3").foreach { p =>
+      assert(after.partitions(p).map(f => (f.path, f.blooms("token").toSeq)) ==
+        before.partitions(p).map(f => (f.path, f.blooms("token").toSeq)), p)
+    }
+    // the new tokens are findable, the deleted id's token is gone
+    assert(Snapshot.readWhereEq(spark, t, "token", "tok_new")
+      .select("id").as[Long].collect().toSeq == Seq(101L))
+    val deletedTok = s"w${9L * 2654435761L % 997}"
+    assert(Snapshot.readWhereEq(spark, t, "token", deletedTok).count() == 0)
+    // ...but still present when time-traveling to v1
+    assert(Snapshot.readWhereEq(spark, t, "token", deletedTok, version = 1)
+      .select("id").as[Long].collect().toSeq == Seq(9L))
+  }
 }
