@@ -2280,6 +2280,54 @@ object Oracles {
         |FROM s1
         |WHERE doc_id % 23 <> 7 AND doc_id BETWEEN 100 AND 299""".stripMargin,
 
+    // point lookups over the snapshot v3 state: replay both change
+    // sets, then `doc_id IN (5,13,14)` — 13 was deleted in v2 and
+    // must be absent; hash equality proves bloom/stats eq-pruning is
+    // an IO optimization only
+    "snapshot_point" ->
+      """WITH s1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text,
+        |    lang,
+        |    CASE WHEN doc_id % 7 = 0 AND doc_id % 3 = 0 THEN 'src_new'
+        |         ELSE source END AS source,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 5 THEN text || ' [v3]' ELSE text END AS text,
+        |  lang, source,
+        |  CASE WHEN doc_id % 11 = 5 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |FROM s1
+        |WHERE doc_id % 23 <> 7 AND doc_id IN (5, 13, 14)""".stripMargin,
+
+    // predicate DML end state (v5): replay both merge change sets,
+    // then the v4 range DELETE and the v5 range UPDATE relationally —
+    // hash equality proves the file-granularity pruned rewrite is
+    // exactly SQL DELETE/UPDATE semantics
+    "snapshot_dml" ->
+      """WITH s1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text,
+        |    lang,
+        |    CASE WHEN doc_id % 7 = 0 AND doc_id % 3 = 0 THEN 'src_new'
+        |         ELSE source END AS source,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |s2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 5 THEN text || ' [v3]' ELSE text END AS text,
+        |    lang, source,
+        |    CASE WHEN doc_id % 11 = 5 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |  FROM s1 WHERE doc_id % 23 <> 7),
+        |s3 AS (
+        |  SELECT * FROM s2 WHERE doc_id NOT BETWEEN 150 AND 199)
+        |SELECT doc_id, text,
+        |  CASE WHEN doc_id BETWEEN 300 AND 349 THEN 'xx' ELSE lang END AS lang,
+        |  source,
+        |  CASE WHEN doc_id BETWEEN 300 AND 349 THEN n_chars + 1000
+        |       ELSE n_chars END AS n_chars
+        |FROM s3""".stripMargin,
+
     // change feed between snapshot versions v2 and v3: rebuild both
     // committed states relationally, then the same md5 full-outer
     // delta as corpus_delta — removed = the %23 deletions, updated =

@@ -1520,7 +1520,8 @@ object Queries {
       }
       val docs = t(s, dir, "documents")
       Snapshot.create(s, p, docs, key = "doc_id", partitionCol = "source",
-        statsCols = Seq("doc_id", "n_chars"), fileRanges = 8)
+        statsCols = Seq("doc_id", "n_chars"), fileRanges = 8,
+        bloomCols = Seq("doc_id"), bloomBits = 1 << 14)
       val ups1 = docs
         .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
         .withColumn("text", concat(col("text"), lit(" [v2]")))
@@ -1535,6 +1536,13 @@ object Queries {
         .withColumn("n_chars", col("n_chars") + 7)
       Snapshot.merge(s, p, ups2,
         state1.filter(col("doc_id") % 23 === 7).select("doc_id"))
+      // v4/v5 = predicate DML on top (file-granularity copy-on-write):
+      // a range delete, then a range update referencing pre-update
+      // values — snapshot_dml reads the end state, every other
+      // snapshot entry pins its version explicitly
+      Snapshot.deleteWhere(s, p, Seq(("doc_id", 150, 199)))
+      Snapshot.updateWhere(s, p, Seq(("doc_id", 300, 349)),
+        Map("n_chars" -> (col("n_chars") + 1000), "lang" -> lit("xx")))
       p
     })
 
@@ -1554,7 +1562,34 @@ object Queries {
     * replays both change sets and filters, so hash equality proves
     * pruning never changes semantics. */
   def snapshotPruned(s: SparkSession, dir: String): DataFrame =
-    Snapshot.readWhere(s, snapshotTablePath(s, dir), "doc_id", 100, 299)
+    Snapshot.readWhere(s, snapshotTablePath(s, dir), "doc_id", 100, 299,
+        version = 3) // pinned pre-DML state; snapshot_dml reads the tip
+      .select("doc_id", "text", "lang", "source", "n_chars")
+
+  /** POINT LOOKUPS over the snapshot table (v3 state): three
+    * `doc_id =` reads served through [[Snapshot.pruneEq]] — partition
+    * stats + per-file BLOOM filters name the files that might hold
+    * the key; id 13 was deleted in v2 and comes back empty (for an
+    * absent key the bloom proves absence without opening a data
+    * file). The oracle replays both change sets + `IN (5,13,14)`, so
+    * hash equality proves eq-pruning never changes semantics. */
+  def snapshotPoint(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotTablePath(s, dir)
+    Seq(5L, 13L, 14L)
+      .map(id => Snapshot.readWhereEq(s, p, "doc_id", id, version = 3))
+      .reduce(_ unionByName _)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  /** PREDICATE DML end state: after the catalog build's v4 range
+    * DELETE (doc_id 150-199) and v5 range UPDATE (doc_id 300-349 →
+    * lang 'xx', n_chars + 1000), read the table tip. Both commits
+    * rewrote ONLY the files whose manifest stats admit the predicate
+    * (file-granularity copy-on-write); the oracle replays merges +
+    * DELETE + UPDATE relationally, so hash equality proves the
+    * pruned rewrite is exactly SQL DML. */
+  def snapshotDml(s: SparkSession, dir: String): DataFrame =
+    Snapshot.readLatest(s, snapshotTablePath(s, dir))
       .select("doc_id", "text", "lang", "source", "n_chars")
 
   /** CHANGE FEED between two snapshot versions: #105's corpus delta
@@ -1817,6 +1852,8 @@ object Queries {
     "snapshot_timetravel" -> snapshotTimetravel _,
     "snapshot_pruned" -> snapshotPruned _,
     "snapshot_delta" -> snapshotDelta _,
+    "snapshot_point" -> snapshotPoint _,
+    "snapshot_dml" -> snapshotDml _,
     "emb_quantize" -> embQuantize _,
     "sim_pq" -> simPq _,
     "fuzzy_names" -> fuzzyNames _,

@@ -1073,4 +1073,114 @@ object Snapshot {
       else readManifestFiles(spark, table, m, kept)
     base.filter(col(column) === lit(value))
   }
+
+  // ------------------------------------------------------ predicate DML
+
+  /** The conjunction of range predicates as a Column (NULL-safe: a
+    * NULL operand makes the predicate false — SQL DML semantics, a
+    * NULL never matches `BETWEEN`). */
+  private def predCol(preds: Seq[(String, Any, Any)]): Column =
+    preds.map { case (c, lo, hi) =>
+      coalesce(col(c) >= lit(lo) && col(c) <= lit(hi), lit(false)) }
+      .reduce(_ && _)
+
+  /** Shared commit machinery of [[deleteWhere]] and [[updateWhere]]:
+    * rewrite ONLY the candidate files through `transform`, carry every
+    * other file forward verbatim, publish as one atomic version. */
+  private def rewriteFiles(spark: SparkSession, table: String, op: String,
+                           preds: Seq[(String, Any, Any)],
+                           transform: DataFrame => DataFrame): CommitStats =
+    withCommitLock(table) {
+      val cur = currentVersion(table)
+      require(cur > 0, s"snapshot $table does not exist")
+      val m = readManifest(table, cur)
+      val (candidates, _) = pruneAll(table, preds, cur)
+      val v = cur + 1
+      if (candidates.isEmpty) { // proven no-match: audit-only commit
+        writeManifest(table, m.copy(version = v, parent = cur, op = op))
+        CommitStats(v, Nil, Nil, 0)
+      } else {
+      val candPaths = candidates.map(_.path).toSet
+      val base = readManifestFiles(spark, table, m, candidates)
+      val out = transform(base)
+      require(out.schema.map(f => (f.name, f.dataType)) ==
+        base.schema.map(f => (f.name, f.dataType)),
+        s"snapshot $op: transform must preserve the table schema")
+      // check ALL rewritten rows: an UPDATE may move a predicate
+      // column, so filtering `out` by the (pre-update) predicate could
+      // miss updated rows; unchanged rows re-pass trivially and the
+      // cost is bounded by candidate mass
+      enforceConstraints(out, m.constraints)
+      writeCommit(out, table, v, m.partitionCol, m.key, m.layout)
+      val fresh = commitEntries(spark, table, v, m.statsCols,
+        m.bloomCols, m.bloomBits, m.bloomK)
+      // per partition: carried (non-candidate) files ++ replacement files
+      val touched = m.partitions.collect {
+        case (p, fs) if fs.exists(f => candPaths.contains(f.path)) => p }.toSet
+      val parts = (m.partitions.keySet ++ fresh.keySet).flatMap { p =>
+        val carried = m.partitions.getOrElse(p, Nil)
+          .filterNot(f => candPaths.contains(f.path))
+        val files = carried ++ fresh.getOrElse(p, Nil)
+        if (files.isEmpty) None else Some(p -> files)
+      }.toMap
+      val dropped = m.partitions.keySet.filterNot(parts.contains).toSeq.sorted
+      writeManifest(table, m.copy(version = v, parent = cur, op = op,
+        partitions = parts))
+      CommitStats(v, touched.toSeq.sorted, dropped,
+        fresh.values.map(_.size).sum)
+      }
+    }
+
+  /**
+   * `DELETE FROM table WHERE <conjunction of range predicates>` as a
+   * copy-on-write commit at FILE granularity: [[pruneAll]] names the
+   * files whose stats admit the predicate; ONLY those are rewritten
+   * (minus the matching rows — NULL predicate rows survive, SQL
+   * semantics); every other file carries forward verbatim in the new
+   * manifest, bytes untouched. The delete-side companion of
+   * [[merge]]'s keyed deletes: a retention sweep (`ts < cutoff`) or a
+   * source purge rewrites the matching slice of a 100 TB table, not
+   * the table — and under a range/zorder [[Layout]] the matching
+   * slice is few files. Time travel, rollback and vacuum apply as to
+   * any commit. Predicates are restricted to partition/stats columns
+   * (the manifest must be able to PROVE the untouched files really
+   * have no matching rows).
+   */
+  def deleteWhere(spark: SparkSession, table: String,
+                  preds: Seq[(String, Any, Any)]): CommitStats =
+    rewriteFiles(spark, table, "delete", preds,
+      df => df.filter(!predCol(preds)))
+
+  /**
+   * `UPDATE table SET col = expr, ... WHERE <conjunction of range
+   * predicates>` as a copy-on-write commit at file granularity (same
+   * pruned-rewrite machinery as [[deleteWhere]]; non-matching rows in
+   * a candidate file are rewritten unchanged). `set` expressions may
+   * reference any table column (the PRE-update values, standard SQL
+   * UPDATE). The key and partition column cannot be updated — moving
+   * a row between partitions or rekeying it is a [[merge]]. CHECK
+   * constraints gate the updated rows.
+   */
+  def updateWhere(spark: SparkSession, table: String,
+                  preds: Seq[(String, Any, Any)],
+                  set: Map[String, Column]): CommitStats = {
+    require(set.nonEmpty, "updateWhere: empty SET")
+    val m = readManifest(table, currentVersion(table))
+    set.keys.foreach { c =>
+      require(c != m.key && c != m.partitionCol,
+        s"updateWhere: cannot update key/partition column '$c' — use merge")
+    }
+    rewriteFiles(spark, table, "update", preds, { df =>
+      set.keys.foreach(c => require(df.columns.contains(c),
+        s"updateWhere: unknown column '$c'"))
+      val p = predCol(preds)
+      df.select(df.columns.map { c =>
+        set.get(c) match {
+          case Some(e) => when(p, e.cast(df.schema(c).dataType))
+            .otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+    })
+  }
 }

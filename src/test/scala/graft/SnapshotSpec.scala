@@ -656,4 +656,76 @@ class SnapshotSpec extends SparkSpecBase {
     assert(Snapshot.readWhereEq(spark, t, "token", deletedTok, version = 1)
       .select("id").as[Long].collect().toSeq == Seq(9L))
   }
+
+  // ------------------------------------------------------ predicate DML
+
+  test("deleteWhere rewrites only admitting files; others carried byte-identical; result == relational delete") {
+    val t = fresh("dml_del")
+    val wide = spark.range(0, 4000).select(
+      col("id"), concat(lit("doc "), col("id")).as("payload"),
+      (col("id") % 4).cast("string").as("part"))
+    Snapshot.create(spark, t, wide, "id", "part", fileRanges = 16)
+    val before = Snapshot.readManifest(t, 1)
+    val st = Snapshot.deleteWhere(spark, t, Seq(("id", 1000, 1399)))
+    assert(st.version == 2)
+    val after = Snapshot.readManifest(t, 2)
+    assert(after.op == "delete")
+    // untouched files (id ranges outside [1000,1399]) carried verbatim
+    val candPaths = Snapshot.pruneRange(t, "id", 1000, 1399, 1)._1.map(_.path).toSet
+    assert(candPaths.nonEmpty && candPaths.size < before.files.size,
+      "fixture must prune to a strict subset")
+    before.files.filterNot(f => candPaths.contains(f.path)).foreach { f =>
+      assert(after.files.exists(_.path == f.path), s"${f.path} not carried") }
+    // none of the rewritten (candidate) files survive in v2
+    candPaths.foreach(p => assert(!after.files.exists(_.path == p)))
+    // result semantics: exactly the relational delete
+    assert(Snapshot.readLatest(spark, t).count() == 3600)
+    assert(Snapshot.readLatest(spark, t)
+      .filter(col("id").between(1000, 1399)).count() == 0)
+    assert(Snapshot.readLatest(spark, t).agg(sum("id")).as[Long].head ==
+      (0L until 4000L).sum - (1000L until 1400L).sum)
+    // v1 still time-travels whole
+    assert(Snapshot.readAt(spark, t, 1).count() == 4000)
+  }
+
+  test("updateWhere applies SET to matching rows only, reads pre-update values, blocks key/partition updates") {
+    val t = fresh("dml_upd")
+    val wide = spark.range(0, 2000).select(
+      col("id"), (col("id") * 10).as("score"),
+      (col("id") % 4).cast("string").as("part"))
+    Snapshot.create(spark, t, wide, "id", "part", fileRanges = 8)
+    val st = Snapshot.updateWhere(spark, t, Seq(("id", 500, 699)),
+      Map("score" -> (col("score") + col("id")))) // references pre-update cols
+    assert(st.version == 2)
+    val got = Snapshot.readLatest(spark, t)
+    assert(got.filter(col("id").between(500, 699))
+      .filter(col("score") =!= col("id") * 11).count() == 0)
+    assert(got.filter(!col("id").between(500, 699))
+      .filter(col("score") =!= col("id") * 10).count() == 0)
+    assert(got.count() == 2000)
+    intercept[IllegalArgumentException] {
+      Snapshot.updateWhere(spark, t, Seq(("id", 0, 10)),
+        Map("part" -> lit("p9")))
+    }
+  }
+
+  test("DML no-op on a proven-absent predicate still commits an audit version; CHECK constraints gate updates") {
+    val t = fresh("dml_check")
+    val df = spark.range(0, 100).select(
+      col("id"), (col("id") % 50 + 1).as("qty"),
+      (col("id") % 2).cast("string").as("part"))
+    Snapshot.create(spark, t, df, "id", "part",
+      constraints = Map("qty_pos" -> "qty > 0"))
+    // predicate outside the id range: zero candidate files, audit commit
+    val st = Snapshot.deleteWhere(spark, t, Seq(("id", 5000, 6000)))
+    assert(st.version == 2 && st.filesWritten == 0)
+    assert(Snapshot.readManifest(t, 2).op == "delete")
+    // an UPDATE that violates CHECK is rejected before anything commits
+    intercept[Snapshot.ConstraintViolationException] {
+      Snapshot.updateWhere(spark, t, Seq(("id", 0, 10)),
+        Map("qty" -> (col("qty") * -1)))
+    }
+    assert(Snapshot.currentVersion(t) == 2)
+    assert(Snapshot.readLatest(spark, t).filter(col("qty") <= 0).count() == 0)
+  }
 }
