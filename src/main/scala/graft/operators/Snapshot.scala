@@ -1074,6 +1074,50 @@ object Snapshot {
     base.filter(col(column) === lit(value))
   }
 
+  // ------------------------------------------------------- change feed
+
+  /**
+   * The CHANGE SET of one commit, computed from the manifests alone:
+   * `(removedRows, addedRows)` where removed = rows of files the
+   * parent referenced that `version` no longer does, added = rows of
+   * files new in `version`. File paths are immutable and unique per
+   * commit, so the set diff is exact — a carried-forward file appears
+   * in NEITHER side (nothing is read for the untouched mass; the
+   * change set is bounded by the commit's copy-on-write footprint,
+   * never the table). For ALGEBRAIC consumers (count/sum maintenance,
+   * sketch unions) subtract-removed + add-added applied in version
+   * order reproduces any one-shot recompute exactly; rows rewritten
+   * unchanged (the other rows of a rewritten file) cancel between the
+   * two sides. A `compact` commit's change set is nonzero but nets to
+   * zero by the same cancellation (rows identical by contract) —
+   * consumers may skip it by op. Requires the parent version's files
+   * to still exist: vacuum retention must cover follower lag.
+   *
+   * Each side reads under ITS version's manifest schema, so a
+   * follower straddling an additive schema evolution sees old rows
+   * null-filled exactly as readers of that version did.
+   */
+  def changeSet(spark: SparkSession, table: String,
+                version: Int): (DataFrame, DataFrame) = {
+    val m = readManifest(table, version)
+    val empty = readManifestFiles(spark, table, m).limit(0)
+    if (m.parent <= 0) (empty, readManifestFiles(spark, table, m))
+    else {
+      require(Files.exists(manifestPath(table, m.parent)),
+        s"snapshot $table: parent v${m.parent} was vacuumed — change set " +
+          "unrecoverable (raise vacuum retention above follower lag)")
+      val mP = readManifest(table, m.parent)
+      val pPaths = mP.files.map(_.path).toSet
+      val cPaths = m.files.map(_.path).toSet
+      val removed = mP.files.filterNot(f => cPaths.contains(f.path))
+      val added = m.files.filterNot(f => pPaths.contains(f.path))
+      (if (removed.isEmpty) readManifestFiles(spark, table, mP).limit(0)
+       else readManifestFiles(spark, table, mP, removed),
+       if (added.isEmpty) empty
+       else readManifestFiles(spark, table, m, added))
+    }
+  }
+
   // ------------------------------------------------------ predicate DML
 
   /** The conjunction of range predicates as a Column (NULL-safe: a

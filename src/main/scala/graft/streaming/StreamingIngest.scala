@@ -651,4 +651,78 @@ object StreamingIngest {
       .orderBy(col("est_n").desc, col("k"))
       .limit(k)
   }
+
+  /**
+   * FOLLOW a [[graft.operators.Snapshot]] table's commit log as a
+   * stream — CDC OUT, the read-side twin of [[cdcSnapshotSink]]'s CDC
+   * in. The `_log/` directory is append-only (one immutable manifest
+   * per version, atomically renamed in), which is exactly the
+   * contract Spark's file stream source is built for: the source
+   * discovers new `vNNNNNNNN.json` files, the checkpoint records
+   * which are consumed, and `apply(version, op, removedRows,
+   * addedRows)` runs once per commit in version order with the
+   * [[graft.operators.Snapshot.changeSet]] of that commit — work
+   * bounded by the commit's copy-on-write footprint, never the table.
+   * Restart resumes from the checkpoint; `apply` should additionally
+   * be idempotent PER VERSION (ledger on the version number, as
+   * [[incrementalViewSink]] does) so a batch replayed across a crash
+   * converges. Vacuum retention on the followed table must exceed
+   * follower lag (changeSet needs the parent manifest).
+   */
+  def snapshotFollowSink(spark: SparkSession, table: String,
+                         checkpoint: String)
+                        (apply: (Int, String, DataFrame, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val manifests = spark.readStream
+      .option("wholetext", "true") // one row per manifest file
+      .text(s"$table/_log/v*.json")
+      .select(input_file_name().as("file"))
+    manifests.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vs = batch.select("file").collect()
+          .map(_.getString(0))
+          .map(f => f.substring(f.lastIndexOf("/v") + 2, f.lastIndexOf(".json")).toInt)
+          .sorted
+        vs.foreach { v =>
+          val op = graft.operators.Snapshot.readManifest(table, v).op
+          val (removed, added) =
+            graft.operators.Snapshot.changeSet(batch.sparkSession, table, v)
+          apply(v, op, removed, added)
+        }
+      }
+  }
+
+  /**
+   * STREAMING MATERIALIZED VIEW: keep an [[IncrementalAgg]]-shaped
+   * grouped-aggregate table current by FOLLOWING a snapshot table's
+   * commit log — the full incremental lakehouse loop closed:
+   * [[cdcSnapshotSink]] lands change batches as atomic versions, this
+   * sink tails the version log and applies each commit's
+   * [[graft.operators.Snapshot.changeSet]] to the downstream
+   * aggregate as delta-sized work. A 2% refresh updates the
+   * KB-sized view at the cost of the 2%, never a table rescan.
+   *
+   * Exactly-once twice over: the file-source checkpoint consumes each
+   * manifest once, and [[IncrementalAgg.maintainBatch]]'s ledger is
+   * keyed on the VERSION number — deterministic across restarts,
+   * checkpoint loss, or a second follower, so re-delivery is a no-op
+   * (the window [[IncrementalAgg.maintainBatch]] documents). Pure
+   * layout commits (`compact`) are skipped by op — their change sets
+   * net to zero by contract; applying them would only cost.
+   */
+  def incrementalViewSink(spark: SparkSession, table: String,
+                          checkpoint: String, aggPath: String,
+                          groupCols: Seq[String], sumCols: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    snapshotFollowSink(spark, table, checkpoint) { (v, op, removed, added) =>
+      if (op != "compact") {
+        if (!new java.io.File(aggPath).exists()) // bootstrap: empty view
+          graft.operators.IncrementalAgg.build(added.limit(0), groupCols, sumCols)
+            .write.parquet(aggPath)
+        graft.operators.IncrementalAgg.maintainBatch(added.sparkSession,
+          aggPath, v.toLong, groupCols, sumCols, removed, added)
+        ()
+      }
+    }
 }

@@ -365,4 +365,62 @@ class StreamingSpec extends SparkSpecBase {
     assert(corpusIds() === Set(1L, 3L, 5L, 6L),
       "replaying a micro-batch must not change the visible corpus")
   }
+
+  test("incrementalViewSink follows the snapshot commit log: view == one-shot recompute across merge/DML/compact/rollback; re-delivery is a no-op") {
+    import graft.operators.{IncrementalAgg, Snapshot}
+    val dir = java.nio.file.Files.createTempDirectory("graft_follow").toString
+    val (table, ck, agg) = (s"$dir/tbl", s"$dir/ck", s"$dir/agg")
+
+    val seed = spark.range(0, 400).select(col("id"),
+      (col("id") % 7).as("score"), (col("id") % 4).cast("string").as("part"))
+    Snapshot.create(spark, table, seed, "id", "part", fileRanges = 4)
+    Snapshot.merge(spark, table,
+      upserts = spark.range(380, 420).select(col("id"),
+        (col("id") * 2).as("score"), (col("id") % 4).cast("string").as("part")),
+      deleteKeys = spark.range(0, 20).select(col("id")))
+
+    def runFollow(): Unit = {
+      val q = StreamingIngest.incrementalViewSink(
+        spark, table, ck, agg, Seq("part"), Seq("score")).start()
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"follower died: ${q.exception}")
+      q.stop()
+    }
+    def viewRows: Set[(String, Long, String)] =
+      spark.read.parquet(agg).collect()
+        .map(r => (r.getString(r.fieldIndex("part")),
+          r.getLong(r.fieldIndex("n")),
+          r.getDecimal(r.fieldIndex("sum_score")).toPlainString)).toSet
+    def expect: Set[(String, Long, String)] =
+      IncrementalAgg.build(Snapshot.readLatest(spark, table),
+        Seq("part"), Seq("score")).collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).toPlainString)).toSet
+
+    runFollow() // v1 (create) + v2 (merge) consumed in order
+    assert(viewRows == expect)
+
+    // more commits of every flavor land while the follower is down
+    Snapshot.deleteWhere(spark, table, Seq(("id", 100, 149)))
+    Snapshot.updateWhere(spark, table, Seq(("id", 200, 259)),
+      Map("score" -> (col("score") + 1000)))
+    Snapshot.compact(spark, table, maxFilesPerPartition = 1) // net-zero, skipped by op
+    runFollow() // same checkpoint: only the new versions replay
+    assert(viewRows == expect)
+
+    // rollback is just another commit: the view follows BACK
+    Snapshot.rollback(spark, table, 2)
+    runFollow()
+    assert(viewRows == expect)
+
+    // checkpoint loss: every manifest re-delivers, but maintainBatch's
+    // ledger is keyed on the VERSION — the view must not double-count
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ck))
+    try {
+      import scala.jdk.CollectionConverters._
+      walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    } finally walk.close()
+    runFollow()
+    assert(viewRows == expect, "re-delivered versions must be no-ops")
+  }
 }
