@@ -16,9 +16,16 @@ import org.apache.spark.sql.SparkSession
  *   runMain graft.SnapshotTool compact  /data/corpus_v [maxFilesPerPartition=4]
  *   runMain graft.SnapshotTool vacuum   /data/corpus_v [retainLast=2]
  *   runMain graft.SnapshotTool rollback /data/corpus_v <version>
+ *   runMain graft.SnapshotTool delete-where /data/corpus_v <col> <lo> <hi>
+ *   runMain graft.SnapshotTool update-where /data/corpus_v <col> <lo> <hi> <set>=<sqlExpr> [...]
  * }}}
  */
 object SnapshotTool {
+
+  /** CLI values arrive as strings; predicates should compare
+    * numerically when they can (pruneRange does the same). */
+  private def parseBound(s: String): Any =
+    scala.util.Try(s.toLong).orElse(scala.util.Try(s.toDouble)).getOrElse(s)
 
   /** Run one verb; returns (output lines, exit code). Factored from
     * main so specs drive it without forking a JVM. */
@@ -46,9 +53,27 @@ object SnapshotTool {
       case Seq("rollback", table, v) =>
         val st = Snapshot.rollback(spark, table, v.toInt)
         (Seq(s"rolled back $table to v$v → new version v${st.version}"), 0)
+      case Seq("delete-where", table, c, lo, hi) =>
+        val st = Snapshot.deleteWhere(spark, table,
+          Seq((c, parseBound(lo), parseBound(hi))))
+        (Seq(s"deleted from $table where $c in [$lo,$hi] → v${st.version}: " +
+          s"rewrote ${st.rewrittenPartitions.size} partition(s), " +
+          s"${st.filesWritten} file(s)"), 0)
+      case Seq("update-where", table, c, lo, hi, sets @ _*) if sets.nonEmpty =>
+        val set = sets.map { s =>
+          val at = s.indexOf('=')
+          require(at > 0, s"update-where: bad SET '$s', want col=sqlExpr")
+          s.substring(0, at) -> org.apache.spark.sql.functions.expr(s.substring(at + 1))
+        }.toMap
+        val st = Snapshot.updateWhere(spark, table,
+          Seq((c, parseBound(lo), parseBound(hi))), set)
+        (Seq(s"updated $table where $c in [$lo,$hi] → v${st.version}: " +
+          s"rewrote ${st.rewrittenPartitions.size} partition(s), " +
+          s"${st.filesWritten} file(s)"), 0)
       case other =>
         (Seq(s"unknown invocation: ${other.mkString(" ")}",
-          "usage: SnapshotTool history|fsck|compact|vacuum|rollback <table> [args]"), 2)
+          "usage: SnapshotTool history|fsck|compact|vacuum|rollback|" +
+            "delete-where|update-where <table> [args]"), 2)
     }
 
   def main(args: Array[String]): Unit = {

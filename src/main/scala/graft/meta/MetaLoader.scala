@@ -60,6 +60,7 @@ object MetaLoader {
       layoutPartitions = n.path("layoutPartitions").asInt(0),
       mergeKey = str(n, "mergeKey", ""),
       statsCols = strArr(n, "statsCols"),
+      bloomCols = strArr(n, "bloomCols"),
       aggGroupBy = strArr(n, "aggGroupBy"),
       aggSums = strArr(n, "aggSums"),
       constraints = obj(n, "constraints"))

@@ -60,6 +60,10 @@ final case class SinkSpec(
     // option "version"). statsCols declares per-file min/max columns
     // the manifest tracks for data-skipping reads.
     statsCols: Seq[String] = Nil,
+    // saveMode=snapshot: columns getting a per-file BLOOM filter in
+    // the manifest at bootstrap (operators.Snapshot bloomCols) — the
+    // point-lookup existence index for readWhereEq/pruneEq.
+    bloomCols: Seq[String] = Nil,
     aggGroupBy: Seq[String] = Nil,
     aggSums: Seq[String] = Nil,
     // saveMode=snapshot: named CHECK constraints (SQL boolean

@@ -81,7 +81,8 @@ object Writers {
               fileRanges = spec.layoutPartitions,
               layoutMode = if (spec.layout == "none") "range" else spec.layout,
               zorderKeys = spec.layoutKeys,
-              constraints = spec.constraints)
+              constraints = spec.constraints,
+              bloomCols = spec.bloomCols)
           else
             graft.operators.Snapshot.merge(df.sparkSession, path, ups, del)
         println(s"[sink ${spec.name}] snapshot $path now v${st.version}: " +

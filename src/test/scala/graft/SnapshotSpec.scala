@@ -272,7 +272,8 @@ class SnapshotSpec extends SparkSpecBase {
     val sink = graft.meta.SinkSpec(
       input = "in", name = "snap_sink", paths = Seq(t),
       format = "parquet", saveMode = "snapshot",
-      partitionBy = Seq("part"), mergeKey = "id", statsCols = Seq("id"))
+      partitionBy = Seq("part"), mergeKey = "id", statsCols = Seq("id"),
+      bloomCols = Seq("payload"))
     graft.sinks.Writers.write(seedDf, sink) // bootstrap → v1
     assert(Snapshot.currentVersion(t) == 1)
     val incoming = Seq(
@@ -288,8 +289,13 @@ class SnapshotSpec extends SparkSpecBase {
       rowsOf(seedDf.filter(col("id") =!= 5L))
         .map { case (2L, _, p) => (2L, "bravo-meta", p); case r => r })
     assert(rowsOf(viaSource(Some("1"))) == rowsOf(seedDf)) // time travel
-    // manifest stats reached the metadata-built table
+    // manifest stats + blooms reached the metadata-built table: the
+    // bloom column declared in JSON serves point lookups
     assert(Snapshot.readManifest(t, 2).statsCols == Seq("id"))
+    assert(Snapshot.readManifest(t, 2).bloomCols == Seq("payload"))
+    assert(Snapshot.readWhereEq(spark, t, "payload", "bravo-meta")
+      .select("id").as[Long].collect().toSeq == Seq(2L))
+    assert(Snapshot.pruneEq(t, "payload", "no-such-payload")._1.isEmpty)
   }
 
   test("SnapshotTool CLI verbs: history, fsck exit codes, compact, vacuum, rollback") {
@@ -305,6 +311,15 @@ class SnapshotSpec extends SparkSpecBase {
     assert(graft.SnapshotTool.run(spark, Seq("vacuum", t, "2"))._2 == 0)
     assert(graft.SnapshotTool.run(spark, Seq("compact", t, "0"))._2 == 0)
     assert(graft.SnapshotTool.run(spark, Seq("nope"))._2 == 2)
+    // DML verbs: a numeric range delete, then a SQL-expression update
+    assert(graft.SnapshotTool.run(spark,
+      Seq("delete-where", t, "id", "7", "8"))._2 == 0)
+    assert(rowsOf(Snapshot.readLatest(spark, t)) ==
+      rowsOf(seedDf.filter(!col("id").between(7, 8))))
+    assert(graft.SnapshotTool.run(spark, Seq("update-where", t, "id", "1", "2",
+      "payload=upper(payload)"))._2 == 0)
+    assert(Snapshot.readLatest(spark, t).filter(col("id") <= 2)
+      .select("payload").as[String].collect().toSet == Set("ALPHA", "BRAVO"))
     // fsck flags a broken table with exit 1
     Files.delete(Paths.get(t,
       Snapshot.readManifest(t, Snapshot.currentVersion(t)).files.head.path))
