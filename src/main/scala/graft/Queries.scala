@@ -744,6 +744,53 @@ object Queries {
       nprobe = 4, centroidsIn = Some(ivfAnchorCodebook(e)))
   }
 
+  /** VERSIONED VECTOR INDEX — the IVF index AS a snapshot table
+    * ([[operators.Similarity.ivfIndexCreate]]): vectors live in
+    * cell-partitioned, manifest-committed storage. The build-once
+    * memo commits v1 = the full corpus, v2 = an embedding REFRESH
+    * (every vec_id%17==3 re-embedded to its negated vector — which
+    * moves it to a different cell, exercising the partition move —
+    * and every %19==4 retired). The catalog query serves the %20
+    * query batch from the LATEST index: probe cells resolve to a
+    * manifest-pruned read (only the probed cells' files are opened),
+    * stored norms rescore, the bounded heap ranks. The oracle replays
+    * corpus-after-refresh assignment + probe + rescore relationally,
+    * so hash equality proves (a) the merge maintained the index
+    * exactly and (b) partition-pruned serving never changes
+    * semantics. SimilaritySpec adds the time-travel and
+    * pruning-bound assertions a SQL oracle cannot express. */
+  private val vecIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def vecIndexPath(s: SparkSession, dir: String): String =
+    vecIndexMemo.computeIfAbsent(dir, _ => {
+      val p = scratch("vec_index", dir)
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root)) { // fresh build per JVM
+        val walk = java.nio.file.Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+        } finally walk.close()
+      }
+      val e = t(s, dir, "embeddings")
+      val cb = ivfAnchorCodebook(e)
+      Similarity.ivfIndexCreate(s, p, e, col("vec_id"), col("embedding"), cb)
+      val ups = e
+        .filter(col("vec_id") % 17 === 3 && col("vec_id") % 19 =!= 4 &&
+          col("embedding").isNotNull)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      Similarity.ivfIndexMerge(s, p, ups, col("vec_id"), col("embedding"), cb,
+        e.filter(col("vec_id") % 19 === 4).select(col("vec_id")))
+      p
+    })
+
+  def simIndexSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfIndexSearch(s, vecIndexPath(s, dir),
+      e.filter(col("vec_id") % 20 === 0), col("vec_id"), col("embedding"),
+      k = 10, nprobe = 4, centroids = ivfAnchorCodebook(e))
+  }
+
   /** SemDeDup over the pinned anchor codebook (the train-once
     * production shape): same-cell cosine ≥ 0.4 drops the higher id.
     * Threshold matches [[dedupEmbedding]]'s testdata tuning. */
@@ -1854,6 +1901,7 @@ object Queries {
     "snapshot_delta" -> snapshotDelta _,
     "snapshot_point" -> snapshotPoint _,
     "snapshot_dml" -> snapshotDml _,
+    "sim_index_snapshot" -> simIndexSnapshot _,
     "emb_quantize" -> embQuantize _,
     "sim_pq" -> simPq _,
     "fuzzy_names" -> fuzzyNames _,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -352,6 +352,86 @@ object Similarity {
                 centroidsIn: Option[Array[Array[Double]]] = None): DataFrame =
     ivfCore(queries, corpus, id, vec, k, nlist, nprobe, centroidsIn,
       excludeSelf = false)
+
+  /**
+   * VERSIONED VECTOR INDEX — the IVF index AS a [[Snapshot]] table:
+   * rows (id, vec, norm, cell) partitioned by the IVF cell, so
+   *
+   *  - a query batch's probe set becomes a MANIFEST-pruned read
+   *    ([[Snapshot.readWhereIn]] on the partition column): serving
+   *    opens only the probed cells' files — no file listing, no
+   *    footer pass, however many cells the 100 TB index holds;
+   *  - index maintenance is [[Snapshot.merge]]: re-embedded docs
+   *    upsert into their (possibly NEW) cell, retired docs delete —
+   *    delta-sized copy-on-write commits, never an index rebuild;
+   *  - every index state is versioned: serve yesterday's index with
+   *    `version = v` (reproduce a recall report, A/B an embedding
+   *    refresh), roll a bad refresh back in O(manifest).
+   *
+   * The codebook is pinned (train-once, [[saveCentroids]]) — cell
+   * assignment must be stable across commits for partitions to mean
+   * anything, the same train-once contract every IVF serve path here
+   * uses. Norms are computed AT INDEX TIME and stored: serving never
+   * re-normalizes the corpus.
+   */
+  def ivfIndexCreate(spark: SparkSession, table: String, corpus: DataFrame,
+                     id: Column, vec: Column,
+                     centroids: Array[Array[Double]]): Snapshot.CommitStats =
+    Snapshot.create(spark, table, indexRows(corpus, id, vec, centroids),
+      key = "id", partitionCol = "cell")
+
+  /** Apply an embedding refresh to the index: `upserts` are
+    * re-embedded rows (assigned to their new cell — a vector whose
+    * direction moved simply lands in a different partition),
+    * `deleteIds` retires vectors. One atomic, time-travelable commit. */
+  def ivfIndexMerge(spark: SparkSession, table: String, upserts: DataFrame,
+                    id: Column, vec: Column,
+                    centroids: Array[Array[Double]],
+                    deleteIds: DataFrame): Snapshot.CommitStats =
+    Snapshot.merge(spark, table, indexRows(upserts, id, vec, centroids),
+      deleteIds.select(id.as("id")))
+
+  private def indexRows(corpus: DataFrame, id: Column, vec: Column,
+                        centroids: Array[Array[Double]]): DataFrame = {
+    import graft.functions.VectorExprs.nearestCentroids
+    withNorm(corpus.filter(vec.isNotNull), id, vec)
+      .select(col("id"), col("vec"), col("norm"),
+        element_at(nearestCentroids(col("vec"), centroids, 1), 1)
+          .cast("string").as("cell"))
+  }
+
+  /**
+   * Serve a query batch from the versioned index: assign each query
+   * to its `nprobe` cells, read ONLY those cells' files through the
+   * manifest ([[Snapshot.readWhereIn]] — the probe set is ≤ nlist
+   * values, driver-bounded), rescore exactly against the STORED
+   * vectors/norms, rank per query with the bounded heap. Self-matches
+   * kept, as [[ivfSearch]]. `version` pins a historical index state.
+   */
+  def ivfIndexSearch(spark: SparkSession, table: String, queries: DataFrame,
+                     id: Column, vec: Column, k: Int = 10, nprobe: Int = 4,
+                     centroids: Array[Array[Double]] = null,
+                     version: Int = 0): DataFrame = {
+    import graft.functions.VectorExprs.nearestCentroids
+    require(centroids != null, "ivfIndexSearch needs the index's pinned codebook")
+    val q = withNorm(queries, id, vec)
+      .select(col("id").as("qid"), col("vec").as("qvec"),
+        col("norm").as("qnorm"),
+        explode(nearestCentroids(col("vec"), centroids, nprobe)).as("cellN"))
+      .withColumn("cell", col("cellN").cast("string")).drop("cellN")
+    val cells = q.select("cell").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted // bounded by nlist
+    val data =
+      if (cells.isEmpty)
+        Snapshot.readLatest(spark, table).limit(0)
+      else Snapshot.readWhereIn(spark, table, "cell", cells, version)
+    val cand = q.join(data, Seq("cell"))
+      .select(col("qid"), col("id").as("neighbor_id"),
+        when(col("qnorm") * col("norm") === 0.0, lit(0.0))
+          .otherwise(dot(col("qvec"), col("vec")) /
+            (col("qnorm") * col("norm"))).as("cos_sim"))
+    rankCandidates(cand, k, "cos_sim", bigBetter = true)
+  }
 
   private def ivfCore(queries: DataFrame, corpus: DataFrame,
                       id: Column, vec: Column, k: Int,

@@ -458,7 +458,11 @@ object Snapshot {
         s"${target.columns.filterNot(upserts.columns.contains).mkString(",")}")
     upserts.schema.fields.filter(f => target.columns.contains(f.name)).foreach { f =>
       val tf = target.schema(f.name)
-      require(f.dataType == tf.dataType,
+      // compare the SQL rendering, not DataType equality: parquet
+      // read-back loosens nested nullability (array containsNull),
+      // which is not a type conflict — an in-memory array<float
+      // NOT NULL> upsert into an array<float> table is fine
+      require(f.dataType.sql == tf.dataType.sql,
         s"snapshot merge: column '${f.name}' type ${f.dataType.simpleString} " +
           s"does not match table's ${tf.dataType.simpleString}")
     }
@@ -1072,6 +1076,31 @@ object Snapshot {
       if (kept.isEmpty) readManifestFiles(spark, table, m).limit(0)
       else readManifestFiles(spark, table, m, kept)
     base.filter(col(column) === lit(value))
+  }
+
+  /** [[pruneEq]] over a VALUE SET: the union of each value's kept
+    * files — the IN-list lookup (e.g. an IVF query batch's probed
+    * cells). Bounded driver work: |values| × manifest scans, no IO. */
+  def pruneIn(table: String, column: String, values: Seq[Any],
+              version: Int = 0): (Seq[FileEntry], Int) = {
+    require(values.nonEmpty, "pruneIn: empty value set")
+    val v = if (version > 0) version else currentVersion(table)
+    val m = readManifest(table, v)
+    val kept = values.flatMap(x => pruneEq(table, column, x, v)._1.map(_.path)).toSet
+    (m.files.filter(f => kept.contains(f.path)), m.files.size)
+  }
+
+  /** Read `column IN (values)` through [[pruneIn]] file skipping + the
+    * exact filter. */
+  def readWhereIn(spark: SparkSession, table: String, column: String,
+                  values: Seq[Any], version: Int = 0): DataFrame = {
+    val v = if (version > 0) version else currentVersion(table)
+    val m = readManifest(table, v)
+    val (kept, _) = pruneIn(table, column, values, v)
+    val base =
+      if (kept.isEmpty) readManifestFiles(spark, table, m).limit(0)
+      else readManifestFiles(spark, table, m, kept)
+    base.filter(col(column).isin(values: _*))
   }
 
   // ------------------------------------------------------- change feed

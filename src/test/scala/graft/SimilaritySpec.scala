@@ -231,4 +231,64 @@ class SimilaritySpec extends SparkSpecBase {
     info(f"weak-pair recall = $weakRecall%.3f (expected moderate)")
     assert(weakRecall >= 0.4)
   }
+
+  test("versioned vector index: parity with ivfSearch, manifest-pruned probes, time-travelable refresh") {
+    import graft.operators.Snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx").toString
+    val table = s"$dir/idx"
+    // 120 vectors in 3 tight direction clusters + noise dims, so the
+    // 8-anchor codebook yields well-separated cells
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 120L).map { i =>
+      val base = (i % 3).toInt
+      val v = Array.tabulate(8)(j =>
+        (if (j == base) 10f else 0f) + rnd.nextFloat() * 0.5f)
+      (i, v)
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cb = corpus.orderBy("vec_id").limit(8).collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    Similarity.ivfIndexCreate(spark, table, corpus,
+      col("vec_id"), col("embedding"), cb)
+
+    val queries = corpus.filter(col("vec_id") % 10 === 1)
+    def searched(version: Int = 0): Set[(Long, Long, Int)] =
+      Similarity.ivfIndexSearch(spark, table, queries, col("vec_id"),
+        col("embedding"), k = 5, nprobe = 2, centroids = cb, version = version)
+        .select("id", "neighbor_id", "rank").as[(Long, Long, Int)]
+        .collect().toSet
+    def reference(c: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      Similarity.ivfSearch(queries, c, col("vec_id"), col("embedding"),
+        k = 5, nprobe = 2, centroidsIn = Some(cb))
+        .select("id", "neighbor_id", "rank").as[(Long, Long, Int)]
+        .collect().toSet
+    assert(searched() == reference(corpus), "index serve must equal in-memory ivfSearch")
+
+    // probes are a manifest-pruned read: the query batch probes a
+    // strict subset of cells, so a strict subset of files is opened
+    val m1 = Snapshot.readManifest(table, 1)
+    val probedCells = m1.partitions.keySet.toSeq.sorted
+    val (keptAll, total) = Snapshot.pruneIn(table, "cell", probedCells)
+    assert(keptAll.size == total) // sanity: all cells = all files
+    val (kept2, _) = Snapshot.pruneIn(table, "cell", probedCells.take(2))
+    assert(kept2.nonEmpty && kept2.size < total,
+      s"2-cell probe kept ${kept2.size} of $total files")
+
+    // v2 refresh: re-embed ids 1..30 into a DIFFERENT direction
+    // (cell move) and retire ids 100..120
+    val refreshed = rows.filter(_._1 <= 30)
+      .map { case (i, v) => (i, v.reverse) }.toDF("vec_id", "embedding")
+    Similarity.ivfIndexMerge(spark, table, refreshed,
+      col("vec_id"), col("embedding"), cb,
+      corpus.filter(col("vec_id") > 100).select("vec_id"))
+    val after = rows.filter(_._1 <= 100)
+      .map { case (i, v) => (i, if (i <= 30) v.reverse else v) }
+      .toDF("vec_id", "embedding")
+    assert(searched() == reference(after), "refreshed index must serve the new corpus")
+    assert(searched(version = 1) == reference(corpus),
+      "version-pinned serve must reproduce the pre-refresh index")
+  }
 }
