@@ -62,13 +62,27 @@ object Snapshot {
   final case class ColStats(kind: String, min: Option[String],
                             max: Option[String], nulls: Long)
 
+  /** A DELETION VECTOR reference: `path` is a parquet directory
+    * (relative to the table root) of `(file: string, pos: long)` rows
+    * naming deleted row positions; `rows` is how many of them belong
+    * to the referencing file. Written by [[deleteWhereMor]]
+    * (merge-on-read DML: mark rows deleted WITHOUT rewriting data
+    * files); applied by every read; materialized away by [[compact]].
+    * Positions only ever accumulate for a given data file (un-delete
+    * is a rollback to an earlier version), so a union of referenced
+    * vector dirs is always safe to apply. */
+  final case class DvRef(path: String, rows: Long)
+
   /** One immutable data file of a version: path relative to the table
-    * root, its row count, per-column stats, and (when the table
+    * root, its PHYSICAL row count, per-column stats, (when the table
     * declares `bloomCols`) a serialized [[graft.functions.BloomExprs]]
-    * filter per bloom column — the point-lookup existence index. */
+    * filter per bloom column — the point-lookup existence index — and
+    * the optional deletion vector masking rows a merge-on-read DELETE
+    * removed (logical rows = `rows - dv.rows`). */
   final case class FileEntry(path: String, rows: Long,
                              stats: Map[String, ColStats],
-                             blooms: Map[String, Array[Byte]] = Map.empty)
+                             blooms: Map[String, Array[Byte]] = Map.empty,
+                             dv: Option[DvRef] = None)
 
   /** How commit data is arranged into files. `fileRanges = 0` writes
     * with no extra shuffle; > 0 range-partitions into that many file
@@ -96,6 +110,9 @@ object Snapshot {
                             bloomBits: Int = 0, bloomK: Int = 6) {
     def files: Seq[FileEntry] = partitions.values.flatten.toSeq
     def rows: Long = files.map(_.rows).sum
+    /** Visible rows: physical minus deletion-vector masked. */
+    def logicalRows: Long =
+      files.map(f => f.rows - f.dv.map(_.rows).getOrElse(0L)).sum
   }
 
   final case class CommitStats(version: Int, rewrittenPartitions: Seq[String],
@@ -181,6 +198,10 @@ object Snapshot {
           f.blooms.toSeq.sortBy(_._1).foreach { case (c, bytes) =>
             bl.put(c, b64.encodeToString(bytes)) }
         }
+        f.dv.foreach { d =>
+          val dn = fn.putObject("dv")
+          dn.put("path", d.path); dn.put("rows", d.rows)
+        }
       }
     }
     Files.createDirectories(logDir(table))
@@ -215,7 +236,9 @@ object Snapshot {
           colStats(fn.get("stats")),
           Option(fn.get("blooms")).map(_.properties().asScala.map(b =>
             b.getKey -> b64.decode(b.getValue.asText())).toMap)
-            .getOrElse(Map.empty))
+            .getOrElse(Map.empty),
+          Option(fn.get("dv")).map(d =>
+            DvRef(d.get("path").asText(), d.get("rows").asLong())))
       }.toSeq
     }.toMap
     val layout = Option(root.get("layout")).map(l =>
@@ -499,12 +522,14 @@ object Snapshot {
       else {
         // survivors of affected partitions + upserts → this commit's
         // files; under evolution the survivors gain the new columns
-        // as nulls (unionByName allowMissingColumns)
-        val affectedFiles = m.partitions.filter(e => affected.contains(e._1))
-          .values.flatten.map(f => s"$table/${f.path}").toSeq
+        // as nulls (manifest-schema read); deletion vectors of the
+        // affected files apply, so a rewrite never resurrects
+        // MoR-deleted rows
+        val affectedEntries = m.partitions.filter(e => affected.contains(e._1))
+          .values.flatten.toSeq
         val newCols = target.columns ++ added.map(_.name)
-        Some((if (affectedFiles.isEmpty) ups.select(newCols.map(col): _*).limit(0)
-              else spark.read.parquet(affectedFiles: _*)
+        Some((if (affectedEntries.isEmpty) ups.select(newCols.map(col): _*).limit(0)
+              else readManifestFiles(spark, table, m, affectedEntries)
                 .join(allKeys, Seq(key), "left_anti"))
           .unionByName(ups.select(newCols.map(col): _*),
             allowMissingColumns = true))
@@ -627,8 +652,14 @@ object Snapshot {
         val mB = readManifest(table, staged.readVersion)
         if (mC.schemaDdl != mB.schemaDdl)
           conflict("concurrent schema evolution")
+        // compare by (path, dv) identity, not FileEntry equality:
+        // bloom byte arrays compare by reference (two manifest reads
+        // never "equal"), and a dv change IS a real change — an
+        // intervening merge-on-read DELETE invalidates the stage's
+        // survivors exactly like a rewrite would
         val changed = (mB.partitions.keySet ++ mC.partitions.keySet)
-          .filter(p => mB.partitions.get(p) != mC.partitions.get(p))
+          .filter(p => mB.partitions.get(p).map(_.map(entryIdent)) !=
+            mC.partitions.get(p).map(_.map(entryIdent)))
         val overlap = changed intersect staged.affected.toSet
         if (overlap.nonEmpty)
           conflict(s"partition(s) ${overlap.toSeq.sorted.mkString(",")} " +
@@ -720,19 +751,22 @@ object Snapshot {
       val cur = currentVersion(table)
       require(cur > 0, s"snapshot $table does not exist")
       val m = readManifest(table, cur)
-      val frag = m.partitions.filter(_._2.size > maxFilesPerPartition)
+      // rewrite fragmented partitions AND partitions carrying deletion
+      // vectors — compact is where merge-on-read deletes MATERIALIZE
+      // (rows physically dropped, vectors cleared), resetting the
+      // read-side anti-join mass to zero
+      val frag = m.partitions.filter { case (_, fs) =>
+        fs.size > maxFilesPerPartition || fs.exists(_.dv.isDefined) }
       val v = cur + 1
       if (frag.isEmpty) {
         writeManifest(table, m.copy(version = v, parent = cur, op = "compact"))
         CommitStats(v, Nil, Nil, 0)
       } else {
-        val paths = frag.values.flatten.map(f => s"$table/${f.path}").toSeq
         // one task per partition value → one output file per partition
         // (manifest schema: post-evolution commits hold mixed-schema
-        // files; the compacted file carries the full current schema)
-        (if (m.schemaDdl.nonEmpty)
-           spark.read.schema(StructType.fromDDL(m.schemaDdl))
-         else spark.read).parquet(paths: _*)
+        // files; the compacted file carries the full current schema);
+        // the dv-applied read drops masked rows from the new files
+        readManifestFiles(spark, table, m, frag.values.flatten.toSeq)
           .withColumn("__part", col(m.partitionCol).cast("string"))
           .repartition(col("__part"))
           .write.mode("error").partitionBy("__part").parquet(commitDir(table, v))
@@ -770,9 +804,14 @@ object Snapshot {
       val cur = currentVersion(table)
       require(cur > 0, s"snapshot $table does not exist")
       val cutoff = math.max(1, cur - math.max(1, retainLast) + 1)
-      val referenced = (cutoff to cur)
+      val retainedMs = (cutoff to cur)
         .filter(v => Files.exists(manifestPath(table, v)))
-        .flatMap(v => readManifest(table, v).files.map(_.path)).toSet
+        .map(v => readManifest(table, v))
+      val referenced = retainedMs.flatMap(_.files.map(_.path)).toSet
+      // deletion-vector DIRECTORIES referenced by retained versions:
+      // every file under one is live (the manifest references the dir,
+      // not the part files inside it)
+      val dvDirs = retainedMs.flatMap(_.files.flatMap(_.dv).map(_.path + "/")).toSet
       val filesRoot = Paths.get(table, "files")
       val tableRoot = Paths.get(table)
       var deleted = 0; var freed = 0L
@@ -795,10 +834,13 @@ object Snapshot {
         val walk = Files.walk(filesRoot)
         val all = try walk.iterator().asScala.filter(Files.isRegularFile(_)).toList
                   finally walk.close()
-        // pass 1: unreferenced data files
-        all.filter(f => !isSidecar(f) && !underStaging(f) &&
-            !referenced.contains(tableRoot.relativize(f).toString))
-          .foreach { f => freed += Files.size(f); Files.delete(f); deleted += 1 }
+        // pass 1: unreferenced data files (a file under a retained
+        // version's deletion-vector dir is referenced via the dir)
+        all.filter { f =>
+          val rel = tableRoot.relativize(f).toString
+          !isSidecar(f) && !underStaging(f) && !referenced.contains(rel) &&
+            !dvDirs.exists(rel.startsWith)
+        }.foreach { f => freed += Files.size(f); Files.delete(f); deleted += 1 }
         // pass 2, bottom-up: directories left holding only sidecars are
         // fully vacuumed — drop the sidecars, then the empty dirs
         val dirsWalk = Files.walk(filesRoot)
@@ -841,8 +883,25 @@ object Snapshot {
 
   // ---------------------------------------------------------------- reads
 
+  /** A file entry's CHANGE identity: same data file + same deletion
+    * vector = same visible rows. Used wherever two manifests are
+    * diffed (conflict detection, change feeds) — FileEntry equality
+    * itself is unusable there (bloom `Array[Byte]` compares by
+    * reference) and path equality alone would miss merge-on-read
+    * deletes, which change visible rows without changing paths. */
+  private def entryIdent(f: FileEntry): (String, Option[DvRef]) = (f.path, f.dv)
+
+  /** A scanned row's manifest-relative file path: the tail of
+    * `_metadata.file_path` from its LAST `files/cNNNNNNNN/` segment —
+    * the same relativization [[entriesOf]] does driver-side, expressed
+    * as a Column so deletion vectors can be matched in the plan. */
+  private def relFileCol: Column =
+    regexp_extract(col("_metadata.file_path"),
+      "^.*/(files/c[0-9]{8}/.*)$", 1)
+
   private def readManifestFiles(spark: SparkSession, table: String,
-                                m: Manifest, only: Seq[FileEntry] = null): DataFrame = {
+                                m: Manifest, only: Seq[FileEntry] = null,
+                                applyDv: Boolean = true): DataFrame = {
     val entries = if (only == null) m.files else only
     if (entries.isEmpty)
       throw new IllegalStateException(s"snapshot $table v${m.version}: empty file set")
@@ -853,7 +912,25 @@ object Snapshot {
     val reader =
       if (m.schemaDdl.nonEmpty) spark.read.schema(StructType.fromDDL(m.schemaDdl))
       else spark.read
-    reader.parquet(entries.map(f => s"$table/${f.path}"): _*)
+    val base = reader.parquet(entries.map(f => s"$table/${f.path}"): _*)
+    val dvDirs = entries.flatMap(_.dv).map(_.path).distinct
+    if (!applyDv || dvDirs.isEmpty) base
+    else {
+      // mask deleted positions: anti-join on (file, row position).
+      // The vector frame is bounded by rows DELETED since the last
+      // materializing compact — parquet size stats let AQE broadcast
+      // it while it stays small; compact() resets it to zero. A dir
+      // union may carry rows for files whose entry points at a newer
+      // vector (a superset — positions only accumulate), so applying
+      // the union is equivalent to applying each entry's own vector.
+      val dv = spark.read.parquet(dvDirs.map(d => s"$table/$d"): _*)
+      val cols = base.columns
+      base.withColumn("__dv_file", relFileCol)
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(dv, col("__dv_file") === col("file") &&
+          col("__dv_pos") === col("pos"), "left_anti")
+        .select(cols.map(col): _*)
+    }
   }
 
   /** The table as of `version` (time travel). */
@@ -932,18 +1009,25 @@ object Snapshot {
     val issues = Seq.newBuilder[FsckIssue]
     val retained = (1 to cur).filter(v => Files.exists(manifestPath(table, v)))
     val referenced = scala.collection.mutable.Set[String]()
+    val dvReferenced = scala.collection.mutable.Set[String]()
     retained.foreach { v =>
       val m = readManifest(table, v)
       m.files.foreach { f =>
         referenced += f.path
         if (!Files.exists(Paths.get(table, f.path)))
           issues += FsckIssue(v, f.path, "missing on disk")
+        f.dv.foreach { d =>
+          dvReferenced += d.path + "/"
+          if (!Files.isDirectory(Paths.get(table, d.path)))
+            issues += FsckIssue(v, d.path, "deletion vector dir missing on disk")
+        }
       }
     }
-    // recount the CURRENT version (key column only — pruned scan)
+    // recount the CURRENT version — PHYSICAL rows (applyDv = false:
+    // manifest row counts are physical; the dv mask is audited below)
     val m = readManifest(table, cur)
     if (m.files.nonEmpty && m.files.forall(f => Files.exists(Paths.get(table, f.path)))) {
-      val counted = readManifestFiles(spark, table, m)
+      val counted = readManifestFiles(spark, table, m, applyDv = false)
         .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getAs[String]("f") -> r.getAs[Long]("n")).toMap
       m.files.foreach { f =>
@@ -952,6 +1036,38 @@ object Snapshot {
         if (n != f.rows)
           issues += FsckIssue(cur, f.path, s"row count $n != manifest ${f.rows}")
       }
+      // audit the dv mask PER VECTOR DIR (an older dir may hold a
+      // subset of a file's positions yet stay live via another file's
+      // reference — only a file's OWN dir is authoritative for it):
+      // position count must match the manifest, positions must be
+      // distinct and in range
+      m.files.filter(f => f.dv.isDefined &&
+          Files.isDirectory(Paths.get(table, f.dv.get.path)))
+        .groupBy(_.dv.get.path).foreach { case (dir, fs) =>
+          val audit = spark.read.parquet(s"$table/$dir")
+            .groupBy("file").agg(count(lit(1)).as("n"),
+              countDistinct(col("pos")).as("nd"),
+              min("pos").as("lo"), max("pos").as("hi"))
+            .collect().map(r => r.getAs[String]("file") ->
+              (r.getAs[Long]("n"), r.getAs[Long]("nd"),
+               r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toMap
+          fs.foreach { f =>
+            audit.get(f.path) match {
+              case Some((n, nd, lo, hi)) =>
+                if (nd != f.dv.get.rows)
+                  issues += FsckIssue(cur, f.path,
+                    s"dv position count $nd != manifest ${f.dv.get.rows}")
+                if (n != nd)
+                  issues += FsckIssue(cur, f.path, "dv holds duplicate positions")
+                if (lo < 0 || hi >= f.rows)
+                  issues += FsckIssue(cur, f.path,
+                    s"dv position out of range [$lo,$hi] for ${f.rows} rows")
+              case None =>
+                issues += FsckIssue(cur, f.path,
+                  s"dv references ${f.dv.get.rows} rows but vector holds none")
+            }
+          }
+        }
     }
     // orphans: data files no retained manifest references. Files under
     // a _staging- dir are an optimistic commit in flight (or a crashed
@@ -967,6 +1083,7 @@ object Snapshot {
         })
         .map(p => Paths.get(table).relativize(p).toString)
         .filterNot(referenced.contains)
+        .filterNot(p => dvReferenced.exists(p.startsWith))
         .filterNot(_.contains("/_staging-"))
         .foreach(p => issues += FsckIssue(0, p, "orphan (no retained version references it)"))
       finally walk.close()
@@ -1135,11 +1252,16 @@ object Snapshot {
       require(Files.exists(manifestPath(table, m.parent)),
         s"snapshot $table: parent v${m.parent} was vacuumed — change set " +
           "unrecoverable (raise vacuum retention above follower lag)")
+      // diff by (path, dv) identity: a merge-on-read DELETE changes no
+      // file paths but DOES change visible rows — its touched entries
+      // land on both sides (removed = parent-visible rows, added =
+      // now-visible rows; the surviving rows cancel algebraically,
+      // exactly like a copy-on-write rewrite's unchanged rows)
       val mP = readManifest(table, m.parent)
-      val pPaths = mP.files.map(_.path).toSet
-      val cPaths = m.files.map(_.path).toSet
-      val removed = mP.files.filterNot(f => cPaths.contains(f.path))
-      val added = m.files.filterNot(f => pPaths.contains(f.path))
+      val pIdent = mP.files.map(entryIdent).toSet
+      val cIdent = m.files.map(entryIdent).toSet
+      val removed = mP.files.filterNot(f => cIdent.contains(entryIdent(f)))
+      val added = m.files.filterNot(f => pIdent.contains(entryIdent(f)))
       (if (removed.isEmpty) readManifestFiles(spark, table, mP).limit(0)
        else readManifestFiles(spark, table, mP, removed),
        if (added.isEmpty) empty
@@ -1255,5 +1377,180 @@ object Snapshot {
         }
       }: _*)
     })
+  }
+
+  // ------------------------------------------- merge-on-read deletes
+
+  /**
+   * [[deleteWhere]] WITHOUT rewriting a single data file — the
+   * MERGE-ON-READ delete (Delta deletion vectors / Iceberg position
+   * deletes, rebuilt on the manifest): the commit writes only a
+   * DELETION VECTOR — a parquet of `(file, pos)` row positions
+   * matching the predicate in the candidate files — and re-points
+   * those files' manifest entries at it. Reads apply the vector as an
+   * anti-join on `(file, _metadata.row_index)`; [[compact]]
+   * materializes it away (rows physically dropped, vectors cleared).
+   *
+   * The copy-on-write / merge-on-read trade at 100 TB: [[deleteWhere]]
+   * rewrites every candidate file's full bytes (write cost ∝ candidate
+   * mass, zero read-side cost); this writes bytes ∝ DELETED ROW COUNT
+   * (8+8 bytes a row, not the row's payload) and charges reads a
+   * bounded anti-join until the next compact. A trickle of small
+   * deletes (GDPR erasure, retention nibbling at non-aligned
+   * predicates) is exactly where rewriting terabytes to drop kilobytes
+   * is wrong. Positions only accumulate: a later vector for a file is
+   * a superset of the earlier one, so vector unions are always safe.
+   *
+   * Same predicate contract as [[deleteWhere]] (conjunction of range
+   * predicates on partition/stats columns, NULL never matches);
+   * identical result, spec-asserted. Time travel / rollback / vacuum /
+   * the change feed all see MoR commits like any other (the feed emits
+   * the touched files' parent-visible vs now-visible rows; survivors
+   * cancel).
+   */
+  def deleteWhereMor(spark: SparkSession, table: String,
+                     preds: Seq[(String, Any, Any)]): CommitStats =
+    withCommitLock(table) {
+      val cur = currentVersion(table)
+      require(cur > 0, s"snapshot $table does not exist")
+      val m = readManifest(table, cur)
+      val (candidates, _) = pruneAll(table, preds, cur)
+      val v = cur + 1
+      if (candidates.isEmpty) { // proven no-match: audit-only commit
+        writeManifest(table, m.copy(version = v, parent = cur, op = "delete-mor"))
+        CommitStats(v, Nil, Nil, 0)
+      } else {
+        // raw read (applyDv = false): an already-masked row may match
+        // again; the union with the prior vectors dedups it
+        val raw = readManifestFiles(spark, table, m, candidates, applyDv = false)
+        val fresh = raw.filter(predCol(preds))
+          .select(relFileCol.as("file"), col("_metadata.row_index").as("pos"))
+        val candPaths = candidates.map(_.path)
+        val priorDirs = candidates.flatMap(_.dv).map(_.path).distinct
+        val prior =
+          if (priorDirs.isEmpty) fresh.limit(0)
+          else spark.read.parquet(priorDirs.map(d => s"$table/$d"): _*)
+            .filter(col("file").isin(candPaths: _*))
+            .select("file", "pos")
+        val dvDir = f"files/c$v%08d/_dv"
+        fresh.unionByName(prior).distinct()
+          .write.mode("error").parquet(s"$table/$dvDir")
+        // bounded collect: one row per candidate file
+        val counts = spark.read.parquet(s"$table/$dvDir")
+          .groupBy("file").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getAs[String]("file") -> r.getAs[Long]("n")).toMap
+        val candSet = candidates.map(_.path).toSet
+        require(counts.keySet.forall(candSet.contains),
+          s"snapshot $table: deletion vector names non-candidate file(s) " +
+            s"${counts.keySet.diff(candSet).take(3).mkString(",")} — " +
+            "path relativization failed")
+        val parts = m.partitions.map { case (p, fs) =>
+          p -> fs.map { f =>
+            counts.get(f.path) match {
+              case Some(n) => f.copy(dv = Some(DvRef(dvDir, n)))
+              case None => f // no matches and no prior vector: untouched
+            }
+          }
+        }
+        val touched = m.partitions.collect {
+          case (p, fs) if fs.exists(f => counts.contains(f.path)) => p }
+        writeManifest(table, m.copy(version = v, parent = cur,
+          op = "delete-mor", partitions = parts))
+        CommitStats(v, touched.toSeq.sorted, Nil, 0)
+      }
+    }
+
+  // --------------------------------------- manifest-only aggregates
+
+  /**
+   * `SELECT count(*), count(c), min(c), max(c) ...` answered from the
+   * MANIFEST: per-file row counts, null counts and min/max stats fold
+   * driver-side into the exact global aggregate — zero data files
+   * opened, however large the table. The 100 TB shape: the same
+   * question as a full scan + exchange, at O(manifest) cost (every
+   * table format's `count(*)` fast path, generalized to the tracked
+   * stats columns).
+   *
+   * Files masked by a deletion vector can't prove their stats (the
+   * min row may be deleted), so they — and only they — are scanned
+   * (dv-applied) and combined with the manifest partials of the clean
+   * files; [[compact]] returns the table to the pure-manifest path.
+   * Exact by round-trip: stats strings are Spark's own
+   * `cast(min(c) as string)` renderings, and casting a value's
+   * rendering back to its type is the identity for the tracked kinds
+   * (Spark renders floating point via shortest-round-trip
+   * `Double.toString`).
+   *
+   * Returns one row: `n_rows` plus, per requested column `c`,
+   * `n_<c>` (non-null count), `min_<c>`, `max_<c>` in the table's
+   * column type.
+   */
+  def aggStats(spark: SparkSession, table: String, cols: Seq[String],
+               version: Int = 0): DataFrame = {
+    val v = if (version > 0) version else currentVersion(table)
+    val m = readManifest(table, v)
+    require(m.schemaDdl.nonEmpty, s"snapshot $table: no schema recorded")
+    val schema = StructType.fromDDL(m.schemaDdl)
+    cols.foreach(c => require(m.statsCols.contains(c),
+      s"snapshot $table: no stats tracked for '$c' " +
+        s"(tracked: ${m.statsCols.mkString(",")})"))
+    val (dirty, clean) = m.files.partition(_.dv.isDefined)
+
+    def castStat(c: String, s: String): Column = lit(s).cast(schema(c).dataType)
+    // driver fold of the clean files' stats (no IO): num compares as
+    // BigDecimal, str lexicographically — the winning RENDERING is
+    // kept and cast once, so no value survives a double re-render
+    def foldMin(c: String): Option[String] = {
+      val xs = clean.flatMap(_.stats.get(c)).filter(_.min.isDefined)
+      if (xs.isEmpty) None
+      else if (xs.head.kind == "num")
+        Some(xs.map(cs => cs.min.get).minBy(BigDecimal(_)))
+      else Some(xs.map(_.min.get).min)
+    }
+    def foldMax(c: String): Option[String] = {
+      val xs = clean.flatMap(_.stats.get(c)).filter(_.max.isDefined)
+      if (xs.isEmpty) None
+      else if (xs.head.kind == "num")
+        Some(xs.map(cs => cs.max.get).maxBy(BigDecimal(_)))
+      else Some(xs.map(_.max.get).max)
+    }
+
+    val partialCols = Seq("n_rows") ++ cols.flatMap(c =>
+      Seq(s"n_$c", s"min_$c", s"max_$c"))
+    val manifestPartial: Option[DataFrame] =
+      if (clean.isEmpty) None
+      else {
+        val rows = clean.map(_.rows).sum
+        val lits = lit(rows).as("n_rows") +: cols.flatMap { c =>
+          val nulls = clean.map(_.stats.get(c).map(_.nulls).getOrElse(0L)).sum
+          Seq(lit(rows - nulls).as(s"n_$c"),
+            foldMin(c).map(castStat(c, _)).getOrElse(
+              lit(null).cast(schema(c).dataType)).as(s"min_$c"),
+            foldMax(c).map(castStat(c, _)).getOrElse(
+              lit(null).cast(schema(c).dataType)).as(s"max_$c"))
+        }
+        Some(spark.range(1).select(lits: _*))
+      }
+    val scanPartial: Option[DataFrame] =
+      if (dirty.isEmpty) None
+      else {
+        val df = readManifestFiles(spark, table, m, dirty)
+        val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+          count(col(c)).as(s"n_$c"), min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c")))
+        Some(df.agg(aggs.head, aggs.tail: _*)
+          .select(partialCols.map(col): _*))
+      }
+    val partials = (manifestPartial.toSeq ++ scanPartial.toSeq)
+      .reduceOption(_ unionByName _)
+      .getOrElse(spark.range(1).select(
+        (lit(0L).as("n_rows") +: cols.flatMap(c => Seq(
+          lit(0L).as(s"n_$c"),
+          lit(null).cast(schema(c).dataType).as(s"min_$c"),
+          lit(null).cast(schema(c).dataType).as(s"max_$c")))): _*))
+    val finals = sum(col("n_rows")).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(col(s"n_$c")).as(s"n_$c"), min(col(s"min_$c")).as(s"min_$c"),
+      max(col(s"max_$c")).as(s"max_$c")))
+    partials.agg(finals.head, finals.tail: _*)
   }
 }

@@ -1,0 +1,207 @@
+package graft
+
+import graft.operators.Snapshot
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import java.security.MessageDigest
+import scala.jdk.CollectionConverters._
+
+/** Merge-on-read deletion vectors ([[Snapshot.deleteWhereMor]]) and
+  * manifest-only aggregates ([[Snapshot.aggStats]]). */
+class SnapshotMorSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def fresh(tag: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_morspec_$tag"
+    val root = Paths.get(p)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
+    p
+  }
+
+  /** 40 rows, 4 partitions, stats on id + score. */
+  private def seedDf: DataFrame =
+    spark.range(1, 41).select(col("id"),
+      concat(lit("doc"), col("id")).as("payload"),
+      concat(lit("p"), (col("id") % 4).cast("string")).as("part"),
+      (col("id") * 10).as("score"))
+
+  private def build(tag: String): String = {
+    val t = fresh(tag)
+    Snapshot.create(spark, t, seedDf, "id", "part",
+      statsCols = Seq("score"), fileRanges = 4)
+    t
+  }
+
+  private def rowsOf(df: DataFrame): Set[(Long, String, String, Long)] =
+    df.select("id", "payload", "part", "score").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+
+  /** (relative path, md5) of every file under files/ EXCEPT _dv dirs
+    * and write-sidecars — the immutable data-file fingerprint. */
+  private def dataFileDigest(t: String): Map[String, String] = {
+    val root = Paths.get(t)
+    val walk = Files.walk(Paths.get(t, "files"))
+    try walk.iterator().asScala.filter(Files.isRegularFile(_))
+      .map(p => root.relativize(p).toString -> p)
+      .filterNot { case (rel, p) =>
+        rel.contains("/_dv/") || p.getFileName.toString.startsWith("_") ||
+          p.getFileName.toString.startsWith(".") }
+      .map { case (rel, p) =>
+        rel -> MessageDigest.getInstance("MD5").digest(Files.readAllBytes(p))
+          .map("%02x".format(_)).mkString }
+      .toMap
+    finally walk.close()
+  }
+
+  test("MoR delete ≡ CoW delete, with ZERO data files written and every data byte untouched") {
+    val cow = build("cow"); val mor = build("mor")
+    val preds = Seq(("id", 10, 24))
+    val before = dataFileDigest(mor)
+    Snapshot.deleteWhere(spark, cow, preds)
+    val st = Snapshot.deleteWhereMor(spark, mor, preds)
+    assert(st.version == 2 && st.filesWritten == 0)
+    assert(rowsOf(Snapshot.readLatest(spark, mor)) ==
+      rowsOf(Snapshot.readLatest(spark, cow)),
+      "merge-on-read must produce exactly copy-on-write's rows")
+    assert(rowsOf(Snapshot.readLatest(spark, mor)) ==
+      rowsOf(seedDf.filter(!(col("id").between(10, 24)))))
+    assert(dataFileDigest(mor) == before,
+      "a MoR delete may not touch a single data-file byte")
+    // the manifest re-points entries, it does not replace files
+    val m2 = Snapshot.readManifest(mor, 2)
+    val m1 = Snapshot.readManifest(mor, 1)
+    assert(m2.files.map(_.path).toSet == m1.files.map(_.path).toSet)
+    assert(m2.files.exists(_.dv.isDefined))
+    assert(m2.logicalRows == 40 - 15 && m2.rows == 40)
+  }
+
+  test("vectors accumulate across MoR deletes; time travel and rollback serve each state") {
+    val t = build("accum")
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 10, 19)))       // v2
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 15, 30)))       // v3 overlaps
+    assert(rowsOf(Snapshot.readLatest(spark, t)) ==
+      rowsOf(seedDf.filter(!(col("id").between(10, 30)))))
+    assert(rowsOf(Snapshot.readAt(spark, t, 2)) ==
+      rowsOf(seedDf.filter(!(col("id").between(10, 19)))),
+      "v2 must still serve only the first delete")
+    assert(rowsOf(Snapshot.readAt(spark, t, 1)) == rowsOf(seedDf))
+    Snapshot.rollback(spark, t, 2)                               // v4
+    assert(rowsOf(Snapshot.readLatest(spark, t)) ==
+      rowsOf(seedDf.filter(!(col("id").between(10, 19)))),
+      "rollback must un-delete v3's extra rows (vectors are per-version)")
+    assert(Snapshot.readManifest(t, 3).logicalRows == 40 - 21)
+  }
+
+  test("compact materializes the vectors: rows physically dropped, dv refs cleared, read unchanged") {
+    val t = build("compact")
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 10, 24)))
+    val visible = rowsOf(Snapshot.readLatest(spark, t))
+    val st = Snapshot.compact(spark, t, maxFilesPerPartition = 64)
+    assert(st.filesWritten > 0, "dv'd partitions must compact even when not fragmented")
+    val m = Snapshot.readManifest(t, st.version)
+    assert(m.files.forall(_.dv.isEmpty), "compaction must clear every vector")
+    assert(m.rows == m.logicalRows && m.rows == 25)
+    assert(rowsOf(Snapshot.readLatest(spark, t)) == visible)
+    assert(Snapshot.fsck(spark, t).isEmpty)
+  }
+
+  test("a merge after a MoR delete does not resurrect masked rows; CoW update applies the mask") {
+    val t = build("merge")
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 10, 24)))
+    // upsert id 30 (same partitions as masked rows live in) — the
+    // rewrite of affected partitions must keep ids 10-24 dead
+    Snapshot.merge(spark, t,
+      Seq((30L, "doc30x", "p2", 300L)).toDF("id", "payload", "part", "score"),
+      Seq.empty[Long].toDF("id"))
+    val got = rowsOf(Snapshot.readLatest(spark, t))
+    assert(!got.exists(r => r._1 >= 10 && r._1 <= 24))
+    assert(got.contains((30L, "doc30x", "p2", 300L)))
+    // CoW update over a range straddling masked rows: masked rows stay
+    // gone, surviving candidates update
+    Snapshot.updateWhere(spark, t, Seq(("id", 1, 40)),
+      Map("score" -> (col("score") + 1)))
+    val upd = rowsOf(Snapshot.readLatest(spark, t))
+    assert(!upd.exists(r => r._1 >= 10 && r._1 <= 24))
+    assert(upd.filter(_._1 == 1L).head._4 == 11L)
+  }
+
+  test("fsck audits the vectors; vacuum keeps live ones and reaps expired ones") {
+    val t = build("fsck")
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 10, 24)))
+    assert(Snapshot.fsck(spark, t).isEmpty, "dv'd table must fsck clean")
+    // tamper: claim one more deleted row than the vector holds
+    val m = Snapshot.readManifest(t, 2)
+    val bad = m.copy(version = 3, parent = 2, op = "tamper",
+      partitions = m.partitions.map { case (p, fs) => p -> fs.map(f =>
+        f.dv.fold(f)(d => f.copy(dv = Some(d.copy(rows = d.rows + 1))))) })
+    val wm = classOf[Snapshot.type].getDeclaredMethods
+      .find(_.getName == "writeManifest").get
+    wm.setAccessible(true)
+    wm.invoke(Snapshot, t, bad)
+    assert(Snapshot.fsck(spark, t).exists(_.problem.contains("dv position count")))
+    Snapshot.rollback(spark, t, 2) // v4: back to the honest manifest
+    // compact (v5) materializes; vacuum keeping the tip only must reap
+    // the now-unreferenced vector files
+    Snapshot.compact(spark, t, maxFilesPerPartition = 64)
+    Snapshot.vacuum(spark, t, retainLast = 1)
+    val dvLeft = {
+      val walk = Files.walk(Paths.get(t, "files"))
+      try walk.iterator().asScala.filter(Files.isRegularFile(_))
+        .count(_.toString.contains("/_dv/"))
+      finally walk.close()
+    }
+    assert(dvLeft == 0, "expired deletion vectors must be vacuumed")
+    assert(rowsOf(Snapshot.readLatest(spark, t)) ==
+      rowsOf(seedDf.filter(!(col("id").between(10, 24)))))
+  }
+
+  test("vacuum retains vectors still referenced by retained versions") {
+    val t = build("vacret")
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 10, 24)))  // v2
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 30, 33)))  // v3
+    Snapshot.vacuum(spark, t, retainLast = 2)               // keeps v2+v3
+    assert(Snapshot.fsck(spark, t).isEmpty)
+    assert(rowsOf(Snapshot.readAt(spark, t, 2)) ==
+      rowsOf(seedDf.filter(!(col("id").between(10, 24)))))
+  }
+
+  test("change feed algebra: a MoR commit's removed-minus-added IS the deleted rows") {
+    val t = build("feed")
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 10, 24)))
+    val (removed, added) = Snapshot.changeSet(spark, t, 2)
+    // removed = parent-visible rows of touched files; added = their
+    // now-visible rows; the difference is exactly the deleted mass
+    val net = rowsOf(removed) -- rowsOf(added)
+    assert(net == rowsOf(seedDf.filter(col("id").between(10, 24))))
+    assert((rowsOf(added) -- rowsOf(removed)).isEmpty,
+      "a delete adds nothing")
+  }
+
+  test("aggStats answers from the manifest alone and stays exact under vectors and compaction") {
+    val t = build("agg")
+    def expect(): Seq[Any] = {
+      val r = Snapshot.readLatest(spark, t)
+        .agg(count(lit(1)).as("n_rows"), count(col("score")).as("n_score"),
+          min("score").as("min_score"), max("score").as("max_score"))
+        .collect().head
+      r.toSeq
+    }
+    def got(): Seq[Any] =
+      Snapshot.aggStats(spark, t, Seq("score")).collect().head.toSeq
+    assert(got() == expect(), "pure-manifest aggregate must equal the scan")
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 1, 5)))
+    assert(got() == expect(), "hybrid (dv'd files scanned) must stay exact")
+    Snapshot.compact(spark, t, maxFilesPerPartition = 64)
+    assert(got() == expect(), "back to pure-manifest after compaction")
+    // key column stats serve too
+    val byKey = Snapshot.aggStats(spark, t, Seq("id")).collect().head
+    assert(byKey.getAs[Long]("n_rows") == 35 &&
+      byKey.getAs[Long]("min_id") == 6L && byKey.getAs[Long]("max_id") == 40L)
+  }
+}
