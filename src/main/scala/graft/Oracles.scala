@@ -2390,6 +2390,57 @@ object Oracles {
         |       ELSE n_chars END AS n_chars
         |FROM s3""".stripMargin,
 
+    // merge-on-read delete end state (v7): replay both merge change
+    // sets, the v4/v5 copy-on-write DML AND the v6/v7 deletion-vector
+    // deletes (doc_id 400-449 ∪ 430-480 = 400-480) relationally —
+    // hash equality proves the position-mask read path is exactly SQL
+    // DELETE, cumulative across overlapping vectors
+    "snapshot_mor" ->
+      """WITH s1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text,
+        |    lang,
+        |    CASE WHEN doc_id % 7 = 0 AND doc_id % 3 = 0 THEN 'src_new'
+        |         ELSE source END AS source,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |s2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 5 THEN text || ' [v3]' ELSE text END AS text,
+        |    lang, source,
+        |    CASE WHEN doc_id % 11 = 5 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |  FROM s1 WHERE doc_id % 23 <> 7),
+        |s3 AS (
+        |  SELECT * FROM s2 WHERE doc_id NOT BETWEEN 150 AND 199)
+        |SELECT doc_id, text,
+        |  CASE WHEN doc_id BETWEEN 300 AND 349 THEN 'xx' ELSE lang END AS lang,
+        |  source,
+        |  CASE WHEN doc_id BETWEEN 300 AND 349 THEN n_chars + 1000
+        |       ELSE n_chars END AS n_chars
+        |FROM s3
+        |WHERE doc_id NOT BETWEEN 400 AND 480""".stripMargin,
+
+    // manifest-only aggregate over the snapshot v3 state: replay both
+    // merge change sets and aggregate the rebuilt state one-shot —
+    // hash equality proves the driver-side fold of per-file
+    // rows/nulls/min/max stats is the exact global aggregate (graft
+    // opened ZERO data files to answer it)
+    "snapshot_agg" ->
+      """WITH s1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |s2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 5 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |  FROM s1 WHERE doc_id % 23 <> 7)
+        |SELECT count(*) AS n_rows,
+        |  count(doc_id) AS n_doc_id, min(doc_id) AS min_doc_id,
+        |  max(doc_id) AS max_doc_id,
+        |  count(n_chars) AS n_n_chars, min(n_chars) AS min_n_chars,
+        |  max(n_chars) AS max_n_chars
+        |FROM s2""".stripMargin,
+
     // change feed between snapshot versions v2 and v3: rebuild both
     // committed states relationally, then the same md5 full-outer
     // delta as corpus_delta — removed = the %23 deletions, updated =

@@ -1585,11 +1585,17 @@ object Queries {
         state1.filter(col("doc_id") % 23 === 7).select("doc_id"))
       // v4/v5 = predicate DML on top (file-granularity copy-on-write):
       // a range delete, then a range update referencing pre-update
-      // values — snapshot_dml reads the end state, every other
-      // snapshot entry pins its version explicitly
+      // values — snapshot_dml pins v5, every other snapshot entry pins
+      // its version explicitly
       Snapshot.deleteWhere(s, p, Seq(("doc_id", 150, 199)))
       Snapshot.updateWhere(s, p, Seq(("doc_id", 300, 349)),
         Map("n_chars" -> (col("n_chars") + 1000), "lang" -> lit("xx")))
+      // v6/v7 = MERGE-ON-READ deletes (deletion vectors, zero data
+      // files rewritten); the overlapping second range forces the
+      // cumulative-union path on the shared files — snapshot_mor
+      // reads the tip through the vectors
+      Snapshot.deleteWhereMor(s, p, Seq(("doc_id", 400, 449)))
+      Snapshot.deleteWhereMor(s, p, Seq(("doc_id", 430, 480)))
       p
     })
 
@@ -1636,8 +1642,31 @@ object Queries {
     * DELETE + UPDATE relationally, so hash equality proves the
     * pruned rewrite is exactly SQL DML. */
   def snapshotDml(s: SparkSession, dir: String): DataFrame =
+    Snapshot.readAt(s, snapshotTablePath(s, dir), 5)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+
+  /** MERGE-ON-READ DELETE end state: after the catalog build's v6/v7
+    * deletion-vector deletes (doc_id 400-449, then 430-480 — the
+    * overlap exercises the cumulative position union on shared
+    * files), read the table tip. NO data file was rewritten by either
+    * commit (SnapshotMorSpec asserts byte-identity); reads apply the
+    * vectors as a position anti-join. The oracle replays all DML
+    * relationally, so hash equality proves merge-on-read ≡
+    * copy-on-write ≡ SQL DELETE. */
+  def snapshotMor(s: SparkSession, dir: String): DataFrame =
     Snapshot.readLatest(s, snapshotTablePath(s, dir))
       .select("doc_id", "text", "lang", "source", "n_chars")
+
+  /** MANIFEST-ONLY AGGREGATE over the snapshot table's v3 state:
+    * count/count(c)/min/max answered from per-file stats folded
+    * driver-side — ZERO data files opened, however large the table
+    * (every table format's count(*) fast path, generalized to the
+    * tracked stats columns). The oracle replays both merge change
+    * sets and aggregates the rebuilt state, so hash equality proves
+    * the manifest math is the exact aggregate. */
+  def snapshotAgg(s: SparkSession, dir: String): DataFrame =
+    Snapshot.aggStats(s, snapshotTablePath(s, dir),
+      Seq("doc_id", "n_chars"), version = 3)
 
   /** CHANGE FEED between two snapshot versions: #105's corpus delta
     * composed with the table format — `delta(readAt(v2), readAt(v3))`
@@ -1901,6 +1930,8 @@ object Queries {
     "snapshot_delta" -> snapshotDelta _,
     "snapshot_point" -> snapshotPoint _,
     "snapshot_dml" -> snapshotDml _,
+    "snapshot_mor" -> snapshotMor _,
+    "snapshot_agg" -> snapshotAgg _,
     "sim_index_snapshot" -> simIndexSnapshot _,
     "emb_quantize" -> embQuantize _,
     "sim_pq" -> simPq _,
