@@ -17,7 +17,9 @@ import org.apache.spark.sql.SparkSession
  *   runMain graft.SnapshotTool vacuum   /data/corpus_v [retainLast=2]
  *   runMain graft.SnapshotTool rollback /data/corpus_v <version>
  *   runMain graft.SnapshotTool delete-where /data/corpus_v <col> <lo> <hi>
+ *   runMain graft.SnapshotTool delete-mor   /data/corpus_v <col> <lo> <hi>  # deletion vector, no rewrite
  *   runMain graft.SnapshotTool update-where /data/corpus_v <col> <lo> <hi> <set>=<sqlExpr> [...]
+ *   runMain graft.SnapshotTool agg      /data/corpus_v <col> [...]      # manifest-only count/min/max
  * }}}
  */
 object SnapshotTool {
@@ -59,6 +61,18 @@ object SnapshotTool {
         (Seq(s"deleted from $table where $c in [$lo,$hi] → v${st.version}: " +
           s"rewrote ${st.rewrittenPartitions.size} partition(s), " +
           s"${st.filesWritten} file(s)"), 0)
+      case Seq("delete-mor", table, c, lo, hi) =>
+        val st = Snapshot.deleteWhereMor(spark, table,
+          Seq((c, parseBound(lo), parseBound(hi))))
+        val m = Snapshot.readManifest(table, st.version)
+        (Seq(s"masked rows of $table where $c in [$lo,$hi] → v${st.version}: " +
+          s"deletion vector over ${st.rewrittenPartitions.size} partition(s), " +
+          s"0 data files rewritten; visible rows ${m.logicalRows}"), 0)
+      case Seq("agg", table, cols @ _*) if cols.nonEmpty =>
+        val row = Snapshot.aggStats(spark, table, cols).collect().head
+        val lines = row.schema.fields.map(f =>
+          s"${f.name} = ${Option(row.getAs[Any](f.name)).getOrElse("NULL")}")
+        (lines.toSeq, 0)
       case Seq("update-where", table, c, lo, hi, sets @ _*) if sets.nonEmpty =>
         val set = sets.map { s =>
           val at = s.indexOf('=')
@@ -73,7 +87,7 @@ object SnapshotTool {
       case other =>
         (Seq(s"unknown invocation: ${other.mkString(" ")}",
           "usage: SnapshotTool history|fsck|compact|vacuum|rollback|" +
-            "delete-where|update-where <table> [args]"), 2)
+            "delete-where|delete-mor|update-where|agg <table> [args]"), 2)
     }
 
   def main(args: Array[String]): Unit = {

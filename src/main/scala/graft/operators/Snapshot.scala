@@ -1415,50 +1415,98 @@ object Snapshot {
       require(cur > 0, s"snapshot $table does not exist")
       val m = readManifest(table, cur)
       val (candidates, _) = pruneAll(table, preds, cur)
-      val v = cur + 1
-      if (candidates.isEmpty) { // proven no-match: audit-only commit
-        writeManifest(table, m.copy(version = v, parent = cur, op = "delete-mor"))
-        CommitStats(v, Nil, Nil, 0)
-      } else {
-        // raw read (applyDv = false): an already-masked row may match
-        // again; the union with the prior vectors dedups it
-        val raw = readManifestFiles(spark, table, m, candidates, applyDv = false)
-        val fresh = raw.filter(predCol(preds))
-          .select(relFileCol.as("file"), col("_metadata.row_index").as("pos"))
-        val candPaths = candidates.map(_.path)
-        val priorDirs = candidates.flatMap(_.dv).map(_.path).distinct
-        val prior =
-          if (priorDirs.isEmpty) fresh.limit(0)
-          else spark.read.parquet(priorDirs.map(d => s"$table/$d"): _*)
-            .filter(col("file").isin(candPaths: _*))
-            .select("file", "pos")
-        val dvDir = f"files/c$v%08d/_dv"
-        fresh.unionByName(prior).distinct()
-          .write.mode("error").parquet(s"$table/$dvDir")
-        // bounded collect: one row per candidate file
-        val counts = spark.read.parquet(s"$table/$dvDir")
-          .groupBy("file").agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getAs[String]("file") -> r.getAs[Long]("n")).toMap
-        val candSet = candidates.map(_.path).toSet
-        require(counts.keySet.forall(candSet.contains),
-          s"snapshot $table: deletion vector names non-candidate file(s) " +
-            s"${counts.keySet.diff(candSet).take(3).mkString(",")} — " +
-            "path relativization failed")
-        val parts = m.partitions.map { case (p, fs) =>
-          p -> fs.map { f =>
-            counts.get(f.path) match {
-              case Some(n) => f.copy(dv = Some(DvRef(dvDir, n)))
-              case None => f // no matches and no prior vector: untouched
-            }
+      commitDv(spark, table, m, candidates,
+        raw => raw.filter(predCol(preds)))
+    }
+
+  /**
+   * The ERASURE-REQUEST delete: mask every row whose key is in `keys`
+   * (a frame carrying the table's key column), as one merge-on-read
+   * commit — zero data files rewritten, cost ∝ |keys| + one key-pruned
+   * scan of the files that MIGHT hold them. A bounded key list (the
+   * usual GDPR batch) collects driver-side and prunes through the
+   * manifest's per-file key stats AND blooms — an absent key costs no
+   * data-file IO at all; past `maxPrunableKeys` the scan falls back to
+   * every file (the semi-join is still one pass). The keyed companion
+   * of [[deleteWhereMor]], and the MoR alternative to [[merge]]'s
+   * copy-on-write deleteKeys.
+   */
+  def deleteMorKeys(spark: SparkSession, table: String, keys: DataFrame,
+                    maxPrunableKeys: Int = 10000): CommitStats =
+    withCommitLock(table) {
+      val cur = currentVersion(table)
+      require(cur > 0, s"snapshot $table does not exist")
+      val m = readManifest(table, cur)
+      require(keys.columns.contains(m.key),
+        s"snapshot $table: keys frame lacks key column '${m.key}'")
+      val k = OpCache.cache(keys.select(col(m.key)).distinct())
+      val sample = k.limit(maxPrunableKeys + 1).collect().map(_.get(0))
+      val candidates =
+        if (sample.isEmpty) Nil // no keys: audit-only commit
+        else if (sample.length <= maxPrunableKeys)
+          pruneIn(table, m.key, sample.toSeq, cur)._1
+        else m.files
+      val out = commitDv(spark, table, m, candidates,
+        raw => raw.join(k, Seq(m.key), "left_semi"))
+      OpCache.unpersistEager(k)
+      out
+    }
+
+  /** Shared tail of the merge-on-read deletes: write the deletion
+    * vector for `matching(candidates)` ∪ the candidates' prior
+    * vectors, re-point the touched entries, publish the commit. */
+  private def commitDv(spark: SparkSession, table: String, m: Manifest,
+                       candidates: Seq[FileEntry],
+                       matching: DataFrame => DataFrame): CommitStats = {
+    val cur = m.version
+    val v = cur + 1
+    if (candidates.isEmpty) { // proven no-match: audit-only commit
+      writeManifest(table, m.copy(version = v, parent = cur, op = "delete-mor"))
+      CommitStats(v, Nil, Nil, 0)
+    } else {
+      // raw read (applyDv = false): an already-masked row may match
+      // again; the union with the prior vectors dedups it. Project the
+      // metadata columns BEFORE `matching` runs — `_metadata` resolves
+      // only against the file-source relation (a join output loses it)
+      val raw = readManifestFiles(spark, table, m, candidates, applyDv = false)
+        .withColumn("__dv_f", relFileCol)
+        .withColumn("__dv_p", col("_metadata.row_index"))
+      val fresh = matching(raw)
+        .select(col("__dv_f").as("file"), col("__dv_p").as("pos"))
+      val candPaths = candidates.map(_.path)
+      val priorDirs = candidates.flatMap(_.dv).map(_.path).distinct
+      val prior =
+        if (priorDirs.isEmpty) fresh.limit(0)
+        else spark.read.parquet(priorDirs.map(d => s"$table/$d"): _*)
+          .filter(col("file").isin(candPaths: _*))
+          .select("file", "pos")
+      val dvDir = f"files/c$v%08d/_dv"
+      fresh.unionByName(prior).distinct()
+        .write.mode("error").parquet(s"$table/$dvDir")
+      // bounded collect: one row per candidate file
+      val counts = spark.read.parquet(s"$table/$dvDir")
+        .groupBy("file").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getAs[String]("file") -> r.getAs[Long]("n")).toMap
+      val candSet = candidates.map(_.path).toSet
+      require(counts.keySet.forall(candSet.contains),
+        s"snapshot $table: deletion vector names non-candidate file(s) " +
+          s"${counts.keySet.diff(candSet).take(3).mkString(",")} — " +
+          "path relativization failed")
+      val parts = m.partitions.map { case (p, fs) =>
+        p -> fs.map { f =>
+          counts.get(f.path) match {
+            case Some(n) => f.copy(dv = Some(DvRef(dvDir, n)))
+            case None => f // no matches and no prior vector: untouched
           }
         }
-        val touched = m.partitions.collect {
-          case (p, fs) if fs.exists(f => counts.contains(f.path)) => p }
-        writeManifest(table, m.copy(version = v, parent = cur,
-          op = "delete-mor", partitions = parts))
-        CommitStats(v, touched.toSeq.sorted, Nil, 0)
       }
+      val touched = m.partitions.collect {
+        case (p, fs) if fs.exists(f => counts.contains(f.path)) => p }
+      writeManifest(table, m.copy(version = v, parent = cur,
+        op = "delete-mor", partitions = parts))
+      CommitStats(v, touched.toSeq.sorted, Nil, 0)
     }
+  }
 
   // --------------------------------------- manifest-only aggregates
 

@@ -183,6 +183,41 @@ class SnapshotMorSpec extends SparkSpecBase {
       "a delete adds nothing")
   }
 
+  test("deleteMorKeys: erasure by key list — bloom/stats-pruned scan, zero rewrites, absent keys free") {
+    val t = fresh("keys")
+    Snapshot.create(spark, t, seedDf, "id", "part",
+      statsCols = Seq("score"), fileRanges = 4,
+      bloomCols = Seq("id"), bloomBits = 1 << 12)
+    val before = dataFileDigest(t)
+    val st = Snapshot.deleteMorKeys(spark, t,
+      Seq(3L, 17L, 24L, 999L).toDF("id")) // 999 absent
+    assert(st.version == 2 && st.filesWritten == 0)
+    assert(dataFileDigest(t) == before)
+    assert(rowsOf(Snapshot.readLatest(spark, t)) ==
+      rowsOf(seedDf.filter(!col("id").isin(3L, 17L, 24L))))
+    assert(Snapshot.readManifest(t, 2).logicalRows == 37)
+    // second erasure on a key sharing a file with a masked one: unions
+    Snapshot.deleteMorKeys(spark, t, Seq(7L).toDF("id"))
+    assert(rowsOf(Snapshot.readLatest(spark, t)) ==
+      rowsOf(seedDf.filter(!col("id").isin(3L, 7L, 17L, 24L))))
+    // empty key list: audit-only commit, no vector written
+    val st3 = Snapshot.deleteMorKeys(spark, t, Seq.empty[Long].toDF("id"))
+    assert(st3.rewrittenPartitions.isEmpty)
+    assert(Snapshot.fsck(spark, t).isEmpty)
+  }
+
+  test("SnapshotTool verbs: delete-mor masks without rewrite; agg prints manifest aggregates") {
+    val t = build("cli")
+    val (out1, c1) = SnapshotTool.run(spark, Seq("delete-mor", t, "id", "10", "24"))
+    assert(c1 == 0 && out1.head.contains("0 data files rewritten") &&
+      out1.head.contains("visible rows 25"))
+    val (out2, c2) = SnapshotTool.run(spark, Seq("agg", t, "score"))
+    assert(c2 == 0)
+    val kv = out2.map { l => val Array(k, v) = l.split(" = "); k -> v }.toMap
+    assert(kv("n_rows") == "25" && kv("min_score") == "10" &&
+      kv("max_score") == "400" && kv("n_score") == "25")
+  }
+
   test("aggStats answers from the manifest alone and stays exact under vectors and compaction") {
     val t = build("agg")
     def expect(): Seq[Any] = {
