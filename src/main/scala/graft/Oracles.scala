@@ -2437,8 +2437,10 @@ object Oracles {
         |SELECT count(*) AS n_rows,
         |  count(doc_id) AS n_doc_id, min(doc_id) AS min_doc_id,
         |  max(doc_id) AS max_doc_id,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
         |  count(n_chars) AS n_n_chars, min(n_chars) AS min_n_chars,
-        |  max(n_chars) AS max_n_chars
+        |  max(n_chars) AS max_n_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
         |FROM s2""".stripMargin,
 
     // change feed between snapshot versions v2 and v3: rebuild both

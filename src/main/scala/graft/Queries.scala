@@ -1666,7 +1666,8 @@ object Queries {
     * the manifest math is the exact aggregate. */
   def snapshotAgg(s: SparkSession, dir: String): DataFrame =
     Snapshot.aggStats(s, snapshotTablePath(s, dir),
-      Seq("doc_id", "n_chars"), version = 3)
+      Seq("doc_id", "n_chars"), version = 3,
+      sums = Seq("doc_id", "n_chars"))
 
   /** CHANGE FEED between two snapshot versions: #105's corpus delta
     * composed with the table format — `delta(readAt(v2), readAt(v3))`

@@ -20,6 +20,9 @@ import org.apache.spark.sql.SparkSession
  *   runMain graft.SnapshotTool delete-mor   /data/corpus_v <col> <lo> <hi>  # deletion vector, no rewrite
  *   runMain graft.SnapshotTool update-where /data/corpus_v <col> <lo> <hi> <set>=<sqlExpr> [...]
  *   runMain graft.SnapshotTool agg      /data/corpus_v <col> [...]      # manifest-only count/min/max
+ *   runMain graft.SnapshotTool tag      /data/corpus_v <name> [version] # pin a version (vacuum-proof)
+ *   runMain graft.SnapshotTool untag    /data/corpus_v <name>
+ *   runMain graft.SnapshotTool tags     /data/corpus_v
  * }}}
  */
 object SnapshotTool {
@@ -61,6 +64,16 @@ object SnapshotTool {
         (Seq(s"deleted from $table where $c in [$lo,$hi] → v${st.version}: " +
           s"rewrote ${st.rewrittenPartitions.size} partition(s), " +
           s"${st.filesWritten} file(s)"), 0)
+      case Seq("tag", table, name, rest @ _*) =>
+        val v = rest.headOption.map(_.toInt).getOrElse(0)
+        Snapshot.tag(table, name, v)
+        (Seq(s"tagged $table ${Snapshot.tags(table)(name)} as '$name'"), 0)
+      case Seq("untag", table, name) =>
+        Snapshot.untag(table, name)
+        (Seq(s"untagged '$name' from $table"), 0)
+      case Seq("tags", table) =>
+        (Snapshot.tags(table).toSeq.sortBy(_._1)
+          .map { case (n, v) => s"$n -> v$v" }, 0)
       case Seq("delete-mor", table, c, lo, hi) =>
         val st = Snapshot.deleteWhereMor(spark, table,
           Seq((c, parseBound(lo), parseBound(hi))))
@@ -87,7 +100,8 @@ object SnapshotTool {
       case other =>
         (Seq(s"unknown invocation: ${other.mkString(" ")}",
           "usage: SnapshotTool history|fsck|compact|vacuum|rollback|" +
-            "delete-where|delete-mor|update-where|agg <table> [args]"), 2)
+            "delete-where|delete-mor|update-where|agg|tag|untag|tags " +
+            "<table> [args]"), 2)
     }
 
   def main(args: Array[String]): Unit = {

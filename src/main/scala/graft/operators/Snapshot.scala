@@ -58,9 +58,14 @@ object Snapshot {
 
   /** Per-file statistics for one tracked column. `kind` is "num"
     * (compared as BigDecimal) or "str" (compared lexicographically);
-    * min/max are null-safe renderings (null = all-null file). */
+    * min/max are null-safe renderings (null = all-null file). `sum`
+    * is tracked for INTEGRAL columns only (byte/short/int/long —
+    * where per-file sums fold associatively and exactly; float/double
+    * addition is order-dependent, so a folded sum could not promise
+    * scan equality) and feeds [[aggStats]]'s manifest-only SUM. */
   final case class ColStats(kind: String, min: Option[String],
-                            max: Option[String], nulls: Long)
+                            max: Option[String], nulls: Long,
+                            sum: Option[String] = None)
 
   /** A DELETION VECTOR reference: `path` is a parquet directory
     * (relative to the table root) of `(file: string, pos: long)` rows
@@ -192,6 +197,7 @@ object Snapshot {
           cn.put("kind", cs.kind); cn.put("nulls", cs.nulls)
           cs.min.foreach(v => cn.put("min", v))
           cs.max.foreach(v => cn.put("max", v))
+          cs.sum.foreach(v => cn.put("sum", v))
         }
         if (f.blooms.nonEmpty) {
           val bl = fn.putObject("blooms")
@@ -227,7 +233,8 @@ object Snapshot {
         e.getKey -> ColStats(v.get("kind").asText(),
           Option(v.get("min")).map(_.asText()),
           Option(v.get("max")).map(_.asText()),
-          v.get("nulls").asLong())
+          v.get("nulls").asLong(),
+          Option(v.get("sum")).map(_.asText()))
       }.toMap
     val b64 = java.util.Base64.getDecoder
     val parts = root.get("partitions").properties().asScala.map { e =>
@@ -306,6 +313,13 @@ object Snapshot {
     case _ => None // stats unsupported (binary/array/...): column skipped
   }
 
+  /** Integral columns additionally track a per-file SUM (exact,
+    * order-free fold — see [[ColStats.sum]]). */
+  private def sumTracked(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+    case _ => false
+  }
+
   /** Read back a just-written data dir (a commit dir or an optimistic
     * staging dir) and compute manifest entries: per file (one
     * column-pruned scan of the NEW files only) the row count and
@@ -328,12 +342,16 @@ object Snapshot {
     val df = spark.read.parquet(dir) // partition discovery restores __part
     val tracked = statsCols.flatMap(c =>
       statKind(df.schema(c).dataType).map(c -> _))
+    val summed = tracked.collect {
+      case (c, _) if sumTracked(df.schema(c).dataType) => c }.toSet
     val bloomed = if (bloomBits <= 0) Nil
       else bloomCols.filter(df.columns.contains)
     val aggs = (count(lit(1)).as("__rows") +: tracked.flatMap { case (c, _) => Seq(
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) }) ++
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
+      (if (summed(c)) Seq(sum(col(c)).cast("string").as(s"__sum_$c")) else Nil)
+    }) ++
       bloomed.map(c => graft.functions.BloomExprs
         .bloomBuild(col(c).cast("string"), bloomBits, bloomK).as(s"__bloom_$c"))
     val rows = df.groupBy(input_file_name().as("__file"),
@@ -353,7 +371,8 @@ object Snapshot {
             c -> ColStats(kind,
               Option(r.getAs[String](s"__min_$c")),
               Option(r.getAs[String](s"__max_$c")),
-              r.getAs[Long](s"__nulls_$c"))
+              r.getAs[Long](s"__nulls_$c"),
+              if (summed(c)) Option(r.getAs[String](s"__sum_$c")) else None)
           }.toMap,
           bloomed.map(c => c -> r.getAs[Array[Byte]](s"__bloom_$c")).toMap)
       }.toSeq.sortBy(_.path)
@@ -804,7 +823,11 @@ object Snapshot {
       val cur = currentVersion(table)
       require(cur > 0, s"snapshot $table does not exist")
       val cutoff = math.max(1, cur - math.max(1, retainLast) + 1)
-      val retainedMs = (cutoff to cur)
+      // tagged versions are PINNED: their manifests and files survive
+      // any retention window (see [[tag]])
+      val pinned = tags(table).values.toSet
+      val retainedVs = ((cutoff to cur) ++ pinned).distinct.sorted
+      val retainedMs = retainedVs
         .filter(v => Files.exists(manifestPath(table, v)))
         .map(v => readManifest(table, v))
       val referenced = retainedMs.flatMap(_.files.map(_.path)).toSet
@@ -874,7 +897,7 @@ object Snapshot {
         }
       }
       var mDeleted = 0
-      (1 until cutoff).foreach { v =>
+      (1 until cutoff).filterNot(pinned.contains).foreach { v =>
         val p = manifestPath(table, v)
         if (Files.exists(p)) { Files.delete(p); mDeleted += 1 }
       }
@@ -1508,6 +1531,64 @@ object Snapshot {
     }
   }
 
+  // ------------------------------------------------------------- tags
+
+  private def refsPath(table: String): Path = logDir(table).resolve("refs.json")
+
+  /** Named version refs: `{tag -> version}` from `_log/refs.json`. */
+  def tags(table: String): Map[String, Int] = {
+    val p = refsPath(table)
+    if (!Files.exists(p)) Map.empty
+    else mapper.readTree(Files.readAllBytes(p)).properties().asScala
+      .map(e => e.getKey -> e.getValue.asInt()).toMap
+  }
+
+  private def writeTags(table: String, t: Map[String, Int]): Unit = {
+    val root = mapper.createObjectNode()
+    t.toSeq.sortBy(_._1).foreach { case (n, v) => root.put(n, v) }
+    val tmp = logDir(table).resolve("_tmp_refs.json")
+    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    Files.move(tmp, refsPath(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /**
+   * TAG a version (default: the current one) with a name — "pin the
+   * corpus this training run read". A tagged version is PROTECTED:
+   * [[vacuum]] retains its manifest and files however far the
+   * retention window moves past it, so `readTag` reproduces the run's
+   * exact input years later at zero storage cost beyond the delta the
+   * tag pins (the manifest answer to "copy the table for
+   * reproducibility"). Tags are O(1) metadata — create, move and
+   * drop never touch data files. Re-tagging an existing name moves it
+   * (the git-tag -f shape); [[untag]] releases the pin, after which
+   * the next vacuum may reclaim the version.
+   */
+  def tag(table: String, name: String, version: Int = 0): Unit =
+    withCommitLock(table) {
+      require(name.matches("[A-Za-z0-9._-]+"),
+        s"snapshot tag: bad name '$name' (want [A-Za-z0-9._-]+)")
+      val v = if (version > 0) version else currentVersion(table)
+      require(Files.exists(manifestPath(table, v)),
+        s"snapshot $table: cannot tag v$v — no such retained version")
+      writeTags(table, tags(table) + (name -> v))
+    }
+
+  def untag(table: String, name: String): Unit =
+    withCommitLock(table) {
+      val t = tags(table)
+      require(t.contains(name), s"snapshot $table: no tag '$name'")
+      writeTags(table, t - name)
+    }
+
+  /** The table as of the tagged version. */
+  def readTag(spark: SparkSession, table: String, name: String): DataFrame = {
+    val t = tags(table)
+    require(t.contains(name),
+      s"snapshot $table: no tag '$name' (tags: ${t.keys.toSeq.sorted.mkString(",")})")
+    readAt(spark, table, t(name))
+  }
+
   // --------------------------------------- manifest-only aggregates
 
   /**
@@ -1531,10 +1612,12 @@ object Snapshot {
    *
    * Returns one row: `n_rows` plus, per requested column `c`,
    * `n_<c>` (non-null count), `min_<c>`, `max_<c>` in the table's
-   * column type.
+   * column type — and `sum_<c>` (long) for each column in `sums`
+   * (integral columns only: per-file sums fold associatively and
+   * exactly, which float/double addition cannot promise).
    */
   def aggStats(spark: SparkSession, table: String, cols: Seq[String],
-               version: Int = 0): DataFrame = {
+               version: Int = 0, sums: Seq[String] = Nil): DataFrame = {
     val v = if (version > 0) version else currentVersion(table)
     val m = readManifest(table, v)
     require(m.schemaDdl.nonEmpty, s"snapshot $table: no schema recorded")
@@ -1543,6 +1626,20 @@ object Snapshot {
       s"snapshot $table: no stats tracked for '$c' " +
         s"(tracked: ${m.statsCols.mkString(",")})"))
     val (dirty, clean) = m.files.partition(_.dv.isDefined)
+    // SUM columns: integral only, and every clean file must carry the
+    // sum stat (an all-null file contributes 0) — a legacy manifest
+    // predating sum tracking must recommit/compact first
+    sums.foreach { c =>
+      require(cols.contains(c), s"aggStats: sum column '$c' must also be in cols")
+      require(sumTracked(schema(c).dataType),
+        s"snapshot $table: SUM is tracked for integral columns only " +
+          s"('$c' is ${schema(c).dataType.simpleString}; float/double sums " +
+          "are order-dependent and cannot promise scan equality)")
+      clean.foreach(f => require(
+        f.stats.get(c).exists(cs => cs.sum.isDefined || cs.nulls == f.rows),
+        s"snapshot $table: file ${f.path} predates sum tracking for '$c' — " +
+          "compact() once to record it"))
+    }
 
     def castStat(c: String, s: String): Column = lit(s).cast(schema(c).dataType)
     // driver fold of the clean files' stats (no IO): num compares as
@@ -1563,8 +1660,10 @@ object Snapshot {
       else Some(xs.map(_.max.get).max)
     }
 
+    val sumSet = sums.toSet
     val partialCols = Seq("n_rows") ++ cols.flatMap(c =>
-      Seq(s"n_$c", s"min_$c", s"max_$c"))
+      Seq(s"n_$c", s"min_$c", s"max_$c") ++
+        (if (sumSet(c)) Seq(s"sum_$c") else Nil))
     val manifestPartial: Option[DataFrame] =
       if (clean.isEmpty) None
       else {
@@ -1575,7 +1674,13 @@ object Snapshot {
             foldMin(c).map(castStat(c, _)).getOrElse(
               lit(null).cast(schema(c).dataType)).as(s"min_$c"),
             foldMax(c).map(castStat(c, _)).getOrElse(
-              lit(null).cast(schema(c).dataType)).as(s"max_$c"))
+              lit(null).cast(schema(c).dataType)).as(s"max_$c")) ++
+            (if (sumSet(c)) {
+              // exact driver fold: per-file sum strings add as BigDecimal
+              val total = clean.flatMap(_.stats.get(c).flatMap(_.sum))
+                .map(BigDecimal(_)).sum
+              Seq(lit(total.toString).cast("long").as(s"sum_$c"))
+            } else Nil)
         }
         Some(spark.range(1).select(lits: _*))
       }
@@ -1585,7 +1690,8 @@ object Snapshot {
         val df = readManifestFiles(spark, table, m, dirty)
         val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
           count(col(c)).as(s"n_$c"), min(col(c)).as(s"min_$c"),
-          max(col(c)).as(s"max_$c")))
+          max(col(c)).as(s"max_$c")) ++
+          (if (sumSet(c)) Seq(sum(col(c)).cast("long").as(s"sum_$c")) else Nil))
         Some(df.agg(aggs.head, aggs.tail: _*)
           .select(partialCols.map(col): _*))
       }
@@ -1595,10 +1701,12 @@ object Snapshot {
         (lit(0L).as("n_rows") +: cols.flatMap(c => Seq(
           lit(0L).as(s"n_$c"),
           lit(null).cast(schema(c).dataType).as(s"min_$c"),
-          lit(null).cast(schema(c).dataType).as(s"max_$c")))): _*))
+          lit(null).cast(schema(c).dataType).as(s"max_$c")) ++
+          (if (sumSet(c)) Seq(lit(null).cast("long").as(s"sum_$c")) else Nil))): _*))
     val finals = sum(col("n_rows")).as("n_rows") +: cols.flatMap(c => Seq(
       sum(col(s"n_$c")).as(s"n_$c"), min(col(s"min_$c")).as(s"min_$c"),
-      max(col(s"max_$c")).as(s"max_$c")))
+      max(col(s"max_$c")).as(s"max_$c")) ++
+      (if (sumSet(c)) Seq(sum(col(s"sum_$c")).as(s"sum_$c")) else Nil))
     partials.agg(finals.head, finals.tail: _*)
   }
 }

@@ -218,6 +218,65 @@ class SnapshotMorSpec extends SparkSpecBase {
       kv("max_score") == "400" && kv("n_score") == "25")
   }
 
+  test("aggStats SUM: manifest-folded integral sums exact under vectors; non-integral rejected; legacy manifests told to compact") {
+    val t = build("sum")
+    def expectSum(): Long = Snapshot.readLatest(spark, t)
+      .agg(sum("score")).collect().head.getLong(0)
+    def gotSum(): Long = Snapshot.aggStats(spark, t, Seq("score"),
+      sums = Seq("score")).collect().head.getAs[Long]("sum_score")
+    assert(gotSum() == expectSum())
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 7, 19)))
+    assert(gotSum() == expectSum(), "dv'd files scanned, clean files folded")
+    val e1 = intercept[IllegalArgumentException] {
+      Snapshot.aggStats(spark, t, Seq("id"), sums = Seq("payload")) }
+    assert(e1.getMessage.contains("must also be in cols"))
+    // a manifest whose stats predate sum tracking: strip sums (from
+    // the dv-free v1 file set — the check applies to CLEAN files),
+    // expect the compact() guidance
+    val m = Snapshot.readManifest(t, 1)
+    val legacy = m.copy(version = 3, parent = 2, op = "legacy",
+      partitions = m.partitions.map { case (p, fs) => p -> fs.map(f =>
+        f.copy(stats = f.stats.map { case (c, cs) =>
+          c -> cs.copy(sum = None) })) })
+    val wm = classOf[Snapshot.type].getDeclaredMethods
+      .find(_.getName == "writeManifest").get
+    wm.setAccessible(true)
+    wm.invoke(Snapshot, t, legacy)
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshot.aggStats(spark, t, Seq("score"), sums = Seq("score")) }
+    assert(e2.getMessage.contains("compact"))
+    Snapshot.compact(spark, t, maxFilesPerPartition = 0) // full rewrite records sums
+    assert(gotSum() == expectSum(), "compact re-records the sum stats")
+  }
+
+  test("tags pin versions: vacuum-proof, readTag serves, untag releases, CLI verbs work") {
+    val t = build("tags")
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 10, 24))) // v2
+    Snapshot.tag(t, "training-2026-08")                    // pins v2
+    Snapshot.compact(spark, t, maxFilesPerPartition = 64)  // v3
+    Snapshot.merge(spark, t,
+      Seq((50L, "doc50", "p2", 500L)).toDF("id", "payload", "part", "score"),
+      Seq.empty[Long].toDF("id"))                          // v4
+    Snapshot.vacuum(spark, t, retainLast = 1)              // window past v2
+    assert(Snapshot.tags(t) == Map("training-2026-08" -> 2))
+    assert(rowsOf(Snapshot.readTag(spark, t, "training-2026-08")) ==
+      rowsOf(seedDf.filter(!(col("id").between(10, 24)))),
+      "a tagged version must survive vacuum — manifest, files AND vectors")
+    assert(Snapshot.fsck(spark, t).isEmpty)
+    // untag releases the pin; the next vacuum reclaims v2
+    Snapshot.untag(t, "training-2026-08")
+    Snapshot.vacuum(spark, t, retainLast = 1)
+    intercept[IllegalArgumentException] { Snapshot.readAt(spark, t, 2) }
+    assert(rowsOf(Snapshot.readLatest(spark, t)).exists(_._1 == 50L))
+    // CLI: tag a fresh version, list, untag
+    val (o1, c1) = SnapshotTool.run(spark, Seq("tag", t, "tip"))
+    assert(c1 == 0 && o1.head.contains("'tip'"))
+    val (o2, c2) = SnapshotTool.run(spark, Seq("tags", t))
+    assert(c2 == 0 && o2 == Seq(s"tip -> v${Snapshot.currentVersion(t)}"))
+    val (_, c3) = SnapshotTool.run(spark, Seq("untag", t, "tip"))
+    assert(c3 == 0 && Snapshot.tags(t).isEmpty)
+  }
+
   test("aggStats answers from the manifest alone and stays exact under vectors and compaction") {
     val t = build("agg")
     def expect(): Seq[Any] = {
