@@ -1645,6 +1645,61 @@ object Oracles {
         |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
         |FROM top""".stripMargin,
 
+    // hybrid search: replay the bm25 oracle (lexical top-20 + ranks),
+    // the sim_topk cosine kernel restricted to query vec_id=7 (vector
+    // top-20), then reciprocal-rank fusion 1/(60+rank) summed lexical
+    // first — integer-rational doubles, bit-identical cross-engine
+    "search_hybrid" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, len(toks) AS dl, toks FROM tok),
+        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+        |                 CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM base),
+        |hits AS (
+        |  SELECT doc_id, dl, term,
+        |    CAST(len(list_filter(toks, x -> x = term)) AS DOUBLE) AS tf
+        |  FROM base, (SELECT unnest(['spark', 'hash', 'window']) AS term) q
+        |  WHERE len(list_filter(toks, x -> x = term)) > 0),
+        |dfs AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM hits GROUP BY term),
+        |contrib AS (
+        |  SELECT h.doc_id, h.term,
+        |    (((s.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+        |      ((h.tf * (1.2 + 1.0)) /
+        |        (h.tf + 1.2 * ((1.0 - 0.75) + 0.75 * (h.dl / (s.sum_dl / s.n_docs)))))) AS c
+        |  FROM hits h JOIN dfs d USING (term), stats s),
+        |lscored AS (
+        |  SELECT doc_id,
+        |    list_dot_product(list(c ORDER BY term),
+        |                     list_transform(list(c ORDER BY term), x -> 1.0)) AS score
+        |  FROM contrib GROUP BY doc_id),
+        |ltop AS (SELECT doc_id, score FROM lscored ORDER BY score DESC, doc_id LIMIT 20),
+        |lex AS (SELECT doc_id,
+        |          CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank_lex
+        |        FROM ltop),
+        |w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM w),
+        |p AS (
+        |  SELECT c.vec_id AS doc_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos_sim
+        |  FROM (SELECT * FROM n WHERE vec_id = 7) q
+        |  JOIN n c ON c.vec_id <> 7),
+        |vtop AS (SELECT doc_id, cos_sim FROM p ORDER BY cos_sim DESC, doc_id LIMIT 20),
+        |vr AS (SELECT doc_id,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS INT) AS rank_vec
+        |       FROM vtop),
+        |f AS (
+        |  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, rank_lex, rank_vec,
+        |    COALESCE(1.0 / (60.0 + rank_lex), 0.0) +
+        |    COALESCE(1.0 / (60.0 + rank_vec), 0.0) AS rrf
+        |  FROM lex l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id),
+        |t10 AS (SELECT * FROM f ORDER BY rrf DESC, doc_id LIMIT 10)
+        |SELECT doc_id, rank_lex, rank_vec, rrf,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank
+        |FROM t10""".stripMargin,
+
     // sqrt-temperature mix over lang: keep fraction sqrt(n_min/n_s),
     // decided by the shared md5 hash bucket (exact division +
     // IEEE-correctly-rounded sqrt = bit-identical cross-engine)

@@ -1014,6 +1014,22 @@ object Queries {
     Search.bm25(t(s, dir, "documents"), col("text"), col("doc_id"),
       terms = Seq("spark", "hash", "window"))
 
+  /** HYBRID SEARCH: BM25 lexical top-20 fused with the exact cosine
+    * top-20 around query vector vec_id=7 by reciprocal-rank fusion
+    * (k=60). Both sides reuse their oracle-proven kernels; the fusion
+    * itself is integer-rational, so the whole hybrid ranking is
+    * hash-exact cross-engine — the serving shape of every RAG
+    * retriever (lexical ∪ vector, rank-fused, no score calibration). */
+  def searchHybrid(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val lex = Search.bm25(t(s, dir, "documents"), col("text"), col("doc_id"),
+      terms = Seq("spark", "hash", "window"))
+    val vec = Similarity.bruteForceTopK(e.filter(col("vec_id") === 7), e,
+        col("vec_id"), col("embedding"), k = 20)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Search.rrfFuse(Seq("lex" -> lex, "vec" -> vec))
+  }
+
   /** √-temperature corpus mixing over the (skewed) lang column: the
     * dominant language is downsampled toward √-flattened shares,
     * rare languages kept whole — deterministic hash decision. */
@@ -1889,6 +1905,7 @@ object Queries {
     "text_chunks" -> textChunks _,
     "vocab_df" -> vocabDfQ _,
     "search_bm25" -> searchBm25 _,
+    "search_hybrid" -> searchHybrid _,
     "mix_sqrt" -> mixSqrt _,
     "emb_centroids" -> embCentroids _,
     "skew_keys" -> skewKeys _,

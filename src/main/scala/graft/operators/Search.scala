@@ -82,4 +82,42 @@ object Search {
     top.withColumn("rank",
       row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
   }
+
+  /**
+   * HYBRID RETRIEVAL fusion by RECIPROCAL RANK (RRF, Cormack/Clarke/
+   * Büttcher SIGIR '09): given N ranked lists `(doc_id, rank)` — e.g.
+   * [[bm25]]'s lexical top-k and an ANN cosine top-k — score every
+   * document `Σ_lists 1/(fuseK + rank)`, a list that missed the doc
+   * contributing 0, and return the fused top-k. Rank fusion needs NO
+   * score calibration between modalities (BM25 magnitudes and cosines
+   * never meet — only their ranks do), which is why it is the default
+   * first fusion everywhere hybrid search ships.
+   *
+   * Determinism: contributions are integer-rational doubles
+   * (`1.0/(fuseK + rank)` — IEEE division of exact integers) summed in
+   * DECLARED list order, so the operator carries a full cross-engine
+   * oracle even though the upstream scores are float kernels (only
+   * their ranks flow in). Scale: inputs are top-k lists (k rows each),
+   * so the fusion is driver-trivial however large the corpus the
+   * lists were ranked over; the cost lives in the upstream rankers.
+   *
+   * Output: (doc_id, rank_<name>... , rrf, rank), rank 1..topK by
+   * (rrf desc, doc_id asc).
+   */
+  def rrfFuse(ranked: Seq[(String, DataFrame)], fuseK: Int = 60,
+              topK: Int = 10): DataFrame = {
+    require(ranked.size >= 2, "rrfFuse wants at least two ranked lists")
+    require(ranked.map(_._1).distinct.size == ranked.size,
+      "rrfFuse: list names must be distinct")
+    val sides = ranked.map { case (n, df) =>
+      df.select(col("doc_id"), col("rank").as(s"rank_$n")) }
+    val joined = sides.reduce((a, b) => a.join(b, Seq("doc_id"), "full_outer"))
+    val rrf = ranked.map { case (n, _) =>
+      coalesce(lit(1.0) / (lit(fuseK).cast("double") + col(s"rank_$n")),
+        lit(0.0)) }.reduce(_ + _) // fixed fold order: declared list order
+    val scored = joined.withColumn("rrf", rrf)
+    scored.orderBy(col("rrf").desc, col("doc_id").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id").asc)))
+  }
 }

@@ -38,6 +38,27 @@ class SearchSpec extends SparkSpecBase {
     graft.operators.OpCache.releaseAll()
   }
 
+  test("rrfFuse: hand-checked fusion, missing side contributes zero, order is (rrf desc, id)") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val vec = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val out = Search.rrfFuse(Seq("lex" -> lex, "vec" -> vec), fuseK = 60,
+        topK = 10)
+      .select("doc_id", "rrf", "rank").as[(Long, Double, Int)].collect()
+    val byId = out.map(r => r._1 -> r._2).toMap
+    // doc 20 is in both lists: 1/62 + 1/61 — must outrank every
+    // single-list doc; doc 40 (vec rank 2) vs doc 10 (lex rank 1):
+    // 1/62 < 1/61, so 10 beats 40
+    assert(byId(20L) == 1.0 / 62 + 1.0 / 61)
+    assert(byId(10L) == 1.0 / 61 && byId(40L) == 1.0 / 62)
+    assert(byId(30L) == 1.0 / 63)
+    assert(out.sortBy(_._3).map(_._1).toSeq == Seq(20L, 10L, 40L, 30L))
+    // topK bounds; duplicate list names rejected
+    assert(Search.rrfFuse(Seq("a" -> lex, "b" -> vec), topK = 2)
+      .count() == 2)
+    intercept[IllegalArgumentException] {
+      Search.rrfFuse(Seq("a" -> lex, "a" -> vec)) }
+  }
+
   test("sqrtTemperatureMix: rarest stratum kept whole, dominant flattened to ~sqrt") {
     val df = spark.read.parquet(sf() + "/documents.parquet")
     val out = Sampling.sqrtTemperatureMix(df, col("lang"), col("doc_id"))
