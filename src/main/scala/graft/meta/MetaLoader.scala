@@ -63,7 +63,8 @@ object MetaLoader {
       bloomCols = strArr(n, "bloomCols"),
       aggGroupBy = strArr(n, "aggGroupBy"),
       aggSums = strArr(n, "aggSums"),
-      constraints = obj(n, "constraints"))
+      constraints = obj(n, "constraints"),
+      snapshotTag = str(n, "snapshotTag", ""))
 
   private def parseTransform(n: JsonNode): TransformSpec = {
     val name = str(n, "name")

@@ -71,7 +71,14 @@ final case class SinkSpec(
     // every later commit — metadata-driven or programmatic — is
     // rejected atomically if an incoming row violates one. SQL CHECK
     // null semantics: a NULL predicate passes (use `x IS NOT NULL`).
-    constraints: Map[String, String] = Map.empty)
+    constraints: Map[String, String] = Map.empty,
+    // saveMode=snapshot: TAG the committed version with this name
+    // (operators.Snapshot.tag — vacuum-proof pin, re-tagging moves the
+    // name). Under a Schedule, `${run_date}` interpolates before
+    // parsing, so `"corpus-${run_date}"` pins every scheduled commit
+    // to its logical date — the reproducibility handle a training run
+    // reads back via readTag / source option `tag`.
+    snapshotTag: String = "")
 
 sealed trait TransformSpec {
   def name: String

@@ -84,7 +84,9 @@ object Schedule {
   def bind(flow: DataflowSpec, t: Instant, interval: String): DataflowSpec =
     flow.copy(
       sources = flow.sources.map(s => s.copy(path = substitute(s.path, t, interval))),
-      sinks = flow.sinks.map(k => k.copy(paths = k.paths.map(substitute(_, t, interval)))))
+      sinks = flow.sinks.map(k => k.copy(
+        paths = k.paths.map(substitute(_, t, interval)),
+        snapshotTag = substitute(k.snapshotTag, t, interval))))
 
   // -- completion state (what Airflow keeps in its metadata DB) -------
 

@@ -85,7 +85,11 @@ object Writers {
               bloomCols = spec.bloomCols)
           else
             graft.operators.Snapshot.merge(df.sparkSession, path, ups, del)
-        println(s"[sink ${spec.name}] snapshot $path now v${st.version}: " +
+        if (spec.snapshotTag.nonEmpty)
+          graft.operators.Snapshot.tag(path, spec.snapshotTag, st.version)
+        println(s"[sink ${spec.name}] snapshot $path now v${st.version}" +
+          (if (spec.snapshotTag.nonEmpty) s" (tagged '${spec.snapshotTag}')"
+           else "") + ": " +
           s"rewrote ${st.rewrittenPartitions.size} partition(s), " +
           s"dropped ${st.droppedPartitions.size}, ${st.filesWritten} file(s)")
       }

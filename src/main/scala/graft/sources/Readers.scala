@@ -35,7 +35,16 @@ object Readers {
     // a snapshot table is a directory with its own manifest log, not a
     // file glob — resolved via the table format, not globStatus
     if (spec.format == "snapshot") {
+      // pin by explicit `version`, by named `tag` (the vacuum-proof
+      // reproducibility handle a snapshotTag sink wrote), else latest
       val v = spec.options.get("version").map(_.toInt)
+        .orElse(spec.options.get("tag").map { name =>
+          val t = graft.operators.Snapshot.tags(spec.path)
+          require(t.contains(name),
+            s"Source '${spec.name}': snapshot ${spec.path} has no tag " +
+              s"'$name' (tags: ${t.keys.toSeq.sorted.mkString(",")})")
+          t(name)
+        })
         .getOrElse(graft.operators.Snapshot.currentVersion(spec.path))
       return graft.operators.Snapshot.readAt(spark, spec.path, v)
     }

@@ -290,5 +290,23 @@ class SimilaritySpec extends SparkSpecBase {
     assert(searched() == reference(after), "refreshed index must serve the new corpus")
     assert(searched(version = 1) == reference(corpus),
       "version-pinned serve must reproduce the pre-refresh index")
+
+    // v3: RETIREMENT-ONLY wave as a merge-on-read commit — ids 80..100
+    // leave the index with ZERO cell files rewritten (deletion vector
+    // only); serve parity with a physically-rebuilt reference, and the
+    // pre-retire version still serves
+    val preFiles = Snapshot.readManifest(table, 2).files.map(_.path).toSet
+    val st = Similarity.ivfIndexRetire(spark, table,
+      corpus.filter(col("vec_id") > 80).select("vec_id"), col("vec_id"))
+    assert(st.filesWritten == 0)
+    assert(Snapshot.readManifest(table, st.version).files.map(_.path).toSet
+      == preFiles, "retirement must not add or rewrite a single file")
+    val afterRetire = rows.filter(_._1 <= 80)
+      .map { case (i, v) => (i, if (i <= 30) v.reverse else v) }
+      .toDF("vec_id", "embedding")
+    assert(searched() == reference(afterRetire),
+      "retired vectors must vanish from every probe")
+    assert(searched(version = 2) == reference(after),
+      "the pre-retire version must still serve them")
   }
 }

@@ -298,6 +298,41 @@ class SnapshotSpec extends SparkSpecBase {
     assert(Snapshot.pruneEq(t, "payload", "no-such-payload")._1.isEmpty)
   }
 
+  test("metadata reach: snapshotTag pins the committed version; source option tag reads it past later commits") {
+    val t = fresh("metatag")
+    val sink = graft.meta.SinkSpec(
+      input = "in", name = "snap_sink", paths = Seq(t),
+      format = "parquet", saveMode = "snapshot",
+      partitionBy = Seq("part"), mergeKey = "id",
+      snapshotTag = "corpus-2026-08-14")
+    graft.sinks.Writers.write(seedDf, sink) // v1, tagged
+    assert(Snapshot.tags(t) == Map("corpus-2026-08-14" -> 1))
+    // later untagged commit moves the tip, not the tag
+    graft.sinks.Writers.write(
+      Seq((9L, "india", "p2")).toDF("id", "payload", "part"),
+      sink.copy(snapshotTag = ""))
+    assert(Snapshot.currentVersion(t) == 2)
+    val pinned = graft.sources.Readers.read(spark, graft.meta.SourceSpec(
+      name = "snap_src", path = t, format = "snapshot",
+      options = Map("tag" -> "corpus-2026-08-14")))
+    assert(rowsOf(pinned) == rowsOf(seedDf),
+      "the tagged read must serve the pinned version, not the tip")
+    // Schedule.bind interpolates ${run_date} into the tag
+    val flow = graft.meta.DataflowSpec(name = "f", sources = Nil,
+      transformations = Nil,
+      sinks = Seq(sink.copy(snapshotTag = "corpus-${run_date}")))
+    val bound = graft.meta.Schedule.bind(flow,
+      java.time.Instant.parse("2026-08-14T00:00:00Z"), "daily")
+    assert(bound.sinks.head.snapshotTag == "corpus-2026-08-14")
+    // unknown tag on the source is a clear error
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Readers.read(spark, graft.meta.SourceSpec(
+        name = "snap_src", path = t, format = "snapshot",
+        options = Map("tag" -> "nope")))
+    }
+    assert(e.getMessage.contains("no tag"))
+  }
+
   test("SnapshotTool CLI verbs: history, fsck exit codes, compact, vacuum, rollback") {
     val t = fresh("tool")
     Snapshot.create(spark, t, seedDf, "id", "part")
