@@ -34,7 +34,7 @@ object Bench {
     "text_quality", "field_stats", "field_stats_approx", "validate_ok",
     "multimodal_meta", "sample_stratified", "pack_sequences", "decontaminate",
     "text_redact", "text_chunks", "vocab_df", "search_bm25",
-    "search_hybrid", "mix_sqrt",
+    "search_hybrid", "expectations_report", "mix_sqrt",
     "emb_centroids", "skew_keys", "skew_keys_approx", "contamination",
     "event_histogram",
     "strip_boilerplate", "dedup_paragraph", "shuffle_order",

@@ -205,6 +205,19 @@ object Dataflow {
           frames + (s.output -> Chunking.chunk(in,
             org.apache.spark.sql.functions.col(s.contentCol),
             org.apache.spark.sql.functions.col(s.idCol), s.size, s.overlap))
+        case s: ExpectSpec =>
+          import org.apache.spark.sql.functions.col
+          val checks = s.checks.map(Expectations.parse(_,
+            f => frames.getOrElse(f, throw new IllegalArgumentException(
+              s"expect '${s.name}': unknown reference frame '$f'"))))
+          val rep = Expectations.report(in, checks)
+          if (s.failOnViolation) {
+            val bad = rep.filter(!col("ok")).collect()
+            if (bad.nonEmpty) throw new IllegalStateException(
+              s"expectations '${s.name}' failed: " + bad.map(r =>
+                s"${r.getString(0)} (observed=${r.getLong(2)})").mkString("; "))
+          }
+          frames + (s.output -> rep)
         case s: DecontaminateSpec =>
           val bench = frames.getOrElse(s.benchInput,
             throw new IllegalArgumentException(

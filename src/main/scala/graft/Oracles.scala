@@ -1645,6 +1645,34 @@ object Oracles {
         |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
         |FROM top""".stripMargin,
 
+    // dataset expectations over orders: each check replayed as integer
+    // arithmetic (counts; the null budget in basis points) — the
+    // report, including the deliberately failing uniqueness check, is
+    // bit-exact
+    "expectations_report" ->
+      """WITH m AS (
+        |  SELECT count(*) AS n,
+        |    count(o_orderkey) - count(DISTINCT o_orderkey) AS dup_ok,
+        |    count(o_custkey) - count(DISTINCT o_custkey) AS dup_ck,
+        |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nul_pr,
+        |    CAST(sum(CASE WHEN o_custkey IS NOT NULL
+        |                   AND (o_custkey < 1 OR o_custkey > 100000000)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS oor
+        |  FROM orders),
+        |orph AS (
+        |  SELECT count(*) AS orphans FROM orders
+        |  WHERE o_custkey IS NOT NULL
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |SELECT 'row_count_between(1,10000000)' AS "check",
+        |  n BETWEEN 1 AND 10000000 AS ok, n AS observed FROM m
+        |UNION ALL SELECT 'unique(o_orderkey)', dup_ok = 0, dup_ok FROM m
+        |UNION ALL SELECT 'unique(o_custkey)', dup_ck = 0, dup_ck FROM m
+        |UNION ALL SELECT 'null_fraction(o_orderpriority,0bp)',
+        |  nul_pr * 10000 <= 0 * n, nul_pr FROM m
+        |UNION ALL SELECT 'in_range(o_custkey,1,100000000)', oor = 0, oor FROM m
+        |UNION ALL SELECT 'subset_of(o_custkey,customer.c_custkey)',
+        |  orphans = 0, orphans FROM orph""".stripMargin,
+
     // hybrid search: replay the bm25 oracle (lexical top-20 + ranks),
     // the sim_topk cosine kernel restricted to query vec_id=7 (vector
     // top-20), then reciprocal-rank fusion 1/(60+rank) summed lexical

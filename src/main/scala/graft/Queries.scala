@@ -1014,6 +1014,23 @@ object Queries {
     Search.bm25(t(s, dir, "documents"), col("text"), col("doc_id"),
       terms = Seq("spark", "hash", "window"))
 
+  /** DATASET-level expectations over orders (+ customer as the
+    * referential target): row-count bounds, key uniqueness (one
+    * passing, one deliberately failing — customers repeat), a null
+    * budget, a value range and FK integrity — one report row per
+    * check, all integer arithmetic (violation counts; the null budget
+    * compares in basis points), so the suite is hash-exact. */
+  def expectationsReport(s: SparkSession, dir: String): DataFrame = {
+    import operators.Expectations._
+    operators.Expectations.report(t(s, dir, "orders"), Seq(
+      RowCountBetween(1L, 10000000L),
+      Unique(Seq("o_orderkey")),
+      Unique(Seq("o_custkey")),
+      NullFraction("o_orderpriority", 0),
+      InRange("o_custkey", 1L, 100000000L),
+      SubsetOf("o_custkey", t(s, dir, "customer"), "c_custkey", "customer")))
+  }
+
   /** HYBRID SEARCH: BM25 lexical top-20 fused with the exact cosine
     * top-20 around query vector vec_id=7 by reciprocal-rank fusion
     * (k=60). Both sides reuse their oracle-proven kernels; the fusion
@@ -1906,6 +1923,7 @@ object Queries {
     "vocab_df" -> vocabDfQ _,
     "search_bm25" -> searchBm25 _,
     "search_hybrid" -> searchHybrid _,
+    "expectations_report" -> expectationsReport _,
     "mix_sqrt" -> mixSqrt _,
     "emb_centroids" -> embCentroids _,
     "skew_keys" -> skewKeys _,

@@ -123,6 +123,10 @@ object MetaLoader {
           idCol = str(p, "id", "doc_id"),
           size = p.path("size").asInt(512),
           overlap = p.path("overlap").asInt(64))
+      case "expect" =>
+        ExpectSpec(name, input, output,
+          checks = strArr(p, "checks"),
+          failOnViolation = p.path("fail_on_violation").asBoolean(false))
       case "decontaminate" =>
         DecontaminateSpec(name, input,
           benchInput = str(p, "bench_input"),

@@ -213,6 +213,22 @@ final case class DecontaminateSpec(
   extends TransformSpec
 
 /**
+ * graft extension: DATASET-level expectations
+ * ([[graft.operators.Expectations]]) — `checks` strings compile to the
+ * suite (`row_count:lo-hi`, `unique:a+b`, `null_bp:col:maxBp`,
+ * `range:col:lo-hi`, `subset:col:frame.refCol`); `output` receives the
+ * report frame; `failOnViolation` turns the transform into a GATE that
+ * aborts the pipeline (no sink runs) with the failing checks named.
+ */
+final case class ExpectSpec(
+    name: String,
+    input: String,
+    output: String,
+    checks: Seq[String],
+    failOnViolation: Boolean = false)
+  extends TransformSpec
+
+/**
  * graft extension: split documents into fixed-size overlapping
  * character windows (context-window chunking). Output: (idCol,
  * chunk_id, chunk_text).
