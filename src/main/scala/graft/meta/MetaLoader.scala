@@ -64,6 +64,7 @@ object MetaLoader {
       aggGroupBy = strArr(n, "aggGroupBy"),
       aggSums = strArr(n, "aggSums"),
       constraints = obj(n, "constraints"),
+      guards = obj(n, "guards"),
       snapshotTag = str(n, "snapshotTag", ""))
 
   private def parseTransform(n: JsonNode): TransformSpec = {

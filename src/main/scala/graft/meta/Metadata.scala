@@ -72,6 +72,13 @@ final case class SinkSpec(
     // rejected atomically if an incoming row violates one. SQL CHECK
     // null semantics: a NULL predicate passes (use `x IS NOT NULL`).
     constraints: Map[String, String] = Map.empty,
+    // saveMode=snapshot: table-level commit GUARDS fixed at bootstrap
+    // (operators.Snapshot guards): "min_rows" and "max_shrink_pct" —
+    // every later commit that would leave fewer visible rows than
+    // min_rows, or shrink the table by more than max_shrink_pct in
+    // one commit, is rejected at publish time (rollback exempt). The
+    // bad-upstream circuit breaker, enforced by manifest math alone.
+    guards: Map[String, String] = Map.empty,
     // saveMode=snapshot: TAG the committed version with this name
     // (operators.Snapshot.tag — vacuum-proof pin, re-tagging moves the
     // name). Under a Schedule, `${run_date}` interpolates before

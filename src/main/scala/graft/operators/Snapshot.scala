@@ -112,7 +112,8 @@ object Snapshot {
                             schemaDdl: String = "",
                             constraints: Map[String, String] = Map.empty,
                             bloomCols: Seq[String] = Nil,
-                            bloomBits: Int = 0, bloomK: Int = 6) {
+                            bloomBits: Int = 0, bloomK: Int = 6,
+                            guards: Map[String, String] = Map.empty) {
     def files: Seq[FileEntry] = partitions.values.flatten.toSeq
     def rows: Long = files.map(_.rows).sum
     /** Visible rows: physical minus deletion-vector masked. */
@@ -145,6 +146,14 @@ object Snapshot {
   final class ConstraintViolationException(msg: String)
     extends RuntimeException(msg)
 
+  /** Thrown when a commit violates a table-level GUARD (`min_rows`,
+    * `max_shrink_pct`) — rejected at manifest-publish time, so no torn
+    * version is ever visible (files a merge already staged become
+    * orphans that vacuum/fsck reclaim). Rollback is exempt: an
+    * explicit undo may shrink the table. */
+  final class GuardViolationException(msg: String)
+    extends RuntimeException(msg)
+
   // ---------------------------------------------------------------- paths
 
   private def logDir(table: String): Path = Paths.get(table, "_log")
@@ -170,7 +179,52 @@ object Snapshot {
 
   // ------------------------------------------------------------- manifests
 
+  /** Table-level GUARDS, checked on every manifest publish except
+    * rollback (an explicit undo): `min_rows` — the version must keep
+    * at least that many VISIBLE rows; `max_shrink_pct` — a single
+    * commit may not shrink visible rows by more than that percentage
+    * of the parent's. Pure manifest math (logical row counts), zero
+    * IO — the "bad upstream wiped the table" circuit breaker every
+    * incremental pipeline eventually wishes it had declared. */
+  private def enforceGuards(table: String, m: Manifest): Unit = {
+    if (m.guards.isEmpty || m.op.startsWith("rollback")) return
+    val rows = m.logicalRows
+    m.guards.get("min_rows").map(_.toLong).foreach { lo =>
+      if (rows < lo) throw new GuardViolationException(
+        s"snapshot $table: guard min_rows=$lo rejected ${m.op} v${m.version} " +
+          s"($rows visible rows)")
+    }
+    m.guards.get("max_shrink_pct").map(_.toLong).foreach { pct =>
+      if (m.parent > 0 && Files.exists(manifestPath(table, m.parent))) {
+        val old = readManifest(table, m.parent).logicalRows
+        if (old > 0 && (old - rows) * 100L > pct * old)
+          throw new GuardViolationException(
+            s"snapshot $table: guard max_shrink_pct=$pct rejected ${m.op} " +
+              s"v${m.version} ($old -> $rows visible rows)")
+      }
+    }
+  }
+
+  /** Publish via [[writeManifest]]; if a GUARD rejects the commit,
+    * reclaim its freshly written commit directory first (this writer
+    * holds the commit lock, so the directory is exclusively its own —
+    * deleting it frees the version number for the next attempt
+    * instead of leaving a colliding orphan). */
+  private def writeManifestReclaiming(table: String, m: Manifest): Unit =
+    try writeManifest(table, m)
+    catch {
+      case e: GuardViolationException =>
+        val dir = Paths.get(commitDir(table, m.version))
+        if (Files.exists(dir)) {
+          val walk = Files.walk(dir)
+          try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          finally walk.close()
+        }
+        throw e
+    }
+
   private def writeManifest(table: String, m: Manifest): Unit = {
+    enforceGuards(table, m)
     val root = mapper.createObjectNode()
     root.put("version", m.version); root.put("parent", m.parent)
     root.put("op", m.op); root.put("key", m.key)
@@ -182,6 +236,10 @@ object Snapshot {
     root.put("schema_ddl", m.schemaDdl)
     val cons = root.putObject("constraints")
     m.constraints.toSeq.sortBy(_._1).foreach { case (n, e) => cons.put(n, e) }
+    if (m.guards.nonEmpty) {
+      val gu = root.putObject("guards")
+      m.guards.toSeq.sortBy(_._1).foreach { case (n, e) => gu.put(n, e) }
+    }
     val bc = root.putArray("bloom_cols"); m.bloomCols.foreach(bc.add)
     root.put("bloom_bits", m.bloomBits); root.put("bloom_k", m.bloomK)
     val b64 = java.util.Base64.getEncoder
@@ -264,7 +322,10 @@ object Snapshot {
       Option(root.get("bloom_cols")).map(_.elements().asScala
         .map(_.asText()).toSeq).getOrElse(Nil),
       Option(root.get("bloom_bits")).map(_.asInt()).getOrElse(0),
-      Option(root.get("bloom_k")).map(_.asInt()).getOrElse(6))
+      Option(root.get("bloom_k")).map(_.asInt()).getOrElse(6),
+      Option(root.get("guards")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty))
   }
 
   /** (version, op, parent, partitions, files, rows) per retained
@@ -446,10 +507,18 @@ object Snapshot {
              zorderKeys: Seq[String] = Nil,
              constraints: Map[String, String] = Map.empty,
              bloomCols: Seq[String] = Nil,
-             bloomBits: Int = 1 << 17, bloomK: Int = 6): CommitStats =
+             bloomBits: Int = 1 << 17, bloomK: Int = 6,
+             guards: Map[String, String] = Map.empty): CommitStats =
     withCommitLock(table) {
       require(currentVersion(table) == 0,
         s"snapshot $table already exists (v${currentVersion(table)})")
+      val knownGuards = Set("min_rows", "max_shrink_pct")
+      guards.foreach { case (k, v) =>
+        require(knownGuards(k),
+          s"snapshot: unknown guard '$k' (want ${knownGuards.mkString("|")})")
+        require(scala.util.Try(v.toLong).isSuccess && v.toLong >= 0,
+          s"snapshot: guard $k needs a non-negative integer, got '$v'")
+      }
       require(df.columns.contains(key) && df.columns.contains(partitionCol),
         s"snapshot: df lacks key '$key' or partition column '$partitionCol'")
       require(layoutMode == "range" || layoutMode == "zorder",
@@ -466,7 +535,8 @@ object Snapshot {
       writeCommit(df, table, 1, partitionCol, key, layout)
       val parts = commitEntries(spark, table, 1, tracked, bloomCols, bBits, bK)
       writeManifest(table, Manifest(1, 0, "create", key, partitionCol, tracked,
-        parts, layout, df.schema.toDDL, constraints, bloomCols, bBits, bK))
+        parts, layout, df.schema.toDDL, constraints, bloomCols, bBits, bK,
+        guards))
       CommitStats(1, parts.keys.toSeq.sorted, Nil, parts.values.map(_.size).sum)
     }
 
@@ -574,7 +644,7 @@ object Snapshot {
             m.bloomCols, m.bloomBits, m.bloomK)
           val kept = m.partitions.filterNot(e => plan.affected.contains(e._1))
           val dropped = plan.affected.filterNot(fresh.contains) // emptied
-          writeManifest(table, m.copy(version = v, parent = cur, op = "merge",
+          writeManifestReclaiming(table, m.copy(version = v, parent = cur, op = "merge",
             partitions = kept ++ fresh, schemaDdl = plan.newDdl))
           CommitStats(v, fresh.keys.toSeq.sorted, dropped,
             fresh.values.map(_.size).sum)
@@ -709,7 +779,7 @@ object Snapshot {
             p -> fs.map(f => f.copy(path = prefix + f.path)) }
           val kept = mC.partitions.filterNot(e => staged.affected.contains(e._1))
           val dropped = staged.affected.filterNot(fresh.contains)
-          writeManifest(table, mC.copy(version = v, parent = curNow,
+          writeManifestReclaiming(table, mC.copy(version = v, parent = curNow,
             op = "merge", partitions = kept ++ fresh,
             schemaDdl = staged.newDdl))
           CommitStats(v, fresh.keys.toSeq.sorted, dropped,
@@ -794,7 +864,7 @@ object Snapshot {
         // carry schemaDdl (kept pre-evolution files still need the
         // manifest schema authority) and constraints forward — a
         // layout-only commit changes neither
-        writeManifest(table, m.copy(version = v, parent = cur, op = "compact",
+        writeManifestReclaiming(table, m.copy(version = v, parent = cur, op = "compact",
           partitions = m.partitions.filterNot(e => frag.contains(e._1)) ++ fresh))
         CommitStats(v, fresh.keys.toSeq.sorted, Nil, fresh.values.map(_.size).sum)
       }
@@ -1342,7 +1412,7 @@ object Snapshot {
         if (files.isEmpty) None else Some(p -> files)
       }.toMap
       val dropped = m.partitions.keySet.filterNot(parts.contains).toSeq.sorted
-      writeManifest(table, m.copy(version = v, parent = cur, op = op,
+      writeManifestReclaiming(table, m.copy(version = v, parent = cur, op = op,
         partitions = parts))
       CommitStats(v, touched.toSeq.sorted, dropped,
         fresh.values.map(_.size).sum)
@@ -1525,7 +1595,7 @@ object Snapshot {
       }
       val touched = m.partitions.collect {
         case (p, fs) if fs.exists(f => counts.contains(f.path)) => p }
-      writeManifest(table, m.copy(version = v, parent = cur,
+      writeManifestReclaiming(table, m.copy(version = v, parent = cur,
         op = "delete-mor", partitions = parts))
       CommitStats(v, touched.toSeq.sorted, Nil, 0)
     }

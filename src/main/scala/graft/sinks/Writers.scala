@@ -82,7 +82,8 @@ object Writers {
               layoutMode = if (spec.layout == "none") "range" else spec.layout,
               zorderKeys = spec.layoutKeys,
               constraints = spec.constraints,
-              bloomCols = spec.bloomCols)
+              bloomCols = spec.bloomCols,
+              guards = spec.guards)
           else
             graft.operators.Snapshot.merge(df.sparkSession, path, ups, del)
         if (spec.snapshotTag.nonEmpty)

@@ -277,6 +277,40 @@ class SnapshotMorSpec extends SparkSpecBase {
     assert(c3 == 0 && Snapshot.tags(t).isEmpty)
   }
 
+  test("commit guards: a wipeout merge and an over-budget MoR delete are rejected; rollback is exempt") {
+    val t = fresh("guards")
+    Snapshot.create(spark, t, seedDf, "id", "part",
+      statsCols = Seq("score"), fileRanges = 4,
+      guards = Map("min_rows" -> "10", "max_shrink_pct" -> "50"))
+    // a bad upstream delivers an empty refresh that deletes everyone:
+    // rejected at publish, version counter untouched
+    val e1 = intercept[Snapshot.GuardViolationException] {
+      Snapshot.merge(spark, t,
+        seedDf.limit(0), seedDf.select("id"))
+    }
+    assert(e1.getMessage.contains("min_rows") &&
+      Snapshot.currentVersion(t) == 1)
+    // shrink budget: masking 25 of 40 rows (62%) trips max_shrink_pct
+    val e2 = intercept[Snapshot.GuardViolationException] {
+      Snapshot.deleteWhereMor(spark, t, Seq(("id", 1, 25)))
+    }
+    assert(e2.getMessage.contains("max_shrink_pct") &&
+      Snapshot.currentVersion(t) == 1)
+    // a within-budget delete lands; guards carry forward in the manifest
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 1, 12)))
+    assert(Snapshot.currentVersion(t) == 2)
+    assert(Snapshot.readManifest(t, 2).guards ==
+      Map("min_rows" -> "10", "max_shrink_pct" -> "50"))
+    // rollback is an explicit undo — exempt however the rows move
+    Snapshot.rollback(spark, t, 1)
+    assert(Snapshot.readManifest(t, 3).logicalRows == 40)
+    // unknown guard name rejected at create
+    intercept[IllegalArgumentException] {
+      Snapshot.create(spark, fresh("guards2"), seedDf, "id", "part",
+        guards = Map("max_rows" -> "7"))
+    }
+  }
+
   test("aggStats answers from the manifest alone and stays exact under vectors and compaction") {
     val t = build("agg")
     def expect(): Seq[Any] = {
