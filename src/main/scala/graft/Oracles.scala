@@ -1645,6 +1645,48 @@ object Oracles {
         |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
         |FROM top""".stripMargin,
 
+    // SCD2 attribute history: same two-window construction — changes
+    // filtered by null-safe lag inequality, then lead/row_number over
+    // the filtered runs, event_id breaking ts ties
+    "q_scd2" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |c AS (SELECT * FROM b WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type,
+        |  ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+        |FROM c""".stripMargin,
+
+    // PageRank: unrolled 5-iteration fixed-point replay — integer
+    // floor division (// on non-negatives ≡ Spark's div) and exact
+    // integer sums, so every node's rank matches bit-for-bit
+    "q_pagerank" -> {
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT n.node, 150000 + (85 * COALESCE(s.t, 0)) // 100 AS r
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS node, sum($prev.r // deg.d) AS t
+           |    FROM e JOIN $prev ON e.src = $prev.node
+           |           JOIN deg ON deg.src = e.src
+           |    GROUP BY e.dst) s ON n.node = s.node)"""
+      """WITH p AS (
+        |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+        |""".stripMargin +
+        (0 until 5).map(i => iter(s"r$i", s"r${i + 1}").stripMargin)
+          .mkString(",\n") +
+        "\nSELECT node, CAST(r5.r AS BIGINT) AS \"rank\" FROM r5"
+    },
+
     // dataset expectations over orders: each check replayed as integer
     // arithmetic (counts; the null budget in basis points) — the
     // report, including the deliberately failing uniqueness check, is

@@ -1014,6 +1014,32 @@ object Queries {
     Search.bm25(t(s, dir, "documents"), col("text"), col("doc_id"),
       terms = Seq("spark", "hash", "window"))
 
+  /** SCD2 attribute history: each user's event_type runs versioned
+    * with valid_from/valid_to effective ranges (consecutive
+    * re-deliveries collapse — true change semantics), event_id
+    * breaking timestamp ties deterministically. One shuffle of
+    * (user, ts, id, type) — never the event payload. */
+  def qScd2(s: SparkSession, dir: String): DataFrame =
+    operators.Versioning.scd2(t(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .select(col("key").as("user_id"), col("attr").as("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"), col("version"))
+
+  /** PageRank over the customer↔supplier trade graph (who-trades-
+    * with-whom via orders+lineitem, undirected), 5 fixed-point power
+    * iterations — integer div + long sums only, so the full rank
+    * vector is bit-identical to the oracle's unrolled replay. */
+  def qPageRank(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    val edges = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    operators.Graph.pageRank(edges, iterations = 5)
+  }
+
   /** DATASET-level expectations over orders (+ customer as the
     * referential target): row-count bounds, key uniqueness (one
     * passing, one deliberately failing — customers repeat), a null
@@ -1924,6 +1950,8 @@ object Queries {
     "search_bm25" -> searchBm25 _,
     "search_hybrid" -> searchHybrid _,
     "expectations_report" -> expectationsReport _,
+    "q_scd2" -> qScd2 _,
+    "q_pagerank" -> qPageRank _,
     "mix_sqrt" -> mixSqrt _,
     "emb_centroids" -> embCentroids _,
     "skew_keys" -> skewKeys _,

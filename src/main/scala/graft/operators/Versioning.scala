@@ -42,4 +42,41 @@ object Versioning {
           .otherwise(lit("updated")))
       .select(col("doc_id"), col("status"), col("old_hash"), col("new_hash"))
   }
+
+  /**
+   * SLOWLY-CHANGING-DIMENSION (type 2) builder: from an event/change
+   * stream `(key, ts, attr)`, materialize the attribute's VERSION
+   * HISTORY — one row per value run with `valid_from` / `valid_to`
+   * effective ranges, `is_current` on the open version and a per-key
+   * `version` ordinal. Consecutive re-deliveries of the SAME value do
+   * not open a new version (true SCD2 change semantics, null-safe);
+   * `tieBreak` makes same-timestamp order deterministic.
+   *
+   * The warehouse staple the reference's append/overwrite sinks
+   * cannot express: "what was this customer's plan on March 3rd" is
+   * one `BETWEEN valid_from AND valid_to` lookup, and the builder is
+   * the read-side complement of the snapshot table's time travel
+   * (that versions the TABLE; this versions each ENTITY's attribute).
+   *
+   * Scale: two window passes over the SAME (key, ts, tie) sort —
+   * Catalyst reuses the exchange and sort, so the whole history is
+   * ONE shuffle of (key, ts, tie, attr), never the payload.
+   */
+  def scd2(df: DataFrame, key: Column, ts: Column, attr: Column,
+           tieBreak: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(key.as("key"), ts.as("ts"),
+      tieBreak.as("tie"), attr.as("attr"))
+    val w = Window.partitionBy("key").orderBy(col("ts"), col("tie"))
+    val changes = base
+      .withColumn("__prev", lag(col("attr"), 1).over(w))
+      .withColumn("__first", row_number().over(w) === 1)
+      .filter(col("__first") || !(col("__prev") <=> col("attr")))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("int"))
+      .select(col("key"), col("attr"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"),
+        col("version"))
+  }
 }

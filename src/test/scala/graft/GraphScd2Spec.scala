@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.{Graph, Versioning}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class GraphScd2Spec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("scd2: runs collapse, ranges chain, ties break on the tie column, null attrs are null-safe") {
+    val ev = Seq(
+      (1L, ts("2026-01-01 00:00:00"), 10L, Some("free")),
+      (1L, ts("2026-01-02 00:00:00"), 11L, Some("free")), // re-delivery: no new version
+      (1L, ts("2026-01-03 00:00:00"), 12L, Some("pro")),
+      (1L, ts("2026-01-04 00:00:00"), 13L, Some("free")), // back: a THIRD version
+      (2L, ts("2026-01-01 00:00:00"), 20L, None),         // null attr opens v1
+      (2L, ts("2026-01-02 00:00:00"), 21L, None),         // null == null: collapses
+      (2L, ts("2026-01-03 00:00:00"), 22L, Some("pro")),
+      // same-ts tie on user 3: event_id orders 30 before 31
+      (3L, ts("2026-01-01 00:00:00"), 31L, Some("b")),
+      (3L, ts("2026-01-01 00:00:00"), 30L, Some("a")))
+      .toDF("user_id", "ts", "event_id", "plan")
+    val out = Versioning.scd2(ev, col("user_id"), col("ts"), col("plan"),
+        col("event_id"))
+      .as[(Long, Option[String], Timestamp, Option[Timestamp], Boolean, Int)]
+      .collect().toSet
+    assert(out == Set(
+      (1L, Some("free"), ts("2026-01-01 00:00:00"), Some(ts("2026-01-03 00:00:00")), false, 1),
+      (1L, Some("pro"), ts("2026-01-03 00:00:00"), Some(ts("2026-01-04 00:00:00")), false, 2),
+      (1L, Some("free"), ts("2026-01-04 00:00:00"), None, true, 3),
+      (2L, None, ts("2026-01-01 00:00:00"), Some(ts("2026-01-03 00:00:00")), false, 1),
+      (2L, Some("pro"), ts("2026-01-03 00:00:00"), None, true, 2),
+      (3L, Some("a"), ts("2026-01-01 00:00:00"), Some(ts("2026-01-01 00:00:00")), false, 1),
+      (3L, Some("b"), ts("2026-01-01 00:00:00"), None, true, 2)), s"got $out")
+  }
+
+  test("pageRank matches an independent integer-arithmetic model; partitioning-invariant") {
+    // small directed graph made undirected, with a clear hub
+    val raw = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "d"),
+      ("b", "c"))
+    val edges = (raw ++ raw.map(_.swap)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iterations = 5)
+      .as[(String, Long)].collect().toMap
+
+    // reference model: same fixed-point rules, plain Scala maps
+    val e = (raw ++ raw.map(_.swap)).distinct
+    val deg = e.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = e.map(_._1).distinct
+    var r = nodes.map(_ -> 1000000L).toMap
+    (1 to 5).foreach { _ =>
+      val t = e.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        r(s) / deg(s) }.sum).toMap
+      r = nodes.map(n => n -> (150000L + (85L * t.getOrElse(n, 0L)) / 100L)).toMap
+    }
+    assert(got == r, s"got $got want $r")
+    assert(got("hub") > got("a") && got("hub") > got("d"),
+      "the hub must outrank leaves")
+    val shuffled = Graph.pageRank(edges.repartition(7), iterations = 5)
+      .as[(String, Long)].collect().toMap
+    assert(shuffled == got, "fixed-point ranks must be partitioning-invariant")
+    graft.operators.OpCache.releaseAll()
+  }
+}
