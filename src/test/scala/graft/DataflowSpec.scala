@@ -469,8 +469,16 @@ class DataflowSpec extends SparkSpecBase {
     assert(snapSink.get.constraints ===
       Map("doc_id_present" -> "doc_id IS NOT NULL",
         "chars_positive" -> "n_chars > 0"))
+    assert(snapSink.get.guards ===
+      Map("min_rows" -> "1000", "max_shrink_pct" -> "20"))
+    assert(snapSink.get.snapshotTag === "corpus-${run_date}")
+    val gate = versioned.dataflows.head.transformations.collectFirst {
+      case e: graft.meta.ExpectSpec => e }
+    assert(gate.exists(_.failOnViolation),
+      "the change set must be gated by a failing expect transform")
     val pinned = versioned.dataflows(1).sources.head
-    assert(pinned.format === "snapshot" && pinned.options("version") === "7")
+    assert(pinned.format === "snapshot" &&
+      pinned.options("tag") === "corpus-2026-08-07")
   }
 
   test("metadata reach: sentences, normalize_text, take") {
