@@ -47,7 +47,7 @@ object Bench {
     "snapshot_point", "snapshot_dml", "snapshot_mor", "snapshot_agg",
     "fuzzy_names", "fuzzy_names_jw", "fuzzy_names_multi",
     "sample_weighted_group", "q_rolling", "q_anomaly", "text_blocklist",
-    "q_funnel", "q_cohort", "q_event_bigrams", "q_scd2", "q_pagerank",
+    "q_funnel", "q_cohort", "q_event_bigrams", "q_scd2", "q_scd2_apply", "q_pagerank",
     "q_gate_audit", "q_cube", "q_resample", "export_shards",
     "pipeline_docs", "pipeline_docs_v2", "pipeline_docs_v3",
     "pipeline_docs_v4")

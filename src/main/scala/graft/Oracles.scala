@@ -1662,6 +1662,22 @@ object Oracles {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
         |FROM c""".stripMargin,
 
+    // incremental SCD2 apply: the oracle IS the one-shot recompute —
+    // hash equality proves delta maintenance == full rebuild
+    "q_scd2_apply" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |c AS (SELECT * FROM b WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type,
+        |  ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+        |FROM c""".stripMargin,
+
     // PageRank: unrolled 5-iteration fixed-point replay — integer
     // floor division (// on non-negatives ≡ Spark's div) and exact
     // integer sums, so every node's rank matches bit-for-bit

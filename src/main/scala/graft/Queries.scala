@@ -1025,6 +1025,24 @@ object Queries {
       .select(col("key").as("user_id"), col("attr").as("event_type"),
         col("valid_from"), col("valid_to"), col("is_current"), col("version"))
 
+  /** INCREMENTAL SCD2 maintenance: build the history from the first
+    * half of event time, then APPLY the second half as a batch — only
+    * keys in the batch are touched, work is delta-sized. The oracle
+    * is the ONE-SHOT recompute over all events (same SQL as q_scd2):
+    * hash equality IS the maintenance theorem. */
+  def qScd2Apply(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val r = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (lo, hi) = (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime)
+    val mid = new java.sql.Timestamp(lo + (hi - lo) / 2)
+    val existing = operators.Versioning.scd2(ev.filter(col("ts") <= lit(mid)),
+      col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    operators.Versioning.scd2Apply(existing, ev.filter(col("ts") > lit(mid)),
+        col("user_id"), col("ts"), col("event_type"), col("event_id"))
+      .select(col("key").as("user_id"), col("attr").as("event_type"),
+        col("valid_from"), col("valid_to"), col("is_current"), col("version"))
+  }
+
   /** PageRank over the customer↔supplier trade graph (who-trades-
     * with-whom via orders+lineitem, undirected), 5 fixed-point power
     * iterations — integer div + long sums only, so the full rank
@@ -1951,6 +1969,7 @@ object Queries {
     "search_hybrid" -> searchHybrid _,
     "expectations_report" -> expectationsReport _,
     "q_scd2" -> qScd2 _,
+    "q_scd2_apply" -> qScd2Apply _,
     "q_pagerank" -> qPageRank _,
     "mix_sqrt" -> mixSqrt _,
     "emb_centroids" -> embCentroids _,

@@ -79,4 +79,49 @@ object Versioning {
         col("valid_to"), col("valid_to").isNull.as("is_current"),
         col("version"))
   }
+
+  /**
+   * INCREMENTAL [[scd2]] maintenance: apply a batch of NEW events to
+   * an existing history — only keys present in the batch are touched
+   * (their open version replays as a pseudo-event together with the
+   * new events; closed versions and untouched keys carry forward
+   * verbatim), so the work is DELTA-sized: at 100 TB the nightly
+   * update costs |batch| + one row per affected key, never the
+   * dimension. The result is EXACTLY `scd2(allEventsEverSeen)` —
+   * spec-asserted and oracle-gated against the one-shot recompute.
+   *
+   * Contract: append-only event time — a batch event must not predate
+   * an affected key's current `valid_from` (late events need the
+   * one-shot rebuild; SCD2 stores only run starts, so the history to
+   * splice into is no longer materialized).
+   *
+   * `existing` must have [[scd2]]'s output schema; `tieFloor` is a
+   * tie value sorting BEFORE any real event at the same timestamp
+   * (the pseudo-event must stay the run's opener).
+   */
+  def scd2Apply(existing: DataFrame, events: DataFrame, key: Column,
+                ts: Column, attr: Column, tieBreak: Column,
+                tieFloor: Column = lit(Long.MinValue)): DataFrame = {
+    val ev = events.select(key.as("key"), ts.as("ts"),
+      tieBreak.as("tie"), attr.as("attr"))
+    val affected = ev.select("key").distinct()
+    val untouched = existing.join(affected, Seq("key"), "left_anti")
+    val touched = existing.join(affected, Seq("key"), "left_semi")
+    val closed = touched.filter(!col("is_current"))
+    val open = touched.filter(col("is_current"))
+    // replay = each affected key's open version as a pseudo-event
+    // (tieFloor keeps it first within its own timestamp) + the batch
+    val replay = open
+      .select(col("key"), col("valid_from").as("ts"),
+        tieFloor.cast(ev.schema("tie").dataType).as("tie"), col("attr"))
+      .unionByName(ev)
+    val rebuilt = scd2(replay, col("key"), col("ts"), col("attr"), col("tie"))
+    // version numbering continues where the closed history left off
+    val offsets = open.select(col("key"), (col("version") - 1).as("__off"))
+    val renumbered = rebuilt.join(offsets, Seq("key"), "left")
+      .withColumn("version",
+        (col("version") + coalesce(col("__off"), lit(0))).cast("int"))
+      .drop("__off")
+    untouched.unionByName(closed).unionByName(renumbered)
+  }
 }

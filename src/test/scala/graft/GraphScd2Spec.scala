@@ -36,6 +36,33 @@ class GraphScd2Spec extends SparkSpecBase {
       (3L, Some("b"), ts("2026-01-01 00:00:00"), None, true, 2)), s"got $out")
   }
 
+  test("scd2Apply == full recompute at every split point: collapse across the boundary, new keys, untouched keys") {
+    val ev = Seq(
+      (1L, ts("2026-01-01 00:00:00"), 10L, "free"),
+      (1L, ts("2026-01-02 00:00:00"), 11L, "free"),  // collapses across any split
+      (1L, ts("2026-01-03 00:00:00"), 12L, "pro"),
+      (1L, ts("2026-01-04 00:00:00"), 13L, "free"),
+      (2L, ts("2026-01-01 00:00:00"), 20L, "a"),     // untouched when split late
+      (3L, ts("2026-01-05 00:00:00"), 30L, "x"))     // new key in late batches
+      .toDF("user_id", "ts", "event_id", "plan")
+    def history(df: org.apache.spark.sql.DataFrame) =
+      Versioning.scd2(df, col("user_id"), col("ts"), col("plan"),
+        col("event_id"))
+    val full = history(ev)
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean, Int)]
+      .collect().toSet
+    for (cut <- Seq("2026-01-01 12:00:00", "2026-01-02 12:00:00",
+      "2026-01-03 12:00:00", "2026-01-04 12:00:00")) {
+      val existing = history(ev.filter(col("ts") <= lit(ts(cut))))
+      val applied = Versioning.scd2Apply(existing,
+        ev.filter(col("ts") > lit(ts(cut))),
+        col("user_id"), col("ts"), col("plan"), col("event_id"))
+        .as[(Long, String, Timestamp, Option[Timestamp], Boolean, Int)]
+        .collect().toSet
+      assert(applied == full, s"split at $cut diverged")
+    }
+  }
+
   test("pageRank matches an independent integer-arithmetic model; partitioning-invariant") {
     // small directed graph made undirected, with a clear hub
     val raw = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "d"),
