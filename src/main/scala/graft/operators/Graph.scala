@@ -37,21 +37,30 @@ object Graph {
                scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"pageRank: iterations out of range ($iterations)")
-    val e = OpCache.cache(edges.select(col("src"), col("dst")).distinct())
-    val deg = OpCache.cache(e.groupBy("src").agg(count(lit(1)).as("deg")))
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // (src, dst, deg) joined ONCE and cached: each iteration then costs
+    // one hash join with the rank frame + one map-side-combined groupBy
+    val ed = OpCache.cache(e.join(deg, Seq("src")))
     val nodes = OpCache.cache(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct())
+    // nodes with no in-edge keep the bare teleport rank every
+    // iteration — computed ONCE so the loop needs no per-iteration
+    // nodes join (on an undirected graph this frame is empty)
+    val noIn = OpCache.cache(
+      nodes.join(e.select(col("dst").as("node")).distinct(),
+        Seq("node"), "left_anti"))
     val teleport = (15L * scale) / 100L
     var r = nodes.withColumn("rank", lit(scale))
     (1 to iterations).foreach { _ =>
-      val t = e.join(deg, Seq("src"))
+      val t = ed
         .join(r.select(col("node").as("src"), col("rank")), Seq("src"))
         .select(col("dst").as("node"), expr("rank div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("t"))
-      r = nodes.join(t, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) + expr("(85 * coalesce(t, 0L)) div 100")).as("rank"))
+      r = t.select(col("node"),
+          (lit(teleport) + expr("(85 * t) div 100")).as("rank"))
+        .unionByName(noIn.withColumn("rank", lit(teleport)))
     }
     r
   }
