@@ -37,18 +37,25 @@ object Graph {
                scale: Long = 1000000L): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"pageRank: iterations out of range ($iterations)")
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // EAGER checkpoints, not lazy caches: the loop references these
+    // frames from several stages at once, and a lazy cache races its
+    // own materialization (concurrent stages each recompute the
+    // subtree before any one finishes populating it — measured as a
+    // multi-x input-bytes amplification in the plan audit). The
+    // checkpoint also truncates lineage, the standard iterative-
+    // algorithm hygiene.
+    val e = OpCache.checkpoint(edges.select(col("src"), col("dst")).distinct())
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg) joined ONCE and cached: each iteration then costs
-    // one hash join with the rank frame + one map-side-combined groupBy
-    val ed = OpCache.cache(e.join(deg, Seq("src")))
-    val nodes = OpCache.cache(
+    // (src, dst, deg) joined ONCE: each iteration then costs one hash
+    // join with the rank frame + one map-side-combined groupBy
+    val ed = OpCache.checkpoint(e.join(deg, Seq("src")))
+    val nodes = OpCache.checkpoint(
       e.select(col("src").as("node"))
         .unionByName(e.select(col("dst").as("node"))).distinct())
     // nodes with no in-edge keep the bare teleport rank every
     // iteration — computed ONCE so the loop needs no per-iteration
     // nodes join (on an undirected graph this frame is empty)
-    val noIn = OpCache.cache(
+    val noIn = OpCache.checkpoint(
       nodes.join(e.select(col("dst").as("node")).distinct(),
         Seq("node"), "left_anti"))
     val teleport = (15L * scale) / 100L
