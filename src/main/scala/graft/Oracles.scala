@@ -1720,7 +1720,11 @@ object Oracles {
         |orph AS (
         |  SELECT count(*) AS orphans FROM orders
         |  WHERE o_custkey IS NOT NULL
-        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+        |    AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |gb AS (
+        |  SELECT count(*) AS g_bad FROM (
+        |    SELECT o_orderstatus FROM orders WHERE o_orderstatus IS NOT NULL
+        |    GROUP BY 1 HAVING count(*) < 5))
         |SELECT 'row_count_between(1,10000000)' AS "check",
         |  n BETWEEN 1 AND 10000000 AS ok, n AS observed FROM m
         |UNION ALL SELECT 'unique(o_orderkey)', dup_ok = 0, dup_ok FROM m
@@ -1728,6 +1732,7 @@ object Oracles {
         |UNION ALL SELECT 'null_fraction(o_orderpriority,0bp)',
         |  nul_pr * 10000 <= 0 * n, nul_pr FROM m
         |UNION ALL SELECT 'in_range(o_custkey,1,100000000)', oor = 0, oor FROM m
+        |UNION ALL SELECT 'min_per_group(o_orderstatus,5)', g_bad = 0, g_bad FROM gb
         |UNION ALL SELECT 'subset_of(o_custkey,customer.c_custkey)',
         |  orphans = 0, orphans FROM orph""".stripMargin,
 

@@ -1072,6 +1072,7 @@ object Queries {
       Unique(Seq("o_custkey")),
       NullFraction("o_orderpriority", 0),
       InRange("o_custkey", 1L, 100000000L),
+      MinPerGroup("o_orderstatus", 5),
       SubsetOf("o_custkey", t(s, dir, "customer"), "c_custkey", "customer")))
   }
 

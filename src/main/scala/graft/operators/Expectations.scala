@@ -60,6 +60,15 @@ object Expectations {
     def render = s"subset_of($col,$refName.$refCol)"
   }
 
+  /** Per-group completeness ("did every partition land whole"): each
+    * PRESENT group of `groupCol` must hold at least `minRows` rows;
+    * observed = violating groups. A group absent entirely is invisible
+    * here — pair with [[SubsetOf]] against the expected group list to
+    * catch missing groups. */
+  final case class MinPerGroup(groupCol: String, minRows: Long) extends Check {
+    def render = s"min_per_group($groupCol,$minRows)"
+  }
+
   /**
    * Evaluate `checks` over `df`: one report row per check, in
    * declared order — `(check, ok, observed)` with `observed` the
@@ -83,6 +92,7 @@ object Expectations {
         Some(sum(when(col(c).isNotNull && (col(c) < lit(lo) || col(c) > lit(hi)),
           1L).otherwise(0L)).as(s"m$i"))
       case (_: SubsetOf, _) => None
+      case (_: MinPerGroup, _) => None
     }
     val rowsCol = count(lit(1)).as("__rows")
     val aggRow = df.agg(rowsCol, aggMeasures: _*)
@@ -110,6 +120,13 @@ object Expectations {
         orphans.select(lit(chk.render).as("check"),
           (col("orphans") === 0L).as("ok"),
           col("orphans").cast("long").as("observed"))
+      case (chk @ MinPerGroup(g, minRows), _) =>
+        df.filter(col(g).isNotNull).groupBy(col(g))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") < minRows)
+          .agg(count(lit(1)).as("__bad"))
+          .select(lit(chk.render).as("check"),
+            (col("__bad") === 0L).as("ok"),
+            col("__bad").cast("long").as("observed"))
     }
     frames.reduce(_ unionByName _)
   }
@@ -120,8 +137,9 @@ object Expectations {
 
   /** Compile a metadata check string (see [[graft.meta.ExpectSpec]]):
     * `row_count:lo-hi` | `unique:a+b` | `null_bp:col:maxBp` |
-    * `range:col:lo-hi` | `subset:col:frame.refCol` — `resolve` maps a
-    * frame name to the referential target. */
+    * `range:col:lo-hi` | `min_per_group:col:minRows` |
+    * `subset:col:frame.refCol` — `resolve` maps a frame name to the
+    * referential target. */
   def parse(spec: String, resolve: String => DataFrame): Check = {
     def range(s: String): (Long, Long) = s.split("-") match {
       case Array(lo, hi) => (lo.toLong, hi.toLong)
@@ -135,6 +153,7 @@ object Expectations {
       case Seq("null_bp", c, bp) => NullFraction(c, bp.toInt)
       case Seq("range", c, r) =>
         val (lo, hi) = range(r); InRange(c, lo, hi)
+      case Seq("min_per_group", g, minRows) => MinPerGroup(g, minRows.toLong)
       case Seq("subset", c, ref) => ref.split("\\.") match {
         case Array(frame, refCol) => SubsetOf(c, resolve(frame), refCol, frame)
         case _ => throw new IllegalArgumentException(

@@ -441,6 +441,38 @@ object StreamingIngest {
   }
 
   /**
+   * STREAMING ERASURE SINK — a stream of keys to forget (GDPR
+   * requests, retraction feeds) applied to a snapshot table as
+   * MERGE-ON-READ deletes ([[graft.operators.Snapshot.deleteMorKeys]]):
+   * each micro-batch is one deletion-vector commit — zero data files
+   * rewritten, cost ∝ batch keys (bloom/stats-pruned), the table's
+   * version log doubling as the erasure audit trail. Exactly-once
+   * WITHOUT a ledger: replaying a batch re-masks the same positions,
+   * and the vector union is idempotent by construction (positions
+   * only accumulate) — the replayed commit is visible-state-identical,
+   * so at-least-once delivery needs no dedup machinery at all. Run
+   * [[graft.operators.Snapshot.compact]] on whatever cadence
+   * amortizes the read tax (MORBENCH.md measures the trade).
+   */
+  def erasureSink(keys: DataFrame, tablePath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    keys.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applyErasureBatch(batch, tablePath)
+      }
+      .start()
+
+  private[graft] def applyErasureBatch(batch: DataFrame,
+                                       tablePath: String): Unit = {
+    if (!batch.isEmpty)
+      graft.operators.Snapshot.deleteMorKeys(batch.sparkSession,
+        tablePath, batch)
+    ()
+  }
+
+  /**
    * Read a [[cmsHeavyHittersSink]] log and rank the hot keys: union
    * every batch sketch into one (dedup'd by batch_id against
    * at-least-once replays), then score the distinct union of the

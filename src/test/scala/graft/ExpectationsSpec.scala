@@ -26,6 +26,8 @@ class ExpectationsSpec extends SparkSpecBase {
       NullFraction("tag", 2000),       // 1/5 null = 2000bp: ok (<=)
       NullFraction("tag", 1999),       // fail
       InRange("v", 0, 100),            // -1 out: 1 violation
+      MinPerGroup("tag", 2),           // 'a' and 'c' have 1 row: 2 bad groups
+      MinPerGroup("tag", 1),           // all present groups >= 1: ok
       SubsetOf("id", ref, "k", "ref"))) // id 4 orphan: 2 rows
     assert(out == Seq(
       ("row_count_between(1,10)", true, 5L),
@@ -35,6 +37,8 @@ class ExpectationsSpec extends SparkSpecBase {
       ("null_fraction(tag,2000bp)", true, 1L),
       ("null_fraction(tag,1999bp)", false, 1L),
       ("in_range(v,0,100)", false, 1L),
+      ("min_per_group(tag,2)", false, 2L),
+      ("min_per_group(tag,1)", true, 0L),
       ("subset_of(id,ref.k)", false, 2L)))
     assert(!Expectations.passes(df, Seq(Unique(Seq("id")))))
     assert(Expectations.passes(df, Seq(Unique(Seq("id", "v")))))
@@ -54,6 +58,7 @@ class ExpectationsSpec extends SparkSpecBase {
     assert(parse("unique:a+b", resolve) == Unique(Seq("a", "b")))
     assert(parse("null_bp:tag:250", resolve) == NullFraction("tag", 250))
     assert(parse("range:v:0-100", resolve) == InRange("v", 0, 100))
+    assert(parse("min_per_group:src:100", resolve) == MinPerGroup("src", 100))
     parse("subset:id:dim.k", resolve) match {
       case SubsetOf("id", _, "k", "dim") => ()
       case other => fail(s"got $other")

@@ -277,6 +277,32 @@ class SnapshotMorSpec extends SparkSpecBase {
     assert(c3 == 0 && Snapshot.tags(t).isEmpty)
   }
 
+  test("erasureSink: streamed key batches become MoR commits — zero rewrites, replay is visible-state idempotent") {
+    implicit val sq = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = build("erasure")
+    val cp = fresh("erasure_cp")
+    val before = dataFileDigest(t)
+    val stream = MemoryStream[Long]
+    val q = graft.streaming.StreamingIngest.erasureSink(
+      stream.toDF().toDF("id"), t, cp)
+    stream.addData(3L, 17L)
+    q.processAllAvailable()
+    stream.addData(24L, 999L) // 999 absent
+    q.processAllAvailable(); q.stop()
+    assert(Snapshot.currentVersion(t) == 3, "one commit per key batch")
+    assert(dataFileDigest(t) == before, "erasure rewrites nothing")
+    assert(rowsOf(Snapshot.readLatest(spark, t)) ==
+      rowsOf(seedDf.filter(!col("id").isin(3L, 17L, 24L))))
+    // replay: re-applying batch 2's keys commits a superset-identical
+    // vector — visible state unchanged (positions only accumulate)
+    graft.streaming.StreamingIngest.applyErasureBatch(
+      Seq(24L, 999L).toDF("id"), t)
+    assert(rowsOf(Snapshot.readLatest(spark, t)) ==
+      rowsOf(seedDf.filter(!col("id").isin(3L, 17L, 24L))))
+    assert(Snapshot.fsck(spark, t).isEmpty)
+  }
+
   test("commit guards: a wipeout merge and an over-budget MoR delete are rejected; rollback is exempt") {
     val t = fresh("guards")
     Snapshot.create(spark, t, seedDf, "id", "part",
