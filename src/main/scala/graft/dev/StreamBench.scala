@@ -144,6 +144,22 @@ object StreamBench {
         StreamingIngest.hllDistinctSink(events, "user_id", "event_type",
           s"$dir/out", s"$dir/ckpt")
       }),
+      // Streaming MoR erasure: STATELESS foreachBatch — each batch of
+      // keys-to-forget becomes ONE deletion-vector commit against a
+      // pre-built 200k-row snapshot table (zero data files rewritten;
+      // per-batch cost = bloom/stats-pruned key scan + a vector write,
+      // so the bound is the commit fixed cost, not row throughput —
+      // rate sized like the other foreachBatch sinks).
+      Scenario("erasure_mor", s => {
+        val dir = tmpDir("erasure")
+        val base = s.range(200000).select(col("id"),
+          (col("id") % 20).cast("string").as("part"),
+          concat(lit("p"), col("id")).as("payload"))
+        graft.operators.Snapshot.create(s, s"$dir/tbl", base, "id", "part",
+          statsCols = Seq("id"), fileRanges = 8)
+        val keys = rate(s, 2000).select((col("value") % 200000).as("id"))
+        StreamingIngest.erasureSink(keys, s"$dir/tbl", s"$dir/ckpt")
+      }),
       // Watermarked tumbling-window aggregation: state is
       // (#event_types x open windows), dropped 3s past window end.
       Scenario("windowed_agg", s => {
