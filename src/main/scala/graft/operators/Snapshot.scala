@@ -1566,13 +1566,19 @@ object Snapshot {
         .withColumn("__dv_p", col("_metadata.row_index"))
       val fresh = matching(raw)
         .select(col("__dv_f").as("file"), col("__dv_p").as("pos"))
-      val candPaths = candidates.map(_.path)
       val priorDirs = candidates.flatMap(_.dv).map(_.path).distinct
       val prior =
         if (priorDirs.isEmpty) fresh.limit(0)
-        else spark.read.parquet(priorDirs.map(d => s"$table/$d"): _*)
-          .filter(col("file").isin(candPaths: _*))
-          .select("file", "pos")
+        else {
+          // carried positions restricted to candidate files via a
+          // semi-join (an isin over a 100k-file manifest would bloat
+          // the plan; the path frame broadcasts)
+          import spark.implicits._
+          val candFrame = candidates.map(_.path).toDF("file")
+          spark.read.parquet(priorDirs.map(d => s"$table/$d"): _*)
+            .join(broadcast(candFrame), Seq("file"), "left_semi")
+            .select("file", "pos")
+        }
       val dvDir = f"files/c$v%08d/_dv"
       fresh.unionByName(prior).distinct()
         .write.mode("error").parquet(s"$table/$dvDir")
@@ -1746,10 +1752,13 @@ object Snapshot {
             foldMax(c).map(castStat(c, _)).getOrElse(
               lit(null).cast(schema(c).dataType)).as(s"max_$c")) ++
             (if (sumSet(c)) {
-              // exact driver fold: per-file sum strings add as BigDecimal
-              val total = clean.flatMap(_.stats.get(c).flatMap(_.sum))
-                .map(BigDecimal(_)).sum
-              Seq(lit(total.toString).cast("long").as(s"sum_$c"))
+              // exact driver fold: per-file sum strings add as
+              // BigDecimal; zero contributions (every clean file
+              // all-null) is SQL's NULL sum, not 0
+              val contribs = clean.flatMap(_.stats.get(c).flatMap(_.sum))
+              Seq((if (contribs.isEmpty) lit(null).cast("long")
+                   else lit(contribs.map(BigDecimal(_)).sum.toString)
+                     .cast("long")).as(s"sum_$c"))
             } else Nil)
         }
         Some(spark.range(1).select(lits: _*))

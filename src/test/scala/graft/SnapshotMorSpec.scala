@@ -247,6 +247,15 @@ class SnapshotMorSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("compact"))
     Snapshot.compact(spark, t, maxFilesPerPartition = 0) // full rewrite records sums
     assert(gotSum() == expectSum(), "compact re-records the sum stats")
+    // an entirely-null integral column folds to SQL's NULL sum, not 0
+    val t2 = fresh("sumnull")
+    Snapshot.create(spark, t2, spark.range(1, 9).select(col("id"),
+      concat(lit("p"), col("id") % 2).as("part"),
+      lit(null).cast("long").as("z")), "id", "part", statsCols = Seq("z"))
+    val row = Snapshot.aggStats(spark, t2, Seq("z"), sums = Seq("z"))
+      .collect().head
+    assert(row.isNullAt(row.fieldIndex("sum_z")) &&
+      row.getAs[Long]("n_z") == 0L)
   }
 
   test("tags pin versions: vacuum-proof, readTag serves, untag releases, CLI verbs work") {
