@@ -2569,24 +2569,46 @@ object Oracles {
     // manifest-only aggregate over the snapshot v3 state: replay both
     // merge change sets and aggregate the rebuilt state one-shot —
     // hash equality proves the driver-side fold of per-file
-    // rows/nulls/min/max stats is the exact global aggregate (graft
-    // opened ZERO data files to answer it)
+    // rows/nulls/min/max/sum stats is the exact global aggregate, and
+    // the nd_doc_id replay (portable md5-prefix HLL registers rebuilt
+    // from the state, same estimator as field_stats_approx) proves the
+    // per-file sketch UNION is bit-identical to a whole-table sketch
+    // (graft opened ZERO data files to answer any of it)
     "snapshot_agg" ->
-      """WITH s1 AS (
+      s"""WITH RECURSIVE $pow2Ctes,
+        |lct AS (SELECT $hllLinearCountLits AS lc),
+        |s1 AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
         |  FROM documents WHERE doc_id % 13 <> 0),
         |s2 AS (
         |  SELECT doc_id,
         |    CASE WHEN doc_id % 11 = 5 THEN n_chars + 7 ELSE n_chars END AS n_chars
-        |  FROM s1 WHERE doc_id % 23 <> 7)
+        |  FROM s1 WHERE doc_id % 23 <> 7),
+        |h AS (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS h52
+        |      FROM s2 WHERE doc_id IS NOT NULL),
+        |reg AS (
+        |  SELECT h52 >> 40 AS idx, MAX($hllRankCaseSql) AS r
+        |  FROM (SELECT h52, h52 & ${(1L << 40) - 1} AS rem FROM h)
+        |  GROUP BY 1),
+        |sk AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << (41 - r)) AS BIGINT) AS s_present,
+        |              COUNT(*) AS m_present FROM reg),
+        |est AS (SELECT (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096 * 4096 /
+        |          (CAST(s_present + (4096 - m_present) * ${1L << 41} AS DOUBLE)
+        |            / ${(1L << 41).toDouble}) AS e_raw,
+        |        4096 - m_present AS zeros
+        |       FROM sk),
+        |dc AS (SELECT CASE WHEN e_raw <= 10240.0 AND zeros > 0 THEN lc[CAST(zeros AS INT)]
+        |            ELSE CAST(ROUND(e_raw) AS BIGINT) END AS nd
+        |       FROM est, lct)
         |SELECT count(*) AS n_rows,
         |  count(doc_id) AS n_doc_id, min(doc_id) AS min_doc_id,
         |  max(doc_id) AS max_doc_id,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
         |  count(n_chars) AS n_n_chars, min(n_chars) AS min_n_chars,
         |  max(n_chars) AS max_n_chars,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+        |  (SELECT nd FROM dc) AS nd_doc_id
         |FROM s2""".stripMargin,
 
     // change feed between snapshot versions v2 and v3: rebuild both

@@ -1646,7 +1646,8 @@ object Queries {
       val docs = t(s, dir, "documents")
       Snapshot.create(s, p, docs, key = "doc_id", partitionCol = "source",
         statsCols = Seq("doc_id", "n_chars"), fileRanges = 8,
-        bloomCols = Seq("doc_id"), bloomBits = 1 << 14)
+        bloomCols = Seq("doc_id"), bloomBits = 1 << 14,
+        hllCols = Seq("doc_id"))
       val ups1 = docs
         .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 0)
         .withColumn("text", concat(col("text"), lit(" [v2]")))
@@ -1745,7 +1746,7 @@ object Queries {
   def snapshotAgg(s: SparkSession, dir: String): DataFrame =
     Snapshot.aggStats(s, snapshotTablePath(s, dir),
       Seq("doc_id", "n_chars"), version = 3,
-      sums = Seq("doc_id", "n_chars"))
+      sums = Seq("doc_id", "n_chars"), distincts = Seq("doc_id"))
 
   /** CHANGE FEED between two snapshot versions: #105's corpus delta
     * composed with the table format — `delta(readAt(v2), readAt(v3))`

@@ -61,6 +61,7 @@ object MetaLoader {
       mergeKey = str(n, "mergeKey", ""),
       statsCols = strArr(n, "statsCols"),
       bloomCols = strArr(n, "bloomCols"),
+      hllCols = strArr(n, "hllCols"),
       aggGroupBy = strArr(n, "aggGroupBy"),
       aggSums = strArr(n, "aggSums"),
       constraints = obj(n, "constraints"),

@@ -64,6 +64,10 @@ final case class SinkSpec(
     // the manifest at bootstrap (operators.Snapshot bloomCols) — the
     // point-lookup existence index for readWhereEq/pruneEq.
     bloomCols: Seq[String] = Nil,
+    // saveMode=snapshot: columns getting a per-file portable HLL
+    // sketch at bootstrap (operators.Snapshot hllCols) — the
+    // manifest-only distinct-count path of aggStats.
+    hllCols: Seq[String] = Nil,
     aggGroupBy: Seq[String] = Nil,
     aggSums: Seq[String] = Nil,
     // saveMode=snapshot: named CHECK constraints (SQL boolean

@@ -87,7 +87,8 @@ object Snapshot {
   final case class FileEntry(path: String, rows: Long,
                              stats: Map[String, ColStats],
                              blooms: Map[String, Array[Byte]] = Map.empty,
-                             dv: Option[DvRef] = None)
+                             dv: Option[DvRef] = None,
+                             hlls: Map[String, Array[Byte]] = Map.empty)
 
   /** How commit data is arranged into files. `fileRanges = 0` writes
     * with no extra shuffle; > 0 range-partitions into that many file
@@ -113,7 +114,8 @@ object Snapshot {
                             constraints: Map[String, String] = Map.empty,
                             bloomCols: Seq[String] = Nil,
                             bloomBits: Int = 0, bloomK: Int = 6,
-                            guards: Map[String, String] = Map.empty) {
+                            guards: Map[String, String] = Map.empty,
+                            hllCols: Seq[String] = Nil, hllP: Int = 12) {
     def files: Seq[FileEntry] = partitions.values.flatten.toSeq
     def rows: Long = files.map(_.rows).sum
     /** Visible rows: physical minus deletion-vector masked. */
@@ -242,6 +244,8 @@ object Snapshot {
     }
     val bc = root.putArray("bloom_cols"); m.bloomCols.foreach(bc.add)
     root.put("bloom_bits", m.bloomBits); root.put("bloom_k", m.bloomK)
+    val hc = root.putArray("hll_cols"); m.hllCols.foreach(hc.add)
+    root.put("hll_p", m.hllP)
     val b64 = java.util.Base64.getEncoder
     val parts = root.putObject("partitions")
     m.partitions.toSeq.sortBy(_._1).foreach { case (p, files) =>
@@ -265,6 +269,11 @@ object Snapshot {
         f.dv.foreach { d =>
           val dn = fn.putObject("dv")
           dn.put("path", d.path); dn.put("rows", d.rows)
+        }
+        if (f.hlls.nonEmpty) {
+          val hl = fn.putObject("hlls")
+          f.hlls.toSeq.sortBy(_._1).foreach { case (c, bytes) =>
+            hl.put(c, b64.encodeToString(bytes)) }
         }
       }
     }
@@ -303,7 +312,10 @@ object Snapshot {
             b.getKey -> b64.decode(b.getValue.asText())).toMap)
             .getOrElse(Map.empty),
           Option(fn.get("dv")).map(d =>
-            DvRef(d.get("path").asText(), d.get("rows").asLong())))
+            DvRef(d.get("path").asText(), d.get("rows").asLong())),
+          Option(fn.get("hlls")).map(_.properties().asScala.map(b =>
+            b.getKey -> b64.decode(b.getValue.asText())).toMap)
+            .getOrElse(Map.empty))
       }.toSeq
     }.toMap
     val layout = Option(root.get("layout")).map(l =>
@@ -325,7 +337,10 @@ object Snapshot {
       Option(root.get("bloom_k")).map(_.asInt()).getOrElse(6),
       Option(root.get("guards")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      Option(root.get("hll_cols")).map(_.elements().asScala
+        .map(_.asText()).toSeq).getOrElse(Nil),
+      Option(root.get("hll_p")).map(_.asInt()).getOrElse(12))
   }
 
   /** (version, op, parent, partitions, files, rows) per retained
@@ -389,8 +404,9 @@ object Snapshot {
     * location. */
   private def entriesOf(spark: SparkSession, dir: String, marker: String,
                         statsCols: Seq[String], bloomCols: Seq[String] = Nil,
-                        bloomBits: Int = 0,
-                        bloomK: Int = 6): Map[String, Seq[FileEntry]] = {
+                        bloomBits: Int = 0, bloomK: Int = 6,
+                        hllCols: Seq[String] = Nil,
+                        hllP: Int = 12): Map[String, Seq[FileEntry]] = {
     // a delete-only commit that empties its partitions writes no
     // partition dirs at all — nothing to read, nothing to list
     val hasParts = Files.isDirectory(Paths.get(dir)) && {
@@ -407,6 +423,7 @@ object Snapshot {
       case (c, _) if sumTracked(df.schema(c).dataType) => c }.toSet
     val bloomed = if (bloomBits <= 0) Nil
       else bloomCols.filter(df.columns.contains)
+    val hlled = hllCols.filter(df.columns.contains)
     val aggs = (count(lit(1)).as("__rows") +: tracked.flatMap { case (c, _) => Seq(
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c"),
@@ -414,7 +431,13 @@ object Snapshot {
       (if (summed(c)) Seq(sum(col(c)).cast("string").as(s"__sum_$c")) else Nil)
     }) ++
       bloomed.map(c => graft.functions.BloomExprs
-        .bloomBuild(col(c).cast("string"), bloomBits, bloomK).as(s"__bloom_$c"))
+        .bloomBuild(col(c).cast("string"), bloomBits, bloomK).as(s"__bloom_$c")) ++
+      // per-file PORTABLE HLL sketch (md5-prefix hashing): register
+      // max-merge is associative, so the union of per-file sketches is
+      // bit-identical to a whole-table sketch - the manifest-only
+      // distinct-count path of aggStats, replayable by any md5 engine
+      hlled.map(c => graft.functions.HllExprs
+        .hllSketch(col(c).cast("string"), hllP, portable = true).as(s"__hll_$c"))
     val rows = df.groupBy(input_file_name().as("__file"),
         col("__part").cast("string").as("__p"))
       .agg(aggs.head, aggs.tail: _*)
@@ -435,18 +458,21 @@ object Snapshot {
               r.getAs[Long](s"__nulls_$c"),
               if (summed(c)) Option(r.getAs[String](s"__sum_$c")) else None)
           }.toMap,
-          bloomed.map(c => c -> r.getAs[Array[Byte]](s"__bloom_$c")).toMap)
+          bloomed.map(c => c -> r.getAs[Array[Byte]](s"__bloom_$c")).toMap,
+          None,
+          hlled.map(c => c -> r.getAs[Array[Byte]](s"__hll_$c")).toMap)
       }.toSeq.sortBy(_.path)
     }
   }
 
   private def commitEntries(spark: SparkSession, table: String, v: Int,
                             statsCols: Seq[String], bloomCols: Seq[String] = Nil,
-                            bloomBits: Int = 0,
-                            bloomK: Int = 6): Map[String, Seq[FileEntry]] = {
+                            bloomBits: Int = 0, bloomK: Int = 6,
+                            hllCols: Seq[String] = Nil,
+                            hllP: Int = 12): Map[String, Seq[FileEntry]] = {
     val prefix = f"files/c$v%08d/"
     entriesOf(spark, commitDir(table, v), s"/$prefix", statsCols,
-        bloomCols, bloomBits, bloomK)
+        bloomCols, bloomBits, bloomK, hllCols, hllP)
       .map { case (p, fs) => p -> fs.map(f => f.copy(path = prefix + f.path)) }
   }
 
@@ -508,7 +534,8 @@ object Snapshot {
              constraints: Map[String, String] = Map.empty,
              bloomCols: Seq[String] = Nil,
              bloomBits: Int = 1 << 17, bloomK: Int = 6,
-             guards: Map[String, String] = Map.empty): CommitStats =
+             guards: Map[String, String] = Map.empty,
+             hllCols: Seq[String] = Nil, hllP: Int = 12): CommitStats =
     withCommitLock(table) {
       require(currentVersion(table) == 0,
         s"snapshot $table already exists (v${currentVersion(table)})")
@@ -527,16 +554,20 @@ object Snapshot {
         "snapshot: layout zorder needs zorderKeys")
       bloomCols.foreach(c => require(df.columns.contains(c),
         s"snapshot: bloom column '$c' not in df"))
+      hllCols.foreach(c => require(df.columns.contains(c),
+        s"snapshot: hll column '$c' not in df"))
+      require(hllP >= 4 && hllP <= 16, s"snapshot: hllP out of range ($hllP)")
       validatePartitionValues(df, partitionCol)
       enforceConstraints(df, constraints)
       val tracked = (key +: statsCols.filterNot(_ == key)).filter(df.columns.contains)
       val layout = Layout(fileRanges, layoutMode, zorderKeys)
       val (bBits, bK) = if (bloomCols.isEmpty) (0, 6) else (bloomBits, bloomK)
       writeCommit(df, table, 1, partitionCol, key, layout)
-      val parts = commitEntries(spark, table, 1, tracked, bloomCols, bBits, bK)
+      val parts = commitEntries(spark, table, 1, tracked, bloomCols, bBits, bK,
+        hllCols, hllP)
       writeManifest(table, Manifest(1, 0, "create", key, partitionCol, tracked,
         parts, layout, df.schema.toDDL, constraints, bloomCols, bBits, bK,
-        guards))
+        guards, hllCols, hllP))
       CommitStats(1, parts.keys.toSeq.sorted, Nil, parts.values.map(_.size).sum)
     }
 
@@ -641,7 +672,7 @@ object Snapshot {
         case Some(merged) =>
           writeCommit(merged, table, v, m.partitionCol, m.key, m.layout)
           val fresh = commitEntries(spark, table, v, m.statsCols,
-            m.bloomCols, m.bloomBits, m.bloomK)
+            m.bloomCols, m.bloomBits, m.bloomK, m.hllCols, m.hllP)
           val kept = m.partitions.filterNot(e => plan.affected.contains(e._1))
           val dropped = plan.affected.filterNot(fresh.contains) // emptied
           writeManifestReclaiming(table, m.copy(version = v, parent = cur, op = "merge",
@@ -699,7 +730,7 @@ object Snapshot {
         writeArranged(merged, s"$table/files/$name", m.partitionCol,
           m.key, m.layout)
         val sub = entriesOf(spark, s"$table/files/$name", s"/$name/",
-          m.statsCols, m.bloomCols, m.bloomBits, m.bloomK)
+          m.statsCols, m.bloomCols, m.bloomBits, m.bloomK, m.hllCols, m.hllP)
         StagedMerge(table, cur, Some(name), sub, plan.affected, plan.newDdl,
           upserts, deleteKeys)
     }
@@ -860,7 +891,7 @@ object Snapshot {
           .repartition(col("__part"))
           .write.mode("error").partitionBy("__part").parquet(commitDir(table, v))
         val fresh = commitEntries(spark, table, v, m.statsCols,
-          m.bloomCols, m.bloomBits, m.bloomK)
+          m.bloomCols, m.bloomBits, m.bloomK, m.hllCols, m.hllP)
         // carry schemaDdl (kept pre-evolution files still need the
         // manifest schema authority) and constraints forward — a
         // layout-only commit changes neither
@@ -1401,7 +1432,7 @@ object Snapshot {
       enforceConstraints(out, m.constraints)
       writeCommit(out, table, v, m.partitionCol, m.key, m.layout)
       val fresh = commitEntries(spark, table, v, m.statsCols,
-        m.bloomCols, m.bloomBits, m.bloomK)
+        m.bloomCols, m.bloomBits, m.bloomK, m.hllCols, m.hllP)
       // per partition: carried (non-candidate) files ++ replacement files
       val touched = m.partitions.collect {
         case (p, fs) if fs.exists(f => candPaths.contains(f.path)) => p }.toSet
@@ -1693,7 +1724,8 @@ object Snapshot {
    * exactly, which float/double addition cannot promise).
    */
   def aggStats(spark: SparkSession, table: String, cols: Seq[String],
-               version: Int = 0, sums: Seq[String] = Nil): DataFrame = {
+               version: Int = 0, sums: Seq[String] = Nil,
+               distincts: Seq[String] = Nil): DataFrame = {
     val v = if (version > 0) version else currentVersion(table)
     val m = readManifest(table, v)
     require(m.schemaDdl.nonEmpty, s"snapshot $table: no schema recorded")
@@ -1786,6 +1818,33 @@ object Snapshot {
       sum(col(s"n_$c")).as(s"n_$c"), min(col(s"min_$c")).as(s"min_$c"),
       max(col(s"max_$c")).as(s"max_$c")) ++
       (if (sumSet(c)) Seq(sum(col(s"sum_$c")).as(s"sum_$c")) else Nil))
-    partials.agg(finals.head, finals.tail: _*)
+    val base = partials.agg(finals.head, finals.tail: _*)
+
+    // DISTINCT estimates from the manifest's per-file portable HLL
+    // sketches: register max-merge is associative, so unioning the
+    // clean files' sketches (+ one scanned sketch over the dv-masked
+    // files) is bit-identical to sketching the whole visible table —
+    // `nd_<c>` costs zero data-file reads on a vector-free table
+    distincts.foreach { c =>
+      require(m.hllCols.contains(c),
+        s"snapshot $table: no HLL sketch tracked for '$c' " +
+          s"(tracked: ${m.hllCols.mkString(",")})")
+      clean.foreach(f => require(f.hlls.contains(c),
+        s"snapshot $table: file ${f.path} predates HLL tracking for '$c' — " +
+          "compact() once to record it"))
+    }
+    distincts.foldLeft(base) { (acc, c) =>
+      import graft.functions.HllExprs
+      val skFrame = spark.createDataset(clean.flatMap(_.hlls.get(c)))(
+        org.apache.spark.sql.Encoders.BINARY).toDF("sk")
+      val full =
+        if (dirty.isEmpty) skFrame
+        else skFrame.unionByName(readManifestFiles(spark, table, m, dirty)
+          .agg(HllExprs.hllSketch(col(c).cast("string"), m.hllP,
+            portable = true).as("sk")))
+      acc.crossJoin( // 1-row × 1-row
+        full.agg(HllExprs.hllEstimate(HllExprs.hllUnion(col("sk")))
+          .as(s"nd_$c")))
+    }
   }
 }

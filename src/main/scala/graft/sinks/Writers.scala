@@ -83,7 +83,8 @@ object Writers {
               zorderKeys = spec.layoutKeys,
               constraints = spec.constraints,
               bloomCols = spec.bloomCols,
-              guards = spec.guards)
+              guards = spec.guards,
+              hllCols = spec.hllCols)
           else
             graft.operators.Snapshot.merge(df.sparkSession, path, ups, del)
         if (spec.snapshotTag.nonEmpty)

@@ -20,8 +20,9 @@ class PlanGuardSpec extends SparkSpecBase {
     "skew_keys_approx", // crossJoin(broadcast(1-row CMS sketch))
     "lm_perplexity", // crossJoin(broadcast(1-row vocab size V))
     "pipeline_docs_v4", // inherits lm_perplexity's 1-row V broadcast
-    "search_hybrid" // inherits bm25's 1-row stats crossJoin + the
-                    // sim_topk-style broadcast(1-query) exact side
+    "search_hybrid", // inherits bm25's 1-row stats crossJoin + the
+                     // sim_topk-style broadcast(1-query) exact side
+    "snapshot_agg"   // crossJoin of 1-row manifest-partial frames
   )
   private val globalWindowAllowed = Set(
     "search_bm25",   // rank over topK rows after limit

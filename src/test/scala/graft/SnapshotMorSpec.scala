@@ -258,6 +258,29 @@ class SnapshotMorSpec extends SparkSpecBase {
       row.getAs[Long]("n_z") == 0L)
   }
 
+  test("aggStats DISTINCT: union of per-file sketches == whole-scan sketch, exact under vectors") {
+    val t = fresh("hll")
+    Snapshot.create(spark, t, seedDf, "id", "part",
+      statsCols = Seq("score"), fileRanges = 4,
+      hllCols = Seq("id", "payload"))
+    import graft.functions.HllExprs
+    def scanEst(c: String): Long = Snapshot.readLatest(spark, t)
+      .agg(HllExprs.hllEstimate(HllExprs.hllSketch(col(c).cast("string"),
+        12, portable = true))).collect().head.getLong(0)
+    def got(c: String): Long = Snapshot.aggStats(spark, t, Seq("id"),
+      distincts = Seq(c)).collect().head.getAs[Long](s"nd_$c")
+    assert(got("id") == scanEst("id"), "manifest union must equal the scan sketch")
+    assert(got("payload") == scanEst("payload"))
+    // mask one whole partition: its files go dirty (re-sketched
+    // dv-applied), the rest stay manifest-only — still scan-exact
+    Snapshot.deleteWhereMor(spark, t, Seq(("part", "p1", "p1")))
+    assert(got("id") == scanEst("id"), "hybrid path must stay scan-exact")
+    // untracked column rejected with the hllCols list
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.aggStats(spark, t, Seq("id"), distincts = Seq("score")) }
+    assert(e.getMessage.contains("no HLL sketch"))
+  }
+
   test("tags pin versions: vacuum-proof, readTag serves, untag releases, CLI verbs work") {
     val t = build("tags")
     Snapshot.deleteWhereMor(spark, t, Seq(("id", 10, 24))) // v2
