@@ -205,6 +205,19 @@ object Dataflow {
           frames + (s.output -> Chunking.chunk(in,
             org.apache.spark.sql.functions.col(s.contentCol),
             org.apache.spark.sql.functions.col(s.idCol), s.size, s.overlap))
+        case s: RrfSpec =>
+          val ranked = s.rankedInputs.map { f =>
+            f -> frames.getOrElse(f, throw new IllegalArgumentException(
+              s"rrf '${s.name}': unknown ranked input '$f'")) }
+          frames + (s.output -> Search.rrfFuse(ranked, s.fuseK, s.topK))
+        case s: Scd2Spec =>
+          import org.apache.spark.sql.functions.col
+          frames + (s.output -> Versioning.scd2(in,
+            col(s.keyCol), col(s.tsCol), col(s.attrCol), col(s.tieCol)))
+        case s: PageRankSpec =>
+          import org.apache.spark.sql.functions.col
+          val edges = in.select(col(s.srcCol).as("src"), col(s.dstCol).as("dst"))
+          frames + (s.output -> Graph.pageRank(edges, s.iterations))
         case s: ExpectSpec =>
           import org.apache.spark.sql.functions.col
           val checks = s.checks.map(Expectations.parse(_,

@@ -72,7 +72,8 @@ object MetaLoader {
     val name = str(n, "name")
     val p = n.get("params")
     require(p != null, s"transformation '$name' missing params")
-    val input = str(p, "input")
+    // `rrf` names its frames via ranked_inputs instead of input
+    def input = str(p, "input")
     def output = str(p, "output", name)
     str(n, "type") match {
       case "normalize_fields" =>
@@ -125,6 +126,21 @@ object MetaLoader {
           idCol = str(p, "id", "doc_id"),
           size = p.path("size").asInt(512),
           overlap = p.path("overlap").asInt(64))
+      case "rrf" =>
+        val ranked = strArr(p, "ranked_inputs")
+        require(ranked.size >= 2, s"rrf '$name': want >=2 ranked_inputs")
+        RrfSpec(name, ranked.head, output,
+          rankedInputs = ranked,
+          fuseK = p.path("fuse_k").asInt(60),
+          topK = p.path("top_k").asInt(10))
+      case "scd2" =>
+        Scd2Spec(name, input, output,
+          keyCol = str(p, "key"), tsCol = str(p, "ts"),
+          attrCol = str(p, "attr"), tieCol = str(p, "tie"))
+      case "pagerank" =>
+        PageRankSpec(name, input, output,
+          srcCol = str(p, "src", "src"), dstCol = str(p, "dst", "dst"),
+          iterations = p.path("iterations").asInt(5))
       case "expect" =>
         ExpectSpec(name, input, output,
           checks = strArr(p, "checks"),

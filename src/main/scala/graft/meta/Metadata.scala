@@ -735,6 +735,44 @@ final case class TopSpansSpec(
   extends TransformSpec
 
 /**
+ * graft extension: reciprocal-rank fusion
+ * ([[graft.operators.Search.rrfFuse]]) of two or more ranked frames
+ * (each `(doc_id, rank)`), named by `rankedInputs` — the hybrid
+ * lexical∪vector retrieval step; `input` is the first ranked frame.
+ */
+final case class RrfSpec(
+    name: String,
+    input: String,
+    output: String,
+    rankedInputs: Seq[String],
+    fuseK: Int = 60,
+    topK: Int = 10)
+  extends TransformSpec
+
+/** graft extension: SCD2 attribute history
+  * ([[graft.operators.Versioning.scd2]]) from an event stream. */
+final case class Scd2Spec(
+    name: String,
+    input: String,
+    output: String,
+    keyCol: String,
+    tsCol: String,
+    attrCol: String,
+    tieCol: String)
+  extends TransformSpec
+
+/** graft extension: fixed-point PageRank
+  * ([[graft.operators.Graph.pageRank]]) over an edge frame. */
+final case class PageRankSpec(
+    name: String,
+    input: String,
+    output: String,
+    srcCol: String = "src",
+    dstCol: String = "dst",
+    iterations: Int = 5)
+  extends TransformSpec
+
+/**
  * graft extension: symmetric int8 scalar quantization of an embedding
  * column — the 4×-smaller vector STORE (per-vector scale = max|x|/127).
  * Output: (idCol, q_scale double, q array<tinyint>); reconstruct with

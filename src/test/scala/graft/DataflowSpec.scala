@@ -481,6 +481,46 @@ class DataflowSpec extends SparkSpecBase {
       pinned.options("tag") === "corpus-2026-08-07")
   }
 
+  test("metadata reach: rrf, scd2, pagerank compile to the same plans as the direct API") {
+    val spec =
+      s"""{"dataflows":[{"name":"r7x",
+         |  "sources":[
+         |    {"name":"ev","path":"${sf()}/events.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"hist","type":"scd2","params":{"input":"ev",
+         |      "output":"hist","key":"user_id","ts":"ts",
+         |      "attr":"event_type","tie":"event_id"}},
+         |    {"name":"edges","type":"sql","params":{"input":"ev","output":"edges",
+         |      "query":"SELECT CAST(user_id AS STRING) AS src, event_type AS dst FROM ev UNION ALL SELECT event_type, CAST(user_id AS STRING) FROM ev"}},
+         |    {"name":"pr","type":"pagerank","params":{"input":"edges",
+         |      "output":"pr","iterations":3}},
+         |    {"name":"la","type":"sql","params":{"input":"ev","output":"la",
+         |      "query":"SELECT user_id AS doc_id, CAST(ROW_NUMBER() OVER (ORDER BY user_id) AS INT) AS rank FROM (SELECT DISTINCT user_id FROM ev) LIMIT 5"}},
+         |    {"name":"lb","type":"sql","params":{"input":"ev","output":"lb",
+         |      "query":"SELECT user_id AS doc_id, CAST(ROW_NUMBER() OVER (ORDER BY user_id DESC) AS INT) AS rank FROM (SELECT DISTINCT user_id FROM ev) LIMIT 5"}},
+         |    {"name":"fused","type":"rrf","params":{"output":"fused",
+         |      "ranked_inputs":["la","lb"],"top_k":4}}],
+         |  "sinks":[]}]}""".stripMargin
+    val frames = Dataflow.run(spark,
+      graft.meta.MetaLoader.loadString(spec).dataflow("r7x"))
+    val ev = spark.read.parquet(sf() + "/events.parquet")
+    val wantHist = graft.operators.Versioning.scd2(ev, col("user_id"),
+      col("ts"), col("event_type"), col("event_id"))
+    assert(frames("hist").collect().toSet == wantHist.collect().toSet)
+    val pr = frames("pr").as[(String, Long)].collect().toMap
+    val wantEdges = ev.selectExpr("CAST(user_id AS STRING) AS src",
+        "event_type AS dst")
+      .unionByName(ev.selectExpr("event_type AS src",
+        "CAST(user_id AS STRING) AS dst"))
+    val wantPr = graft.operators.Graph.pageRank(wantEdges, 3)
+      .as[(String, Long)].collect().toMap
+    assert(pr == wantPr)
+    val fused = frames("fused").select("doc_id", "rank")
+      .as[(Long, Int)].collect().toSet
+    assert(fused.size == 4 && fused.map(_._2) == Set(1, 2, 3, 4))
+    graft.operators.OpCache.releaseAll()
+  }
+
   test("metadata reach: sentences, normalize_text, take") {
     val spec =
       s"""{"dataflows":[{"name":"r4d",
