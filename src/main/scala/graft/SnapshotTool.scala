@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
  * [[ScheduleRunner]]:
  *
  * {{{
+ *   runMain graft.SnapshotTool describe /data/corpus_v    # rows/dv/tags/guards at the tip
  *   runMain graft.SnapshotTool history  /data/corpus_v
  *   runMain graft.SnapshotTool fsck     /data/corpus_v        # exit 1 on findings
  *   runMain graft.SnapshotTool compact  /data/corpus_v [maxFilesPerPartition=4]
@@ -36,6 +37,32 @@ object SnapshotTool {
     * main so specs drive it without forking a JVM. */
   def run(spark: SparkSession, args: Seq[String]): (Seq[String], Int) =
     args match {
+      case Seq("describe", table) =>
+        val v = Snapshot.currentVersion(table)
+        val m = Snapshot.readManifest(table, v)
+        val dvd = m.files.count(_.dv.isDefined)
+        val masked = m.rows - m.logicalRows
+        val tags = Snapshot.tags(table)
+        (Seq(
+          s"version          v$v (op ${m.op}, parent v${m.parent})",
+          s"rows             ${m.logicalRows} visible" +
+            (if (masked > 0) s" (${m.rows} physical, $masked masked by " +
+              s"deletion vectors on $dvd file(s) — compact to materialize)"
+             else ""),
+          s"partitions       ${m.partitions.size} (col ${m.partitionCol})",
+          s"files            ${m.files.size}",
+          s"key              ${m.key}",
+          s"stats cols       ${m.statsCols.mkString(",")}",
+          s"bloom cols       ${if (m.bloomCols.isEmpty) "-" else m.bloomCols.mkString(",")}",
+          s"hll cols         ${if (m.hllCols.isEmpty) "-" else m.hllCols.mkString(",")}",
+          s"layout           ${m.layout.mode}" +
+            (if (m.layout.fileRanges > 0) s" x${m.layout.fileRanges}" else "") +
+            (if (m.layout.zorderKeys.nonEmpty) s" on ${m.layout.zorderKeys.mkString(",")}" else ""),
+          s"constraints      ${if (m.constraints.isEmpty) "-" else m.constraints.keys.toSeq.sorted.mkString(",")}",
+          s"guards           ${if (m.guards.isEmpty) "-"
+            else m.guards.toSeq.sortBy(_._1).map { case (k, x) => s"$k=$x" }.mkString(",")}",
+          s"tags             ${if (tags.isEmpty) "-"
+            else tags.toSeq.sortBy(_._1).map { case (n, tv) => s"$n->v$tv" }.mkString(",")}"), 0)
       case Seq("history", table) =>
         val lines = Snapshot.history(table).map { case (v, op, parent, parts, files, rows) =>
           f"v$v%-4d $op%-14s parent=v$parent%-3d partitions=$parts%-4d files=$files%-5d rows=$rows"
@@ -99,7 +126,7 @@ object SnapshotTool {
           s"${st.filesWritten} file(s)"), 0)
       case other =>
         (Seq(s"unknown invocation: ${other.mkString(" ")}",
-          "usage: SnapshotTool history|fsck|compact|vacuum|rollback|" +
+          "usage: SnapshotTool describe|history|fsck|compact|vacuum|rollback|" +
             "delete-where|delete-mor|update-where|agg|tag|untag|tags " +
             "<table> [args]"), 2)
     }

@@ -211,6 +211,13 @@ class SnapshotMorSpec extends SparkSpecBase {
     val (out1, c1) = SnapshotTool.run(spark, Seq("delete-mor", t, "id", "10", "24"))
     assert(c1 == 0 && out1.head.contains("0 data files rewritten") &&
       out1.head.contains("visible rows 25"))
+    Snapshot.tag(t, "audit")
+    val (desc, c0) = SnapshotTool.run(spark, Seq("describe", t))
+    assert(c0 == 0)
+    val txt = desc.mkString("\n")
+    assert(txt.contains("25 visible") && txt.contains("40 physical") &&
+      txt.contains("15 masked") && txt.contains("audit->v2") &&
+      txt.contains("stats cols       id,score"))
     val (out2, c2) = SnapshotTool.run(spark, Seq("agg", t, "score"))
     assert(c2 == 0)
     val kv = out2.map { l => val Array(k, v) = l.split(" = "); k -> v }.toMap
