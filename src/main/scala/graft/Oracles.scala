@@ -2611,6 +2611,55 @@ object Oracles {
         |  (SELECT nd FROM dc) AS nd_doc_id
         |FROM s2""".stripMargin,
 
+    // HYBRID manifest aggregate at the tip (v7, deletion vectors
+    // live): replay ALL five DML waves on (doc_id, n_chars), then the
+    // same aggregate + portable-HLL replay as snapshot_agg — hash
+    // equality proves the clean-files-folded / dirty-files-scanned
+    // split is seamless
+    "snapshot_agg_mor" ->
+      s"""WITH RECURSIVE $pow2Ctes,
+        |lct AS (SELECT $hllLinearCountLits AS lc),
+        |s1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |s2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 5 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |  FROM s1 WHERE doc_id % 23 <> 7),
+        |s3 AS (SELECT * FROM s2 WHERE doc_id NOT BETWEEN 150 AND 199),
+        |s4 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id BETWEEN 300 AND 349 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM s3),
+        |st AS (SELECT * FROM s4 WHERE doc_id NOT BETWEEN 400 AND 480),
+        |h AS (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT) AS h52
+        |      FROM st WHERE doc_id IS NOT NULL),
+        |reg AS (
+        |  SELECT h52 >> 40 AS idx, MAX($hllRankCaseSql) AS r
+        |  FROM (SELECT h52, h52 & ${(1L << 40) - 1} AS rem FROM h)
+        |  GROUP BY 1),
+        |sk AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << (41 - r)) AS BIGINT) AS s_present,
+        |              COUNT(*) AS m_present FROM reg),
+        |est AS (SELECT (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096 * 4096 /
+        |          (CAST(s_present + (4096 - m_present) * ${1L << 41} AS DOUBLE)
+        |            / ${(1L << 41).toDouble}) AS e_raw,
+        |        4096 - m_present AS zeros
+        |       FROM sk),
+        |dc AS (SELECT CASE WHEN e_raw <= 10240.0 AND zeros > 0 THEN lc[CAST(zeros AS INT)]
+        |            ELSE CAST(ROUND(e_raw) AS BIGINT) END AS nd
+        |       FROM est, lct)
+        |SELECT count(*) AS n_rows,
+        |  count(doc_id) AS n_doc_id, min(doc_id) AS min_doc_id,
+        |  max(doc_id) AS max_doc_id,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+        |  count(n_chars) AS n_n_chars, min(n_chars) AS min_n_chars,
+        |  max(n_chars) AS max_n_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+        |  (SELECT nd FROM dc) AS nd_doc_id
+        |FROM st""".stripMargin,
+
     // change feed between snapshot versions v2 and v3: rebuild both
     // committed states relationally, then the same md5 full-outer
     // delta as corpus_delta — removed = the %23 deletions, updated =

@@ -1748,6 +1748,20 @@ object Queries {
       Seq("doc_id", "n_chars"), version = 3,
       sums = Seq("doc_id", "n_chars"), distincts = Seq("doc_id"))
 
+  /** The HYBRID aggregate path at the table TIP (v7 — deletion
+    * vectors live on the MoR-touched files): clean files fold from
+    * the manifest, dv-masked files — and only they — re-aggregate
+    * dv-applied, and the combination must equal the one-shot
+    * aggregate of the fully replayed DML state. The oracle replays
+    * all five DML waves then aggregates (incl. the portable-HLL
+    * distinct), so hash equality proves the clean/dirty split is
+    * seamless — the spec-only half of #174 promoted to a full
+    * oracle. */
+  def snapshotAggMor(s: SparkSession, dir: String): DataFrame =
+    Snapshot.aggStats(s, snapshotTablePath(s, dir),
+      Seq("doc_id", "n_chars"),
+      sums = Seq("doc_id", "n_chars"), distincts = Seq("doc_id"))
+
   /** CHANGE FEED between two snapshot versions: #105's corpus delta
     * composed with the table format — `delta(readAt(v2), readAt(v3))`
     * classifies every doc across the two committed states from the
@@ -2017,6 +2031,7 @@ object Queries {
     "snapshot_dml" -> snapshotDml _,
     "snapshot_mor" -> snapshotMor _,
     "snapshot_agg" -> snapshotAgg _,
+    "snapshot_agg_mor" -> snapshotAggMor _,
     "sim_index_snapshot" -> simIndexSnapshot _,
     "emb_quantize" -> embQuantize _,
     "sim_pq" -> simPq _,

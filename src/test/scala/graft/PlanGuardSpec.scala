@@ -22,7 +22,8 @@ class PlanGuardSpec extends SparkSpecBase {
     "pipeline_docs_v4", // inherits lm_perplexity's 1-row V broadcast
     "search_hybrid", // inherits bm25's 1-row stats crossJoin + the
                      // sim_topk-style broadcast(1-query) exact side
-    "snapshot_agg"   // crossJoin of 1-row manifest-partial frames
+    "snapshot_agg",  // crossJoin of 1-row manifest-partial frames
+    "snapshot_agg_mor" // same, at the dv-carrying tip
   )
   private val globalWindowAllowed = Set(
     "search_bm25",   // rank over topK rows after limit
