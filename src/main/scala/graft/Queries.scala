@@ -50,10 +50,35 @@ object Queries {
   // Reference surface: sources
   // ====================================================================
 
-  /** Scratch dir unique per input dir (parallel Verify runs on
-    * different SFs must not clobber each other's round-trip files). */
+  /** Per-JVM scratch root: pid + random nonce so CONCURRENT JVMs on
+    * the same box (driver verify + builder bench) can never share a
+    * scratch path. That matters because `aggMaintain` is a
+    * read-modify-swap (non-idempotent — two processes interleaving on
+    * one path double-apply the delta) and the snapshot/vec-index
+    * memos delete-and-rebuild their tree on first touch. Best-effort
+    * recursive cleanup on JVM exit. */
+  private val scratchRoot: String = {
+    val r = s"${System.getProperty("java.io.tmpdir")}/graft_scratch_" +
+      s"${ProcessHandle.current().pid()}_${java.util.UUID.randomUUID().toString.take(8)}"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(r))
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      try {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(r))
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.toSeq.reverse
+            .foreach(p => try java.nio.file.Files.delete(p) catch { case _: Exception => () })
+        } finally walk.close()
+      } catch { case _: Exception => () }
+    }))
+    r
+  }
+
+  /** Scratch dir unique per (JVM, tag, input dir): parallel Verify
+    * runs on different SFs must not clobber each other's round-trip
+    * files, and parallel JVMs must not touch each other's at all. */
   private def scratch(tag: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_${Integer.toHexString(dir.hashCode)}"
+    s"$scratchRoot/${tag}_${Integer.toHexString(dir.hashCode)}"
 
   /** JSON-lines source round-trip (reference: src/reader.py:25-27). */
   def srcJson(s: SparkSession, dir: String): DataFrame = {
@@ -762,15 +787,7 @@ object Queries {
   private val vecIndexMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def vecIndexPath(s: SparkSession, dir: String): String =
     vecIndexMemo.computeIfAbsent(dir, _ => {
-      val p = scratch("vec_index", dir)
-      val root = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.exists(root)) { // fresh build per JVM
-        val walk = java.nio.file.Files.walk(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
-        } finally walk.close()
-      }
+      val p = scratch("vec_index", dir) // per-JVM root → always fresh
       val e = t(s, dir, "embeddings")
       val cb = ivfAnchorCodebook(e)
       Similarity.ivfIndexCreate(s, p, e, col("vec_id"), col("embedding"), cb)
@@ -1634,15 +1651,7 @@ object Queries {
   private val snapshotMemo = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def snapshotTablePath(s: SparkSession, dir: String): String =
     snapshotMemo.computeIfAbsent(dir, _ => {
-      val p = scratch("snapshot_tbl", dir)
-      val root = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.exists(root)) { // fresh build per JVM
-        val walk = java.nio.file.Files.walk(root)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
-        } finally walk.close()
-      }
+      val p = scratch("snapshot_tbl", dir) // per-JVM root → always fresh
       val docs = t(s, dir, "documents")
       Snapshot.create(s, p, docs, key = "doc_id", partitionCol = "source",
         statsCols = Seq("doc_id", "n_chars"), fileRanges = 8,

@@ -565,7 +565,10 @@ object Snapshot {
       writeCommit(df, table, 1, partitionCol, key, layout)
       val parts = commitEntries(spark, table, 1, tracked, bloomCols, bBits, bK,
         hllCols, hllP)
-      writeManifest(table, Manifest(1, 0, "create", key, partitionCol, tracked,
+      // reclaiming publish: if a guard (e.g. min_rows) rejects the
+      // initial load, the freshly written files/c00000001 dir is
+      // deleted so a retried create() doesn't hit path-already-exists
+      writeManifestReclaiming(table, Manifest(1, 0, "create", key, partitionCol, tracked,
         parts, layout, df.schema.toDDL, constraints, bloomCols, bBits, bK,
         guards, hllCols, hllP))
       CommitStats(1, parts.keys.toSeq.sorted, Nil, parts.values.map(_.size).sum)
@@ -1047,12 +1050,15 @@ object Snapshot {
       // union may carry rows for files whose entry points at a newer
       // vector (a superset — positions only accumulate), so applying
       // the union is equivalent to applying each entry's own vector.
+      // the mask columns get reserved __dvm_ names so a table whose
+      // DATA schema contains 'file' or 'pos' still resolves unambiguously
       val dv = spark.read.parquet(dvDirs.map(d => s"$table/$d"): _*)
+        .select(col("file").as("__dvm_file"), col("pos").as("__dvm_pos"))
       val cols = base.columns
       base.withColumn("__dv_file", relFileCol)
         .withColumn("__dv_pos", col("_metadata.row_index"))
-        .join(dv, col("__dv_file") === col("file") &&
-          col("__dv_pos") === col("pos"), "left_anti")
+        .join(dv, col("__dv_file") === col("__dvm_file") &&
+          col("__dv_pos") === col("__dvm_pos"), "left_anti")
         .select(cols.map(col): _*)
     }
   }

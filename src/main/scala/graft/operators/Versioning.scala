@@ -97,13 +97,31 @@ object Versioning {
    *
    * `existing` must have [[scd2]]'s output schema; `tieFloor` is a
    * tie value sorting BEFORE any real event at the same timestamp
-   * (the pseudo-event must stay the run's opener).
+   * (the pseudo-event must stay the run's opener). When omitted it is
+   * derived from the tie column's ACTUAL type minimum — casting a
+   * fixed Long.MinValue would wrap (non-ANSI) to 0 for an Int tie
+   * column and silently let a same-timestamp batch event with tie<=0
+   * sort before the replayed open version. Non-numeric tie types have
+   * no derivable floor: pass one explicitly.
    */
   def scd2Apply(existing: DataFrame, events: DataFrame, key: Column,
                 ts: Column, attr: Column, tieBreak: Column,
-                tieFloor: Column = lit(Long.MinValue)): DataFrame = {
+                tieFloor: Column = null): DataFrame = {
     val ev = events.select(key.as("key"), ts.as("ts"),
       tieBreak.as("tie"), attr.as("attr"))
+    val floor = Option(tieFloor).getOrElse {
+      import org.apache.spark.sql.types._
+      ev.schema("tie").dataType match {
+        case LongType    => lit(Long.MinValue)
+        case IntegerType => lit(Int.MinValue)
+        case ShortType   => lit(Short.MinValue)
+        case ByteType    => lit(Byte.MinValue)
+        case DoubleType  => lit(Double.NegativeInfinity)
+        case FloatType   => lit(Float.NegativeInfinity)
+        case dt => throw new IllegalArgumentException(
+          s"scd2Apply: no derivable tie floor for type $dt — pass tieFloor explicitly")
+      }
+    }
     val affected = ev.select("key").distinct()
     val untouched = existing.join(affected, Seq("key"), "left_anti")
     val touched = existing.join(affected, Seq("key"), "left_semi")
@@ -113,7 +131,7 @@ object Versioning {
     // (tieFloor keeps it first within its own timestamp) + the batch
     val replay = open
       .select(col("key"), col("valid_from").as("ts"),
-        tieFloor.cast(ev.schema("tie").dataType).as("tie"), col("attr"))
+        floor.cast(ev.schema("tie").dataType).as("tie"), col("attr"))
       .unionByName(ev)
     val rebuilt = scd2(replay, col("key"), col("ts"), col("attr"), col("tie"))
     // version numbering continues where the closed history left off

@@ -63,6 +63,30 @@ class GraphScd2Spec extends SparkSpecBase {
     }
   }
 
+  test("scd2Apply Int tie column: derived floor keeps the open version the run's opener even vs negative batch ties") {
+    // tie is Int — a Long.MinValue floor cast non-ANSI would wrap to 0
+    // and let the same-timestamp batch event (tie -3 < 0) sort BEFORE
+    // the replayed open version, flipping which attr ends up current
+    val t1 = ts("2026-01-01 00:00:00")
+    val existing = Versioning.scd2(
+      Seq((1L, t1, 5, "free")).toDF("user_id", "ts", "event_id", "plan"),
+      col("user_id"), col("ts"), col("plan"), col("event_id"))
+    val applied = Versioning.scd2Apply(existing,
+      Seq((1L, t1, -3, "pro")).toDF("user_id", "ts", "event_id", "plan"),
+      col("user_id"), col("ts"), col("plan"), col("event_id"))
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean, Int)]
+      .collect().toSet
+    assert(applied == Set(
+      (1L, "free", t1, Some(t1), false, 1),
+      (1L, "pro", t1, None, true, 2)), s"got $applied")
+    // non-numeric tie types have no derivable floor: explicit or error
+    intercept[IllegalArgumentException] {
+      Versioning.scd2Apply(existing,
+        Seq((1L, t1, "a", "pro")).toDF("user_id", "ts", "event_id", "plan"),
+        col("user_id"), col("ts"), col("plan"), col("event_id"))
+    }
+  }
+
   test("pageRank matches an independent integer-arithmetic model; partitioning-invariant") {
     // small directed graph made undirected, with a clear hub
     val raw = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "d"),

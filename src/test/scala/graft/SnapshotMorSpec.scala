@@ -397,4 +397,42 @@ class SnapshotMorSpec extends SparkSpecBase {
     assert(byKey.getAs[Long]("n_rows") == 35 &&
       byKey.getAs[Long]("min_id") == 6L && byKey.getAs[Long]("max_id") == 40L)
   }
+
+  test("dv mask resolves on a table whose DATA schema contains 'file' and 'pos' columns") {
+    val t = fresh("dvnames")
+    // 'file'/'pos' collide with the deletion-vector frame's own column
+    // names — the mask join must stay unambiguous anyway
+    val df = spark.range(1, 41).select(col("id"),
+      concat(lit("f"), col("id")).as("file"),
+      (col("id") * 2).as("pos"),
+      concat(lit("p"), (col("id") % 4).cast("string")).as("part"))
+    Snapshot.create(spark, t, df, "id", "part", statsCols = Seq("pos"))
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 10, 24)))
+    val got = Snapshot.readLatest(spark, t)
+      .select("id", "file", "pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = (1L to 40L).filterNot(i => i >= 10 && i <= 24)
+      .map(i => (i, s"f$i", i * 2)).toSet
+    assert(got == want)
+    // compact() also reads dv-applied — must not trip on the names either
+    Snapshot.compact(spark, t, maxFilesPerPartition = 64)
+    val after = Snapshot.readLatest(spark, t)
+      .select("id", "file", "pos").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(after == want && Snapshot.fsck(spark, t).isEmpty)
+  }
+
+  test("guard-rejected create() reclaims its commit dir — a retried create succeeds") {
+    val t = fresh("createguard")
+    intercept[Snapshot.GuardViolationException] {
+      Snapshot.create(spark, t, seedDf.limit(5), "id", "part",
+        guards = Map("min_rows" -> "1000"))
+    }
+    assert(Snapshot.currentVersion(t) == 0, "no version may publish")
+    // the day-two retry with enough rows must not hit path-already-exists
+    Snapshot.create(spark, t, seedDf, "id", "part",
+      guards = Map("min_rows" -> "10"))
+    assert(Snapshot.currentVersion(t) == 1 &&
+      rowsOf(Snapshot.readLatest(spark, t)) == rowsOf(seedDf))
+  }
 }
