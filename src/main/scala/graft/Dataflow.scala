@@ -90,22 +90,22 @@ object Dataflow {
           import org.apache.spark.sql.functions.col
           val content = col(s.contentCol)
           val id = col(s.idCol)
+          // stats_path: load the train-once ShingleStats artifact
+          // when present; compute-and-save when not (the scheduled
+          // re-run then skips the frequency aggregation entirely)
+          def jaccardStats = s.statsPath.map { p =>
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+              Dedup.loadShingleStats(p)
+            else {
+              val st = Dedup.shingleStats(in, content, id)
+              Dedup.saveShingleStats(p, st)
+              st
+            }
+          }
           def pairs = s.method match {
             case "ngram_jaccard" =>
-              // stats_path: load the train-once ShingleStats artifact
-              // when present; compute-and-save when not (the scheduled
-              // re-run then skips the frequency aggregation entirely)
-              val stats = s.statsPath.map { p =>
-                if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-                  Dedup.loadShingleStats(p)
-                else {
-                  val st = Dedup.shingleStats(in, content, id)
-                  Dedup.saveShingleStats(p, st)
-                  st
-                }
-              }
               Dedup.ngramJaccard(in, content, id, threshold = s.threshold,
-                statsIn = stats)
+                statsIn = jaccardStats)
             case "minhash_lsh" =>
               Dedup.minhashLshVerified(in, content, id, threshold = s.threshold)
             case "simhash" =>
@@ -115,6 +115,15 @@ object Dataflow {
                 .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
             case other =>
               throw new IllegalArgumentException(s"dedup '${s.name}': unknown method '$other'")
+          }
+          // cluster consumers never need the quadratic exact pair
+          // set — the set-similarity methods route to banded-LSH
+          // candidates (volume tracks duplicate mass, not Σdf²);
+          // other methods' pair frames feed the CC directly
+          def clusters = s.method match {
+            case "ngram_jaccard" | "minhash_lsh" =>
+              Dedup.nearDupClusters(in, content, id, threshold = s.threshold)
+            case _ => Dedup.duplicateClusters(pairs)
           }
           val validModes = Set("filter", "pairs", "clusters", "cluster_filter",
             "keep_best")
@@ -134,11 +143,11 @@ object Dataflow {
             case (_, "pairs") => pairs
             case (_, "clusters") =>
               // connected-component labels over the near-dup graph
-              Dedup.duplicateClusters(pairs)
+              clusters
             case (_, "cluster_filter") =>
               // keep only each component's min-id canonical (plus
               // rows that appear in no pair at all)
-              in.join(Dedup.duplicateClusters(pairs)
+              in.join(clusters
                   .filter(col("cluster_id") =!= col("doc_id"))
                   .select(col("doc_id").as(s.idCol)),
                 Seq(s.idCol), "left_anti")
@@ -148,7 +157,7 @@ object Dataflow {
               // content length)
               val score = s.scoreCol.map(col).getOrElse(
                 org.apache.spark.sql.functions.length(content).cast("double"))
-              Dedup.dedupKeepBest(in, id, score, pairs)
+              Dedup.dedupKeepBestClusters(in, id, score, clusters)
             case (_, _) =>
               // drop the higher id of every near-dup pair
               in.join(pairs.select(col("doc_b").as(s.idCol)).distinct(),

@@ -599,12 +599,16 @@ object Queries {
       col("text"), col("doc_id"), freqIn = corpusFreq(s, dir))
   }
 
-  /** Duplicate clusters: connected components over the exact
-    * near-dup pair graph, min-id canonical labels. */
+  /** Duplicate clusters: connected components over the near-dup
+    * graph, min-id canonical labels — banded-LSH candidates
+    * ([[operators.Dedup.nearDupClusters]]): candidate volume tracks
+    * duplicate mass instead of Σdf² (measured at the ×10 corpus:
+    * 150 MB / 3.4 s vs the exact prefix join's 1.8 GB / 4.7 s). The
+    * oracle's recursive CTE replays the FULL exact pair graph — the
+    * gate certifies the banded candidates missed nothing, the same
+    * guarantee `dedup_minhash` carries. */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateClusters(
-      Dedup.ngramJaccard(t(s, dir, "documents"), col("text"), col("doc_id"),
-        statsIn = corpusStats(s, dir)))
+    Dedup.nearDupClusters(t(s, dir, "documents"), col("text"), col("doc_id"))
 
   /** The 20 most repeated 8-token spans corpus-wide — what IS the
     * boilerplate substring dedup would carve. */
@@ -616,9 +620,8 @@ object Queries {
     * the quality-aware alternative to keep-min-id. */
   def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    Dedup.dedupKeepBest(docs, col("doc_id"), length(col("text")),
-        Dedup.ngramJaccard(docs, col("text"), col("doc_id"),
-          statsIn = corpusStats(s, dir)))
+    Dedup.dedupKeepBestClusters(docs, col("doc_id"), length(col("text")),
+        Dedup.nearDupClusters(docs, col("text"), col("doc_id")))
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
   }
 
@@ -1471,8 +1474,7 @@ object Queries {
           col("doc_id")).as("__r"))
         .select(col("__r.doc_id"), col("__r.text"), col("__r.n_tokens")))
     val nonCanonical = Dedup
-      .duplicateClusters(Dedup.ngramJaccard(kept, col("text"), col("doc_id"),
-        statsIn = corpusStats(s, dir)))
+      .nearDupClusters(kept, col("text"), col("doc_id"))
       .filter(col("cluster_id") =!= col("doc_id"))
       .select("doc_id")
     val deduped = kept.join(nonCanonical, Seq("doc_id"), "left_anti")

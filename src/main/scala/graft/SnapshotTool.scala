@@ -61,6 +61,7 @@ object SnapshotTool {
           s"constraints      ${if (m.constraints.isEmpty) "-" else m.constraints.keys.toSeq.sorted.mkString(",")}",
           s"guards           ${if (m.guards.isEmpty) "-"
             else m.guards.toSeq.sortBy(_._1).map { case (k, x) => s"$k=$x" }.mkString(",")}",
+          s"expects          ${if (m.expects.isEmpty) "-" else m.expects.mkString(",")}",
           s"tags             ${if (tags.isEmpty) "-"
             else tags.toSeq.sortBy(_._1).map { case (n, tv) => s"$n->v$tv" }.mkString(",")}"), 0)
       case Seq("history", table) =>

@@ -66,6 +66,7 @@ object MetaLoader {
       aggSums = strArr(n, "aggSums"),
       constraints = obj(n, "constraints"),
       guards = obj(n, "guards"),
+      expects = strArr(n, "expects"),
       snapshotTag = str(n, "snapshotTag", ""))
 
   private def parseTransform(n: JsonNode): TransformSpec = {

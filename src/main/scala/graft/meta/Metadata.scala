@@ -37,7 +37,12 @@ final case class SinkSpec(
     name: String,
     paths: Seq[String],
     format: String,
-    saveMode: String,                  // overwrite | append | ignore | error | merge
+    saveMode: String,                  // overwrite | append | ignore | error |
+                                       // merge | snapshot | agg_maintain | erase
+                                       // (erase: input rows carry keys to
+                                       // forget; each path = an existing
+                                       // snapshot table getting one
+                                       // merge-on-read deletion-vector commit)
     partitionBy: Seq[String] = Nil,
     layout: String = "none",           // none | range | zorder
     layoutKeys: Seq[String] = Nil,
@@ -83,6 +88,13 @@ final case class SinkSpec(
     // one commit, is rejected at publish time (rollback exempt). The
     // bad-upstream circuit breaker, enforced by manifest math alone.
     guards: Map[String, String] = Map.empty,
+    // saveMode=snapshot: table-level EXPECTATION suite fixed at
+    // bootstrap (operators.Snapshot expects; Expectations grammar
+    // minus subset) — evaluated on the incoming frame of create and
+    // EVERY later merge, rejecting a bad delivery before anything is
+    // written; the dataset-quality sibling of `constraints` (row
+    // CHECKs) and `guards` (manifest math)
+    expects: Seq[String] = Nil,
     // saveMode=snapshot: TAG the committed version with this name
     // (operators.Snapshot.tag — vacuum-proof pin, re-tagging moves the
     // name). Under a Schedule, `${run_date}` interpolates before

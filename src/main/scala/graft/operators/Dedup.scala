@@ -275,16 +275,21 @@ object Dedup {
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "ph")
   }
 
-  /** Shared prefix-join predicate: equal prefix hash + mutual length
-    * bound + positional max-overlap bound (see [[ngramJaccard]]). */
-  private def prefixJoinCond(threshold: Double): Column = {
+  /** Mutual length bound + positional max-overlap bound over the
+    * "a"/"b" aliases (see [[ngramJaccard]]) — everything of the
+    * prefix-join predicate EXCEPT the bucket-key equality. */
+  private def prefixLenPosCond(threshold: Double): Column = {
     val minOverlap = ceil(lit(threshold / (1.0 + threshold)) *
       (col("a.sz") + col("b.sz")))
-    col("a.ph") === col("b.ph") &&
-      col("a.sz") >= lit(threshold) * col("b.sz") &&
+    col("a.sz") >= lit(threshold) * col("b.sz") &&
       col("b.sz") >= lit(threshold) * col("a.sz") &&
       least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) >= minOverlap
   }
+
+  /** Shared prefix-join predicate: equal prefix hash + mutual length
+    * bound + positional max-overlap bound (see [[ngramJaccard]]). */
+  private def prefixJoinCond(threshold: Double): Column =
+    col("a.ph") === col("b.ph") && prefixLenPosCond(threshold)
 
   /** Exact-Jaccard rescoring of candidate (doc_a, doc_b) pairs against
     * the (doc_id, sh) signature frame: O(n+m) sorted-merge
@@ -585,8 +590,14 @@ object Dedup {
    * shuffle.
    */
   def dedupKeepBest(df: DataFrame, id: Column, score: Column,
-                    pairs: DataFrame): DataFrame = {
-    val clusters = duplicateClusters(pairs)
+                    pairs: DataFrame): DataFrame =
+    dedupKeepBestClusters(df, id, score, duplicateClusters(pairs))
+
+  /** [[dedupKeepBest]] from an already-computed (doc_id, cluster_id)
+    * label frame — what [[nearDupComponents]] produces without ever
+    * materializing the quadratic pair set. */
+  def dedupKeepBestClusters(df: DataFrame, id: Column, score: Column,
+                            clusters: DataFrame): DataFrame = {
     // One (doc_id, score) row per id BEFORE the ranking window: if an
     // id appears on multiple input rows (re-ingested shards — the case
     // dupNgramCoverage documents), each copy would otherwise get its
@@ -746,6 +757,211 @@ object Dedup {
       org.apache.spark.sql.Row(nodes(i), minOf.get(find(i)))
     }
     spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
+  }
+
+  /**
+   * Component labels over the banded-LSH verified near-dup graph —
+   * the ONE-WAVE cluster path for ordinary corpora: candidate volume
+   * tracks duplicate mass (band collisions), not Σdf², so it stays
+   * ~linear where the exact prefix join goes quadratic (measured at
+   * the ×10 corpus: 150 MB vs 1.8 GB shuffle, 3.4 s vs 4.7 s).
+   * Recall is the standard LSH guarantee (miss ~8e-8 per genuine
+   * pair at t=0.8 with 32×16 banding); the driver gate's
+   * `dedup_minhash` row certifies zero misses against the EXACT pair
+   * oracle on the catalog corpus. When duplicate CLIQUES dominate
+   * (a page cloned 10⁶ times makes banded buckets quadratic too),
+   * use [[nearDupComponents]] instead — its star+repair verifies
+   * cliques at linear mass.
+   */
+  def nearDupClusters(df: DataFrame, content: Column, id: Column,
+                      k: Int = 3, threshold: Double = 0.8): DataFrame =
+    duplicateClusters(minhashLshVerified(df, content, id, k, threshold = threshold))
+
+  /**
+   * Near-dup CONNECTED COMPONENTS without materializing the quadratic
+   * verified-pair set — the scale path for CLUSTER consumers
+   * (cluster dedup, keep-best, the composed pipelines), producing
+   * labels IDENTICAL to `duplicateClusters(ngramJaccard(df, ...))`
+   * at a fraction of the shuffle.
+   *
+   * Why: within a family of c mutual near-clones the genuine pair set
+   * is C(c,2) — and exact-verify rescoring carries a shingle array per
+   * candidate pair, so the shuffle grows ~quadratically in clone count
+   * (measured ×80 bytes for ×10 input on the duplicate-heavy corpus).
+   * Connected components never needed all those edges: any spanning
+   * subset yields the same labels.
+   *
+   * Two phases, exact by construction:
+   *
+   *  1. STAR SEED — in every prefix bucket only pairs touching the
+   *     bucket's MIN or MAX doc_id become candidates. The two reps
+   *     come from one `min(struct)/max(struct)` aggregation (codegen'd,
+   *     map-side partial, skew-immune) that also yields the bucket
+   *     size for phase 2. Verified mass is ≤ 2·|prefix rows| — LINEAR
+   *     in the corpus. On clique-shaped families (the actual duplicate
+   *     mass) the star alone already connects everything.
+   *  2. REPAIR to a fixed point — re-run the prefix self-join with
+   *     each side carrying its CURRENT component label, keeping only
+   *     cross-label pairs not already tried. Two structural prunes
+   *     keep this pass near-free: (a) only buckets with MORE THAN 3
+   *     members participate (in a ≤3 bucket every pair touches the
+   *     min or max member, so it was star-tried — and most buckets
+   *     are size 1–2), and (b) quadratic same-label matches are
+   *     dropped inside the join, never shuffled. Each round verifies
+   *     only the surviving frontier, merges, and repeats until no
+   *     unseen cross-label candidate remains.
+   *
+   * Exactness: a genuine pair (x,y) shares a prefix element
+   * (prefix-filter theorem, no false negatives). If that shared
+   * bucket has ≤3 members the pair was star-verified, hence merged.
+   * Otherwise, while label(x) ≠ label(y) the pair stays a cross-label
+   * candidate of a big bucket; it is verified (genuine ⇒ passes) in
+   * some repair round, after which they share a component. At the
+   * fixed point every genuine pair is intra-component — exactly the
+   * components of the full pair graph, including which docs appear at
+   * all (a doc is labeled iff it has a verified edge iff it has a
+   * genuine pair). `maxRepairRounds` is a pathology guard (each round
+   * strictly grows the tried set, so termination is guaranteed
+   * anyway); rounds > 1 only occur on chain topologies, which carry
+   * no quadratic mass.
+   *
+   * CANDIDATE FAMILIES — `candidates` picks which bucket structure
+   * defines the graph being componentized:
+   *  - `"prefix"`: PPJoin prefix buckets → labels exactly equal
+   *    `duplicateClusters(ngramJaccard(...))`. Exact, but candidate
+   *    volume grows with Σdf² (superlinear on vocabulary-bounded
+   *    corpora) and the repair round must verify every cross-label
+   *    false candidate once — measured break-even with the full-pair
+   *    path on the ×10 corpus, winning only when duplicate cliques
+   *    dominate the candidate mass.
+   *  - `"banded"`: MinHash band buckets → labels exactly equal
+   *    `duplicateClusters(minhashLshVerified(...))` (same candidate
+   *    family, same exact verification; the usual LSH miss bound,
+   *    ~8e-8 per genuine pair at t=0.8). Measured at the ×10 corpus:
+   *    219 MB shuffle vs the prefix mode's 1.95 GB.
+   *  - `"auto"` (default): prefix, flipping to banded past the same
+   *    candidate-volume pre-flight as [[ngramJaccard]].
+   *
+   * WHEN TO USE WHICH (measured, ProfileCc): on ordinary corpora the
+   * one-wave [[nearDupClusters]] wins wall time — junk bucket
+   * collisions are cross-label forever, so the repair wave re-checks
+   * them serially (×10 corpus: 10.4 s here vs 3.4 s one-wave, same
+   * shuffle order). This operator is for the CLIQUE-HEAVY regime — a
+   * boilerplate page cloned 10⁵–10⁶ times makes every banded bucket
+   * quadratic in clones, one-wave verification is C(c,2) per family
+   * and infeasible, while the star collapses each clique at 2c
+   * verifications and the repair frontier is empty.
+   * Output: (doc_id, cluster_id) — [[duplicateClusters]]'s contract.
+   */
+  def nearDupComponents(df: DataFrame, content: Column, id: Column,
+                        k: Int = 3, threshold: Double = 0.8,
+                        candidates: String = "auto",
+                        freqOrdered: Boolean = true,
+                        freqIn: Option[Array[Long]] = None,
+                        statsIn: Option[ShingleStats] = None,
+                        maxRepairRounds: Int = 8,
+                        maxCandidatesPerDoc: Int = DefaultMaxCandidatesPerDoc): DataFrame = {
+    require(Set("auto", "prefix", "banded").contains(candidates),
+      s"nearDupComponents: unknown candidates strategy '$candidates'")
+    if (candidates != "banded") {
+      val sigs = shingleSigs(df, content, id, k)
+      val stats = statsIn.orElse {
+        if (freqIn.isDefined || !freqOrdered || maxCandidatesPerDoc <= 0) None
+        else Some(statsOf(sigs))
+      }
+      val degenerate = candidates == "auto" &&
+        stats.exists(st => maxCandidatesPerDoc > 0 &&
+          st.estCandidatesPerDoc(threshold) > maxCandidatesPerDoc)
+      if (degenerate) {
+        println(f"[graft] nearDupComponents: est. " +
+          f"${stats.get.estCandidatesPerDoc(threshold)}%.0f candidates/doc > " +
+          s"$maxCandidatesPerDoc — vocabulary-bounded corpus, banded buckets")
+        // fall through to the banded path below
+      } else {
+        val freq = freqIn.orElse(stats.map(_.frequent)).getOrElse(
+          if (freqOrdered) frequentSet(sigs, 4, 1 << 20) else Array.emptyLongArray)
+        val prefixes = OpCache.cache(prefixFrame(sigs, threshold, freq)
+          .withColumnRenamed("ph", "bk"))
+        return componentsOverBuckets(prefixes, sigs,
+          prefixLenPosCond(threshold), threshold, maxRepairRounds)
+      }
+    }
+    // banded: bucket key = (band, band_hash) folded to one 64-bit
+    // hash (collisions only merge buckets = a candidate superset —
+    // verification keeps it exact)
+    import graft.functions.TextHashExprs
+    val both = OpCache.cache(Scale.ensureParallelism(df)
+      .select(id.as("doc_id"),
+          TextHashExprs.minhashWithShingles(content, k, 32).as("b"))
+      .filter(col("b").isNotNull)
+      .select(col("doc_id"), col("b.sig").as("sig"), col("b.sh").as("sh")))
+    val sigsB = both.select("doc_id", "sh")
+    val banded = bandFrame(both.select("doc_id", "sig"), bands = 16, rows = 2)
+      .select(col("doc_id"), xxhash64(col("band"), col("band_hash")).as("bk"))
+    componentsOverBuckets(OpCache.cache(banded), sigsB,
+      lit(true), threshold, maxRepairRounds)
+  }
+
+  /** The star+repair component machinery over an arbitrary bucket
+    * frame (doc_id, bk [, cond columns]); see [[nearDupComponents]].
+    * `extraCond` is evaluated against aliases "a"/"b" on top of the
+    * bucket-key equality. */
+  private def componentsOverBuckets(buckets: DataFrame, sigs: DataFrame,
+                                    extraCond: Column, threshold: Double,
+                                    maxRepairRounds: Int): DataFrame = {
+    val bcols = buckets.columns.filterNot(_ == "bk") // doc_id [, sz, p]
+    // ONE aggregation yields both reps (min/max member, its cond
+    // columns riding the doc_id-led lexicographic struct order) and
+    // the bucket size phase 2 prunes on
+    val bucketAgg = OpCache.cache(buckets.groupBy(col("bk"))
+      .agg(min(struct(bcols.map(col): _*)).as("lo"),
+        max(struct(bcols.map(col): _*)).as("hi"),
+        count(lit(1)).as("bsz")))
+    val repRows = bucketAgg
+      .select(col("bk"), explode(array(col("lo"), col("hi"))).as("r"))
+      .select(col("bk") +: bcols.map(c => col(s"r.$c").as(c)): _*)
+      .distinct() // lo == hi on singleton buckets
+    val starCand = repRows.as("a").join(buckets.as("b"),
+        col("a.bk") === col("b.bk") &&
+          col("a.doc_id") =!= col("b.doc_id") && extraCond)
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    var tried = OpCache.cache(starCand)
+    var edges = OpCache.cache(
+      rescore(tried, sigs, threshold).select("doc_a", "doc_b"))
+    var labels = duplicateClusters(edges)
+    // phase 2: cross-label frontier over big buckets until fixed
+    // point (a ≤3 bucket's every pair touches its min or max member,
+    // so it was star-tried — only bigger buckets can hide a pair)
+    val bucketsBig = OpCache.cache(buckets.join(
+      bucketAgg.filter(col("bsz") > 3).select("bk"), Seq("bk"), "left_semi"))
+    var round = 0
+    var frontier = 1L
+    while (frontier > 0 && round < maxRepairRounds) {
+      val pl = bucketsBig.join(labels, Seq("doc_id"), "left")
+        .withColumn("lbl", coalesce(col("cluster_id"), col("doc_id")))
+        .drop("cluster_id")
+      val cross = pl.as("a").join(pl.as("b"),
+          col("a.bk") === col("b.bk") &&
+            col("a.doc_id") < col("b.doc_id") && extraCond &&
+            col("a.lbl") =!= col("b.lbl"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val fresh = OpCache.cache(cross.join(tried, Seq("doc_a", "doc_b"), "left_anti"))
+      frontier = fresh.count()
+      if (frontier > 0) {
+        val good = rescore(fresh, sigs, threshold).select("doc_a", "doc_b")
+        edges = OpCache.cache(edges.unionAll(good))
+        tried = OpCache.cache(tried.unionAll(fresh))
+        labels = duplicateClusters(edges)
+      }
+      round += 1
+    }
+    if (frontier > 0)
+      System.err.println(s"[graft] nearDupComponents: frontier nonempty after " +
+        s"$maxRepairRounds repair rounds (pathological chain); labels may merge short")
+    labels
   }
 
   /**

@@ -115,7 +115,8 @@ object Snapshot {
                             bloomCols: Seq[String] = Nil,
                             bloomBits: Int = 0, bloomK: Int = 6,
                             guards: Map[String, String] = Map.empty,
-                            hllCols: Seq[String] = Nil, hllP: Int = 12) {
+                            hllCols: Seq[String] = Nil, hllP: Int = 12,
+                            expects: Seq[String] = Nil) {
     def files: Seq[FileEntry] = partitions.values.flatten.toSeq
     def rows: Long = files.map(_.rows).sum
     /** Visible rows: physical minus deletion-vector masked. */
@@ -154,6 +155,14 @@ object Snapshot {
     * orphans that vacuum/fsck reclaim). Rollback is exempt: an
     * explicit undo may shrink the table. */
   final class GuardViolationException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Thrown when a table-level EXPECTATION suite rejects the incoming
+    * commit frame — evaluated BEFORE anything is written, so a
+    * rejected delivery leaves zero residue and the version counter
+    * untouched. The message names every failing check with its
+    * observed violation count. */
+  final class ExpectationViolationException(msg: String)
     extends RuntimeException(msg)
 
   // ---------------------------------------------------------------- paths
@@ -241,6 +250,10 @@ object Snapshot {
     if (m.guards.nonEmpty) {
       val gu = root.putObject("guards")
       m.guards.toSeq.sortBy(_._1).foreach { case (n, e) => gu.put(n, e) }
+    }
+    if (m.expects.nonEmpty) {
+      val ex = root.putArray("expects")
+      m.expects.foreach(ex.add)
     }
     val bc = root.putArray("bloom_cols"); m.bloomCols.foreach(bc.add)
     root.put("bloom_bits", m.bloomBits); root.put("bloom_k", m.bloomK)
@@ -340,7 +353,9 @@ object Snapshot {
         .getOrElse(Map.empty),
       Option(root.get("hll_cols")).map(_.elements().asScala
         .map(_.asText()).toSeq).getOrElse(Nil),
-      Option(root.get("hll_p")).map(_.asInt()).getOrElse(12))
+      Option(root.get("hll_p")).map(_.asInt()).getOrElse(12),
+      Option(root.get("expects")).map(_.elements().asScala
+        .map(_.asText()).toSeq).getOrElse(Nil))
   }
 
   /** (version, op, parent, partitions, files, rows) per retained
@@ -511,6 +526,31 @@ object Snapshot {
         s"CHECK constraint '$name' ($sql) violated, e.g. by row ${bad.head}")
     }
 
+  /** Reject the commit if the DATASET-level expectation suite fails
+    * on the incoming frame ([[Expectations]] grammar: `row_count:…`,
+    * `unique:…`, `null_bp:…`, `range:…`, `min_per_group:…`; `subset`
+    * is pipeline-level — it needs a reference frame — and is rejected
+    * at declaration). Where CHECK constraints gate individual rows,
+    * expectations gate the DELIVERY as a whole ("this refresh lost
+    * 40% of its rows", "this key stopped being unique") — evaluated
+    * on create's load and every merge's upsert frame BEFORE anything
+    * is written, so rejection leaves zero residue. Note a
+    * `row_count:lo-…` with lo > 0 makes pure-delete merges rejected
+    * by design (every delivery must carry rows); trickle deletions go
+    * through the MoR paths, which take no delivery frame. */
+  private def enforceExpectations(df: DataFrame, expects: Seq[String]): Unit = {
+    if (expects.isEmpty) return
+    val checks = expects.map(e => Expectations.parse(e, _ =>
+      throw new IllegalArgumentException(
+        s"snapshot expects: subset checks need a reference frame and are " +
+          s"pipeline-level (use the expect transform) — '$e'")))
+    val bad = Expectations.report(df, checks).filter(!col("ok"))
+      .select("check", "observed").collect()
+    if (bad.nonEmpty) throw new ExpectationViolationException(
+      "snapshot: expectation(s) rejected the incoming commit frame: " +
+        bad.map(r => s"${r.getString(0)} observed=${r.getLong(1)}").mkString("; "))
+  }
+
   private def validatePartitionValues(df: DataFrame, partitionCol: String): Unit = {
     val bad = df.select(col(partitionCol).cast("string").as("p")).distinct()
       .filter(col("p").isNull || !col("p").rlike("^[A-Za-z0-9._-]+$"))
@@ -535,7 +575,8 @@ object Snapshot {
              bloomCols: Seq[String] = Nil,
              bloomBits: Int = 1 << 17, bloomK: Int = 6,
              guards: Map[String, String] = Map.empty,
-             hllCols: Seq[String] = Nil, hllP: Int = 12): CommitStats =
+             hllCols: Seq[String] = Nil, hllP: Int = 12,
+             expects: Seq[String] = Nil): CommitStats =
     withCommitLock(table) {
       require(currentVersion(table) == 0,
         s"snapshot $table already exists (v${currentVersion(table)})")
@@ -559,6 +600,7 @@ object Snapshot {
       require(hllP >= 4 && hllP <= 16, s"snapshot: hllP out of range ($hllP)")
       validatePartitionValues(df, partitionCol)
       enforceConstraints(df, constraints)
+      enforceExpectations(df, expects)
       val tracked = (key +: statsCols.filterNot(_ == key)).filter(df.columns.contains)
       val layout = Layout(fileRanges, layoutMode, zorderKeys)
       val (bBits, bK) = if (bloomCols.isEmpty) (0, 6) else (bloomBits, bloomK)
@@ -570,7 +612,7 @@ object Snapshot {
       // deleted so a retried create() doesn't hit path-already-exists
       writeManifestReclaiming(table, Manifest(1, 0, "create", key, partitionCol, tracked,
         parts, layout, df.schema.toDDL, constraints, bloomCols, bBits, bK,
-        guards, hllCols, hllP))
+        guards, hllCols, hllP, expects))
       CommitStats(1, parts.keys.toSeq.sorted, Nil, parts.values.map(_.size).sum)
     }
 
@@ -616,6 +658,7 @@ object Snapshot {
     // table invariants gate EVERY commit — checked before anything is
     // cached or written, so a rejected commit leaves zero residue
     enforceConstraints(upserts, m.constraints)
+    enforceExpectations(upserts, m.expects)
 
     val ups = OpCache.cache(upserts)
     val dels = OpCache.cache(deleteKeys.select(col(key)).distinct())

@@ -84,7 +84,8 @@ object Writers {
               constraints = spec.constraints,
               bloomCols = spec.bloomCols,
               guards = spec.guards,
-              hllCols = spec.hllCols)
+              hllCols = spec.hllCols,
+              expects = spec.expects)
           else
             graft.operators.Snapshot.merge(df.sparkSession, path, ups, del)
         if (spec.snapshotTag.nonEmpty)
@@ -134,6 +135,31 @@ object Writers {
             spec.aggGroupBy, spec.aggSums, rem, add)
           println(s"[sink ${spec.name}] maintained aggregate table at $path")
         }
+      }
+      return
+    }
+    // merge-on-read ERASURE (operators.Snapshot.deleteMorKeys): the
+    // input frame carries KEYS TO FORGET (the GDPR/retraction wave);
+    // each path must be an existing snapshot table, and every path
+    // gets ONE deletion-vector commit — zero data files rewritten,
+    // bloom/stats-pruned key scans, the version log as audit trail.
+    // The declarative reach for what `SnapshotTool delete-mor` does
+    // imperatively; streaming twin: StreamingIngest.erasureSink.
+    if (spec.saveMode == "erase") {
+      require(spec.format == "parquet" || spec.format == "snapshot",
+        s"sink '${spec.name}': saveMode erase targets snapshot tables " +
+          s"(format parquet|snapshot, got ${spec.format})")
+      require(spec.partitionBy.isEmpty && spec.layout == "none",
+        s"sink '${spec.name}': erase commits into an existing table — " +
+          "partitionBy/layout have no meaning here")
+      spec.paths.foreach { path =>
+        require(graft.operators.Snapshot.exists(path),
+          s"sink '${spec.name}': erase target $path is not a snapshot table")
+        val st = graft.operators.Snapshot.deleteMorKeys(df.sparkSession, path, df)
+        if (spec.snapshotTag.nonEmpty)
+          graft.operators.Snapshot.tag(path, spec.snapshotTag, st.version)
+        println(s"[sink ${spec.name}] erased into $path: now v${st.version}, " +
+          s"${st.filesWritten} data file(s) written (deletion vectors only)")
       }
       return
     }

@@ -439,6 +439,38 @@ class DataflowSpec extends SparkSpecBase {
     assert(spark.read.parquet("/tmp/graft_example_corpus").count() === n)
   }
 
+  test("metadata sink: saveMode erase drives a merge-on-read deletion wave from JSON, fsck-clean") {
+    val t = java.nio.file.Files.createTempDirectory("graft_erase").toString + "/tbl"
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    graft.operators.Snapshot.create(spark, t, docs, "doc_id", "source",
+      statsCols = Seq("doc_id"), bloomCols = Seq("doc_id"), bloomBits = 1 << 14)
+    val before = docs.count()
+    val spec =
+      s"""{"dataflows":[{"name":"gdpr",
+         |  "sources":[{"name":"docs","path":"${sf()}/documents.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"keys","type":"sql","params":{"input":"docs","output":"keys",
+         |      "query":"SELECT doc_id FROM docs WHERE doc_id % 5 = 0"}}],
+         |  "sinks":[{"input":"keys","name":"wave","paths":["$t"],
+         |    "format":"parquet","saveMode":"erase"}]}]}""".stripMargin
+    graft.Dataflow.run(spark, MetaLoader.loadString(spec).dataflow("gdpr"))
+    // one deletion-vector commit: zero data files rewritten, rows masked
+    val m2 = graft.operators.Snapshot.readManifest(t, 2)
+    assert(m2.op == "delete-mor" &&
+      m2.files.map(_.path).toSet ==
+        graft.operators.Snapshot.readManifest(t, 1).files.map(_.path).toSet)
+    val left = graft.operators.Snapshot.readLatest(spark, t)
+    assert(left.filter(col("doc_id") % 5 === 0).count() == 0)
+    assert(left.count() == before - docs.filter(col("doc_id") % 5 === 0).count())
+    assert(graft.operators.Snapshot.fsck(spark, t).isEmpty)
+    // a non-snapshot target is rejected loudly
+    val badSpec = spec.replace(s"""["$t"]""", s"""["$t-nope"]""")
+    intercept[IllegalArgumentException] {
+      graft.Dataflow.run(spark, MetaLoader.loadString(badSpec).dataflow("gdpr"))
+    }
+  }
+
   test("shipped example specs parse: incremental_refresh, scheduled_delta") {
     // these compose ${run_date} templates + /data paths, so they can't
     // execute here — but every transform/sink must RESOLVE (a typo'd

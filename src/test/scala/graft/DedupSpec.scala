@@ -335,6 +335,69 @@ class DedupSpec extends SparkSpecBase {
     assert(star === Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("nearDupComponents == duplicateClusters(ngramJaccard) on the real corpus") {
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    for (t <- Seq(0.8, 0.6)) {
+      val full = Dedup.duplicateClusters(
+          Dedup.ngramJaccard(d, col("text"), col("doc_id"), threshold = t))
+        .as[(Long, Long)].collect().toMap
+      val got = Dedup.nearDupComponents(d, col("text"), col("doc_id"),
+          threshold = t, candidates = "prefix")
+        .as[(Long, Long)].collect().toMap
+      assert(got === full, s"threshold=$t diverged")
+      // banded buckets verify the same genuine pairs here (the LSH
+      // recall the dedup_minhash oracle certifies), so the labels
+      // must coincide with the exact ones too
+      val banded = Dedup.nearDupComponents(d, col("text"), col("doc_id"),
+          threshold = t, candidates = "banded")
+        .as[(Long, Long)].collect().toMap
+      assert(banded === full, s"banded at threshold=$t diverged")
+    }
+    graft.operators.OpCache.releaseAll()
+  }
+
+  test("nearDupComponents repair phase: a bucket whose reps match nothing still yields exact components") {
+    // Deterministic star-miss: TWO hubs own the min/max rep slots of
+    // every shared bucket but are genuinely similar to nothing
+    // (diluted with high-hash junk), while the two non-rep middle
+    // members y~z are a genuine pair. The star seed verifies only
+    // hub-touching pairs — all fail — so phase 1 yields NO edges; the
+    // bucket has 4 members (> 3, so it enters the repair join) and
+    // only the cross-label repair round can discover (y,z).
+    // Hash-order is pinned by construction: roles are assigned from
+    // the ACTUAL shingle-hash order (freqOrdered off keeps it the
+    // raw order), so prefixes are exactly the sets the scenario needs.
+    val pool = ('a' to 'z').map(c => s"w$c")
+    val hashed = pool.toDF("w")
+      .select(col("w"), element_at(
+        graft.functions.TextHashExprs.shingleHashes(col("w"), 1), 1).as("h"))
+      .as[(String, Long)].collect().sortBy(_._2).map(_._1)
+    val Seq(h, p, q, r) = hashed.take(4).toSeq // 4 hash-smallest words
+    val junk1 = hashed.takeRight(4)            // hash-largest junk
+    val junk2 = hashed.dropRight(4).takeRight(4)
+    val corpus = Seq(
+      (1L, (Seq(h, p) ++ junk1).mkString(" ")), // min-hub: prefix = 4 smallest ⊇ {h,p}
+      (2L, s"$h $p $q"),                        // y: prefix = {h,p}
+      (3L, s"$h $p $r"),                        // z: prefix = {h,p}; j(y,z)=2/4=0.5
+      (9L, (Seq(h, p) ++ junk2).mkString(" "))) // max-hub
+      .toDF("doc_id", "text")
+    // star-only (no repair) provably finds nothing — the fixture
+    // genuinely requires the repair phase
+    assert(Dedup.nearDupComponents(corpus, col("text"), col("doc_id"),
+      k = 1, threshold = 0.5, candidates = "prefix", freqOrdered = false,
+      maxRepairRounds = 0).isEmpty)
+    val got = Dedup.nearDupComponents(corpus, col("text"), col("doc_id"),
+        k = 1, threshold = 0.5, candidates = "prefix", freqOrdered = false)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(2L -> 2L, 3L -> 2L), s"got $got")
+    val full = Dedup.duplicateClusters(
+        Dedup.ngramJaccard(corpus, col("text"), col("doc_id"), k = 1,
+          threshold = 0.5, freqOrdered = false))
+      .as[(Long, Long)].collect().toMap
+    assert(got === full)
+    graft.operators.OpCache.releaseAll()
+  }
+
   test("duplicateClusters: local union-find and distributed propagation agree") {
     // a mix of chains, stars and a larger ring so the component
     // structure is non-trivial; run the SAME edges through both paths

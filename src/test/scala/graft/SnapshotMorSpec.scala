@@ -422,6 +422,50 @@ class SnapshotMorSpec extends SparkSpecBase {
     assert(after == want && Snapshot.fsck(spark, t).isEmpty)
   }
 
+  test("commit expectations: a bad delivery is rejected with zero residue; good ones land; the suite carries forward") {
+    val t = fresh("expects")
+    val suite = Seq("unique:id", "row_count:10-100000")
+    // create load with a duplicated key → rejected BEFORE any write
+    intercept[Snapshot.ExpectationViolationException] {
+      Snapshot.create(spark, t, seedDf.unionAll(seedDf.limit(3)),
+        "id", "part", expects = suite)
+    }
+    assert(Snapshot.currentVersion(t) == 0 &&
+      !Files.exists(Paths.get(t, "files")), "zero residue on rejection")
+    Snapshot.create(spark, t, seedDf, "id", "part", expects = suite)
+    assert(Snapshot.currentVersion(t) == 1)
+    // a delivery that re-duplicates a key: rejected atomically, and
+    // the report names the failing check with its violation count
+    val dupDelivery = seedDf.filter(col("id") <= 12)
+      .unionAll(seedDf.filter(col("id") === 3))
+    val e = intercept[Snapshot.ExpectationViolationException] {
+      Snapshot.merge(spark, t, dupDelivery, seedDf.limit(0).select("id"))
+    }
+    assert(e.getMessage.contains("unique(id)") &&
+      e.getMessage.contains("observed=1"), e.getMessage)
+    assert(Snapshot.currentVersion(t) == 1, "no torn version")
+    // the row-count floor is the empty-refresh circuit breaker: a
+    // delivery of zero rows never reaches the table
+    val e2 = intercept[Snapshot.ExpectationViolationException] {
+      Snapshot.merge(spark, t, seedDf.limit(0), seedDf.limit(0).select("id"))
+    }
+    assert(e2.getMessage.contains("row_count_between(10,100000)") &&
+      e2.getMessage.contains("observed=0"))
+    // a healthy delivery lands, and the suite rides the manifest
+    Snapshot.merge(spark, t,
+      seedDf.filter(col("id") <= 12)
+        .withColumn("payload", concat(col("payload"), lit("v2"))),
+      seedDf.limit(0).select("id"))
+    assert(Snapshot.currentVersion(t) == 2)
+    assert(Snapshot.readManifest(t, 2).expects == suite)
+    assert(Snapshot.readLatest(spark, t).filter(col("payload") === "doc3v2").count() == 1)
+    // subset checks need a reference frame — pipeline-level only
+    intercept[IllegalArgumentException] {
+      Snapshot.create(spark, fresh("expects2"), seedDf, "id", "part",
+        expects = Seq("subset:id:ref.id"))
+    }
+  }
+
   test("guard-rejected create() reclaims its commit dir — a retried create succeeds") {
     val t = fresh("createguard")
     intercept[Snapshot.GuardViolationException] {
