@@ -226,7 +226,8 @@ object Dataflow {
         case s: PageRankSpec =>
           import org.apache.spark.sql.functions.col
           val edges = in.select(col(s.srcCol).as("src"), col(s.dstCol).as("dst"))
-          frames + (s.output -> Graph.pageRank(edges, s.iterations))
+          frames + (s.output ->
+            Graph.pageRank(edges, s.iterations, convergeL1 = s.convergeL1))
         case s: ExpectSpec =>
           import org.apache.spark.sql.functions.col
           val checks = s.checks.map(Expectations.parse(_,

@@ -1066,7 +1066,14 @@ object Queries {
   /** PageRank over the customer↔supplier trade graph (who-trades-
     * with-whom via orders+lineitem, undirected), 5 fixed-point power
     * iterations — integer div + long sums only, so the full rank
-    * vector is bit-identical to the oracle's unrolled replay. */
+    * vector is bit-identical to the oracle's unrolled replay.
+    * Runs the fixed-cost mode (convergeL1 = -1): the trade graph does
+    * NOT hit its exact integer fixed point within 5 iterations, so
+    * the oracle-safe early exit (convergeL1 = 0) was measured pure
+    * overhead here — 7.2 s vs 5.7 s at sf0.1 (five no-win delta
+    * actions + checkpoints). The exit exists for graphs that DO
+    * converge (see GraphScd2Spec's regular-graph fixture: 5
+    * iterations collapse to 1). */
   def qPageRank(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))

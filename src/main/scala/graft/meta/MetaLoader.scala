@@ -141,7 +141,8 @@ object MetaLoader {
       case "pagerank" =>
         PageRankSpec(name, input, output,
           srcCol = str(p, "src", "src"), dstCol = str(p, "dst", "dst"),
-          iterations = p.path("iterations").asInt(5))
+          iterations = p.path("iterations").asInt(5),
+          convergeL1 = p.path("converge_l1").asLong(-1L))
       case "expect" =>
         ExpectSpec(name, input, output,
           checks = strArr(p, "checks"),

@@ -781,7 +781,11 @@ final case class PageRankSpec(
     output: String,
     srcCol: String = "src",
     dstCol: String = "dst",
-    iterations: Int = 5)
+    iterations: Int = 5,
+    // L1 early-exit threshold: 0 = stop at the exact integer fixed
+    // point (result provably identical to the full unroll), negative
+    // = always run `iterations` (no per-iteration action)
+    convergeL1: Long = -1L)
   extends TransformSpec
 
 /**

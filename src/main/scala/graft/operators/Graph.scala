@@ -34,7 +34,25 @@ object Graph {
    * absolute value — is the deliverable).
    */
   def pageRank(edges: DataFrame, iterations: Int = 5,
-               scale: Long = 1000000L): DataFrame = {
+               scale: Long = 1000000L, convergeL1: Long = -1L): DataFrame =
+    pageRankConverged(edges, iterations, scale, convergeL1)._1
+
+  /**
+   * [[pageRank]] with the iteration count actually run. `convergeL1`
+   * adds an early exit: after each iteration one node-keyed join +
+   * scalar agg measures Σ|rankᵢ − rankᵢ₋₁|; at or below the threshold
+   * the loop stops (converged graphs skip the remaining iterations —
+   * the power iteration is geometric, so rankings stabilize long
+   * before the cap). `convergeL1 = 0` is the ORACLE-SAFE mode: it
+   * stops only at the exact integer fixed point, where every further
+   * iteration is a proven no-op, so the result stays bit-identical
+   * to the fully unrolled K-iteration replay. Negative disables the
+   * check entirely (no per-iteration action — the streaming-friendly
+   * fixed-cost shape).
+   */
+  def pageRankConverged(edges: DataFrame, iterations: Int = 5,
+                        scale: Long = 1000000L,
+                        convergeL1: Long = -1L): (DataFrame, Int) = {
     require(iterations >= 1 && iterations <= 50,
       s"pageRank: iterations out of range ($iterations)")
     // EAGER checkpoints, not lazy caches: the loop references these
@@ -60,15 +78,30 @@ object Graph {
         Seq("node"), "left_anti"))
     val teleport = (15L * scale) / 100L
     var r = nodes.withColumn("rank", lit(scale))
-    (1 to iterations).foreach { _ =>
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
       val t = ed
         .join(r.select(col("node").as("src"), col("rank")), Seq("src"))
         .select(col("dst").as("node"), expr("rank div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("t"))
-      r = t.select(col("node"),
+      val step = t.select(col("node"),
           (lit(teleport) + expr("(85 * t) div 100")).as("rank"))
         .unionByName(noIn.withColumn("rank", lit(teleport)))
+      if (convergeL1 >= 0) {
+        // checkpoint so the delta action doesn't recompute the whole
+        // chain per round (and the next round starts from materialized
+        // state — O(K), not O(K²))
+        val next = OpCache.checkpoint(step)
+        val d = next.select(col("node"), col("rank").as("rn"))
+          .join(r.select(col("node"), col("rank").as("rp")), Seq("node"))
+          .agg(coalesce(sum(abs(col("rn") - col("rp"))), lit(0L)).as("d"))
+          .collect()(0).getLong(0)
+        if (d <= convergeL1) converged = true
+        r = next
+      } else r = step
+      it += 1
     }
-    r
+    (r, it)
   }
 }

@@ -87,6 +87,31 @@ class GraphScd2Spec extends SparkSpecBase {
     }
   }
 
+  test("pageRank early-exit: a regular graph hits its integer fixed point after one iteration") {
+    // undirected 6-ring: every node deg 2, in-deg 2 — rank stays at
+    // `scale` from the very first iteration (t = 2·(scale div 2) =
+    // scale → 0.15·scale + 0.85·scale), so the exact-fixed-point mode
+    // (convergeL1 = 0) must stop after iteration 1 with ranks
+    // bit-identical to the full 5-iteration unroll
+    val ring = (0 until 6).map(i => (s"n$i", s"n${(i + 1) % 6}"))
+    val edges = (ring ++ ring.map(_.swap)).toDF("src", "dst")
+    val (fast, ran) = Graph.pageRankConverged(edges, iterations = 5, convergeL1 = 0L)
+    assert(ran === 1, s"regular graph must converge after 1 iteration, ran $ran")
+    val full = Graph.pageRank(edges, iterations = 5)
+      .as[(String, Long)].collect().toMap
+    assert(fast.as[(String, Long)].collect().toMap === full,
+      "early exit may only skip proven no-op iterations")
+    // a non-regular graph does NOT hit the exact fixed point in 2:
+    // the disabled mode and the exact mode still agree at the cap
+    val star = Seq(("a", "hub"), ("b", "hub"), ("hub", "a"), ("hub", "b"),
+      ("c", "a"), ("a", "c")).toDF("src", "dst")
+    val (exact, ran2) = Graph.pageRankConverged(star, iterations = 4, convergeL1 = 0L)
+    val plain = Graph.pageRank(star, iterations = 4)
+      .as[(String, Long)].collect().toMap
+    assert(exact.as[(String, Long)].collect().toMap === plain, s"ran2=$ran2")
+    graft.operators.OpCache.releaseAll()
+  }
+
   test("pageRank matches an independent integer-arithmetic model; partitioning-invariant") {
     // small directed graph made undirected, with a clear hub
     val raw = Seq(("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "d"),

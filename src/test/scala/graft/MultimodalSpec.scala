@@ -103,6 +103,30 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out.meta.fp === FakeCodec.md5Hex(out.bytes))
   }
 
+  test("real JPEG decodes and resizes through javax.imageio (lossy codec tolerances)") {
+    // same half-black/half-white scene, JPEG-encoded: lossy, so
+    // assertions use tolerances instead of exact luminances
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", baos), "JDK must carry a JPEG writer")
+    val jpg = baos.toByteArray
+    assert(jpg.length >= 2 && (jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8,
+      "fixture must be a real JPEG (SOI marker)")
+    val rec = MediaRecord(13L, "image", jpg,
+      MediaMeta("jpg", 32, 32, 0, 0L, jpg.length.toLong, FakeCodec.md5Hex(jpg)))
+    val f = decodeFeatures(Seq(rec).toDS(), dim = 4).collect().head.features
+    assert(f(0) < 0.15f && f(2) < 0.15f, s"left cells dark: ${f.toSeq}")
+    assert(f(1) > 0.85f && f(3) > 0.85f, s"right cells bright: ${f.toSeq}")
+    assert(f.toSeq != FakeCodec.decodeFeatures(jpg, 4).toSeq,
+      "JPEG payload must NOT route to the stub")
+    val resized = resizeImages(Seq(rec).toDS(), 8, 8).collect().head
+    val back = ImageIoCodec.tryRead(resized.bytes)
+    assert(back.isDefined && back.get.getWidth === 8 && back.get.getHeight === 8)
+  }
+
   test("binaryFiles source: glob filter, size guard, metadata-only prunes content") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bin").toFile
     try {
