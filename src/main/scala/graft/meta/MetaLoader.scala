@@ -67,6 +67,7 @@ object MetaLoader {
       constraints = obj(n, "constraints"),
       guards = obj(n, "guards"),
       expects = strArr(n, "expects"),
+      audit = strArr(n, "audit"),
       snapshotTag = str(n, "snapshotTag", ""))
 
   private def parseTransform(n: JsonNode): TransformSpec = {

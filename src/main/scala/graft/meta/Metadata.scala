@@ -95,6 +95,12 @@ final case class SinkSpec(
     // written; the dataset-quality sibling of `constraints` (row
     // CHECKs) and `guards` (manifest math)
     expects: Seq[String] = Nil,
+    // saveMode=snapshot: WRITE-AUDIT-PUBLISH suite (Expectations
+    // grammar minus subset) evaluated on the POST-MERGE TABLE STATE
+    // while it is still staged (operators.Snapshot.wapMerge) — a
+    // failing audit aborts the stage, so the bad state never becomes
+    // a version. Complements `expects` (the incoming-delivery gate).
+    audit: Seq[String] = Nil,
     // saveMode=snapshot: TAG the committed version with this name
     // (operators.Snapshot.tag — vacuum-proof pin, re-tagging moves the
     // name). Under a Schedule, `${run_date}` interpolates before

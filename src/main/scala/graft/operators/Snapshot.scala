@@ -903,6 +903,71 @@ object Snapshot {
   }
 
   /**
+   * WRITE-AUDIT-PUBLISH merge: stage the merge (no lock), AUDIT the
+   * post-merge TABLE STATE against an [[Expectations]] suite, and
+   * only then publish. Where commit `expects` (enforceExpectations)
+   * gate the incoming DELIVERY frame, the WAP audit sees the state
+   * readers would get — kept partitions (deletion vectors applied) +
+   * the staged files — so it can assert whole-table invariants a
+   * delivery check cannot ("the table still has every source group",
+   * "total rows never drop below N"), and a failing audit means the
+   * bad state NEVER existed as a version (no audit-then-rollback
+   * window, no follower ever sees it). Publish reuses the optimistic
+   * machinery: lock held only for conflict-check + rename; a true
+   * conflict aborts the stage and the loop re-stages AND RE-AUDITS
+   * against the new current version. Concurrent disjoint commits
+   * compose exactly as in [[mergeOptimistic]] — each WAP writer
+   * audited the state it derived from its own read version.
+   */
+  def wapMerge(spark: SparkSession, table: String,
+               upserts: DataFrame, deleteKeys: DataFrame,
+               audit: Seq[String],
+               maxConflictRetries: Int = 3,
+               lockWaitMs: Long = 60000L): CommitStats = {
+    require(audit.nonEmpty,
+      "wapMerge: empty audit suite — use mergeOptimistic for unaudited commits")
+    var attempt = 0
+    var out: Option[CommitStats] = None
+    while (out.isEmpty) {
+      val staged = stageMerge(spark, table, upserts, deleteKeys)
+      val mB = readManifest(table, staged.readVersion)
+      val keptParts = mB.partitions.filterNot(e => staged.affected.contains(e._1))
+      val stagedParts = staged.stagingName.map { n =>
+        staged.subEntries.map { case (p, fs) =>
+          p -> fs.map(f => f.copy(path = s"files/$n/" + f.path)) }
+      }.getOrElse(Map.empty[String, Seq[FileEntry]])
+      val mPost = mB.copy(partitions = keptParts ++ stagedParts,
+        schemaDdl = staged.newDdl)
+      val postState =
+        if (mPost.files.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType.fromDDL(mPost.schemaDdl))
+        else readManifestFiles(spark, table, mPost)
+      try enforceExpectations(postState, audit)
+      catch { case e: Throwable => staged.abort(); throw e }
+      try {
+        val deadline = System.currentTimeMillis() + lockWaitMs
+        var done: Option[CommitStats] = None
+        while (done.isEmpty) {
+          try done = Some(commitStaged(spark, staged))
+          catch {
+            case e: ConcurrentCommitException =>
+              if (System.currentTimeMillis() >= deadline) throw e
+              Thread.sleep(100)
+          }
+        }
+        out = done
+      } catch {
+        case e: CommitConflictException =>
+          staged.abort()
+          attempt += 1
+          if (attempt > maxConflictRetries) throw e
+      }
+    }
+    out.get
+  }
+
+  /**
    * COMPACT fragmented partitions as a commit: every partition holding
    * more than `maxFilesPerPartition` files is rewritten into one file
    * per partition (rows unchanged — a pure layout commit), every other

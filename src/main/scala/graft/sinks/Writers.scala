@@ -86,6 +86,11 @@ object Writers {
               guards = spec.guards,
               hllCols = spec.hllCols,
               expects = spec.expects)
+          else if (spec.audit.nonEmpty)
+            // write-audit-publish: the post-merge state is audited
+            // while staged; a failing audit never becomes a version
+            graft.operators.Snapshot.wapMerge(df.sparkSession, path, ups, del,
+              audit = spec.audit)
           else
             graft.operators.Snapshot.merge(df.sparkSession, path, ups, del)
         if (spec.snapshotTag.nonEmpty)

@@ -471,6 +471,34 @@ class DataflowSpec extends SparkSpecBase {
     }
   }
 
+  test("metadata sink: snapshot audit block runs merges write-audit-publish") {
+    val t = java.nio.file.Files.createTempDirectory("graft_wap").toString + "/tbl"
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    graft.operators.Snapshot.create(spark, t, docs, "doc_id", "source")
+    val total = docs.count()
+    def spec(floor: Long) =
+      s"""{"dataflows":[{"name":"wave",
+         |  "sources":[{"name":"docs","path":"${sf()}/documents.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"chg","type":"sql","params":{"input":"docs","output":"chg",
+         |      "query":"SELECT doc_id, text, lang, source, n_chars, doc_id % 2 = 0 AS __deleted FROM docs WHERE doc_id % 10 = 0"}}],
+         |  "sinks":[{"input":"chg","name":"s","paths":["$t"],
+         |    "format":"parquet","saveMode":"snapshot","mergeKey":"doc_id",
+         |    "partitionBy":["source"],"audit":["row_count:$floor-100000000"]}]}]}""".stripMargin
+    // the change wave deletes doc_id%10==0 evens: a floor ABOVE the
+    // post-state rows must abort the staged merge
+    intercept[graft.operators.Snapshot.ExpectationViolationException] {
+      graft.Dataflow.run(spark, MetaLoader.loadString(spec(total)).dataflow("wave"))
+    }
+    assert(graft.operators.Snapshot.currentVersion(t) == 1)
+    // a satisfiable floor publishes the same wave
+    graft.Dataflow.run(spark, MetaLoader.loadString(spec(1L)).dataflow("wave"))
+    assert(graft.operators.Snapshot.currentVersion(t) == 2)
+    val left = graft.operators.Snapshot.readLatest(spark, t)
+    assert(left.filter(col("doc_id") % 10 === 0 && col("doc_id") % 2 === 0).count() == 0)
+  }
+
   test("shipped example specs parse: incremental_refresh, scheduled_delta") {
     // these compose ${run_date} templates + /data paths, so they can't
     // execute here — but every transform/sink must RESOLVE (a typo'd

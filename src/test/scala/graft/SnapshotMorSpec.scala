@@ -466,6 +466,43 @@ class SnapshotMorSpec extends SparkSpecBase {
     }
   }
 
+  test("wapMerge: the post-state audit rejects while staged — the bad state never becomes a version") {
+    val t = build("wap")
+    // partition erosion below a completeness floor: invisible to the
+    // delivery gate (the delivery is delete KEYS, no data frame) and
+    // to manifest guards (global row math only) — only the post-merge
+    // STATE audit can see a group at 7 < 8 rows
+    val audit = Seq("min_per_group:part:8", "row_count:30-1000")
+    val e = intercept[Snapshot.ExpectationViolationException] {
+      Snapshot.wapMerge(spark, t, seedDf.limit(0),
+        seedDf.filter(col("id").isin(1L, 5L, 9L)).select("id"), audit)
+    }
+    assert(e.getMessage.contains("min_per_group(part,8)"), e.getMessage)
+    assert(Snapshot.currentVersion(t) == 1, "the audited-bad state never published")
+    // the aborted stage leaves no residue
+    val ls = Files.list(Paths.get(t, "files"))
+    try assert(!ls.iterator().asScala.exists(
+      _.getFileName.toString.startsWith("_staging")), "stage must be reclaimed")
+    finally ls.close()
+    assert(Snapshot.fsck(spark, t).isEmpty)
+    // a delivery inside the audit publishes: mixed upsert + delete
+    val st = Snapshot.wapMerge(spark, t,
+      seedDf.filter(col("id").isin(20L, 24L))
+        .withColumn("payload", concat(col("payload"), lit("w"))),
+      seedDf.filter(col("id") === 1L).select("id"), audit)
+    assert(st.version == 2)
+    val now = Snapshot.readLatest(spark, t)
+    assert(now.count() == 39 &&
+      now.filter(col("payload") === "doc20w").count() == 1)
+    // cumulative erosion across healthy-looking deliveries still trips
+    // the whole-table floor
+    intercept[Snapshot.ExpectationViolationException] {
+      Snapshot.wapMerge(spark, t, seedDf.limit(0),
+        seedDf.filter(col("id").between(2L, 13L)).select("id"), audit)
+    }
+    assert(Snapshot.currentVersion(t) == 2)
+  }
+
   test("guard-rejected create() reclaims its commit dir — a retried create succeeds") {
     val t = fresh("createguard")
     intercept[Snapshot.GuardViolationException] {
