@@ -934,6 +934,46 @@ object Oracles {
         |        (PARTITION BY id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank" FROM sc)
         |SELECT id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 10""".stripMargin,
 
+    // FILTERED ANN: identical replay to sim_search, with the corpus
+    // side pre-filtered to vec_id%3==1 — pre-filter semantics means
+    // the restriction applies at the candidate join (assignment is
+    // per-row and unchanged), exactly like running the unfiltered
+    // search on the restricted corpus.
+    "sim_filtered" ->
+      """WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS ss FROM w),
+        |u AS (SELECT vec_id, v, sqrt(ss) AS nrm,
+        |        CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0/sqrt(ss)))
+        |             ELSE v END AS uv
+        |      FROM n),
+        |cent AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |         CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0/sqrt(ss)))
+        |              ELSE v END AS c
+        |  FROM (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS ss
+        |        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |              WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 32))),
+        |asg AS (
+        |  SELECT u.vec_id, cent.cid,
+        |    list_sum(list_transform(generate_series(1, len(u.uv)),
+        |      i -> (u.uv[i] - cent.c[i]) * (u.uv[i] - cent.c[i]))) AS d2
+        |  FROM u, cent),
+        |pr AS (SELECT vec_id, cid, ROW_NUMBER() OVER
+        |         (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS p FROM asg),
+        |cand AS (
+        |  SELECT q.vec_id AS id, d.vec_id AS neighbor_id
+        |  FROM pr q JOIN pr d ON q.cid = d.cid AND d.p = 1 AND q.p <= 4
+        |  WHERE q.vec_id % 20 = 0 AND d.vec_id % 3 = 1),
+        |sc AS (
+        |  SELECT cand.id, cand.neighbor_id,
+        |    CASE WHEN qa.nrm * qc.nrm = 0 THEN 0.0
+        |         ELSE list_dot_product(qa.v, qc.v) / (qa.nrm * qc.nrm) END AS cos_sim
+        |  FROM cand JOIN u qa ON qa.vec_id = cand.id
+        |            JOIN u qc ON qc.vec_id = cand.neighbor_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank" FROM sc)
+        |SELECT id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 10""".stripMargin,
+
     // Versioned vector index served from the snapshot table: the
     // corpus side is embeddings AFTER the v2 refresh (vec_id%17==3
     // re-embedded to the negated vector — negation commutes with the

@@ -742,6 +742,20 @@ object Queries {
       centroidsIn = Some(ivfAnchorCodebook(e)))
   }
 
+  /** FILTERED ANN ([[operators.Similarity.ivfSearchWhere]]): the %20
+    * query batch against ONLY the vec_id%3==1 corpus slice —
+    * PRE-filter semantics (the predicate prunes before assignment and
+    * distance compute, so the result is exactly the restricted-corpus
+    * search; no overfetch tuning, no short result sets under
+    * selective filters). Codebook stays the corpus-trained anchor
+    * set, as a served index's would. */
+  def simFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfSearchWhere(e.filter(col("vec_id") % 20 === 0), e,
+      col("vec_id"), col("embedding"), col("vec_id") % 3 === 1,
+      k = 10, nprobe = 4, centroidsIn = Some(ivfAnchorCodebook(e)))
+  }
+
   /** IVF-Flat ANN serving FROM the persisted INT8 STORE — the
     * composition of `emb_quantize` (#143, the 4×-smaller storage) with
     * the pinned-codebook IVF serve path (#34b): the store is written
@@ -1982,6 +1996,7 @@ object Queries {
     "sim_lsh_auto" -> simLshAuto _,
     "sim_ivf" -> simIvf _,
     "sim_search" -> simSearch _,
+    "sim_filtered" -> simFiltered _,
     "sim_ivf_int8" -> simIvfInt8 _,
     "sim_pq_served" -> simPqServed _,
     "semdedup" -> semDedupQ _,

@@ -354,6 +354,26 @@ object Similarity {
       excludeSelf = false)
 
   /**
+   * FILTERED ANN — top-k among corpus rows satisfying `where` (the
+   * filtered-retrieval shape: "nearest English docs", "vectors from
+   * this shard"). This is the PRE-FILTER strategy: the predicate
+   * prunes corpus rows BEFORE cell assignment and distance compute
+   * (Catalyst pushes it to the scan), so the result is exactly the
+   * unfiltered search run against the restricted corpus — no
+   * overfetch tuning, no recall cliff when the filter is selective
+   * (the post-filter alternative re-ranks a k′ > k overfetch and
+   * silently returns < k rows once the filter eats the margin). Pass
+   * the CORPUS-trained codebook via `centroidsIn` so cell geometry
+   * stays the index's own at any filter.
+   */
+  def ivfSearchWhere(queries: DataFrame, corpus: DataFrame,
+                     id: Column, vec: Column, where: Column,
+                     k: Int = 10, nlist: Int = 0, nprobe: Int = 0,
+                     centroidsIn: Option[Array[Array[Double]]] = None): DataFrame =
+    ivfCore(queries, corpus.filter(where), id, vec, k, nlist, nprobe,
+      centroidsIn, excludeSelf = false)
+
+  /**
    * VERSIONED VECTOR INDEX — the IVF index AS a [[Snapshot]] table:
    * rows (id, vec, norm, cell) partitioned by the IVF cell, so
    *
@@ -374,10 +394,15 @@ object Similarity {
    * uses. Norms are computed AT INDEX TIME and stored: serving never
    * re-normalizes the corpus.
    */
+  /** `attrs` are pre-aliased metadata columns stored BESIDE the
+    * vectors (lang, source, shard …) so filtered serving
+    * ([[ivfIndexSearch]]'s `where`) evaluates inside the probed-cell
+    * scan — no join back to a side table per query batch. */
   def ivfIndexCreate(spark: SparkSession, table: String, corpus: DataFrame,
                      id: Column, vec: Column,
-                     centroids: Array[Array[Double]]): Snapshot.CommitStats =
-    Snapshot.create(spark, table, indexRows(corpus, id, vec, centroids),
+                     centroids: Array[Array[Double]],
+                     attrs: Seq[Column] = Nil): Snapshot.CommitStats =
+    Snapshot.create(spark, table, indexRows(corpus, id, vec, centroids, attrs),
       key = "id", partitionCol = "cell")
 
   /** Apply an embedding refresh to the index: `upserts` are
@@ -387,8 +412,9 @@ object Similarity {
   def ivfIndexMerge(spark: SparkSession, table: String, upserts: DataFrame,
                     id: Column, vec: Column,
                     centroids: Array[Array[Double]],
-                    deleteIds: DataFrame): Snapshot.CommitStats =
-    Snapshot.merge(spark, table, indexRows(upserts, id, vec, centroids),
+                    deleteIds: DataFrame,
+                    attrs: Seq[Column] = Nil): Snapshot.CommitStats =
+    Snapshot.merge(spark, table, indexRows(upserts, id, vec, centroids, attrs),
       deleteIds.select(id.as("id")))
 
   /** RETIREMENT-ONLY index maintenance as a MERGE-ON-READ commit
@@ -404,12 +430,13 @@ object Similarity {
     Snapshot.deleteMorKeys(spark, table, deleteIds.select(id.as("id")))
 
   private def indexRows(corpus: DataFrame, id: Column, vec: Column,
-                        centroids: Array[Array[Double]]): DataFrame = {
+                        centroids: Array[Array[Double]],
+                        attrs: Seq[Column] = Nil): DataFrame = {
     import graft.functions.VectorExprs.nearestCentroids
-    withNorm(corpus.filter(vec.isNotNull), id, vec)
-      .select(col("id"), col("vec"), col("norm"),
-        element_at(nearestCentroids(col("vec"), centroids, 1), 1)
-          .cast("string").as("cell"))
+    Scale.ensureParallelism(corpus.filter(vec.isNotNull))
+      .select(Seq(id.as("id"), vec.as("vec"), l2Norm(vec).as("norm"),
+        element_at(nearestCentroids(vec, centroids, 1), 1)
+          .cast("string").as("cell")) ++ attrs: _*)
   }
 
   /**
@@ -423,7 +450,8 @@ object Similarity {
   def ivfIndexSearch(spark: SparkSession, table: String, queries: DataFrame,
                      id: Column, vec: Column, k: Int = 10, nprobe: Int = 4,
                      centroids: Array[Array[Double]] = null,
-                     version: Int = 0): DataFrame = {
+                     version: Int = 0,
+                     where: Column = null): DataFrame = {
     import graft.functions.VectorExprs.nearestCentroids
     require(centroids != null, "ivfIndexSearch needs the index's pinned codebook")
     val q = withNorm(queries, id, vec)
@@ -433,10 +461,16 @@ object Similarity {
       .withColumn("cell", col("cellN").cast("string")).drop("cellN")
     val cells = q.select("cell").distinct()
       .collect().map(_.getString(0)).toSeq.sorted // bounded by nlist
-    val data =
+    val raw =
       if (cells.isEmpty)
         Snapshot.readLatest(spark, table).limit(0)
       else Snapshot.readWhereIn(spark, table, "cell", cells, version)
+    // FILTERED serving: the predicate runs over the index's stored
+    // attribute columns inside the probed-cell scan (pre-filter — the
+    // exact restricted-corpus result, see [[ivfSearchWhere]]); with
+    // manifest pruning it composes to "open only probed cells' files,
+    // keep only matching rows, then rescore"
+    val data = Option(where).map(raw.filter).getOrElse(raw)
     val cand = q.join(data, Seq("cell"))
       .select(col("qid"), col("id").as("neighbor_id"),
         when(col("qnorm") * col("norm") === 0.0, lit(0.0))

@@ -309,4 +309,65 @@ class SimilaritySpec extends SparkSpecBase {
     assert(searched(version = 2) == reference(after),
       "the pre-retire version must still serve them")
   }
+
+  test("filtered ANN: pre-filter equals restricted-corpus search; index attrs filter inside the probed scan") {
+    import graft.operators.Snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecflt").toString
+    val table = s"$dir/idx"
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 120L).map { i =>
+      val base = (i % 3).toInt
+      val v = Array.tabulate(8)(j =>
+        (if (j == base) 10f else 0f) + rnd.nextFloat() * 0.5f)
+      (i, v, if (i % 2 == 0) "en" else "de")
+    }
+    val corpus = rows.toDF("vec_id", "embedding", "lang")
+    val cb = corpus.orderBy("vec_id").limit(8).collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val queries = corpus.filter(col("vec_id") % 10 === 1)
+    // in-memory: pre-filter IS the restricted-corpus search, exactly
+    val filtered = Similarity.ivfSearchWhere(queries, corpus,
+        col("vec_id"), col("embedding"), col("lang") === "en",
+        k = 5, nprobe = 2, centroidsIn = Some(cb))
+      .select("id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val restricted = Similarity.ivfSearch(queries,
+        corpus.filter(col("lang") === "en"),
+        col("vec_id"), col("embedding"), k = 5, nprobe = 2,
+        centroidsIn = Some(cb))
+      .select("id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(filtered == restricted)
+    assert(filtered.forall { case (_, n, _) => n % 2 == 0 },
+      "only lang=en (even) neighbors may rank")
+    // versioned index with a stored attribute column: the predicate
+    // evaluates inside the probed-cell read — same result, no side join
+    Similarity.ivfIndexCreate(spark, table, corpus,
+      col("vec_id"), col("embedding"), cb, attrs = Seq(col("lang")))
+    assert(Snapshot.readLatest(spark, table).columns.contains("lang"))
+    val served = Similarity.ivfIndexSearch(spark, table, queries,
+        col("vec_id"), col("embedding"), k = 5, nprobe = 2, centroids = cb,
+        where = col("lang") === "en")
+      .select("id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(served == restricted, "filtered index serve must equal the restricted search")
+    // a refresh carries attrs too; the filter keeps working at the tip
+    Similarity.ivfIndexMerge(spark, table,
+      rows.filter(_._1 <= 10).map { case (i, v, l) => (i, v.reverse, l) }
+        .toDF("vec_id", "embedding", "lang"),
+      col("vec_id"), col("embedding"), cb,
+      corpus.limit(0).select("vec_id"), attrs = Seq(col("lang")))
+    val after = rows.map { case (i, v, l) =>
+      (i, if (i <= 10) v.reverse else v, l) }.toDF("vec_id", "embedding", "lang")
+    val servedV2 = Similarity.ivfIndexSearch(spark, table, queries,
+        col("vec_id"), col("embedding"), k = 5, nprobe = 2, centroids = cb,
+        where = col("lang") === "en")
+      .select("id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val refV2 = Similarity.ivfSearch(queries,
+        after.filter(col("lang") === "en"),
+        col("vec_id"), col("embedding"), k = 5, nprobe = 2,
+        centroidsIn = Some(cb))
+      .select("id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(servedV2 == refV2)
+  }
 }
