@@ -28,7 +28,8 @@ object Bench {
     "q_events_hourly", "q_sessions", "q_sessions_sw", "q_event_pivot",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters",
     "dedup_keep_best", "dedup_incremental", "dedup_substrings", "top_spans",
-    "sim_topk", "sim_lsh", "sim_lsh_auto", "sim_ivf", "sim_search", "sim_filtered", "sim_pq", "sim_pq_served",
+    "sim_topk", "sim_lsh", "sim_lsh_auto", "sim_ivf", "sim_search", "sim_filtered",
+    "sim_index_filtered", "sim_pq", "sim_pq_served",
     "sim_ivf_int8", "emb_quantize", "sim_index_snapshot",
     "sim_cross", "sim_cross_lsh",
     "text_quality", "field_stats", "field_stats_approx", "validate_ok",

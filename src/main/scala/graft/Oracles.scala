@@ -1036,6 +1036,65 @@ object Oracles {
         |        (PARTITION BY id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank" FROM sc)
         |SELECT id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 10""".stripMargin,
 
+    // FILTERED serving from the versioned index tip: the same
+    // post-refresh replay with the candidate side restricted to the
+    // stored shard='0' attribute (even vec_id) — pre-filter semantics
+    // puts the restriction at the candidate join.
+    "sim_index_filtered" ->
+      """WITH wc AS (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 17 = 3
+        |         THEN list_transform(embedding::DOUBLE[], x -> -x)
+        |         ELSE embedding::DOUBLE[] END AS v
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND vec_id % 19 <> 4),
+        |uc AS (SELECT vec_id, v, sqrt(ss) AS nrm,
+        |        CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0/sqrt(ss)))
+        |             ELSE v END AS uv
+        |      FROM (SELECT vec_id, v,
+        |              list_sum(list_transform(v, x -> x*x)) AS ss FROM wc)),
+        |wq AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |       WHERE vec_id % 20 = 0),
+        |uq AS (SELECT vec_id, v, sqrt(ss) AS nrm,
+        |        CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0/sqrt(ss)))
+        |             ELSE v END AS uv
+        |      FROM (SELECT vec_id, v,
+        |              list_sum(list_transform(v, x -> x*x)) AS ss FROM wq)),
+        |cent AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |         CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0/sqrt(ss)))
+        |              ELSE v END AS c
+        |  FROM (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS ss
+        |        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |              WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 32))),
+        |prc AS (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER
+        |    (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS p
+        |  FROM (SELECT uc.vec_id, cent.cid,
+        |          list_sum(list_transform(generate_series(1, len(uc.uv)),
+        |            i -> (uc.uv[i] - cent.c[i]) * (uc.uv[i] - cent.c[i]))) AS d2
+        |        FROM uc, cent)),
+        |prq AS (
+        |  SELECT vec_id, cid, ROW_NUMBER() OVER
+        |    (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS p
+        |  FROM (SELECT uq.vec_id, cent.cid,
+        |          list_sum(list_transform(generate_series(1, len(uq.uv)),
+        |            i -> (uq.uv[i] - cent.c[i]) * (uq.uv[i] - cent.c[i]))) AS d2
+        |        FROM uq, cent)),
+        |cand AS (
+        |  SELECT q.vec_id AS id, d.vec_id AS neighbor_id
+        |  FROM prq q JOIN prc d ON q.cid = d.cid AND d.p = 1 AND q.p <= 4
+        |  WHERE d.vec_id % 2 = 0),
+        |sc AS (
+        |  SELECT cand.id, cand.neighbor_id,
+        |    CASE WHEN qa.nrm * qc.nrm = 0 THEN 0.0
+        |         ELSE list_dot_product(qa.v, qc.v) / (qa.nrm * qc.nrm) END AS cos_sim
+        |  FROM cand JOIN uq qa ON qa.vec_id = cand.id
+        |            JOIN uc qc ON qc.vec_id = cand.neighbor_id),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY id ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank" FROM sc)
+        |SELECT id, neighbor_id, cos_sim, "rank" FROM r WHERE "rank" <= 10""".stripMargin,
+
     // INT8-store IVF serving: sim_ivf's serve path with the DATA side
     // replaced by int8 reconstruction — quantize (emb_quantize's
     // round/clamp arithmetic), reconstruct q·q_scale, then the

@@ -807,14 +807,19 @@ object Queries {
       val p = scratch("vec_index", dir) // per-JVM root → always fresh
       val e = t(s, dir, "embeddings")
       val cb = ivfAnchorCodebook(e)
-      Similarity.ivfIndexCreate(s, p, e, col("vec_id"), col("embedding"), cb)
+      // stored attribute: the id-parity shard — deterministic, so the
+      // FILTERED serve entry replays relationally
+      val shard = (col("vec_id") % 2).cast("string").as("shard")
+      Similarity.ivfIndexCreate(s, p, e, col("vec_id"), col("embedding"), cb,
+        attrs = Seq(shard))
       val ups = e
         .filter(col("vec_id") % 17 === 3 && col("vec_id") % 19 =!= 4 &&
           col("embedding").isNotNull)
         .select(col("vec_id"),
           transform(col("embedding"), x => -x).as("embedding"))
       Similarity.ivfIndexMerge(s, p, ups, col("vec_id"), col("embedding"), cb,
-        e.filter(col("vec_id") % 19 === 4).select(col("vec_id")))
+        e.filter(col("vec_id") % 19 === 4).select(col("vec_id")),
+        attrs = Seq(shard))
       p
     })
 
@@ -823,6 +828,20 @@ object Queries {
     Similarity.ivfIndexSearch(s, vecIndexPath(s, dir),
       e.filter(col("vec_id") % 20 === 0), col("vec_id"), col("embedding"),
       k = 10, nprobe = 4, centroids = ivfAnchorCodebook(e))
+  }
+
+  /** FILTERED serving from the versioned index tip: same %20 batch,
+    * restricted to the shard='0' (even vec_id) attribute stored
+    * beside the vectors — the predicate evaluates inside the
+    * manifest-pruned probed-cell scan (pruning ∘ parquet pushdown ∘
+    * dv mask), no side join. Pre-filter semantics: exactly the
+    * restricted-corpus result. */
+  def simIndexFiltered(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfIndexSearch(s, vecIndexPath(s, dir),
+      e.filter(col("vec_id") % 20 === 0), col("vec_id"), col("embedding"),
+      k = 10, nprobe = 4, centroids = ivfAnchorCodebook(e),
+      where = col("shard") === "0")
   }
 
   /** SemDeDup over the pinned anchor codebook (the train-once
@@ -2066,6 +2085,7 @@ object Queries {
     "snapshot_agg" -> snapshotAgg _,
     "snapshot_agg_mor" -> snapshotAggMor _,
     "sim_index_snapshot" -> simIndexSnapshot _,
+    "sim_index_filtered" -> simIndexFiltered _,
     "emb_quantize" -> embQuantize _,
     "sim_pq" -> simPq _,
     "fuzzy_names" -> fuzzyNames _,

@@ -505,7 +505,8 @@ class DataflowSpec extends SparkSpecBase {
     // type or param in a shipped example is a user-facing break)
     for (f <- Seq("examples/incremental_refresh.json",
                   "examples/scheduled_delta.json",
-                  "examples/versioned_corpus.json")) {
+                  "examples/versioned_corpus.json",
+                  "examples/gdpr_erasure.json")) {
       val p = MetaLoader.loadFile(f)
       assert(p.schedule.isDefined, s"$f: schedule block must parse")
       val flows = p.dataflows
@@ -532,6 +533,15 @@ class DataflowSpec extends SparkSpecBase {
     assert(snapSink.get.guards ===
       Map("min_rows" -> "1000", "max_shrink_pct" -> "20"))
     assert(snapSink.get.snapshotTag === "corpus-${run_date}")
+    // the r8 delivery/post-state gates ride the sink spec
+    assert(snapSink.get.expects === Seq("unique:doc_id", "null_bp:text:0"))
+    assert(snapSink.get.audit ===
+      Seq("min_per_group:lang:100", "row_count:1000-500000000"))
+    // the r8 erasure example ships a saveMode=erase sink
+    val erasure = MetaLoader.loadFile("examples/gdpr_erasure.json")
+    val eraseSink = erasure.dataflows.head.sinks.head
+    assert(eraseSink.saveMode === "erase" &&
+      eraseSink.snapshotTag === "erasure-${run_date}")
     val gate = versioned.dataflows.head.transformations.collectFirst {
       case e: graft.meta.ExpectSpec => e }
     assert(gate.exists(_.failOnViolation),
