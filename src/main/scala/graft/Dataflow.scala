@@ -260,16 +260,21 @@ object Dataflow {
           require(queriesFrame.isEmpty || Set("ivf", "brute")(s.method),
             s"ann '${s.name}': queries_input supports methods ivf|brute " +
               s"(got '${s.method}')")
+          require(s.where.isEmpty || s.method == "ivf",
+            s"ann '${s.name}': where (filtered ANN) supports method ivf " +
+              s"(got '${s.method}')")
           val out = s.method match {
             case "lsh" =>
               Similarity.lshTopK(in, idC, vecC, s.k, s.tables, s.bits)
             case "ivf" =>
               val cb = s.codebookPath.map(Similarity.loadCentroids)
+              val corpus = s.where.map(w => in.filter(
+                org.apache.spark.sql.functions.expr(w))).getOrElse(in)
               queriesFrame match {
                 case Some(qf) =>
-                  Similarity.ivfSearch(qf, in, idC, vecC, s.k, s.nlist, s.nprobe, cb)
+                  Similarity.ivfSearch(qf, corpus, idC, vecC, s.k, s.nlist, s.nprobe, cb)
                 case None =>
-                  Similarity.ivfTopK(in, idC, vecC, s.k, s.nlist, s.nprobe, cb)
+                  Similarity.ivfTopK(corpus, idC, vecC, s.k, s.nlist, s.nprobe, cb)
               }
             case "brute" =>
               Similarity.bruteForceTopK(queriesFrame.getOrElse(in), in, idC, vecC, s.k)

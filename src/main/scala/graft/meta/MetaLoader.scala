@@ -189,7 +189,8 @@ object MetaLoader {
           codebookPath = optStr(p, "codebook_path"),
           pqPath = optStr(p, "pq_path"),
           threshold = p.path("threshold").asDouble(0.95),
-          queriesInput = optStr(p, "queries_input"))
+          queriesInput = optStr(p, "queries_input"),
+          where = optStr(p, "where"))
       case "classify" =>
         ClassifySpec(name, input, output,
           contentCol = str(p, "content", "text"),

@@ -356,7 +356,11 @@ final case class AnnSpec(
     // frame is the query batch (methods ivf / brute). ivf keeps
     // self-matches (membership signal, see Similarity.ivfSearch);
     // brute keeps bruteForceTopK's same-id exclusion.
-    queriesInput: Option[String] = None)
+    queriesInput: Option[String] = None,
+    // FILTERED ANN (method ivf): SQL predicate over corpus columns,
+    // pre-filter semantics (Similarity.ivfSearchWhere) — exactly the
+    // restricted-corpus result, pruned before distance compute
+    where: Option[String] = None)
   extends TransformSpec
 
 /**

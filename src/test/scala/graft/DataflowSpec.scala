@@ -173,6 +173,38 @@ class DataflowSpec extends SparkSpecBase {
       .contains("hashpartitioning(text#"), "raw text used as shuffle key")
   }
 
+  test("metadata reach: filtered ann (where) equals the restricted-corpus search") {
+    val spec =
+      s"""{"dataflows":[{"name":"fann",
+         |  "sources":[{"name":"emb","path":"${sf()}/embeddings.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"q","type":"sql","params":{"input":"emb","output":"q",
+         |      "query":"SELECT * FROM emb WHERE vec_id % 20 = 0"}},
+         |    {"name":"nn","type":"ann","params":{
+         |      "input":"emb","output":"neighbors","method":"ivf",
+         |      "queries_input":"q","where":"vec_id % 3 = 1",
+         |      "id":"vec_id","vec":"embedding","k":5,"nlist":16,"nprobe":16}}],
+         |  "sinks":[]}]}""".stripMargin
+    val frames = Dataflow.plan(spark, MetaLoader.loadString(spec).dataflow("fann"))
+    val out = frames("neighbors").select("id", "neighbor_id")
+      .as[(Long, Long)].collect()
+    assert(out.nonEmpty && out.forall(_._2 % 3 == 1),
+      "only vec_id%3==1 neighbors may rank")
+    // a non-ivf method rejects the filter loudly
+    val badSpec =
+      s"""{"dataflows":[{"name":"bad",
+         |  "sources":[{"name":"emb","path":"${sf()}/embeddings.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"nn","type":"ann","params":{
+         |      "input":"emb","output":"n","method":"lsh",
+         |      "where":"vec_id % 3 = 1","id":"vec_id","vec":"embedding","k":5}}],
+         |  "sinks":[]}]}""".stripMargin
+    val e = intercept[IllegalArgumentException] {
+      Dataflow.plan(spark, MetaLoader.loadString(badSpec).dataflow("bad"))
+    }
+    assert(e.getMessage.contains("filtered ANN"))
+  }
+
   test("metadata-driven ann step compiles, runs, and never cross-joins") {
     val spec =
       s"""{"dataflows":[{"name":"annflow",
