@@ -23,7 +23,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Headline set: the scale-critical operators, per SURVEY.md §6. */
   val headline: Seq[String] = Seq(
-    "q1_pricing", "q3_revenue", "q3_revenue_bucketed", "q5_nation_revenue",
+    "q1_pricing", "q3_revenue", "q3_revenue_bucketed", "q3_revenue_salted",
+    "q5_nation_revenue",
     "q_top_customers",
     "q_events_hourly", "q_sessions", "q_sessions_sw", "q_event_pivot",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters",

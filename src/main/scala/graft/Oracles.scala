@@ -468,6 +468,11 @@ object Oracles {
     // q3_revenue's oracle verbatim
     "q3_revenue_bucketed" -> q3RevenueSql,
 
+    // salting is likewise a pure physical transformation (row-hash
+    // salt on the fact side, dim replicated per salt, join on
+    // (key, salt)) — hash-identical rows, same oracle
+    "q3_revenue_salted" -> q3RevenueSql,
+
     "q5_nation_revenue" ->
       s"""SELECT n_name, $revenueExpr
          |FROM lineitem

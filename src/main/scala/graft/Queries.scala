@@ -334,6 +334,32 @@ object Queries {
         .cast("double").as("revenue"))
   }
 
+  /** Q3 through the SALTED fact⋈dim join ([[operators.Scale
+    * .saltedEquiJoin]], salts=8): the hot-key mitigation when the dim
+    * side is too big to broadcast and one join key dominates — each
+    * lineitem row gets a deterministic row-hash salt, the
+    * orders-side rows replicate once per salt, and the hot key's rows
+    * spread over 8 reducers. Output is CONTRACTUALLY the plain inner
+    * equi-join, so this rides `q3_revenue`'s oracle verbatim — the
+    * hash match proves salting is a pure physical transformation. */
+  def q3RevenueSalted(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    operators.Scale.saltedEquiJoin(li,
+        ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        "l_orderkey", salts = 8)
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec4(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
   /** Q3 over PRE-BUCKETED fact tables — the regime-boundary answer to
     * what ScaleBench measured at ×10 data: orders outgrows the
     * broadcast threshold and q3's orders⋈lineitem flips to a shuffle
@@ -1984,6 +2010,7 @@ object Queries {
     "q1_pricing" -> q1Pricing _,
     "q3_revenue" -> q3Revenue _,
     "q3_revenue_bucketed" -> q3RevenueBucketed _,
+    "q3_revenue_salted" -> q3RevenueSalted _,
     "q5_nation_revenue" -> q5NationRevenue _,
     "q_top_customers" -> qTopCustomers _,
     "q_no_order_customers" -> qNoOrderCustomers _,

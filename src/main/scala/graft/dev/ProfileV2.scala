@@ -60,11 +60,14 @@ object ProfileV2 {
             col("doc_id")).as("__r"))
           .select(col("__r.doc_id"), col("__r.text"), col("__r.n_tokens")))
       time("kept materialize")(noop(kept))
+      // r8: the shipped pipeline routes cluster dedup through banded
+      // LSH (Dedup.nearDupClusters) — profile that, with the exact
+      // pair path kept beside it for comparison
       val pairs = graft.operators.Dedup.ngramJaccard(kept, col("text"),
         col("doc_id"), freqIn = Some(freq))
-      time("ngramJaccard pairs")(noop(pairs))
-      val clusters = time("duplicateClusters") {
-        val c = graft.operators.Dedup.duplicateClusters(pairs)
+      time("ngramJaccard pairs (exact)")(noop(pairs))
+      val clusters = time("nearDupClusters (shipped)") {
+        val c = graft.operators.Dedup.nearDupClusters(kept, col("text"), col("doc_id"))
         noop(c); c
       }
       val nonCanonical = clusters
