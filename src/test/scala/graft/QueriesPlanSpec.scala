@@ -24,6 +24,19 @@ class QueriesPlanSpec extends SparkSpecBase {
     assert(plan.contains("least"), s"expected positional bound in join:\n$plan")
   }
 
+  test("q3_revenue_salted actually salts: the fact-dim exchange keys on (join key, salt)") {
+    val plan = Queries.q3RevenueSalted(spark, sf())
+      .queryExecution.executedPlan.toString
+    // the join must key on BOTH the key and the salt column — a plan
+    // that dropped the salt would re-concentrate the hot key on one
+    // reducer (shuffle-join regime) and silently defeat the operator.
+    // At this SF AQE broadcasts the dim side, so assert the JOIN KEYS
+    // (present in either join flavor), not the exchange.
+    assert("Join \\[l_orderkey#\\d+L?, __graft_salt".r
+      .findFirstIn(plan).isDefined,
+      s"expected (l_orderkey, __graft_salt) join keys:\n$plan")
+  }
+
   test("field_stats pushes only the projected columns to the scan") {
     val plan = Queries.fieldStatsQ(spark, sf())
       .queryExecution.executedPlan.toString
