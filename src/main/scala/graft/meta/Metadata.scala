@@ -245,7 +245,8 @@ final case class DecontaminateSpec(
  * graft extension: DATASET-level expectations
  * ([[graft.operators.Expectations]]) — `checks` strings compile to the
  * suite (`row_count:lo-hi`, `unique:a+b`, `null_bp:col:maxBp`,
- * `range:col:lo-hi`, `min_per_group:col:minRows`, `subset:col:frame.refCol`); `output` receives the
+ * `range:col:lo-hi`, `min_per_group:col:minRows`,
+ * `accepted_values:col:a|b|c`, `subset:col:frame.refCol`); `output` receives the
  * report frame; `failOnViolation` turns the transform into a GATE that
  * aborts the pipeline (no sink runs) with the failing checks named.
  */

@@ -53,6 +53,15 @@ object Expectations {
     def render = s"in_range($col,$lo,$hi)"
   }
 
+  /** dbt's `accepted_values`: every non-null value of `col` (compared
+    * as its string rendering) is one of `values`; observed = rows
+    * holding anything else. NULLs pass — budget them with
+    * [[NullFraction]]. */
+  final case class AcceptedValues(col: String, values: Seq[String]) extends Check {
+    require(values.nonEmpty, "accepted_values: empty value list")
+    def render = s"accepted_values($col,${values.mkString("|")})"
+  }
+
   /** Referential integrity: every non-null value of `col` appears in
     * `refCol` of the reference frame; observed = orphan rows. */
   final case class SubsetOf(col: String, ref: DataFrame, refCol: String,
@@ -91,6 +100,9 @@ object Expectations {
       case (InRange(c, lo, hi), i) =>
         Some(sum(when(col(c).isNotNull && (col(c) < lit(lo) || col(c) > lit(hi)),
           1L).otherwise(0L)).as(s"m$i"))
+      case (AcceptedValues(c, vs), i) =>
+        Some(sum(when(col(c).isNotNull &&
+          !col(c).cast("string").isin(vs: _*), 1L).otherwise(0L)).as(s"m$i"))
       case (_: SubsetOf, _) => None
       case (_: MinPerGroup, _) => None
     }
@@ -111,6 +123,9 @@ object Expectations {
           (col(s"m$i") * 10000L <= lit(maxBp.toLong) * col("__rows")).as("ok"),
           col(s"m$i").cast("long").as("observed"))
       case (chk @ InRange(_, _, _), i) =>
+        aggRow.select(lit(chk.render).as("check"),
+          (col(s"m$i") === 0L).as("ok"), col(s"m$i").cast("long").as("observed"))
+      case (chk @ AcceptedValues(_, _), i) =>
         aggRow.select(lit(chk.render).as("check"),
           (col(s"m$i") === 0L).as("ok"), col(s"m$i").cast("long").as("observed"))
       case (chk @ SubsetOf(c, ref, refCol, _), _) =>
@@ -138,6 +153,7 @@ object Expectations {
   /** Compile a metadata check string (see [[graft.meta.ExpectSpec]]):
     * `row_count:lo-hi` | `unique:a+b` | `null_bp:col:maxBp` |
     * `range:col:lo-hi` | `min_per_group:col:minRows` |
+    * `accepted_values:col:a|b|c` |
     * `subset:col:frame.refCol` — `resolve` maps a frame name to the
     * referential target. */
   def parse(spec: String, resolve: String => DataFrame): Check = {
@@ -154,6 +170,8 @@ object Expectations {
       case Seq("range", c, r) =>
         val (lo, hi) = range(r); InRange(c, lo, hi)
       case Seq("min_per_group", g, minRows) => MinPerGroup(g, minRows.toLong)
+      case Seq("accepted_values", c, vs) =>
+        AcceptedValues(c, vs.split("\\|").toSeq)
       case Seq("subset", c, ref) => ref.split("\\.") match {
         case Array(frame, refCol) => SubsetOf(c, resolve(frame), refCol, frame)
         case _ => throw new IllegalArgumentException(

@@ -405,21 +405,29 @@ object StreamingIngest {
   def cdcSnapshotSink(stream: DataFrame, tablePath: String, checkpoint: String,
                       key: String, partitionCol: String, seqCol: String,
                       deletedCol: String = "__deleted",
-                      statsCols: Seq[String] = Nil)
+                      statsCols: Seq[String] = Nil,
+                      audit: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    // `audit` turns every batch commit WRITE-AUDIT-PUBLISH
+    // (Snapshot.wapMerge): the post-merge state is audited while
+    // staged, so a poison batch (a CDC storm eroding a partition, a
+    // bug wiping a group) FAILS THE QUERY instead of publishing — the
+    // table stays at its last good version and the stream restarts
+    // from the checkpoint after the upstream fix; nothing to roll back
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         applyCdcSnapshotBatch(batch, tablePath, key, partitionCol, seqCol,
-          deletedCol, statsCols)
+          deletedCol, statsCols, audit)
       }
       .start()
 
   private[graft] def applyCdcSnapshotBatch(batch: DataFrame, tablePath: String,
                                            key: String, partitionCol: String,
                                            seqCol: String, deletedCol: String,
-                                           statsCols: Seq[String]): Unit = {
+                                           statsCols: Seq[String],
+                                           audit: Seq[String] = Nil): Unit = {
     val isDel = coalesce(col(deletedCol), lit(false))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key))
@@ -435,6 +443,9 @@ object StreamingIngest {
     if (!graft.operators.Snapshot.exists(tablePath))
       graft.operators.Snapshot.create(batch.sparkSession, tablePath, ups,
         key, partitionCol, statsCols)
+    else if (audit.nonEmpty)
+      graft.operators.Snapshot.wapMerge(batch.sparkSession, tablePath, ups,
+        dels, audit)
     else
       graft.operators.Snapshot.merge(batch.sparkSession, tablePath, ups, dels)
     ()

@@ -26,6 +26,8 @@ class ExpectationsSpec extends SparkSpecBase {
       NullFraction("tag", 2000),       // 1/5 null = 2000bp: ok (<=)
       NullFraction("tag", 1999),       // fail
       InRange("v", 0, 100),            // -1 out: 1 violation
+      AcceptedValues("tag", Seq("a", "b")), // one 'c' row; nulls pass
+      AcceptedValues("tag", Seq("a", "b", "c")), // ok
       MinPerGroup("tag", 2),           // 'a' and 'c' have 1 row: 2 bad groups
       MinPerGroup("tag", 1),           // all present groups >= 1: ok
       SubsetOf("id", ref, "k", "ref"))) // id 4 orphan: 2 rows
@@ -37,6 +39,8 @@ class ExpectationsSpec extends SparkSpecBase {
       ("null_fraction(tag,2000bp)", true, 1L),
       ("null_fraction(tag,1999bp)", false, 1L),
       ("in_range(v,0,100)", false, 1L),
+      ("accepted_values(tag,a|b)", false, 1L),
+      ("accepted_values(tag,a|b|c)", true, 0L),
       ("min_per_group(tag,2)", false, 2L),
       ("min_per_group(tag,1)", true, 0L),
       ("subset_of(id,ref.k)", false, 2L)))
@@ -59,6 +63,8 @@ class ExpectationsSpec extends SparkSpecBase {
     assert(parse("null_bp:tag:250", resolve) == NullFraction("tag", 250))
     assert(parse("range:v:0-100", resolve) == InRange("v", 0, 100))
     assert(parse("min_per_group:src:100", resolve) == MinPerGroup("src", 100))
+    assert(parse("accepted_values:lang:en|de|fr", resolve) ==
+      AcceptedValues("lang", Seq("en", "de", "fr")))
     parse("subset:id:dim.k", resolve) match {
       case SubsetOf("id", _, "k", "dim") => ()
       case other => fail(s"got $other")

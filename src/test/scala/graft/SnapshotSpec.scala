@@ -459,6 +459,33 @@ class SnapshotSpec extends SparkSpecBase {
     assert(rows(Snapshot.currentVersion(t)) == rows(2))
   }
 
+  test("cdcSnapshotSink audit: a poison batch fails while staged; the table keeps its last good version") {
+    val t = fresh("cdcwap")
+    def apply(batch: Seq[(Long, String, String, Long, Boolean)]): Unit =
+      graft.streaming.StreamingIngest.applyCdcSnapshotBatch(
+        batch.toDF("id", "payload", "part", "seq", "__deleted"),
+        t, "id", "part", "seq", "__deleted", Seq("id"),
+        audit = Seq("row_count:2-1000000"))
+    // bootstrap (create path is not audited — the floor gates merges)
+    apply(Seq((1L, "a", "p1", 1L, false), (2L, "b", "p1", 2L, false),
+      (3L, "c", "p2", 3L, false)))
+    assert(Snapshot.currentVersion(t) == 1)
+    // healthy batch publishes
+    apply(Seq((4L, "d", "p2", 10L, false)))
+    assert(Snapshot.currentVersion(t) == 2)
+    // poison batch: a delete storm leaving 1 < 2 rows — the post-state
+    // audit rejects while staged, the batch THROWS (streaming would
+    // fail the query), and the table keeps v2
+    val e = intercept[Snapshot.ExpectationViolationException] {
+      apply(Seq((1L, null, "p1", 20L, true), (2L, null, "p1", 21L, true),
+        (4L, null, "p2", 22L, true)))
+    }
+    assert(e.getMessage.contains("row_count_between(2,1000000)"))
+    assert(Snapshot.currentVersion(t) == 2, "no torn version from the poison batch")
+    assert(Snapshot.readLatest(spark, t).count() == 4)
+    assert(Snapshot.fsck(spark, t).isEmpty, "aborted stage leaves no residue")
+  }
+
   test("delete-only merge and no-op merge both commit clean versions") {
     val t = fresh("delonly")
     Snapshot.create(spark, t, seedDf, "id", "part")
