@@ -1311,6 +1311,22 @@ object Oracles {
         |  md5(text) AS fp
         |FROM documents""".stripMargin,
 
+    // resize replay: image rows re-encode via the deterministic stub
+    // (md5hex(payload) || ':64x48' as bytes — 38 ASCII chars), with
+    // dims/byte-count/fingerprint recomputed; non-images untouched
+    "multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE WHEN doc_id % 3 = 0 THEN 64
+        |       ELSE CAST(n_chars % 640 + 1 AS INT) END AS width,
+        |  CASE WHEN doc_id % 3 = 0 THEN 48
+        |       ELSE CAST(n_chars % 480 + 1 AS INT) END AS height,
+        |  CASE WHEN doc_id % 3 = 0 THEN CAST(38 AS BIGINT)
+        |       ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS n_bytes,
+        |  CASE WHEN doc_id % 3 = 0 THEN md5(md5(text) || ':64x48')
+        |       ELSE md5(text) END AS fp
+        |FROM documents""".stripMargin,
+
     "text_tokens" ->
       s"""SELECT doc_id,
          |CAST(len($wsTokensSql) AS BIGINT) AS n_ws_tokens,

@@ -894,6 +894,24 @@ object Queries {
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.multimodalMeta(s, dir)
 
+  /** Multimodal RESIZE through the per-partition codec seam: image
+    * records re-encode at 64×48 with metadata (dims, byte count,
+    * fingerprint) recomputed where the payload mutates; audio/video
+    * pass through untouched. The deterministic [[operators.Multimodal
+    * .FakeCodec]] (the synthetic payloads are text, not decodable
+    * images) makes the whole batch-resize plumbing — mapPartitions
+    * batching, metadata maintenance, kind routing — replayable in SQL;
+    * MultimodalSpec covers the REAL javax.imageio codec on PNG/JPEG
+    * fixtures. */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+    Multimodal.resizeImages(media, 64, 48, codec = Multimodal.FakeCodec)
+      .toDF()
+      .select(col("mediaId").as("media_id"), col("kind"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.nBytes").as("n_bytes"), col("meta.fp").as("fp"))
+  }
+
   /** Token counting: whitespace + BPE-ish regex counts. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -2049,6 +2067,7 @@ object Queries {
     "dup_ngram_coverage" -> dupNgramCoverageQ _,
     "text_familiarity" -> textFamiliarityQ _,
     "multimodal_meta" -> multimodalMeta _,
+    "multimodal_resize" -> multimodalResize _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_entropy" -> textEntropy _,
