@@ -1327,6 +1327,24 @@ object Oracles {
         |       ELSE md5(text) END AS fp
         |FROM documents""".stripMargin,
 
+    // frame-sampling fan-out replay: videos (doc_id%3==2) yield
+    // ceil(duration/1000) frames (duration = n_chars*10 from the
+    // synthetic metadata), chunk = max(1, byte_len div n), last chunk
+    // truncated — the executor-side fan-out arithmetic as SQL
+    "multimodal_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len,
+        |    GREATEST(1, CAST(ceil((n_chars * 10) / 1000.0) AS BIGINT)) AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, len, n, GREATEST(1, len // n) AS chunk, t.i
+        |  FROM v, LATERAL unnest(generate_series(0, n - 1)) AS t(i))
+        |SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(i * 1000 AS BIGINT) AS ts_ms,
+        |  CAST(LEAST(LEAST(i * chunk, len) + chunk, len)
+        |    - LEAST(i * chunk, len) AS BIGINT) AS n_bytes
+        |FROM f""".stripMargin,
+
     "text_tokens" ->
       s"""SELECT doc_id,
          |CAST(len($wsTokensSql) AS BIGINT) AS n_ws_tokens,

@@ -912,6 +912,21 @@ object Queries {
         col("meta.nBytes").as("n_bytes"), col("meta.fp").as("fp"))
   }
 
+  /** Multimodal FRAME SAMPLING: every video record fans out to
+    * ⌈duration/1s⌉ frame rows executor-side (one iterator, no shuffle,
+    * no driver loop) with contiguous payload chunks. The oracle
+    * replays the fan-out arithmetic — frame count, timestamps and
+    * per-frame byte counts — relationally, so the chunking math is
+    * hash-gated; the payload bytes themselves ride the (mediaId,
+    * frameIdx)-determined slices the spec checks. */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(t(s, dir, "documents"))
+    Multimodal.sampleFrames(media, intervalMs = 1000L).toDF()
+      .select(col("mediaId").as("media_id"),
+        col("frameIdx").as("frame_idx"), col("tsMs").as("ts_ms"),
+        length(col("bytes")).cast("long").as("n_bytes"))
+  }
+
   /** Token counting: whitespace + BPE-ish regex counts. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -2068,6 +2083,7 @@ object Queries {
     "text_familiarity" -> textFamiliarityQ _,
     "multimodal_meta" -> multimodalMeta _,
     "multimodal_resize" -> multimodalResize _,
+    "multimodal_frames" -> multimodalFrames _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_entropy" -> textEntropy _,
