@@ -118,6 +118,38 @@ class DedupSpec extends SparkSpecBase {
       s"got $fr")
   }
 
+  test("ngramJaccard == brute force on random corpora (index-prefix asymmetry: zero false negatives)") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (1 to 120).map(i => s"w$i")
+    for (t <- Seq(0.5, 0.8)) {
+      val base = (0 until 25).map { _ =>
+        (1 to (8 + rnd.nextInt(30)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ") }
+      // planted near-dups: each doc gets a one-word-mutated twin, so
+      // both same-size and cross-size pairs exercise the orientation
+      val corpus = base.zipWithIndex.flatMap { case (txt, i) =>
+        val w = txt.split(" ")
+        Seq((i * 2L, txt),
+          (i * 2L + 1, (w.dropRight(1) :+ vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      }
+      val got = Dedup.ngramJaccard(corpus.toDF("doc_id", "text"),
+          col("text"), col("doc_id"), k = 3, threshold = t)
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      def sh(s: String) = s.toLowerCase.trim.split("\\s+").sliding(3)
+        .map(_.mkString(" ")).toSet
+      val want = (for {
+        (a, ta) <- corpus; (b, tb) <- corpus if a < b
+        sa = sh(ta); sb = sh(tb)
+        inter = sa.intersect(sb).size
+        if inter.toDouble / (sa.size + sb.size - inter) >= t
+      } yield (a, b, inter.toLong, sa.size.toLong, sb.size.toLong)).toSet
+      assert(got == want,
+        s"t=$t missed: ${want.diff(got)}, extra: ${got.diff(want)}")
+      assert(want.nonEmpty, "fixture must plant pairs")
+    }
+  }
+
   test("ngram Jaccard finds the near pair with the exact score") {
     val out = Dedup.ngramJaccard(docs, col("text"), col("doc_id"), k = 3, threshold = 0.5)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
