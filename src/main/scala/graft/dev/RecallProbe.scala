@@ -52,16 +52,18 @@ object RecallProbe {
       .select(col("id"), col("neighbor_id")).cache()
     truth.count()
 
-    def timed(name: String)(build: => DataFrame): String = {
+    def timedVs(name: String, truthDf: DataFrame)(build: => DataFrame): String = {
       val t0 = System.nanoTime()
       val out = build.select(col("id"), col("neighbor_id"))
-      val r = recallAgainst(truth, out, k)
+      val r = recallAgainst(truthDf, out, k)
       val secs = (System.nanoTime() - t0) / 1e9
       graft.operators.OpCache.releaseAll()
       val line = f"""{"method":"$name","recall_at_$k":$r%.3f,"secs":$secs%.2f}"""
       println(line)
       line
     }
+    def timed(name: String)(build: => DataFrame): String =
+      timedVs(name, truth)(build)
 
     val cells = Similarity.trainKmeans(emb, id, v, nlist = 64)
     val pq = Similarity.trainPqCodebook(emb, id, v)
@@ -100,6 +102,24 @@ object RecallProbe {
       val agreeLine = f"""{"method":"ivf_int8_vs_fp32_p16","agreement_at_$k":$agree%.3f}"""
       println(agreeLine)
       int8Lines :+ agreeLine
+    } ++ {
+      // FILTERED ANN (r8): pre-filter recall vs the brute-force truth
+      // over the ALLOWED slice only — queries drawn disjoint from the
+      // filter so self-matches cannot skew either side. The claim
+      // under test: restricting the corpus costs NO recall at fixed
+      // nprobe (the pre-filter result IS the restricted-corpus
+      // search), where a post-filter overfetch degrades as the filter
+      // sharpens.
+      val allowed = col("vec_id") % 3 === 1
+      val qs = emb.filter(col("vec_id") % 3 =!= 1 && col("vec_id") % 5 === 0)
+      val ftruth = Similarity.bruteForceTopK(qs, emb.filter(allowed), id, v, k)
+        .select(col("id"), col("neighbor_id")).cache()
+      ftruth.count()
+      Seq(
+        timedVs("ivf_filtered_p8", ftruth)(Similarity.ivfSearchWhere(
+          qs, emb, id, v, allowed, k, nprobe = 8, centroidsIn = Some(cells))),
+        timedVs("ivf_filtered_p16", ftruth)(Similarity.ivfSearchWhere(
+          qs, emb, id, v, allowed, k, nprobe = 16, centroidsIn = Some(cells))))
     }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("recall_out.json"),
