@@ -118,11 +118,19 @@ object Dataflow {
           }
           // cluster consumers never need the quadratic exact pair
           // set — the set-similarity methods route to banded-LSH
-          // candidates (volume tracks duplicate mass, not Σdf²);
-          // other methods' pair frames feed the CC directly
+          // candidates (volume tracks duplicate mass, not Σdf²):
+          // one_wave for ordinary corpora, star_repair for the
+          // clique-heavy regime; other methods' pair frames feed the
+          // CC directly
+          require(Set("one_wave", "star_repair").contains(s.clusterStrategy),
+            s"dedup '${s.name}': unknown cluster_strategy '${s.clusterStrategy}'")
           def clusters = s.method match {
             case "ngram_jaccard" | "minhash_lsh" =>
-              Dedup.nearDupClusters(in, content, id, threshold = s.threshold)
+              if (s.clusterStrategy == "star_repair")
+                Dedup.nearDupComponents(in, content, id,
+                  threshold = s.threshold, candidates = "banded")
+              else
+                Dedup.nearDupClusters(in, content, id, threshold = s.threshold)
             case _ => Dedup.duplicateClusters(pairs)
           }
           val validModes = Set("filter", "pairs", "clusters", "cluster_filter",

@@ -121,7 +121,8 @@ object MetaLoader {
           mode = str(p, "mode", "filter"),
           threshold = p.path("threshold").asDouble(0.8),
           scoreCol = optStr(p, "score"),
-          statsPath = optStr(p, "stats_path"))
+          statsPath = optStr(p, "stats_path"),
+          clusterStrategy = str(p, "cluster_strategy", "one_wave").toLowerCase)
       case "chunk" =>
         ChunkSpec(name, input, output,
           contentCol = str(p, "content", "text"),

@@ -224,7 +224,13 @@ final case class DedupTransformSpec(
     // set + df moments) — loaded when the file exists, computed AND
     // saved when it doesn't; the train-once lifecycle codebook_path
     // gives ann, here for the PPJoin family
-    statsPath: Option[String] = None)
+    statsPath: Option[String] = None,
+    // cluster modes, set-similarity methods: "one_wave" (default —
+    // Dedup.nearDupClusters, CC over banded-LSH verified pairs) or
+    // "star_repair" (Dedup.nearDupComponents banded — the
+    // clique-heavy-regime path: a page cloned 10⁵× verifies at
+    // linear mass instead of C(c,2) per family)
+    clusterStrategy: String = "one_wave")
   extends TransformSpec
 
 /**

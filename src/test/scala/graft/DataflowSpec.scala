@@ -173,6 +173,28 @@ class DataflowSpec extends SparkSpecBase {
       .contains("hashpartitioning(text#"), "raw text used as shuffle key")
   }
 
+  test("metadata reach: dedup cluster_strategy star_repair == one_wave labels") {
+    def spec(strategy: String) =
+      s"""{"dataflows":[{"name":"cl",
+         |  "sources":[{"name":"docs","path":"${sf()}/documents.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"c","type":"dedup","params":{"input":"docs","output":"c",
+         |      "method":"ngram_jaccard","mode":"clusters",
+         |      "cluster_strategy":"$strategy"}}],
+         |  "sinks":[]}]}""".stripMargin
+    def labels(strategy: String) =
+      Dataflow.plan(spark, MetaLoader.loadString(spec(strategy)).dataflow("cl"))("c")
+        .as[(Long, Long)].collect().toMap
+    val one = labels("one_wave")
+    val star = labels("star_repair")
+    assert(one.nonEmpty && star === one,
+      "both strategies must produce identical component labels")
+    intercept[IllegalArgumentException] {
+      Dataflow.plan(spark, MetaLoader.loadString(spec("bogus")).dataflow("cl"))
+    }
+    graft.operators.OpCache.releaseAll()
+  }
+
   test("metadata reach: filtered ann (where) equals the restricted-corpus search") {
     val spec =
       s"""{"dataflows":[{"name":"fann",
