@@ -662,6 +662,11 @@ object Oracles {
     // connected components over the near-dup graph (min-id labels)
     "dedup_clusters" -> dedupClustersSql,
 
+    // incremental maintenance ≡ full recompute, as a hash check: the
+    // labels folded from yesterday's clusters + the batch-touching
+    // pair delta must equal the full-corpus closure verbatim
+    "dedup_clusters_incremental" -> dedupClustersSql,
+
     // top repeated 8-token spans: winners picked by (count desc, md5
     // asc) — md5 so the selection replays here — then recounted with
     // their text and distinct-document counts

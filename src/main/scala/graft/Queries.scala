@@ -636,6 +636,25 @@ object Queries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.nearDupClusters(t(s, dir, "documents"), col("text"), col("doc_id"))
 
+  /** INCREMENTAL cluster maintenance ([[operators.Dedup
+    * .duplicateClustersIncremental]]): yesterday's labels (corpus
+    * minus the %10 batch) + only the batch-touching pair delta fold
+    * into today's labels — and the oracle is `dedup_clusters`' FULL
+    * corpus closure verbatim, so the hash match proves incremental ≡
+    * full recompute (components split by the missing batch docs
+    * re-merge through their edges; membership and min-id labels
+    * coincide). Work is |labels| + |batch pairs| — the nightly-delta
+    * shape at 100 TB. */
+  def dedupClustersIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val existing = Dedup.nearDupClusters(old, col("text"), col("doc_id"))
+    val newPairs = Dedup.ngramJaccardIncremental(old, batch,
+      col("text"), col("doc_id"), freqIn = corpusFreq(s, dir))
+    Dedup.duplicateClustersIncremental(existing, newPairs)
+  }
+
   /** The 20 most repeated 8-token spans corpus-wide — what IS the
     * boilerplate substring dedup would carve. */
   def topSpansQ(s: SparkSession, dir: String): DataFrame =
@@ -2063,6 +2082,7 @@ object Queries {
     "dedup_minhash" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
     "dedup_clusters" -> dedupClusters _,
+    "dedup_clusters_incremental" -> dedupClustersIncrementalQ _,
     "dedup_keep_best" -> dedupKeepBest _,
     "top_spans" -> topSpansQ _,
     "dedup_incremental" -> dedupIncremental _,

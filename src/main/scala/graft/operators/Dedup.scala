@@ -728,6 +728,40 @@ object Dedup {
     labels
   }
 
+  /**
+   * INCREMENTAL duplicate clusters: fold a new batch into an existing
+   * `(doc_id, cluster_id)` label table without recomputing the corpus
+   * pair graph. Existing labels act as star EDGES (doc → its
+   * canonical representative — a spanning subgraph of each old
+   * component), and `newPairs` contributes every near-dup pair
+   * touching the batch ([[ngramJaccardIncremental]]'s contract);
+   * connected components over the union are EXACTLY the components of
+   * the full corpus pair graph: old-old pairs are spanned by the
+   * label edges, old-new/new-new pairs are in `newPairs`, and
+   * components that were split only because yesterday's corpus lacked
+   * the bridging batch doc re-merge through its edges. Labels stay
+   * min-id over the (identical) membership, so the result
+   * hash-matches a full recompute — `dedup_clusters_incremental`
+   * rides `dedup_clusters`' oracle verbatim. Work is
+   * |labels| + |batch pairs|, never the corpus pair graph: the
+   * nightly-delta shape at 100 TB.
+   */
+  def duplicateClustersIncremental(existing: DataFrame,
+                                   newPairs: DataFrame): DataFrame = {
+    val labelEdges = existing
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    // singleton-canonical rows (doc_id == cluster_id) carry no edge,
+    // but their doc must stay labeled even if the batch ignores it —
+    // re-attach after the CC by unioning the old labels back in and
+    // keeping the MIN cluster per doc (a merged component's new label
+    // is ≤ any old one by min-id monotonicity)
+    val merged = duplicateClusters(
+      labelEdges.unionAll(newPairs.select(col("doc_a"), col("doc_b"))))
+    merged.unionByName(existing)
+      .groupBy("doc_id").agg(min(col("cluster_id")).as("cluster_id"))
+  }
+
   /** Driver-side connected components for small pair graphs: classic
     * union-find with path compression + union by rank, min-element
     * canonical label per component (natural ordering of the id type —

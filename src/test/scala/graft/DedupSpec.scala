@@ -430,6 +430,30 @@ class DedupSpec extends SparkSpecBase {
     graft.operators.OpCache.releaseAll()
   }
 
+  test("duplicateClustersIncremental: batch fold == full recompute, incl. batch-doc bridges") {
+    // old corpus: component {1,2}; docs 3 and 5 pair-free. Batch doc
+    // 20 bridges 3 and 5 (similar to both, which are NOT similar to
+    // each other) and doc 21 extends {1,2} — the two update shapes.
+    val existing = Seq((1L, 1L), (2L, 1L)).toDF("doc_id", "cluster_id")
+    val newPairs = Seq((3L, 20L), (5L, 20L), (2L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClustersIncremental(existing, newPairs)
+      .as[(Long, Long)].collect().toMap
+    // full graph: {1,2,21} via (1,2),(2,21); {3,5,20} via the bridge
+    assert(got === Map(1L -> 1L, 2L -> 1L, 21L -> 1L,
+      3L -> 3L, 5L -> 3L, 20L -> 3L), s"got $got")
+    // empty batch: labels carry through verbatim
+    val idle = Dedup.duplicateClustersIncremental(existing,
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(idle === Map(1L -> 1L, 2L -> 1L))
+    // a batch doc with a SMALLER id relabels the component it joins
+    val relabel = Dedup.duplicateClustersIncremental(
+      Seq((7L, 7L), (9L, 7L)).toDF("doc_id", "cluster_id"),
+      Seq((4L, 9L)).toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(relabel === Map(4L -> 4L, 7L -> 4L, 9L -> 4L), s"got $relabel")
+  }
+
   test("duplicateClusters: local union-find and distributed propagation agree") {
     // a mix of chains, stars and a larger ring so the component
     // structure is non-trivial; run the SAME edges through both paths
