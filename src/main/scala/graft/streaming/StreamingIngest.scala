@@ -674,6 +674,123 @@ object StreamingIngest {
                       id: String): DataFrame =
     spark.read.parquet(s"$outPath/data").dropDuplicates(id, "batch_id")
 
+  /**
+   * Streaming CLUSTER LABELS — the online twin of
+   * [[graft.operators.Dedup.duplicateClustersIncremental]]: where
+   * [[nearDedupSink]] DROPS near-dups at the door, this sink KEEPS
+   * everything and maintains the `(doc_id, cluster_id)` component
+   * labels as the stream grows — the corpus-hygiene view (who
+   * duplicates whom) updated per micro-batch at delta cost.
+   *
+   * Per batch: minhash signatures + band keys append to the store;
+   * candidate pairs come from band collisions against STRICTLY
+   * EARLIER batches plus within-batch, kept at minhash-estimate ≥
+   * `threshold` (the [[nearDedupSink]] trade — no shingle sets in
+   * state); the pair delta folds into the previous labels via the
+   * incremental CC, and the new labels land under
+   * `labels/b<batchId>/` — readers take the highest batch
+   * ([[clusterLabels]]).
+   *
+   * At-least-once replay is idempotent end-to-end: a replayed batch
+   * recomputes its pair delta identically (the earlier-batch guard
+   * ignores its own store rows), reads the labels of the highest
+   * batch BELOW itself, and re-folding already-merged edges is a
+   * fixed point of the CC — the rewritten labels dir is
+   * content-identical.
+   */
+  def clusterLabelsSink(stream: DataFrame, content: String, id: String,
+                        outPath: String, checkpoint: String,
+                        k: Int = 3, numHashes: Int = 32, bands: Int = 16,
+                        threshold: Double = 0.7)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyClusterLabelsBatch(batch, batchId, content, id, outPath,
+          k, numHashes, bands, threshold)
+      }
+      .start()
+
+  private def labelBatches(outPath: String): Seq[Long] = {
+    val dir = new java.io.File(s"$outPath/labels")
+    if (!dir.exists()) Nil
+    else dir.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .map(_.getName.drop(1).toLong).sorted
+  }
+
+  /** The current label table of a [[clusterLabelsSink]] log. */
+  def clusterLabels(spark: SparkSession, outPath: String): DataFrame = {
+    val bs = labelBatches(outPath)
+    require(bs.nonEmpty, s"no label batches under $outPath/labels")
+    spark.read.parquet(s"$outPath/labels/b${bs.last}")
+  }
+
+  private[graft] def applyClusterLabelsBatch(batch: DataFrame, batchId: Long,
+      content: String, id: String, outPath: String,
+      k: Int, numHashes: Int, bands: Int, threshold: Double): Unit = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val ss = batch.sparkSession
+    import graft.operators.Dedup
+    val sigs = Dedup.minhashSignatures(batch, col(content), col(id),
+      k, numHashes).persist()
+    try {
+      val bandedB = Dedup.bandFrame(sigs, bands, rows)
+      val sigsDir = s"$outPath/store/sigs"
+      val bandsDir = s"$outPath/store/bands"
+      val est = graft.functions.VectorExprs
+        .longVecEqCount(col("sig_a"), col("sig_b")).cast("double") / numHashes
+      val crossPairs =
+        if (new java.io.File(bandsDir).exists()) {
+          val storeBands = ss.read.parquet(bandsDir)
+            .filter(col("batch_id") < batchId)
+            .select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
+            .dropDuplicates("doc_b", "band")
+          val storeSigs = ss.read.parquet(sigsDir)
+            .filter(col("batch_id") < batchId)
+            .select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+            .dropDuplicates("doc_b")
+          bandedB
+            .select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+              col("band"), col("band_hash"))
+            .join(storeBands, Seq("band", "band_hash"))
+            .select("doc_a", "sig_a", "doc_b").distinct()
+            .join(storeSigs, "doc_b")
+            .filter(est >= threshold && col("doc_a") =!= col("doc_b"))
+            .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+              greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+        } else sigs.select(col("doc_id").as("doc_a"),
+          col("doc_id").as("doc_b")).limit(0)
+      val localPairs = bandedB.as("a").join(bandedB.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("a.sig").as("sig_a"),
+          col("b.doc_id").as("doc_b"), col("b.sig").as("sig_b"))
+        .distinct()
+        .filter(est >= threshold)
+        .select("doc_a", "doc_b")
+      val pairs = crossPairs.unionByName(localPairs).distinct().persist()
+      val prev = labelBatches(outPath).filter(_ < batchId).lastOption
+      val labels = prev match {
+        case Some(b) => Dedup.duplicateClustersIncremental(
+          ss.read.parquet(s"$outPath/labels/b$b"), pairs)
+        case None => Dedup.duplicateClusters(pairs)
+      }
+      labels.coalesce(1).write.mode("overwrite")
+        .parquet(s"$outPath/labels/b$batchId")
+      sigs.withColumn("batch_id", lit(batchId))
+        .coalesce(1).write.mode("append").parquet(sigsDir)
+      Dedup.bandFrame(sigs, bands, rows).drop("sig")
+        .withColumn("batch_id", lit(batchId))
+        .coalesce(1).write.mode("append").parquet(bandsDir)
+      pairs.unpersist()
+      ()
+    } finally { sigs.unpersist(); () }
+  }
+
   def cmsTopHotKeys(spark: SparkSession, outPath: String, k: Int): DataFrame = {
     val merged = spark.read.parquet(s"$outPath/sketches")
       .groupBy("batch_id").agg(first(col("sketch")).as("sketch"))

@@ -366,6 +366,43 @@ class StreamingSpec extends SparkSpecBase {
       "replaying a micro-batch must not change the visible corpus")
   }
 
+  test("clusterLabelsSink: online labels grow per batch, bridge across batches, replay idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_clabels").toString
+    implicit val sq = spark.sqlContext
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    def variant(slot: Int, tag: String): String =
+      (1 to 40).map(i => if (i == slot) tag else s"w$i").mkString(" ")
+    val distinct1 = (1 to 40).map(i => s"x$i").mkString(" ")
+
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingIngest.clusterLabelsSink(
+      stream.toDF().toDF("doc_id", "text"),
+      "text", "doc_id", s"$dir/out", s"$dir/ckpt")
+    // batch 0: 1≈2 within-batch pair; 3 distinct (unlabeled)
+    stream.addData((1L, base), (2L, variant(40, "changed")), (3L, distinct1))
+    q.processAllAvailable()
+    def labels(): Map[Long, Long] =
+      StreamingIngest.clusterLabels(spark, s"$dir/out")
+        .as[(Long, Long)].collect().toMap
+    assert(labels() === Map(1L -> 1L, 2L -> 1L))
+    // batch 1: 4 ≈ the stored 1 (cross-batch edge joins the component)
+    stream.addData((4L, variant(1, "other")))
+    q.processAllAvailable(); q.stop()
+    assert(labels() === Map(1L -> 1L, 2L -> 1L, 4L -> 1L))
+    // matches the batch operator over the union corpus
+    val all = Seq((1L, base), (2L, variant(40, "changed")),
+      (3L, distinct1), (4L, variant(1, "other"))).toDF("doc_id", "text")
+    val oneShot = graft.operators.Dedup.nearDupClusters(
+        all, col("text"), col("doc_id"), threshold = 0.7)
+      .as[(Long, Long)].collect().toMap
+    assert(labels() === oneShot, "online labels must equal the batch recompute")
+    // at-least-once replay of batch 1: labels content-identical
+    StreamingIngest.applyClusterLabelsBatch(
+      Seq((4L, variant(1, "other"))).toDF("doc_id", "text"),
+      1L, "text", "doc_id", s"$dir/out", 3, 32, 16, 0.7)
+    assert(labels() === oneShot, "replayed batch must rewrite identical labels")
+  }
+
   test("incrementalViewSink follows the snapshot commit log: view == one-shot recompute across merge/DML/compact/rollback; re-delivery is a no-op") {
     import graft.operators.{IncrementalAgg, Snapshot}
     val dir = java.nio.file.Files.createTempDirectory("graft_follow").toString
