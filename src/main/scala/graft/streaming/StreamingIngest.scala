@@ -727,6 +727,24 @@ object StreamingIngest {
     spark.read.parquet(s"$outPath/labels/b${bs.last}")
   }
 
+  /** Reclaim superseded label batches (each batch writes a full
+    * snapshot, so only the tip is live; earlier dirs exist solely for
+    * the replay window). Keeps the highest `retainLast` batch dirs. */
+  def clusterLabelsVacuum(outPath: String, retainLast: Int = 2): Int = {
+    require(retainLast >= 1, "retainLast must be >= 1")
+    val stale = labelBatches(outPath).dropRight(retainLast)
+    stale.foreach { b =>
+      val root = java.nio.file.Paths.get(s"$outPath/labels/b$b")
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } finally walk.close()
+    }
+    stale.size
+  }
+
   private[graft] def applyClusterLabelsBatch(batch: DataFrame, batchId: Long,
       content: String, id: String, outPath: String,
       k: Int, numHashes: Int, bands: Int, threshold: Double): Unit = {

@@ -401,6 +401,9 @@ class StreamingSpec extends SparkSpecBase {
       Seq((4L, variant(1, "other"))).toDF("doc_id", "text"),
       1L, "text", "doc_id", s"$dir/out", 3, 32, 16, 0.7)
     assert(labels() === oneShot, "replayed batch must rewrite identical labels")
+    // vacuum drops superseded snapshots, keeps the tip readable
+    assert(StreamingIngest.clusterLabelsVacuum(s"$dir/out", retainLast = 1) === 1)
+    assert(labels() === oneShot, "the tip must survive the vacuum")
   }
 
   test("incrementalViewSink follows the snapshot commit log: view == one-shot recompute across merge/DML/compact/rollback; re-delivery is a no-op") {
