@@ -697,6 +697,11 @@ object StreamingIngest {
    * batch BELOW itself, and re-folding already-merged edges is a
    * fixed point of the CC — the rewritten labels dir is
    * content-identical.
+   *
+   * Contract: ids are unique across the stream (the same corpus
+   * invariant the batch operators state) — a re-delivered id with
+   * DIFFERENT content would leave two signatures under one key in
+   * the store; route updates through exact dedup upstream.
    */
   def clusterLabelsSink(stream: DataFrame, content: String, id: String,
                         outPath: String, checkpoint: String,
