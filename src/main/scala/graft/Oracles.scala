@@ -735,6 +735,20 @@ object Oracles {
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4""".stripMargin,
 
+    // incremental ≡ full, embedding member: the full exact pair set
+    // restricted to rows touching the %20 batch — what
+    // cosineDupPairsIncremental computes at |corpus|·|batch| cost
+    "dedup_embedding_incremental" ->
+      """WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm FROM w)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+        |       ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END AS cos_sim
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE (CASE WHEN a.nrm * b.nrm = 0 THEN 0.0
+        |            ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END) >= 0.4
+        |  AND (a.vec_id % 20 = 0 OR b.vec_id % 20 = 0)""".stripMargin,
+
     // cross-frame embedding near-dup vs the vec_id%20 subset
     "sim_cross" ->
       """WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

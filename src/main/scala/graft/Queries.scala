@@ -676,6 +676,19 @@ object Queries {
     Similarity.cosineDupPairs(t(s, dir, "embeddings"),
       col("vec_id"), col("embedding"), threshold = 0.4)
 
+  /** Incremental embedding near-dup ([[operators.Similarity
+    * .cosineDupPairsIncremental]]): only pairs touching the %20
+    * "re-embedded" batch are scored, and the oracle is the FULL pair
+    * set restricted to batch-touching rows — the hash match proves
+    * incremental ≡ full, like the jaccard (#68) and cluster (#191)
+    * family members. */
+  def dedupEmbeddingIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.cosineDupPairsIncremental(
+      e.filter(col("vec_id") % 20 =!= 0), e.filter(col("vec_id") % 20 === 0),
+      col("vec_id"), col("embedding"), threshold = 0.4)
+  }
+
   /** Cross-frame embedding near-dup (fuzzy decontamination shape):
     * full corpus vs the vec_id%20 "benchmark" subset, exact cosine,
     * broadcast bench side. */
@@ -2083,6 +2096,7 @@ object Queries {
     "dedup_simhash" -> dedupSimhash _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_clusters_incremental" -> dedupClustersIncrementalQ _,
+    "dedup_embedding_incremental" -> dedupEmbeddingIncremental _,
     "dedup_keep_best" -> dedupKeepBest _,
     "top_spans" -> topSpansQ _,
     "dedup_incremental" -> dedupIncremental _,

@@ -620,6 +620,30 @@ object Similarity {
   }
 
   /**
+   * INCREMENTAL embedding near-dup: every qualifying pair TOUCHING
+   * the incoming batch — (corpus × batch) ∪ (batch × batch) — without
+   * re-scoring the corpus' own pairs; the embedding member of the
+   * incremental family beside `ngramJaccardIncremental` and
+   * `duplicateClustersIncremental`. Ids normalize to `id_a < id_b`,
+   * and dot products / norm products are bit-commutative, so the
+   * output is EXACTLY the full pair set restricted to batch-touching
+   * rows (the oracle). A re-delivered id supersedes its corpus copy.
+   * Work is |corpus|·|batch| + |batch|² score evaluations, never the
+   * corpus' own quadratic — the nightly re-embedding-delta shape.
+   */
+  def cosineDupPairsIncremental(corpus: DataFrame, incoming: DataFrame,
+                                id: Column, vec: Column,
+                                threshold: Double = 0.95): DataFrame = {
+    val corpusOnly = corpus.select(id.as("__id"), vec.as("__v"))
+      .join(incoming.select(id.as("__id")), Seq("__id"), "left_anti")
+    val cross = cosineCrossPairs(corpusOnly, col("__id"), col("__v"),
+        incoming, id, vec, threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos_sim"))
+    cross.unionByName(cosineDupPairs(incoming, id, vec, threshold))
+  }
+
+  /**
    * Scale path for [[cosineCrossPairs]]: both sides LSH-bucketed with
    * the SAME hyperplanes (same seed → same buckets), candidates from
    * the (table, bucket) equi-join, exact rescoring — a hash shuffle,
