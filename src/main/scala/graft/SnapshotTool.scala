@@ -24,6 +24,8 @@ import org.apache.spark.sql.SparkSession
  *   runMain graft.SnapshotTool tag      /data/corpus_v <name> [version] # pin a version (vacuum-proof)
  *   runMain graft.SnapshotTool untag    /data/corpus_v <name>
  *   runMain graft.SnapshotTool tags     /data/corpus_v
+ *   runMain graft.SnapshotTool expect   /data/corpus_v unique:doc_id row_count:1000-1000000000
+ *     # ad-hoc dataset audit of the tip, exit 1 on any failing check
  * }}}
  */
 object SnapshotTool {
@@ -102,6 +104,19 @@ object SnapshotTool {
       case Seq("tags", table) =>
         (Snapshot.tags(table).toSeq.sortBy(_._1)
           .map { case (n, v) => s"$n -> v$v" }, 0)
+      case Seq("expect", table, checks @ _*) if checks.nonEmpty =>
+        // ad-hoc dataset audit of the TIP (Expectations grammar minus
+        // subset) — exit 1 on any failing check, cron/CI-gateable like
+        // fsck; the read-side sibling of commit `expects`/WAP `audit`
+        val parsed = checks.map(graft.operators.Expectations.parse(_, _ =>
+          throw new IllegalArgumentException(
+            "expect: subset checks need a reference frame — pipeline-level only")))
+        val rows = graft.operators.Expectations
+          .report(Snapshot.readLatest(spark, table), parsed)
+          .collect()
+        val lines = rows.map(r => f"${if (r.getAs[Boolean]("ok")) "OK  "
+          else "FAIL"} ${r.getAs[String]("check")}%-40s observed=${r.getAs[Long]("observed")}")
+        (lines.toSeq, if (rows.exists(r => !r.getAs[Boolean]("ok"))) 1 else 0)
       case Seq("delete-mor", table, c, lo, hi) =>
         val st = Snapshot.deleteWhereMor(spark, table,
           Seq((c, parseBound(lo), parseBound(hi))))

@@ -422,6 +422,19 @@ class SnapshotMorSpec extends SparkSpecBase {
     assert(after == want && Snapshot.fsck(spark, t).isEmpty)
   }
 
+  test("SnapshotTool expect: ad-hoc tip audit prints per-check rows, exit 1 on failure") {
+    val t = build("cliexpect")
+    val (ok, c0) = SnapshotTool.run(spark,
+      Seq("expect", t, "unique:id", "row_count:10-1000"))
+    assert(c0 === 0 && ok.forall(_.startsWith("OK")), ok.mkString("\n"))
+    val (bad, c1) = SnapshotTool.run(spark,
+      Seq("expect", t, "unique:id", "row_count:100-1000"))
+    assert(c1 === 1, bad.mkString("\n"))
+    assert(bad.exists(l => l.startsWith("FAIL") &&
+      l.contains("row_count_between(100,1000)") && l.contains("observed=40")))
+    assert(bad.exists(_.startsWith("OK")))
+  }
+
   test("commit expectations: a bad delivery is rejected with zero residue; good ones land; the suite carries forward") {
     val t = fresh("expects")
     val suite = Seq("unique:id", "row_count:10-100000")
