@@ -124,16 +124,16 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }
-    // the driver keeps only the last few KB of stdout: the 97-query
-    // full-precision line overflowed that window and arrived headless
-    // (BENCH_r07 "parsed": null). Print the SAME schema at millisecond
-    // precision — ~2.5 KB for the full catalog, whole inside the tail
-    // window; full precision lives in `outFile`.
+    // The driver keeps only the last ~2 KB of stdout. The full
+    // per-query map cannot fit there at ANY precision (104 entries ≈
+    // 2.6 KB even at ms precision — BENCH_r07 AND r08 both arrived
+    // mid-truncated, "parsed": null). Print a compact FINAL line
+    // (~150 bytes, no per-query map); the full-precision map lives in
+    // `outFile` for humans and the judge.
     def ms(v: Double): String = if (v < 0) "-1.0" else f"$v%.3f"
-    val qsShort = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsShort,""" +
-      s""""failed":$failedJson,"runs":$runs,"sf":"$sfDir","detail":"$outFile"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""n_queries":${results.size},"failed":$failedJson,"runs":$runs,""" +
+      s""""sf":"$sfDir","detail":"$outFile"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

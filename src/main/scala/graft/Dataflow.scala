@@ -120,17 +120,35 @@ object Dataflow {
           // set — the set-similarity methods route to banded-LSH
           // candidates (volume tracks duplicate mass, not Σdf²):
           // one_wave for ordinary corpora, star_repair for the
-          // clique-heavy regime; other methods' pair frames feed the
-          // CC directly
-          require(Set("one_wave", "star_repair").contains(s.clusterStrategy),
+          // clique-heavy regime, auto (default) picks from the
+          // measured band-bucket candidate-mass skew. Both banded
+          // strategies carry the standard LSH miss probability on
+          // just-above-threshold pairs ((1−t²)^16 — ~8e-8 at t=0.8
+          // but ~1% at t=0.5); `exact` keeps the prefix-filter
+          // no-false-negative guarantee (labels ≡
+          // duplicateClusters(ngramJaccard)) at Σdf²-shaped candidate
+          // cost. Other methods' pair frames feed the CC directly.
+          require(Set("auto", "one_wave", "star_repair", "exact")
+              .contains(s.clusterStrategy),
             s"dedup '${s.name}': unknown cluster_strategy '${s.clusterStrategy}'")
           def clusters = s.method match {
             case "ngram_jaccard" | "minhash_lsh" =>
-              if (s.clusterStrategy == "star_repair")
-                Dedup.nearDupComponents(in, content, id,
-                  threshold = s.threshold, candidates = "banded")
-              else
-                Dedup.nearDupClusters(in, content, id, threshold = s.threshold)
+              val strat = s.clusterStrategy match {
+                case "auto" => Dedup.chooseClusterStrategy(in, content, id,
+                  threshold = s.threshold)
+                case other => other
+              }
+              strat match {
+                case "exact" =>
+                  Dedup.nearDupComponents(in, content, id,
+                    threshold = s.threshold, candidates = "prefix",
+                    statsIn = jaccardStats)
+                case "star_repair" =>
+                  Dedup.nearDupComponents(in, content, id,
+                    threshold = s.threshold, candidates = "banded")
+                case _ =>
+                  Dedup.nearDupClusters(in, content, id, threshold = s.threshold)
+              }
             case _ => Dedup.duplicateClusters(pairs)
           }
           val validModes = Set("filter", "pairs", "clusters", "cluster_filter",

@@ -622,7 +622,7 @@ object Queries {
     Dedup.ngramJaccardIncremental(
       corpus = docs.filter(col("doc_id") % 10 =!= 0),
       incoming = docs.filter(col("doc_id") % 10 === 0),
-      col("text"), col("doc_id"), freqIn = corpusFreq(s, dir))
+      col("text"), col("doc_id"), statsIn = corpusStats(s, dir))
   }
 
   /** Duplicate clusters: connected components over the near-dup
@@ -651,7 +651,7 @@ object Queries {
     val batch = docs.filter(col("doc_id") % 10 === 0)
     val existing = Dedup.nearDupClusters(old, col("text"), col("doc_id"))
     val newPairs = Dedup.ngramJaccardIncremental(old, batch,
-      col("text"), col("doc_id"), freqIn = corpusFreq(s, dir))
+      col("text"), col("doc_id"), statsIn = corpusStats(s, dir))
     Dedup.duplicateClustersIncremental(existing, newPairs)
   }
 
@@ -1758,7 +1758,28 @@ object Queries {
     * equality proves maintenance ≡ full recompute (decimal sums make
     * it bit-exact and order-free). */
   def aggMaintain(s: SparkSession, dir: String): DataFrame = {
-    val p = scratch("agg_maintain", dir)
+    // Hermetic per INVOCATION: `IncrementalAgg.maintain` is a
+    // non-idempotent read-modify-swap, so two evaluations of this
+    // entry sharing one path — same JVM or not, however the harness
+    // schedules them — would double-apply the delta (group count
+    // unchanged, sums wrong). Each call therefore builds+maintains
+    // into its own fresh UUID subdir; nothing is ever reused.
+    val inv = java.util.UUID.randomUUID().toString.take(12)
+    val p = s"${scratch("agg_maintain", dir)}_inv_$inv"
+    // Sentinel: append one line per invocation to a STABLE path (not
+    // under the per-JVM scratch root, which is deleted on exit) so a
+    // red driver row leaves direct evidence of the invocation pattern
+    // (how many calls, from which pids/threads, how interleaved).
+    try {
+      val line = s"${System.currentTimeMillis()} pid=${ProcessHandle.current().pid()} " +
+        s"thread=${Thread.currentThread().getId} dir=$dir path=$p\n"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(
+          s"${System.getProperty("java.io.tmpdir")}/graft_agg_maintain_sentinel.log"),
+        line.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Exception => () }
     val docs = t(s, dir, "documents")
     operators.IncrementalAgg.build(docs, Seq("source"), Seq("n_chars"))
       .write.mode("overwrite").parquet(p)

@@ -225,12 +225,19 @@ final case class DedupTransformSpec(
     // saved when it doesn't; the train-once lifecycle codebook_path
     // gives ann, here for the PPJoin family
     statsPath: Option[String] = None,
-    // cluster modes, set-similarity methods: "one_wave" (default —
-    // Dedup.nearDupClusters, CC over banded-LSH verified pairs) or
+    // cluster modes, set-similarity methods: "auto" (default — pick
+    // from measured band-bucket candidate-mass skew,
+    // Dedup.chooseClusterStrategy), "one_wave"
+    // (Dedup.nearDupClusters, CC over banded-LSH verified pairs),
     // "star_repair" (Dedup.nearDupComponents banded — the
     // clique-heavy-regime path: a page cloned 10⁵× verifies at
-    // linear mass instead of C(c,2) per family)
-    clusterStrategy: String = "one_wave")
+    // linear mass instead of C(c,2) per family), or "exact"
+    // (Dedup.nearDupComponents prefix — labels exactly equal
+    // duplicateClusters(ngramJaccard): no LSH miss probability, at
+    // Σdf²-shaped candidate cost; the banded strategies miss a
+    // just-above-threshold pair with prob (1−t²)^16 — negligible at
+    // t=0.8, ~1% at t=0.5)
+    clusterStrategy: String = "auto")
   extends TransformSpec
 
 /**

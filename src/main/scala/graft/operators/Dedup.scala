@@ -261,7 +261,7 @@ object Dedup {
     // fewer pre-distinct occurrence rows and probe compute), which is
     // what the asymmetry buys at any scale.
     val half = (col("sz") -
-      ceil(lit(2 * threshold / (1 + threshold)) * col("sz")) + 1).cast("int")
+      epsCeil(lit(2 * threshold / (1 + threshold)) * col("sz")) + 1).cast("int")
     val indexed = prefixes.filter(col("p") < half)
     prefixes.as("a").join(indexed.as("b"),
         (col("a.sz") > col("b.sz") ||
@@ -290,7 +290,8 @@ object Dedup {
     val ordered =
       if (freq.isEmpty) col("sh")
       else graft.functions.TextHashExprs.freqReorder(col("sh"), freq)
-    val prefixLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1).cast("int")
+    val prefixLen = (size(col("sh")) -
+      epsCeil(lit(threshold) * size(col("sh"))) + 1).cast("int")
     sigs.select(col("doc_id"), size(col("sh")).as("sz"),
         posexplode(slice(ordered, lit(1), prefixLen)))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "ph")
@@ -300,12 +301,24 @@ object Dedup {
     * "a"/"b" aliases (see [[ngramJaccard]]) — everything of the
     * prefix-join predicate EXCEPT the bucket-key equality. */
   private def prefixLenPosCond(threshold: Double): Column = {
-    val minOverlap = ceil(lit(threshold / (1.0 + threshold)) *
+    val minOverlap = epsCeil(lit(threshold / (1.0 + threshold)) *
       (col("a.sz") + col("b.sz")))
     col("a.sz") >= lit(threshold) * col("b.sz") &&
       col("b.sz") >= lit(threshold) * col("a.sz") &&
       least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) >= minOverlap
   }
+
+  /** `ceil` with a ONE-SIDED floating-point guard for the PPJoin
+    * bounds: the raw FP product can land a hair ABOVE the exact
+    * rational value and cross an integer (t=0.84, sz=69: FP ceil 64
+    * vs exact 63), which would SHORTEN a prefix / RAISE a required
+    * overlap — the false-negative direction. Subtracting a relative +
+    * absolute epsilon can only ever lower the ceiling by one, which
+    * lengthens prefixes / admits extra candidates — rescoring keeps
+    * the result exact. All PPJoin ceilings (prefix length, index
+    * prefix, minOverlap) must come through here. */
+  private def epsCeil(x: Column): Column =
+    ceil(x - x * lit(1e-12) - lit(1e-9))
 
   /** Shared prefix-join predicate: equal prefix hash + mutual length
     * bound + positional max-overlap bound (see [[ngramJaccard]]). */
@@ -527,28 +540,58 @@ object Dedup {
    * frequency order is computed over corpus ∪ incoming so both sides
    * slice prefixes under one global order — required for the
    * no-false-negative property).
+   *
+   * Same CANDIDATE-VOLUME PRE-FLIGHT as [[ngramJaccard]]: the
+   * batch-side prefix probe against the FULL corpus prefix table
+   * carries the corpus's Σdf² exposure (a vocabulary-bounded corpus
+   * makes even a small nightly delta's probe quadratic — the exact
+   * regime the r7 ×100 probe measured at ~1e9 candidates / 71 GB on
+   * the batch path). Past `maxCandidatesPerDoc` the operator routes
+   * to [[minhashLshVerifiedIncremental]] — identical output contract
+   * (batch-touching pairs, exact rescoring), candidate volume
+   * governed by band collisions instead of per-shingle df.
    */
   def ngramJaccardIncremental(corpus: DataFrame, incoming: DataFrame,
                               content: Column, id: Column,
                               k: Int = 3, threshold: Double = 0.8,
                               freqOrdered: Boolean = true,
-                              freqIn: Option[Array[Long]] = None): DataFrame = {
+                              freqIn: Option[Array[Long]] = None,
+                              statsIn: Option[ShingleStats] = None,
+                              maxCandidatesPerDoc: Int = DefaultMaxCandidatesPerDoc): DataFrame = {
     // a re-delivered id supersedes its corpus version: keep the
     // incoming copy only, or the unioned signature frame would hold
     // two texts under one id and fan out every rescore join
     val corpusOnly = corpus.select(content.as("__c"), id.as("__i"))
       .join(incoming.select(id.as("__i")), Seq("__i"), "left_anti")
       .select("__c", "__i") // using-join hoists __i first; union is positional
-    val sigsAll = shingleSigs(
-      corpusOnly.unionAll(incoming.select(content.as("__c"), id.as("__i"))),
-      col("__c"), col("__i"), k)
+    val union = corpusOnly.unionAll(incoming.select(content.as("__c"), id.as("__i")))
+    val sigsAll = shingleSigs(union, col("__c"), col("__i"), k)
+    // pre-flight estimate: from the caller's train-once corpus stats
+    // when available, else one df aggregation over the cached union
+    // (the same aggregation the frequency order pays anyway)
+    val stats = statsIn.orElse {
+      // needed whenever routing is enabled; also when the frequency
+      // order needs computing (statsOf yields both in one aggregation)
+      if (maxCandidatesPerDoc <= 0 && (freqIn.isDefined || !freqOrdered)) None
+      else Some(statsOf(sigsAll))
+    }
+    if (maxCandidatesPerDoc > 0 &&
+        stats.exists(_.estCandidatesPerDoc(threshold) > maxCandidatesPerDoc)) {
+      println(f"[graft] ngramJaccardIncremental: est. " +
+        f"${stats.get.estCandidatesPerDoc(threshold)}%.0f candidates/doc > " +
+        s"$maxCandidatesPerDoc — vocabulary-bounded corpus, routing to " +
+        "minhashLshVerifiedIncremental (same contract, banded candidates)")
+      return minhashLshVerifiedIncremental(corpus, incoming, content, id,
+        k, threshold = threshold)
+    }
     // the incoming side's signatures are a semi-join slice of the
     // cached union — no second tokenize+hash pass over the batch
     val sigsNew = sigsAll.join(
       incoming.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
-    val freq = freqIn.getOrElse(
-      if (freqOrdered) frequentSet(sigsAll, minDf = 4, maxFreqSet = 1 << 20)
-      else Array.emptyLongArray)
+    val freq =
+      if (!freqOrdered) Array.emptyLongArray
+      else freqIn.orElse(stats.map(_.frequent)).getOrElse(
+        frequentSet(sigsAll, minDf = 4, maxFreqSet = 1 << 20))
     // new-side probes against the full prefix table; new-new pairs
     // surface twice (once per orientation) — least/greatest + distinct
     // canonicalizes them
@@ -559,6 +602,52 @@ object Dedup {
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
     rescore(cand, sigsAll, threshold)
+  }
+
+  /**
+   * INCREMENTAL MinHash+LSH near-dup with exact verification — the
+   * degenerate-corpus route for [[ngramJaccardIncremental]] (same
+   * output contract: true-Jaccard pairs ≥ threshold with at least one
+   * side in `incoming`, doc_a < doc_b; corpus-internal pairs are not
+   * re-emitted). Only incoming documents' bands probe; the corpus
+   * side contributes its band table, so candidate cost is
+   * |incoming| × band collisions, independent of per-shingle df —
+   * the property that lets a nightly delta survive a
+   * vocabulary-bounded corpus where the prefix join cannot run. The
+   * per-pair candidate-miss probability is the standard banded-LSH
+   * bound ((1−j²)^bands ≈ 8e-8 at j = 0.8 with the default layout).
+   */
+  def minhashLshVerifiedIncremental(corpus: DataFrame, incoming: DataFrame,
+                                    content: Column, id: Column,
+                                    k: Int = 3, numHashes: Int = 32,
+                                    bands: Int = 16,
+                                    threshold: Double = 0.8): DataFrame = {
+    import graft.functions.TextHashExprs
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    // incoming supersedes a re-delivered corpus id (same rule as the
+    // prefix path — one text per id in the rescore frame)
+    val corpusOnly = corpus.select(content.as("__c"), id.as("__i"))
+      .join(incoming.select(id.as("__i")), Seq("__i"), "left_anti")
+      .select("__c", "__i")
+    val sigs = OpCache.cache(Scale.ensureParallelism(
+        corpusOnly.unionAll(incoming.select(content.as("__c"), id.as("__i"))))
+      .select(col("__i").as("doc_id"),
+        TextHashExprs.minhashWithShingles(col("__c"), k, numHashes).as("b"))
+      .filter(col("b").isNotNull)
+      .select(col("doc_id"), col("b.sig").as("sig"), col("b.sh").as("sh")))
+    val bandedAll = bandFrame(sigs.select("doc_id", "sig"), bands, rows).drop("sig")
+    val bandedNew = bandedAll.join(
+      incoming.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
+    // new-new pairs surface in both orientations — canonicalize
+    val cand = bandedNew.as("a").join(bandedAll.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+    rescore(cand, sigs, threshold)
   }
 
   /**
@@ -831,6 +920,51 @@ object Dedup {
   def nearDupClusters(df: DataFrame, content: Column, id: Column,
                       k: Int = 3, threshold: Double = 0.8): DataFrame =
     duplicateClusters(minhashLshVerified(df, content, id, k, threshold = threshold))
+
+  /** Band-bucket candidate-mass profile: over the MinHash band buckets
+    * (the same bucket structure both cluster strategies join on),
+    * `pairMass` = Σ C(size,2) — what one-wave verification pays — and
+    * `starMass` = Σ (2·size−3)⁺ — what the star seed pays. Their ratio
+    * IS the decision variable between the strategies (ProfileCc,
+    * measured: ordinary corpora ratio ≈ 1–2 and one-wave wins wall
+    * time because star's repair wave re-checks junk collisions
+    * serially; a 250-clone clique corpus has ratio ≈ 62 and star wins
+    * 2.74 GB → 115 MB). Cost: one signature pass + one count
+    * aggregation keyed by band bucket — the aggregation the banded
+    * join itself would pay, paid once up front. */
+  final case class ClusterCandidateMass(pairMass: Double, starMass: Double) {
+    def ratio: Double = if (starMass <= 0) 1.0 else pairMass / starMass
+  }
+
+  def clusterCandidateMass(df: DataFrame, content: Column, id: Column,
+                           k: Int = 3, numHashes: Int = 32,
+                           bands: Int = 16): ClusterCandidateMass = {
+    val rows = numHashes / bands
+    val sig = minhashSignatures(df, content, id, k, numHashes)
+    val m = bandFrame(sig, bands, rows)
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("s"))
+      .agg(
+        coalesce(sum(col("s") * (col("s") - 1) / 2), lit(0L)).cast("double").as("pairs"),
+        coalesce(sum(greatest(col("s") * 2 - 3, lit(0L))), lit(0L)).cast("double").as("star"))
+      .collect()(0)
+    ClusterCandidateMass(m.getDouble(0), m.getDouble(1))
+  }
+
+  /** Above this pairMass/starMass ratio the duplicate mass is
+    * clique-shaped and star+repair beats one-wave (measured crossover
+    * sits far from both regimes: ordinary ≈ 1–2, 250-clone ≈ 62). */
+  val StarRepairRatio: Double = 16.0
+
+  /** Pick the cluster strategy from the measured band-bucket skew —
+    * what `cluster_strategy: auto` resolves to. */
+  def chooseClusterStrategy(df: DataFrame, content: Column, id: Column,
+                            k: Int = 3, threshold: Double = 0.8): String = {
+    val m = clusterCandidateMass(df, content, id, k)
+    val pick = if (m.ratio > StarRepairRatio) "star_repair" else "one_wave"
+    println(f"[graft] chooseClusterStrategy: pairMass=${m.pairMass}%.0f " +
+      f"starMass=${m.starMass}%.0f ratio=${m.ratio}%.1f -> $pick")
+    pick
+  }
 
   /**
    * Near-dup CONNECTED COMPONENTS without materializing the quadratic

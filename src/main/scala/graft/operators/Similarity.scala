@@ -630,18 +630,54 @@ object Similarity {
    * rows (the oracle). A re-delivered id supersedes its corpus copy.
    * Work is |corpus|·|batch| + |batch|² score evaluations, never the
    * corpus' own quadratic — the nightly re-embedding-delta shape.
+   *
+   * SIZE PRE-FLIGHT: the brute cross broadcasts the batch, which
+   * stops being a plan (not just slow — undeployable) once the batch
+   * outgrows executor memory. Past `maxBroadcastBytes` of
+   * footer-estimated batch size the operator routes BOTH pair
+   * families to banded LSH candidates with exact rescoring
+   * ([[lshCrossPairs]] / [[lshDupPairs]] — same output contract on
+   * qualifying pairs, the standard LSH miss probability on
+   * just-above-threshold pairs). The brute path remains the
+   * small-batch default and the oracle baseline, mirroring
+   * [[Dedup.ngramJaccard]]'s routing. `maxBroadcastBytes <= 0`
+   * disables routing.
    */
   def cosineDupPairsIncremental(corpus: DataFrame, incoming: DataFrame,
                                 id: Column, vec: Column,
-                                threshold: Double = 0.95): DataFrame = {
+                                threshold: Double = 0.95,
+                                maxBroadcastBytes: Long = DefaultMaxBroadcastBytes): DataFrame = {
     val corpusOnly = corpus.select(id.as("__id"), vec.as("__v"))
       .join(incoming.select(id.as("__id")), Seq("__id"), "left_anti")
-    val cross = cosineCrossPairs(corpusOnly, col("__id"), col("__v"),
-        incoming, id, vec, threshold)
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"), col("cos_sim"))
-    cross.unionByName(cosineDupPairs(incoming, id, vec, threshold))
+    if (maxBroadcastBytes > 0 &&
+        Scale.estimatedLeafBytes(incoming) > maxBroadcastBytes) {
+      println(s"[graft] cosineDupPairsIncremental: est. batch bytes " +
+        s"${Scale.estimatedLeafBytes(incoming)} > $maxBroadcastBytes — " +
+        "batch outgrew broadcast, routing to banded LSH candidates " +
+        "(lshCrossPairs/lshDupPairs, exact rescoring)")
+      val cross = lshCrossPairs(corpusOnly, col("__id"), col("__v"),
+          incoming, id, vec, threshold, bits = 0)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("cos_sim"))
+      cross.unionByName(
+        lshDupPairs(incoming, id, vec, threshold, bits = autoBits(incoming)))
+    } else {
+      val cross = cosineCrossPairs(corpusOnly, col("__id"), col("__v"),
+          incoming, id, vec, threshold)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"), col("cos_sim"))
+      cross.unionByName(cosineDupPairs(incoming, id, vec, threshold))
+    }
   }
+
+  /** Footer-estimated incoming-batch size above which
+    * [[cosineDupPairsIncremental]] abandons the broadcast brute cross
+    * for banded LSH candidates — sized to the executor-memory regime
+    * where a broadcast side stops being deployable (Spark's own
+    * autoBroadcastJoinThreshold order of magnitude, ×~6 headroom
+    * because the estimate is raw leaf bytes, not the hashed-relation
+    * build size). */
+  val DefaultMaxBroadcastBytes: Long = 64L << 20
 
   /**
    * Scale path for [[cosineCrossPairs]]: both sides LSH-bucketed with

@@ -804,7 +804,8 @@ object Snapshot {
    *    DDL), or the stage's base manifest has been vacuumed (nothing
    *    left to diff against).
    */
-  def commitStaged(spark: SparkSession, staged: StagedMerge): CommitStats =
+  def commitStaged(spark: SparkSession, staged: StagedMerge,
+                   strict: Boolean = false): CommitStats =
     withCommitLock(staged.table) {
       val table = staged.table
       val curNow = currentVersion(table)
@@ -813,6 +814,15 @@ object Snapshot {
         def conflict(why: String) = throw new CommitConflictException(
           s"snapshot $table: staged merge (read v${staged.readVersion}, " +
             s"now v$curNow) conflicts: $why")
+        // strict (the WAP path): ANY intervening commit is a conflict,
+        // even a disjoint one a plain merge would rebase over — the
+        // audit certified the state derived from readVersion, and a
+        // rebased publish could violate a whole-table invariant the
+        // concurrent commit eroded (e.g. row_count dropping below the
+        // audited floor). The caller re-stages and RE-AUDITS.
+        if (strict)
+          conflict("intervening commit under a write-audit-publish " +
+            "stage (the audit must re-run against the new current version)")
         if (!Files.exists(manifestPath(table, staged.readVersion)))
           conflict(s"base manifest v${staged.readVersion} was vacuumed")
         val mB = readManifest(table, staged.readVersion)
@@ -915,9 +925,15 @@ object Snapshot {
    * window, no follower ever sees it). Publish reuses the optimistic
    * machinery: lock held only for conflict-check + rename; a true
    * conflict aborts the stage and the loop re-stages AND RE-AUDITS
-   * against the new current version. Concurrent disjoint commits
-   * compose exactly as in [[mergeOptimistic]] — each WAP writer
-   * audited the state it derived from its own read version.
+   * against the new current version. Unlike [[mergeOptimistic]], a
+   * DISJOINT concurrent commit is also a conflict here (strict
+   * commit): the audit certified the post-state derived from this
+   * stage's read version, and letting [[commitStaged]] rebase over a
+   * commit the audit never saw could publish a version violating the
+   * whole-table invariant (a concurrent deletion eroding the audited
+   * row-count floor) — exactly the "failing audit never becomes a
+   * version" guarantee. The cost is a retry where the optimistic path
+   * would have composed; audited correctness over concurrency.
    */
   def wapMerge(spark: SparkSession, table: String,
                upserts: DataFrame, deleteKeys: DataFrame,
@@ -949,7 +965,7 @@ object Snapshot {
         val deadline = System.currentTimeMillis() + lockWaitMs
         var done: Option[CommitStats] = None
         while (done.isEmpty) {
-          try done = Some(commitStaged(spark, staged))
+          try done = Some(commitStaged(spark, staged, strict = true))
           catch {
             case e: ConcurrentCommitException =>
               if (System.currentTimeMillis() >= deadline) throw e

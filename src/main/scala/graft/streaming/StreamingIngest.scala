@@ -734,9 +734,19 @@ object StreamingIngest {
 
   /** Reclaim superseded label batches (each batch writes a full
     * snapshot, so only the tip is live; earlier dirs exist solely for
-    * the replay window). Keeps the highest `retainLast` batch dirs. */
+    * the replay window). Keeps the highest `retainLast` batch dirs.
+    * `retainLast >= 2` is REQUIRED, not advisory: an at-least-once
+    * replay of the tip batch looks for the label dir BELOW its own
+    * batch id — with only the tip retained it would find none and
+    * rebuild labels from the batch's pair delta alone, silently
+    * discarding every earlier component in exactly the crash window
+    * vacuum must preserve. Two dirs = the tip plus the predecessor
+    * the tip's replay folds from. */
   def clusterLabelsVacuum(outPath: String, retainLast: Int = 2): Int = {
-    require(retainLast >= 1, "retainLast must be >= 1")
+    require(retainLast >= 2,
+      "retainLast must be >= 2: an at-least-once replay of the tip " +
+        "batch folds from the label dir below it; retaining only the " +
+        "tip would break replay idempotence in the crash window")
     val stale = labelBatches(outPath).dropRight(retainLast)
     stale.foreach { b =>
       val root = java.nio.file.Paths.get(s"$outPath/labels/b$b")

@@ -189,6 +189,15 @@ class DataflowSpec extends SparkSpecBase {
     val star = labels("star_repair")
     assert(one.nonEmpty && star === one,
       "both strategies must produce identical component labels")
+    // auto (the default) resolves from the measured band-bucket skew —
+    // one_wave on this ordinary corpus — and its labels coincide
+    val auto = labels("auto")
+    assert(auto === one, "auto must pick a strategy with identical labels")
+    // exact keeps the prefix-filter no-false-negative guarantee; on
+    // this corpus (certified by the dedup_minhash oracle: zero LSH
+    // misses) the labels coincide with the banded strategies too
+    val exact = labels("exact")
+    assert(exact === one, "exact labels must coincide on this corpus")
     intercept[IllegalArgumentException] {
       Dataflow.plan(spark, MetaLoader.loadString(spec("bogus")).dataflow("cl"))
     }

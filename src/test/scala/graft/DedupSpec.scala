@@ -206,6 +206,140 @@ class DedupSpec extends SparkSpecBase {
     assert(viaAuto === viaExact)
   }
 
+  test("PPJoin ceilings never exceed the exact rational bound at FP-hostile (t, sz) points") {
+    // The raw FP ceil can land one ABOVE the exact rational ceiling
+    // (t=0.84, sz=69: 2t/(1+t)·69 = 63 exactly, but the double product
+    // computes 63.000000000000004 → ceil 64), shortening the indexed
+    // prefix by one element — the false-negative direction. The
+    // epsilon-guarded ceiling must never exceed the exact bound, and
+    // may undershoot by at most one (an extra candidate, rescored
+    // exactly — the safe direction).
+    import org.apache.spark.sql.Column
+    def exactCeil(num: BigDecimal, den: BigDecimal): Long =
+      (num / den).setScale(0, BigDecimal.RoundingMode.CEILING).toLongExact
+    val thresholds = Seq(0.5, 0.7, 0.8, 0.84, 0.86, 0.9, 0.95)
+    val szs = (1 to 600).map(_.toLong)
+    thresholds.foreach { t =>
+      val td = BigDecimal(t.toString)
+      val d = szs.toDF("sz")
+      def guarded(c: Column): Column = ceil(c - c * lit(1e-12) - lit(1e-9))
+      val got = d.select(col("sz"),
+          guarded(lit(2 * t / (1 + t)) * col("sz")).as("half"),
+          guarded(lit(t) * col("sz")).as("pref"),
+          guarded(lit(t / (1.0 + t)) * (col("sz") + col("sz"))).as("mo"))
+        .as[(Long, Long, Long, Long)].collect()
+      got.foreach { case (sz, half, pref, mo) =>
+        val exHalf = exactCeil(2 * td * sz, 1 + td)
+        val exPref = exactCeil(td * sz, 1)
+        val exMo = exactCeil(td * (2 * sz), 1 + td)
+        assert(half <= exHalf && half >= exHalf - 1,
+          s"index-prefix bound t=$t sz=$sz: got $half, exact $exHalf")
+        assert(pref <= exPref && pref >= exPref - 1,
+          s"prefix bound t=$t sz=$sz: got $pref, exact $exPref")
+        assert(mo <= exMo && mo >= exMo - 1,
+          s"minOverlap bound t=$t sz=$sz: got $mo, exact $exMo")
+      }
+      // the ADVICE repro points specifically: the raw FP ceil DID
+      // exceed the exact bound there — prove the guard restores it
+      val bad = Map((0.84, 69L) -> 63L, (0.9, 19L) -> 18L)
+      bad.foreach { case ((bt, bsz), ex) =>
+        if (bt == t) {
+          val v = Seq(bsz).toDF("sz")
+            .select(guarded(lit(2 * bt / (1 + bt)) * col("sz")))
+            .as[Long].collect()(0)
+          assert(v === ex, s"guarded ceiling at t=$bt sz=$bsz must be $ex")
+        }
+      }
+    }
+    // brute-force equality at the previously-uncovered thresholds
+    val rnd = new scala.util.Random(7)
+    val vocab = (1 to 150).map(i => s"v$i")
+    for (t <- Seq(0.84, 0.9)) {
+      val base = (0 until 20).map { _ =>
+        (1 to (40 + rnd.nextInt(60)))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ") }
+      val corpus = base.zipWithIndex.flatMap { case (txt, i) =>
+        val w = txt.split(" ")
+        Seq((i * 2L, txt),
+          (i * 2L + 1, (w.dropRight(1) :+ vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      }
+      val got = Dedup.ngramJaccard(corpus.toDF("doc_id", "text"),
+          col("text"), col("doc_id"), k = 3, threshold = t)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      def sh(s: String) = s.toLowerCase.trim.split("\\s+").sliding(3)
+        .map(_.mkString(" ")).toSet
+      val want = (for {
+        (a, ta) <- corpus; (b, tb) <- corpus if a < b
+        sa = sh(ta); sb = sh(tb)
+        inter = sa.intersect(sb).size
+        if inter.toDouble / (sa.size + sb.size - inter) >= t
+      } yield (a, b)).toSet
+      assert(want.nonEmpty, "fixture must plant pairs")
+      assert(got === want, s"t=$t missed: ${want.diff(got)}, extra: ${got.diff(want)}")
+    }
+  }
+
+  test("incremental pre-flight: vocabulary-bounded corpus routes to banded cross candidates") {
+    // Same degenerate corpus shape as the batch pre-flight test: 1200
+    // docs over a 12-word vocabulary (12 distinct texts × 100 copies)
+    // + a planted near-dup pair straddling the corpus/batch split.
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    val base = (0 until 1200).map { d =>
+      val words = (0 until 30).map(i => vocab((d * 31 + i * 17) % 12))
+      (d.toLong, words.mkString(" "))
+    }
+    val nearA = (0 until 30).map(i => vocab((7 * 31 + i * 17) % 12)).mkString(" ")
+    val planted = Seq((100001L, nearA + " omega"), (100010L, nearA + " omega"))
+    val all = base ++ planted
+    val corpus = all.filter(_._1 % 10 != 0).toDF("doc_id", "text")
+    val batch = all.filter(_._1 % 10 == 0).toDF("doc_id", "text")
+
+    val stats = Dedup.shingleStats(all.toDF("doc_id", "text"),
+      col("text"), col("doc_id"))
+    assert(stats.estCandidatesPerDoc(0.8) > Dedup.DefaultMaxCandidatesPerDoc,
+      "degenerate corpus must trip the incremental pre-flight")
+
+    // the auto path (routes to banded cross candidates) matches the
+    // exact prefix path run with the switch disabled — identical
+    // batch-touching pair sets, including the cross-split planted pair
+    val auto = Dedup.ngramJaccardIncremental(corpus, batch,
+        col("text"), col("doc_id"))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val exact = Dedup.ngramJaccardIncremental(corpus, batch,
+        col("text"), col("doc_id"), maxCandidatesPerDoc = 0)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(exact.nonEmpty)
+    assert(auto === exact,
+      s"missed: ${exact.diff(auto).take(5)}, extra: ${auto.diff(exact).take(5)}")
+    assert(auto.exists { case (a, b, j) => a == 100001L && b == 100010L && j == 1.0 })
+    // explicit banded-incremental operator agrees (it IS the route target)
+    val banded = Dedup.minhashLshVerifiedIncremental(corpus, batch,
+        col("text"), col("doc_id"))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(banded === exact)
+    graft.operators.OpCache.releaseAll()
+  }
+
+  test("chooseClusterStrategy: one_wave on the ordinary corpus, star_repair on the clique corpus") {
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    assert(Dedup.chooseClusterStrategy(d, col("text"), col("doc_id")) === "one_wave")
+    // clique corpus: one 40-word page cloned 300×, plus 50 distinct
+    // fillers — the regime where one-wave verification is C(300,2)
+    // per family and the star collapses it at 2c
+    val page = (1 to 40).map(i => s"p$i").mkString(" ")
+    val clones = (0 until 300).map(i => (i.toLong, page))
+    val fillers = (0 until 50).map(i =>
+      (1000L + i, (1 to 40).map(j => s"f${i}_$j").mkString(" ")))
+    val cliqued = (clones ++ fillers).toDF("doc_id", "text")
+    assert(Dedup.chooseClusterStrategy(cliqued, col("text"), col("doc_id"))
+      === "star_repair")
+    graft.operators.OpCache.releaseAll()
+  }
+
   test("ShingleStats artifact round-trips exactly and drives stats_path reuse") {
     val st = Dedup.shingleStats(docs, col("text"), col("doc_id"))
     val p = java.nio.file.Files.createTempFile("graft_shstats", ".csv").toString

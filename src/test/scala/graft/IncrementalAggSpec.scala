@@ -120,4 +120,36 @@ class IncrementalAggSpec extends SparkSpecBase {
     graft.sinks.Writers.write(change, sink)
     assert(readAgg(path) === recompute(v2))
   }
+
+  test("agg_maintain catalog entry is hermetic per invocation: concurrent + repeated evaluations all correct") {
+    // The driver-gate failure shape (r7 AND r8): two evaluations of
+    // the entry interleaving on a shared scratch path double-apply the
+    // non-idempotent maintain delta — group count right, sums wrong.
+    // Hermetic-per-invocation (a fresh UUID subdir per call) makes any
+    // schedule safe; this drives 6 evaluations across 3 threads × 2
+    // rounds and requires every result to equal the solo baseline.
+    val dir = sf()
+    def resultMap(d: org.apache.spark.sql.DataFrame): Map[String, (Long, String)] =
+      d.selectExpr("source", "n", "cast(sum_n_chars as string)")
+        .as[(String, Long, String)].collect()
+        .map { case (s, n, t) => s -> (n, t) }.toMap
+    val solo = resultMap(Queries.aggMaintain(spark, dir))
+    assert(solo.nonEmpty)
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      (1 to 2).foreach { _ =>
+        val rs = Await.result(
+          Future.sequence((1 to 3).toList.map(_ =>
+            Future(resultMap(Queries.aggMaintain(spark, dir))))),
+          5.minutes)
+        rs.zipWithIndex.foreach { case (r, i) =>
+          assert(r === solo, s"concurrent invocation $i diverged from solo")
+        }
+      }
+    } finally pool.shutdown()
+  }
 }

@@ -93,6 +93,36 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.5)
   }
 
+  test("cosineDupPairsIncremental size pre-flight: oversized batch routes to banded LSH, same planted pairs") {
+    val base = spark.read.parquet(sf() + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // batch = perturbed re-embeddings of every 10th vector under NEW
+    // ids (+100000): each batch vector's planted match is its source
+    // at cos ≈ 1 — the regime an LSH route must not miss
+    val batch = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") * 0.99 + 0.001).cast("float")).as("embedding"))
+    val brute = Similarity.cosineDupPairsIncremental(base, batch,
+        col("vec_id"), col("embedding"), threshold = 0.99,
+        maxBroadcastBytes = 0) // routing disabled: the oracle baseline
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty)
+    // force the route (1-byte bound plays "batch outgrew broadcast")
+    val routed = Similarity.cosineDupPairsIncremental(base, batch,
+        col("vec_id"), col("embedding"), threshold = 0.99,
+        maxBroadcastBytes = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(routed === brute,
+      s"missed: ${brute.diff(routed).take(5)}, extra: ${routed.diff(brute).take(5)}")
+    // and the routed plan really abandoned the nested-loop broadcast
+    val plan = Similarity.cosineDupPairsIncremental(base, batch,
+        col("vec_id"), col("embedding"), threshold = 0.99,
+        maxBroadcastBytes = 1).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "routed path must not plan a broadcast nested-loop join")
+  }
+
   test("lshCrossPairs recalls cross-frame planted dups found by the exact baseline") {
     val base = spark.read.parquet(sf() + "/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))

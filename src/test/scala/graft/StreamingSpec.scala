@@ -401,9 +401,26 @@ class StreamingSpec extends SparkSpecBase {
       Seq((4L, variant(1, "other"))).toDF("doc_id", "text"),
       1L, "text", "doc_id", s"$dir/out", 3, 32, 16, 0.7)
     assert(labels() === oneShot, "replayed batch must rewrite identical labels")
-    // vacuum drops superseded snapshots, keeps the tip readable
-    assert(StreamingIngest.clusterLabelsVacuum(s"$dir/out", retainLast = 1) === 1)
-    assert(labels() === oneShot, "the tip must survive the vacuum")
+    // retainLast=1 would leave a tip replay with no predecessor dir
+    // to fold from (it would rebuild from the batch delta alone and
+    // drop every earlier component) — rejected outright
+    intercept[IllegalArgumentException] {
+      StreamingIngest.clusterLabelsVacuum(s"$dir/out", retainLast = 1)
+    }
+    // a third batch supersedes b0; vacuum (default retainLast=2)
+    // drops it while keeping the tip AND its replay predecessor
+    StreamingIngest.applyClusterLabelsBatch(
+      Seq((5L, variant(2, "third"))).toDF("doc_id", "text"),
+      2L, "text", "doc_id", s"$dir/out", 3, 32, 16, 0.7)
+    assert(StreamingIngest.clusterLabelsVacuum(s"$dir/out") === 1)
+    assert(labels() === oneShot + (5L -> 1L), "the tip must survive the vacuum")
+    // and the tip batch is still replayable post-vacuum (the window
+    // the retainLast >= 2 floor exists to preserve)
+    StreamingIngest.applyClusterLabelsBatch(
+      Seq((5L, variant(2, "third"))).toDF("doc_id", "text"),
+      2L, "text", "doc_id", s"$dir/out", 3, 32, 16, 0.7)
+    assert(labels() === oneShot + (5L -> 1L),
+      "tip replay after vacuum must rewrite identical labels")
   }
 
   test("incrementalViewSink follows the snapshot commit log: view == one-shot recompute across merge/DML/compact/rollback; re-delivery is a no-op") {
