@@ -14,10 +14,14 @@ class PlanGuardSpec extends SparkSpecBase {
     "sim_topk",   // exact ANN baseline: crossJoin(broadcast(q))
     "sim_cross",  // broadcast benchmark side, documented
     "dedup_embedding", // O(n²) documented baseline (lshDupPairs = scale path)
-    "dedup_embedding_incremental", // broadcast(batch) cross — the
-                                   // |corpus|·|batch| delta shape;
-                                   // lshCrossPairs is the scale path
-                                   // when the batch outgrows broadcast
+    "dedup_embedding_incremental", // broadcast(batch) cross on the
+                                   // catalog's SMALL batch only: the
+                                   // operator itself auto-routes to
+                                   // banded lshCrossPairs once the
+                                   // batch outgrows the broadcast
+                                   // bound (size pre-flight,
+                                   // SimilaritySpec asserts the
+                                   // routed plan has no nested loop)
     "search_bm25", // crossJoin(broadcast(1-row corpus stats))
     "mix_sqrt",    // crossJoin(broadcast(1-row min-stratum count))
     "skew_keys",   // crossJoin(broadcast(1-row total count))

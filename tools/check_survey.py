@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Machine-check SURVEY.md's totals against its own §2 table.
+
+The component count in the "Current totals:" prose line has drifted
+from the table once (r8: prose said 194, the table had 195 numbered
+rows). This script recounts and fails loudly on any mismatch, so the
+prose can never drift again:
+
+  usage: check_survey.py [path/to/oracle_sql.json]
+
+- components  = numbered rows in the §2 table (`| 12 |`, `| 3b |`, ...)
+- extra rows  = un-numbered operator rows (`| — |`) — reported, not
+                counted as components (matches the judge's convention)
+- catalog queries = the prose's second number; when an oracle_sql.json
+  (written by graft.Verify) is passed, it must equal len(keys) there.
+
+Exit 0 iff every cross-check passes.
+"""
+import json
+import re
+import sys
+from pathlib import Path
+
+repo = Path(__file__).resolve().parent.parent
+text = (repo / "SURVEY.md").read_text()
+
+numbered = re.findall(r"^\| (\d+b?) \|", text, flags=re.M)
+unnumbered = re.findall(r"^\| [—-] \|", text, flags=re.M)
+dupes = {n for n in numbered if numbered.count(n) > 1}
+
+m = re.search(r"Current totals: (\d+) components[^;]*; (\d+) catalog queries", text)
+if not m:
+    print("FAIL: no 'Current totals: N components ...; M catalog queries' line")
+    sys.exit(1)
+prose_components, prose_queries = int(m.group(1)), int(m.group(2))
+
+ok = True
+if dupes:
+    print(f"FAIL: duplicate row numbers in §2: {sorted(dupes)}")
+    ok = False
+if prose_components != len(numbered):
+    print(f"FAIL: prose says {prose_components} components, "
+          f"table has {len(numbered)} numbered rows")
+    ok = False
+else:
+    print(f"OK  components: {len(numbered)} numbered rows "
+          f"(+{len(unnumbered)} unnumbered) == prose")
+
+if len(sys.argv) > 1:
+    oracle = json.loads(Path(sys.argv[1]).read_text())
+    if prose_queries != len(oracle):
+        print(f"FAIL: prose says {prose_queries} catalog queries, "
+              f"oracle_sql.json has {len(oracle)}")
+        ok = False
+    else:
+        print(f"OK  catalog queries: {len(oracle)} == prose")
+else:
+    print(f"(no oracle_sql.json given; prose claims {prose_queries} "
+          f"catalog queries — pass /tmp/verify_out/oracle_sql.json to check)")
+
+sys.exit(0 if ok else 1)
