@@ -151,10 +151,143 @@ object Multimodal {
     }
   }
 
+  /**
+   * REAL audio codec on nothing but the JDK: `javax.sound.sampled`
+   * decodes WAV/AIFF/AU containers (PCM and the JDK's shipped
+   * conversions — A-law/µ-law, any sample size/endianness → 16-bit
+   * signed). Samples are channel-averaged to mono floats in [-1,1].
+   *
+   * Features are per-window RMS amplitudes: the decoded signal is
+   * split into `dim` equal windows, each contributing its
+   * root-mean-square level in [0,1] — deterministic, content-derived,
+   * and duration-invariant (the audio analogue of [[ImageIoCodec]]'s
+   * grid luminance; enough to screen silence/clipping and near-dup
+   * audio at billions of blobs without any non-JDK dependency).
+   *
+   * `resize(w, h)` standardizes CLIP LENGTH — the audio counterpart of
+   * an image resize in a training pipeline: the mono 16-bit PCM signal
+   * is trimmed or zero-padded to exactly `w*h` samples and re-encoded
+   * as a little-endian WAV (deterministic bytes: fixed header, no
+   * metadata chunks).
+   */
+  object WavCodec extends Codec {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
+    /** Decoded container metadata: (format, sampleRate, channels,
+      * durationMs) — without materializing the sample array. */
+    def audioMeta(bytes: Array[Byte]): Option[(String, Int, Int, Long)] =
+      try {
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          val fileFmt = AudioSystem.getAudioFileFormat(
+            new java.io.ByteArrayInputStream(bytes))
+          val durMs =
+            if (fmt.getFrameRate > 0 && ais.getFrameLength >= 0)
+              math.round(ais.getFrameLength * 1000.0 / fmt.getFrameRate)
+            else -1L
+          Some((fileFmt.getType.getExtension, math.round(fmt.getSampleRate),
+            fmt.getChannels, durMs))
+        } finally ais.close()
+      } catch { case _: Exception => None }
+
+    /** Channel-averaged mono samples in [-1,1], or None when the
+      * payload is not JVM-decodable audio. */
+    def tryReadMono(bytes: Array[Byte]): Option[(Int, Array[Float])] =
+      try {
+        val raw = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val src = raw.getFormat
+          // normalize through the JDK's converters to 16-bit signed PCM
+          // (keeps channel count; rate conversion isn't in the JDK)
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            src.getSampleRate, 16, src.getChannels,
+            2 * src.getChannels, src.getSampleRate, false)
+          val pcm: AudioInputStream =
+            if (src.matches(target)) raw
+            else AudioSystem.getAudioInputStream(target, raw)
+          val data = pcm.readAllBytes()
+          val ch = target.getChannels
+          val n = data.length / (2 * ch)
+          val mono = new Array[Float](n)
+          var i = 0
+          while (i < n) {
+            var sum = 0.0f
+            var c = 0
+            while (c < ch) {
+              val o = (i * ch + c) * 2
+              val s = ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
+              sum += s / 32768.0f
+              c += 1
+            }
+            mono(i) = sum / ch
+            i += 1
+          }
+          Some((math.round(target.getSampleRate), mono))
+        } finally raw.close()
+      } catch { case _: Exception => None }
+
+    def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
+      tryReadMono(bytes) match {
+        case Some((_, mono)) => featuresOf(mono, dim)
+        case None => throw new IllegalArgumentException(
+          "payload is not JVM-decodable audio (WAV/AIFF/AU)")
+      }
+
+    /** Per-window RMS levels over `dim` equal windows. */
+    private[operators] def featuresOf(mono: Array[Float], dim: Int): Array[Float] = {
+      val n = mono.length
+      Array.tabulate(dim) { w =>
+        val from = (w.toLong * n / dim).toInt
+        val until = ((w + 1).toLong * n / dim).toInt
+        if (until <= from) 0f
+        else {
+          var acc = 0.0
+          var i = from
+          while (i < until) { acc += mono(i).toDouble * mono(i); i += 1 }
+          math.sqrt(acc / (until - from)).toFloat
+        }
+      }
+    }
+
+    /** Standardize clip length: mono 16-bit PCM trimmed / zero-padded
+      * to exactly `w*h` samples, re-encoded as WAV. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val (rate, mono) = tryReadMono(bytes).getOrElse(
+        throw new IllegalArgumentException(
+          "payload is not JVM-decodable audio (WAV/AIFF/AU)"))
+      encodeWav(java.util.Arrays.copyOf(mono, w * h), rate)
+    }
+
+    /** Mono float samples → 16-bit little-endian PCM WAV bytes. */
+    def encodeWav(mono: Array[Float], sampleRate: Int): Array[Byte] = {
+      val pcm = new Array[Byte](mono.length * 2)
+      var i = 0
+      while (i < mono.length) {
+        val s = math.max(-32768, math.min(32767,
+          math.round(mono(i) * 32767.0f))).toShort
+        pcm(i * 2) = (s & 0xff).toByte
+        pcm(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        sampleRate.toFloat, 16, 1, 2, sampleRate.toFloat, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, mono.length.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+  }
+
   /** Default codec: decodable images take the REAL javax.imageio path,
-    * everything else (audio/video/non-image bytes) degrades to the
-    * deterministic stub — so pipelines run end-to-end regardless of
-    * payload mix, and text-payload oracles are unchanged. */
+    * audio-kind payloads that parse as WAV/AIFF/AU take the REAL
+    * javax.sound path, everything else (video/undecodable bytes)
+    * degrades to the deterministic stub — so pipelines run end-to-end
+    * regardless of payload mix, and text-payload oracles are
+    * unchanged. */
   object AutoCodec extends Codec {
     def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
       ImageIoCodec.tryRead(bytes) match {
@@ -165,6 +298,11 @@ object Multimodal {
     override def decodeFeatures(kind: String, bytes: Array[Byte],
                                 dim: Int): Array[Float] =
       if (kind == "image") decodeFeatures(bytes, dim)
+      else if (kind == "audio")
+        WavCodec.tryReadMono(bytes) match {
+          case Some((_, mono)) => WavCodec.featuresOf(mono, dim)
+          case None => FakeCodec.decodeFeatures(bytes, dim)
+        }
       else FakeCodec.decodeFeatures(bytes, dim)
 
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
@@ -245,6 +383,26 @@ object Multimodal {
         val from = math.min(i * chunk, m.bytes.length)
         val until = math.min(from + chunk, m.bytes.length)
         Frame(m.mediaId, i, i * intervalMs, java.util.Arrays.copyOfRange(m.bytes, from, until))
+      }
+    })
+  }
+
+  /** Metadata BACKFILL from payload probe: audio-kind records whose
+    * payload parses as real audio (WAV/AIFF/AU) get format /
+    * sampleRate / durationMs corrected from the DECODED container —
+    * the repair pass a lake runs when upstream metadata is missing or
+    * untrusted. Non-audio kinds and undecodable payloads pass through
+    * untouched, so declared metadata is never clobbered by a failed
+    * probe. Executor-side per-partition map, no shuffle. */
+  def probeAudioMeta(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      if (m.kind != "audio") m
+      else WavCodec.audioMeta(m.bytes) match {
+        case Some((fmt, rate, _, durMs)) =>
+          m.copy(meta = m.meta.copy(format = fmt, sampleRate = rate,
+            durationMs = durMs))
+        case None => m
       }
     })
   }

@@ -127,6 +127,97 @@ class MultimodalSpec extends SparkSpecBase {
     assert(back.isDefined && back.get.getWidth === 8 && back.get.getHeight === 8)
   }
 
+  /** Real 1 s mono WAV at 8 kHz: first half silence, second half a
+    * 440 Hz sine at amplitude 0.5 — per-window RMS features are
+    * exactly predictable (0 and 0.5/√2). */
+  private def wavFixture: Array[Byte] = {
+    val mono = Array.tabulate(8000) { i =>
+      if (i < 4000) 0f
+      else (0.5 * math.sin(2 * math.Pi * 440 * i / 8000.0)).toFloat
+    }
+    WavCodec.encodeWav(mono, 8000)
+  }
+
+  test("real WAV decodes through javax.sound end-to-end (no stub)") {
+    val wav = wavFixture
+    // a genuine RIFF/WAVE container, not a private encoding
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    assert(WavCodec.audioMeta(wav) === Some(("wav", 8000, 1, 1000L)))
+    // content-derived windowed RMS: silent half ≈ 0, sine half ≈ a/√2
+    val f = WavCodec.decodeFeatures(wav, 4)
+    assert(f(0) < 0.005f && f(1) < 0.005f, s"silent windows: ${f.toSeq}")
+    assert(math.abs(f(2) - 0.3536f) < 0.01f &&
+      math.abs(f(3) - 0.3536f) < 0.01f, s"sine windows: ${f.toSeq}")
+    // through the Dataset operator under AutoCodec: the real-WAV audio
+    // record gets javax.sound features; a text-payload audio record
+    // still degrades to the deterministic stub
+    val real = MediaRecord(20L, "audio", wav,
+      MediaMeta("wav", 0, 0, 8000, 1000L, wav.length.toLong, FakeCodec.md5Hex(wav)))
+    val mixed = Seq(real, mk(21L, "audio", "audiobytes", 0, 0, 16000, 2500L)).toDS()
+    val out = decodeFeatures(mixed, dim = 4).collect().sortBy(_.mediaId)
+    assert(out(0).features.toSeq === f.toSeq,
+      "audio payload must route to the real javax.sound path")
+    assert(out(0).features.toSeq != FakeCodec.decodeFeatures(wav, 4).toSeq)
+    assert(out(1).features.toSeq ===
+      FakeCodec.decodeFeatures("audiobytes".getBytes("UTF-8"), 4).toSeq)
+  }
+
+  test("WAV stereo decodes channel-averaged; resize standardizes clip length") {
+    // stereo fixture with left = +0.4, right = -0.4: channel-averaged
+    // mono is exact silence — proves real multi-channel decode
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    val frames = 4000
+    val pcm = new Array[Byte](frames * 4)
+    for (i <- 0 until frames; (amp, c) <- Seq((0.4f, 0), (-0.4f, 1))) {
+      val s = math.round(amp * 32767).toShort
+      pcm(i * 4 + c * 2) = (s & 0xff).toByte
+      pcm(i * 4 + c * 2 + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+      8000f, 16, 2, 4, 8000f, false)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val stereo = baos.toByteArray
+    assert(WavCodec.audioMeta(stereo) === Some(("wav", 8000, 2, 500L)))
+    assert(WavCodec.decodeFeatures(stereo, 2).forall(math.abs(_) < 0.005f),
+      "opposite-phase channels must average to silence")
+
+    // resize = trim/pad to exactly w*h samples, still a decodable WAV
+    val wav = wavFixture
+    val trimmed = WavCodec.resize(wav, 50, 40)         // 2000 of 8000
+    val (rate, monoT) = WavCodec.tryReadMono(trimmed).get
+    assert(rate === 8000 && monoT.length === 2000)
+    assert(monoT.forall(math.abs(_) < 0.005f), "first 2000 samples are silent")
+    val padded = WavCodec.resize(wav, 100, 100)        // 10000: +2000 pad
+    val monoP = WavCodec.tryReadMono(padded).get._2
+    assert(monoP.length === 10000)
+    assert(monoP.slice(8000, 10000).forall(_ === 0f), "pad must be silence")
+    // the kept region survives the round-trip (16-bit quantization)
+    val orig = WavCodec.tryReadMono(wav).get._2
+    assert((4000 until 8000).forall(i => math.abs(monoP(i) - orig(i)) < 0.001f))
+  }
+
+  test("probeAudioMeta backfills decoded metadata, leaves others untouched") {
+    val wav = wavFixture
+    // declared metadata is wrong on purpose: the probe must correct it
+    val real = MediaRecord(30L, "audio", wav,
+      MediaMeta("raw", 0, 0, 44100, 9999L, wav.length.toLong, FakeCodec.md5Hex(wav)))
+    val recs = Seq(real,
+      mk(31L, "audio", "notaudio", 0, 0, 16000, 2500L),  // undecodable
+      mk(32L, "video", "vbytes", 640, 480, 0, 3500L)     // wrong kind
+    ).toDS()
+    val out = probeAudioMeta(recs).collect().sortBy(_.mediaId)
+    assert(out(0).meta.format === "wav" && out(0).meta.sampleRate === 8000 &&
+      out(0).meta.durationMs === 1000L)
+    assert(out(0).bytes.toSeq === wav.toSeq, "payload must be untouched")
+    assert(out(1).meta.sampleRate === 16000 && out(1).meta.durationMs === 2500L,
+      "failed probe must not clobber declared metadata")
+    assert(out(2).meta.durationMs === 3500L, "non-audio kinds pass through")
+  }
+
   test("binaryFiles source: glob filter, size guard, metadata-only prunes content") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bin").toFile
     try {
