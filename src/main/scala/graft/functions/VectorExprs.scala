@@ -340,6 +340,33 @@ object VectorExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Multiset |A ∩ B| for two ASCENDING-sorted short arrays — the
+    * merge walk of [[SortedLongIntersectCount]] over 16-bit
+    * fingerprints (duplicates possible after projection; the walk
+    * counts Σ_v min(mult_A(v), mult_B(v)), which upper-bounds the
+    * distinct-element intersection of the pre-projection sets). The
+    * pre-verification kernel of [[graft.operators.Dedup.rescore]]. */
+  case class SortedShortIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val (a, b) = (l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+      val (n, m) = (a.numElements(), b.numElements())
+      var i = 0; var j = 0; var c = 0
+      while (i < n && j < m) {
+        val x = a.getShort(i); val y = b.getShort(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      c
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Count of positions where two long arrays are equal (over the
     * shorter length) — the MinHash signature-agreement kernel. */
   case class LongVecEqCount(left: Expression, right: Expression)
@@ -517,6 +544,8 @@ object VectorExprs {
     GraftBridge.column(LongVecEqCount(e(a), e(b)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(SortedLongIntersectCount(e(a), e(b)))
+  def sortedShortIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(SortedShortIntersectCount(e(a), e(b)))
   def nearestCentroids(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     GraftBridge.column(NearestCentroids(e(vec), centroids, nprobe))
   def pqEncode(vec: Column, cb: Array[Array[Array[Double]]]): Column =

@@ -129,6 +129,13 @@ object Dedup {
         val prefixFrac = math.min(1.0, (1.0 - t) + 1.0 / meanSize)
         prefixFrac * prefixFrac * sumDfSq / nDocs
       }
+
+    /** Estimated bytes the exact verification join must shuffle: both
+      * docs' full long arrays per expected candidate pair — the
+      * decision variable for [[Dedup.rescore]]'s fingerprint
+      * pre-verification stage. */
+    def estRescoreBytes(t: Double): Double =
+      estCandidatesPerDoc(t) * nDocs * meanSize * 8 * 2
   }
 
   /** [[ShingleStats]] from a corpus — one explode+groupBy over the
@@ -240,7 +247,8 @@ object Dedup {
                                           freqOrdered: Boolean,
                                           minDf: Int = 4,
                                           maxFreqSet: Int = 1 << 20,
-                                          freqIn: Option[Array[Long]] = None): DataFrame = {
+                                          freqIn: Option[Array[Long]] = None,
+                                          fpFilter: Boolean = true): DataFrame = {
     val freq = freqIn.getOrElse(
       if (freqOrdered) frequentSet(sigs, minDf, maxFreqSet)
       else Array.emptyLongArray)
@@ -266,7 +274,8 @@ object Dedup {
     prefixes.as("a").join(indexed.as("b"),
         (col("a.sz") > col("b.sz") ||
           (col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))) &&
-          prefixJoinCond(threshold))
+          prefixJoinCond(threshold) &&
+          (if (fpFilter) fpJoinCond(threshold) else lit(true)))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
@@ -283,8 +292,13 @@ object Dedup {
       .limit(maxFreqSet)
       .select("h").collect().map(_.getLong(0)).sorted
 
-  /** (doc_id, sz, p, ph): one row per prefix element of each doc's
-    * shingle array under the global (isFrequent, hash) order. */
+  /** (doc_id, sz, p, ph, f16): one row per prefix element of each
+    * doc's shingle array under the global (isFrequent, hash) order,
+    * carrying the doc's 16-BIT FINGERPRINT projection (the
+    * VALUE-sorted `sh` mapped through `shiftright(h, 48)` — monotonic,
+    * so still ascending-sorted; 2 bytes/element). The fingerprint
+    * rides INTO the prefix join so the false-pair kill happens in the
+    * join condition itself — see [[fpJoinCond]]. */
   private def prefixFrame(sigs: DataFrame, threshold: Double,
                           freq: Array[Long]): DataFrame = {
     val ordered =
@@ -293,6 +307,7 @@ object Dedup {
     val prefixLen = (size(col("sh")) -
       epsCeil(lit(threshold) * size(col("sh"))) + 1).cast("int")
     sigs.select(col("doc_id"), size(col("sh")).as("sz"),
+        transform(col("sh"), h => shiftright(h, 48).cast("smallint")).as("f16"),
         posexplode(slice(ordered, lit(1), prefixLen)))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "ph")
   }
@@ -306,6 +321,30 @@ object Dedup {
     col("a.sz") >= lit(threshold) * col("b.sz") &&
       col("b.sz") >= lit(threshold) * col("a.sz") &&
       least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p")) >= minOverlap
+  }
+
+  /** IN-JOIN fingerprint verification — the answer to "the candidate
+    * stream is 99.1-99.9% false pairs, and each false pair ships two
+    * full long arrays through the rescore joins" (measured: sf1 t=0.8
+    * emits 2,929,082 candidates for 2,234 genuine pairs; the rescore
+    * moved 1.76 GB). The prefix rows carry their doc's 16-bit
+    * fingerprint array ([[prefixFrame]]), and this predicate — a
+    * multiset merge-walk count that can only OVER-count the true
+    * intersection (common elements always project to common
+    * fingerprints; ~|a||b|/2¹⁶ ≈ 0.04 spurious matches/pair) —
+    * requires the fingerprint intersection to reach the same
+    * ⌈t/(1+t)·(|a|+|b|)⌉ overlap the exact verification needs. False
+    * pairs die INSIDE the join, before the candidate distinct and the
+    * array-shipping rescore ever see them; genuine pairs always pass
+    * (upper-bound property), and survivors are still exact-rescored.
+    * Evaluated AFTER the cheap length/positional bounds (And
+    * short-circuit), so the merge walk only runs on
+    * positionally-plausible bucket collisions. */
+  private def fpJoinCond(threshold: Double): Column = {
+    val minOverlap = epsCeil(lit(threshold / (1.0 + threshold)) *
+      (col("a.sz") + col("b.sz")))
+    graft.functions.VectorExprs.sortedShortIntersectCount(
+      col("a.f16"), col("b.f16")) >= minOverlap
   }
 
   /** `ceil` with a ONE-SIDED floating-point guard for the PPJoin
@@ -329,15 +368,57 @@ object Dedup {
     * the (doc_id, sh) signature frame: O(n+m) sorted-merge
     * intersection per pair, threshold filter, the shared output
     * contract (doc_a, doc_b, inter, size_a, size_b, jaccard). */
-  private def rescore(cand: DataFrame, sigs: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def rescore(cand: DataFrame, sigs: DataFrame, threshold: Double,
+                             prefilter: Boolean = false): DataFrame = {
     import graft.functions.VectorExprs
+    // OPTIONAL FINGERPRINT PRE-VERIFICATION (`prefilter`, switched on
+    // past [[PrefilterBytesBound]] of estimated verification shuffle).
+    // The candidate stream is dominated by FALSE pairs (measured at
+    // sf0.1, t=0.8: 27,678 candidates → 256 genuine — 99.1% false),
+    // and the cost of verifying one is shipping both docs' full
+    // shingle arrays through the pair joins. Stage 1 therefore
+    // verifies against 16-BIT FINGERPRINTS: each sorted hash array
+    // projects to `shiftright(h, 48)` (monotonic → still sorted,
+    // 2 bytes/element in the shuffle instead of 8), and the multiset
+    // merge-walk count upper-bounds the true intersection (every
+    // common element projects to a common fingerprint; random
+    // collisions only ADD — |A||B|/2¹⁶ ≈ 0.04 expected spurious
+    // matches per pair at catalog sizes). Pairs below the equivalent
+    // overlap bound ⌈t/(1+t)·(|a|+|b|)⌉ are provably below threshold
+    // and drop WITHOUT ever touching full arrays; stage 2 re-verifies
+    // survivors (≈ genuine + ~0) exactly. Zero false negatives at ~4×
+    // less verification shuffle; the two extra joins cost ~1 s of
+    // fixed stage overhead, which is why small corpora skip the stage.
+    //
+    // (PPJoin+'s suffix filtering — Xiao et al. '08 — targets the
+    // same false candidates, but tuple-at-a-time: it saves CPU on an
+    // in-memory index probe. In a columnar shuffle-bound engine the
+    // binding cost is bytes moved per candidate, which fingerprint
+    // compression cuts directly and with a tighter bound than a
+    // few suffix probes give.)
+    //
     // shuffle_hash on the signature side: a sort-merge join would SORT
     // the signature frame (per-doc hash arrays — the widest thing in
     // this operator) once per side; hash-building a signature
     // partition is cheap and partition-bounded at any corpus size.
     // Measured at the degenerate x100 probe: the rescore SMJ sorts
     // were most of a 7.5 GB spill.
-    cand
+    val pairs = if (!prefilter) cand else {
+      val fp = sigs.select(col("doc_id"),
+        transform(col("sh"), h => shiftright(h, 48).cast("smallint")).as("f16"),
+        size(col("sh")).as("fsz"))
+      val minOverlap = epsCeil(lit(threshold / (1.0 + threshold)) *
+        (col("sz_a") + col("sz_b")))
+      cand
+        .join(fp.select(col("doc_id").as("doc_a"), col("f16").as("f16_a"),
+          col("fsz").as("sz_a")).hint("shuffle_hash"), "doc_a")
+        .join(fp.select(col("doc_id").as("doc_b"), col("f16").as("f16_b"),
+          col("fsz").as("sz_b")).hint("shuffle_hash"), "doc_b")
+        .filter(VectorExprs.sortedShortIntersectCount(col("f16_a"), col("f16_b"))
+          >= minOverlap)
+        .select("doc_a", "doc_b")
+    }
+    pairs
       .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
         .hint("shuffle_hash"), "doc_a")
       .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
@@ -597,7 +678,8 @@ object Dedup {
     // canonicalizes them
     val cand = prefixFrame(sigsNew, threshold, freq).as("a")
       .join(prefixFrame(sigsAll, threshold, freq).as("b"),
-        col("a.doc_id") =!= col("b.doc_id") && prefixJoinCond(threshold))
+        col("a.doc_id") =!= col("b.doc_id") && prefixJoinCond(threshold) &&
+          fpJoinCond(threshold))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()

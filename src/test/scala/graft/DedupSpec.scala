@@ -279,6 +279,39 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("fingerprint pre-verification: identical pair set, strict upper-bound property") {
+    // the 16-bit fingerprint stage must be output-invisible: same
+    // (doc_a, doc_b, inter, jaccard) rows as the classic rescore, on
+    // the real corpus at two thresholds
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    for (t <- Seq(0.5, 0.8)) {
+      val sigs = Dedup.shingleSigs(d, col("text"), col("doc_id"), 3)
+      val cand = Dedup.prefixCandidates(sigs, t, freqOrdered = true)
+      def rows(pf: Boolean) =
+        Dedup.rescore(cand, sigs, t, prefilter = pf)
+          .select("doc_a", "doc_b", "inter", "jaccard")
+          .as[(Long, Long, Long, Double)].collect().toSet
+      val classic = rows(false)
+      assert(classic.nonEmpty, s"corpus must contain pairs at t=$t")
+      assert(rows(true) === classic, s"prefilter must be invisible at t=$t")
+      graft.operators.OpCache.releaseAll()
+    }
+    // the kernel's upper-bound property: multiset fingerprint
+    // intersection >= true distinct intersection, on adversarial
+    // arrays (shared top-16 bits, duplicates after projection)
+    import graft.functions.VectorExprs
+    val a = Seq((1L << 48) + 1, (1L << 48) + 2, (5L << 48) + 7, (9L << 48) + 1)
+    val b = Seq((1L << 48) + 2, (1L << 48) + 9, (5L << 48) + 7, (8L << 48) + 3)
+    def fp(xs: Seq[Long]) = xs.map(x => (x >> 48).toShort).sorted.toArray
+    val got = Seq((fp(a), fp(b))).toDF("fa", "fb")
+      .select(VectorExprs.sortedShortIntersectCount(col("fa"), col("fb")))
+      .as[Int].collect()(0)
+    // true distinct intersection = 2 ((1<<48)+2 and (5<<48)+7); the
+    // fingerprint multiset walk sees bits {1,1} vs {1,1} and {5} vs
+    // {5} -> 3: an over-count, never an under-count
+    assert(got === 3 && got >= 2)
+  }
+
   test("incremental pre-flight: vocabulary-bounded corpus routes to banded cross candidates") {
     // Same degenerate corpus shape as the batch pre-flight test: 1200
     // docs over a 12-word vocabulary (12 distinct texts × 100 copies)
@@ -446,11 +479,19 @@ class DedupSpec extends SparkSpecBase {
       (i.toLong, s"alpha beta gamma delta epsilon zeta eta theta iota kappa u$i v$i")
     }.toDF("doc_id", "text")
     val sigs = Dedup.shingleSigs(skewed, col("text"), col("doc_id"), 3)
-    val candHash = Dedup.prefixCandidates(sigs, 0.8, freqOrdered = false).count()
-    val candFreq = Dedup.prefixCandidates(sigs, 0.8, freqOrdered = true).count()
+    // fpFilter off: the raw prefix-join behavior the frequency order
+    // exists to tame
+    val candHash = Dedup.prefixCandidates(sigs, 0.8, freqOrdered = false,
+      fpFilter = false).count()
+    val candFreq = Dedup.prefixCandidates(sigs, 0.8, freqOrdered = true,
+      fpFilter = false).count()
     assert(candHash > 0, "fixture should flood hash-ordered prefixes")
     assert(candFreq < candHash,
       s"freq ordering should shrink candidates: $candFreq vs $candHash")
+    // the in-join fingerprint verification kills the whole flood at
+    // the source — every pair here is provably below threshold (8/12)
+    assert(Dedup.prefixCandidates(sigs, 0.8, freqOrdered = false).count() === 0,
+      "fingerprint in-join filter must kill the below-threshold flood")
     // and on the real corpus the final pair set is identical either way
     val d = spark.read.parquet(sf() + "/documents.parquet")
     val byHash = Dedup.ngramJaccard(d, col("text"), col("doc_id"), freqOrdered = false)
