@@ -64,6 +64,11 @@ object SnapshotTool {
           s"guards           ${if (m.guards.isEmpty) "-"
             else m.guards.toSeq.sortBy(_._1).map { case (k, x) => s"$k=$x" }.mkString(",")}",
           s"expects          ${if (m.expects.isEmpty) "-" else m.expects.mkString(",")}",
+          s"column map       ${if (m.columnMap.isEmpty && m.retiredCols.isEmpty) "-"
+            else m.columnMap.toSeq.sortBy(_._1)
+              .map { case (l, p) => s"$l->$p" }.mkString(",") +
+              (if (m.retiredCols.isEmpty) ""
+               else s" (retired: ${m.retiredCols.mkString(",")})")}",
           s"tags             ${if (tags.isEmpty) "-"
             else tags.toSeq.sortBy(_._1).map { case (n, tv) => s"$n->v$tv" }.mkString(",")}"), 0)
       case Seq("history", table) =>
@@ -129,6 +134,18 @@ object SnapshotTool {
         val lines = row.schema.fields.map(f =>
           s"${f.name} = ${Option(row.getAs[Any](f.name)).getOrElse("NULL")}")
         (lines.toSeq, 0)
+      case Seq("rename-col", table, from, to) =>
+        val st = Snapshot.renameColumn(spark, table, from, to)
+        (Seq(s"renamed $table column $from -> $to → v${st.version} " +
+          "(metadata-only, 0 data files touched)"), 0)
+      case Seq("drop-col", table, name) =>
+        val st = Snapshot.dropColumn(spark, table, name)
+        (Seq(s"dropped $table column $name → v${st.version} " +
+          "(metadata-only; bytes reclaimed at next compact/rewrite)"), 0)
+      case Seq("widen-col", table, name, newType) =>
+        val st = Snapshot.widenColumn(spark, table, name, newType)
+        (Seq(s"widened $table column $name to $newType → v${st.version} " +
+          "(metadata-only; narrow files up-convert on read)"), 0)
       case Seq("update-where", table, c, lo, hi, sets @ _*) if sets.nonEmpty =>
         val set = sets.map { s =>
           val at = s.indexOf('=')
@@ -143,7 +160,8 @@ object SnapshotTool {
       case other =>
         (Seq(s"unknown invocation: ${other.mkString(" ")}",
           "usage: SnapshotTool describe|history|fsck|compact|vacuum|rollback|" +
-            "delete-where|delete-mor|update-where|agg|tag|untag|tags " +
+            "delete-where|delete-mor|update-where|agg|tag|untag|tags|" +
+            "rename-col|drop-col|widen-col|expect " +
             "<table> [args]"), 2)
     }
 

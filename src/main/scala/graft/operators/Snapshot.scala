@@ -116,7 +116,23 @@ object Snapshot {
                             bloomBits: Int = 0, bloomK: Int = 6,
                             guards: Map[String, String] = Map.empty,
                             hllCols: Seq[String] = Nil, hllP: Int = 12,
-                            expects: Seq[String] = Nil) {
+                            expects: Seq[String] = Nil,
+                            // NON-ADDITIVE schema evolution (Delta
+                            // name-mode / Iceberg field-id semantics):
+                            // logical column name → PHYSICAL name as
+                            // stored in data files (identity entries
+                            // omitted). Physical names are stable
+                            // forever; renames only move the logical
+                            // side, so zero data files rewrite.
+                            columnMap: Map[String, String] = Map.empty,
+                            // physical names of DROPPED columns —
+                            // reserved so a later re-add of the same
+                            // logical name can never resurrect old
+                            // bytes (the re-add maps to a fresh
+                            // physical name instead)
+                            retiredCols: Seq[String] = Nil) {
+    /** Physical name a logical column's bytes live under. */
+    def phys(logical: String): String = columnMap.getOrElse(logical, logical)
     def files: Seq[FileEntry] = partitions.values.flatten.toSeq
     def rows: Long = files.map(_.rows).sum
     /** Visible rows: physical minus deletion-vector masked. */
@@ -259,6 +275,14 @@ object Snapshot {
     root.put("bloom_bits", m.bloomBits); root.put("bloom_k", m.bloomK)
     val hc = root.putArray("hll_cols"); m.hllCols.foreach(hc.add)
     root.put("hll_p", m.hllP)
+    if (m.columnMap.nonEmpty) {
+      val cm = root.putObject("column_map")
+      m.columnMap.toSeq.sortBy(_._1).foreach { case (l, p) => cm.put(l, p) }
+    }
+    if (m.retiredCols.nonEmpty) {
+      val rc = root.putArray("retired_cols")
+      m.retiredCols.foreach(rc.add)
+    }
     val b64 = java.util.Base64.getEncoder
     val parts = root.putObject("partitions")
     m.partitions.toSeq.sortBy(_._1).foreach { case (p, files) =>
@@ -355,6 +379,11 @@ object Snapshot {
         .map(_.asText()).toSeq).getOrElse(Nil),
       Option(root.get("hll_p")).map(_.asInt()).getOrElse(12),
       Option(root.get("expects")).map(_.elements().asScala
+        .map(_.asText()).toSeq).getOrElse(Nil),
+      Option(root.get("column_map")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty),
+      Option(root.get("retired_cols")).map(_.elements().asScala
         .map(_.asText()).toSeq).getOrElse(Nil))
   }
 
@@ -498,12 +527,27 @@ object Snapshot {
     * per-commit). */
   private def writeCommit(df: DataFrame, table: String, v: Int,
                           partitionCol: String, key: String,
-                          layout: Layout): Unit =
-    writeArranged(df, commitDir(table, v), partitionCol, key, layout)
+                          layout: Layout,
+                          columnMap: Map[String, String] = Map.empty): Unit =
+    writeArranged(df, commitDir(table, v), partitionCol, key, layout, columnMap)
 
-  private def writeArranged(df: DataFrame, dir: String,
+  /** Logical frame → the PHYSICAL column names data files store
+    * (identity when the table has no column mapping). Every data-file
+    * write funnels through this, so renamed columns' bytes always
+    * land under their stable physical name regardless of which commit
+    * path wrote them. */
+  private def physicalize(df: DataFrame, columnMap: Map[String, String]): DataFrame =
+    if (columnMap.isEmpty) df
+    else df.select(df.columns.map(c => col(c).as(columnMap.getOrElse(c, c))): _*)
+
+  private def writeArranged(df0: DataFrame, dir: String,
                             partitionCol: String, key: String,
-                            layout: Layout): Unit = {
+                            layout: Layout,
+                            columnMap: Map[String, String] = Map.empty): Unit = {
+    // NB: partition/key/zorder columns are barred from mapping
+    // (rename/drop reject them), so the arrange columns below are
+    // identity-mapped by construction
+    val df = physicalize(df0, columnMap)
     val shadow = df.withColumn("__part", col(partitionCol).cast("string"))
     val arranged =
       if (layout.fileRanges <= 0) shadow
@@ -630,7 +674,8 @@ object Snapshot {
     * publishes them. `caches` must be released after the write. */
   private final case class MergePlan(affected: Seq[String],
                                      merged: Option[DataFrame],
-                                     newDdl: String, caches: Seq[DataFrame])
+                                     newDdl: String, caches: Seq[DataFrame],
+                                     newMap: Map[String, String])
 
   private def planMerge(spark: SparkSession, table: String, m: Manifest,
                         upserts: DataFrame, deleteKeys: DataFrame): MergePlan = {
@@ -683,6 +728,15 @@ object Snapshot {
       else StructType((if (m.schemaDdl.nonEmpty)
           StructType.fromDDL(m.schemaDdl).fields
         else target.schema.fields) ++ added).toDDL
+    // an added column whose name collides with a RETIRED physical name
+    // (or any physical name another logical column holds) maps to a
+    // fresh physical name — re-adding a dropped column must read as
+    // nulls in old files, never resurrect the dropped bytes
+    val reservedPhys = (m.columnMap.values ++ m.retiredCols ++
+      target.columns.map(m.phys)).toSet
+    val newMap = m.columnMap ++ added.collect {
+      case f if reservedPhys(f.name) => f.name -> s"${f.name}__c${m.version + 1}"
+    }
     val merged =
       if (affected.isEmpty) None
       else {
@@ -700,7 +754,7 @@ object Snapshot {
           .unionByName(ups.select(newCols.map(col): _*),
             allowMissingColumns = true))
       }
-    MergePlan(affected, merged, newDdl, Seq(ups, dels, allKeys))
+    MergePlan(affected, merged, newDdl, Seq(ups, dels, allKeys), newMap)
   }
 
   def merge(spark: SparkSession, table: String, upserts: DataFrame,
@@ -716,13 +770,15 @@ object Snapshot {
           writeManifest(table, m.copy(version = v, parent = cur, op = "merge"))
           CommitStats(v, Nil, Nil, 0)
         case Some(merged) =>
-          writeCommit(merged, table, v, m.partitionCol, m.key, m.layout)
+          writeCommit(merged, table, v, m.partitionCol, m.key, m.layout,
+            plan.newMap)
           val fresh = commitEntries(spark, table, v, m.statsCols,
             m.bloomCols, m.bloomBits, m.bloomK, m.hllCols, m.hllP)
           val kept = m.partitions.filterNot(e => plan.affected.contains(e._1))
           val dropped = plan.affected.filterNot(fresh.contains) // emptied
           writeManifestReclaiming(table, m.copy(version = v, parent = cur, op = "merge",
-            partitions = kept ++ fresh, schemaDdl = plan.newDdl))
+            partitions = kept ++ fresh, schemaDdl = plan.newDdl,
+            columnMap = plan.newMap))
           CommitStats(v, fresh.keys.toSeq.sorted, dropped,
             fresh.values.map(_.size).sum)
       }
@@ -738,7 +794,8 @@ object Snapshot {
   final case class StagedMerge private[operators] (
       table: String, readVersion: Int, stagingName: Option[String],
       subEntries: Map[String, Seq[FileEntry]], affected: Seq[String],
-      newDdl: String, upserts: DataFrame, deleteKeys: DataFrame) {
+      newDdl: String, upserts: DataFrame, deleteKeys: DataFrame,
+      newMap: Map[String, String] = Map.empty) {
     /** Delete the staged files without committing (conflict cleanup). */
     def abort(): Unit = stagingName.foreach { n =>
       val root = Paths.get(table, "files", n)
@@ -770,15 +827,15 @@ object Snapshot {
     val out = plan.merged match {
       case None =>
         StagedMerge(table, cur, None, Map.empty, Nil, plan.newDdl,
-          upserts, deleteKeys)
+          upserts, deleteKeys, plan.newMap)
       case Some(merged) =>
         val name = "_staging-" + java.util.UUID.randomUUID().toString.take(13)
         writeArranged(merged, s"$table/files/$name", m.partitionCol,
-          m.key, m.layout)
+          m.key, m.layout, plan.newMap)
         val sub = entriesOf(spark, s"$table/files/$name", s"/$name/",
           m.statsCols, m.bloomCols, m.bloomBits, m.bloomK, m.hllCols, m.hllP)
         StagedMerge(table, cur, Some(name), sub, plan.affected, plan.newDdl,
-          upserts, deleteKeys)
+          upserts, deleteKeys, plan.newMap)
     }
     plan.caches.foreach(OpCache.unpersistEager)
     out
@@ -868,7 +925,7 @@ object Snapshot {
           val dropped = staged.affected.filterNot(fresh.contains)
           writeManifestReclaiming(table, mC.copy(version = v, parent = curNow,
             op = "merge", partitions = kept ++ fresh,
-            schemaDdl = staged.newDdl))
+            schemaDdl = staged.newDdl, columnMap = staged.newMap))
           CommitStats(v, fresh.keys.toSeq.sorted, dropped,
             fresh.values.map(_.size).sum)
       }
@@ -953,7 +1010,7 @@ object Snapshot {
           p -> fs.map(f => f.copy(path = s"files/$n/" + f.path)) }
       }.getOrElse(Map.empty[String, Seq[FileEntry]])
       val mPost = mB.copy(partitions = keptParts ++ stagedParts,
-        schemaDdl = staged.newDdl)
+        schemaDdl = staged.newDdl, columnMap = staged.newMap)
       val postState =
         if (mPost.files.isEmpty)
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -1013,7 +1070,8 @@ object Snapshot {
         // (manifest schema: post-evolution commits hold mixed-schema
         // files; the compacted file carries the full current schema);
         // the dv-applied read drops masked rows from the new files
-        readManifestFiles(spark, table, m, frag.values.flatten.toSeq)
+        physicalize(readManifestFiles(spark, table, m, frag.values.flatten.toSeq),
+            m.columnMap)
           .withColumn("__part", col(m.partitionCol).cast("string"))
           .repartition(col("__part"))
           .write.mode("error").partitionBy("__part").parquet(commitDir(table, v))
@@ -1026,6 +1084,120 @@ object Snapshot {
           partitions = m.partitions.filterNot(e => frag.contains(e._1)) ++ fresh))
         CommitStats(v, fresh.keys.toSeq.sorted, Nil, fresh.values.map(_.size).sum)
       }
+    }
+
+  // ------------------------------------- non-additive schema evolution
+
+  /** Columns the non-additive evolution ops must not touch: the table
+    * contract references them by name in machinery that reads data
+    * files directly (merge keys, partition pruning, stats/bloom/HLL
+    * manifests, CHECK/expectation strings, z-order keys). Renaming or
+    * dropping one is a table REDEFINITION, not an evolution. */
+  private def evolutionBarred(m: Manifest, name: String): Option[String] = {
+    if (name == m.key) Some("the merge key")
+    else if (name == m.partitionCol) Some("the partition column")
+    else if (m.statsCols.contains(name)) Some("a stats column")
+    else if (m.bloomCols.contains(name)) Some("a bloom column")
+    else if (m.hllCols.contains(name)) Some("an HLL column")
+    else if (m.layout.zorderKeys.contains(name)) Some("a z-order key")
+    else if (m.constraints.exists(_._2.contains(name)))
+      Some("referenced by a CHECK constraint")
+    else if (m.expects.exists(_.contains(name)))
+      Some("referenced by a commit expectation")
+    else if (m.guards.keys.exists(_.contains(name)))
+      Some("referenced by a table guard")
+    else None
+  }
+
+  private def evolveSchema(table: String, op: String)
+                          (f: Manifest => Manifest): CommitStats =
+    withCommitLock(table) {
+      val cur = currentVersion(table)
+      require(cur > 0, s"snapshot $table does not exist")
+      val m = readManifest(table, cur)
+      require(m.schemaDdl.nonEmpty,
+        s"snapshot $table: no manifest schema — pre-schema table cannot evolve")
+      writeManifest(table, f(m).copy(version = cur + 1, parent = cur, op = op))
+      CommitStats(cur + 1, Nil, Nil, 0)
+    }
+
+  /**
+   * RENAME a column — a METADATA-ONLY commit (zero data files
+   * touched): the logical schema takes the new name and the column
+   * map records that its bytes still live under the old PHYSICAL name
+   * (Delta name-mode / Iceberg field-id semantics — physical names
+   * are stable forever, so every existing file, deletion vector, and
+   * staged write keeps working verbatim). Time travel renders each
+   * version under ITS OWN logical names; rollback across a rename
+   * restores the old name. Barred for contract columns
+   * ([[evolutionBarred]]) and for names already taken.
+   */
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String): CommitStats =
+    evolveSchema(table, s"rename_column($from->$to)") { m =>
+      val fields = StructType.fromDDL(m.schemaDdl).fields
+      require(fields.exists(_.name == from),
+        s"snapshot $table: no column '$from'")
+      require(!fields.exists(_.name == to),
+        s"snapshot $table: column '$to' already exists")
+      evolutionBarred(m, from).foreach(why => throw new IllegalArgumentException(
+        s"snapshot $table: cannot rename '$from' — $why"))
+      val newDdl = StructType(fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f)).toDDL
+      m.copy(schemaDdl = newDdl,
+        columnMap = (m.columnMap - from) + (to -> m.phys(from)))
+    }
+
+  /**
+   * DROP a column — a METADATA-ONLY commit: the column leaves the
+   * logical schema; its bytes stay in existing files (readers simply
+   * never request them — parquet pruning skips the pages) and fall
+   * out physically at the next compact/rewrite of each file. The
+   * PHYSICAL name is RETIRED: a later re-add of the same logical name
+   * maps to a fresh physical name, so old bytes can never resurrect
+   * as the new column's values (they read as null, exactly like any
+   * additive add). Time travel before the drop still shows the
+   * column.
+   */
+  def dropColumn(spark: SparkSession, table: String, name: String): CommitStats =
+    evolveSchema(table, s"drop_column($name)") { m =>
+      val fields = StructType.fromDDL(m.schemaDdl).fields
+      require(fields.exists(_.name == name),
+        s"snapshot $table: no column '$name'")
+      require(fields.length > 1,
+        s"snapshot $table: cannot drop the last column")
+      evolutionBarred(m, name).foreach(why => throw new IllegalArgumentException(
+        s"snapshot $table: cannot drop '$name' — $why"))
+      m.copy(schemaDdl = StructType(fields.filterNot(_.name == name)).toDDL,
+        columnMap = m.columnMap - name,
+        retiredCols = (m.retiredCols :+ m.phys(name)).distinct)
+    }
+
+  /**
+   * WIDEN a column's type — a METADATA-ONLY commit. Only provably
+   * safe promotions (`int`→`bigint`, `float`→`double`): existing
+   * files keep their narrow physical type and the parquet reader
+   * up-converts per batch (Spark's vectorized reader supports these
+   * promotions natively); files written after the widening carry the
+   * wide type. Narrowing or any other change is a rewrite, not an
+   * evolution — rejected.
+   */
+  def widenColumn(spark: SparkSession, table: String,
+                  name: String, newType: String): CommitStats =
+    evolveSchema(table, s"widen_column($name:$newType)") { m =>
+      val fields = StructType.fromDDL(m.schemaDdl).fields
+      val f = fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"snapshot $table: no column '$name'"))
+      evolutionBarred(m, name).foreach(why => throw new IllegalArgumentException(
+        s"snapshot $table: cannot widen '$name' — $why"))
+      val allowed = Map("int" -> Set("bigint"), "float" -> Set("double"))
+      val fromT = f.dataType.simpleString
+      require(allowed.get(fromT).exists(_.contains(newType)),
+        s"snapshot $table: '$name' $fromT -> $newType is not a safe widening " +
+          s"(allowed: int->bigint, float->double)")
+      val t = org.apache.spark.sql.types.DataType.fromDDL(newType)
+      m.copy(schemaDdl = StructType(fields.map(x =>
+        if (x.name == name) x.copy(dataType = t) else x)).toDDL)
     }
 
   /** Publish a new version whose live file set IS `toVersion`'s — an
@@ -1159,13 +1331,25 @@ object Snapshot {
     // the manifest schema drives the read: files predating an additive
     // evolution lack the new columns and come back null-filled —
     // WITHOUT mergeSchema's all-footers inference pass (at 100 TB the
-    // manifest IS the schema authority, the table-format answer)
+    // manifest IS the schema authority, the table-format answer).
+    // Under column mapping the reader asks for PHYSICAL names (what
+    // the bytes are stored as — renames never moved them; dropped
+    // columns simply aren't requested, so parquet pruning skips their
+    // bytes) and the logical view is a projection at the very end.
+    val physSchema = if (m.schemaDdl.isEmpty) null
+      else StructType(StructType.fromDDL(m.schemaDdl).fields.map(f =>
+        f.copy(name = m.phys(f.name))))
     val reader =
-      if (m.schemaDdl.nonEmpty) spark.read.schema(StructType.fromDDL(m.schemaDdl))
+      if (physSchema != null) spark.read.schema(physSchema)
       else spark.read
-    val base = reader.parquet(entries.map(f => s"$table/${f.path}"): _*)
+    val base0 = reader.parquet(entries.map(f => s"$table/${f.path}"): _*)
+    def logicalView(df: DataFrame): DataFrame =
+      if (m.columnMap.isEmpty) df
+      else df.select(StructType.fromDDL(m.schemaDdl).fields.map(f =>
+        col(m.phys(f.name)).as(f.name)): _*)
+    val base = base0
     val dvDirs = entries.flatMap(_.dv).map(_.path).distinct
-    if (!applyDv || dvDirs.isEmpty) base
+    if (!applyDv || dvDirs.isEmpty) logicalView(base)
     else {
       // mask deleted positions: anti-join on (file, row position).
       // The vector frame is bounded by rows DELETED since the last
@@ -1179,11 +1363,11 @@ object Snapshot {
       val dv = spark.read.parquet(dvDirs.map(d => s"$table/$d"): _*)
         .select(col("file").as("__dvm_file"), col("pos").as("__dvm_pos"))
       val cols = base.columns
-      base.withColumn("__dv_file", relFileCol)
+      logicalView(base.withColumn("__dv_file", relFileCol)
         .withColumn("__dv_pos", col("_metadata.row_index"))
         .join(dv, col("__dv_file") === col("__dvm_file") &&
           col("__dv_pos") === col("__dvm_pos"), "left_anti")
-        .select(cols.map(col): _*)
+        .select(cols.map(col): _*))
     }
   }
 
@@ -1560,7 +1744,7 @@ object Snapshot {
       // miss updated rows; unchanged rows re-pass trivially and the
       // cost is bounded by candidate mass
       enforceConstraints(out, m.constraints)
-      writeCommit(out, table, v, m.partitionCol, m.key, m.layout)
+      writeCommit(out, table, v, m.partitionCol, m.key, m.layout, m.columnMap)
       val fresh = commitEntries(spark, table, v, m.statsCols,
         m.bloomCols, m.bloomBits, m.bloomK, m.hllCols, m.hllP)
       // per partition: carried (non-candidate) files ++ replacement files
