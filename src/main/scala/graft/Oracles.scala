@@ -2693,6 +2693,38 @@ object Oracles {
         |       ELSE n_chars END AS n_chars
         |FROM s3""".stripMargin,
 
+    // non-additive schema evolution end state: replay rename (alias),
+    // drop (omission), the merge under the mapping, widen (cast) and
+    // the re-adding merge relationally — hash equality proves old
+    // bytes serve under new logical names, int/bigint file vintages
+    // read as one type, and the re-added `lang` NEVER resurrects the
+    // dropped bytes (null everywhere except the second merge's rows)
+    "snapshot_evolution" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, source, n_chars,
+        |         CAST(n_chars % 1000 AS INTEGER) AS n_small
+        |  FROM documents),
+        |u1 AS (
+        |  SELECT doc_id, text || ' [evo]' AS body, source,
+        |         n_chars + 3 AS n_chars, n_small + 1 AS n_small
+        |  FROM base WHERE doc_id % 9 = 0 AND doc_id % 17 <> 0),
+        |s1 AS (
+        |  SELECT doc_id, body, source, n_chars, n_small FROM u1
+        |  UNION ALL
+        |  SELECT doc_id, text AS body, source, n_chars, n_small FROM base
+        |  WHERE doc_id % 17 <> 0 AND doc_id % 9 <> 0),
+        |u2 AS (
+        |  SELECT doc_id, body || ' [v4]' AS body, source, n_chars,
+        |         CAST(n_small AS BIGINT) + 5000000000 AS n_small,
+        |         'readd' AS lang
+        |  FROM s1 WHERE doc_id % 10 = 1)
+        |SELECT doc_id, body, source, n_chars,
+        |       CAST(n_small AS BIGINT) AS n_small,
+        |       CAST(NULL AS VARCHAR) AS lang
+        |FROM s1 WHERE doc_id % 10 <> 1
+        |UNION ALL
+        |SELECT doc_id, body, source, n_chars, n_small, lang FROM u2""".stripMargin,
+
     // merge-on-read delete end state (v7): replay both merge change
     // sets, the v4/v5 copy-on-write DML AND the v6/v7 deletion-vector
     // deletes (doc_id 400-449 ∪ 430-480 = 400-480) relationally —

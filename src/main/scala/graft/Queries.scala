@@ -1853,6 +1853,51 @@ object Queries {
       p
     })
 
+  private val snapshotEvoMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The NON-ADDITIVE evolution table: create → rename text→body (v2,
+    * metadata-only) → drop lang (v3) → merge under the mapping (v4) →
+    * widen n_small int→bigint (v5) → merge that re-adds a column named
+    * `lang` (v6 — the retired physical name forces a fresh physical
+    * mapping, so dropped bytes can never resurrect). */
+  private def snapshotEvoPath(s: SparkSession, dir: String): String =
+    snapshotEvoMemo.computeIfAbsent(dir, _ => {
+      val p = scratch("snapshot_evo", dir)
+      val base = t(s, dir, "documents")
+        .withColumn("n_small", (col("n_chars") % 1000).cast("int"))
+      Snapshot.create(s, p, base, key = "doc_id", partitionCol = "source")
+      Snapshot.renameColumn(s, p, "text", "body")  // v2
+      Snapshot.dropColumn(s, p, "lang")            // v3
+      val u1 = base.filter(col("doc_id") % 9 === 0 && col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"), concat(col("text"), lit(" [evo]")).as("body"),
+          col("source"), (col("n_chars") + 3).as("n_chars"),
+          (col("n_small") + 1).as("n_small"))
+      Snapshot.merge(s, p, u1,                     // v4
+        base.filter(col("doc_id") % 17 === 0).select("doc_id"))
+      Snapshot.widenColumn(s, p, "n_small", "bigint") // v5
+      val u2 = Snapshot.readAt(s, p, 5).filter(col("doc_id") % 10 === 1)
+        .select(col("doc_id"), concat(col("body"), lit(" [v4]")).as("body"),
+          col("source"), col("n_chars"),
+          (col("n_small") + 5000000000L).as("n_small"),
+          lit("readd").as("lang"))
+      Snapshot.merge(s, p, u2, base.limit(0).select("doc_id")) // v6
+      p
+    })
+
+  /** NON-ADDITIVE SCHEMA EVOLUTION end state: the tip after rename /
+    * drop / widen (all metadata-only — zero data files rewritten) and
+    * two merges through the column mapping, one of which RE-ADDS the
+    * dropped column name. The oracle replays every step relationally
+    * (rename = projection alias, drop = column omission, widen =
+    * cast, re-add = null except the second merge's rows), so hash
+    * equality proves: old bytes serve under new logical names, mixed
+    * int/bigint file vintages read as one type, and the re-added
+    * column NEVER resurrects the dropped bytes. */
+  def snapshotEvolution(s: SparkSession, dir: String): DataFrame =
+    Snapshot.readLatest(s, snapshotEvoPath(s, dir))
+      .select("doc_id", "body", "source", "n_chars", "n_small", "lang")
+
   /** TIME TRAVEL over the versioned snapshot table: after three
     * commits (create, merge, merge), read the table AS OF v2 — the
     * later commit must be invisible and v2's bytes still live. The
@@ -2205,6 +2250,7 @@ object Queries {
     "corpus_delta" -> corpusDelta _,
     "corpus_merge" -> corpusMerge _,
     "agg_maintain" -> aggMaintain _,
+    "snapshot_evolution" -> snapshotEvolution _,
     "snapshot_timetravel" -> snapshotTimetravel _,
     "snapshot_pruned" -> snapshotPruned _,
     "snapshot_delta" -> snapshotDelta _,
