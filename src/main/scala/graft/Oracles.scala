@@ -1350,6 +1350,18 @@ object Oracles {
     // ceil(duration/1000) frames (duration = n_chars*10 from the
     // synthetic metadata), chunk = max(1, byte_len div n), last chunk
     // truncated — the executor-side fan-out arithmetic as SQL
+    // REAL javax.sound audio loop: the constant-amplitude WAV each doc
+    // encodes decodes back to duration = samples/8 ms exactly and
+    // per-window RMS = the 16-bit-quantized amplitude, so the whole
+    // encode→decode→feature path is integer-replayable — rms_q =
+    // round(rms·32768) ≡ round(amp·32767), first and last window alike
+    "multimodal_audio" ->
+      """SELECT doc_id, 'wav' AS fmt, 8000 AS sample_rate, 1 AS channels,
+        |  (n_chars % 400) + 2 AS duration_ms,
+        |  CAST(ROUND((((doc_id % 9) + 1) / 10.0) * 32767) AS BIGINT) AS rms_q_first,
+        |  CAST(ROUND((((doc_id % 9) + 1) / 10.0) * 32767) AS BIGINT) AS rms_q_last
+        |FROM documents""".stripMargin,
+
     "multimodal_frames" ->
       """WITH v AS (
         |  SELECT doc_id, octet_length(encode(text)) AS len,

@@ -959,6 +959,34 @@ object Queries {
         length(col("bytes")).cast("long").as("n_bytes"))
   }
 
+  /** Multimodal AUDIO through the REAL javax.sound codec end-to-end:
+    * each document deterministically ENCODES a constant-amplitude
+    * mono WAV (amplitude ((doc_id%9)+1)/10, ((n_chars%400)+2)·8
+    * samples at 8 kHz — executor-side, one iterator per partition),
+    * then DECODES it back: container metadata via
+    * [[operators.Multimodal.WavCodec.audioMeta]] and windowed-RMS
+    * features via the decode path. A constant signal's per-window RMS
+    * is its (16-bit-quantized) amplitude and the duration is
+    * samples/8 ms exactly, so the WHOLE encode→decode→feature loop is
+    * replayable in SQL: `rms_q = round(rms·32768)` must equal
+    * `round(amp·32767)` bit-for-bit, first and last window alike. */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      .as[(Long, Long)].mapPartitions(_.map { case (id, nc) =>
+        val samples = (((nc % 400) + 2) * 8).toInt
+        val amp = ((id % 9) + 1) / 10.0f
+        val wav = operators.Multimodal.WavCodec.encodeWav(
+          Array.fill(samples)(amp), 8000)
+        val (fmt, rate, ch, durMs) =
+          operators.Multimodal.WavCodec.audioMeta(wav).get
+        val f = operators.Multimodal.WavCodec.decodeFeatures(wav, 4)
+        (id, fmt, rate, ch, durMs,
+          math.round(f(0) * 32768), math.round(f(3) * 32768))
+      }).toDF("doc_id", "fmt", "sample_rate", "channels", "duration_ms",
+        "rms_q_first", "rms_q_last")
+  }
+
   /** Token counting: whitespace + BPE-ish regex counts. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -2196,6 +2224,7 @@ object Queries {
     "multimodal_meta" -> multimodalMeta _,
     "multimodal_resize" -> multimodalResize _,
     "multimodal_frames" -> multimodalFrames _,
+    "multimodal_audio" -> multimodalAudio _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_entropy" -> textEntropy _,
