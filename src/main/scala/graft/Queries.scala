@@ -38,8 +38,6 @@ object Queries {
   private def corpusStats(s: SparkSession, dir: String): Option[Dedup.ShingleStats] =
     Some(freqMemo.computeIfAbsent(dir, _ =>
       Dedup.shingleStats(t(s, dir, "documents"), col("text"), col("doc_id"))))
-  private def corpusFreq(s: SparkSession, dir: String): Option[Array[Long]] =
-    corpusStats(s, dir).map(_.frequent)
 
   /** Exact money: double → decimal(12,2). */
   private def dec(c: Column): Column = c.cast("decimal(12,2)")

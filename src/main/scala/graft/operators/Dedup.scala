@@ -129,13 +129,6 @@ object Dedup {
         val prefixFrac = math.min(1.0, (1.0 - t) + 1.0 / meanSize)
         prefixFrac * prefixFrac * sumDfSq / nDocs
       }
-
-    /** Estimated bytes the exact verification join must shuffle: both
-      * docs' full long arrays per expected candidate pair — the
-      * decision variable for [[Dedup.rescore]]'s fingerprint
-      * pre-verification stage. */
-    def estRescoreBytes(t: Double): Double =
-      estCandidatesPerDoc(t) * nDocs * meanSize * 8 * 2
   }
 
   /** [[ShingleStats]] from a corpus — one explode+groupBy over the
