@@ -1357,10 +1357,10 @@ object Oracles {
     // round(rms·32768) ≡ round(amp·32767), first and last window alike
     "multimodal_audio" ->
       """SELECT doc_id, 'wav' AS fmt, 8000 AS sample_rate, 1 AS channels,
-        |  (n_chars % 400) + 2 AS duration_ms,
+        |  (n_chars % 100) + 2 AS duration_ms,
         |  CAST(ROUND((((doc_id % 9) + 1) / 10.0) * 32767) AS BIGINT) AS rms_q_first,
         |  CAST(ROUND((((doc_id % 9) + 1) / 10.0) * 32767) AS BIGINT) AS rms_q_last
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
 
     "multimodal_frames" ->
       """WITH v AS (

@@ -970,9 +970,15 @@ object Queries {
     * `round(amp·32767)` bit-for-bit, first and last window alike. */
   def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // every 5th document: the entry gates the REAL encode→decode loop,
+    // and per-blob cost is javax.sound PROVIDER-SCAN bound (each
+    // AudioSystem call rescans the registry), so row count — not clip
+    // length — is the bench weight; 1-in-5 keeps the oracle meaningful
+    // at ~1/5 the fixed open cost
     t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      .filter(col("doc_id") % 5 === 0)
       .as[(Long, Long)].mapPartitions(_.map { case (id, nc) =>
-        val samples = (((nc % 400) + 2) * 8).toInt
+        val samples = (((nc % 100) + 2) * 8).toInt
         val amp = ((id % 9) + 1) / 10.0f
         val wav = operators.Multimodal.WavCodec.encodeWav(
           Array.fill(samples)(amp), 8000)

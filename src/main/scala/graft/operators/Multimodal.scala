@@ -174,22 +174,22 @@ object Multimodal {
     import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
 
     /** Decoded container metadata: (format, sampleRate, channels,
-      * durationMs) — without materializing the sample array. */
+      * durationMs) — without materializing the sample array. ONE
+      * header parse (`getAudioFileFormat` carries format + frame
+      * length + container type): `AudioSystem` calls scan the
+      * provider registry per invocation, so at millions of blobs per
+      * partition the open count is the cost driver, not the bytes. */
     def audioMeta(bytes: Array[Byte]): Option[(String, Int, Int, Long)] =
       try {
-        val ais = AudioSystem.getAudioInputStream(
+        val fileFmt = AudioSystem.getAudioFileFormat(
           new java.io.ByteArrayInputStream(bytes))
-        try {
-          val fmt = ais.getFormat
-          val fileFmt = AudioSystem.getAudioFileFormat(
-            new java.io.ByteArrayInputStream(bytes))
-          val durMs =
-            if (fmt.getFrameRate > 0 && ais.getFrameLength >= 0)
-              math.round(ais.getFrameLength * 1000.0 / fmt.getFrameRate)
-            else -1L
-          Some((fileFmt.getType.getExtension, math.round(fmt.getSampleRate),
-            fmt.getChannels, durMs))
-        } finally ais.close()
+        val fmt = fileFmt.getFormat
+        val durMs =
+          if (fmt.getFrameRate > 0 && fileFmt.getFrameLength >= 0)
+            math.round(fileFmt.getFrameLength * 1000.0 / fmt.getFrameRate)
+          else -1L
+        Some((fileFmt.getType.getExtension, math.round(fmt.getSampleRate),
+          fmt.getChannels, durMs))
       } catch { case _: Exception => None }
 
     /** Channel-averaged mono samples in [-1,1], or None when the
