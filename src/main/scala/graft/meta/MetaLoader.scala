@@ -68,6 +68,7 @@ object MetaLoader {
       guards = obj(n, "guards"),
       expects = strArr(n, "expects"),
       audit = strArr(n, "audit"),
+      evolve = strArr(n, "evolve"),
       snapshotTag = str(n, "snapshotTag", ""))
 
   private def parseTransform(n: JsonNode): TransformSpec = {

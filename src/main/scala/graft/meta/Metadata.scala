@@ -101,6 +101,14 @@ final case class SinkSpec(
     // failing audit aborts the stage, so the bad state never becomes
     // a version. Complements `expects` (the incoming-delivery gate).
     audit: Seq[String] = Nil,
+    // saveMode=snapshot: NON-ADDITIVE schema evolution steps applied
+    // to an EXISTING target BEFORE the commit (skipped at bootstrap —
+    // the incoming frame already carries the final schema). Grammar:
+    // "rename:old->new", "drop:col", "widen:col:bigint". Each step is
+    // IDEMPOTENT (an already-applied rename/drop/widen is skipped),
+    // so scheduled re-runs are safe — the declarative migration step
+    // a pipeline carries in config instead of a one-off DDL script.
+    evolve: Seq[String] = Nil,
     // saveMode=snapshot: TAG the committed version with this name
     // (operators.Snapshot.tag — vacuum-proof pin, re-tagging moves the
     // name). Under a Schedule, `${run_date}` interpolates before

@@ -74,6 +74,8 @@ object Writers {
           df.filter(!coalesce(col("__deleted"), lit(false))).drop("__deleted")
         else df
       spec.paths.foreach { path =>
+        if (spec.evolve.nonEmpty && graft.operators.Snapshot.exists(path))
+          applyEvolve(df.sparkSession, path, spec)
         val st =
           if (!graft.operators.Snapshot.exists(path))
             graft.operators.Snapshot.create(df.sparkSession, path, ups,
@@ -210,6 +212,45 @@ object Writers {
       val wo = if (spec.format == "csv") w.option("header", "true") else w
       val p = if (spec.partitionBy.nonEmpty) wo.partitionBy(spec.partitionBy: _*) else wo
       p.save(path)
+    }
+  }
+
+  /** Apply the sink's declarative evolution steps to an existing
+    * snapshot table, IDEMPOTENTLY: a rename whose `from` is gone and
+    * `to` present, a drop of an absent column, or a widen already at
+    * the target type is an already-applied step and skips — scheduled
+    * re-runs of the same pipeline JSON must not fail on their own
+    * migration. Anything else malformed or impossible throws (a typo
+    * should stop the pipeline, not silently no-op). */
+  private def applyEvolve(spark: org.apache.spark.sql.SparkSession,
+                          path: String, spec: graft.meta.SinkSpec): Unit = {
+    import graft.operators.Snapshot
+    spec.evolve.foreach { step =>
+      val m = Snapshot.readManifest(path, Snapshot.currentVersion(path))
+      val fields = org.apache.spark.sql.types.StructType
+        .fromDDL(m.schemaDdl).fields
+      def has(c: String) = fields.exists(_.name == c)
+      step.split(":", 3) match {
+        case Array("rename", fromTo) if fromTo.contains("->") =>
+          val Array(from, to) = fromTo.split("->", 2)
+          if (has(from)) Snapshot.renameColumn(spark, path, from, to)
+          else if (has(to))
+            println(s"[sink ${spec.name}] evolve '$step': already applied")
+          else throw new IllegalArgumentException(
+            s"sink '${spec.name}': evolve '$step' — neither '$from' nor '$to' exists")
+        case Array("drop", c) =>
+          if (has(c)) Snapshot.dropColumn(spark, path, c)
+          else println(s"[sink ${spec.name}] evolve '$step': already applied")
+        case Array("widen", c, t) =>
+          if (!has(c)) throw new IllegalArgumentException(
+            s"sink '${spec.name}': evolve '$step' — no column '$c'")
+          else if (fields.find(_.name == c).get.dataType.simpleString == t)
+            println(s"[sink ${spec.name}] evolve '$step': already applied")
+          else Snapshot.widenColumn(spark, path, c, t)
+        case _ => throw new IllegalArgumentException(
+          s"sink '${spec.name}': bad evolve step '$step' " +
+            "(want rename:old->new | drop:col | widen:col:type)")
+      }
     }
   }
 

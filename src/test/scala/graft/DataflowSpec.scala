@@ -562,6 +562,46 @@ class DataflowSpec extends SparkSpecBase {
     assert(left.filter(col("doc_id") % 10 === 0 && col("doc_id") % 2 === 0).count() == 0)
   }
 
+  test("metadata sink: evolve block migrates an existing snapshot target idempotently") {
+    val t = java.nio.file.Files.createTempDirectory("graft_evo").toString + "/tbl"
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    graft.operators.Snapshot.create(spark, t, docs, "doc_id", "source")
+    // the wave speaks the POST-evolution schema (body, no lang)
+    def spec(evolve: String) =
+      s"""{"dataflows":[{"name":"wave",
+         |  "sources":[{"name":"docs","path":"${sf()}/documents.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"chg","type":"sql","params":{"input":"docs","output":"chg",
+         |      "query":"SELECT doc_id, text || ' [mig]' AS body, source, n_chars FROM docs WHERE doc_id % 50 = 0"}}],
+         |  "sinks":[{"input":"chg","name":"s","paths":["$t"],
+         |    "format":"parquet","saveMode":"snapshot","mergeKey":"doc_id",
+         |    "partitionBy":["source"]$evolve}]}]}""".stripMargin
+    val evolveBlock = ""","evolve":["rename:text->body","drop:lang"]"""
+    // without the migration the wave cannot land (upserts lack 'text')
+    intercept[IllegalArgumentException] {
+      graft.Dataflow.run(spark, MetaLoader.loadString(spec("")).dataflow("wave"))
+    }
+    graft.Dataflow.run(spark,
+      MetaLoader.loadString(spec(evolveBlock)).dataflow("wave"))
+    // v2 rename + v3 drop + v4 merge
+    assert(graft.operators.Snapshot.currentVersion(t) == 4)
+    val now = graft.operators.Snapshot.readLatest(spark, t)
+    assert(now.columns.toSeq === Seq("doc_id", "body", "source", "n_chars"))
+    assert(now.filter(col("body").endsWith(" [mig]")).count() ==
+      docs.filter(col("doc_id") % 50 === 0).count())
+    // RE-RUN with the same JSON: both steps detect already-applied and
+    // skip — only the merge commits (the scheduled-pipeline contract)
+    graft.Dataflow.run(spark,
+      MetaLoader.loadString(spec(evolveBlock)).dataflow("wave"))
+    assert(graft.operators.Snapshot.currentVersion(t) == 5)
+    // a typo'd step stops the pipeline loudly instead of no-opping
+    intercept[IllegalArgumentException] {
+      graft.Dataflow.run(spark, MetaLoader.loadString(
+        spec(""","evolve":["rename:nope->x"]""")).dataflow("wave"))
+    }
+  }
+
   test("shipped example specs parse: incremental_refresh, scheduled_delta") {
     // these compose ${run_date} templates + /data paths, so they can't
     // execute here — but every transform/sink must RESOLVE (a typo'd
