@@ -429,11 +429,13 @@ class StreamingSpec extends SparkSpecBase {
     val (table, ck, agg) = (s"$dir/tbl", s"$dir/ck", s"$dir/agg")
 
     val seed = spark.range(0, 400).select(col("id"),
-      (col("id") % 7).as("score"), (col("id") % 4).cast("string").as("part"))
+      (col("id") % 7).as("score"), (col("id") % 4).cast("string").as("part"),
+      concat(lit("n"), col("id")).as("note"))
     Snapshot.create(spark, table, seed, "id", "part", fileRanges = 4)
     Snapshot.merge(spark, table,
       upserts = spark.range(380, 420).select(col("id"),
-        (col("id") * 2).as("score"), (col("id") % 4).cast("string").as("part")),
+        (col("id") * 2).as("score"), (col("id") % 4).cast("string").as("part"),
+        concat(lit("n"), col("id")).as("note")),
       deleteKeys = spark.range(0, 20).select(col("id")))
 
     def runFollow(): Unit = {
@@ -469,6 +471,20 @@ class StreamingSpec extends SparkSpecBase {
     Snapshot.rollback(spark, table, 2)
     runFollow()
     assert(viewRows == expect)
+
+    // NON-ADDITIVE evolution of a column the view does not use: the
+    // rename commit is metadata-only (empty change set — a no-op
+    // version for the follower) and the next merge flows through the
+    // column mapping; the view must keep tracking the recompute
+    Snapshot.renameColumn(spark, table, "note", "comment")
+    Snapshot.merge(spark, table,
+      upserts = spark.range(500, 520).select(col("id"),
+        (col("id") % 5).as("score"), (col("id") % 4).cast("string").as("part"),
+        concat(lit("c"), col("id")).as("comment")),
+      deleteKeys = spark.range(30, 40).select(col("id")))
+    runFollow()
+    assert(viewRows == expect,
+      "view must follow across an evolution commit + post-rename merge")
 
     // checkpoint loss: every manifest re-delivers, but maintainBatch's
     // ledger is keyed on the VERSION — the view must not double-count
