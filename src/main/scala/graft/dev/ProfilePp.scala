@@ -60,6 +60,34 @@ object ProfilePp {
       graft.operators.Dedup.rescore(cand, sigs, threshold, prefilter = true).count()
     }
     require(genuineF == genuine, s"prefilter changed the pair count: $genuineF != $genuine")
+    graft.operators.OpCache.releaseAll()
+
+    // --- the BANDED family: how much of dedup_minhash's verification
+    // mass is false band collisions vs genuine pairs? ---
+    {
+      import graft.functions.TextHashExprs
+      val bsigs = graft.operators.OpCache.cache(docs
+        .select(col("doc_id"),
+          TextHashExprs.minhashWithShingles(col("text"), 3, 32).as("b"))
+        .filter(col("b").isNotNull)
+        .select(col("doc_id"), col("b.sig").as("sig"), col("b.sh").as("sh")))
+      val banded = graft.operators.Dedup.bandFrame(
+        bsigs.select("doc_id", "sig"), 16, 2)
+      val bcand = graft.operators.OpCache.cache(
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.band_hash") === col("b.band_hash") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct())
+      val nB = measure("banded candidates (distinct)") { bcand.count() }
+      val gB = measure("banded rescore") {
+        graft.operators.Dedup.rescore(bcand, bsigs, threshold).count()
+      }
+      println(f"[pp]   banded: $nB candidates, $gB genuine " +
+        f"(false fraction ${1.0 - gB.toDouble / math.max(1, nB)}%.3f)")
+      graft.operators.OpCache.releaseAll()
+    }
 
     graft.operators.OpCache.releaseAll()
     spark.stop()

@@ -515,6 +515,19 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    // Band collisions are overwhelmingly FALSE on big corpora
+    // (measured sf1: 204,050 candidates / 2,234 genuine — 98.9% —
+    // shipping 131 MB of shingle arrays through this rescore). The
+    // fingerprint pre-verification stage (`rescore(prefilter=true)`)
+    // cuts those bytes ~3×, but MEASURED end-to-end at sf0.1 AND sf1
+    // it LOSES wall on a single-node page-cache box (+0.3-0.8 s per
+    // entry: an extra count action + two extra joins against bytes
+    // that were nearly free locally) — so the default stays off.
+    // On a network-shuffle cluster the byte cut is the wall; callers
+    // there pass prefilter=true. An in-join fingerprint (the
+    // prefix-path answer) does NOT transfer: band rows would carry
+    // 16× the per-doc fingerprint payload through the self-join,
+    // costing more than the rescore it saves.
     rescore(cand, sigs, threshold)
   }
 
@@ -722,6 +735,8 @@ object Dedup {
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
+    // same collision-mass trade as [[minhashLshVerified]]'s rescore
+    // (prefilter off by default — see the measurement note there)
     rescore(cand, sigs, threshold)
   }
 
