@@ -15,6 +15,8 @@ import org.apache.spark.sql.SparkSessionExtensions
  * them to an already-live session, e.g. a notebook).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.GraftFunctions.inject(ext)
+    functions.GraftTableFunctions.inject(ext)
+  }
 }

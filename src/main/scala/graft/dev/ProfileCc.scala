@@ -208,6 +208,20 @@ object ProfileCc {
         col("doc_id"), candidates = "banded"))
     }
     graft.operators.OpCache.releaseAll()
+    // the `cluster_strategy: auto` decision variable, measured on both
+    // corpus shapes — the pick must match the e2e winner above
+    measure("auto pick (ordinary)") {
+      val pick = graft.operators.Dedup.chooseClusterStrategy(
+        docs, col("text"), col("doc_id"))
+      println(s"[cc]   ordinary corpus -> $pick (one-wave wins e2e above)")
+    }
+    graft.operators.OpCache.releaseAll()
+    measure("auto pick (clique)") {
+      val pick = graft.operators.Dedup.chooseClusterStrategy(
+        cliques, col("text"), col("doc_id"))
+      println(s"[cc]   clique corpus -> $pick (star+repair wins e2e above)")
+    }
+    graft.operators.OpCache.releaseAll()
     spark.stop()
   }
 }

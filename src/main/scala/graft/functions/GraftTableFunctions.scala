@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/**
+ * TABLE-VALUED FUNCTIONS over graft snapshot tables, so time travel
+ * and the change feed are plain SQL — no DataFrame API required:
+ *
+ * {{{
+ *   GraftTableFunctions.register(spark)
+ *   spark.sql("SELECT * FROM graft_snapshot('/data/corpus_v')")       // tip
+ *   spark.sql("SELECT * FROM graft_snapshot('/data/corpus_v', 3)")    // as of v3
+ *   spark.sql("SELECT * FROM graft_snapshot('/data/corpus_v', 'training-2026-08-14')")
+ *   spark.sql("SELECT _change, count(*) FROM graft_snapshot_changes('/data/corpus_v', 4) GROUP BY 1")
+ * }}}
+ *
+ * The builder runs at ANALYSIS time: arguments must be literals (the
+ * standard TVF contract), the snapshot manifest resolves driver-side,
+ * and the returned plan is the same pruned, deletion-vector-masked,
+ * column-mapped read `Snapshot.readAt` produces — Catalyst then
+ * optimizes it inside the enclosing query like any other relation.
+ * Beside [[GraftFunctions]] (scalar kernels), this is the second half
+ * of the SQL surface; `spark.sql.extensions=graft.GraftExtensions`
+ * injects both into sessions graft did not build.
+ */
+object GraftTableFunctions {
+
+  private case class Tf(name: String, usage: String,
+                        build: Seq[Expression] => LogicalPlan)
+
+  private def litArg(e: Expression, what: String): Any = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+  }
+
+  private def snapshotPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.size <= 2,
+      "usage: graft_snapshot(path[, version | tag])")
+    val spark = SparkSession.active
+    val path = String.valueOf(litArg(args.head, "graft_snapshot: path"))
+    val df = args.lift(1).map(litArg(_, "graft_snapshot: version/tag")) match {
+      case None => graft.operators.Snapshot.readLatest(spark, path)
+      case Some(i: Int) => graft.operators.Snapshot.readAt(spark, path, i)
+      case Some(l: Long) => graft.operators.Snapshot.readAt(spark, path, l.toInt)
+      case Some(other) =>
+        graft.operators.Snapshot.readTag(spark, path, String.valueOf(other))
+    }
+    df.queryExecution.logical
+  }
+
+  private def changesPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 2, "usage: graft_snapshot_changes(path, version)")
+    val spark = SparkSession.active
+    val path = String.valueOf(litArg(args.head, "graft_snapshot_changes: path"))
+    val v = litArg(args(1), "graft_snapshot_changes: version") match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_snapshot_changes: version must be an integer, got $other")
+    }
+    val (removed, added) = graft.operators.Snapshot.changeSet(spark, path, v)
+    import org.apache.spark.sql.functions.lit
+    // allowMissingColumns: the two sides read under THEIR versions'
+    // schemas, which differ across an (additive or non-additive)
+    // evolution commit — absent columns null-fill
+    removed.withColumn("_change", lit("removed"))
+      .unionByName(added.withColumn("_change", lit("added")),
+        allowMissingColumns = true)
+      .queryExecution.logical
+  }
+
+  private val tfs = Seq(
+    Tf("graft_snapshot",
+      "graft_snapshot(path[, version | tag]) - time-travel read of a " +
+        "graft snapshot table (tip when only path is given)",
+      snapshotPlan),
+    Tf("graft_snapshot_changes",
+      "graft_snapshot_changes(path, version) - the commit's change " +
+        "set: removed + added rows flagged by _change",
+      changesPlan))
+
+  /** Register the TVFs in a live session's table-function registry. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+    tfs.foreach { f =>
+      reg.registerFunction(FunctionIdentifier(f.name),
+        new ExpressionInfo("graft", f.name, f.usage), f.build)
+    }
+  }
+
+  /** Inject through `SparkSessionExtensions` (see
+    * [[graft.GraftExtensions]]). */
+  def inject(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    tfs.foreach { f =>
+      ext.injectTableFunction((FunctionIdentifier(f.name),
+        new ExpressionInfo("graft", f.name, f.usage), f.build))
+    }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.functions.GraftTableFunctions
+import graft.operators.Snapshot
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** SQL table-valued functions over snapshot tables: time travel, tag
+  * reads and the change feed as plain `spark.sql`. */
+class SqlTvfSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def fresh(tag: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_tvf_$tag"
+    val root = Paths.get(p)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
+    p
+  }
+
+  test("graft_snapshot: tip, version, tag; joinable inside a larger query") {
+    GraftTableFunctions.register(spark)
+    val t = fresh("read")
+    Snapshot.create(spark, t,
+      Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"))
+        .toDF("id", "v", "part"), "id", "part")
+    Snapshot.tag(t, "first")
+    Snapshot.merge(spark, t,
+      Seq((4L, "d", "p2"), (2L, "b2", "p1")).toDF("id", "v", "part"),
+      Seq(1L).toDF("id"))
+
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot('$t')")
+      .as[Long].collect()(0) === 3L)
+    assert(spark.sql(s"SELECT v FROM graft_snapshot('$t', 1) ORDER BY id")
+      .as[String].collect().toSeq === Seq("a", "b", "c"))
+    assert(spark.sql(s"SELECT v FROM graft_snapshot('$t', 'first') WHERE id = 2")
+      .as[String].collect().toSeq === Seq("b"))
+    // the TVF is a plain relation: join it, aggregate it, alias it
+    val joined = spark.sql(
+      s"""SELECT cur.id, cur.v AS now, old.v AS was
+         |FROM graft_snapshot('$t') cur
+         |JOIN graft_snapshot('$t', 1) old USING (id)
+         |ORDER BY id""".stripMargin)
+      .as[(Long, String, String)].collect().toSeq
+    assert(joined === Seq((2L, "b2", "b"), (3L, "c", "c")))
+  }
+
+  test("graft_snapshot_changes: the commit's removed/added rows, across a rename") {
+    GraftTableFunctions.register(spark)
+    val t = fresh("chg")
+    Snapshot.create(spark, t,
+      Seq((1L, "a", "p1"), (2L, "b", "p1")).toDF("id", "v", "part"),
+      "id", "part")
+    Snapshot.merge(spark, t,
+      Seq((3L, "c", "p1")).toDF("id", "v", "part"), Seq(1L).toDF("id"))
+    val byChange = spark.sql(
+      s"""SELECT _change, sort_array(collect_list(id))
+         |FROM graft_snapshot_changes('$t', 2) GROUP BY 1 ORDER BY 1""".stripMargin)
+      .as[(String, Seq[Long])].collect().toMap
+    // p1 was rewritten: removed = the partition's old visible rows,
+    // added = its new rows (survivors cancel algebraically)
+    assert(byChange("removed") === Seq(1L, 2L))
+    assert(byChange("added") === Seq(2L, 3L))
+
+    // a rename is a metadata-only commit: empty change set, and the
+    // two sides' differing logical schemas union with null fill
+    Snapshot.renameColumn(spark, t, "v", "name")
+    assert(spark.sql(s"SELECT count(*) FROM graft_snapshot_changes('$t', 3)")
+      .as[Long].collect()(0) === 0L)
+    // the tip TVF serves the renamed logical view over the old bytes
+    assert(spark.sql(s"SELECT name FROM graft_snapshot('$t') WHERE id = 3")
+      .as[String].collect().toSeq === Seq("c"))
+  }
+
+  test("TVF argument contract: literals only, sane arity errors") {
+    GraftTableFunctions.register(spark)
+    val t = fresh("err")
+    Snapshot.create(spark, t,
+      Seq((1L, "a", "p1")).toDF("id", "v", "part"), "id", "part")
+    // non-literal path must be rejected at analysis, not mis-planned
+    val e1 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_snapshot(concat('$t', v))").collect()
+    }
+    assert(e1.getMessage != null)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_snapshot()").collect()
+    }
+    assert(e2.getMessage != null)
+  }
+}
