@@ -134,6 +134,12 @@ object SnapshotTool {
         val lines = row.schema.fields.map(f =>
           s"${f.name} = ${Option(row.getAs[Any](f.name)).getOrElse("NULL")}")
         (lines.toSeq, 0)
+      case Seq("relayout", table, ranges, mode, rest @ _*) =>
+        val keys = rest.headOption.map(_.split(",").toSeq).getOrElse(Nil)
+        val st = Snapshot.relayout(spark, table, ranges.toInt, mode, keys)
+        (Seq(s"relaid out $table as $mode x$ranges" +
+          (if (keys.nonEmpty) s" on ${keys.mkString(",")}" else "") +
+          s" → v${st.version}: ${st.filesWritten} file(s)"), 0)
       case Seq("rename-col", table, from, to) =>
         val st = Snapshot.renameColumn(spark, table, from, to)
         (Seq(s"renamed $table column $from -> $to → v${st.version} " +
@@ -161,7 +167,7 @@ object SnapshotTool {
         (Seq(s"unknown invocation: ${other.mkString(" ")}",
           "usage: SnapshotTool describe|history|fsck|compact|vacuum|rollback|" +
             "delete-where|delete-mor|update-where|agg|tag|untag|tags|" +
-            "rename-col|drop-col|widen-col|expect " +
+            "rename-col|drop-col|widen-col|relayout|expect " +
             "<table> [args]"), 2)
     }
 

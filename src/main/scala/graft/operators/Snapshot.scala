@@ -1086,6 +1086,58 @@ object Snapshot {
       }
     }
 
+  /**
+   * RE-LAYOUT the table as ONE commit — the `OPTIMIZE ZORDER` of the
+   * format: every partition's VISIBLE rows (deletion vectors applied,
+   * so MoR deletes materialize away like compact) rewrite under a new
+   * [[Layout]], which becomes the table property every later commit
+   * arranges by (merge/DML/compact all read it from the manifest).
+   * This is the lifecycle's one deliberate full rewrite — re-sorting
+   * is inherently a rewrite — priced exactly once; afterward range
+   * reads prune on the new keys' narrowed per-file ranges. Rollback
+   * to a pre-relayout version restores the OLD layout property along
+   * with the old files (the manifest carries both). Z-order keys must
+   * be identity-mapped columns (not renamed — the arrange pipeline
+   * addresses physical names) and become contract columns
+   * ([[evolutionBarred]]) going forward.
+   */
+  def relayout(spark: SparkSession, table: String, fileRanges: Int,
+               layoutMode: String = "range",
+               zorderKeys: Seq[String] = Nil): CommitStats =
+    withCommitLock(table) {
+      val cur = currentVersion(table)
+      require(cur > 0, s"snapshot $table does not exist")
+      require(fileRanges > 0, "relayout: fileRanges must be positive")
+      require(layoutMode == "range" || layoutMode == "zorder",
+        s"relayout: unknown layout mode '$layoutMode'")
+      require(layoutMode != "zorder" || zorderKeys.nonEmpty,
+        "relayout: layout zorder needs zorderKeys")
+      val m = readManifest(table, cur)
+      val schemaCols =
+        if (m.schemaDdl.nonEmpty) StructType.fromDDL(m.schemaDdl).fieldNames.toSeq
+        else Nil
+      zorderKeys.foreach { k =>
+        require(schemaCols.isEmpty || schemaCols.contains(k),
+          s"relayout: no column '$k'")
+        require(m.phys(k) == k,
+          s"relayout: z-order key '$k' is a renamed column — z-order keys " +
+            "must be identity-mapped (compact first, or key on the physical name)")
+      }
+      val lay = Layout(fileRanges, layoutMode, zorderKeys)
+      val v = cur + 1
+      writeCommit(readManifestFiles(spark, table, m), table, v,
+        m.partitionCol, m.key, lay, m.columnMap)
+      val fresh = commitEntries(spark, table, v, m.statsCols,
+        m.bloomCols, m.bloomBits, m.bloomK, m.hllCols, m.hllP)
+      val opName = s"relayout($layoutMode x$fileRanges" +
+        (if (zorderKeys.nonEmpty) s" on ${zorderKeys.mkString(",")})" else ")")
+      writeManifestReclaiming(table, m.copy(version = v, parent = cur,
+        op = opName, partitions = fresh, layout = lay))
+      CommitStats(v, fresh.keys.toSeq.sorted,
+        m.partitions.keySet.filterNot(fresh.contains).toSeq.sorted,
+        fresh.values.map(_.size).sum)
+    }
+
   // ------------------------------------- non-additive schema evolution
 
   /** Columns the non-additive evolution ops must not touch: the table

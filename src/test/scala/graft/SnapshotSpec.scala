@@ -221,6 +221,61 @@ class SnapshotSpec extends SparkSpecBase {
       Snapshot.Layout(32, "zorder", Seq("id", "b")))
   }
 
+  test("relayout: OPTIMIZE ZORDER as one commit — pruning improves, dvs materialize, layout persists, rollback restores") {
+    val t = fresh("relayout")
+    val wide = spark.range(0, 8000).select(
+      col("id"), ((col("id") * 2654435761L) % 8000).as("b"),
+      concat(lit("doc "), col("id")).as("payload"), lit("p0").as("part"))
+    Snapshot.create(spark, t, wide, "id", "part",
+      statsCols = Seq("id", "b"), fileRanges = 32) // range layout on id
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 7000L, 7999L)))
+    val visibleBefore = Snapshot.readLatest(spark, t)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val preds = Seq(("id", 1000L, 1999L), ("b", 1000L, 1999L))
+    // the range layout (sorted by id) cannot prune on b AT ALL: every
+    // file's b-range spans the full domain
+    val (keptBefore, totBefore) = Snapshot.pruneAll(t, Seq(("b", 1000L, 1999L)))
+    assert(keptBefore.size === totBefore,
+      "fixture: the range layout must be blind to the second key")
+
+    val st = Snapshot.relayout(spark, t, 32, "zorder", Seq("id", "b"))
+    assert(st.version === 3)
+    val m = Snapshot.readManifest(t, 3)
+    assert(m.layout === Snapshot.Layout(32, "zorder", Seq("id", "b")))
+    // deletion vectors MATERIALIZED away (like compact), rows identical
+    assert(m.files.forall(_.dv.isEmpty), "relayout must clear dvs")
+    assert(Snapshot.readLatest(spark, t)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === visibleBefore)
+    // the new layout genuinely narrows the second key's file ranges:
+    // the same b-only predicate now prunes where range kept everything
+    val (keptAfter, tot) = Snapshot.pruneAll(t, Seq(("b", 1000L, 1999L)))
+    assert(keptAfter.size < keptBefore.size / 2,
+      s"zorder relayout kept ${keptAfter.size} vs range's ${keptBefore.size} of $tot")
+    assert(Snapshot.readWhereAll(spark, t, preds)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      visibleBefore.filter(id => id >= 1000 && id <= 1999 &&
+        { val b = (id * 2654435761L) % 8000; b >= 1000 && b <= 1999 }))
+    // later commits arrange by the NEW layout property
+    Snapshot.merge(spark, t,
+      Seq((9000L, 123L, "x", "p0")).toDF("id", "b", "payload", "part"),
+      spark.emptyDataset[Long].toDF("id"))
+    assert(Snapshot.readManifest(t, 4).layout ===
+      Snapshot.Layout(32, "zorder", Seq("id", "b")))
+    // rollback restores the OLD files and the OLD layout property
+    Snapshot.rollback(spark, t, 2)
+    assert(Snapshot.readManifest(t, 5).layout ===
+      Snapshot.Layout(32, "range", Nil))
+    assert(Snapshot.fsck(spark, t).isEmpty)
+    // z-order keys must exist and be identity-mapped
+    intercept[IllegalArgumentException] {
+      Snapshot.relayout(spark, t, 16, "zorder", Seq("nope"))
+    }
+    Snapshot.renameColumn(spark, t, "payload", "note")
+    intercept[IllegalArgumentException] {
+      Snapshot.relayout(spark, t, 16, "zorder", Seq("note"))
+    }
+  }
+
   test("merge validations: schema mismatch, upsert∩delete overlap, bad partition value") {
     val t = fresh("validate")
     Snapshot.create(spark, t, seedDf, "id", "part")
