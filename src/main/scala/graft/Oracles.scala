@@ -2628,6 +2628,19 @@ object Oracles {
     // the FIRST change set (identical to corpus_merge's end state) —
     // hash equality proves the v3 commit is invisible to the v2 read
     // and the manifest serves the exact historical file set
+    // the SQL TVF surface reads the SAME v2 state as
+    // snapshot_timetravel — identical replay, so hash equality proves
+    // the analysis-time TVF plan ≡ the DataFrame-API time travel
+    "snapshot_sql_tvf" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text,
+        |  lang,
+        |  CASE WHEN doc_id % 7 = 0 AND doc_id % 3 = 0 THEN 'src_new'
+        |       ELSE source END AS source,
+        |  CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE doc_id % 13 <> 0""".stripMargin,
+
     "snapshot_timetravel" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text,

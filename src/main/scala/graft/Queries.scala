@@ -1930,6 +1930,18 @@ object Queries {
     Snapshot.readLatest(s, snapshotEvoPath(s, dir))
       .select("doc_id", "body", "source", "n_chars", "n_small", "lang")
 
+  /** The SQL TVF surface end-to-end: `graft_snapshot(path, 2)` inside
+    * a plain `spark.sql` query — analysis-time manifest resolution,
+    * the Catalyst plan embedded in the enclosing query — must equal
+    * the DataFrame-API time travel bit-for-bit, so it rides
+    * `snapshot_timetravel`'s oracle replay verbatim. */
+  def snapshotSqlTvf(s: SparkSession, dir: String): DataFrame = {
+    functions.GraftTableFunctions.register(s)
+    val p = snapshotTablePath(s, dir)
+    s.sql(s"SELECT doc_id, text, lang, source, n_chars " +
+      s"FROM graft_snapshot('$p', 2)")
+  }
+
   /** TIME TRAVEL over the versioned snapshot table: after three
     * commits (create, merge, merge), read the table AS OF v2 — the
     * later commit must be invisible and v2's bytes still live. The
@@ -2284,6 +2296,7 @@ object Queries {
     "corpus_merge" -> corpusMerge _,
     "agg_maintain" -> aggMaintain _,
     "snapshot_evolution" -> snapshotEvolution _,
+    "snapshot_sql_tvf" -> snapshotSqlTvf _,
     "snapshot_timetravel" -> snapshotTimetravel _,
     "snapshot_pruned" -> snapshotPruned _,
     "snapshot_delta" -> snapshotDelta _,
