@@ -112,6 +112,19 @@ class SnapshotEvolutionSpec extends SparkSpecBase {
     assert(readd(1L) === None && readd(2L) === None,
       "dropped bytes must NOT resurrect as the re-added column")
     assert(Snapshot.fsck(spark, t).isEmpty)
+
+    // compact is where lazy deletion lands: rewritten files carry the
+    // CURRENT physical schema, so the retired column's bytes are gone
+    Snapshot.compact(spark, t, maxFilesPerPartition = 1)
+    val mC = Snapshot.readManifest(t, Snapshot.currentVersion(t))
+    mC.files.foreach { f =>
+      val cols = spark.read.parquet(s"$t/${f.path}").columns.toSet
+      assert(!cols.contains("note"),
+        s"compact must purge the retired physical column from ${f.path}: $cols")
+    }
+    assert(Snapshot.readLatest(spark, t)
+      .select("id", "note").as[(Long, Option[String])].collect().toMap === readd,
+    "purge must not change the logical view")
   }
 
   test("widen int->bigint: metadata-only; narrow files up-convert on read; post-widen merges write wide") {
