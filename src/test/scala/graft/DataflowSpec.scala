@@ -609,7 +609,8 @@ class DataflowSpec extends SparkSpecBase {
     for (f <- Seq("examples/incremental_refresh.json",
                   "examples/scheduled_delta.json",
                   "examples/versioned_corpus.json",
-                  "examples/gdpr_erasure.json")) {
+                  "examples/gdpr_erasure.json",
+                  "examples/schema_migration.json")) {
       val p = MetaLoader.loadFile(f)
       assert(p.schedule.isDefined, s"$f: schedule block must parse")
       val flows = p.dataflows
@@ -649,6 +650,11 @@ class DataflowSpec extends SparkSpecBase {
       case e: graft.meta.ExpectSpec => e }
     assert(gate.exists(_.failOnViolation),
       "the change set must be gated by a failing expect transform")
+    // the r9 migration example carries its evolve steps through the parser
+    val migration = MetaLoader.loadFile("examples/schema_migration.json")
+    val migSink = migration.dataflows.head.sinks.head
+    assert(migSink.evolve === Seq("rename:url->source_url",
+      "drop:raw_score", "widen:page_views:bigint"))
     val pinned = versioned.dataflows(1).sources.head
     assert(pinned.format === "snapshot" &&
       pinned.options("tag") === "corpus-2026-08-07")
