@@ -134,8 +134,7 @@ object Dataflow {
           def clusters = s.method match {
             case "ngram_jaccard" | "minhash_lsh" =>
               val strat = s.clusterStrategy match {
-                case "auto" => Dedup.chooseClusterStrategy(in, content, id,
-                  threshold = s.threshold)
+                case "auto" => Dedup.chooseClusterStrategy(in, content, id)
                 case other => other
               }
               strat match {

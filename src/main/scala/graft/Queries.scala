@@ -959,7 +959,7 @@ object Queries {
 
   /** Multimodal AUDIO through the REAL javax.sound codec end-to-end:
     * each document deterministically ENCODES a constant-amplitude
-    * mono WAV (amplitude ((doc_id%9)+1)/10, ((n_chars%400)+2)·8
+    * mono WAV (amplitude ((doc_id%9)+1)/10, ((n_chars%100)+2)·8
     * samples at 8 kHz — executor-side, one iterator per partition),
     * then DECODES it back: container metadata via
     * [[operators.Multimodal.WavCodec.audioMeta]] and windowed-RMS
@@ -1817,12 +1817,18 @@ object Queries {
     try {
       val line = s"${System.currentTimeMillis()} pid=${ProcessHandle.current().pid()} " +
         s"thread=${Thread.currentThread().getId} dir=$dir path=$p\n"
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(
-          s"${System.getProperty("java.io.tmpdir")}/graft_agg_maintain_sentinel.log"),
-        line.getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
+      val log = java.nio.file.Paths.get(
+        s"${System.getProperty("java.io.tmpdir")}/graft_agg_maintain_sentinel.log")
+      // bounded: the diagnostic needs only the RECENT invocation
+      // pattern — past 1 MB start over instead of growing forever
+      val opts: Array[java.nio.file.OpenOption] =
+        if (java.nio.file.Files.exists(log) &&
+            java.nio.file.Files.size(log) > (1L << 20))
+          Array(java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        else Array(java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      java.nio.file.Files.write(log, line.getBytes("UTF-8"), opts: _*)
     } catch { case _: Exception => () }
     val docs = t(s, dir, "documents")
     operators.IncrementalAgg.build(docs, Seq("source"), Seq("n_chars"))

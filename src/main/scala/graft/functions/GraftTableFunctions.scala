@@ -36,17 +36,26 @@ object GraftTableFunctions {
     e.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
   }
 
+  private def pathArg(e: Expression, fn: String): String = {
+    val v = litArg(e, s"$fn: path")
+    require(v != null, s"$fn: path must not be NULL")
+    String.valueOf(v)
+  }
+
   private def snapshotPlan(args: Seq[Expression]): LogicalPlan = {
     require(args.nonEmpty && args.size <= 2,
       "usage: graft_snapshot(path[, version | tag])")
     val spark = SparkSession.active
-    val path = String.valueOf(litArg(args.head, "graft_snapshot: path"))
+    val path = pathArg(args.head, "graft_snapshot")
     val df = args.lift(1).map(litArg(_, "graft_snapshot: version/tag")) match {
       case None => graft.operators.Snapshot.readLatest(spark, path)
       case Some(i: Int) => graft.operators.Snapshot.readAt(spark, path, i)
       case Some(l: Long) => graft.operators.Snapshot.readAt(spark, path, l.toInt)
-      case Some(other) =>
-        graft.operators.Snapshot.readTag(spark, path, String.valueOf(other))
+      case Some(s: org.apache.spark.unsafe.types.UTF8String) =>
+        graft.operators.Snapshot.readTag(spark, path, s.toString)
+      case Some(other) => throw new IllegalArgumentException(
+        "graft_snapshot: second argument must be an integer version or a " +
+          s"string tag, got ${if (other == null) "NULL" else other.getClass.getSimpleName}")
     }
     df.queryExecution.logical
   }
@@ -54,7 +63,7 @@ object GraftTableFunctions {
   private def changesPlan(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 2, "usage: graft_snapshot_changes(path, version)")
     val spark = SparkSession.active
-    val path = String.valueOf(litArg(args.head, "graft_snapshot_changes: path"))
+    val path = pathArg(args.head, "graft_snapshot_changes")
     val v = litArg(args(1), "graft_snapshot_changes: version") match {
       case i: Int => i
       case l: Long => l.toInt

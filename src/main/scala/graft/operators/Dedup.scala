@@ -1046,9 +1046,13 @@ object Dedup {
   val StarRepairRatio: Double = 16.0
 
   /** Pick the cluster strategy from the measured band-bucket skew —
-    * what `cluster_strategy: auto` resolves to. */
+    * what `cluster_strategy: auto` resolves to. Deliberately
+    * threshold-independent: the decision variable is bucket SHAPE
+    * (clique mass vs ordinary collisions), which the Jaccard
+    * threshold does not move; both banded strategies share one miss
+    * probability at any given threshold, so it cannot prefer one. */
   def chooseClusterStrategy(df: DataFrame, content: Column, id: Column,
-                            k: Int = 3, threshold: Double = 0.8): String = {
+                            k: Int = 3): String = {
     val m = clusterCandidateMass(df, content, id, k)
     val pick = if (m.ratio > StarRepairRatio) "star_repair" else "one_wave"
     println(f"[graft] chooseClusterStrategy: pairMass=${m.pairMass}%.0f " +
@@ -1159,8 +1163,13 @@ object Dedup {
       } else {
         val freq = freqIn.orElse(stats.map(_.frequent)).getOrElse(
           if (freqOrdered) frequentSet(sigs, 4, 1 << 20) else Array.emptyLongArray)
+        // drop the fingerprint column: componentsOverBuckets' star and
+        // repair candidates never evaluate fpJoinCond (their junk is
+        // re-checked by exact rescoring), and carrying the per-doc
+        // smallint array through the cached bucket frame and the
+        // struct min/max aggregation would be pure payload
         val prefixes = OpCache.cache(prefixFrame(sigs, threshold, freq)
-          .withColumnRenamed("ph", "bk"))
+          .drop("f16").withColumnRenamed("ph", "bk"))
         return componentsOverBuckets(prefixes, sigs,
           prefixLenPosCond(threshold), threshold, maxRepairRounds)
       }

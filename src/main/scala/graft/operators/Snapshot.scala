@@ -732,10 +732,17 @@ object Snapshot {
     // (or any physical name another logical column holds) maps to a
     // fresh physical name — re-adding a dropped column must read as
     // nulls in old files, never resurrect the dropped bytes
-    val reservedPhys = (m.columnMap.values ++ m.retiredCols ++
+    val usedPhys = (m.columnMap.values ++ m.retiredCols ++
       target.columns.map(m.phys)).toSet
+    // the generated name itself must be collision-checked too (a table
+    // could legitimately contain a literal column named `x__c6`) —
+    // bump the version suffix until free
+    val avoid = usedPhys ++ added.map(_.name)
+    def freshPhys(logical: String): String =
+      Iterator.from(m.version + 1).map(v => s"${logical}__c$v")
+        .find(!avoid(_)).get
     val newMap = m.columnMap ++ added.collect {
-      case f if reservedPhys(f.name) => f.name -> s"${f.name}__c${m.version + 1}"
+      case f if usedPhys(f.name) => f.name -> freshPhys(f.name)
     }
     val merged =
       if (affected.isEmpty) None
@@ -1146,18 +1153,29 @@ object Snapshot {
     * manifests, CHECK/expectation strings, z-order keys). Renaming or
     * dropping one is a table REDEFINITION, not an evolution. */
   private def evolutionBarred(m: Manifest, name: String): Option[String] = {
+    // expectation checks name their column as the second `:` segment
+    // (unique/null_bp/range/min_per_group/accepted_values); row_count
+    // has none — substring matching would spuriously bar any column
+    // whose name happens to appear inside unrelated check text
+    def expectCol(check: String): Option[String] = {
+      val parts = check.split(":", 3)
+      if (parts.length >= 2 && parts(0) != "row_count") Some(parts(1)) else None
+    }
+    // constraint SQL: match the name as a whole identifier, not a
+    // substring ('n' inside 'n_chars > 0' is not a reference)
+    def sqlReferences(sql: String): Boolean =
+      ("""(?<![A-Za-z0-9_`])""" + java.util.regex.Pattern.quote(name) +
+        """(?![A-Za-z0-9_`])""").r.findFirstIn(sql).isDefined
     if (name == m.key) Some("the merge key")
     else if (name == m.partitionCol) Some("the partition column")
     else if (m.statsCols.contains(name)) Some("a stats column")
     else if (m.bloomCols.contains(name)) Some("a bloom column")
     else if (m.hllCols.contains(name)) Some("an HLL column")
     else if (m.layout.zorderKeys.contains(name)) Some("a z-order key")
-    else if (m.constraints.exists(_._2.contains(name)))
+    else if (m.constraints.exists(c => sqlReferences(c._2)))
       Some("referenced by a CHECK constraint")
-    else if (m.expects.exists(_.contains(name)))
+    else if (m.expects.flatMap(expectCol).contains(name))
       Some("referenced by a commit expectation")
-    else if (m.guards.keys.exists(_.contains(name)))
-      Some("referenced by a table guard")
     else None
   }
 

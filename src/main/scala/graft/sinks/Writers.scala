@@ -233,9 +233,12 @@ object Writers {
       step.split(":", 3) match {
         case Array("rename", fromTo) if fromTo.contains("->") =>
           val Array(from, to) = fromTo.split("->", 2)
-          if (has(from)) Snapshot.renameColumn(spark, path, from, to)
-          else if (has(to))
+          // `to` existing wins the decision: the rename already applied
+          // (even if a column named `from` was later re-added — a
+          // re-run must skip, not fail on its own migration)
+          if (has(to))
             println(s"[sink ${spec.name}] evolve '$step': already applied")
+          else if (has(from)) Snapshot.renameColumn(spark, path, from, to)
           else throw new IllegalArgumentException(
             s"sink '${spec.name}': evolve '$step' — neither '$from' nor '$to' exists")
         case Array("drop", c) =>

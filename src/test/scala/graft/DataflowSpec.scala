@@ -602,6 +602,37 @@ class DataflowSpec extends SparkSpecBase {
     }
   }
 
+  test("evolve rename skips when the target exists even after the old name is re-added") {
+    val t = java.nio.file.Files.createTempDirectory("graft_evo2").toString + "/tbl"
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text", "source", "n_chars")
+    graft.operators.Snapshot.create(spark, t, docs, "doc_id", "source")
+    graft.operators.Snapshot.renameColumn(spark, t, "text", "body")
+    // a later additive merge RE-ADDS a column named 'text' (maps to a
+    // fresh physical name — the anti-zombie rule)
+    graft.operators.Snapshot.merge(spark, t,
+      graft.operators.Snapshot.readLatest(spark, t).limit(1)
+        .withColumn("text", lit("readd")),
+      docs.limit(0).select("doc_id"))
+    // the pipeline still carries its original migration; has(from) is
+    // true again, but has(to) must win — skip, then merge normally
+    val spec =
+      s"""{"dataflows":[{"name":"wave",
+         |  "sources":[{"name":"docs","path":"${sf()}/documents.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"chg","type":"sql","params":{"input":"docs","output":"chg",
+         |      "query":"SELECT doc_id, text || ' [w]' AS body, source, n_chars, CAST(NULL AS STRING) AS text FROM docs WHERE doc_id % 100 = 1"}}],
+         |  "sinks":[{"input":"chg","name":"s","paths":["$t"],
+         |    "format":"parquet","saveMode":"snapshot","mergeKey":"doc_id",
+         |    "partitionBy":["source"],"evolve":["rename:text->body"]}]}]}""".stripMargin
+    graft.Dataflow.run(spark, MetaLoader.loadString(spec).dataflow("wave"))
+    val m = graft.operators.Snapshot.readManifest(t,
+      graft.operators.Snapshot.currentVersion(t))
+    assert(m.op === "merge", "the skipped rename must not commit a version")
+    assert(m.columnMap("body") === "text",
+      "the original mapping must be untouched by the skip")
+  }
+
   test("shipped example specs parse: incremental_refresh, scheduled_delta") {
     // these compose ${run_date} templates + /data paths, so they can't
     // execute here — but every transform/sink must RESOLVE (a typo'd

@@ -146,6 +146,49 @@ class SnapshotEvolutionSpec extends SparkSpecBase {
     assert(Snapshot.fsck(spark, t).isEmpty)
   }
 
+  test("evolution barring matches whole identifiers, not substrings") {
+    val t = fresh("barsub")
+    // 'n' and 'count' are substrings of check text ('n_chars > 0',
+    // 'row_count:...') but NOT referenced columns — they must evolve;
+    // 'score' is genuinely named by unique: — it must be barred
+    val df = Seq((1L, "a", 10, 5, 3, "p1")).toDF(
+      "id", "note", "score", "n", "count", "part")
+    // the constraint text contains 'n' and 'count' only INSIDE longer
+    // identifiers ('note', 'discount' literal); neither column is a
+    // real reference
+    Snapshot.create(spark, t, df, "id", "part",
+      constraints = Map("cp" -> "note IS NOT NULL AND 'discount' = 'discount'"),
+      expects = Seq("row_count:1-100000", "unique:score"))
+    intercept[IllegalArgumentException] { // named by unique:score
+      Snapshot.renameColumn(spark, t, "score", "score2") }
+    Snapshot.renameColumn(spark, t, "count", "cnt")  // substring only: allowed
+    Snapshot.renameColumn(spark, t, "n", "n2")       // substring only: allowed
+    assert(Snapshot.readLatest(spark, t).columns.toSeq ===
+      Seq("id", "note", "score", "n2", "cnt", "part"))
+  }
+
+  test("re-add collides with a literal __c column: generator bumps past it") {
+    val t = fresh("collide")
+    // the table legitimately contains a column whose NAME matches the
+    // generated-physical pattern for the version the re-add lands at
+    val df = Seq((1L, "a", "x", "p1"), (2L, "b", "y", "p1"))
+      .toDF("id", "note", "note__c3", "part")
+    Snapshot.create(spark, t, df, "id", "part")
+    Snapshot.dropColumn(spark, t, "note")                 // v2, retires 'note'
+    Snapshot.merge(spark, t,                              // v3 re-adds 'note'
+      Seq((3L, "z", "p1", "fresh")).toDF("id", "note__c3", "part", "note"),
+      spark.emptyDataset[Long].toDF("id"))
+    val m = Snapshot.readManifest(t, 3)
+    val phys = m.columnMap("note")
+    assert(phys != "note" && phys != "note__c3",
+      s"generated physical name must dodge BOTH the retired and the literal column: $phys")
+    val rows = Snapshot.readLatest(spark, t)
+      .select("id", "note__c3", "note").as[(Long, String, Option[String])]
+      .collect().map { case (k, v, n) => k -> (v, n) }.toMap
+    assert(rows(1L) === ("x", None) && rows(3L) === ("z", Some("fresh")),
+      "the literal __c column's bytes must never interleave with the re-add")
+  }
+
   test("evolution guards: contract columns, collisions, unsafe changes all rejected") {
     val t = fresh("guards")
     Snapshot.create(spark, t, seed, "id", "part", statsCols = Seq("score"),

@@ -91,5 +91,12 @@ class SqlTvfSpec extends SparkSpecBase {
       spark.sql("SELECT * FROM graft_snapshot()").collect()
     }
     assert(e2.getMessage != null)
+    // a non-integer, non-string second argument gets a CLEAR error,
+    // not a fall-through to a bogus tag lookup
+    val e3 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_snapshot('$t', 2.5)").collect()
+    }
+    assert(e3.getMessage.contains("integer version or a string tag"),
+      s"got: ${e3.getMessage}")
   }
 }
