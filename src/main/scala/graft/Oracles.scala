@@ -2628,6 +2628,19 @@ object Oracles {
     // the FIRST change set (identical to corpus_merge's end state) —
     // hash equality proves the v3 commit is invisible to the v2 read
     // and the manifest serves the exact historical file set
+    // relayout is a pure physical transformation: the post-relayout
+    // tip replays as create+merge+MoR-delete relationally — hash
+    // equality proves the z-order rewrite (and the dv materialization
+    // riding it) moves bytes, never rows
+    "snapshot_relayout" ->
+      """WITH s1 AS (
+        |  SELECT doc_id, text, lang, source,
+        |    CASE WHEN doc_id % 6 = 0 AND doc_id % 19 <> 0
+        |         THEN n_chars + 11 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 19 <> 0)
+        |SELECT doc_id, text, lang, source, n_chars
+        |FROM s1 WHERE doc_id NOT BETWEEN 200 AND 260""".stripMargin,
+
     // the SQL TVF surface reads the SAME v2 state as
     // snapshot_timetravel — identical replay, so hash equality proves
     // the analysis-time TVF plan ≡ the DataFrame-API time travel

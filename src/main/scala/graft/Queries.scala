@@ -1936,6 +1936,34 @@ object Queries {
     Snapshot.readLatest(s, snapshotEvoPath(s, dir))
       .select("doc_id", "body", "source", "n_chars", "n_small", "lang")
 
+  private val snapshotRelayoutMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** RELAYOUT is a pure PHYSICAL transformation: create (range layout)
+    * → merge → MoR delete → `relayout` to z-order — the full rewrite
+    * re-sorts every partition and materializes the deletion vectors,
+    * but the logical content must be bit-identical to the relational
+    * replay of create+merge+delete. The `q3_revenue_salted` pattern
+    * applied to the table format: hash equality proves layout moves
+    * bytes, never rows. */
+  def snapshotRelayout(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotRelayoutMemo.computeIfAbsent(dir, _ => {
+      val path = scratch("snapshot_relayout", dir)
+      val docs = t(s, dir, "documents")
+      Snapshot.create(s, path, docs, key = "doc_id", partitionCol = "source",
+        statsCols = Seq("doc_id", "n_chars"), fileRanges = 8)
+      Snapshot.merge(s, path,
+        docs.filter(col("doc_id") % 6 === 0 && col("doc_id") % 19 =!= 0)
+          .withColumn("n_chars", col("n_chars") + 11),
+        docs.filter(col("doc_id") % 19 === 0).select("doc_id"))
+      Snapshot.deleteWhereMor(s, path, Seq(("doc_id", 200, 260)))
+      Snapshot.relayout(s, path, 8, "zorder", Seq("doc_id", "n_chars"))
+      path
+    })
+    Snapshot.readLatest(s, p)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** The SQL TVF surface end-to-end: `graft_snapshot(path, 2)` inside
     * a plain `spark.sql` query — analysis-time manifest resolution,
     * the Catalyst plan embedded in the enclosing query — must equal
@@ -2303,6 +2331,7 @@ object Queries {
     "agg_maintain" -> aggMaintain _,
     "snapshot_evolution" -> snapshotEvolution _,
     "snapshot_sql_tvf" -> snapshotSqlTvf _,
+    "snapshot_relayout" -> snapshotRelayout _,
     "snapshot_timetravel" -> snapshotTimetravel _,
     "snapshot_pruned" -> snapshotPruned _,
     "snapshot_delta" -> snapshotDelta _,
