@@ -724,6 +724,13 @@ object Oracles {
     // 32 hashes × 16 bands) — same oracle as the prefix-filter join.
     "dedup_minhash" -> ngramJaccardPairsSql,
 
+    // incremental SimHash: the full exact pair set restricted to
+    // batch-touching rows — identical restriction to dedup_incremental
+    "dedup_simhash_incremental" ->
+      s"""WITH $ngramPairsCtes
+         |SELECT doc_a, doc_b, inter, size_a, size_b, jaccard FROM jpairs
+         |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0""".stripMargin,
+
     // DuckDB's list_dot_product / list_sum fold doubles left-to-right,
     // exactly like graft's aggregate(zip_with(...)) kernels — verified
     // bit-for-bit — so the embedding ops get full hash oracles.

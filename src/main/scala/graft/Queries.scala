@@ -612,6 +612,18 @@ object Queries {
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashVerified(t(s, dir, "documents"), col("text"), col("doc_id"))
 
+  /** Incremental SimHash near-dup: the %10 batch probes the standing
+    * corpus' chunk table; the oracle is the FULL exact pair set
+    * restricted to batch-touching rows (incremental ≡ full as a hash
+    * check, like the jaccard/cluster/embedding family members). */
+  def dedupSimhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.simhashVerifiedIncremental(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0),
+      col("text"), col("doc_id"))
+  }
+
   /** Incremental near-dup: every 10th doc plays the "incoming batch",
     * the rest the standing corpus; output pairs involve at least one
     * incoming doc (corpus-internal pairs are not re-derived). */
@@ -2250,6 +2262,7 @@ object Queries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard _,
     "dedup_minhash" -> dedupMinhash _,
     "dedup_simhash" -> dedupSimhash _,
+    "dedup_simhash_incremental" -> dedupSimhashIncremental _,
     "dedup_clusters" -> dedupClusters _,
     "dedup_clusters_incremental" -> dedupClustersIncrementalQ _,
     "dedup_embedding_incremental" -> dedupEmbeddingIncremental _,

@@ -554,8 +554,10 @@ object Dedup {
    * expected candidates are n²/2 · Σ 2^(−width_i), so every covered
    * bit cuts a chunk's collision mass in half.
    */
-  def simhash(df: DataFrame, content: Column, id: Column,
-              maxDistance: Int = 3): DataFrame = {
+  /** (doc_id, simhash, chunk, chunk_val): the pigeonhole blocking
+    * frame — 64 bits cut into `maxDistance + 1` chunks, so any pair
+    * within the distance shares at least one exact chunk. */
+  private def simhashChunks(sig: DataFrame, maxDistance: Int): DataFrame = {
     val chunks = maxDistance + 1
     require(chunks <= 64, "maxDistance must be < 64")
     val base = 64 / chunks
@@ -563,14 +565,19 @@ object Dedup {
     // chunk i covers bits [offset(i), offset(i)+width(i))
     val widths = Array.tabulate(chunks)(i => if (i < wide) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
-    val sig = OpCache.cache(simhashSignatures(df, content, id))
     val chunkVals = (0 until chunks).map { i =>
       call_function("shiftright", col("simhash"), lit(offsets(i)))
         .bitwiseAND(if (widths(i) == 64) -1L else (1L << widths(i)) - 1)
     }
-    val chunked = sig.select(col("doc_id"), col("simhash"),
+    sig.select(col("doc_id"), col("simhash"),
         posexplode(array(chunkVals: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+  }
+
+  def simhash(df: DataFrame, content: Column, id: Column,
+              maxDistance: Int = 3): DataFrame = {
+    val sig = OpCache.cache(simhashSignatures(df, content, id))
+    val chunked = simhashChunks(sig, maxDistance)
     val a = chunked.as("a")
     val b = chunked.as("b")
     a.join(b, col("a.chunk") === col("b.chunk") &&
@@ -610,6 +617,46 @@ object Dedup {
                       threshold: Double = 0.8): DataFrame = {
     val cand = simhash(df, content, id, maxDistance).select("doc_a", "doc_b")
     rescore(cand, shingleSigs(df, content, id, k), threshold)
+  }
+
+  /**
+   * INCREMENTAL SimHash near-dup — the fourth member of the
+   * incremental family beside jaccard (#68/#196), clusters (#191) and
+   * embeddings (#193/#198), same contract: exact-Jaccard pairs ≥
+   * `threshold` with AT LEAST ONE side in `incoming` (doc_a < doc_b;
+   * corpus-internal pairs are not re-derived; a re-delivered id
+   * supersedes its corpus copy). Only incoming docs' pigeonhole
+   * chunks PROBE — the corpus contributes its chunk table, so
+   * candidate cost is \|incoming\| × chunk collisions, the
+   * nightly-delta shape. Recall follows [[simhashVerified]]'s
+   * empirical argument (blocking at `maxDistance` has missed nothing
+   * on the gate corpora — the full-pair-set oracle certifies it).
+   */
+  def simhashVerifiedIncremental(corpus: DataFrame, incoming: DataFrame,
+                                 content: Column, id: Column,
+                                 maxDistance: Int = 12, k: Int = 3,
+                                 threshold: Double = 0.8): DataFrame = {
+    val corpusOnly = corpus.select(content.as("__c"), id.as("__i"))
+      .join(incoming.select(id.as("__i")), Seq("__i"), "left_anti")
+      .select("__c", "__i") // using-join hoists __i first; union is positional
+    val union = corpusOnly.unionAll(incoming.select(content.as("__c"), id.as("__i")))
+    val sigs = shingleSigs(union, col("__c"), col("__i"), k)
+    val sim = OpCache.cache(simhashSignatures(union, col("__c"), col("__i")))
+    val chunked = simhashChunks(sim, maxDistance)
+    val chunkedNew = chunked.join(
+      incoming.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
+    // new-new pairs surface in both orientations — canonicalize
+    val cand = chunkedNew.as("a").join(chunked.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+      .select("doc_a", "doc_b")
+    rescore(cand, sigs, threshold)
   }
 
   /**

@@ -525,6 +525,33 @@ class DedupSpec extends SparkSpecBase {
     assert(inc === full, s"missed: ${full.diff(inc)}, extra: ${inc.diff(full)}")
   }
 
+  test("incremental simhash == full simhashVerified restricted to batch-touching pairs; re-delivery supersedes") {
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    val full = Dedup.simhashVerified(d, col("text"), col("doc_id"))
+      .filter(col("doc_a") % 10 === 0 || col("doc_b") % 10 === 0)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val inc = Dedup.simhashVerifiedIncremental(
+        d.filter(col("doc_id") % 10 =!= 0), d.filter(col("doc_id") % 10 === 0),
+        col("text"), col("doc_id"))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(full.nonEmpty)
+    assert(inc === full, s"missed: ${full.diff(inc)}, extra: ${inc.diff(full)}")
+    graft.operators.OpCache.releaseAll()
+    // a re-delivered id supersedes its corpus text: the planted pair
+    // must score against the INCOMING version, not the stale one
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally unrelated words here entirely")).toDF("doc_id", "text")
+    val batch = Seq((2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "alpha beta gamma delta epsilon eta")).toDF("doc_id", "text")
+    val out = Dedup.simhashVerifiedIncremental(corpus, batch,
+        col("text"), col("doc_id"), threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(out.contains((2L, 3L)) && out((2L, 3L)) === 1.0,
+      s"re-delivered 2 must score as its incoming text: $out")
+    graft.operators.OpCache.releaseAll()
+  }
+
   test("duplicateClusters: transitive chains collapse to min-id components") {
     // components: {1,2,3,4} via chain 1-2, 2-3, 3-4 (no direct 1-3,
     // 1-4, 2-4 edges) and {10,11}; 20 absent from any pair
