@@ -2921,8 +2921,10 @@ object Oracles {
     // incremental aggregate maintenance: the oracle aggregates the
     // merged end state ONE-SHOT (same change set as corpus_merge);
     // hash equality against the delta-maintained table proves
-    // maintenance ≡ full recompute — exact because sums carry
-    // decimal(38,6) on both engines
+    // maintenance ≡ full recompute — the sums accumulate as
+    // decimal(38,6) on both engines (order-free exactness), then the
+    // final projection casts to DOUBLE like every other monetary
+    // entry (exact: integer char-count sums ≪ 2^53)
     "agg_maintain" ->
       """WITH m AS (
         |  SELECT CASE WHEN doc_id % 7 = 0 AND doc_id % 13 <> 0 AND doc_id % 3 = 0
@@ -2931,7 +2933,7 @@ object Oracles {
         |              THEN n_chars + 5 ELSE n_chars END AS n_chars
         |  FROM documents WHERE doc_id % 13 <> 0)
         |SELECT source, COUNT(*) AS n,
-        |  CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS sum_n_chars
+        |  CAST(CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS DOUBLE) AS sum_n_chars
         |FROM m GROUP BY source""".stripMargin)
 
   /** Script-profile oracle, generated from the same ScriptClasses /
