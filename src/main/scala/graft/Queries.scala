@@ -982,11 +982,12 @@ object Queries {
     * `round(amp·32767)` bit-for-bit, first and last window alike. */
   def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // every 5th document: the entry gates the REAL encode→decode loop,
-    // and per-blob cost is javax.sound PROVIDER-SCAN bound (each
-    // AudioSystem call rescans the registry), so row count — not clip
-    // length — is the bench weight; 1-in-5 keeps the oracle meaningful
-    // at ~1/5 the fixed open cost
+    // every 5th document: the entry gates the REAL encode→decode loop;
+    // per-blob cost is the open count, not the bytes (r10: the SPI
+    // provider lists are cached per JVM and the WAV reader ordered
+    // first, so an open is ~µs — ×1→×100 docs probe exponent 0.11,
+    // was 1.12 under per-call registry scans); 1-in-5 keeps the
+    // oracle meaningful at 1/5 the open count
     t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
       .filter(col("doc_id") % 5 === 0)
       .as[(Long, Long)].mapPartitions(_.map { case (id, nc) =>

@@ -171,18 +171,82 @@ object Multimodal {
    * metadata chunks).
    */
   object WavCodec extends Codec {
-    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem, UnsupportedAudioFileException}
+
+    /** javax.sound SPI providers resolved ONCE per JVM (executor).
+      * Every static `AudioSystem` entry point re-resolves its provider
+      * list on EACH call (`JDK13Services.getProviders` — a ServiceLoader
+      * walk plus defensive copying), which at millions of small blobs
+      * per partition dominates the actual header parse; caching the
+      * provider lists here makes per-blob cost just the parse. Lazy
+      * vals are class-synchronized, so the one-time ServiceLoader
+      * iteration (not thread-safe by itself) is race-free; loaded from
+      * java.desktop's platform loader so executor-thread context
+      * classloaders don't matter. */
+    private lazy val fileReaders: Vector[javax.sound.sampled.spi.AudioFileReader] = {
+      import scala.jdk.CollectionConverters._
+      val all = java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader],
+        classOf[AudioSystem].getClassLoader).iterator().asScala.toVector
+      // Order: readers that ACCEPT a canonical PCM16 WAV first. Every
+      // rejection costs a thrown UnsupportedAudioFileException
+      // (stack-trace fill ≈ tens of µs) — with the accepting reader
+      // first, the common container parses exception-free and the
+      // walk only pays rejections for genuinely non-WAV payloads.
+      val probe = encodeWav(Array.fill(8)(0.1f), 8000)
+      val (acceptsWav, rest) = all.partition { r =>
+        try { r.getAudioFileFormat(new java.io.ByteArrayInputStream(probe)); true }
+        catch { case _: Exception => false }
+      }
+      acceptsWav ++ rest
+    }
+    private lazy val converters: Vector[javax.sound.sampled.spi.FormatConversionProvider] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.FormatConversionProvider],
+        classOf[AudioSystem].getClassLoader).iterator().asScala.toVector
+    }
+    private lazy val fileWriters: Vector[javax.sound.sampled.spi.AudioFileWriter] = {
+      import scala.jdk.CollectionConverters._
+      java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter],
+        classOf[AudioSystem].getClassLoader).iterator().asScala.toVector
+    }
+
+    /** First reader that recognizes the container, exactly
+      * `AudioSystem`'s dispatch minus the per-call registry walk. A
+      * fresh ByteArrayInputStream per attempt (no copy) sidesteps any
+      * reliance on readers resetting the stream on rejection. */
+    private def readFileFormat(bytes: Array[Byte]): Option[AudioFileFormat] = {
+      var i = 0
+      while (i < fileReaders.length) {
+        try return Some(fileReaders(i).getAudioFileFormat(
+          new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: UnsupportedAudioFileException => () }
+        i += 1
+      }
+      None
+    }
+
+    private def readStream(bytes: Array[Byte]): Option[AudioInputStream] = {
+      var i = 0
+      while (i < fileReaders.length) {
+        try return Some(fileReaders(i).getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: UnsupportedAudioFileException => () }
+        i += 1
+      }
+      None
+    }
 
     /** Decoded container metadata: (format, sampleRate, channels,
       * durationMs) — without materializing the sample array. ONE
-      * header parse (`getAudioFileFormat` carries format + frame
-      * length + container type): `AudioSystem` calls scan the
-      * provider registry per invocation, so at millions of blobs per
-      * partition the open count is the cost driver, not the bytes. */
+      * header parse through the CACHED reader list
+      * (`getAudioFileFormat` carries format + frame length +
+      * container type): at millions of blobs per partition the open
+      * count is the cost driver, not the bytes, so the per-open cost
+      * must be the parse alone. */
     def audioMeta(bytes: Array[Byte]): Option[(String, Int, Int, Long)] =
       try {
-        val fileFmt = AudioSystem.getAudioFileFormat(
-          new java.io.ByteArrayInputStream(bytes))
+        val fileFmt = readFileFormat(bytes).getOrElse(
+          throw new UnsupportedAudioFileException())
         val fmt = fileFmt.getFormat
         val durMs =
           if (fmt.getFrameRate > 0 && fileFmt.getFrameLength >= 0)
@@ -196,8 +260,8 @@ object Multimodal {
       * payload is not JVM-decodable audio. */
     def tryReadMono(bytes: Array[Byte]): Option[(Int, Array[Float])] =
       try {
-        val raw = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val raw = readStream(bytes).getOrElse(
+          throw new UnsupportedAudioFileException())
         try {
           val src = raw.getFormat
           // normalize through the JDK's converters to 16-bit signed PCM
@@ -207,7 +271,9 @@ object Multimodal {
             2 * src.getChannels, src.getSampleRate, false)
           val pcm: AudioInputStream =
             if (src.matches(target)) raw
-            else AudioSystem.getAudioInputStream(target, raw)
+            else converters.find(_.isConversionSupported(target, src))
+              .map(_.getAudioInputStream(target, raw))
+              .getOrElse(AudioSystem.getAudioInputStream(target, raw))
           val data = pcm.readAllBytes()
           val ch = target.getChannels
           val n = data.length / (2 * ch)
@@ -277,7 +343,11 @@ object Multimodal {
       val ais = new AudioInputStream(
         new java.io.ByteArrayInputStream(pcm), fmt, mono.length.toLong)
       val baos = new java.io.ByteArrayOutputStream()
-      AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      val wav = javax.sound.sampled.AudioFileFormat.Type.WAVE
+      fileWriters.find(_.isFileTypeSupported(wav, ais)) match {
+        case Some(w) => w.write(ais, wav, baos)
+        case None    => AudioSystem.write(ais, wav, baos)
+      }
       baos.toByteArray
     }
   }
