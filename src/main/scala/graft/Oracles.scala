@@ -2690,6 +2690,27 @@ object Oracles {
         |FROM s1
         |WHERE doc_id % 23 <> 7 AND doc_id BETWEEN 100 AND 299""".stripMargin,
 
+    // DSv2 catalog read of the same pinned-v3 state + range predicate
+    // as snapshot_pruned: the Spark side goes CREATE TABLE … USING
+    // graft OPTIONS (versionAsOf '3') → SQL WHERE (pushdown → manifest
+    // file skipping); the oracle replays both change sets + the
+    // filter, so hash equality proves connector ≡ Scala API ≡ oracle
+    "snapshot_dsv2" ->
+      """WITH s1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text,
+        |    lang,
+        |    CASE WHEN doc_id % 7 = 0 AND doc_id % 3 = 0 THEN 'src_new'
+        |         ELSE source END AS source,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 11 = 5 THEN text || ' [v3]' ELSE text END AS text,
+        |  lang, source,
+        |  CASE WHEN doc_id % 11 = 5 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |FROM s1
+        |WHERE doc_id % 23 <> 7 AND doc_id BETWEEN 100 AND 299""".stripMargin,
+
     // point lookups over the snapshot v3 state: replay both change
     // sets, then `doc_id IN (5,13,14)` — 13 was deleted in v2 and
     // must be absent; hash equality proves bloom/stats eq-pruning is

@@ -2000,6 +2000,24 @@ object Queries {
       s"FROM graft_snapshot('$p', 2)")
   }
 
+  /** DATASOURCE-V2 read of the snapshot table through the SESSION
+    * CATALOG ([[sources.GraftDataSource]]): `CREATE TABLE … USING
+    * graft OPTIONS (versionAsOf '3') LOCATION …`, then plain SQL with
+    * a range WHERE — the filter pushes through the connector into
+    * manifest file skipping (GraftDataSourceSpec proves the skipped
+    * files are never opened) and is re-applied exactly. Same pinned
+    * v3 state and predicate as `snapshot_pruned`, so hash equality
+    * proves the catalog surface serves the identical frame the Scala
+    * API does. */
+  def snapshotDsv2(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotTablePath(s, dir)
+    s.sql("DROP TABLE IF EXISTS graft_dsv2_docs")
+    s.sql(s"CREATE TABLE graft_dsv2_docs USING graft " +
+      s"OPTIONS (versionAsOf '3') LOCATION '$p'")
+    s.sql("SELECT doc_id, text, lang, source, n_chars " +
+      "FROM graft_dsv2_docs WHERE doc_id BETWEEN 100 AND 299")
+  }
+
   /** TIME TRAVEL over the versioned snapshot table: after three
     * commits (create, merge, merge), read the table AS OF v2 — the
     * later commit must be invisible and v2's bytes still live. The
@@ -2356,6 +2374,7 @@ object Queries {
     "agg_maintain" -> aggMaintain _,
     "snapshot_evolution" -> snapshotEvolution _,
     "snapshot_sql_tvf" -> snapshotSqlTvf _,
+    "snapshot_dsv2" -> snapshotDsv2 _,
     "snapshot_relayout" -> snapshotRelayout _,
     "snapshot_timetravel" -> snapshotTimetravel _,
     "snapshot_pruned" -> snapshotPruned _,

@@ -1715,6 +1715,64 @@ object Snapshot {
     (m.files.filter(f => kept.contains(f.path)), m.files.size)
   }
 
+  /** [[pruneRange]] with OPEN bounds (`None` = unbounded on that
+    * side) — the shape SQL pushdown produces (`c > v` has no upper
+    * bound). `(None, None)` keeps every file. Same comparison rules
+    * as [[pruneRange]]: numeric when the value space and bounds all
+    * parse numerically, lexicographic otherwise; all-null files never
+    * match. Serves [[graft.sources.GraftDataSource]]'s file skipping. */
+  def pruneBounds(table: String, column: String, lo: Option[Any],
+                  hi: Option[Any], version: Int = 0): (Seq[FileEntry], Int) = {
+    val v = if (version > 0) version else currentVersion(table)
+    val m = readManifest(table, v)
+    val total = m.files.size
+    if (lo.isEmpty && hi.isEmpty) return (m.files, total)
+    def admitsOpen(kind: String, mn: Option[String], mx: Option[String]): Boolean =
+      (mn, mx) match {
+        case (Some(fMin), Some(fMax)) =>
+          val numeric = kind == "num" &&
+            lo.forall(x => scala.util.Try(BigDecimal(x.toString)).isSuccess) &&
+            hi.forall(x => scala.util.Try(BigDecimal(x.toString)).isSuccess)
+          if (numeric)
+            lo.forall(l => BigDecimal(fMax) >= BigDecimal(l.toString)) &&
+              hi.forall(h => BigDecimal(fMin) <= BigDecimal(h.toString))
+          else
+            lo.forall(l => fMax >= l.toString) && hi.forall(h => fMin <= h.toString)
+        case _ => false
+      }
+    val kept =
+      if (column == m.partitionCol) {
+        val nums = m.partitions.keys.map(p => p -> scala.util.Try(BigDecimal(p))).toMap
+        val numeric = nums.values.forall(_.isSuccess) &&
+          lo.forall(x => scala.util.Try(BigDecimal(x.toString)).isSuccess) &&
+          hi.forall(x => scala.util.Try(BigDecimal(x.toString)).isSuccess)
+        m.partitions.filter { case (p, _) =>
+          if (numeric)
+            lo.forall(l => nums(p).get >= BigDecimal(l.toString)) &&
+              hi.forall(h => nums(p).get <= BigDecimal(h.toString))
+          else lo.forall(l => p >= l.toString) && hi.forall(h => p <= h.toString)
+        }.values.flatten.toSeq
+      } else {
+        require(m.statsCols.contains(column),
+          s"snapshot $table: no stats tracked for '$column' " +
+            s"(tracked: ${m.statsCols.mkString(",")})")
+        m.files.filter(f => f.stats.get(column)
+          .forall(cs => admitsOpen(cs.kind, cs.min, cs.max)))
+      }
+    (kept, total)
+  }
+
+  /** Connector read entry: `version`'s frame restricted to `only`
+    * manifest entries (all when null) — the same DV-masked,
+    * column-mapped, manifest-schema scan [[readAt]] produces. */
+  private[graft] def readEntries(spark: SparkSession, table: String,
+                                 version: Int,
+                                 only: Seq[FileEntry]): DataFrame = {
+    val m = readManifest(table, version)
+    if (only != null && only.isEmpty) readManifestFiles(spark, table, m).limit(0)
+    else readManifestFiles(spark, table, m, only)
+  }
+
   /** Read `column IN (values)` through [[pruneIn]] file skipping + the
     * exact filter. */
   def readWhereIn(spark: SparkSession, table: String, column: String,

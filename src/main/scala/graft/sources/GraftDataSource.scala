@@ -1,0 +1,255 @@
+package graft.sources
+
+import graft.operators.Snapshot
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.util.{Map => JMap, Set => JSet}
+
+/**
+ * DATASOURCE-V2 READ CONNECTOR for graft snapshot tables — the
+ * catalog-integration surface the Scala API and the SQL TVFs
+ * ([[graft.functions.GraftTableFunctions]]) don't reach: BI tools and
+ * plain-SQL users address a snapshot table like any other source,
+ *
+ * {{{
+ *   spark.read.format("graft").load("/data/corpus_v")                   // tip
+ *   spark.read.format("graft").option("versionAsOf", 3).load(p)         // time travel
+ *   spark.read.format("graft").option("tag", "training-2026-08").load(p)
+ *   spark.sql("CREATE TABLE corpus USING graft LOCATION '/data/corpus_v'")
+ *   spark.sql("SELECT * FROM corpus WHERE doc_id BETWEEN 100 AND 299")
+ * }}}
+ *
+ * Architecture: a thin V2 shell over the EXISTING read path, not a
+ * second engine. The [[GraftScanBuilder]] receives Spark's pushdown
+ * (required columns + data filters), turns the prunable conjuncts
+ * into manifest file skipping — partition values, per-file min/max
+ * stats ([[Snapshot.pruneBounds]]), and per-file bloom filters for
+ * point/IN lookups ([[Snapshot.pruneEq]]/[[Snapshot.pruneIn]]) — and
+ * builds the same DV-masked, column-mapped, manifest-schema frame
+ * `Snapshot.readAt` serves, restricted to the surviving entries with
+ * the filters re-applied (pruning is an IO optimization, never a
+ * semantics change). The scan hands that frame to Spark as a
+ * [[V1Scan]] (the JDBC-connector pattern): the INNER plan keeps the
+ * vectorized parquet scan, parquet-level predicate pushdown and
+ * whole-stage codegen, while the outer query composes it like any
+ * relation. At 100 TB the wins stack: manifest pruning skips whole
+ * files driver-side before a single task launches, then row-group
+ * stats inside the surviving files prune again executor-side.
+ *
+ * Read-only by design: writes go through the transactional commit
+ * protocol ([[Snapshot.create]]/merge/DML/[[graft.sinks.Writers]]'
+ * snapshot sink) — a blind INSERT path that bypassed constraints,
+ * guards, expectations and the commit lock would be a correctness
+ * hole, so none is offered.
+ */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  // the manifest is the schema authority (CREATE TABLE takes no
+  // column list; a user-supplied schema could disagree with the log)
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (path, version) = GraftDataSource.resolve(options)
+    GraftDataSource.logicalSchema(path, version)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val (path, version) = GraftDataSource.resolve(opts)
+    new GraftTable(path, version)
+  }
+}
+
+object GraftDataSource {
+  /** (table path, pinned version) from reader options: `path` (or
+    * `load(...)`'s path), optional `versionAsOf` / `tag` time travel.
+    * The version pins at RESOLUTION time, so one query's multiple
+    * references see one version even across a concurrent commit. */
+  private[graft] def resolve(options: CaseInsensitiveStringMap): (String, Int) = {
+    // "path" from load(...) / reader options; "location" is what the
+    // session catalog stores for `CREATE TABLE … USING graft LOCATION`.
+    // Either may arrive as a file: URI (the catalog normalizes
+    // locations that way) — Snapshot's manifest IO wants a local path.
+    def localize(l: String): String =
+      scala.util.Try(new java.net.URI(l)).toOption match {
+        case Some(u) if u.getScheme == "file" => u.getPath
+        case _ => l
+      }
+    val path = Option(options.get("path")).orElse(Option(options.get("location")))
+      .map(localize)
+      .getOrElse(throw new IllegalArgumentException(
+        "graft datasource: no 'path' — spark.read.format(\"graft\").load(<table>)"))
+    val vOpt = Option(options.get("versionAsOf")).map(_.trim.toInt)
+    val tOpt = Option(options.get("tag")).map(_.trim)
+    require(vOpt.isEmpty || tOpt.isEmpty,
+      "graft datasource: give versionAsOf OR tag, not both")
+    val cur = Snapshot.currentVersion(path)
+    require(cur > 0, s"graft datasource: no snapshot table at $path")
+    val v = tOpt match {
+      case Some(tag) =>
+        val t = Snapshot.tags(path)
+        require(t.contains(tag),
+          s"graft datasource: no tag '$tag' at $path " +
+            s"(tags: ${t.keys.toSeq.sorted.mkString(",")})")
+        t(tag)
+      case None => vOpt.getOrElse(cur)
+    }
+    (path, v)
+  }
+
+  private[graft] def logicalSchema(path: String, version: Int): StructType = {
+    val m = Snapshot.readManifest(path, version)
+    if (m.schemaDdl.nonEmpty) StructType.fromDDL(m.schemaDdl)
+    else Snapshot.readAt(SparkSession.active, path, version).schema
+  }
+}
+
+private[graft] class GraftTable(path: String, version: Int)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft.`$path`@v$version"
+  override def schema(): StructType = GraftDataSource.logicalSchema(path, version)
+  override def capabilities(): JSet[TableCapability] =
+    java.util.Collections.singleton(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(path, version, schema())
+}
+
+private[graft] class GraftScanBuilder(path: String, version: Int,
+                                        full: StructType)
+  extends ScanBuilder with SupportsPushDownFilters
+  with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = full
+
+  /** Accept every filter [[GraftFilters.toColumn]] can express as a
+    * Column (applied exactly on the inner frame — no residual), hand
+    * the rest back to Spark. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition(GraftFilters.toColumn(_).isDefined)
+    pushed = ok
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // keep the table's declared column order for determinism
+    val want = requiredSchema.fieldNames.toSet
+    required = StructType(full.fields.filter(f => want.contains(f.name)))
+  }
+
+  override def build(): Scan =
+    new GraftV1Scan(path, version, pushed, required)
+}
+
+/** The built scan: file skipping happens HERE (driver-side, once per
+  * query plan), then the inner frame executes through [[V1Scan]]'s
+  * v1 bridge with zero per-row conversion (`needConversion = false`:
+  * the RDD carries the inner plan's InternalRows straight through —
+  * the same bridge Spark's own JDBC v2 connector rides). */
+private[graft] class GraftV1Scan(path: String, version: Int,
+                                   filters: Array[Filter],
+                                   required: StructType) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val spark = context.sparkSession
+    val kept = GraftFilters.prune(path, version, filters)
+    val base = Snapshot.readEntries(spark, path, version, kept.orNull)
+    val filtered = filters.flatMap(GraftFilters.toColumn)
+      .foldLeft(base)(_ filter _)
+    val projected = filtered.select(required.fieldNames.map(col).toSeq: _*)
+    new GraftV1Relation(context, required, projected).asInstanceOf[T]
+  }
+}
+
+private[graft] class GraftV1Relation(context: SQLContext,
+                                       override val schema: StructType,
+                                       df: DataFrame)
+  extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = context
+  override def needConversion: Boolean = false
+  override def buildScan(): RDD[Row] =
+    df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+}
+
+/**
+ * v1 [[Filter]] → Column translation + manifest file pruning.
+ * Translation is EXACT (the produced Column has the filter's
+ * semantics, nulls included) or absent — an untranslated filter stays
+ * with Spark. Pruning is conservative: only top-level conjuncts on
+ * indexed columns skip files; everything else keeps them (the
+ * re-applied filter guarantees exactness either way).
+ */
+private[graft] object GraftFilters {
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case AlwaysTrue()             => Some(lit(true))
+    case AlwaysFalse()            => Some(lit(false))
+    case And(l, r) =>
+      for (cl <- toColumn(l); cr <- toColumn(r)) yield cl && cr
+    case Or(l, r) =>
+      for (cl <- toColumn(l); cr <- toColumn(r)) yield cl || cr
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+
+  /** Manifest entries surviving the filters' prunable conjuncts, or
+    * None when nothing prunes (read everything). Intersects per-leaf
+    * kept sets, exactly [[Snapshot.pruneAll]]'s conjunction shape. */
+  def prune(path: String, version: Int,
+            filters: Array[Filter]): Option[Seq[Snapshot.FileEntry]] = {
+    val m = Snapshot.readManifest(path, version)
+    val rangeable = (c: String) => c == m.partitionCol || m.statsCols.contains(c)
+    val eqable = (c: String) => rangeable(c) || m.bloomCols.contains(c)
+    val keptSets: Seq[Set[String]] = filters.toSeq.flatMap {
+      case EqualTo(c, v) if eqable(c) && v != null =>
+        Some(Snapshot.pruneEq(path, c, v, version)._1.map(_.path).toSet)
+      case In(c, vs) if eqable(c) && vs.nonEmpty && !vs.contains(null) =>
+        Some(Snapshot.pruneIn(path, c, vs.toIndexedSeq, version)._1.map(_.path).toSet)
+      case GreaterThan(c, v) if rangeable(c) && v != null =>
+        Some(Snapshot.pruneBounds(path, c, Some(v), None, version)._1.map(_.path).toSet)
+      case GreaterThanOrEqual(c, v) if rangeable(c) && v != null =>
+        Some(Snapshot.pruneBounds(path, c, Some(v), None, version)._1.map(_.path).toSet)
+      case LessThan(c, v) if rangeable(c) && v != null =>
+        Some(Snapshot.pruneBounds(path, c, None, Some(v), version)._1.map(_.path).toSet)
+      case LessThanOrEqual(c, v) if rangeable(c) && v != null =>
+        Some(Snapshot.pruneBounds(path, c, None, Some(v), version)._1.map(_.path).toSet)
+      case _ => None
+    }
+    if (keptSets.isEmpty) None
+    else {
+      val kept = keptSets.reduce(_ intersect _)
+      Some(m.files.filter(f => kept.contains(f.path)))
+    }
+  }
+}

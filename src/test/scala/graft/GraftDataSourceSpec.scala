@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators.Snapshot
+import graft.sources.{GraftDataSource, GraftFilters}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThanOrEqual, LessThanOrEqual}
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+class GraftDataSourceSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def fresh(tag: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_dsv2spec_$tag"
+    val root = Paths.get(p)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
+    p
+  }
+
+  /** 40 rows over 4 partitions, ranged files with id stats + blooms. */
+  private def seed(t: String): Unit = {
+    val df = (0 until 40).map(i => (i.toLong, s"pay_$i", s"p${i / 10}"))
+      .toDF("id", "payload", "part")
+    Snapshot.create(spark, t, df, key = "id", partitionCol = "part",
+      statsCols = Seq("id"), fileRanges = 2, bloomCols = Seq("id"))
+  }
+
+  private def rowsOf(df: DataFrame): Set[(Long, String, String)] =
+    df.select("id", "payload", "part").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  test("format(graft).load == readLatest; versionAsOf and tag time-travel") {
+    val t = fresh("basic")
+    seed(t)
+    Snapshot.merge(spark, t,
+      upserts = Seq((2L, "pay_2v2", "p0"), (41L, "pay_41", "p3")).toDF("id", "payload", "part"),
+      deleteKeys = Seq(7L).toDF("id"))
+    Snapshot.tag(t, "v1-tag", 1)
+
+    val dsv2 = spark.read.format("graft").load(t)
+    assert(rowsOf(dsv2) == rowsOf(Snapshot.readLatest(spark, t)))
+    val v1 = spark.read.format("graft").option("versionAsOf", 1).load(t)
+    assert(rowsOf(v1) == rowsOf(Snapshot.readAt(spark, t, 1)))
+    val tagged = spark.read.format("graft").option("tag", "v1-tag").load(t)
+    assert(rowsOf(tagged) == rowsOf(v1))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", 1)
+        .option("tag", "v1-tag").load(t).collect()
+    }
+  }
+
+  test("filter pushdown prunes manifest files; result exact; explain shows the pushed filter") {
+    val t = fresh("prune")
+    seed(t)
+    // stats conjunction: id BETWEEN 5 AND 14 admits only p0/p1 files
+    val kept = GraftFilters.prune(t, 1, Array(
+      GreaterThanOrEqual("id", 5L), LessThanOrEqual("id", 14L))).get
+    val total = Snapshot.readManifest(t, 1).files.size
+    assert(kept.size < total, s"expected skipping, kept ${kept.size}/$total")
+    val df = spark.read.format("graft").load(t)
+      .filter(col("id") >= 5 && col("id") <= 14)
+    assert(rowsOf(df) == (5 to 14).map(i => (i.toLong, s"pay_$i", s"p${i / 10}")).toSet)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("RowDataSourceScan"),
+      s"expected a v1-bridged scan with pushdown, got:\n$plan")
+
+    // bloom point lookup prunes too
+    val keptEq = GraftFilters.prune(t, 1, Array(EqualTo("id", 23L))).get
+    assert(keptEq.size < total)
+    assert(rowsOf(spark.read.format("graft").load(t).filter(col("id") === 23L)) ==
+      Set((23L, "pay_23", "p2")))
+  }
+
+  test("pruning is REAL io skipping: with pruned files deleted from disk, the filtered read still works") {
+    val t = fresh("io")
+    seed(t)
+    val m = Snapshot.readManifest(t, 1)
+    val keep = GraftFilters.prune(t, 1, Array(
+      GreaterThanOrEqual("id", 0L), LessThanOrEqual("id", 9L))).get.map(_.path).toSet
+    assert(keep.nonEmpty && keep.size < m.files.size)
+    // physically delete every file the prune rejects
+    m.files.filterNot(f => keep.contains(f.path))
+      .foreach(f => Files.delete(Paths.get(s"$t/${f.path}")))
+    val df = spark.read.format("graft").load(t)
+      .filter(col("id") >= 0L && col("id") <= 9L)
+    assert(rowsOf(df) == (0 to 9).map(i => (i.toLong, s"pay_$i", "p0")).toSet)
+    // an unpruned read must touch the deleted files and fail
+    intercept[Exception] {
+      spark.read.format("graft").load(t).collect()
+    }
+  }
+
+  test("CREATE TABLE USING graft LOCATION: spark.table and SQL WHERE reads work; count(*) (empty projection) works") {
+    val t = fresh("catalog")
+    seed(t)
+    spark.sql("DROP TABLE IF EXISTS graft_dsv2_cat")
+    spark.sql(s"CREATE TABLE graft_dsv2_cat USING graft LOCATION '$t'")
+    try {
+      assert(rowsOf(spark.table("graft_dsv2_cat")) ==
+        rowsOf(Snapshot.readLatest(spark, t)))
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM graft_dsv2_cat WHERE id BETWEEN 5 AND 14")
+        .as[Long].head()
+      assert(n == 10L)
+      assert(spark.table("graft_dsv2_cat").count() == 40L)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_cat")
+  }
+
+  test("DV masking and column mapping survive the connector: merge-on-read delete + rename read through format(graft)") {
+    val t = fresh("dvmap")
+    seed(t)
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 3L, 6L)))
+    Snapshot.renameColumn(spark, t, "payload", "body")
+    val df = spark.read.format("graft").load(t)
+    assert(df.columns.toSeq == Seq("id", "body", "part"))
+    val ids = df.select("id").as[Long].collect().toSet
+    assert(!(3L to 6L).exists(ids.contains) && ids.size == 36)
+    // filters on the RENAMED logical column still translate
+    assert(df.filter(col("body") === "pay_20").count() == 1L)
+  }
+}
