@@ -28,6 +28,7 @@ object Bench {
     "q_top_customers",
     "q_events_hourly", "q_sessions", "q_sessions_sw", "q_event_pivot",
     "dedup_exact", "dedup_minhash", "dedup_ngram_jaccard", "dedup_clusters",
+    "dedup_simhash", "dedup_simhash_incremental",
     "dedup_clusters_incremental", "dedup_embedding_incremental",
     "dedup_keep_best", "dedup_incremental", "dedup_substrings", "top_spans",
     "sim_topk", "sim_lsh", "sim_lsh_auto", "sim_ivf", "sim_search", "sim_filtered",

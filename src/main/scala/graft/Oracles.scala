@@ -2791,6 +2791,38 @@ object Oracles {
         |UNION ALL
         |SELECT doc_id, body, source, n_chars, n_small, lang FROM u2""".stripMargin,
 
+    // evolution + full-table compaction (retired-column purge): the
+    // compact commit is a PURE PHYSICAL rewrite — rows materialize
+    // under the current column mapping and the dropped column's bytes
+    // leave the data files — so the oracle is the snapshot_evolution
+    // replay verbatim; hash equality proves the purge moved bytes,
+    // never rows
+    "snapshot_evolution_compact" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, source, n_chars,
+        |         CAST(n_chars % 1000 AS INTEGER) AS n_small
+        |  FROM documents),
+        |u1 AS (
+        |  SELECT doc_id, text || ' [evo]' AS body, source,
+        |         n_chars + 3 AS n_chars, n_small + 1 AS n_small
+        |  FROM base WHERE doc_id % 9 = 0 AND doc_id % 17 <> 0),
+        |s1 AS (
+        |  SELECT doc_id, body, source, n_chars, n_small FROM u1
+        |  UNION ALL
+        |  SELECT doc_id, text AS body, source, n_chars, n_small FROM base
+        |  WHERE doc_id % 17 <> 0 AND doc_id % 9 <> 0),
+        |u2 AS (
+        |  SELECT doc_id, body || ' [v4]' AS body, source, n_chars,
+        |         CAST(n_small AS BIGINT) + 5000000000 AS n_small,
+        |         'readd' AS lang
+        |  FROM s1 WHERE doc_id % 10 = 1)
+        |SELECT doc_id, body, source, n_chars,
+        |       CAST(n_small AS BIGINT) AS n_small,
+        |       CAST(NULL AS VARCHAR) AS lang
+        |FROM s1 WHERE doc_id % 10 <> 1
+        |UNION ALL
+        |SELECT doc_id, body, source, n_chars, n_small, lang FROM u2""".stripMargin,
+
     // merge-on-read delete end state (v7): replay both merge change
     // sets, the v4/v5 copy-on-write DML AND the v6/v7 deletion-vector
     // deletes (doc_id 400-449 ∪ 430-480 = 400-480) relationally —

@@ -606,9 +606,9 @@ object Queries {
     Dedup.minhashLshVerified(t(s, dir, "documents"), col("text"), col("doc_id"))
 
   /** SimHash-blocked near-dup pairs, exactly verified (true Jaccard
-    * ≥ 0.8) — hamming ≤ 8 pigeonhole blocking, exact rescore, full
-    * DuckDB oracle. The raw hamming-pairs path (`Dedup.simhash`) is
-    * spec-covered. */
+    * ≥ 0.8) — hamming ≤ 12 multi-index blocking (7 chunks,
+    * Hamming-1-ball probes), exact rescore, full DuckDB oracle. The
+    * raw hamming-pairs path (`Dedup.simhash`) is spec-covered. */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashVerified(t(s, dir, "documents"), col("text"), col("doc_id"))
 
@@ -1918,34 +1918,39 @@ object Queries {
   private val snapshotEvoMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** The NON-ADDITIVE evolution table: create → rename text→body (v2,
-    * metadata-only) → drop lang (v3) → merge under the mapping (v4) →
-    * widen n_small int→bigint (v5) → merge that re-adds a column named
-    * `lang` (v6 — the retired physical name forces a fresh physical
-    * mapping, so dropped bytes can never resurrect). */
+  /** The NON-ADDITIVE evolution commit sequence, replayed onto `p`:
+    * create → rename text→body (v2, metadata-only) → drop lang (v3) →
+    * merge under the mapping (v4) → widen n_small int→bigint (v5) →
+    * merge that re-adds a column named `lang` (v6 — the retired
+    * physical name forces a fresh physical mapping, so dropped bytes
+    * can never resurrect). Shared by the `snapshot_evolution` tip
+    * read and the `snapshot_evolution_compact` physical-purge
+    * replay. */
+  private def buildEvolutionTable(s: SparkSession, dir: String, p: String): String = {
+    val base = t(s, dir, "documents")
+      .withColumn("n_small", (col("n_chars") % 1000).cast("int"))
+    Snapshot.create(s, p, base, key = "doc_id", partitionCol = "source")
+    Snapshot.renameColumn(s, p, "text", "body")  // v2
+    Snapshot.dropColumn(s, p, "lang")            // v3
+    val u1 = base.filter(col("doc_id") % 9 === 0 && col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), concat(col("text"), lit(" [evo]")).as("body"),
+        col("source"), (col("n_chars") + 3).as("n_chars"),
+        (col("n_small") + 1).as("n_small"))
+    Snapshot.merge(s, p, u1,                     // v4
+      base.filter(col("doc_id") % 17 === 0).select("doc_id"))
+    Snapshot.widenColumn(s, p, "n_small", "bigint") // v5
+    val u2 = Snapshot.readAt(s, p, 5).filter(col("doc_id") % 10 === 1)
+      .select(col("doc_id"), concat(col("body"), lit(" [v4]")).as("body"),
+        col("source"), col("n_chars"),
+        (col("n_small") + 5000000000L).as("n_small"),
+        lit("readd").as("lang"))
+    Snapshot.merge(s, p, u2, base.limit(0).select("doc_id")) // v6
+    p
+  }
+
   private def snapshotEvoPath(s: SparkSession, dir: String): String =
-    snapshotEvoMemo.computeIfAbsent(dir, _ => {
-      val p = scratch("snapshot_evo", dir)
-      val base = t(s, dir, "documents")
-        .withColumn("n_small", (col("n_chars") % 1000).cast("int"))
-      Snapshot.create(s, p, base, key = "doc_id", partitionCol = "source")
-      Snapshot.renameColumn(s, p, "text", "body")  // v2
-      Snapshot.dropColumn(s, p, "lang")            // v3
-      val u1 = base.filter(col("doc_id") % 9 === 0 && col("doc_id") % 17 =!= 0)
-        .select(col("doc_id"), concat(col("text"), lit(" [evo]")).as("body"),
-          col("source"), (col("n_chars") + 3).as("n_chars"),
-          (col("n_small") + 1).as("n_small"))
-      Snapshot.merge(s, p, u1,                     // v4
-        base.filter(col("doc_id") % 17 === 0).select("doc_id"))
-      Snapshot.widenColumn(s, p, "n_small", "bigint") // v5
-      val u2 = Snapshot.readAt(s, p, 5).filter(col("doc_id") % 10 === 1)
-        .select(col("doc_id"), concat(col("body"), lit(" [v4]")).as("body"),
-          col("source"), col("n_chars"),
-          (col("n_small") + 5000000000L).as("n_small"),
-          lit("readd").as("lang"))
-      Snapshot.merge(s, p, u2, base.limit(0).select("doc_id")) // v6
-      p
-    })
+    snapshotEvoMemo.computeIfAbsent(dir,
+      _ => buildEvolutionTable(s, dir, scratch("snapshot_evo", dir)))
 
   /** NON-ADDITIVE SCHEMA EVOLUTION end state: the tip after rename /
     * drop / widen (all metadata-only — zero data files rewritten) and
@@ -1959,6 +1964,29 @@ object Queries {
   def snapshotEvolution(s: SparkSession, dir: String): DataFrame =
     Snapshot.readLatest(s, snapshotEvoPath(s, dir))
       .select("doc_id", "body", "source", "n_chars", "n_small", "lang")
+
+  private val snapshotEvoCompactMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** EVOLUTION COMPACTION PURGE as a physical-identity replay (the
+    * `snapshot_relayout` pattern applied to the one evolution path a
+    * relational oracle can reach): the same six evolution commits,
+    * then `compact(maxFilesPerPartition = 0)` — every partition
+    * rewrites, materializing rows under the CURRENT column mapping
+    * and physically purging the retired `lang` bytes from every data
+    * file (spec-asserted in SnapshotSpec). The oracle is the
+    * `snapshot_evolution` replay verbatim, so hash equality proves
+    * the full-table physical rewrite changed bytes, never rows —
+    * dropped-column purge included. */
+  def snapshotEvolutionCompact(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotEvoCompactMemo.computeIfAbsent(dir, _ => {
+      val path = buildEvolutionTable(s, dir, scratch("snapshot_evo_compact", dir))
+      Snapshot.compact(s, path, maxFilesPerPartition = 0) // v7: full purge rewrite
+      path
+    })
+    Snapshot.readLatest(s, p)
+      .select("doc_id", "body", "source", "n_chars", "n_small", "lang")
+  }
 
   private val snapshotRelayoutMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1998,6 +2026,43 @@ object Queries {
     val p = snapshotTablePath(s, dir)
     s.sql(s"SELECT doc_id, text, lang, source, n_chars " +
       s"FROM graft_snapshot('$p', 2)")
+  }
+
+  /** The HISTORY TVF surface: `graft_snapshot_history(path)` inside
+    * plain SQL enumerates the table's commit log — version, op,
+    * parent and LOGICAL row count per retained version (the physical
+    * columns n_partitions/n_files are layout-dependent and stay out
+    * of the oracle projection). The oracle rebuilds each version's
+    * row count relationally from the known commit sequence
+    * (create → merge → merge → delete → update → 2× MoR delete), so
+    * hash equality proves the manifest fold reports the exact
+    * logical history — MoR versions included (deletion-vector rows
+    * subtracted, zero data files opened). */
+  def snapshotHistoryTvf(s: SparkSession, dir: String): DataFrame = {
+    functions.GraftTableFunctions.register(s)
+    val p = snapshotTablePath(s, dir)
+    s.sql(s"SELECT version, op, parent, n_rows " +
+      s"FROM graft_snapshot_history('$p')")
+  }
+
+  /** CHANGE-FEED TVF resolved by TAG: `graft_snapshot_changes(path,
+    * 'rev-2')` (the tag pins v2 — the training-run-reproducibility
+    * shape, where consumers address commits by name, never number).
+    * The query nets the feed per full row (+1 added / −1 removed):
+    * rows a file rewrite carried unchanged cancel to zero, so the
+    * surviving net IS the logical v1→v2 diff, which the oracle
+    * rebuilds relationally. Hash equality proves the file-identity
+    * change set is algebraically exact — the property incremental
+    * consumers (agg maintenance, index MoR) depend on. */
+  def snapshotChangesTag(s: SparkSession, dir: String): DataFrame = {
+    functions.GraftTableFunctions.register(s)
+    val p = snapshotTablePath(s, dir)
+    Snapshot.tag(p, "rev-2", 2) // idempotent: re-tagging moves the ref
+    s.sql(s"""SELECT doc_id, text, lang, source, n_chars,
+      |  CAST(sum(CASE WHEN _change = 'added' THEN 1 ELSE -1 END) AS BIGINT) AS net
+      |FROM graft_snapshot_changes('$p', 'rev-2')
+      |GROUP BY doc_id, text, lang, source, n_chars
+      |HAVING sum(CASE WHEN _change = 'added' THEN 1 ELSE -1 END) <> 0""".stripMargin)
   }
 
   /** DATASOURCE-V2 read of the snapshot table through the SESSION
@@ -2373,6 +2438,7 @@ object Queries {
     "corpus_merge" -> corpusMerge _,
     "agg_maintain" -> aggMaintain _,
     "snapshot_evolution" -> snapshotEvolution _,
+    "snapshot_evolution_compact" -> snapshotEvolutionCompact _,
     "snapshot_sql_tvf" -> snapshotSqlTvf _,
     "snapshot_dsv2" -> snapshotDsv2 _,
     "snapshot_relayout" -> snapshotRelayout _,

@@ -61,14 +61,24 @@ object GraftTableFunctions {
   }
 
   private def changesPlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.size == 2, "usage: graft_snapshot_changes(path, version)")
+    require(args.size == 2, "usage: graft_snapshot_changes(path, version | tag)")
     val spark = SparkSession.active
     val path = pathArg(args.head, "graft_snapshot_changes")
-    val v = litArg(args(1), "graft_snapshot_changes: version") match {
+    val v = litArg(args(1), "graft_snapshot_changes: version/tag") match {
       case i: Int => i
       case l: Long => l.toInt
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        // a tag names a committed state; its change set is that
+        // version's commit — same resolution as graft_snapshot(path, tag)
+        val t = graft.operators.Snapshot.tags(path)
+        require(t.contains(s.toString),
+          s"graft_snapshot_changes: no tag '$s' on $path " +
+            s"(tags: ${t.keys.toSeq.sorted.mkString(",")})")
+        t(s.toString)
       case other => throw new IllegalArgumentException(
-        s"graft_snapshot_changes: version must be an integer, got $other")
+        "graft_snapshot_changes: second argument must be an integer " +
+          s"version or a string tag, got ${
+            if (other == null) "NULL" else other.getClass.getSimpleName}")
     }
     val (removed, added) = graft.operators.Snapshot.changeSet(spark, path, v)
     import org.apache.spark.sql.functions.lit
@@ -81,15 +91,38 @@ object GraftTableFunctions {
       .queryExecution.logical
   }
 
+  private def historyPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1, "usage: graft_snapshot_history(path)")
+    val spark = SparkSession.active
+    val path = pathArg(args.head, "graft_snapshot_history")
+    // manifest metadata only — a driver-side fold over O(versions)
+    // JSON files (never data files), materialized as a LocalRelation
+    // the enclosing query filters/joins/aggregates like any relation
+    val tagsByV = graft.operators.Snapshot.tags(path)
+      .groupBy(_._2).map { case (v, m) => v -> m.keys.toSeq.sorted }
+    val rows = graft.operators.Snapshot.history(path).map {
+      case (v, op, parent, nParts, nFiles, nRows) =>
+        (v, op, parent, nParts, nFiles, nRows, tagsByV.getOrElse(v, Nil))
+    }
+    import spark.implicits._
+    rows.toDF("version", "op", "parent", "n_partitions", "n_files",
+        "n_rows", "tags")
+      .queryExecution.logical
+  }
+
   private val tfs = Seq(
     Tf("graft_snapshot",
       "graft_snapshot(path[, version | tag]) - time-travel read of a " +
         "graft snapshot table (tip when only path is given)",
       snapshotPlan),
     Tf("graft_snapshot_changes",
-      "graft_snapshot_changes(path, version) - the commit's change " +
-        "set: removed + added rows flagged by _change",
-      changesPlan))
+      "graft_snapshot_changes(path, version | tag) - the commit's " +
+        "change set: removed + added rows flagged by _change",
+      changesPlan),
+    Tf("graft_snapshot_history",
+      "graft_snapshot_history(path) - one row per retained version: " +
+        "(version, op, parent, n_partitions, n_files, n_rows, tags)",
+      historyPlan))
 
   /** Register the TVFs in a live session's table-function registry. */
   def register(spark: SparkSession): Unit = {

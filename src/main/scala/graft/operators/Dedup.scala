@@ -364,8 +364,17 @@ object Dedup {
   private[graft] def rescore(cand: DataFrame, sigs: DataFrame, threshold: Double,
                              prefilter: Boolean = false): DataFrame = {
     import graft.functions.VectorExprs
-    // OPTIONAL FINGERPRINT PRE-VERIFICATION (`prefilter`, switched on
-    // past [[PrefilterBytesBound]] of estimated verification shuffle).
+    // OPTIONAL FINGERPRINT PRE-VERIFICATION (`prefilter`) — a
+    // CALLER-OPT-IN stage for candidate streams too false-pair-heavy
+    // to rescore directly. No catalog path needs it today: the exact
+    // prefix paths measured it as a net loss at their ~30 k candidate
+    // volumes (r9: cut bytes 1.9× but lost ~0.9 s of fixed join
+    // overhead), and the simhash paths kill false pairs INSIDE their
+    // blocking join ([[fpBlockCond]] — measured there: plain rescore
+    // of the 105 M-pair sf1 stream cost 127 s / 18.3 GB vs 28 s /
+    // 6.3 GB prefiltered, before the in-join bound removed the
+    // stream itself). Kept for cluster callers with externally-built
+    // candidate frames.
     // The candidate stream is dominated by FALSE pairs (measured at
     // sf0.1, t=0.8: 27,678 candidates → 256 genuine — 99.1% false),
     // and the cost of verifying one is shipping both docs' full
@@ -545,48 +554,117 @@ object Dedup {
 
   /**
    * SimHash near-dup: pairs with Hamming distance ≤ maxDistance.
-   * Pigeonhole blocking: split 64 bits into `maxDistance + 1` chunks;
-   * any pair within distance shares at least one exact chunk, so
-   * candidates come from equi-joins on (chunk index, chunk value) —
-   * again a shuffle, not a cross join. The 64 % chunks remainder bits
-   * are DISTRIBUTED (first `64 % chunks` chunks are one bit wider)
-   * rather than ignored: wider chunks mean fewer random collisions —
-   * expected candidates are n²/2 · Σ 2^(−width_i), so every covered
-   * bit cuts a chunk's collision mass in half.
+   *
+   * Blocking is TWO-REGIME pigeonhole (dispatch in
+   * [[simhashBlocking]]):
+   *
+   *  - NARROW (maxDistance < [[WidePigeonholeBound]]): split 64 bits
+   *    into `maxDistance + 1` chunks; any pair within distance shares
+   *    at least one EXACT chunk, so candidates come from equi-joins on
+   *    (chunk index, chunk value) — a shuffle, not a cross join. The
+   *    64 % chunks remainder bits are DISTRIBUTED (first `64 % chunks`
+   *    chunks are one bit wider) rather than ignored: every covered
+   *    bit halves a chunk's random-collision mass.
+   *
+   *  - WIDE (maxDistance ≥ bound): `maxDistance + 1` chunks of
+   *    64/(d+1) ≤ 7 bits make bucket collisions n²-shaped (at d=12:
+   *    13 chunks of 4-5 bits, expected random candidate mass
+   *    n²/2 · 0.44). The multi-index scheme (HmSearch-style — Zhang
+   *    et al., SIGMOD'13; Norouzi et al., CVPR'12 multi-index
+   *    hashing) uses only `⌊d/2⌋ + 1` chunks — wide enough that a
+   *    bucket is selective — and tolerates ONE error inside a chunk
+   *    by probe enumeration: each doc probes with the exact chunk
+   *    value plus every 1-bit flip (width+1 keys/chunk), while the
+   *    stored side keeps exact values only. Pigeonhole: d errors over
+   *    ⌊d/2⌋+1 chunks leave some chunk with ≤ ⌊d/(⌊d/2⌋+1)⌋ ≤ 1
+   *    error, caught by the exact key (0 errors) or the flipped probe
+   *    at the differing bit (1 error) — no false negatives. At d=12:
+   *    7 chunks of 9-10 bits, 71 probe keys/doc, expected random
+   *    candidate mass n²/2 · Σ (width_i+1)/2^width_i ≈ n²/2 · 0.135 —
+   *    3.2× below the exact-pigeonhole mass with HALF the join's
+   *    false-pair survivors, because the Hamming predicate also runs
+   *    INSIDE the join condition (below), so a false bucket collision
+   *    dies before it reaches the distinct shuffle.
+   *
+   * In BOTH regimes the join condition carries
+   * `bit_count(a.simhash ^ b.simhash) ≤ maxDistance`: the signatures
+   * are already on the joined rows, the check is one codegen'd XOR +
+   * POPCNT, and it turns the post-join `.distinct()` from "shuffle
+   * every bucket collision" into "shuffle only true Hamming pairs".
    */
-  /** (doc_id, simhash, chunk, chunk_val): the pigeonhole blocking
-    * frame — 64 bits cut into `maxDistance + 1` chunks, so any pair
-    * within the distance shares at least one exact chunk. */
-  private def simhashChunks(sig: DataFrame, maxDistance: Int): DataFrame = {
-    val chunks = maxDistance + 1
-    require(chunks <= 64, "maxDistance must be < 64")
-    val base = 64 / chunks
-    val wide = 64 % chunks // this many chunks get base+1 bits
-    // chunk i covers bits [offset(i), offset(i)+width(i))
-    val widths = Array.tabulate(chunks)(i => if (i < wide) base + 1 else base)
-    val offsets = widths.scanLeft(0)(_ + _)
-    val chunkVals = (0 until chunks).map { i =>
+  /** Past this distance the exact pigeonhole switches to the
+    * multi-index (1-error chunks + flip probes) blocking regime. */
+  private val WidePigeonholeBound = 8
+
+  /** Chunk widths and bit offsets of an m-way split of 64 bits; the
+    * 64 % m remainder widens the first chunks. */
+  private def chunkLayout(m: Int): (Array[Int], Array[Int]) = {
+    require(m >= 1 && m <= 64, s"simhash: chunk count $m out of range")
+    val base = 64 / m
+    val wide = 64 % m // this many chunks get base+1 bits
+    val widths = Array.tabulate(m)(i => if (i < wide) base + 1 else base)
+    (widths, widths.scanLeft(0)(_ + _))
+  }
+
+  /** (…carried cols, chunk, chunk_val): exact chunk values under an
+    * m-way split — the STORED side of blocking in both regimes. Every
+    * input column (doc_id, simhash, any fp-bound payload) carries
+    * through. */
+  private def chunkFrame(sig: DataFrame, m: Int): DataFrame = {
+    val (widths, offsets) = chunkLayout(m)
+    val chunkVals = (0 until m).map { i =>
       call_function("shiftright", col("simhash"), lit(offsets(i)))
         .bitwiseAND(if (widths(i) == 64) -1L else (1L << widths(i)) - 1)
     }
-    sig.select(col("doc_id"), col("simhash"),
-        posexplode(array(chunkVals: _*)))
+    sig.select(col("*"), posexplode(array(chunkVals: _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunk_val")
+  }
+
+  /** (…carried cols, chunk, chunk_val): the PROBE side of the wide
+    * regime — per chunk, the exact value plus every 1-bit flip, so a
+    * probe row set covers the full Hamming-1 ball of each chunk. */
+  private def probeFrame(sig: DataFrame, m: Int): DataFrame = {
+    val (widths, offsets) = chunkLayout(m)
+    val keys = (0 until m).flatMap { i =>
+      val exact = call_function("shiftright", col("simhash"), lit(offsets(i)))
+        .bitwiseAND((1L << widths(i)) - 1)
+      val ball = exact +: (0 until widths(i)).map(b => exact.bitwiseXOR(lit(1L << b)))
+      ball.map(v => struct(lit(i).as("chunk"), v.as("chunk_val")))
+    }
+    sig.select(col("*"), explode(array(keys: _*)).as("k"))
+      .withColumn("chunk", col("k.chunk"))
+      .withColumn("chunk_val", col("k.chunk_val"))
+      .drop("k")
+  }
+
+  /** (probe, stored) blocking frames for `maxDistance` — equal exact
+    * chunk frames in the narrow regime; Hamming-1-ball probes against
+    * exact stored chunks in the wide regime. Any pair within the
+    * distance shares a (chunk, chunk_val) key across probe × stored. */
+  private[graft] def simhashBlocking(sig: DataFrame,
+                                     maxDistance: Int): (DataFrame, DataFrame) = {
+    require(maxDistance >= 0 && maxDistance < 64, "maxDistance must be in [0, 64)")
+    if (maxDistance < WidePigeonholeBound) {
+      val chunked = chunkFrame(sig, maxDistance + 1)
+      (chunked, chunked)
+    } else {
+      val m = maxDistance / 2 + 1
+      (probeFrame(sig, m), chunkFrame(sig, m))
+    }
   }
 
   def simhash(df: DataFrame, content: Column, id: Column,
               maxDistance: Int = 3): DataFrame = {
     val sig = OpCache.cache(simhashSignatures(df, content, id))
-    val chunked = simhashChunks(sig, maxDistance)
-    val a = chunked.as("a")
-    val b = chunked.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") &&
+    val (probe, stored) = simhashBlocking(sig, maxDistance)
+    probe.as("a").join(stored.as("b"),
+        col("a.chunk") === col("b.chunk") &&
         col("a.chunk_val") === col("b.chunk_val") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") &&
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxDistance)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxDistance)
   }
 
   /**
@@ -605,18 +683,94 @@ object Dedup {
    * hence the default covers all three). The DuckDB exact-Jaccard
    * oracle is the empirical recall gate: a hash-exact match certifies
    * that blocking at `maxDistance` missed nothing on that corpus.
-   * Cost stays shuffle-shaped — 13 chunk keys of 4-5 bits per doc at
-   * the default, expected random collisions ≈ n²·0.22; for
-   * billion-doc corpora use the tighter hamming ≤ 3 default of
-   * [[simhash]] (16-bit chunks, n²·3·10⁻⁵) and accept the
-   * un-certified recall, or MinHash banding which has the analytic
-   * bound.
+   * The default distance rides [[simhash]]'s WIDE blocking regime
+   * (multi-index: 7 chunks of 9-10 bits, Hamming-1-ball probes, the
+   * in-join Hamming check) — see that doc for the collision-mass
+   * arithmetic; for billion-doc corpora the tighter hamming ≤ 3
+   * default (narrow regime, 16-bit exact chunks, random collisions
+   * n²·3·10⁻⁵) trades certified recall for selectivity, or use
+   * MinHash banding which has the analytic bound.
    */
   def simhashVerified(df: DataFrame, content: Column, id: Column,
                       maxDistance: Int = 12, k: Int = 3,
                       threshold: Double = 0.8): DataFrame = {
-    val cand = simhash(df, content, id, maxDistance).select("doc_a", "doc_b")
-    rescore(cand, shingleSigs(df, content, id, k), threshold)
+    val sigs = shingleSigs(df, content, id, k)
+    rescore(simhashCandidates(df, content, id, maxDistance, k, threshold, sigs),
+      sigs, threshold)
+  }
+
+  /** The candidate stage of [[simhashVerified]] (exposed for the dev
+    * profiler): blocking join + in-join Hamming check + in-join
+    * Jaccard upper bound, distinct (doc_a, doc_b) survivors. */
+  private[graft] def simhashCandidates(df: DataFrame, content: Column,
+                                       id: Column, maxDistance: Int = 12,
+                                       k: Int = 3, threshold: Double = 0.8,
+                                       sigsIn: DataFrame = null): DataFrame = {
+    val sigs = Option(sigsIn).getOrElse(shingleSigs(df, content, id, k))
+    val sig = OpCache.cache(
+      fpAugment(simhashSignatures(df, content, id), sigs))
+    val (probe, stored) = simhashBlocking(sig, maxDistance)
+    probe.as("a").join(stored.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxDistance &&
+        fpBlockCond(threshold))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Fingerprint-prefix length of the in-join Jaccard bound on the
+    * simhash blocking joins ([[fpBlockCond]]): long enough that the
+    * prefix walk separates false Hamming pairs from threshold-0.8
+    * candidates on ~100-shingle documents, short enough that the
+    * payload on the (up to 71×-duplicated wide-regime probe) blocking
+    * rows stays bounded at ~100 bytes REGARDLESS of document length —
+    * the bounded-payload answer to carrying full fingerprint arrays
+    * on exploded rows. */
+  private val FpBlockPrefixLen = 48
+
+  /** Per-doc columns of the in-join Jaccard upper bound, attached to
+    * the simhash signature frame BEFORE chunk explosion: shingle-set
+    * size `sz`, the 16-bit fingerprint projection of the FIRST
+    * [[FpBlockPrefixLen]] value-sorted shingle hashes `f16p`
+    * (monotonic `shiftright(h, 48)` — still sorted), and the 64-bit
+    * boundary element `lastp` the soundness argument compares on. */
+  private def fpAugment(sig: DataFrame, sigs: DataFrame): DataFrame =
+    sig.join(sigs.select(col("doc_id"), size(col("sh")).as("sz"),
+        transform(slice(col("sh"), 1, FpBlockPrefixLen),
+          h => shiftright(h, 48).cast("smallint")).as("f16p"),
+        element_at(col("sh"),
+          least(lit(FpBlockPrefixLen), size(col("sh")))).as("lastp")),
+      Seq("doc_id"))
+
+  /** IN-JOIN sound Jaccard upper bound over the blocking "a"/"b"
+    * aliases — the wide-distance analogue of [[fpJoinCond]]: on a
+    * same-vocabulary corpus the Hamming ≤ 12 candidate set is θ(n²)
+    * BY CONTRACT (measured: 1.05 M true Hamming pairs at sf0.1,
+    * 105 M at sf1, of which ~25 / 2.5 k reach Jaccard 0.8), so false
+    * pairs must die INSIDE the blocking join, before the candidate
+    * distinct and the rescore ever shuffle them. Soundness of the
+    * prefix bound: a common element not counted by the prefix
+    * merge-walk either lies beyond the boundary-smaller side's prefix
+    * — at most `sz − |prefix|` of those — or would have to be ≤ that
+    * side's boundary yet > the other's, impossible when comparing on
+    * the 64-bit boundary `lastp` (distinct values). The walk itself
+    * can only over-count (fingerprint collisions ADD), so
+    * `walk + allowance ≥ true intersection` always: genuine pairs
+    * never die. Evaluated after the cheap mutual length bound
+    * (And short-circuit). */
+  private def fpBlockCond(threshold: Double): Column = {
+    val minOverlap = epsCeil(lit(threshold / (1.0 + threshold)) *
+      (col("a.sz") + col("b.sz")))
+    val walk = graft.functions.VectorExprs.sortedShortIntersectCount(
+      col("a.f16p"), col("b.f16p"))
+    val allowance = when(col("a.lastp") <= col("b.lastp"),
+      col("a.sz") - size(col("a.f16p")))
+      .otherwise(col("b.sz") - size(col("b.f16p")))
+    col("a.sz") >= lit(threshold) * col("b.sz") &&
+      col("b.sz") >= lit(threshold) * col("a.sz") &&
+      (walk + allowance) >= minOverlap
   }
 
   /**
@@ -641,21 +795,27 @@ object Dedup {
       .select("__c", "__i") // using-join hoists __i first; union is positional
     val union = corpusOnly.unionAll(incoming.select(content.as("__c"), id.as("__i")))
     val sigs = shingleSigs(union, col("__c"), col("__i"), k)
-    val sim = OpCache.cache(simhashSignatures(union, col("__c"), col("__i")))
-    val chunked = simhashChunks(sim, maxDistance)
-    val chunkedNew = chunked.join(
+    val sim = OpCache.cache(
+      fpAugment(simhashSignatures(union, col("__c"), col("__i")), sigs))
+    // the multi-index asymmetry IS the incremental shape: only the
+    // batch emits (ball-expanded, in the wide regime) probe keys; the
+    // corpus contributes its exact chunk table
+    val (probe, stored) = simhashBlocking(sim, maxDistance)
+    val probeNew = probe.join(
       incoming.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
-    // new-new pairs surface in both orientations — canonicalize
-    val cand = chunkedNew.as("a").join(chunked.as("b"),
+    // new-new pairs surface in both orientations — canonicalize; the
+    // in-join Hamming check + Jaccard upper bound ([[fpBlockCond]])
+    // kill false bucket collisions and false Hamming pairs before the
+    // distinct shuffle (same as the batch path)
+    val cand = probeNew.as("a").join(stored.as("b"),
         col("a.chunk") === col("b.chunk") &&
           col("a.chunk_val") === col("b.chunk_val") &&
-          col("a.doc_id") =!= col("b.doc_id"))
+          col("a.doc_id") =!= col("b.doc_id") &&
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxDistance &&
+          fpBlockCond(threshold))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
-      .filter(col("hamming") <= maxDistance)
-      .select("doc_a", "doc_b")
     rescore(cand, sigs, threshold)
   }
 

@@ -512,6 +512,26 @@ class DedupSpec extends SparkSpecBase {
       s"missed: ${exact.diff(verified)}, extra: ${verified.diff(exact)}")
   }
 
+  test("wide-regime multi-index blocking (d=12) == brute-force Hamming pairs") {
+    // the HmSearch-style regime (7 chunks, Hamming-1-ball probes) must
+    // find EXACTLY the pairs a full n² popcount scan finds — the
+    // pigeonhole + flip-enumeration no-false-negative proof, checked
+    // end-to-end on the real corpus including pairs at distance == 12
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    val sig = Dedup.simhashSignatures(d, col("text"), col("doc_id"))
+      .select("doc_id", "simhash").as[(Long, Long)].collect()
+    val brute = (for {
+      (ia, sa) <- sig; (ib, sb) <- sig
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 12
+    } yield (ia, ib, java.lang.Long.bitCount(sa ^ sb))).toSet
+    val blocked = Dedup.simhash(d, col("text"), col("doc_id"), maxDistance = 12)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(brute.nonEmpty)
+    assert(blocked === brute,
+      s"missed: ${brute.diff(blocked)}, extra: ${blocked.diff(brute)}")
+    graft.operators.OpCache.releaseAll()
+  }
+
   test("incremental near-dup == full join restricted to batch-touching pairs") {
     val d = spark.read.parquet(sf() + "/documents.parquet")
     val full = Dedup.ngramJaccard(d, col("text"), col("doc_id"))
