@@ -2671,6 +2671,57 @@ object Oracles {
         |FROM documents
         |WHERE doc_id % 13 <> 0""".stripMargin,
 
+    // the history TVF's LOGICAL columns: the oracle rebuilds each
+    // retained version's row count from the known commit sequence
+    // (v1 create ← documents, v2/v3 merges, v4 copy-on-write delete,
+    // v5 update [count-preserving], v6/v7 merge-on-read deletes
+    // [logical rows shrink via deletion vectors while data files are
+    // untouched]) — hash equality proves the manifest-only fold
+    // reports the exact logical history, MoR versions included
+    "snapshot_history_tvf" ->
+      """WITH s1 AS (SELECT doc_id FROM documents WHERE doc_id % 13 <> 0),
+        |s2 AS (SELECT doc_id FROM s1 WHERE doc_id % 23 <> 7),
+        |s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT BETWEEN 150 AND 199),
+        |s6 AS (SELECT doc_id FROM s3 WHERE doc_id NOT BETWEEN 400 AND 449),
+        |s7 AS (SELECT doc_id FROM s3 WHERE doc_id NOT BETWEEN 400 AND 480)
+        |SELECT CAST(version AS INTEGER) AS version, op,
+        |       CAST(parent AS INTEGER) AS parent, n_rows
+        |FROM (
+        |  SELECT 1 AS version, 'create' AS op, 0 AS parent,
+        |         (SELECT count(*) FROM documents) AS n_rows
+        |  UNION ALL SELECT 2, 'merge', 1, (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT 3, 'merge', 2, (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 4, 'delete', 3, (SELECT count(*) FROM s3)
+        |  UNION ALL SELECT 5, 'update', 4, (SELECT count(*) FROM s3)
+        |  UNION ALL SELECT 6, 'delete-mor', 5, (SELECT count(*) FROM s6)
+        |  UNION ALL SELECT 7, 'delete-mor', 6, (SELECT count(*) FROM s7)
+        |)""".stripMargin,
+
+    // the change-feed TVF resolved by TAG (tag rev-2 pins v2): the
+    // query nets the feed per full row (+1 added / −1 removed), so
+    // rows a rewrite carried unchanged cancel and the surviving net
+    // IS the logical v1→v2 diff, rebuilt here relationally — hash
+    // equality proves the file-identity change set is algebraically
+    // exact (the property incremental consumers depend on)
+    "snapshot_changes_tag" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' [v2]' ELSE text END AS text,
+        |    lang,
+        |    CASE WHEN doc_id % 7 = 0 AND doc_id % 3 = 0 THEN 'src_new'
+        |         ELSE source END AS source,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |signed AS (
+        |  SELECT doc_id, text, lang, source, n_chars, 1 AS n FROM v2
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, source, n_chars, -1 FROM documents)
+        |SELECT doc_id, text, lang, source, n_chars,
+        |       CAST(sum(n) AS BIGINT) AS net
+        |FROM signed
+        |GROUP BY doc_id, text, lang, source, n_chars
+        |HAVING sum(n) <> 0""".stripMargin,
+
     // stats-pruned range read of the snapshot LATEST (v3): replay both
     // change sets, then the range predicate — hash equality proves the
     // manifest's min/max file pruning is an IO optimization only

@@ -2440,6 +2440,8 @@ object Queries {
     "snapshot_evolution" -> snapshotEvolution _,
     "snapshot_evolution_compact" -> snapshotEvolutionCompact _,
     "snapshot_sql_tvf" -> snapshotSqlTvf _,
+    "snapshot_history_tvf" -> snapshotHistoryTvf _,
+    "snapshot_changes_tag" -> snapshotChangesTag _,
     "snapshot_dsv2" -> snapshotDsv2 _,
     "snapshot_relayout" -> snapshotRelayout _,
     "snapshot_timetravel" -> snapshotTimetravel _,

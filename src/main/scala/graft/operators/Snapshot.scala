@@ -388,13 +388,16 @@ object Snapshot {
   }
 
   /** (version, op, parent, partitions, files, rows) per retained
-    * version, oldest first — the table's commit history. */
+    * version, oldest first — the table's commit history. `rows` is
+    * the version's LOGICAL count (deletion-vector-masked rows
+    * subtracted), so a merge-on-read delete shows its effect in the
+    * history even though no data file changed. */
   def history(table: String): Seq[(Int, String, Int, Int, Int, Long)] = {
     val cur = currentVersion(table)
     (1 to cur).flatMap { v =>
       if (Files.exists(manifestPath(table, v))) {
         val m = readManifest(table, v)
-        Some((v, m.op, m.parent, m.partitions.size, m.files.size, m.rows))
+        Some((v, m.op, m.parent, m.partitions.size, m.files.size, m.logicalRows))
       } else None
     }
   }

@@ -77,6 +77,50 @@ class SqlTvfSpec extends SparkSpecBase {
       .as[String].collect().toSeq === Seq("c"))
   }
 
+  test("graft_snapshot_history: versions, ops, logical rows, tags; changes by tag") {
+    GraftTableFunctions.register(spark)
+    val t = fresh("hist")
+    Snapshot.create(spark, t,
+      Seq((1L, "a", "p1"), (2L, "b", "p1"), (3L, "c", "p2"))
+        .toDF("id", "v", "part"), "id", "part")
+    Snapshot.merge(spark, t,
+      Seq((4L, "d", "p2")).toDF("id", "v", "part"), Seq(1L).toDF("id"))
+    Snapshot.tag(t, "rev2", 2)
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 4, 4)))
+
+    val hist = spark.sql(
+      s"""SELECT version, op, parent, n_rows, array_join(tags, ',')
+         |FROM graft_snapshot_history('$t') ORDER BY version""".stripMargin)
+      .as[(Int, String, Int, Long, String)].collect().toSeq
+    // n_rows is LOGICAL: the MoR delete shrinks v3 although no data
+    // file changed; tags land on their pinned version
+    assert(hist === Seq(
+      (1, "create", 0, 3L, ""),
+      (2, "merge", 1, 3L, "rev2"),
+      (3, "delete-mor", 2, 2L, "")))
+
+    // the history TVF is a plain relation — aggregate over it
+    assert(spark.sql(
+      s"SELECT max(version) FROM graft_snapshot_history('$t') WHERE op = 'merge'")
+      .as[Int].collect()(0) === 2)
+
+    // change feed addressed by TAG ≡ by version number
+    val byTag = spark.sql(
+      s"""SELECT _change, sort_array(collect_list(id))
+         |FROM graft_snapshot_changes('$t', 'rev2') GROUP BY 1 ORDER BY 1""".stripMargin)
+      .as[(String, Seq[Long])].collect().toSeq
+    val byV = spark.sql(
+      s"""SELECT _change, sort_array(collect_list(id))
+         |FROM graft_snapshot_changes('$t', 2) GROUP BY 1 ORDER BY 1""".stripMargin)
+      .as[(String, Seq[Long])].collect().toSeq
+    assert(byTag === byV && byTag.nonEmpty)
+    // an unknown tag errors with the available tags named
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_snapshot_changes('$t', 'nope')").collect()
+    }
+    assert(e.getMessage.contains("no tag"), s"got: ${e.getMessage}")
+  }
+
   test("TVF argument contract: literals only, sane arity errors") {
     GraftTableFunctions.register(spark)
     val t = fresh("err")
