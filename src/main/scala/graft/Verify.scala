@@ -55,6 +55,23 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // SURVEY totals gate: prose == §2 table == this fresh catalog, so
+    // the coverage claims are machine-checked EVERY gate run, not just
+    // on manual tool invocations. Loud but non-fatal here (a prose
+    // drift must not zero the round's DuckDB correctness row) — the
+    // FATAL twin lives in SurveyGateSpec, which fails `sbt test` when
+    // a catalog entry is added without its SURVEY accounting.
+    try {
+      val proc = new ProcessBuilder(
+        "python3", "tools/check_survey.py", s"$outDir/oracle_sql.json")
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes())
+      if (proc.waitFor() != 0)
+        System.err.println(s"[verify] SURVEY GATE FAILED:\n$out")
+      else println(out.linesIterator.map("[verify] " + _).mkString("\n"))
+    } catch { case e: Exception =>
+      System.err.println(s"[verify] survey gate skipped: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
