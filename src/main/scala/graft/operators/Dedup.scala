@@ -463,7 +463,7 @@ object Dedup {
     * [[minhashLshVerified]] and the streaming near-dup sink
     * ([[graft.streaming.StreamingIngest.nearDedupSink]]). */
   private[graft] def bandFrame(sig: DataFrame, bands: Int, rows: Int): DataFrame =
-    sig.select(col("doc_id"), col("sig"),
+    sig.select(col("*"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
@@ -518,10 +518,14 @@ object Dedup {
           TextHashExprs.minhashWithShingles(content, k, numHashes).as("b"))
       .filter(col("b").isNotNull)
       .select(col("doc_id"), col("b.sig").as("sig"), col("b.sh").as("sh")))
-    val banded = bandFrame(sigs.select("doc_id", "sig"), bands, rows).drop("sig")
+    val useFp = Scale.estimatedRows(df) > FpBandDocsBound
+    val banded = bandFrame(
+      if (useFp) fpAugment(sigs.select("doc_id", "sig"), sigs)
+      else sigs.select("doc_id", "sig"), bands, rows).drop("sig")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id") < col("b.doc_id") &&
+          (if (useFp) fpBlockCond(threshold) else lit(true)))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // Band collisions are overwhelmingly FALSE on big corpora
@@ -931,21 +935,45 @@ object Dedup {
         TextHashExprs.minhashWithShingles(col("__c"), k, numHashes).as("b"))
       .filter(col("b").isNotNull)
       .select(col("doc_id"), col("b.sig").as("sig"), col("b.sh").as("sh")))
-    val bandedAll = bandFrame(sigs.select("doc_id", "sig"), bands, rows).drop("sig")
+    val useFp =
+      Scale.estimatedRows(corpus) + Scale.estimatedRows(incoming) > FpBandDocsBound
+    val bandedAll = bandFrame(
+      if (useFp) fpAugment(sigs.select("doc_id", "sig"), sigs)
+      else sigs.select("doc_id", "sig"), bands, rows).drop("sig")
     val bandedNew = bandedAll.join(
       incoming.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
-    // new-new pairs surface in both orientations — canonicalize
+    // new-new pairs surface in both orientations — canonicalize. Past
+    // [[FpBandDocsBound]] the band rows carry the bounded fpBlockCond
+    // payload (48-element f16 prefix, ~100 B/row), so false band
+    // collisions die INSIDE the join — measured sf1: see the r10
+    // BENCHNOTES row
     val cand = bandedNew.as("a").join(bandedAll.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") =!= col("b.doc_id"))
+          col("a.doc_id") =!= col("b.doc_id") &&
+          (if (useFp) fpBlockCond(threshold) else lit(true)))
       .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
         greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
-    // same collision-mass trade as [[minhashLshVerified]]'s rescore
-    // (prefilter off by default — see the measurement note there)
     rescore(cand, sigs, threshold)
   }
+
+  /** Corpus-size bound past which the banded joins carry the
+    * [[fpBlockCond]] payload. MEASURED both ways at both scales
+    * (sf0.1 = 5 k docs / sf1 = 50 k, medians of 3): with the bound
+    * always-on, sf1 wins big (`dedup_clusters_incremental` 8.49 →
+    * 5.64 s, `dedup_incremental` 2.92 → 2.15, `dedup_minhash` 3.96 →
+    * 3.75) because band-collision mass is worth killing in-join there
+    * — but sf0.1 LOSES (`dedup_clusters` 1.62 → 2.05,
+    * `dedup_clusters_incremental` 3.67 → 4.33): at 5 k docs the
+    * fpAugment join + heavier band rows cost more than the tiny
+    * collision mass they kill. Same decision shape as the
+    * size-switched driver CC: the crossover sits between the two
+    * measured points. The estimate is [[Scale.estimatedRows]]
+    * (parquet footers / plan stats — no action; a count() gate was
+    * measured to cost ~0.6 s of early-materialization overhead at
+    * sf0.1, eating the win it guards). */
+  private val FpBandDocsBound = 20000L
 
   /**
    * TOP REPEATED SPANS report — the diagnostic view behind substring

@@ -545,6 +545,42 @@ class DedupSpec extends SparkSpecBase {
     assert(inc === full, s"missed: ${full.diff(inc)}, extra: ${inc.diff(full)}")
   }
 
+  test("banded fp-bound regime (>20k docs): LSH-verified pairs == exact prefix join") {
+    // the band-join fpBlockCond payload only switches on past
+    // FpBandDocsBound (20k of Scale.estimatedRows — a BYTES-derived
+    // figure for in-memory ranges, ~13.7k/24k rows, hence the 48k
+    // fixture: estimate ≈ 27.4k crosses the gate) — the catalog
+    // corpora sit below it, so this fixture crosses deliberately:
+    // 48k distinct docs (pseudo-random 12-word texts over an 8k
+    // vocab) + 500 genuine near-dups (one word appended: 3-shingle
+    // jaccard 10/11 ≈ 0.909)
+    val text = (0 until 12).map(j =>
+        concat(lit("w"), pmod(hash(col("doc_id") * 31 + j), lit(8000))))
+    val base = spark.range(48000).select(col("id").as("doc_id"),
+      concat_ws(" ", text: _*).as("text"))
+    val dups = base.filter(col("doc_id") < 500)
+      .select((col("doc_id") + 48000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text"))
+    val corpus = base.unionAll(dups)
+    val exact = Dedup.ngramJaccard(corpus, col("text"), col("doc_id"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    graft.operators.OpCache.releaseAll()
+    val banded = Dedup.minhashLshVerified(corpus, col("text"), col("doc_id"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    graft.operators.OpCache.releaseAll()
+    assert(exact.size >= 500, s"fixture should plant >= 500 pairs, got ${exact.size}")
+    assert(banded === exact,
+      s"missed: ${exact.diff(banded).take(5)}, extra: ${banded.diff(exact).take(5)}")
+    // incremental flavor through the same gate: the 500 dups arrive
+    // as the batch; every planted pair touches the batch
+    val inc = Dedup.minhashLshVerifiedIncremental(base, dups,
+        col("text"), col("doc_id"))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    graft.operators.OpCache.releaseAll()
+    assert(inc === exact,
+      s"missed: ${exact.diff(inc).take(5)}, extra: ${inc.diff(exact).take(5)}")
+  }
+
   test("incremental simhash == full simhashVerified restricted to batch-touching pairs; re-delivery supersedes") {
     val d = spark.read.parquet(sf() + "/documents.parquet")
     val full = Dedup.simhashVerified(d, col("text"), col("doc_id"))
