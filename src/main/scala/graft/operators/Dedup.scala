@@ -88,8 +88,10 @@ object Dedup {
     // rescoring, candidate volume governed by BAND collisions (the
     // whole-set hash) instead of per-shingle df, so the degenerate
     // corpus costs nothing extra. The trade is the standard LSH miss
-    // probability ((1-t²)^16 ≈ 8e-8 at t = 0.8) — negligible, and
-    // only ever taken in the regime where the exact path cannot run.
+    // probability, held ≤ 1e-6 AT ANY configured threshold by
+    // [[bandedLayout]] (16 bands at t = 0.8; more bands, never a
+    // weaker contract, at lower thresholds) — and only ever taken in
+    // the regime where the exact path cannot run.
     val sigs = shingleSigs(df, content, id, k)
     val stats = statsIn.orElse {
       if (freqIn.isDefined || !freqOrdered || maxCandidatesPerDoc <= 0) None
@@ -299,11 +301,27 @@ object Dedup {
       else graft.functions.TextHashExprs.freqReorder(col("sh"), freq)
     val prefixLen = (size(col("sh")) -
       epsCeil(lit(threshold) * size(col("sh"))) + 1).cast("int")
+    // fingerprint CAPPED at [[PrefixFpCap]] elements: every catalog
+    // doc sits far below the cap (full array, bound unchanged), while
+    // a pathological long-document corpus — where the uncapped array
+    // made prefix-row payload ~0.4·|sh|² bytes per doc — carries at
+    // most 1 KB/row and degrades to the sound walk+allowance bound
+    // (see [[fpJoinCond]]) instead of a quadratic shuffle
     sigs.select(col("doc_id"), size(col("sh")).as("sz"),
-        transform(col("sh"), h => shiftright(h, 48).cast("smallint")).as("f16"),
+        transform(slice(col("sh"), 1, PrefixFpCap),
+          h => shiftright(h, 48).cast("smallint")).as("f16"),
+        element_at(col("sh"), least(lit(PrefixFpCap), size(col("sh"))))
+          .as("flast"),
         posexplode(slice(ordered, lit(1), prefixLen)))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "ph")
   }
+
+  /** Per-row cap of the prefix-join fingerprint array (ADVICE r9: the
+    * uncapped array scaled prefix-row payload quadratically in doc
+    * length). 512 ≫ every catalog corpus's shingle count, so the
+    * catalog bound stays the exact full-array intersection; only
+    * longer documents fall back to the prefix+allowance form. */
+  private val PrefixFpCap = 512
 
   /** Mutual length bound + positional max-overlap bound over the
     * "a"/"b" aliases (see [[ngramJaccard]]) — everything of the
@@ -336,8 +354,16 @@ object Dedup {
   private def fpJoinCond(threshold: Double): Column = {
     val minOverlap = epsCeil(lit(threshold / (1.0 + threshold)) *
       (col("a.sz") + col("b.sz")))
-    graft.functions.VectorExprs.sortedShortIntersectCount(
-      col("a.f16"), col("b.f16")) >= minOverlap
+    val walk = graft.functions.VectorExprs.sortedShortIntersectCount(
+      col("a.f16"), col("b.f16"))
+    // docs under [[PrefixFpCap]] carry their FULL fingerprint
+    // (allowance = 0 → the exact intersection bound, unchanged);
+    // longer docs add the boundary-smaller side's suffix allowance —
+    // the same soundness argument as [[fpBlockCond]]
+    val allowance = when(col("a.flast") <= col("b.flast"),
+      col("a.sz") - size(col("a.f16")))
+      .otherwise(col("b.sz") - size(col("b.f16")))
+    (walk + allowance) >= minOverlap
   }
 
   /** `ceil` with a ONE-SIDED floating-point guard for the PPJoin
@@ -504,24 +530,27 @@ object Dedup {
    * size_a, size_b, jaccard), jaccard ≥ threshold, doc_a < doc_b.
    */
   def minhashLshVerified(df: DataFrame, content: Column, id: Column,
-                         k: Int = 3, numHashes: Int = 32, bands: Int = 16,
+                         k: Int = 3, numHashes: Int = 0, bands: Int = 0,
                          threshold: Double = 0.8): DataFrame = {
     import graft.functions.TextHashExprs
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
+    val (nh, nb) =
+      if (numHashes > 0 && bands > 0) (numHashes, bands)
+      else bandedLayout(threshold)
+    require(nh % nb == 0, "numHashes must divide into bands")
+    val rows = nh / nb
     // signature AND shingle set from ONE pass over the text
     // (MinhashWithShinglesExpr) — computing them as two expressions
     // tokenized and base-hashed every shingle twice, which dominated
     // the operator's cost
     val sigs = OpCache.cache(Scale.ensureParallelism(df)
       .select(id.as("doc_id"),
-          TextHashExprs.minhashWithShingles(content, k, numHashes).as("b"))
+          TextHashExprs.minhashWithShingles(content, k, nh).as("b"))
       .filter(col("b").isNotNull)
       .select(col("doc_id"), col("b.sig").as("sig"), col("b.sh").as("sh")))
     val useFp = Scale.estimatedRows(df) > FpBandDocsBound
     val banded = bandFrame(
       if (useFp) fpAugment(sigs.select("doc_id", "sig"), sigs)
-      else sigs.select("doc_id", "sig"), bands, rows).drop("sig")
+      else sigs.select("doc_id", "sig"), nb, rows).drop("sig")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id") &&
@@ -530,17 +559,15 @@ object Dedup {
       .distinct()
     // Band collisions are overwhelmingly FALSE on big corpora
     // (measured sf1: 204,050 candidates / 2,234 genuine — 98.9% —
-    // shipping 131 MB of shingle arrays through this rescore). The
-    // fingerprint pre-verification stage (`rescore(prefilter=true)`)
-    // cuts those bytes ~3×, but MEASURED end-to-end at sf0.1 AND sf1
-    // it LOSES wall on a single-node page-cache box (+0.3-0.8 s per
-    // entry: an extra count action + two extra joins against bytes
-    // that were nearly free locally) — so the default stays off.
-    // On a network-shuffle cluster the byte cut is the wall; callers
-    // there pass prefilter=true. An in-join fingerprint (the
-    // prefix-path answer) does NOT transfer: band rows would carry
-    // 16× the per-doc fingerprint payload through the self-join,
-    // costing more than the rescore it saves.
+    // formerly shipping 131 MB of shingle arrays through this
+    // rescore). r9 measured two remedies as losses: the
+    // `rescore(prefilter=true)` stage (+0.3-0.8 s of fixed join
+    // overhead per entry) and an in-join FULL fingerprint (16× the
+    // per-doc array through the self-join). r10's BOUNDED form —
+    // [[fpBlockCond]]'s 48-element prefix, ~100 B/band-row — finally
+    // wins where the collision mass is real (sf1: clusters_incremental
+    // 8.5→5.6 s) and is size-gated OFF below [[FpBandDocsBound]]
+    // where it measured as the same fixed-cost loss.
     rescore(cand, sigs, threshold)
   }
 
@@ -918,12 +945,15 @@ object Dedup {
    */
   def minhashLshVerifiedIncremental(corpus: DataFrame, incoming: DataFrame,
                                     content: Column, id: Column,
-                                    k: Int = 3, numHashes: Int = 32,
-                                    bands: Int = 16,
+                                    k: Int = 3, numHashes: Int = 0,
+                                    bands: Int = 0,
                                     threshold: Double = 0.8): DataFrame = {
     import graft.functions.TextHashExprs
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rows = numHashes / bands
+    val (nh, nb) =
+      if (numHashes > 0 && bands > 0) (numHashes, bands)
+      else bandedLayout(threshold)
+    require(nh % nb == 0, "numHashes must divide into bands")
+    val rows = nh / nb
     // incoming supersedes a re-delivered corpus id (same rule as the
     // prefix path — one text per id in the rescore frame)
     val corpusOnly = corpus.select(content.as("__c"), id.as("__i"))
@@ -932,14 +962,14 @@ object Dedup {
     val sigs = OpCache.cache(Scale.ensureParallelism(
         corpusOnly.unionAll(incoming.select(content.as("__c"), id.as("__i"))))
       .select(col("__i").as("doc_id"),
-        TextHashExprs.minhashWithShingles(col("__c"), k, numHashes).as("b"))
+        TextHashExprs.minhashWithShingles(col("__c"), k, nh).as("b"))
       .filter(col("b").isNotNull)
       .select(col("doc_id"), col("b.sig").as("sig"), col("b.sh").as("sh")))
     val useFp =
       Scale.estimatedRows(corpus) + Scale.estimatedRows(incoming) > FpBandDocsBound
     val bandedAll = bandFrame(
       if (useFp) fpAugment(sigs.select("doc_id", "sig"), sigs)
-      else sigs.select("doc_id", "sig"), bands, rows).drop("sig")
+      else sigs.select("doc_id", "sig"), nb, rows).drop("sig")
     val bandedNew = bandedAll.join(
       incoming.select(id.as("doc_id")), Seq("doc_id"), "left_semi")
     // new-new pairs surface in both orientations — canonicalize. Past
@@ -974,6 +1004,33 @@ object Dedup {
     * measured to cost ~0.6 s of early-materialization overhead at
     * sf0.1, eating the win it guards). */
   private val FpBandDocsBound = 20000L
+
+  /** Per-pair candidate-miss target of [[bandedLayout]]. */
+  private val MaxBandedMiss = 1e-6
+
+  /** Banding layout `(numHashes, bands)` whose per-pair candidate-miss
+    * probability AT the configured threshold stays ≤ [[MaxBandedMiss]]
+    * — rows fixed at 2 (the granularity of the long-standing 32×16
+    * default), `bands = ⌈ln(miss)/ln(1 − t²)⌉` clamped to [16, 64].
+    * At t = 0.8 this resolves to exactly the historical 16-band
+    * layout ((1−0.64)¹⁶ ≈ 8·10⁻⁸, all oracles unchanged); LOWER
+    * thresholds — where 16 bands would silently miss ~1% of genuine
+    * pairs at t = 0.5 — grow the signature instead of weakening the
+    * recall contract (t = 0.5 → 49 bands / 98 hashes). The 64-band
+    * clamp bounds signature cost; in the regime beyond it (t ≲ 0.37)
+    * the residual miss is PRINTED, so the banded paths' downgrade
+    * from the exact prefix join is never silent. */
+  private[graft] def bandedLayout(threshold: Double): (Int, Int) = {
+    require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
+    val perBand = 1.0 - threshold * threshold
+    val bands = math.min(64, math.max(16,
+      math.ceil(math.log(MaxBandedMiss) / math.log(perBand)).toInt))
+    val miss = math.pow(perBand, bands)
+    if (miss > MaxBandedMiss * 10)
+      println(f"[graft] bandedLayout: threshold $threshold%.2f sits at the " +
+        f"64-band clamp — residual per-pair candidate-miss $miss%.2e")
+    (bands * 2, bands)
+  }
 
   /**
    * TOP REPEATED SPANS report — the diagnostic view behind substring
@@ -1404,7 +1461,7 @@ object Dedup {
         // smallint array through the cached bucket frame and the
         // struct min/max aggregation would be pure payload
         val prefixes = OpCache.cache(prefixFrame(sigs, threshold, freq)
-          .drop("f16").withColumnRenamed("ph", "bk"))
+          .drop("f16", "flast").withColumnRenamed("ph", "bk"))
         return componentsOverBuckets(prefixes, sigs,
           prefixLenPosCond(threshold), threshold, maxRepairRounds)
       }

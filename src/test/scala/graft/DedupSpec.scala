@@ -545,6 +545,47 @@ class DedupSpec extends SparkSpecBase {
     assert(inc === full, s"missed: ${full.diff(inc)}, extra: ${inc.diff(full)}")
   }
 
+  test("prefix fingerprint cap: docs past 512 shingles stay exact under the bound") {
+    // docs with > PrefixFpCap shingles carry a TRUNCATED fingerprint
+    // and the walk+allowance bound — the pair set must still equal
+    // the unfiltered prefix join's (soundness: no false negatives)
+    val vocab = (0 until 700).map(i => s"tok$i")
+    val a = vocab.take(600).mkString(" ")                          // 598 shingles
+    val b = (vocab.take(580) ++ vocab.slice(620, 640)).mkString(" ") // j ≈ 0.93 vs a
+    val c = vocab.take(600).reverse.mkString(" ")                  // disjoint shingles
+    val corpus = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val sigs = Dedup.shingleSigs(corpus, col("text"), col("doc_id"), 3)
+    val withFp = Dedup.prefixCandidates(sigs, 0.8, freqOrdered = false)
+      .as[(Long, Long)].collect().toSet
+    val noFp = Dedup.prefixCandidates(sigs, 0.8, freqOrdered = false,
+        fpFilter = false)
+      .as[(Long, Long)].collect().toSet
+    assert(noFp.contains((1L, 2L)))
+    // sound: every genuine pair the raw join finds survives the bound
+    val genuine = Dedup.rescore(noFp.toSeq.toDF("doc_a", "doc_b"), sigs, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(genuine.subsetOf(withFp),
+      s"capped bound dropped genuine pairs: ${genuine.diff(withFp)}")
+    graft.operators.OpCache.releaseAll()
+  }
+
+  test("bandedLayout holds the candidate-miss contract at any threshold") {
+    // t = 0.8 resolves to the historical 32×16 layout (oracles pinned
+    // to it); lower thresholds GROW the signature instead of silently
+    // weakening recall ((1−t²)^16 ≈ 1% miss at t = 0.5); the 64-band
+    // clamp bounds cost for extreme thresholds
+    assert(Dedup.bandedLayout(0.8) === ((32, 16)))
+    assert(Dedup.bandedLayout(0.5) === ((98, 49)))
+    assert(Dedup.bandedLayout(0.2) === ((128, 64)))
+    // the contract itself: miss = (1 − t²)^bands ≤ 1e-6 wherever the
+    // clamp is not binding
+    for (t <- Seq(0.45, 0.55, 0.65, 0.75, 0.85, 0.95)) {
+      val (_, bands) = Dedup.bandedLayout(t)
+      if (bands < 64)
+        assert(math.pow(1 - t * t, bands) <= 1e-6, s"miss too high at t=$t")
+    }
+  }
+
   test("banded fp-bound regime (>20k docs): LSH-verified pairs == exact prefix join") {
     // the band-join fpBlockCond payload only switches on past
     // FpBandDocsBound (20k of Scale.estimatedRows — a BYTES-derived
