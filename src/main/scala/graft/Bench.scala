@@ -37,6 +37,7 @@ object Bench {
     "sim_cross", "sim_cross_lsh",
     "text_quality", "field_stats", "field_stats_approx", "validate_ok",
     "multimodal_meta", "multimodal_resize", "multimodal_frames", "multimodal_audio",
+    "multimodal_video",
     "sample_stratified", "pack_sequences", "decontaminate",
     "text_redact", "text_chunks", "vocab_df", "search_bm25",
     "search_hybrid", "expectations_report", "mix_sqrt",

@@ -1369,6 +1369,21 @@ object Oracles {
         |  CAST(ROUND((((doc_id % 9) + 1) / 10.0) * 32767) AS BIGINT) AS rms_q_last
         |FROM documents WHERE doc_id % 5 = 0""".stripMargin,
 
+    // REAL MJPEG-AVI video loop: every rendered solid-gray frame
+    // (level ((doc_id+i)%8)·32) survives the JPEG roundtrip within
+    // ≪ half a 32-level grid step, the RIFF header reports
+    // width/height/frame-count exactly, and duration is
+    // n_frames·250 ms at 4 fps — so the whole render→encode→decode
+    // path is integer-replayable: luma_q = round(luma·255/32) ≡
+    // (doc_id+i) % 8, first and last frame alike
+    "multimodal_video" ->
+      """SELECT doc_id, 'avi/mjpg' AS fmt, 48 AS width, 32 AS height,
+        |  CAST((n_chars % 5) + 2 AS INTEGER) AS n_frames,
+        |  CAST(((n_chars % 5) + 2) * 250 AS BIGINT) AS duration_ms,
+        |  CAST(doc_id % 8 AS BIGINT) AS luma_q_first,
+        |  CAST((doc_id + (n_chars % 5) + 1) % 8 AS BIGINT) AS luma_q_last
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin,
+
     "multimodal_frames" ->
       """WITH v AS (
         |  SELECT doc_id, octet_length(encode(text)) AS len,

@@ -1004,6 +1004,51 @@ object Queries {
         "rms_q_first", "rms_q_last")
   }
 
+  /** MULTIMODAL VIDEO with a REAL codec — the last Fake media kind
+    * closed (MJPEG-in-AVI; H.264 etc. remain a documented JDK
+    * boundary): each selected document deterministically RENDERS
+    * solid-gray JPEG frames (level ((doc_id+i)%8)·32, frame count
+    * (n_chars%5)+2, 48×32 @ 4 fps), ENCODES a real MJPEG AVI through
+    * [[operators.Multimodal.AviCodec.encodeAvi]], then DECODES it
+    * back: container metadata from the RIFF header walk and per-frame
+    * mean luma through the shipped JPEG decoder. A solid frame's
+    * decoded luma is its encoded level ± the JPEG DC-quantization
+    * error (≪ half the 32-level grid step), so the whole
+    * render→encode→decode loop replays EXACTLY in SQL:
+    * `luma_q = round(luma·255/32)` must equal `(doc_id+i) % 8`
+    * bit-for-bit, first and last frame alike, and duration is
+    * `n_frames·250 ms` from the header. */
+  def multimodalVideo(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // every 7th document: one AVI is nFrames JPEG encodes + decodes
+    // (~100 µs each at 48×32); 1-in-7 keeps the real-loop oracle
+    // meaningful at a bounded share of the gate's wall
+    t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      .filter(col("doc_id") % 7 === 0)
+      .as[(Long, Long)].mapPartitions(_.map { case (id, nc) =>
+        val M = operators.Multimodal
+        val nFrames = ((nc % 5) + 2).toInt
+        val frames = (0 until nFrames).map { i =>
+          val v = (((id + i) % 8) * 32).toInt
+          val img = new java.awt.image.BufferedImage(
+            48, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val gfx = img.createGraphics()
+          try { gfx.setColor(new java.awt.Color(v, v, v)); gfx.fillRect(0, 0, 48, 32) }
+          finally gfx.dispose()
+          M.AviCodec.encodeJpeg(img)
+        }
+        val avi = M.AviCodec.encodeAvi(frames, 48, 32, fps = 4)
+        val (fmt, w, h, nf, durMs) = M.AviCodec.videoMeta(avi).get
+        val decoded = M.AviCodec.tryParse(avi).get.frames
+        // each decoded MJPEG chunk is a complete JPEG — mean luma via
+        // the public image-codec path (1 grid cell = whole frame)
+        def q(frame: Array[Byte]): Long = math.round(
+          M.ImageIoCodec.decodeFeatures(frame, 1)(0) * 255.0 / 32.0)
+        (id, fmt, w, h, nf, durMs, q(decoded.head), q(decoded.last))
+      }).toDF("doc_id", "fmt", "width", "height", "n_frames", "duration_ms",
+        "luma_q_first", "luma_q_last")
+  }
+
   /** Token counting: whitespace + BPE-ish regex counts. */
   def textTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
@@ -2383,6 +2428,7 @@ object Queries {
     "multimodal_resize" -> multimodalResize _,
     "multimodal_frames" -> multimodalFrames _,
     "multimodal_audio" -> multimodalAudio _,
+    "multimodal_video" -> multimodalVideo _,
     "text_tokens" -> textTokens _,
     "text_quality" -> textQuality _,
     "text_entropy" -> textEntropy _,

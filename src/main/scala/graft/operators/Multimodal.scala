@@ -18,13 +18,16 @@ import org.apache.spark.sql.functions._
  * round-trip, codec state reusable across a partition's records.
  * Codecs are pluggable behind [[Codec]]: [[ImageIoCodec]] is a REAL
  * pure-JVM image path (javax.imageio — PNG/BMP/GIF/JPEG ship with the
- * JDK, no new dependencies); [[FakeCodec]] is the deterministic
- * md5-derived stand-in for formats the JVM cannot decode (audio/video
- * — this container ships no media libraries). The default
- * [[AutoCodec]] probes each payload and routes: decodable images get
- * real features/resizes, everything else degrades to the stub, so the
+ * JDK, no new dependencies), [[WavCodec]] the REAL audio path
+ * (javax.sound — WAV/AIFF/AU), [[AviCodec]] the REAL video path
+ * (MJPEG-in-AVI: a RIFF chunk walk + the shipped JPEG decoder per
+ * frame); [[FakeCodec]] is the deterministic md5-derived stand-in for
+ * formats the JVM genuinely cannot decode (H.264/VP9 etc. need native
+ * codecs this container does not ship). The default [[AutoCodec]]
+ * probes each payload and routes: decodable payloads get real
+ * features/resizes, everything else degrades to the stub, so the
  * catalog's text-payload oracle is unaffected while real fixtures
- * exercise the real path (MultimodalSpec).
+ * exercise the real paths (MultimodalSpec).
  */
 object Multimodal {
 
@@ -352,12 +355,215 @@ object Multimodal {
     }
   }
 
+  /**
+   * REAL video codec on nothing but the JDK: MJPEG-in-AVI. The AVI
+   * RIFF container (public format: `RIFF('AVI ' LIST('hdrl' avih
+   * LIST('strl' strh strf)) LIST('movi' '00dc'…) idx1)`) is a plain
+   * little-endian chunk walk, and each MJPEG frame chunk is a
+   * complete JPEG — which `javax.imageio` decodes. So the one video
+   * family a JVM can genuinely handle end-to-end is motion-JPEG:
+   * parse the container, decode frames with the shipped JPEG codec.
+   *
+   * Features are per-frame grid luminances ([[ImageIoCodec]]'s
+   * kernel) averaged over ≤ 4 evenly-spaced frames. `resize`
+   * re-encodes EVERY frame at (w, h) into a fresh MJPEG AVI — a real
+   * video resize. [[encodeAvi]] writes a minimal standard-compliant
+   * MJPEG AVI (avih/strh/strf headers, '00dc' keyframe chunks, idx1
+   * index), so encode→decode loops are testable without fixtures.
+   * Anything that is not an MJPEG/DIB AVI (H.264 etc. need native
+   * codecs the JDK does not ship) stays a documented boundary and
+   * degrades to [[FakeCodec]] in [[AutoCodec]].
+   */
+  object AviCodec extends Codec {
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    /** Parsed container: dims, timing and the raw frame chunks
+      * ('00dc'/'01dc' compressed = JPEG under MJPG; '00db' = raw DIB,
+      * kept as bytes — callers decode via [[frameImage]]). */
+    final case class AviInfo(width: Int, height: Int, usPerFrame: Long,
+                             nFrames: Int, handler: String,
+                             frames: IndexedSeq[Array[Byte]]) {
+      def durationMs: Long =
+        if (nFrames <= 0) 0L else usPerFrame * nFrames / 1000L
+    }
+
+    private def fourcc(s: String): Int =
+      (s(0) & 0xff) | ((s(1) & 0xff) << 8) | ((s(2) & 0xff) << 16) | ((s(3) & 0xff) << 24)
+    private val RIFF = fourcc("RIFF"); private val AVI = fourcc("AVI ")
+    private val LIST = fourcc("LIST"); private val HDRL = fourcc("hdrl")
+    private val AVIH = fourcc("avih"); private val STRL = fourcc("strl")
+    private val STRH = fourcc("strh"); private val STRF = fourcc("strf")
+    private val MOVI = fourcc("movi"); private val VIDS = fourcc("vids")
+    private val IDX1 = fourcc("idx1")
+
+    /** Walk the RIFF tree. Defensive: any structural violation →
+      * None (the payload simply is not an AVI). */
+    def tryParse(bytes: Array[Byte]): Option[AviInfo] =
+      try {
+        val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        if (b.remaining < 12 || b.getInt() != RIFF) return None
+        val riffEnd = math.min(bytes.length.toLong, 8L + (b.getInt() & 0xffffffffL)).toInt
+        if (b.getInt() != AVI) return None
+        var width = 0; var height = 0; var usPerFrame = 0L; var nFrames = 0
+        var handler = ""
+        val frames = IndexedSeq.newBuilder[Array[Byte]]
+        def walk(limit: Int): Unit =
+          while (b.position() + 8 <= limit) {
+            val id = b.getInt(); val size = b.getInt() & 0xffffffffL
+            val dataStart = b.position()
+            val dataEnd = math.min(limit.toLong, dataStart + size).toInt
+            if (id == LIST) {
+              val kind = b.getInt()
+              if (kind == HDRL || kind == STRL || kind == MOVI) walk(dataEnd)
+            } else if (id == AVIH && size >= 40) {
+              usPerFrame = b.getInt() & 0xffffffffL
+              b.getInt(); b.getInt(); b.getInt() // maxBytesPerSec, padding, flags
+              nFrames = b.getInt()
+              b.getInt(); b.getInt(); b.getInt() // initialFrames, streams, bufSize
+              width = b.getInt(); height = b.getInt()
+            } else if (id == STRH && size >= 32) {
+              val fccType = b.getInt(); val fccHandler = b.getInt()
+              if (fccType == VIDS) {
+                val hc = new Array[Byte](4)
+                ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+                  .putInt(fccHandler).flip().get(hc)
+                handler = new String(hc, "US-ASCII").trim
+              }
+            } else if ((id & 0xffff0000) == 0x63640000 || // "__dc"
+                       (id & 0xffff0000) == 0x62640000) { // "__db"
+              val f = new Array[Byte](dataEnd - dataStart)
+              b.get(f)
+              frames += f
+            } else if (id == IDX1 || id == STRF) {
+              () // strf dims duplicate avih's; idx1 is an offset table
+            }
+            // chunks are word-aligned; clamp for a final odd-size chunk
+            b.position(math.min(bytes.length, dataEnd + (dataEnd & 1)))
+          }
+        walk(riffEnd)
+        val fs = frames.result()
+        if (width <= 0 || height <= 0 || fs.isEmpty) None
+        else Some(AviInfo(width, height,
+          if (usPerFrame > 0) usPerFrame else 33333L,
+          if (nFrames > 0) nFrames else fs.size, handler, fs))
+      } catch { case _: Exception => None }
+
+    /** Header-only probe: (container format, width, height, nFrames,
+      * durationMs) — the video analogue of [[WavCodec.audioMeta]]. */
+    def videoMeta(bytes: Array[Byte]): Option[(String, Int, Int, Int, Long)] =
+      tryParse(bytes).map { i =>
+        (s"avi/${if (i.handler.isEmpty) "mjpg" else i.handler.toLowerCase}",
+          i.width, i.height, i.nFrames, i.durationMs)
+      }
+
+    /** Decode one frame chunk: MJPEG chunks are complete JPEGs —
+      * `javax.imageio` reads them directly. */
+    def frameImage(frame: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      ImageIoCodec.tryRead(frame)
+
+    def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val info = tryParse(bytes).getOrElse(
+        throw new IllegalArgumentException("payload is not a JVM-decodable AVI"))
+      featuresOf(info, dim)
+    }
+
+    /** Mean of per-frame grid-luma features over ≤ 4 evenly-spaced
+      * decodable frames — bounded decode cost however long the clip. */
+    private[operators] def featuresOf(info: AviInfo, dim: Int): Array[Float] = {
+      val n = info.frames.size
+      val picks = if (n <= 4) info.frames.indices
+        else Seq(0, n / 3, 2 * n / 3, n - 1)
+      val per = picks.flatMap(i => frameImage(info.frames(i)))
+        .map(ImageIoCodec.featuresOf(_, dim))
+      if (per.isEmpty)
+        throw new IllegalArgumentException("no JVM-decodable frames in AVI")
+      Array.tabulate(dim)(d => per.map(_(d)).sum / per.size)
+    }
+
+    /** Re-encode every frame at (w, h): decode JPEG → raster resize →
+      * JPEG → fresh MJPEG AVI at the source frame rate. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val info = tryParse(bytes).getOrElse(
+        throw new IllegalArgumentException("payload is not a JVM-decodable AVI"))
+      val fps = math.max(1, math.round(1e6 / info.usPerFrame).toInt)
+      val out = info.frames.flatMap(frameImage).map { img =>
+        val scaled = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val gfx = scaled.createGraphics()
+        try gfx.drawImage(img, 0, 0, w, h, null) finally gfx.dispose()
+        encodeJpeg(scaled)
+      }
+      encodeAvi(out, w, h, fps)
+    }
+
+    /** Deterministic JPEG bytes (ImageIO's shipped writer, default
+      * quantization — no timestamps or variable metadata). */
+    def encodeJpeg(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+
+    /** Minimal standard MJPEG AVI: RIFF(hdrl(avih, strl(strh, strf)),
+      * movi('00dc' per frame), idx1). Every field little-endian;
+      * chunks word-aligned; idx1 offsets relative to the 'movi'
+      * fourcc (the common convention). */
+    def encodeAvi(jpegFrames: Seq[Array[Byte]], w: Int, h: Int,
+                  fps: Int): Array[Byte] = {
+      require(jpegFrames.nonEmpty && fps > 0, "encodeAvi: frames and fps required")
+      val bo = new java.io.ByteArrayOutputStream()
+      def le32(v: Long): Unit = {
+        bo.write((v & 0xff).toInt); bo.write(((v >> 8) & 0xff).toInt)
+        bo.write(((v >> 16) & 0xff).toInt); bo.write(((v >> 24) & 0xff).toInt)
+      }
+      def cc(s: String): Unit = bo.write(s.getBytes("US-ASCII"))
+      val n = jpegFrames.size
+      val maxFrame = jpegFrames.map(_.length).max
+      def padded(len: Int) = len + (len & 1)
+      val moviData = 4 + jpegFrames.map(f => 8 + padded(f.length)).sum
+      val idx1Size = 16 * n
+      val hdrlData = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val riffSize = 4 + (8 + hdrlData) + (8 + moviData) + (8 + idx1Size)
+      cc("RIFF"); le32(riffSize); cc("AVI ")
+      cc("LIST"); le32(hdrlData); cc("hdrl")
+      cc("avih"); le32(56)
+      le32(1000000L / fps); le32(maxFrame.toLong * fps); le32(0)
+      le32(0x10) /* AVIF_HASINDEX */; le32(n); le32(0); le32(1); le32(maxFrame)
+      le32(w); le32(h); le32(0); le32(0); le32(0); le32(0)
+      cc("LIST"); le32(4 + (8 + 56) + (8 + 40)); cc("strl")
+      cc("strh"); le32(56)
+      cc("vids"); cc("MJPG"); le32(0); le32(0); le32(0)
+      le32(1); le32(fps) /* scale/rate */; le32(0); le32(n); le32(maxFrame)
+      le32(0xffffffffL) /* quality */; le32(0)
+      le32(0); le32((h.toLong << 16) | w) /* rcFrame {0,0,w,h} */
+      cc("strf"); le32(40)
+      le32(40); le32(w); le32(h); le32(1 | (24 << 16)) /* planes|bitcount */
+      cc("MJPG"); le32(w.toLong * h * 3); le32(0); le32(0); le32(0); le32(0)
+      cc("LIST"); le32(moviData); cc("movi")
+      val offsets = new Array[Int](n)
+      var off = 4
+      jpegFrames.zipWithIndex.foreach { case (f, i) =>
+        offsets(i) = off
+        cc("00dc"); le32(f.length); bo.write(f)
+        if ((f.length & 1) == 1) bo.write(0)
+        off += 8 + padded(f.length)
+      }
+      cc("idx1"); le32(idx1Size)
+      jpegFrames.zipWithIndex.foreach { case (f, i) =>
+        cc("00dc"); le32(0x10) /* AVIIF_KEYFRAME */
+        le32(offsets(i)); le32(f.length)
+      }
+      bo.toByteArray
+    }
+  }
+
   /** Default codec: decodable images take the REAL javax.imageio path,
     * audio-kind payloads that parse as WAV/AIFF/AU take the REAL
-    * javax.sound path, everything else (video/undecodable bytes)
-    * degrades to the deterministic stub — so pipelines run end-to-end
-    * regardless of payload mix, and text-payload oracles are
-    * unchanged. */
+    * javax.sound path, video-kind payloads that parse as MJPEG AVI
+    * take the REAL [[AviCodec]] path, everything else (exotic
+    * containers/undecodable bytes) degrades to the deterministic stub
+    * — so pipelines run end-to-end regardless of payload mix, and
+    * text-payload oracles are unchanged. */
   object AutoCodec extends Codec {
     def decodeFeatures(bytes: Array[Byte], dim: Int): Array[Float] =
       ImageIoCodec.tryRead(bytes) match {
@@ -371,6 +577,11 @@ object Multimodal {
       else if (kind == "audio")
         WavCodec.tryReadMono(bytes) match {
           case Some((_, mono)) => WavCodec.featuresOf(mono, dim)
+          case None => FakeCodec.decodeFeatures(bytes, dim)
+        }
+      else if (kind == "video")
+        AviCodec.tryParse(bytes) match {
+          case Some(info) => AviCodec.featuresOf(info, dim)
           case None => FakeCodec.decodeFeatures(bytes, dim)
         }
       else FakeCodec.decodeFeatures(bytes, dim)
@@ -447,12 +658,30 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRecord], intervalMs: Long = 1000L): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").mapPartitions(_.flatMap { m =>
-      val n = math.max(1L, (m.meta.durationMs + intervalMs - 1) / intervalMs).toInt
-      val chunk = math.max(1, m.bytes.length / n)
-      (0 until n).iterator.map { i =>
-        val from = math.min(i * chunk, m.bytes.length)
-        val until = math.min(from + chunk, m.bytes.length)
-        Frame(m.mediaId, i, i * intervalMs, java.util.Arrays.copyOfRange(m.bytes, from, until))
+      Multimodal.AviCodec.tryParse(m.bytes) match {
+        case Some(info) =>
+          // REAL container: each interval tick yields the TRUE frame
+          // chunk covering that timestamp (a complete JPEG under
+          // MJPEG) — no re-encode, just the container's bytes
+          val n = math.max(1L,
+            (info.durationMs + intervalMs - 1) / intervalMs).toInt
+          (0 until n).iterator.map { i =>
+            val ts = i * intervalMs
+            val idx = math.min(info.frames.size - 1,
+              (ts * 1000L / info.usPerFrame).toInt)
+            Frame(m.mediaId, i, ts, info.frames(idx))
+          }
+        case None =>
+          // undecodable container: deterministic byte-chunk fan-out
+          // driven by the DECLARED duration (oracle-replayable)
+          val n = math.max(1L, (m.meta.durationMs + intervalMs - 1) / intervalMs).toInt
+          val chunk = math.max(1, m.bytes.length / n)
+          (0 until n).iterator.map { i =>
+            val from = math.min(i * chunk, m.bytes.length)
+            val until = math.min(from + chunk, m.bytes.length)
+            Frame(m.mediaId, i, i * intervalMs,
+              java.util.Arrays.copyOfRange(m.bytes, from, until))
+          }
       }
     })
   }
@@ -471,6 +700,25 @@ object Multimodal {
       else WavCodec.audioMeta(m.bytes) match {
         case Some((fmt, rate, _, durMs)) =>
           m.copy(meta = m.meta.copy(format = fmt, sampleRate = rate,
+            durationMs = durMs))
+        case None => m
+      }
+    })
+  }
+
+  /** Metadata BACKFILL from payload probe, video flavor: video-kind
+    * records whose payload parses as a real AVI get format / width /
+    * height / durationMs corrected from the DECODED container headers
+    * (no frame decode — the header walk is the whole cost). Non-video
+    * kinds and undecodable payloads pass through untouched, same
+    * contract as [[probeAudioMeta]]. */
+  def probeVideoMeta(media: Dataset[MediaRecord]): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      if (m.kind != "video") m
+      else AviCodec.videoMeta(m.bytes) match {
+        case Some((fmt, w, h, _, durMs)) =>
+          m.copy(meta = m.meta.copy(format = fmt, width = w, height = h,
             durationMs = durMs))
         case None => m
       }

@@ -218,6 +218,78 @@ class MultimodalSpec extends SparkSpecBase {
     assert(out(2).meta.durationMs === 3500L, "non-audio kinds pass through")
   }
 
+  private def solidJpeg(v: Int, w: Int = 48, h: Int = 32): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gfx = img.createGraphics()
+    try { gfx.setColor(new java.awt.Color(v, v, v)); gfx.fillRect(0, 0, w, h) }
+    finally gfx.dispose()
+    AviCodec.encodeJpeg(img)
+  }
+
+  test("real MJPEG AVI decodes through the RIFF walk + javax.imageio (no stub)") {
+    val levels = Seq(32, 96, 160, 224)
+    val avi = AviCodec.encodeAvi(levels.map(solidJpeg(_)), 48, 32, fps = 4)
+    // header metadata is exact
+    val Some((fmt, w, h, nf, durMs)) = AviCodec.videoMeta(avi)
+    assert(fmt === "avi/mjpg" && w === 48 && h === 32 && nf === 4 && durMs === 1000L)
+    // every frame decodes to its encoded gray level within JPEG
+    // DC-quantization error (≪ half a 32-level step)
+    val info = AviCodec.tryParse(avi).get
+    val lumas = info.frames.map(f => ImageIoCodec.decodeFeatures(f, 1)(0) * 255.0)
+    levels.zip(lumas).foreach { case (v, l) =>
+      assert(math.abs(l - v) < 8.0, s"level $v decoded $l") }
+    // features route through the REAL path in AutoCodec, so two AVIs
+    // with different content must differ (the stub would differ too,
+    // but the real path must match the frame lumas)
+    val feats = AutoCodec.decodeFeatures("video", avi, 4)
+    assert(math.abs(feats.sum / 4 - lumas.sum / 4 / 255.0) < 0.05)
+    // non-AVI video payloads still degrade to the deterministic stub
+    val junk = "notavideo".getBytes("UTF-8")
+    assert(AutoCodec.decodeFeatures("video", junk, 4).toSeq ===
+      FakeCodec.decodeFeatures(junk, 4).toSeq)
+  }
+
+  test("AVI resize re-encodes every frame at the target dims; sampleFrames extracts true chunks") {
+    val avi = AviCodec.encodeAvi(Seq(solidJpeg(64), solidJpeg(192)), 48, 32, fps = 2)
+    val resized = AviCodec.resize(avi, 24, 16)
+    val Some((_, w2, h2, nf2, _)) = AviCodec.videoMeta(resized)
+    assert(w2 === 24 && h2 === 16 && nf2 === 2)
+    val l2 = AviCodec.tryParse(resized).get.frames
+      .map(f => ImageIoCodec.decodeFeatures(f, 1)(0) * 255.0)
+    assert(math.abs(l2(0) - 64) < 10 && math.abs(l2(1) - 192) < 10)
+
+    // a REAL AVI payload in sampleFrames yields the container's true
+    // JPEG chunks (decodable frames), not byte slices
+    val rec = MediaRecord(7L, "video", avi,
+      MediaMeta("raw", 48, 32, 0, 1000L, avi.length.toLong, FakeCodec.md5Hex(avi)))
+    val frames = sampleFrames(Seq(rec).toDS(), intervalMs = 500L)
+      .collect().sortBy(_.frameIdx)
+    assert(frames.length === 2 && frames.map(_.tsMs).toSeq === Seq(0L, 500L))
+    val fl = frames.map(f => ImageIoCodec.decodeFeatures(f.bytes, 1)(0) * 255.0)
+    assert(math.abs(fl(0) - 64) < 8 && math.abs(fl(1) - 192) < 8)
+    // non-AVI payloads keep the declared-duration byte-chunk fan-out
+    val fake = mk(8L, "video", "0123456789", 640, 480, 0, 3500L)
+    assert(sampleFrames(Seq(fake).toDS(), 1000L).count() === 4)
+  }
+
+  test("probeVideoMeta backfills decoded container metadata, leaves others untouched") {
+    val avi = AviCodec.encodeAvi(Seq(solidJpeg(128)), 48, 32, fps = 4)
+    val real = MediaRecord(40L, "video", avi,
+      MediaMeta("raw", 0, 0, 0, 9999L, avi.length.toLong, FakeCodec.md5Hex(avi)))
+    val recs = Seq(real,
+      mk(41L, "video", "notavideo", 640, 480, 0, 2500L), // undecodable
+      mk(42L, "audio", "abytes", 0, 0, 16000, 3500L)     // wrong kind
+    ).toDS()
+    val out = probeVideoMeta(recs).collect().sortBy(_.mediaId)
+    assert(out(0).meta.format === "avi/mjpg" && out(0).meta.width === 48 &&
+      out(0).meta.height === 32 && out(0).meta.durationMs === 250L)
+    assert(out(0).bytes.toSeq === avi.toSeq, "payload must be untouched")
+    assert(out(1).meta.width === 640 && out(1).meta.durationMs === 2500L,
+      "failed probe must not clobber declared metadata")
+    assert(out(2).meta.durationMs === 3500L, "non-video kinds pass through")
+  }
+
   test("binaryFiles source: glob filter, size guard, metadata-only prunes content") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bin").toFile
     try {
