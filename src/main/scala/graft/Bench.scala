@@ -51,7 +51,9 @@ object Bench {
     "agg_maintain", "dd_quantile_portable",
     "snapshot_timetravel", "snapshot_pruned", "snapshot_delta",
     "snapshot_point", "snapshot_dml", "snapshot_mor", "snapshot_agg", "snapshot_agg_mor",
-    "snapshot_evolution", "snapshot_sql_tvf", "snapshot_relayout",
+    "snapshot_evolution", "snapshot_evolution_compact", "snapshot_sql_tvf",
+    "snapshot_history_tvf", "snapshot_changes_tag", "snapshot_dsv2",
+    "snapshot_dsv2_write", "snapshot_relayout",
     "fuzzy_names", "fuzzy_names_jw", "fuzzy_names_multi",
     "sample_weighted_group", "q_rolling", "q_anomaly", "text_blocklist",
     "q_funnel", "q_cohort", "q_event_bigrams", "q_scd2", "q_scd2_apply", "q_pagerank",

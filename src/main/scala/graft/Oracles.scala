@@ -2761,6 +2761,18 @@ object Oracles {
     // graft OPTIONS (versionAsOf '3') → SQL WHERE (pushdown → manifest
     // file skipping); the oracle replays both change sets + the
     // filter, so hash equality proves connector ≡ Scala API ≡ oracle
+    // DSv2 catalog WRITE: one SQL INSERT re-delivers every %9==4 doc
+    // with revised text/chars; on a keyed table INSERT is the merge
+    // commit (upsert), so the oracle replays the upsert relationally
+    // — hash equality proves SQL INSERT ≡ the transactional Scala
+    // merge, key semantics included
+    "snapshot_dsv2_write" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 4 THEN text || ' [ins]' ELSE text END AS text,
+        |  lang, source,
+        |  CASE WHEN doc_id % 9 = 4 THEN n_chars + 9 ELSE n_chars END AS n_chars
+        |FROM documents""".stripMargin,
+
     "snapshot_dsv2" ->
       """WITH s1 AS (
         |  SELECT doc_id,

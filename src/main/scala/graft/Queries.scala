@@ -2128,6 +2128,36 @@ object Queries {
       "FROM graft_dsv2_docs WHERE doc_id BETWEEN 100 AND 299")
   }
 
+  private val snapshotDsv2WriteMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** DATASOURCE-V2 WRITE through the session catalog: `CREATE TABLE …
+    * USING graft LOCATION …` then one plain-SQL `INSERT INTO …
+    * SELECT` — the V1Write bridge lands the frame driver-side and
+    * commits it as a [[Snapshot.merge]] (upsert on the table key,
+    * under the commit lock, constraints enforced). The inserted batch
+    * re-delivers every doc_id%9==4 document with revised text/chars,
+    * so the oracle replays the upsert relationally: hash equality
+    * proves SQL INSERT ≡ the Scala merge commit, key semantics
+    * included. */
+  def snapshotDsv2Write(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotDsv2WriteMemo.computeIfAbsent(dir, _ => {
+      val path = scratch("snapshot_dsv2w", dir)
+      val docs = t(s, dir, "documents")
+      Snapshot.create(s, path, docs, key = "doc_id", partitionCol = "source")
+      s.sql("DROP TABLE IF EXISTS graft_dsv2_docs_w")
+      s.sql(s"CREATE TABLE graft_dsv2_docs_w USING graft LOCATION '$path'")
+      docs.filter(col("doc_id") % 9 === 4)
+        .withColumn("text", concat(col("text"), lit(" [ins]")))
+        .withColumn("n_chars", col("n_chars") + 9)
+        .createOrReplaceTempView("graft_dsv2_ins_batch")
+      s.sql("INSERT INTO graft_dsv2_docs_w SELECT * FROM graft_dsv2_ins_batch")
+      path
+    })
+    Snapshot.readLatest(s, p)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** TIME TRAVEL over the versioned snapshot table: after three
     * commits (create, merge, merge), read the table AS OF v2 — the
     * later commit must be invisible and v2's bytes still live. The
@@ -2489,6 +2519,7 @@ object Queries {
     "snapshot_history_tvf" -> snapshotHistoryTvf _,
     "snapshot_changes_tag" -> snapshotChangesTag _,
     "snapshot_dsv2" -> snapshotDsv2 _,
+    "snapshot_dsv2_write" -> snapshotDsv2Write _,
     "snapshot_relayout" -> snapshotRelayout _,
     "snapshot_timetravel" -> snapshotTimetravel _,
     "snapshot_pruned" -> snapshotPruned _,

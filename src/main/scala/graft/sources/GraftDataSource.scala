@@ -4,9 +4,10 @@ import graft.operators.Snapshot
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types.StructType
@@ -45,11 +46,17 @@ import java.util.{Map => JMap, Set => JSet}
  * files driver-side before a single task launches, then row-group
  * stats inside the surviving files prune again executor-side.
  *
- * Read-only by design: writes go through the transactional commit
- * protocol ([[Snapshot.create]]/merge/DML/[[graft.sinks.Writers]]'
- * snapshot sink) — a blind INSERT path that bypassed constraints,
- * guards, expectations and the commit lock would be a correctness
- * hole, so none is offered.
+ * Writes ride the SAME transactional commit protocol: `INSERT INTO`
+ * (and `df.writeTo(t).append()`) bridges through [[V1Write]]'s
+ * `InsertableRelation` — the incoming DataFrame lands driver-side and
+ * goes straight into [[Snapshot.merge]], so the commit lock, CHECK
+ * constraints, guards, expectations and schema evolution mapping all
+ * apply exactly as for the Scala API. On a KEYED table format INSERT
+ * therefore has UPSERT semantics (matching keys replace — the
+ * format's one write primitive; a blind duplicate-key append would
+ * violate the key contract, so none is offered). `INSERT OVERWRITE`
+ * is rejected (use the DML/relayout commits), as is inserting through
+ * a `versionAsOf`/`tag`-pinned reference (writing to the past).
  */
 class GraftDataSource extends TableProvider with DataSourceRegister {
 
@@ -68,7 +75,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
                         properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val (path, version) = GraftDataSource.resolve(opts)
-    new GraftTable(path, version)
+    val pinned = opts.containsKey("versionAsOf") || opts.containsKey("tag")
+    new GraftTable(path, version, pinned)
   }
 }
 
@@ -116,16 +124,51 @@ object GraftDataSource {
   }
 }
 
-private[graft] class GraftTable(path: String, version: Int)
-  extends Table with SupportsRead {
+private[graft] class GraftTable(path: String, version: Int,
+                                pinned: Boolean = false)
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft.`$path`@v$version"
   override def schema(): StructType = GraftDataSource.logicalSchema(path, version)
-  override def capabilities(): JSet[TableCapability] =
-    java.util.Collections.singleton(TableCapability.BATCH_READ)
+  override def capabilities(): JSet[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability]()
+    caps.add(TableCapability.BATCH_READ)
+    caps.add(TableCapability.V1_BATCH_WRITE)
+    caps
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, version, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(path, pinned)
+}
+
+/** `INSERT INTO` through the transactional path: the V1 write bridge
+  * hands the whole incoming DataFrame to the driver, which commits it
+  * as a [[Snapshot.merge]] — upsert on the table key, under the
+  * commit lock, with constraints/guards/expectations enforced and the
+  * evolution column mapping applied. Everything a blind file-append
+  * path would have bypassed. */
+private[graft] class GraftWriteBuilder(path: String, pinned: Boolean)
+  extends WriteBuilder {
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+          require(!pinned,
+            "graft: cannot INSERT through a versionAsOf/tag-pinned reference " +
+              "— address the table without time-travel options to write")
+          require(!overwrite,
+            "graft: INSERT OVERWRITE is not supported — predicate DML " +
+              "(deleteWhere/updateWhere) and relayout are the rewrite commits")
+          val m = Snapshot.readManifest(path, Snapshot.currentVersion(path))
+          Snapshot.merge(data.sparkSession, path, data,
+            data.limit(0).select(m.key))
+        }
+      }
+  }
 }
 
 private[graft] class GraftScanBuilder(path: String, version: Int,

@@ -112,6 +112,73 @@ class GraftDataSourceSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_cat")
   }
 
+  test("INSERT INTO through the connector: upsert-on-key semantics, transactional commit") {
+    val t = fresh("write")
+    seed(t)
+    spark.sql("DROP TABLE IF EXISTS graft_dsv2_w")
+    spark.sql(s"CREATE TABLE graft_dsv2_w USING graft LOCATION '$t'")
+    try {
+      // one INSERT: a brand-new key AND an existing key (upsert)
+      spark.sql("INSERT INTO graft_dsv2_w VALUES " +
+        "(100, 'pay_100', 'p3'), (2, 'pay_2v2', 'p0')")
+      val after = rowsOf(Snapshot.readLatest(spark, t))
+      assert(after.contains((100L, "pay_100", "p3")))
+      assert(after.contains((2L, "pay_2v2", "p0")) &&
+        !after.contains((2L, "pay_2", "p0")), "existing key must upsert")
+      assert(after.size == 41, "40 seed rows + 1 new key")
+      // the write was a real COMMIT: a new version in the log
+      assert(Snapshot.currentVersion(t) == 2)
+      assert(Snapshot.history(t).last._2 == "merge")
+      // df.writeTo(...).append() rides the same path
+      Seq((101L, "pay_101", "p3")).toDF("id", "payload", "part")
+        .writeTo("graft_dsv2_w").append()
+      assert(Snapshot.currentVersion(t) == 3 &&
+        rowsOf(Snapshot.readLatest(spark, t)).contains((101L, "pay_101", "p3")))
+      // INSERT OVERWRITE is rejected (the format's rewrites are DML
+      // commits, not blind truncation)
+      val e = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE graft_dsv2_w VALUES (1, 'x', 'p0')")
+      }
+      assert(e.getMessage != null)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_w")
+  }
+
+  test("INSERT enforces the table's transactional gates; pinned references reject writes") {
+    val t = fresh("gates")
+    val df = (0 until 10).map(i => (i.toLong, s"pay_$i", s"p${i / 5}"))
+      .toDF("id", "payload", "part")
+    Snapshot.create(spark, t, df, key = "id", partitionCol = "part",
+      constraints = Map("pos_id" -> "id >= 0"))
+    spark.sql("DROP TABLE IF EXISTS graft_dsv2_g")
+    spark.sql(s"CREATE TABLE graft_dsv2_g USING graft LOCATION '$t'")
+    try {
+      // a CHECK-violating INSERT must be rejected BEFORE anything lands
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO graft_dsv2_g VALUES (-5, 'bad', 'p0')")
+      }
+      assert(e.toString.contains("pos_id") ||
+        Option(e.getCause).exists(_.toString.contains("pos_id")),
+        s"expected the constraint name in: $e")
+      assert(Snapshot.currentVersion(t) == 1, "rejected insert must not commit")
+      // a time-travel-pinned reference cannot be written through
+      spark.sql("DROP TABLE IF EXISTS graft_dsv2_p")
+      spark.sql(s"CREATE TABLE graft_dsv2_p USING graft " +
+        s"OPTIONS (versionAsOf '1') LOCATION '$t'")
+      val pinned = intercept[Exception] {
+        spark.sql("INSERT INTO graft_dsv2_p VALUES (50, 'x', 'p0')")
+      }
+      def anyMsg(e: Throwable): String =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(_.toString).mkString(" | ")
+      assert(anyMsg(pinned).contains("pinned"),
+        s"expected the pinned-reference error in: ${anyMsg(pinned)}")
+      assert(Snapshot.currentVersion(t) == 1)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_dsv2_g")
+      spark.sql("DROP TABLE IF EXISTS graft_dsv2_p")
+    }
+  }
+
   test("DV masking and column mapping survive the connector: merge-on-read delete + rename read through format(graft)") {
     val t = fresh("dvmap")
     seed(t)
