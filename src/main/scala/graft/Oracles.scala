@@ -2773,6 +2773,14 @@ object Oracles {
         |  CASE WHEN doc_id % 9 = 4 THEN n_chars + 9 ELSE n_chars END AS n_chars
         |FROM documents""".stripMargin,
 
+    // DSv2 catalog DELETE: one SQL range delete + one equality delete
+    // through SupportsDelete → the predicate-DML commits; the oracle
+    // replays both — hash equality proves SQL DELETE ≡ Scala DML
+    "snapshot_dsv2_delete" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents
+        |WHERE doc_id NOT BETWEEN 150 AND 199 AND doc_id <> 301""".stripMargin,
+
     "snapshot_dsv2" ->
       """WITH s1 AS (
         |  SELECT doc_id,

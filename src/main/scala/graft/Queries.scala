@@ -2158,6 +2158,31 @@ object Queries {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  private val snapshotDsv2DeleteMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** DATASOURCE-V2 DELETE through the session catalog: plain-SQL
+    * `DELETE FROM … WHERE` rides `SupportsDelete` into the
+    * file-granularity predicate-DML commit ([[Snapshot.deleteWhere]]
+    * — manifest pruning picks candidate files, only those rewrite,
+    * one atomic version each). One range delete + one equality
+    * delete; the oracle replays both relationally, so hash equality
+    * proves SQL DELETE ≡ the transactional Scala DML. */
+  def snapshotDsv2Delete(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotDsv2DeleteMemo.computeIfAbsent(dir, _ => {
+      val path = scratch("snapshot_dsv2d", dir)
+      Snapshot.create(s, path, t(s, dir, "documents"), key = "doc_id",
+        partitionCol = "source", statsCols = Seq("doc_id"), fileRanges = 8)
+      s.sql("DROP TABLE IF EXISTS graft_dsv2_docs_d")
+      s.sql(s"CREATE TABLE graft_dsv2_docs_d USING graft LOCATION '$path'")
+      s.sql("DELETE FROM graft_dsv2_docs_d WHERE doc_id >= 150 AND doc_id <= 199")
+      s.sql("DELETE FROM graft_dsv2_docs_d WHERE doc_id = 301")
+      path
+    })
+    Snapshot.readLatest(s, p)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** TIME TRAVEL over the versioned snapshot table: after three
     * commits (create, merge, merge), read the table AS OF v2 — the
     * later commit must be invisible and v2's bytes still live. The
@@ -2520,6 +2545,7 @@ object Queries {
     "snapshot_changes_tag" -> snapshotChangesTag _,
     "snapshot_dsv2" -> snapshotDsv2 _,
     "snapshot_dsv2_write" -> snapshotDsv2Write _,
+    "snapshot_dsv2_delete" -> snapshotDsv2Delete _,
     "snapshot_relayout" -> snapshotRelayout _,
     "snapshot_timetravel" -> snapshotTimetravel _,
     "snapshot_pruned" -> snapshotPruned _,

@@ -4,7 +4,7 @@ import graft.operators.Snapshot
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
@@ -126,7 +126,7 @@ object GraftDataSource {
 
 private[graft] class GraftTable(path: String, version: Int,
                                 pinned: Boolean = false)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   override def name(): String = s"graft.`$path`@v$version"
   override def schema(): StructType = GraftDataSource.logicalSchema(path, version)
@@ -142,6 +142,27 @@ private[graft] class GraftTable(path: String, version: Int,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, pinned)
+
+  /** `DELETE FROM t WHERE …` → the file-granularity predicate-DML
+    * commit ([[Snapshot.deleteWhere]]): bounded range/equality
+    * conjunctions delete transactionally (manifest pruning picks the
+    * candidate files, only those rewrite, guards enforced, one atomic
+    * version). Predicates the range form cannot express are REFUSED
+    * at analysis ([[canDeleteWhere]]) with a clear error rather than
+    * silently mis-deleted. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !pinned && GraftFilters.toRangePreds(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(!pinned,
+      "graft: cannot DELETE through a versionAsOf/tag-pinned reference")
+    val preds = GraftFilters.toRangePreds(filters).getOrElse(
+      throw new IllegalArgumentException(
+        "graft: DELETE supports conjunctions of bounded ranges and " +
+          "equality (col = v, col BETWEEN lo AND hi) — rewrite the " +
+          "predicate or use the Scala DML API"))
+    Snapshot.deleteWhere(SparkSession.active, path, preds)
+  }
 }
 
 /** `INSERT INTO` through the transactional path: the V1 write bridge
@@ -264,6 +285,37 @@ private[graft] object GraftFilters {
       for (cl <- toColumn(l); cr <- toColumn(r)) yield cl || cr
     case Not(c) => toColumn(c).map(!_)
     case _ => None
+  }
+
+  /** DELETE-predicate translation: the conjunct array as
+    * [[graft.operators.Snapshot.deleteWhere]]'s bounded (col, lo, hi)
+    * ranges — `EqualTo` is a degenerate range, `>=`/`<=` halves of
+    * one column merge into one range. None when any conjunct falls
+    * outside the form (unbounded, OR, inequality on strings the
+    * range form can't bound, duplicate bounds) — the caller REFUSES
+    * rather than approximates. */
+  def toRangePreds(filters: Array[Filter]): Option[Seq[(String, Any, Any)]] = {
+    val bounds = scala.collection.mutable.LinkedHashMap[String, (Option[Any], Option[Any])]()
+    def upd(c: String, lo: Option[Any], hi: Option[Any]): Boolean = {
+      val (l0, h0) = bounds.getOrElse(c, (None, None))
+      if ((lo.isDefined && l0.isDefined) || (hi.isDefined && h0.isDefined))
+        return false // conflicting double bounds — refuse, don't guess
+      bounds(c) = (lo.orElse(l0), hi.orElse(h0))
+      true
+    }
+    val ok = filters.forall {
+      case EqualTo(c, v) if v != null            => upd(c, Some(v), Some(v))
+      case GreaterThanOrEqual(c, v) if v != null => upd(c, Some(v), None)
+      case LessThanOrEqual(c, v) if v != null    => upd(c, None, Some(v))
+      case _ => false
+    }
+    if (!ok || filters.isEmpty) None
+    else {
+      val ranges = bounds.toSeq.map { case (c, (lo, hi)) =>
+        for (l <- lo; h <- hi) yield (c, l, h)
+      }
+      if (ranges.exists(_.isEmpty)) None else Some(ranges.flatten)
+    }
   }
 
   /** Manifest entries surviving the filters' prunable conjuncts, or

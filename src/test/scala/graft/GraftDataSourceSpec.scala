@@ -179,6 +179,32 @@ class GraftDataSourceSpec extends SparkSpecBase {
     }
   }
 
+  test("DELETE FROM through the connector: the predicate-DML commit; unsupported predicates refused") {
+    val t = fresh("del")
+    seed(t)
+    spark.sql("DROP TABLE IF EXISTS graft_dsv2_d")
+    spark.sql(s"CREATE TABLE graft_dsv2_d USING graft LOCATION '$t'")
+    try {
+      spark.sql("DELETE FROM graft_dsv2_d WHERE id >= 5 AND id <= 14")
+      val after = rowsOf(Snapshot.readLatest(spark, t))
+      assert(after.size == 30 && !after.exists(r => r._1 >= 5 && r._1 <= 14))
+      // a real COMMIT: one new version, op 'delete', time travel intact
+      assert(Snapshot.currentVersion(t) == 2 &&
+        Snapshot.history(t).last._2 == "delete")
+      assert(Snapshot.readAt(spark, t, 1).count() == 40L)
+      // equality deletes ride the same range form
+      spark.sql("DELETE FROM graft_dsv2_d WHERE id = 20")
+      assert(!rowsOf(Snapshot.readLatest(spark, t)).exists(_._1 == 20L))
+      // predicates the bounded-range form cannot express are REFUSED
+      // with a clear analysis error, never approximated
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM graft_dsv2_d WHERE payload LIKE 'pay%'")
+      }
+      assert(e.getMessage != null)
+      assert(Snapshot.currentVersion(t) == 3, "refused delete must not commit")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_d")
+  }
+
   test("DV masking and column mapping survive the connector: merge-on-read delete + rename read through format(graft)") {
     val t = fresh("dvmap")
     seed(t)
