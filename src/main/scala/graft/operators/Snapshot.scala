@@ -254,6 +254,9 @@ object Snapshot {
     enforceGuards(table, m)
     val root = mapper.createObjectNode()
     root.put("version", m.version); root.put("parent", m.parent)
+    // wall-clock commit instant — the `timestampAsOf` axis; purely
+    // informational for correctness (versions are the ordering)
+    root.put("committed_at", System.currentTimeMillis())
     root.put("op", m.op); root.put("key", m.key)
     root.put("partition_col", m.partitionCol)
     val sc = root.putArray("stats_cols"); m.statsCols.foreach(sc.add)
@@ -2140,6 +2143,38 @@ object Snapshot {
       s"snapshot $table: no tag '$name' (tags: ${t.keys.toSeq.sorted.mkString(",")})")
     readAt(spark, table, t(name))
   }
+
+  /** Commit instant (epoch millis) of a retained version — 0 for
+    * manifests written before the field existed. */
+  def committedAt(table: String, version: Int): Long = {
+    val p = manifestPath(table, version)
+    require(Files.exists(p), s"snapshot $table: no retained version v$version")
+    Option(mapper.readTree(Files.readAllBytes(p)).get("committed_at"))
+      .map(_.asLong()).getOrElse(0L)
+  }
+
+  /** Latest version committed AT OR BEFORE the instant — the
+    * `timestampAsOf` axis every table format pairs with version
+    * travel ("what did the table hold when the run started?").
+    * Pre-field manifests (committed_at 0) are always eligible, so
+    * old tables resolve to their newest pre-field version rather
+    * than erroring. */
+  def versionAtTime(table: String, tsMillis: Long): Int = {
+    val cur = currentVersion(table)
+    require(cur > 0, s"snapshot $table does not exist")
+    val at = (1 to cur)
+      .filter(v => Files.exists(manifestPath(table, v)))
+      .filter(v => committedAt(table, v) <= tsMillis)
+    require(at.nonEmpty,
+      s"snapshot $table: no version committed at or before $tsMillis " +
+        s"(earliest retained: ${(1 to cur).find(v => Files.exists(manifestPath(table, v)))
+          .map(v => committedAt(table, v)).getOrElse(-1L)})")
+    at.max
+  }
+
+  /** The table as of a wall-clock instant (epoch millis). */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    readAt(spark, table, versionAtTime(table, tsMillis))
 
   // --------------------------------------- manifest-only aggregates
 

@@ -75,7 +75,8 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
                         properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val (path, version) = GraftDataSource.resolve(opts)
-    val pinned = opts.containsKey("versionAsOf") || opts.containsKey("tag")
+    val pinned = opts.containsKey("versionAsOf") || opts.containsKey("tag") ||
+      opts.containsKey("timestampAsOf")
     new GraftTable(path, version, pinned)
   }
 }
@@ -101,18 +102,27 @@ object GraftDataSource {
         "graft datasource: no 'path' — spark.read.format(\"graft\").load(<table>)"))
     val vOpt = Option(options.get("versionAsOf")).map(_.trim.toInt)
     val tOpt = Option(options.get("tag")).map(_.trim)
-    require(vOpt.isEmpty || tOpt.isEmpty,
-      "graft datasource: give versionAsOf OR tag, not both")
+    // timestampAsOf: epoch millis, or any timestamp java.sql parses
+    // ("2026-08-15 06:00:00"); resolves through the manifests'
+    // committed_at instants
+    val tsOpt = Option(options.get("timestampAsOf")).map { s =>
+      val t = s.trim
+      if (t.matches("\\d+")) t.toLong
+      else java.sql.Timestamp.valueOf(t).getTime
+    }
+    require(Seq(vOpt, tOpt, tsOpt).count(_.isDefined) <= 1,
+      "graft datasource: give ONE of versionAsOf / tag / timestampAsOf")
     val cur = Snapshot.currentVersion(path)
     require(cur > 0, s"graft datasource: no snapshot table at $path")
-    val v = tOpt match {
-      case Some(tag) =>
+    val v = (tOpt, tsOpt) match {
+      case (Some(tag), _) =>
         val t = Snapshot.tags(path)
         require(t.contains(tag),
           s"graft datasource: no tag '$tag' at $path " +
             s"(tags: ${t.keys.toSeq.sorted.mkString(",")})")
         t(tag)
-      case None => vOpt.getOrElse(cur)
+      case (None, Some(ts)) => Snapshot.versionAtTime(path, ts)
+      case _ => vOpt.getOrElse(cur)
     }
     (path, v)
   }

@@ -205,6 +205,43 @@ class GraftDataSourceSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_d")
   }
 
+  test("timestampAsOf time travel: committed_at instants resolve the version axis") {
+    val t = fresh("ts")
+    seed(t)                                    // v1
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(20)
+    Snapshot.merge(spark, t,
+      Seq((50L, "pay_50", "p3")).toDF("id", "payload", "part"),
+      Seq(1L).toDF("id"))                      // v2
+    val afterV2 = System.currentTimeMillis()
+    // instants are recorded monotonically per commit
+    assert(Snapshot.committedAt(t, 1) <= Snapshot.committedAt(t, 2))
+    assert(Snapshot.committedAt(t, 2) <= afterV2)
+    // between the commits → v1; after both → v2; before everything → error
+    assert(Snapshot.versionAtTime(t, afterV1) === 1)
+    assert(Snapshot.versionAtTime(t, afterV2) === 2)
+    intercept[IllegalArgumentException] {
+      Snapshot.versionAtTime(t, Snapshot.committedAt(t, 1) - 1000)
+    }
+    assert(rowsOf(Snapshot.readAsOf(spark, t, afterV1)) ==
+      rowsOf(Snapshot.readAt(spark, t, 1)))
+    // the DSv2 option rides the same resolution (epoch-millis form)
+    val viaOpt = spark.read.format("graft")
+      .option("timestampAsOf", afterV1.toString).load(t)
+    assert(rowsOf(viaOpt) == rowsOf(Snapshot.readAt(spark, t, 1)))
+    // a timestamp-pinned reference refuses writes like any pin
+    spark.sql("DROP TABLE IF EXISTS graft_dsv2_ts")
+    spark.sql(s"CREATE TABLE graft_dsv2_ts USING graft " +
+      s"OPTIONS (timestampAsOf '$afterV1') LOCATION '$t'")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO graft_dsv2_ts VALUES (60, 'x', 'p0')")
+      }
+      assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(_.toString.contains("pinned")))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_ts")
+  }
+
   test("DV masking and column mapping survive the connector: merge-on-read delete + rename read through format(graft)") {
     val t = fresh("dvmap")
     seed(t)
