@@ -24,6 +24,7 @@ import org.apache.spark.sql.SparkSession
  *   runMain graft.SnapshotTool tag      /data/corpus_v <name> [version] # pin a version (vacuum-proof)
  *   runMain graft.SnapshotTool untag    /data/corpus_v <name>
  *   runMain graft.SnapshotTool tags     /data/corpus_v
+ *   runMain graft.SnapshotTool as-of    /data/corpus_v '2026-08-15 03:00:00'
  *   runMain graft.SnapshotTool expect   /data/corpus_v unique:doc_id row_count:1000-1000000000
  *     # ad-hoc dataset audit of the tip, exit 1 on any failing check
  * }}}
@@ -109,6 +110,15 @@ object SnapshotTool {
       case Seq("tags", table) =>
         (Snapshot.tags(table).toSeq.sortBy(_._1)
           .map { case (n, v) => s"$n -> v$v" }, 0)
+      case Seq("as-of", table, ts) =>
+        // epoch millis or a java.sql-parseable timestamp — the CLI
+        // face of Snapshot.versionAtTime ("what version did the 03:00
+        // run read?")
+        val millis =
+          if (ts.matches("\\d+")) ts.toLong
+          else java.sql.Timestamp.valueOf(ts).getTime
+        val v = Snapshot.versionAtTime(table, millis)
+        (Seq(s"v$v (committed_at ${Snapshot.committedAt(table, v)})"), 0)
       case Seq("expect", table, checks @ _*) if checks.nonEmpty =>
         // ad-hoc dataset audit of the TIP (Expectations grammar minus
         // subset) — exit 1 on any failing check, cron/CI-gateable like

@@ -229,6 +229,9 @@ class GraftDataSourceSpec extends SparkSpecBase {
     val viaOpt = spark.read.format("graft")
       .option("timestampAsOf", afterV1.toString).load(t)
     assert(rowsOf(viaOpt) == rowsOf(Snapshot.readAt(spark, t, 1)))
+    // the ops CLI face of the same resolution
+    val (lines, code) = SnapshotTool.run(spark, Seq("as-of", t, afterV1.toString))
+    assert(code === 0 && lines.head.startsWith("v1 "), s"got: $lines")
     // a timestamp-pinned reference refuses writes like any pin
     spark.sql("DROP TABLE IF EXISTS graft_dsv2_ts")
     spark.sql(s"CREATE TABLE graft_dsv2_ts USING graft " +
