@@ -1873,31 +1873,6 @@ object Queries {
     // into its own fresh UUID subdir; nothing is ever reused.
     val inv = java.util.UUID.randomUUID().toString.take(12)
     val p = s"${scratch("agg_maintain", dir)}_inv_$inv"
-    // Opt-in sentinel (GRAFT_AGG_SENTINEL=1): append one line per
-    // invocation to a per-user path so a red driver row leaves direct
-    // evidence of the invocation pattern. Off by default — the r9
-    // forensics are concluded (single hermetic invocation proven);
-    // keep the hook for future diagnosis without leaving debug
-    // instrumentation in a world-shared tmpdir path.
-    if (sys.env.get("GRAFT_AGG_SENTINEL").contains("1")) {
-      try {
-        val line = s"${System.currentTimeMillis()} pid=${ProcessHandle.current().pid()} " +
-          s"thread=${Thread.currentThread().getId} dir=$dir path=$p\n"
-        val log = java.nio.file.Paths.get(
-          s"${System.getProperty("java.io.tmpdir")}/graft_agg_maintain_sentinel_" +
-            s"${System.getProperty("user.name", "unknown")}.log")
-        // bounded: the diagnostic needs only the RECENT invocation
-        // pattern — past 1 MB start over instead of growing forever
-        val opts: Array[java.nio.file.OpenOption] =
-          if (java.nio.file.Files.exists(log) &&
-              java.nio.file.Files.size(log) > (1L << 20))
-            Array(java.nio.file.StandardOpenOption.CREATE,
-              java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
-          else Array(java.nio.file.StandardOpenOption.CREATE,
-            java.nio.file.StandardOpenOption.APPEND)
-        java.nio.file.Files.write(log, line.getBytes("UTF-8"), opts: _*)
-      } catch { case _: Exception => () }
-    }
     val docs = t(s, dir, "documents")
     operators.IncrementalAgg.build(docs, Seq("source"), Seq("n_chars"))
       .write.mode("overwrite").parquet(p)

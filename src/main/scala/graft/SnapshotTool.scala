@@ -111,12 +111,11 @@ object SnapshotTool {
         (Snapshot.tags(table).toSeq.sortBy(_._1)
           .map { case (n, v) => s"$n -> v$v" }, 0)
       case Seq("as-of", table, ts) =>
-        // epoch millis or a java.sql-parseable timestamp — the CLI
+        // epoch millis or a timestamp string parsed as UTC (matching
+        // the pinned session zone — never the host default) — the CLI
         // face of Snapshot.versionAtTime ("what version did the 03:00
         // run read?")
-        val millis =
-          if (ts.matches("\\d+")) ts.toLong
-          else java.sql.Timestamp.valueOf(ts).getTime
+        val millis = Snapshot.parseInstantMillis(ts)
         val v = Snapshot.versionAtTime(table, millis)
         (Seq(s"v$v (committed_at ${Snapshot.committedAt(table, v)})"), 0)
       case Seq("expect", table, checks @ _*) if checks.nonEmpty =>

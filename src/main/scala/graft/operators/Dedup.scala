@@ -533,6 +533,9 @@ object Dedup {
                          k: Int = 3, numHashes: Int = 0, bands: Int = 0,
                          threshold: Double = 0.8): DataFrame = {
     import graft.functions.TextHashExprs
+    require((numHashes > 0) == (bands > 0),
+      "pass both numHashes and bands, or neither (threshold-scaled " +
+        "bandedLayout) — a half-specified layout would be silently ignored")
     val (nh, nb) =
       if (numHashes > 0 && bands > 0) (numHashes, bands)
       else bandedLayout(threshold)
@@ -949,6 +952,9 @@ object Dedup {
                                     bands: Int = 0,
                                     threshold: Double = 0.8): DataFrame = {
     import graft.functions.TextHashExprs
+    require((numHashes > 0) == (bands > 0),
+      "pass both numHashes and bands, or neither (threshold-scaled " +
+        "bandedLayout) — a half-specified layout would be silently ignored")
     val (nh, nb) =
       if (numHashes > 0 && bands > 0) (numHashes, bands)
       else bandedLayout(threshold)
@@ -1018,8 +1024,10 @@ object Dedup {
     * pairs at t = 0.5 — grow the signature instead of weakening the
     * recall contract (t = 0.5 → 49 bands / 98 hashes). The 64-band
     * clamp bounds signature cost; in the regime beyond it (t ≲ 0.37)
-    * the residual miss is PRINTED, so the banded paths' downgrade
-    * from the exact prefix join is never silent. */
+    * the residual miss is logged at WARN, so the banded paths'
+    * downgrade from the exact prefix join is never silent — WARN, not
+    * stdout, so headless/production runs surface the degraded recall
+    * through whatever appender they configure. */
   private[graft] def bandedLayout(threshold: Double): (Int, Int) = {
     require(threshold > 0 && threshold < 1, "threshold must be in (0, 1)")
     val perBand = 1.0 - threshold * threshold
@@ -1027,8 +1035,10 @@ object Dedup {
       math.ceil(math.log(MaxBandedMiss) / math.log(perBand)).toInt))
     val miss = math.pow(perBand, bands)
     if (miss > MaxBandedMiss * 10)
-      println(f"[graft] bandedLayout: threshold $threshold%.2f sits at the " +
-        f"64-band clamp — residual per-pair candidate-miss $miss%.2e")
+      org.apache.logging.log4j.LogManager.getLogger(getClass)
+        .warn(f"bandedLayout: threshold $threshold%.2f sits at the " +
+          f"64-band clamp — residual per-pair candidate-miss $miss%.2e " +
+          f"exceeds the documented ${MaxBandedMiss}%.0e contract")
     (bands * 2, bands)
   }
 

@@ -394,7 +394,7 @@ object Multimodal {
     private val AVIH = fourcc("avih"); private val STRL = fourcc("strl")
     private val STRH = fourcc("strh"); private val STRF = fourcc("strf")
     private val MOVI = fourcc("movi"); private val VIDS = fourcc("vids")
-    private val IDX1 = fourcc("idx1")
+    private val IDX1 = fourcc("idx1"); private val REC = fourcc("rec ")
 
     /** Walk the RIFF tree. Defensive: any structural violation →
       * None (the payload simply is not an AVI). */
@@ -407,14 +407,17 @@ object Multimodal {
         var width = 0; var height = 0; var usPerFrame = 0L; var nFrames = 0
         var handler = ""
         val frames = IndexedSeq.newBuilder[Array[Byte]]
-        def walk(limit: Int): Unit =
+        def walk(limit: Int, inMovi: Boolean): Unit =
           while (b.position() + 8 <= limit) {
             val id = b.getInt(); val size = b.getInt() & 0xffffffffL
             val dataStart = b.position()
             val dataEnd = math.min(limit.toLong, dataStart + size).toInt
             if (id == LIST) {
               val kind = b.getInt()
-              if (kind == HDRL || kind == STRL || kind == MOVI) walk(dataEnd)
+              if (kind == MOVI) walk(dataEnd, inMovi = true)
+              // 'rec ' lists group interleaved chunks INSIDE movi
+              else if (inMovi && kind == REC) walk(dataEnd, inMovi = true)
+              else if (kind == HDRL || kind == STRL) walk(dataEnd, inMovi = false)
             } else if (id == AVIH && size >= 40) {
               usPerFrame = b.getInt() & 0xffffffffL
               b.getInt(); b.getInt(); b.getInt() // maxBytesPerSec, padding, flags
@@ -429,8 +432,14 @@ object Multimodal {
                   .putInt(fccHandler).flip().get(hc)
                 handler = new String(hc, "US-ASCII").trim
               }
-            } else if ((id & 0xffff0000) == 0x63640000 || // "__dc"
-                       (id & 0xffff0000) == 0x62640000) { // "__db"
+            } else if (inMovi && (id & 0xffff) == 0x3030 && // stream "00" only
+                       ((id & 0xffff0000) == 0x63640000 ||  // "00dc"
+                        (id & 0xffff0000) == 0x62640000)) { // "00db"
+              // frames: ONLY the first stream's compressed/uncompressed
+              // video chunks, ONLY inside the 'movi' list — a
+              // multi-stream AVI must not interleave a second stream's
+              // frames into features/resize/sampleFrames, and a stray
+              // dc/db-suffixed chunk outside movi is not a frame
               val f = new Array[Byte](dataEnd - dataStart)
               b.get(f)
               frames += f
@@ -440,7 +449,7 @@ object Multimodal {
             // chunks are word-aligned; clamp for a final odd-size chunk
             b.position(math.min(bytes.length, dataEnd + (dataEnd & 1)))
           }
-        walk(riffEnd)
+        walk(riffEnd, inMovi = false)
         val fs = frames.result()
         if (width <= 0 || height <= 0 || fs.isEmpty) None
         else Some(AviInfo(width, height,

@@ -771,7 +771,7 @@ object Snapshot {
   }
 
   def merge(spark: SparkSession, table: String, upserts: DataFrame,
-            deleteKeys: DataFrame): CommitStats =
+            deleteKeys: DataFrame, op: String = "merge"): CommitStats =
     withCommitLock(table) {
       val cur = currentVersion(table)
       require(cur > 0, s"snapshot $table does not exist — create() first")
@@ -780,7 +780,7 @@ object Snapshot {
       val v = cur + 1
       val out = plan.merged match {
         case None => // no-op merge still commits (audit trail)
-          writeManifest(table, m.copy(version = v, parent = cur, op = "merge"))
+          writeManifest(table, m.copy(version = v, parent = cur, op = op))
           CommitStats(v, Nil, Nil, 0)
         case Some(merged) =>
           writeCommit(merged, table, v, m.partitionCol, m.key, m.layout,
@@ -789,7 +789,7 @@ object Snapshot {
             m.bloomCols, m.bloomBits, m.bloomK, m.hllCols, m.hllP)
           val kept = m.partitions.filterNot(e => plan.affected.contains(e._1))
           val dropped = plan.affected.filterNot(fresh.contains) // emptied
-          writeManifestReclaiming(table, m.copy(version = v, parent = cur, op = "merge",
+          writeManifestReclaiming(table, m.copy(version = v, parent = cur, op = op,
             partitions = kept ++ fresh, schemaDdl = plan.newDdl,
             columnMap = plan.newMap))
           CommitStats(v, fresh.keys.toSeq.sorted, dropped,
@@ -2175,6 +2175,20 @@ object Snapshot {
   /** The table as of a wall-clock instant (epoch millis). */
   def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
     readAt(spark, table, versionAtTime(table, tsMillis))
+
+  /** Parse a user-supplied commit instant: epoch millis, or a
+    * timestamp string ("2026-08-15 06:00:00[.SSS]", 'T' separator
+    * accepted) interpreted as UTC — NEVER the JVM-default zone, so
+    * the same option string resolves to the same version on every
+    * host. UTC matches the project's pinned
+    * `spark.sql.session.timeZone` and the `committed_at` instants
+    * themselves (epoch millis are zone-free). */
+  def parseInstantMillis(s: String): Long = {
+    val t = s.trim
+    if (t.matches("\\d+")) t.toLong
+    else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
 
   // --------------------------------------- manifest-only aggregates
 

@@ -102,14 +102,12 @@ object GraftDataSource {
         "graft datasource: no 'path' — spark.read.format(\"graft\").load(<table>)"))
     val vOpt = Option(options.get("versionAsOf")).map(_.trim.toInt)
     val tOpt = Option(options.get("tag")).map(_.trim)
-    // timestampAsOf: epoch millis, or any timestamp java.sql parses
-    // ("2026-08-15 06:00:00"); resolves through the manifests'
-    // committed_at instants
-    val tsOpt = Option(options.get("timestampAsOf")).map { s =>
-      val t = s.trim
-      if (t.matches("\\d+")) t.toLong
-      else java.sql.Timestamp.valueOf(t).getTime
-    }
+    // timestampAsOf: epoch millis, or a timestamp string parsed as
+    // UTC (never the JVM-default zone — the same option string must
+    // resolve to the same version on every host); resolves through
+    // the manifests' committed_at instants
+    val tsOpt = Option(options.get("timestampAsOf"))
+      .map(Snapshot.parseInstantMillis)
     require(Seq(vOpt, tOpt, tsOpt).count(_.isDefined) <= 1,
       "graft datasource: give ONE of versionAsOf / tag / timestampAsOf")
     val cur = Snapshot.currentVersion(path)
@@ -195,8 +193,12 @@ private[graft] class GraftWriteBuilder(path: String, pinned: Boolean)
             "graft: INSERT OVERWRITE is not supported — predicate DML " +
               "(deleteWhere/updateWhere) and relayout are the rewrite commits")
           val m = Snapshot.readManifest(path, Snapshot.currentVersion(path))
+          // committed as op 'insert-merge', not plain 'merge': the
+          // history/audit trail must show that this SQL INSERT had
+          // upsert-on-key semantics (matching keys replaced), so a
+          // surprised SQL user can see it in graft_snapshot_history
           Snapshot.merge(data.sparkSession, path, data,
-            data.limit(0).select(m.key))
+            data.limit(0).select(m.key), op = "insert-merge")
         }
       }
   }

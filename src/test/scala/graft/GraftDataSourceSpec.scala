@@ -128,7 +128,9 @@ class GraftDataSourceSpec extends SparkSpecBase {
       assert(after.size == 41, "40 seed rows + 1 new key")
       // the write was a real COMMIT: a new version in the log
       assert(Snapshot.currentVersion(t) == 2)
-      assert(Snapshot.history(t).last._2 == "merge")
+      // the op name surfaces the upsert: a SQL INSERT that replaced a
+      // matching key is auditable as 'insert-merge', not plain 'merge'
+      assert(Snapshot.history(t).last._2 == "insert-merge")
       // df.writeTo(...).append() rides the same path
       Seq((101L, "pay_101", "p3")).toDF("id", "payload", "part")
         .writeTo("graft_dsv2_w").append()
