@@ -18,5 +18,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     functions.GraftFunctions.inject(ext)
     functions.GraftTableFunctions.inject(ext)
+    // post-pushdown stats re-wrap for V1-bridged graft scans (see
+    // GraftStatsRule) — injected here for conf-configured sessions;
+    // resolving any graft table also self-installs it
+    ext.injectPreCBORule(_ => sources.GraftStatsRule)
   }
 }

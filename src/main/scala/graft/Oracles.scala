@@ -2797,6 +2797,31 @@ object Oracles {
         |FROM s1
         |WHERE doc_id % 23 <> 7 AND doc_id BETWEEN 100 AND 299""".stripMargin,
 
+    // DSv2 AGGREGATE PUSHDOWN: plain-SQL count/min/max/sum over the
+    // pinned-v3 catalog table folds the manifest stats (zero data-file
+    // IO — spec-proven by deleting the files); the oracle replays both
+    // merge change sets relationally and aggregates, so hash equality
+    // proves the SQL fast path is the exact aggregate (snapshot_agg's
+    // projection minus the HLL distinct, which SQL count(DISTINCT)
+    // deliberately does NOT push — estimates must be asked for)
+    "snapshot_dsv2_agg" ->
+      """WITH s1 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |s2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 5 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |  FROM s1 WHERE doc_id % 23 <> 7)
+        |SELECT count(*) AS n_rows,
+        |  count(doc_id) AS n_doc_id, min(doc_id) AS min_doc_id,
+        |  max(doc_id) AS max_doc_id,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+        |  count(n_chars) AS n_n_chars, min(n_chars) AS min_n_chars,
+        |  max(n_chars) AS max_n_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM s2""".stripMargin,
+
     // point lookups over the snapshot v3 state: replay both change
     // sets, then `doc_id IN (5,13,14)` — 13 was deleted in v2 and
     // must be absent; hash equality proves bloom/stats eq-pruning is

@@ -2103,6 +2103,27 @@ object Queries {
       "FROM graft_dsv2_docs WHERE doc_id BETWEEN 100 AND 299")
   }
 
+  /** AGGREGATE PUSHDOWN through the DSv2 catalog surface: plain SQL
+    * `count(*)/count/min/max/sum` over a `USING graft` table rides
+    * `SupportsPushDownAggregates` into [[Snapshot.aggStats]]'s
+    * manifest fold — ZERO data files opened (GraftDataSourceSpec
+    * proves it by physically deleting every data file first). Same
+    * pinned-v3 state and aggregate set as `snapshot_agg`, so hash
+    * equality proves the SQL-reachable fast path computes the exact
+    * aggregate the Scala API does. */
+  def snapshotDsv2Agg(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotTablePath(s, dir)
+    s.sql("DROP TABLE IF EXISTS graft_dsv2_docs_agg")
+    s.sql(s"CREATE TABLE graft_dsv2_docs_agg USING graft " +
+      s"OPTIONS (versionAsOf '3') LOCATION '$p'")
+    s.sql("SELECT count(*) AS n_rows, " +
+      "count(doc_id) AS n_doc_id, min(doc_id) AS min_doc_id, " +
+      "max(doc_id) AS max_doc_id, sum(doc_id) AS sum_doc_id, " +
+      "count(n_chars) AS n_n_chars, min(n_chars) AS min_n_chars, " +
+      "max(n_chars) AS max_n_chars, sum(n_chars) AS sum_n_chars " +
+      "FROM graft_dsv2_docs_agg")
+  }
+
   private val snapshotDsv2WriteMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2519,6 +2540,7 @@ object Queries {
     "snapshot_history_tvf" -> snapshotHistoryTvf _,
     "snapshot_changes_tag" -> snapshotChangesTag _,
     "snapshot_dsv2" -> snapshotDsv2 _,
+    "snapshot_dsv2_agg" -> snapshotDsv2Agg _,
     "snapshot_dsv2_write" -> snapshotDsv2Write _,
     "snapshot_dsv2_delete" -> snapshotDsv2Delete _,
     "snapshot_relayout" -> snapshotRelayout _,

@@ -5,15 +5,16 @@ import graft.operators.Snapshot
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import java.util.{Map => JMap, Set => JSet}
+import java.util.{OptionalLong, Map => JMap, Set => JSet}
 
 /**
  * DATASOURCE-V2 READ CONNECTOR for graft snapshot tables — the
@@ -77,8 +78,70 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     val (path, version) = GraftDataSource.resolve(opts)
     val pinned = opts.containsKey("versionAsOf") || opts.containsKey("tag") ||
       opts.containsKey("timestampAsOf")
+    // resolving a graft table happens at ANALYSIS; installing the
+    // stats re-wrap rule here guarantees it is in place before the
+    // optimizer sizes any plan that reads this table
+    GraftStatsRule.install(SparkSession.active)
     new GraftTable(path, version, pinned)
   }
+}
+
+/**
+ * Makes the manifest statistics VISIBLE TO CATALYST. Spark's V2
+ * pushdown wraps every [[V1Scan]] in a `V1ScanWrapper` whose
+ * `computeStats` match sees only the wrapper — so a V1-bridged
+ * connector's [[SupportsReportStatistics]] is silently dropped and
+ * every graft relation would size at the 8 EiB default (never
+ * broadcast, always shuffle). This rule runs in the user-rule batch
+ * AFTER pushdown and re-wraps graft scans in a subclass that forwards
+ * `estimateStatistics` — everything else about the wrapper (the
+ * physical V1 bridge, pushed-operator bookkeeping, EXPLAIN output) is
+ * inherited unchanged. Installed idempotently whenever a graft table
+ * is resolved, and by [[graft.GraftExtensions]] for conf-configured
+ * sessions.
+ */
+private[graft] object GraftStatsRule
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2ScanRelation, V1ScanWrapper}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case r: DataSourceV2ScanRelation => r.scan match {
+      case w: V1ScanWrapper if !w.isInstanceOf[GraftStatsV1ScanWrapper] &&
+          w.v1Scan.isInstanceOf[SupportsReportStatistics] =>
+        r.copy(scan = new GraftStatsV1ScanWrapper(w))
+      case _ => r
+    }
+  }
+
+  def install(spark: SparkSession): Unit = synchronized {
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+  }
+}
+
+/** A `V1ScanWrapper` that still reports the wrapped scan's
+  * statistics (see [[GraftStatsRule]]). Equality is narrowed to this
+  * class: the parent's structural case-class equality would make the
+  * re-wrapped node `==` the original, and `TreeNode.transform` keeps
+  * the OLD node when the rewrite compares equal — the rule would be a
+  * silent no-op. */
+private[graft] class GraftStatsV1ScanWrapper(orig: org.apache.spark.sql
+    .execution.datasources.v2.V1ScanWrapper)
+  extends org.apache.spark.sql.execution.datasources.v2.V1ScanWrapper(
+    orig.v1Scan, orig.handledFilters, orig.pushedDownOperators)
+  with SupportsReportStatistics {
+  override def estimateStatistics(): Statistics =
+    orig.v1Scan.asInstanceOf[SupportsReportStatistics].estimateStatistics()
+  override def canEqual(that: Any): Boolean =
+    that.isInstanceOf[GraftStatsV1ScanWrapper]
+  override def equals(that: Any): Boolean = that match {
+    case g: GraftStatsV1ScanWrapper => super.equals(g)
+    case _ => false
+  }
+  override def hashCode(): Int = super.hashCode() + 1
 }
 
 object GraftDataSource {
@@ -207,10 +270,11 @@ private[graft] class GraftWriteBuilder(path: String, pinned: Boolean)
 private[graft] class GraftScanBuilder(path: String, version: Int,
                                         full: StructType)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
+  private var aggSpec: Option[Seq[(String, String)]] = None
 
   /** Accept every filter [[GraftFilters.toColumn]] can express as a
     * Column (applied exactly on the inner frame — no residual), hand
@@ -229,8 +293,119 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
     required = StructType(full.fields.filter(f => want.contains(f.name)))
   }
 
-  override def build(): Scan =
-    new GraftV1Scan(path, version, pushed, required)
+  /**
+   * AGGREGATE PUSHDOWN into the manifest ([[Snapshot.aggStats]]): a
+   * whole-table `count(*)` / `count(c)` / `min(c)` / `max(c)` — and
+   * `sum(c)` on integral stats columns — folds the per-file stats the
+   * manifest already carries, so the everyday BI probe (`SELECT
+   * count(*) FROM t`) answers with ZERO data-file IO at any table
+   * size. Strictly all-or-nothing, exactness-gated: the aggregation
+   * is accepted ONLY when every aggregate in it can be answered
+   * exactly from the manifest (stats-tracked column, non-distinct,
+   * no grouping, no residual WHERE) — otherwise the whole aggregation
+   * stays with Spark and executes over the normal pruned scan. Files
+   * masked by a deletion vector can't prove their stats; aggStats
+   * scans those — and only those — dv-applied, so the result is exact
+   * either way (the clean/dirty hybrid the `snapshot_agg_mor` oracle
+   * pins).
+   */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    analyzeAggregation(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    // complete pushdown only: a PARTIAL manifest aggregate (Spark
+    // re-aggregating our partials) buys nothing over the complete
+    // fold and would double-count the dv-masked scan, so anything
+    // not fully answerable is declined outright
+    aggSpec = analyzeAggregation(agg)
+    aggSpec.isDefined
+  }
+
+  /** (fn, col) per aggregate — fn ∈ count_star|count|min|max|sum —
+    * or None when ANY aggregate falls outside the manifest's exact
+    * reach. */
+  private def analyzeAggregation(agg: Aggregation): Option[Seq[(String, String)]] = {
+    // aggStats folds the WHOLE table: any pushed filter would need
+    // applying inside the fold, which per-file stats cannot do
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    if (agg.aggregateExpressions.isEmpty) return None
+    val m = Snapshot.readManifest(path, version)
+    if (m.schemaDdl.isEmpty) return None
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val clean = m.files.filter(_.dv.isEmpty)
+    def colOf(e: V2Expression): Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 =>
+        Some(f.fieldNames.head).filter(c => schema.fieldNames.contains(c))
+      case _ => None
+    }
+    def statsOk(c: String): Boolean = m.statsCols.contains(c)
+    def sumOk(c: String): Boolean = statsOk(c) &&
+      (schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false // float/double sums are order-dependent
+      }) &&
+      // every clean file must carry the sum stat (all-null files
+      // contribute nothing) — a pre-sum-tracking manifest refuses
+      clean.forall(f => f.stats.get(c).exists(cs =>
+        cs.sum.isDefined || cs.nulls == f.rows))
+    val specs: Seq[Option[(String, String)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(("count_star", ""))
+        case c: Count if !c.isDistinct =>
+          colOf(c.column).filter(statsOk).map(("count", _))
+        case mn: Min => colOf(mn.column).filter(statsOk).map(("min", _))
+        case mx: Max => colOf(mx.column).filter(statsOk).map(("max", _))
+        case s: Sum if !s.isDistinct =>
+          colOf(s.column).filter(sumOk).map(("sum", _))
+        case _: AggregateFunc => None
+      }
+    if (specs.exists(_.isEmpty)) None else Some(specs.flatten)
+  }
+
+  override def build(): Scan = aggSpec match {
+    case Some(spec) => new GraftAggScan(path, version, spec)
+    case None => new GraftV1Scan(path, version, pushed, required)
+  }
+}
+
+/** The pushed-aggregation scan: ONE row, computed by
+  * [[Snapshot.aggStats]]'s driver-side manifest fold (plus the
+  * dv-masked-files scan when deletion vectors are live), projected in
+  * the aggregation's declared order. Output types match Spark's
+  * aggregate result types exactly (counts/sums LONG, min/max in the
+  * column type), so the positional rewrite above needs no casts. */
+private[graft] class GraftAggScan(path: String, version: Int,
+                                    spec: Seq[(String, String)])
+  extends V1Scan with SupportsReportStatistics {
+
+  /** The pushed aggregate is ONE row by construction. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(64L * spec.size)
+    override def numRows(): OptionalLong = OptionalLong.of(1L)
+  }
+
+  private def frame(spark: SparkSession): DataFrame = {
+    val cols = spec.collect { case (fn, c) if fn != "count_star" => c }.distinct
+    val sums = spec.collect { case ("sum", c) => c }.distinct
+    val st = Snapshot.aggStats(spark, path, cols, version, sums)
+    st.select(spec.zipWithIndex.map { case ((fn, c), i) =>
+      (fn match {
+        case "count_star" => col("n_rows")
+        case "count"      => col(s"n_$c")
+        case "min"        => col(s"min_$c")
+        case "max"        => col(s"max_$c")
+        case "sum"        => col(s"sum_$c")
+      }).as(s"agg_$i") // positional contract; names are cosmetic
+    }: _*)
+  }
+
+  override def readSchema(): StructType = frame(SparkSession.active).schema
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T = {
+    val df = frame(context.sparkSession)
+    new GraftV1Relation(context, df.schema, df).asInstanceOf[T]
+  }
 }
 
 /** The built scan: file skipping happens HERE (driver-side, once per
@@ -240,14 +415,61 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
   * the same bridge Spark's own JDBC v2 connector rides). */
 private[graft] class GraftV1Scan(path: String, version: Int,
                                    filters: Array[Filter],
-                                   required: StructType) extends V1Scan {
+                                   required: StructType)
+  extends V1Scan with SupportsReportStatistics {
+
+  // file skipping is decided ONCE per scan (the same kept set feeds
+  // both the statistics estimate and the executed read)
+  private lazy val kept: Option[Seq[Snapshot.FileEntry]] =
+    GraftFilters.prune(path, version, filters)
 
   override def readSchema(): StructType = required
+
+  /**
+   * EXACT manifest statistics for the surviving (post-pruning) file
+   * set: `numRows` is the logical row count (physical rows minus
+   * deletion-vector rows — both already in the manifest), and
+   * `sizeInBytes` sums the surviving files' on-disk bytes. Both are
+   * driver-side metadata folds, zero data IO. This is what lets AQE
+   * and the join planner size a graft relation CORRECTLY: a
+   * `versionAsOf`-pinned dimension that pruned down to two files
+   * reports two files' bytes and gets broadcast, instead of the
+   * default conservative estimate forcing a shuffle join. Filters the
+   * manifest could not prune with still execute inside the scan, so
+   * the numbers are upper bounds in exactly the direction a planner
+   * wants (never under-report a build side).
+   */
+  override def estimateStatistics(): Statistics = {
+    val m = Snapshot.readManifest(path, version)
+    val entries = kept.getOrElse(m.files)
+    val logicalRows = entries.map(e => e.rows - e.dv.map(_.rows).getOrElse(0L)).sum
+    var bytes = 0L
+    entries.foreach { e =>
+      val p = java.nio.file.Paths.get(path, e.path)
+      try {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val walk = java.nio.file.Files.walk(p)
+          try {
+            val it = walk.iterator()
+            while (it.hasNext) {
+              val f = it.next()
+              if (java.nio.file.Files.isRegularFile(f))
+                bytes += java.nio.file.Files.size(f)
+            }
+          } finally walk.close()
+        } else bytes += java.nio.file.Files.size(p)
+      } catch { case _: java.io.IOException => () } // vacuumed race: skip
+    }
+    val b = bytes
+    new Statistics {
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(b)
+      override def numRows(): OptionalLong = OptionalLong.of(logicalRows)
+    }
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T = {
     val spark = context.sparkSession
-    val kept = GraftFilters.prune(path, version, filters)
     val base = Snapshot.readEntries(spark, path, version, kept.orNull)
     val filtered = filters.flatMap(GraftFilters.toColumn)
       .foldLeft(base)(_ filter _)

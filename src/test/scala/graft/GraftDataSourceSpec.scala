@@ -259,4 +259,81 @@ class GraftDataSourceSpec extends SparkSpecBase {
     // filters on the RENAMED logical column still translate
     assert(df.filter(col("body") === "pay_20").count() == 1L)
   }
+
+  test("aggregate pushdown: count/min/max/sum answered from the manifest — proven by deleting every data file") {
+    val t = fresh("agg")
+    seed(t)
+    val q = "SELECT count(*) AS n_rows, count(id) AS n_id, " +
+      "min(id) AS min_id, max(id) AS max_id, sum(id) AS sum_id FROM graft_agg_t"
+    spark.sql("DROP TABLE IF EXISTS graft_agg_t")
+    spark.sql(s"CREATE TABLE graft_agg_t USING graft LOCATION '$t'")
+    try {
+      val before = spark.sql(q).collect()(0)
+      assert(before.getLong(0) == 40L && before.getLong(1) == 40L &&
+        before.getLong(2) == 0L && before.getLong(3) == 39L &&
+        before.getLong(4) == (0 to 39).sum.toLong)
+      // the strongest zero-IO proof: physically delete EVERY data
+      // file — the pushed aggregate must still answer (manifest only)
+      val m = Snapshot.readManifest(t, 1)
+      m.files.foreach(f => Files.delete(Paths.get(s"$t/${f.path}")))
+      val after = spark.sql(q).collect()(0)
+      assert(after == before, "manifest aggregate must not touch data files")
+      // and the task-level input metrics agree: zero bytes read
+      val metrics = graft.dev.PlanAudit.measure(spark) {
+        spark.sql(q).write.format("noop").mode("overwrite").save()
+      }
+      assert(metrics("input_bytes") == 0L,
+        s"expected zero input bytes, got ${metrics("input_bytes")}")
+      // avg pushes too: Spark itself rewrites AVG into SUM/COUNT
+      // before offering the aggregation, and both halves fold exactly
+      assert(spark.sql("SELECT avg(id) AS a FROM graft_agg_t")
+        .collect()(0).getDouble(0) == 19.5)
+      // a non-pushable aggregate in the same query refuses the WHOLE
+      // pushdown (all-or-nothing: payload is not stats-tracked) and
+      // fails on the missing files — never a half-manifest half-scan
+      // silent wrong answer
+      intercept[Exception] {
+        spark.sql("SELECT count(*) AS n, max(payload) AS p FROM graft_agg_t").collect()
+      }
+      // a WHERE clause blocks the manifest fold too (stats cannot
+      // apply residual predicates)
+      intercept[Exception] {
+        spark.sql("SELECT count(*) AS n FROM graft_agg_t WHERE id >= 5").collect()
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_agg_t")
+  }
+
+  test("aggregate pushdown stays EXACT under deletion vectors: dirty files scan, clean files fold") {
+    val t = fresh("aggdv")
+    seed(t)
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 3L, 6L))) // 4 rows masked
+    spark.sql("DROP TABLE IF EXISTS graft_agg_dv")
+    spark.sql(s"CREATE TABLE graft_agg_dv USING graft LOCATION '$t'")
+    try {
+      val r = spark.sql("SELECT count(*) AS n_rows, sum(id) AS sum_id " +
+        "FROM graft_agg_dv").collect()(0)
+      assert(r.getLong(0) == 36L)
+      assert(r.getLong(1) == (0 to 39).sum.toLong - (3 + 4 + 5 + 6))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_agg_dv")
+  }
+
+  test("scan statistics from the manifest: Catalyst sees exact logical rows and pruned byte sizes") {
+    val t = fresh("stats")
+    seed(t)
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 3L, 6L))) // 4 rows masked
+    val full = spark.read.format("graft").load(t)
+    val fullStats = full.queryExecution.optimizedPlan.stats
+    // numRows is the LOGICAL count (dv rows subtracted), not physical
+    assert(fullStats.rowCount.contains(BigInt(36)),
+      s"expected rowCount 36, got ${fullStats.rowCount}")
+    assert(fullStats.sizeInBytes > 0)
+    // a prunable filter shrinks the reported size: the planner sees
+    // the SURVIVING files' bytes, so a pruned-down side can broadcast
+    val pruned = spark.read.format("graft").load(t)
+      .filter(col("id") >= 0L && col("id") <= 9L)
+    val prunedStats = pruned.queryExecution.optimizedPlan.collectLeaves()
+      .head.stats
+    assert(prunedStats.sizeInBytes < fullStats.sizeInBytes,
+      s"pruned ${prunedStats.sizeInBytes} !< full ${fullStats.sizeInBytes}")
+  }
 }
