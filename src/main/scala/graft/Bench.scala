@@ -54,7 +54,8 @@ object Bench {
     "snapshot_evolution", "snapshot_evolution_compact", "snapshot_sql_tvf",
     "snapshot_history_tvf", "snapshot_changes_tag", "snapshot_dsv2",
     "snapshot_dsv2_agg",
-    "snapshot_dsv2_write", "snapshot_dsv2_delete", "snapshot_relayout",
+    "snapshot_dsv2_write", "snapshot_dsv2_delete", "snapshot_dsv2_update",
+    "snapshot_dsv2_merge", "snapshot_catalog", "snapshot_relayout",
     "fuzzy_names", "fuzzy_names_jw", "fuzzy_names_multi",
     "sample_weighted_group", "q_rolling", "q_anomaly", "text_blocklist",
     "q_funnel", "q_cohort", "q_event_bigrams", "q_scd2", "q_scd2_apply", "q_pagerank",
@@ -71,6 +72,9 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(headline)
     val spark = SparkSession.builder()
+      // analysis-time rules (SQL UPDATE/MERGE routing, TVFs, native
+      // functions) can only register at session construction
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // graft's bounded-heap top-k agg (TopKExprs) keeps one k-sized

@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // GraftStatsRule) — injected here for conf-configured sessions;
     // resolving any graft table also self-installs it
     ext.injectPreCBORule(_ => sources.GraftStatsRule)
+    // SQL UPDATE / MERGE INTO on graft tables → the transactional
+    // updateWhere/merge commits (see GraftDml) — analysis-time
+    // interception, so this one NEEDS the extensions mechanism
+    ext.injectPostHocResolutionRule(s => new sources.GraftDmlRule(s))
   }
 }

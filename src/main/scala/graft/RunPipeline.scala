@@ -130,6 +130,9 @@ object RunPipeline {
       "usage: RunPipeline <metadata.json> [dataflowName] [inputPathOverride] [--verbose]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      // analysis-time rules (SQL UPDATE/MERGE routing, TVFs, native
+      // functions) can only register at session construction
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .appName("graft-pipeline")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -8,6 +8,9 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
+      // analysis-time rules (SQL UPDATE/MERGE routing, TVFs, native
+      // functions) can only register at session construction
+      .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // graft's bounded-heap top-k agg (TopKExprs) keeps one k-sized

@@ -77,6 +77,9 @@ object PlanAudit {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      // analysis-time rules (SQL UPDATE/MERGE routing, TVFs, native
+      // functions) can only register at session construction
+      .withExtensions(new graft.GraftExtensions)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // graft's bounded-heap top-k agg (TopKExprs) keeps one k-sized

@@ -141,6 +141,9 @@ object ScaleBench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(defaultQueries)
     val spark = SparkSession.builder()
+      // analysis-time rules (SQL UPDATE/MERGE routing, TVFs, native
+      // functions) can only register at session construction
+      .withExtensions(new graft.GraftExtensions)
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       // graft's bounded-heap top-k agg (TopKExprs) keeps one k-sized

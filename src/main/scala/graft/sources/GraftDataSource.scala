@@ -195,12 +195,15 @@ object GraftDataSource {
   }
 }
 
-private[graft] class GraftTable(path: String, version: Int,
-                                pinned: Boolean = false)
+// (the resolved-version field avoids Table's default `version()`
+// method name)
+private[graft] class GraftTable(private[graft] val path: String,
+                                private[graft] val resolvedVersion: Int,
+                                private[graft] val pinned: Boolean = false)
   extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
-  override def name(): String = s"graft.`$path`@v$version"
-  override def schema(): StructType = GraftDataSource.logicalSchema(path, version)
+  override def name(): String = s"graft.`$path`@v$resolvedVersion"
+  override def schema(): StructType = GraftDataSource.logicalSchema(path, resolvedVersion)
   override def capabilities(): JSet[TableCapability] = {
     val caps = new java.util.HashSet[TableCapability]()
     caps.add(TableCapability.BATCH_READ)
@@ -209,7 +212,7 @@ private[graft] class GraftTable(path: String, version: Int,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(path, version, schema())
+    new GraftScanBuilder(path, resolvedVersion, schema())
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(path, pinned)

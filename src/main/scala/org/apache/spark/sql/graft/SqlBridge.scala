@@ -1,0 +1,21 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+
+/**
+ * The one `private[sql]` doorway this library uses: executing an
+ * already-analyzed [[LogicalPlan]] as a DataFrame
+ * (`classic.Dataset.ofRows`). Needed by the SQL MERGE command
+ * ([[graft.sources.GraftMergeCommand]]), whose USING source arrives
+ * from the analyzer as a plan, not a DataFrame — there is no public
+ * API for this, and every mainstream Spark table format ships the
+ * same bridge (a class inside `org.apache.spark.sql` reaching the
+ * qualified-private member). Kept to a single function in a single
+ * file so the boundary is auditable.
+ */
+object SqlBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+}

@@ -260,6 +260,109 @@ class GraftDataSourceSpec extends SparkSpecBase {
     assert(df.filter(col("body") === "pay_20").count() == 1L)
   }
 
+  test("UPDATE through the connector: pruned copy-on-write commit; unsupported predicates refused") {
+    val t = fresh("update")
+    seed(t)
+    spark.sql("DROP TABLE IF EXISTS graft_dsv2_u")
+    spark.sql(s"CREATE TABLE graft_dsv2_u USING graft LOCATION '$t'")
+    try {
+      spark.sql("UPDATE graft_dsv2_u SET payload = concat(payload, '!') " +
+        "WHERE id >= 5 AND id <= 9")
+      val after = rowsOf(Snapshot.readLatest(spark, t))
+      assert(after.contains((5L, "pay_5!", "p0")) &&
+        after.contains((9L, "pay_9!", "p0")) &&
+        after.contains((4L, "pay_4", "p0")) && after.size == 40)
+      assert(Snapshot.currentVersion(t) == 2 &&
+        Snapshot.history(t).last._2 == "update")
+      // equality and BETWEEN forms translate too
+      spark.sql("UPDATE graft_dsv2_u SET payload = 'eq' WHERE id = 20")
+      spark.sql("UPDATE graft_dsv2_u SET payload = 'bt' " +
+        "WHERE id BETWEEN 30 AND 31")
+      val after3 = rowsOf(Snapshot.readLatest(spark, t))
+      assert(after3.contains((20L, "eq", "p2")) &&
+        after3.contains((30L, "bt", "p3")) && after3.contains((31L, "bt", "p3")))
+      val v = Snapshot.currentVersion(t)
+      // REFUSED, version untouched: disjunction, no WHERE, key update
+      intercept[Exception] {
+        spark.sql("UPDATE graft_dsv2_u SET payload='y' WHERE id = 1 OR id = 2")
+      }
+      intercept[Exception] {
+        spark.sql("UPDATE graft_dsv2_u SET payload='y'")
+      }
+      intercept[Exception] {
+        spark.sql("UPDATE graft_dsv2_u SET id = id + 1 WHERE id = 1")
+      }
+      assert(Snapshot.currentVersion(t) == v, "refusals must not commit")
+      // pinned references refuse writes
+      spark.sql("DROP TABLE IF EXISTS graft_dsv2_u_pin")
+      spark.sql(s"CREATE TABLE graft_dsv2_u_pin USING graft " +
+        s"OPTIONS (versionAsOf '1') LOCATION '$t'")
+      intercept[Exception] {
+        spark.sql("UPDATE graft_dsv2_u_pin SET payload='y' WHERE id = 1")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_dsv2_u")
+      spark.sql("DROP TABLE IF EXISTS graft_dsv2_u_pin")
+    }
+  }
+
+  test("MERGE INTO through the connector: one transactional merge commit; canonical shapes") {
+    val t = fresh("merge")
+    seed(t)
+    spark.sql("DROP TABLE IF EXISTS graft_dsv2_m")
+    spark.sql(s"CREATE TABLE graft_dsv2_m USING graft LOCATION '$t'")
+    try {
+      // 35-39 match (update), 40-44 are new (insert)
+      (35 until 45).map(i => (i.toLong, s"m_$i", s"p${i / 10}"))
+        .toDF("id", "payload", "part").createOrReplaceTempView("m_src")
+      spark.sql("MERGE INTO graft_dsv2_m t USING m_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      val after = rowsOf(Snapshot.readLatest(spark, t))
+      assert(after.size == 45 && after.contains((35L, "m_35", "p3")) &&
+        after.contains((44L, "m_44", "p4")) && after.contains((2L, "pay_2", "p0")))
+      assert(Snapshot.currentVersion(t) == 2 &&
+        Snapshot.history(t).last._2 == "sql-merge")
+      // DELETE-only merge: matched source keys drop, absent keys no-op
+      Seq(44L, 999L).toDF("id").createOrReplaceTempView("m_del")
+      spark.sql("MERGE INTO graft_dsv2_m t USING m_del s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE")
+      val afterDel = rowsOf(Snapshot.readLatest(spark, t))
+      assert(afterDel.size == 44 && !afterDel.exists(_._1 == 44L))
+      // INSERT-only merge: matched rows untouched, new keys land
+      Seq((2L, "SHOULD_NOT_REPLACE", "p0"), (50L, "m_50", "p5"))
+        .toDF("id", "payload", "part").createOrReplaceTempView("m_ins")
+      spark.sql("MERGE INTO graft_dsv2_m t USING m_ins s ON t.id = s.id " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      val afterIns = rowsOf(Snapshot.readLatest(spark, t))
+      assert(afterIns.contains((2L, "pay_2", "p0")) &&
+        afterIns.contains((50L, "m_50", "p5")))
+      // UPDATE-only merge: new keys do NOT land
+      Seq((3L, "u3", "p0"), (60L, "m_60", "p6"))
+        .toDF("id", "payload", "part").createOrReplaceTempView("m_upd")
+      spark.sql("MERGE INTO graft_dsv2_m t USING m_upd s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET *")
+      val afterUpd = rowsOf(Snapshot.readLatest(spark, t))
+      assert(afterUpd.contains((3L, "u3", "p0")) &&
+        !afterUpd.exists(_._1 == 60L))
+      val v = Snapshot.currentVersion(t)
+      // REFUSED, version untouched: non-key ON, conditioned action,
+      // NOT MATCHED BY SOURCE
+      intercept[Exception] {
+        spark.sql("MERGE INTO graft_dsv2_m t USING m_src s " +
+          "ON t.payload = s.payload WHEN MATCHED THEN DELETE")
+      }
+      intercept[Exception] {
+        spark.sql("MERGE INTO graft_dsv2_m t USING m_src s ON t.id = s.id " +
+          "WHEN MATCHED AND s.id > 40 THEN DELETE")
+      }
+      intercept[Exception] {
+        spark.sql("MERGE INTO graft_dsv2_m t USING m_src s ON t.id = s.id " +
+          "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+      }
+      assert(Snapshot.currentVersion(t) == v, "refusals must not commit")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_m")
+  }
+
   test("aggregate pushdown: count/min/max/sum answered from the manifest — proven by deleting every data file") {
     val t = fresh("agg")
     seed(t)

@@ -12,6 +12,9 @@ trait SparkSpecBase extends AnyFunSuite {
 object SparkSpecBase {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
+      // analysis-time rules (SQL UPDATE/MERGE routing, TVFs, native
+      // functions) can only register at session construction
+      .withExtensions(new GraftExtensions)
       .master("local[4]")
       .appName("graft-spec")
       .config("spark.sql.shuffle.partitions", "4")
