@@ -2781,6 +2781,44 @@ object Oracles {
         |FROM documents
         |WHERE doc_id NOT BETWEEN 150 AND 199 AND doc_id <> 301""".stripMargin,
 
+    // DSv2 catalog UPDATE: one SQL range (BETWEEN) update + one
+    // equality update through the analysis-time DML routing → the
+    // pruned copy-on-write commits; the oracle replays both — hash
+    // equality proves SQL UPDATE ≡ the transactional Scala DML
+    "snapshot_dsv2_update" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id = 42 THEN text || ' [u]' ELSE text END AS text,
+        |  CASE WHEN doc_id BETWEEN 300 AND 349 THEN 'xx' ELSE lang END AS lang,
+        |  source,
+        |  CASE WHEN doc_id BETWEEN 300 AND 349 THEN n_chars + 1000
+        |       ELSE n_chars END AS n_chars
+        |FROM documents""".stripMargin,
+
+    // TABLE CATALOG lifecycle by NAME (graft_cat.ns.docs): atomic
+    // CTAS (v1 = the data) + a keyed range UPDATE through the name;
+    // the oracle replays both relationally — hash equality proves the
+    // catalog surface drives the same transactional engine
+    "snapshot_catalog" ->
+      """SELECT doc_id, text, lang, source,
+        |  CASE WHEN doc_id BETWEEN 200 AND 249 THEN n_chars + 11
+        |       ELSE n_chars END AS n_chars
+        |FROM documents""".stripMargin,
+
+    // DSv2 catalog MERGE: the canonical keyed upsert (UPDATE SET * /
+    // INSERT *) routed onto one transactional merge commit; the
+    // oracle replays matched-updates ∪ new-key inserts relationally —
+    // hash equality proves SQL MERGE ≡ the Scala merge commit
+    "snapshot_dsv2_merge" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 4 THEN text || ' [m]' ELSE text END AS text,
+        |  lang, source,
+        |  CASE WHEN doc_id % 9 = 4 THEN n_chars + 3 ELSE n_chars END AS n_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000 AS doc_id, text || ' [new]' AS text,
+        |  lang, source, n_chars
+        |FROM documents WHERE doc_id % 17 = 3""".stripMargin,
+
     "snapshot_dsv2" ->
       """WITH s1 AS (
         |  SELECT doc_id,

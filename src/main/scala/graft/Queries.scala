@@ -2179,6 +2179,101 @@ object Queries {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  private val snapshotCatalogMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // one catalog tree per JVM — catalogs read their conf once at first
+  // name reference, so the root must be session-stable
+  private lazy val catalogRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_catalog_root").toString
+
+  /** The TABLE CATALOG surface ([[sources.GraftCatalog]]): a
+    * `spark.sql.catalog.*` plugin over a directory tree — namespaces
+    * are directories, tables are graft commit logs, the catalog holds
+    * NO state of its own. The entry drives the full NAME lifecycle:
+    * CREATE NAMESPACE, an ATOMIC CTAS (v1 holds the data under one
+    * commit), then a keyed UPDATE through the name — and reads the
+    * result back with `spark.table("graft_cat.ns.docs")`. The oracle
+    * replays the CTAS + update relationally, so hash equality proves
+    * the name surface is the same transactional engine the path
+    * surface is. */
+  def snapshotCatalog(s: SparkSession, dir: String): DataFrame = {
+    val tbl = snapshotCatalogMemo.computeIfAbsent(dir, _ => {
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cat.root", catalogRoot)
+      val ns = "c" + math.abs(dir.hashCode).toString
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_cat.$ns")
+      t(s, dir, "documents").createOrReplaceTempView("graft_cat_docs_src")
+      s.sql(s"CREATE TABLE graft_cat.$ns.docs USING graft " +
+        "TBLPROPERTIES ('key'='doc_id','partitionCol'='source') " +
+        "AS SELECT * FROM graft_cat_docs_src")
+      s.sql(s"UPDATE graft_cat.$ns.docs SET n_chars = n_chars + 11 " +
+        "WHERE doc_id BETWEEN 200 AND 249")
+      s"graft_cat.$ns.docs"
+    })
+    s.table(tbl).select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private val snapshotDsv2UpdateMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SQL `UPDATE` through the connector: the analysis-time routing
+    * ([[sources.GraftDmlRule]]) turns the statement into the pruned
+    * copy-on-write commit ([[Snapshot.updateWhere]] — manifest stats
+    * name the candidate files, only those rewrite, one atomic
+    * version). One range UPDATE (BETWEEN) + one equality UPDATE; the
+    * oracle replays both relationally, so hash equality proves SQL
+    * UPDATE ≡ the transactional Scala DML. */
+  def snapshotDsv2Update(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotDsv2UpdateMemo.computeIfAbsent(dir, _ => {
+      val path = scratch("snapshot_dsv2u", dir)
+      Snapshot.create(s, path, t(s, dir, "documents"), key = "doc_id",
+        partitionCol = "source", statsCols = Seq("doc_id"), fileRanges = 8)
+      s.sql("DROP TABLE IF EXISTS graft_dsv2_docs_u")
+      s.sql(s"CREATE TABLE graft_dsv2_docs_u USING graft LOCATION '$path'")
+      s.sql("UPDATE graft_dsv2_docs_u SET n_chars = n_chars + 1000, " +
+        "lang = 'xx' WHERE doc_id BETWEEN 300 AND 349")
+      s.sql("UPDATE graft_dsv2_docs_u SET text = concat(text, ' [u]') " +
+        "WHERE doc_id = 42")
+      path
+    })
+    Snapshot.readLatest(s, p)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private val snapshotDsv2MergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SQL `MERGE INTO` through the connector: the canonical keyed
+    * upsert (`ON t.key = s.key WHEN MATCHED THEN UPDATE SET * WHEN
+    * NOT MATCHED THEN INSERT *`) routed onto ONE transactional
+    * [[Snapshot.merge]] commit. The source re-delivers every
+    * doc_id%9==4 document revised AND brings key-offset new
+    * documents, so the oracle replays update-matched ∪ insert-new
+    * relationally — hash equality proves SQL MERGE ≡ the Scala merge
+    * commit, matched/not-matched routing included. */
+  def snapshotDsv2Merge(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotDsv2MergeMemo.computeIfAbsent(dir, _ => {
+      val path = scratch("snapshot_dsv2m", dir)
+      val docs = t(s, dir, "documents")
+      Snapshot.create(s, path, docs, key = "doc_id", partitionCol = "source")
+      s.sql("DROP TABLE IF EXISTS graft_dsv2_docs_m")
+      s.sql(s"CREATE TABLE graft_dsv2_docs_m USING graft LOCATION '$path'")
+      docs.filter(col("doc_id") % 9 === 4)
+        .withColumn("text", concat(col("text"), lit(" [m]")))
+        .withColumn("n_chars", col("n_chars") + 3)
+        .unionByName(docs.filter(col("doc_id") % 17 === 3)
+          .withColumn("doc_id", col("doc_id") + 1000000L)
+          .withColumn("text", concat(col("text"), lit(" [new]"))))
+        .createOrReplaceTempView("graft_dsv2_merge_src")
+      s.sql("MERGE INTO graft_dsv2_docs_m t USING graft_dsv2_merge_src s " +
+        "ON t.doc_id = s.doc_id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      path
+    })
+    Snapshot.readLatest(s, p)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** TIME TRAVEL over the versioned snapshot table: after three
     * commits (create, merge, merge), read the table AS OF v2 — the
     * later commit must be invisible and v2's bytes still live. The
@@ -2543,6 +2638,9 @@ object Queries {
     "snapshot_dsv2_agg" -> snapshotDsv2Agg _,
     "snapshot_dsv2_write" -> snapshotDsv2Write _,
     "snapshot_dsv2_delete" -> snapshotDsv2Delete _,
+    "snapshot_dsv2_update" -> snapshotDsv2Update _,
+    "snapshot_dsv2_merge" -> snapshotDsv2Merge _,
+    "snapshot_catalog" -> snapshotCatalog _,
     "snapshot_relayout" -> snapshotRelayout _,
     "snapshot_timetravel" -> snapshotTimetravel _,
     "snapshot_pruned" -> snapshotPruned _,

@@ -1402,8 +1402,17 @@ object Snapshot {
                                 m: Manifest, only: Seq[FileEntry] = null,
                                 applyDv: Boolean = true): DataFrame = {
     val entries = if (only == null) m.files else only
-    if (entries.isEmpty)
+    if (entries.isEmpty) {
+      // a ZERO-ROW table is legal (plain CREATE TABLE commits v1 with
+      // schema and no files; a merge can also empty a table) — serve
+      // an empty frame under the manifest schema. Only a manifest
+      // that recorded no schema at all is unreadable.
+      if (m.schemaDdl.nonEmpty)
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          StructType.fromDDL(m.schemaDdl))
       throw new IllegalStateException(s"snapshot $table v${m.version}: empty file set")
+    }
     // the manifest schema drives the read: files predating an additive
     // evolution lack the new columns and come back null-filled —
     // WITHOUT mergeSchema's all-footers inference pass (at 100 TB the

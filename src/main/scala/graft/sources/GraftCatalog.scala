@@ -1,0 +1,285 @@
+package graft.sources
+
+import graft.operators.Snapshot
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Collections, Map => JMap, Set => JSet}
+import scala.jdk.CollectionConverters._
+
+/**
+ * A Spark `TableCatalog` over a directory tree of graft snapshot
+ * tables — the NAME surface above the path-addressed connector:
+ *
+ * {{{
+ *   spark.sql.catalog.graft       = graft.sources.GraftCatalog
+ *   spark.sql.catalog.graft.root  = /data/graft        # the tree root
+ *
+ *   CREATE NAMESPACE graft.corpus
+ *   CREATE TABLE graft.corpus.docs
+ *     USING graft TBLPROPERTIES ('key'='doc_id','partitionCol'='source')
+ *     AS SELECT * FROM staged                -- ATOMIC CTAS: v1 holds the data
+ *   SELECT count(*) FROM graft.corpus.docs   -- manifest fold, zero IO
+ *   INSERT INTO graft.corpus.docs ...        -- the transactional merge
+ *   DROP TABLE graft.corpus.docs             -- refused while tags pin versions
+ * }}}
+ *
+ * Layout: namespace = directory, table = directory containing a graft
+ * `_log/` commit log; the catalog holds NO state of its own — the
+ * table format's manifests stay the single source of truth, so the
+ * same tree is addressable by path (`format("graft").load`) and by
+ * name interchangeably, and a catalog rebuild is `ls`.
+ *
+ * CTAS is atomic via `StagingTableCatalog`: the staged write buffers
+ * the (lazy) source frame and `commitStagedChanges` runs ONE
+ * [[Snapshot.create]] — the table appears at v1 WITH its data under a
+ * single commit lock claim; an aborted CTAS leaves nothing behind.
+ * DROP TABLE refuses while tags pin versions (named refs are promises
+ * to consumers — `DROP TABLE … PURGE` overrides), and refuses
+ * non-graft directories outright.
+ */
+class GraftCatalog extends TableCatalog with StagingTableCatalog
+  with SupportsNamespaces {
+
+  private var catName: String = _
+  private var root: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    val r = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
+      s"graft catalog '$name': set spark.sql.catalog.$name.root=<directory>"))
+    root = Paths.get(r)
+    Files.createDirectories(root)
+  }
+
+  override def name(): String = catName
+
+  private def dirOf(parts: Seq[String]): Path = {
+    parts.foreach(p => require(!p.contains("/") && !p.contains("..") && p.nonEmpty,
+      s"graft catalog: illegal identifier part '$p'"))
+    parts.foldLeft(root)(_ resolve _)
+  }
+  private def tableDir(ident: Identifier): Path =
+    dirOf(ident.namespace.toSeq :+ ident.name)
+  private def isTable(p: Path): Boolean =
+    Files.isDirectory(p.resolve("_log")) &&
+      Snapshot.currentVersion(p.toString) > 0
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val ns = dirOf(namespace.toSeq)
+    if (!Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
+    val listing = Files.list(ns)
+    try listing.iterator().asScala
+      .filter(p => Files.isDirectory(p) && isTable(p))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+    finally listing.close()
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val path = dir.toString
+    GraftStatsRule.install(SparkSession.active)
+    new GraftTable(path, Snapshot.currentVersion(path))
+  }
+
+  private def createSpec(schema: StructType, partitions: Array[Transform],
+                         properties: JMap[String, String]): (String, String) = {
+    val props = properties.asScala
+    val key = props.getOrElse("key", throw new IllegalArgumentException(
+      "graft catalog: CREATE TABLE needs TBLPROPERTIES ('key'='<column>') " +
+        "— every graft table is keyed"))
+    val partFromTransform = partitions.toSeq.map {
+      case t: Transform if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case t => throw new IllegalArgumentException(
+        s"graft catalog: only PARTITIONED BY (column) is supported, got $t")
+    }
+    require(partFromTransform.size <= 1,
+      "graft catalog: at most one partition column")
+    val part = partFromTransform.headOption
+      .orElse(props.get("partitionCol"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft catalog: CREATE TABLE needs PARTITIONED BY (col) or " +
+          "TBLPROPERTIES ('partitionCol'='<column>')"))
+    Seq(key, part).foreach(c => require(schema.fieldNames.contains(c),
+      s"graft catalog: declared column '$c' not in the table schema"))
+    (key, part)
+  }
+
+  /** Plain CREATE TABLE (no AS SELECT): the table commits at v1 with
+    * its schema and zero rows — the first INSERT is the first merge. */
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): Table = {
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val (key, part) = createSpec(schema, partitions, properties)
+    Files.createDirectories(dir.getParent)
+    val spark = SparkSession.active
+    val empty = spark.createDataFrame(
+      Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    Snapshot.create(spark, dir.toString, empty, key = key,
+      partitionCol = part, statsCols = Seq(key))
+    loadTable(ident)
+  }
+
+  /** ATOMIC CTAS: nothing lands on disk until `commitStagedChanges`
+    * runs the single [[Snapshot.create]] commit. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: JMap[String, String]): StagedTable = {
+    val dir = tableDir(ident)
+    if (isTable(dir)) throw new TableAlreadyExistsException(ident)
+    val (key, part) = createSpec(schema, partitions, properties)
+    new GraftStagedTable(ident, dir, schema, key, part)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    dropImpl(ident, purge = false)
+
+  override def purgeTable(ident: Identifier): Boolean =
+    dropImpl(ident, purge = true)
+
+  private def dropImpl(ident: Identifier, purge: Boolean): Boolean = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) return false
+    val tags = Snapshot.tags(dir.toString)
+    if (tags.nonEmpty && !purge) throw new IllegalStateException(
+      s"graft catalog: table $ident has tags pinning versions " +
+        s"(${tags.keys.toSeq.sorted.mkString(",")}) — named refs are " +
+        "promises to consumers; untag them or DROP TABLE ... PURGE")
+    GraftCatalog.deleteTree(dir)
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: RENAME is not supported — the directory path is " +
+        "the table's identity (path readers would dangle)")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported — schema evolution " +
+        "is a COMMIT (Snapshot.addColumn/renameColumn/dropColumn), " +
+        "so it stays versioned and time-travelable")
+
+  // -------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val ns = dirOf(namespace.toSeq)
+    if (!Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
+    val listing = Files.list(ns)
+    try listing.iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTable(p) &&
+        p.getFileName.toString != "_log")
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+    finally listing.close()
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val d = dirOf(namespace.toSeq)
+    Files.isDirectory(d) && !isTable(d)
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: JMap[String, String]): Unit = {
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(namespace)
+    Files.createDirectories(dirOf(namespace.toSeq))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft catalog: namespaces carry no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String],
+                             cascade: Boolean): Boolean = {
+    val d = dirOf(namespace.toSeq)
+    if (!namespaceExists(namespace)) return false
+    val listing = Files.list(d)
+    val nonEmpty = try listing.iterator().hasNext finally listing.close()
+    if (nonEmpty && !cascade)
+      throw new IllegalStateException(
+        s"graft catalog: namespace ${namespace.mkString(".")} is not empty")
+    GraftCatalog.deleteTree(d)
+    true
+  }
+}
+
+private[graft] object GraftCatalog {
+  def deleteTree(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val walk = Files.walk(p)
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+}
+
+/** The CTAS staging handle: the V1 write bridge hands over the (lazy)
+  * source DataFrame during the write phase; nothing executes or lands
+  * on disk until [[commitStagedChanges]], which runs ONE
+  * [[Snapshot.create]] — so the committed table's v1 holds the query
+  * result and an abort is a no-op. */
+private[graft] class GraftStagedTable(ident: Identifier, dir: Path,
+                                      tableSchema: StructType,
+                                      key: String, part: String)
+  extends StagedTable with SupportsWrite {
+
+  @volatile private var staged: Option[org.apache.spark.sql.DataFrame] = None
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = tableSchema
+  override def capabilities(): JSet[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability]()
+    caps.add(TableCapability.V1_BATCH_WRITE) // write-only until commit
+    caps
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                overwrite: Boolean): Unit = {
+              // buffer only — DataFrames are lazy; execution happens
+              // inside the commit so CTAS is all-or-nothing
+              staged = Some(data)
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val df = staged.getOrElse(throw new IllegalStateException(
+      s"graft catalog: staged CTAS for $ident committed without a write"))
+    Files.createDirectories(dir.getParent)
+    Snapshot.create(df.sparkSession, dir.toString, df, key = key,
+      partitionCol = part, statsCols = Seq(key))
+  }
+
+  override def abortStagedChanges(): Unit = () // nothing was written
+}
