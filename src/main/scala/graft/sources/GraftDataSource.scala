@@ -59,9 +59,58 @@ import java.util.{OptionalLong, Map => JMap, Set => JSet}
  * is rejected (use the DML/relayout commits), as is inserting through
  * a `versionAsOf`/`tag`-pinned reference (writing to the past).
  */
-class GraftDataSource extends TableProvider with DataSourceRegister {
+class GraftDataSource extends TableProvider with DataSourceRegister
+  with StreamSourceProvider {
 
   override def shortName(): String = "graft"
+
+  // ------------------------------------------------- streaming (CDC out)
+  // `readStream.format("graft").load(path)` — the change feed as a
+  // stream, offsets = version numbers (see [[GraftStreamSource]]).
+  // The V1 streaming Source API is used deliberately: a micro-batch
+  // IS a driver-side plan over the commits' change sets (the same
+  // frames the batch TVF serves), which the V2 partition-reader API
+  // cannot express without reimplementing the read path.
+
+  private def streamArgs(parameters: Map[String, String]): (String, StructType) = {
+    val opts = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
+    val (path, version) = GraftDataSource.resolve(opts)
+    require(!opts.containsKey("versionAsOf") && !opts.containsKey("tag") &&
+      !opts.containsKey("timestampAsOf"),
+      "graft stream: time-travel pins make no sense on a stream — use " +
+        "startingVersion to choose where the feed begins")
+    val dataSchema = GraftDataSource.logicalSchema(path, version)
+    (path, StructType(dataSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_version",
+        org.apache.spark.sql.types.IntegerType, nullable = false))))
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft stream: the manifest is the schema authority — drop .schema(...)")
+    val (_, s) = streamArgs(parameters)
+    (shortName(), s)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): org.apache.spark
+                              .sql.execution.streaming.Source = {
+    val (path, _) = streamArgs(parameters)
+    val startExclusive = parameters.get("startingVersion") match {
+      case Some("latest") => Snapshot.currentVersion(path)
+      case Some(v) => v.trim.toInt
+      case None => 0
+    }
+    val emitLayout = parameters.get("emitLayoutOps").exists(_.toBoolean)
+    new GraftStreamSource(sqlContext.sparkSession, path, startExclusive,
+      emitLayout)
+  }
 
   // the manifest is the schema authority (CREATE TABLE takes no
   // column list; a user-supplied schema could disagree with the log)

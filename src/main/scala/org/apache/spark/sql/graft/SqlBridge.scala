@@ -18,4 +18,15 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
 object SqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  /** Re-tag a batch frame as STREAMING (`isStreaming = true`) — what
+    * a V1 streaming `Source.getBatch` must return. The physical plan
+    * is pinned here (lazily — nothing executes until the sink runs),
+    * which is correct for a micro-batch: its content is an immutable
+    * function of the offset range. */
+  def asStreamingFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[ClassicSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

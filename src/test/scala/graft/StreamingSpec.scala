@@ -423,6 +423,113 @@ class StreamingSpec extends SparkSpecBase {
       "tip replay after vacuum must rewrite identical labels")
   }
 
+  test("readStream.format(graft): the change feed as a stream — parity with the follower across merge/DML/compact/rollback; checkpoint restart resumes mid-log") {
+    import graft.operators.{IncrementalAgg, Snapshot}
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdcstream").toString
+    val (table, ck, agg) = (s"$dir/tbl", s"$dir/ck", s"$dir/agg")
+
+    val seed = spark.range(0, 400).select(col("id"),
+      (col("id") % 7).as("score"), (col("id") % 4).cast("string").as("part"),
+      concat(lit("n"), col("id")).as("note"))
+    Snapshot.create(spark, table, seed, "id", "part", fileRanges = 4)
+    Snapshot.merge(spark, table,
+      upserts = spark.range(380, 420).select(col("id"),
+        (col("id") * 2).as("score"), (col("id") % 4).cast("string").as("part"),
+        concat(lit("n"), col("id")).as("note")),
+      deleteKeys = spark.range(0, 20).select(col("id")))
+
+    val seenVersions = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def runStream(): Unit = {
+      val q = spark.readStream.format("graft").load(table)
+        .writeStream.option("checkpointLocation", ck)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // one micro-batch may span several versions — apply each in
+          // order, exactly like the follower (ledger keyed on version)
+          val cached = batch.cache()
+          try {
+            val vs = cached.select("_version").distinct()
+              .collect().map(_.getInt(0)).sorted
+            vs.foreach { v =>
+              seenVersions.synchronized { seenVersions += v }
+              val of = cached.filter(col("_version") === v)
+              val removed = of.filter(col("_change") === "removed")
+                .drop("_change", "_version")
+              val added = of.filter(col("_change") === "added")
+                .drop("_change", "_version")
+              if (!new java.io.File(agg).exists())
+                IncrementalAgg.build(added.limit(0), Seq("part"), Seq("score"))
+                  .write.parquet(agg)
+              IncrementalAgg.maintainBatch(spark, agg, v.toLong,
+                Seq("part"), Seq("score"), removed, added)
+            }
+          } finally cached.unpersist()
+          ()
+        }.start()
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      q.stop()
+    }
+    def viewRows: Set[(String, Long, String)] =
+      spark.read.parquet(agg).collect()
+        .map(r => (r.getString(r.fieldIndex("part")),
+          r.getLong(r.fieldIndex("n")),
+          r.getDecimal(r.fieldIndex("sum_score")).toPlainString)).toSet
+    def expect: Set[(String, Long, String)] =
+      IncrementalAgg.build(Snapshot.readLatest(spark, table),
+        Seq("part"), Seq("score")).collect()
+        .map(r => (r.getString(0), r.getLong(1),
+          r.getDecimal(2).toPlainString)).toSet
+
+    runStream() // v1 (create) + v2 (merge)
+    assert(viewRows == expect)
+    assert(seenVersions.toSet == Set(1, 2))
+
+    // commits of every flavor land while the stream is DOWN; restart
+    // from the checkpoint resumes mid-log — only new versions replay
+    Snapshot.deleteWhere(spark, table, Seq(("id", 100, 149)))
+    Snapshot.updateWhere(spark, table, Seq(("id", 200, 259)),
+      Map("score" -> (col("score") + 1000)))
+    Snapshot.compact(spark, table, maxFilesPerPartition = 1)
+    seenVersions.clear()
+    runStream()
+    assert(viewRows == expect)
+    assert(seenVersions.toSet == Set(3, 4),
+      s"restart must resume after v2 and skip the net-zero compact, saw $seenVersions")
+
+    // rollback is just another commit: the feed emits the way BACK
+    Snapshot.rollback(spark, table, 2)
+    seenVersions.clear()
+    runStream()
+    assert(viewRows == expect)
+    assert(seenVersions.toSet == Set(6))
+
+    // startingVersion=latest: a fresh checkpoint sees only FUTURE commits
+    val latestRows = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q2 = spark.readStream.format("graft")
+      .option("startingVersion", "latest").load(table)
+      .writeStream.option("checkpointLocation", s"$dir/ck2")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = b.select("_version").distinct().collect().map(_.getInt(0))
+        latestRows.synchronized { latestRows ++= vs }
+        ()
+      }.start()
+    q2.processAllAvailable()
+    Snapshot.merge(spark, table,
+      upserts = spark.range(900, 905).select(col("id"),
+        lit(1L).as("score"), (col("id") % 4).cast("string").as("part"),
+        concat(lit("n"), col("id")).as("note")),
+      deleteKeys = spark.range(0, 0).select(col("id")))
+    q2.processAllAvailable()
+    assert(q2.exception.isEmpty, s"latest stream died: ${q2.exception}")
+    q2.stop()
+    assert(latestRows.toSet == Set(7),
+      s"startingVersion=latest must see only the post-start commit, saw $latestRows")
+    // time-travel pins are refused on streams
+    intercept[Exception] {
+      spark.readStream.format("graft").option("versionAsOf", 1).load(table)
+    }
+  }
+
   test("incrementalViewSink follows the snapshot commit log: view == one-shot recompute across merge/DML/compact/rollback; re-delivery is a no-op") {
     import graft.operators.{IncrementalAgg, Snapshot}
     val dir = java.nio.file.Files.createTempDirectory("graft_follow").toString
