@@ -102,11 +102,16 @@ object GraftTableFunctions {
       .groupBy(_._2).map { case (v, m) => v -> m.keys.toSeq.sorted }
     val rows = graft.operators.Snapshot.history(path).map {
       case (v, op, parent, nParts, nFiles, nRows) =>
-        (v, op, parent, nParts, nFiles, nRows, tagsByV.getOrElse(v, Nil))
+        // committed_at: the wall-clock instant (UTC) — SQL users
+        // correlate versions to run times without the Scala API;
+        // pre-field manifests surface NULL, never a fake epoch
+        val at = graft.operators.Snapshot.committedAt(path, v)
+        (v, op, parent, nParts, nFiles, nRows, tagsByV.getOrElse(v, Nil),
+          if (at > 0) Some(new java.sql.Timestamp(at)) else None)
     }
     import spark.implicits._
     rows.toDF("version", "op", "parent", "n_partitions", "n_files",
-        "n_rows", "tags")
+        "n_rows", "tags", "committed_at")
       .queryExecution.logical
   }
 
@@ -121,7 +126,8 @@ object GraftTableFunctions {
       changesPlan),
     Tf("graft_snapshot_history",
       "graft_snapshot_history(path) - one row per retained version: " +
-        "(version, op, parent, n_partitions, n_files, n_rows, tags)",
+        "(version, op, parent, n_partitions, n_files, n_rows, tags, " +
+        "committed_at)",
       historyPlan))
 
   /** Register the TVFs in a live session's table-function registry. */

@@ -104,6 +104,22 @@ class SqlTvfSpec extends SparkSpecBase {
       s"SELECT max(version) FROM graft_snapshot_history('$t') WHERE op = 'merge'")
       .as[Int].collect()(0) === 2)
 
+    // committed_at correlates versions to wall-clock from SQL alone:
+    // a real instant per version, non-decreasing along the log, and
+    // each version resolves back to itself through the as-of axis
+    val ats = spark.sql(s"SELECT version, committed_at " +
+        s"FROM graft_snapshot_history('$t') ORDER BY version")
+      .as[(Int, java.sql.Timestamp)].collect().toSeq
+    assert(ats.map(_._1) === Seq(1, 2, 3) && ats.forall(_._2 != null))
+    assert(ats.sliding(2).forall {
+      case Seq((_, a), (_, b)) => !b.before(a)
+      case _ => true
+    }, "commit instants must be non-decreasing along the log")
+    ats.foreach { case (v, at) =>
+      assert(Snapshot.versionAtTime(t, at.getTime) >= v,
+        s"as-of its own instant must see v$v or later")
+    }
+
     // change feed addressed by TAG ≡ by version number
     val byTag = spark.sql(
       s"""SELECT _change, sort_array(collect_list(id))
