@@ -727,10 +727,82 @@ object Dedup {
    */
   def simhashVerified(df: DataFrame, content: Column, id: Column,
                       maxDistance: Int = 12, k: Int = 3,
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      maxCandidatesPerDoc: Int = DefaultSimhashEvalsPerDoc): DataFrame = {
+    // the pre-flight computes its OWN (un-cached) signature pass —
+    // measured: ~2 s at 50 k docs, while feeding the gate's cached
+    // frame into the blocking join changed that join's plan and cost
+    // 23 s; an independent scan that dies after one aggregation is
+    // the cheaper shape
+    if (maxCandidatesPerDoc > 0) {
+      val perDoc = simhashBucketEvalsPerDoc(
+        simhashSignatures(df, content, id), maxDistance)
+      if (perDoc > maxCandidatesPerDoc) {
+        println(f"[graft] simhashVerified: est. $perDoc%.0f in-join evaluations/doc " +
+          s"> $maxCandidatesPerDoc — signature-dense corpus (the blocking mass is " +
+          "quadratic BY CONTRACT here), routing to minhashLshVerified (same " +
+          "jaccard-verified output contract, banded candidates linear in n; " +
+          "the hamming cap — a blocking artifact, not an output promise — " +
+          "is dropped, so the routed set can only GAIN j≥t pairs the " +
+          "hamming filter would have cut)")
+        return minhashLshVerified(df, content, id, k, threshold = threshold)
+      }
+    }
     val sigs = shingleSigs(df, content, id, k)
     rescore(simhashCandidates(df, content, id, maxDistance, k, threshold, sigs),
       sigs, threshold)
+  }
+
+  /** Default route bound of the simhash pre-flight: measured on the
+    * word-permuted-copies scale probe (the corpus family where simhash
+    * degenerates — permutation-invariant signatures make every copy
+    * collide exactly), ~10k evaluations/doc (50 k docs, 495 M total)
+    * runs in under a minute on 32 threads; ~99k/doc (500 k docs,
+    * 49.5 G total) projects past an hour. The bound sits between the
+    * decades. Per-doc, mirroring [[DefaultMaxCandidatesPerDoc]] —
+    * multiply by corpus size for the total-mass budget. */
+  val DefaultSimhashEvalsPerDoc: Int = 1 << 15
+
+  /** The incremental pre-flight: in-join evaluations per INCOMING doc
+    * — Σ over buckets of c_incoming · c_all (the probe×stored join
+    * shape; exact keys only, understating the Hamming-1 ball by the
+    * constant probe multiplier). */
+  private[graft] def simhashIncrementalEvalsPerDoc(simAll: DataFrame,
+                                                   incomingIds: DataFrame,
+                                                   maxDistance: Int): Double = {
+    val m = if (maxDistance < WidePigeonholeBound) maxDistance + 1
+            else maxDistance / 2 + 1
+    val all = chunkFrame(simAll.select("doc_id", "simhash"), m)
+    val cAll = all.groupBy("chunk", "chunk_val")
+      .agg(count(lit(1)).as("c_all"))
+    val cIn = all.join(incomingIds, Seq("doc_id"), "left_semi")
+      .groupBy("chunk", "chunk_val").agg(count(lit(1)).as("c_in"))
+    val mass = cIn.join(cAll, Seq("chunk", "chunk_val"))
+      .agg(coalesce(sum(col("c_in") * col("c_all")), lit(0L)).cast("double"))
+      .collect()(0).getDouble(0)
+    val nIn = incomingIds.count()
+    if (nIn == 0) 0.0 else mass / nIn
+  }
+
+  /** PRE-FLIGHT of the simhash blocking join: the number of in-join
+    * condition evaluations it will perform, per doc — Σ over the
+    * stored chunk table's (chunk, value) buckets of c·(c−1)/2, the
+    * EXACT pair mass of exact-key collisions (the wide regime's
+    * Hamming-1-ball probes only add to it). One cheap aggregation
+    * over m·n rows, no data-dependent explosion — the same
+    * estimate-then-decide shape as [[ShingleStats.estCandidatesPerDoc]]. */
+  private[graft] def simhashBucketEvalsPerDoc(sim: DataFrame,
+                                              maxDistance: Int): Double = {
+    val m = if (maxDistance < WidePigeonholeBound) maxDistance + 1
+            else maxDistance / 2 + 1
+    val row = chunkFrame(sim.select("doc_id", "simhash"), m)
+      .groupBy("chunk", "chunk_val").count()
+      .agg(coalesce(sum(col("count") * (col("count") - 1)), lit(0L))
+          .cast("double").as("pairs2"),
+        coalesce(sum(col("count")), lit(0L)).cast("double").as("rows"))
+      .collect()(0)
+    val (pairs2, rows) = (row.getDouble(0), row.getDouble(1))
+    if (rows == 0) 0.0 else (pairs2 / 2.0) / (rows / m)
   }
 
   /** The candidate stage of [[simhashVerified]] (exposed for the dev
@@ -823,11 +895,26 @@ object Dedup {
   def simhashVerifiedIncremental(corpus: DataFrame, incoming: DataFrame,
                                  content: Column, id: Column,
                                  maxDistance: Int = 12, k: Int = 3,
-                                 threshold: Double = 0.8): DataFrame = {
+                                 threshold: Double = 0.8,
+                                 maxCandidatesPerDoc: Int = DefaultSimhashEvalsPerDoc): DataFrame = {
     val corpusOnly = corpus.select(content.as("__c"), id.as("__i"))
       .join(incoming.select(id.as("__i")), Seq("__i"), "left_anti")
       .select("__c", "__i") // using-join hoists __i first; union is positional
     val union = corpusOnly.unionAll(incoming.select(content.as("__c"), id.as("__i")))
+    if (maxCandidatesPerDoc > 0) {
+      // independent un-cached signature pass — see simhashVerified
+      val perDoc = simhashIncrementalEvalsPerDoc(
+        simhashSignatures(union, col("__c"), col("__i")),
+        incoming.select(id.as("doc_id")), maxDistance)
+      if (perDoc > maxCandidatesPerDoc) {
+        println(f"[graft] simhashVerifiedIncremental: est. $perDoc%.0f in-join " +
+          s"evaluations/incoming doc > $maxCandidatesPerDoc — signature-dense " +
+          "corpus, routing to minhashLshVerifiedIncremental (same contract " +
+          "trade as the batch route)")
+        return minhashLshVerifiedIncremental(corpus, incoming, content, id,
+          k, threshold = threshold)
+      }
+    }
     val sigs = shingleSigs(union, col("__c"), col("__i"), k)
     val sim = OpCache.cache(
       fpAugment(simhashSignatures(union, col("__c"), col("__i")), sigs))

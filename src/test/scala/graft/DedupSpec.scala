@@ -512,6 +512,40 @@ class DedupSpec extends SparkSpecBase {
       s"missed: ${exact.diff(verified)}, extra: ${verified.diff(exact)}")
   }
 
+  test("simhash pre-flight: signature-dense corpora route to the banded path; the default gate stays off the real corpus") {
+    val d = spark.read.parquet(sf() + "/documents.parquet")
+    // the real corpus sits far below the default route bound — the
+    // driver-gate entries keep their native simhash blocking
+    val sim = Dedup.simhashSignatures(d, col("text"), col("doc_id"))
+    val perDoc = Dedup.simhashBucketEvalsPerDoc(sim, maxDistance = 12)
+    assert(perDoc > 0 && perDoc < Dedup.DefaultSimhashEvalsPerDoc,
+      s"corpus measures $perDoc evals/doc — the default gate would route")
+    // a permuted-copy corpus (simhash is token-multiset-invariant, so
+    // every copy collides EXACTLY) over a tight gate must route — and
+    // the routed output is the banded path's, verified-jaccard contract
+    val base = d.limit(30)
+    val copies = (0 until 4).map(i => base
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _)
+    val routed = Dedup.simhashVerified(copies, col("text"), col("doc_id"),
+        maxCandidatesPerDoc = 10)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val banded = Dedup.minhashLshVerified(copies, col("text"), col("doc_id"))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(routed === banded, "routed output must BE the banded path's")
+    // the incremental gate routes the same way
+    val inc = copies.filter(col("doc_id") >= 3000000L)
+    val corp = copies.filter(col("doc_id") < 3000000L)
+    val routedInc = Dedup.simhashVerifiedIncremental(corp, inc,
+        col("text"), col("doc_id"), maxCandidatesPerDoc = 10)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val bandedInc = Dedup.minhashLshVerifiedIncremental(corp, inc,
+        col("text"), col("doc_id"))
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(routedInc === bandedInc)
+    graft.operators.OpCache.releaseAll()
+  }
+
   test("wide-regime multi-index blocking (d=12) == brute-force Hamming pairs") {
     // the HmSearch-style regime (7 chunks, Hamming-1-ball probes) must
     // find EXACTLY the pairs a full n² popcount scan finds — the
