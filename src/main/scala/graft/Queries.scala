@@ -2124,6 +2124,22 @@ object Queries {
       "FROM graft_dsv2_docs_agg")
   }
 
+  /** GROUPED aggregate pushdown: `GROUP BY <partition column>` rides
+    * the same manifest fold — the per-file entries are already keyed
+    * by partition value, so `SELECT source, count/min/max/sum GROUP
+    * BY source` is metadata-only too (one row per partition, zero
+    * data files). Oracle = the pinned-v3 replay grouped relationally. */
+  def snapshotDsv2AggGroup(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotTablePath(s, dir)
+    s.sql("DROP TABLE IF EXISTS graft_dsv2_docs_agg_g")
+    s.sql(s"CREATE TABLE graft_dsv2_docs_agg_g USING graft " +
+      s"OPTIONS (versionAsOf '3') LOCATION '$p'")
+    s.sql("SELECT source, count(*) AS n_rows, " +
+      "count(doc_id) AS n_doc_id, min(doc_id) AS min_doc_id, " +
+      "max(doc_id) AS max_doc_id, sum(n_chars) AS sum_n_chars " +
+      "FROM graft_dsv2_docs_agg_g GROUP BY source")
+  }
+
   private val snapshotDsv2WriteMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2636,6 +2652,7 @@ object Queries {
     "snapshot_changes_tag" -> snapshotChangesTag _,
     "snapshot_dsv2" -> snapshotDsv2 _,
     "snapshot_dsv2_agg" -> snapshotDsv2Agg _,
+    "snapshot_dsv2_agg_group" -> snapshotDsv2AggGroup _,
     "snapshot_dsv2_write" -> snapshotDsv2Write _,
     "snapshot_dsv2_delete" -> snapshotDsv2Delete _,
     "snapshot_dsv2_update" -> snapshotDsv2Update _,

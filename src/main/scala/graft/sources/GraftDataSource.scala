@@ -326,7 +326,7 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
-  private var aggSpec: Option[Seq[(String, String)]] = None
+  private var aggSpec: Option[GraftAggSpec] = None
 
   /** Accept every filter [[GraftFilters.toColumn]] can express as a
     * Column (applied exactly on the inner frame — no residual), hand
@@ -354,12 +354,18 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
    * size. Strictly all-or-nothing, exactness-gated: the aggregation
    * is accepted ONLY when every aggregate in it can be answered
    * exactly from the manifest (stats-tracked column, non-distinct,
-   * no grouping, no residual WHERE) — otherwise the whole aggregation
-   * stays with Spark and executes over the normal pruned scan. Files
-   * masked by a deletion vector can't prove their stats; aggStats
-   * scans those — and only those — dv-applied, so the result is exact
-   * either way (the clean/dirty hybrid the `snapshot_agg_mor` oracle
-   * pins).
+   * no residual WHERE) — otherwise the whole aggregation stays with
+   * Spark and executes over the normal pruned scan. Files masked by a
+   * deletion vector can't prove their stats; aggStats scans those —
+   * and only those — dv-applied, so the result is exact either way
+   * (the clean/dirty hybrid the `snapshot_agg_mor` oracle pins).
+   *
+   * `GROUP BY <partition column>` pushes too: the manifest keys its
+   * file entries BY partition value, so the grouped aggregate is the
+   * same driver-side fold run per key — `SELECT source, count(*)
+   * FROM t GROUP BY source` answers from metadata alone. The grouped
+   * fold declines while deletion vectors are live (the hybrid split
+   * is per-partition there; `compact()` restores the fast path).
    */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     analyzeAggregation(agg).isDefined
@@ -374,12 +380,12 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
   }
 
   /** (fn, col) per aggregate — fn ∈ count_star|count|min|max|sum —
-    * or None when ANY aggregate falls outside the manifest's exact
-    * reach. */
-  private def analyzeAggregation(agg: Aggregation): Option[Seq[(String, String)]] = {
+    * plus whether the (single, partition-column) GROUP BY pushes; None
+    * when ANY aggregate falls outside the manifest's exact reach. */
+  private def analyzeAggregation(agg: Aggregation): Option[GraftAggSpec] = {
     // aggStats folds the WHOLE table: any pushed filter would need
     // applying inside the fold, which per-file stats cannot do
-    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    if (pushed.nonEmpty) return None
     if (agg.aggregateExpressions.isEmpty) return None
     val m = Snapshot.readManifest(path, version)
     if (m.schemaDdl.isEmpty) return None
@@ -390,6 +396,15 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
         Some(f.fieldNames.head).filter(c => schema.fieldNames.contains(c))
       case _ => None
     }
+    val groupBy = agg.groupByExpressions.toSeq match {
+      case Nil => Some(false)
+      case Seq(g) if colOf(g).contains(m.partitionCol) &&
+          // grouped fold: per-partition entries must all be clean
+          // (the hybrid dv split is global, not per-partition)
+          m.files.forall(_.dv.isEmpty) => Some(true)
+      case _ => None
+    }
+    if (groupBy.isEmpty) return None
     def statsOk(c: String): Boolean = m.statsCols.contains(c)
     def sumOk(c: String): Boolean = statsOk(c) &&
       (schema(c).dataType match {
@@ -411,7 +426,8 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
           colOf(s.column).filter(sumOk).map(("sum", _))
         case _: AggregateFunc => None
       }
-    if (specs.exists(_.isEmpty)) None else Some(specs.flatten)
+    if (specs.exists(_.isEmpty)) None
+    else Some(GraftAggSpec(groupBy.get, specs.flatten))
   }
 
   override def build(): Scan = aggSpec match {
@@ -420,27 +436,43 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
   }
 }
 
-/** The pushed-aggregation scan: ONE row, computed by
-  * [[Snapshot.aggStats]]'s driver-side manifest fold (plus the
-  * dv-masked-files scan when deletion vectors are live), projected in
-  * the aggregation's declared order. Output types match Spark's
-  * aggregate result types exactly (counts/sums LONG, min/max in the
-  * column type), so the positional rewrite above needs no casts. */
+/** A pushed aggregation: the (fn, col) list in declared order, and
+  * whether the output is grouped by the partition column (group key
+  * first in the scan output, Spark's contract). */
+private[graft] case class GraftAggSpec(groupByPartition: Boolean,
+                                       aggs: Seq[(String, String)])
+
+/** The pushed-aggregation scan: ONE row (or one row PER PARTITION
+  * VALUE under the grouped fold), computed from the manifest
+  * driver-side — [[Snapshot.aggStats]] for the global form (plus the
+  * dv-masked-files scan when deletion vectors are live), a direct
+  * per-partition fold of the same per-file stats for the grouped
+  * form — projected in the aggregation's declared order (group key
+  * first, Spark's contract). Output types match Spark's aggregate
+  * result types exactly (counts/sums LONG, min/max in the column
+  * type), so the positional rewrite above needs no casts. */
 private[graft] class GraftAggScan(path: String, version: Int,
-                                    spec: Seq[(String, String)])
+                                    spec: GraftAggSpec)
   extends V1Scan with SupportsReportStatistics {
 
-  /** The pushed aggregate is ONE row by construction. */
+  /** One row, or one per partition — known from the manifest alone. */
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): OptionalLong = OptionalLong.of(64L * spec.size)
-    override def numRows(): OptionalLong = OptionalLong.of(1L)
+    private val groups: Long =
+      if (!spec.groupByPartition) 1L
+      else Snapshot.readManifest(path, version).partitions.size.toLong
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(64L * (spec.aggs.size + 1) * groups)
+    override def numRows(): OptionalLong = OptionalLong.of(groups)
   }
 
-  private def frame(spark: SparkSession): DataFrame = {
-    val cols = spec.collect { case (fn, c) if fn != "count_star" => c }.distinct
-    val sums = spec.collect { case ("sum", c) => c }.distinct
+  private def frame(spark: SparkSession): DataFrame =
+    if (spec.groupByPartition) groupedFrame(spark) else globalFrame(spark)
+
+  private def globalFrame(spark: SparkSession): DataFrame = {
+    val cols = spec.aggs.collect { case (fn, c) if fn != "count_star" => c }.distinct
+    val sums = spec.aggs.collect { case ("sum", c) => c }.distinct
     val st = Snapshot.aggStats(spark, path, cols, version, sums)
-    st.select(spec.zipWithIndex.map { case ((fn, c), i) =>
+    st.select(spec.aggs.zipWithIndex.map { case ((fn, c), i) =>
       (fn match {
         case "count_star" => col("n_rows")
         case "count"      => col(s"n_$c")
@@ -449,6 +481,64 @@ private[graft] class GraftAggScan(path: String, version: Int,
         case "sum"        => col(s"sum_$c")
       }).as(s"agg_$i") // positional contract; names are cosmetic
     }: _*)
+  }
+
+  /** Per-partition fold of the per-file stats — the manifest already
+    * keys entries by partition value, so `GROUP BY <partition col>`
+    * is the global fold run once per key. Values travel as the stat
+    * strings and cast ONCE to the column types (the same
+    * render-roundtrip-identity argument as [[Snapshot.aggStats]]);
+    * the analyze step guaranteed every file is dv-free here. */
+  private def groupedFrame(spark: SparkSession): DataFrame = {
+    val m = Snapshot.readManifest(path, version)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    def foldMin(entries: Seq[Snapshot.FileEntry], c: String): Option[String] = {
+      val xs = entries.flatMap(_.stats.get(c)).filter(_.min.isDefined)
+      if (xs.isEmpty) None
+      else if (xs.head.kind == "num")
+        Some(xs.map(_.min.get).minBy(BigDecimal(_)))
+      else Some(xs.map(_.min.get).min)
+    }
+    def foldMax(entries: Seq[Snapshot.FileEntry], c: String): Option[String] = {
+      val xs = entries.flatMap(_.stats.get(c)).filter(_.max.isDefined)
+      if (xs.isEmpty) None
+      else if (xs.head.kind == "num")
+        Some(xs.map(_.max.get).maxBy(BigDecimal(_)))
+      else Some(xs.map(_.max.get).max)
+    }
+    val rows: Seq[Row] = m.partitions.toSeq.sortBy(_._1).map {
+      case (pv, entries) =>
+        val n = entries.map(_.rows).sum
+        val vals: Seq[String] = spec.aggs.map {
+          case ("count_star", _) => n.toString
+          case ("count", c) =>
+            (n - entries.map(_.stats.get(c).map(_.nulls).getOrElse(0L)).sum).toString
+          case ("min", c) => foldMin(entries, c).orNull
+          case ("max", c) => foldMax(entries, c).orNull
+          case ("sum", c) =>
+            val contribs = entries.flatMap(_.stats.get(c).flatMap(_.sum))
+            if (contribs.isEmpty) null // SQL: all-null sum is NULL
+            else contribs.map(BigDecimal(_)).sum.toString
+        }
+        Row.fromSeq(pv +: vals)
+    }
+    val strSchema = StructType(
+      org.apache.spark.sql.types.StructField("part", org.apache.spark.sql
+        .types.StringType) +:
+      spec.aggs.zipWithIndex.map { case (_, i) =>
+        org.apache.spark.sql.types.StructField(s"v_$i", org.apache.spark.sql
+          .types.StringType)
+      })
+    val raw = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, strSchema)
+    raw.select(
+      col("part").cast(schema(m.partitionCol).dataType).as("group_0") +:
+      spec.aggs.zipWithIndex.map { case ((fn, c), i) =>
+        col(s"v_$i").cast(fn match {
+          case "count_star" | "count" | "sum" => LongType
+          case _ => schema(c).dataType
+        }).as(s"agg_$i")
+      }: _*)
   }
 
   override def readSchema(): StructType = frame(SparkSession.active).schema

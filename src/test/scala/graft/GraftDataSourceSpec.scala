@@ -406,6 +406,50 @@ class GraftDataSourceSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_agg_t")
   }
 
+  test("grouped aggregate pushdown: GROUP BY the partition column answers per-partition from the manifest") {
+    val t = fresh("agggrp")
+    seed(t)
+    val q = "SELECT part, count(*) AS n, count(id) AS n_id, min(id) AS mn, " +
+      "max(id) AS mx, sum(id) AS sm FROM graft_agg_grp GROUP BY part"
+    spark.sql("DROP TABLE IF EXISTS graft_agg_grp")
+    spark.sql(s"CREATE TABLE graft_agg_grp USING graft LOCATION '$t'")
+    try {
+      def rows() = spark.sql(q).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val expect = (0 until 4).map { p =>
+        val ids = (p * 10) until (p * 10 + 10)
+        (s"p$p", 10L, 10L, ids.head.toLong, ids.last.toLong, ids.sum.toLong)
+      }.toSet
+      assert(rows() == expect)
+      // zero-IO proof: the grouped fold survives deleting every file
+      val m = Snapshot.readManifest(t, 1)
+      m.files.foreach(f => Files.delete(Paths.get(s"$t/${f.path}")))
+      assert(rows() == expect, "grouped fold must not touch data files")
+      // GROUP BY a non-partition column cannot push and fails on the
+      // missing files — never a silently-wrong grouped answer
+      intercept[Exception] {
+        spark.sql("SELECT payload, count(*) AS n FROM graft_agg_grp " +
+          "GROUP BY payload").collect()
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_agg_grp")
+  }
+
+  test("grouped aggregate pushdown declines under deletion vectors: the scan path keeps it exact") {
+    val t = fresh("agggrpdv")
+    seed(t)
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 3L, 6L))) // 4 rows masked in p0
+    spark.sql("DROP TABLE IF EXISTS graft_agg_grp_dv")
+    spark.sql(s"CREATE TABLE graft_agg_grp_dv USING graft LOCATION '$t'")
+    try {
+      val r = spark.sql("SELECT part, count(*) AS n FROM graft_agg_grp_dv " +
+        "GROUP BY part").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(r == Set(("p0", 6L), ("p1", 10L), ("p2", 10L), ("p3", 10L)),
+        "dv-live grouped counts must be LOGICAL (scan fallback)")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_agg_grp_dv")
+  }
+
   test("aggregate pushdown stays EXACT under deletion vectors: dirty files scan, clean files fold") {
     val t = fresh("aggdv")
     seed(t)
