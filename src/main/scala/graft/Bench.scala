@@ -55,7 +55,8 @@ object Bench {
     "snapshot_history_tvf", "snapshot_changes_tag", "snapshot_dsv2",
     "snapshot_dsv2_agg", "snapshot_dsv2_agg_group",
     "snapshot_dsv2_write", "snapshot_dsv2_delete", "snapshot_dsv2_update",
-    "snapshot_dsv2_merge", "snapshot_catalog", "snapshot_relayout",
+    "snapshot_dsv2_merge", "snapshot_catalog", "snapshot_catalog_asof",
+    "snapshot_relayout",
     "fuzzy_names", "fuzzy_names_jw", "fuzzy_names_multi",
     "sample_weighted_group", "q_rolling", "q_anomaly", "text_blocklist",
     "q_funnel", "q_cohort", "q_event_bigrams", "q_scd2", "q_scd2_apply", "q_pagerank",

@@ -2828,6 +2828,13 @@ object Oracles {
         |       ELSE n_chars END AS n_chars
         |FROM documents""".stripMargin,
 
+    // standard SQL time travel on the catalog table: VERSION AS OF 1
+    // pins the pre-update CTAS state, so the oracle is the documents
+    // table verbatim — hash equality proves the pinned read is exact
+    // while the tip (snapshot_catalog above) carries the update
+    "snapshot_catalog_asof" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
     // DSv2 catalog MERGE: the canonical keyed upsert (UPDATE SET * /
     // INSERT *) routed onto one transactional merge commit; the
     // oracle replays matched-updates ∪ new-key inserts relationally —

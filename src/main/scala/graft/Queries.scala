@@ -2229,6 +2229,19 @@ object Queries {
     s.table(tbl).select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  /** Standard SQL TIME TRAVEL on the catalog table: `VERSION AS OF 1`
+    * pins the pre-update CTAS state (the `TableCatalog.loadTable`
+    * version overload — number or tag both resolve; the spec covers
+    * tags and TIMESTAMP AS OF). The oracle is the plain documents
+    * replay, so hash equality proves the pinned read serves exactly
+    * the v1 commit while the tip carries the later update. */
+  def snapshotCatalogAsof(s: SparkSession, dir: String): DataFrame = {
+    snapshotCatalog(s, dir) // ensure the table + its v2 update exist
+    val ns = "c" + math.abs(dir.hashCode).toString
+    s.sql(s"SELECT doc_id, text, lang, source, n_chars " +
+      s"FROM graft_cat.$ns.docs VERSION AS OF 1")
+  }
+
   private val snapshotDsv2UpdateMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2658,6 +2671,7 @@ object Queries {
     "snapshot_dsv2_update" -> snapshotDsv2Update _,
     "snapshot_dsv2_merge" -> snapshotDsv2Merge _,
     "snapshot_catalog" -> snapshotCatalog _,
+    "snapshot_catalog_asof" -> snapshotCatalogAsof _,
     "snapshot_relayout" -> snapshotRelayout _,
     "snapshot_timetravel" -> snapshotTimetravel _,
     "snapshot_pruned" -> snapshotPruned _,

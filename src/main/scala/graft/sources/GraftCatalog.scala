@@ -95,6 +95,40 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     new GraftTable(path, Snapshot.currentVersion(path))
   }
 
+  /** Standard SQL time travel on catalog tables:
+    * `SELECT … FROM graft.ns.t VERSION AS OF 3` (a number) or
+    * `VERSION AS OF 'training-2026-08'` (a tag). The pinned table
+    * refuses writes like every pinned reference. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val path = dir.toString
+    val v =
+      if (version.trim.matches("\\d+")) version.trim.toInt
+      else {
+        val tags = Snapshot.tags(path)
+        tags.getOrElse(version, throw new IllegalArgumentException(
+          s"graft catalog: no tag '$version' on $ident " +
+            s"(tags: ${tags.keys.toSeq.sorted.mkString(",")})"))
+      }
+    require(v >= 1 && v <= Snapshot.currentVersion(path),
+      s"graft catalog: $ident has no version $v")
+    GraftStatsRule.install(SparkSession.active)
+    new GraftTable(path, v, pinned = true)
+  }
+
+  /** `TIMESTAMP AS OF <instant>`: Spark hands MICROseconds since the
+    * epoch; resolution rides the manifests' committed_at instants
+    * ([[Snapshot.versionAtTime]] — latest version committed ≤ t). */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val path = dir.toString
+    val v = Snapshot.versionAtTime(path, timestamp / 1000L)
+    GraftStatsRule.install(SparkSession.active)
+    new GraftTable(path, v, pinned = true)
+  }
+
   private def createSpec(schema: StructType, partitions: Array[Transform],
                          properties: JMap[String, String]): (String, String) = {
     val props = properties.asScala

@@ -84,6 +84,47 @@ class GraftCatalogSpec extends SparkSpecBase {
     }
   }
 
+  test("SQL time travel on catalog tables: VERSION AS OF number/tag, TIMESTAMP AS OF instant; pins refuse writes") {
+    val _ = rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.tt")
+    seedFrame.createOrReplaceTempView("cat_seed_tt")
+    spark.sql("CREATE TABLE gtest.tt.docs USING graft " +
+      "TBLPROPERTIES ('key'='id','partitionCol'='part') " +
+      "AS SELECT * FROM cat_seed_tt")
+    val dir = s"$rootDir/tt/docs"
+    Snapshot.tag(dir, "first-cut", 1)
+    spark.sql("UPDATE gtest.tt.docs SET payload = 'v2' WHERE id = 5")
+    assert(Snapshot.currentVersion(dir) == 2)
+    // by NUMBER and by TAG: the pre-update state
+    assert(spark.sql("SELECT payload FROM gtest.tt.docs VERSION AS OF 1 " +
+      "WHERE id = 5").as[String].head() == "pay_5")
+    assert(spark.sql("SELECT payload FROM gtest.tt.docs " +
+      "VERSION AS OF 'first-cut' WHERE id = 5").as[String].head() == "pay_5")
+    // the tip sees the update
+    assert(spark.sql("SELECT payload FROM gtest.tt.docs WHERE id = 5")
+      .as[String].head() == "v2")
+    // TIMESTAMP AS OF v1's own commit instant resolves to v1 (the v2
+    // update committed strictly later)
+    val at1 = Snapshot.committedAt(dir, 1)
+    val ts = java.time.Instant.ofEpochMilli(at1)
+      .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString.replace('T', ' ')
+    val n1 = spark.sql(s"SELECT payload FROM gtest.tt.docs " +
+      s"TIMESTAMP AS OF '$ts' WHERE id = 5").as[String].head()
+    assert(n1 == "pay_5" || Snapshot.committedAt(dir, 2) <= at1,
+      s"as-of v1's instant must read v1, got '$n1'")
+    // unknown tag / future version refuse with clear errors
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gtest.tt.docs VERSION AS OF 'nope'").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gtest.tt.docs VERSION AS OF 99").collect()
+    }
+    // a pinned reference refuses writes
+    intercept[Exception] {
+      spark.sql("UPDATE gtest.tt.docs VERSION AS OF 1 SET payload='x' WHERE id = 1")
+    }
+  }
+
   test("DROP TABLE refuses while tags pin versions; PURGE overrides; namespace drop honors cascade") {
     val _ = rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.dropns")
