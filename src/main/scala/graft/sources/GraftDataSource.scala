@@ -60,9 +60,30 @@ import java.util.{OptionalLong, Map => JMap, Set => JSet}
  * a `versionAsOf`/`tag`-pinned reference (writing to the past).
  */
 class GraftDataSource extends TableProvider with DataSourceRegister
-  with StreamSourceProvider {
+  with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft"
+
+  /** `writeStream.format("graft")` — each micro-batch is one
+    * transactional merge commit (see [[GraftStreamSink]]). */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graft sink: Complete mode would rewrite the table every batch — " +
+        "the format's commits are merges; use append/update")
+    val path = parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft sink: no path — .start(<table dir>)"))
+    require(partitionColumns.isEmpty,
+      "graft sink: partitioning is a TABLE property — pass " +
+        ".option(\"partitionCol\", c), not partitionBy")
+    new GraftStreamSink(path, parameters.get("key"),
+      parameters.get("partitionCol"),
+      parameters.get("statsCols").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+  }
 
   // ------------------------------------------------- streaming (CDC out)
   // `readStream.format("graft").load(path)` — the change feed as a
@@ -116,23 +137,62 @@ class GraftDataSource extends TableProvider with DataSourceRegister
   // column list; a user-supplied schema could disagree with the log)
   override def supportsExternalMetadata(): Boolean = false
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (path, version) = GraftDataSource.resolve(options)
-    GraftDataSource.logicalSchema(path, version)
+  /** A path with no snapshot table yet: legal for the STREAMING SINK
+    * (its first batch bootstraps the table), so provider resolution
+    * must survive it — the placeholder table carries the clear error
+    * into any actual read/write attempt instead. */
+  private def missingTable(options: CaseInsensitiveStringMap): Option[String] = {
+    val p = Option(options.get("path")).orElse(Option(options.get("location")))
+    p.filter(path => Snapshot.currentVersion(
+      GraftDataSource.localizePath(path)) == 0)
+      .map(GraftDataSource.localizePath)
   }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    missingTable(options) match {
+      case Some(_) => new StructType() // sink bootstrap; see above
+      case None =>
+        val (path, version) = GraftDataSource.resolve(options)
+        GraftDataSource.logicalSchema(path, version)
+    }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: JMap[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    val (path, version) = GraftDataSource.resolve(opts)
-    val pinned = opts.containsKey("versionAsOf") || opts.containsKey("tag") ||
-      opts.containsKey("timestampAsOf")
-    // resolving a graft table happens at ANALYSIS; installing the
-    // stats re-wrap rule here guarantees it is in place before the
-    // optimizer sizes any plan that reads this table
-    GraftStatsRule.install(SparkSession.active)
-    new GraftTable(path, version, pinned)
+    missingTable(opts) match {
+      case Some(p) => new GraftMissingTable(p)
+      case None =>
+        val (path, version) = GraftDataSource.resolve(opts)
+        val pinned = opts.containsKey("versionAsOf") || opts.containsKey("tag") ||
+          opts.containsKey("timestampAsOf")
+        // resolving a graft table happens at ANALYSIS; installing the
+        // stats re-wrap rule here guarantees it is in place before the
+        // optimizer sizes any plan that reads this table
+        GraftStatsRule.install(SparkSession.active)
+        new GraftTable(path, version, pinned)
+    }
   }
+}
+
+/** Placeholder for a path holding no snapshot table: exists so the
+  * STREAMING SINK can resolve (Spark probes the V2 table before
+  * falling back to the V1 sink whose first batch CREATES the table);
+  * every batch read/write surface throws the clear missing-table
+  * error. No STREAMING_WRITE capability — that is the point. */
+private[graft] class GraftMissingTable(path: String)
+  extends Table with SupportsRead with SupportsWrite {
+  private def boom: Nothing = throw new IllegalArgumentException(
+    s"graft datasource: no snapshot table at $path")
+  override def name(): String = s"graft.`$path` (no table)"
+  override def schema(): StructType = new StructType()
+  override def capabilities(): JSet[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability]()
+    caps.add(TableCapability.BATCH_READ)
+    caps.add(TableCapability.V1_BATCH_WRITE)
+    caps
+  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = boom
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = boom
 }
 
 /**
@@ -198,18 +258,19 @@ object GraftDataSource {
     * `load(...)`'s path), optional `versionAsOf` / `tag` time travel.
     * The version pins at RESOLUTION time, so one query's multiple
     * references see one version even across a concurrent commit. */
+  // "path" from load(...) / reader options; "location" is what the
+  // session catalog stores for `CREATE TABLE … USING graft LOCATION`.
+  // Either may arrive as a file: URI (the catalog normalizes
+  // locations that way) — Snapshot's manifest IO wants a local path.
+  private[graft] def localizePath(l: String): String =
+    scala.util.Try(new java.net.URI(l)).toOption match {
+      case Some(u) if u.getScheme == "file" => u.getPath
+      case _ => l
+    }
+
   private[graft] def resolve(options: CaseInsensitiveStringMap): (String, Int) = {
-    // "path" from load(...) / reader options; "location" is what the
-    // session catalog stores for `CREATE TABLE … USING graft LOCATION`.
-    // Either may arrive as a file: URI (the catalog normalizes
-    // locations that way) — Snapshot's manifest IO wants a local path.
-    def localize(l: String): String =
-      scala.util.Try(new java.net.URI(l)).toOption match {
-        case Some(u) if u.getScheme == "file" => u.getPath
-        case _ => l
-      }
     val path = Option(options.get("path")).orElse(Option(options.get("location")))
-      .map(localize)
+      .map(localizePath)
       .getOrElse(throw new IllegalArgumentException(
         "graft datasource: no 'path' — spark.read.format(\"graft\").load(<table>)"))
     val vOpt = Option(options.get("versionAsOf")).map(_.trim.toInt)

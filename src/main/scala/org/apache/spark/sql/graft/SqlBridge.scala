@@ -29,4 +29,15 @@ object SqlBridge {
     cs.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The inverse, for a V1 `Sink.addBatch`: the delivered micro-batch
+    * frame is still streaming-tagged, so ordinary actions on it are
+    * refused — re-wrap its physical rows as a BATCH frame (exactly
+    * what Spark's own foreachBatch sink does before handing the user
+    * the batch). */
+  def asBatchFrame(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[ClassicSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }

@@ -423,6 +423,55 @@ class StreamingSpec extends SparkSpecBase {
       "tip replay after vacuum must rewrite identical labels")
   }
 
+  test("writeStream.format(graft): each micro-batch is one transactional merge commit; replay converges") {
+    import graft.operators.Snapshot
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val (table, ck) = (s"$dir/tbl", s"$dir/ck")
+    val stream = MemoryStream[(Long, String, String)]
+    def start(ckpt: String) = stream.toDF().toDF("id", "payload", "part")
+      .writeStream.format("graft")
+      .option("key", "id").option("partitionCol", "part")
+      .option("checkpointLocation", ckpt).outputMode("update").start(table)
+    val q = start(ck)
+    stream.addData((1L, "a", "p0"), (2L, "b", "p1"))
+    q.processAllAvailable()
+    assert(q.exception.isEmpty, s"sink died: ${q.exception}")
+    def rowsOf = Snapshot.readLatest(spark, table)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(Snapshot.currentVersion(table) == 1 &&
+      rowsOf == Set((1L, "a", "p0"), (2L, "b", "p1")),
+      "first batch bootstraps the table at v1")
+    // second batch: upsert an existing key + a new key, ONE commit
+    stream.addData((2L, "B", "p1"), (3L, "c", "p0"))
+    q.processAllAvailable(); q.stop()
+    assert(Snapshot.currentVersion(table) == 2 &&
+      rowsOf == Set((1L, "a", "p0"), (2L, "B", "p1"), (3L, "c", "p0")))
+    assert(Snapshot.history(table).last._2 == "stream-merge",
+      "streamed commits are auditable by op")
+    // at-least-once replay CONVERGES: a fresh checkpoint re-delivers
+    // every batch; re-merging applied change sets leaves the state
+    // content-identical (extra audit versions, same rows)
+    val q2 = start(s"$dir/ck2")
+    q2.processAllAvailable(); q2.stop()
+    assert(rowsOf == Set((1L, "a", "p0"), (2L, "B", "p1"), (3L, "c", "p0")),
+      "replayed batches must converge to the same state")
+    // Complete mode refused; creating without a key refused
+    intercept[Exception] {
+      stream.toDF().toDF("id", "payload", "part")
+        .groupBy("part").count().writeStream.format("graft")
+        .option("checkpointLocation", s"$dir/ck3")
+        .outputMode("complete").start(s"$dir/tbl2")
+    }
+    val qBad = stream.toDF().toDF("id", "payload", "part")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$dir/ck4").start(s"$dir/tbl3")
+    stream.addData((9L, "x", "p0"))
+    intercept[Exception] { qBad.processAllAvailable() }
+    qBad.stop()
+    assert(!Snapshot.exists(s"$dir/tbl3"), "refused create must leave nothing")
+  }
+
   test("readStream.format(graft): the change feed as a stream — parity with the follower across merge/DML/compact/rollback; checkpoint restart resumes mid-log") {
     import graft.operators.{IncrementalAgg, Snapshot}
     val dir = java.nio.file.Files.createTempDirectory("graft_cdcstream").toString
