@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
@@ -383,11 +383,27 @@ private[graft] class GraftWriteBuilder(path: String, pinned: Boolean)
 private[graft] class GraftScanBuilder(path: String, version: Int,
                                         full: StructType)
   extends ScanBuilder with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+  with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+  with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = full
   private var aggSpec: Option[GraftAggSpec] = None
+  private var limit: Int = -1
+
+  /** LIMIT pushdown as FILE SKIPPING: `SELECT … LIMIT n` needs only
+    * as many files as the manifest proves hold ≥ n logical rows — at
+    * a 100 TB table, the peek query opens one file instead of
+    * planning every one. Pushed only when no filters pushed (a
+    * filtered limit cannot bound per-file surviving rows from stats);
+    * "partially": the scan re-applies `limit(n)` on the inner frame,
+    * and Spark keeps its own limit above — semantics never change,
+    * the file set shrinks. */
+  override def pushLimit(n: Int): Boolean = {
+    if (pushed.nonEmpty || n <= 0) false
+    else { limit = n; true }
+  }
+  override def isPartiallyPushed(): Boolean = true
 
   /** Accept every filter [[GraftFilters.toColumn]] can express as a
     * Column (applied exactly on the inner frame — no residual), hand
@@ -493,7 +509,7 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
 
   override def build(): Scan = aggSpec match {
     case Some(spec) => new GraftAggScan(path, version, spec)
-    case None => new GraftV1Scan(path, version, pushed, required)
+    case None => new GraftV1Scan(path, version, pushed, required, limit)
   }
 }
 
@@ -618,13 +634,29 @@ private[graft] class GraftAggScan(path: String, version: Int,
   * the same bridge Spark's own JDBC v2 connector rides). */
 private[graft] class GraftV1Scan(path: String, version: Int,
                                    filters: Array[Filter],
-                                   required: StructType)
+                                   required: StructType,
+                                   limit: Int = -1)
   extends V1Scan with SupportsReportStatistics {
 
   // file skipping is decided ONCE per scan (the same kept set feeds
-  // both the statistics estimate and the executed read)
-  private lazy val kept: Option[Seq[Snapshot.FileEntry]] =
-    GraftFilters.prune(path, version, filters)
+  // both the statistics estimate and the executed read); a pushed
+  // LIMIT keeps the fewest files whose manifest-known LOGICAL rows
+  // (dv rows subtracted) already cover it
+  private lazy val kept: Option[Seq[Snapshot.FileEntry]] = {
+    val pruned = GraftFilters.prune(path, version, filters)
+    if (limit <= 0) pruned
+    else {
+      val entries = pruned.getOrElse(
+        Snapshot.readManifest(path, version).files)
+      var acc = 0L
+      val taken = entries.takeWhile { e =>
+        val before = acc
+        acc += e.rows - e.dv.map(_.rows).getOrElse(0L)
+        before < limit
+      }
+      Some(taken)
+    }
+  }
 
   override def readSchema(): StructType = required
 
@@ -676,7 +708,8 @@ private[graft] class GraftV1Scan(path: String, version: Int,
     val base = Snapshot.readEntries(spark, path, version, kept.orNull)
     val filtered = filters.flatMap(GraftFilters.toColumn)
       .foldLeft(base)(_ filter _)
-    val projected = filtered.select(required.fieldNames.map(col).toSeq: _*)
+    val limited = if (limit > 0) filtered.limit(limit) else filtered
+    val projected = limited.select(required.fieldNames.map(col).toSeq: _*)
     new GraftV1Relation(context, required, projected).asInstanceOf[T]
   }
 }

@@ -464,6 +464,37 @@ class GraftDataSourceSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_agg_dv")
   }
 
+  test("LIMIT pushdown is file skipping: the peek query reads the fewest covering files") {
+    val t = fresh("limit")
+    seed(t) // 40 rows over 8 files (2 ranges x 4 partitions)
+    spark.sql("DROP TABLE IF EXISTS graft_limit_t")
+    spark.sql(s"CREATE TABLE graft_limit_t USING graft LOCATION '$t'")
+    try {
+      val limited = graft.dev.PlanAudit.measure(spark) {
+        spark.sql("SELECT * FROM graft_limit_t LIMIT 5")
+          .write.format("noop").mode("overwrite").save()
+      }
+      val full = graft.dev.PlanAudit.measure(spark) {
+        spark.sql("SELECT * FROM graft_limit_t")
+          .write.format("noop").mode("overwrite").save()
+      }
+      assert(limited("input_bytes") > 0 &&
+        limited("input_bytes") * 3 <= full("input_bytes"),
+        s"LIMIT must skip most files: ${limited("input_bytes")} vs " +
+          s"${full("input_bytes")}")
+      // semantics: exactly 5 valid rows
+      val rows = spark.sql("SELECT * FROM graft_limit_t LIMIT 5").collect()
+      assert(rows.length == 5 &&
+        rows.forall(r => r.getString(1) == s"pay_${r.getLong(0)}"))
+      // LIMIT over the whole table still serves every row
+      assert(spark.sql("SELECT * FROM graft_limit_t LIMIT 100").count() == 40)
+      // a filtered LIMIT does NOT push (stats cannot bound surviving
+      // rows per file) — results stay exact through the normal path
+      assert(spark.sql(
+        "SELECT * FROM graft_limit_t WHERE id >= 20 LIMIT 5").count() == 5)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_limit_t")
+  }
+
   test("scan statistics from the manifest: Catalyst sees exact logical rows and pruned byte sizes") {
     val t = fresh("stats")
     seed(t)
