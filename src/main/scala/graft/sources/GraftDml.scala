@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.operators.Snapshot
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, Between, EqualTo => CEqualTo, Expression, GreaterThanOrEqual => CGte, LessThanOrEqual => CLte, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -271,8 +271,12 @@ case class GraftUpdateCommand(path: String,
 /** `MERGE INTO` executed as ONE transactional [[Snapshot.merge]]
   * commit. The source plan is already analyzed; matched/not-matched
   * membership is decided against the table's CURRENT keys inside the
-  * commit (semi/anti joins — never a driver-side collect), then
-  * upserts and deletes land in a single atomic version. */
+  * commit — by the ON key, via semi/anti joins (never a driver-side
+  * collect) — then upserts and deletes land in a single atomic
+  * version. A full upsert whose UPDATE and INSERT assignments differ
+  * shapes each membership side with ITS OWN expressions (matched rows
+  * get the UPDATE values, new rows the INSERT values); only when the
+  * two assignment lists are identical does it collapse to one pass. */
 case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
                              @transient sourcePlan: LogicalPlan,
                              updateCols: Option[Seq[(String, String)]],
@@ -283,17 +287,27 @@ case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graft.SqlBridge.ofRows(spark, sourcePlan)
-    def shaped(cols: Seq[(String, String)]) =
-      src.select(cols.map { case (c, sql) => expr(sql).as(c) }: _*)
+    def shapedOf(df: DataFrame, cols: Seq[(String, String)]) =
+      df.select(cols.map { case (c, sql) => expr(sql).as(c) }: _*)
     val target = Snapshot.readLatest(spark, path)
     val targetKeys = target.select(col(key))
     val srcKeys = src.select(expr(sourceKeyCol).as(key))
+    // matched/unmatched is the ON condition's verdict: join the RAW
+    // source on its ON-key column (renamed on the build side so a
+    // same-named source column never ambiguates), not on whatever the
+    // assignments later write into the key
+    val tk = targetKeys.withColumnRenamed(key, "__graft_tk")
+    def srcSide(joinType: String) =
+      src.join(tk, expr(sourceKeyCol) === col("__graft_tk"), joinType)
     val upserts = (updateCols, insertCols) match {
-      case (Some(u), Some(_)) => shaped(u) // full upsert: one pass
+      case (Some(u), Some(i)) =>
+        if (u == i) shapedOf(src, u) // identical assignments: one pass
+        else shapedOf(srcSide("left_semi"), u)
+          .unionByName(shapedOf(srcSide("left_anti"), i))
       case (Some(u), None) => // update only: matched source rows
-        shaped(u).join(targetKeys, Seq(key), "left_semi")
+        shapedOf(srcSide("left_semi"), u)
       case (None, Some(i)) => // insert only: unmatched source rows
-        shaped(i).join(targetKeys, Seq(key), "left_anti")
+        shapedOf(srcSide("left_anti"), i)
       case (None, None) => target.limit(0) // delete-only: full-schema empty
     }
     val deleteKeys =

@@ -344,6 +344,21 @@ class GraftDataSourceSpec extends SparkSpecBase {
       val afterUpd = rowsOf(Snapshot.readLatest(spark, t))
       assert(afterUpd.contains((3L, "u3", "p0")) &&
         !afterUpd.exists(_._1 == 60L))
+      // FULL upsert whose UPDATE and INSERT assignments DIFFER:
+      // matched rows must take the UPDATE expressions, new rows the
+      // INSERT ones (the silent-wrong-data shape: applying the UPDATE
+      // exprs to inserted rows would persist u70 instead of i70)
+      Seq((5L, "u5", "i5", "p0"), (70L, "u70", "i70", "p7"))
+        .toDF("id", "pu", "pi", "part").createOrReplaceTempView("m_mix")
+      spark.sql("MERGE INTO graft_dsv2_m t USING m_mix s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET id = s.id, payload = s.pu, part = s.part " +
+        "WHEN NOT MATCHED THEN INSERT (id, payload, part) " +
+        "VALUES (s.id, s.pi, s.part)")
+      val afterMix = rowsOf(Snapshot.readLatest(spark, t))
+      assert(afterMix.contains((5L, "u5", "p0")),
+        "matched row must take the UPDATE expressions")
+      assert(afterMix.contains((70L, "i70", "p7")),
+        "inserted row must take the INSERT expressions, not the UPDATE ones")
       val v = Snapshot.currentVersion(t)
       // REFUSED, version untouched: non-key ON, conditioned action,
       // NOT MATCHED BY SOURCE
