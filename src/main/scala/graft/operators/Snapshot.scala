@@ -2185,18 +2185,28 @@ object Snapshot {
   def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
     readAt(spark, table, versionAtTime(table, tsMillis))
 
-  /** Parse a user-supplied commit instant: epoch millis, or a
-    * timestamp string ("2026-08-15 06:00:00[.SSS]", 'T' separator
-    * accepted) interpreted as UTC — NEVER the JVM-default zone, so
-    * the same option string resolves to the same version on every
-    * host. UTC matches the project's pinned
-    * `spark.sql.session.timeZone` and the `committed_at` instants
-    * themselves (epoch millis are zone-free). */
+  /** Parse a user-supplied commit instant: epoch millis, a
+    * zone-qualified ISO-8601 timestamp ("2026-08-15T06:00:00Z",
+    * "…+02:00" — the offset is honored), or a zone-less timestamp
+    * string ("2026-08-15 06:00:00[.SSS]", 'T' separator accepted)
+    * interpreted as UTC — NEVER the JVM-default zone, so the same
+    * option string resolves to the same version on every host. UTC
+    * matches the project's pinned `spark.sql.session.timeZone` and
+    * the `committed_at` instants themselves (epoch millis are
+    * zone-free). Unparseable input fails with a graft error naming
+    * the accepted formats, not a raw DateTimeParseException. */
   def parseInstantMillis(s: String): Long = {
     val t = s.trim
-    if (t.matches("\\d+")) t.toLong
-    else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    if (t.matches("\\d+")) return t.toLong
+    val iso = t.replace(' ', 'T')
+    scala.util.Try(java.time.OffsetDateTime.parse(iso).toInstant)
+      .orElse(scala.util.Try(java.time.LocalDateTime.parse(iso)
+        .toInstant(java.time.ZoneOffset.UTC)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft: cannot parse instant '$s' — accepted: epoch millis, " +
+          "'yyyy-MM-dd HH:mm:ss[.SSS]' (read as UTC), or ISO-8601 with " +
+          "an explicit offset ('2026-08-15T06:00:00Z', '…+02:00')"))
+      .toEpochMilli
   }
 
   // --------------------------------------- manifest-only aggregates
