@@ -258,12 +258,41 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (nonEmpty && !cascade)
       throw new IllegalStateException(
         s"graft catalog: namespace ${namespace.mkString(".")} is not empty")
+    // CASCADE must not silently bypass the tag protection dropTable
+    // enforces: a pinned version is a promise to consumers, and a
+    // namespace drop is not a stronger authority than a table drop.
+    // (There is no DROP NAMESPACE ... PURGE in SQL, so the override
+    // is: untag, or drop the pinned tables individually with PURGE.)
+    if (cascade) {
+      val pinned = GraftCatalog.tablesUnder(d).filter(t =>
+        Snapshot.tags(t.toString).nonEmpty)
+      if (pinned.nonEmpty) throw new IllegalStateException(
+        s"graft catalog: namespace ${namespace.mkString(".")} holds " +
+          s"table(s) with tags pinning versions (" +
+          pinned.map(p => d.relativize(p).toString).sorted.mkString(",") +
+          ") — named refs are promises to consumers; untag them or drop " +
+          "those tables with DROP TABLE ... PURGE first")
+    }
     GraftCatalog.deleteTree(d)
     true
   }
 }
 
 private[graft] object GraftCatalog {
+  /** Every graft table directory under `root` (recursive — tables may
+    * sit in nested namespaces). Bounded driver metadata work. */
+  def tablesUnder(root: Path): Seq[Path] = {
+    if (!Files.isDirectory(root)) return Nil
+    val listing = Files.list(root)
+    val children = try listing.iterator().asScala
+      .filter(Files.isDirectory(_)).toList finally listing.close()
+    children.flatMap { c =>
+      if (Files.isDirectory(c.resolve("_log"))) Seq(c)
+      else if (c.getFileName.toString == "_log") Nil
+      else tablesUnder(c)
+    }
+  }
+
   def deleteTree(p: Path): Unit = {
     if (!Files.exists(p)) return
     val walk = Files.walk(p)

@@ -146,5 +146,37 @@ class GraftCatalogSpec extends SparkSpecBase {
     intercept[Exception] { spark.sql("DROP NAMESPACE gtest.dropns") }
     spark.sql("DROP NAMESPACE gtest.dropns CASCADE")
     assert(!Files.exists(Paths.get(s"$rootDir/dropns")))
+    // CASCADE must honor the same tag protection DROP TABLE enforces:
+    // a namespace holding a tag-pinned table refuses, nothing deleted
+    spark.sql("CREATE NAMESPACE gtest.dropns2")
+    spark.sql("CREATE TABLE gtest.dropns2.t3 USING graft " +
+      "TBLPROPERTIES ('key'='id','partitionCol'='part') " +
+      "AS SELECT * FROM cat_seed2")
+    val dir3 = s"$rootDir/dropns2/t3"
+    Snapshot.tag(dir3, "pinned-ns", 1)
+    val e2 = intercept[Exception] { spark.sql("DROP NAMESPACE gtest.dropns2 CASCADE") }
+    assert(e2.getMessage.contains("t3") && e2.getMessage.contains("PURGE"))
+    assert(Snapshot.currentVersion(dir3) == 1,
+      "refused cascade must not delete the pinned table")
+    Snapshot.untag(dir3, "pinned-ns")
+    spark.sql("DROP NAMESPACE gtest.dropns2 CASCADE")
+    assert(!Files.exists(Paths.get(s"$rootDir/dropns2")))
+  }
+
+  test("parseInstantMillis: epoch, UTC local, zone-qualified ISO; clear error otherwise") {
+    assert(Snapshot.parseInstantMillis("1700000000123") == 1700000000123L)
+    val utc = Snapshot.parseInstantMillis("2026-08-15 06:00:00")
+    assert(utc == java.time.LocalDateTime.parse("2026-08-15T06:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+    // zone-qualified forms are honored, not rejected: Z == the UTC
+    // local form; +02:00 is two hours EARLIER as an instant
+    assert(Snapshot.parseInstantMillis("2026-08-15T06:00:00Z") == utc)
+    assert(Snapshot.parseInstantMillis("2026-08-15 06:00:00+02:00") ==
+      utc - 2 * 3600 * 1000L)
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.parseInstantMillis("yesterday-ish")
+    }
+    assert(e.getMessage.contains("epoch millis") &&
+      e.getMessage.contains("ISO-8601"))
   }
 }
