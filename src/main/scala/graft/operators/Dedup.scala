@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  // operator diagnostics (route decisions, convergence warnings) go
+  // through log4j, not stdout: visible under a driver's log config,
+  // silent under a harness capturing stdout
+  private lazy val log = org.apache.logging.log4j.LogManager.getLogger("graft.operators.Dedup")
+
   /**
    * Exact dedup: group by content, keep the minimum id as the
    * canonical representative. Output: (fp, doc_id, n_copies).
@@ -100,7 +105,7 @@ object Dedup {
     stats.filter(st => maxCandidatesPerDoc > 0 &&
         st.estCandidatesPerDoc(threshold) > maxCandidatesPerDoc) match {
       case Some(st) =>
-        println(f"[graft] ngramJaccard: est. ${st.estCandidatesPerDoc(threshold)}%.0f " +
+        log.info(f"[graft] ngramJaccard: est. ${st.estCandidatesPerDoc(threshold)}%.0f " +
           s"candidates/doc > $maxCandidatesPerDoc — vocabulary-bounded corpus, " +
           "routing to minhashLshVerified (same contract, banded candidates)")
         minhashLshVerified(df, content, id, k, threshold = threshold)
@@ -738,7 +743,7 @@ object Dedup {
       val perDoc = simhashBucketEvalsPerDoc(
         simhashSignatures(df, content, id), maxDistance)
       if (perDoc > maxCandidatesPerDoc) {
-        println(f"[graft] simhashVerified: est. $perDoc%.0f in-join evaluations/doc " +
+        log.info(f"[graft] simhashVerified: est. $perDoc%.0f in-join evaluations/doc " +
           s"> $maxCandidatesPerDoc — signature-dense corpus (the blocking mass is " +
           "quadratic BY CONTRACT here), routing to minhashLshVerified (same " +
           "jaccard-verified output contract, banded candidates linear in n; " +
@@ -907,7 +912,7 @@ object Dedup {
         simhashSignatures(union, col("__c"), col("__i")),
         incoming.select(id.as("doc_id")), maxDistance)
       if (perDoc > maxCandidatesPerDoc) {
-        println(f"[graft] simhashVerifiedIncremental: est. $perDoc%.0f in-join " +
+        log.info(f"[graft] simhashVerifiedIncremental: est. $perDoc%.0f in-join " +
           s"evaluations/incoming doc > $maxCandidatesPerDoc — signature-dense " +
           "corpus, routing to minhashLshVerifiedIncremental (same contract " +
           "trade as the batch route)")
@@ -992,7 +997,7 @@ object Dedup {
     }
     if (maxCandidatesPerDoc > 0 &&
         stats.exists(_.estCandidatesPerDoc(threshold) > maxCandidatesPerDoc)) {
-      println(f"[graft] ngramJaccardIncremental: est. " +
+      log.info(f"[graft] ngramJaccardIncremental: est. " +
         f"${stats.get.estCandidatesPerDoc(threshold)}%.0f candidates/doc > " +
         s"$maxCandidatesPerDoc — vocabulary-bounded corpus, routing to " +
         "minhashLshVerifiedIncremental (same contract, banded candidates)")
@@ -1291,7 +1296,7 @@ object Dedup {
       it += 1
     }
     if (changed > 0)
-      System.err.println(s"[graft] duplicateClusters: not converged after $maxIters rounds " +
+      log.warn(s"[graft] duplicateClusters: not converged after $maxIters rounds " +
         "(pathologically long duplicate chain); labels are an upper approximation")
     labels
   }
@@ -1444,7 +1449,7 @@ object Dedup {
                             k: Int = 3): String = {
     val m = clusterCandidateMass(df, content, id, k)
     val pick = if (m.ratio > StarRepairRatio) "star_repair" else "one_wave"
-    println(f"[graft] chooseClusterStrategy: pairMass=${m.pairMass}%.0f " +
+    log.info(f"[graft] chooseClusterStrategy: pairMass=${m.pairMass}%.0f " +
       f"starMass=${m.starMass}%.0f ratio=${m.ratio}%.1f -> $pick")
     pick
   }
@@ -1545,7 +1550,7 @@ object Dedup {
         stats.exists(st => maxCandidatesPerDoc > 0 &&
           st.estCandidatesPerDoc(threshold) > maxCandidatesPerDoc)
       if (degenerate) {
-        println(f"[graft] nearDupComponents: est. " +
+        log.info(f"[graft] nearDupComponents: est. " +
           f"${stats.get.estCandidatesPerDoc(threshold)}%.0f candidates/doc > " +
           s"$maxCandidatesPerDoc — vocabulary-bounded corpus, banded buckets")
         // fall through to the banded path below
@@ -1636,7 +1641,7 @@ object Dedup {
       round += 1
     }
     if (frontier > 0)
-      System.err.println(s"[graft] nearDupComponents: frontier nonempty after " +
+      log.warn(s"[graft] nearDupComponents: frontier nonempty after " +
         s"$maxRepairRounds repair rounds (pathological chain); labels may merge short")
     labels
   }

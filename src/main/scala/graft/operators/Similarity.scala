@@ -24,6 +24,9 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  // operator diagnostics ride log4j, not stdout (see Dedup.log)
+  private lazy val log = org.apache.logging.log4j.LogManager.getLogger("graft.operators.Similarity")
+
   /** Σ aᵢ·bᵢ in double arithmetic, left-to-right order. Native codegen
     * expression ([[graft.functions.VectorExprs.VecDot]]) — same
     * arithmetic as the `aggregate(zip_with(...))` HOF fold it
@@ -219,7 +222,7 @@ object Similarity {
     require(sample.nonEmpty, "empty training sample")
     val k = math.min(nlist, sample.length)
     if (k < nlist)
-      System.err.println(s"[graft] trainKmeans: nlist=$nlist clamped to sample size $k " +
+      log.warn(s"[graft] trainKmeans: nlist=$nlist clamped to sample size $k " +
         s"(raise trainSize for the documented n/sqrt(n) cell geometry)")
     lloyd(sample, k, iters)
   }
@@ -651,7 +654,7 @@ object Similarity {
       .join(incoming.select(id.as("__id")), Seq("__id"), "left_anti")
     if (maxBroadcastBytes > 0 &&
         Scale.estimatedLeafBytes(incoming) > maxBroadcastBytes) {
-      println(s"[graft] cosineDupPairsIncremental: est. batch bytes " +
+      log.info(s"[graft] cosineDupPairsIncremental: est. batch bytes " +
         s"${Scale.estimatedLeafBytes(incoming)} > $maxBroadcastBytes — " +
         "batch outgrew broadcast, routing to banded LSH candidates " +
         "(lshCrossPairs/lshDupPairs, exact rescoring)")
