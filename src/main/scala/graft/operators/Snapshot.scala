@@ -83,12 +83,19 @@ object Snapshot {
     * declares `bloomCols`) a serialized [[graft.functions.BloomExprs]]
     * filter per bloom column — the point-lookup existence index — and
     * the optional deletion vector masking rows a merge-on-read DELETE
-    * removed (logical rows = `rows - dv.rows`). */
+    * removed (logical rows = `rows - dv.rows`). `bytes` is the file's
+    * on-disk size, captured at commit time from `_metadata.file_size`
+    * (zero extra filesystem calls) so PLANNING-time size estimates
+    * fold from the manifest instead of stat-ing every file — at 100k
+    * files on an object store that walk would be 100k metadata
+    * round-trips per optimizer pass. 0 = legacy manifest predating
+    * the field (readers fall back to the walk). */
   final case class FileEntry(path: String, rows: Long,
                              stats: Map[String, ColStats],
                              blooms: Map[String, Array[Byte]] = Map.empty,
                              dv: Option[DvRef] = None,
-                             hlls: Map[String, Array[Byte]] = Map.empty)
+                             hlls: Map[String, Array[Byte]] = Map.empty,
+                             bytes: Long = 0L)
 
   /** How commit data is arranged into files. `fileRanges = 0` writes
     * with no extra shuffle; > 0 range-partitions into that many file
@@ -293,6 +300,7 @@ object Snapshot {
       files.sortBy(_.path).foreach { f =>
         val fn = arr.addObject()
         fn.put("path", f.path); fn.put("rows", f.rows)
+        if (f.bytes > 0) fn.put("bytes", f.bytes)
         val st = fn.putObject("stats")
         f.stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
           val cn = st.putObject(c)
@@ -355,7 +363,8 @@ object Snapshot {
             DvRef(d.get("path").asText(), d.get("rows").asLong())),
           Option(fn.get("hlls")).map(_.properties().asScala.map(b =>
             b.getKey -> b64.decode(b.getValue.asText())).toMap)
-            .getOrElse(Map.empty))
+            .getOrElse(Map.empty),
+          bytes = Option(fn.get("bytes")).map(_.asLong()).getOrElse(0L))
       }.toSeq
     }.toMap
     val layout = Option(root.get("layout")).map(l =>
@@ -474,7 +483,11 @@ object Snapshot {
     val bloomed = if (bloomBits <= 0) Nil
       else bloomCols.filter(df.columns.contains)
     val hlled = hllCols.filter(df.columns.contains)
-    val aggs = (count(lit(1)).as("__rows") +: tracked.flatMap { case (c, _) => Seq(
+    val aggs = (count(lit(1)).as("__rows") +:
+      // on-disk size from the scan's own metadata column — constant
+      // per file (the group key), max() only to satisfy the agg shape
+      max(col("_metadata.file_size")).as("__bytes") +:
+      tracked.flatMap { case (c, _) => Seq(
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c"),
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
@@ -510,7 +523,8 @@ object Snapshot {
           }.toMap,
           bloomed.map(c => c -> r.getAs[Array[Byte]](s"__bloom_$c")).toMap,
           None,
-          hlled.map(c => c -> r.getAs[Array[Byte]](s"__hll_$c")).toMap)
+          hlled.map(c => c -> r.getAs[Array[Byte]](s"__hll_$c")).toMap,
+          bytes = r.getAs[Long]("__bytes"))
       }.toSeq.sortBy(_.path)
     }
   }

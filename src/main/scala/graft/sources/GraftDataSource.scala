@@ -664,40 +664,57 @@ private[graft] class GraftV1Scan(path: String, version: Int,
    * EXACT manifest statistics for the surviving (post-pruning) file
    * set: `numRows` is the logical row count (physical rows minus
    * deletion-vector rows — both already in the manifest), and
-   * `sizeInBytes` sums the surviving files' on-disk bytes. Both are
-   * driver-side metadata folds, zero data IO. This is what lets AQE
-   * and the join planner size a graft relation CORRECTLY: a
-   * `versionAsOf`-pinned dimension that pruned down to two files
-   * reports two files' bytes and gets broadcast, instead of the
-   * default conservative estimate forcing a shuffle join. Filters the
-   * manifest could not prune with still execute inside the scan, so
-   * the numbers are upper bounds in exactly the direction a planner
-   * wants (never under-report a build side).
+   * `sizeInBytes` sums the surviving files' on-disk bytes — ALSO from
+   * the manifest (`FileEntry.bytes`, recorded at commit time), so the
+   * whole estimate is a driver-side metadata fold with zero
+   * filesystem calls. That matters doubly: Catalyst may invoke
+   * `estimateStatistics` several times per query plan, and at 100k
+   * files on an object store a stat-per-file walk would be 100k
+   * metadata round-trips per pass. Only entries a LEGACY manifest
+   * wrote before byte tracking (bytes = 0) fall back to stat-ing
+   * those files; either way the result is computed once per scan
+   * instance (lazy val). This is what lets AQE and the join planner
+   * size a graft relation CORRECTLY: a `versionAsOf`-pinned dimension
+   * that pruned down to two files reports two files' bytes and gets
+   * broadcast, instead of the default conservative estimate forcing a
+   * shuffle join. Filters the manifest could not prune with still
+   * execute inside the scan, so the numbers are upper bounds in
+   * exactly the direction a planner wants (never under-report a
+   * build side).
    */
-  override def estimateStatistics(): Statistics = {
+  private lazy val stats: (Long, Long) = {
     val m = Snapshot.readManifest(path, version)
     val entries = kept.getOrElse(m.files)
     val logicalRows = entries.map(e => e.rows - e.dv.map(_.rows).getOrElse(0L)).sum
-    var bytes = 0L
-    entries.foreach { e =>
-      val p = java.nio.file.Paths.get(path, e.path)
-      try {
-        if (java.nio.file.Files.isDirectory(p)) {
-          val walk = java.nio.file.Files.walk(p)
-          try {
-            val it = walk.iterator()
-            while (it.hasNext) {
-              val f = it.next()
-              if (java.nio.file.Files.isRegularFile(f))
-                bytes += java.nio.file.Files.size(f)
-            }
-          } finally walk.close()
-        } else bytes += java.nio.file.Files.size(p)
-      } catch { case _: java.io.IOException => () } // vacuumed race: skip
-    }
-    val b = bytes
+    val bytes = entries.map { e =>
+      if (e.bytes > 0) e.bytes else walkBytes(e) // legacy-manifest fallback
+    }.sum
+    (logicalRows, bytes)
+  }
+
+  private def walkBytes(e: Snapshot.FileEntry): Long = {
+    val p = java.nio.file.Paths.get(path, e.path)
+    try {
+      if (java.nio.file.Files.isDirectory(p)) {
+        var bytes = 0L
+        val walk = java.nio.file.Files.walk(p)
+        try {
+          val it = walk.iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            if (java.nio.file.Files.isRegularFile(f))
+              bytes += java.nio.file.Files.size(f)
+          }
+        } finally walk.close()
+        bytes
+      } else java.nio.file.Files.size(p)
+    } catch { case _: java.io.IOException => 0L } // vacuumed race: skip
+  }
+
+  override def estimateStatistics(): Statistics = {
+    val (logicalRows, bytes) = stats
     new Statistics {
-      override def sizeInBytes(): OptionalLong = OptionalLong.of(b)
+      override def sizeInBytes(): OptionalLong = OptionalLong.of(bytes)
       override def numRows(): OptionalLong = OptionalLong.of(logicalRows)
     }
   }

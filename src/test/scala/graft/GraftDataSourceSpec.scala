@@ -529,4 +529,27 @@ class GraftDataSourceSpec extends SparkSpecBase {
     assert(prunedStats.sizeInBytes < fullStats.sizeInBytes,
       s"pruned ${prunedStats.sizeInBytes} !< full ${fullStats.sizeInBytes}")
   }
+
+  test("scan statistics are a pure manifest fold: zero filesystem calls on a bytes-carrying manifest") {
+    val t = fresh("statsbytes")
+    seed(t)
+    // every commit records the file's on-disk size from the scan's
+    // own _metadata column — and it matches the filesystem
+    val m = Snapshot.readManifest(t, 1)
+    m.files.foreach { f =>
+      assert(f.bytes > 0, s"${f.path} lacks bytes")
+      assert(f.bytes == Files.size(Paths.get(s"$t/${f.path}")),
+        s"${f.path}: manifest bytes ${f.bytes} != disk")
+    }
+    val expectBytes = m.files.map(_.bytes).sum
+    // the zero-FS proof: physically delete EVERY data file — the
+    // estimate must still report the manifest byte sum (a walk-based
+    // estimate would see nothing and report 0)
+    m.files.foreach(f => Files.delete(Paths.get(s"$t/${f.path}")))
+    val stats = spark.read.format("graft").load(t)
+      .queryExecution.optimizedPlan.stats
+    assert(stats.sizeInBytes == BigInt(expectBytes),
+      s"expected manifest fold $expectBytes, got ${stats.sizeInBytes}")
+    assert(stats.rowCount.contains(BigInt(40)))
+  }
 }
