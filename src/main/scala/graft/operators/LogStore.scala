@@ -1,0 +1,281 @@
+package graft.operators
+
+import java.io.IOException
+import java.nio.file.{FileAlreadyExistsException, Files, NoSuchFileException, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/**
+ * The snapshot table format's METADATA-IO fabric — every manifest
+ * read, atomic manifest publish, lock claim, ref update, listing and
+ * cleanup in [[Snapshot]] goes through this trait (the Delta-Lake
+ * `LogStore` pattern), so the commit protocol is a property of the
+ * STORE, not of `java.nio.file`. Data files were always
+ * storage-agnostic (they ride Spark's Hadoop-FS readers/writers);
+ * this closes the gap for the commit log itself: without it the
+ * format — however good its plans — could only ever run on a POSIX
+ * mount, which at a literal 100 TB is not where tables live.
+ *
+ * Contract points the protocol depends on:
+ *
+ *  - [[putIfAbsent]] is the COMMIT PRIMITIVE: publish `bytes` at
+ *    `path` all-or-nothing, failing with
+ *    [[java.nio.file.FileAlreadyExistsException]] if `path` already
+ *    exists. Readers never observe a torn manifest.
+ *  - [[createNew]] is the LOCK PRIMITIVE: atomically create-an-empty
+ *    file, `false` if it already exists.
+ *  - [[rename]] moves a staged directory under `files/` to its commit
+ *    name in O(1) without copying data (same-store rename).
+ *
+ * Implementations:
+ *  - [[LocalLogStore]] — `java.nio.file`: `ATOMIC_MOVE` publish,
+ *    `createFile` lock (today's exact semantics, the default for
+ *    scheme-less paths).
+ *  - [[HadoopLogStore]] — `org.apache.hadoop.fs.FileSystem` for any
+ *    scheme-qualified URI (`hdfs://…`, `file:///…`, `s3a://…`). On
+ *    HDFS, `rename` refuses an existing destination and
+ *    `createNewFile` is atomic, so the protocol holds as-is. On the
+ *    `file:` FS the same calls map to POSIX rename/create. On S3(-like)
+ *    object stores rename is copy+delete and create-new is not
+ *    conditional, so SINGLE-WRITER deployments are safe out of the box
+ *    but multi-writer mutual exclusion needs the store's conditional
+ *    write (S3 `If-None-Match` PUT) or an external lock (the DynamoDB
+ *    coordination Delta documents) wired into [[putIfAbsent]]/
+ *    [[createNew]] — the two methods are the documented extension
+ *    points, and everything else composes unchanged.
+ *
+ * Resolution: [[LogStore.forPath]] — a scheme-qualified path gets the
+ * Hadoop store (configured from the active Spark session's Hadoop
+ * conf), anything else the local store. Stateless; resolving is
+ * per-call cheap (Hadoop caches `FileSystem` instances internally).
+ */
+trait LogStore {
+  def exists(path: String): Boolean
+  def isDirectory(path: String): Boolean
+  def read(path: String): Array[Byte]
+  /** Atomic publish: `path` appears with the full `bytes` or not at
+    * all; throws [[FileAlreadyExistsException]] if `path` exists. */
+  def putIfAbsent(path: String, bytes: Array[Byte]): Unit
+  /** Atomic replace (last-writer-wins refs, written under the commit
+    * lock): `path` ends up holding exactly `bytes`. */
+  def putReplace(path: String, bytes: Array[Byte]): Unit
+  /** Immediate children as (name, isDirectory); Nil for a missing or
+    * non-directory path. */
+  def list(path: String): Seq[(String, Boolean)]
+  def mkdirs(path: String): Unit
+  /** Atomic create-empty-file; false if it already exists. */
+  def createNew(path: String): Boolean
+  /** Delete a file (or empty directory); false if absent. */
+  def delete(path: String): Boolean
+  def deleteTree(path: String): Unit
+  /** Same-store rename; throws if the destination exists. */
+  def rename(src: String, dst: String): Unit
+  def modifiedTime(path: String): Long
+  def size(path: String): Long
+
+  /** Regular files under `dir`, recursively, as `dir`-relative
+    * paths — the listing primitive vacuum/fsck sweep with. Composed
+    * from [[list]], so every store gets it for free. */
+  final def walkFiles(dir: String): Seq[String] = {
+    def go(d: String, prefix: String): Seq[String] =
+      list(d).flatMap {
+        case (name, true) => go(s"$d/$name", s"$prefix$name/")
+        case (name, false) => Seq(s"$prefix$name")
+      }
+    go(dir, "")
+  }
+
+  /** Total bytes of a file, or of every regular file under a
+    * directory; 0 for a missing path. */
+  final def sizeTree(path: String): Long =
+    if (!exists(path)) 0L
+    else if (isDirectory(path)) walkFiles(path).map(f => size(s"$path/$f")).sum
+    else size(path)
+}
+
+object LogStore {
+  // "hdfs://…", "s3a://…", "file:///…" — anything scheme-qualified
+  // rides Hadoop; bare paths keep today's java.nio semantics
+  private val schemed = "^[A-Za-z][A-Za-z0-9+.-]*:/.*".r
+
+  def forPath(path: String): LogStore =
+    if (schemed.matches(path)) HadoopLogStore else LocalLogStore
+}
+
+/** `java.nio.file` implementation — rename/create atomics on a POSIX
+  * mount, byte-for-byte the pre-abstraction behavior. */
+object LocalLogStore extends LogStore {
+  private def p(s: String): Path = Paths.get(s)
+
+  override def exists(path: String): Boolean = Files.exists(p(path))
+  override def isDirectory(path: String): Boolean = Files.isDirectory(p(path))
+  override def read(path: String): Array[Byte] = Files.readAllBytes(p(path))
+
+  override def putIfAbsent(path: String, bytes: Array[Byte]): Unit = {
+    val dst = p(path)
+    val tmp = dst.resolveSibling(
+      "_tmp-" + java.util.UUID.randomUUID().toString.take(8) +
+        "-" + dst.getFileName)
+    Files.write(tmp, bytes)
+    if (Files.exists(dst)) {
+      Files.deleteIfExists(tmp)
+      throw new FileAlreadyExistsException(path)
+    }
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def putReplace(path: String, bytes: Array[Byte]): Unit = {
+    val dst = p(path)
+    val tmp = dst.resolveSibling(
+      "_tmp-" + java.util.UUID.randomUUID().toString.take(8) +
+        "-" + dst.getFileName)
+    Files.write(tmp, bytes)
+    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def list(path: String): Seq[(String, Boolean)] = {
+    if (!Files.isDirectory(p(path))) return Nil
+    val ls = Files.list(p(path))
+    try ls.iterator().asScala
+      .map(c => (c.getFileName.toString, Files.isDirectory(c))).toSeq
+    finally ls.close()
+  }
+
+  override def mkdirs(path: String): Unit = Files.createDirectories(p(path))
+
+  override def createNew(path: String): Boolean =
+    try { Files.createFile(p(path)); true }
+    catch { case _: FileAlreadyExistsException => false }
+
+  override def delete(path: String): Boolean = Files.deleteIfExists(p(path))
+
+  override def deleteTree(path: String): Unit = {
+    if (!Files.exists(p(path))) return
+    val walk = Files.walk(p(path))
+    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  override def rename(src: String, dst: String): Unit = {
+    if (Files.exists(p(dst))) throw new FileAlreadyExistsException(dst)
+    Files.move(p(src), p(dst)) // atomic: same filesystem
+  }
+
+  override def modifiedTime(path: String): Long =
+    try Files.getLastModifiedTime(p(path)).toMillis
+    catch { case _: NoSuchFileException => throw new NoSuchFileException(path) }
+
+  override def size(path: String): Long = Files.size(p(path))
+}
+
+/** `org.apache.hadoop.fs.FileSystem` implementation for any
+  * scheme-qualified URI. The Hadoop conf comes from the active Spark
+  * session (so `fs.*` settings — endpoints, credentials — apply); a
+  * bare `Configuration` is the headless fallback. See the trait docs
+  * for the per-fabric atomicity ledger (HDFS full, file: POSIX,
+  * S3-like needs conditional-write wiring). */
+object HadoopLogStore extends LogStore {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  private def conf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsOf(path: String): (FileSystem, HPath) = {
+    val hp = new HPath(path)
+    (hp.getFileSystem(conf), hp)
+  }
+
+  override def exists(path: String): Boolean = {
+    val (fs, hp) = fsOf(path); fs.exists(hp)
+  }
+
+  override def isDirectory(path: String): Boolean = {
+    val (fs, hp) = fsOf(path)
+    try fs.getFileStatus(hp).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  override def read(path: String): Array[Byte] = {
+    val (fs, hp) = fsOf(path)
+    val in = fs.open(hp)
+    try in.readAllBytes() finally in.close()
+  }
+
+  private def writeTmp(fs: FileSystem, dst: HPath,
+                       bytes: Array[Byte]): HPath = {
+    val tmp = new HPath(dst.getParent,
+      "_tmp-" + java.util.UUID.randomUUID().toString.take(8) +
+        "-" + dst.getName)
+    val out = fs.create(tmp, false)
+    try out.write(bytes) finally out.close()
+    tmp
+  }
+
+  override def putIfAbsent(path: String, bytes: Array[Byte]): Unit = {
+    val (fs, dst) = fsOf(path)
+    // pre-check + no-overwrite rename: exact on HDFS (rename refuses
+    // an existing destination); on stores whose rename overwrites,
+    // the pre-check still catches every non-racing double publish —
+    // multi-writer S3 wires a conditional PUT here instead
+    if (fs.exists(dst)) throw new FileAlreadyExistsException(path)
+    val tmp = writeTmp(fs, dst, bytes)
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new FileAlreadyExistsException(path)
+    }
+  }
+
+  override def putReplace(path: String, bytes: Array[Byte]): Unit = {
+    val (fs, dst) = fsOf(path)
+    val tmp = writeTmp(fs, dst, bytes)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new IOException(s"putReplace: rename to $path failed")
+  }
+
+  override def list(path: String): Seq[(String, Boolean)] = {
+    val (fs, hp) = fsOf(path)
+    try fs.listStatus(hp).toSeq.map(s => (s.getPath.getName, s.isDirectory))
+    catch { case _: java.io.FileNotFoundException => Nil }
+  }
+
+  override def mkdirs(path: String): Unit = {
+    val (fs, hp) = fsOf(path); fs.mkdirs(hp); ()
+  }
+
+  override def createNew(path: String): Boolean = {
+    val (fs, hp) = fsOf(path)
+    try fs.createNewFile(hp)
+    catch { case _: IOException => false }
+  }
+
+  override def delete(path: String): Boolean = {
+    val (fs, hp) = fsOf(path); fs.delete(hp, false)
+  }
+
+  override def deleteTree(path: String): Unit = {
+    val (fs, hp) = fsOf(path)
+    if (fs.exists(hp)) { fs.delete(hp, true); () }
+  }
+
+  override def rename(src: String, dst: String): Unit = {
+    val (fs, s) = fsOf(src)
+    val d = new HPath(dst)
+    if (fs.exists(d)) throw new FileAlreadyExistsException(dst)
+    if (!fs.rename(s, d))
+      throw new IOException(s"rename $src -> $dst failed")
+  }
+
+  override def modifiedTime(path: String): Long = {
+    val (fs, hp) = fsOf(path)
+    try fs.getFileStatus(hp).getModificationTime
+    catch { case _: java.io.FileNotFoundException =>
+      throw new NoSuchFileException(path) }
+  }
+
+  override def size(path: String): Long = {
+    val (fs, hp) = fsOf(path); fs.getFileStatus(hp).getLen
+  }
+}

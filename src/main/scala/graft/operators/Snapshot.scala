@@ -6,7 +6,6 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 /**
@@ -190,24 +189,26 @@ object Snapshot {
 
   // ---------------------------------------------------------------- paths
 
-  private def logDir(table: String): Path = Paths.get(table, "_log")
-  private def lockFile(table: String): Path = logDir(table).resolve("_commit.lock")
-  private def manifestPath(table: String, v: Int): Path =
-    logDir(table).resolve(f"v$v%08d.json")
+  /** The metadata-IO fabric for this table's commit log — local
+    * java.nio for bare paths, Hadoop FileSystem for scheme-qualified
+    * URIs (see [[LogStore]]). Every manifest/lock/ref/cleanup byte
+    * below goes through it, so the commit protocol deploys wherever
+    * a LogStore does. */
+  private def store(table: String): LogStore = LogStore.forPath(table)
+
+  private def logDir(table: String): String = s"$table/_log"
+  private def lockFile(table: String): String = s"${logDir(table)}/_commit.lock"
+  private def manifestPath(table: String, v: Int): String =
+    f"${logDir(table)}%s/v$v%08d.json"
   private def commitDir(table: String, v: Int): String =
     f"$table%s/files/c$v%08d"
 
   /** Highest committed version, or 0 for a missing/empty table. */
-  def currentVersion(table: String): Int = {
-    val log = logDir(table)
-    if (!Files.isDirectory(log)) return 0
-    val listing = Files.list(log)
-    try listing.iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d{8}\\.json") => s.substring(1, 9).toInt }
+  def currentVersion(table: String): Int =
+    store(table).list(logDir(table))
+      .collect { case (s, _) if s.matches("v\\d{8}\\.json") =>
+        s.substring(1, 9).toInt }
       .foldLeft(0)(math.max)
-    finally listing.close()
-  }
 
   def exists(table: String): Boolean = currentVersion(table) > 0
 
@@ -229,7 +230,7 @@ object Snapshot {
           s"($rows visible rows)")
     }
     m.guards.get("max_shrink_pct").map(_.toLong).foreach { pct =>
-      if (m.parent > 0 && Files.exists(manifestPath(table, m.parent))) {
+      if (m.parent > 0 && store(table).exists(manifestPath(table, m.parent))) {
         val old = readManifest(table, m.parent).logicalRows
         if (old > 0 && (old - rows) * 100L > pct * old)
           throw new GuardViolationException(
@@ -248,12 +249,7 @@ object Snapshot {
     try writeManifest(table, m)
     catch {
       case e: GuardViolationException =>
-        val dir = Paths.get(commitDir(table, m.version))
-        if (Files.exists(dir)) {
-          val walk = Files.walk(dir)
-          try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-          finally walk.close()
-        }
+        store(table).deleteTree(commitDir(table, m.version))
         throw e
     }
 
@@ -325,23 +321,26 @@ object Snapshot {
         }
       }
     }
-    Files.createDirectories(logDir(table))
-    val tmp = logDir(table).resolve(s"_tmp_v${m.version}.json")
-    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter()
-      .writeValueAsBytes(root))
-    val dst = manifestPath(table, m.version)
-    if (Files.exists(dst))
-      throw new ConcurrentCommitException(
-        s"snapshot $table: version ${m.version} already committed")
-    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    val st = store(table)
+    st.mkdirs(logDir(table))
+    // the store's atomic publish IS the commit point: the manifest
+    // appears whole or not at all, and an existing version refuses
+    try st.putIfAbsent(manifestPath(table, m.version),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentCommitException(
+          s"snapshot $table: version ${m.version} already committed")
+    }
   }
 
   def readManifest(table: String, version: Int): Manifest = {
     val p = manifestPath(table, version)
-    require(Files.exists(p),
+    val st = store(table)
+    require(st.exists(p),
       s"snapshot $table: version $version does not exist " +
         s"(current=${currentVersion(table)}; vacuumed versions are gone for good)")
-    val root = mapper.readTree(Files.readAllBytes(p))
+    val root = mapper.readTree(st.read(p))
     def colStats(n: JsonNode): Map[String, ColStats] =
       n.properties().asScala.map { e =>
         val v = e.getValue
@@ -407,7 +406,7 @@ object Snapshot {
   def history(table: String): Seq[(Int, String, Int, Int, Int, Long)] = {
     val cur = currentVersion(table)
     (1 to cur).flatMap { v =>
-      if (Files.exists(manifestPath(table, v))) {
+      if (store(table).exists(manifestPath(table, v))) {
         val m = readManifest(table, v)
         Some((v, m.op, m.parent, m.partitions.size, m.files.size, m.logicalRows))
       } else None
@@ -422,21 +421,20 @@ object Snapshot {
     * race still fails closed. */
   private def withCommitLock[A](table: String, staleMs: Long = 6 * 3600 * 1000L)
                                (body: => A): A = {
-    Files.createDirectories(logDir(table))
+    val st = store(table)
+    st.mkdirs(logDir(table))
     val lf = lockFile(table)
-    def claim(): Boolean =
-      try { Files.createFile(lf); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    def claim(): Boolean = st.createNew(lf)
     val got = claim() || {
       val stale = try
-        System.currentTimeMillis() - Files.getLastModifiedTime(lf).toMillis > staleMs
+        System.currentTimeMillis() - st.modifiedTime(lf) > staleMs
       catch { case _: java.nio.file.NoSuchFileException => true }
-      if (stale) { try Files.deleteIfExists(lf) catch { case _: Exception => () }; claim() }
+      if (stale) { try st.delete(lf) catch { case _: Exception => () }; claim() }
       else false
     }
     if (!got) throw new ConcurrentCommitException(
       s"snapshot $table: a commit is in flight (lock ${lf} held); retry later")
-    try body finally Files.deleteIfExists(lf)
+    try body finally st.delete(lf)
   }
 
   // ---------------------------------------------------------------- stats
@@ -468,12 +466,8 @@ object Snapshot {
                         hllP: Int = 12): Map[String, Seq[FileEntry]] = {
     // a delete-only commit that empties its partitions writes no
     // partition dirs at all — nothing to read, nothing to list
-    val hasParts = Files.isDirectory(Paths.get(dir)) && {
-      val ls = Files.list(Paths.get(dir))
-      try ls.iterator().asScala.exists(p =>
-        Files.isDirectory(p) && p.getFileName.toString.startsWith("__part="))
-      finally ls.close()
-    }
+    val hasParts = LogStore.forPath(dir).list(dir)
+      .exists { case (n, isDir) => isDir && n.startsWith("__part=") }
     if (!hasParts) return Map.empty
     val df = spark.read.parquet(dir) // partition discovery restores __part
     val tracked = statsCols.flatMap(c =>
@@ -825,12 +819,7 @@ object Snapshot {
       newMap: Map[String, String] = Map.empty) {
     /** Delete the staged files without committing (conflict cleanup). */
     def abort(): Unit = stagingName.foreach { n =>
-      val root = Paths.get(table, "files", n)
-      if (Files.exists(root)) {
-        val walk = Files.walk(root)
-        try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-        finally walk.close()
-      }
+      LogStore.forPath(table).deleteTree(s"$table/files/$n")
     }
   }
 
@@ -907,7 +896,7 @@ object Snapshot {
         if (strict)
           conflict("intervening commit under a write-audit-publish " +
             "stage (the audit must re-run against the new current version)")
-        if (!Files.exists(manifestPath(table, staged.readVersion)))
+        if (!store(table).exists(manifestPath(table, staged.readVersion)))
           conflict(s"base manifest v${staged.readVersion} was vacuumed")
         val mB = readManifest(table, staged.readVersion)
         if (mC.schemaDdl != mB.schemaDdl)
@@ -944,8 +933,8 @@ object Snapshot {
           CommitStats(v, Nil, Nil, 0)
         case Some(name) =>
           val prefix = f"files/c$v%08d/"
-          Files.move(Paths.get(table, "files", name),
-            Paths.get(commitDir(table, v))) // atomic: same filesystem
+          store(table).rename(s"$table/files/$name",
+            commitDir(table, v)) // atomic: same store
           val fresh = staged.subEntries.map { case (p, fs) =>
             p -> fs.map(f => f.copy(path = prefix + f.path)) }
           val kept = mC.partitions.filterNot(e => staged.affected.contains(e._1))
@@ -1317,79 +1306,70 @@ object Snapshot {
       // any retention window (see [[tag]])
       val pinned = tags(table).values.toSet
       val retainedVs = ((cutoff to cur) ++ pinned).distinct.sorted
+      val st = store(table)
       val retainedMs = retainedVs
-        .filter(v => Files.exists(manifestPath(table, v)))
+        .filter(v => st.exists(manifestPath(table, v)))
         .map(v => readManifest(table, v))
       val referenced = retainedMs.flatMap(_.files.map(_.path)).toSet
       // deletion-vector DIRECTORIES referenced by retained versions:
       // every file under one is live (the manifest references the dir,
       // not the part files inside it)
       val dvDirs = retainedMs.flatMap(_.files.flatMap(_.dv).map(_.path + "/")).toSet
-      val filesRoot = Paths.get(table, "files")
-      val tableRoot = Paths.get(table)
+      val filesRoot = s"$table/files"
       var deleted = 0; var freed = 0L
-      if (Files.isDirectory(filesRoot)) {
-        def isSidecar(p: Path): Boolean = {
-          val n = p.getFileName.toString
+      if (st.isDirectory(filesRoot)) {
+        def isSidecarName(n: String): Boolean =
           n.startsWith("_") || n.startsWith(".")
-        }
         // an in-flight optimistic stage ([[stageMerge]]) lives under
         // files/_staging-*; its files are NOT orphans — skip the whole
         // subtree in both passes, reap only ABANDONED stages below
-        def underStaging(p: Path): Boolean = {
-          var q = p
-          while (q != null && q != filesRoot) {
-            if (q.getFileName.toString.startsWith("_staging-")) return true
-            q = q.getParent
-          }
-          false
-        }
-        val walk = Files.walk(filesRoot)
-        val all = try walk.iterator().asScala.filter(Files.isRegularFile(_)).toList
-                  finally walk.close()
+        def underStaging(rel: String): Boolean =
+          rel.split('/').exists(_.startsWith("_staging-"))
         // pass 1: unreferenced data files (a file under a retained
-        // version's deletion-vector dir is referenced via the dir)
-        all.filter { f =>
-          val rel = tableRoot.relativize(f).toString
-          !isSidecar(f) && !underStaging(f) && !referenced.contains(rel) &&
-            !dvDirs.exists(rel.startsWith)
-        }.foreach { f => freed += Files.size(f); Files.delete(f); deleted += 1 }
+        // version's deletion-vector dir is referenced via the dir).
+        // walkFiles yields filesRoot-relative paths; the manifest's
+        // are table-relative — prefix to compare
+        st.walkFiles(filesRoot).filter { rel =>
+          val tableRel = "files/" + rel
+          val name = rel.substring(rel.lastIndexOf('/') + 1)
+          !isSidecarName(name) && !underStaging(rel) &&
+            !referenced.contains(tableRel) &&
+            !dvDirs.exists(tableRel.startsWith)
+        }.foreach { rel =>
+          val p = s"$filesRoot/$rel"
+          freed += st.size(p); st.delete(p); deleted += 1
+        }
         // pass 2, bottom-up: directories left holding only sidecars are
         // fully vacuumed — drop the sidecars, then the empty dirs
-        val dirsWalk = Files.walk(filesRoot)
-        val dirs = try dirsWalk.iterator().asScala
-          .filter(d => Files.isDirectory(d) && !underStaging(d)).toSeq.reverse
-          finally dirsWalk.close()
-        dirs.foreach { d =>
-          val ls = Files.list(d)
-          val children = try ls.iterator().asScala.toList finally ls.close()
-          if (children.forall(c => Files.isRegularFile(c) && isSidecar(c))) {
-            children.foreach { c => Files.delete(c); deleted += 1 }
-            if (d != filesRoot) Files.delete(d)
+        def sweep(dir: String, isRoot: Boolean): Unit = {
+          st.list(dir).foreach {
+            case (n, true) if !n.startsWith("_staging-") =>
+              sweep(s"$dir/$n", isRoot = false)
+            case _ => ()
+          }
+          val children = st.list(dir)
+          if (children.forall { case (n, isDir) => !isDir && isSidecarName(n) }) {
+            children.foreach { case (n, _) => st.delete(s"$dir/$n"); deleted += 1 }
+            if (!isRoot) st.delete(dir)
           }
         }
+        sweep(filesRoot, isRoot = true)
         // reap staging dirs older than stagingStaleMs — a crashed
         // optimistic writer's droppings (a LIVE stage is minutes old)
-        val lsRoot = Files.list(filesRoot)
-        val stale = try lsRoot.iterator().asScala.filter(d =>
-            Files.isDirectory(d) &&
-              d.getFileName.toString.startsWith("_staging-") &&
+        st.list(filesRoot).foreach {
+          case (n, true) if n.startsWith("_staging-") &&
               System.currentTimeMillis() -
-                Files.getLastModifiedTime(d).toMillis > stagingStaleMs).toList
-          finally lsRoot.close()
-        stale.foreach { d =>
-          val w = Files.walk(d)
-          val everything = try w.iterator().asScala.toSeq.reverse finally w.close()
-          everything.foreach { p =>
-            if (Files.isRegularFile(p)) { freed += Files.size(p); deleted += 1 }
-            Files.deleteIfExists(p)
-          }
+                st.modifiedTime(s"$filesRoot/$n") > stagingStaleMs =>
+            val d = s"$filesRoot/$n"
+            st.walkFiles(d).foreach { rel =>
+              freed += st.size(s"$d/$rel"); deleted += 1 }
+            st.deleteTree(d)
+          case _ => ()
         }
       }
       var mDeleted = 0
       (1 until cutoff).filterNot(pinned.contains).foreach { v =>
-        val p = manifestPath(table, v)
-        if (Files.exists(p)) { Files.delete(p); mDeleted += 1 }
+        if (st.delete(manifestPath(table, v))) mDeleted += 1
       }
       VacuumStats(deleted, mDeleted, freed)
     }
@@ -1543,19 +1523,20 @@ object Snapshot {
   def fsck(spark: SparkSession, table: String): Seq[FsckIssue] = {
     val cur = currentVersion(table)
     require(cur > 0, s"snapshot $table does not exist")
+    val st = store(table)
     val issues = Seq.newBuilder[FsckIssue]
-    val retained = (1 to cur).filter(v => Files.exists(manifestPath(table, v)))
+    val retained = (1 to cur).filter(v => st.exists(manifestPath(table, v)))
     val referenced = scala.collection.mutable.Set[String]()
     val dvReferenced = scala.collection.mutable.Set[String]()
     retained.foreach { v =>
       val m = readManifest(table, v)
       m.files.foreach { f =>
         referenced += f.path
-        if (!Files.exists(Paths.get(table, f.path)))
+        if (!st.exists(s"$table/${f.path}"))
           issues += FsckIssue(v, f.path, "missing on disk")
         f.dv.foreach { d =>
           dvReferenced += d.path + "/"
-          if (!Files.isDirectory(Paths.get(table, d.path)))
+          if (!st.isDirectory(s"$table/${d.path}"))
             issues += FsckIssue(v, d.path, "deletion vector dir missing on disk")
         }
       }
@@ -1563,7 +1544,7 @@ object Snapshot {
     // recount the CURRENT version — PHYSICAL rows (applyDv = false:
     // manifest row counts are physical; the dv mask is audited below)
     val m = readManifest(table, cur)
-    if (m.files.nonEmpty && m.files.forall(f => Files.exists(Paths.get(table, f.path)))) {
+    if (m.files.nonEmpty && m.files.forall(f => st.exists(s"$table/${f.path}"))) {
       val counted = readManifestFiles(spark, table, m, applyDv = false)
         .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getAs[String]("f") -> r.getAs[Long]("n")).toMap
@@ -1579,7 +1560,7 @@ object Snapshot {
       // position count must match the manifest, positions must be
       // distinct and in range
       m.files.filter(f => f.dv.isDefined &&
-          Files.isDirectory(Paths.get(table, f.dv.get.path)))
+          st.isDirectory(s"$table/${f.dv.get.path}"))
         .groupBy(_.dv.get.path).foreach { case (dir, fs) =>
           val audit = spark.read.parquet(s"$table/$dir")
             .groupBy("file").agg(count(lit(1)).as("n"),
@@ -1610,28 +1591,24 @@ object Snapshot {
     // a _staging- dir are an optimistic commit in flight (or a crashed
     // writer's droppings) — reported as one issue per stage, not as
     // per-file orphans
-    val filesRoot = Paths.get(table, "files")
-    if (Files.isDirectory(filesRoot)) {
-      val walk = Files.walk(filesRoot)
-      try walk.iterator().asScala
-        .filter(p => Files.isRegularFile(p) && {
-          val n = p.getFileName.toString
+    val filesRoot = s"$table/files"
+    if (st.isDirectory(filesRoot)) {
+      st.walkFiles(filesRoot)
+        .filter { rel =>
+          val n = rel.substring(rel.lastIndexOf('/') + 1)
           !n.startsWith("_") && !n.startsWith(".")
-        })
-        .map(p => Paths.get(table).relativize(p).toString)
+        }
+        .map("files/" + _)
         .filterNot(referenced.contains)
         .filterNot(p => dvReferenced.exists(p.startsWith))
         .filterNot(_.contains("/_staging-"))
         .foreach(p => issues += FsckIssue(0, p, "orphan (no retained version references it)"))
-      finally walk.close()
-      val ls = Files.list(filesRoot)
-      try ls.iterator().asScala
-        .filter(d => Files.isDirectory(d) &&
-          d.getFileName.toString.startsWith("_staging-"))
-        .foreach(d => issues += FsckIssue(0,
-          s"files/${d.getFileName}",
-          "staging dir (optimistic commit in flight, or abandoned — vacuum reaps after staleness)"))
-      finally ls.close()
+      st.list(filesRoot).foreach {
+        case (n, true) if n.startsWith("_staging-") =>
+          issues += FsckIssue(0, s"files/$n",
+            "staging dir (optimistic commit in flight, or abandoned — vacuum reaps after staleness)")
+        case _ => ()
+      }
     }
     issues.result()
   }
@@ -1844,7 +1821,7 @@ object Snapshot {
     val empty = readManifestFiles(spark, table, m).limit(0)
     if (m.parent <= 0) (empty, readManifestFiles(spark, table, m))
     else {
-      require(Files.exists(manifestPath(table, m.parent)),
+      require(store(table).exists(manifestPath(table, m.parent)),
         s"snapshot $table: parent v${m.parent} was vacuumed — change set " +
           "unrecoverable (raise vacuum retention above follower lag)")
       // diff by (path, dv) identity: a merge-on-read DELETE changes no
@@ -2111,23 +2088,22 @@ object Snapshot {
 
   // ------------------------------------------------------------- tags
 
-  private def refsPath(table: String): Path = logDir(table).resolve("refs.json")
+  private def refsPath(table: String): String = s"${logDir(table)}/refs.json"
 
   /** Named version refs: `{tag -> version}` from `_log/refs.json`. */
   def tags(table: String): Map[String, Int] = {
+    val st = store(table)
     val p = refsPath(table)
-    if (!Files.exists(p)) Map.empty
-    else mapper.readTree(Files.readAllBytes(p)).properties().asScala
+    if (!st.exists(p)) Map.empty
+    else mapper.readTree(st.read(p)).properties().asScala
       .map(e => e.getKey -> e.getValue.asInt()).toMap
   }
 
   private def writeTags(table: String, t: Map[String, Int]): Unit = {
     val root = mapper.createObjectNode()
     t.toSeq.sortBy(_._1).foreach { case (n, v) => root.put(n, v) }
-    val tmp = logDir(table).resolve("_tmp_refs.json")
-    Files.write(tmp, mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
-    Files.move(tmp, refsPath(table), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    store(table).putReplace(refsPath(table),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
   }
 
   /**
@@ -2147,7 +2123,7 @@ object Snapshot {
       require(name.matches("[A-Za-z0-9._-]+"),
         s"snapshot tag: bad name '$name' (want [A-Za-z0-9._-]+)")
       val v = if (version > 0) version else currentVersion(table)
-      require(Files.exists(manifestPath(table, v)),
+      require(store(table).exists(manifestPath(table, v)),
         s"snapshot $table: cannot tag v$v — no such retained version")
       writeTags(table, tags(table) + (name -> v))
     }
@@ -2170,9 +2146,10 @@ object Snapshot {
   /** Commit instant (epoch millis) of a retained version — 0 for
     * manifests written before the field existed. */
   def committedAt(table: String, version: Int): Long = {
+    val st = store(table)
     val p = manifestPath(table, version)
-    require(Files.exists(p), s"snapshot $table: no retained version v$version")
-    Option(mapper.readTree(Files.readAllBytes(p)).get("committed_at"))
+    require(st.exists(p), s"snapshot $table: no retained version v$version")
+    Option(mapper.readTree(st.read(p)).get("committed_at"))
       .map(_.asLong()).getOrElse(0L)
   }
 
@@ -2186,11 +2163,11 @@ object Snapshot {
     val cur = currentVersion(table)
     require(cur > 0, s"snapshot $table does not exist")
     val at = (1 to cur)
-      .filter(v => Files.exists(manifestPath(table, v)))
+      .filter(v => store(table).exists(manifestPath(table, v)))
       .filter(v => committedAt(table, v) <= tsMillis)
     require(at.nonEmpty,
       s"snapshot $table: no version committed at or before $tsMillis " +
-        s"(earliest retained: ${(1 to cur).find(v => Files.exists(manifestPath(table, v)))
+        s"(earliest retained: ${(1 to cur).find(v => store(table).exists(manifestPath(table, v)))
           .map(v => committedAt(table, v)).getOrElse(-1L)})")
     at.max
   }
