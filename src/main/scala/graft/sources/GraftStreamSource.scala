@@ -35,6 +35,14 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
  *    `relayout`) have change sets that NET TO ZERO by contract —
  *    emitting them would stream a table-sized no-op (at 100 TB, THE
  *    scale bug), so they are skipped by op unless asked for.
+ *  - `maxVersionsPerBatch` (default 0 = unbounded): cap how many
+ *    commits one micro-batch unions. Without it, a cold start
+ *    (`startingVersion` 0) over a 10k-commit log would plan a single
+ *    10k-way union — the bootstrap-over-a-long-log scale bug (Delta's
+ *    `maxFilesPerTrigger` shape). With it, `getOffset` advances at
+ *    most k versions past the last batch's end, so the bootstrap
+ *    proceeds in bounded batches and each checkpoint entry marks real
+ *    progress; the final state is identical to the unbounded read.
  *
  * The schema is pinned at stream start (tip manifest + `_change`,
  * `_version`); change sets from versions before a rename/evolution
@@ -45,7 +53,8 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
  */
 private[graft] class GraftStreamSource(spark: SparkSession, path: String,
                                        startExclusive: Int,
-                                       emitLayoutOps: Boolean) extends Source {
+                                       emitLayoutOps: Boolean,
+                                       maxVersionsPerBatch: Int = 0) extends Source {
 
   private val dataSchema: StructType =
     GraftDataSource.logicalSchema(path, Snapshot.currentVersion(path))
@@ -54,9 +63,26 @@ private[graft] class GraftStreamSource(spark: SparkSession, path: String,
     StructField("_change", StringType, nullable = false),
     StructField("_version", IntegerType, nullable = false)))
 
+  // Rate-limit anchors. `consumed` re-anchors on every getBatch (the
+  // authoritative signal — on restart the first constructed batch
+  // carries the checkpointed start offset). `offered` additionally
+  // advances per getOffset poll, which keeps a RESTARTED stream live:
+  // a fresh source instance can't see the checkpoint, so its first
+  // capped offer may equal the already-committed offset (one idle
+  // trigger cycle); the next poll offers k further and progress
+  // resumes. Between two polls either a batch runs (re-anchoring
+  // consumed) or the offer matched the committed offset, so no batch
+  // ever spans more than k versions past what was actually processed.
+  @volatile private var consumed: Int = startExclusive
+  @volatile private var offered: Int = startExclusive
+
   override def getOffset: Option[LegacyOffset] = {
     val cur = Snapshot.currentVersion(path)
-    if (cur > startExclusive) Some(GraftVersionOffset(cur)) else None
+    val capped =
+      if (maxVersionsPerBatch <= 0) cur
+      else math.min(cur, math.max(consumed, offered) + maxVersionsPerBatch)
+    offered = math.max(offered, capped)
+    if (capped > startExclusive) Some(GraftVersionOffset(capped)) else None
   }
 
   private def versionOf(o: LegacyOffset): Int = o match {
@@ -71,6 +97,7 @@ private[graft] class GraftStreamSource(spark: SparkSession, path: String,
                         end: LegacyOffset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startExclusive)
     val to = versionOf(end)
+    consumed = math.max(consumed, to)
     val frames = ((from + 1) to to).flatMap { v =>
       val op = Snapshot.readManifest(path, v).op
       if (!emitLayoutOps && layoutOps.contains(op)) None

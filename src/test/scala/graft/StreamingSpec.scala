@@ -579,6 +579,73 @@ class StreamingSpec extends SparkSpecBase {
     }
   }
 
+  test("maxVersionsPerBatch rate-limits the change-feed bootstrap; mid-bootstrap restart resumes; final state == unbounded") {
+    import graft.operators.Snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft_ratelim").toString
+    val (table, ck) = (s"$dir/tbl", s"$dir/ck")
+
+    // a 50-commit log: create + 49 single-row merges — the cold-start
+    // shape that would otherwise plan one 50-way union
+    Snapshot.create(spark, table,
+      spark.range(0, 10).select(col("id"),
+        (col("id") % 2).cast("string").as("part")), "id", "part")
+    (1 to 49).foreach { i =>
+      Snapshot.merge(spark, table,
+        upserts = Seq((1000L + i)).toDF("id")
+          .select(col("id"), lit(i % 2).cast("string").as("part")),
+        deleteKeys = spark.range(0, 0).select(col("id")))
+    }
+    assert(Snapshot.currentVersion(table) == 50)
+
+    // (batchId -> versions in that batch), accumulated across runs
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+    var net = 0L // added − removed rows, accumulated
+    def reader = spark.readStream.format("graft")
+      .option("maxVersionsPerBatch", 10).load(table)
+    def sink(df: org.apache.spark.sql.DataFrame) = df.writeStream
+      .option("checkpointLocation", ck)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select("_version", "_change").collect()
+        batches.synchronized {
+          batches += rows.map(_.getInt(0)).distinct.sorted.toSeq
+          net += rows.count(_.getString(1) == "added") -
+            rows.count(_.getString(1) == "removed")
+        }
+        ()
+      }
+
+    // phase 1: exactly ONE rate-limited batch, then stop mid-bootstrap
+    val q1 = sink(reader)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    q1.awaitTermination()
+    assert(q1.exception.isEmpty, s"phase-1 died: ${q1.exception}")
+    assert(batches.size == 1 && batches.head == (1 to 10),
+      s"first batch must carry exactly versions 1..10, got $batches")
+
+    // phase 2: restart from the checkpoint and drain. A restarted
+    // capped source may need one idle trigger before its offer passes
+    // the committed offset, so drain in a loop under a deadline.
+    val q2 = sink(reader).start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (batches.synchronized(batches.flatten.size) < 50 &&
+        System.currentTimeMillis() < deadline) {
+      q2.processAllAvailable()
+      if (batches.synchronized(batches.flatten.size) < 50) Thread.sleep(200)
+    }
+    assert(q2.exception.isEmpty, s"phase-2 died: ${q2.exception}")
+    q2.stop()
+
+    // every version exactly once, no batch over the cap, ≥5 batches
+    assert(batches.flatten.sorted == (1 to 50),
+      s"versions must arrive exactly once, got ${batches.flatten.sorted}")
+    assert(batches.forall(_.size <= 10),
+      s"a batch exceeded maxVersionsPerBatch: ${batches.map(_.size)}")
+    assert(batches.size >= 5, s"expected ≥5 bounded batches, got ${batches.size}")
+    // final replayed state == the unbounded read's net effect
+    assert(net == Snapshot.readLatest(spark, table).count(),
+      s"net $net != table count")
+  }
+
   test("incrementalViewSink follows the snapshot commit log: view == one-shot recompute across merge/DML/compact/rollback; re-delivery is a no-op") {
     import graft.operators.{IncrementalAgg, Snapshot}
     val dir = java.nio.file.Files.createTempDirectory("graft_follow").toString
