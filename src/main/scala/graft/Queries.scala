@@ -2140,6 +2140,25 @@ object Queries {
       "FROM graft_dsv2_docs_agg_g GROUP BY source")
   }
 
+  /** PARTITION-FILTERED aggregate pushdown: a pushed equality/IN
+    * WHERE on the PARTITION column restricts the manifest fold to the
+    * matching partition entries — `SELECT count(*) … WHERE source IN
+    * (…)`, the everyday partitioned count, stays a metadata fold
+    * (zero data files; GraftDataSourceSpec proves it by deleting
+    * them). Any other pushed filter declines the whole aggregation to
+    * the exact scan path. Oracle = the pinned-v3 replay filtered and
+    * aggregated relationally. */
+  def snapshotDsv2AggWhere(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotTablePath(s, dir)
+    s.sql("DROP TABLE IF EXISTS graft_dsv2_docs_agg_w")
+    s.sql(s"CREATE TABLE graft_dsv2_docs_agg_w USING graft " +
+      s"OPTIONS (versionAsOf '3') LOCATION '$p'")
+    s.sql("SELECT count(*) AS n_rows, " +
+      "count(doc_id) AS n_doc_id, min(doc_id) AS min_doc_id, " +
+      "max(doc_id) AS max_doc_id, sum(n_chars) AS sum_n_chars " +
+      "FROM graft_dsv2_docs_agg_w WHERE source IN ('src3', 'src7')")
+  }
+
   private val snapshotDsv2WriteMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2666,6 +2685,7 @@ object Queries {
     "snapshot_dsv2" -> snapshotDsv2 _,
     "snapshot_dsv2_agg" -> snapshotDsv2Agg _,
     "snapshot_dsv2_agg_group" -> snapshotDsv2AggGroup _,
+    "snapshot_dsv2_agg_where" -> snapshotDsv2AggWhere _,
     "snapshot_dsv2_write" -> snapshotDsv2Write _,
     "snapshot_dsv2_delete" -> snapshotDsv2Delete _,
     "snapshot_dsv2_update" -> snapshotDsv2Update _,

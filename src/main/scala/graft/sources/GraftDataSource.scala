@@ -129,8 +129,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       case None => 0
     }
     val emitLayout = parameters.get("emitLayoutOps").exists(_.toBoolean)
+    val maxVersions = parameters.get("maxVersionsPerBatch")
+      .map(_.trim.toInt).getOrElse(0)
+    require(parameters.get("maxVersionsPerBatch").isEmpty || maxVersions > 0,
+      "graft stream: maxVersionsPerBatch must be a positive version count")
     new GraftStreamSource(sqlContext.sparkSession, path, startExclusive,
-      emitLayout)
+      emitLayout, maxVersions)
   }
 
   // the manifest is the schema authority (CREATE TABLE takes no
@@ -457,17 +461,53 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
   }
 
   /** (fn, col) per aggregate — fn ∈ count_star|count|min|max|sum —
-    * plus whether the (single, partition-column) GROUP BY pushes; None
+    * plus whether the (single, partition-column) GROUP BY pushes, plus
+    * the partition values a pushed WHERE restricts the fold to; None
     * when ANY aggregate falls outside the manifest's exact reach. */
   private def analyzeAggregation(agg: Aggregation): Option[GraftAggSpec] = {
-    // aggStats folds the WHOLE table: any pushed filter would need
-    // applying inside the fold, which per-file stats cannot do
-    if (pushed.nonEmpty) return None
     if (agg.aggregateExpressions.isEmpty) return None
     val m = Snapshot.readManifest(path, version)
     if (m.schemaDdl.isEmpty) return None
     val schema = StructType.fromDDL(m.schemaDdl)
-    val clean = m.files.filter(_.dv.isEmpty)
+    // A pushed WHERE is foldable ONLY when it is equality/IN on the
+    // PARTITION column: the manifest keys file entries by partition
+    // value and files are partition-pure, so restricting the fold to
+    // the matching entries IS the filter, exactly. `SELECT count(*)
+    // FROM t WHERE source = 'x'` — the everyday partitioned count —
+    // thus answers from metadata; anything else declines the whole
+    // aggregation (per-file stats cannot apply a residual filter).
+    val partValues: Option[Set[String]] =
+      if (pushed.isEmpty) null // no restriction (all partitions)
+      else {
+        val sets = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
+        val ok = pushed.forall {
+          case EqualTo(c, v) if c == m.partitionCol && v != null =>
+            sets += Set(v.toString); true
+          case In(c, vs) if c == m.partitionCol && vs.nonEmpty &&
+              !vs.contains(null) =>
+            sets += vs.map(_.toString).toSet; true
+          // partition values are non-null by construction
+          // (validatePartitionValues rejects null at every commit):
+          // IsNotNull — which Spark pushes alongside every equality —
+          // is a no-op; IsNull can match nothing
+          case IsNotNull(c) if c == m.partitionCol => true
+          case IsNull(c) if c == m.partitionCol =>
+            sets += Set.empty[String]; true
+          case _ => false
+        }
+        if (!ok) return None
+        if (sets.isEmpty) null else Some(sets.reduce(_ intersect _))
+      }
+    val scope = Option(partValues).flatten match {
+      case Some(vs) => m.partitions.filter(e => vs.contains(e._1))
+      case None => m.partitions
+    }
+    val scopedFiles = scope.values.flatten.toSeq
+    // a restricted fold has no dv-hybrid path (aggStats' clean/dirty
+    // split is whole-table): every in-scope entry must be clean
+    if (Option(partValues).flatten.isDefined &&
+        !scopedFiles.forall(_.dv.isEmpty)) return None
+    val clean = scopedFiles.filter(_.dv.isEmpty)
     def colOf(e: V2Expression): Option[String] = e match {
       case f: NamedReference if f.fieldNames.length == 1 =>
         Some(f.fieldNames.head).filter(c => schema.fieldNames.contains(c))
@@ -478,7 +518,7 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
       case Seq(g) if colOf(g).contains(m.partitionCol) &&
           // grouped fold: per-partition entries must all be clean
           // (the hybrid dv split is global, not per-partition)
-          m.files.forall(_.dv.isEmpty) => Some(true)
+          scopedFiles.forall(_.dv.isEmpty) => Some(true)
       case _ => None
     }
     if (groupBy.isEmpty) return None
@@ -504,7 +544,8 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
         case _: AggregateFunc => None
       }
     if (specs.exists(_.isEmpty)) None
-    else Some(GraftAggSpec(groupBy.get, specs.flatten))
+    else Some(GraftAggSpec(groupBy.get, specs.flatten,
+      Option(partValues).flatten))
   }
 
   override def build(): Scan = aggSpec match {
@@ -513,11 +554,14 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
   }
 }
 
-/** A pushed aggregation: the (fn, col) list in declared order, and
+/** A pushed aggregation: the (fn, col) list in declared order,
   * whether the output is grouped by the partition column (group key
-  * first in the scan output, Spark's contract). */
+  * first in the scan output, Spark's contract), and the partition
+  * values a pushed equality/IN WHERE restricts the fold to (None =
+  * unfiltered). */
 private[graft] case class GraftAggSpec(groupByPartition: Boolean,
-                                       aggs: Seq[(String, String)])
+                                       aggs: Seq[(String, String)],
+                                       partValues: Option[Set[String]] = None)
 
 /** The pushed-aggregation scan: ONE row (or one row PER PARTITION
   * VALUE under the grouped fold), computed from the manifest
@@ -532,18 +576,28 @@ private[graft] class GraftAggScan(path: String, version: Int,
                                     spec: GraftAggSpec)
   extends V1Scan with SupportsReportStatistics {
 
+  /** The manifest's partition map restricted to the pushed partition
+    * filter's values (all partitions when unfiltered). */
+  private def scoped(m: Snapshot.Manifest): Map[String, Seq[Snapshot.FileEntry]] =
+    spec.partValues match {
+      case Some(vs) => m.partitions.filter(e => vs.contains(e._1))
+      case None => m.partitions
+    }
+
   /** One row, or one per partition — known from the manifest alone. */
   override def estimateStatistics(): Statistics = new Statistics {
     private val groups: Long =
       if (!spec.groupByPartition) 1L
-      else Snapshot.readManifest(path, version).partitions.size.toLong
+      else scoped(Snapshot.readManifest(path, version)).size.toLong
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(64L * (spec.aggs.size + 1) * groups)
     override def numRows(): OptionalLong = OptionalLong.of(groups)
   }
 
   private def frame(spark: SparkSession): DataFrame =
-    if (spec.groupByPartition) groupedFrame(spark) else globalFrame(spark)
+    if (spec.groupByPartition) groupedFrame(spark)
+    else if (spec.partValues.isDefined) filteredGlobalFrame(spark)
+    else globalFrame(spark)
 
   private def globalFrame(spark: SparkSession): DataFrame = {
     val cols = spec.aggs.collect { case (fn, c) if fn != "count_star" => c }.distinct
@@ -560,62 +614,88 @@ private[graft] class GraftAggScan(path: String, version: Int,
     }: _*)
   }
 
+  private def foldMin(entries: Seq[Snapshot.FileEntry], c: String): Option[String] = {
+    val xs = entries.flatMap(_.stats.get(c)).filter(_.min.isDefined)
+    if (xs.isEmpty) None
+    else if (xs.head.kind == "num")
+      Some(xs.map(_.min.get).minBy(BigDecimal(_)))
+    else Some(xs.map(_.min.get).min)
+  }
+  private def foldMax(entries: Seq[Snapshot.FileEntry], c: String): Option[String] = {
+    val xs = entries.flatMap(_.stats.get(c)).filter(_.max.isDefined)
+    if (xs.isEmpty) None
+    else if (xs.head.kind == "num")
+      Some(xs.map(_.max.get).maxBy(BigDecimal(_)))
+    else Some(xs.map(_.max.get).max)
+  }
+
+  /** One fold over `entries`, rendered as the stat strings (cast once
+    * downstream — the render-roundtrip-identity argument of
+    * [[Snapshot.aggStats]]). The analyze step guaranteed every entry
+    * here is dv-free. */
+  private def foldVals(entries: Seq[Snapshot.FileEntry]): Seq[String] = {
+    val n = entries.map(_.rows).sum
+    spec.aggs.map {
+      case ("count_star", _) => n.toString
+      case ("count", c) =>
+        (n - entries.map(_.stats.get(c).map(_.nulls).getOrElse(0L)).sum).toString
+      case ("min", c) => foldMin(entries, c).orNull
+      case ("max", c) => foldMax(entries, c).orNull
+      case ("sum", c) =>
+        val contribs = entries.flatMap(_.stats.get(c).flatMap(_.sum))
+        if (contribs.isEmpty) null // SQL: all-null sum is NULL
+        else contribs.map(BigDecimal(_)).sum.toString
+    }
+  }
+
+  private def castCols(schema: StructType): Seq[Column] =
+    spec.aggs.zipWithIndex.map { case ((fn, c), i) =>
+      col(s"v_$i").cast(fn match {
+        case "count_star" | "count" | "sum" => LongType
+        case _ => schema(c).dataType
+      }).as(s"agg_$i")
+    }
+
+  private def strSchema(withPart: Boolean): StructType = StructType(
+    (if (withPart) Seq(org.apache.spark.sql.types.StructField("part",
+      org.apache.spark.sql.types.StringType)) else Nil) ++
+    spec.aggs.zipWithIndex.map { case (_, i) =>
+      org.apache.spark.sql.types.StructField(s"v_$i", org.apache.spark.sql
+        .types.StringType)
+    })
+
   /** Per-partition fold of the per-file stats — the manifest already
     * keys entries by partition value, so `GROUP BY <partition col>`
-    * is the global fold run once per key. Values travel as the stat
-    * strings and cast ONCE to the column types (the same
-    * render-roundtrip-identity argument as [[Snapshot.aggStats]]);
-    * the analyze step guaranteed every file is dv-free here. */
+    * is the global fold run once per key (restricted to the pushed
+    * partition filter's keys when one pushed). */
   private def groupedFrame(spark: SparkSession): DataFrame = {
     val m = Snapshot.readManifest(path, version)
     val schema = StructType.fromDDL(m.schemaDdl)
-    def foldMin(entries: Seq[Snapshot.FileEntry], c: String): Option[String] = {
-      val xs = entries.flatMap(_.stats.get(c)).filter(_.min.isDefined)
-      if (xs.isEmpty) None
-      else if (xs.head.kind == "num")
-        Some(xs.map(_.min.get).minBy(BigDecimal(_)))
-      else Some(xs.map(_.min.get).min)
+    val rows: Seq[Row] = scoped(m).toSeq.sortBy(_._1).map {
+      case (pv, entries) => Row.fromSeq(pv +: foldVals(entries))
     }
-    def foldMax(entries: Seq[Snapshot.FileEntry], c: String): Option[String] = {
-      val xs = entries.flatMap(_.stats.get(c)).filter(_.max.isDefined)
-      if (xs.isEmpty) None
-      else if (xs.head.kind == "num")
-        Some(xs.map(_.max.get).maxBy(BigDecimal(_)))
-      else Some(xs.map(_.max.get).max)
-    }
-    val rows: Seq[Row] = m.partitions.toSeq.sortBy(_._1).map {
-      case (pv, entries) =>
-        val n = entries.map(_.rows).sum
-        val vals: Seq[String] = spec.aggs.map {
-          case ("count_star", _) => n.toString
-          case ("count", c) =>
-            (n - entries.map(_.stats.get(c).map(_.nulls).getOrElse(0L)).sum).toString
-          case ("min", c) => foldMin(entries, c).orNull
-          case ("max", c) => foldMax(entries, c).orNull
-          case ("sum", c) =>
-            val contribs = entries.flatMap(_.stats.get(c).flatMap(_.sum))
-            if (contribs.isEmpty) null // SQL: all-null sum is NULL
-            else contribs.map(BigDecimal(_)).sum.toString
-        }
-        Row.fromSeq(pv +: vals)
-    }
-    val strSchema = StructType(
-      org.apache.spark.sql.types.StructField("part", org.apache.spark.sql
-        .types.StringType) +:
-      spec.aggs.zipWithIndex.map { case (_, i) =>
-        org.apache.spark.sql.types.StructField(s"v_$i", org.apache.spark.sql
-          .types.StringType)
-      })
     val raw = spark.createDataFrame(
-      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, strSchema)
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
+      strSchema(withPart = true))
     raw.select(
       col("part").cast(schema(m.partitionCol).dataType).as("group_0") +:
-      spec.aggs.zipWithIndex.map { case ((fn, c), i) =>
-        col(s"v_$i").cast(fn match {
-          case "count_star" | "count" | "sum" => LongType
-          case _ => schema(c).dataType
-        }).as(s"agg_$i")
-      }: _*)
+      castCols(schema): _*)
+  }
+
+  /** The global fold under a pushed PARTITION filter: one row over
+    * exactly the matching partitions' entries — `SELECT count(*) FROM
+    * t WHERE <partition> = v` as a metadata fold. Zero matching
+    * partitions still yields SQL's one global-aggregate row (count 0,
+    * min/max/sum NULL). */
+  private def filteredGlobalFrame(spark: SparkSession): DataFrame = {
+    val m = Snapshot.readManifest(path, version)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val entries = scoped(m).values.flatten.toSeq
+    val raw = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        Seq(Row.fromSeq(foldVals(entries)))).asJava,
+      strSchema(withPart = false))
+    raw.select(castCols(schema): _*)
   }
 
   override def readSchema(): StructType = frame(SparkSession.active).schema
@@ -692,24 +772,9 @@ private[graft] class GraftV1Scan(path: String, version: Int,
     (logicalRows, bytes)
   }
 
-  private def walkBytes(e: Snapshot.FileEntry): Long = {
-    val p = java.nio.file.Paths.get(path, e.path)
-    try {
-      if (java.nio.file.Files.isDirectory(p)) {
-        var bytes = 0L
-        val walk = java.nio.file.Files.walk(p)
-        try {
-          val it = walk.iterator()
-          while (it.hasNext) {
-            val f = it.next()
-            if (java.nio.file.Files.isRegularFile(f))
-              bytes += java.nio.file.Files.size(f)
-          }
-        } finally walk.close()
-        bytes
-      } else java.nio.file.Files.size(p)
-    } catch { case _: java.io.IOException => 0L } // vacuumed race: skip
-  }
+  private def walkBytes(e: Snapshot.FileEntry): Long =
+    try graft.operators.LogStore.forPath(path).sizeTree(s"$path/${e.path}")
+    catch { case _: java.io.IOException => 0L } // vacuumed race: skip
 
   override def estimateStatistics(): Statistics = {
     val (logicalRows, bytes) = stats
@@ -739,6 +804,33 @@ private[graft] class GraftV1Relation(context: SQLContext,
   override def needConversion: Boolean = false
   override def buildScan(): RDD[Row] =
     df.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+}
+
+/** A read-only catalog table serving a driver-built frame — the
+  * metadata-table shell (`graft.ns.t.history` rides it; the frame is
+  * rebuilt per scan, so a running session always sees the current
+  * log). */
+private[graft] class GraftFrameTable(tableName: String,
+                                     frame: () => DataFrame)
+  extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = frame().schema
+  override def capabilities(): JSet[TableCapability] = {
+    val caps = new java.util.HashSet[TableCapability]()
+    caps.add(TableCapability.BATCH_READ)
+    caps
+  }
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = frame().schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val df = frame()
+          new GraftV1Relation(context, df.schema, df).asInstanceOf[T]
+        }
+      }
+    }
 }
 
 /**

@@ -421,6 +421,49 @@ class GraftDataSourceSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_agg_t")
   }
 
+  test("partition-filtered aggregate pushdown: WHERE on the partition column restricts the metadata fold") {
+    val t = fresh("aggw")
+    seed(t)
+    spark.sql("DROP TABLE IF EXISTS graft_agg_tw")
+    spark.sql(s"CREATE TABLE graft_agg_tw USING graft LOCATION '$t'")
+    try {
+      val q = "SELECT count(*) AS n, count(id) AS nid, min(id) AS mn, " +
+        "max(id) AS mx, sum(id) AS sm FROM graft_agg_tw WHERE part = 'p1'"
+      val r = spark.sql(q).collect()(0)
+      assert(r.getLong(0) == 10L && r.getLong(1) == 10L &&
+        r.getLong(2) == 10L && r.getLong(3) == 19L &&
+        r.getLong(4) == (10 to 19).sum.toLong)
+      // IN form composes with the grouped fold
+      val g = spark.sql("SELECT part, count(*) AS n, max(id) AS mx " +
+        "FROM graft_agg_tw WHERE part IN ('p1', 'p3') GROUP BY part")
+        .collect().map(row => (row.getString(0), row.getLong(1), row.getLong(2))).toSet
+      assert(g == Set(("p1", 10L, 19L), ("p3", 10L, 39L)))
+      // zero matching partitions: SQL's one global row, count 0, NULL min
+      val z = spark.sql("SELECT count(*) AS n, min(id) AS mn " +
+        "FROM graft_agg_tw WHERE part = 'nope'").collect()(0)
+      assert(z.getLong(0) == 0L && z.isNullAt(1))
+      // a NON-partition pushed filter declines the fold: the exact
+      // scan path answers (and reads real bytes)
+      val d = "SELECT count(*) AS n FROM graft_agg_tw WHERE id <= 19"
+      assert(spark.sql(d).collect()(0).getLong(0) == 20L)
+      val declined = graft.dev.PlanAudit.measure(spark) {
+        spark.sql(d).write.format("noop").mode("overwrite").save()
+      }
+      assert(declined("input_bytes") > 0L,
+        "non-partition WHERE must take the scan path")
+      // the zero-IO proof: delete every data file — the filtered fold
+      // (global and grouped) still answers from the manifest alone
+      val m = Snapshot.readManifest(t, 1)
+      m.files.foreach(f => Files.delete(Paths.get(s"$t/${f.path}")))
+      assert(spark.sql(q).collect()(0) == r)
+      val metrics = graft.dev.PlanAudit.measure(spark) {
+        spark.sql(q).write.format("noop").mode("overwrite").save()
+      }
+      assert(metrics("input_bytes") == 0L,
+        s"expected zero input bytes, got ${metrics("input_bytes")}")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_agg_tw")
+  }
+
   test("grouped aggregate pushdown: GROUP BY the partition column answers per-partition from the manifest") {
     val t = fresh("agggrp")
     seed(t)
