@@ -91,13 +91,13 @@ object GraftTableFunctions {
       .queryExecution.logical
   }
 
-  private def historyPlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.size == 1, "usage: graft_snapshot_history(path)")
-    val spark = SparkSession.active
-    val path = pathArg(args.head, "graft_snapshot_history")
-    // manifest metadata only — a driver-side fold over O(versions)
-    // JSON files (never data files), materialized as a LocalRelation
-    // the enclosing query filters/joins/aggregates like any relation
+  /** The history frame both the TVF and the catalog metadata table
+    * (`graft.ns.t.history`) serve: manifest metadata only — a
+    * driver-side fold over O(versions) JSON files (never data files),
+    * materialized as a LocalRelation the enclosing query filters/
+    * joins/aggregates like any relation. */
+  private[graft] def historyFrame(spark: SparkSession,
+                                  path: String): org.apache.spark.sql.DataFrame = {
     val tagsByV = graft.operators.Snapshot.tags(path)
       .groupBy(_._2).map { case (v, m) => v -> m.keys.toSeq.sorted }
     val rows = graft.operators.Snapshot.history(path).map {
@@ -111,8 +111,14 @@ object GraftTableFunctions {
     }
     import spark.implicits._
     rows.toDF("version", "op", "parent", "n_partitions", "n_files",
-        "n_rows", "tags", "committed_at")
-      .queryExecution.logical
+      "n_rows", "tags", "committed_at")
+  }
+
+  private def historyPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1, "usage: graft_snapshot_history(path)")
+    val spark = SparkSession.active
+    val path = pathArg(args.head, "graft_snapshot_history")
+    historyFrame(spark, path).queryExecution.logical
   }
 
   private val tfs = Seq(

@@ -89,7 +89,18 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
 
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    if (!isTable(dir)) {
+      // Iceberg-style METADATA TABLE: `graft.ns.t.history` — the
+      // trailing name selects the view over the parent table's commit
+      // log, so catalog users never need the path form of the TVF.
+      // Same columns as graft_snapshot_history(path), rebuilt per scan.
+      val parent = dirOf(ident.namespace.toSeq)
+      if (ident.name == "history" && isTable(parent))
+        return new GraftFrameTable(s"$catName.${ident.namespace.mkString(".")}.history",
+          () => graft.functions.GraftTableFunctions.historyFrame(
+            SparkSession.active, parent.toString))
+      throw new NoSuchTableException(ident)
+    }
     val path = dir.toString
     GraftStatsRule.install(SparkSession.active)
     new GraftTable(path, Snapshot.currentVersion(path))
@@ -204,11 +215,48 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       "graft catalog: RENAME is not supported — the directory path is " +
         "the table's identity (path readers would dangle)")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported — schema evolution " +
-        "is a COMMIT (Snapshot.addColumn/renameColumn/dropColumn), " +
-        "so it stays versioned and time-travelable")
+  /** SQL `ALTER TABLE … RENAME COLUMN / DROP COLUMN / ALTER COLUMN
+    * TYPE` routed onto the format's NON-ADDITIVE evolution commits
+    * ([[Snapshot.renameColumn]]/[[Snapshot.dropColumn]]/
+    * [[Snapshot.widenColumn]]) — metadata-only versions (zero data
+    * files rewrite; renames ride the column map, drops retire the
+    * physical name, type changes only the proven-safe widenings), so
+    * the SQL verb stays versioned and time-travelable like every
+    * other commit. Contract columns (key/partition/stats/bloom/
+    * z-order/constraint-referenced) refuse inside the commit, as does
+    * any non-widening type change. ADD COLUMN is refused: additive
+    * evolution is a WRITE property here (a merge carrying new columns
+    * evolves the schema with the data that defines them). Each change
+    * in a multi-change statement commits its own version — the
+    * history shows every evolution step. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val path = dir.toString
+    val spark = SparkSession.active
+    def one(fieldNames: Array[String], what: String): String = {
+      if (fieldNames.length != 1) throw new UnsupportedOperationException(
+        s"graft catalog: $what of a NESTED field " +
+          s"(${fieldNames.mkString(".")}) is not supported")
+      fieldNames.head
+    }
+    changes.foreach {
+      case rc: TableChange.RenameColumn =>
+        Snapshot.renameColumn(spark, path, one(rc.fieldNames, "RENAME"),
+          rc.newName)
+      case dc: TableChange.DeleteColumn =>
+        Snapshot.dropColumn(spark, path, one(dc.fieldNames, "DROP"))
+      case ut: TableChange.UpdateColumnType =>
+        Snapshot.widenColumn(spark, path, one(ut.fieldNames, "ALTER TYPE"),
+          ut.newDataType.sql.toLowerCase)
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change " +
+          s"${other.getClass.getSimpleName} — new columns arrive with the " +
+          "data that defines them (a merge carrying them evolves the " +
+          "schema); anything else is a table redefinition, not an evolution")
+    }
+    loadTable(ident)
+  }
 
   // -------------------------------------------------------- namespaces
 

@@ -163,6 +163,78 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(!Files.exists(Paths.get(s"$rootDir/dropns2")))
   }
 
+  test("ALTER TABLE RENAME/DROP COLUMN/ALTER TYPE ride the evolution commits; contract columns refuse") {
+    val _ = rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.evo")
+    (0 until 20).map(i => (i.toLong, s"pay_$i", i, s"p${i / 10}"))
+      .toDF("id", "payload", "score", "part")
+      .createOrReplaceTempView("cat_evo_seed")
+    spark.sql("CREATE TABLE gtest.evo.t USING graft " +
+      "TBLPROPERTIES ('key'='id','partitionCol'='part') " +
+      "AS SELECT * FROM cat_evo_seed")
+    val dir = s"$rootDir/evo/t"
+    // RENAME: metadata-only commit; bytes stay under the old physical
+    // name; the tip renders the new name, v1 still the old
+    spark.sql("ALTER TABLE gtest.evo.t RENAME COLUMN payload TO body")
+    assert(Snapshot.currentVersion(dir) == 2 &&
+      Snapshot.history(dir).last._2 == "rename_column(payload->body)")
+    assert(spark.table("gtest.evo.t").columns.contains("body"))
+    assert(spark.sql("SELECT body FROM gtest.evo.t WHERE id = 3")
+      .as[String].head() == "pay_3")
+    assert(Snapshot.readAt(spark, dir, 1).columns.contains("payload"),
+      "time travel before the rename must render the old name")
+    // ALTER TYPE: the proven-safe widening only
+    spark.sql("ALTER TABLE gtest.evo.t ALTER COLUMN score TYPE bigint")
+    assert(spark.table("gtest.evo.t").schema("score").dataType ==
+      org.apache.spark.sql.types.LongType)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.evo.t ALTER COLUMN score TYPE int")
+    }
+    // DROP: metadata-only; the column leaves the tip, not v1
+    spark.sql("ALTER TABLE gtest.evo.t DROP COLUMN body")
+    assert(!spark.table("gtest.evo.t").columns.contains("body"))
+    assert(Snapshot.readAt(spark, dir, 2).columns.contains("body"))
+    // contract columns refuse inside the commit, version untouched
+    val v = Snapshot.currentVersion(dir)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.evo.t RENAME COLUMN id TO doc")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.evo.t DROP COLUMN part")
+    }
+    // ADD COLUMN is a write property (merge carries new columns)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.evo.t ADD COLUMN extra STRING")
+    }
+    assert(Snapshot.currentVersion(dir) == v, "refusals must not commit")
+  }
+
+  test("history metadata table by NAME: graft.ns.t.history ≡ graft_snapshot_history(path)") {
+    val _ = rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.hist")
+    seedFrame.createOrReplaceTempView("cat_hist_seed")
+    spark.sql("CREATE TABLE gtest.hist.t USING graft " +
+      "TBLPROPERTIES ('key'='id','partitionCol'='part') " +
+      "AS SELECT * FROM cat_hist_seed")
+    spark.sql("UPDATE gtest.hist.t SET payload = 'u' WHERE id BETWEEN 3 AND 5")
+    val dir = s"$rootDir/hist/t"
+    Snapshot.tag(dir, "cut", 1)
+    graft.functions.GraftTableFunctions.register(spark)
+    val byName = spark.sql("SELECT version, op, parent, n_rows, tags " +
+      "FROM gtest.hist.t.history ORDER BY version").collect().toSeq
+    val byPath = spark.sql("SELECT version, op, parent, n_rows, tags " +
+      s"FROM graft_snapshot_history('$dir') ORDER BY version").collect().toSeq
+    assert(byName == byPath && byName.size == 2,
+      s"name and path history must agree, got $byName vs $byPath")
+    assert(byName.map(_.getString(1)) == Seq("create", "update"))
+    // a running session sees new commits (the frame rebuilds per scan)
+    spark.sql("DELETE FROM gtest.hist.t WHERE id = 7")
+    assert(spark.table("gtest.hist.t.history").count() == 3)
+    // no such metadata view / no such parent still error clearly
+    intercept[Exception] { spark.table("gtest.hist.t.nope").collect() }
+    intercept[Exception] { spark.table("gtest.hist.absent.history").collect() }
+  }
+
   test("parseInstantMillis: epoch, UTC local, zone-qualified ISO; clear error otherwise") {
     assert(Snapshot.parseInstantMillis("1700000000123") == 1700000000123L)
     val utc = Snapshot.parseInstantMillis("2026-08-15 06:00:00")
