@@ -95,10 +95,31 @@ trait LogStore {
 object LogStore {
   // "hdfs://…", "s3a://…", "file:///…" — anything scheme-qualified
   // rides Hadoop; bare paths keep today's java.nio semantics
-  private val schemed = "^[A-Za-z][A-Za-z0-9+.-]*:/.*".r
+  private val schemed = "^([A-Za-z][A-Za-z0-9+.-]*):/.*".r
 
-  def forPath(path: String): LogStore =
-    if (schemed.matches(path)) HadoopLogStore else LocalLogStore
+  // custom-store instances by class name (stores must be stateless —
+  // both built-ins are objects; a custom one is constructed once)
+  private val custom =
+    new java.util.concurrent.ConcurrentHashMap[String, LogStore]()
+
+  /** The store for a table path. Scheme-qualified URIs ride
+    * [[HadoopLogStore]] unless the session registers a CUSTOM store
+    * for that scheme — `spark.graft.logstore.<scheme> = <class>` (a
+    * zero-arg-constructible [[LogStore]]) — the plug point for object
+    * stores whose atomicity needs native conditional writes (an S3
+    * `If-None-Match` putIfAbsent, a DynamoDB-coordinated createNew)
+    * rather than the Hadoop FS translation. Bare paths keep
+    * [[LocalLogStore]]'s java.nio semantics. */
+  def forPath(path: String): LogStore = path match {
+    case schemed(scheme) =>
+      org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(_.conf.getOption(s"spark.graft.logstore.$scheme"))
+        .map(cls => custom.computeIfAbsent(cls, c =>
+          Class.forName(c).getDeclaredConstructor().newInstance()
+            .asInstanceOf[LogStore]))
+        .getOrElse(HadoopLogStore)
+    case _ => LocalLogStore
+  }
 }
 
 /** `java.nio.file` implementation — rename/create atomics on a POSIX

@@ -90,15 +90,25 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   override def loadTable(ident: Identifier): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) {
-      // Iceberg-style METADATA TABLE: `graft.ns.t.history` — the
-      // trailing name selects the view over the parent table's commit
-      // log, so catalog users never need the path form of the TVF.
-      // Same columns as graft_snapshot_history(path), rebuilt per scan.
+      // Iceberg-style METADATA TABLES: `graft.ns.t.history` /
+      // `.files` / `.tags` — the trailing name selects the view over
+      // the parent table's metadata, so catalog users never need the
+      // path form of the TVFs. All driver-built manifest folds (zero
+      // data files), rebuilt per scan so a live session sees commits.
       val parent = dirOf(ident.namespace.toSeq)
-      if (ident.name == "history" && isTable(parent))
-        return new GraftFrameTable(s"$catName.${ident.namespace.mkString(".")}.history",
-          () => graft.functions.GraftTableFunctions.historyFrame(
-            SparkSession.active, parent.toString))
+      if (isTable(parent)) {
+        val label = s"$catName.${ident.namespace.mkString(".")}.${ident.name}"
+        ident.name match {
+          case "history" => return new GraftFrameTable(label,
+            () => graft.functions.GraftTableFunctions.historyFrame(
+              SparkSession.active, parent.toString))
+          case "files" => return new GraftFrameTable(label,
+            () => GraftCatalog.filesFrame(SparkSession.active, parent.toString))
+          case "tags" => return new GraftFrameTable(label,
+            () => GraftCatalog.tagsFrame(SparkSession.active, parent.toString))
+          case _ => () // fall through to the clear error
+        }
+      }
       throw new NoSuchTableException(ident)
     }
     val path = dir.toString
@@ -327,6 +337,37 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
 }
 
 private[graft] object GraftCatalog {
+  /** The `.files` metadata table: the CURRENT version's live file
+    * inventory straight from the manifest — one row per data file
+    * with its partition value, physical/logical rows, on-disk bytes
+    * and deletion-vector mask size. The operational "where does my
+    * storage go / which partitions fragmented / how much MoR debt is
+    * outstanding" query, at O(manifest) cost. */
+  def filesFrame(spark: SparkSession,
+                 path: String): org.apache.spark.sql.DataFrame = {
+    val m = Snapshot.readManifest(path, Snapshot.currentVersion(path))
+    val rows = m.partitions.toSeq.sortBy(_._1).flatMap { case (pv, fs) =>
+      fs.map { f =>
+        val dvRows = f.dv.map(_.rows).getOrElse(0L)
+        (pv, f.path, f.rows, f.rows - dvRows, dvRows, f.bytes)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("partition", "path", "rows", "logical_rows", "dv_rows", "bytes")
+  }
+
+  /** The `.tags` metadata table: named refs with the version each
+    * pins and that version's commit instant. */
+  def tagsFrame(spark: SparkSession,
+                path: String): org.apache.spark.sql.DataFrame = {
+    val rows = Snapshot.tags(path).toSeq.sortBy(_._1).map { case (n, v) =>
+      val at = Snapshot.committedAt(path, v)
+      (n, v, if (at > 0) Some(new java.sql.Timestamp(at)) else None)
+    }
+    import spark.implicits._
+    rows.toDF("tag", "version", "committed_at")
+  }
+
   /** Every graft table directory under `root` (recursive — tables may
     * sit in nested namespaces). Bounded driver metadata work. */
   def tablesUnder(root: Path): Seq[Path] = {

@@ -235,6 +235,39 @@ class GraftCatalogSpec extends SparkSpecBase {
     intercept[Exception] { spark.table("gtest.hist.absent.history").collect() }
   }
 
+  test("files and tags metadata tables: the manifest inventory by NAME") {
+    val _ = rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.meta")
+    seedFrame.createOrReplaceTempView("cat_meta_seed")
+    spark.sql("CREATE TABLE gtest.meta.t USING graft " +
+      "TBLPROPERTIES ('key'='id','partitionCol'='part') " +
+      "AS SELECT * FROM cat_meta_seed")
+    val dir = s"$rootDir/meta/t"
+    val m = Snapshot.readManifest(dir, 1)
+    val files = spark.table("gtest.meta.t.files").collect()
+    assert(files.length == m.files.size)
+    val byPath = files.map(r => r.getString(1) ->
+      (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    m.partitions.foreach { case (pv, fs) => fs.foreach { f =>
+      assert(byPath(f.path) == ((pv, f.rows, f.rows, 0L, f.bytes)),
+        s"files row mismatch for ${f.path}")
+    }}
+    // bytes answer the storage question without touching storage
+    assert(spark.sql("SELECT sum(bytes) FROM gtest.meta.t.files")
+      .head().getLong(0) == m.files.map(_.bytes).sum)
+    // a MoR delete surfaces as dv_rows > 0 / logical_rows < rows
+    Snapshot.deleteWhereMor(spark, dir, Seq(("id", 3L, 6L)))
+    val masked = spark.sql("SELECT sum(dv_rows), sum(rows) - sum(logical_rows) " +
+      "FROM gtest.meta.t.files").head()
+    assert(masked.getLong(0) == 4L && masked.getLong(1) == 4L)
+    // tags table: named refs with their pinned instants
+    Snapshot.tag(dir, "cut-a", 1)
+    Snapshot.tag(dir, "cut-b", 2)
+    val tags = spark.table("gtest.meta.t.tags").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.isNullAt(2))).toSeq
+    assert(tags == Seq(("cut-a", 1, false), ("cut-b", 2, false)))
+  }
+
   test("parseInstantMillis: epoch, UTC local, zone-qualified ISO; clear error otherwise") {
     assert(Snapshot.parseInstantMillis("1700000000123") == 1700000000123L)
     val utc = Snapshot.parseInstantMillis("2026-08-15 06:00:00")

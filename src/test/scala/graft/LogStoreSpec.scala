@@ -14,6 +14,30 @@ import scala.jdk.CollectionConverters._
  * lifecycle here drives every Snapshot verb through scheme-qualified
  * URIs — exercising HadoopLogStore end-to-end.
  */
+/** A delegating store the registry spec plugs in for the `file`
+  * scheme — counts every call so the test can prove real commit
+  * traffic flows through a REGISTERED class (the S3
+  * conditional-write extension point, exercised end-to-end). */
+class CountingLogStore extends LogStore {
+  private def c[A](a: A): A = { CountingLogStore.calls.incrementAndGet(); a }
+  override def exists(p: String) = c(HadoopLogStore.exists(p))
+  override def isDirectory(p: String) = c(HadoopLogStore.isDirectory(p))
+  override def read(p: String) = c(HadoopLogStore.read(p))
+  override def putIfAbsent(p: String, b: Array[Byte]) = c(HadoopLogStore.putIfAbsent(p, b))
+  override def putReplace(p: String, b: Array[Byte]) = c(HadoopLogStore.putReplace(p, b))
+  override def list(p: String) = c(HadoopLogStore.list(p))
+  override def mkdirs(p: String) = c(HadoopLogStore.mkdirs(p))
+  override def createNew(p: String) = c(HadoopLogStore.createNew(p))
+  override def delete(p: String) = c(HadoopLogStore.delete(p))
+  override def deleteTree(p: String) = c(HadoopLogStore.deleteTree(p))
+  override def rename(s: String, d: String) = c(HadoopLogStore.rename(s, d))
+  override def modifiedTime(p: String) = c(HadoopLogStore.modifiedTime(p))
+  override def size(p: String) = c(HadoopLogStore.size(p))
+}
+object CountingLogStore {
+  val calls = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 class LogStoreSpec extends SparkSpecBase {
   import spark.implicits._
 
@@ -72,6 +96,26 @@ class LogStoreSpec extends SparkSpecBase {
       st.deleteTree(s"$dir/a")
       assert(!st.exists(s"$dir/a"), label)
     }
+  }
+
+  test("custom store registry: spark.graft.logstore.<scheme> routes the scheme through a user class") {
+    try {
+      spark.conf.set("spark.graft.logstore.file", "graft.CountingLogStore")
+      CountingLogStore.calls.set(0)
+      val st = LogStore.forPath("file:///tmp/whatever")
+      assert(st.isInstanceOf[CountingLogStore], s"got ${st.getClass}")
+      // the registered store carries REAL snapshot traffic: a create
+      // through a file:// path must route its manifest IO through it
+      val t = s"file://${freshDir("custom")}/tbl"
+      Snapshot.create(spark, t, (0 until 8).map(i => (i.toLong, s"p${i % 2}"))
+        .toDF("id", "part"), key = "id", partitionCol = "part")
+      assert(CountingLogStore.calls.get() > 0,
+        "commit-protocol IO must flow through the registered store")
+      assert(Snapshot.readLatest(spark, t).count() == 8L)
+      // other schemes keep the default routing
+      assert(LogStore.forPath("hdfs://nn/t") eq HadoopLogStore)
+      assert(LogStore.forPath("/tmp/x") eq LocalLogStore)
+    } finally spark.conf.unset("spark.graft.logstore.file")
   }
 
   test("full snapshot lifecycle through the Hadoop store: create/merge/DML/time-travel/tags/vacuum on a file:// URI") {
