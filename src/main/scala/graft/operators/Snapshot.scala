@@ -1841,6 +1841,28 @@ object Snapshot {
     }
   }
 
+  /** GROSS row count of a commit's change set — |parent-visible rows
+    * of removed entries| + |now-visible rows of added entries| —
+    * computed from the two manifests alone (zero data IO). This is
+    * the work a change-feed consumer pays to process the version, so
+    * it is what a rows-based stream rate limit budgets by. Versions
+    * whose parent was vacuumed report their own logical rows (the
+    * feed itself will error with the clear vacuum message). */
+  private[graft] def changeRowCount(table: String, version: Int): Long = {
+    val m = readManifest(table, version)
+    def visible(fs: Seq[FileEntry]): Long =
+      fs.map(f => f.rows - f.dv.map(_.rows).getOrElse(0L)).sum
+    if (m.parent <= 0 || !store(table).exists(manifestPath(table, m.parent)))
+      m.logicalRows
+    else {
+      val mP = readManifest(table, m.parent)
+      val pIdent = mP.files.map(entryIdent).toSet
+      val cIdent = m.files.map(entryIdent).toSet
+      visible(mP.files.filterNot(f => cIdent.contains(entryIdent(f)))) +
+        visible(m.files.filterNot(f => pIdent.contains(entryIdent(f))))
+    }
+  }
+
   // ------------------------------------------------------ predicate DML
 
   /** The conjunction of range predicates as a Column (NULL-safe: a

@@ -133,8 +133,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       .map(_.trim.toInt).getOrElse(0)
     require(parameters.get("maxVersionsPerBatch").isEmpty || maxVersions > 0,
       "graft stream: maxVersionsPerBatch must be a positive version count")
+    val maxRows = parameters.get("maxRowsPerBatch")
+      .map(_.trim.toLong).getOrElse(0L)
+    require(parameters.get("maxRowsPerBatch").isEmpty || maxRows > 0L,
+      "graft stream: maxRowsPerBatch must be a positive row budget")
     new GraftStreamSource(sqlContext.sparkSession, path, startExclusive,
-      emitLayout, maxVersions)
+      emitLayout, maxVersions, maxRows)
   }
 
   // the manifest is the schema authority (CREATE TABLE takes no

@@ -43,6 +43,14 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
  *    most k versions past the last batch's end, so the bootstrap
  *    proceeds in bounded batches and each checkpoint entry marks real
  *    progress; the final state is identical to the unbounded read.
+ *  - `maxRowsPerBatch` (default 0 = unbounded): budget a micro-batch
+ *    by the commits' GROSS change-set rows instead of (or alongside)
+ *    their count — versions accrue until the NEXT one would blow the
+ *    budget (a single oversized commit still ships alone: progress
+ *    over purity). Row counts come from the manifests alone
+ *    ([[Snapshot.changeRowCount]]); a 1-row-per-commit trickle log
+ *    batches hundreds of versions while one table-wide backfill
+ *    commit ships by itself.
  *
  * The schema is pinned at stream start (tip manifest + `_change`,
  * `_version`); change sets from versions before a rename/evolution
@@ -54,7 +62,8 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
 private[graft] class GraftStreamSource(spark: SparkSession, path: String,
                                        startExclusive: Int,
                                        emitLayoutOps: Boolean,
-                                       maxVersionsPerBatch: Int = 0) extends Source {
+                                       maxVersionsPerBatch: Int = 0,
+                                       maxRowsPerBatch: Long = 0L) extends Source {
 
   private val dataSchema: StructType =
     GraftDataSource.logicalSchema(path, Snapshot.currentVersion(path))
@@ -76,11 +85,36 @@ private[graft] class GraftStreamSource(spark: SparkSession, path: String,
   @volatile private var consumed: Int = startExclusive
   @volatile private var offered: Int = startExclusive
 
+  // per-version gross change rows, memoized (manifests are immutable)
+  private val changeRows =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+  private def rowsOf(v: Int): Long =
+    changeRows.computeIfAbsent(v, x => Snapshot.changeRowCount(path, x))
+
   override def getOffset: Option[LegacyOffset] = {
     val cur = Snapshot.currentVersion(path)
+    val anchor = math.max(consumed, offered)
     val capped =
-      if (maxVersionsPerBatch <= 0) cur
-      else math.min(cur, math.max(consumed, offered) + maxVersionsPerBatch)
+      if (maxVersionsPerBatch <= 0 && maxRowsPerBatch <= 0L) cur
+      else {
+        val vCap =
+          if (maxVersionsPerBatch <= 0) cur
+          else math.min(cur, anchor + maxVersionsPerBatch)
+        if (maxRowsPerBatch <= 0L) vCap
+        else {
+          // accrue versions until the NEXT would blow the row budget;
+          // always take at least one (an oversized commit ships alone)
+          var end = anchor
+          var rows = 0L
+          var done = false
+          while (!done && end < vCap) {
+            val r = rowsOf(end + 1)
+            if (end > anchor && rows + r > maxRowsPerBatch) done = true
+            else { end += 1; rows += r }
+          }
+          end
+        }
+      }
     offered = math.max(offered, capped)
     if (capped > startExclusive) Some(GraftVersionOffset(capped)) else None
   }

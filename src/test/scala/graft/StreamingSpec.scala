@@ -644,6 +644,40 @@ class StreamingSpec extends SparkSpecBase {
     // final replayed state == the unbounded read's net effect
     assert(net == Snapshot.readLatest(spark, table).count(),
       s"net $net != table count")
+
+    // ROWS budget: the same log under maxRowsPerBatch. Change-set
+    // gross rows per version: v1 (create) = 10, each merge rewrites
+    // its one-row partition-half... measure from the manifests and
+    // assert every batch stays within budget (single oversized
+    // commits excepted) and the union is exactly 1..50 again.
+    val perV = (1 to 50).map(v =>
+      v -> graft.operators.Snapshot.changeRowCount(table, v)).toMap
+    val budget = 60L
+    val rowBatches = scala.collection.mutable.ArrayBuffer.empty[Seq[Int]]
+    val q3 = spark.readStream.format("graft")
+      .option("maxRowsPerBatch", budget).load(table)
+      .writeStream.option("checkpointLocation", s"$dir/ck_rows")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = b.select("_version").collect().map(_.getInt(0)).distinct.sorted
+        rowBatches.synchronized { rowBatches += vs.toSeq }
+        ()
+      }.start()
+    val dl2 = System.currentTimeMillis() + 120000
+    while (rowBatches.synchronized(rowBatches.flatten.size) < 50 &&
+        System.currentTimeMillis() < dl2) {
+      q3.processAllAvailable()
+      if (rowBatches.synchronized(rowBatches.flatten.size) < 50) Thread.sleep(200)
+    }
+    assert(q3.exception.isEmpty, s"rows-budget stream died: ${q3.exception}")
+    q3.stop()
+    assert(rowBatches.flatten.sorted == (1 to 50),
+      s"rows-budget stream must carry every version once, got $rowBatches")
+    assert(rowBatches.size >= 3, s"budget $budget must split the log, got 1 batch")
+    rowBatches.filter(_.size > 1).foreach { vs =>
+      val gross = vs.map(perV).sum
+      assert(gross <= budget,
+        s"multi-version batch $vs grosses $gross rows > budget $budget")
+    }
   }
 
   test("incrementalViewSink follows the snapshot commit log: view == one-shot recompute across merge/DML/compact/rollback; re-delivery is a no-op") {
