@@ -12,7 +12,8 @@ import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-import java.nio.file.{Files, Path, Paths}
+import graft.operators.LogStore
+
 import java.util.{Collections, Map => JMap, Set => JSet}
 import scala.jdk.CollectionConverters._
 
@@ -51,40 +52,43 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   with SupportsNamespaces {
 
   private var catName: String = _
-  private var root: Path = _
+  private var root: String = _
+  // the whole tree rides ONE store, resolved from the root's scheme —
+  // a local directory keeps java.nio, `hdfs://…`/`file://…` roots go
+  // through the Hadoop impl (and nested table paths inherit the
+  // scheme, so Snapshot routes consistently)
+  private var store: LogStore = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catName = name
     val r = Option(options.get("root")).getOrElse(throw new IllegalArgumentException(
       s"graft catalog '$name': set spark.sql.catalog.$name.root=<directory>"))
-    root = Paths.get(r)
-    Files.createDirectories(root)
+    root = r.stripSuffix("/")
+    store = LogStore.forPath(root)
+    store.mkdirs(root)
   }
 
   override def name(): String = catName
 
-  private def dirOf(parts: Seq[String]): Path = {
+  private def dirOf(parts: Seq[String]): String = {
     parts.foreach(p => require(!p.contains("/") && !p.contains("..") && p.nonEmpty,
       s"graft catalog: illegal identifier part '$p'"))
-    parts.foldLeft(root)(_ resolve _)
+    (root +: parts).mkString("/")
   }
-  private def tableDir(ident: Identifier): Path =
+  private def tableDir(ident: Identifier): String =
     dirOf(ident.namespace.toSeq :+ ident.name)
-  private def isTable(p: Path): Boolean =
-    Files.isDirectory(p.resolve("_log")) &&
-      Snapshot.currentVersion(p.toString) > 0
+  private def isTable(p: String): Boolean =
+    store.isDirectory(s"$p/_log") && Snapshot.currentVersion(p) > 0
 
   // ------------------------------------------------------------ tables
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val ns = dirOf(namespace.toSeq)
-    if (!Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
-    val listing = Files.list(ns)
-    try listing.iterator().asScala
-      .filter(p => Files.isDirectory(p) && isTable(p))
-      .map(p => Identifier.of(namespace, p.getFileName.toString))
+    if (!store.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
+    store.list(ns)
+      .collect { case (n, true) if isTable(s"$ns/$n") =>
+        Identifier.of(namespace, n) }
       .toArray
-    finally listing.close()
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -101,17 +105,17 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         ident.name match {
           case "history" => return new GraftFrameTable(label,
             () => graft.functions.GraftTableFunctions.historyFrame(
-              SparkSession.active, parent.toString))
+              SparkSession.active, parent))
           case "files" => return new GraftFrameTable(label,
-            () => GraftCatalog.filesFrame(SparkSession.active, parent.toString))
+            () => GraftCatalog.filesFrame(SparkSession.active, parent))
           case "tags" => return new GraftFrameTable(label,
-            () => GraftCatalog.tagsFrame(SparkSession.active, parent.toString))
+            () => GraftCatalog.tagsFrame(SparkSession.active, parent))
           case _ => () // fall through to the clear error
         }
       }
       throw new NoSuchTableException(ident)
     }
-    val path = dir.toString
+    val path = dir
     GraftStatsRule.install(SparkSession.active)
     new GraftTable(path, Snapshot.currentVersion(path))
   }
@@ -123,7 +127,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val path = dir.toString
+    val path = dir
     val v =
       if (version.trim.matches("\\d+")) version.trim.toInt
       else {
@@ -144,7 +148,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val path = dir.toString
+    val path = dir
     val v = Snapshot.versionAtTime(path, timestamp / 1000L)
     GraftStatsRule.install(SparkSession.active)
     new GraftTable(path, v, pinned = true)
@@ -182,11 +186,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     val (key, part) = createSpec(schema, partitions, properties)
-    Files.createDirectories(dir.getParent)
+    store.mkdirs(dir.substring(0, dir.lastIndexOf('/')))
     val spark = SparkSession.active
     val empty = spark.createDataFrame(
       Collections.emptyList[org.apache.spark.sql.Row](), schema)
-    Snapshot.create(spark, dir.toString, empty, key = key,
+    Snapshot.create(spark, dir, empty, key = key,
       partitionCol = part, statsCols = Seq(key))
     loadTable(ident)
   }
@@ -199,7 +203,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     val (key, part) = createSpec(schema, partitions, properties)
-    new GraftStagedTable(ident, dir, schema, key, part)
+    new GraftStagedTable(ident, dir, store, schema, key, part)
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -211,12 +215,12 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   private def dropImpl(ident: Identifier, purge: Boolean): Boolean = {
     val dir = tableDir(ident)
     if (!isTable(dir)) return false
-    val tags = Snapshot.tags(dir.toString)
+    val tags = Snapshot.tags(dir)
     if (tags.nonEmpty && !purge) throw new IllegalStateException(
       s"graft catalog: table $ident has tags pinning versions " +
         s"(${tags.keys.toSeq.sorted.mkString(",")}) — named refs are " +
         "promises to consumers; untag them or DROP TABLE ... PURGE")
-    GraftCatalog.deleteTree(dir)
+    store.deleteTree(dir)
     true
   }
 
@@ -242,7 +246,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    val path = dir.toString
+    val path = dir
     val spark = SparkSession.active
     def one(fieldNames: Array[String], what: String): String = {
       if (fieldNames.length != 1) throw new UnsupportedOperationException(
@@ -275,19 +279,16 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
 
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
     val ns = dirOf(namespace.toSeq)
-    if (!Files.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
-    val listing = Files.list(ns)
-    try listing.iterator().asScala
-      .filter(p => Files.isDirectory(p) && !isTable(p) &&
-        p.getFileName.toString != "_log")
-      .map(p => namespace :+ p.getFileName.toString)
+    if (!store.isDirectory(ns)) throw new NoSuchNamespaceException(namespace)
+    store.list(ns)
+      .collect { case (n, true) if !isTable(s"$ns/$n") && n != "_log" =>
+        namespace :+ n }
       .toArray
-    finally listing.close()
   }
 
   override def namespaceExists(namespace: Array[String]): Boolean = {
     val d = dirOf(namespace.toSeq)
-    Files.isDirectory(d) && !isTable(d)
+    store.isDirectory(d) && !isTable(d)
   }
 
   override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
@@ -299,7 +300,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
                                metadata: JMap[String, String]): Unit = {
     if (namespaceExists(namespace))
       throw new NamespaceAlreadyExistsException(namespace)
-    Files.createDirectories(dirOf(namespace.toSeq))
+    store.mkdirs(dirOf(namespace.toSeq))
   }
 
   override def alterNamespace(namespace: Array[String],
@@ -311,8 +312,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
                              cascade: Boolean): Boolean = {
     val d = dirOf(namespace.toSeq)
     if (!namespaceExists(namespace)) return false
-    val listing = Files.list(d)
-    val nonEmpty = try listing.iterator().hasNext finally listing.close()
+    val nonEmpty = store.list(d).nonEmpty
     if (nonEmpty && !cascade)
       throw new IllegalStateException(
         s"graft catalog: namespace ${namespace.mkString(".")} is not empty")
@@ -322,16 +322,16 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     // (There is no DROP NAMESPACE ... PURGE in SQL, so the override
     // is: untag, or drop the pinned tables individually with PURGE.)
     if (cascade) {
-      val pinned = GraftCatalog.tablesUnder(d).filter(t =>
-        Snapshot.tags(t.toString).nonEmpty)
+      val pinned = GraftCatalog.tablesUnder(store, d).filter(t =>
+        Snapshot.tags(t).nonEmpty)
       if (pinned.nonEmpty) throw new IllegalStateException(
         s"graft catalog: namespace ${namespace.mkString(".")} holds " +
           s"table(s) with tags pinning versions (" +
-          pinned.map(p => d.relativize(p).toString).sorted.mkString(",") +
+          pinned.map(_.stripPrefix(d + "/")).sorted.mkString(",") +
           ") — named refs are promises to consumers; untag them or drop " +
           "those tables with DROP TABLE ... PURGE first")
     }
-    GraftCatalog.deleteTree(d)
+    store.deleteTree(d)
     true
   }
 }
@@ -370,24 +370,13 @@ private[graft] object GraftCatalog {
 
   /** Every graft table directory under `root` (recursive — tables may
     * sit in nested namespaces). Bounded driver metadata work. */
-  def tablesUnder(root: Path): Seq[Path] = {
-    if (!Files.isDirectory(root)) return Nil
-    val listing = Files.list(root)
-    val children = try listing.iterator().asScala
-      .filter(Files.isDirectory(_)).toList finally listing.close()
-    children.flatMap { c =>
-      if (Files.isDirectory(c.resolve("_log"))) Seq(c)
-      else if (c.getFileName.toString == "_log") Nil
-      else tablesUnder(c)
+  def tablesUnder(store: LogStore, root: String): Seq[String] =
+    store.list(root).collect { case (n, true) => n }.flatMap { n =>
+      val c = s"$root/$n"
+      if (store.isDirectory(s"$c/_log")) Seq(c)
+      else if (n == "_log") Nil
+      else tablesUnder(store, c)
     }
-  }
-
-  def deleteTree(p: Path): Unit = {
-    if (!Files.exists(p)) return
-    val walk = Files.walk(p)
-    try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    finally walk.close()
-  }
 }
 
 /** The CTAS staging handle: the V1 write bridge hands over the (lazy)
@@ -395,7 +384,8 @@ private[graft] object GraftCatalog {
   * on disk until [[commitStagedChanges]], which runs ONE
   * [[Snapshot.create]] — so the committed table's v1 holds the query
   * result and an abort is a no-op. */
-private[graft] class GraftStagedTable(ident: Identifier, dir: Path,
+private[graft] class GraftStagedTable(ident: Identifier, dir: String,
+                                      store: LogStore,
                                       tableSchema: StructType,
                                       key: String, part: String)
   extends StagedTable with SupportsWrite {
@@ -428,8 +418,8 @@ private[graft] class GraftStagedTable(ident: Identifier, dir: Path,
   override def commitStagedChanges(): Unit = {
     val df = staged.getOrElse(throw new IllegalStateException(
       s"graft catalog: staged CTAS for $ident committed without a write"))
-    Files.createDirectories(dir.getParent)
-    Snapshot.create(df.sparkSession, dir.toString, df, key = key,
+    store.mkdirs(dir.substring(0, dir.lastIndexOf('/')))
+    Snapshot.create(df.sparkSession, dir, df, key = key,
       partitionCol = part, statsCols = Seq(key))
   }
 

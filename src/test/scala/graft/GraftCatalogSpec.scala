@@ -268,6 +268,34 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(tags == Seq(("cut-a", 1, false), ("cut-b", 2, false)))
   }
 
+  test("catalog over a scheme-qualified root: the whole name surface rides the Hadoop store") {
+    val localRoot = Files.createTempDirectory("graft_cat_uri").toString
+    spark.conf.set("spark.sql.catalog.gturi", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gturi.root", s"file://$localRoot")
+    spark.sql("CREATE NAMESPACE gturi.ns")
+    seedFrame.createOrReplaceTempView("cat_uri_seed")
+    spark.sql("CREATE TABLE gturi.ns.t USING graft " +
+      "TBLPROPERTIES ('key'='id','partitionCol'='part') " +
+      "AS SELECT * FROM cat_uri_seed")
+    // the commit log landed through the URI (and is locally visible)
+    assert(Files.isDirectory(Paths.get(localRoot, "ns", "t", "_log")))
+    assert(rowsOf(spark.table("gturi.ns.t")) == rowsOf(seedFrame))
+    // DML + time travel + metadata tables by name over the URI root
+    spark.sql("UPDATE gturi.ns.t SET payload = 'u' WHERE id BETWEEN 0 AND 4")
+    assert(spark.sql("SELECT payload FROM gturi.ns.t WHERE id = 2")
+      .as[String].head() == "u")
+    assert(spark.sql("SELECT payload FROM gturi.ns.t VERSION AS OF 1 " +
+      "WHERE id = 2").as[String].head() == "pay_2")
+    assert(spark.table("gturi.ns.t.history").count() == 2)
+    assert(spark.table("gturi.ns.t.files").count() ==
+      Snapshot.readManifest(s"file://$localRoot/ns/t", 2).files.size)
+    assert(spark.sql("SHOW TABLES IN gturi.ns").collect()
+      .map(_.getString(1)).contains("t"))
+    spark.sql("DROP TABLE gturi.ns.t")
+    spark.sql("DROP NAMESPACE gturi.ns")
+    assert(!Files.exists(Paths.get(localRoot, "ns")))
+  }
+
   test("parseInstantMillis: epoch, UTC local, zone-qualified ISO; clear error otherwise") {
     assert(Snapshot.parseInstantMillis("1700000000123") == 1700000000123L)
     val utc = Snapshot.parseInstantMillis("2026-08-15 06:00:00")
