@@ -108,6 +108,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
               SparkSession.active, parent))
           case "files" => return new GraftFrameTable(label,
             () => GraftCatalog.filesFrame(SparkSession.active, parent))
+          case "partitions" => return new GraftFrameTable(label,
+            () => GraftCatalog.partitionsFrame(SparkSession.active, parent))
           case "tags" => return new GraftFrameTable(label,
             () => GraftCatalog.tagsFrame(SparkSession.active, parent))
           case _ => () // fall through to the clear error
@@ -354,6 +356,23 @@ private[graft] object GraftCatalog {
     }
     import spark.implicits._
     rows.toDF("partition", "path", "rows", "logical_rows", "dv_rows", "bytes")
+  }
+
+  /** The `.partitions` metadata table: the per-partition rollup of
+    * [[filesFrame]] — file counts, row/byte mass and outstanding
+    * merge-on-read debt. THE fragmentation monitor: `n_files` past
+    * the compact threshold or `dv_rows` piling up is the signal to
+    * run [[Snapshot.compact]], read without opening a data file. */
+  def partitionsFrame(spark: SparkSession,
+                      path: String): org.apache.spark.sql.DataFrame = {
+    val m = Snapshot.readManifest(path, Snapshot.currentVersion(path))
+    val rows = m.partitions.toSeq.sortBy(_._1).map { case (pv, fs) =>
+      val dvRows = fs.map(_.dv.map(_.rows).getOrElse(0L)).sum
+      val raw = fs.map(_.rows).sum
+      (pv, fs.size, raw, raw - dvRows, dvRows, fs.map(_.bytes).sum)
+    }
+    import spark.implicits._
+    rows.toDF("partition", "n_files", "rows", "logical_rows", "dv_rows", "bytes")
   }
 
   /** The `.tags` metadata table: named refs with the version each

@@ -322,6 +322,31 @@ private[graft] class GraftTable(private[graft] val path: String,
 
   override def name(): String = s"graft.`$path`@v$resolvedVersion"
   override def schema(): StructType = GraftDataSource.logicalSchema(path, resolvedVersion)
+
+  /** The table contract, surfaced where SQL users look for it
+    * (`DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`): key,
+    * partition column, layout, tracked stats/bloom/HLL columns and
+    * the resolved version — all from the manifest, zero data IO. */
+  override def properties(): JMap[String, String] = {
+    val m = Snapshot.readManifest(path, resolvedVersion)
+    val props = new java.util.HashMap[String, String]()
+    props.put("key", m.key)
+    props.put("partitionCol", m.partitionCol)
+    props.put("version", resolvedVersion.toString)
+    if (m.statsCols.nonEmpty) props.put("statsCols", m.statsCols.mkString(","))
+    if (m.bloomCols.nonEmpty) props.put("bloomCols", m.bloomCols.mkString(","))
+    if (m.hllCols.nonEmpty) props.put("hllCols", m.hllCols.mkString(","))
+    if (m.layout.fileRanges > 0) {
+      props.put("layout", m.layout.mode)
+      props.put("fileRanges", m.layout.fileRanges.toString)
+      if (m.layout.zorderKeys.nonEmpty)
+        props.put("zorderKeys", m.layout.zorderKeys.mkString(","))
+    }
+    if (m.guards.nonEmpty)
+      m.guards.foreach { case (k, v) => props.put(s"guard.$k", v) }
+    props
+  }
+
   override def capabilities(): JSet[TableCapability] = {
     val caps = new java.util.HashSet[TableCapability]()
     caps.add(TableCapability.BATCH_READ)

@@ -266,6 +266,21 @@ class GraftCatalogSpec extends SparkSpecBase {
     val tags = spark.table("gtest.meta.t.tags").collect()
       .map(r => (r.getString(0), r.getInt(1), r.isNullAt(2))).toSeq
     assert(tags == Seq(("cut-a", 1, false), ("cut-b", 2, false)))
+    // partitions rollup ≡ files grouped; dv debt surfaces per partition
+    val parts = spark.table("gtest.meta.t.partitions").collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getLong(4))).toMap
+    val m2 = Snapshot.readManifest(dir, 2)
+    m2.partitions.foreach { case (pv, fs) =>
+      val dv = fs.map(_.dv.map(_.rows).getOrElse(0L)).sum
+      assert(parts(pv) == ((fs.size, fs.map(_.rows).sum, dv)),
+        s"partitions row mismatch for $pv")
+    }
+    assert(parts.values.map(_._3).sum == 4L, "MoR debt must surface")
+    // the table contract is DESCRIBE-visible (key/partition/version)
+    val props = spark.sql("SHOW TBLPROPERTIES gtest.meta.t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props("key") == "id" && props("partitionCol") == "part" &&
+      props("version") == "2")
   }
 
   test("catalog over a scheme-qualified root: the whole name surface rides the Hadoop store") {
