@@ -167,6 +167,40 @@ class LogStoreSpec extends SparkSpecBase {
     assert(Snapshot.fsck(spark, t).isEmpty)
   }
 
+  test("writer mutual exclusion through the Hadoop store: a held lock refuses, release admits, stale locks steal") {
+    val t = s"file://${freshDir("lock")}/tbl"
+    val df = (0 until 10).map(i => (i.toLong, s"p${i % 2}")).toDF("id", "part")
+    Snapshot.create(spark, t, df, key = "id", partitionCol = "part")
+    val st = LogStore.forPath(t)
+    // a concurrent writer's lock (claimed through the same store
+    // primitive Snapshot uses) refuses the commit, version untouched
+    assert(st.createNew(s"$t/_log/_commit.lock"))
+    intercept[Snapshot.ConcurrentCommitException] {
+      Snapshot.merge(spark, t,
+        upserts = Seq((99L, "p1")).toDF("id", "part"),
+        deleteKeys = spark.range(0, 0).select(col("id").as("id")))
+    }
+    assert(Snapshot.currentVersion(t) == 1)
+    st.delete(s"$t/_log/_commit.lock")
+    Snapshot.merge(spark, t,
+      upserts = Seq((99L, "p1")).toDF("id", "part"),
+      deleteKeys = spark.range(0, 0).select(col("id").as("id")))
+    assert(Snapshot.currentVersion(t) == 2)
+    // a crashed writer's stale lock steals: age it past the threshold
+    // via the local twin of the file:// path, then commit again
+    assert(st.createNew(s"$t/_log/_commit.lock"))
+    val local = java.nio.file.Paths.get(
+      t.stripPrefix("file://") + "/_log/_commit.lock")
+    java.nio.file.Files.setLastModifiedTime(local,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7 * 3600 * 1000L))
+    Snapshot.merge(spark, t,
+      upserts = Seq((100L, "p0")).toDF("id", "part"),
+      deleteKeys = spark.range(0, 0).select(col("id").as("id")))
+    assert(Snapshot.currentVersion(t) == 3,
+      "a stale lock must be stolen, not wedge the table forever")
+  }
+
   test("DSv2 and the optimistic path resolve through the store: staged merge + format(graft) on a file:// URI") {
     val t = s"file://${freshDir("dsv2")}/tbl"
     val df = (0 until 20).map(i => (i.toLong, s"pay_$i", s"p${i / 10}"))
