@@ -121,6 +121,21 @@ object GraftTableFunctions {
     historyFrame(spark, path).queryExecution.logical
   }
 
+  // the inventory frames ([[graft.sources.GraftCatalog.filesFrame]]/
+  // partitionsFrame) exposed by PATH, for SQL users without a
+  // catalog mount — same columns as graft.ns.t.files / .partitions
+  private def filesPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1, "usage: graft_snapshot_files(path)")
+    graft.sources.GraftCatalog.filesFrame(SparkSession.active,
+      pathArg(args.head, "graft_snapshot_files")).queryExecution.logical
+  }
+
+  private def partitionsPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1, "usage: graft_snapshot_partitions(path)")
+    graft.sources.GraftCatalog.partitionsFrame(SparkSession.active,
+      pathArg(args.head, "graft_snapshot_partitions")).queryExecution.logical
+  }
+
   private val tfs = Seq(
     Tf("graft_snapshot",
       "graft_snapshot(path[, version | tag]) - time-travel read of a " +
@@ -134,7 +149,15 @@ object GraftTableFunctions {
       "graft_snapshot_history(path) - one row per retained version: " +
         "(version, op, parent, n_partitions, n_files, n_rows, tags, " +
         "committed_at)",
-      historyPlan))
+      historyPlan),
+    Tf("graft_snapshot_files",
+      "graft_snapshot_files(path) - the current version's live file " +
+        "inventory: (partition, path, rows, logical_rows, dv_rows, bytes)",
+      filesPlan),
+    Tf("graft_snapshot_partitions",
+      "graft_snapshot_partitions(path) - per-partition rollup: " +
+        "(partition, n_files, rows, logical_rows, dv_rows, bytes)",
+      partitionsPlan))
 
   /** Register the TVFs in a live session's table-function registry. */
   def register(spark: SparkSession): Unit = {

@@ -137,6 +137,36 @@ class SqlTvfSpec extends SparkSpecBase {
     assert(e.getMessage.contains("no tag"), s"got: ${e.getMessage}")
   }
 
+  test("graft_snapshot_files / graft_snapshot_partitions: the inventory by path ≡ the manifest") {
+    GraftTableFunctions.register(spark)
+    val t = fresh("files")
+    Snapshot.create(spark, t,
+      (0 until 20).map(i => (i.toLong, s"v$i", s"p${i % 4}"))
+        .toDF("id", "v", "part"), "id", "part")
+    Snapshot.deleteWhereMor(spark, t, Seq(("id", 0, 2)))
+    val m = Snapshot.readManifest(t, 2)
+    val files = spark.sql(s"SELECT partition, path, rows, logical_rows, " +
+        s"dv_rows, bytes FROM graft_snapshot_files('$t')")
+      .collect().map(r => r.getString(1) ->
+        (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(files.size == m.files.size)
+    m.partitions.foreach { case (pv, fs) => fs.foreach { f =>
+      val dv = f.dv.map(_.rows).getOrElse(0L)
+      assert(files(f.path) == ((pv, f.rows, f.rows - dv, dv, f.bytes)))
+    }}
+    // the rollup is the files frame grouped — provable in SQL itself
+    val viaGroup = spark.sql(s"SELECT partition, count(*), sum(rows), " +
+        s"sum(dv_rows) FROM graft_snapshot_files('$t') GROUP BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val rollup = spark.sql(s"SELECT partition, CAST(n_files AS BIGINT), " +
+        s"rows, dv_rows FROM graft_snapshot_partitions('$t')")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rollup == viaGroup && rollup.nonEmpty)
+    // total MoR debt: the 3 masked rows surface
+    assert(spark.sql(s"SELECT sum(dv_rows) FROM graft_snapshot_partitions('$t')")
+      .head().getLong(0) == 3L)
+  }
+
   test("TVF argument contract: literals only, sane arity errors") {
     GraftTableFunctions.register(spark)
     val t = fresh("err")
