@@ -124,16 +124,38 @@ object GraftTableFunctions {
   // the inventory frames ([[graft.sources.GraftCatalog.filesFrame]]/
   // partitionsFrame) exposed by PATH, for SQL users without a
   // catalog mount — same columns as graft.ns.t.files / .partitions
+  private def versionArg(path: String, arg: Expression, fn: String): Int =
+    litArg(arg, s"$fn: version/tag") match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        val t = graft.operators.Snapshot.tags(path)
+        t.getOrElse(s.toString, throw new IllegalArgumentException(
+          s"$fn: no tag '$s' on $path " +
+            s"(tags: ${t.keys.toSeq.sorted.mkString(",")})"))
+      case other => throw new IllegalArgumentException(
+        s"$fn: second argument must be an integer version or a string " +
+          s"tag, got ${if (other == null) "NULL" else other.getClass.getSimpleName}")
+    }
+
   private def filesPlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.size == 1, "usage: graft_snapshot_files(path)")
-    graft.sources.GraftCatalog.filesFrame(SparkSession.active,
-      pathArg(args.head, "graft_snapshot_files")).queryExecution.logical
+    require(args.size == 1 || args.size == 2,
+      "usage: graft_snapshot_files(path[, version | tag])")
+    val path = pathArg(args.head, "graft_snapshot_files")
+    val v = if (args.size == 2)
+      versionArg(path, args(1), "graft_snapshot_files") else 0
+    graft.sources.GraftCatalog.filesFrame(SparkSession.active, path, v)
+      .queryExecution.logical
   }
 
   private def partitionsPlan(args: Seq[Expression]): LogicalPlan = {
-    require(args.size == 1, "usage: graft_snapshot_partitions(path)")
-    graft.sources.GraftCatalog.partitionsFrame(SparkSession.active,
-      pathArg(args.head, "graft_snapshot_partitions")).queryExecution.logical
+    require(args.size == 1 || args.size == 2,
+      "usage: graft_snapshot_partitions(path[, version | tag])")
+    val path = pathArg(args.head, "graft_snapshot_partitions")
+    val v = if (args.size == 2)
+      versionArg(path, args(1), "graft_snapshot_partitions") else 0
+    graft.sources.GraftCatalog.partitionsFrame(SparkSession.active, path, v)
+      .queryExecution.logical
   }
 
   private val tfs = Seq(
@@ -151,12 +173,12 @@ object GraftTableFunctions {
         "committed_at)",
       historyPlan),
     Tf("graft_snapshot_files",
-      "graft_snapshot_files(path) - the current version's live file " +
-        "inventory: (partition, path, rows, logical_rows, dv_rows, bytes)",
+      "graft_snapshot_files(path[, version | tag]) - a version's live " +
+        "file inventory: (partition, path, rows, logical_rows, dv_rows, bytes)",
       filesPlan),
     Tf("graft_snapshot_partitions",
-      "graft_snapshot_partitions(path) - per-partition rollup: " +
-        "(partition, n_files, rows, logical_rows, dv_rows, bytes)",
+      "graft_snapshot_partitions(path[, version | tag]) - per-partition " +
+        "rollup: (partition, n_files, rows, logical_rows, dv_rows, bytes)",
       partitionsPlan))
 
   /** Register the TVFs in a live session's table-function registry. */

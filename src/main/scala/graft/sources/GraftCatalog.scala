@@ -128,8 +128,16 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * refuses writes like every pinned reference. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    if (!isTable(dir))
+      return metadataTableAt(ident, resolveVersion(_, _, version))
     val path = dir
+    val v = resolveVersion(path, ident, version)
+    GraftStatsRule.install(SparkSession.active)
+    new GraftTable(path, v, pinned = true)
+  }
+
+  private def resolveVersion(path: String, ident: Identifier,
+                             version: String): Int = {
     val v =
       if (version.trim.matches("\\d+")) version.trim.toInt
       else {
@@ -140,8 +148,30 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       }
     require(v >= 1 && v <= Snapshot.currentVersion(path),
       s"graft catalog: $ident has no version $v")
-    GraftStatsRule.install(SparkSession.active)
-    new GraftTable(path, v, pinned = true)
+    v
+  }
+
+  /** Time travel on the VERSION-ADDRESSABLE metadata views: `SELECT …
+    * FROM graft.ns.t.files VERSION AS OF 3` inventories v3's live
+    * files ("what did the run read, and how big was it") — history
+    * spans the whole log and tags are refs, so only files/partitions
+    * resolve under a pin. */
+  private def metadataTableAt(ident: Identifier,
+                              resolve: (String, Identifier) => Int): Table = {
+    val parent = dirOf(ident.namespace.toSeq)
+    if (!isTable(parent)) throw new NoSuchTableException(ident)
+    val v = resolve(parent, ident)
+    val label = s"$catName.${ident.namespace.mkString(".")}.${ident.name}@v$v"
+    ident.name match {
+      case "files" => new GraftFrameTable(label,
+        () => GraftCatalog.filesFrame(SparkSession.active, parent, v))
+      case "partitions" => new GraftFrameTable(label,
+        () => GraftCatalog.partitionsFrame(SparkSession.active, parent, v))
+      case "history" | "tags" => throw new IllegalArgumentException(
+        s"graft catalog: ${ident.name} is not version-addressable — " +
+          "history spans the whole log and tags are refs, not state")
+      case _ => throw new NoSuchTableException(ident)
+    }
   }
 
   /** `TIMESTAMP AS OF <instant>`: Spark hands MICROseconds since the
@@ -149,7 +179,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * ([[Snapshot.versionAtTime]] — latest version committed ≤ t). */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val dir = tableDir(ident)
-    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    if (!isTable(dir))
+      return metadataTableAt(ident,
+        (p, _) => Snapshot.versionAtTime(p, timestamp / 1000L))
     val path = dir
     val v = Snapshot.versionAtTime(path, timestamp / 1000L)
     GraftStatsRule.install(SparkSession.active)
@@ -345,9 +377,10 @@ private[graft] object GraftCatalog {
     * and deletion-vector mask size. The operational "where does my
     * storage go / which partitions fragmented / how much MoR debt is
     * outstanding" query, at O(manifest) cost. */
-  def filesFrame(spark: SparkSession,
-                 path: String): org.apache.spark.sql.DataFrame = {
-    val m = Snapshot.readManifest(path, Snapshot.currentVersion(path))
+  def filesFrame(spark: SparkSession, path: String,
+                 version: Int = 0): org.apache.spark.sql.DataFrame = {
+    val m = Snapshot.readManifest(path,
+      if (version > 0) version else Snapshot.currentVersion(path))
     val rows = m.partitions.toSeq.sortBy(_._1).flatMap { case (pv, fs) =>
       fs.map { f =>
         val dvRows = f.dv.map(_.rows).getOrElse(0L)
@@ -363,9 +396,10 @@ private[graft] object GraftCatalog {
     * merge-on-read debt. THE fragmentation monitor: `n_files` past
     * the compact threshold or `dv_rows` piling up is the signal to
     * run [[Snapshot.compact]], read without opening a data file. */
-  def partitionsFrame(spark: SparkSession,
-                      path: String): org.apache.spark.sql.DataFrame = {
-    val m = Snapshot.readManifest(path, Snapshot.currentVersion(path))
+  def partitionsFrame(spark: SparkSession, path: String,
+                      version: Int = 0): org.apache.spark.sql.DataFrame = {
+    val m = Snapshot.readManifest(path,
+      if (version > 0) version else Snapshot.currentVersion(path))
     val rows = m.partitions.toSeq.sortBy(_._1).map { case (pv, fs) =>
       val dvRows = fs.map(_.dv.map(_.rows).getOrElse(0L)).sum
       val raw = fs.map(_.rows).sum

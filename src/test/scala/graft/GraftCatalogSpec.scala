@@ -281,6 +281,15 @@ class GraftCatalogSpec extends SparkSpecBase {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(props("key") == "id" && props("partitionCol") == "part" &&
       props("version") == "2")
+    // version-addressed inventory views: v1 predates the MoR delete
+    assert(spark.sql("SELECT sum(dv_rows) FROM gtest.meta.t.files " +
+      "VERSION AS OF 1").head().getLong(0) == 0L)
+    assert(spark.sql("SELECT sum(dv_rows) FROM gtest.meta.t.partitions " +
+      "VERSION AS OF 2").head().getLong(0) == 4L)
+    // history/tags are not version-addressable (refs, not state)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gtest.meta.t.history VERSION AS OF 1").collect()
+    }
   }
 
   test("catalog over a scheme-qualified root: the whole name surface rides the Hadoop store") {

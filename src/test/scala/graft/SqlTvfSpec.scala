@@ -165,6 +165,13 @@ class SqlTvfSpec extends SparkSpecBase {
     // total MoR debt: the 3 masked rows surface
     assert(spark.sql(s"SELECT sum(dv_rows) FROM graft_snapshot_partitions('$t')")
       .head().getLong(0) == 3L)
+    // version-addressed inventory: v1 predates the MoR delete, and a
+    // tag resolves the same way
+    assert(spark.sql(s"SELECT sum(dv_rows) FROM graft_snapshot_files('$t', 1)")
+      .head().getLong(0) == 0L)
+    Snapshot.tag(t, "pre-mor", 1)
+    assert(spark.sql(s"SELECT sum(dv_rows) " +
+      s"FROM graft_snapshot_partitions('$t', 'pre-mor')").head().getLong(0) == 0L)
   }
 
   test("TVF argument contract: literals only, sane arity errors") {
