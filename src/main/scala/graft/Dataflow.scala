@@ -94,7 +94,7 @@ object Dataflow {
           // when present; compute-and-save when not (the scheduled
           // re-run then skips the frequency aggregation entirely)
           def jaccardStats = s.statsPath.map { p =>
-            if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+            if (graft.operators.LogStore.forPath(p).exists(p))
               Dedup.loadShingleStats(p)
             else {
               val st = Dedup.shingleStats(in, content, id)

@@ -3,7 +3,6 @@ package graft
 import graft.meta.{MetaLoader, Schedule}
 import org.apache.spark.sql.SparkSession
 
-import java.nio.file.Paths
 import java.time.Instant
 
 /**
@@ -63,24 +62,27 @@ object ScheduleRunner {
     // rehearsal must always be able to list.
     if (dryRun) return runDueLocked(spark, metadataPath, statePath,
       dataflowName, now, dryRun)
-    val lock = Paths.get(statePath + ".lock")
-    Option(lock.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    def tryClaim(): Boolean =
-      try { java.nio.file.Files.createFile(lock); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    // lock + state ride the state path's LogStore — scheme-qualified
+    // state files (hdfs://…) claim through the Hadoop store's atomic
+    // create-new, bare paths keep java.nio semantics
+    val store = graft.operators.LogStore.forPath(statePath)
+    val lock = statePath + ".lock"
+    val slash = lock.lastIndexOf('/')
+    if (slash > 0) store.mkdirs(lock.substring(0, slash))
+    def tryClaim(): Boolean = store.createNew(lock)
     var claimed = tryClaim()
     if (!claimed) {
       val ageMin =
         try java.time.Duration.between(
-          java.nio.file.Files.getLastModifiedTime(lock).toInstant,
+          java.time.Instant.ofEpochMilli(store.modifiedTime(lock)),
           Instant.now()).toMinutes
         catch { case _: java.io.IOException => 0L } // holder just released
       if (ageMin >= StaleLockMinutes) {
-        // steal = delete + reclaim; the createFile retry keeps the
+        // steal = delete + reclaim; the createNew retry keeps the
         // steal atomic when two triggers race for the same stale lock
         println(s"[schedule] deleting stale lock $lock (${ageMin}m old — " +
           "holder presumed crashed)")
-        java.nio.file.Files.deleteIfExists(lock)
+        try store.delete(lock) catch { case _: java.io.IOException => () }
         claimed = tryClaim()
       }
       if (!claimed) {
@@ -90,7 +92,7 @@ object ScheduleRunner {
       }
     }
     try runDueLocked(spark, metadataPath, statePath, dataflowName, now, dryRun)
-    finally if (claimed) java.nio.file.Files.deleteIfExists(lock)
+    finally if (claimed) { store.delete(lock); () }
   }
 
   /** A crashed trigger's lock is considered stale after this long. */
@@ -104,7 +106,7 @@ object ScheduleRunner {
       s"$metadataPath has no 'schedule' block"))
     val flow0 = dataflowName.map(pipeline.dataflow)
       .getOrElse(pipeline.dataflows.head)
-    val state = Paths.get(statePath)
+    val state = statePath
     var st = Schedule.readFullState(state)
     val due = Schedule.dueRuns(sched, st.lastCompleted, now)
     val executed = Seq.newBuilder[Instant]

@@ -2,7 +2,7 @@ package graft.meta
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
-import java.nio.file.{Files, Paths}
+
 import scala.jdk.CollectionConverters._
 
 /**
@@ -17,7 +17,8 @@ object MetaLoader {
   private val mapper = new ObjectMapper()
 
   def loadFile(path: String): PipelineSpec =
-    loadString(new String(Files.readAllBytes(Paths.get(path)), "UTF-8"))
+    loadString(new String(
+      graft.operators.LogStore.forPath(path).read(path), "UTF-8"))
 
   def loadString(json: String): PipelineSpec = {
     val root = mapper.readTree(json)

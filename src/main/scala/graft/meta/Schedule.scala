@@ -109,10 +109,22 @@ object Schedule {
   def readState(path: java.nio.file.Path): Option[Instant] =
     readFullState(path).lastCompleted
 
+  def readState(path: String): Option[Instant] =
+    readFullState(path).lastCompleted
+
   def readFullState(path: java.nio.file.Path): SchedState =
-    if (!java.nio.file.Files.exists(path)) SchedState(None, None)
+    readFullState(path.toString)
+
+  /** State IO rides [[graft.operators.LogStore.forPath]]: a bare path
+    * keeps java.nio semantics, a scheme-qualified one (`hdfs://…`)
+    * goes through the Hadoop store — scheduled pipelines keep their
+    * completion/retry state on the same fabric their tables live on. */
+  def readFullState(path: String): SchedState = {
+    val store = graft.operators.LogStore.forPath(path)
+    if (!store.exists(path)) SchedState(None, None)
     else {
-      val lines = java.nio.file.Files.readString(path)
+      val lines = new String(store.read(path),
+        java.nio.charset.StandardCharsets.UTF_8)
         .split('\n').map(_.trim).filter(_.nonEmpty)
       val lc = lines.headOption.filter(_ != "-").map(Instant.parse)
       val fail = lines.find(_.startsWith("failed ")).map { l =>
@@ -121,25 +133,31 @@ object Schedule {
       }
       SchedState(lc, fail)
     }
+  }
 
-  /** Record a completed logical time (atomic move, so a crash mid-write
-    * never corrupts the state). Clears any recorded failure — the run
-    * that just completed IS the one that was failing, or supersedes it. */
+  /** Record a completed logical time (atomic replace, so a crash
+    * mid-write never corrupts the state). Clears any recorded
+    * failure — the run that just completed IS the one that was
+    * failing, or supersedes it. */
   def writeState(path: java.nio.file.Path, t: Instant): Unit =
+    writeFullState(path.toString, SchedState(Some(t), None))
+
+  def writeState(path: String, t: Instant): Unit =
     writeFullState(path, SchedState(Some(t), None))
 
-  /** Persist the full state with the same atomic-move crash safety as
-    * completions: a crash between attempt and state write re-runs the
-    * attempt (at-least-once, like Airflow). */
-  def writeFullState(path: java.nio.file.Path, st: SchedState): Unit = {
+  def writeFullState(path: java.nio.file.Path, st: SchedState): Unit =
+    writeFullState(path.toString, st)
+
+  /** Persist the full state with atomic-replace crash safety (the
+    * store's `putReplace` — staged write + atomic rename): a crash
+    * between attempt and state write re-runs the attempt
+    * (at-least-once, like Airflow). */
+  def writeFullState(path: String, st: SchedState): Unit = {
     val body = st.lastCompleted.map(_.toString).getOrElse("-") +
       st.failure.map(f => s"\nfailed ${f.logical} ${f.attempts} ${f.lastFail}")
         .getOrElse("")
-    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
-    java.nio.file.Files.writeString(tmp, body)
-    java.nio.file.Files.move(tmp, path,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    graft.operators.LogStore.forPath(path).putReplace(path,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }
 

@@ -157,12 +157,13 @@ object Dedup {
       .append(java.lang.Double.doubleToLongBits(st.sumDfSq)).append(',')
       .append(java.lang.Double.doubleToLongBits(st.meanSize)).append('\n')
     st.frequent.foreach(h => sb.append(h).append('\n'))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+    LogStore.forPath(path).putReplace(path,
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   def loadShingleStats(path: String): ShingleStats = {
-    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
-      .toArray(Array.empty[String]).filter(_.nonEmpty)
+    val lines = new String(LogStore.forPath(path).read(path),
+      java.nio.charset.StandardCharsets.UTF_8).split('\n').filter(_.nonEmpty)
     require(lines.nonEmpty, s"empty shingle-stats file: $path")
     val h = lines(0).split(",")
     ShingleStats(lines.drop(1).map(_.toLong),

@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 
 /**
  * INCREMENTAL AGGREGATE MAINTENANCE — keep a grouped-aggregate table
@@ -103,14 +101,18 @@ object IncrementalAgg {
       .filter(col("n") > 0)
 
     // atomic swap: readers see the old or the new table, never a mix
+    // (directory renames through the table's LogStore — POSIX for
+    // bare paths, Hadoop FS for scheme-qualified ones, the same
+    // old-out/new-in two-step either way)
+    val store = LogStore.forPath(aggPath)
     val staging = s"$aggPath.__graft_agg_staging"
-    deleteRecursive(Paths.get(staging))
+    store.deleteTree(staging)
     merged.write.mode("overwrite").parquet(staging)
-    val tmpOld = Paths.get(s"$aggPath.__graft_agg_old")
-    deleteRecursive(tmpOld)
-    Files.move(Paths.get(aggPath), tmpOld, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(staging), Paths.get(aggPath), StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursive(tmpOld)
+    val tmpOld = s"$aggPath.__graft_agg_old"
+    store.deleteTree(tmpOld)
+    store.rename(aggPath, tmpOld)
+    store.rename(staging, aggPath)
+    store.deleteTree(tmpOld)
   }
 
   /**
@@ -129,19 +131,13 @@ object IncrementalAgg {
   def maintainBatch(spark: SparkSession, aggPath: String, batchId: Long,
                     groupCols: Seq[String], sumCols: Seq[String],
                     removedRows: DataFrame, addedRows: DataFrame): Boolean = {
-    val ledger = Paths.get(s"$aggPath.__graft_agg_applied")
-    Files.createDirectories(ledger)
-    val mark = ledger.resolve(s"batch-$batchId")
-    if (Files.exists(mark)) return false
+    val store = LogStore.forPath(aggPath)
+    val ledger = s"$aggPath.__graft_agg_applied"
+    store.mkdirs(ledger)
+    val mark = s"$ledger/batch-$batchId"
+    if (store.exists(mark)) return false
     maintain(spark, aggPath, groupCols, sumCols, removedRows, addedRows)
-    Files.createFile(mark)
+    store.createNew(mark)
     true
   }
-
-  private def deleteRecursive(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
-    }
 }

@@ -94,8 +94,11 @@ trait LogStore {
 
 object LogStore {
   // "hdfs://…", "s3a://…", "file:///…" — anything scheme-qualified
-  // rides Hadoop; bare paths keep today's java.nio semantics
-  private val schemed = "^([A-Za-z][A-Za-z0-9+.-]*):/.*".r
+  // rides Hadoop; bare paths keep today's java.nio semantics. Schemes
+  // must be >= 2 chars: a single letter before ':/' is a Windows
+  // drive path (C:/data/t), not a URI scheme — routing it to Hadoop
+  // would be a silent misroute (every real FS scheme is >= 2 chars).
+  private val schemed = "^([A-Za-z][A-Za-z0-9+.-]+):/.*".r
 
   // custom-store instances by class name (stores must be stateless —
   // both built-ins are objects; a custom one is constructed once)
@@ -131,6 +134,14 @@ object LocalLogStore extends LogStore {
   override def isDirectory(path: String): Boolean = Files.isDirectory(p(path))
   override def read(path: String): Array[Byte] = Files.readAllBytes(p(path))
 
+  /** Genuinely conditional publish: `createLink(dst, tmp)` fails
+    * ATOMICALLY on an existing destination (POSIX link(2) semantics),
+    * so even a true race — two writers past any exists() pre-check,
+    * possible after a stale-lock double-steal — has exactly one
+    * winner; rename(2) would silently replace. Filesystems without
+    * hard links fall back to exists-check + ATOMIC_MOVE, which keeps
+    * a narrow TOCTOU window under that same double-steal race (the
+    * documented caveat the link path exists to remove). */
   override def putIfAbsent(path: String, bytes: Array[Byte]): Unit = {
     val dst = p(path)
     val tmp = dst.resolveSibling(
@@ -141,7 +152,16 @@ object LocalLogStore extends LogStore {
       Files.deleteIfExists(tmp)
       throw new FileAlreadyExistsException(path)
     }
-    Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    try {
+      Files.createLink(dst, tmp)
+      Files.deleteIfExists(tmp)
+    } catch {
+      case _: FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new FileAlreadyExistsException(path)
+      case _: UnsupportedOperationException =>
+        Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE)
+    }
   }
 
   override def putReplace(path: String, bytes: Array[Byte]): Unit = {
@@ -196,7 +216,7 @@ object LocalLogStore extends LogStore {
   * for the per-fabric atomicity ledger (HDFS full, file: POSIX,
   * S3-like needs conditional-write wiring). */
 object HadoopLogStore extends LogStore {
-  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+  import org.apache.hadoop.fs.{FileSystem, UnsupportedFileSystemException, Path => HPath}
 
   private def conf: org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
@@ -205,7 +225,17 @@ object HadoopLogStore extends LogStore {
 
   private def fsOf(path: String): (FileSystem, HPath) = {
     val hp = new HPath(path)
-    (hp.getFileSystem(conf), hp)
+    val fs = hp.getFileSystem(conf) match {
+      // the checksummed local FS writes .crc sidecars that do NOT
+      // move with a FileContext (raw) rename — a putReplace'd file
+      // would fail its next checksummed read. Raw is also what
+      // FileContext resolves for file:, so every primitive sees one
+      // consistent filesystem; checksums buy nothing on a local
+      // mount the commit protocol fsyncs through anyway.
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRawFileSystem
+      case other => other
+    }
+    (fs, hp)
   }
 
   override def exists(path: String): Boolean = {
@@ -248,12 +278,28 @@ object HadoopLogStore extends LogStore {
     }
   }
 
+  /** Reader-atomic replace: `FileContext.rename(…, Rename.OVERWRITE)`
+    * swaps dst in one FS operation, so an unlocked concurrent reader
+    * (`tags()` is lock-free by design) sees the old bytes or the new,
+    * never a missing path — the same guarantee LocalLogStore's
+    * ATOMIC_MOVE+REPLACE_EXISTING gives. Stores whose FileContext
+    * binding is unavailable fall back to delete-then-rename, which
+    * keeps a transient missing-dst window (bounded-retry on the read
+    * side covers it). */
   override def putReplace(path: String, bytes: Array[Byte]): Unit = {
     val (fs, dst) = fsOf(path)
     val tmp = writeTmp(fs, dst, bytes)
-    if (fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new IOException(s"putReplace: rename to $path failed")
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        dst.toUri, conf)
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException
+         | _: UnsupportedFileSystemException =>
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(tmp, dst))
+          throw new IOException(s"putReplace: rename to $path failed")
+    }
   }
 
   override def list(path: String): Seq[(String, Boolean)] = {
@@ -266,10 +312,16 @@ object HadoopLogStore extends LogStore {
     val (fs, hp) = fsOf(path); fs.mkdirs(hp); ()
   }
 
+  /** Only an already-exists outcome means "lock held" — any other
+    * IOException (permissions, connectivity) must PROPAGATE, not
+    * silently read as contention. */
   override def createNew(path: String): Boolean = {
     val (fs, hp) = fsOf(path)
     try fs.createNewFile(hp)
-    catch { case _: IOException => false }
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: FileAlreadyExistsException => false
+    }
   }
 
   override def delete(path: String): Boolean = {

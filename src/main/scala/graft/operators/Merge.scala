@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 
 /**
  * Keyed MERGE/UPSERT into a hive-partitioned dataset by COPY-ON-WRITE
@@ -38,6 +36,13 @@ import scala.jdk.CollectionConverters._
  * merge is idempotent and completes the swap); cross-partition
  * atomicity is table-format (Delta/Iceberg commit-log) territory, out
  * of scope for a plain-parquet engine.
+ *
+ * Storage: the swap rides [[LogStore.forPath]] — a bare path keeps
+ * POSIX rename semantics, a scheme-qualified target (`hdfs://…`)
+ * swaps through the Hadoop store (same O(1) directory rename on
+ * HDFS), so the `saveMode: merge` sink runs on the same fabrics the
+ * snapshot format does. Data IO was always storage-agnostic (Spark's
+ * readers/writers); this closes the swap itself.
  */
 object Merge {
 
@@ -116,8 +121,9 @@ object Merge {
       .filter(col(partitionCol).cast("string").isin(affected: _*))
       .join(allKeys, Seq(key), "left_anti")
     val merged = survivors.unionByName(ups.select(target.columns.map(col): _*))
+    val store = LogStore.forPath(targetPath)
     val staging = s"$targetPath.__graft_merge_staging"
-    deleteRecursive(Paths.get(staging))
+    store.deleteTree(staging)
     merged.write.mode("overwrite").format(format)
       .partitionBy(partitionCol).save(staging)
 
@@ -125,23 +131,16 @@ object Merge {
     val dropped = Seq.newBuilder[String]
     affected.foreach { p =>
       val dirName = s"$partitionCol=$p"
-      val dst = Paths.get(targetPath, dirName)
-      val src = Paths.get(staging, dirName)
-      deleteRecursive(dst)
-      if (Files.exists(src)) {
-        Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      val dst = s"$targetPath/$dirName"
+      val src = s"$staging/$dirName"
+      store.deleteTree(dst)
+      if (store.exists(src)) {
+        store.rename(src, dst)
         rewritten += p
       } else dropped += p // every row of the partition was deleted
     }
-    deleteRecursive(Paths.get(staging))
+    store.deleteTree(staging)
     Seq(ups, dels, allKeys).foreach(OpCache.unpersistEager)
     MergeStats(rewritten.result(), dropped.result(), upsertRows, deleteRows)
   }
-
-  private def deleteRecursive(p: Path): Unit =
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
-    }
 }

@@ -186,20 +186,19 @@ object Scale {
     * distinct source dirs cannot alias one table the way a 32-bit
     * String.hashCode can. Metadata-only walk — no data reads. */
   def sourceTag(paths: Seq[String]): String = {
-    import scala.jdk.CollectionConverters._
     val md = java.security.MessageDigest.getInstance("MD5")
     paths.sorted.foreach { p =>
-      val root = java.nio.file.Paths.get(p)
+      val store = LogStore.forPath(p)
       md.update(p.getBytes("UTF-8"))
-      if (java.nio.file.Files.exists(root)) {
-        val walk = java.nio.file.Files.walk(root)
-        try walk.iterator().asScala
-          .filter(java.nio.file.Files.isRegularFile(_))
-          .map(f => s"${root.relativize(f)}:${java.nio.file.Files.size(f)}:" +
-            s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}")
-          .toSeq.sorted
+      if (store.exists(p)) {
+        val files =
+          if (store.isDirectory(p)) store.walkFiles(p).map(r => (r, s"$p/$r"))
+          else Seq(("", p))
+        files
+          .map { case (rel, f) =>
+            s"$rel:${store.size(f)}:${store.modifiedTime(f)}" }
+          .sorted
           .foreach(s => md.update(s.getBytes("UTF-8")))
-        finally walk.close()
       }
     }
     md.digest().take(8).map("%02x".format(_)).mkString
@@ -215,8 +214,8 @@ object Scale {
     * happens.
     *
     * The check-reclaim-write sequence is guarded by an ATOMIC lock
-    * file beside the location (`Files.createFile` either claims or
-    * throws): a concurrent caller cannot delete a location another
+    * file beside the location (the store's `createNew` either claims
+    * or refuses): a concurrent caller cannot delete a location another
     * claim is mid-write on; it waits for the lock, re-checks the
     * catalog, and proceeds only if the table is still absent there.
     * Reclaims are logged (location + file count). Name tables with
@@ -228,41 +227,37 @@ object Scale {
   def ensureBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
                      keys: Seq[String], numBuckets: Int)
                     (df: => DataFrame): Unit = {
-    import java.nio.file.{Files, Paths}
     if (spark.catalog.tableExists(table)) return
-    val wh = Paths.get(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
-    Files.createDirectories(wh)
-    val loc = wh.resolve(table)
-    val lock = wh.resolve(s"$table._graft_lock")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:").stripSuffix("/")
+    val store = LogStore.forPath(wh)
+    store.mkdirs(wh)
+    val loc = s"$wh/$table"
+    val lock = s"$wh/$table._graft_lock"
     val deadlineNs = System.nanoTime() + 120L * 1000 * 1000 * 1000
     var claimed = false
     while (!claimed) {
-      try { Files.createFile(lock); claimed = true }
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          // another claim is writing this table; wait for it rather
-          // than deleting files out from under its readers
-          if (spark.catalog.tableExists(table)) return
-          if (System.nanoTime() > deadlineNs) throw new IllegalStateException(
-            s"ensureBucketed: lock $lock held > 120s — stale lock from a " +
-              "crashed run? remove it manually if no writer is alive")
-          Thread.sleep(100)
+      if (store.createNew(lock)) claimed = true
+      else {
+        // another claim is writing this table; wait for it rather
+        // than deleting files out from under its readers
+        if (spark.catalog.tableExists(table)) return
+        if (System.nanoTime() > deadlineNs) throw new IllegalStateException(
+          s"ensureBucketed: lock $lock held > 120s — stale lock from a " +
+            "crashed run? remove it manually if no writer is alive")
+        Thread.sleep(100)
       }
     }
     try {
       if (spark.catalog.tableExists(table)) return // raced, other claim won
-      if (Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        val walk = Files.walk(loc)
-        val files = try walk.iterator().asScala.toSeq.reverse finally walk.close()
+      if (store.exists(loc)) {
         org.apache.logging.log4j.LogManager.getLogger(getClass)
           .warn(s"ensureBucketed: reclaiming orphaned location $loc " +
-            s"(${files.count(Files.isRegularFile(_))} files, no catalog entry)")
-        files.foreach(Files.delete)
+            s"(${store.walkFiles(loc).size} files, no catalog entry)")
+        store.deleteTree(loc)
       }
       writeBucketed(df, table, keys, numBuckets)
-    } finally Files.deleteIfExists(lock)
+    } finally { store.delete(lock); () }
   }
 
   /**

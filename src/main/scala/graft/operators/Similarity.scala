@@ -304,13 +304,14 @@ object Similarity {
   def saveCentroids(path: String, centroids: Array[Array[Double]]): Unit = {
     val sb = new StringBuilder
     centroids.foreach { c => sb.append(c.mkString(",")).append('\n') }
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+    LogStore.forPath(path).putReplace(path,
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Load a codebook written by [[saveCentroids]]. */
   def loadCentroids(path: String): Array[Array[Double]] =
-    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
-      .toArray(Array.empty[String]).filter(_.nonEmpty)
+    new String(LogStore.forPath(path).read(path),
+      java.nio.charset.StandardCharsets.UTF_8).split('\n').filter(_.nonEmpty)
       .map(_.split(",").map(_.toDouble))
 
   /**
@@ -538,12 +539,13 @@ object Similarity {
     for (s <- cb.indices; c <- cb(s).indices)
       sb.append(s).append(',').append(c).append(',')
         .append(cb(s)(c).mkString(",")).append('\n')
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), sb.toString)
+    LogStore.forPath(path).putReplace(path,
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   def loadPqCodebook(path: String): Array[Array[Array[Double]]] = {
-    val rows = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
-      .toArray(Array.empty[String]).filter(_.nonEmpty)
+    val rows = new String(LogStore.forPath(path).read(path),
+      java.nio.charset.StandardCharsets.UTF_8).split('\n').filter(_.nonEmpty)
       .map { l =>
         val p = l.split(",")
         (p(0).toInt, p(1).toInt, p.drop(2).map(_.toDouble))

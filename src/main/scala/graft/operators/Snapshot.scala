@@ -1213,19 +1213,23 @@ object Snapshot {
    */
   def renameColumn(spark: SparkSession, table: String,
                    from: String, to: String): CommitStats =
-    evolveSchema(table, s"rename_column($from->$to)") { m =>
-      val fields = StructType.fromDDL(m.schemaDdl).fields
-      require(fields.exists(_.name == from),
-        s"snapshot $table: no column '$from'")
-      require(!fields.exists(_.name == to),
-        s"snapshot $table: column '$to' already exists")
-      evolutionBarred(m, from).foreach(why => throw new IllegalArgumentException(
-        s"snapshot $table: cannot rename '$from' — $why"))
-      val newDdl = StructType(fields.map(f =>
-        if (f.name == from) f.copy(name = to) else f)).toDDL
-      m.copy(schemaDdl = newDdl,
-        columnMap = (m.columnMap - from) + (to -> m.phys(from)))
-    }
+    evolveSchema(table, s"rename_column($from->$to)")(
+      renameColumnXform(table, from, to))
+
+  private[graft] def renameColumnXform(table: String, from: String,
+                                       to: String)(m: Manifest): Manifest = {
+    val fields = StructType.fromDDL(m.schemaDdl).fields
+    require(fields.exists(_.name == from),
+      s"snapshot $table: no column '$from'")
+    require(!fields.exists(_.name == to),
+      s"snapshot $table: column '$to' already exists")
+    evolutionBarred(m, from).foreach(why => throw new IllegalArgumentException(
+      s"snapshot $table: cannot rename '$from' — $why"))
+    val newDdl = StructType(fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f)).toDDL
+    m.copy(schemaDdl = newDdl,
+      columnMap = (m.columnMap - from) + (to -> m.phys(from)))
+  }
 
   /**
    * DROP a column — a METADATA-ONLY commit: the column leaves the
@@ -1239,18 +1243,21 @@ object Snapshot {
    * column.
    */
   def dropColumn(spark: SparkSession, table: String, name: String): CommitStats =
-    evolveSchema(table, s"drop_column($name)") { m =>
-      val fields = StructType.fromDDL(m.schemaDdl).fields
-      require(fields.exists(_.name == name),
-        s"snapshot $table: no column '$name'")
-      require(fields.length > 1,
-        s"snapshot $table: cannot drop the last column")
-      evolutionBarred(m, name).foreach(why => throw new IllegalArgumentException(
-        s"snapshot $table: cannot drop '$name' — $why"))
-      m.copy(schemaDdl = StructType(fields.filterNot(_.name == name)).toDDL,
-        columnMap = m.columnMap - name,
-        retiredCols = (m.retiredCols :+ m.phys(name)).distinct)
-    }
+    evolveSchema(table, s"drop_column($name)")(dropColumnXform(table, name))
+
+  private[graft] def dropColumnXform(table: String, name: String)
+                                    (m: Manifest): Manifest = {
+    val fields = StructType.fromDDL(m.schemaDdl).fields
+    require(fields.exists(_.name == name),
+      s"snapshot $table: no column '$name'")
+    require(fields.length > 1,
+      s"snapshot $table: cannot drop the last column")
+    evolutionBarred(m, name).foreach(why => throw new IllegalArgumentException(
+      s"snapshot $table: cannot drop '$name' — $why"))
+    m.copy(schemaDdl = StructType(fields.filterNot(_.name == name)).toDDL,
+      columnMap = m.columnMap - name,
+      retiredCols = (m.retiredCols :+ m.phys(name)).distinct)
+  }
 
   /**
    * WIDEN a column's type — a METADATA-ONLY commit. Only provably
@@ -1263,21 +1270,83 @@ object Snapshot {
    */
   def widenColumn(spark: SparkSession, table: String,
                   name: String, newType: String): CommitStats =
-    evolveSchema(table, s"widen_column($name:$newType)") { m =>
-      val fields = StructType.fromDDL(m.schemaDdl).fields
-      val f = fields.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(s"snapshot $table: no column '$name'"))
-      evolutionBarred(m, name).foreach(why => throw new IllegalArgumentException(
-        s"snapshot $table: cannot widen '$name' — $why"))
-      val allowed = Map("int" -> Set("bigint"), "float" -> Set("double"))
-      val fromT = f.dataType.simpleString
-      require(allowed.get(fromT).exists(_.contains(newType)),
-        s"snapshot $table: '$name' $fromT -> $newType is not a safe widening " +
-          s"(allowed: int->bigint, float->double)")
-      val t = org.apache.spark.sql.types.DataType.fromDDL(newType)
-      m.copy(schemaDdl = StructType(fields.map(x =>
-        if (x.name == name) x.copy(dataType = t) else x)).toDDL)
-    }
+    evolveSchema(table, s"widen_column($name:$newType)")(
+      widenColumnXform(table, name, newType))
+
+  private[graft] def widenColumnXform(table: String, name: String,
+                                      newType: String)(m: Manifest): Manifest = {
+    val fields = StructType.fromDDL(m.schemaDdl).fields
+    val f = fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"snapshot $table: no column '$name'"))
+    evolutionBarred(m, name).foreach(why => throw new IllegalArgumentException(
+      s"snapshot $table: cannot widen '$name' — $why"))
+    val allowed = Map("int" -> Set("bigint"), "float" -> Set("double"))
+    val fromT = f.dataType.simpleString
+    require(allowed.get(fromT).exists(_.contains(newType)),
+      s"snapshot $table: '$name' $fromT -> $newType is not a safe widening " +
+        s"(allowed: int->bigint, float->double)")
+    val t = org.apache.spark.sql.types.DataType.fromDDL(newType)
+    m.copy(schemaDdl = StructType(fields.map(x =>
+      if (x.name == name) x.copy(dataType = t) else x)).toDDL)
+  }
+
+  /**
+   * ADD a column — a METADATA-ONLY commit (zero data files touched):
+   * the logical schema gains the field; pre-evolution files simply
+   * never contain it and read NULL-FILLED through the manifest-schema
+   * scan, exactly how a merge-carried additive evolution renders the
+   * survivors. The SQL `ALTER TABLE ADD COLUMN` face of additive
+   * evolution for the schema-first workflow (declare now, backfill
+   * by merge later); the data-first path — a merge whose upserts
+   * carry the new column — keeps working unchanged. Re-adding a
+   * previously DROPPED name maps to a FRESH physical name (the
+   * retired bytes can never resurrect as the new column's values —
+   * the same collision rule [[merge]]'s additive path applies). Old
+   * versions render without the column; the commit is
+   * time-travelable like every evolution step.
+   */
+  def addColumn(spark: SparkSession, table: String,
+                name: String, newType: String): CommitStats =
+    evolveSchema(table, s"add_column($name:$newType)")(
+      addColumnXform(table, name, newType))
+
+  private[graft] def addColumnXform(table: String, name: String,
+                                    newType: String)(m: Manifest): Manifest = {
+    val fields = StructType.fromDDL(m.schemaDdl).fields
+    require(!fields.exists(_.name == name),
+      s"snapshot $table: column '$name' already exists")
+    val t = org.apache.spark.sql.types.DataType.fromDDL(newType)
+    // same physical-name collision rule as planMerge's additive path:
+    // a name matching any retired or otherwise-held physical name
+    // maps to a fresh one, bumping the suffix until free
+    val usedPhys = (m.columnMap.values ++ m.retiredCols ++
+      fields.map(f => m.phys(f.name))).toSet
+    val newMap =
+      if (!usedPhys(name)) m.columnMap
+      else m.columnMap + (name -> Iterator.from(m.version + 1)
+        .map(v => s"${name}__c$v").find(!usedPhys(_)).get)
+    m.copy(
+      schemaDdl = StructType(fields :+
+        org.apache.spark.sql.types.StructField(name, t)).toDDL,
+      columnMap = newMap)
+  }
+
+  /** Validate a multi-step evolution WITHOUT committing: fold each
+    * step over the current manifest (each validated against the state
+    * its predecessors produce), throwing on the first refusal — the
+    * all-or-nothing pre-flight a multi-change `ALTER TABLE` statement
+    * runs before committing any step, so a late refusal can never
+    * leave the statement half-applied. */
+  private[graft] def validateEvolution(table: String,
+                                       steps: Seq[Manifest => Manifest]): Unit = {
+    val cur = currentVersion(table)
+    require(cur > 0, s"snapshot $table does not exist")
+    val m0 = readManifest(table, cur)
+    require(m0.schemaDdl.nonEmpty,
+      s"snapshot $table: no manifest schema — pre-schema table cannot evolve")
+    steps.foldLeft(m0)((m, f) => f(m))
+    ()
+  }
 
   /** Publish a new version whose live file set IS `toVersion`'s — an
     * O(manifest) undo. History is preserved (rollback is itself a
@@ -2112,13 +2181,27 @@ object Snapshot {
 
   private def refsPath(table: String): String = s"${logDir(table)}/refs.json"
 
-  /** Named version refs: `{tag -> version}` from `_log/refs.json`. */
+  /** Named version refs: `{tag -> version}` from `_log/refs.json`.
+    * Lock-free read with ONE bounded retry: `putReplace` is
+    * reader-atomic on both built-in stores, but a custom store may
+    * fall back to delete-then-rename, whose transient missing-dst
+    * window would otherwise read as "no tags" — a second look after
+    * a short pause distinguishes "mid-replace" from "never tagged"
+    * (a fresh table reads absent twice and stays Map.empty). */
   def tags(table: String): Map[String, Int] = {
     val st = store(table)
     val p = refsPath(table)
-    if (!st.exists(p)) Map.empty
-    else mapper.readTree(st.read(p)).properties().asScala
-      .map(e => e.getKey -> e.getValue.asInt()).toMap
+    def readOnce(): Option[Map[String, Int]] =
+      if (!st.exists(p)) None
+      else Some(mapper.readTree(st.read(p)).properties().asScala
+        .map(e => e.getKey -> e.getValue.asInt()).toMap)
+    readOnce().orElse {
+      // writeTags only runs under the commit lock, so a missing refs
+      // file is mid-replace ONLY while the lock is held — the common
+      // never-tagged read stays a single exists() with no pause
+      if (st.exists(lockFile(table))) { Thread.sleep(20); readOnce() }
+      else None
+    }.getOrElse(Map.empty)
   }
 
   private def writeTags(table: String, t: Map[String, Int]): Unit = {

@@ -217,7 +217,7 @@ object StatsOp {
    */
   def writeStatsJson(name: String, dir: String, fieldStats: DataFrame,
                      validationStats: Option[DataFrame],
-                     topErrors: Option[DataFrame]): java.nio.file.Path = {
+                     topErrors: Option[DataFrame]): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("stats_name", name)
@@ -246,11 +246,12 @@ object StatsOp {
     }
     topErrors.foreach(te => rowsToArray(te, root.putArray("top_validation_errors")))
 
-    val out = java.nio.file.Paths.get(dir)
-    java.nio.file.Files.createDirectories(out)
-    val file = out.resolve(s"$name.json")
-    java.nio.file.Files.writeString(file,
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    val store = LogStore.forPath(dir)
+    store.mkdirs(dir)
+    val file = s"${dir.stripSuffix("/")}/$name.json"
+    store.putReplace(file,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     file
   }
 

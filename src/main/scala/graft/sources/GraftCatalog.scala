@@ -263,20 +263,21 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       "graft catalog: RENAME is not supported — the directory path is " +
         "the table's identity (path readers would dangle)")
 
-  /** SQL `ALTER TABLE … RENAME COLUMN / DROP COLUMN / ALTER COLUMN
-    * TYPE` routed onto the format's NON-ADDITIVE evolution commits
-    * ([[Snapshot.renameColumn]]/[[Snapshot.dropColumn]]/
-    * [[Snapshot.widenColumn]]) — metadata-only versions (zero data
-    * files rewrite; renames ride the column map, drops retire the
-    * physical name, type changes only the proven-safe widenings), so
-    * the SQL verb stays versioned and time-travelable like every
-    * other commit. Contract columns (key/partition/stats/bloom/
-    * z-order/constraint-referenced) refuse inside the commit, as does
-    * any non-widening type change. ADD COLUMN is refused: additive
-    * evolution is a WRITE property here (a merge carrying new columns
-    * evolves the schema with the data that defines them). Each change
-    * in a multi-change statement commits its own version — the
-    * history shows every evolution step. */
+  /** SQL `ALTER TABLE … ADD COLUMN / RENAME COLUMN / DROP COLUMN /
+    * ALTER COLUMN TYPE` routed onto the format's evolution commits
+    * ([[Snapshot.addColumn]]/[[Snapshot.renameColumn]]/
+    * [[Snapshot.dropColumn]]/[[Snapshot.widenColumn]]) — metadata-only
+    * versions (zero data files rewrite; adds null-fill pre-evolution
+    * files through the manifest-schema scan, renames ride the column
+    * map, drops retire the physical name, type changes only the
+    * proven-safe widenings), so the SQL verb stays versioned and
+    * time-travelable like every other commit. Contract columns
+    * (key/partition/stats/bloom/z-order/constraint-referenced) refuse,
+    * as does any non-widening type change. A multi-change statement is
+    * PRE-VALIDATED as a whole ([[Snapshot.validateEvolution]]) before
+    * any step commits — a refusal anywhere leaves the table untouched,
+    * never half-altered; each validated change then commits its own
+    * version, so the history shows every evolution step. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
@@ -288,21 +289,46 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           s"(${fieldNames.mkString(".")}) is not supported")
       fieldNames.head
     }
-    changes.foreach {
-      case rc: TableChange.RenameColumn =>
-        Snapshot.renameColumn(spark, path, one(rc.fieldNames, "RENAME"),
-          rc.newName)
-      case dc: TableChange.DeleteColumn =>
-        Snapshot.dropColumn(spark, path, one(dc.fieldNames, "DROP"))
-      case ut: TableChange.UpdateColumnType =>
-        Snapshot.widenColumn(spark, path, one(ut.fieldNames, "ALTER TYPE"),
-          ut.newDataType.sql.toLowerCase)
-      case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported ALTER TABLE change " +
-          s"${other.getClass.getSimpleName} — new columns arrive with the " +
-          "data that defines them (a merge carrying them evolves the " +
-          "schema); anything else is a table redefinition, not an evolution")
+    def addSpec(ac: TableChange.AddColumn): (String, String) = {
+      val name = one(ac.fieldNames, "ADD")
+      if (!ac.isNullable) throw new UnsupportedOperationException(
+        s"graft catalog: ADD COLUMN $name NOT NULL is not supported — " +
+          "existing rows read the new column as NULL; add it nullable " +
+          "and backfill by merge")
+      if (ac.position != null) throw new UnsupportedOperationException(
+        s"graft catalog: ADD COLUMN $name FIRST/AFTER is not supported — " +
+          "new columns append (column order is not a table property here)")
+      (name, ac.dataType.sql.toLowerCase)
     }
+    // validate-only fold first, commit after: the whole statement
+    // refuses atomically, then applies step-wise
+    val steps: Seq[(Snapshot.Manifest => Snapshot.Manifest, () => Unit)] =
+      changes.map {
+        case ac: TableChange.AddColumn =>
+          val (n, t) = addSpec(ac)
+          (Snapshot.addColumnXform(path, n, t)(_),
+            () => { Snapshot.addColumn(spark, path, n, t); () })
+        case rc: TableChange.RenameColumn =>
+          val n = one(rc.fieldNames, "RENAME")
+          (Snapshot.renameColumnXform(path, n, rc.newName)(_),
+            () => { Snapshot.renameColumn(spark, path, n, rc.newName); () })
+        case dc: TableChange.DeleteColumn =>
+          val n = one(dc.fieldNames, "DROP")
+          (Snapshot.dropColumnXform(path, n)(_),
+            () => { Snapshot.dropColumn(spark, path, n); () })
+        case ut: TableChange.UpdateColumnType =>
+          val n = one(ut.fieldNames, "ALTER TYPE")
+          val t = ut.newDataType.sql.toLowerCase
+          (Snapshot.widenColumnXform(path, n, t)(_),
+            () => { Snapshot.widenColumn(spark, path, n, t); () })
+        case other => throw new UnsupportedOperationException(
+          s"graft catalog: unsupported ALTER TABLE change " +
+            s"${other.getClass.getSimpleName} — column add/rename/drop/widen " +
+            "are the supported evolutions; anything else is a table " +
+            "redefinition, not an evolution")
+      }
+    Snapshot.validateEvolution(path, steps.map(_._1))
+    steps.foreach(_._2())
     loadTable(ident)
   }
 

@@ -129,12 +129,15 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       case None => 0
     }
     val emitLayout = parameters.get("emitLayoutOps").exists(_.toBoolean)
+    // malformed numbers get the same descriptive refusal as
+    // non-positive ones (-1 never passes the > 0 gate below), not a
+    // raw NumberFormatException out of .toInt
     val maxVersions = parameters.get("maxVersionsPerBatch")
-      .map(_.trim.toInt).getOrElse(0)
+      .map(s => scala.util.Try(s.trim.toInt).getOrElse(-1)).getOrElse(0)
     require(parameters.get("maxVersionsPerBatch").isEmpty || maxVersions > 0,
       "graft stream: maxVersionsPerBatch must be a positive version count")
     val maxRows = parameters.get("maxRowsPerBatch")
-      .map(_.trim.toLong).getOrElse(0L)
+      .map(s => scala.util.Try(s.trim.toLong).getOrElse(-1L)).getOrElse(0L)
     require(parameters.get("maxRowsPerBatch").isEmpty || maxRows > 0L,
       "graft stream: maxRowsPerBatch must be a positive row budget")
     new GraftStreamSource(sqlContext.sparkSession, path, startExclusive,

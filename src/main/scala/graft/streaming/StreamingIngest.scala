@@ -281,7 +281,7 @@ object StreamingIngest {
             .agg(graft.functions.CmsExprs.cmsUnion(col("sketch")).as("sk"))
           val heapDir = s"$outPath/heap"
           val prevKeys =
-            if (new java.io.File(heapDir).exists()) {
+            if (graft.operators.LogStore.forPath(heapDir).exists(heapDir)) {
               // live heap = the LATEST batch's row set (earlier rows are
               // history; rescoring them too would grow per-batch work
               // with batch count instead of batch size). max(batch_id)
@@ -373,12 +373,9 @@ object StreamingIngest {
       .filterNot(c => c == seqCol || c == deletedCol).map(col)
     val ups = last.filter(!isDel).select(dataCols: _*)
     val dels = last.filter(isDel).select(col(key))
-    val targetExists = {
-      val dir = new java.io.File(targetPath)
-      dir.isDirectory && dir.listFiles() != null &&
-        dir.listFiles().exists(f => !f.getName.startsWith(".") &&
-          !f.getName.startsWith("_"))
-    }
+    val targetExists =
+      graft.operators.LogStore.forPath(targetPath).list(targetPath)
+        .exists { case (n, _) => !n.startsWith(".") && !n.startsWith("_") }
     if (!targetExists)
       ups.write.mode("overwrite").format(format)
         .partitionBy(partitionCol).save(targetPath)
@@ -622,7 +619,7 @@ object StreamingIngest {
       // STRICTLY EARLIER batches (replay guard), estimate from the
       // signature pair
       val dupStore =
-        if (new java.io.File(bandsDir).exists()) {
+        if (graft.operators.LogStore.forPath(bandsDir).exists(bandsDir)) {
           val storeBands = ss.read.parquet(bandsDir)
             .filter(col("batch_id") < batchId)
             .select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
@@ -717,13 +714,10 @@ object StreamingIngest {
       }
       .start()
 
-  private def labelBatches(outPath: String): Seq[Long] = {
-    val dir = new java.io.File(s"$outPath/labels")
-    if (!dir.exists()) Nil
-    else dir.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("b"))
-      .map(_.getName.drop(1).toLong).sorted
-  }
+  private def labelBatches(outPath: String): Seq[Long] =
+    graft.operators.LogStore.forPath(outPath).list(s"$outPath/labels")
+      .collect { case (n, true) if n.startsWith("b") => n.drop(1).toLong }
+      .sorted
 
   /** The current label table of a [[clusterLabelsSink]] log. */
   def clusterLabels(spark: SparkSession, outPath: String): DataFrame = {
@@ -748,15 +742,8 @@ object StreamingIngest {
         "batch folds from the label dir below it; retaining only the " +
         "tip would break replay idempotence in the crash window")
     val stale = labelBatches(outPath).dropRight(retainLast)
-    stale.foreach { b =>
-      val root = java.nio.file.Paths.get(s"$outPath/labels/b$b")
-      val walk = java.nio.file.Files.walk(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        walk.iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      } finally walk.close()
-    }
+    val store = graft.operators.LogStore.forPath(outPath)
+    stale.foreach(b => store.deleteTree(s"$outPath/labels/b$b"))
     stale.size
   }
 
@@ -776,7 +763,7 @@ object StreamingIngest {
       val est = graft.functions.VectorExprs
         .longVecEqCount(col("sig_a"), col("sig_b")).cast("double") / numHashes
       val crossPairs =
-        if (new java.io.File(bandsDir).exists()) {
+        if (graft.operators.LogStore.forPath(bandsDir).exists(bandsDir)) {
           val storeBands = ss.read.parquet(bandsDir)
             .filter(col("batch_id") < batchId)
             .select(col("doc_id").as("doc_b"), col("band"), col("band_hash"))
@@ -830,7 +817,7 @@ object StreamingIngest {
       .agg(graft.functions.CmsExprs.cmsUnion(col("sketch")).as("sk"))
     val heapDir = s"$outPath/heap"
     val heapKeys =
-      if (new java.io.File(heapDir).exists())
+      if (graft.operators.LogStore.forPath(heapDir).exists(heapDir))
         Seq(spark.read.parquet(heapDir).select(col("k")))
       else Nil
     val cands = heapKeys
@@ -910,7 +897,7 @@ object StreamingIngest {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     snapshotFollowSink(spark, table, checkpoint) { (v, op, removed, added) =>
       if (op != "compact") {
-        if (!new java.io.File(aggPath).exists()) // bootstrap: empty view
+        if (!graft.operators.LogStore.forPath(aggPath).exists(aggPath)) // bootstrap: empty view
           graft.operators.IncrementalAgg.build(added.limit(0), groupCols, sumCols)
             .write.parquet(aggPath)
         graft.operators.IncrementalAgg.maintainBatch(added.sparkSession,

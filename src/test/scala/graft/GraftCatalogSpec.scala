@@ -202,11 +202,91 @@ class GraftCatalogSpec extends SparkSpecBase {
     intercept[Exception] {
       spark.sql("ALTER TABLE gtest.evo.t DROP COLUMN part")
     }
-    // ADD COLUMN is a write property (merge carries new columns)
+    // NOT NULL adds refuse (existing rows would violate it instantly)
     intercept[Exception] {
-      spark.sql("ALTER TABLE gtest.evo.t ADD COLUMN extra STRING")
+      spark.sql("ALTER TABLE gtest.evo.t ADD COLUMN extra STRING NOT NULL")
     }
     assert(Snapshot.currentVersion(dir) == v, "refusals must not commit")
+  }
+
+  test("ALTER TABLE ADD COLUMN: empty evolution commit — old files null-fill, a merge backfills, re-add never resurrects") {
+    val _ = rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.addc")
+    (0 until 20).map(i => (i.toLong, s"pay_$i", s"p${i / 10}"))
+      .toDF("id", "payload", "part")
+      .createOrReplaceTempView("cat_addc_seed")
+    spark.sql("CREATE TABLE gtest.addc.t USING graft " +
+      "TBLPROPERTIES ('key'='id','partitionCol'='part') " +
+      "AS SELECT * FROM cat_addc_seed")
+    val dir = s"$rootDir/addc/t"
+    val filesV1 = Snapshot.readManifest(dir, 1).files.map(_.path).toSet
+
+    // ADD: metadata-only commit, zero data files touched
+    spark.sql("ALTER TABLE gtest.addc.t ADD COLUMN lang STRING")
+    assert(Snapshot.currentVersion(dir) == 2 &&
+      Snapshot.history(dir).last._2 == "add_column(lang:string)")
+    assert(Snapshot.readManifest(dir, 2).files.map(_.path).toSet == filesV1,
+      "an ADD must not rewrite a single data file")
+    // pre-evolution rows read the new column as NULL; old versions
+    // render without it
+    assert(spark.sql("SELECT lang FROM gtest.addc.t").collect()
+      .forall(_.isNullAt(0)))
+    assert(!Snapshot.readAt(spark, dir, 1).columns.contains("lang"))
+
+    // a merge backfills the declared column
+    Snapshot.merge(spark, dir,
+      upserts = Seq((3L, "pay_3", "p0", "en")).toDF("id", "payload", "part", "lang"),
+      deleteKeys = spark.range(0, 0).selectExpr("id"))
+    val langs = spark.sql("SELECT id, lang FROM gtest.addc.t")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(langs(3L).contains("en") && langs(4L).isEmpty && langs.size == 20)
+
+    // DROP then re-ADD the same name: fresh physical name — the
+    // retired bytes must read as NULL, never resurrect
+    spark.sql("ALTER TABLE gtest.addc.t DROP COLUMN lang")
+    spark.sql("ALTER TABLE gtest.addc.t ADD COLUMN lang STRING")
+    assert(spark.sql("SELECT lang FROM gtest.addc.t").collect()
+      .forall(_.isNullAt(0)),
+      "a re-added name must map to a fresh physical column")
+    val m = Snapshot.readManifest(dir, Snapshot.currentVersion(dir))
+    assert(m.columnMap.get("lang").exists(_ != "lang"),
+      s"expected a remapped physical name, got ${m.columnMap}")
+  }
+
+  test("multi-change ALTER TABLE pre-validates as a whole: a late refusal leaves the table untouched") {
+    val _ = rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.multi")
+    (0 until 10).map(i => (i.toLong, s"pay_$i", s"p${i % 2}"))
+      .toDF("id", "payload", "part")
+      .createOrReplaceTempView("cat_multi_seed")
+    spark.sql("CREATE TABLE gtest.multi.t USING graft " +
+      "TBLPROPERTIES ('key'='id','partitionCol'='part') " +
+      "AS SELECT * FROM cat_multi_seed")
+    val dir = s"$rootDir/multi/t"
+    val cat = spark.sessionState.catalogManager.catalog("gtest")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("multi"), "t")
+    import org.apache.spark.sql.connector.catalog.TableChange
+    // first change is valid alone, second refuses (contract column):
+    // the statement must apply NEITHER
+    intercept[Exception] {
+      cat.alterTable(ident,
+        TableChange.renameColumn(Array("payload"), "body"),
+        TableChange.deleteColumn(Array("part"), false))
+    }
+    assert(Snapshot.currentVersion(dir) == 1,
+      "a refused multi-change statement must not half-apply")
+    assert(spark.table("gtest.multi.t").columns.toSet ==
+      Set("id", "payload", "part"))
+    // the same two changes with a valid second apply both, one
+    // version per step (history shows every evolution)
+    cat.alterTable(ident,
+      TableChange.renameColumn(Array("payload"), "body"),
+      TableChange.addColumn(Array("lang"), org.apache.spark.sql.types.StringType))
+    assert(Snapshot.currentVersion(dir) == 3)
+    assert(spark.table("gtest.multi.t").columns.toSet ==
+      Set("id", "body", "part", "lang"))
   }
 
   test("history metadata table by NAME: graft.ns.t.history ≡ graft_snapshot_history(path)") {
