@@ -54,6 +54,7 @@ object Bench {
     "snapshot_evolution", "snapshot_evolution_compact", "snapshot_sql_tvf",
     "snapshot_history_tvf", "snapshot_changes_tag", "snapshot_dsv2",
     "snapshot_dsv2_agg", "snapshot_dsv2_agg_group", "snapshot_dsv2_agg_where",
+    "snapshot_dsv2_agg_range",
     "snapshot_dsv2_write", "snapshot_dsv2_delete", "snapshot_dsv2_update",
     "snapshot_dsv2_merge", "snapshot_catalog", "snapshot_catalog_asof",
     "snapshot_relayout",

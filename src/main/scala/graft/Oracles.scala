@@ -2843,6 +2843,30 @@ object Oracles {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
         |FROM s2 WHERE source IN ('src3', 'src7')""".stripMargin,
 
+    // RANGE-filtered aggregate pushdown: BETWEEN on the partition
+    // column restricts the same manifest fold to the keys inside the
+    // range (string ordering here — DuckDB's binary collation and the
+    // fold's lexicographic compare agree); the oracle replays the
+    // pinned-v3 state under the identical BETWEEN
+    "snapshot_dsv2_agg_range" ->
+      """WITH s1 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 5 ELSE n_chars END AS n_chars
+        |  FROM (SELECT doc_id,
+        |          CASE WHEN doc_id % 7 = 0 AND doc_id % 3 = 0 THEN 'src_new'
+        |               ELSE source END AS source, n_chars
+        |        FROM documents)
+        |  WHERE doc_id % 13 <> 0),
+        |s2 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 11 = 5 THEN n_chars + 7 ELSE n_chars END AS n_chars
+        |  FROM s1 WHERE doc_id % 23 <> 7)
+        |SELECT count(*) AS n_rows,
+        |  count(doc_id) AS n_doc_id, min(doc_id) AS min_doc_id,
+        |  max(doc_id) AS max_doc_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM s2 WHERE source BETWEEN 'src2' AND 'src5'""".stripMargin,
+
     // TABLE CATALOG lifecycle by NAME (graft_cat.ns.docs): atomic
     // CTAS (v1 = the data) + a keyed range UPDATE through the name;
     // the oracle replays both relationally — hash equality proves the

@@ -2159,6 +2159,26 @@ object Queries {
       "FROM graft_dsv2_docs_agg_w WHERE source IN ('src3', 'src7')")
   }
 
+  /** RANGE-filtered aggregate pushdown: `WHERE <partition> BETWEEN a
+    * AND b` (pushed as `>=`/`<=` conjuncts) restricts the manifest
+    * fold to the partition keys inside the range under the column's
+    * own ordering — lexicographic here (string partition), numeric
+    * via the rendered-value round-trip for integral partitions. Still
+    * ZERO data-file IO; a bound the ordering cannot compare exactly
+    * declines the whole aggregation to the exact scan
+    * (GraftDataSourceSpec). Oracle = the pinned-v3 replay under the
+    * same BETWEEN, aggregated relationally. */
+  def snapshotDsv2AggRange(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotTablePath(s, dir)
+    s.sql("DROP TABLE IF EXISTS graft_dsv2_docs_agg_r")
+    s.sql(s"CREATE TABLE graft_dsv2_docs_agg_r USING graft " +
+      s"OPTIONS (versionAsOf '3') LOCATION '$p'")
+    s.sql("SELECT count(*) AS n_rows, " +
+      "count(doc_id) AS n_doc_id, min(doc_id) AS min_doc_id, " +
+      "max(doc_id) AS max_doc_id, sum(n_chars) AS sum_n_chars " +
+      "FROM graft_dsv2_docs_agg_r WHERE source BETWEEN 'src2' AND 'src5'")
+  }
+
   private val snapshotDsv2WriteMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2686,6 +2706,7 @@ object Queries {
     "snapshot_dsv2_agg" -> snapshotDsv2Agg _,
     "snapshot_dsv2_agg_group" -> snapshotDsv2AggGroup _,
     "snapshot_dsv2_agg_where" -> snapshotDsv2AggWhere _,
+    "snapshot_dsv2_agg_range" -> snapshotDsv2AggRange _,
     "snapshot_dsv2_write" -> snapshotDsv2Write _,
     "snapshot_dsv2_delete" -> snapshotDsv2Delete _,
     "snapshot_dsv2_update" -> snapshotDsv2Update _,

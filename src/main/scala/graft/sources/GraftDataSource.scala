@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, Statistics, Suppo
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StructType}
+import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import java.util.{OptionalLong, Map => JMap, Set => JSet}
@@ -501,23 +501,72 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
     val m = Snapshot.readManifest(path, version)
     if (m.schemaDdl.isEmpty) return None
     val schema = StructType.fromDDL(m.schemaDdl)
-    // A pushed WHERE is foldable ONLY when it is equality/IN on the
-    // PARTITION column: the manifest keys file entries by partition
+    // A pushed WHERE is foldable ONLY when it restricts the PARTITION
+    // column exactly: the manifest keys file entries by partition
     // value and files are partition-pure, so restricting the fold to
-    // the matching entries IS the filter, exactly. `SELECT count(*)
-    // FROM t WHERE source = 'x'` — the everyday partitioned count —
-    // thus answers from metadata; anything else declines the whole
-    // aggregation (per-file stats cannot apply a residual filter).
+    // the matching entries IS the filter. Equality/IN match rendered
+    // values directly; RANGE conjuncts (`>= <= > <`, so BETWEEN too)
+    // resolve to the matching key set under the column's own ordering
+    // — lexicographic for a string partition column, numeric via the
+    // rendered-value round-trip for integral/decimal ones (the same
+    // cast-of-rendering identity the stats fold trusts). A bound or
+    // key the ordering cannot compare exactly (a non-castable bound,
+    // a date/timestamp partition) declines the WHOLE aggregation to
+    // the exact scan — pruning may be conservative, a fold may not.
+    // `SELECT count(*) FROM t WHERE source = 'x'` and
+    // `WHERE day BETWEEN 10 AND 20` both answer from metadata.
+    val partType = schema.fields.find(_.name == m.partitionCol).map(_.dataType)
+    def keysInRange(lo: Option[Any], loInc: Boolean,
+                    hi: Option[Any], hiInc: Boolean): Option[Set[String]] = {
+      val keys = m.partitions.keySet
+      partType match {
+        case Some(StringType) =>
+          val l = lo.map(_.toString)
+          val h = hi.map(_.toString)
+          Some(keys.filter(k =>
+            l.forall(b => if (loInc) k >= b else k > b) &&
+            h.forall(b => if (hiInc) k <= b else k < b)).toSet)
+        case Some(t) if t == ByteType || t == ShortType ||
+            t == IntegerType || t == LongType || t == FloatType ||
+            t == DoubleType || t.isInstanceOf[DecimalType] =>
+          def num(s: String): Option[BigDecimal] =
+            scala.util.Try(BigDecimal(s)).toOption
+          val l = lo.map(x => num(x.toString))
+          val h = hi.map(x => num(x.toString))
+          val ks = keys.toSeq.map(k => k -> num(k))
+          if (l.exists(_.isEmpty) || h.exists(_.isEmpty) ||
+              ks.exists(_._2.isEmpty)) None // not exactly comparable
+          else Some(ks.collect { case (k, Some(n))
+            if l.flatten.forall(b => if (loInc) n >= b else n > b) &&
+               h.flatten.forall(b => if (hiInc) n <= b else n < b) => k
+          }.toSet)
+        case _ => None // ordering of rendering unproven for the type
+      }
+    }
     val partValues: Option[Set[String]] =
       if (pushed.isEmpty) null // no restriction (all partitions)
       else {
         val sets = scala.collection.mutable.ArrayBuffer.empty[Set[String]]
+        def range(lo: Option[Any], loInc: Boolean,
+                  hi: Option[Any], hiInc: Boolean): Boolean =
+          keysInRange(lo, loInc, hi, hiInc) match {
+            case Some(ks) => sets += ks; true
+            case None => false
+          }
         val ok = pushed.forall {
           case EqualTo(c, v) if c == m.partitionCol && v != null =>
             sets += Set(v.toString); true
           case In(c, vs) if c == m.partitionCol && vs.nonEmpty &&
               !vs.contains(null) =>
             sets += vs.map(_.toString).toSet; true
+          case GreaterThan(c, v) if c == m.partitionCol && v != null =>
+            range(Some(v), loInc = false, None, hiInc = false)
+          case GreaterThanOrEqual(c, v) if c == m.partitionCol && v != null =>
+            range(Some(v), loInc = true, None, hiInc = false)
+          case LessThan(c, v) if c == m.partitionCol && v != null =>
+            range(None, loInc = false, Some(v), hiInc = false)
+          case LessThanOrEqual(c, v) if c == m.partitionCol && v != null =>
+            range(None, loInc = false, Some(v), hiInc = true)
           // partition values are non-null by construction
           // (validatePartitionValues rejects null at every commit):
           // IsNotNull — which Spark pushes alongside every equality —
@@ -589,8 +638,8 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
 /** A pushed aggregation: the (fn, col) list in declared order,
   * whether the output is grouped by the partition column (group key
   * first in the scan output, Spark's contract), and the partition
-  * values a pushed equality/IN WHERE restricts the fold to (None =
-  * unfiltered). */
+  * values a pushed equality/IN/range WHERE restricts the fold to
+  * (None = unfiltered). */
 private[graft] case class GraftAggSpec(groupByPartition: Boolean,
                                        aggs: Seq[(String, String)],
                                        partValues: Option[Set[String]] = None)

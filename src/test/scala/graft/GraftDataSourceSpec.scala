@@ -464,6 +464,82 @@ class GraftDataSourceSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_agg_tw")
   }
 
+  test("range-filtered aggregate pushdown: BETWEEN on the partition column restricts the metadata fold; numeric ordering is typed; non-comparable bounds decline") {
+    val t = fresh("aggrange")
+    seed(t)
+    spark.sql("DROP TABLE IF EXISTS graft_agg_tr")
+    spark.sql(s"CREATE TABLE graft_agg_tr USING graft LOCATION '$t'")
+    try {
+      // BETWEEN (pushed as >=/<=) on the string partition column:
+      // p1..p2 = ids 10..29
+      val q = "SELECT count(*) AS n, count(id) AS nid, min(id) AS mn, " +
+        "max(id) AS mx, sum(id) AS sm FROM graft_agg_tr " +
+        "WHERE part BETWEEN 'p1' AND 'p2'"
+      val r = spark.sql(q).collect()(0)
+      assert(r.getLong(0) == 20L && r.getLong(1) == 20L &&
+        r.getLong(2) == 10L && r.getLong(3) == 29L &&
+        r.getLong(4) == (10 to 29).sum.toLong)
+      // strict bounds and one-sided ranges compose with GROUP BY
+      val g = spark.sql("SELECT part, count(*) AS n FROM graft_agg_tr " +
+        "WHERE part >= 'p1' AND part < 'p3' GROUP BY part")
+        .collect().map(row => (row.getString(0), row.getLong(1))).toSet
+      assert(g == Set(("p1", 10L), ("p2", 10L)))
+      // zero-IO proof: delete every data file; the range fold and its
+      // task metrics stay manifest-only
+      val m = Snapshot.readManifest(t, 1)
+      m.files.foreach(f => Files.delete(Paths.get(s"$t/${f.path}")))
+      assert(spark.sql(q).collect()(0) == r)
+      val metrics = graft.dev.PlanAudit.measure(spark) {
+        spark.sql(q).write.format("noop").mode("overwrite").save()
+      }
+      assert(metrics("input_bytes") == 0L,
+        s"expected zero input bytes, got ${metrics("input_bytes")}")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_agg_tr")
+
+    // NUMERIC partition column: the fold must order by VALUE, not by
+    // the rendered string ('10' < '7' lexicographically — a string
+    // compare would wrongly drop day 10 from BETWEEN 5 AND 12)
+    val tn = fresh("aggrangenum")
+    Snapshot.create(spark,
+      tn,
+      Seq((1L, 2), (2L, 2), (3L, 7), (4L, 7), (5L, 10), (6L, 10))
+        .toDF("id", "day"),
+      key = "id", partitionCol = "day", statsCols = Seq("id"))
+    spark.sql("DROP TABLE IF EXISTS graft_agg_trn")
+    spark.sql(s"CREATE TABLE graft_agg_trn USING graft LOCATION '$tn'")
+    try {
+      val qn = "SELECT count(*) AS n, min(id) AS mn, max(id) AS mx " +
+        "FROM graft_agg_trn WHERE day BETWEEN 5 AND 12"
+      val rn = spark.sql(qn).collect()(0)
+      assert(rn.getLong(0) == 4L && rn.getLong(1) == 3L && rn.getLong(2) == 6L,
+        s"numeric range must keep days 7 and 10, got $rn")
+      val mn = Snapshot.readManifest(tn, 1)
+      mn.files.foreach(f => Files.delete(Paths.get(s"$tn/${f.path}")))
+      assert(spark.sql(qn).collect()(0) == rn, "numeric range fold is zero-IO")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_agg_trn")
+
+    // a partition type whose rendered ordering is UNPROVEN (date)
+    // declines the whole aggregation — the exact scan answers and
+    // reads real bytes, never a maybe-wrong fold
+    val td = fresh("aggrangedate")
+    Snapshot.create(spark, td,
+      Seq((1L, "2026-01-05"), (2L, "2026-01-07"), (3L, "2026-01-10"))
+        .toDF("id", "day").withColumn("day", col("day").cast("date")),
+      key = "id", partitionCol = "day", statsCols = Seq("id"))
+    spark.sql("DROP TABLE IF EXISTS graft_agg_trd")
+    spark.sql(s"CREATE TABLE graft_agg_trd USING graft LOCATION '$td'")
+    try {
+      val qd = "SELECT count(*) AS n FROM graft_agg_trd " +
+        "WHERE day BETWEEN DATE '2026-01-06' AND DATE '2026-01-11'"
+      assert(spark.sql(qd).collect()(0).getLong(0) == 2L)
+      val declined = graft.dev.PlanAudit.measure(spark) {
+        spark.sql(qd).write.format("noop").mode("overwrite").save()
+      }
+      assert(declined("input_bytes") > 0L,
+        "a date-typed partition range must decline to the exact scan")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_agg_trd")
+  }
+
   test("grouped aggregate pushdown: GROUP BY the partition column answers per-partition from the manifest") {
     val t = fresh("agggrp")
     seed(t)
