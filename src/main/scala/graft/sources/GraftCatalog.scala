@@ -49,7 +49,7 @@ import scala.jdk.CollectionConverters._
  * non-graft directories outright.
  */
 class GraftCatalog extends TableCatalog with StagingTableCatalog
-  with SupportsNamespaces {
+  with SupportsNamespaces with ProcedureCatalog {
 
   private var catName: String = _
   private var root: String = _
@@ -331,6 +331,30 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     steps.foreach(_._2())
     loadTable(ident)
   }
+
+  // -------------------------------------------------------- procedures
+
+  /** `CALL <cat>.system.compact/vacuum/fsck/relayout/tag/untag/
+    * rollback('ns.t', …)` — the maintenance verbs as native SQL
+    * procedures (see [[GraftProcedures]]); the table argument
+    * resolves through this catalog's root, refusing unknown tables
+    * before any lock claim. */
+  private lazy val procedures = new GraftProcedures(catName, table => {
+    val parts = table.split('.').toSeq
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"graft catalog: bad table argument '$table' (want 'ns.t')")
+    val dir = dirOf(parts)
+    if (!isTable(dir)) throw new NoSuchTableException(
+      Identifier.of(parts.init.toArray, parts.last))
+    dir
+  })
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    procedures.load(ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    procedures.list(namespace)
 
   // -------------------------------------------------------- namespaces
 
