@@ -254,6 +254,20 @@ object HadoopLogStore extends LogStore {
     try in.readAllBytes() finally in.close()
   }
 
+  /** The java.nio path when `fs` is the (raw) local filesystem —
+    * file:// URIs get [[LocalLogStore]]'s POSIX atomics for the two
+    * operations where the Hadoop API's local translation is weaker
+    * than the kernel's: conditional publish (link(2) vs
+    * check-then-create) and reader-atomic replace (rename(2) vs the
+    * AbstractFileSystem default of delete-then-rename, which only
+    * HDFS overrides atomically). */
+  private def localPath(fs: FileSystem, hp: HPath): Option[String] =
+    fs match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        Some(hp.toUri.getPath)
+      case _ => None
+    }
+
   private def writeTmp(fs: FileSystem, dst: HPath,
                        bytes: Array[Byte]): HPath = {
     val tmp = new HPath(dst.getParent,
@@ -266,39 +280,49 @@ object HadoopLogStore extends LogStore {
 
   override def putIfAbsent(path: String, bytes: Array[Byte]): Unit = {
     val (fs, dst) = fsOf(path)
-    // pre-check + no-overwrite rename: exact on HDFS (rename refuses
-    // an existing destination); on stores whose rename overwrites,
-    // the pre-check still catches every non-racing double publish —
-    // multi-writer S3 wires a conditional PUT here instead
-    if (fs.exists(dst)) throw new FileAlreadyExistsException(path)
-    val tmp = writeTmp(fs, dst, bytes)
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
-      throw new FileAlreadyExistsException(path)
+    localPath(fs, dst) match {
+      case Some(lp) => LocalLogStore.putIfAbsent(lp, bytes) // link(2) conditional
+      case None =>
+        // pre-check + no-overwrite rename: exact on HDFS (rename refuses
+        // an existing destination); on stores whose rename overwrites,
+        // the pre-check still catches every non-racing double publish —
+        // multi-writer S3 wires a conditional PUT here instead
+        if (fs.exists(dst)) throw new FileAlreadyExistsException(path)
+        val tmp = writeTmp(fs, dst, bytes)
+        if (!fs.rename(tmp, dst)) {
+          fs.delete(tmp, false)
+          throw new FileAlreadyExistsException(path)
+        }
     }
   }
 
-  /** Reader-atomic replace: `FileContext.rename(…, Rename.OVERWRITE)`
-    * swaps dst in one FS operation, so an unlocked concurrent reader
-    * (`tags()` is lock-free by design) sees the old bytes or the new,
-    * never a missing path — the same guarantee LocalLogStore's
-    * ATOMIC_MOVE+REPLACE_EXISTING gives. Stores whose FileContext
-    * binding is unavailable fall back to delete-then-rename, which
-    * keeps a transient missing-dst window (bounded-retry on the read
-    * side covers it). */
+  /** Reader-atomic replace: an unlocked concurrent reader (`tags()`
+    * is lock-free by design) sees the old bytes or the new, never a
+    * missing path. `file:` URIs take [[LocalLogStore]]'s
+    * ATOMIC_MOVE+REPLACE_EXISTING (Hadoop's OWN local overwrite-rename
+    * is the AbstractFileSystem default delete-then-rename — a real
+    * missing window, measured); HDFS takes
+    * `FileContext.rename(Rename.OVERWRITE)`, which DFS implements as
+    * one atomic namespace operation. Stores supporting neither fall
+    * back to delete-then-rename, whose transient missing-dst window
+    * the read side's bounded retry covers. */
   override def putReplace(path: String, bytes: Array[Byte]): Unit = {
     val (fs, dst) = fsOf(path)
-    val tmp = writeTmp(fs, dst, bytes)
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        dst.toUri, conf)
-      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: UnsupportedOperationException
-         | _: UnsupportedFileSystemException =>
-        if (fs.exists(dst)) fs.delete(dst, false)
-        if (!fs.rename(tmp, dst))
-          throw new IOException(s"putReplace: rename to $path failed")
+    localPath(fs, dst) match {
+      case Some(lp) => LocalLogStore.putReplace(lp, bytes)
+      case None =>
+        val tmp = writeTmp(fs, dst, bytes)
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            dst.toUri, conf)
+          fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch {
+          case _: UnsupportedOperationException
+             | _: UnsupportedFileSystemException =>
+            if (fs.exists(dst)) fs.delete(dst, false)
+            if (!fs.rename(tmp, dst))
+              throw new IOException(s"putReplace: rename to $path failed")
+        }
     }
   }
 

@@ -426,11 +426,20 @@ object Snapshot {
     val lf = lockFile(table)
     def claim(): Boolean = st.createNew(lf)
     val got = claim() || {
-      val stale = try
-        System.currentTimeMillis() - st.modifiedTime(lf) > staleMs
-      catch { case _: java.nio.file.NoSuchFileException => true }
-      if (stale) { try st.delete(lf) catch { case _: Exception => () }; claim() }
-      else false
+      // a missing lock means the holder RELEASED between our claim and
+      // this check — re-claim without deleting (a delete here could
+      // remove a lock a THIRD writer just acquired, admitting two
+      // writers at once); only a genuinely old lock steals
+      val age = try
+        Some(System.currentTimeMillis() - st.modifiedTime(lf))
+      catch { case _: java.nio.file.NoSuchFileException => None }
+      age match {
+        case None => claim()
+        case Some(a) if a > staleMs =>
+          try st.delete(lf) catch { case _: Exception => () }
+          claim()
+        case _ => false
+      }
     }
     if (!got) throw new ConcurrentCommitException(
       s"snapshot $table: a commit is in flight (lock ${lf} held); retry later")
