@@ -140,8 +140,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister
       .map(s => scala.util.Try(s.trim.toLong).getOrElse(-1L)).getOrElse(0L)
     require(parameters.get("maxRowsPerBatch").isEmpty || maxRows > 0L,
       "graft stream: maxRowsPerBatch must be a positive row budget")
+    val onEvolve = parameters.getOrElse("onSchemaChange", "identity")
+    require(Set("identity", "allowAdditive", "nullFill").contains(onEvolve),
+      "graft stream: onSchemaChange must be one of identity (default; " +
+        "physical-identity alignment, fail on unrenderable changes), " +
+        "allowAdditive (post-pin adds stay invisible until restart), " +
+        "nullFill (legacy by-name alignment, no checks)")
     new GraftStreamSource(sqlContext.sparkSession, path, startExclusive,
-      emitLayout, maxVersions, maxRows)
+      emitLayout, maxVersions, maxRows, onEvolve)
   }
 
   // the manifest is the schema authority (CREATE TABLE takes no

@@ -2,10 +2,11 @@ package graft.sources
 
 import graft.operators.Snapshot
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => LegacyOffset, Source}
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, IntegerType,
+  LongType, StringType, StructField, StructType}
 
 /**
  * STREAMING CHANGE-FEED READ of a graft snapshot table — the CDC-out
@@ -52,21 +53,59 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
  *    batches hundreds of versions while one table-wide backfill
  *    commit ships by itself.
  *
- * The schema is pinned at stream start (tip manifest + `_change`,
- * `_version`); change sets from versions before a rename/evolution
- * align by name — absent columns null-fill, exactly how the batch
- * change-feed TVF behaves across evolution. Vacuum retention on the
- * table must exceed consumer lag ([[Snapshot.changeSet]] needs each
- * version's parent manifest; same contract as the `_log/` follower).
+ * SCHEMA EVOLUTION ACROSS THE STREAM — a deliberate, three-way
+ * contract (`onSchemaChange`). The output schema is pinned at stream
+ * start (tip manifest + `_change`, `_version`); what happens when the
+ * batch range crosses an evolution commit depends on the mode:
+ *
+ *  - `identity` (default): change-set frames align to the pinned
+ *    schema by PHYSICAL column identity (the manifest's column map —
+ *    physical names are stable forever), not by logical name. A
+ *    RENAME anywhere — history replayed at bootstrap OR mid-stream —
+ *    is therefore LOSSLESS: the renamed column's values keep flowing
+ *    under the pinned logical name (where Delta name-mode null-fills
+ *    or fails). A column the pinned schema has that a version predates
+ *    null-fills (it didn't exist yet — the additive contract); a
+ *    pre-pin DROPPED column's values are simply gone from the table
+ *    and stay out of the stream; history written under a NARROWER
+ *    type upcasts (the only widenings the format admits are lossless
+ *    int→bigint / float→double). The residue that CANNOT be rendered
+ *    faithfully under a stale pinned schema — a column ADDED after
+ *    the pin (its values would silently vanish), DROPPED after the
+ *    pin (nulls would impersonate deleted data), or WIDENED after the
+ *    pin (casting new wide values down is lossy) — FAILS the batch
+ *    with [[StreamSchemaChangedException]] naming the version and the
+ *    change, BEFORE any row ships. Restarting from the SAME
+ *    checkpoint re-pins the new tip schema and the boundary batch
+ *    replays losslessly under it (adds appear null-filled before
+ *    their birth version, drops disappear, widened history upcasts) —
+ *    fail-once-adopt-on-restart, never a stuck stream.
+ *  - `allowAdditive`: `identity`, except a column added after the pin
+ *    does NOT fail — it stays invisible until a restart adopts it
+ *    (for consumers that prefer availability over schema currency).
+ *  - `nullFill`: the legacy by-name contract — absent columns
+ *    null-fill, extra columns drop, nothing ever fails. Matches the
+ *    batch change-feed TVF; for consumers keyed on stable ids only.
+ *
+ * Vacuum retention on the table must exceed consumer lag
+ * ([[Snapshot.changeSet]] needs each version's parent manifest; same
+ * contract as the `_log/` follower).
  */
 private[graft] class GraftStreamSource(spark: SparkSession, path: String,
                                        startExclusive: Int,
                                        emitLayoutOps: Boolean,
                                        maxVersionsPerBatch: Int = 0,
-                                       maxRowsPerBatch: Long = 0L) extends Source {
+                                       maxRowsPerBatch: Long = 0L,
+                                       onSchemaChange: String = "identity")
+  extends Source {
 
+  private val pinnedVersion: Int = Snapshot.currentVersion(path)
+  private val pinnedManifest = Snapshot.readManifest(path, pinnedVersion)
   private val dataSchema: StructType =
-    GraftDataSource.logicalSchema(path, Snapshot.currentVersion(path))
+    GraftDataSource.logicalSchema(path, pinnedVersion)
+  // pinned logical name -> the physical name its bytes live under
+  private val pinnedPhys: Map[String, String] =
+    dataSchema.fields.map(f => f.name -> pinnedManifest.phys(f.name)).toMap
 
   override val schema: StructType = StructType(dataSchema.fields ++ Seq(
     StructField("_change", StringType, nullable = false),
@@ -133,13 +172,17 @@ private[graft] class GraftStreamSource(spark: SparkSession, path: String,
     val to = versionOf(end)
     consumed = math.max(consumed, to)
     val frames = ((from + 1) to to).flatMap { v =>
-      val op = Snapshot.readManifest(path, v).op
-      if (!emitLayoutOps && layoutOps.contains(op)) None
+      val m = Snapshot.readManifest(path, v)
+      if (!emitLayoutOps && layoutOps.contains(m.op)) None
       else {
+        // the removed side is read under the PARENT version's schema
+        // (an additive-carrying merge changes schema within one
+        // commit), so each side aligns under its own manifest
+        val mP = if (m.parent > 0) Snapshot.readManifest(path, m.parent) else m
         val (removed, added) = Snapshot.changeSet(spark, path, v)
-        Some(aligned(added).withColumn("_change", lit("added"))
+        Some(aligned(added, m).withColumn("_change", lit("added"))
           .withColumn("_version", lit(v))
-          .unionByName(aligned(removed).withColumn("_change", lit("removed"))
+          .unionByName(aligned(removed, mP).withColumn("_change", lit("removed"))
             .withColumn("_version", lit(v))))
       }
     }
@@ -150,14 +193,72 @@ private[graft] class GraftStreamSource(spark: SparkSession, path: String,
     org.apache.spark.sql.graft.SqlBridge.asStreamingFrame(spark, batch)
   }
 
-  /** Align a change-set frame (read under ITS version's schema) to
-    * the stream's pinned schema: absent columns null-fill, renamed/
-    * added-later columns drop — by-name, the evolution contract. */
-  private def aligned(df: DataFrame): DataFrame =
-    df.select(dataSchema.fields.map { f =>
-      if (df.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }.toSeq: _*)
+  /** Align a change-set frame (read under manifest `m`'s logical
+    * schema) to the stream's pinned schema. Mode `nullFill` (and any
+    * pre-schema manifest, which cannot evolve) aligns by NAME: absent
+    * columns null-fill, extras drop. Otherwise alignment is by
+    * PHYSICAL identity through the column map — see the class doc for
+    * the full contract. Selection exprs are memoized per manifest
+    * version (manifests are immutable); a version whose schema cannot
+    * be rendered faithfully throws BEFORE any row ships. */
+  private def aligned(df: DataFrame, m: Snapshot.Manifest): DataFrame =
+    if (onSchemaChange == "nullFill" || m.schemaDdl.isEmpty ||
+        pinnedManifest.schemaDdl.isEmpty)
+      df.select(dataSchema.fields.map { f =>
+        // cast is a no-op at the pinned type; it pins the frame's type
+        // when history was written under a narrower (pre-widen) one
+        if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    else df.select(alignCols.computeIfAbsent(m.version, _ => planAlign(m)): _*)
+
+  // per-version alignment plans (or the refusal, thrown at plan time)
+  private val alignCols =
+    new java.util.concurrent.ConcurrentHashMap[Int, Seq[Column]]()
+
+  /** Lossless int→bigint / float→double — the only widenings the
+    * format admits, so the only casts history replay ever needs. */
+  private def upcastable(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (IntegerType, LongType) | (FloatType, DoubleType) => true
+      case _ => false
+    }
+
+  private def planAlign(m: Snapshot.Manifest): Seq[Column] = {
+    def fail(what: String): Nothing = throw new StreamSchemaChangedException(
+      s"graft stream at $path: $what crossed the stream at version " +
+        s"${m.version} (op '${m.op}'; the stream's schema was pinned at " +
+        s"version $pinnedVersion). Restart the query from the SAME " +
+        "checkpoint to adopt the current table schema — the boundary " +
+        "batch replays losslessly under it. To keep this stream running " +
+        "across additive changes instead, set onSchemaChange=allowAdditive " +
+        "(new columns stay invisible until a restart); " +
+        "onSchemaChange=nullFill restores by-name alignment with no checks.")
+    val vFields = StructType.fromDDL(m.schemaDdl).fields
+    // physical name -> (logical name at m, type at m)
+    val byPhys: Map[String, (String, DataType)] =
+      vFields.map(f => m.phys(f.name) -> (f.name, f.dataType)).toMap
+    if (m.version > pinnedVersion && onSchemaChange != "allowAdditive") {
+      val born = vFields.map(f => (f.name, m.phys(f.name)))
+        .filterNot(x => pinnedPhys.values.exists(_ == x._2)).map(_._1)
+      if (born.nonEmpty)
+        fail(s"column(s) ${born.mkString("'", "', '", "'")} added")
+    }
+    dataSchema.fields.toSeq.map { f =>
+      byPhys.get(pinnedPhys(f.name)) match {
+        case Some((atV, t)) if t == f.dataType => col(atV).as(f.name)
+        case Some((atV, t)) if upcastable(t, f.dataType) =>
+          col(atV).cast(f.dataType).as(f.name)
+        case Some((_, t)) =>
+          fail(s"column '${f.name}' type change " +
+            s"${f.dataType.simpleString} -> ${t.simpleString}")
+        case None if m.retiredCols.contains(pinnedPhys(f.name)) =>
+          fail(s"column '${f.name}' dropped")
+        case None => // the column did not exist yet at m's version
+          lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+  }
 
   override def commit(end: LegacyOffset): Unit = () // retention is vacuum's job
 
@@ -168,3 +269,9 @@ private[graft] class GraftStreamSource(spark: SparkSession, path: String,
 private[graft] case class GraftVersionOffset(version: Int) extends LegacyOffset {
   override def json: String = version.toString
 }
+
+/** A schema evolution the change-feed stream cannot render faithfully
+  * under its pinned schema crossed the batch range — thrown before any
+  * row ships; the message carries the restart remedy. */
+final class StreamSchemaChangedException(msg: String)
+  extends RuntimeException(msg)

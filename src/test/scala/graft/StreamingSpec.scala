@@ -753,4 +753,169 @@ class StreamingSpec extends SparkSpecBase {
     runFollow()
     assert(viewRows == expect, "re-delivered versions must be no-ops")
   }
+
+  test("change-feed schema evolution: identity alignment carries renames losslessly; add/drop/widen fail once with a restart remedy; allowAdditive and nullFill opt-outs") {
+    import graft.operators.Snapshot
+    import org.apache.spark.sql.streaming.StreamingQuery
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdcevo").toString
+    val (table, ck) = (s"$dir/tbl", s"$dir/ck")
+
+    Snapshot.create(spark, table,                                       // v1
+      spark.range(0, 8).select(col("id"), (col("id") % 3).cast("int").as("score"),
+        (col("id") % 2).cast("string").as("part"),
+        concat(lit("n"), col("id")).as("note")), "id", "part")
+    Snapshot.merge(spark, table,                                        // v2
+      upserts = spark.range(8, 12).select(col("id"), lit(7).cast("int").as("score"),
+        (col("id") % 2).cast("string").as("part"),
+        concat(lit("n"), col("id")).as("note")),
+      deleteKeys = spark.range(0, 0).select(col("id")))
+
+    // (version -> rows as (id, colName -> value)) accumulated per run
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Map[String, Any])]
+    def start(ckPath: String, opts: Map[String, String] = Map.empty): StreamingQuery = {
+      var r = spark.readStream.format("graft")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(table).writeStream.option("checkpointLocation", ckPath)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val cols = b.columns
+          b.collect().foreach { row =>
+            seen.synchronized { seen += ((row.getInt(row.fieldIndex("_version")),
+              row.getLong(row.fieldIndex("id")),
+              cols.filterNot(Set("id", "_change", "_version"))
+                .map(c => c -> row.get(row.fieldIndex(c))).toMap)) }
+          }
+          ()
+        }.start()
+    }
+    def rootMsg(q: StreamingQuery): String = q.exception.map { e =>
+      var c: Throwable = e; while (c.getCause != null) c = c.getCause
+      s"${c.getClass.getSimpleName}: ${c.getMessage}"
+    }.getOrElse("")
+    def mustFail(q: StreamingQuery, needle: String): Unit = {
+      intercept[Exception] { q.processAllAvailable() }
+      val msg = rootMsg(q)
+      assert(msg.contains("StreamSchemaChangedException") &&
+        msg.contains(needle) && msg.contains("Restart"),
+        s"expected a $needle schema failure with the restart remedy, got: $msg")
+      q.stop()
+    }
+
+    // ---- RENAME mid-stream is SEAMLESS (physical identity) ----
+    val qA = start(ck)                       // pins the v2 schema (note)
+    qA.processAllAvailable()
+    Snapshot.renameColumn(spark, table, "note", "memo")                 // v3
+    Snapshot.merge(spark, table,                                        // v4
+      upserts = spark.range(12, 15).select(col("id"), lit(1).cast("int").as("score"),
+        (col("id") % 2).cast("string").as("part"),
+        concat(lit("m"), col("id")).as("memo")),
+      deleteKeys = spark.range(0, 0).select(col("id")))
+    qA.processAllAvailable()
+    assert(qA.exception.isEmpty, s"rename must not fail the stream: ${qA.exception}")
+    val v4 = seen.synchronized(seen.filter(r => r._1 == 4 && r._2 == 13))
+    assert(v4.nonEmpty && v4.forall(_._3("note") == "m13"),
+      s"post-rename values must flow under the pinned name, got $v4")
+
+    // ---- ADD mid-stream fails once; restart adopts losslessly ----
+    Snapshot.addColumn(spark, table, "flag", "int")                     // v5
+    Snapshot.merge(spark, table,                                        // v6
+      upserts = spark.range(15, 17).select(col("id"), lit(2).cast("int").as("score"),
+        (col("id") % 2).cast("string").as("part"),
+        concat(lit("m"), col("id")).as("memo"), lit(99).cast("int").as("flag")),
+      deleteKeys = spark.range(0, 0).select(col("id")))
+    mustFail(qA, "added")
+    val qB = start(ck)                       // same checkpoint, re-pins v6
+    qB.processAllAvailable()
+    assert(qB.exception.isEmpty, s"restart must adopt the add: ${qB.exception}")
+    val v6 = seen.synchronized(seen.filter(r => r._1 == 6 && r._2 == 16))
+    assert(v6.nonEmpty && v6.forall(r => r._3("flag") == 99 && r._3("memo") == "m16"),
+      s"replayed boundary batch must carry the added column, got $v6")
+
+    // ---- DROP mid-stream fails once; restart proceeds without it ----
+    Snapshot.dropColumn(spark, table, "flag")                           // v7
+    Snapshot.merge(spark, table,                                        // v8
+      upserts = spark.range(17, 19).select(col("id"), lit(3).cast("int").as("score"),
+        (col("id") % 2).cast("string").as("part"),
+        concat(lit("m"), col("id")).as("memo")),
+      deleteKeys = spark.range(0, 0).select(col("id")))
+    mustFail(qB, "dropped")
+    val qC = start(ck)
+    qC.processAllAvailable()
+    assert(qC.exception.isEmpty, s"restart must adopt the drop: ${qC.exception}")
+    val v8 = seen.synchronized(seen.filter(r => r._1 == 8 && r._2 == 18))
+    assert(v8.nonEmpty && v8.forall(r => !r._3.contains("flag")),
+      s"post-drop schema must not carry the column, got $v8")
+
+    // ---- WIDEN mid-stream fails once (narrowing is lossy) ----
+    Snapshot.widenColumn(spark, table, "score", "bigint")               // v9
+    Snapshot.merge(spark, table,                                        // v10
+      upserts = Seq((19L, 8000000000L, "1", "m19")).toDF("id", "score", "part", "memo"),
+      deleteKeys = spark.range(0, 0).select(col("id")))
+    mustFail(qC, "type change")
+    val qD = start(ck)
+    qD.processAllAvailable()
+    assert(qD.exception.isEmpty, s"restart must adopt the widening: ${qD.exception}")
+    val v10 = seen.synchronized(seen.filter(r => r._1 == 10 && r._2 == 19))
+    assert(v10.nonEmpty && v10.forall(_._3("score") == 8000000000L),
+      s"post-widen values must arrive at the wide type, got $v10")
+    qD.stop()
+
+    // ---- fresh-checkpoint BOOTSTRAP replays ALL history losslessly:
+    // pre-rename rows carry values (identity, not null-fill), pre-widen
+    // ints upcast, the dropped column stays out, pre-add rows null ----
+    seen.synchronized(seen.clear())
+    val qE = start(s"$dir/ck_boot")
+    qE.processAllAvailable()
+    assert(qE.exception.isEmpty, s"bootstrap died: ${qE.exception}")
+    val v1 = seen.synchronized(seen.filter(r => r._1 == 1 && r._2 == 5))
+    assert(v1.nonEmpty && v1.forall(r => r._3("memo") == "n5" &&
+        r._3("score") == 2L && !r._3.contains("flag")),
+      s"bootstrap must render history under the current schema losslessly, got $v1")
+    qE.stop()
+
+    // ---- allowAdditive: post-pin adds stay invisible, never fail ----
+    seen.synchronized(seen.clear())
+    val qF = start(s"$dir/ck_add", Map("onSchemaChange" -> "allowAdditive",
+      "startingVersion" -> "10"))   // pins the v10 schema, pre-add
+    qF.processAllAvailable()
+    Snapshot.addColumn(spark, table, "extra", "string")                 // v11
+    Snapshot.merge(spark, table,                                        // v12
+      upserts = Seq((20L, 1L, "0", "m20", "x")).toDF("id", "score", "part", "memo", "extra"),
+      deleteKeys = spark.range(0, 0).select(col("id")))
+    qF.processAllAvailable()
+    assert(qF.exception.isEmpty, s"allowAdditive must not fail: ${qF.exception}")
+    val v12 = seen.synchronized(seen.filter(r => r._1 == 12 && r._2 == 20))
+    assert(v12.nonEmpty && v12.forall(r => !r._3.contains("extra")),
+      s"allowAdditive keeps post-pin adds invisible until restart, got $v12")
+    qF.stop()
+
+    // ---- nullFill: the legacy by-name contract — renamed history
+    // null-fills, nothing fails ----
+    seen.synchronized(seen.clear())
+    val qG = start(s"$dir/ck_nf", Map("onSchemaChange" -> "nullFill"))
+    qG.processAllAvailable()
+    assert(qG.exception.isEmpty, s"nullFill must never fail: ${qG.exception}")
+    val nf1 = seen.synchronized(seen.filter(r => r._1 == 1 && r._2 == 5))
+    assert(nf1.nonEmpty && nf1.forall(_._3("memo") == null),
+      s"nullFill aligns by name: pre-rename rows null-fill, got $nf1")
+    qG.stop()
+
+    // malformed mode refused with the option inventory
+    val bad = intercept[Exception] {
+      val q = spark.readStream.format("graft")
+        .option("onSchemaChange", "bogus").load(table)
+        .writeStream.option("checkpointLocation", s"$dir/ck_bad")
+        .foreachBatch((_: org.apache.spark.sql.DataFrame, _: Long) => ()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(bad.toString.contains("onSchemaChange") ||
+      Option(bad.getMessage).exists(_.contains("onSchemaChange")) ||
+      rootCause(bad).contains("onSchemaChange"),
+      s"malformed onSchemaChange must name the option, got $bad")
+  }
+
+  private def rootCause(e: Throwable): String = {
+    var c: Throwable = e; while (c.getCause != null) c = c.getCause
+    String.valueOf(c.getMessage)
+  }
 }
