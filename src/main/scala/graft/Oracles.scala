@@ -2899,6 +2899,32 @@ object Oracles {
         |  lang, source, n_chars
         |FROM documents WHERE doc_id % 17 = 3""".stripMargin,
 
+    // DSv2 MERGE, full action surface: conditioned matched DELETE
+    // ahead of a PARTIAL target-referencing UPDATE (first-match-wins
+    // cascade), conditioned partial-column INSERT (null-padded), and a
+    // conditioned NOT MATCHED BY SOURCE DELETE — replayed branch by
+    // branch: matched rows (doc_id%7=2) delete when 2*n_chars > 900
+    // else update n_chars += 2*n_chars and tag the text (lang/source
+    // carried from the target row); unmatched target rows in
+    // [100,140] delete; new keys insert when n_chars <= 300 with
+    // NULL text/lang
+    "snapshot_dsv2_merge_cond" ->
+      """WITH m AS (SELECT doc_id, 2 * n_chars AS nc FROM documents
+        |           WHERE doc_id % 7 = 2)
+        |SELECT d.doc_id,
+        |  CASE WHEN m.doc_id IS NOT NULL THEN d.text || ' [c]'
+        |       ELSE d.text END AS text,
+        |  d.lang, d.source,
+        |  CASE WHEN m.doc_id IS NOT NULL THEN d.n_chars + m.nc
+        |       ELSE d.n_chars END AS n_chars
+        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+        |WHERE NOT (m.doc_id IS NOT NULL AND m.nc > 900)
+        |  AND NOT (m.doc_id IS NULL AND d.doc_id BETWEEN 100 AND 140)
+        |UNION ALL
+        |SELECT doc_id + 2000000 AS doc_id, CAST(NULL AS VARCHAR) AS text,
+        |  CAST(NULL AS VARCHAR) AS lang, source, n_chars
+        |FROM documents WHERE doc_id % 13 = 5 AND n_chars <= 300""".stripMargin,
+
     "snapshot_dsv2" ->
       """WITH s1 AS (
         |  SELECT doc_id,

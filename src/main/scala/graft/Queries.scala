@@ -2342,6 +2342,50 @@ object Queries {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  private val snapshotDsv2MergeCondMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SQL `MERGE INTO` with the FULL action surface: conditioned
+    * actions cascading in SQL first-match-wins order (a matched
+    * DELETE guard ahead of the catch-all UPDATE), a PARTIAL
+    * target-referencing update (`n_chars = t.n_chars + s.nc`,
+    * unassigned columns completed from the target row join-side — the
+    * format's merge primitive replaces whole rows, so partial updates
+    * are completed, never approximated), a conditioned partial-column
+    * INSERT (unlisted columns null-pad), and a conditioned `NOT
+    * MATCHED BY SOURCE` DELETE over the target-minus-source anti-join
+    * — all landing as ONE transactional commit. The oracle replays
+    * every branch relationally, so hash equality proves the cascade,
+    * the join-side completion, and the by-source routing. */
+  def snapshotDsv2MergeCond(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotDsv2MergeCondMemo.computeIfAbsent(dir, _ => {
+      val path = scratch("snapshot_dsv2mc", dir)
+      val docs = t(s, dir, "documents")
+      Snapshot.create(s, path, docs, key = "doc_id", partitionCol = "source")
+      s.sql("DROP TABLE IF EXISTS graft_dsv2_docs_mc")
+      s.sql(s"CREATE TABLE graft_dsv2_docs_mc USING graft LOCATION '$path'")
+      docs.filter(col("doc_id") % 7 === 2)
+        .select(col("doc_id"), (col("n_chars") * 2).as("nc"),
+          col("source").as("src2"))
+        .unionByName(docs.filter(col("doc_id") % 13 === 5)
+          .select((col("doc_id") + 2000000L).as("doc_id"),
+            col("n_chars").as("nc"), col("source").as("src2")))
+        .createOrReplaceTempView("graft_dsv2_mc_src")
+      s.sql("""MERGE INTO graft_dsv2_docs_mc t USING graft_dsv2_mc_src s
+        ON t.doc_id = s.doc_id
+        WHEN MATCHED AND s.nc > 900 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + s.nc,
+          text = concat(t.text, ' [c]')
+        WHEN NOT MATCHED AND s.nc <= 300 THEN
+          INSERT (doc_id, source, n_chars) VALUES (s.doc_id, s.src2, s.nc)
+        WHEN NOT MATCHED BY SOURCE AND t.doc_id BETWEEN 100 AND 140 THEN
+          DELETE""")
+      path
+    })
+    Snapshot.readLatest(s, p)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** TIME TRAVEL over the versioned snapshot table: after three
     * commits (create, merge, merge), read the table AS OF v2 — the
     * later commit must be invisible and v2's bytes still live. The
@@ -2711,6 +2755,7 @@ object Queries {
     "snapshot_dsv2_delete" -> snapshotDsv2Delete _,
     "snapshot_dsv2_update" -> snapshotDsv2Update _,
     "snapshot_dsv2_merge" -> snapshotDsv2Merge _,
+    "snapshot_dsv2_merge_cond" -> snapshotDsv2MergeCond _,
     "snapshot_catalog" -> snapshotCatalog _,
     "snapshot_catalog_asof" -> snapshotCatalogAsof _,
     "snapshot_relayout" -> snapshotRelayout _,

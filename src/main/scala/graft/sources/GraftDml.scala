@@ -174,36 +174,28 @@ object GraftDml {
 
   // ------------------------------------------------------------- MERGE
 
-  /** The per-target-column source expressions of a resolved star
-    * action: every assignment must be `target.col := <source expr>`
-    * with all value attributes from the SOURCE side. */
-  private def starAssignments(as: Seq[Assignment], target: LogicalPlan,
-                              source: LogicalPlan): Seq[(String, String)] = {
-    val tgtIds = target.outputSet
-    as.map { a =>
-      val name = a.key match {
-        case ar: AttributeReference => ar.name
-        case other => refuse(s"graft: MERGE assignment to a nested field " +
-          s"(${other.sql}) is not supported")
-      }
-      if (a.value.references.exists(tgtIds.contains)) refuse(
-        s"graft: MERGE assignment for '$name' references the TARGET — " +
-          "only source-side UPDATE SET * / INSERT * forms are supported")
-      if (!a.value.deterministic ||
-          a.value.exists(_.isInstanceOf[SubqueryExpression])) refuse(
-        s"graft: non-deterministic/subquery MERGE assignment for '$name'")
-      name -> unqualifiedSql(a.value)
-    }
+  /** Prefix under which TARGET columns appear in the combined matched
+    * frame (the source keeps its own names) — see
+    * [[GraftMergeCommand]]. */
+  private[sources] val TgtPrefix = "__graft_t_"
+
+  private def checkValueExpr(e: Expression, what: String): Unit = {
+    if (!e.deterministic) refuse(
+      s"graft: non-deterministic MERGE $what (${e.sql})")
+    if (e.exists(_.isInstanceOf[SubqueryExpression])) refuse(
+      s"graft: subquery in MERGE $what — materialize it and use the " +
+        "Scala API")
   }
 
   private[graft] def rewriteMerge(m: MergeIntoTable, g: GraftTable): LogicalPlan = {
     if (g.pinned) refuse(
       "graft: cannot MERGE into a versionAsOf/tag-pinned reference")
-    if (m.notMatchedBySourceActions.nonEmpty) refuse(
-      "graft: WHEN NOT MATCHED BY SOURCE is not supported — the Scala " +
-        "API composes source-absence deletes explicitly")
     val tgtIds = m.targetTable.outputSet
     val srcIds = m.sourceTable.outputSet
+    if ((m.targetTable.output ++ m.sourceTable.output)
+        .exists(_.name.startsWith("__graft_"))) refuse(
+      "graft: column names starting with __graft_ collide with MERGE " +
+        "internals — rename them")
     // ON condition: equality over the table key (either side order)
     val key = Snapshot.readManifest(g.path,
       Snapshot.currentVersion(g.path)).key
@@ -221,36 +213,124 @@ object GraftDml {
       case other => refuse("graft: MERGE ON supports only `target.key = " +
         s"source.col` equality (got: ${other.sql})")
     }
-    def only[A](as: Seq[MergeAction], what: String)(
-        pf: PartialFunction[MergeAction, A]): Option[A] = as match {
-      case Nil => None
-      case Seq(one) =>
-        if (one.condition.isDefined) refuse(
-          s"graft: conditioned $what MERGE actions are not supported")
-        Some(pf.applyOrElse(one, (x: MergeAction) => refuse(
-          s"graft: unsupported $what MERGE action ${x.getClass.getSimpleName}" +
-            " — only UPDATE SET * / INSERT * / DELETE")))
-      case _ => refuse(s"graft: at most one $what MERGE action is supported")
+    // BETWEEN survives analysis as a RuntimeReplaceable whose
+    // transform() does not visit the original operands (they hide
+    // behind the CSE'd replacement), so qualifier-stripping would miss
+    // them and the rendered SQL could not re-resolve — desugar it to
+    // the primitive >= AND <= form first (as the UPDATE path does)
+    def desugar(e: Expression): Expression = e.transformUp {
+      case Between(in, lo, hi, _) => CAnd(CGte(in, lo), CLte(in, hi))
     }
-    val matched: Option[Either[Seq[(String, String)], Unit]] =
-      only(m.matchedActions, "MATCHED") {
-        case UpdateAction(_, as, _) =>
-          Left(starAssignments(as, m.targetTable, m.sourceTable))
-        case _: DeleteAction => Right(())
+    // Render an expression over the COMBINED matched namespace: source
+    // attrs keep their names, target attrs move under TgtPrefix.
+    // Returns the SQL and whether the target side was touched (the
+    // command picks the cheap semi-join path when nothing was).
+    def renderMixed(e0: Expression, what: String): (String, Boolean) = {
+      val e = desugar(e0)
+      checkValueExpr(e, what)
+      var usesT = false
+      val x = e.transform {
+        case ar: AttributeReference if tgtIds.contains(ar) =>
+          usesT = true
+          ar.withName(TgtPrefix + ar.name).withQualifier(Seq.empty)
+        case ar: AttributeReference => ar.withQualifier(Seq.empty)
       }
-    val inserted: Option[Seq[(String, String)]] =
-      only(m.notMatchedActions, "NOT MATCHED") {
-        case InsertAction(_, as) =>
-          starAssignments(as, m.targetTable, m.sourceTable)
-      }
-    if (matched.isEmpty && inserted.isEmpty)
+      (x.sql, usesT)
+    }
+    // Render over ONE side only; attrs from the other side refuse.
+    def renderSide(e0: Expression, allowed: org.apache.spark.sql.catalyst
+                     .expressions.AttributeSet, what: String): String = {
+      val e = desugar(e0)
+      checkValueExpr(e, what)
+      e.references.find(r => !allowed.contains(r)).foreach(r => refuse(
+        s"graft: MERGE $what may not reference '${r.name}' from the " +
+          "other side of the join"))
+      unqualifiedSql(e)
+    }
+    def assignName(a: Assignment): String = a.key match {
+      case ar: AttributeReference => ar.name
+      case other => refuse(s"graft: MERGE assignment to a nested field " +
+        s"(${other.sql}) is not supported")
+    }
+    // target schema, for null-padding partial INSERT column lists
+    val tgtFields = m.targetTable.output.map(a => a.name -> a.dataType)
+
+    val matched: Seq[MergeActSpec] = m.matchedActions.map {
+      case UpdateAction(cond, as, _) =>
+        val c = cond.map(renderMixed(_, "MATCHED condition"))
+        val assigns = as.flatMap { a =>
+          val name = assignName(a)
+          a.value match {
+            // identity padding (col = target.col) — drop it; the
+            // command fills unassigned columns from the target row
+            case ar: AttributeReference
+              if tgtIds.contains(ar) && ar.name == name => None
+            case v => Some((name, renderMixed(v, s"assignment for '$name'")))
+          }
+        }
+        MergeActSpec("update", c.map(_._1),
+          assigns.map { case (n, (sql, _)) => n -> sql },
+          usesTarget = c.exists(_._2) || assigns.exists(_._2._2) ||
+            !tgtFields.forall { case (n, _) => assigns.exists(_._1 == n) })
+      case DeleteAction(cond) =>
+        val c = cond.map(renderMixed(_, "MATCHED condition"))
+        MergeActSpec("delete", c.map(_._1), Nil, usesTarget = c.exists(_._2))
+      case other => refuse("graft: unsupported MATCHED MERGE action " +
+        other.getClass.getSimpleName)
+    }
+    val inserted: Seq[MergeActSpec] = m.notMatchedActions.map {
+      case InsertAction(cond, as) =>
+        // not-matched rows HAVE no target side — source-only by nature
+        val c = cond.map(renderSide(_, srcIds, "NOT MATCHED condition"))
+        val assigns = as.map { a =>
+          val name = assignName(a)
+          name -> renderSide(a.value, srcIds, s"INSERT value for '$name'")
+        }
+        // partial column lists pad with typed NULLs (SQL semantics)
+        val padded = assigns ++ tgtFields.collect {
+          case (n, t) if !assigns.exists(_._1 == n) =>
+            n -> s"CAST(NULL AS ${t.sql})"
+        }
+        MergeActSpec("insert", c, padded, usesTarget = false)
+      case other => refuse("graft: unsupported NOT MATCHED MERGE action " +
+        other.getClass.getSimpleName)
+    }
+    val bySource: Seq[MergeActSpec] = m.notMatchedBySourceActions.map {
+      case UpdateAction(cond, as, _) =>
+        // by-source rows HAVE no source side — target-only by nature
+        val c = cond.map(renderSide(_, tgtIds, "NOT MATCHED BY SOURCE condition"))
+        val assigns = as.flatMap { a =>
+          val name = assignName(a)
+          a.value match {
+            case ar: AttributeReference
+              if tgtIds.contains(ar) && ar.name == name => None // identity
+            case v => Some(name ->
+              renderSide(v, tgtIds, s"BY SOURCE value for '$name'"))
+          }
+        }
+        MergeActSpec("update", c, assigns, usesTarget = true)
+      case DeleteAction(cond) =>
+        MergeActSpec("delete",
+          cond.map(renderSide(_, tgtIds, "NOT MATCHED BY SOURCE condition")),
+          Nil, usesTarget = true)
+      case other => refuse("graft: unsupported NOT MATCHED BY SOURCE " +
+        "MERGE action " + other.getClass.getSimpleName)
+    }
+    if (matched.isEmpty && inserted.isEmpty && bySource.isEmpty)
       refuse("graft: MERGE with no supported actions")
     GraftMergeCommand(g.path, key, keyCond, m.sourceTable,
-      updateCols = matched.collect { case Left(as) => as },
-      delete = matched.contains(Right(())),
-      insertCols = inserted)
+      matched, inserted, bySource)
   }
 }
+
+/** One rewritten MERGE action. `cond`/`assigns` are SQL text over the
+  * executing frame's namespace: for MATCHED actions the combined
+  * source ∪ `__graft_t_`-prefixed target row, for NOT MATCHED the bare
+  * source row, for NOT MATCHED BY SOURCE the bare target row.
+  * `usesTarget` marks a MATCHED action as needing the combined frame
+  * (a target-referencing expression or a partial assignment list). */
+case class MergeActSpec(kind: String, cond: Option[String],
+                        assigns: Seq[(String, String)], usesTarget: Boolean)
 
 /** `UPDATE` executed as the pruned copy-on-write commit
   * ([[Snapshot.updateWhere]]): manifest stats name the candidate
@@ -271,48 +351,125 @@ case class GraftUpdateCommand(path: String,
 /** `MERGE INTO` executed as ONE transactional [[Snapshot.merge]]
   * commit. The source plan is already analyzed; matched/not-matched
   * membership is decided against the table's CURRENT keys inside the
-  * commit — by the ON key, via semi/anti joins (never a driver-side
-  * collect) — then upserts and deletes land in a single atomic
-  * version. A full upsert whose UPDATE and INSERT assignments differ
-  * shapes each membership side with ITS OWN expressions (matched rows
-  * get the UPDATE values, new rows the INSERT values); only when the
-  * two assignment lists are identical does it collapse to one pass. */
+  * commit — by the ON key, via semi/anti/inner joins (never a
+  * driver-side collect) — then upserts and deletes land in a single
+  * atomic version.
+  *
+  * Action semantics are SQL's: within each membership class, actions
+  * evaluate IN ORDER and the first whose condition holds applies
+  * (a NULL condition is not-holds); rows no action claims stay
+  * untouched. MATCHED actions that never look at the target row and
+  * assign every column ride the cheap LEFT SEMI membership probe (the
+  * canonical `UPDATE SET *` stays one key-only join); an action with a
+  * target-referencing condition/value or a PARTIAL assignment list
+  * upgrades the matched side to an inner join against the full target
+  * row (target columns under [[GraftDml.TgtPrefix]]) so unassigned
+  * columns carry the target's current values — the format's merge
+  * primitive replaces whole rows, so partial updates are completed
+  * join-side, never approximated. NOT MATCHED BY SOURCE actions run
+  * the same cascade over the target-minus-source anti-join. A full
+  * upsert whose single UPDATE and INSERT assignment lists are
+  * identical and unconditioned collapses to one shaping pass over the
+  * raw source (no membership join at all). */
 case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
                              @transient sourcePlan: LogicalPlan,
-                             updateCols: Option[Seq[(String, String)]],
-                             delete: Boolean,
-                             insertCols: Option[Seq[(String, String)]])
+                             matched: Seq[MergeActSpec],
+                             inserted: Seq[MergeActSpec],
+                             bySource: Seq[MergeActSpec])
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(sourcePlan)
 
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
     val src = org.apache.spark.sql.graft.SqlBridge.ofRows(spark, sourcePlan)
-    def shapedOf(df: DataFrame, cols: Seq[(String, String)]) =
-      df.select(cols.map { case (c, sql) => expr(sql).as(c) }: _*)
     val target = Snapshot.readLatest(spark, path)
+    val tCols = target.columns.toSeq
     val targetKeys = target.select(col(key))
     val srcKeys = src.select(expr(sourceKeyCol).as(key))
-    // matched/unmatched is the ON condition's verdict: join the RAW
-    // source on its ON-key column (renamed on the build side so a
-    // same-named source column never ambiguates), not on whatever the
-    // assignments later write into the key
-    val tk = targetKeys.withColumnRenamed(key, "__graft_tk")
-    def srcSide(joinType: String) =
-      src.join(tk, expr(sourceKeyCol) === col("__graft_tk"), joinType)
-    val upserts = (updateCols, insertCols) match {
-      case (Some(u), Some(i)) =>
-        if (u == i) shapedOf(src, u) // identical assignments: one pass
-        else shapedOf(srcSide("left_semi"), u)
-          .unionByName(shapedOf(srcSide("left_anti"), i))
-      case (Some(u), None) => // update only: matched source rows
-        shapedOf(srcSide("left_semi"), u)
-      case (None, Some(i)) => // insert only: unmatched source rows
-        shapedOf(srcSide("left_anti"), i)
-      case (None, None) => target.limit(0) // delete-only: full-schema empty
+
+    // first-matching-action-wins: rows for action i satisfy its own
+    // condition and NONE of the earlier actions' (SQL order semantics)
+    def cascade(rows: DataFrame, acts: Seq[MergeActSpec])
+        : Seq[(MergeActSpec, DataFrame)] = {
+      var prior: org.apache.spark.sql.Column = lit(false)
+      acts.map { a =>
+        val c = a.cond.map(s => coalesce(expr(s), lit(false))).getOrElse(lit(true))
+        val claimed = rows.filter(c && !prior)
+        prior = prior || c
+        (a, claimed)
+      }
+    }
+    // shape claimed rows to the full table schema; unassigned columns
+    // fill via `from` (target values for partial updates)
+    def shaped(df: DataFrame, assigns: Map[String, String],
+               from: String => org.apache.spark.sql.Column) =
+      df.select(tCols.map(c =>
+        assigns.get(c).map(expr(_).as(c)).getOrElse(from(c).as(c))): _*)
+
+    val emptyUpserts = target.limit(0).select(tCols.map(col): _*)
+    val emptyKeys = targetKeys.limit(0)
+
+    // ---- MATCHED ----
+    val fastPath = matched.forall(!_.usesTarget)
+    val matchedRows: DataFrame =
+      if (matched.isEmpty) emptyUpserts
+      else if (fastPath)
+        // membership probe only: key column renamed on the build side
+        // so a same-named source column never ambiguates
+        src.join(targetKeys.withColumnRenamed(key, "__graft_tk"),
+          expr(sourceKeyCol) === col("__graft_tk"), "left_semi")
+      else
+        // combined row: source names + TgtPrefix-renamed target row
+        src.join(
+          target.select(tCols.map(c => col(c).as(GraftDml.TgtPrefix + c)): _*),
+          expr(sourceKeyCol) === col(GraftDml.TgtPrefix + key), "inner")
+    val matchedParts = cascade(matchedRows, matched)
+    val matchedUpserts = matchedParts.collect {
+      case (a, rows) if a.kind == "update" =>
+        shaped(rows, a.assigns.toMap, c => col(GraftDml.TgtPrefix + c))
+    }
+    val matchedDeletes = matchedParts.collect {
+      case (a, rows) if a.kind == "delete" =>
+        rows.select(expr(sourceKeyCol).as(key))
+    }
+
+    // ---- NOT MATCHED (insert) ----
+    val insertRows =
+      if (inserted.isEmpty) emptyUpserts
+      else src.join(targetKeys.withColumnRenamed(key, "__graft_tk"),
+        expr(sourceKeyCol) === col("__graft_tk"), "left_anti")
+    val insertUpserts = cascade(insertRows, inserted).map { case (a, rows) =>
+      shaped(rows, a.assigns.toMap,
+        c => lit(null)) // unreachable: insert assigns are null-padded
+    }
+
+    // ---- NOT MATCHED BY SOURCE (target rows with no source match) ----
+    val bySourceRows =
+      if (bySource.isEmpty) emptyUpserts
+      else target.join(srcKeys.withColumnRenamed(key, "__graft_sk"),
+        col(key) === col("__graft_sk"), "left_anti")
+    val bySourceParts = cascade(bySourceRows, bySource)
+    val bySourceUpserts = bySourceParts.collect {
+      case (a, rows) if a.kind == "update" => shaped(rows, a.assigns.toMap, col)
+    }
+    val bySourceDeletes = bySourceParts.collect {
+      case (a, rows) if a.kind == "delete" => rows.select(col(key))
+    }
+
+    // the canonical full upsert (one unconditioned UPDATE + one
+    // unconditioned INSERT, identical complete assignments, nothing
+    // else): one shaping pass over the raw source, no membership join
+    val upserts = (matched, inserted, bySource) match {
+      case (Seq(MergeActSpec("update", None, u, false)),
+            Seq(MergeActSpec("insert", None, i, _)), Nil)
+        if u.toMap == i.toMap =>
+        shaped(src, u.toMap, c => lit(null))
+      case _ =>
+        (matchedUpserts ++ insertUpserts ++ bySourceUpserts)
+          .foldLeft(emptyUpserts)(_ unionByName _)
     }
     val deleteKeys =
-      if (delete) srcKeys.join(targetKeys, Seq(key), "left_semi")
-      else srcKeys.limit(0)
+      (matchedDeletes ++ bySourceDeletes).foldLeft(emptyKeys)(_ unionByName _)
     Snapshot.merge(spark, path, upserts, deleteKeys, op = "sql-merge")
     Seq.empty
   }

@@ -360,22 +360,79 @@ class GraftDataSourceSpec extends SparkSpecBase {
       assert(afterMix.contains((70L, "i70", "p7")),
         "inserted row must take the INSERT expressions, not the UPDATE ones")
       val v = Snapshot.currentVersion(t)
-      // REFUSED, version untouched: non-key ON, conditioned action,
-      // NOT MATCHED BY SOURCE
+      // REFUSED, version untouched: non-key ON
       intercept[Exception] {
         spark.sql("MERGE INTO graft_dsv2_m t USING m_src s " +
           "ON t.payload = s.payload WHEN MATCHED THEN DELETE")
       }
-      intercept[Exception] {
-        spark.sql("MERGE INTO graft_dsv2_m t USING m_src s ON t.id = s.id " +
-          "WHEN MATCHED AND s.id > 40 THEN DELETE")
-      }
-      intercept[Exception] {
-        spark.sql("MERGE INTO graft_dsv2_m t USING m_src s ON t.id = s.id " +
-          "WHEN NOT MATCHED BY SOURCE THEN DELETE")
-      }
       assert(Snapshot.currentVersion(t) == v, "refusals must not commit")
     } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_m")
+  }
+
+  test("MERGE INTO: conditioned actions cascade in SQL order; partial and target-referencing assignments complete from the target row; NOT MATCHED BY SOURCE") {
+    val t = fresh("mergec")
+    seed(t) // ids 0..39, payload pay_<i>, part p<i/10>
+    spark.sql("DROP TABLE IF EXISTS graft_dsv2_mc")
+    spark.sql(s"CREATE TABLE graft_dsv2_mc USING graft LOCATION '$t'")
+    try {
+      // ---- conditioned MATCHED actions, first-match-wins order:
+      // ids 10,11 match the DELETE's condition; 12 falls through to
+      // the UPDATE; 90 is new and takes the conditioned INSERT; 91 is
+      // new but fails the INSERT condition and must NOT land
+      Seq((10L, "x", "px"), (11L, "x", "px"), (12L, "u12", "p1"),
+          (90L, "m_90", "p9"), (91L, "m_91", "p9"))
+        .toDF("id", "payload", "part").createOrReplaceTempView("mc_src")
+      spark.sql("MERGE INTO graft_dsv2_mc t USING mc_src s ON t.id = s.id " +
+        "WHEN MATCHED AND s.id <= 11 THEN DELETE " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED AND s.id = 90 THEN INSERT *")
+      val r1 = rowsOf(Snapshot.readLatest(spark, t))
+      assert(!r1.exists(r => r._1 == 10L || r._1 == 11L),
+        "conditioned DELETE must claim 10 and 11")
+      assert(r1.contains((12L, "u12", "p1")),
+        "12 falls through the failed DELETE condition to the UPDATE")
+      assert(r1.contains((90L, "m_90", "p9")) && !r1.exists(_._1 == 91L),
+        "conditioned INSERT admits 90 only")
+
+      // ---- PARTIAL assignment completes unassigned columns from the
+      // target row; a target-referencing value reads the current value
+      Seq((12L, "S12"), (13L, "S13"))
+        .toDF("id", "pl").createOrReplaceTempView("mc_part")
+      spark.sql("MERGE INTO graft_dsv2_mc t USING mc_part s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET payload = concat(t.payload, '+', s.pl)")
+      val r2 = rowsOf(Snapshot.readLatest(spark, t))
+      assert(r2.contains((12L, "u12+S12", "p1")) &&
+        r2.contains((13L, "pay_13+S13", "p1")),
+        s"partial update must keep part/id and read the target payload, got " +
+          r2.filter(r => r._1 == 12L || r._1 == 13L))
+
+      // ---- NOT MATCHED BY SOURCE: target rows absent from the source
+      // cascade too — a conditioned DELETE then a catch-all UPDATE
+      Seq(0L, 1L, 2L, 3L, 38L, 39L).toDF("id")
+        .createOrReplaceTempView("mc_keep")
+      spark.sql("MERGE INTO graft_dsv2_mc t USING mc_keep s ON t.id = s.id " +
+        "WHEN NOT MATCHED BY SOURCE AND t.id >= 30 THEN DELETE " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET payload = 'stale'")
+      val r3 = rowsOf(Snapshot.readLatest(spark, t))
+      assert(!r3.exists(_._1 == 35L) && !r3.exists(_._1 == 90L),
+        "by-source DELETE must claim unmatched ids >= 30")
+      assert(r3.contains((38L, "pay_38", "p3")) && r3.contains((39L, "pay_39", "p3")),
+        "source-matched rows are NOT 'not matched by source'")
+      assert(r3.contains((4L, "stale", "p0")) && r3.contains((0L, "pay_0", "p0")),
+        "by-source catch-all UPDATE marks the rest; matched rows untouched")
+
+      // ---- partial INSERT column list pads unlisted columns with NULL
+      Seq((200L, "pz")).toDF("id", "part").createOrReplaceTempView("mc_ins")
+      spark.sql("MERGE INTO graft_dsv2_mc t USING mc_ins s ON t.id = s.id " +
+        "WHEN NOT MATCHED THEN INSERT (id, part) VALUES (s.id, s.part)")
+      val ins = Snapshot.readLatest(spark, t).filter(col("id") === 200L)
+        .collect()
+      assert(ins.length == 1 && ins(0).isNullAt(ins(0).fieldIndex("payload")),
+        "unlisted INSERT columns must null-pad")
+
+      // every claimed shape above landed as ONE sql-merge commit each
+      assert(Snapshot.history(t).count(_._2 == "sql-merge") == 4)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_mc")
   }
 
   test("aggregate pushdown: count/min/max/sum answered from the manifest — proven by deleting every data file") {
