@@ -2925,6 +2925,13 @@ object Oracles {
         |  CAST(NULL AS VARCHAR) AS lang, source, n_chars
         |FROM documents WHERE doc_id % 13 = 5 AND n_chars <= 300""".stripMargin,
 
+    // DSv2 INSERT OVERWRITE: one transactional replace commit — the
+    // SELECT's result IS the table afterward (old state time-travelable)
+    "snapshot_dsv2_overwrite" ->
+      """SELECT doc_id, text || ' [ow]' AS text, lang, source,
+        |  n_chars + 10 AS n_chars
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+
     "snapshot_dsv2" ->
       """WITH s1 AS (
         |  SELECT doc_id,

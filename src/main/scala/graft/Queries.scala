@@ -2386,6 +2386,34 @@ object Queries {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  private val snapshotDsv2OverwriteMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SQL `INSERT OVERWRITE` through the connector: ONE transactional
+    * REPLACE commit ([[graft.operators.Snapshot.overwrite]]) — the
+    * incoming frame becomes the table's entire visible state, the
+    * table contract (key/partition/layout/stats/guards) carries
+    * forward, and the pre-overwrite version stays time-travelable
+    * (old files leave the manifest, not the disk). The oracle replays
+    * the SELECT the overwrite landed, so hash equality proves replace
+    * semantics end-to-end. */
+  def snapshotDsv2Overwrite(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotDsv2OverwriteMemo.computeIfAbsent(dir, _ => {
+      val path = scratch("snapshot_dsv2ow", dir)
+      val docs = t(s, dir, "documents")
+      Snapshot.create(s, path, docs, key = "doc_id", partitionCol = "source")
+      s.sql("DROP TABLE IF EXISTS graft_dsv2_docs_ow")
+      s.sql(s"CREATE TABLE graft_dsv2_docs_ow USING graft LOCATION '$path'")
+      docs.createOrReplaceTempView("graft_dsv2_ow_src")
+      s.sql("INSERT OVERWRITE graft_dsv2_docs_ow " +
+        "SELECT doc_id, concat(text, ' [ow]') AS text, lang, source, " +
+        "n_chars + 10 AS n_chars FROM graft_dsv2_ow_src WHERE doc_id % 3 = 0")
+      path
+    })
+    Snapshot.readLatest(s, p)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** TIME TRAVEL over the versioned snapshot table: after three
     * commits (create, merge, merge), read the table AS OF v2 — the
     * later commit must be invisible and v2's bytes still live. The
@@ -2756,6 +2784,7 @@ object Queries {
     "snapshot_dsv2_update" -> snapshotDsv2Update _,
     "snapshot_dsv2_merge" -> snapshotDsv2Merge _,
     "snapshot_dsv2_merge_cond" -> snapshotDsv2MergeCond _,
+    "snapshot_dsv2_overwrite" -> snapshotDsv2Overwrite _,
     "snapshot_catalog" -> snapshotCatalog _,
     "snapshot_catalog_asof" -> snapshotCatalogAsof _,
     "snapshot_relayout" -> snapshotRelayout _,

@@ -1163,6 +1163,63 @@ object Snapshot {
         fresh.values.map(_.size).sum)
     }
 
+  /**
+   * REPLACE the table's visible rows with `df` as ONE versioned commit
+   * — the transactional face of SQL `INSERT OVERWRITE`. The incoming
+   * frame becomes the table's entire state at the new version; every
+   * pre-existing file leaves the manifest but stays owned by its
+   * historical versions (time travel serves the old state verbatim;
+   * vacuum reclaims by retention like any rewrite). The table CONTRACT
+   * carries forward unchanged — key, partition column, layout,
+   * stats/bloom/HLL tracking, constraints, guards, expectations,
+   * schema and column mapping — and every gate a merge enforces runs
+   * BEFORE anything lands (CHECK constraints, expectations, partition
+   * validity; `min_rows`/`max_shrink_pct` guards gate the published
+   * manifest, so an overwrite that vaporizes a guarded table is
+   * rejected with zero residue). The frame must carry exactly the
+   * table's columns at their current types: overwrite REPLACES state,
+   * it does not evolve schema — a merge whose upserts carry new
+   * columns is the additive-evolution path.
+   */
+  def overwrite(spark: SparkSession, table: String, df: DataFrame): CommitStats =
+    withCommitLock(table) {
+      val cur = currentVersion(table)
+      require(cur > 0, s"snapshot $table does not exist")
+      val m = readManifest(table, cur)
+      val tableCols =
+        if (m.schemaDdl.nonEmpty) StructType.fromDDL(m.schemaDdl)
+        else readManifestFiles(spark, table, m).schema
+      require(tableCols.fieldNames.forall(df.columns.contains),
+        s"snapshot overwrite: frame lacks table column(s) " +
+          tableCols.fieldNames.filterNot(df.columns.contains).mkString(","))
+      val extra = df.columns.filterNot(tableCols.fieldNames.contains)
+      require(extra.isEmpty,
+        s"snapshot overwrite: unknown column(s) ${extra.mkString(",")} — " +
+          "overwrite replaces state, it does not evolve schema (merge " +
+          "upserts carrying new columns are the additive-evolution path)")
+      tableCols.fields.foreach { tf =>
+        val f = df.schema(tf.name)
+        require(f.dataType.sql == tf.dataType.sql,
+          s"snapshot overwrite: column '${f.name}' type " +
+            s"${f.dataType.simpleString} does not match table's " +
+            tf.dataType.simpleString)
+      }
+      val aligned = df.select(tableCols.fieldNames.map(col).toSeq: _*)
+      enforceConstraints(aligned, m.constraints)
+      enforceExpectations(aligned, m.expects)
+      validatePartitionValues(aligned, m.partitionCol)
+      val v = cur + 1
+      writeCommit(aligned, table, v, m.partitionCol, m.key, m.layout,
+        m.columnMap)
+      val fresh = commitEntries(spark, table, v, m.statsCols, m.bloomCols,
+        m.bloomBits, m.bloomK, m.hllCols, m.hllP)
+      writeManifestReclaiming(table, m.copy(version = v, parent = cur,
+        op = "overwrite", partitions = fresh))
+      CommitStats(v, fresh.keys.toSeq.sorted,
+        m.partitions.keySet.filterNot(fresh.contains).toSeq.sorted,
+        fresh.values.map(_.size).sum)
+    }
+
   // ------------------------------------- non-additive schema evolution
 
   /** Columns the non-additive evolution ops must not touch: the table

@@ -360,6 +360,10 @@ private[graft] class GraftTable(private[graft] val path: String,
     val caps = new java.util.HashSet[TableCapability]()
     caps.add(TableCapability.BATCH_READ)
     caps.add(TableCapability.V1_BATCH_WRITE)
+    // INSERT OVERWRITE → the transactional replace commit; the write
+    // builder refuses any non-AlwaysTrue overwrite predicate
+    caps.add(TableCapability.TRUNCATE)
+    caps.add(TableCapability.OVERWRITE_BY_FILTER)
     caps
   }
 
@@ -391,14 +395,35 @@ private[graft] class GraftTable(private[graft] val path: String,
   }
 }
 
-/** `INSERT INTO` through the transactional path: the V1 write bridge
-  * hands the whole incoming DataFrame to the driver, which commits it
-  * as a [[Snapshot.merge]] — upsert on the table key, under the
-  * commit lock, with constraints/guards/expectations enforced and the
-  * evolution column mapping applied. Everything a blind file-append
-  * path would have bypassed. */
-private[graft] class GraftWriteBuilder(path: String, pinned: Boolean)
-  extends WriteBuilder {
+/** `INSERT INTO` / `INSERT OVERWRITE` through the transactional path:
+  * the V1 write bridge hands the whole incoming DataFrame to the
+  * driver. INSERT commits it as a [[Snapshot.merge]] — upsert on the
+  * table key, under the commit lock, with constraints/guards/
+  * expectations enforced and the evolution column mapping applied —
+  * everything a blind file-append path would have bypassed. INSERT
+  * OVERWRITE commits it as ONE [[Snapshot.overwrite]] replace: the
+  * frame becomes the table's whole visible state, old files stay
+  * owned by history (time travel intact), the same gates enforced. */
+private[graft] class GraftWriteBuilder(path: String, pinned: Boolean,
+                                       replace: Boolean = false)
+  extends WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsOverwrite {
+
+  // `INSERT OVERWRITE` arrives as OverwriteByExpression: an
+  // unconditional overwrite calls truncate() (SupportsOverwrite's
+  // default routes the AlwaysTrue filter set here too). The V1 bridge
+  // then invokes insert() with overwrite=false — the replace-ness
+  // lives in THIS flag, not that argument.
+  override def truncate(): WriteBuilder =
+    new GraftWriteBuilder(path, pinned, replace = true)
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue),
+      "graft: INSERT OVERWRITE with a predicate is not supported — " +
+        "unconditional overwrite replaces the table; predicate DML " +
+        "(DELETE/UPDATE) are the bounded rewrite commits")
+    truncate()
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
@@ -407,16 +432,17 @@ private[graft] class GraftWriteBuilder(path: String, pinned: Boolean)
           require(!pinned,
             "graft: cannot INSERT through a versionAsOf/tag-pinned reference " +
               "— address the table without time-travel options to write")
-          require(!overwrite,
-            "graft: INSERT OVERWRITE is not supported — predicate DML " +
-              "(deleteWhere/updateWhere) and relayout are the rewrite commits")
-          val m = Snapshot.readManifest(path, Snapshot.currentVersion(path))
-          // committed as op 'insert-merge', not plain 'merge': the
-          // history/audit trail must show that this SQL INSERT had
-          // upsert-on-key semantics (matching keys replaced), so a
-          // surprised SQL user can see it in graft_snapshot_history
-          Snapshot.merge(data.sparkSession, path, data,
-            data.limit(0).select(m.key), op = "insert-merge")
+          if (replace || overwrite)
+            Snapshot.overwrite(data.sparkSession, path, data)
+          else {
+            val m = Snapshot.readManifest(path, Snapshot.currentVersion(path))
+            // committed as op 'insert-merge', not plain 'merge': the
+            // history/audit trail must show that this SQL INSERT had
+            // upsert-on-key semantics (matching keys replaced), so a
+            // surprised SQL user can see it in graft_snapshot_history
+            Snapshot.merge(data.sparkSession, path, data,
+              data.limit(0).select(m.key), op = "insert-merge")
+          }
         }
       }
   }

@@ -136,12 +136,27 @@ class GraftDataSourceSpec extends SparkSpecBase {
         .writeTo("graft_dsv2_w").append()
       assert(Snapshot.currentVersion(t) == 3 &&
         rowsOf(Snapshot.readLatest(spark, t)).contains((101L, "pay_101", "p3")))
-      // INSERT OVERWRITE is rejected (the format's rewrites are DML
-      // commits, not blind truncation)
-      val e = intercept[Exception] {
-        spark.sql("INSERT OVERWRITE graft_dsv2_w VALUES (1, 'x', 'p0')")
+      // INSERT OVERWRITE: one transactional REPLACE commit — the frame
+      // becomes the whole visible state; history keeps the old rows
+      val preVersion = Snapshot.currentVersion(t)
+      spark.sql("INSERT OVERWRITE graft_dsv2_w VALUES " +
+        "(1, 'only_1', 'p0'), (2, 'only_2', 'p0')")
+      val ow = rowsOf(Snapshot.readLatest(spark, t))
+      assert(ow == Set((1L, "only_1", "p0"), (2L, "only_2", "p0")),
+        s"overwrite must replace the whole table, got $ow")
+      assert(Snapshot.currentVersion(t) == preVersion + 1 &&
+        Snapshot.history(t).last._2 == "overwrite")
+      // time travel still serves the pre-overwrite state verbatim
+      assert(rowsOf(Snapshot.readAt(spark, t, preVersion)).size == 42)
+      // a schema-mismatched overwrite refuses before anything lands
+      val bad = intercept[Exception] {
+        Seq((1L, "x")).toDF("id", "payload")
+          .createOrReplaceTempView("ow_bad")
+        spark.sql("INSERT OVERWRITE graft_dsv2_w " +
+          "SELECT id, payload FROM ow_bad")
       }
-      assert(e.getMessage != null)
+      assert(bad.getMessage != null &&
+        Snapshot.currentVersion(t) == preVersion + 1)
     } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_w")
   }
 
@@ -150,7 +165,8 @@ class GraftDataSourceSpec extends SparkSpecBase {
     val df = (0 until 10).map(i => (i.toLong, s"pay_$i", s"p${i / 5}"))
       .toDF("id", "payload", "part")
     Snapshot.create(spark, t, df, key = "id", partitionCol = "part",
-      constraints = Map("pos_id" -> "id >= 0"))
+      constraints = Map("pos_id" -> "id >= 0"),
+      guards = Map("max_shrink_pct" -> "50"))
     spark.sql("DROP TABLE IF EXISTS graft_dsv2_g")
     spark.sql(s"CREATE TABLE graft_dsv2_g USING graft LOCATION '$t'")
     try {
@@ -175,6 +191,21 @@ class GraftDataSourceSpec extends SparkSpecBase {
       assert(anyMsg(pinned).contains("pinned"),
         s"expected the pinned-reference error in: ${anyMsg(pinned)}")
       assert(Snapshot.currentVersion(t) == 1)
+      // INSERT OVERWRITE rides the same gates: a CHECK-violating frame
+      // refuses, and a guarded table rejects a vaporizing overwrite
+      // with the commit directory reclaimed (version untouched)
+      val owBad = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE graft_dsv2_g VALUES (-1, 'bad', 'p0')")
+      }
+      assert(anyMsg(owBad).contains("pos_id") &&
+        Snapshot.currentVersion(t) == 1)
+      val owShrink = intercept[Exception] {
+        spark.sql("INSERT OVERWRITE graft_dsv2_g VALUES (7, 'tiny', 'p0')")
+      }
+      assert(anyMsg(owShrink).contains("max_shrink_pct"),
+        s"expected the guard in: ${anyMsg(owShrink)}")
+      assert(rowsOf(Snapshot.readLatest(spark, t)).size == 10,
+        "guard-rejected overwrite must leave the table untouched")
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_dsv2_g")
       spark.sql("DROP TABLE IF EXISTS graft_dsv2_p")
