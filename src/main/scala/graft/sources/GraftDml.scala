@@ -418,11 +418,25 @@ case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
         // so a same-named source column never ambiguates
         src.join(targetKeys.withColumnRenamed(key, "__graft_tk"),
           expr(sourceKeyCol) === col("__graft_tk"), "left_semi")
-      else
-        // combined row: source names + TgtPrefix-renamed target row
+      else {
+        // combined row: source names + TgtPrefix-renamed target row.
+        // The target side carries every column, so at scale the read
+        // is PRUNED to the source's ON-key range through the manifest
+        // (the key's per-file min/max are always tracked): a partial-
+        // update MERGE against a 100 TB table opens only the files
+        // whose key range intersects the source's keys — two scalar
+        // aggregates driver-side buy a file-granularity scan cut
+        val bounds = src.agg(
+          org.apache.spark.sql.functions.min(expr(sourceKeyCol)),
+          org.apache.spark.sql.functions.max(expr(sourceKeyCol))).head()
+        val tgtRows =
+          if (bounds.isNullAt(0)) target.limit(0) // empty/all-null source
+          else Snapshot.readWhere(spark, path, key,
+            bounds.get(0), bounds.get(1))
         src.join(
-          target.select(tCols.map(c => col(c).as(GraftDml.TgtPrefix + c)): _*),
+          tgtRows.select(tCols.map(c => col(c).as(GraftDml.TgtPrefix + c)): _*),
           expr(sourceKeyCol) === col(GraftDml.TgtPrefix + key), "inner")
+      }
     val matchedParts = cascade(matchedRows, matched)
     val matchedUpserts = matchedParts.collect {
       case (a, rows) if a.kind == "update" =>
@@ -487,7 +501,9 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       GraftDml.graftTarget(tbl).map(GraftDml.rewriteUpdate(u, _)).getOrElse(u)
     case m: MergeIntoTable
         if m.targetTable.resolved && m.sourceTable.resolved &&
-          m.mergeCondition.resolved =>
+          m.mergeCondition.resolved &&
+          (m.matchedActions ++ m.notMatchedActions ++
+            m.notMatchedBySourceActions).forall(_.resolved) =>
       GraftDml.graftTarget(m.targetTable)
         .map(GraftDml.rewriteMerge(m, _)).getOrElse(m)
     case other => other
