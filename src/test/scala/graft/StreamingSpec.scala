@@ -900,6 +900,28 @@ class StreamingSpec extends SparkSpecBase {
       s"nullFill aligns by name: pre-rename rows null-fill, got $nf1")
     qG.stop()
 
+    // ---- MERGE-CARRIED additive evolution (the schema changes inside
+    // a DATA commit, not a metadata-only one): same contract — fail
+    // once naming the version, adopt on restart, and the boundary
+    // batch's removed-side rows (read under the PARENT schema) render
+    // under the new pin losslessly
+    seen.synchronized(seen.clear())
+    val qH = start(s"$dir/ck_mc")         // pins the v12 schema
+    qH.processAllAvailable()
+    Snapshot.merge(spark, table,                                        // v13
+      upserts = Seq((21L, 9L, "1", "m21", "x21", 5))
+        .toDF("id", "score", "part", "memo", "extra", "grade"),
+      deleteKeys = spark.range(0, 0).select(col("id")))
+    mustFail(qH, "added")
+    val qI = start(s"$dir/ck_mc")
+    qI.processAllAvailable()
+    assert(qI.exception.isEmpty, s"restart must adopt the merge-carried " +
+      s"evolution: ${qI.exception}")
+    val v13 = seen.synchronized(seen.filter(r => r._1 == 13 && r._2 == 21L))
+    assert(v13.nonEmpty && v13.forall(_._3("grade") == 5),
+      s"replayed boundary batch must carry the merge-carried column, got $v13")
+    qI.stop()
+
     // malformed mode refused with the option inventory
     val bad = intercept[Exception] {
       val q = spark.readStream.format("graft")
