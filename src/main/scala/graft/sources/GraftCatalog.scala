@@ -240,6 +240,47 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     new GraftStagedTable(ident, dir, store, schema, key, part)
   }
 
+  /** ATOMIC `REPLACE TABLE … AS SELECT`: the staged source frame lands
+    * as ONE [[Snapshot.overwrite]] commit, so the replace is a
+    * VERSIONED table event — history preserved, the pre-replace state
+    * stays time-travelable, tags keep their promises — rather than
+    * SQL's destructive drop+create. The table CONTRACT is immutable
+    * under replace: a declared key / partition column that disagrees
+    * with the manifest refuses up front (a redefinition is
+    * `DROP TABLE … PURGE` + `CREATE`), an absent spec inherits it, and
+    * the overwrite commit itself enforces the schema match plus every
+    * gate (CHECK / guards / expectations). */
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: JMap[String, String]): StagedTable = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    val m = Snapshot.readManifest(dir, Snapshot.currentVersion(dir))
+    val declaredKey = Option(properties.get("key"))
+    declaredKey.filter(_ != m.key).foreach(k =>
+      throw new IllegalArgumentException(
+        s"graft catalog: REPLACE TABLE cannot change the key " +
+          s"('$k' vs the table's '${m.key}') — the contract is a table " +
+          "property; redefine via DROP TABLE ... PURGE + CREATE"))
+    val declaredPart = partitions.toSeq.collectFirst {
+      case t: Transform if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+    }.orElse(Option(properties.get("partitionCol")))
+    declaredPart.filter(_ != m.partitionCol).foreach(p =>
+      throw new IllegalArgumentException(
+        s"graft catalog: REPLACE TABLE cannot change the partition column " +
+          s"('$p' vs the table's '${m.partitionCol}') — redefine via " +
+          "DROP TABLE ... PURGE + CREATE"))
+    new GraftStagedTable(ident, dir, store, schema, m.key, m.partitionCol,
+      replace = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: JMap[String, String]): StagedTable =
+    if (isTable(tableDir(ident))) stageReplace(ident, schema, partitions, properties)
+    else stageCreate(ident, schema, partitions, properties)
+
   override def dropTable(ident: Identifier): Boolean =
     dropImpl(ident, purge = false)
 
@@ -490,7 +531,8 @@ private[graft] object GraftCatalog {
 private[graft] class GraftStagedTable(ident: Identifier, dir: String,
                                       store: LogStore,
                                       tableSchema: StructType,
-                                      key: String, part: String)
+                                      key: String, part: String,
+                                      replace: Boolean = false)
   extends StagedTable with SupportsWrite {
 
   @volatile private var staged: Option[org.apache.spark.sql.DataFrame] = None
@@ -500,30 +542,48 @@ private[graft] class GraftStagedTable(ident: Identifier, dir: String,
   override def capabilities(): JSet[TableCapability] = {
     val caps = new java.util.HashSet[TableCapability]()
     caps.add(TableCapability.V1_BATCH_WRITE) // write-only until commit
+    // REPLACE TABLE AS SELECT plans as OverwriteByExpression over the
+    // staged handle — the replace-ness lives in the `replace` flag,
+    // the staged write just buffers either way
+    caps.add(TableCapability.TRUNCATE)
+    caps.add(TableCapability.OVERWRITE_BY_FILTER)
     caps
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
-      override def build(): Write = new V1Write {
-        override def toInsertableRelation: InsertableRelation =
-          new InsertableRelation {
-            override def insert(data: org.apache.spark.sql.DataFrame,
-                                overwrite: Boolean): Unit = {
-              // buffer only — DataFrames are lazy; execution happens
-              // inside the commit so CTAS is all-or-nothing
-              staged = Some(data)
-            }
+    new StagedWriteBuilder
+
+  private class StagedWriteBuilder extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
+    override def truncate(): WriteBuilder = this
+    override def overwrite(filters: Array[org.apache.spark.sql.sources.Filter])
+        : WriteBuilder = this
+    override def build(): Write = new V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(data: org.apache.spark.sql.DataFrame,
+                              overwrite: Boolean): Unit = {
+            // buffer only — DataFrames are lazy; execution happens
+            // inside the commit so CTAS is all-or-nothing
+            staged = Some(data)
           }
-      }
+        }
     }
+  }
 
   override def commitStagedChanges(): Unit = {
     val df = staged.getOrElse(throw new IllegalStateException(
       s"graft catalog: staged CTAS for $ident committed without a write"))
-    store.mkdirs(dir.substring(0, dir.lastIndexOf('/')))
-    Snapshot.create(df.sparkSession, dir, df, key = key,
-      partitionCol = part, statsCols = Seq(key))
+    if (replace)
+      // REPLACE TABLE AS SELECT: one versioned overwrite commit —
+      // history preserved, the schema match + every gate enforced
+      // inside the commit
+      Snapshot.overwrite(df.sparkSession, dir, df)
+    else {
+      store.mkdirs(dir.substring(0, dir.lastIndexOf('/')))
+      Snapshot.create(df.sparkSession, dir, df, key = key,
+        partitionCol = part, statsCols = Seq(key))
+    }
   }
 
   override def abortStagedChanges(): Unit = () // nothing was written

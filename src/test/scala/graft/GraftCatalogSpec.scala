@@ -60,6 +60,48 @@ class GraftCatalogSpec extends SparkSpecBase {
     assert(!spark.catalog.tableExists("gtest.corpus.broken"))
   }
 
+  test("REPLACE TABLE AS SELECT is a VERSIONED overwrite commit: history preserved, contract immutable, CREATE OR REPLACE creates-or-replaces") {
+    val _ = rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.corpus")
+    seedFrame.createOrReplaceTempView("rt_seed")
+    spark.sql("CREATE TABLE gtest.corpus.rt USING graft " +
+      "TBLPROPERTIES ('key'='id','partitionCol'='part') " +
+      "AS SELECT * FROM rt_seed")
+    val dir = s"$rootDir/corpus/rt"
+    Seq((100L, "r100", "p0"), (101L, "r101", "p1"))
+      .toDF("id", "payload", "part").createOrReplaceTempView("rt_new")
+    spark.sql("REPLACE TABLE gtest.corpus.rt USING graft " +
+      "AS SELECT * FROM rt_new")
+    // one overwrite commit: the replace is a table EVENT, not drop+create
+    assert(Snapshot.currentVersion(dir) == 2 &&
+      Snapshot.history(dir).last._2 == "overwrite")
+    assert(rowsOf(spark.table("gtest.corpus.rt")) ==
+      Set((100L, "r100", "p0"), (101L, "r101", "p1")))
+    // the pre-replace state stays time-travelable
+    assert(rowsOf(Snapshot.readAt(spark, dir, 1)) == rowsOf(seedFrame))
+    // the contract is immutable under replace
+    val e = intercept[Exception] {
+      spark.sql("REPLACE TABLE gtest.corpus.rt USING graft " +
+        "TBLPROPERTIES ('key'='payload') AS SELECT * FROM rt_new")
+    }
+    assert(e.toString.contains("key") || e.getMessage.contains("key"))
+    assert(Snapshot.currentVersion(dir) == 2, "refused replace must not commit")
+    // REPLACE on a missing table refuses; CREATE OR REPLACE creates it
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE gtest.corpus.rt_missing USING graft " +
+        "AS SELECT * FROM rt_new")
+    }
+    spark.sql("CREATE OR REPLACE TABLE gtest.corpus.rt2 USING graft " +
+      "TBLPROPERTIES ('key'='id','partitionCol'='part') " +
+      "AS SELECT * FROM rt_new")
+    assert(Snapshot.currentVersion(s"$rootDir/corpus/rt2") == 1)
+    // ... and replaces when the table exists
+    spark.sql("CREATE OR REPLACE TABLE gtest.corpus.rt2 USING graft " +
+      "AS SELECT * FROM rt_seed")
+    assert(Snapshot.currentVersion(s"$rootDir/corpus/rt2") == 2 &&
+      rowsOf(spark.table("gtest.corpus.rt2")) == rowsOf(seedFrame))
+  }
+
   test("plain CREATE TABLE commits v1 empty; INSERT/UPDATE/DELETE ride the transactional verbs by name") {
     val _ = rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.corpus")
