@@ -327,7 +327,23 @@ object GraftDataSource {
 private[graft] class GraftTable(private[graft] val path: String,
                                 private[graft] val resolvedVersion: Int,
                                 private[graft] val pinned: Boolean = false)
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  /** SQL `TRUNCATE TABLE`: one transactional replace commit with an
+    * empty frame — history preserved (the pre-truncate state time
+    * travels; vacuum reclaims by retention), every gate enforced (a
+    * `min_rows`/`max_shrink_pct`-guarded table REFUSES truncation —
+    * exactly the accident those guards exist to stop). */
+  override def truncateTable(): Boolean = {
+    require(!pinned,
+      "graft: cannot TRUNCATE through a versionAsOf/tag-pinned reference")
+    val spark = SparkSession.active
+    // readLatest, not the load-time resolvedVersion: the empty frame
+    // must carry the table's CURRENT schema under the commit lock
+    Snapshot.overwrite(spark, path, Snapshot.readLatest(spark, path).limit(0))
+    true
+  }
 
   override def name(): String = s"graft.`$path`@v$resolvedVersion"
   override def schema(): StructType = GraftDataSource.logicalSchema(path, resolvedVersion)

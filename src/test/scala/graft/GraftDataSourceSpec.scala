@@ -157,6 +157,13 @@ class GraftDataSourceSpec extends SparkSpecBase {
       }
       assert(bad.getMessage != null &&
         Snapshot.currentVersion(t) == preVersion + 1)
+      // TRUNCATE TABLE: an empty replace commit — history intact
+      spark.sql("TRUNCATE TABLE graft_dsv2_w")
+      assert(Snapshot.readLatest(spark, t).count() == 0L &&
+        Snapshot.currentVersion(t) == preVersion + 2 &&
+        Snapshot.history(t).last._2 == "overwrite")
+      assert(rowsOf(Snapshot.readAt(spark, t, preVersion + 1)).size == 2,
+        "pre-truncate state must time-travel")
     } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_w")
   }
 
