@@ -137,7 +137,15 @@ object IncrementalAgg {
     val mark = s"$ledger/batch-$batchId"
     if (store.exists(mark)) return false
     maintain(spark, aggPath, groupCols, sumCols, removedRows, addedRows)
-    store.createNew(mark)
+    // the mark claim must stay LOUD on a lost race: a false here means
+    // another worker applied the same batch concurrently (the delta
+    // just double-counted) — the pre-fabric Files.createFile threw,
+    // and silence would make the corruption undetectable
+    if (!store.createNew(mark)) throw new IllegalStateException(
+      s"incremental agg $aggPath: batch $batchId was applied CONCURRENTLY " +
+        "by another worker (ledger mark already present after this " +
+        "worker's apply) — the aggregate may be double-counted; rebuild " +
+        "it or ensure a single maintainer per aggregate")
     true
   }
 }

@@ -338,13 +338,21 @@ object HadoopLogStore extends LogStore {
 
   /** Only an already-exists outcome means "lock held" — any other
     * IOException (permissions, connectivity) must PROPAGATE, not
-    * silently read as contention. */
+    * silently read as contention. `file:` URIs take [[LocalLogStore]]'s
+    * `Files.createFile` (O_EXCL-atomic): Hadoop's `createNewFile` on
+    * the raw local FS is exists-then-create — a TOCTOU that could
+    * admit two lock holders, the same hole the putIfAbsent/putReplace
+    * shunts close. */
   override def createNew(path: String): Boolean = {
     val (fs, hp) = fsOf(path)
-    try fs.createNewFile(hp)
-    catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      case _: FileAlreadyExistsException => false
+    localPath(fs, hp) match {
+      case Some(lp) => LocalLogStore.createNew(lp)
+      case None =>
+        try fs.createNewFile(hp)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: FileAlreadyExistsException => false
+        }
     }
   }
 

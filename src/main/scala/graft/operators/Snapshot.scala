@@ -1182,43 +1182,61 @@ object Snapshot {
    * columns is the additive-evolution path.
    */
   def overwrite(spark: SparkSession, table: String, df: DataFrame): CommitStats =
-    withCommitLock(table) {
-      val cur = currentVersion(table)
-      require(cur > 0, s"snapshot $table does not exist")
-      val m = readManifest(table, cur)
-      val tableCols =
-        if (m.schemaDdl.nonEmpty) StructType.fromDDL(m.schemaDdl)
-        else readManifestFiles(spark, table, m).schema
-      require(tableCols.fieldNames.forall(df.columns.contains),
-        s"snapshot overwrite: frame lacks table column(s) " +
-          tableCols.fieldNames.filterNot(df.columns.contains).mkString(","))
-      val extra = df.columns.filterNot(tableCols.fieldNames.contains)
-      require(extra.isEmpty,
-        s"snapshot overwrite: unknown column(s) ${extra.mkString(",")} — " +
-          "overwrite replaces state, it does not evolve schema (merge " +
-          "upserts carrying new columns are the additive-evolution path)")
-      tableCols.fields.foreach { tf =>
-        val f = df.schema(tf.name)
-        require(f.dataType.sql == tf.dataType.sql,
-          s"snapshot overwrite: column '${f.name}' type " +
-            s"${f.dataType.simpleString} does not match table's " +
-            tf.dataType.simpleString)
-      }
-      val aligned = df.select(tableCols.fieldNames.map(col).toSeq: _*)
-      enforceConstraints(aligned, m.constraints)
-      enforceExpectations(aligned, m.expects)
-      validatePartitionValues(aligned, m.partitionCol)
-      val v = cur + 1
-      writeCommit(aligned, table, v, m.partitionCol, m.key, m.layout,
-        m.columnMap)
-      val fresh = commitEntries(spark, table, v, m.statsCols, m.bloomCols,
-        m.bloomBits, m.bloomK, m.hllCols, m.hllP)
-      writeManifestReclaiming(table, m.copy(version = v, parent = cur,
-        op = "overwrite", partitions = fresh))
-      CommitStats(v, fresh.keys.toSeq.sorted,
-        m.partitions.keySet.filterNot(fresh.contains).toSeq.sorted,
-        fresh.values.map(_.size).sum)
+    withCommitLock(table) { overwriteLocked(spark, table, Some(df)) }
+
+  /** TRUNCATE: [[overwrite]] with an empty frame of the table's
+    * CURRENT schema — resolved under the SAME lock claim as the
+    * commit, so a concurrent evolution can never wedge a schema the
+    * empty frame predates. Guards apply: a `min_rows`-guarded table
+    * refuses truncation. */
+  def truncate(spark: SparkSession, table: String): CommitStats =
+    withCommitLock(table) { overwriteLocked(spark, table, None) }
+
+  private def overwriteLocked(spark: SparkSession, table: String,
+                              dfOpt: Option[DataFrame]): CommitStats = {
+    val cur = currentVersion(table)
+    require(cur > 0, s"snapshot $table does not exist")
+    val m = readManifest(table, cur)
+    val tableCols =
+      if (m.schemaDdl.nonEmpty) StructType.fromDDL(m.schemaDdl)
+      else readManifestFiles(spark, table, m).schema
+    val aligned = dfOpt match {
+      case None => // truncate: empty frame of the current schema
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          tableCols)
+      case Some(df) =>
+        require(tableCols.fieldNames.forall(df.columns.contains),
+          s"snapshot overwrite: frame lacks table column(s) " +
+            tableCols.fieldNames.filterNot(df.columns.contains).mkString(","))
+        val extra = df.columns.filterNot(tableCols.fieldNames.contains)
+        require(extra.isEmpty,
+          s"snapshot overwrite: unknown column(s) ${extra.mkString(",")} — " +
+            "overwrite replaces state, it does not evolve schema (merge " +
+            "upserts carrying new columns are the additive-evolution path)")
+        tableCols.fields.foreach { tf =>
+          val f = df.schema(tf.name)
+          require(f.dataType.sql == tf.dataType.sql,
+            s"snapshot overwrite: column '${f.name}' type " +
+              s"${f.dataType.simpleString} does not match table's " +
+              tf.dataType.simpleString)
+        }
+        df.select(tableCols.fieldNames.map(col).toSeq: _*)
     }
+    enforceConstraints(aligned, m.constraints)
+    enforceExpectations(aligned, m.expects)
+    validatePartitionValues(aligned, m.partitionCol)
+    val v = cur + 1
+    writeCommit(aligned, table, v, m.partitionCol, m.key, m.layout,
+      m.columnMap)
+    val fresh = commitEntries(spark, table, v, m.statsCols, m.bloomCols,
+      m.bloomBits, m.bloomK, m.hllCols, m.hllP)
+    writeManifestReclaiming(table, m.copy(version = v, parent = cur,
+      op = "overwrite", partitions = fresh))
+    CommitStats(v, fresh.keys.toSeq.sorted,
+      m.partitions.keySet.filterNot(fresh.contains).toSeq.sorted,
+      fresh.values.map(_.size).sum)
+  }
 
   // ------------------------------------- non-additive schema evolution
 
@@ -1256,13 +1274,29 @@ object Snapshot {
 
   private def evolveSchema(table: String, op: String)
                           (f: Manifest => Manifest): CommitStats =
+    evolveSchemaAll(table, Seq(op -> f))
+
+  /** A multi-change evolution STATEMENT as ONE commit: every change's
+    * own validation runs against the accumulating manifest INSIDE the
+    * commit lock, so a statement either applies whole at a single new
+    * version or refuses whole — no concurrent commit can land between
+    * "validated" and "applied" (the race a validate-then-commit-each
+    * split cannot close). The op records every change. */
+  private[graft] def evolveSchemaAll(table: String,
+      steps: Seq[(String, Manifest => Manifest)]): CommitStats =
     withCommitLock(table) {
+      require(steps.nonEmpty, "evolveSchemaAll: no changes")
       val cur = currentVersion(table)
       require(cur > 0, s"snapshot $table does not exist")
       val m = readManifest(table, cur)
       require(m.schemaDdl.nonEmpty,
         s"snapshot $table: no manifest schema — pre-schema table cannot evolve")
-      writeManifest(table, f(m).copy(version = cur + 1, parent = cur, op = op))
+      val evolved = steps.foldLeft(m) { case (acc, (_, f)) => f(acc) }
+      val op =
+        if (steps.size == 1) steps.head._1
+        else steps.map(_._1).mkString("evolve(", "; ", ")")
+      writeManifest(table,
+        evolved.copy(version = cur + 1, parent = cur, op = op))
       CommitStats(cur + 1, Nil, Nil, 0)
     }
 
@@ -1403,17 +1437,6 @@ object Snapshot {
     * all-or-nothing pre-flight a multi-change `ALTER TABLE` statement
     * runs before committing any step, so a late refusal can never
     * leave the statement half-applied. */
-  private[graft] def validateEvolution(table: String,
-                                       steps: Seq[Manifest => Manifest]): Unit = {
-    val cur = currentVersion(table)
-    require(cur > 0, s"snapshot $table does not exist")
-    val m0 = readManifest(table, cur)
-    require(m0.schemaDdl.nonEmpty,
-      s"snapshot $table: no manifest schema — pre-schema table cannot evolve")
-    steps.foldLeft(m0)((m, f) => f(m))
-    ()
-  }
-
   /** Publish a new version whose live file set IS `toVersion`'s — an
     * O(manifest) undo. History is preserved (rollback is itself a
     * commit); the rolled-back-over versions stay readable. */

@@ -315,10 +315,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * time-travelable like every other commit. Contract columns
     * (key/partition/stats/bloom/z-order/constraint-referenced) refuse,
     * as does any non-widening type change. A multi-change statement is
-    * PRE-VALIDATED as a whole ([[Snapshot.validateEvolution]]) before
-    * any step commits — a refusal anywhere leaves the table untouched,
-    * never half-altered; each validated change then commits its own
-    * version, so the history shows every evolution step. */
+    * ONE commit ([[Snapshot.evolveSchemaAll]]): every change validates
+    * against the accumulating manifest inside the commit lock, so the
+    * statement applies whole at a single version or refuses whole —
+    * never half-altered, even against a concurrent commit; the
+    * combined op string records every change for the history. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
@@ -341,35 +342,34 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           "new columns append (column order is not a table property here)")
       (name, ac.dataType.sql.toLowerCase)
     }
-    // validate-only fold first, commit after: the whole statement
-    // refuses atomically, then applies step-wise
-    val steps: Seq[(Snapshot.Manifest => Snapshot.Manifest, () => Unit)] =
+    // the whole statement is ONE evolution commit: every change
+    // validates against the accumulating manifest INSIDE the commit
+    // lock, so it applies whole at a single version or refuses whole
+    // (a validate-first/commit-each split would leave earlier changes
+    // applied when a concurrent commit invalidates a later one)
+    val steps: Seq[(String, Snapshot.Manifest => Snapshot.Manifest)] =
       changes.map {
         case ac: TableChange.AddColumn =>
           val (n, t) = addSpec(ac)
-          (Snapshot.addColumnXform(path, n, t)(_),
-            () => { Snapshot.addColumn(spark, path, n, t); () })
+          (s"add_column($n:$t)", Snapshot.addColumnXform(path, n, t)(_))
         case rc: TableChange.RenameColumn =>
           val n = one(rc.fieldNames, "RENAME")
-          (Snapshot.renameColumnXform(path, n, rc.newName)(_),
-            () => { Snapshot.renameColumn(spark, path, n, rc.newName); () })
+          (s"rename_column($n->${rc.newName})",
+            Snapshot.renameColumnXform(path, n, rc.newName)(_))
         case dc: TableChange.DeleteColumn =>
           val n = one(dc.fieldNames, "DROP")
-          (Snapshot.dropColumnXform(path, n)(_),
-            () => { Snapshot.dropColumn(spark, path, n); () })
+          (s"drop_column($n)", Snapshot.dropColumnXform(path, n)(_))
         case ut: TableChange.UpdateColumnType =>
           val n = one(ut.fieldNames, "ALTER TYPE")
           val t = ut.newDataType.sql.toLowerCase
-          (Snapshot.widenColumnXform(path, n, t)(_),
-            () => { Snapshot.widenColumn(spark, path, n, t); () })
+          (s"widen_column($n:$t)", Snapshot.widenColumnXform(path, n, t)(_))
         case other => throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change " +
             s"${other.getClass.getSimpleName} — column add/rename/drop/widen " +
             "are the supported evolutions; anything else is a table " +
             "redefinition, not an evolution")
       }
-    Snapshot.validateEvolution(path, steps.map(_._1))
-    steps.foreach(_._2())
+    Snapshot.evolveSchemaAll(path, steps)
     loadTable(ident)
   }
 
@@ -571,19 +571,22 @@ private[graft] class GraftStagedTable(ident: Identifier, dir: String,
     }
   }
 
-  override def commitStagedChanges(): Unit = {
-    val df = staged.getOrElse(throw new IllegalStateException(
-      s"graft catalog: staged CTAS for $ident committed without a write"))
-    if (replace)
+  override def commitStagedChanges(): Unit = staged match {
+    case Some(df) if replace =>
       // REPLACE TABLE AS SELECT: one versioned overwrite commit —
       // history preserved, the schema match + every gate enforced
       // inside the commit
       Snapshot.overwrite(df.sparkSession, dir, df)
-    else {
+    case Some(df) =>
       store.mkdirs(dir.substring(0, dir.lastIndexOf('/')))
       Snapshot.create(df.sparkSession, dir, df, key = key,
         partitionCol = part, statsCols = Seq(key))
-    }
+    case None if replace =>
+      // plain REPLACE TABLE (no AS SELECT): empty the table — the
+      // truncate commit, mirroring plain CREATE's empty v1
+      Snapshot.truncate(SparkSession.active, dir)
+    case None => throw new IllegalStateException(
+      s"graft catalog: staged CTAS for $ident committed without a write")
   }
 
   override def abortStagedChanges(): Unit = () // nothing was written

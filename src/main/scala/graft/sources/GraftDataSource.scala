@@ -331,17 +331,16 @@ private[graft] class GraftTable(private[graft] val path: String,
   with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   /** SQL `TRUNCATE TABLE`: one transactional replace commit with an
-    * empty frame — history preserved (the pre-truncate state time
-    * travels; vacuum reclaims by retention), every gate enforced (a
-    * `min_rows`/`max_shrink_pct`-guarded table REFUSES truncation —
-    * exactly the accident those guards exist to stop). */
+    * empty frame of the table's CURRENT schema, resolved under the
+    * same lock claim as the commit — history preserved (the
+    * pre-truncate state time travels; vacuum reclaims by retention),
+    * every gate enforced (a `min_rows`/`max_shrink_pct`-guarded table
+    * REFUSES truncation — exactly the accident those guards exist to
+    * stop). */
   override def truncateTable(): Boolean = {
     require(!pinned,
       "graft: cannot TRUNCATE through a versionAsOf/tag-pinned reference")
-    val spark = SparkSession.active
-    // readLatest, not the load-time resolvedVersion: the empty frame
-    // must carry the table's CURRENT schema under the commit lock
-    Snapshot.overwrite(spark, path, Snapshot.readLatest(spark, path).limit(0))
+    Snapshot.truncate(SparkSession.active, path)
     true
   }
 
@@ -569,11 +568,30 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
       val keys = m.partitions.keySet
       partType match {
         case Some(StringType) =>
+          // compare in UTF-8 BINARY order — Spark's UTF8String
+          // collation — not Java's UTF-16 code-unit order: the two
+          // disagree for supplementary-plane text ('😀' sorts above
+          // U+FFFF in bytes, below it in UTF-16). Partition values
+          // are ASCII by the format's own validation (where the
+          // orders agree), but the fold's correctness should not
+          // lean on that distant invariant.
+          def u8 = java.nio.charset.StandardCharsets.UTF_8
+          def cmp(a: String, b: String): Int = {
+            val (x, y) = (a.getBytes(u8), b.getBytes(u8))
+            var i = 0
+            val n = math.min(x.length, y.length)
+            while (i < n) {
+              val d = (x(i) & 0xff) - (y(i) & 0xff)
+              if (d != 0) return d
+              i += 1
+            }
+            x.length - y.length
+          }
           val l = lo.map(_.toString)
           val h = hi.map(_.toString)
           Some(keys.filter(k =>
-            l.forall(b => if (loInc) k >= b else k > b) &&
-            h.forall(b => if (hiInc) k <= b else k < b)).toSet)
+            l.forall(b => if (loInc) cmp(k, b) >= 0 else cmp(k, b) > 0) &&
+            h.forall(b => if (hiInc) cmp(k, b) <= 0 else cmp(k, b) < 0)).toSet)
         case Some(t) if t == ByteType || t == ShortType ||
             t == IntegerType || t == LongType || t == FloatType ||
             t == DoubleType || t.isInstanceOf[DecimalType] =>

@@ -425,14 +425,25 @@ case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
         // (the key's per-file min/max are always tracked): a partial-
         // update MERGE against a 100 TB table opens only the files
         // whose key range intersects the source's keys — two scalar
-        // aggregates driver-side buy a file-granularity scan cut
-        val bounds = src.agg(
-          org.apache.spark.sql.functions.min(expr(sourceKeyCol)),
-          org.apache.spark.sql.functions.max(expr(sourceKeyCol))).head()
+        // aggregates driver-side buy a file-granularity scan cut.
+        // ONLY when the source plan is deterministic: the bounds pass
+        // re-executes the source, and a non-deterministic source could
+        // produce join-time keys outside the measured range — those
+        // rows would silently miss their target row. (Assignments and
+        // conditions are already required deterministic; the source
+        // plan itself is the user's.)
+        val detSource = !sourcePlan.exists(_.expressions.exists(e =>
+          !e.deterministic || e.exists(!_.deterministic)))
         val tgtRows =
-          if (bounds.isNullAt(0)) target.limit(0) // empty/all-null source
-          else Snapshot.readWhere(spark, path, key,
-            bounds.get(0), bounds.get(1))
+          if (!detSource) target
+          else {
+            val bounds = src.agg(
+              org.apache.spark.sql.functions.min(expr(sourceKeyCol)),
+              org.apache.spark.sql.functions.max(expr(sourceKeyCol))).head()
+            if (bounds.isNullAt(0)) target.limit(0) // empty/all-null source
+            else Snapshot.readWhere(spark, path, key,
+              bounds.get(0), bounds.get(1))
+          }
         src.join(
           tgtRows.select(tCols.map(c => col(c).as(GraftDml.TgtPrefix + c)): _*),
           expr(sourceKeyCol) === col(GraftDml.TgtPrefix + key), "inner")

@@ -100,6 +100,10 @@ class GraftCatalogSpec extends SparkSpecBase {
       "AS SELECT * FROM rt_seed")
     assert(Snapshot.currentVersion(s"$rootDir/corpus/rt2") == 2 &&
       rowsOf(spark.table("gtest.corpus.rt2")) == rowsOf(seedFrame))
+    // plain REPLACE TABLE (no AS SELECT) empties — the truncate commit
+    spark.sql("REPLACE TABLE gtest.corpus.rt2 USING graft")
+    assert(Snapshot.currentVersion(s"$rootDir/corpus/rt2") == 3 &&
+      spark.table("gtest.corpus.rt2").count() == 0L)
   }
 
   test("plain CREATE TABLE commits v1 empty; INSERT/UPDATE/DELETE ride the transactional verbs by name") {
@@ -321,12 +325,17 @@ class GraftCatalogSpec extends SparkSpecBase {
       "a refused multi-change statement must not half-apply")
     assert(spark.table("gtest.multi.t").columns.toSet ==
       Set("id", "payload", "part"))
-    // the same two changes with a valid second apply both, one
-    // version per step (history shows every evolution)
+    // the same two changes with a valid second apply both as ONE
+    // commit — the statement is atomic even against concurrent
+    // commits, and the op string records every change
     cat.alterTable(ident,
       TableChange.renameColumn(Array("payload"), "body"),
       TableChange.addColumn(Array("lang"), org.apache.spark.sql.types.StringType))
-    assert(Snapshot.currentVersion(dir) == 3)
+    assert(Snapshot.currentVersion(dir) == 2,
+      "a multi-change ALTER statement is one commit")
+    val op = Snapshot.history(dir).last._2
+    assert(op.contains("rename_column(payload->body)") &&
+      op.contains("add_column(lang:string)"), s"op must record every change: $op")
     assert(spark.table("gtest.multi.t").columns.toSet ==
       Set("id", "body", "part", "lang"))
   }
