@@ -473,6 +473,43 @@ class GraftDataSourceSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_mc")
   }
 
+  test("partial-update MERGE prunes its target-row read to the source's ON-key range (measured bytes)") {
+    val t = fresh("mergeprune")
+    // 4000 keys over 4 partitions, 8 file ranges on (part, id) — the
+    // manifest's per-file id min/max are the pruning substrate
+    Snapshot.create(spark,
+      t, (0 until 4000).map(i => (i.toLong, s"pay_$i", s"p${i / 1000}"))
+        .toDF("id", "payload", "part"),
+      key = "id", partitionCol = "part", statsCols = Seq("id"),
+      fileRanges = 8)
+    spark.sql("DROP TABLE IF EXISTS graft_dsv2_mp")
+    spark.sql(s"CREATE TABLE graft_dsv2_mp USING graft LOCATION '$t'")
+    try {
+      // both sources: 8 keys in ONE partition (p0), so the rewrite
+      // cost is identical — the byte delta isolates the COMBINED
+      // JOIN's target-row read, which the narrow source's key range
+      // must prune to a file subset
+      Seq.tabulate(8)(i => (i.toLong, s"n$i"))
+        .toDF("id", "pl").createOrReplaceTempView("mp_narrow")
+      Seq.tabulate(8)(i => ((i * 125).toLong, s"w$i"))
+        .toDF("id", "pl").createOrReplaceTempView("mp_wide")
+      def bytesOf(view: String): Long = graft.dev.PlanAudit.measure(spark) {
+        spark.sql(s"MERGE INTO graft_dsv2_mp t USING $view s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET payload = concat(t.payload, '+', s.pl)")
+      }("input_bytes")
+      val narrow = bytesOf("mp_narrow") // ids 0..7: one id-range file
+      val wide = bytesOf("mp_wide")     // ids 0..875: spans p0's ranges
+      assert(narrow < wide,
+        s"narrow-key combined join must read fewer bytes ($narrow !< $wide)")
+      // and both landed correctly (the pruned read is a SUPERSET of
+      // matched rows — semantics never change)
+      val after = rowsOf(Snapshot.readLatest(spark, t))
+      assert(after.contains((0L, "pay_0+n0+w0", "p0")) &&
+        after.contains((875L, "pay_875+w7", "p0")) &&
+        after.contains((7L, "pay_7+n7", "p0")))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_mp")
+  }
+
   test("aggregate pushdown: count/min/max/sum answered from the manifest — proven by deleting every data file") {
     val t = fresh("agg")
     seed(t)
