@@ -2932,6 +2932,16 @@ object Oracles {
         |  n_chars + 10 AS n_chars
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
 
+    // PARTITION-SCOPED overwrite: exactly src3 is the transformed
+    // re-delivery; every other partition carries forward untouched
+    "snapshot_dsv2_overwrite_part" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE source <> 'src3'
+        |UNION ALL
+        |SELECT doc_id, text || ' [p]' AS text, lang, source,
+        |  n_chars * 2 AS n_chars
+        |FROM documents WHERE source = 'src3' AND doc_id % 2 = 0""".stripMargin,
+
     "snapshot_dsv2" ->
       """WITH s1 AS (
         |  SELECT doc_id,

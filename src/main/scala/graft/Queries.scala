@@ -2414,6 +2414,35 @@ object Queries {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  private val snapshotDsv2OverwritePartMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** PARTITION-SCOPED `INSERT OVERWRITE … PARTITION (source = 'src3')`
+    * — the daily-refresh verb: exactly one partition's rows replace
+    * with the statement's SELECT (the static spec binds the partition
+    * constant), every other partition's FILES carry forward verbatim
+    * (zero rewrite — the spec asserts byte-identity), one commit, the
+    * pre-refresh state time-travelable. The oracle replays the
+    * refresh relationally: src3 rows are the transformed re-delivery,
+    * everything else untouched. */
+  def snapshotDsv2OverwritePart(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotDsv2OverwritePartMemo.computeIfAbsent(dir, _ => {
+      val path = scratch("snapshot_dsv2owp", dir)
+      val docs = t(s, dir, "documents")
+      Snapshot.create(s, path, docs, key = "doc_id", partitionCol = "source")
+      s.sql("DROP TABLE IF EXISTS graft_dsv2_docs_owp")
+      s.sql(s"CREATE TABLE graft_dsv2_docs_owp USING graft LOCATION '$path'")
+      docs.createOrReplaceTempView("graft_dsv2_owp_src")
+      s.sql("INSERT OVERWRITE graft_dsv2_docs_owp PARTITION (source = 'src3') " +
+        "SELECT doc_id, concat(text, ' [p]') AS text, lang, " +
+        "n_chars * 2 AS n_chars FROM graft_dsv2_owp_src " +
+        "WHERE source = 'src3' AND doc_id % 2 = 0")
+      path
+    })
+    Snapshot.readLatest(s, p)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   /** TIME TRAVEL over the versioned snapshot table: after three
     * commits (create, merge, merge), read the table AS OF v2 — the
     * later commit must be invisible and v2's bytes still live. The
@@ -2785,6 +2814,7 @@ object Queries {
     "snapshot_dsv2_merge" -> snapshotDsv2Merge _,
     "snapshot_dsv2_merge_cond" -> snapshotDsv2MergeCond _,
     "snapshot_dsv2_overwrite" -> snapshotDsv2Overwrite _,
+    "snapshot_dsv2_overwrite_part" -> snapshotDsv2OverwritePart _,
     "snapshot_catalog" -> snapshotCatalog _,
     "snapshot_catalog_asof" -> snapshotCatalogAsof _,
     "snapshot_relayout" -> snapshotRelayout _,

@@ -1192,15 +1192,82 @@ object Snapshot {
   def truncate(spark: SparkSession, table: String): CommitStats =
     withCommitLock(table) { overwriteLocked(spark, table, None) }
 
-  private def overwriteLocked(spark: SparkSession, table: String,
-                              dfOpt: Option[DataFrame]): CommitStats = {
-    val cur = currentVersion(table)
-    require(cur > 0, s"snapshot $table does not exist")
-    val m = readManifest(table, cur)
+  /**
+   * PARTITION-SCOPED OVERWRITE — the daily-refresh verb: replace
+   * exactly the scoped partitions with the frame's rows as ONE commit,
+   * every other partition carried forward untouched (at 100 TB the
+   * everyday "reload today's partition" rewrites one partition's
+   * bytes, never the table's). Two scoping modes, both manifest-native
+   * (the manifest already keys file entries by partition value):
+   *
+   *  - `scope = None` (DYNAMIC — Spark's dynamic
+   *    partitionOverwriteMode semantics): the partitions the frame
+   *    CONTAINS replace; partitions absent from the frame are
+   *    untouched.
+   *  - `scope = Some(values)` (STATIC — SQL `INSERT OVERWRITE …
+   *    PARTITION (p = v)` semantics): exactly those partitions
+   *    replace — a scoped value the frame has no rows for EMPTIES;
+   *    frame rows OUTSIDE the scope refuse (never silently widened).
+   *
+   * The table contract carries forward; CHECK constraints,
+   * expectations, partition validity and the manifest guards all
+   * enforce, and the pre-overwrite state stays time-travelable.
+   */
+  def overwritePartitions(spark: SparkSession, table: String, df: DataFrame,
+                          scope: Option[Set[String]] = None): CommitStats =
+    withCommitLock(table) {
+      val cur = currentVersion(table)
+      require(cur > 0, s"snapshot $table does not exist")
+      val m = readManifest(table, cur)
+      val aligned = alignForReplace(spark, table, m, Some(df))
+      enforceConstraints(aligned, m.constraints)
+      enforceExpectations(aligned, m.expects)
+      validatePartitionValues(aligned, m.partitionCol)
+      val cached = OpCache.cache(aligned)
+      try {
+        val dfParts = cached.select(col(m.partitionCol).cast("string"))
+          .distinct().collect().map(_.getString(0)).toSet
+        scope.foreach { s =>
+          val outside = dfParts -- s
+          require(outside.isEmpty,
+            s"snapshot overwritePartitions: frame carries rows for " +
+              s"partition(s) ${outside.toSeq.sorted.mkString(",")} outside " +
+              s"the static scope ${s.toSeq.sorted.mkString(",")} — a static " +
+              "PARTITION spec is exact, never silently widened")
+        }
+        val affected = scope.getOrElse(dfParts)
+        val v = cur + 1
+        if (dfParts.nonEmpty)
+          writeCommit(cached, table, v, m.partitionCol, m.key, m.layout,
+            m.columnMap)
+        val fresh =
+          if (dfParts.isEmpty) Map.empty[String, Seq[FileEntry]]
+          else commitEntries(spark, table, v, m.statsCols, m.bloomCols,
+            m.bloomBits, m.bloomK, m.hllCols, m.hllP)
+        val opScope = {
+          val s = affected.toSeq.sorted
+          if (s.size <= 8) s.mkString(",")
+          else s.take(8).mkString(",") + s",… +${s.size - 8} more"
+        }
+        writeManifestReclaiming(table, m.copy(version = v, parent = cur,
+          op = s"overwrite_partitions($opScope)",
+          partitions = m.partitions.filterNot(e => affected.contains(e._1))
+            ++ fresh))
+        CommitStats(v, fresh.keys.toSeq.sorted,
+          affected.filterNot(fresh.contains).toSeq.sorted,
+          fresh.values.map(_.size).sum)
+      } finally OpCache.unpersistEager(cached)
+    }
+
+  /** Align a replace frame to the table's current schema (exact-match
+    * contract: overwrite replaces state, it does not evolve schema);
+    * None builds the truncate frame — empty at the current schema. */
+  private def alignForReplace(spark: SparkSession, table: String,
+                              m: Manifest, dfOpt: Option[DataFrame]): DataFrame = {
     val tableCols =
       if (m.schemaDdl.nonEmpty) StructType.fromDDL(m.schemaDdl)
       else readManifestFiles(spark, table, m).schema
-    val aligned = dfOpt match {
+    dfOpt match {
       case None => // truncate: empty frame of the current schema
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -1223,6 +1290,14 @@ object Snapshot {
         }
         df.select(tableCols.fieldNames.map(col).toSeq: _*)
     }
+  }
+
+  private def overwriteLocked(spark: SparkSession, table: String,
+                              dfOpt: Option[DataFrame]): CommitStats = {
+    val cur = currentVersion(table)
+    require(cur > 0, s"snapshot $table does not exist")
+    val m = readManifest(table, cur)
+    val aligned = alignForReplace(spark, table, m, dfOpt)
     enforceConstraints(aligned, m.constraints)
     enforceExpectations(aligned, m.expects)
     validatePartitionValues(aligned, m.partitionCol)

@@ -382,6 +382,15 @@ private[graft] class GraftTable(private[graft] val path: String,
     caps
   }
 
+  /** The declared partition column, surfaced as v2 partitioning so
+    * SQL's `INSERT OVERWRITE … PARTITION (col = v)` resolves (and
+    * DESCRIBE shows the layout). */
+  override def partitioning(): Array[org.apache.spark.sql.connector
+      .expressions.Transform] = {
+    val pc = Snapshot.readManifest(path, resolvedVersion).partitionCol
+    Array(org.apache.spark.sql.connector.expressions.Expressions.identity(pc))
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, resolvedVersion, schema())
 
@@ -420,7 +429,8 @@ private[graft] class GraftTable(private[graft] val path: String,
   * frame becomes the table's whole visible state, old files stay
   * owned by history (time travel intact), the same gates enforced. */
 private[graft] class GraftWriteBuilder(path: String, pinned: Boolean,
-                                       replace: Boolean = false)
+                                       replace: Boolean = false,
+                                       partScope: Option[Set[String]] = None)
   extends WriteBuilder
   with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
@@ -432,12 +442,35 @@ private[graft] class GraftWriteBuilder(path: String, pinned: Boolean,
   override def truncate(): WriteBuilder =
     new GraftWriteBuilder(path, pinned, replace = true)
 
+  /** A predicated overwrite is accepted in exactly ONE shape: a
+    * static partition scope — equality/IN on the PARTITION column
+    * (`INSERT OVERWRITE t PARTITION (part = 'p0')`, `df.writeTo(t)
+    * .overwrite(col("part") === "p0")`) — which lands as the
+    * partition-scoped replace commit. Anything else refuses:
+    * unconditional replace or bounded predicate DML, never a silent
+    * in-between. */
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    require(filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue),
-      "graft: INSERT OVERWRITE with a predicate is not supported — " +
-        "unconditional overwrite replaces the table; predicate DML " +
-        "(DELETE/UPDATE) are the bounded rewrite commits")
-    truncate()
+    if (filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue))
+      return truncate()
+    val pc = Snapshot.readManifest(path,
+      Snapshot.currentVersion(path)).partitionCol
+    val scope = scala.collection.mutable.Set.empty[String]
+    filters.foreach {
+      case org.apache.spark.sql.sources.AlwaysTrue => ()
+      case IsNotNull(c) if c == pc => () // rides along with equality
+      case EqualTo(c, v) if c == pc && v != null => scope += v.toString
+      case EqualNullSafe(c, v) if c == pc && v != null => scope += v.toString
+      case In(c, vs) if c == pc && vs.forall(_ != null) =>
+        scope ++= vs.map(_.toString)
+      case f => throw new IllegalArgumentException(
+        s"graft: INSERT OVERWRITE supports only a static PARTITION scope " +
+          s"(equality/IN on '$pc') or the unconditional replace — got $f; " +
+          "predicate DML (DELETE/UPDATE) are the bounded rewrite commits")
+    }
+    require(scope.nonEmpty,
+      "graft: INSERT OVERWRITE partition scope resolved empty — give " +
+        s"equality/IN on '$pc' or overwrite unconditionally")
+    new GraftWriteBuilder(path, pinned, partScope = Some(scope.toSet))
   }
 
   override def build(): Write = new V1Write {
@@ -447,7 +480,10 @@ private[graft] class GraftWriteBuilder(path: String, pinned: Boolean,
           require(!pinned,
             "graft: cannot INSERT through a versionAsOf/tag-pinned reference " +
               "— address the table without time-travel options to write")
-          if (replace || overwrite)
+          if (partScope.isDefined)
+            Snapshot.overwritePartitions(data.sparkSession, path, data,
+              partScope)
+          else if (replace || overwrite)
             Snapshot.overwrite(data.sparkSession, path, data)
           else {
             val m = Snapshot.readManifest(path, Snapshot.currentVersion(path))

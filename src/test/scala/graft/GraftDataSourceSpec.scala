@@ -473,6 +473,59 @@ class GraftDataSourceSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_mc")
   }
 
+  test("partition-scoped INSERT OVERWRITE: the daily-refresh verb — one partition replaces, the rest carry forward untouched") {
+    val t = fresh("owpart")
+    seed(t) // ids 0..39, parts p0..p3 (10 rows each)
+    spark.sql("DROP TABLE IF EXISTS graft_dsv2_owp")
+    spark.sql(s"CREATE TABLE graft_dsv2_owp USING graft LOCATION '$t'")
+    try {
+      val before = rowsOf(Snapshot.readLatest(spark, t))
+      // static SQL scope: replace exactly p1 with two fresh rows
+      spark.sql("INSERT OVERWRITE graft_dsv2_owp PARTITION (part = 'p1') " +
+        "VALUES (500, 'fresh_500'), (501, 'fresh_501')")
+      val r1 = rowsOf(Snapshot.readLatest(spark, t))
+      assert(r1.filter(_._3 == "p1") ==
+        Set((500L, "fresh_500", "p1"), (501L, "fresh_501", "p1")),
+        s"p1 must hold exactly the fresh rows, got ${r1.filter(_._3 == "p1")}")
+      assert(r1.filter(_._3 != "p1") == before.filter(_._3 != "p1"),
+        "every other partition must carry forward untouched")
+      assert(Snapshot.history(t).last._2.startsWith("overwrite_partitions(") &&
+        Snapshot.history(t).last._2.contains("p1"))
+      // the pre-refresh state time-travels
+      assert(rowsOf(Snapshot.readAt(spark, t, 1)) == before)
+      // carried-forward partitions did NOT rewrite: their files are
+      // byte-identical manifest entries from v1
+      val (m1, m2) = (Snapshot.readManifest(t, 1), Snapshot.readManifest(t, 2))
+      assert(m2.partitions("p0").map(_.path) == m1.partitions("p0").map(_.path),
+        "untouched partitions must keep their v1 files verbatim")
+      // frame rows OUTSIDE the static scope refuse, version untouched
+      // (SQL's PARTITION spec binds the constant so rows cannot escape
+      // the scope through SQL — the refusal shape is API-level)
+      val v = Snapshot.currentVersion(t)
+      intercept[Exception] {
+        Snapshot.overwritePartitions(spark, t,
+          Seq((700L, "x", "p3")).toDF("id", "payload", "part"),
+          scope = Some(Set("p2")))
+      }
+      assert(Snapshot.currentVersion(t) == v, "refusals must not commit")
+      // DYNAMIC scope (Scala API): the frame's partitions replace,
+      // absent partitions untouched; an emptied static scope EMPTIES
+      Snapshot.overwritePartitions(spark, t,
+        Seq((800L, "d800", "p2"), (801L, "d801", "p3"))
+          .toDF("id", "payload", "part"))
+      val r2 = rowsOf(Snapshot.readLatest(spark, t))
+      assert(r2.filter(_._3 == "p2") == Set((800L, "d800", "p2")) &&
+        r2.filter(_._3 == "p3") == Set((801L, "d801", "p3")) &&
+        r2.filter(_._3 == "p0") == before.filter(_._3 == "p0"),
+        s"dynamic overwrite replaces only the frame's partitions, got $r2")
+      Snapshot.overwritePartitions(spark, t,
+        Seq.empty[(Long, String, String)].toDF("id", "payload", "part"),
+        scope = Some(Set("p0")))
+      assert(!rowsOf(Snapshot.readLatest(spark, t)).exists(_._3 == "p0"),
+        "a static scope the frame has no rows for must EMPTY")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_owp")
+  }
+
   test("partial-update MERGE prunes its target-row read to the source's ON-key range (measured bytes)") {
     val t = fresh("mergeprune")
     // 4000 keys over 4 partitions, 8 file ranges on (part, id) — the
