@@ -1200,10 +1200,13 @@ object Snapshot {
    * bytes, never the table's). Two scoping modes, both manifest-native
    * (the manifest already keys file entries by partition value):
    *
-   *  - `scope = None` (DYNAMIC — Spark's dynamic
-   *    partitionOverwriteMode semantics): the partitions the frame
-   *    CONTAINS replace; partitions absent from the frame are
-   *    untouched.
+   *  - `scope = None` (DYNAMIC — the semantics of Spark's dynamic
+   *    partitionOverwriteMode; SQL's dynamic conf mode itself needs a
+   *    v2 BatchWrite the V1 bridge cannot provide, so THIS API is the
+   *    dynamic path): the partitions the frame CONTAINS replace;
+   *    partitions absent from the frame are untouched. A dynamic
+   *    refresh that delivers ZERO rows commits NOTHING (no silent
+   *    version bump masking an upstream failure).
    *  - `scope = Some(values)` (STATIC — SQL `INSERT OVERWRITE …
    *    PARTITION (p = v)` semantics): exactly those partitions
    *    replace — a scoped value the frame has no rows for EMPTIES;
@@ -1235,6 +1238,11 @@ object Snapshot {
               s"the static scope ${s.toSeq.sorted.mkString(",")} — a static " +
               "PARTITION spec is exact, never silently widened")
         }
+        if (scope.isEmpty && dfParts.isEmpty)
+          // dynamic + empty delivery: nothing to replace — do NOT
+          // burn a version on a no-op (an accidentally-empty upstream
+          // should not look like a successful refresh)
+          return CommitStats(cur, Nil, Nil, 0)
         val affected = scope.getOrElse(dfParts)
         val v = cur + 1
         if (dfParts.nonEmpty)
@@ -1506,12 +1514,6 @@ object Snapshot {
       columnMap = newMap)
   }
 
-  /** Validate a multi-step evolution WITHOUT committing: fold each
-    * step over the current manifest (each validated against the state
-    * its predecessors produce), throwing on the first refusal — the
-    * all-or-nothing pre-flight a multi-change `ALTER TABLE` statement
-    * runs before committing any step, so a late refusal can never
-    * leave the statement half-applied. */
   /** Publish a new version whose live file set IS `toVersion`'s — an
     * O(manifest) undo. History is preserved (rollback is itself a
     * commit); the rolled-back-over versions stay readable. */

@@ -262,10 +262,19 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         s"graft catalog: REPLACE TABLE cannot change the key " +
           s"('$k' vs the table's '${m.key}') — the contract is a table " +
           "property; redefine via DROP TABLE ... PURGE + CREATE"))
-    val declaredPart = partitions.toSeq.collectFirst {
+    // same transform discipline as createSpec: only a single identity
+    // PARTITIONED BY (col) is expressible — a bucket/multi-column spec
+    // must REFUSE, never silently drop to the inherited contract
+    val declaredParts = partitions.toSeq.map {
       case t: Transform if t.name == "identity" && t.references.length == 1 =>
         t.references.head.fieldNames.mkString(".")
-    }.orElse(Option(properties.get("partitionCol")))
+      case t => throw new IllegalArgumentException(
+        s"graft catalog: only PARTITIONED BY (column) is supported, got $t")
+    }
+    require(declaredParts.size <= 1,
+      "graft catalog: at most one partition column")
+    val declaredPart = declaredParts.headOption
+      .orElse(Option(properties.get("partitionCol")))
     declaredPart.filter(_ != m.partitionCol).foreach(p =>
       throw new IllegalArgumentException(
         s"graft catalog: REPLACE TABLE cannot change the partition column " +
@@ -583,10 +592,33 @@ private[graft] class GraftStagedTable(ident: Identifier, dir: String,
         partitionCol = part, statsCols = Seq(key))
     case None if replace =>
       // plain REPLACE TABLE (no AS SELECT): empty the table — the
-      // truncate commit, mirroring plain CREATE's empty v1
-      Snapshot.truncate(SparkSession.active, dir)
-    case None => throw new IllegalStateException(
-      s"graft catalog: staged CTAS for $ident committed without a write")
+      // truncate commit, mirroring plain CREATE's empty v1. A declared
+      // column list that DISAGREES with the manifest refuses like the
+      // AS SELECT path's exact-match check (silently ignoring the
+      // user's columns would be worse than either honoring or
+      // refusing them).
+      val spark = SparkSession.active
+      if (tableSchema.nonEmpty) {
+        val cur = graft.sources.GraftDataSource.logicalSchema(
+          dir, Snapshot.currentVersion(dir))
+        val want = tableSchema.fields.map(f => f.name -> f.dataType.sql).toSet
+        val have = cur.fields.map(f => f.name -> f.dataType.sql).toSet
+        require(want == have,
+          s"graft catalog: REPLACE TABLE $ident declares a column list " +
+            "that differs from the table's schema — overwrite replaces " +
+            "STATE, not schema (evolve via ALTER TABLE, or redefine via " +
+            "DROP TABLE ... PURGE + CREATE)")
+      }
+      Snapshot.truncate(spark, dir)
+    case None =>
+      // plain CREATE OR REPLACE on a MISSING table (no AS SELECT):
+      // mirror plain CREATE's empty v1
+      store.mkdirs(dir.substring(0, dir.lastIndexOf('/')))
+      val spark = SparkSession.active
+      val empty = spark.createDataFrame(
+        Collections.emptyList[org.apache.spark.sql.Row](), tableSchema)
+      Snapshot.create(spark, dir, empty, key = key,
+        partitionCol = part, statsCols = Seq(key))
   }
 
   override def abortStagedChanges(): Unit = () // nothing was written

@@ -384,12 +384,16 @@ private[graft] class GraftTable(private[graft] val path: String,
 
   /** The declared partition column, surfaced as v2 partitioning so
     * SQL's `INSERT OVERWRITE … PARTITION (col = v)` resolves (and
-    * DESCRIBE shows the layout). */
-  override def partitioning(): Array[org.apache.spark.sql.connector
-      .expressions.Transform] = {
+    * DESCRIBE shows the layout). Lazy: Spark consults partitioning
+    * during analysis of every query touching the table, and the
+    * partition column is immutable for a (path, version). */
+  private lazy val partitionTransforms: Array[org.apache.spark.sql
+      .connector.expressions.Transform] = {
     val pc = Snapshot.readManifest(path, resolvedVersion).partitionCol
     Array(org.apache.spark.sql.connector.expressions.Expressions.identity(pc))
   }
+  override def partitioning(): Array[org.apache.spark.sql.connector
+      .expressions.Transform] = partitionTransforms
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(path, resolvedVersion, schema())

@@ -432,8 +432,10 @@ case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
         // rows would silently miss their target row. (Assignments and
         // conditions are already required deterministic; the source
         // plan itself is the user's.)
-        val detSource = !sourcePlan.exists(_.expressions.exists(e =>
-          !e.deterministic || e.exists(!_.deterministic)))
+        // Expression.deterministic already folds over children (and
+        // PlanExpression over its subquery plan), so one check per
+        // top-level expression covers every subtree
+        val detSource = !sourcePlan.exists(_.expressions.exists(!_.deterministic))
         val tgtRows =
           if (!detSource) target
           else {

@@ -104,6 +104,20 @@ class GraftCatalogSpec extends SparkSpecBase {
     spark.sql("REPLACE TABLE gtest.corpus.rt2 USING graft")
     assert(Snapshot.currentVersion(s"$rootDir/corpus/rt2") == 3 &&
       spark.table("gtest.corpus.rt2").count() == 0L)
+    // ... but a DECLARED column list that disagrees refuses — never
+    // silently ignored
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE gtest.corpus.rt2 " +
+        "(id BIGINT, other STRING) USING graft")
+    }
+    assert(Snapshot.currentVersion(s"$rootDir/corpus/rt2") == 3)
+    // plain CREATE OR REPLACE on a MISSING table (no AS SELECT)
+    // mirrors plain CREATE's empty v1
+    spark.sql("CREATE OR REPLACE TABLE gtest.corpus.rt3 " +
+      "(id BIGINT, payload STRING, part STRING) USING graft " +
+      "TBLPROPERTIES ('key'='id','partitionCol'='part')")
+    assert(Snapshot.currentVersion(s"$rootDir/corpus/rt3") == 1 &&
+      spark.table("gtest.corpus.rt3").count() == 0L)
   }
 
   test("plain CREATE TABLE commits v1 empty; INSERT/UPDATE/DELETE ride the transactional verbs by name") {

@@ -523,6 +523,13 @@ class GraftDataSourceSpec extends SparkSpecBase {
         scope = Some(Set("p0")))
       assert(!rowsOf(Snapshot.readLatest(spark, t)).exists(_._3 == "p0"),
         "a static scope the frame has no rows for must EMPTY")
+      // a DYNAMIC refresh delivering zero rows commits NOTHING — an
+      // accidentally-empty upstream must not look like a refresh
+      val vAfter = Snapshot.currentVersion(t)
+      Snapshot.overwritePartitions(spark, t,
+        Seq.empty[(Long, String, String)].toDF("id", "payload", "part"))
+      assert(Snapshot.currentVersion(t) == vAfter,
+        "dynamic + empty delivery must not burn a version")
     } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_owp")
   }
 
