@@ -135,19 +135,19 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"runs":$runs,"sf":"$sfDir"}"""
-    // A driver-style run (no explicit out file, CWD is the repo root —
-    // detectable by the committed BENCH_r*.json artifacts) writes the
-    // line under the PER-ROUND name the repo commits (round = max
-    // existing BENCH_r + 1: the driver stamps its round file after this
-    // bench), so the driver artifact's `detail` pointer lands on a file
-    // that exists in the repo instead of the generic scratch name.
+    // Output resolution: SPARK_GRAFT_BENCH_OUT names the file
+    // explicitly; SPARK_GRAFT_BENCH_ROUND=<n> (the builder's opt-in
+    // when recording a round artifact) writes the per-round name the
+    // repo commits. Everything else — targeted single-query runs,
+    // driver-invoked runs — lands on the scratch default, so a stray
+    // run can never clobber a committed round artifact or steal the
+    // NEXT round's name.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
-      val rounds = Option(new java.io.File(".").listFiles()).toSeq.flatten
-        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r
-          .findFirstMatchIn(f.getName).map(_.group(1).toInt))
       val sfTag = new java.io.File(sfDir).getName.replace(".", "")
-      if (rounds.isEmpty) "bench_out.json"
-      else f"bench_out_r${rounds.max + 1}%02d_$sfTag%s.json"
+      sys.env.get("SPARK_GRAFT_BENCH_ROUND")
+        .flatMap(r => scala.util.Try(r.trim.toInt).toOption)
+        .map(r => f"bench_out_r$r%02d_$sfTag%s.json")
+        .getOrElse("bench_out.json")
     })
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: $e") }

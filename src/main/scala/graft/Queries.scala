@@ -58,16 +58,13 @@ object Queries {
   private val scratchRoot: String = {
     val r = s"${System.getProperty("java.io.tmpdir")}/graft_scratch_" +
       s"${ProcessHandle.current().pid()}_${java.util.UUID.randomUUID().toString.take(8)}"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(r))
+    // scratch IO rides the LogStore fabric like every operator's
+    // metadata IO, so catalog-query scratch works unchanged on a
+    // scheme-qualified tmpdir
+    val store = graft.operators.LogStore.forPath(r)
+    store.mkdirs(r)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      try {
-        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(r))
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.toSeq.reverse
-            .foreach(p => try java.nio.file.Files.delete(p) catch { case _: Exception => () })
-        } finally walk.close()
-      } catch { case _: Exception => () }
+      try store.deleteTree(r) catch { case _: Exception => () }
     }))
     r
   }

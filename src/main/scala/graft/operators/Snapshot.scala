@@ -1695,6 +1695,32 @@ object Snapshot {
     readAt(spark, table, cur)
   }
 
+  /** Compare strings in UTF-8 BINARY order — Spark's UTF8String
+    * collation, the order every manifest string stat was computed
+    * under. Java's natural `<`/`>` compares UTF-16 code units, which
+    * DISAGREES for supplementary-plane text ('😀' sorts above U+FFFF
+    * in bytes, below it in UTF-16) — a pruning pass mixing the two
+    * orders can wrongly drop a file whose range really admits the
+    * predicate, and pruning must never be a semantics change. Every
+    * string stat comparison in this object (and the connector's
+    * folds) goes through here. */
+  private[graft] def cmpUtf8(a: String, b: String): Int = {
+    val u8 = java.nio.charset.StandardCharsets.UTF_8
+    val (x, y) = (a.getBytes(u8), b.getBytes(u8))
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** [[cmpUtf8]] as an Ordering (min/max folds over stat strings). */
+  private[graft] val utf8Ordering: Ordering[String] =
+    (a: String, b: String) => cmpUtf8(a, b)
+
   /** Does `[min,max]` (stats strings of `kind`) intersect `[lo,hi]`?
     * All-null files (no min/max) never match a range predicate. */
   private def admits(cs: ColStats, lo: Any, hi: Any): Boolean =
@@ -1703,7 +1729,7 @@ object Snapshot {
         val (l, h) = (BigDecimal(lo.toString), BigDecimal(hi.toString))
         BigDecimal(mx) >= l && BigDecimal(mn) <= h
       case (Some(mn), Some(mx)) =>
-        mx >= lo.toString && mn <= hi.toString
+        cmpUtf8(mx, lo.toString) >= 0 && cmpUtf8(mn, hi.toString) <= 0
       case _ => false
     }
 
@@ -1730,7 +1756,7 @@ object Snapshot {
             val (l, h) = bounds.get
             val v = nums(p).get
             v >= l && v <= h
-          } else p >= lo.toString && p <= hi.toString
+          } else cmpUtf8(p, lo.toString) >= 0 && cmpUtf8(p, hi.toString) <= 0
         }.values.flatten.toSeq
       } else {
         require(m.statsCols.contains(column),
@@ -1978,7 +2004,8 @@ object Snapshot {
             lo.forall(l => BigDecimal(fMax) >= BigDecimal(l.toString)) &&
               hi.forall(h => BigDecimal(fMin) <= BigDecimal(h.toString))
           else
-            lo.forall(l => fMax >= l.toString) && hi.forall(h => fMin <= h.toString)
+            lo.forall(l => cmpUtf8(fMax, l.toString) >= 0) &&
+              hi.forall(h => cmpUtf8(fMin, h.toString) <= 0)
         case _ => false
       }
     val kept =
@@ -1991,7 +2018,8 @@ object Snapshot {
           if (numeric)
             lo.forall(l => nums(p).get >= BigDecimal(l.toString)) &&
               hi.forall(h => nums(p).get <= BigDecimal(h.toString))
-          else lo.forall(l => p >= l.toString) && hi.forall(h => p <= h.toString)
+          else lo.forall(l => cmpUtf8(p, l.toString) >= 0) &&
+            hi.forall(h => cmpUtf8(p, h.toString) <= 0)
         }.values.flatten.toSeq
       } else {
         require(m.statsCols.contains(column),
@@ -2533,14 +2561,14 @@ object Snapshot {
       if (xs.isEmpty) None
       else if (xs.head.kind == "num")
         Some(xs.map(cs => cs.min.get).minBy(BigDecimal(_)))
-      else Some(xs.map(_.min.get).min)
+      else Some(xs.map(_.min.get).min(utf8Ordering))
     }
     def foldMax(c: String): Option[String] = {
       val xs = clean.flatMap(_.stats.get(c)).filter(_.max.isDefined)
       if (xs.isEmpty) None
       else if (xs.head.kind == "num")
         Some(xs.map(cs => cs.max.get).maxBy(BigDecimal(_)))
-      else Some(xs.map(_.max.get).max)
+      else Some(xs.map(_.max.get).max(utf8Ordering))
     }
 
     val sumSet = sums.toSet

@@ -615,18 +615,7 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
           // are ASCII by the format's own validation (where the
           // orders agree), but the fold's correctness should not
           // lean on that distant invariant.
-          def u8 = java.nio.charset.StandardCharsets.UTF_8
-          def cmp(a: String, b: String): Int = {
-            val (x, y) = (a.getBytes(u8), b.getBytes(u8))
-            var i = 0
-            val n = math.min(x.length, y.length)
-            while (i < n) {
-              val d = (x(i) & 0xff) - (y(i) & 0xff)
-              if (d != 0) return d
-              i += 1
-            }
-            x.length - y.length
-          }
+          def cmp(a: String, b: String): Int = Snapshot.cmpUtf8(a, b)
           val l = lo.map(_.toString)
           val h = hi.map(_.toString)
           Some(keys.filter(k =>
@@ -801,19 +790,21 @@ private[graft] class GraftAggScan(path: String, version: Int,
     }: _*)
   }
 
+  // string folds compare in UTF-8 binary order (Snapshot.utf8Ordering)
+  // — the collation the stats were computed under, not Java's UTF-16
   private def foldMin(entries: Seq[Snapshot.FileEntry], c: String): Option[String] = {
     val xs = entries.flatMap(_.stats.get(c)).filter(_.min.isDefined)
     if (xs.isEmpty) None
     else if (xs.head.kind == "num")
       Some(xs.map(_.min.get).minBy(BigDecimal(_)))
-    else Some(xs.map(_.min.get).min)
+    else Some(xs.map(_.min.get).min(Snapshot.utf8Ordering))
   }
   private def foldMax(entries: Seq[Snapshot.FileEntry], c: String): Option[String] = {
     val xs = entries.flatMap(_.stats.get(c)).filter(_.max.isDefined)
     if (xs.isEmpty) None
     else if (xs.head.kind == "num")
       Some(xs.map(_.max.get).maxBy(BigDecimal(_)))
-    else Some(xs.map(_.max.get).max)
+    else Some(xs.map(_.max.get).max(Snapshot.utf8Ordering))
   }
 
   /** One fold over `entries`, rendered as the stat strings (cast once

@@ -381,7 +381,23 @@ case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
 
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{coalesce, lit}
-    val src = org.apache.spark.sql.graft.SqlBridge.ofRows(spark, sourcePlan)
+    // the source plan feeds up to four branches (key-bounds aggregate,
+    // matched join, insert anti-join, by-source key probe) — cache it
+    // ONCE so every branch observes a single materialization even when
+    // the underlying files change mid-statement (e.g. another table
+    // receiving a concurrent commit between branch executions). Cache
+    // is best-effort (evicted blocks recompute), so the determinism
+    // gate on the pruning fast path below still stands — this closes
+    // the read-stability window, not the non-deterministic-expression
+    // hazard.
+    val src = graft.operators.OpCache.cache(
+      org.apache.spark.sql.graft.SqlBridge.ofRows(spark, sourcePlan))
+    try runWith(spark, src) finally graft.operators.OpCache.unpersistEager(src)
+  }
+
+  private def runWith(spark: SparkSession,
+                      src: org.apache.spark.sql.DataFrame): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
     val target = Snapshot.readLatest(spark, path)
     val tCols = target.columns.toSeq
     val targetKeys = target.select(col(key))

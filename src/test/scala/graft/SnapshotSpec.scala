@@ -860,4 +860,35 @@ class SnapshotSpec extends SparkSpecBase {
     assert(Snapshot.currentVersion(t) == 2)
     assert(Snapshot.readLatest(spark, t).filter(col("qty") <= 0).count() == 0)
   }
+
+  test("string stats pruning compares in UTF-8 binary order (supplementary-plane text is never wrongly pruned)") {
+    // '😀' (U+1F600) sorts ABOVE U+FFFF in UTF-8 bytes (F0 9F 98 80 >
+    // EF BF BF) but BELOW it in Java's UTF-16 code-unit order (D83D <
+    // FFFF). A file whose payload max is '😀' must therefore ADMIT a
+    // range starting at '￿￿' — Java-order comparison would
+    // prune it and silently lose the matching row (the readWhere
+    // re-applied filter cannot resurrect a pruned file).
+    val t = fresh("utf8ord")
+    val df = Seq(
+      (1L, "￿", "p1"), (2L, "😀", "p1"), // one file: min/max straddle the orders
+      (3L, "alpha", "p2")).toDF("id", "payload", "part")
+    Snapshot.create(spark, t, df, "id", "part", statsCols = Seq("payload"))
+    val lo = "￿￿"
+    val hi = "😀"
+    // Spark itself agrees the emoji row matches the range
+    assert(Snapshot.readLatest(spark, t)
+      .filter(col("payload") >= lit(lo) && col("payload") <= lit(hi))
+      .count() == 1)
+    // bounded range (admits), open bound (pruneBounds) and the served
+    // read all keep the file and the row
+    assert(Snapshot.pruneRange(t, "payload", lo, hi)._1.nonEmpty)
+    assert(Snapshot.pruneBounds(t, "payload", Some(lo), None)._1.nonEmpty)
+    assert(Snapshot.readWhere(spark, t, "payload", lo, hi)
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // the manifest-only MIN/MAX fold picks winners in UTF-8 order too:
+    // max over {'￿','😀','alpha'} is '😀', not '￿'
+    val agg = Snapshot.aggStats(spark, t, Seq("payload")).collect().head
+    assert(agg.getAs[String]("max_payload") == "😀")
+    assert(agg.getAs[String]("min_payload") == "alpha")
+  }
 }
