@@ -2925,6 +2925,53 @@ object Oracles {
         |  CAST(NULL AS VARCHAR) AS lang, source, n_chars
         |FROM documents WHERE doc_id % 13 = 5 AND n_chars <= 300""".stripMargin,
 
+    // DSv2 MERGE with a COMPOUND ON (key equality AND t.source =
+    // s.src2): matched pairs satisfy BOTH conjuncts (even doc_id%5=1
+    // rows, whose src2 is the real source) and update; key-equal pairs
+    // whose extra conjunct fails (odd doc_id%5=1 rows, src2='srcX')
+    // are NOT matched, so the source row INSERTS — replacing the
+    // key's existing row (the keyed format's upsert contract) with
+    // null-padded text/lang and partition srcX; genuinely new keys
+    // (+3000000) insert alongside
+    "snapshot_dsv2_merge_on" ->
+      """WITH m AS (
+        |  SELECT doc_id, 3 * n_chars AS nc,
+        |    CASE WHEN doc_id % 2 = 0 THEN source ELSE 'srcX' END AS src2
+        |  FROM documents WHERE doc_id % 5 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, n_chars AS nc, source AS src2
+        |  FROM documents WHERE doc_id % 19 = 2),
+        |matched AS (
+        |  SELECT d.doc_id, d.text || ' [on]' AS text, d.lang, d.source,
+        |    d.n_chars + m.nc AS n_chars
+        |  FROM documents d JOIN m ON d.doc_id = m.doc_id AND d.source = m.src2),
+        |ins AS (
+        |  SELECT m.doc_id, CAST(NULL AS VARCHAR) AS text,
+        |    CAST(NULL AS VARCHAR) AS lang, m.src2 AS source, m.nc AS n_chars
+        |  FROM m LEFT JOIN documents d
+        |    ON d.doc_id = m.doc_id AND d.source = m.src2
+        |  WHERE d.doc_id IS NULL)
+        |SELECT doc_id, text, lang, source, n_chars FROM matched
+        |UNION ALL
+        |SELECT doc_id, text, lang, source, n_chars FROM ins
+        |UNION ALL
+        |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM matched)
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM ins)""".stripMargin,
+
+    // IN-list DELETE/UPDATE through the connector: three statements
+    // replayed relationally — the IN delete (with an absent key), the
+    // IN update, and an IN AND-ed with a range (only 202/203 pass)
+    "snapshot_dsv2_dml_in" ->
+      """SELECT doc_id, text,
+        |  CASE WHEN doc_id IN (202, 203) THEN 'zz' ELSE lang END AS lang,
+        |  source,
+        |  CASE WHEN doc_id IN (55, 66, 77) THEN n_chars + 500
+        |       ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE doc_id NOT IN (11, 22, 33, 44, 1234567)""".stripMargin,
+
     // DSv2 INSERT OVERWRITE: one transactional replace commit — the
     // SELECT's result IS the table afterward (old state time-travelable)
     "snapshot_dsv2_overwrite" ->

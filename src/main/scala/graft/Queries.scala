@@ -2231,6 +2231,39 @@ object Queries {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  private val snapshotDsv2DmlInMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SQL DELETE/UPDATE with IN-LIST conditions through the connector:
+    * `WHERE key IN (…)` — the erasure-batch shape — routes onto the
+    * same pruned copy-on-write commits as ranges, with candidate
+    * files named by the POINT-LOOKUP stack (per-file key min/max +
+    * blooms, [[graft.operators.Snapshot.pruneIn]]): an absent key in
+    * the list costs no IO, and an IN AND-ed with a range intersects
+    * both prunings. The oracle replays all three statements
+    * relationally, so hash equality proves IN-list DML ≡ the
+    * transactional Scala DML. */
+  def snapshotDsv2DmlIn(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotDsv2DmlInMemo.computeIfAbsent(dir, _ => {
+      val path = scratch("snapshot_dsv2in", dir)
+      Snapshot.create(s, path, t(s, dir, "documents"), key = "doc_id",
+        partitionCol = "source", statsCols = Seq("doc_id"), fileRanges = 8,
+        bloomCols = Seq("doc_id"))
+      s.sql("DROP TABLE IF EXISTS graft_dsv2_docs_in")
+      s.sql(s"CREATE TABLE graft_dsv2_docs_in USING graft LOCATION '$path'")
+      // 1234567 is absent: the bloom proves it, zero extra candidates
+      s.sql("DELETE FROM graft_dsv2_docs_in " +
+        "WHERE doc_id IN (11, 22, 33, 44, 1234567)")
+      s.sql("UPDATE graft_dsv2_docs_in SET n_chars = n_chars + 500 " +
+        "WHERE doc_id IN (55, 66, 77)")
+      s.sql("UPDATE graft_dsv2_docs_in SET lang = 'zz' " +
+        "WHERE doc_id IN (200, 201, 202, 203) AND doc_id BETWEEN 202 AND 900")
+      path
+    })
+    Snapshot.readLatest(s, p)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   private val snapshotCatalogMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   // one catalog tree per JVM — catalogs read their conf once at first
@@ -2377,6 +2410,46 @@ object Queries {
           INSERT (doc_id, source, n_chars) VALUES (s.doc_id, s.src2, s.nc)
         WHEN NOT MATCHED BY SOURCE AND t.doc_id BETWEEN 100 AND 140 THEN
           DELETE""")
+      path
+    })
+    Snapshot.readLatest(s, p)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private val snapshotDsv2MergeOnMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SQL `MERGE INTO` with a COMPOUND ON condition — key equality
+    * AND-ed with a cross-side conjunct (`t.source = s.src2`, the Delta
+    * partition-pruning merge idiom): the extra conjunct gates MATCH
+    * MEMBERSHIP itself, so a key-equal pair whose sources disagree is
+    * NOT matched — its source row INSERTS (on this keyed format the
+    * insert replaces the key's row, the documented upsert-on-key
+    * contract) and partial INSERT columns null-pad. Genuinely new
+    * keys insert alongside. The oracle replays matched/unmatched
+    * membership under the full ON relationally, so hash equality
+    * proves compound-ON semantics end to end. */
+  def snapshotDsv2MergeOn(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotDsv2MergeOnMemo.computeIfAbsent(dir, _ => {
+      val path = scratch("snapshot_dsv2mo", dir)
+      val docs = t(s, dir, "documents")
+      Snapshot.create(s, path, docs, key = "doc_id", partitionCol = "source")
+      s.sql("DROP TABLE IF EXISTS graft_dsv2_docs_mo")
+      s.sql(s"CREATE TABLE graft_dsv2_docs_mo USING graft LOCATION '$path'")
+      docs.filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), (col("n_chars") * 3).as("nc"),
+          when(col("doc_id") % 2 === 0, col("source"))
+            .otherwise(lit("srcX")).as("src2"))
+        .unionByName(docs.filter(col("doc_id") % 19 === 2)
+          .select((col("doc_id") + 3000000L).as("doc_id"),
+            col("n_chars").as("nc"), col("source").as("src2")))
+        .createOrReplaceTempView("graft_dsv2_mo_src")
+      s.sql("""MERGE INTO graft_dsv2_docs_mo t USING graft_dsv2_mo_src s
+        ON t.doc_id = s.doc_id AND t.source = s.src2
+        WHEN MATCHED THEN UPDATE SET n_chars = t.n_chars + s.nc,
+          text = concat(t.text, ' [on]')
+        WHEN NOT MATCHED THEN
+          INSERT (doc_id, source, n_chars) VALUES (s.doc_id, s.src2, s.nc)""")
       path
     })
     Snapshot.readLatest(s, p)
@@ -2810,6 +2883,8 @@ object Queries {
     "snapshot_dsv2_update" -> snapshotDsv2Update _,
     "snapshot_dsv2_merge" -> snapshotDsv2Merge _,
     "snapshot_dsv2_merge_cond" -> snapshotDsv2MergeCond _,
+    "snapshot_dsv2_merge_on" -> snapshotDsv2MergeOn _,
+    "snapshot_dsv2_dml_in" -> snapshotDsv2DmlIn _,
     "snapshot_dsv2_overwrite" -> snapshotDsv2Overwrite _,
     "snapshot_dsv2_overwrite_part" -> snapshotDsv2OverwritePart _,
     "snapshot_catalog" -> snapshotCatalog _,

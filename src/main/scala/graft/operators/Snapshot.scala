@@ -2128,25 +2128,62 @@ object Snapshot {
 
   // ------------------------------------------------------ predicate DML
 
-  /** The conjunction of range predicates as a Column (NULL-safe: a
+  /** One conjunct of a predicate-DML condition — the shapes the
+    * manifest can PROVE file-exhaustively (the untouched files really
+    * hold no matching rows): a bounded range over a partition/stats
+    * column ([[pruneRange]]), or an IN list over any indexed column —
+    * partition, stats, or bloom ([[pruneIn]], so a bloom-only column
+    * prunes point sets too). Equality is a degenerate range. */
+  sealed trait DmlPred { def column: String }
+  final case class RangePred(column: String, lo: Any, hi: Any) extends DmlPred
+  final case class InPred(column: String, values: Seq[Any]) extends DmlPred {
+    require(values.nonEmpty, "snapshot DML: empty IN list")
+    require(values.forall(_ != null),
+      "snapshot DML: NULL in an IN list never matches — drop it upstream")
+  }
+
+  private def toDml(preds: Seq[(String, Any, Any)]): Seq[DmlPred] =
+    preds.map { case (c, lo, hi) => RangePred(c, lo, hi) }
+
+  /** The conjunction of DML predicates as a Column (NULL-safe: a
     * NULL operand makes the predicate false — SQL DML semantics, a
-    * NULL never matches `BETWEEN`). */
-  private def predCol(preds: Seq[(String, Any, Any)]): Column =
-    preds.map { case (c, lo, hi) =>
-      coalesce(col(c) >= lit(lo) && col(c) <= lit(hi), lit(false)) }
-      .reduce(_ && _)
+    * NULL never matches `BETWEEN` or `IN`). */
+  private def predCol(preds: Seq[DmlPred]): Column =
+    preds.map {
+      case RangePred(c, lo, hi) =>
+        coalesce(col(c) >= lit(lo) && col(c) <= lit(hi), lit(false))
+      case InPred(c, vs) =>
+        coalesce(col(c).isin(vs: _*), lit(false))
+    }.reduce(_ && _)
+
+  /** [[pruneAll]] over the DML conjunct forms: per-conjunct kept sets
+    * intersect (a file is a candidate only if EVERY conjunct admits
+    * it) — ranges through the stats fold, IN lists through the full
+    * point-lookup stack (partition value / min-max / bloom). */
+  private def pruneDml(table: String, preds: Seq[DmlPred],
+                       version: Int): Seq[FileEntry] = {
+    require(preds.nonEmpty, "snapshot DML needs at least one predicate")
+    val m = readManifest(table, version)
+    val kept = preds.map {
+      case RangePred(c, lo, hi) =>
+        pruneRange(table, c, lo, hi, version)._1.map(_.path).toSet
+      case InPred(c, vs) =>
+        pruneIn(table, c, vs, version)._1.map(_.path).toSet
+    }.reduce(_ intersect _)
+    m.files.filter(f => kept.contains(f.path))
+  }
 
   /** Shared commit machinery of [[deleteWhere]] and [[updateWhere]]:
     * rewrite ONLY the candidate files through `transform`, carry every
     * other file forward verbatim, publish as one atomic version. */
   private def rewriteFiles(spark: SparkSession, table: String, op: String,
-                           preds: Seq[(String, Any, Any)],
+                           preds: Seq[DmlPred],
                            transform: DataFrame => DataFrame): CommitStats =
     withCommitLock(table) {
       val cur = currentVersion(table)
       require(cur > 0, s"snapshot $table does not exist")
       val m = readManifest(table, cur)
-      val (candidates, _) = pruneAll(table, preds, cur)
+      val candidates = pruneDml(table, preds, cur)
       val v = cur + 1
       if (candidates.isEmpty) { // proven no-match: audit-only commit
         writeManifest(table, m.copy(version = v, parent = cur, op = op))
@@ -2200,6 +2237,13 @@ object Snapshot {
    */
   def deleteWhere(spark: SparkSession, table: String,
                   preds: Seq[(String, Any, Any)]): CommitStats =
+    deleteMatching(spark, table, toDml(preds))
+
+  /** [[deleteWhere]] over the full DML conjunct forms — ranges AND
+    * IN lists (`WHERE key IN (…)`, the erasure-batch shape, prunes
+    * through the point-lookup stack: an absent key costs no IO). */
+  def deleteMatching(spark: SparkSession, table: String,
+                     preds: Seq[DmlPred]): CommitStats =
     rewriteFiles(spark, table, "delete", preds,
       df => df.filter(!predCol(preds)))
 
@@ -2215,7 +2259,13 @@ object Snapshot {
    */
   def updateWhere(spark: SparkSession, table: String,
                   preds: Seq[(String, Any, Any)],
-                  set: Map[String, Column]): CommitStats = {
+                  set: Map[String, Column]): CommitStats =
+    updateMatching(spark, table, toDml(preds), set)
+
+  /** [[updateWhere]] over the full DML conjunct forms (ranges + IN). */
+  def updateMatching(spark: SparkSession, table: String,
+                     preds: Seq[DmlPred],
+                     set: Map[String, Column]): CommitStats = {
     require(set.nonEmpty, "updateWhere: empty SET")
     val m = readManifest(table, currentVersion(table))
     set.keys.foreach { c =>
@@ -2273,7 +2323,7 @@ object Snapshot {
       val m = readManifest(table, cur)
       val (candidates, _) = pruneAll(table, preds, cur)
       commitDv(spark, table, m, candidates,
-        raw => raw.filter(predCol(preds)))
+        raw => raw.filter(predCol(toDml(preds))))
     }
 
   /**

@@ -409,17 +409,17 @@ private[graft] class GraftTable(private[graft] val path: String,
     * at analysis ([[canDeleteWhere]]) with a clear error rather than
     * silently mis-deleted. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    !pinned && GraftFilters.toRangePreds(filters).isDefined
+    !pinned && GraftFilters.toDmlPreds(filters).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(!pinned,
       "graft: cannot DELETE through a versionAsOf/tag-pinned reference")
-    val preds = GraftFilters.toRangePreds(filters).getOrElse(
+    val preds = GraftFilters.toDmlPreds(filters).getOrElse(
       throw new IllegalArgumentException(
-        "graft: DELETE supports conjunctions of bounded ranges and " +
-          "equality (col = v, col BETWEEN lo AND hi) — rewrite the " +
-          "predicate or use the Scala DML API"))
-    Snapshot.deleteWhere(SparkSession.active, path, preds)
+        "graft: DELETE supports conjunctions of bounded ranges, " +
+          "equality and IN lists (col = v, col BETWEEN lo AND hi, " +
+          "col IN (…)) — rewrite the predicate or use the Scala DML API"))
+    Snapshot.deleteMatching(SparkSession.active, path, preds)
   }
 }
 
@@ -1045,14 +1045,15 @@ private[graft] object GraftFilters {
   }
 
   /** DELETE-predicate translation: the conjunct array as
-    * [[graft.operators.Snapshot.deleteWhere]]'s bounded (col, lo, hi)
-    * ranges — `EqualTo` is a degenerate range, `>=`/`<=` halves of
-    * one column merge into one range. None when any conjunct falls
-    * outside the form (unbounded, OR, inequality on strings the
-    * range form can't bound, duplicate bounds) — the caller REFUSES
-    * rather than approximates. */
-  def toRangePreds(filters: Array[Filter]): Option[Seq[(String, Any, Any)]] = {
+    * [[graft.operators.Snapshot.deleteMatching]]'s DML predicates —
+    * `EqualTo` is a degenerate range, `>=`/`<=` halves of one column
+    * merge into one bounded range, `In` becomes an [[Snapshot.InPred]]
+    * (point-lookup pruning). None when any conjunct falls outside the
+    * form (unbounded, OR, NOT, duplicate bounds, NULL in an IN list)
+    * — the caller REFUSES rather than approximates. */
+  def toDmlPreds(filters: Array[Filter]): Option[Seq[Snapshot.DmlPred]] = {
     val bounds = scala.collection.mutable.LinkedHashMap[String, (Option[Any], Option[Any])]()
+    val ins = scala.collection.mutable.ArrayBuffer.empty[Snapshot.InPred]
     def upd(c: String, lo: Option[Any], hi: Option[Any]): Boolean = {
       val (l0, h0) = bounds.getOrElse(c, (None, None))
       if ((lo.isDefined && l0.isDefined) || (hi.isDefined && h0.isDefined))
@@ -1064,14 +1065,17 @@ private[graft] object GraftFilters {
       case EqualTo(c, v) if v != null            => upd(c, Some(v), Some(v))
       case GreaterThanOrEqual(c, v) if v != null => upd(c, Some(v), None)
       case LessThanOrEqual(c, v) if v != null    => upd(c, None, Some(v))
+      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        ins += Snapshot.InPred(c, vs.toIndexedSeq); true
       case _ => false
     }
     if (!ok || filters.isEmpty) None
     else {
       val ranges = bounds.toSeq.map { case (c, (lo, hi)) =>
-        for (l <- lo; h <- hi) yield (c, l, h)
+        for (l <- lo; h <- hi) yield Snapshot.RangePred(c, l, h)
       }
-      if (ranges.exists(_.isEmpty)) None else Some(ranges.flatten)
+      if (ranges.exists(_.isEmpty)) None
+      else Some(ranges.flatten ++ ins)
     }
   }
 

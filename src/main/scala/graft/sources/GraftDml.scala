@@ -4,7 +4,7 @@ import graft.operators.Snapshot
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, Between, EqualTo => CEqualTo, Expression, GreaterThanOrEqual => CGte, LessThanOrEqual => CLte, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, Between, Cast, EqualTo => CEqualTo, Expression, GreaterThanOrEqual => CGte, In => CIn, LessThanOrEqual => CLte, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -40,11 +40,15 @@ import org.apache.spark.sql.functions.{col, expr}
  *    equality on stats-provable columns (`>=`/`<=`/`=`/BETWEEN —
  *    what [[Snapshot.pruneAll]] can prove); anything else errors at
  *    analysis with a rewrite hint, it is never silently widened.
- *  - MERGE supports the keyed canonical forms: ON equality over the
- *    TABLE KEY, unconditioned `UPDATE SET * / INSERT * / DELETE`
- *    actions. Conditioned actions, non-key join conditions, partial
- *    column assignments and NOT-MATCHED-BY-SOURCE clauses are refused
- *    (the Scala API composes those explicitly).
+ *  - MERGE is keyed: the ON condition must CONTAIN exactly one
+ *    equality on the TABLE KEY; further AND-ed conjuncts narrow match
+ *    membership (the Delta partition-pruning merge idiom,
+ *    `ON t.key = s.key AND t.part = s.part`). The full action surface
+ *    rides it — conditioned actions in first-match-wins order,
+ *    partial/target-referencing assignments (completed join-side),
+ *    partial INSERT lists (null-padded), NOT MATCHED BY SOURCE.
+ *    Non-equi key conditions, nested-field assignments and
+ *    non-deterministic/subquery values are refused.
  *  - A `versionAsOf`/`tag`/`timestampAsOf`-pinned reference refuses
  *    both verbs (no writing to the past).
  */
@@ -74,6 +78,15 @@ object GraftDml {
       .map(CatalystTypeConverters.convertToScala(_, e.dataType))
   }
 
+  /** Unwraps same-type casts (coercion's no-op wrap); any cast that
+    * actually changes the type stays — and keeps refusing. */
+  private object TrivialCast {
+    def unapply(e: Expression): Some[Expression] = e match {
+      case c: Cast if c.child.dataType == c.dataType => unapply(c.child)
+      case other => Some(other)
+    }
+  }
+
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
     // BETWEEN survives analysis as a RuntimeReplaceable node (its
@@ -93,11 +106,12 @@ object GraftDml {
       case ar: AttributeReference => ar.withQualifier(Seq.empty)
     }.sql
 
-  /** Catalyst condition → [[Snapshot.updateWhere]]'s bounded
-    * (col, lo, hi) ranges; None refuses. Mirrors
-    * [[GraftFilters.toRangePreds]] on v1 Filters. */
-  private[graft] def toRangePreds(cond: Expression): Option[Seq[(String, Any, Any)]] = {
+  /** Catalyst condition → [[Snapshot.updateMatching]]'s DML
+    * predicates (bounded ranges + IN lists); None refuses. Mirrors
+    * [[GraftFilters.toDmlPreds]] on v1 Filters. */
+  private[graft] def toDmlPreds(cond: Expression): Option[Seq[Snapshot.DmlPred]] = {
     val bounds = scala.collection.mutable.LinkedHashMap[String, (Option[Any], Option[Any])]()
+    val ins = scala.collection.mutable.ArrayBuffer.empty[Snapshot.InPred]
     def upd(c: String, lo: Option[Any], hi: Option[Any]): Boolean = {
       val (l0, h0) = bounds.getOrElse(c, (None, None))
       if ((lo.isDefined && l0.isDefined) || (hi.isDefined && h0.isDefined))
@@ -118,14 +132,21 @@ object GraftDml {
         upd(a.name, None, constValue(c))
       case CGte(c, a: AttributeReference) if constValue(c).isDefined =>
         upd(a.name, None, constValue(c))
+      // IN coercion wraps EVERY child in a cast to the widest type —
+      // including an attribute already of that type; strip only the
+      // TRIVIAL (same-type) wrap, any real cast keeps refusing
+      case CIn(TrivialCast(a: AttributeReference), list)
+          if list.nonEmpty && list.forall(constValue(_).isDefined) =>
+        ins += Snapshot.InPred(a.name, list.map(constValue(_).get)); true
       case _ => false
     }
-    if (!ok || bounds.isEmpty) None
+    if (!ok || (bounds.isEmpty && ins.isEmpty)) None
     else {
       val ranges = bounds.toSeq.map { case (c, (lo, hi)) =>
-        for (l <- lo; h <- hi) yield (c, l, h)
+        for (l <- lo; h <- hi) yield Snapshot.RangePred(c, l, h)
       }
-      if (ranges.exists(_.isEmpty)) None else Some(ranges.flatten)
+      if (ranges.exists(_.isEmpty)) None
+      else Some(ranges.flatten ++ ins)
     }
   }
 
@@ -143,11 +164,11 @@ object GraftDml {
       case None => refuse("graft: UPDATE without WHERE would rewrite the " +
         "whole table — give a bounded range/equality condition, or use " +
         "the Scala relayout/compact commits for full rewrites")
-      case Some(c) => toRangePreds(c).getOrElse(refuse(
-        "graft: UPDATE supports conjunctions of bounded ranges and " +
-          "equality on stats-provable columns (col = v, col >= lo AND " +
-          "col <= hi, BETWEEN) — rewrite the predicate or use the Scala " +
-          s"DML API (got: ${c.sql})"))
+      case Some(c) => toDmlPreds(c).getOrElse(refuse(
+        "graft: UPDATE supports conjunctions of bounded ranges, " +
+          "equality and IN lists on stats-provable columns (col = v, " +
+          "col >= lo AND col <= hi, BETWEEN, col IN (…)) — rewrite the " +
+          s"predicate or use the Scala DML API (got: ${c.sql})"))
     }
     val sets = u.assignments.flatMap { a =>
       val name = a.key match {
@@ -196,22 +217,34 @@ object GraftDml {
         .exists(_.name.startsWith("__graft_"))) refuse(
       "graft: column names starting with __graft_ collide with MERGE " +
         "internals — rename them")
-    // ON condition: equality over the table key (either side order)
+    // ON condition: a conjunction whose anchor is equality over the
+    // table key (either side order); every REMAINING conjunct narrows
+    // the match — the Delta partition-pruning merge idiom
+    // (`ON t.key = s.key AND t.part = s.part`): a key-equal pair
+    // whose extra conjuncts fail is NOT matched (the source row is an
+    // insert candidate, the target row a by-source candidate),
+    // standard SQL MERGE ON semantics.
     val key = Snapshot.readManifest(g.path,
       Snapshot.currentVersion(g.path)).key
-    val keyCond = m.mergeCondition match {
+    val onConjuncts = conjuncts(m.mergeCondition)
+    def keyEq(e: Expression): Option[String] = e match {
       case CEqualTo(a: AttributeReference, b: AttributeReference) =>
-        val (t, s) =
-          if (tgtIds.contains(a) && srcIds.contains(b)) (a, b)
-          else if (tgtIds.contains(b) && srcIds.contains(a)) (b, a)
-          else refuse("graft: MERGE ON must compare a target column " +
-            "with a source column")
-        if (t.name != key) refuse(s"graft: MERGE ON must be equality on " +
-          s"the table key '$key' (got '${t.name}') — the format's merge " +
-          "primitive is keyed")
-        s.name
-      case other => refuse("graft: MERGE ON supports only `target.key = " +
-        s"source.col` equality (got: ${other.sql})")
+        if (tgtIds.contains(a) && srcIds.contains(b) && a.name == key)
+          Some(b.name)
+        else if (tgtIds.contains(b) && srcIds.contains(a) && b.name == key)
+          Some(a.name)
+        else None
+      case _ => None
+    }
+    val keyEqs = onConjuncts.flatMap(keyEq)
+    val keyCond = keyEqs match {
+      case Seq(s) => s
+      case Seq() => refuse("graft: MERGE ON must contain equality on " +
+        s"the table key '$key' (`target.$key = source.col`, optionally " +
+        "AND-ed with further conditions) — the format's merge primitive " +
+        s"is keyed (got: ${m.mergeCondition.sql})")
+      case _ => refuse(s"graft: MERGE ON holds ${keyEqs.size} equalities " +
+        s"on the table key '$key' — give exactly one")
     }
     // BETWEEN survives analysis as a RuntimeReplaceable whose
     // transform() does not visit the original operands (they hide
@@ -254,6 +287,13 @@ object GraftDml {
     }
     // target schema, for null-padding partial INSERT column lists
     val tgtFields = m.targetTable.output.map(a => a.name -> a.dataType)
+
+    // the non-key ON conjuncts, rendered over the combined matched
+    // namespace (source bare, target under TgtPrefix) — they gate
+    // MATCH MEMBERSHIP itself, so every membership join applies them
+    val extraOn: Seq[(String, Boolean)] =
+      onConjuncts.filter(keyEq(_).isEmpty)
+        .map(renderMixed(_, "ON condition"))
 
     val matched: Seq[MergeActSpec] = m.matchedActions.map {
       case UpdateAction(cond, as, _) =>
@@ -319,7 +359,7 @@ object GraftDml {
     if (matched.isEmpty && inserted.isEmpty && bySource.isEmpty)
       refuse("graft: MERGE with no supported actions")
     GraftMergeCommand(g.path, key, keyCond, m.sourceTable,
-      matched, inserted, bySource)
+      matched, inserted, bySource, extraOn)
   }
 }
 
@@ -338,11 +378,11 @@ case class MergeActSpec(kind: String, cond: Option[String],
   * carried as SQL text (re-resolved against the table frame — a
   * resolved Column would drag foreign expression ids across plans). */
 case class GraftUpdateCommand(path: String,
-                              preds: Seq[(String, Any, Any)],
+                              preds: Seq[Snapshot.DmlPred],
                               sets: Seq[(String, String)])
   extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    Snapshot.updateWhere(spark, path, preds,
+    Snapshot.updateMatching(spark, path, preds,
       sets.map { case (c, sql) => c -> expr(sql) }.toMap)
     Seq.empty
   }
@@ -375,7 +415,8 @@ case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
                              @transient sourcePlan: LogicalPlan,
                              matched: Seq[MergeActSpec],
                              inserted: Seq[MergeActSpec],
-                             bySource: Seq[MergeActSpec])
+                             bySource: Seq[MergeActSpec],
+                             extraOn: Seq[(String, Boolean)] = Nil)
   extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(sourcePlan)
 
@@ -425,47 +466,65 @@ case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
     val emptyUpserts = target.limit(0).select(tCols.map(col): _*)
     val emptyKeys = targetKeys.limit(0)
 
+    // Non-key ON conjuncts gate MATCH MEMBERSHIP itself: a key-equal
+    // pair whose extra conjuncts fail is NOT matched (its source row
+    // is an insert candidate, its target row a by-source candidate) —
+    // so every membership join below carries them in its condition.
+    // A NULL conjunct is not-a-match, exactly a join condition's
+    // three-valued semantics.
+    val extraUsesTarget = extraOn.exists(_._2)
+    val extraCond: Option[org.apache.spark.sql.Column] =
+      extraOn.map(t => coalesce(expr(t._1), lit(false))).reduceOption(_ && _)
+
+    // The full target row under TgtPrefix names — the build side of
+    // every join that must see target columns. At scale the read is
+    // PRUNED to the source's ON-key range through the manifest (the
+    // key's per-file min/max are always tracked): a partial-update
+    // MERGE against a 100 TB table opens only the files whose key
+    // range intersects the source's keys — two scalar aggregates
+    // driver-side buy a file-granularity scan cut. Safe for the anti
+    // joins too: every pair must key-match, so a file whose key range
+    // misses the source's bounds can hold no pair. ONLY when the
+    // source plan is deterministic: the bounds pass re-executes the
+    // source, and a non-deterministic source could produce join-time
+    // keys outside the measured range — those rows would silently
+    // miss their target row. (Assignments and conditions are already
+    // required deterministic; the source plan itself is the user's.)
+    // Expression.deterministic already folds over children (and
+    // PlanExpression over its subquery plan), so one check per
+    // top-level expression covers every subtree.
+    lazy val prefixedTarget: DataFrame = {
+      val detSource = !sourcePlan.exists(_.expressions.exists(!_.deterministic))
+      val tgtRows =
+        if (!detSource) target
+        else {
+          val bounds = src.agg(
+            org.apache.spark.sql.functions.min(expr(sourceKeyCol)),
+            org.apache.spark.sql.functions.max(expr(sourceKeyCol))).head()
+          if (bounds.isNullAt(0)) target.limit(0) // empty/all-null source
+          else Snapshot.readWhere(spark, path, key,
+            bounds.get(0), bounds.get(1))
+        }
+      tgtRows.select(tCols.map(c => col(c).as(GraftDml.TgtPrefix + c)): _*)
+    }
+    def keyEqPrefixed: org.apache.spark.sql.Column =
+      expr(sourceKeyCol) === col(GraftDml.TgtPrefix + key)
+
     // ---- MATCHED ----
-    val fastPath = matched.forall(!_.usesTarget)
+    val fastPath = matched.forall(!_.usesTarget) && !extraUsesTarget
     val matchedRows: DataFrame =
       if (matched.isEmpty) emptyUpserts
-      else if (fastPath)
-        // membership probe only: key column renamed on the build side
-        // so a same-named source column never ambiguates
-        src.join(targetKeys.withColumnRenamed(key, "__graft_tk"),
+      else if (fastPath) {
+        // membership probe only: source-only extra conjuncts filter
+        // the probe; key column renamed on the build side so a
+        // same-named source column never ambiguates
+        val probe = extraCond.map(src.filter).getOrElse(src)
+        probe.join(targetKeys.withColumnRenamed(key, "__graft_tk"),
           expr(sourceKeyCol) === col("__graft_tk"), "left_semi")
-      else {
-        // combined row: source names + TgtPrefix-renamed target row.
-        // The target side carries every column, so at scale the read
-        // is PRUNED to the source's ON-key range through the manifest
-        // (the key's per-file min/max are always tracked): a partial-
-        // update MERGE against a 100 TB table opens only the files
-        // whose key range intersects the source's keys — two scalar
-        // aggregates driver-side buy a file-granularity scan cut.
-        // ONLY when the source plan is deterministic: the bounds pass
-        // re-executes the source, and a non-deterministic source could
-        // produce join-time keys outside the measured range — those
-        // rows would silently miss their target row. (Assignments and
-        // conditions are already required deterministic; the source
-        // plan itself is the user's.)
-        // Expression.deterministic already folds over children (and
-        // PlanExpression over its subquery plan), so one check per
-        // top-level expression covers every subtree
-        val detSource = !sourcePlan.exists(_.expressions.exists(!_.deterministic))
-        val tgtRows =
-          if (!detSource) target
-          else {
-            val bounds = src.agg(
-              org.apache.spark.sql.functions.min(expr(sourceKeyCol)),
-              org.apache.spark.sql.functions.max(expr(sourceKeyCol))).head()
-            if (bounds.isNullAt(0)) target.limit(0) // empty/all-null source
-            else Snapshot.readWhere(spark, path, key,
-              bounds.get(0), bounds.get(1))
-          }
-        src.join(
-          tgtRows.select(tCols.map(c => col(c).as(GraftDml.TgtPrefix + c)): _*),
-          expr(sourceKeyCol) === col(GraftDml.TgtPrefix + key), "inner")
-      }
+      } else
+        // combined row: source names + TgtPrefix-renamed target row
+        src.join(prefixedTarget,
+          extraCond.foldLeft(keyEqPrefixed)(_ && _), "inner")
     val matchedParts = cascade(matchedRows, matched)
     val matchedUpserts = matchedParts.collect {
       case (a, rows) if a.kind == "update" =>
@@ -477,20 +536,43 @@ case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
     }
 
     // ---- NOT MATCHED (insert) ----
+    // a source row inserts iff NO target pair satisfies the FULL ON —
+    // so with extra conjuncts, a key-colliding source row whose extra
+    // fails is still an INSERT candidate (SQL semantics); on this
+    // KEYED format that insert REPLACES the key's existing row — the
+    // same documented upsert-on-key contract SQL INSERT carries. A
+    // statement that simultaneously deletes the row by source and
+    // re-inserts its key refuses with the merge ambiguity error.
     val insertRows =
       if (inserted.isEmpty) emptyUpserts
-      else src.join(targetKeys.withColumnRenamed(key, "__graft_tk"),
-        expr(sourceKeyCol) === col("__graft_tk"), "left_anti")
+      else if (extraOn.isEmpty)
+        src.join(targetKeys.withColumnRenamed(key, "__graft_tk"),
+          expr(sourceKeyCol) === col("__graft_tk"), "left_anti")
+      else if (!extraUsesTarget)
+        src.join(targetKeys.withColumnRenamed(key, "__graft_tk"),
+          expr(sourceKeyCol) === col("__graft_tk") && extraCond.get, "left_anti")
+      else
+        src.join(prefixedTarget,
+          extraCond.foldLeft(keyEqPrefixed)(_ && _), "left_anti")
     val insertUpserts = cascade(insertRows, inserted).map { case (a, rows) =>
       shaped(rows, a.assigns.toMap,
         c => lit(null)) // unreachable: insert assigns are null-padded
     }
 
     // ---- NOT MATCHED BY SOURCE (target rows with no source match) ----
+    // with extra conjuncts the probe target moves under TgtPrefix (the
+    // namespace the conjuncts were rendered over; bare source names on
+    // the build side never ambiguate) and strips back after the anti
+    // join, so the by-source cascade still sees bare target rows
     val bySourceRows =
       if (bySource.isEmpty) emptyUpserts
-      else target.join(srcKeys.withColumnRenamed(key, "__graft_sk"),
-        col(key) === col("__graft_sk"), "left_anti")
+      else if (extraOn.isEmpty)
+        target.join(srcKeys.withColumnRenamed(key, "__graft_sk"),
+          col(key) === col("__graft_sk"), "left_anti")
+      else
+        target.select(tCols.map(c => col(c).as(GraftDml.TgtPrefix + c)): _*)
+          .join(src, extraCond.foldLeft(keyEqPrefixed)(_ && _), "left_anti")
+          .select(tCols.map(c => col(GraftDml.TgtPrefix + c).as(c)): _*)
     val bySourceParts = cascade(bySourceRows, bySource)
     val bySourceUpserts = bySourceParts.collect {
       case (a, rows) if a.kind == "update" => shaped(rows, a.assigns.toMap, col)
@@ -505,7 +587,7 @@ case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
     val upserts = (matched, inserted, bySource) match {
       case (Seq(MergeActSpec("update", None, u, false)),
             Seq(MergeActSpec("insert", None, i, _)), Nil)
-        if u.toMap == i.toMap =>
+        if u.toMap == i.toMap && extraOn.isEmpty =>
         shaped(src, u.toMap, c => lit(null))
       case _ =>
         (matchedUpserts ++ insertUpserts ++ bySourceUpserts)

@@ -473,6 +473,128 @@ class GraftDataSourceSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_mc")
   }
 
+  test("IN-list DELETE/UPDATE through the connector: point-lookup pruned commits; refusal preserved for non-translatable shapes") {
+    val t = fresh("dmlin")
+    seed(t) // ids 0..39 over p0..p3, ranged files, id stats + blooms
+    spark.sql("DROP TABLE IF EXISTS graft_dsv2_in")
+    spark.sql(s"CREATE TABLE graft_dsv2_in USING graft LOCATION '$t'")
+    try {
+      val pre = Snapshot.readManifest(t, 1).files.map(_.path).toSet
+      spark.sql("DELETE FROM graft_dsv2_in WHERE id IN (3, 17, 999)")
+      val after = rowsOf(Snapshot.readLatest(spark, t))
+      assert(!after.exists(r => r._1 == 3L || r._1 == 17L) && after.size == 38)
+      // file-granularity: partitions holding no listed key carry their
+      // files forward verbatim (the IN pruned through stats + blooms)
+      val post = Snapshot.readManifest(t, 2).files.map(_.path).toSet
+      assert((pre intersect post).nonEmpty,
+        "untouched files must carry forward — IN must prune, not rewrite all")
+
+      spark.sql("UPDATE graft_dsv2_in SET payload = 'inup' WHERE id IN (5, 999)")
+      assert(rowsOf(Snapshot.readLatest(spark, t)).contains((5L, "inup", "p0")))
+
+      // IN over only-absent keys: proven no-match — audit-only commit
+      val before = Snapshot.readManifest(t, Snapshot.currentVersion(t))
+        .files.map(_.path).toSet
+      spark.sql("DELETE FROM graft_dsv2_in WHERE id IN (777, 888)")
+      assert(Snapshot.readManifest(t, Snapshot.currentVersion(t))
+        .files.map(_.path).toSet == before,
+        "absent-key IN delete must write no files")
+
+      // IN AND-ed with a range: both prunings intersect, only 22 passes
+      spark.sql("UPDATE graft_dsv2_in SET payload = 'both' " +
+        "WHERE id IN (20, 21, 22) AND id BETWEEN 22 AND 30")
+      val r = rowsOf(Snapshot.readLatest(spark, t))
+      assert(r.contains((22L, "both", "p2")) && r.contains((20L, "pay_20", "p2")))
+
+      // NOT IN stays refused — never silently approximated
+      intercept[Exception] {
+        spark.sql("DELETE FROM graft_dsv2_in WHERE id NOT IN (1, 2)")
+      }
+      // a NULL in the IN list refuses (it can never match)
+      intercept[Exception] {
+        spark.sql("UPDATE graft_dsv2_in SET payload = 'x' " +
+          "WHERE id IN (1, CAST(NULL AS BIGINT))")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_in")
+  }
+
+  test("MERGE INTO with a compound ON: non-key conjuncts gate match membership on every side; refusals unchanged for non-equi key conditions") {
+    val t = fresh("mergeon")
+    seed(t) // ids 0..39, payload pay_<i>, part p<i/10>
+    spark.sql("DROP TABLE IF EXISTS graft_dsv2_mon")
+    spark.sql(s"CREATE TABLE graft_dsv2_mon USING graft LOCATION '$t'")
+    try {
+      // ---- cross-side extra conjunct (t.part = s.part2), matched +
+      // insert membership: id 12 agrees on part -> MATCHED update; id
+      // 13 key-matches but DISAGREES on part -> NOT matched, so its
+      // source row INSERTS (replacing the key's row — the keyed
+      // format's upsert contract); 90 is genuinely new
+      Seq((12L, "on12", "p1"), (13L, "on13", "p9"), (90L, "on90", "p9"))
+        .toDF("id", "pl", "part2").createOrReplaceTempView("mon_src")
+      spark.sql("MERGE INTO graft_dsv2_mon t USING mon_src s " +
+        "ON t.id = s.id AND t.part = s.part2 " +
+        "WHEN MATCHED THEN UPDATE SET payload = concat(t.payload, '+', s.pl) " +
+        "WHEN NOT MATCHED THEN INSERT (id, payload, part) " +
+        "VALUES (s.id, s.pl, s.part2)")
+      val r1 = rowsOf(Snapshot.readLatest(spark, t))
+      assert(r1.contains((12L, "pay_12+on12", "p1")),
+        "a pair satisfying BOTH conjuncts is matched")
+      assert(r1.contains((13L, "on13", "p9")) &&
+        !r1.exists(r => r._1 == 13L && r._3 == "p1"),
+        "a key-equal pair failing the extra conjunct is NOT matched — " +
+          "its source row inserts, replacing the key's row")
+      assert(r1.contains((90L, "on90", "p9")))
+
+      // ---- BY SOURCE membership honors the full ON: id 20 IS in the
+      // source but its part disagrees -> the target row counts as NOT
+      // MATCHED BY SOURCE; id 21's pair agrees -> untouched
+      Seq((20L, "pz"), (21L, "p2")).toDF("id", "part2")
+        .createOrReplaceTempView("mon_bs")
+      spark.sql("MERGE INTO graft_dsv2_mon t USING mon_bs s " +
+        "ON t.id = s.id AND t.part = s.part2 " +
+        "WHEN NOT MATCHED BY SOURCE AND t.id IN (20, 21) " +
+        "THEN UPDATE SET payload = 'bs'")
+      val r2 = rowsOf(Snapshot.readLatest(spark, t))
+      assert(r2.contains((20L, "bs", "p2")),
+        "a pair failing the extra conjunct leaves the target row by-source")
+      assert(r2.contains((21L, "pay_21", "p2")),
+        "a pair satisfying the full ON is matched, never by-source")
+
+      // ---- source-only extra conjunct still gates membership (and
+      // rides the cheap semi-probe: complete, target-free assignments)
+      Seq((5L, "f5", "p0", 1), (6L, "f6", "p0", 0))
+        .toDF("id", "payload", "part", "flag")
+        .createOrReplaceTempView("mon_ff")
+      spark.sql("MERGE INTO graft_dsv2_mon t USING mon_ff s " +
+        "ON t.id = s.id AND s.flag = 1 " +
+        "WHEN MATCHED THEN UPDATE SET id = s.id, payload = s.payload, " +
+        "part = s.part")
+      val r3 = rowsOf(Snapshot.readLatest(spark, t))
+      assert(r3.contains((5L, "f5", "p0")) && r3.contains((6L, "pay_6", "p0")),
+        "flag=0 fails the source-only conjunct: not matched, untouched")
+
+      // ---- refusals unchanged: non-equi key conditions, a missing
+      // key equality, and an ambiguous double key equality all refuse
+      Seq((1L, 2L)).toDF("id", "id2").createOrReplaceTempView("mon_bad")
+      val e1 = intercept[Exception] {
+        spark.sql("MERGE INTO graft_dsv2_mon t USING mon_bad s " +
+          "ON t.id >= s.id WHEN MATCHED THEN UPDATE SET payload = 'x'")
+      }
+      assert(e1.getMessage.contains("MERGE ON"))
+      val e2 = intercept[Exception] {
+        spark.sql("MERGE INTO graft_dsv2_mon t USING mon_bad s " +
+          "ON t.payload = 'k' WHEN MATCHED THEN UPDATE SET payload = 'x'")
+      }
+      assert(e2.getMessage.contains("MERGE ON"))
+      val e3 = intercept[Exception] {
+        spark.sql("MERGE INTO graft_dsv2_mon t USING mon_bad s " +
+          "ON t.id = s.id AND t.id = s.id2 " +
+          "WHEN MATCHED THEN UPDATE SET payload = 'x'")
+      }
+      assert(e3.getMessage.contains("exactly one"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_mon")
+  }
+
   test("partition-scoped INSERT OVERWRITE: the daily-refresh verb — one partition replaces, the rest carry forward untouched") {
     val t = fresh("owpart")
     seed(t) // ids 0..39, parts p0..p3 (10 rows each)
