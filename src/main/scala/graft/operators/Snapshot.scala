@@ -1201,9 +1201,11 @@ object Snapshot {
    * (the manifest already keys file entries by partition value):
    *
    *  - `scope = None` (DYNAMIC — the semantics of Spark's dynamic
-   *    partitionOverwriteMode; SQL's dynamic conf mode itself needs a
-   *    v2 BatchWrite the V1 bridge cannot provide, so THIS API is the
-   *    dynamic path): the partitions the frame CONTAINS replace;
+   *    partitionOverwriteMode; SQL's dynamic conf mode lands here too,
+   *    via [[graft.sources.GraftDynamicOverwriteCommand]]'s
+   *    analysis-time interception of `OverwritePartitionsDynamic` —
+   *    the verb the V1 write bridge cannot express): the partitions
+   *    the frame CONTAINS replace;
    *    partitions absent from the frame are untouched. A dynamic
    *    refresh that delivers ZERO rows commits NOTHING (no silent
    *    version bump masking an upstream failure).

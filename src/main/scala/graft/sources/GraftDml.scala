@@ -600,10 +600,35 @@ case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
   }
 }
 
+/** DYNAMIC-mode SQL `INSERT OVERWRITE` (conf
+  * `spark.sql.sources.partitionOverwriteMode=dynamic`, no static
+  * PARTITION spec) executed as the partition-scoped replace commit
+  * ([[Snapshot.overwritePartitions]] in dynamic mode): exactly the
+  * partitions the query's result CONTAINS replace, absent partitions
+  * carry forward untouched, and an empty delivery commits NOTHING —
+  * all of Spark's `OverwritePartitionsDynamic` semantics, on the
+  * transactional commit protocol. The V1 write bridge cannot express
+  * this verb (it collapses every overwrite to a predicate), so the
+  * plan node is intercepted at analysis like UPDATE/MERGE — after
+  * output resolution, so the query's columns are already aligned to
+  * the table schema positionally the way Spark's own writer would. */
+case class GraftDynamicOverwriteCommand(path: String,
+                                        @transient queryPlan: LogicalPlan)
+  extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(queryPlan)
+  override def run(spark: SparkSession): Seq[Row] = {
+    Snapshot.overwritePartitions(spark, path,
+      org.apache.spark.sql.graft.SqlBridge.ofRows(spark, queryPlan),
+      scope = None)
+    Seq.empty
+  }
+}
+
 /** The analysis-time interception rule (see [[GraftDml]]), registered
   * by [[graft.GraftExtensions]] as a post-hoc resolution rule. Only
-  * UPDATE/MERGE whose direct target is a graft table are touched;
-  * everything else flows to Spark's own row-level machinery. */
+  * UPDATE/MERGE/dynamic-OVERWRITE whose direct target is a graft
+  * table are touched; everything else flows to Spark's own
+  * machinery. */
 class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case u @ UpdateTable(tbl, assignments, condition)
@@ -617,6 +642,14 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             m.notMatchedBySourceActions).forall(_.resolved) =>
       GraftDml.graftTarget(m.targetTable)
         .map(GraftDml.rewriteMerge(m, _)).getOrElse(m)
+    case o: OverwritePartitionsDynamic
+        if o.table.resolved && o.query.resolved && o.outputResolved =>
+      GraftDml.graftTarget(o.table).map { g =>
+        if (g.pinned) throw new IllegalArgumentException(
+          "graft: cannot INSERT OVERWRITE through a versionAsOf/" +
+            "tag-pinned reference")
+        GraftDynamicOverwriteCommand(g.path, o.query)
+      }.getOrElse(o)
     case other => other
   }
 }

@@ -473,6 +473,71 @@ class GraftDataSourceSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_mc")
   }
 
+  test("dynamic-mode SQL INSERT OVERWRITE == the Scala dynamic partition overwrite, commit for commit") {
+    val tSql = fresh("dynsql")
+    val tApi = fresh("dynapi")
+    seed(tSql); seed(tApi) // identical twins: ids 0..39 over p0..p3
+    spark.sql("DROP TABLE IF EXISTS graft_dsv2_dyn")
+    spark.sql(s"CREATE TABLE graft_dsv2_dyn USING graft LOCATION '$tSql'")
+    val mode0 = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // the refresh delivers rows for p1 and p2 only
+      val refresh = Seq((10L, "dyn_10", "p1"), (11L, "dyn_11", "p1"),
+        (25L, "dyn_25", "p2")).toDF("id", "payload", "part")
+      refresh.createOrReplaceTempView("dyn_src")
+      spark.sql("INSERT OVERWRITE graft_dsv2_dyn SELECT * FROM dyn_src")
+      Snapshot.overwritePartitions(spark, tApi, refresh, scope = None)
+
+      // commit for commit: same end state, same op, same carried files
+      val rSql = rowsOf(Snapshot.readLatest(spark, tSql))
+      assert(rSql == rowsOf(Snapshot.readLatest(spark, tApi)))
+      assert(rSql.count(_._3 == "p1") == 2 && rSql.count(_._3 == "p2") == 1,
+        "delivered partitions replace")
+      assert(rSql.count(_._3 == "p0") == 10 && rSql.count(_._3 == "p3") == 10,
+        "absent partitions carry forward")
+      val (mSql, mApi) = (Snapshot.readManifest(tSql, 2), Snapshot.readManifest(tApi, 2))
+      assert(mSql.op == mApi.op && mSql.op.startsWith("overwrite_partitions("))
+      val carried = Set("p0", "p3")
+      carried.foreach { p =>
+        assert(mSql.partitions(p).map(_.path) ==
+          Snapshot.readManifest(tSql, 1).partitions(p).map(_.path),
+          s"untouched partition $p must carry its v1 files verbatim")
+        assert(mApi.partitions(p).map(_.path) ==
+          Snapshot.readManifest(tApi, 1).partitions(p).map(_.path))
+        // same commit shape on both faces (file names differ by UUID)
+        assert(mSql.partitions(p).size == mApi.partitions(p).size)
+      }
+
+      // an EMPTY dynamic delivery commits nothing (no silent version
+      // bump masking an upstream failure) — SQL and API agree
+      spark.sql("INSERT OVERWRITE graft_dsv2_dyn " +
+        "SELECT * FROM dyn_src WHERE id < 0")
+      assert(Snapshot.currentVersion(tSql) == 2,
+        "empty dynamic delivery must not burn a version")
+
+      // a pinned reference still refuses the verb
+      Snapshot.tag(tSql, "pin", 1)
+      intercept[Exception] {
+        spark.sql("INSERT OVERWRITE graft_dsv2_dyn VERSION AS OF 1 " +
+          "SELECT * FROM dyn_src")
+      }
+
+      // static mode (the conf default) is untouched: flip back and the
+      // unconditional overwrite still replaces the whole table
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+      spark.sql("INSERT OVERWRITE graft_dsv2_dyn SELECT * FROM dyn_src")
+      assert(rowsOf(Snapshot.readLatest(spark, tSql)).size == 3 &&
+        Snapshot.history(tSql).last._2 == "overwrite")
+    } finally {
+      mode0 match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      spark.sql("DROP TABLE IF EXISTS graft_dsv2_dyn")
+    }
+  }
+
   test("IN-list DELETE/UPDATE through the connector: point-lookup pruned commits; refusal preserved for non-translatable shapes") {
     val t = fresh("dmlin")
     seed(t) // ids 0..39 over p0..p3, ranged files, id stats + blooms
