@@ -15,7 +15,8 @@ import org.apache.spark.sql.SparkSession
  *   runMain graft.SnapshotTool history  /data/corpus_v
  *   runMain graft.SnapshotTool fsck     /data/corpus_v        # exit 1 on findings
  *   runMain graft.SnapshotTool compact  /data/corpus_v [maxFilesPerPartition=4]
- *   runMain graft.SnapshotTool vacuum   /data/corpus_v [retainLast=2]
+ *   runMain graft.SnapshotTool vacuum   /data/corpus_v [retainLast=2] [retainHours]
+ *   runMain graft.SnapshotTool expire-snapshots /data/corpus_v <olderThan>
  *   runMain graft.SnapshotTool rollback /data/corpus_v <version>
  *   runMain graft.SnapshotTool delete-where /data/corpus_v <col> <lo> <hi>
  *   runMain graft.SnapshotTool delete-mor   /data/corpus_v <col> <lo> <hi>  # deletion vector, no rewrite
@@ -88,9 +89,17 @@ object SnapshotTool {
           s"${st.rewrittenPartitions.size} partition(s), ${st.filesWritten} file(s)"), 0)
       case Seq("vacuum", table, rest @ _*) =>
         val retain = rest.headOption.map(_.toInt).getOrElse(2)
-        val vs = Snapshot.vacuum(spark, table, retain)
+        // optional 2nd arg: age window in hours (committed_at axis)
+        val hours = rest.drop(1).headOption.map(_.toDouble).getOrElse(-1.0)
+        val vs = Snapshot.vacuum(spark, table, retain, retainHours = hours)
         (Seq(s"vacuumed $table: ${vs.filesDeleted} file(s), " +
           s"${vs.manifestsDeleted} manifest(s), ${vs.bytesFreed} bytes freed"), 0)
+      case Seq("expire-snapshots", table, olderThan) =>
+        val vs = Snapshot.expireSnapshots(spark, table,
+          Snapshot.parseInstantMillis(olderThan))
+        (Seq(s"expired $table versions committed at or before $olderThan: " +
+          s"${vs.filesDeleted} file(s), ${vs.manifestsDeleted} manifest(s), " +
+          s"${vs.bytesFreed} bytes freed"), 0)
       case Seq("rollback", table, v) =>
         val st = Snapshot.rollback(spark, table, v.toInt)
         (Seq(s"rolled back $table to v$v → new version v${st.version}"), 0)
@@ -174,7 +183,7 @@ object SnapshotTool {
           s"${st.filesWritten} file(s)"), 0)
       case other =>
         (Seq(s"unknown invocation: ${other.mkString(" ")}",
-          "usage: SnapshotTool describe|history|fsck|compact|vacuum|rollback|" +
+          "usage: SnapshotTool describe|history|fsck|compact|vacuum|expire-snapshots|rollback|" +
             "delete-where|delete-mor|update-where|agg|tag|untag|tags|" +
             "rename-col|drop-col|widen-col|relayout|expect " +
             "<table> [args]"), 2)

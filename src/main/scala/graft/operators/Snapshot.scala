@@ -1529,20 +1529,69 @@ object Snapshot {
     }
 
   /** Delete data files referenced by NO retained version and drop the
-    * expired manifests. Retains the last `retainLast` versions (and
-    * always the current one). Time travel to a vacuumed version fails
-    * with a clear error; later versions are untouched — their files
-    * are referenced and survive. */
+    * expired manifests. Retention composes as a UNION of policies —
+    * a version ANY policy protects survives:
+    *
+    *  - COUNT: the last `retainLast` versions (and always the current
+    *    one) — the default window;
+    *  - AGE (`retainHours >= 0`): every version committed within the
+    *    last `retainHours` hours, resolved through the manifests'
+    *    `committed_at` instants — the policy real retention contracts
+    *    are written in ("keep 7 days"). Pre-instant legacy manifests
+    *    (committed_at 0) get no age protection (the count window and
+    *    tags still apply);
+    *  - TAGS: pinned versions always survive (see [[tag]]).
+    *
+    * Time travel to a vacuumed version fails with a clear error;
+    * later versions are untouched — their files are referenced and
+    * survive. [[expireSnapshots]] is the absolute-instant face of the
+    * same sweep. */
   def vacuum(spark: SparkSession, table: String, retainLast: Int = 2,
-             stagingStaleMs: Long = 6 * 3600 * 1000L): VacuumStats =
+             stagingStaleMs: Long = 6 * 3600 * 1000L,
+             retainHours: Double = -1): VacuumStats =
     withCommitLock(table) {
       val cur = currentVersion(table)
       require(cur > 0, s"snapshot $table does not exist")
-      val cutoff = math.max(1, cur - math.max(1, retainLast) + 1)
+      val byCount = (math.max(1, cur - math.max(1, retainLast) + 1) to cur).toSeq
+      val byAge: Seq[Int] =
+        if (retainHours < 0) Nil
+        else {
+          require(!retainHours.isNaN && !retainHours.isInfinite,
+            s"snapshot vacuum: retainHours must be finite, got $retainHours")
+          val cutoffMs =
+            System.currentTimeMillis() - (retainHours * 3600 * 1000).toLong
+          (1 to cur).filter(v => store(table).exists(manifestPath(table, v)) &&
+            committedAt(table, v) >= cutoffMs)
+        }
+      vacuumRetaining(table, cur, byCount ++ byAge, stagingStaleMs)
+    }
+
+  /** The Iceberg-named ops verb: drop every version committed AT OR
+    * BEFORE `olderThanMillis` (the current version and tag-pinned
+    * versions always survive), reclaiming their unreferenced files —
+    * [[vacuum]] with an ABSOLUTE cutoff instead of a relative window.
+    * Pre-instant legacy manifests (committed_at 0) count as older
+    * than any cutoff. */
+  def expireSnapshots(spark: SparkSession, table: String,
+                      olderThanMillis: Long,
+                      stagingStaleMs: Long = 6 * 3600 * 1000L): VacuumStats =
+    withCommitLock(table) {
+      val cur = currentVersion(table)
+      require(cur > 0, s"snapshot $table does not exist")
+      val retained = (1 to cur).filter(v => v == cur ||
+        (store(table).exists(manifestPath(table, v)) &&
+          committedAt(table, v) > olderThanMillis))
+      vacuumRetaining(table, cur, retained, stagingStaleMs)
+    }
+
+  /** Shared sweep body: delete files/manifests no version in
+    * `retain` (∪ the tag pins) references. Caller holds the lock. */
+  private def vacuumRetaining(table: String, cur: Int, retain: Seq[Int],
+                              stagingStaleMs: Long): VacuumStats = {
       // tagged versions are PINNED: their manifests and files survive
       // any retention window (see [[tag]])
       val pinned = tags(table).values.toSet
-      val retainedVs = ((cutoff to cur) ++ pinned).distinct.sorted
+      val retainedVs = (retain ++ pinned :+ cur).distinct.sorted
       val st = store(table)
       val retainedMs = retainedVs
         .filter(v => st.exists(manifestPath(table, v)))
@@ -1605,11 +1654,12 @@ object Snapshot {
         }
       }
       var mDeleted = 0
-      (1 until cutoff).filterNot(pinned.contains).foreach { v =>
+      val retainedSet = retainedVs.toSet
+      (1 until cur).filterNot(retainedSet.contains).foreach { v =>
         if (st.delete(manifestPath(table, v))) mDeleted += 1
       }
       VacuumStats(deleted, mDeleted, freed)
-    }
+  }
 
   // ---------------------------------------------------------------- reads
 

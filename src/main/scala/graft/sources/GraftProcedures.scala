@@ -79,6 +79,12 @@ private[sources] final class GraftProcedures(
 
   private def commitRow(st: Snapshot.CommitStats): Seq[InternalRow] = Seq(
     InternalRow(st.version, st.rewrittenPartitions.size, st.filesWritten))
+  private def vacuumRow(vs: Snapshot.VacuumStats): Seq[InternalRow] = Seq(
+    InternalRow(vs.filesDeleted, vs.manifestsDeleted, vs.bytesFreed))
+  private val vacuumSchema = StructType(Seq(
+    StructField("files_deleted", IntegerType, nullable = false),
+    StructField("manifests_deleted", IntegerType, nullable = false),
+    StructField("bytes_freed", LongType, nullable = false)))
   private val commitSchema = StructType(Seq(
     StructField("version", IntegerType, nullable = false),
     StructField("rewritten_partitions", IntegerType, nullable = false),
@@ -94,17 +100,25 @@ private[sources] final class GraftProcedures(
       (s, dir, args) => commitRow(Snapshot.compact(s, dir, args.getInt(1)))),
 
     new Proc("vacuum",
-      "delete files referenced by no retained version; tag-pinned " +
-        "versions always survive",
-      Array(in("table", StringType), inD("retain_last", IntegerType, "2")),
-      StructType(Seq(
-        StructField("files_deleted", IntegerType, nullable = false),
-        StructField("manifests_deleted", IntegerType, nullable = false),
-        StructField("bytes_freed", LongType, nullable = false))),
-      (s, dir, args) => {
-        val vs = Snapshot.vacuum(s, dir, args.getInt(1))
-        Seq(InternalRow(vs.filesDeleted, vs.manifestsDeleted, vs.bytesFreed))
-      }),
+      "delete files referenced by no retained version; retention is " +
+        "the UNION of retain_last (count) and retain_hours (age, " +
+        "committed_at axis; -1 disables); tag-pinned versions always " +
+        "survive",
+      Array(in("table", StringType), inD("retain_last", IntegerType, "2"),
+        inD("retain_hours", DoubleType, "-1.0")),
+      vacuumSchema,
+      (s, dir, args) => vacuumRow(
+        Snapshot.vacuum(s, dir, args.getInt(1),
+          retainHours = args.getDouble(2)))),
+
+    new Proc("expire_snapshots",
+      "drop every version committed at or before older_than (epoch " +
+        "millis or a UTC timestamp string), reclaiming unreferenced " +
+        "files; the current version and tag pins always survive",
+      Array(in("table", StringType), in("older_than", StringType)),
+      vacuumSchema,
+      (s, dir, args) => vacuumRow(Snapshot.expireSnapshots(s, dir,
+        Snapshot.parseInstantMillis(args.getUTF8String(1).toString)))),
 
     new Proc("fsck",
       "audit the log and files; one row per finding (empty = clean)",

@@ -97,6 +97,30 @@ class GraftProceduresSpec extends SparkSpecBase {
     intercept[Exception] { Snapshot.readAt(spark, d, 1).collect() }
   }
 
+  test("CALL vacuum retain_hours and expire_snapshots ride the committed_at axis") {
+    val _ = rootDir
+    val d = seedFragmented("age") // v1..v4
+    Thread.sleep(25)
+    val cut = System.currentTimeMillis() // after v4
+    Thread.sleep(25)
+    Snapshot.merge(spark, d, // v5
+      upserts = Seq((99L, "young", "p0")).toDF("id", "payload", "part"),
+      deleteKeys = spark.range(0, 0).selectExpr("id"))
+    // retain_hours spanning only the post-cut commit: count window (1)
+    // keeps v5, the age window adds nothing older — v1..v3 drop, and
+    // the named-arg double coerces
+    spark.sql("CALL gproc.system.vacuum('ns.age', retain_last => 2, " +
+      "retain_hours => 0.0001)")
+    assert(Snapshot.history(d).map(_._1) == Seq(4, 5))
+    // expire_snapshots at the between-commits instant: v4 (committed
+    // before the cut) expires, the current v5 survives
+    val out = spark.sql("CALL gproc.system.expire_snapshots('ns.age', " +
+      s"older_than => '$cut')").collect()(0)
+    assert(out.getInt(1) == 1, s"exactly v4's manifest expires, got $out")
+    assert(Snapshot.history(d).map(_._1) == Seq(5))
+    assert(rowsOf(Snapshot.readLatest(spark, d)).exists(_._1 == 99L))
+  }
+
   test("CALL fsck returns findings as a result frame; clean table returns zero rows") {
     val _ = rootDir
     val d = seedFragmented("f")
@@ -152,7 +176,7 @@ class GraftProceduresSpec extends SparkSpecBase {
     val listed = spark.sessionState.catalogManager.catalog("gproc")
       .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
       .listProcedures(Array("system")).map(_.name).toSet
-    assert(listed == Set("compact", "vacuum", "fsck", "relayout",
-      "tag", "untag", "rollback"))
+    assert(listed == Set("compact", "vacuum", "expire_snapshots", "fsck",
+      "relayout", "tag", "untag", "rollback"))
   }
 }

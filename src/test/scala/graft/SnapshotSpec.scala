@@ -861,6 +861,44 @@ class SnapshotSpec extends SparkSpecBase {
     assert(Snapshot.readLatest(spark, t).filter(col("qty") <= 0).count() == 0)
   }
 
+  test("age-based vacuum and expire_snapshots: between-commits cutoffs keep exactly the younger versions; tag pins survive either policy") {
+    val t = fresh("vacage")
+    Snapshot.create(spark, t, seedDf, "id", "part")         // v1
+    Thread.sleep(25)
+    val t1 = System.currentTimeMillis()                     // after v1
+    Thread.sleep(25)
+    commitV2(t)                                             // v2
+    Thread.sleep(25)
+    val t2 = System.currentTimeMillis()                     // after v2
+    Thread.sleep(25)
+    Snapshot.merge(spark, t,                                // v3
+      upserts = Seq((50L, "x", "p1")).toDF("id", "payload", "part"),
+      deleteKeys = Seq.empty[Long].toDF("id"))
+
+    // AGE policy widens the COUNT policy (union): retainLast=1 alone
+    // would keep only v3; retainHours reaching back past t1 also keeps
+    // v2 (committed after t1) — v1 (older than the window) drops
+    val hours = (System.currentTimeMillis() - t1) / 3600.0e3
+    Snapshot.vacuum(spark, t, retainLast = 1, retainHours = hours)
+    assert(Snapshot.history(t).map(_._1) == Seq(2, 3),
+      "age window must retain v2 beside the count window's v3; v1 expires")
+    assert(rowsOf(Snapshot.readAt(spark, t, 2)) == v2Expected)
+    intercept[IllegalArgumentException] { Snapshot.readAt(spark, t, 1) }
+
+    // expire_snapshots: absolute cutoff at t2 — v2 (committed before
+    // t2) drops; the CURRENT version always survives; a tag pins
+    Snapshot.tag(t, "keep2", 2)
+    val vs1 = Snapshot.expireSnapshots(spark, t, t2)
+    assert(Snapshot.history(t).map(_._1) == Seq(2, 3),
+      "pinned v2 must survive an expire that would drop it")
+    assert(vs1.manifestsDeleted == 0)
+    Snapshot.untag(t, "keep2")
+    Snapshot.expireSnapshots(spark, t, t2)
+    assert(Snapshot.history(t).map(_._1) == Seq(3),
+      "unpinned v2 expires at the t2 cutoff; the current v3 survives")
+    assert(Snapshot.readLatest(spark, t).count() == 8)
+  }
+
   test("string stats pruning compares in UTF-8 binary order (supplementary-plane text is never wrongly pruned)") {
     // '😀' (U+1F600) sorts ABOVE U+FFFF in UTF-8 bytes (F0 9F 98 80 >
     // EF BF BF) but BELOW it in Java's UTF-16 code-unit order (D83D <
