@@ -2972,6 +2972,19 @@ object Oracles {
         |FROM documents
         |WHERE doc_id NOT IN (11, 22, 33, 44, 1234567)""".stripMargin,
 
+    // HALF-OPEN / STRICT bound DELETE/UPDATE: the retention sweep
+    // (>= 400 deletes), an inclusive-below update (< 100) and a
+    // strict-low/inclusive-high window (380 < id <= 390) replayed
+    "snapshot_dsv2_dml_open" ->
+      """SELECT doc_id, text,
+        |  CASE WHEN doc_id > 380 AND doc_id <= 390 THEN 'yy'
+        |       ELSE lang END AS lang,
+        |  source,
+        |  CASE WHEN doc_id < 100 THEN n_chars + 50
+        |       ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE NOT (doc_id >= 400)""".stripMargin,
+
     // DSv2 INSERT OVERWRITE: one transactional replace commit — the
     // SELECT's result IS the table afterward (old state time-travelable)
     "snapshot_dsv2_overwrite" ->

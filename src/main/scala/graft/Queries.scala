@@ -2264,6 +2264,34 @@ object Queries {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  private val snapshotDsv2DmlOpenMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SQL DELETE/UPDATE with HALF-OPEN and STRICT bounds — the
+    * retention-sweep shape (`DELETE WHERE ts < horizon`): one-sided
+    * conditions route onto the same pruned copy-on-write commits
+    * ([[graft.operators.Snapshot.BoundPred]] → the open-bounds stats
+    * fold; pruning is inclusive-conservative, the re-applied strict
+    * predicate keeps the result exact). The oracle replays the sweep
+    * and the strict/inclusive updates relationally. */
+  def snapshotDsv2DmlOpen(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotDsv2DmlOpenMemo.computeIfAbsent(dir, _ => {
+      val path = scratch("snapshot_dsv2op", dir)
+      Snapshot.create(s, path, t(s, dir, "documents"), key = "doc_id",
+        partitionCol = "source", statsCols = Seq("doc_id"), fileRanges = 8)
+      s.sql("DROP TABLE IF EXISTS graft_dsv2_docs_op")
+      s.sql(s"CREATE TABLE graft_dsv2_docs_op USING graft LOCATION '$path'")
+      s.sql("DELETE FROM graft_dsv2_docs_op WHERE doc_id >= 400")
+      s.sql("UPDATE graft_dsv2_docs_op SET n_chars = n_chars + 50 " +
+        "WHERE doc_id < 100")
+      s.sql("UPDATE graft_dsv2_docs_op SET lang = 'yy' " +
+        "WHERE doc_id > 380 AND doc_id <= 390")
+      path
+    })
+    Snapshot.readLatest(s, p)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   private val snapshotCatalogMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   // one catalog tree per JVM — catalogs read their conf once at first
@@ -2885,6 +2913,7 @@ object Queries {
     "snapshot_dsv2_merge_cond" -> snapshotDsv2MergeCond _,
     "snapshot_dsv2_merge_on" -> snapshotDsv2MergeOn _,
     "snapshot_dsv2_dml_in" -> snapshotDsv2DmlIn _,
+    "snapshot_dsv2_dml_open" -> snapshotDsv2DmlOpen _,
     "snapshot_dsv2_overwrite" -> snapshotDsv2Overwrite _,
     "snapshot_dsv2_overwrite_part" -> snapshotDsv2OverwritePart _,
     "snapshot_catalog" -> snapshotCatalog _,

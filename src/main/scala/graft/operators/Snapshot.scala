@@ -47,7 +47,7 @@ import scala.jdk.CollectionConverters._
  * Layout:
  * {{{
  *   table/_log/v00000001.json      one manifest per version (atomic rename)
- *   table/_log/seg/*.json          immutable per-partition SEGMENTS (large
+ *   table/_log/seg/<name>.json     immutable per-partition SEGMENTS (large
  *                                  tables: the manifest is a segment list;
  *                                  unchanged partitions carry by reference)
  *   table/_log/_commit.lock        writer mutual exclusion (atomic create)
@@ -2341,6 +2341,19 @@ object Snapshot {
     require(values.forall(_ != null),
       "snapshot DML: NULL in an IN list never matches — drop it upstream")
   }
+  /** A HALF-OPEN (or strict) bound — the retention-sweep shape
+    * (`ts >= cutoff`, `ts < horizon`): file pruning is the
+    * open-bounds stats fold ([[pruneBounds]], inclusive — a
+    * conservative superset for strict bounds, which the re-applied
+    * row predicate then makes exact). At least one side required. */
+  final case class BoundPred(column: String, lo: Option[Any], hi: Option[Any],
+                             loStrict: Boolean = false,
+                             hiStrict: Boolean = false) extends DmlPred {
+    require(lo.isDefined || hi.isDefined,
+      "snapshot DML: a bound predicate needs at least one side")
+    require(lo.forall(_ != null) && hi.forall(_ != null),
+      "snapshot DML: a NULL bound never matches — drop it upstream")
+  }
 
   private def toDml(preds: Seq[(String, Any, Any)]): Seq[DmlPred] =
     preds.map { case (c, lo, hi) => RangePred(c, lo, hi) }
@@ -2354,6 +2367,11 @@ object Snapshot {
         coalesce(col(c) >= lit(lo) && col(c) <= lit(hi), lit(false))
       case InPred(c, vs) =>
         coalesce(col(c).isin(vs: _*), lit(false))
+      case BoundPred(c, lo, hi, loS, hiS) =>
+        val sides =
+          lo.map(v => if (loS) col(c) > lit(v) else col(c) >= lit(v)).toSeq ++
+          hi.map(v => if (hiS) col(c) < lit(v) else col(c) <= lit(v))
+        coalesce(sides.reduce(_ && _), lit(false))
     }.reduce(_ && _)
 
   /** [[pruneAll]] over the DML conjunct forms: per-conjunct kept sets
@@ -2369,6 +2387,8 @@ object Snapshot {
         pruneRange(table, c, lo, hi, version)._1.map(_.path).toSet
       case InPred(c, vs) =>
         pruneIn(table, c, vs, version)._1.map(_.path).toSet
+      case BoundPred(c, lo, hi, _, _) => // inclusive fold: conservative
+        pruneBounds(table, c, lo, hi, version)._1.map(_.path).toSet
     }.reduce(_ intersect _)
     m.files.filter(f => kept.contains(f.path))
   }

@@ -416,9 +416,10 @@ private[graft] class GraftTable(private[graft] val path: String,
       "graft: cannot DELETE through a versionAsOf/tag-pinned reference")
     val preds = GraftFilters.toDmlPreds(filters).getOrElse(
       throw new IllegalArgumentException(
-        "graft: DELETE supports conjunctions of bounded ranges, " +
-          "equality and IN lists (col = v, col BETWEEN lo AND hi, " +
-          "col IN (…)) — rewrite the predicate or use the Scala DML API"))
+        "graft: DELETE supports conjunctions of ranges, one-sided " +
+          "bounds, equality and IN lists (col = v, col BETWEEN lo AND " +
+          "hi, col >= v, col < v, col IN (…)) — rewrite the predicate " +
+          "or use the Scala DML API"))
     Snapshot.deleteMatching(SparkSession.active, path, preds)
   }
 }
@@ -1052,9 +1053,13 @@ private[graft] object GraftFilters {
     * form (unbounded, OR, NOT, duplicate bounds, NULL in an IN list)
     * — the caller REFUSES rather than approximates. */
   def toDmlPreds(filters: Array[Filter]): Option[Seq[Snapshot.DmlPred]] = {
-    val bounds = scala.collection.mutable.LinkedHashMap[String, (Option[Any], Option[Any])]()
+    // per column: (bound value, strict?) per side — half-open is legal
+    // (the retention-sweep shape); double bounds on one side refuse
+    val bounds = scala.collection.mutable.LinkedHashMap[
+      String, (Option[(Any, Boolean)], Option[(Any, Boolean)])]()
     val ins = scala.collection.mutable.ArrayBuffer.empty[Snapshot.InPred]
-    def upd(c: String, lo: Option[Any], hi: Option[Any]): Boolean = {
+    def upd(c: String, lo: Option[(Any, Boolean)],
+            hi: Option[(Any, Boolean)]): Boolean = {
       val (l0, h0) = bounds.getOrElse(c, (None, None))
       if ((lo.isDefined && l0.isDefined) || (hi.isDefined && h0.isDefined))
         return false // conflicting double bounds — refuse, don't guess
@@ -1062,21 +1067,24 @@ private[graft] object GraftFilters {
       true
     }
     val ok = filters.forall {
-      case EqualTo(c, v) if v != null            => upd(c, Some(v), Some(v))
-      case GreaterThanOrEqual(c, v) if v != null => upd(c, Some(v), None)
-      case LessThanOrEqual(c, v) if v != null    => upd(c, None, Some(v))
+      case EqualTo(c, v) if v != null =>
+        upd(c, Some((v, false)), Some((v, false)))
+      case GreaterThanOrEqual(c, v) if v != null => upd(c, Some((v, false)), None)
+      case GreaterThan(c, v) if v != null        => upd(c, Some((v, true)), None)
+      case LessThanOrEqual(c, v) if v != null    => upd(c, None, Some((v, false)))
+      case LessThan(c, v) if v != null           => upd(c, None, Some((v, true)))
       case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
         ins += Snapshot.InPred(c, vs.toIndexedSeq); true
       case _ => false
     }
     if (!ok || filters.isEmpty) None
-    else {
-      val ranges = bounds.toSeq.map { case (c, (lo, hi)) =>
-        for (l <- lo; h <- hi) yield Snapshot.RangePred(c, l, h)
-      }
-      if (ranges.exists(_.isEmpty)) None
-      else Some(ranges.flatten ++ ins)
-    }
+    else Some(bounds.toSeq.map {
+      case (c, (Some((l, false)), Some((h, false)))) =>
+        Snapshot.RangePred(c, l, h)
+      case (c, (lo, hi)) =>
+        Snapshot.BoundPred(c, lo.map(_._1), hi.map(_._1),
+          loStrict = lo.exists(_._2), hiStrict = hi.exists(_._2))
+    } ++ ins)
   }
 
   /** Manifest entries surviving the filters' prunable conjuncts, or

@@ -4,7 +4,7 @@ import graft.operators.Snapshot
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, Between, Cast, EqualTo => CEqualTo, Expression, GreaterThanOrEqual => CGte, In => CIn, LessThanOrEqual => CLte, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, Between, Cast, EqualTo => CEqualTo, Expression, GreaterThan => CGt, GreaterThanOrEqual => CGte, In => CIn, LessThan => CLt, LessThanOrEqual => CLte, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -110,28 +110,43 @@ object GraftDml {
     * predicates (bounded ranges + IN lists); None refuses. Mirrors
     * [[GraftFilters.toDmlPreds]] on v1 Filters. */
   private[graft] def toDmlPreds(cond: Expression): Option[Seq[Snapshot.DmlPred]] = {
-    val bounds = scala.collection.mutable.LinkedHashMap[String, (Option[Any], Option[Any])]()
+    // per column: (bound value, strict?) per side — half-open is legal
+    // (the retention-sweep shape); double bounds on one side refuse
+    val bounds = scala.collection.mutable.LinkedHashMap[
+      String, (Option[(Any, Boolean)], Option[(Any, Boolean)])]()
     val ins = scala.collection.mutable.ArrayBuffer.empty[Snapshot.InPred]
-    def upd(c: String, lo: Option[Any], hi: Option[Any]): Boolean = {
+    def upd(c: String, lo: Option[(Any, Boolean)],
+            hi: Option[(Any, Boolean)]): Boolean = {
       val (l0, h0) = bounds.getOrElse(c, (None, None))
       if ((lo.isDefined && l0.isDefined) || (hi.isDefined && h0.isDefined))
         return false // conflicting double bounds — refuse, don't guess
       bounds(c) = (lo.orElse(l0), hi.orElse(h0))
       true
     }
+    def lo(v: Option[Any], strict: Boolean) = v.map(x => (x, strict))
     val ok = conjuncts(cond).forall {
       case CEqualTo(a: AttributeReference, c) if constValue(c).isDefined =>
-        val v = constValue(c).get; upd(a.name, Some(v), Some(v))
+        val v = constValue(c).get
+        upd(a.name, Some((v, false)), Some((v, false)))
       case CEqualTo(c, a: AttributeReference) if constValue(c).isDefined =>
-        val v = constValue(c).get; upd(a.name, Some(v), Some(v))
+        val v = constValue(c).get
+        upd(a.name, Some((v, false)), Some((v, false)))
       case CGte(a: AttributeReference, c) if constValue(c).isDefined =>
-        upd(a.name, constValue(c), None)
+        upd(a.name, lo(constValue(c), strict = false), None)
       case CLte(c, a: AttributeReference) if constValue(c).isDefined =>
-        upd(a.name, constValue(c), None)
+        upd(a.name, lo(constValue(c), strict = false), None)
+      case CGt(a: AttributeReference, c) if constValue(c).isDefined =>
+        upd(a.name, lo(constValue(c), strict = true), None)
+      case CLt(c, a: AttributeReference) if constValue(c).isDefined =>
+        upd(a.name, lo(constValue(c), strict = true), None)
       case CLte(a: AttributeReference, c) if constValue(c).isDefined =>
-        upd(a.name, None, constValue(c))
+        upd(a.name, None, lo(constValue(c), strict = false))
       case CGte(c, a: AttributeReference) if constValue(c).isDefined =>
-        upd(a.name, None, constValue(c))
+        upd(a.name, None, lo(constValue(c), strict = false))
+      case CLt(a: AttributeReference, c) if constValue(c).isDefined =>
+        upd(a.name, None, lo(constValue(c), strict = true))
+      case CGt(c, a: AttributeReference) if constValue(c).isDefined =>
+        upd(a.name, None, lo(constValue(c), strict = true))
       // IN coercion wraps EVERY child in a cast to the widest type —
       // including an attribute already of that type; strip only the
       // TRIVIAL (same-type) wrap, any real cast keeps refusing
@@ -141,13 +156,13 @@ object GraftDml {
       case _ => false
     }
     if (!ok || (bounds.isEmpty && ins.isEmpty)) None
-    else {
-      val ranges = bounds.toSeq.map { case (c, (lo, hi)) =>
-        for (l <- lo; h <- hi) yield Snapshot.RangePred(c, l, h)
-      }
-      if (ranges.exists(_.isEmpty)) None
-      else Some(ranges.flatten ++ ins)
-    }
+    else Some(bounds.toSeq.map {
+      case (c, (Some((l, false)), Some((h, false)))) =>
+        Snapshot.RangePred(c, l, h)
+      case (c, (l, h)) =>
+        Snapshot.BoundPred(c, l.map(_._1), h.map(_._1),
+          loStrict = l.exists(_._2), hiStrict = h.exists(_._2))
+    } ++ ins)
   }
 
   // refusals surface at analysis time, same style as the connector's
@@ -165,10 +180,10 @@ object GraftDml {
         "whole table — give a bounded range/equality condition, or use " +
         "the Scala relayout/compact commits for full rewrites")
       case Some(c) => toDmlPreds(c).getOrElse(refuse(
-        "graft: UPDATE supports conjunctions of bounded ranges, " +
-          "equality and IN lists on stats-provable columns (col = v, " +
-          "col >= lo AND col <= hi, BETWEEN, col IN (…)) — rewrite the " +
-          s"predicate or use the Scala DML API (got: ${c.sql})"))
+        "graft: UPDATE supports conjunctions of ranges, one-sided " +
+          "bounds, equality and IN lists on stats-provable columns " +
+          "(col = v, col >= lo, col < hi, BETWEEN, col IN (…)) — " +
+          s"rewrite the predicate or use the Scala DML API (got: ${c.sql})"))
     }
     val sets = u.assignments.flatMap { a =>
       val name = a.key match {

@@ -473,6 +473,34 @@ class GraftDataSourceSpec extends SparkSpecBase {
     } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_mc")
   }
 
+  test("half-open and strict bounds in DELETE/UPDATE: the retention-sweep shape, pruned and exact") {
+    val t = fresh("dmlopen")
+    seed(t) // ids 0..39 over p0..p3
+    spark.sql("DROP TABLE IF EXISTS graft_dsv2_open")
+    spark.sql(s"CREATE TABLE graft_dsv2_open USING graft LOCATION '$t'")
+    try {
+      val pre = Snapshot.readManifest(t, 1).files.map(_.path).toSet
+      // strict upper bound: ids 0..4 go, 5 survives
+      spark.sql("DELETE FROM graft_dsv2_open WHERE id < 5")
+      val r1 = rowsOf(Snapshot.readLatest(spark, t))
+      assert(!r1.exists(_._1 < 5L) && r1.exists(_._1 == 5L) && r1.size == 35)
+      // pruning: p2/p3 files provably miss the bound and carry forward
+      val post = Snapshot.readManifest(t, 2).files.map(_.path).toSet
+      assert((pre intersect post).nonEmpty)
+      // inclusive lower bound UPDATE: ids >= 38 tag
+      spark.sql("UPDATE graft_dsv2_open SET payload = 'old' WHERE id >= 38")
+      val r2 = rowsOf(Snapshot.readLatest(spark, t))
+      assert(r2.contains((38L, "old", "p3")) && r2.contains((39L, "old", "p3")) &&
+        r2.contains((37L, "pay_37", "p3")))
+      // strict lower bound UPDATE: > 35 touches 36,37 (38,39 rewritten above)
+      spark.sql("UPDATE graft_dsv2_open SET payload = concat(payload, '+') " +
+        "WHERE id > 35 AND id < 38")
+      val r3 = rowsOf(Snapshot.readLatest(spark, t))
+      assert(r3.contains((36L, "pay_36+", "p3")) && r3.contains((37L, "pay_37+", "p3")) &&
+        r3.contains((35L, "pay_35", "p3")) && r3.contains((38L, "old", "p3")))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_dsv2_open")
+  }
+
   test("dynamic-mode SQL INSERT OVERWRITE == the Scala dynamic partition overwrite, commit for commit") {
     val tSql = fresh("dynsql")
     val tApi = fresh("dynapi")
