@@ -36,10 +36,11 @@ import org.apache.spark.sql.functions.{col, expr}
  * }}}
  *
  * REFUSE-DON'T-APPROXIMATE, the same contract as SQL DELETE:
- *  - UPDATE conditions must be conjunctions of bounded ranges /
- *    equality on stats-provable columns (`>=`/`<=`/`=`/BETWEEN —
- *    what [[Snapshot.pruneAll]] can prove); anything else errors at
- *    analysis with a rewrite hint, it is never silently widened.
+ *  - UPDATE conditions must be conjunctions the manifest can prove
+ *    file-exhaustively: ranges, one-sided/strict bounds, equality and
+ *    IN lists on stats-provable columns (`>=`/`<=`/`>`/`<`/`=`/
+ *    BETWEEN/IN — the [[Snapshot.DmlPred]] forms); anything else
+ *    errors at analysis with a rewrite hint, never silently widened.
  *  - MERGE is keyed: the ON condition must CONTAIN exactly one
  *    equality on the TABLE KEY; further AND-ed conjuncts narrow match
  *    membership (the Delta partition-pruning merge idiom,
