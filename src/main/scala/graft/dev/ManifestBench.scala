@@ -141,6 +141,9 @@ object ManifestBench {
   }
 
   def main(args: Array[String]): Unit = {
+    // the bench commits and immediately measures memoized reads —
+    // disable the racily-fresh mtime guard (production keeps it)
+    sys.props("graft.manifest.mtimeGranularityMs") = "0"
     val out = sys.env.getOrElse("SPARK_GRAFT_MANIFESTBENCH_OUT",
       "manifestbench_out.json")
     val scales = Seq(1000, 10000, 100000)

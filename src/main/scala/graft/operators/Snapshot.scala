@@ -424,19 +424,43 @@ object Snapshot {
     * full inventory (at 100k files with bloom blobs, a multi-MB JSON
     * per query). Entries validate by the manifest file's
     * (mtime, size) — two metadata calls instead of a parse — so a
-    * table deleted and recreated at the same path (tests, reruns) can
-    * never serve a stale manifest. Bounded LRU; access-ordered. */
+    * table deleted and recreated at the same path (tests, reruns)
+    * never serves stale state. Coarse-mtime stores (1 s local FS
+    * ticks, S3 LastModified seconds) get the git-racily-clean guard:
+    * a manifest is only CACHED once its mtime is older than the
+    * granularity window, so a same-tick recreate can never slip in
+    * behind an already-cached entry (fresh manifests simply re-parse
+    * for the first 2 s of their life). Bounded LRU, access-ordered,
+    * capped by ENTRY COUNT and by approximate RETAINED BYTES — a
+    * 100k-file manifest with bloom blobs is ~100s of MB on-heap, and
+    * a history/fsck pass over many versions must not pin the driver
+    * heap. */
   private val manifestCache =
-    new java.util.LinkedHashMap[(String, Int), (Long, Long, Manifest)](
-      64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Int), (Long, Long, Manifest)]): Boolean =
-        size() > 64
-    }
+    new java.util.LinkedHashMap[(String, Int), (Long, Long, Long, Manifest)](
+      64, 0.75f, true)
+  private var manifestCacheBytes: Long = 0L
+  private val ManifestCacheMaxBytes: Long =
+    sys.props.get("graft.manifest.cacheMaxBytes").map(_.toLong)
+      .getOrElse(256L << 20)
+  /** The mtime-granularity window (git's racily-clean bound) —
+    * tunable for tests/benchmarks that commit and immediately
+    * measure memoized reads. */
+  private def mtimeGranularityMs: Long =
+    sys.props.get("graft.manifest.mtimeGranularityMs").map(_.toLong)
+      .getOrElse(2000L)
+
+  /** Approximate retained heap of a parsed manifest: the blob arrays
+    * dominate; ~256 B covers each entry's strings/stats boxes. */
+  private def manifestWeight(m: Manifest): Long =
+    m.files.iterator.map(f => 256L +
+      f.blooms.valuesIterator.map(_.length.toLong).sum +
+      f.hlls.valuesIterator.map(_.length.toLong).sum).sum
 
   /** Drop every memoized manifest (benchmarks measuring cold parses). */
   private[graft] def clearManifestCache(): Unit =
-    manifestCache.synchronized { manifestCache.clear() }
+    manifestCache.synchronized {
+      manifestCache.clear(); manifestCacheBytes = 0L
+    }
 
   def readManifest(table: String, version: Int): Manifest = {
     val p = manifestPath(table, version)
@@ -448,12 +472,26 @@ object Snapshot {
     val (mt, sz) = (st.modifiedTime(p), st.size(p))
     manifestCache.synchronized {
       manifestCache.get(key) match {
-        case (cmt, csz, m) if cmt == mt && csz == sz => return m
+        case (cmt, csz, _, m) if cmt == mt && csz == sz => return m
         case _ => ()
       }
     }
     val m = parseManifest(table, st, mapper.readTree(st.read(p)))
-    manifestCache.synchronized { manifestCache.put(key, (mt, sz, m)) }
+    // racily-fresh manifests are NOT cached (see scaladoc)
+    if (System.currentTimeMillis() - mt >= mtimeGranularityMs)
+      manifestCache.synchronized {
+        val w = manifestWeight(m)
+        Option(manifestCache.remove(key)).foreach(old =>
+          manifestCacheBytes -= old._3)
+        manifestCache.put(key, (mt, sz, w, m))
+        manifestCacheBytes += w
+        val it = manifestCache.entrySet().iterator()
+        while ((manifestCache.size() > 64 ||
+            manifestCacheBytes > ManifestCacheMaxBytes) && it.hasNext) {
+          manifestCacheBytes -= it.next().getValue._3
+          it.remove()
+        }
+      }
     m
   }
 
@@ -1758,7 +1796,8 @@ object Snapshot {
             !dvDirs.exists(tableRel.startsWith)
         }.foreach { rel =>
           val p = s"$filesRoot/$rel"
-          freed += st.size(p); st.delete(p); deleted += 1
+          val sz = st.size(p)
+          if (st.delete(p)) { freed += sz; deleted += 1 }
         }
         // pass 2, bottom-up: directories left holding only sidecars are
         // fully vacuumed — drop the sidecars, then the empty dirs
@@ -1801,8 +1840,10 @@ object Snapshot {
         val segReferenced = retainedMs.flatMap(_.segRefs.values.map(_.path)).toSet
         st.list(segDir).foreach {
           case (n, false) if !segReferenced.contains(s"seg/$n") =>
-            freed += st.size(s"$segDir/$n")
-            if (st.delete(s"$segDir/$n")) mDeleted += 1
+            val sz = st.size(s"$segDir/$n")
+            // a reclaimed segment counts as METADATA (manifestsDeleted
+            // reports the whole log sweep); bytes only on success
+            if (st.delete(s"$segDir/$n")) { freed += sz; mDeleted += 1 }
           case _ => ()
         }
       }
@@ -1989,8 +2030,20 @@ object Snapshot {
     val retained = (1 to cur).filter(v => st.exists(manifestPath(table, v)))
     val referenced = scala.collection.mutable.Set[String]()
     val dvReferenced = scala.collection.mutable.Set[String]()
+    val segReferenced = scala.collection.mutable.Set[String]()
+    // an UNREADABLE manifest (lost segment file, truncated JSON) is a
+    // FINDING, not a crash — the audit must outlive the damage it
+    // exists to report; later checks skip the unreadable version
+    val readable = scala.collection.mutable.Map[Int, Manifest]()
     retained.foreach { v =>
-      val m = readManifest(table, v)
+      try readable(v) = readManifest(table, v)
+      catch { case e: Exception =>
+        issues += FsckIssue(v, f"_log/v$v%08d.json",
+          s"manifest unreadable: ${e.getMessage}")
+      }
+    }
+    retained.flatMap(v => readable.get(v).map(v -> _)).foreach { case (v, m) =>
+      segReferenced ++= m.segRefs.values.map(_.path)
       m.files.foreach { f =>
         referenced += f.path
         if (!st.exists(s"$table/${f.path}"))
@@ -2002,9 +2055,21 @@ object Snapshot {
         }
       }
     }
+    // orphan segment files: a crashed writer's droppings (vacuum
+    // reclaims them; the operator should see them first, like orphan
+    // data files)
+    val segDir = s"${logDir(table)}/seg"
+    if (st.isDirectory(segDir)) st.list(segDir).foreach {
+      case (n, false) if !segReferenced.contains(s"seg/$n") =>
+        issues += FsckIssue(0, s"_log/seg/$n",
+          "orphan segment (no retained version references it)")
+      case _ => ()
+    }
+    if (!readable.contains(cur))
+      return issues.result() // current version unreadable: no recount
     // recount the CURRENT version — PHYSICAL rows (applyDv = false:
     // manifest row counts are physical; the dv mask is audited below)
-    val m = readManifest(table, cur)
+    val m = readable(cur)
     if (m.files.nonEmpty && m.files.forall(f => st.exists(s"$table/${f.path}"))) {
       val counted = readManifestFiles(spark, table, m, applyDv = false)
         .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
@@ -2189,11 +2254,17 @@ object Snapshot {
     * parse numerically, lexicographic otherwise; all-null files never
     * match. Serves [[graft.sources.GraftDataSource]]'s file skipping. */
   def pruneBounds(table: String, column: String, lo: Option[Any],
-                  hi: Option[Any], version: Int = 0): (Seq[FileEntry], Int) = {
+                  hi: Option[Any], version: Int = 0,
+                  loStrict: Boolean = false,
+                  hiStrict: Boolean = false): (Seq[FileEntry], Int) = {
     val v = if (version > 0) version else currentVersion(table)
     val m = readManifest(table, v)
     val total = m.files.size
     if (lo.isEmpty && hi.isEmpty) return (m.files, total)
+    // strict bounds compare strictly against the OPPOSING stat: a file
+    // whose max EQUALS a strict lower bound provably holds no matching
+    // row — skipping it saves the boundary-aligned file a daily
+    // retention sweep would otherwise rewrite verbatim every run
     def admitsOpen(kind: String, mn: Option[String], mx: Option[String]): Boolean =
       (mn, mx) match {
         case (Some(fMin), Some(fMax)) =>
@@ -2201,11 +2272,15 @@ object Snapshot {
             lo.forall(x => scala.util.Try(BigDecimal(x.toString)).isSuccess) &&
             hi.forall(x => scala.util.Try(BigDecimal(x.toString)).isSuccess)
           if (numeric)
-            lo.forall(l => BigDecimal(fMax) >= BigDecimal(l.toString)) &&
-              hi.forall(h => BigDecimal(fMin) <= BigDecimal(h.toString))
+            lo.forall { l => val b = BigDecimal(l.toString)
+              if (loStrict) BigDecimal(fMax) > b else BigDecimal(fMax) >= b } &&
+              hi.forall { h => val b = BigDecimal(h.toString)
+                if (hiStrict) BigDecimal(fMin) < b else BigDecimal(fMin) <= b }
           else
-            lo.forall(l => cmpUtf8(fMax, l.toString) >= 0) &&
-              hi.forall(h => cmpUtf8(fMin, h.toString) <= 0)
+            lo.forall { l => val c = cmpUtf8(fMax, l.toString)
+              if (loStrict) c > 0 else c >= 0 } &&
+              hi.forall { h => val c = cmpUtf8(fMin, h.toString)
+                if (hiStrict) c < 0 else c <= 0 }
         case _ => false
       }
     val kept =
@@ -2216,10 +2291,14 @@ object Snapshot {
           hi.forall(x => scala.util.Try(BigDecimal(x.toString)).isSuccess)
         m.partitions.filter { case (p, _) =>
           if (numeric)
-            lo.forall(l => nums(p).get >= BigDecimal(l.toString)) &&
-              hi.forall(h => nums(p).get <= BigDecimal(h.toString))
-          else lo.forall(l => cmpUtf8(p, l.toString) >= 0) &&
-            hi.forall(h => cmpUtf8(p, h.toString) <= 0)
+            lo.forall { l => val b = BigDecimal(l.toString)
+              if (loStrict) nums(p).get > b else nums(p).get >= b } &&
+              hi.forall { h => val b = BigDecimal(h.toString)
+                if (hiStrict) nums(p).get < b else nums(p).get <= b }
+          else lo.forall { l => val c = cmpUtf8(p, l.toString)
+            if (loStrict) c > 0 else c >= 0 } &&
+            hi.forall { h => val c = cmpUtf8(p, h.toString)
+              if (hiStrict) c < 0 else c <= 0 }
         }.values.flatten.toSeq
       } else {
         require(m.statsCols.contains(column),
@@ -2343,9 +2422,9 @@ object Snapshot {
   }
   /** A HALF-OPEN (or strict) bound — the retention-sweep shape
     * (`ts >= cutoff`, `ts < horizon`): file pruning is the
-    * open-bounds stats fold ([[pruneBounds]], inclusive — a
-    * conservative superset for strict bounds, which the re-applied
-    * row predicate then makes exact). At least one side required. */
+    * open-bounds stats fold ([[pruneBounds]], strictness-aware — a
+    * boundary-aligned file whose max equals a strict lower bound is
+    * provably matchless and skips). At least one side required. */
   final case class BoundPred(column: String, lo: Option[Any], hi: Option[Any],
                              loStrict: Boolean = false,
                              hiStrict: Boolean = false) extends DmlPred {
@@ -2387,8 +2466,9 @@ object Snapshot {
         pruneRange(table, c, lo, hi, version)._1.map(_.path).toSet
       case InPred(c, vs) =>
         pruneIn(table, c, vs, version)._1.map(_.path).toSet
-      case BoundPred(c, lo, hi, _, _) => // inclusive fold: conservative
-        pruneBounds(table, c, lo, hi, version)._1.map(_.path).toSet
+      case BoundPred(c, lo, hi, loS, hiS) =>
+        pruneBounds(table, c, lo, hi, version,
+          loStrict = loS, hiStrict = hiS)._1.map(_.path).toSet
     }.reduce(_ intersect _)
     m.files.filter(f => kept.contains(f.path))
   }
@@ -2713,13 +2793,32 @@ object Snapshot {
   }
 
   /** Commit instant (epoch millis) of a retained version — 0 for
-    * manifests written before the field existed. */
+    * manifests written before the field existed. STREAM-parsed: the
+    * field sits at the head of the manifest (third field written), so
+    * the parser stops after a few tokens instead of materializing the
+    * full inventory tree — the age-based vacuum/expire sweeps call
+    * this once per version, and a large inline manifest must not cost
+    * a full parse per timestamp. */
   def committedAt(table: String, version: Int): Long = {
     val st = store(table)
     val p = manifestPath(table, version)
     require(st.exists(p), s"snapshot $table: no retained version v$version")
-    Option(mapper.readTree(st.read(p)).get("committed_at"))
-      .map(_.asLong()).getOrElse(0L)
+    val jp = mapper.getFactory.createParser(st.read(p))
+    try {
+      var depth = 0
+      while (jp.nextToken() != null) {
+        val t = jp.currentToken()
+        if (t.isStructStart) depth += 1
+        else if (t.isStructEnd) depth -= 1
+        else if (depth == 1 &&
+            t == com.fasterxml.jackson.core.JsonToken.FIELD_NAME &&
+            jp.currentName() == "committed_at") {
+          jp.nextToken()
+          return jp.getLongValue
+        }
+      }
+      0L
+    } finally jp.close()
   }
 
   /** Latest version committed AT OR BEFORE the instant — the

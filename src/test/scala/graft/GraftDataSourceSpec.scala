@@ -666,6 +666,31 @@ class GraftDataSourceSpec extends SparkSpecBase {
       assert(r3.contains((5L, "f5", "p0")) && r3.contains((6L, "pay_6", "p0")),
         "flag=0 fails the source-only conjunct: not matched, untouched")
 
+      // ---- the keyed-format GATE: a statement whose branches deliver
+      // TWO upserts for one key refuses instead of silently
+      // duplicating the key — (a) a key-colliding NOT MATCHED insert
+      // meeting a NOT MATCHED BY SOURCE update of the same key under
+      // a compound ON; (b) a source with duplicate ON keys
+      val vGate = Snapshot.currentVersion(t)
+      Seq((21L, "pz")).toDF("id", "part2").createOrReplaceTempView("mon_dup")
+      val eDup = intercept[Exception] {
+        spark.sql("MERGE INTO graft_dsv2_mon t USING mon_dup s " +
+          "ON t.id = s.id AND t.part = s.part2 " +
+          "WHEN NOT MATCHED THEN INSERT (id, payload, part) " +
+          "VALUES (s.id, 'dup', s.part2) " +
+          "WHEN NOT MATCHED BY SOURCE AND t.id = 21 " +
+          "THEN UPDATE SET payload = 'bs2'")
+      }
+      assert(eDup.getMessage.contains("multiple upsert rows"))
+      Seq((7L, "a", "p0"), (7L, "b", "p0"))
+        .toDF("id", "payload", "part").createOrReplaceTempView("mon_dsrc")
+      val eSrc = intercept[Exception] {
+        spark.sql("MERGE INTO graft_dsv2_mon t USING mon_dsrc s " +
+          "ON t.id = s.id WHEN MATCHED THEN UPDATE SET payload = s.payload")
+      }
+      assert(eSrc.getMessage.contains("multiple upsert rows"))
+      assert(Snapshot.currentVersion(t) == vGate, "refusals must not commit")
+
       // ---- refusals unchanged: non-equi key conditions, a missing
       // key equality, and an ambiguous double key equality all refuse
       Seq((1L, 2L)).toDF("id", "id2").createOrReplaceTempView("mon_bad")

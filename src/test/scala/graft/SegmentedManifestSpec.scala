@@ -151,7 +151,16 @@ class SegmentedManifestSpec extends SparkSpecBase {
 
   test("manifest memo: one parse per (table, version); a recreated table at the same path is never served stale") {
     val t = fresh("memo")
+    val gk = "graft.manifest.mtimeGranularityMs"
     Snapshot.create(spark, t, seedDf, "id", "part")
+    // RACILY-FRESH guard: a manifest younger than the mtime
+    // granularity window is never cached (a same-tick recreate could
+    // hide behind an identical (mtime, size))
+    val f1 = Snapshot.readManifest(t, 1)
+    val f2 = Snapshot.readManifest(t, 1)
+    assert(!(f1 eq f2), "a fresh manifest must re-parse, not cache")
+    sys.props(gk) = "0" // stable-mtime regime for the rest of the test
+    try {
     val a = Snapshot.readManifest(t, 1)
     val b = Snapshot.readManifest(t, 1)
     assert(a eq b, "second read must serve the memoized instance")
@@ -164,6 +173,30 @@ class SegmentedManifestSpec extends SparkSpecBase {
     assert(!(c eq a) && c.partitions.keySet == Set("q1"),
       "recreated table must re-parse, never serve the stale manifest")
     assert(rowsOf(Snapshot.readLatest(spark, t)) == Set((100L, "fresh", "q1")))
+    } finally sys.props -= gk
+  }
+
+  test("fsck reports unreadable manifests and orphan segments as findings instead of crashing") {
+    withThreshold(2) {
+      val t = fresh("fsckseg")
+      Snapshot.create(spark, t, seedDf, "id", "part", fileRanges = 2)
+      Snapshot.merge(spark, t, // v2 rewrites p0; p1..p3 segs shared with v1
+        upserts = Seq((1L, "x", "p0")).toDF("id", "payload", "part"),
+        deleteKeys = spark.range(0, 0).selectExpr("id"))
+      val st = LogStore.forPath(t)
+      st.putIfAbsent(s"$t/_log/seg/orphan-junk.json", "[]".getBytes)
+      // lose v1's p0 segment — referenced ONLY by v1 (v2 rewrote p0)
+      val v1p0 = segMap(t, 1)("p0").get
+      assert(st.delete(s"$t/_log/$v1p0"))
+      Snapshot.clearManifestCache()
+      val issues = Snapshot.fsck(spark, t)
+      assert(issues.exists(i => i.version == 1 &&
+        i.problem.startsWith("manifest unreadable")),
+        s"damaged v1 must surface as a finding, got $issues")
+      assert(issues.exists(_.problem.contains("orphan segment")))
+      // the CURRENT version still audits and still reads
+      assert(Snapshot.readLatest(spark, t).count() == 40L)
+    }
   }
 
   test("below the threshold manifests stay inline (no segment files, no extra read round-trips)") {
