@@ -56,8 +56,9 @@ object Bench {
     "snapshot_dsv2_agg", "snapshot_dsv2_agg_group", "snapshot_dsv2_agg_where",
     "snapshot_dsv2_agg_range",
     "snapshot_dsv2_write", "snapshot_dsv2_delete", "snapshot_dsv2_update",
-    "snapshot_dsv2_merge", "snapshot_dsv2_merge_cond", "snapshot_dsv2_overwrite",
-    "snapshot_dsv2_overwrite_part",
+    "snapshot_dsv2_merge", "snapshot_dsv2_merge_cond", "snapshot_dsv2_merge_on",
+    "snapshot_dsv2_overwrite", "snapshot_dsv2_overwrite_part",
+    "snapshot_dsv2_dml_in", "snapshot_dsv2_dml_open",
     "snapshot_catalog", "snapshot_catalog_asof",
     "snapshot_relayout",
     "fuzzy_names", "fuzzy_names_jw", "fuzzy_names_multi",
