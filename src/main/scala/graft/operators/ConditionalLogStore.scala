@@ -71,6 +71,11 @@ class ConditionalWriteLogStore extends LogStore {
     delegate.deleteTree(path)
   }
 
+  // SINGLE-OWNER assumption (VERDICT r13): the claims-map walk below
+  // is not atomic against a concurrent claim — safe here because
+  // renames only ever move STAGED paths their renamer exclusively
+  // owns (commitStaged under the lock); a real S3 binding renaming
+  // shared paths would need a conditional copy+delete instead.
   override def rename(src: String, dst: String): Unit = {
     delegate.rename(src, dst)
     val prefix = src.stripSuffix("/") + "/"

@@ -56,8 +56,11 @@ import java.util.{OptionalLong, Map => JMap, Set => JSet}
  * therefore has UPSERT semantics (matching keys replace — the
  * format's one write primitive; a blind duplicate-key append would
  * violate the key contract, so none is offered). `INSERT OVERWRITE`
- * is rejected (use the DML/relayout commits), as is inserting through
- * a `versionAsOf`/`tag`-pinned reference (writing to the past).
+ * is a transactional REPLACE commit — unconditional, a static
+ * `PARTITION (p = v)` scope, or (conf dynamic mode, via the
+ * analysis-time interception) the dynamic partition overwrite; any
+ * other overwrite predicate refuses, as does writing through a
+ * `versionAsOf`/`tag`-pinned reference (writing to the past).
  */
 class GraftDataSource extends TableProvider with DataSourceRegister
   with StreamSourceProvider with StreamSinkProvider {
