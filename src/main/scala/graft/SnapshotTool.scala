@@ -100,6 +100,21 @@ object SnapshotTool {
         (Seq(s"expired $table versions committed at or before $olderThan: " +
           s"${vs.filesDeleted} file(s), ${vs.manifestsDeleted} manifest(s), " +
           s"${vs.bytesFreed} bytes freed"), 0)
+      case Seq("add-check", table, name, sql) =>
+        val st = Snapshot.addCheck(spark, table, name, sql)
+        (Seq(s"added CHECK '$name' ($sql) to $table → v${st.version}"), 0)
+      case Seq("drop-check", table, name) =>
+        val st = Snapshot.dropCheck(spark, table, name)
+        (Seq(s"dropped CHECK '$name' from $table → v${st.version}"), 0)
+      case Seq("set-guard", table, name, value) =>
+        val st = Snapshot.setGuard(spark, table, name, value)
+        (Seq(s"set guard $name=$value on $table → v${st.version}"), 0)
+      case Seq("drop-guard", table, name) =>
+        val st = Snapshot.dropGuard(spark, table, name)
+        (Seq(s"dropped guard '$name' from $table → v${st.version}"), 0)
+      case Seq("set-expects", table, rest @ _*) =>
+        val st = Snapshot.setExpectations(spark, table, rest)
+        (Seq(s"set ${rest.size} expectation(s) on $table → v${st.version}"), 0)
       case Seq("rollback", table, v) =>
         val st = Snapshot.rollback(spark, table, v.toInt)
         (Seq(s"rolled back $table to v$v → new version v${st.version}"), 0)
@@ -185,7 +200,8 @@ object SnapshotTool {
         (Seq(s"unknown invocation: ${other.mkString(" ")}",
           "usage: SnapshotTool describe|history|fsck|compact|vacuum|expire-snapshots|rollback|" +
             "delete-where|delete-mor|update-where|agg|tag|untag|tags|" +
-            "rename-col|drop-col|widen-col|relayout|expect " +
+            "rename-col|drop-col|widen-col|relayout|expect|add-check|"+
+            "drop-check|set-guard|drop-guard|set-expects " +
             "<table> [args]"), 2)
     }
 

@@ -1689,6 +1689,104 @@ object Snapshot {
       columnMap = newMap)
   }
 
+  // ----------------------------- table-property (invariant) lifecycle
+
+  /**
+   * ADD a CHECK constraint AFTER create — a metadata commit that
+   * first proves EVERY existing visible row satisfies the predicate
+   * (one pruned scan, first violation short-circuits): a constraint
+   * that admits the current state gates all FUTURE commits exactly
+   * like a create-declared one; a constraint the data already
+   * violates refuses with an example row and the version untouched
+   * (the Delta `ADD CONSTRAINT` contract — an invariant that was
+   * never true must not silently start lying). SQL face:
+   * `ALTER TABLE t SET TBLPROPERTIES ('check.<name>' = '<sql>')`.
+   */
+  def addCheck(spark: SparkSession, table: String,
+               name: String, sql: String): CommitStats =
+    evolveSchemaAll(table, Seq(
+      s"add_check($name)" -> addCheckXform(spark, table, name, sql)))
+
+  private[graft] def addCheckXform(spark: SparkSession, table: String,
+                                   name: String, sql: String)
+                                  (m: Manifest): Manifest = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"snapshot $table: bad constraint name '$name'")
+    require(!m.constraints.contains(name),
+      s"snapshot $table: CHECK '$name' already exists — drop it first " +
+        "(constraints replace by drop+add, never silently)")
+    val existing = readManifestFiles(spark, table, m)
+    val bad = existing.filter(!coalesce(expr(sql), lit(true))).limit(1).collect()
+    if (bad.nonEmpty) throw new ConstraintViolationException(
+      s"snapshot $table: cannot add CHECK '$name' ($sql) — an existing " +
+        s"row already violates it, e.g. ${bad.head}")
+    m.copy(constraints = m.constraints + (name -> sql))
+  }
+
+  /** DROP a CHECK constraint — a metadata commit; future commits stop
+    * enforcing it, history keeps every version that did. */
+  def dropCheck(spark: SparkSession, table: String, name: String): CommitStats =
+    evolveSchemaAll(table, Seq(s"drop_check($name)" -> dropCheckXform(table, name)))
+
+  private[graft] def dropCheckXform(table: String, name: String)
+                                   (m: Manifest): Manifest = {
+    require(m.constraints.contains(name),
+      s"snapshot $table: no CHECK '$name' " +
+        s"(declared: ${m.constraints.keys.toSeq.sorted.mkString(",")})")
+    m.copy(constraints = m.constraints - name)
+  }
+
+  /** SET a table GUARD (`min_rows` / `max_shrink_pct`) after create —
+    * a metadata commit. The guard gates the publishing manifest
+    * itself, so declaring a floor the CURRENT state already violates
+    * refuses (an already-broken circuit breaker is a lie). SQL face:
+    * `ALTER TABLE t SET TBLPROPERTIES ('guard.min_rows' = '1000')`. */
+  def setGuard(spark: SparkSession, table: String,
+               name: String, value: String): CommitStats =
+    evolveSchemaAll(table, Seq(
+      s"set_guard($name=$value)" -> setGuardXform(table, name, value)))
+
+  private[graft] def setGuardXform(table: String, name: String, value: String)
+                                  (m: Manifest): Manifest = {
+    val known = Set("min_rows", "max_shrink_pct")
+    require(known(name),
+      s"snapshot $table: unknown guard '$name' (want ${known.mkString("|")})")
+    require(scala.util.Try(value.toLong).isSuccess && value.toLong >= 0,
+      s"snapshot $table: guard $name needs a non-negative integer, got '$value'")
+    m.copy(guards = m.guards + (name -> value))
+  }
+
+  /** RELEASE a table guard — a metadata commit. */
+  def dropGuard(spark: SparkSession, table: String, name: String): CommitStats =
+    evolveSchemaAll(table, Seq(s"drop_guard($name)" -> dropGuardXform(table, name)))
+
+  private[graft] def dropGuardXform(table: String, name: String)
+                                   (m: Manifest): Manifest = {
+    require(m.guards.contains(name),
+      s"snapshot $table: no guard '$name' " +
+        s"(declared: ${m.guards.keys.toSeq.sorted.mkString(",")})")
+    m.copy(guards = m.guards - name)
+  }
+
+  /** REPLACE the table's commit-expectation suite (the delivery gate)
+    * — a metadata commit; an empty list clears it. Each check must
+    * parse under the [[Expectations]] grammar (subset stays
+    * pipeline-level, as at create). SQL face: `ALTER TABLE t SET
+    * TBLPROPERTIES ('expects' = 'unique:id;row_count:100-1000000')`. */
+  def setExpectations(spark: SparkSession, table: String,
+                      exprs: Seq[String]): CommitStats =
+    evolveSchemaAll(table, Seq(
+      s"set_expects(${exprs.mkString(";")})" -> setExpectsXform(table, exprs)))
+
+  private[graft] def setExpectsXform(table: String, exprs: Seq[String])
+                                    (m: Manifest): Manifest = {
+    exprs.foreach(e => Expectations.parse(e, _ =>
+      throw new IllegalArgumentException(
+        s"snapshot $table expects: subset checks need a reference frame " +
+          s"and are pipeline-level — '$e'")))
+    m.copy(expects = exprs)
+  }
+
   /** Publish a new version whose live file set IS `toVersion`'s — an
     * O(manifest) undo. History is preserved (rollback is itself a
     * commit); the rolled-back-over versions stay readable. */

@@ -372,6 +372,36 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           val n = one(ut.fieldNames, "ALTER TYPE")
           val t = ut.newDataType.sql.toLowerCase
           (s"widen_column($n:$t)", Snapshot.widenColumnXform(path, n, t)(_))
+        // the INVARIANT lifecycle as TBLPROPERTIES — each a versioned
+        // metadata commit: 'check.<name>' adds a CHECK constraint
+        // (proven against existing rows inside the commit) / UNSET
+        // drops it; 'guard.<name>' sets/releases a table guard;
+        // 'expects' replaces the commit-expectation suite
+        // (';'-separated) / UNSET clears it
+        case sp: TableChange.SetProperty
+            if sp.property.startsWith("check.") =>
+          val n = sp.property.stripPrefix("check.")
+          (s"add_check($n)",
+            Snapshot.addCheckXform(spark, path, n, sp.value)(_))
+        case sp: TableChange.SetProperty
+            if sp.property.startsWith("guard.") =>
+          val n = sp.property.stripPrefix("guard.")
+          (s"set_guard($n=${sp.value})",
+            Snapshot.setGuardXform(path, n, sp.value)(_))
+        case sp: TableChange.SetProperty if sp.property == "expects" =>
+          val es = sp.value.split(";").map(_.trim).filter(_.nonEmpty).toSeq
+          (s"set_expects(${es.mkString(";")})",
+            Snapshot.setExpectsXform(path, es)(_))
+        case rp: TableChange.RemoveProperty
+            if rp.property.startsWith("check.") =>
+          val n = rp.property.stripPrefix("check.")
+          (s"drop_check($n)", Snapshot.dropCheckXform(path, n)(_))
+        case rp: TableChange.RemoveProperty
+            if rp.property.startsWith("guard.") =>
+          val n = rp.property.stripPrefix("guard.")
+          (s"drop_guard($n)", Snapshot.dropGuardXform(path, n)(_))
+        case rp: TableChange.RemoveProperty if rp.property == "expects" =>
+          ("set_expects()", Snapshot.setExpectsXform(path, Nil)(_))
         case other => throw new UnsupportedOperationException(
           s"graft catalog: unsupported ALTER TABLE change " +
             s"${other.getClass.getSimpleName} — column add/rename/drop/widen " +

@@ -371,6 +371,9 @@ private[graft] class GraftTable(private[graft] val path: String,
     }
     if (m.guards.nonEmpty)
       m.guards.foreach { case (k, v) => props.put(s"guard.$k", v) }
+    if (m.constraints.nonEmpty)
+      m.constraints.foreach { case (k, v) => props.put(s"check.$k", v) }
+    if (m.expects.nonEmpty) props.put("expects", m.expects.mkString(";"))
     props
   }
 

@@ -313,6 +313,79 @@ class GraftCatalogSpec extends SparkSpecBase {
       s"expected a remapped physical name, got ${m.columnMap}")
   }
 
+  test("invariant lifecycle via TBLPROPERTIES: CHECK constraints, guards and expectations set/unset as versioned metadata commits") {
+    val _ = rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.inv")
+    seedFrame.createOrReplaceTempView("inv_seed")
+    spark.sql("DROP TABLE IF EXISTS gtest.inv.docs")
+    spark.sql("CREATE TABLE gtest.inv.docs USING graft " +
+      "TBLPROPERTIES ('key'='id','partitionCol'='part') " +
+      "AS SELECT * FROM inv_seed")
+    val dir = s"$rootDir/inv/docs"
+
+    // ---- add a CHECK the data satisfies: a metadata commit; FUTURE
+    // deliveries gate on it exactly like a create-declared constraint
+    spark.sql("ALTER TABLE gtest.inv.docs SET TBLPROPERTIES " +
+      "('check.id_small' = 'id < 1000')")
+    assert(Snapshot.history(dir).last._2 == "add_check(id_small)")
+    intercept[Exception] {
+      spark.sql("INSERT INTO gtest.inv.docs VALUES (5000, 'big', 'p0')")
+    }
+    assert(!rowsOf(Snapshot.readLatest(spark, dir)).exists(_._1 == 5000L))
+    // DESCRIBE-visible
+    assert(spark.sql("SHOW TBLPROPERTIES gtest.inv.docs").collect()
+      .exists(r => r.getString(0) == "check.id_small"))
+
+    // ---- a CHECK existing rows violate REFUSES with the version untouched
+    val v0 = Snapshot.currentVersion(dir)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.inv.docs SET TBLPROPERTIES " +
+        "('check.impossible' = 'id < 10')")
+    }
+    assert(Snapshot.currentVersion(dir) == v0)
+
+    // ---- UNSET drops the constraint; the insert now lands
+    spark.sql("ALTER TABLE gtest.inv.docs UNSET TBLPROPERTIES ('check.id_small')")
+    spark.sql("INSERT INTO gtest.inv.docs VALUES (5000, 'big', 'p0')")
+    assert(rowsOf(Snapshot.readLatest(spark, dir)).exists(_._1 == 5000L))
+
+    // ---- guards: set min_rows, truncation refuses; drop, it lands
+    spark.sql("ALTER TABLE gtest.inv.docs SET TBLPROPERTIES " +
+      "('guard.min_rows' = '10')")
+    intercept[Exception] { spark.sql("TRUNCATE TABLE gtest.inv.docs") }
+    assert(Snapshot.readLatest(spark, dir).count() == 41L)
+    // a floor the CURRENT state violates refuses at publish
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.inv.docs SET TBLPROPERTIES " +
+        "('guard.min_rows' = '1000000')")
+    }
+    spark.sql("ALTER TABLE gtest.inv.docs UNSET TBLPROPERTIES ('guard.min_rows')")
+    spark.sql("TRUNCATE TABLE gtest.inv.docs")
+    assert(Snapshot.readLatest(spark, dir).count() == 0L)
+
+    // ---- expectations: the delivery gate, replaced as one property
+    spark.sql("ALTER TABLE gtest.inv.docs SET TBLPROPERTIES " +
+      "('expects' = 'row_count:2-1000000;unique:id')")
+    intercept[Exception] { // one-row delivery violates the floor
+      spark.sql("INSERT INTO gtest.inv.docs VALUES (1, 'a', 'p0')")
+    }
+    spark.sql("INSERT INTO gtest.inv.docs VALUES (1, 'a', 'p0'), (2, 'b', 'p0')")
+    assert(Snapshot.readLatest(spark, dir).count() == 2L)
+    spark.sql("ALTER TABLE gtest.inv.docs UNSET TBLPROPERTIES ('expects')")
+    spark.sql("INSERT INTO gtest.inv.docs VALUES (3, 'c', 'p0')")
+    assert(Snapshot.readLatest(spark, dir).count() == 3L)
+
+    // ---- unknown property shapes refuse; Scala/CLI faces agree
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gtest.inv.docs SET TBLPROPERTIES ('foo' = 'bar')")
+    }
+    val (out, code) = SnapshotTool.run(spark,
+      Seq("set-guard", dir, "max_shrink_pct", "50"))
+    assert(code == 0 && out.head.contains("max_shrink_pct=50"))
+    assert(Snapshot.readManifest(dir, Snapshot.currentVersion(dir))
+      .guards == Map("max_shrink_pct" -> "50"))
+  }
+
   test("multi-change ALTER TABLE pre-validates as a whole: a late refusal leaves the table untouched") {
     val _ = rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.multi")
