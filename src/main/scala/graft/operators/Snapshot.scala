@@ -477,10 +477,14 @@ object Snapshot {
       }
     }
     val m = parseManifest(table, st, mapper.readTree(st.read(p)))
-    // racily-fresh manifests are NOT cached (see scaladoc)
-    if (System.currentTimeMillis() - mt >= mtimeGranularityMs)
+    // racily-fresh manifests are NOT cached (see scaladoc); neither is
+    // a manifest heavier than the whole cache budget — putting it
+    // would purge every other entry AND itself (an empty cache on
+    // every read of one giant table is worse than no memo for it)
+    val w = manifestWeight(m)
+    if (System.currentTimeMillis() - mt >= mtimeGranularityMs &&
+        w <= ManifestCacheMaxBytes)
       manifestCache.synchronized {
-        val w = manifestWeight(m)
         Option(manifestCache.remove(key)).foreach(old =>
           manifestCacheBytes -= old._3)
         manifestCache.put(key, (mt, sz, w, m))
@@ -907,6 +911,23 @@ object Snapshot {
     require(overlap == 0,
       "snapshot merge: key(s) present in BOTH upserts and deleteKeys — " +
         "remove the ambiguity upstream")
+    // the keyed-format invariant gate: one row per key. Checked HERE,
+    // on the CACHED delivery every branch of the commit will read —
+    // never on a separate plan instantiation (a non-deterministic
+    // source could pass a detached probe and still deliver
+    // duplicates to the write). Duplicate keys would otherwise land
+    // as two rows and silently corrupt every keyed consumer. The
+    // aggregate name is reserved (__graft_n) so a table whose KEY is
+    // literally named 'count' still gates cleanly.
+    val dupKey = ups.groupBy(col(key))
+      .agg(count(lit(1)).as("__graft_n"))
+      .filter(col("__graft_n") > 1).limit(1).collect()
+    require(dupKey.isEmpty,
+      s"snapshot merge: upserts deliver ${if (dupKey.isEmpty) 0 else dupKey.head.getLong(1)} " +
+        s"rows for key '${dupKey.headOption.map(_.get(0)).orNull}' — the keyed " +
+        "format admits one row per key; dedupe the delivery upstream " +
+        "(SQL MERGE: a source with duplicate ON keys, or a compound-ON " +
+        "NOT MATCHED insert colliding with a BY SOURCE update)")
     validatePartitionValues(ups, pc)
 
     // affected partitions = where incoming rows land ∪ where changed
@@ -1504,13 +1525,17 @@ object Snapshot {
     * manifests, CHECK/expectation strings, z-order keys). Renaming or
     * dropping one is a table REDEFINITION, not an evolution. */
   private def evolutionBarred(m: Manifest, name: String): Option[String] = {
-    // expectation checks name their column as the second `:` segment
-    // (unique/null_bp/range/min_per_group/accepted_values); row_count
-    // has none — substring matching would spuriously bar any column
-    // whose name happens to appear inside unrelated check text
-    def expectCol(check: String): Option[String] = {
+    // expectation checks name their column(s) as the second `:`
+    // segment (unique/null_bp/range/min_per_group/accepted_values);
+    // row_count has none — substring matching would spuriously bar
+    // any column whose name happens to appear inside unrelated check
+    // text. A compound `unique:a+b` names EVERY `+`-joined column
+    // (dropping either would brick all future delivery gates).
+    def expectCols(check: String): Seq[String] = {
       val parts = check.split(":", 3)
-      if (parts.length >= 2 && parts(0) != "row_count") Some(parts(1)) else None
+      if (parts.length >= 2 && parts(0) != "row_count")
+        parts(1).split('+').toSeq
+      else Nil
     }
     // constraint SQL: match the name as a whole identifier, not a
     // substring ('n' inside 'n_chars > 0' is not a reference)
@@ -1525,7 +1550,7 @@ object Snapshot {
     else if (m.layout.zorderKeys.contains(name)) Some("a z-order key")
     else if (m.constraints.exists(c => sqlReferences(c._2)))
       Some("referenced by a CHECK constraint")
-    else if (m.expects.flatMap(expectCol).contains(name))
+    else if (m.expects.flatMap(expectCols).contains(name))
       Some("referenced by a commit expectation")
     else None
   }
@@ -2153,21 +2178,34 @@ object Snapshot {
         }
       }
     }
+    // ORPHAN findings require the COMPLETE reference set: with any
+    // manifest unreadable, an artifact could be referenced by exactly
+    // the version we cannot parse — reporting it as an orphan would
+    // invite deleting a recoverable file, so the orphan audits are
+    // SKIPPED (with a visible finding) until the log is repaired
+    val allReadable = readable.size == retained.size
+    if (!allReadable)
+      issues += FsckIssue(0, "_log",
+        s"orphan audit skipped: ${retained.size - readable.size} " +
+          "unreadable manifest(s) — their references are unknowable")
     // orphan segment files: a crashed writer's droppings (vacuum
     // reclaims them; the operator should see them first, like orphan
     // data files)
     val segDir = s"${logDir(table)}/seg"
-    if (st.isDirectory(segDir)) st.list(segDir).foreach {
+    if (allReadable && st.isDirectory(segDir)) st.list(segDir).foreach {
       case (n, false) if !segReferenced.contains(s"seg/$n") =>
         issues += FsckIssue(0, s"_log/seg/$n",
           "orphan segment (no retained version references it)")
       case _ => ()
     }
-    if (!readable.contains(cur))
-      return issues.result() // current version unreadable: no recount
     // recount the CURRENT version — PHYSICAL rows (applyDv = false:
     // manifest row counts are physical; the dv mask is audited below)
-    val m = readable(cur)
+    // — only when its manifest parsed; the orphan/staging audits
+    // below run regardless (gated on allReadable where they need the
+    // complete reference set)
+    val recountable = readable.contains(cur)
+    val m = if (recountable) readable(cur)
+      else Manifest(cur, 0, "unreadable", "", "", Nil, Map.empty)
     if (m.files.nonEmpty && m.files.forall(f => st.exists(s"$table/${f.path}"))) {
       val counted = readManifestFiles(spark, table, m, applyDv = false)
         .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
@@ -2217,7 +2255,7 @@ object Snapshot {
     // per-file orphans
     val filesRoot = s"$table/files"
     if (st.isDirectory(filesRoot)) {
-      st.walkFiles(filesRoot)
+      if (allReadable) st.walkFiles(filesRoot)
         .filter { rel =>
           val n = rel.substring(rel.lastIndexOf('/') + 1)
           !n.startsWith("_") && !n.startsWith(".")

@@ -212,6 +212,24 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     (key, part)
   }
 
+  /** The INVARIANT TBLPROPERTIES (`check.<name>`, `guard.<name>`,
+    * `expects`) a CREATE may declare — honored at create exactly as
+    * the ALTER lifecycle honors them later, so a SHOW TBLPROPERTIES /
+    * re-CREATE round-trip never silently drops a constraint. */
+  private def invariantSpec(properties: JMap[String, String])
+      : (Map[String, String], Map[String, String], Seq[String]) = {
+    val props = properties.asScala
+    val checks = props.collect {
+      case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
+    }.toMap
+    val guards = props.collect {
+      case (k, v) if k.startsWith("guard.") => k.stripPrefix("guard.") -> v
+    }.toMap
+    val expects = props.get("expects").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.nonEmpty)
+    (checks, guards, expects)
+  }
+
   /** Plain CREATE TABLE (no AS SELECT): the table commits at v1 with
     * its schema and zero rows — the first INSERT is the first merge. */
   override def createTable(ident: Identifier, schema: StructType,
@@ -220,12 +238,14 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     val (key, part) = createSpec(schema, partitions, properties)
+    val (checks, guards, expects) = invariantSpec(properties)
     store.mkdirs(dir.substring(0, dir.lastIndexOf('/')))
     val spark = SparkSession.active
     val empty = spark.createDataFrame(
       Collections.emptyList[org.apache.spark.sql.Row](), schema)
     Snapshot.create(spark, dir, empty, key = key,
-      partitionCol = part, statsCols = Seq(key))
+      partitionCol = part, statsCols = Seq(key),
+      constraints = checks, guards = guards, expects = expects)
     loadTable(ident)
   }
 
@@ -237,7 +257,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     val (key, part) = createSpec(schema, partitions, properties)
-    new GraftStagedTable(ident, dir, store, schema, key, part)
+    val (checks, guards, expects) = invariantSpec(properties)
+    new GraftStagedTable(ident, dir, store, schema, key, part,
+      checks = checks, guards = guards, expects = expects)
   }
 
   /** ATOMIC `REPLACE TABLE … AS SELECT`: the staged source frame lands
@@ -571,7 +593,10 @@ private[graft] class GraftStagedTable(ident: Identifier, dir: String,
                                       store: LogStore,
                                       tableSchema: StructType,
                                       key: String, part: String,
-                                      replace: Boolean = false)
+                                      replace: Boolean = false,
+                                      checks: Map[String, String] = Map.empty,
+                                      guards: Map[String, String] = Map.empty,
+                                      expects: Seq[String] = Nil)
   extends StagedTable with SupportsWrite {
 
   @volatile private var staged: Option[org.apache.spark.sql.DataFrame] = None
@@ -619,7 +644,8 @@ private[graft] class GraftStagedTable(ident: Identifier, dir: String,
     case Some(df) =>
       store.mkdirs(dir.substring(0, dir.lastIndexOf('/')))
       Snapshot.create(df.sparkSession, dir, df, key = key,
-        partitionCol = part, statsCols = Seq(key))
+        partitionCol = part, statsCols = Seq(key),
+        constraints = checks, guards = guards, expects = expects)
     case None if replace =>
       // plain REPLACE TABLE (no AS SELECT): empty the table — the
       // truncate commit, mirroring plain CREATE's empty v1. A declared
@@ -648,7 +674,8 @@ private[graft] class GraftStagedTable(ident: Identifier, dir: String,
       val empty = spark.createDataFrame(
         Collections.emptyList[org.apache.spark.sql.Row](), tableSchema)
       Snapshot.create(spark, dir, empty, key = key,
-        partitionCol = part, statsCols = Seq(key))
+        partitionCol = part, statsCols = Seq(key),
+        constraints = checks, guards = guards, expects = expects)
   }
 
   override def abortStagedChanges(): Unit = () // nothing was written

@@ -611,22 +611,12 @@ case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
     }
     val deleteKeys =
       (matchedDeletes ++ bySourceDeletes).foldLeft(emptyKeys)(_ unionByName _)
-    // the keyed-format invariant GATE: the merge primitive admits one
-    // row per key, so a statement whose branches deliver two upserts
-    // for one key would silently corrupt the table. Two ways there:
-    // a source with duplicate ON keys (Delta's "multiple source rows
-    // matched" error), or — under a compound ON — a key-colliding
-    // NOT MATCHED insert meeting a NOT MATCHED BY SOURCE update of
-    // the same key. One bounded aggregate over the delivery refuses
-    // both with a clear error instead.
-    val dup = upserts.groupBy(col(key)).count()
-      .filter(col("count") > 1).limit(1).collect()
-    if (dup.nonEmpty) throw new IllegalArgumentException(
-      s"graft: MERGE produced multiple upsert rows for key " +
-        s"'${dup.head.get(0)}' — a source delivering duplicate ON keys, " +
-        "or a NOT MATCHED insert colliding with a NOT MATCHED BY SOURCE " +
-        "update of the same key under a compound ON; the keyed format " +
-        "admits one row per key — dedupe the source or split the statement")
+    // the keyed-format invariant gate — one upsert row per key — runs
+    // INSIDE Snapshot.merge on the CACHED delivery (never a detached
+    // probe a non-deterministic source could diverge from). Two SQL
+    // ways to trip it: a source with duplicate ON keys (Delta's
+    // "multiple source rows matched"), or a compound-ON NOT MATCHED
+    // insert colliding with a NOT MATCHED BY SOURCE update.
     Snapshot.merge(spark, path, upserts, deleteKeys, op = "sql-merge")
     Seq.empty
   }

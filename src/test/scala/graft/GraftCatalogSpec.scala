@@ -379,6 +379,22 @@ class GraftCatalogSpec extends SparkSpecBase {
     intercept[Exception] {
       spark.sql("ALTER TABLE gtest.inv.docs SET TBLPROPERTIES ('foo' = 'bar')")
     }
+
+    // ---- CREATE honors the same properties (a SHOW TBLPROPERTIES /
+    // re-CREATE round-trip never silently drops an invariant)
+    spark.sql("DROP TABLE IF EXISTS gtest.inv.docs2")
+    spark.sql("CREATE TABLE gtest.inv.docs2 USING graft " +
+      "TBLPROPERTIES ('key'='id','partitionCol'='part'," +
+      "'check.id_pos'='id >= 0','guard.max_shrink_pct'='50'," +
+      "'expects'='unique:id') AS SELECT * FROM inv_seed")
+    val dir2 = s"$rootDir/inv/docs2"
+    val m2 = Snapshot.readManifest(dir2, 1)
+    assert(m2.constraints == Map("id_pos" -> "id >= 0") &&
+      m2.guards == Map("max_shrink_pct" -> "50") &&
+      m2.expects == Seq("unique:id"))
+    intercept[Exception] { // the create-declared CHECK gates deliveries
+      spark.sql("INSERT INTO gtest.inv.docs2 VALUES (-1, 'neg', 'p0')")
+    }
     val (out, code) = SnapshotTool.run(spark,
       Seq("set-guard", dir, "max_shrink_pct", "50"))
     assert(code == 0 && out.head.contains("max_shrink_pct=50"))

@@ -681,14 +681,14 @@ class GraftDataSourceSpec extends SparkSpecBase {
           "WHEN NOT MATCHED BY SOURCE AND t.id = 21 " +
           "THEN UPDATE SET payload = 'bs2'")
       }
-      assert(eDup.getMessage.contains("multiple upsert rows"))
+      assert(eDup.getMessage.contains("one row per key"))
       Seq((7L, "a", "p0"), (7L, "b", "p0"))
         .toDF("id", "payload", "part").createOrReplaceTempView("mon_dsrc")
       val eSrc = intercept[Exception] {
         spark.sql("MERGE INTO graft_dsv2_mon t USING mon_dsrc s " +
           "ON t.id = s.id WHEN MATCHED THEN UPDATE SET payload = s.payload")
       }
-      assert(eSrc.getMessage.contains("multiple upsert rows"))
+      assert(eSrc.getMessage.contains("one row per key"))
       assert(Snapshot.currentVersion(t) == vGate, "refusals must not commit")
 
       // ---- refusals unchanged: non-equi key conditions, a missing

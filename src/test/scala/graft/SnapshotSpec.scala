@@ -861,6 +861,26 @@ class SnapshotSpec extends SparkSpecBase {
     assert(Snapshot.readLatest(spark, t).filter(col("qty") <= 0).count() == 0)
   }
 
+  test("merge refuses a delivery with duplicate keys; compound-unique expectations bar their columns from evolution") {
+    val t = fresh("dupkey")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.merge(spark, t,
+        upserts = Seq((50L, "a", "p1"), (50L, "b", "p1"))
+          .toDF("id", "payload", "part"),
+        deleteKeys = Seq.empty[Long].toDF("id"))
+    }
+    assert(e.getMessage.contains("one row per key"))
+    assert(Snapshot.currentVersion(t) == 1, "refusal must not commit")
+    // compound unique names EVERY +-joined column: dropping either
+    // would brick all future delivery gates, so evolution bars both
+    Snapshot.setExpectations(spark, t, Seq("unique:id+payload"))
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshot.dropColumn(spark, t, "payload")
+    }
+    assert(e2.getMessage.contains("expectation"))
+  }
+
   test("age-based vacuum and expire_snapshots: between-commits cutoffs keep exactly the younger versions; tag pins survive either policy") {
     val t = fresh("vacage")
     Snapshot.create(spark, t, seedDf, "id", "part")         // v1
