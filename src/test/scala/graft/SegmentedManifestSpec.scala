@@ -213,6 +213,46 @@ class SegmentedManifestSpec extends SparkSpecBase {
     }
   }
 
+  test("optimistic and WAP commits segment correctly: staged publishes reuse carried refs; rebase over a disjoint commit keeps both sides") {
+    withThreshold(2) {
+      val t = fresh("opt")
+      Snapshot.create(spark, t, seedDf, "id", "part", fileRanges = 2)
+      val s1 = segMap(t, 1)
+      // stage against v1, let a DISJOINT commit (p3) land first, then
+      // publish — the rebase carries the concurrent commit's p3
+      // segment AND reuses v1's untouched p1/p2 refs
+      val staged = Snapshot.stageMerge(spark, t,
+        upserts = Seq((2L, "opt2", "p0")).toDF("id", "payload", "part"),
+        deleteKeys = spark.range(0, 0).selectExpr("id"))
+      Snapshot.merge(spark, t, // v2: rewrites p3
+        upserts = Seq((31L, "conc", "p3")).toDF("id", "payload", "part"),
+        deleteKeys = spark.range(0, 0).selectExpr("id"))
+      val s2 = segMap(t, 2)
+      val st3 = Snapshot.commitStaged(spark, staged) // v3: stage rebased
+      assert(st3.version == 3)
+      val s3 = segMap(t, 3)
+      assert(s3("p1") == s1("p1") && s3("p2") == s1("p2"),
+        "untouched partitions reuse their v1 segments through the rebase")
+      assert(s3("p3") == s2("p3"),
+        "the concurrent commit's p3 segment carries into the rebased publish")
+      assert(s3("p0") != s1("p0"), "the staged rewrite gets a fresh segment")
+      val rows = rowsOf(Snapshot.readLatest(spark, t))
+      assert(rows.contains((2L, "opt2", "p0")) && rows.contains((31L, "conc", "p3")))
+
+      // WAP: the audit reads the post-state from staged paths, the
+      // publish segments like any commit
+      val st4 = Snapshot.wapMerge(spark, t,
+        upserts = Seq((11L, "wap", "p1")).toDF("id", "payload", "part"),
+        deleteKeys = spark.range(0, 0).selectExpr("id"),
+        audit = Seq("row_count:40-100", "unique:id"))
+      assert(st4.version == 4)
+      val s4 = segMap(t, 4)
+      assert(s4("p0") == s3("p0") && s4("p2") == s3("p2"),
+        "WAP publish reuses untouched refs")
+      assert(rowsOf(Snapshot.readLatest(spark, t)).contains((11L, "wap", "p1")))
+    }
+  }
+
   test("below the threshold manifests stay inline (no segment files, no extra read round-trips)") {
     val t = fresh("inline")
     Snapshot.create(spark, t, seedDf, "id", "part")
