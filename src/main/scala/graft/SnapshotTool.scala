@@ -53,9 +53,9 @@ object SnapshotTool {
             (if (masked > 0) s" (${m.rows} physical, $masked masked by " +
               s"deletion vectors on $dvd file(s) — compact to materialize)"
              else ""),
-          s"partitions       ${m.partitions.size} (col ${m.partitionCol})",
+          s"partitions       ${m.partitions.size} (col ${m.partitionLabel})",
           s"files            ${m.files.size}",
-          s"key              ${m.key}",
+          s"key              ${m.keyLabel}",
           s"stats cols       ${m.statsCols.mkString(",")}",
           s"bloom cols       ${if (m.bloomCols.isEmpty) "-" else m.bloomCols.mkString(",")}",
           s"hll cols         ${if (m.hllCols.isEmpty) "-" else m.hllCols.mkString(",")}",

@@ -69,7 +69,7 @@ object ManifestBench {
         }
       f"p$p%05d" -> entries.toSeq
     }.toMap
-    Snapshot.Manifest(1, 0, "create", "id", "part",
+    Snapshot.Manifest(1, 0, "create", Seq("id"), Seq("part"),
       Seq("id", "payload"), parts,
       schemaDdl = "id BIGINT,payload STRING,part STRING",
       bloomCols = Seq("id"), bloomBits = bloomBytes * 8)

@@ -128,11 +128,91 @@ object Snapshot {
     * and zero IO. */
   final case class Segment(path: String, entries: Seq[FileEntry])
 
+  /** One column of a (possibly composite) PARTITION SPEC. Identity is
+    * the classic value-per-directory layout; `days(ts)` and
+    * `bucket(n, c)` are HIDDEN partitioning (the Iceberg transform
+    * move): the table partitions by a DERIVED value — the UTC day of
+    * a timestamp, a stable hash bucket of a high-cardinality column —
+    * while queries keep filtering the SOURCE column; prune-time the
+    * predicate maps into the derived domain (days is monotone, so
+    * ranges map; bucket maps equality/IN), so a time-range query on a
+    * days-partitioned table touches only its days' files without the
+    * user ever materializing a date column. */
+  sealed trait PartField {
+    /** The DATA column the partition value derives from. */
+    def source: String
+    /** The manifest rendering ("region", "days(ts)", "bucket(16,id)"). */
+    def spec: String
+    /** The derived partition value as a STRING column (what `__part`
+      * stores and the manifest keys entries by). */
+    def valueCol: Column
+  }
+  final case class IdentityField(source: String) extends PartField {
+    def spec: String = source
+    def valueCol: Column = col(source).cast("string")
+  }
+  final case class DaysField(source: String) extends PartField {
+    def spec: String = s"days($source)"
+    // session TZ is pinned UTC project-wide, so the derived day is the
+    // UTC day — the same day [[dayOf]] computes driver-side at prune
+    def valueCol: Column = date_format(col(source), "yyyy-MM-dd")
+  }
+  final case class BucketField(n: Int, source: String) extends PartField {
+    require(n > 0, s"bucket transform needs a positive bucket count, got $n")
+    def spec: String = s"bucket($n,$source)"
+    // crc32 over the value's string rendering: bit-stable across JVMs
+    // and replayable driver-side ([[bucketOf]]) for prune mapping
+    def valueCol: Column = pmod(crc32(col(source).cast("string")), lit(n.toLong))
+      .cast("int").cast("string")
+  }
+  object PartField {
+    private val DaysRe = """days\(([A-Za-z0-9_.]+)\)""".r
+    private val BucketRe = """bucket\((\d+),\s*([A-Za-z0-9_.]+)\)""".r
+    def parse(spec: String): PartField = spec match {
+      case DaysRe(src) => DaysField(src)
+      case BucketRe(n, src) => BucketField(n.toInt, src)
+      case plain => IdentityField(plain)
+    }
+  }
+
+  /** Driver-side replay of [[BucketField.valueCol]]: crc32 of the
+    * value's rendering, mod n — restricted to string/integral sources
+    * (create validates), whose `cast("string")` rendering equals
+    * `toString`. */
+  private[graft] def bucketOf(n: Int, v: Any): String = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    (crc.getValue % n).toString // getValue is unsigned-32 in a long: non-negative
+  }
+
+  /** Driver-side replay of [[DaysField.valueCol]]: the UTC day of a
+    * timestamp/date bound. None = not mappable (prune keeps all). */
+  private[graft] def dayOf(v: Any): Option[String] = {
+    val utc = java.time.ZoneOffset.UTC
+    v match {
+      case t: java.sql.Timestamp => Some(t.toInstant.atZone(utc).toLocalDate.toString)
+      case i: java.time.Instant => Some(i.atZone(utc).toLocalDate.toString)
+      case d: java.time.LocalDate => Some(d.toString)
+      case d: java.sql.Date => Some(d.toLocalDate.toString)
+      case s: String =>
+        scala.util.Try(java.time.LocalDate.parse(s.take(10)).toString).toOption
+      case _ => None
+    }
+  }
+
   /** A version's complete state: the live files per partition value
-    * plus the table contract (key / partition / stats columns /
-    * layout). */
+    * plus the table contract (keys / partition spec / stats columns /
+    * layout). `keys` is the (possibly composite) merge key;
+    * `partitionCols` the (possibly composite, possibly transformed)
+    * partition spec — a composite partition's identity string is its
+    * component values joined with `/` (values are `[A-Za-z0-9._-]+`
+    * by validation, so the join is unambiguous). Single-column
+    * manifests serialize exactly as before (legacy `key` /
+    * `partition_col` string fields), so every pre-composite manifest
+    * parses forever and single-column tables' manifests stay
+    * byte-identical. */
   final case class Manifest(version: Int, parent: Int, op: String,
-                            key: String, partitionCol: String,
+                            keys: Seq[String], partitionCols: Seq[String],
                             statsCols: Seq[String],
                             partitions: Map[String, Seq[FileEntry]],
                             layout: Layout = Layout(),
@@ -166,6 +246,13 @@ object Snapshot {
                             segRefs: Map[String, Segment] = Map.empty) {
     /** Physical name a logical column's bytes live under. */
     def phys(logical: String): String = columnMap.getOrElse(logical, logical)
+    /** The parsed partition spec. */
+    def partFields: Seq[PartField] = partitionCols.map(PartField.parse)
+    /** The DATA columns the partition values derive from. */
+    def partSources: Seq[String] = partFields.map(_.source)
+    /** Display renderings of the contract (logs, DESCRIBE, tools). */
+    def keyLabel: String = keys.mkString(",")
+    def partitionLabel: String = partitionCols.mkString(",")
     def files: Seq[FileEntry] = partitions.values.flatten.toSeq
     def rows: Long = files.map(_.rows).sum
     /** Visible rows: physical minus deletion-vector masked. */
@@ -287,8 +374,14 @@ object Snapshot {
     // wall-clock commit instant — the `timestampAsOf` axis; purely
     // informational for correctness (versions are the ordering)
     root.put("committed_at", System.currentTimeMillis())
-    root.put("op", m.op); root.put("key", m.key)
-    root.put("partition_col", m.partitionCol)
+    root.put("op", m.op)
+    // single-column contracts keep the legacy scalar fields (manifests
+    // stay byte-identical with every pre-composite version); composite
+    // contracts write the array forms
+    if (m.keys.size == 1) root.put("key", m.keys.head)
+    else { val ka = root.putArray("keys"); m.keys.foreach(ka.add) }
+    if (m.partitionCols.size == 1) root.put("partition_col", m.partitionCols.head)
+    else { val pa = root.putArray("partition_cols"); m.partitionCols.foreach(pa.add) }
     val sc = root.putArray("stats_cols"); m.statsCols.foreach(sc.add)
     val lo = root.putObject("layout")
     lo.put("file_ranges", m.layout.fileRanges); lo.put("mode", m.layout.mode)
@@ -555,9 +648,14 @@ object Snapshot {
       Layout(l.get("file_ranges").asInt(), l.get("mode").asText(),
         l.get("zorder_keys").elements().asScala.map(_.asText()).toSeq))
       .getOrElse(Layout())
+    val keys = Option(root.get("keys"))
+      .map(_.elements().asScala.map(_.asText()).toSeq)
+      .getOrElse(Seq(root.get("key").asText()))
+    val partitionCols = Option(root.get("partition_cols"))
+      .map(_.elements().asScala.map(_.asText()).toSeq)
+      .getOrElse(Seq(root.get("partition_col").asText()))
     Manifest(root.get("version").asInt(), root.get("parent").asInt(),
-      root.get("op").asText(), root.get("key").asText(),
-      root.get("partition_col").asText(),
+      root.get("op").asText(), keys, partitionCols,
       root.get("stats_cols").elements().asScala.map(_.asText()).toSeq, parts,
       layout,
       Option(root.get("schema_ddl")).map(_.asText()).getOrElse(""),
@@ -735,10 +833,26 @@ object Snapshot {
     * [[Scale.writeRangeLayout]]/[[Scale.writeZOrder]], applied
     * per-commit). */
   private def writeCommit(df: DataFrame, table: String, v: Int,
-                          partitionCol: String, key: String,
+                          partitionCols: Seq[String], keys: Seq[String],
                           layout: Layout,
                           columnMap: Map[String, String] = Map.empty): Unit =
-    writeArranged(df, commitDir(table, v), partitionCol, key, layout, columnMap)
+    writeArranged(df, commitDir(table, v), partitionCols, keys, layout, columnMap)
+
+  /** The (possibly composite, possibly transformed) partition IDENTITY
+    * as a string column: single specs are the bare derived value;
+    * composite specs join component values with `/` (unambiguous —
+    * values are `[A-Za-z0-9._-]+` by validation, so `/` never occurs
+    * inside one). NB `concat_ws` skips NULLs, which would silently
+    * collapse a composite identity — callers always validate
+    * non-null components first ([[validatePartitionValues]]). */
+  private def partValueCol(partitionCols: Seq[String]): Column = {
+    val comps = partitionCols.map(PartField.parse(_).valueCol)
+    if (comps.size == 1) comps.head else concat_ws("/", comps: _*)
+  }
+
+  /** Component `i` of a partition identity string. */
+  private def partComponent(m: Manifest, p: String, i: Int): String =
+    if (m.partitionCols.size == 1) p else p.split("/", -1)(i)
 
   /** Logical frame → the PHYSICAL column names data files store
     * (identity when the table has no column mapping). Every data-file
@@ -750,20 +864,21 @@ object Snapshot {
     else df.select(df.columns.map(c => col(c).as(columnMap.getOrElse(c, c))): _*)
 
   private def writeArranged(df0: DataFrame, dir: String,
-                            partitionCol: String, key: String,
+                            partitionCols: Seq[String], keys: Seq[String],
                             layout: Layout,
                             columnMap: Map[String, String] = Map.empty): Unit = {
     // NB: partition/key/zorder columns are barred from mapping
     // (rename/drop reject them), so the arrange columns below are
     // identity-mapped by construction
     val df = physicalize(df0, columnMap)
-    val shadow = df.withColumn("__part", col(partitionCol).cast("string"))
+    val shadow = df.withColumn("__part", partValueCol(partitionCols))
     val arranged =
       if (layout.fileRanges <= 0) shadow
       else if (layout.mode == "zorder")
         shadow.repartitionByRange(layout.fileRanges, col("__part"),
           Scale.zOrderKey(shadow, layout.zorderKeys))
-      else shadow.repartitionByRange(layout.fileRanges, col("__part"), col(key))
+      else shadow.repartitionByRange(layout.fileRanges,
+        col("__part") +: keys.map(col): _*)
     arranged.write.mode("error").partitionBy("__part").parquet(dir)
   }
 
@@ -804,12 +919,23 @@ object Snapshot {
         bad.map(r => s"${r.getString(0)} observed=${r.getLong(1)}").mkString("; "))
   }
 
-  private def validatePartitionValues(df: DataFrame, partitionCol: String): Unit = {
-    val bad = df.select(col(partitionCol).cast("string").as("p")).distinct()
-      .filter(col("p").isNull || !col("p").rlike("^[A-Za-z0-9._-]+$"))
-      .limit(1).collect()
-    if (bad.nonEmpty) throw new IllegalArgumentException(
-      s"snapshot: partition value '${bad.head.get(0)}' is null or needs hive escaping — unsupported")
+  private def validatePartitionValues(df: DataFrame,
+                                      partitionCols: Seq[String]): Unit = {
+    // every component of the (derived) partition identity must be
+    // non-null and hive-safe — one distinct pass over all components
+    val fields = partitionCols.map(PartField.parse)
+    val comps = fields.zipWithIndex.map { case (f, i) =>
+      f.valueCol.as(s"__pv$i") }
+    val badCond = fields.indices.map(i => col(s"__pv$i").isNull ||
+      !col(s"__pv$i").rlike("^[A-Za-z0-9._-]+$")).reduce(_ || _)
+    val bad = df.select(comps: _*).distinct().filter(badCond).limit(1).collect()
+    if (bad.nonEmpty) {
+      val i = fields.indices.find(i => bad.head.isNullAt(i) ||
+        !bad.head.getString(i).matches("^[A-Za-z0-9._-]+$")).get
+      throw new IllegalArgumentException(
+        s"snapshot: partition value '${bad.head.get(i)}' for " +
+          s"'${fields(i).spec}' is null or needs hive escaping — unsupported")
+    }
   }
 
   // -------------------------------------------------------------- commits
@@ -830,9 +956,35 @@ object Snapshot {
              guards: Map[String, String] = Map.empty,
              hllCols: Seq[String] = Nil, hllP: Int = 12,
              expects: Seq[String] = Nil): CommitStats =
+    createMulti(spark, table, df, Seq(key), Seq(partitionCol), statsCols,
+      fileRanges, layoutMode, zorderKeys, constraints, bloomCols, bloomBits,
+      bloomK, guards, hllCols, hllP, expects)
+
+  /** [[create]] with a COMPOSITE key and/or a COMPOSITE / TRANSFORMED
+    * partition spec: `keys` is the full merge key (one row per key
+    * TUPLE); `partitionCols` entries are identity columns, `days(ts)`
+    * or `bucket(n, col)` transforms. Every key column's per-file
+    * stats are tracked (key-range pruning must cover the whole key). */
+  def createMulti(spark: SparkSession, table: String, df: DataFrame,
+                  keys: Seq[String], partitionCols: Seq[String],
+                  statsCols: Seq[String] = Nil, fileRanges: Int = 0,
+                  layoutMode: String = "range",
+                  zorderKeys: Seq[String] = Nil,
+                  constraints: Map[String, String] = Map.empty,
+                  bloomCols: Seq[String] = Nil,
+                  bloomBits: Int = 1 << 17, bloomK: Int = 6,
+                  guards: Map[String, String] = Map.empty,
+                  hllCols: Seq[String] = Nil, hllP: Int = 12,
+                  expects: Seq[String] = Nil): CommitStats =
     withCommitLock(table) {
       require(currentVersion(table) == 0,
         s"snapshot $table already exists (v${currentVersion(table)})")
+      require(keys.nonEmpty && partitionCols.nonEmpty,
+        "snapshot: keys and partitionCols must be non-empty")
+      require(keys.distinct == keys,
+        s"snapshot: duplicate key column in ${keys.mkString(",")}")
+      require(partitionCols.distinct == partitionCols,
+        s"snapshot: duplicate partition spec in ${partitionCols.mkString(",")}")
       val knownGuards = Set("min_rows", "max_shrink_pct")
       guards.foreach { case (k, v) =>
         require(knownGuards(k),
@@ -840,8 +992,30 @@ object Snapshot {
         require(scala.util.Try(v.toLong).isSuccess && v.toLong >= 0,
           s"snapshot: guard $k needs a non-negative integer, got '$v'")
       }
-      require(df.columns.contains(key) && df.columns.contains(partitionCol),
-        s"snapshot: df lacks key '$key' or partition column '$partitionCol'")
+      keys.foreach(k => require(df.columns.contains(k),
+        s"snapshot: df lacks key column '$k'"))
+      val fields = partitionCols.map(PartField.parse)
+      fields.foreach { f =>
+        require(df.columns.contains(f.source),
+          s"snapshot: df lacks partition source column '${f.source}'")
+        f match {
+          case BucketField(_, src) => df.schema(src).dataType match {
+            case _: StringType | _: ByteType | _: ShortType |
+                 _: IntegerType | _: LongType => ()
+            case t => throw new IllegalArgumentException(
+              s"snapshot: bucket($src) needs a string/integral source " +
+                s"(got ${t.simpleString}) — its rendering must be " +
+                "replayable driver-side for prune mapping")
+          }
+          case DaysField(src) => df.schema(src).dataType match {
+            case _: TimestampType | _: DateType => ()
+            case t => throw new IllegalArgumentException(
+              s"snapshot: days($src) needs a timestamp/date source " +
+                s"(got ${t.simpleString})")
+          }
+          case _: IdentityField => ()
+        }
+      }
       require(layoutMode == "range" || layoutMode == "zorder",
         s"snapshot: unknown layout mode '$layoutMode'")
       require(layoutMode != "zorder" || zorderKeys.nonEmpty,
@@ -851,20 +1025,21 @@ object Snapshot {
       hllCols.foreach(c => require(df.columns.contains(c),
         s"snapshot: hll column '$c' not in df"))
       require(hllP >= 4 && hllP <= 16, s"snapshot: hllP out of range ($hllP)")
-      validatePartitionValues(df, partitionCol)
+      validatePartitionValues(df, partitionCols)
       enforceConstraints(df, constraints)
       enforceExpectations(df, expects)
-      val tracked = (key +: statsCols.filterNot(_ == key)).filter(df.columns.contains)
+      val tracked = (keys ++ statsCols.filterNot(keys.contains))
+        .filter(df.columns.contains)
       val layout = Layout(fileRanges, layoutMode, zorderKeys)
       val (bBits, bK) = if (bloomCols.isEmpty) (0, 6) else (bloomBits, bloomK)
-      writeCommit(df, table, 1, partitionCol, key, layout)
+      writeCommit(df, table, 1, partitionCols, keys, layout)
       val parts = commitEntries(spark, table, 1, tracked, bloomCols, bBits, bK,
         hllCols, hllP)
       // reclaiming publish: if a guard (e.g. min_rows) rejects the
       // initial load, the freshly written files/c00000001 dir is
       // deleted so a retried create() doesn't hit path-already-exists
-      writeManifestReclaiming(table, Manifest(1, 0, "create", key, partitionCol, tracked,
-        parts, layout, df.schema.toDDL, constraints, bloomCols, bBits, bK,
+      writeManifestReclaiming(table, Manifest(1, 0, "create", keys, partitionCols,
+        tracked, parts, layout, df.schema.toDDL, constraints, bloomCols, bBits, bK,
         guards, hllCols, hllP, expects))
       CommitStats(1, parts.keys.toSeq.sorted, Nil, parts.values.map(_.size).sum)
     }
@@ -888,7 +1063,7 @@ object Snapshot {
 
   private def planMerge(spark: SparkSession, table: String, m: Manifest,
                         upserts: DataFrame, deleteKeys: DataFrame): MergePlan = {
-    val (key, pc) = (m.key, m.partitionCol)
+    val keys = m.keys
     val target = readManifestFiles(spark, table, m)
     // ADDITIVE schema evolution: upserts may carry NEW columns (old
     // rows read back as null); they must still carry every existing
@@ -915,8 +1090,9 @@ object Snapshot {
     enforceExpectations(upserts, m.expects)
 
     val ups = OpCache.cache(upserts)
-    val dels = OpCache.cache(deleteKeys.select(col(key)).distinct())
-    val overlap = ups.select(col(key)).join(dels, key).limit(1).count()
+    val dels = OpCache.cache(deleteKeys.select(keys.map(col): _*).distinct())
+    val overlap = ups.select(keys.map(col): _*).join(dels, keys)
+      .limit(1).count()
     require(overlap == 0,
       "snapshot merge: key(s) present in BOTH upserts and deleteKeys — " +
         "remove the ambiguity upstream")
@@ -928,25 +1104,28 @@ object Snapshot {
     // as two rows and silently corrupt every keyed consumer. The
     // aggregate name is reserved (__graft_n) so a table whose KEY is
     // literally named 'count' still gates cleanly.
-    val dupKey = ups.groupBy(col(key))
+    val dupKey = ups.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("__graft_n"))
       .filter(col("__graft_n") > 1).limit(1).collect()
     require(dupKey.isEmpty,
-      s"snapshot merge: upserts deliver ${if (dupKey.isEmpty) 0 else dupKey.head.getLong(1)} " +
-        s"rows for key '${dupKey.headOption.map(_.get(0)).orNull}' — the keyed " +
+      s"snapshot merge: upserts deliver ${if (dupKey.isEmpty) 0 else dupKey.head.getLong(keys.size)} " +
+        s"rows for key '${dupKey.headOption.map(r => keys.indices.map(r.get).mkString(",")).orNull}' — the keyed " +
         "format admits one row per key; dedupe the delivery upstream " +
         "(SQL MERGE: a source with duplicate ON keys, or a compound-ON " +
         "NOT MATCHED insert colliding with a BY SOURCE update)")
-    validatePartitionValues(ups, pc)
+    validatePartitionValues(ups, m.partitionCols)
 
     // affected partitions = where incoming rows land ∪ where changed
     // keys currently live (column-pruned discovery scan of the live
-    // file set — at 100 TB this reads two columns, never payloads)
-    val allKeys = OpCache.cache(ups.select(col(key)).unionByName(dels).distinct())
-    val resident = target.select(col(key), col(pc))
-      .join(allKeys, Seq(key), "left_semi")
-      .select(col(pc).cast("string").as("p"))
-    val incoming = ups.select(col(pc).cast("string").as("p"))
+    // file set — at 100 TB this reads key + partition-source columns,
+    // never payloads)
+    val allKeys = OpCache.cache(
+      ups.select(keys.map(col): _*).unionByName(dels).distinct())
+    val resident = target
+      .select((keys.map(col) :+ partValueCol(m.partitionCols).as("__p")): _*)
+      .join(allKeys, keys, "left_semi")
+      .select(col("__p").as("p"))
+    val incoming = ups.select(partValueCol(m.partitionCols).as("p"))
     val affected = resident.unionByName(incoming).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     val newDdl =
@@ -983,7 +1162,7 @@ object Snapshot {
         val newCols = target.columns ++ added.map(_.name)
         Some((if (affectedEntries.isEmpty) ups.select(newCols.map(col): _*).limit(0)
               else readManifestFiles(spark, table, m, affectedEntries)
-                .join(allKeys, Seq(key), "left_anti"))
+                .join(allKeys, keys, "left_anti"))
           .unionByName(ups.select(newCols.map(col): _*),
             allowMissingColumns = true))
       }
@@ -1003,7 +1182,7 @@ object Snapshot {
           writeManifest(table, m.copy(version = v, parent = cur, op = op))
           CommitStats(v, Nil, Nil, 0)
         case Some(merged) =>
-          writeCommit(merged, table, v, m.partitionCol, m.key, m.layout,
+          writeCommit(merged, table, v, m.partitionCols, m.keys, m.layout,
             plan.newMap)
           val fresh = commitEntries(spark, table, v, m.statsCols,
             m.bloomCols, m.bloomBits, m.bloomK, m.hllCols, m.hllP)
@@ -1058,8 +1237,8 @@ object Snapshot {
           upserts, deleteKeys, plan.newMap)
       case Some(merged) =>
         val name = "_staging-" + java.util.UUID.randomUUID().toString.take(13)
-        writeArranged(merged, s"$table/files/$name", m.partitionCol,
-          m.key, m.layout, plan.newMap)
+        writeArranged(merged, s"$table/files/$name", m.partitionCols,
+          m.keys, m.layout, plan.newMap)
         val sub = entriesOf(spark, s"$table/files/$name", s"/$name/",
           m.statsCols, m.bloomCols, m.bloomBits, m.bloomK, m.hllCols, m.hllP)
         StagedMerge(table, cur, Some(name), sub, plan.affected, plan.newDdl,
@@ -1128,11 +1307,12 @@ object Snapshot {
         val basePaths = mB.files.map(_.path).toSet
         val newFiles = mC.files.filterNot(f => basePaths.contains(f.path))
         if (newFiles.nonEmpty) {
-          val stagedKeys = staged.upserts.select(col(mC.key))
-            .unionByName(staged.deleteKeys.select(col(mC.key))).distinct()
+          val stagedKeys = staged.upserts.select(mC.keys.map(col): _*)
+            .unionByName(staged.deleteKeys.select(mC.keys.map(col): _*))
+            .distinct()
           val moved = readManifestFiles(spark, table, mC, newFiles)
-            .select(col(mC.key))
-            .join(stagedKeys, Seq(mC.key), "left_semi")
+            .select(mC.keys.map(col): _*)
+            .join(stagedKeys, mC.keys, "left_semi")
             .limit(1).count()
           if (moved > 0)
             conflict("a concurrent commit wrote row(s) for the same key(s)")
@@ -1300,7 +1480,7 @@ object Snapshot {
         // the dv-applied read drops masked rows from the new files
         physicalize(readManifestFiles(spark, table, m, frag.values.flatten.toSeq),
             m.columnMap)
-          .withColumn("__part", col(m.partitionCol).cast("string"))
+          .withColumn("__part", partValueCol(m.partitionCols))
           .repartition(col("__part"))
           .write.mode("error").partitionBy("__part").parquet(commitDir(table, v))
         val fresh = commitEntries(spark, table, v, m.statsCols,
@@ -1354,7 +1534,7 @@ object Snapshot {
       val lay = Layout(fileRanges, layoutMode, zorderKeys)
       val v = cur + 1
       writeCommit(readManifestFiles(spark, table, m), table, v,
-        m.partitionCol, m.key, lay, m.columnMap)
+        m.partitionCols, m.keys, lay, m.columnMap)
       val fresh = commitEntries(spark, table, v, m.statsCols,
         m.bloomCols, m.bloomBits, m.bloomK, m.hllCols, m.hllP)
       val opName = s"relayout($layoutMode x$fileRanges" +
@@ -1430,10 +1610,10 @@ object Snapshot {
       val aligned = alignForReplace(spark, table, m, Some(df))
       enforceConstraints(aligned, m.constraints)
       enforceExpectations(aligned, m.expects)
-      validatePartitionValues(aligned, m.partitionCol)
+      validatePartitionValues(aligned, m.partitionCols)
       val cached = OpCache.cache(aligned)
       try {
-        val dfParts = cached.select(col(m.partitionCol).cast("string"))
+        val dfParts = cached.select(partValueCol(m.partitionCols).as("__p"))
           .distinct().collect().map(_.getString(0)).toSet
         scope.foreach { s =>
           val outside = dfParts -- s
@@ -1451,7 +1631,7 @@ object Snapshot {
         val affected = scope.getOrElse(dfParts)
         val v = cur + 1
         if (dfParts.nonEmpty)
-          writeCommit(cached, table, v, m.partitionCol, m.key, m.layout,
+          writeCommit(cached, table, v, m.partitionCols, m.keys, m.layout,
             m.columnMap)
         val fresh =
           if (dfParts.isEmpty) Map.empty[String, Seq[FileEntry]]
@@ -1513,9 +1693,9 @@ object Snapshot {
     val aligned = alignForReplace(spark, table, m, dfOpt)
     enforceConstraints(aligned, m.constraints)
     enforceExpectations(aligned, m.expects)
-    validatePartitionValues(aligned, m.partitionCol)
+    validatePartitionValues(aligned, m.partitionCols)
     val v = cur + 1
-    writeCommit(aligned, table, v, m.partitionCol, m.key, m.layout,
+    writeCommit(aligned, table, v, m.partitionCols, m.keys, m.layout,
       m.columnMap)
     val fresh = commitEntries(spark, table, v, m.statsCols, m.bloomCols,
       m.bloomBits, m.bloomK, m.hllCols, m.hllP)
@@ -1551,8 +1731,8 @@ object Snapshot {
     def sqlReferences(sql: String): Boolean =
       ("""(?<![A-Za-z0-9_`])""" + java.util.regex.Pattern.quote(name) +
         """(?![A-Za-z0-9_`])""").r.findFirstIn(sql).isDefined
-    if (name == m.key) Some("the merge key")
-    else if (name == m.partitionCol) Some("the partition column")
+    if (m.keys.contains(name)) Some("a merge key column")
+    else if (m.partSources.contains(name)) Some("a partition source column")
     else if (m.statsCols.contains(name)) Some("a stats column")
     else if (m.bloomCols.contains(name)) Some("a bloom column")
     else if (m.hllCols.contains(name)) Some("an HLL column")
@@ -2106,31 +2286,92 @@ object Snapshot {
       case _ => false
     }
 
+  /** Partition-level pruning for a (possibly open, possibly strict)
+    * bound predicate on partition SOURCE column `partFields(i)
+    * .source`: map the bounds into the derived component domain per
+    * the field's transform and keep the admitting partitions.
+    *
+    *  - identity: the classic compare — numeric when the value space
+    *    and bounds all parse numerically ("10" is not < "9"),
+    *    UTF-8-lexicographic otherwise;
+    *  - days(ts): MONOTONE — a timestamp bound maps to its UTC day
+    *    and ISO day strings compare lexicographically; strict instant
+    *    bounds relax to inclusive DAY bounds (a strict bound still
+    *    admits other rows of its own day — conservative);
+    *  - bucket(n, c): only EQUALITY maps through a hash (lo == hi,
+    *    non-strict); any real range keeps everything.
+    *
+    * Unmappable bounds keep everything — pruning is an IO
+    * optimization, conservative by construction, never a semantics
+    * change. */
+  private def prunePartsBounds(m: Manifest, i: Int,
+                               lo: Option[Any], hi: Option[Any],
+                               loStrict: Boolean,
+                               hiStrict: Boolean): Seq[FileEntry] = {
+    val all = m.files
+    if (lo.isEmpty && hi.isEmpty) return all
+    def keep(f: String => Boolean): Seq[FileEntry] =
+      m.partitions.filter { case (p, _) => f(partComponent(m, p, i)) }
+        .values.flatten.toSeq
+    m.partFields(i) match {
+      case _: IdentityField =>
+        val comps = m.partitions.keys.map(p => partComponent(m, p, i)).toSeq
+        val nums = comps.map(c => c -> scala.util.Try(BigDecimal(c))).toMap
+        val numeric = nums.values.forall(_.isSuccess) &&
+          lo.forall(x => scala.util.Try(BigDecimal(x.toString)).isSuccess) &&
+          hi.forall(x => scala.util.Try(BigDecimal(x.toString)).isSuccess)
+        keep { c =>
+          if (numeric) {
+            val v = nums(c).get
+            lo.forall { l => val b = BigDecimal(l.toString)
+              if (loStrict) v > b else v >= b } &&
+              hi.forall { h => val b = BigDecimal(h.toString)
+                if (hiStrict) v < b else v <= b }
+          } else
+            lo.forall { l => val d = cmpUtf8(c, l.toString)
+              if (loStrict) d > 0 else d >= 0 } &&
+              hi.forall { h => val d = cmpUtf8(c, h.toString)
+                if (hiStrict) d < 0 else d <= 0 }
+        }
+      case _: DaysField =>
+        val l = lo.map(dayOf)
+        val h = hi.map(dayOf)
+        if (l.exists(_.isEmpty) || h.exists(_.isEmpty)) all
+        else keep { c =>
+          l.flatten.forall(d => cmpUtf8(c, d) >= 0) &&
+            h.flatten.forall(d => cmpUtf8(c, d) <= 0)
+        }
+      case BucketField(n, _) =>
+        (lo, hi) match {
+          case (Some(a), Some(b)) if !loStrict && !hiStrict && a == b =>
+            val want = bucketOf(n, a)
+            keep(_ == want)
+          case _ => all
+        }
+    }
+  }
+
   /** The manifest entries of `version` (latest if 0) surviving a
     * `column BETWEEN lo AND hi` predicate — partition-level pruning
-    * when `column` is the partition column, per-file stats pruning
-    * when it is a tracked stats column. Exposed for tests/diagnostics;
+    * when `column` is a partition source column (transform-mapped,
+    * see [[prunePartsBounds]]), per-file stats pruning when it is a
+    * tracked stats column; a TRANSFORMED partition source that is
+    * also stats-tracked intersects both (day-level partition cut,
+    * then per-file ranges). Exposed for tests/diagnostics;
     * `readWhere` is the serving path. */
   def pruneRange(table: String, column: String, lo: Any, hi: Any,
                  version: Int = 0): (Seq[FileEntry], Int) = {
     val v = if (version > 0) version else currentVersion(table)
     val m = readManifest(table, v)
     val total = m.files.size
+    val fIdx = m.partFields.indexWhere(_.source == column)
     val kept =
-      if (column == m.partitionCol) {
-        // numeric partition values must compare numerically ("10" is
-        // not < "9") — fall back to lexicographic only when the value
-        // space or the bounds are non-numeric
-        val nums = m.partitions.keys.map(p => p -> scala.util.Try(BigDecimal(p))).toMap
-        val bounds = scala.util.Try((BigDecimal(lo.toString), BigDecimal(hi.toString)))
-        val numeric = bounds.isSuccess && nums.values.forall(_.isSuccess)
-        m.partitions.filter { case (p, _) =>
-          if (numeric) {
-            val (l, h) = bounds.get
-            val v = nums(p).get
-            v >= l && v <= h
-          } else cmpUtf8(p, lo.toString) >= 0 && cmpUtf8(p, hi.toString) <= 0
-        }.values.flatten.toSeq
+      if (fIdx >= 0) {
+        val byPart = prunePartsBounds(m, fIdx, Some(lo), Some(hi),
+          loStrict = false, hiStrict = false)
+        if (m.partFields(fIdx).isInstanceOf[IdentityField] ||
+            !m.statsCols.contains(column)) byPart
+        else byPart.filter(f => f.stats.get(column).forall(admits(_, lo, hi)))
       } else {
         require(m.statsCols.contains(column),
           s"snapshot $table: no stats tracked for '$column' " +
@@ -2214,7 +2455,7 @@ object Snapshot {
     // complete reference set)
     val recountable = readable.contains(cur)
     val m = if (recountable) readable(cur)
-      else Manifest(cur, 0, "unreadable", "", "", Nil, Map.empty)
+      else Manifest(cur, 0, "unreadable", Nil, Nil, Nil, Map.empty)
     if (m.files.nonEmpty && m.files.forall(f => st.exists(s"$table/${f.path}"))) {
       val counted = readManifestFiles(spark, table, m, applyDv = false)
         .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("n"))
@@ -2346,10 +2587,11 @@ object Snapshot {
     val v = if (version > 0) version else currentVersion(table)
     val m = readManifest(table, v)
     val total = m.files.size
-    val hasStats = column == m.partitionCol || m.statsCols.contains(column)
+    val hasStats = m.partFields.exists(_.source == column) ||
+      m.statsCols.contains(column)
     val hasBloom = m.bloomCols.contains(column)
     require(hasStats || hasBloom,
-      s"snapshot $table: no index for '$column' (partition: ${m.partitionCol}; " +
+      s"snapshot $table: no index for '$column' (partition: ${m.partitionLabel}; " +
         s"stats: ${m.statsCols.mkString(",")}; blooms: ${m.bloomCols.mkString(",")})")
     val statsKept: Set[String] =
       if (hasStats) pruneRange(table, column, value, value, v)._1.map(_.path).toSet
@@ -2428,23 +2670,14 @@ object Snapshot {
                 if (hiStrict) c < 0 else c <= 0 }
         case _ => false
       }
+    val fIdx = m.partFields.indexWhere(_.source == column)
     val kept =
-      if (column == m.partitionCol) {
-        val nums = m.partitions.keys.map(p => p -> scala.util.Try(BigDecimal(p))).toMap
-        val numeric = nums.values.forall(_.isSuccess) &&
-          lo.forall(x => scala.util.Try(BigDecimal(x.toString)).isSuccess) &&
-          hi.forall(x => scala.util.Try(BigDecimal(x.toString)).isSuccess)
-        m.partitions.filter { case (p, _) =>
-          if (numeric)
-            lo.forall { l => val b = BigDecimal(l.toString)
-              if (loStrict) nums(p).get > b else nums(p).get >= b } &&
-              hi.forall { h => val b = BigDecimal(h.toString)
-                if (hiStrict) nums(p).get < b else nums(p).get <= b }
-          else lo.forall { l => val c = cmpUtf8(p, l.toString)
-            if (loStrict) c > 0 else c >= 0 } &&
-            hi.forall { h => val c = cmpUtf8(p, h.toString)
-              if (hiStrict) c < 0 else c <= 0 }
-        }.values.flatten.toSeq
+      if (fIdx >= 0) {
+        val byPart = prunePartsBounds(m, fIdx, lo, hi, loStrict, hiStrict)
+        if (m.partFields(fIdx).isInstanceOf[IdentityField] ||
+            !m.statsCols.contains(column)) byPart
+        else byPart.filter(f => f.stats.get(column)
+          .forall(cs => admitsOpen(cs.kind, cs.min, cs.max)))
       } else {
         require(m.statsCols.contains(column),
           s"snapshot $table: no stats tracked for '$column' " +
@@ -2645,7 +2878,7 @@ object Snapshot {
       // miss updated rows; unchanged rows re-pass trivially and the
       // cost is bounded by candidate mass
       enforceConstraints(out, m.constraints)
-      writeCommit(out, table, v, m.partitionCol, m.key, m.layout, m.columnMap)
+      writeCommit(out, table, v, m.partitionCols, m.keys, m.layout, m.columnMap)
       val fresh = commitEntries(spark, table, v, m.statsCols,
         m.bloomCols, m.bloomBits, m.bloomK, m.hllCols, m.hllP)
       // per partition: carried (non-candidate) files ++ replacement files
@@ -2714,7 +2947,7 @@ object Snapshot {
     require(set.nonEmpty, "updateWhere: empty SET")
     val m = readManifest(table, currentVersion(table))
     set.keys.foreach { c =>
-      require(c != m.key && c != m.partitionCol,
+      require(!m.keys.contains(c) && !m.partSources.contains(c),
         s"updateWhere: cannot update key/partition column '$c' — use merge")
     }
     rewriteFiles(spark, table, "update", preds, { df =>
@@ -2789,17 +3022,25 @@ object Snapshot {
       val cur = currentVersion(table)
       require(cur > 0, s"snapshot $table does not exist")
       val m = readManifest(table, cur)
-      require(keys.columns.contains(m.key),
-        s"snapshot $table: keys frame lacks key column '${m.key}'")
-      val k = OpCache.cache(keys.select(col(m.key)).distinct())
-      val sample = k.limit(maxPrunableKeys + 1).collect().map(_.get(0))
+      m.keys.foreach(kc => require(keys.columns.contains(kc),
+        s"snapshot $table: keys frame lacks key column '$kc'"))
+      val k = OpCache.cache(keys.select(m.keys.map(col): _*).distinct())
+      val sample = k.limit(maxPrunableKeys + 1).collect()
       val candidates =
         if (sample.isEmpty) Nil // no keys: audit-only commit
-        else if (sample.length <= maxPrunableKeys)
-          pruneIn(table, m.key, sample.toSeq, cur)._1
-        else m.files
+        else if (sample.length <= maxPrunableKeys) {
+          // composite keys prune per COLUMN and intersect: a file can
+          // hold a listed key tuple only if every column's value set
+          // admits it — each column's own index (stats/bloom) applies,
+          // and the intersection stays a sound candidate superset
+          val kept = m.keys.zipWithIndex.map { case (kc, i) =>
+            pruneIn(table, kc, sample.map(_.get(i)).distinct.toSeq, cur)
+              ._1.map(_.path).toSet
+          }.reduce(_ intersect _)
+          m.files.filter(f => kept.contains(f.path))
+        } else m.files
       val out = commitDv(spark, table, m, candidates,
-        raw => raw.join(k, Seq(m.key), "left_semi"))
+        raw => raw.join(k, m.keys, "left_semi"))
       OpCache.unpersistEager(k)
       out
     }

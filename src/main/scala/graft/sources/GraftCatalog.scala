@@ -188,28 +188,51 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     new GraftTable(path, v, pinned = true)
   }
 
+  /** One PARTITIONED BY transform → its manifest spec string:
+    * identity columns stay bare; `days(ts)` / `bucket(n, c)` render
+    * as [[graft.operators.Snapshot.PartField]]'s hidden-partitioning
+    * forms. Anything else refuses. */
+  private def transformSpec(t: Transform): String = t match {
+    case _ if t.name == "identity" && t.references.length == 1 =>
+      t.references.head.fieldNames.mkString(".")
+    case _ if t.name == "days" && t.references.length == 1 =>
+      s"days(${t.references.head.fieldNames.mkString(".")})"
+    case _ if t.name == "bucket" && t.references.length == 1 =>
+      val n = t.arguments.collectFirst {
+        case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          lit.value.toString.toInt
+      }.getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: bucket transform without a bucket count: $t"))
+      s"bucket($n,${t.references.head.fieldNames.mkString(".")})"
+    case other => throw new IllegalArgumentException(
+      "graft catalog: PARTITIONED BY supports identity columns, " +
+        s"days(col) and bucket(n, col) — got $other")
+  }
+
   private def createSpec(schema: StructType, partitions: Array[Transform],
-                         properties: JMap[String, String]): (String, String) = {
+                         properties: JMap[String, String])
+      : (Seq[String], Seq[String]) = {
     val props = properties.asScala
-    val key = props.getOrElse("key", throw new IllegalArgumentException(
-      "graft catalog: CREATE TABLE needs TBLPROPERTIES ('key'='<column>') " +
-        "— every graft table is keyed"))
-    val partFromTransform = partitions.toSeq.map {
-      case t: Transform if t.name == "identity" && t.references.length == 1 =>
-        t.references.head.fieldNames.mkString(".")
-      case t => throw new IllegalArgumentException(
-        s"graft catalog: only PARTITIONED BY (column) is supported, got $t")
-    }
-    require(partFromTransform.size <= 1,
-      "graft catalog: at most one partition column")
-    val part = partFromTransform.headOption
-      .orElse(props.get("partitionCol"))
-      .getOrElse(throw new IllegalArgumentException(
-        "graft catalog: CREATE TABLE needs PARTITIONED BY (col) or " +
-          "TBLPROPERTIES ('partitionCol'='<column>')"))
-    Seq(key, part).foreach(c => require(schema.fieldNames.contains(c),
+    // composite keys declare as a comma-separated list:
+    // TBLPROPERTIES ('key' = 'tenant_id,entity_id')
+    val keys = props.getOrElse("key", throw new IllegalArgumentException(
+      "graft catalog: CREATE TABLE needs TBLPROPERTIES ('key'='<column>" +
+        "[,<column>…]') — every graft table is keyed"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, "graft catalog: empty key list")
+    val partFromTransform = partitions.toSeq.map(transformSpec)
+    val parts =
+      if (partFromTransform.nonEmpty) partFromTransform
+      else props.get("partitionCol")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(throw new IllegalArgumentException(
+          "graft catalog: CREATE TABLE needs PARTITIONED BY (col, …) or " +
+            "TBLPROPERTIES ('partitionCol'='<column>[,…]')"))
+    val sources = parts.map(p =>
+      graft.operators.Snapshot.PartField.parse(p).source)
+    (keys ++ sources).foreach(c => require(schema.fieldNames.contains(c),
       s"graft catalog: declared column '$c' not in the table schema"))
-    (key, part)
+    (keys, parts)
   }
 
   /** The INVARIANT TBLPROPERTIES (`check.<name>`, `guard.<name>`,
@@ -237,14 +260,14 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
                            properties: JMap[String, String]): Table = {
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
-    val (key, part) = createSpec(schema, partitions, properties)
+    val (keys, parts) = createSpec(schema, partitions, properties)
     val (checks, guards, expects) = invariantSpec(properties)
     store.mkdirs(dir.substring(0, dir.lastIndexOf('/')))
     val spark = SparkSession.active
     val empty = spark.createDataFrame(
       Collections.emptyList[org.apache.spark.sql.Row](), schema)
-    Snapshot.create(spark, dir, empty, key = key,
-      partitionCol = part, statsCols = Seq(key),
+    Snapshot.createMulti(spark, dir, empty, keys = keys,
+      partitionCols = parts, statsCols = keys,
       constraints = checks, guards = guards, expects = expects)
     loadTable(ident)
   }
@@ -256,9 +279,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
                            properties: JMap[String, String]): StagedTable = {
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
-    val (key, part) = createSpec(schema, partitions, properties)
+    val (keys, parts) = createSpec(schema, partitions, properties)
     val (checks, guards, expects) = invariantSpec(properties)
-    new GraftStagedTable(ident, dir, store, schema, key, part,
+    new GraftStagedTable(ident, dir, store, schema, keys, parts,
       checks = checks, guards = guards, expects = expects)
   }
 
@@ -278,31 +301,27 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val m = Snapshot.readManifest(dir, Snapshot.currentVersion(dir))
-    val declaredKey = Option(properties.get("key"))
-    declaredKey.filter(_ != m.key).foreach(k =>
+    val declaredKeys = Option(properties.get("key"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    declaredKeys.filter(_ != m.keys).foreach(k =>
       throw new IllegalArgumentException(
         s"graft catalog: REPLACE TABLE cannot change the key " +
-          s"('$k' vs the table's '${m.key}') — the contract is a table " +
-          "property; redefine via DROP TABLE ... PURGE + CREATE"))
-    // same transform discipline as createSpec: only a single identity
-    // PARTITIONED BY (col) is expressible — a bucket/multi-column spec
+          s"('${k.mkString(",")}' vs the table's '${m.keyLabel}') — the " +
+          "contract is a table property; redefine via DROP TABLE ... " +
+          "PURGE + CREATE"))
+    // same transform discipline as createSpec: an inexpressible spec
     // must REFUSE, never silently drop to the inherited contract
-    val declaredParts = partitions.toSeq.map {
-      case t: Transform if t.name == "identity" && t.references.length == 1 =>
-        t.references.head.fieldNames.mkString(".")
-      case t => throw new IllegalArgumentException(
-        s"graft catalog: only PARTITIONED BY (column) is supported, got $t")
-    }
-    require(declaredParts.size <= 1,
-      "graft catalog: at most one partition column")
-    val declaredPart = declaredParts.headOption
-      .orElse(Option(properties.get("partitionCol")))
-    declaredPart.filter(_ != m.partitionCol).foreach(p =>
+    val declaredParts = partitions.toSeq.map(transformSpec)
+    val declaredPart =
+      if (declaredParts.nonEmpty) Some(declaredParts)
+      else Option(properties.get("partitionCol"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    declaredPart.filter(_ != m.partitionCols).foreach(p =>
       throw new IllegalArgumentException(
-        s"graft catalog: REPLACE TABLE cannot change the partition column " +
-          s"('$p' vs the table's '${m.partitionCol}') — redefine via " +
-          "DROP TABLE ... PURGE + CREATE"))
-    new GraftStagedTable(ident, dir, store, schema, m.key, m.partitionCol,
+        s"graft catalog: REPLACE TABLE cannot change the partition spec " +
+          s"('${p.mkString(",")}' vs the table's '${m.partitionLabel}') — " +
+          "redefine via DROP TABLE ... PURGE + CREATE"))
+    new GraftStagedTable(ident, dir, store, schema, m.keys, m.partitionCols,
       replace = true)
   }
 
@@ -592,7 +611,7 @@ private[graft] object GraftCatalog {
 private[graft] class GraftStagedTable(ident: Identifier, dir: String,
                                       store: LogStore,
                                       tableSchema: StructType,
-                                      key: String, part: String,
+                                      keys: Seq[String], parts: Seq[String],
                                       replace: Boolean = false,
                                       checks: Map[String, String] = Map.empty,
                                       guards: Map[String, String] = Map.empty,
@@ -643,8 +662,8 @@ private[graft] class GraftStagedTable(ident: Identifier, dir: String,
       Snapshot.overwrite(df.sparkSession, dir, df)
     case Some(df) =>
       store.mkdirs(dir.substring(0, dir.lastIndexOf('/')))
-      Snapshot.create(df.sparkSession, dir, df, key = key,
-        partitionCol = part, statsCols = Seq(key),
+      Snapshot.createMulti(df.sparkSession, dir, df, keys = keys,
+        partitionCols = parts, statsCols = keys,
         constraints = checks, guards = guards, expects = expects)
     case None if replace =>
       // plain REPLACE TABLE (no AS SELECT): empty the table — the
@@ -673,8 +692,8 @@ private[graft] class GraftStagedTable(ident: Identifier, dir: String,
       val spark = SparkSession.active
       val empty = spark.createDataFrame(
         Collections.emptyList[org.apache.spark.sql.Row](), tableSchema)
-      Snapshot.create(spark, dir, empty, key = key,
-        partitionCol = part, statsCols = Seq(key),
+      Snapshot.createMulti(spark, dir, empty, keys = keys,
+        partitionCols = parts, statsCols = keys,
         constraints = checks, guards = guards, expects = expects)
   }
 

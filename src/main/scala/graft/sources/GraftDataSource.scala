@@ -357,8 +357,8 @@ private[graft] class GraftTable(private[graft] val path: String,
   override def properties(): JMap[String, String] = {
     val m = Snapshot.readManifest(path, resolvedVersion)
     val props = new java.util.HashMap[String, String]()
-    props.put("key", m.key)
-    props.put("partitionCol", m.partitionCol)
+    props.put("key", m.keyLabel)
+    props.put("partitionCol", m.partitionLabel)
     props.put("version", resolvedVersion.toString)
     if (m.statsCols.nonEmpty) props.put("statsCols", m.statsCols.mkString(","))
     if (m.bloomCols.nonEmpty) props.put("bloomCols", m.bloomCols.mkString(","))
@@ -395,8 +395,12 @@ private[graft] class GraftTable(private[graft] val path: String,
     * partition column is immutable for a (path, version). */
   private lazy val partitionTransforms: Array[org.apache.spark.sql
       .connector.expressions.Transform] = {
-    val pc = Snapshot.readManifest(path, resolvedVersion).partitionCol
-    Array(org.apache.spark.sql.connector.expressions.Expressions.identity(pc))
+    import org.apache.spark.sql.connector.expressions.Expressions
+    Snapshot.readManifest(path, resolvedVersion).partFields.map {
+      case graft.operators.Snapshot.IdentityField(src) => Expressions.identity(src)
+      case graft.operators.Snapshot.DaysField(src) => Expressions.days(src)
+      case graft.operators.Snapshot.BucketField(n, src) => Expressions.bucket(n, src)
+    }.toArray
   }
   override def partitioning(): Array[org.apache.spark.sql.connector
       .expressions.Transform] = partitionTransforms
@@ -463,25 +467,48 @@ private[graft] class GraftWriteBuilder(path: String, pinned: Boolean,
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     if (filters.forall(_ == org.apache.spark.sql.sources.AlwaysTrue))
       return truncate()
-    val pc = Snapshot.readManifest(path,
-      Snapshot.currentVersion(path)).partitionCol
-    val scope = scala.collection.mutable.Set.empty[String]
+    val m = Snapshot.readManifest(path, Snapshot.currentVersion(path))
+    // every partition column must be an IDENTITY column to be
+    // statically addressable by value (a transform's derived value is
+    // not what PARTITION (col = v) names); composite specs need
+    // equality/IN per column — the scope is the cross product of the
+    // per-column value sets, rendered as the composite identity
+    val idCols: Seq[String] = m.partFields.map {
+      case graft.operators.Snapshot.IdentityField(src) => src
+      case f => throw new IllegalArgumentException(
+        s"graft: static PARTITION overwrite cannot address transform " +
+          s"'${f.spec}' by value — use dynamic partitionOverwriteMode")
+    }
+    val perCol = scala.collection.mutable.Map.empty[String, Set[String]]
+    def add(c: String, vs: Set[String]): Unit =
+      perCol(c) = perCol.get(c).map(_ intersect vs).getOrElse(vs)
     filters.foreach {
       case org.apache.spark.sql.sources.AlwaysTrue => ()
-      case IsNotNull(c) if c == pc => () // rides along with equality
-      case EqualTo(c, v) if c == pc && v != null => scope += v.toString
-      case EqualNullSafe(c, v) if c == pc && v != null => scope += v.toString
-      case In(c, vs) if c == pc && vs.forall(_ != null) =>
-        scope ++= vs.map(_.toString)
+      case IsNotNull(c) if idCols.contains(c) => () // rides along with equality
+      case EqualTo(c, v) if idCols.contains(c) && v != null =>
+        add(c, Set(v.toString))
+      case EqualNullSafe(c, v) if idCols.contains(c) && v != null =>
+        add(c, Set(v.toString))
+      case In(c, vs) if idCols.contains(c) && vs.forall(_ != null) =>
+        add(c, vs.map(_.toString).toSet)
       case f => throw new IllegalArgumentException(
         s"graft: INSERT OVERWRITE supports only a static PARTITION scope " +
-          s"(equality/IN on '$pc') or the unconditional replace — got $f; " +
-          "predicate DML (DELETE/UPDATE) are the bounded rewrite commits")
+          s"(equality/IN on '${idCols.mkString(",")}') or the unconditional " +
+          s"replace — got $f; predicate DML (DELETE/UPDATE) are the " +
+          "bounded rewrite commits")
     }
+    require(idCols.forall(perCol.contains),
+      "graft: INSERT OVERWRITE static PARTITION scope must name every " +
+        s"partition column (${idCols.mkString(",")}) — partial scopes " +
+        "are the dynamic mode's job")
+    val scope = idCols.map(perCol).foldLeft(Seq("")) { (acc, vs) =>
+      for (a <- acc; v <- vs.toSeq.sorted)
+        yield if (a.isEmpty) v else s"$a/$v"
+    }.toSet
     require(scope.nonEmpty,
       "graft: INSERT OVERWRITE partition scope resolved empty — give " +
-        s"equality/IN on '$pc' or overwrite unconditionally")
-    new GraftWriteBuilder(path, pinned, partScope = Some(scope.toSet))
+        s"equality/IN on '${idCols.mkString(",")}' or overwrite unconditionally")
+    new GraftWriteBuilder(path, pinned, partScope = Some(scope))
   }
 
   override def build(): Write = new V1Write {
@@ -503,7 +530,7 @@ private[graft] class GraftWriteBuilder(path: String, pinned: Boolean,
             // upsert-on-key semantics (matching keys replaced), so a
             // surprised SQL user can see it in graft_snapshot_history
             Snapshot.merge(data.sparkSession, path, data,
-              data.limit(0).select(m.key), op = "insert-merge")
+              data.limit(0).select(m.keys.map(col): _*), op = "insert-merge")
           }
         }
       }
@@ -609,7 +636,16 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
     // the exact scan — pruning may be conservative, a fold may not.
     // `SELECT count(*) FROM t WHERE source = 'x'` and
     // `WHERE day BETWEEN 10 AND 20` both answer from metadata.
-    val partType = schema.fields.find(_.name == m.partitionCol).map(_.dataType)
+    // the partition-restricted fold reasons over partition identity
+    // strings — expressible only for a SINGLE IDENTITY partition spec
+    // (composite/transformed specs decline to the exact scan: pruning
+    // may be conservative, a fold may not)
+    val idPartCol: Option[String] = m.partFields match {
+      case Seq(graft.operators.Snapshot.IdentityField(src)) => Some(src)
+      case _ => None
+    }
+    val partType = idPartCol.flatMap(pc =>
+      schema.fields.find(_.name == pc).map(_.dataType))
     def keysInRange(lo: Option[Any], loInc: Boolean,
                     hi: Option[Any], hiInc: Boolean): Option[Set[String]] = {
       val keys = m.partitions.keySet
@@ -656,25 +692,25 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
             case None => false
           }
         val ok = pushed.forall {
-          case EqualTo(c, v) if c == m.partitionCol && v != null =>
+          case EqualTo(c, v) if idPartCol.contains(c) && v != null =>
             sets += Set(v.toString); true
-          case In(c, vs) if c == m.partitionCol && vs.nonEmpty &&
+          case In(c, vs) if idPartCol.contains(c) && vs.nonEmpty &&
               !vs.contains(null) =>
             sets += vs.map(_.toString).toSet; true
-          case GreaterThan(c, v) if c == m.partitionCol && v != null =>
+          case GreaterThan(c, v) if idPartCol.contains(c) && v != null =>
             range(Some(v), loInc = false, None, hiInc = false)
-          case GreaterThanOrEqual(c, v) if c == m.partitionCol && v != null =>
+          case GreaterThanOrEqual(c, v) if idPartCol.contains(c) && v != null =>
             range(Some(v), loInc = true, None, hiInc = false)
-          case LessThan(c, v) if c == m.partitionCol && v != null =>
+          case LessThan(c, v) if idPartCol.contains(c) && v != null =>
             range(None, loInc = false, Some(v), hiInc = false)
-          case LessThanOrEqual(c, v) if c == m.partitionCol && v != null =>
+          case LessThanOrEqual(c, v) if idPartCol.contains(c) && v != null =>
             range(None, loInc = false, Some(v), hiInc = true)
           // partition values are non-null by construction
           // (validatePartitionValues rejects null at every commit):
           // IsNotNull — which Spark pushes alongside every equality —
           // is a no-op; IsNull can match nothing
-          case IsNotNull(c) if c == m.partitionCol => true
-          case IsNull(c) if c == m.partitionCol =>
+          case IsNotNull(c) if idPartCol.contains(c) => true
+          case IsNull(c) if idPartCol.contains(c) =>
             sets += Set.empty[String]; true
           case _ => false
         }
@@ -698,7 +734,7 @@ private[graft] class GraftScanBuilder(path: String, version: Int,
     }
     val groupBy = agg.groupByExpressions.toSeq match {
       case Nil => Some(false)
-      case Seq(g) if colOf(g).contains(m.partitionCol) &&
+      case Seq(g) if idPartCol.isDefined && colOf(g) == idPartCol &&
           // grouped fold: per-partition entries must all be clean
           // (the hybrid dv split is global, not per-partition)
           scopedFiles.forall(_.dv.isEmpty) => Some(true)
@@ -863,7 +899,9 @@ private[graft] class GraftAggScan(path: String, version: Int,
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava,
       strSchema(withPart = true))
     raw.select(
-      col("part").cast(schema(m.partitionCol).dataType).as("group_0") +:
+      // grouped folds only push for a single-identity partition spec
+      // (analyzeAggregation's gate), so the sole source IS the column
+      col("part").cast(schema(m.partSources.head).dataType).as("group_0") +:
       castCols(schema): _*)
   }
 
@@ -1099,7 +1137,8 @@ private[graft] object GraftFilters {
   def prune(path: String, version: Int,
             filters: Array[Filter]): Option[Seq[Snapshot.FileEntry]] = {
     val m = Snapshot.readManifest(path, version)
-    val rangeable = (c: String) => c == m.partitionCol || m.statsCols.contains(c)
+    val rangeable = (c: String) => m.partSources.contains(c) ||
+      m.statsCols.contains(c)
     val eqable = (c: String) => rangeable(c) || m.bloomCols.contains(c)
     val keptSets: Seq[Set[String]] = filters.toSeq.flatMap {
       case EqualTo(c, v) if eqable(c) && v != null =>

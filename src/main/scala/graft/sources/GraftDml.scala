@@ -233,34 +233,38 @@ object GraftDml {
         .exists(_.name.startsWith("__graft_"))) refuse(
       "graft: column names starting with __graft_ collide with MERGE " +
         "internals — rename them")
-    // ON condition: a conjunction whose anchor is equality over the
-    // table key (either side order); every REMAINING conjunct narrows
-    // the match — the Delta partition-pruning merge idiom
-    // (`ON t.key = s.key AND t.part = s.part`): a key-equal pair
-    // whose extra conjuncts fail is NOT matched (the source row is an
-    // insert candidate, the target row a by-source candidate),
-    // standard SQL MERGE ON semantics.
-    val key = Snapshot.readManifest(g.path,
-      Snapshot.currentVersion(g.path)).key
+    // ON condition: a conjunction whose anchor is equality over EVERY
+    // column of the (possibly composite) table key (either side
+    // order); every REMAINING conjunct narrows the match — the Delta
+    // partition-pruning merge idiom (`ON t.key = s.key AND t.part =
+    // s.part`): a key-equal pair whose extra conjuncts fail is NOT
+    // matched (the source row is an insert candidate, the target row
+    // a by-source candidate), standard SQL MERGE ON semantics.
+    val keys = Snapshot.readManifest(g.path,
+      Snapshot.currentVersion(g.path)).keys
     val onConjuncts = conjuncts(m.mergeCondition)
-    def keyEq(e: Expression): Option[String] = e match {
+    def keyEq(e: Expression): Option[(String, String)] = e match {
       case CEqualTo(a: AttributeReference, b: AttributeReference) =>
-        if (tgtIds.contains(a) && srcIds.contains(b) && a.name == key)
-          Some(b.name)
-        else if (tgtIds.contains(b) && srcIds.contains(a) && b.name == key)
-          Some(a.name)
+        if (tgtIds.contains(a) && srcIds.contains(b) && keys.contains(a.name))
+          Some(a.name -> b.name)
+        else if (tgtIds.contains(b) && srcIds.contains(a) && keys.contains(b.name))
+          Some(b.name -> a.name)
         else None
       case _ => None
     }
     val keyEqs = onConjuncts.flatMap(keyEq)
-    val keyCond = keyEqs match {
-      case Seq(s) => s
-      case Seq() => refuse("graft: MERGE ON must contain equality on " +
-        s"the table key '$key' (`target.$key = source.col`, optionally " +
-        "AND-ed with further conditions) — the format's merge primitive " +
-        s"is keyed (got: ${m.mergeCondition.sql})")
-      case _ => refuse(s"graft: MERGE ON holds ${keyEqs.size} equalities " +
-        s"on the table key '$key' — give exactly one")
+    val byKey = keyEqs.groupBy(_._1)
+    val keyConds: Seq[String] = keys.map { k =>
+      byKey.getOrElse(k, Nil) match {
+        case Seq((_, s)) => s
+        case Seq() => refuse("graft: MERGE ON must contain equality on " +
+          s"every table key column (${keys.mkString(",")}) — missing " +
+          s"'$k' (`target.$k = source.col`, optionally AND-ed with " +
+          "further conditions); the format's merge primitive is keyed " +
+          s"(got: ${m.mergeCondition.sql})")
+        case xs => refuse(s"graft: MERGE ON holds ${xs.size} equalities " +
+          s"on key column '$k' — give exactly one")
+      }
     }
     // BETWEEN survives analysis as a RuntimeReplaceable whose
     // transform() does not visit the original operands (they hide
@@ -374,7 +378,7 @@ object GraftDml {
     }
     if (matched.isEmpty && inserted.isEmpty && bySource.isEmpty)
       refuse("graft: MERGE with no supported actions")
-    GraftMergeCommand(g.path, key, keyCond, m.sourceTable,
+    GraftMergeCommand(g.path, keys, keyConds, m.sourceTable,
       matched, inserted, bySource, extraOn)
   }
 }
@@ -427,7 +431,8 @@ case class GraftUpdateCommand(path: String,
   * upsert whose single UPDATE and INSERT assignment lists are
   * identical and unconditioned collapses to one shaping pass over the
   * raw source (no membership join at all). */
-case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
+case class GraftMergeCommand(path: String, keys: Seq[String],
+                             sourceKeyCols: Seq[String],
                              @transient sourcePlan: LogicalPlan,
                              matched: Seq[MergeActSpec],
                              inserted: Seq[MergeActSpec],
@@ -457,8 +462,9 @@ case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
     import org.apache.spark.sql.functions.{coalesce, lit}
     val target = Snapshot.readLatest(spark, path)
     val tCols = target.columns.toSeq
-    val targetKeys = target.select(col(key))
-    val srcKeys = src.select(expr(sourceKeyCol).as(key))
+    val targetKeys = target.select(keys.map(col): _*)
+    val srcKeys = src.select(keys.zip(sourceKeyCols).map {
+      case (k, s) => expr(s).as(k) }: _*)
 
     // first-matching-action-wins: rows for action i satisfy its own
     // condition and NONE of the earlier actions' (SQL order semantics)
@@ -514,17 +520,27 @@ case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
       val tgtRows =
         if (!detSource) target
         else {
-          val bounds = src.agg(
-            org.apache.spark.sql.functions.min(expr(sourceKeyCol)),
-            org.apache.spark.sql.functions.max(expr(sourceKeyCol))).head()
-          if (bounds.isNullAt(0)) target.limit(0) // empty/all-null source
-          else Snapshot.readWhere(spark, path, key,
-            bounds.get(0), bounds.get(1))
+          // min/max per key column in one aggregate; every key column
+          // is stats-tracked (create tracks the whole key), so the
+          // pruned read intersects all ranges
+          val aggs = sourceKeyCols.flatMap(s => Seq(
+            org.apache.spark.sql.functions.min(expr(s)),
+            org.apache.spark.sql.functions.max(expr(s))))
+          val bounds = src.agg(aggs.head, aggs.tail: _*).head()
+          // an all-null key COLUMN means no source row can key-match
+          // any target pair (NULL never equals) — same as empty
+          if (keys.indices.exists(i => bounds.isNullAt(2 * i)))
+            target.limit(0)
+          else Snapshot.readWhereAll(spark, path,
+            keys.indices.map(i =>
+              (keys(i), bounds.get(2 * i), bounds.get(2 * i + 1))))
         }
       tgtRows.select(tCols.map(c => col(c).as(GraftDml.TgtPrefix + c)): _*)
     }
     def keyEqPrefixed: org.apache.spark.sql.Column =
-      expr(sourceKeyCol) === col(GraftDml.TgtPrefix + key)
+      keys.indices.map(i =>
+        expr(sourceKeyCols(i)) === col(GraftDml.TgtPrefix + keys(i)))
+        .reduce(_ && _)
 
     // ---- MATCHED ----
     val fastPath = matched.forall(!_.usesTarget) && !extraUsesTarget
@@ -532,11 +548,13 @@ case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
       if (matched.isEmpty) emptyUpserts
       else if (fastPath) {
         // membership probe only: source-only extra conjuncts filter
-        // the probe; key column renamed on the build side so a
+        // the probe; key columns renamed on the build side so a
         // same-named source column never ambiguates
         val probe = extraCond.map(src.filter).getOrElse(src)
-        probe.join(targetKeys.withColumnRenamed(key, "__graft_tk"),
-          expr(sourceKeyCol) === col("__graft_tk"), "left_semi")
+        probe.join(targetKeys.select(keys.map(k =>
+            col(k).as("__graft_tk_" + k)): _*),
+          keys.indices.map(i => expr(sourceKeyCols(i)) ===
+            col("__graft_tk_" + keys(i))).reduce(_ && _), "left_semi")
       } else
         // combined row: source names + TgtPrefix-renamed target row
         src.join(prefixedTarget,
@@ -548,7 +566,8 @@ case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
     }
     val matchedDeletes = matchedParts.collect {
       case (a, rows) if a.kind == "delete" =>
-        rows.select(expr(sourceKeyCol).as(key))
+        rows.select(keys.zip(sourceKeyCols).map {
+          case (k, sc) => expr(sc).as(k) }: _*)
     }
 
     // ---- NOT MATCHED (insert) ----
@@ -562,11 +581,16 @@ case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
     val insertRows =
       if (inserted.isEmpty) emptyUpserts
       else if (extraOn.isEmpty)
-        src.join(targetKeys.withColumnRenamed(key, "__graft_tk"),
-          expr(sourceKeyCol) === col("__graft_tk"), "left_anti")
+        src.join(targetKeys.select(keys.map(k =>
+            col(k).as("__graft_tk_" + k)): _*),
+          keys.indices.map(i => expr(sourceKeyCols(i)) ===
+            col("__graft_tk_" + keys(i))).reduce(_ && _), "left_anti")
       else if (!extraUsesTarget)
-        src.join(targetKeys.withColumnRenamed(key, "__graft_tk"),
-          expr(sourceKeyCol) === col("__graft_tk") && extraCond.get, "left_anti")
+        src.join(targetKeys.select(keys.map(k =>
+            col(k).as("__graft_tk_" + k)): _*),
+          keys.indices.map(i => expr(sourceKeyCols(i)) ===
+            col("__graft_tk_" + keys(i))).reduce(_ && _) && extraCond.get,
+          "left_anti")
       else
         src.join(prefixedTarget,
           extraCond.foldLeft(keyEqPrefixed)(_ && _), "left_anti")
@@ -583,8 +607,10 @@ case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
     val bySourceRows =
       if (bySource.isEmpty) emptyUpserts
       else if (extraOn.isEmpty)
-        target.join(srcKeys.withColumnRenamed(key, "__graft_sk"),
-          col(key) === col("__graft_sk"), "left_anti")
+        target.join(srcKeys.select(keys.map(k =>
+            col(k).as("__graft_sk_" + k)): _*),
+          keys.map(k => col(k) === col("__graft_sk_" + k)).reduce(_ && _),
+          "left_anti")
       else
         target.select(tCols.map(c => col(c).as(GraftDml.TgtPrefix + c)): _*)
           .join(src, extraCond.foldLeft(keyEqPrefixed)(_ && _), "left_anti")
@@ -594,7 +620,8 @@ case class GraftMergeCommand(path: String, key: String, sourceKeyCol: String,
       case (a, rows) if a.kind == "update" => shaped(rows, a.assigns.toMap, col)
     }
     val bySourceDeletes = bySourceParts.collect {
-      case (a, rows) if a.kind == "delete" => rows.select(col(key))
+      case (a, rows) if a.kind == "delete" =>
+        rows.select(keys.map(col): _*)
     }
 
     // the canonical full upsert (one unconditioned UPDATE + one

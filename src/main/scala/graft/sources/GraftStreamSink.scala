@@ -56,13 +56,16 @@ private[graft] class GraftStreamSink(path: String,
         Snapshot.create(data.sparkSession, path, batch, key, part, statsCols)
       } else {
         val m = Snapshot.readManifest(path, Snapshot.currentVersion(path))
-        keyOpt.foreach(k => require(k == m.key,
-          s"graft sink: option key '$k' disagrees with the table's '${m.key}'"))
-        partitionOpt.foreach(p => require(p == m.partitionCol,
+        keyOpt.foreach(k => require(
+          k.split(",").map(_.trim).toSeq == m.keys,
+          s"graft sink: option key '$k' disagrees with the table's '${m.keyLabel}'"))
+        partitionOpt.foreach(p => require(
+          p.split(",").map(_.trim).toSeq == m.partitionCols,
           s"graft sink: option partitionCol '$p' disagrees with the " +
-            s"table's '${m.partitionCol}'"))
+            s"table's '${m.partitionLabel}'"))
         Snapshot.merge(data.sparkSession, path, batch,
-          batch.limit(0).select(m.key), op = "stream-merge")
+          batch.limit(0).select(m.keys.map(org.apache.spark.sql.functions.col): _*),
+          op = "stream-merge")
       }
       ()
     } finally batch.unpersist()
