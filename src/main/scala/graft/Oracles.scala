@@ -2960,6 +2960,44 @@ object Oracles {
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM matched)
         |  AND d.doc_id NOT IN (SELECT doc_id FROM ins)""".stripMargin,
 
+    // COMPOSITE-KEY MERGE on a (source, lang)-partitioned table: the
+    // relational replay of an upsert keyed on (lang, doc_id) — source
+    // rows whose composite key exists update (doc_id%9=4, same lang);
+    // rows re-delivering a KNOWN doc_id under a NEW lang (doc_id%17=3,
+    // lang||'x') are NEW composite keys and must COEXIST with the
+    // originals — a doc_id-only key would have replaced them
+    "snapshot_multikey" ->
+      """WITH m AS (
+        |  SELECT doc_id, text || ' [mk]' AS text, lang, source,
+        |    n_chars + 7 AS n_chars
+        |  FROM documents WHERE doc_id % 9 = 4
+        |  UNION ALL
+        |  SELECT doc_id, text || ' [alt]' AS text, lang || 'x' AS lang,
+        |    source, n_chars
+        |  FROM documents WHERE doc_id % 17 = 3)
+        |SELECT doc_id, text, lang, source, n_chars FROM m
+        |UNION ALL
+        |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        |FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM m
+        |  WHERE m.doc_id = d.doc_id AND m.lang = d.lang)""".stripMargin,
+
+    // days(ts) hidden partitioning: the result is the bare range
+    // filter — pruning to the matching days' files must never change
+    // semantics
+    "snapshot_days_prune" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-13 00:00:00'""".stripMargin,
+
+    // bucket(8, doc_id) hidden partitioning: the bare IN filter (the
+    // absent key 999999 matches nothing) — the bucket-mapped prune is
+    // IO-only
+    "snapshot_bucket_prune" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE doc_id IN (7, 42, 103, 999999)""".stripMargin,
+
     // IN-list DELETE/UPDATE through the connector: three statements
     // replayed relationally — the IN delete (with an absent key), the
     // IN update, and an IN AND-ed with a range (only 202/203 pass)

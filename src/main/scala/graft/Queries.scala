@@ -2484,6 +2484,92 @@ object Queries {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  private val snapshotMultikeyMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** COMPOSITE KEY + MULTI-COLUMN PARTITIONING end to end: a table
+    * keyed (lang, doc_id) and partitioned (source, lang), upserted by
+    * SQL `MERGE INTO` whose ON anchors BOTH key columns. The source
+    * re-delivers doc_id%9==4 rows revised (same composite key →
+    * update) AND delivers doc_id%17==3 rows under a NEW lang
+    * (`lang||'x'`) — the SAME doc_id, a DIFFERENT composite key, so
+    * they INSERT and COEXIST with the originals; a single-column
+    * doc_id key would have replaced them. The oracle replays the
+    * two-column upsert relationally, so hash equality proves the
+    * composite anchor, the composite dup-key gate and the two-column
+    * partition routing in one artifact. */
+  def snapshotMultikey(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotMultikeyMemo.computeIfAbsent(dir, _ => {
+      val path = scratch("snapshot_mk", dir)
+      val docs = t(s, dir, "documents")
+      Snapshot.createMulti(s, path, docs,
+        keys = Seq("lang", "doc_id"), partitionCols = Seq("source", "lang"))
+      s.sql("DROP TABLE IF EXISTS graft_mk_docs")
+      s.sql(s"CREATE TABLE graft_mk_docs USING graft LOCATION '$path'")
+      docs.filter(col("doc_id") % 9 === 4)
+        .withColumn("text", concat(col("text"), lit(" [mk]")))
+        .withColumn("n_chars", col("n_chars") + 7)
+        .unionByName(docs.filter(col("doc_id") % 17 === 3)
+          .withColumn("lang", concat(col("lang"), lit("x")))
+          .withColumn("text", concat(col("text"), lit(" [alt]"))))
+        .createOrReplaceTempView("graft_mk_src")
+      s.sql("MERGE INTO graft_mk_docs t USING graft_mk_src s " +
+        "ON t.lang = s.lang AND t.doc_id = s.doc_id " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+      path
+    })
+    Snapshot.readLatest(s, p)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private val snapshotDaysPruneMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** HIDDEN PARTITIONING, the `days(ts)` transform: events partition
+    * by the UTC day DERIVED from their timestamp — no materialized
+    * date column — and a plain SQL range filter on `ts` prunes to the
+    * matching days' files through the monotone transform mapping
+    * (timestamp bound → day string, ISO-lexicographic) before the
+    * scan plans. The oracle is the bare relational filter, so hash
+    * equality proves pruning changed IO, never semantics. */
+  def snapshotDaysPrune(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotDaysPruneMemo.computeIfAbsent(dir, _ => {
+      val path = scratch("snapshot_days", dir)
+      val ev = t(s, dir, "events")
+      Snapshot.createMulti(s, path, ev,
+        keys = Seq("event_id"), partitionCols = Seq("days(ts)"),
+        statsCols = Seq("ts"))
+      s.sql("DROP TABLE IF EXISTS graft_days_events")
+      s.sql(s"CREATE TABLE graft_days_events USING graft LOCATION '$path'")
+      path
+    })
+    s.sql("""SELECT event_id, ts, user_id, event_type, value
+      FROM graft_days_events
+      WHERE ts >= TIMESTAMP'2024-01-10 00:00:00'
+        AND ts < TIMESTAMP'2024-01-13 00:00:00'""")
+  }
+
+  private val snapshotBucketPruneMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** HIDDEN PARTITIONING, the `bucket(n, col)` transform: documents
+    * partition by a stable 8-way hash bucket of `doc_id`, and an
+    * IN-list point lookup maps each key through the SAME hash
+    * driver-side — only the matching buckets' files are handed to the
+    * scan (an absent key costs its bucket, never the table). The
+    * oracle is the bare IN filter; hash equality proves the bucket
+    * mapping is exactly the write-side hash. */
+  def snapshotBucketPrune(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotBucketPruneMemo.computeIfAbsent(dir, _ => {
+      val path = scratch("snapshot_bkt", dir)
+      Snapshot.createMulti(s, path, t(s, dir, "documents"),
+        keys = Seq("doc_id"), partitionCols = Seq("bucket(8,doc_id)"))
+      path
+    })
+    Snapshot.readWhereIn(s, p, "doc_id", Seq(7L, 42L, 103L, 999999L))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   private val snapshotDsv2OverwriteMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2914,6 +3000,9 @@ object Queries {
     "snapshot_dsv2_merge_on" -> snapshotDsv2MergeOn _,
     "snapshot_dsv2_dml_in" -> snapshotDsv2DmlIn _,
     "snapshot_dsv2_dml_open" -> snapshotDsv2DmlOpen _,
+    "snapshot_multikey" -> snapshotMultikey _,
+    "snapshot_days_prune" -> snapshotDaysPrune _,
+    "snapshot_bucket_prune" -> snapshotBucketPrune _,
     "snapshot_dsv2_overwrite" -> snapshotDsv2Overwrite _,
     "snapshot_dsv2_overwrite_part" -> snapshotDsv2OverwritePart _,
     "snapshot_catalog" -> snapshotCatalog _,

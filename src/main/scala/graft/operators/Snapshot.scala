@@ -205,8 +205,8 @@ object Snapshot {
     * layout). `keys` is the (possibly composite) merge key;
     * `partitionCols` the (possibly composite, possibly transformed)
     * partition spec — a composite partition's identity string is its
-    * component values joined with `/` (values are `[A-Za-z0-9._-]+`
-    * by validation, so the join is unambiguous). Single-column
+    * component values joined with `~` (values are `[A-Za-z0-9._-]+`
+    * by validation, so the join is unambiguous and path-inert). Single-column
     * manifests serialize exactly as before (legacy `key` /
     * `partition_col` string fields), so every pre-composite manifest
     * parses forever and single-column tables' manifests stay
@@ -840,19 +840,25 @@ object Snapshot {
 
   /** The (possibly composite, possibly transformed) partition IDENTITY
     * as a string column: single specs are the bare derived value;
-    * composite specs join component values with `/` (unambiguous —
-    * values are `[A-Za-z0-9._-]+` by validation, so `/` never occurs
-    * inside one). NB `concat_ws` skips NULLs, which would silently
-    * collapse a composite identity — callers always validate
-    * non-null components first ([[validatePartitionValues]]). */
+    * composite specs join component values with `~` — unambiguous
+    * (values are `[A-Za-z0-9._-]+` by validation, so `~` never occurs
+    * inside one) AND inert in every path layer the identity crosses:
+    * `~` is a URI unreserved character and outside Hive's dir-name
+    * escape set, so `__part=us~t3` round-trips through partition
+    * discovery, `input_file_name()` and `spark.read` verbatim (a `/`
+    * join would hive-escape to `%2F` and double-escape on re-read).
+    * NB `concat_ws` skips NULLs, which would silently collapse a
+    * composite identity — callers always validate non-null components
+    * first ([[validatePartitionValues]]). */
+  private[graft] val PartSep = "~"
   private def partValueCol(partitionCols: Seq[String]): Column = {
     val comps = partitionCols.map(PartField.parse(_).valueCol)
-    if (comps.size == 1) comps.head else concat_ws("/", comps: _*)
+    if (comps.size == 1) comps.head else concat_ws(PartSep, comps: _*)
   }
 
   /** Component `i` of a partition identity string. */
   private def partComponent(m: Manifest, p: String, i: Int): String =
-    if (m.partitionCols.size == 1) p else p.split("/", -1)(i)
+    if (m.partitionCols.size == 1) p else p.split(PartSep, -1)(i)
 
   /** Logical frame → the PHYSICAL column names data files store
     * (identity when the table has no column mapping). Every data-file

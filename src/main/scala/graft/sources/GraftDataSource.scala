@@ -503,7 +503,8 @@ private[graft] class GraftWriteBuilder(path: String, pinned: Boolean,
         "are the dynamic mode's job")
     val scope = idCols.map(perCol).foldLeft(Seq("")) { (acc, vs) =>
       for (a <- acc; v <- vs.toSeq.sorted)
-        yield if (a.isEmpty) v else s"$a/$v"
+        yield if (a.isEmpty) v
+        else a + graft.operators.Snapshot.PartSep + v
     }.toSet
     require(scope.nonEmpty,
       "graft: INSERT OVERWRITE partition scope resolved empty — give " +

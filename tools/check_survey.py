@@ -46,6 +46,12 @@ else:
     print(f"OK  components: {len(numbered)} numbered rows "
           f"(+{len(unnumbered)} unnumbered) == prose")
 
+def section2(text):
+    """The §2 table region (between the §2 and §3 headers)."""
+    start = text.index("## §2")
+    end = text.index("## §3")
+    return text[start:end]
+
 if len(sys.argv) > 1:
     oracle = json.loads(Path(sys.argv[1]).read_text())
     if prose_queries != len(oracle):
@@ -54,6 +60,31 @@ if len(sys.argv) > 1:
         ok = False
     else:
         print(f"OK  catalog queries: {len(oracle)} == prose")
+    # KEY-LEVEL diff (r15, VERDICT r14 #6): counts alone missed a green
+    # catalog query with no §2 row (export_shards). Every catalog key
+    # must appear backticked somewhere in the §2 table; every key named
+    # inside a `pass (...)` correctness cell must exist in the catalog.
+    sec2 = section2(text)
+    backticked = set(re.findall(r"`([a-z0-9_]+)`", sec2))
+    missing_rows = sorted(set(oracle) - backticked)
+    if missing_rows:
+        print(f"FAIL: catalog queries with NO §2 mention: {missing_rows}")
+        ok = False
+    else:
+        print(f"OK  every catalog key appears in §2")
+    pass_cells = re.findall(r"\*?\*?pass\*?\*? \(([^)]*)\)", sec2)
+    claimed = set()
+    for cell in pass_cells:
+        claimed |= set(re.findall(r"`?([a-z0-9_]+)`?", cell.split(" —")[0]
+                                  .split(" -")[0].replace(",", " ")))
+    phantom = sorted(k for k in claimed
+                     if k in backticked and "_" in k and k not in oracle)
+    if phantom:
+        print(f"FAIL: §2 'pass' cells claim keys absent from the catalog: "
+              f"{phantom}")
+        ok = False
+    else:
+        print("OK  no phantom keys in §2 pass cells")
 else:
     print(f"(no oracle_sql.json given; prose claims {prose_queries} "
           f"catalog queries — pass /tmp/verify_out/oracle_sql.json to check)")
