@@ -124,7 +124,29 @@ object Bench {
       s(s.length / 2)
     }
 
+    // The three audited bounded-frame windows (Search.scala rank over a
+    // limit(topK) frame ×2, Sampling.scala rank over the 256-row bucket
+    // frame) are single-partition BY DESIGN and safe at any scale, but
+    // WindowExec logs "No Partition Defined" for each — hundreds of
+    // lines per full run that would bury a REAL unpartitioned-window
+    // regression. Silence exactly that logger here (the plan-audit
+    // gate still fails on any new unpartitioned window over an
+    // unbounded frame — PlanGuardSpec).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
     runOnce("q1_pricing") // warmup: JVM + codegen + parquet footer cache
+    // Untimed kernel warmup (VERDICT r14 #5): the dedup family's
+    // native kernels + corpus-stat memos cost ~6-8 s of JIT/build
+    // once; a single-run driver invocation otherwise books that into
+    // the first timed dedup query (observed 8-10 s driver vs
+    // 1.6-3.5 s steady-state on byte-identical plans). Warm only
+    // queries actually selected; SPARK_GRAFT_BENCH_WARMUP=0 skips
+    // (profiling runs that WANT the cold number).
+    if (sys.env.get("SPARK_GRAFT_BENCH_WARMUP").forall(_ != "0"))
+      Seq("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard")
+        .filter(selected.contains).foreach(runOnce)
     val results = selected.map { n =>
       val times = (1 to runs).map(_ => runOnce(n))
       n -> (if (times.exists(_ < 0)) -1.0 else median(times))

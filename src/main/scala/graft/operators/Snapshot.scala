@@ -1691,6 +1691,77 @@ object Snapshot {
     }
   }
 
+  /**
+   * REPLACE the table's rows AND SCHEMA as ONE versioned commit — the
+   * `REPLACE TABLE … AS SELECT` verb with schema redefinition (the
+   * Delta/Iceberg RTAS contract; [[overwrite]] is the schema-exact
+   * replace). The frame's schema BECOMES the table schema: added
+   * columns simply exist, dropped columns leave the logical schema,
+   * and because every live file is rewritten the column mapping and
+   * retired-name bookkeeping RESET (no old bytes remain to collide
+   * with). History is preserved — time travel across the replace
+   * serves each version under ITS OWN schema, and rollback restores
+   * the pre-replace schema with the pre-replace files.
+   *
+   * The table CONTRACT is still immutable: key and partition-source
+   * columns must survive at their exact types (a contract change is
+   * DROP + CREATE), a CHECK constraint / expectation / z-order key
+   * referencing a dropped column refuses (drop the invariant first —
+   * it must never silently stop being enforced), and stats/bloom/HLL
+   * tracking narrows to the surviving columns. Every commit gate runs
+   * (constraints, expectations, partition validity, guards).
+   */
+  def replaceTable(spark: SparkSession, table: String,
+                   df: DataFrame): CommitStats =
+    withCommitLock(table) {
+      val cur = currentVersion(table)
+      require(cur > 0, s"snapshot $table does not exist")
+      val m = readManifest(table, cur)
+      require(m.schemaDdl.nonEmpty,
+        s"snapshot $table: no manifest schema — pre-schema table cannot replace")
+      val oldSchema = StructType.fromDDL(m.schemaDdl)
+      (m.keys ++ m.partSources).distinct.foreach { c =>
+        require(df.columns.contains(c),
+          s"snapshot replace: frame lacks contract column '$c' (key/" +
+            "partition) — the contract is immutable; redefine via DROP + CREATE")
+        oldSchema.fields.find(_.name == c).foreach(of =>
+          require(df.schema(c).dataType.sql == of.dataType.sql,
+            s"snapshot replace: contract column '$c' changes type " +
+              s"${of.dataType.simpleString} -> ${df.schema(c).dataType.simpleString}"))
+      }
+      val dropped = oldSchema.fieldNames.filterNot(df.columns.contains).toSeq
+      dropped.foreach { c =>
+        evolutionBarred(m, c).filter(why =>
+          // stats/bloom/HLL tracking narrows instead of refusing;
+          // contract columns were already required present above
+          why.contains("CHECK") || why.contains("expectation") ||
+            why.contains("z-order")).foreach(why =>
+          throw new IllegalArgumentException(
+            s"snapshot replace: cannot drop '$c' — $why; drop the " +
+              "invariant first"))
+      }
+      enforceConstraints(df, m.constraints)
+      enforceExpectations(df, m.expects)
+      validatePartitionValues(df, m.partitionCols)
+      val v = cur + 1
+      val statsCols = (m.keys ++ m.statsCols.filterNot(m.keys.contains))
+        .filter(df.columns.contains)
+      val bloomCols = m.bloomCols.filter(df.columns.contains)
+      val hllCols = m.hllCols.filter(df.columns.contains)
+      // columnMap resets: the replace writes every live byte under the
+      // new logical names, so physical == logical again
+      writeCommit(df, table, v, m.partitionCols, m.keys, m.layout)
+      val fresh = commitEntries(spark, table, v, statsCols, bloomCols,
+        m.bloomBits, m.bloomK, hllCols, m.hllP)
+      writeManifestReclaiming(table, m.copy(version = v, parent = cur,
+        op = "replace", partitions = fresh, schemaDdl = df.schema.toDDL,
+        statsCols = statsCols, bloomCols = bloomCols, hllCols = hllCols,
+        columnMap = Map.empty, retiredCols = Nil))
+      CommitStats(v, fresh.keys.toSeq.sorted,
+        m.partitions.keySet.filterNot(fresh.contains).toSeq.sorted,
+        fresh.values.map(_.size).sum)
+    }
+
   private def overwriteLocked(spark: SparkSession, table: String,
                               dfOpt: Option[DataFrame]): CommitStats = {
     val cur = currentVersion(table)

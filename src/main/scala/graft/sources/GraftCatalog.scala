@@ -654,12 +654,32 @@ private[graft] class GraftStagedTable(ident: Identifier, dir: String,
     }
   }
 
+  /** `spark.graft.rtas.strictSchema=true` restores the pre-r15
+    * schema-exact RTAS (refuse any column change) for SQL migrated
+    * against the old deviation. */
+  private def rtasStrict(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.rtas.strictSchema")
+      .exists(_.toBoolean)
+
+  private def sameSchema(spark: SparkSession, s: StructType): Boolean = {
+    val cur = graft.sources.GraftDataSource.logicalSchema(
+      dir, Snapshot.currentVersion(dir))
+    cur.fields.map(f => (f.name, f.dataType.sql)).toSet ==
+      s.fields.map(f => (f.name, f.dataType.sql)).toSet
+  }
+
   override def commitStagedChanges(): Unit = staged match {
     case Some(df) if replace =>
-      // REPLACE TABLE AS SELECT: one versioned overwrite commit —
-      // history preserved, the schema match + every gate enforced
-      // inside the commit
-      Snapshot.overwrite(df.sparkSession, dir, df)
+      // REPLACE TABLE AS SELECT: one versioned commit — history
+      // preserved, every gate enforced inside the commit. A frame
+      // matching the table schema is the plain overwrite (column
+      // mapping and tracking untouched); a DIFFERENT schema
+      // REDEFINES it via the replace commit (the Delta/Iceberg RTAS
+      // contract — r14's documented deviation closed), unless the
+      // strict conf pins the old refusal.
+      if (sameSchema(df.sparkSession, df.schema) || rtasStrict(df.sparkSession))
+        Snapshot.overwrite(df.sparkSession, dir, df)
+      else Snapshot.replaceTable(df.sparkSession, dir, df)
     case Some(df) =>
       store.mkdirs(dir.substring(0, dir.lastIndexOf('/')))
       Snapshot.createMulti(df.sparkSession, dir, df, keys = keys,
@@ -673,18 +693,18 @@ private[graft] class GraftStagedTable(ident: Identifier, dir: String,
       // user's columns would be worse than either honoring or
       // refusing them).
       val spark = SparkSession.active
-      if (tableSchema.nonEmpty) {
-        val cur = graft.sources.GraftDataSource.logicalSchema(
-          dir, Snapshot.currentVersion(dir))
-        val want = tableSchema.fields.map(f => f.name -> f.dataType.sql).toSet
-        val have = cur.fields.map(f => f.name -> f.dataType.sql).toSet
-        require(want == have,
+      if (tableSchema.nonEmpty && !sameSchema(spark, tableSchema)) {
+        require(!rtasStrict(spark),
           s"graft catalog: REPLACE TABLE $ident declares a column list " +
-            "that differs from the table's schema — overwrite replaces " +
-            "STATE, not schema (evolve via ALTER TABLE, or redefine via " +
-            "DROP TABLE ... PURGE + CREATE)")
-      }
-      Snapshot.truncate(spark, dir)
+            "that differs from the table's schema and " +
+            "spark.graft.rtas.strictSchema is set — evolve via ALTER " +
+            "TABLE, or redefine via DROP TABLE ... PURGE + CREATE")
+        // declared column list redefines the schema: the replace
+        // commit with an empty frame of the NEW schema (truncate +
+        // evolve as one version)
+        Snapshot.replaceTable(spark, dir, spark.createDataFrame(
+          Collections.emptyList[org.apache.spark.sql.Row](), tableSchema))
+      } else Snapshot.truncate(spark, dir)
     case None =>
       // plain CREATE OR REPLACE on a MISSING table (no AS SELECT):
       // mirror plain CREATE's empty v1

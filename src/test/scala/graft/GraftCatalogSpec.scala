@@ -120,6 +120,60 @@ class GraftCatalogSpec extends SparkSpecBase {
       spark.table("gtest.corpus.rt3").count() == 0L)
   }
 
+  test("RTAS redefines schema as ONE replace commit: time travel serves each version's own schema; strict conf restores the refusal") {
+    val _ = rootDir
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.corpus")
+    seedFrame.createOrReplaceTempView("rte_seed")
+    spark.sql("CREATE TABLE gtest.corpus.rte USING graft " +
+      "TBLPROPERTIES ('key'='id','partitionCol'='part') " +
+      "AS SELECT * FROM rte_seed")
+    val dir = s"$rootDir/corpus/rte"
+    // RTAS dropping `payload` and adding `score`: one versioned
+    // replace commit, the new schema becomes the table's
+    spark.sql("REPLACE TABLE gtest.corpus.rte USING graft " +
+      "AS SELECT id, part, CAST(id * 1.5 AS DOUBLE) AS score FROM rte_seed")
+    assert(Snapshot.currentVersion(dir) == 2 &&
+      Snapshot.history(dir).last._2 == "replace")
+    assert(spark.table("gtest.corpus.rte").columns.toSet ==
+      Set("id", "part", "score"))
+    // time travel ACROSS the replace serves the OLD schema verbatim
+    val v1 = Snapshot.readAt(spark, dir, 1)
+    assert(v1.columns.toSet == Set("id", "payload", "part"))
+    assert(rowsOf(v1) == rowsOf(seedFrame))
+    // rollback restores the pre-replace schema with its files
+    Snapshot.rollback(spark, dir, 1)
+    assert(spark.table("gtest.corpus.rte").columns.toSet ==
+      Set("id", "payload", "part"))
+    // forward again: merges keep working against the redefined schema
+    Snapshot.rollback(spark, dir, 2)
+    Snapshot.merge(spark, dir,
+      Seq((500L, "p0", 9.5)).toDF("id", "part", "score"),
+      Seq.empty[Long].toDF("id"))
+    assert(spark.table("gtest.corpus.rte")
+      .filter($"id" === 500L).count() == 1)
+    // a dropped column referenced by a CHECK refuses with the version
+    // untouched; dropping the check first unblocks
+    Snapshot.addCheck(spark, dir, "score_pos", "score >= 0")
+    val vBefore = Snapshot.currentVersion(dir)
+    val e = intercept[Exception] {
+      spark.sql("REPLACE TABLE gtest.corpus.rte USING graft " +
+        "AS SELECT id, part FROM rte_seed")
+    }
+    assert(e.getMessage.contains("CHECK"))
+    assert(Snapshot.currentVersion(dir) == vBefore)
+    // the strict conf pins the pre-r15 schema-exact behavior
+    spark.conf.set("spark.graft.rtas.strictSchema", "true")
+    try {
+      val e2 = intercept[Exception] {
+        spark.sql("REPLACE TABLE gtest.corpus.rte USING graft " +
+          "AS SELECT id, part, score, 'x' AS extra FROM gtest.corpus.rte")
+      }
+      assert(e2.getMessage.contains("overwrite") ||
+        e2.getMessage.contains("strict"))
+    } finally spark.conf.unset("spark.graft.rtas.strictSchema")
+    spark.sql("DROP TABLE gtest.corpus.rte PURGE")
+  }
+
   test("plain CREATE TABLE commits v1 empty; INSERT/UPDATE/DELETE ride the transactional verbs by name") {
     val _ = rootDir
     spark.sql("CREATE NAMESPACE IF NOT EXISTS gtest.corpus")
