@@ -112,6 +112,67 @@ object ManifestBench {
       f""""prune_s":$pruneWall%.4f}"""
   }
 
+  /** PARTITION-COUNT axis (r15, VERDICT r14 #3): segmentation bounded
+    * the ENTRY payload per commit, but the manifest's segment LIST —
+    * one `{seg, n}` node per partition — still rewrites wholly each
+    * commit, O(partitions). Synthetic segmented manifests at many
+    * partitions × small segments (2 files/partition, the
+    * high-partition-count shape: a days(ts)-partitioned table at 3
+    * years × hourly, a (date, region) composite): per row the
+    * touch-one commit wall, the LIST's own bytes (`v*.json` — exactly
+    * the per-commit rewrite mass), cold parse (N segment resolves),
+    * memo re-read and a partition-prune fold. */
+  private def runParts(nParts: Int, bloomBytes: Int): String = {
+    sys.props("graft.manifest.segmentThreshold") = "512"
+    val t = s"${System.getProperty("java.io.tmpdir")}/graft_manifestbench_parts_$nParts"
+    rm(t)
+    val st = LogStore.forPath(t)
+    val rnd = new java.util.Random(42)
+    val filesPerPart = 2
+    val parts = (0 until nParts).map { p =>
+      val entries = (0 until filesPerPart).map { j =>
+        val lo = (p.toLong * filesPerPart + j) * 1000
+        val bloom = new Array[Byte](bloomBytes)
+        rnd.nextBytes(bloom)
+        Snapshot.FileEntry(
+          f"files/c00000001/__part=p$p%06d/part-$j%05d.parquet",
+          rows = 1000,
+          stats = Map("id" -> Snapshot.ColStats("num", Some(lo.toString),
+            Some((lo + 999).toString), 0, Some((lo * 1000).toString))),
+          blooms = Map("id" -> bloom),
+          bytes = 64L << 20)
+      }
+      f"p$p%06d" -> entries.toSeq
+    }.toMap
+    val m1 = Snapshot.Manifest(1, 0, "create", Seq("id"), Seq("part"),
+      Seq("id"), parts, schemaDdl = "id BIGINT,part STRING",
+      bloomCols = Seq("id"), bloomBits = bloomBytes * 8)
+    val (_, commitFull) = timed(Snapshot.writeManifest(t, m1))
+    Snapshot.clearManifestCache()
+    val parsed = Snapshot.readManifest(t, 1)
+    val touchedKey = parsed.partitions.keys.min
+    val touched = parsed.partitions(touchedKey)
+      .map(e => e.copy(path = e.path.replace("/c00000001/", "/c00000002/")))
+    val m2 = parsed.copy(version = 2, parent = 1,
+      op = "merge", partitions = parsed.partitions + (touchedKey -> touched))
+    val bytesBefore = st.sizeTree(s"$t/_log")
+    val (_, commitTouch1) = timed(Snapshot.writeManifest(t, m2))
+    val bytesTouch1 = st.sizeTree(s"$t/_log") - bytesBefore
+    val listBytes = st.size(s"$t/_log/v00000002.json")
+    Snapshot.clearManifestCache()
+    val (_, parseCold) = timed(Snapshot.readManifest(t, 2))
+    val (_, readMemo) = timed(Snapshot.readManifest(t, 2))
+    val (_, pruneWall) = timed(
+      Snapshot.pruneRange(t, "part", f"p${nParts / 2}%06d",
+        f"p${nParts / 2 + 10}%06d", 2))
+    rm(t)
+    f"""{"partitions":$nParts,"files_per_part":$filesPerPart,""" +
+      f""""mode":"seg","commit_full_s":$commitFull%.4f,""" +
+      f""""commit_touch1_s":$commitTouch1%.4f,"bytes_touch1":$bytesTouch1,""" +
+      f""""list_bytes":$listBytes,"parse_cold_s":$parseCold%.4f,""" +
+      f""""read_memo_s":$readMemo%.6f,"prune_s":$pruneWall%.4f}"""
+  }
+
   /** REAL-table anchor: ~1k actual parquet files, DSv2 planning wall
     * cold (parse + prune + stats) vs memoized — the per-query
     * planning overhead a BI session pays. */
@@ -151,6 +212,13 @@ object ManifestBench {
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     for (n <- scales; mode <- Seq("inline", "seg")) {
       val line = run(n, mode, bloomBytes)
+      println(line)
+      lines += line
+    }
+    // the r15 partition-count axis: 128-byte blooms keep 100k × 2
+    // entries in heap; the LIST cost under measurement is bloom-free
+    for (p <- Seq(1000, 10000, 100000)) {
+      val line = runParts(p, bloomBytes = 128)
       println(line)
       lines += line
     }

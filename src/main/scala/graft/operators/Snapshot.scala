@@ -128,6 +128,19 @@ object Snapshot {
     * and zero IO. */
   final case class Segment(path: String, entries: Seq[FileEntry])
 
+  /** A LIST-SHARD provenance record (the r15 high-partition-count
+    * bound): past [[listShardThreshold]] partitions the manifest's
+    * per-partition `{seg, n}` list — which would otherwise rewrite
+    * wholly each commit, O(partitions) — splits into hash-bucketed
+    * immutable `_log/seg/ls-*` shard files; the manifest holds one
+    * node per SHARD (O(√partitions) with the bucket sizing below).
+    * `content` maps each partition in the bucket to its (segment
+    * path, entry count); a commit reuses the parent's shard by
+    * reference when the bucket's content is unchanged, so a
+    * touch-one-partition commit writes one segment + one shard + a
+    * shard list, never the partition list. */
+  final case class ListShard(path: String, content: Map[String, (String, Int)])
+
   /** One column of a (possibly composite) PARTITION SPEC. Identity is
     * the classic value-per-directory layout; `days(ts)` and
     * `bucket(n, c)` are HIDDEN partitioning (the Iceberg transform
@@ -243,7 +256,13 @@ object Snapshot {
                             // bookkeeping only, populated by
                             // readManifest on segmented manifests;
                             // never part of the logical table state
-                            segRefs: Map[String, Segment] = Map.empty) {
+                            segRefs: Map[String, Segment] = Map.empty,
+                            // LIST-SHARD provenance (bucket index →
+                            // shard file + content) + the bucket
+                            // count it was sharded under — same
+                            // carry-forward-only role as segRefs
+                            listShards: Map[Int, ListShard] = Map.empty,
+                            shardBuckets: Int = 0) {
     /** Physical name a logical column's bytes live under. */
     def phys(logical: String): String = columnMap.getOrElse(logical, logical)
     /** The parsed partition spec. */
@@ -424,13 +443,17 @@ object Snapshot {
     // writer's segments are orphans vacuum reclaims.
     val totalEntries = m.partitions.valuesIterator.map(_.size).sum
     val segmented = totalEntries > segmentThreshold
-    val parts = root.putObject("partitions")
-    m.partitions.toSeq.sortBy(_._1).foreach { case (p, files) =>
-      if (!segmented) writeEntryArray(parts.putArray(p), files)
-      else {
+    if (!segmented) {
+      val parts = root.putObject("partitions")
+      m.partitions.toSeq.sortBy(_._1).foreach { case (p, files) =>
+        writeEntryArray(parts.putArray(p), files) }
+    } else {
+      // per-partition segment refs: reuse the parent's segment when
+      // the partition carries forward unchanged, else write a fresh one
+      def segRefOf(p: String, files: Seq[FileEntry]): String = {
         val reuse = m.segRefs.get(p).filter(r =>
           (files eq r.entries) || entriesIdentical(files, r.entries))
-        val rel = reuse.map(_.path).getOrElse {
+        reuse.map(_.path).getOrElse {
           val arr = mapper.createArrayNode()
           writeEntryArray(arr, files)
           val name = f"seg/v${m.version}%08d-${p.hashCode & 0xffffff}%06x-" +
@@ -440,9 +463,54 @@ object Snapshot {
             mapper.writer().writeValueAsBytes(arr))
           name
         }
-        val on = parts.putObject(p)
-        on.put("seg", rel)
-        on.put("n", files.size)
+      }
+      val refs = m.partitions.toSeq.sortBy(_._1).map { case (p, files) =>
+        (p, segRefOf(p, files), files.size) }
+      if (refs.size <= listShardThreshold) {
+        // the r14 shape: one {seg, n} node per partition, inline
+        val parts = root.putObject("partitions")
+        refs.foreach { case (p, rel, n) =>
+          val on = parts.putObject(p)
+          on.put("seg", rel)
+          on.put("n", n)
+        }
+      } else {
+        // r15 SHARDED LIST: past the threshold even the segment LIST
+        // is O(partitions) per commit (measured: 9.1 MB rewritten to
+        // touch one of 100k partitions — the list was 100% of the
+        // write). Hash-bucket the partitions into ~√-scaled immutable
+        // `ls-*` shard files; a commit rewrites only buckets whose
+        // content changed + this O(buckets) root list. Bucket count
+        // derives from the partition count (a power of two), so it
+        // only moves — forcing a one-commit full shard rewrite — when
+        // the table crosses a doubling boundary.
+        val b = shardBucketCount(refs.size)
+        val sh = root.putObject("partition_shards")
+        sh.put("n_buckets", b)
+        val arr = sh.putArray("shards")
+        refs.groupBy(t => shardBucket(t._1, b)).toSeq.sortBy(_._1)
+          .foreach { case (bi, ps) =>
+            val content = ps.map { case (p, rel, n) => p -> (rel, n) }.toMap
+            val reuse = (if (m.shardBuckets == b) m.listShards.get(bi)
+                         else None).filter(_.content == content)
+            val rel = reuse.map(_.path).getOrElse {
+              val on = mapper.createObjectNode()
+              ps.sortBy(_._1).foreach { case (p, r, n) =>
+                val pn = on.putObject(p)
+                pn.put("seg", r)
+                pn.put("n", n)
+              }
+              val name = f"seg/ls-v${m.version}%08d-$bi%04x-" +
+                java.util.UUID.randomUUID().toString.take(8) + ".json"
+              st.mkdirs(s"${logDir(table)}/seg")
+              st.putIfAbsent(s"${logDir(table)}/$name",
+                mapper.writer().writeValueAsBytes(on))
+              name
+            }
+            val node = arr.addObject()
+            node.put("bucket", bi)
+            node.put("path", rel)
+          }
       }
     }
     // the store's atomic publish IS the commit point: the manifest
@@ -461,6 +529,25 @@ object Snapshot {
   private def segmentThreshold: Int =
     sys.props.get("graft.manifest.segmentThreshold").map(_.toInt)
       .getOrElse(512)
+
+  /** Partition count past which the segment LIST shards (tunable via
+    * `graft.manifest.listShardThreshold`). */
+  private def listShardThreshold: Int =
+    sys.props.get("graft.manifest.listShardThreshold").map(_.toInt)
+      .getOrElse(1024)
+
+  /** Shard bucket count for `n` partitions: the power of two nearest
+    * n/512 — ~512 partitions per shard, so both the root list (one
+    * node per shard) and a shard stay small as the table grows. */
+  private def shardBucketCount(n: Int): Int = {
+    val want = math.max(2, n / 512)
+    Integer.highestOneBit(want - 1) * 2
+  }
+
+  /** A partition's shard bucket — String.hashCode is JVM-spec-pinned,
+    * so the assignment is stable across writers. */
+  private def shardBucket(p: String, b: Int): Int =
+    (p.hashCode & 0x7fffffff) % b
 
   private def writeEntryArray(arr: ArrayNode, files: Seq[FileEntry]): Unit = {
     val b64 = java.util.Base64.getEncoder
@@ -623,26 +710,52 @@ object Snapshot {
     // inline partitions are arrays; a segmented partition is an
     // object {seg, n} naming its _log-relative segment file — read
     // and record the ref so a later commit can carry it forward.
-    // Segment files resolve in PARALLEL (common pool): a large
-    // table's cold parse is one small list + N independent segment
-    // fetches, and on an object store N SEQUENTIAL round-trips would
-    // dominate the parse (1000 segments × ~100 ms RTT ≈ 100 s serial
-    // vs a few seconds fanned out). Jackson's mapper and both
-    // LogStores are thread-safe; results land in a concurrent map.
-    val props = root.get("partitions").properties().asScala.toVector
-    val segProps = props.filterNot(_.getValue.isArray)
+    // Past the list-shard threshold the per-partition nodes live in
+    // `ls-*` SHARD files named by `partition_shards` (r15): shards
+    // resolve first, then every segment. Both fan out in PARALLEL
+    // (common pool): a large table's cold parse is one small root +
+    // B shard fetches + N independent segment fetches, and on an
+    // object store N SEQUENTIAL round-trips would dominate the parse
+    // (1000 segments × ~100 ms RTT ≈ 100 s serial vs a few seconds
+    // fanned out). Jackson's mapper and both LogStores are
+    // thread-safe; results land in concurrent maps.
+    val shardNode = Option(root.get("partition_shards"))
+    val shardResolved = new java.util.concurrent.ConcurrentHashMap[Int, ListShard]()
+    val shardBuckets = shardNode.map(_.get("n_buckets").asInt()).getOrElse(0)
+    shardNode.foreach { sn =>
+      sn.get("shards").elements().asScala.toVector.asJava.parallelStream()
+        .forEach { n =>
+          val rel = n.get("path").asText()
+          val on = mapper.readTree(st.read(s"${logDir(table)}/$rel"))
+          val content = on.properties().asScala.map(e =>
+            e.getKey -> (e.getValue.get("seg").asText(),
+              e.getValue.get("n").asInt())).toMap
+          shardResolved.put(n.get("bucket").asInt(), ListShard(rel, content))
+        }
+    }
+    val listShards = shardResolved.asScala.toMap
+    val props = Option(root.get("partitions"))
+      .map(_.properties().asScala.toVector).getOrElse(Vector.empty)
+    // (partition, segment rel) pairs from both shapes
+    val segPairs: Vector[(String, String)] =
+      props.filterNot(_.getValue.isArray)
+        .map(e => e.getKey -> e.getValue.get("seg").asText()) ++
+        listShards.valuesIterator.flatMap(_.content.iterator.map {
+          case (p, (rel, _)) => p -> rel }).toVector
     val segResolved = new java.util.concurrent.ConcurrentHashMap[String, Segment]()
-    if (segProps.nonEmpty)
-      segProps.asJava.parallelStream().forEach { e =>
-        val rel = e.getValue.get("seg").asText()
+    if (segPairs.nonEmpty)
+      segPairs.asJava.parallelStream().forEach { case (p, rel) =>
         val entries = parseEntries(
           mapper.readTree(st.read(s"${logDir(table)}/$rel")))
-        segResolved.put(e.getKey, Segment(rel, entries))
+        segResolved.put(p, Segment(rel, entries))
       }
-    val parts = props.map { e =>
+    val parts = (props.map { e =>
       if (e.getValue.isArray) e.getKey -> parseEntries(e.getValue)
       else e.getKey -> segResolved.get(e.getKey).entries
-    }.toMap
+    } ++ segPairs.collect {
+      case (p, _) if !props.exists(_.getKey == p) =>
+        p -> segResolved.get(p).entries
+    }).toMap
     val segRefs = segResolved.asScala.toMap
     val layout = Option(root.get("layout")).map(l =>
       Layout(l.get("file_ranges").asInt(), l.get("mode").asText(),
@@ -679,7 +792,7 @@ object Snapshot {
         .getOrElse(Map.empty),
       Option(root.get("retired_cols")).map(_.elements().asScala
         .map(_.asText()).toSeq).getOrElse(Nil),
-      segRefs)
+      segRefs, listShards, shardBuckets)
   }
 
   /** (version, op, parent, partitions, files, rows) per retained
@@ -2226,7 +2339,9 @@ object Snapshot {
       // metadata companion of the data-file sweep above
       val segDir = s"${logDir(table)}/seg"
       if (st.isDirectory(segDir)) {
-        val segReferenced = retainedMs.flatMap(_.segRefs.values.map(_.path)).toSet
+        val segReferenced =
+          retainedMs.flatMap(m => m.segRefs.values.map(_.path) ++
+            m.listShards.values.map(_.path)).toSet
         st.list(segDir).foreach {
           case (n, false) if !segReferenced.contains(s"seg/$n") =>
             val sz = st.size(s"$segDir/$n")
@@ -2494,6 +2609,7 @@ object Snapshot {
     }
     retained.flatMap(v => readable.get(v).map(v -> _)).foreach { case (v, m) =>
       segReferenced ++= m.segRefs.values.map(_.path)
+      segReferenced ++= m.listShards.values.map(_.path)
       m.files.foreach { f =>
         referenced += f.path
         if (!st.exists(s"$table/${f.path}"))

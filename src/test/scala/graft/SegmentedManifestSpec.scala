@@ -259,4 +259,81 @@ class SegmentedManifestSpec extends SparkSpecBase {
     assert(segMap(t, 1).values.forall(_.isEmpty))
     assert(segFiles(t).isEmpty)
   }
+
+  private def withShardThreshold[A](n: Int)(body: => A): A = {
+    val k = "graft.manifest.listShardThreshold"
+    val old = sys.props.get(k)
+    sys.props(k) = n.toString
+    try body finally old match {
+      case Some(v) => sys.props(k) = v
+      case None => sys.props -= k
+    }
+  }
+
+  /** The raw manifest's shard list: bucket → shard path (empty when
+    * the list is not sharded). */
+  private def shardMap(t: String, v: Int): Map[Int, String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(
+      LogStore.forPath(t).read(f"$t%s/_log/v$v%08d.json"))
+    Option(root.get("partition_shards")).map(_.get("shards")
+        .elements().asScala.map(n =>
+          n.get("bucket").asInt() -> n.get("path").asText()).toMap)
+      .getOrElse(Map.empty)
+  }
+
+  test("sharded segment LIST (r15): past the partition threshold the per-partition list moves to hash-bucketed shard files; a touch-one commit reuses every other shard VERBATIM; reads/DML/vacuum/fsck identical") {
+    withThreshold(2) { withShardThreshold(8) {
+      val t = fresh("shard")
+      // 24 partitions × ~2 rows: > both thresholds
+      val df = (0 until 48).map(i => (i.toLong, s"pay_$i", s"q${i % 24}"))
+        .toDF("id", "payload", "part")
+      Snapshot.create(spark, t, df, "id", "part", statsCols = Seq("id"))
+      val sh1 = shardMap(t, 1)
+      assert(sh1.nonEmpty, "24 partitions > threshold 8 must shard the list")
+      assert(rowsOf(Snapshot.readLatest(spark, t)) == rowsOf(df))
+      // the manifest root must NOT carry a per-partition list
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root1 = mapper.readTree(
+        LogStore.forPath(t).read(s"$t/_log/v00000001.json"))
+      assert(root1.get("partitions") == null)
+
+      // touch ONE partition: every shard not containing it reuses BY
+      // REFERENCE (same path string); exactly the containing shard
+      // (plus its segment) writes fresh
+      Snapshot.merge(spark, t,
+        upserts = Seq((1L, "pay_1v2", "q1")).toDF("id", "payload", "part"),
+        deleteKeys = spark.range(0, 0).selectExpr("id"))
+      val sh2 = shardMap(t, 2)
+      val changed = sh2.keySet.filter(b => sh1.get(b) != sh2.get(b))
+      assert(changed.size == 1,
+        s"one partition touched -> one shard rewritten, got $changed")
+      assert(rowsOf(Snapshot.readLatest(spark, t)) ==
+        rowsOf(df.filter($"id" =!= 1L)) + ((1L, "pay_1v2", "q1")))
+      // time travel across the sharded boundary
+      assert(rowsOf(Snapshot.readAt(spark, t, 1)) == rowsOf(df))
+
+      // predicate DML + MoR still serve identically under sharding
+      Snapshot.deleteWhere(spark, t, Seq(("part", "q3", "q3")))
+      assert(Snapshot.readLatest(spark, t)
+        .filter($"part" === "q3").count() == 0)
+      Snapshot.deleteWhereMor(spark, t, Seq(("id", 10L, 10L)))
+      assert(Snapshot.readLatest(spark, t)
+        .filter($"id" === 10L).count() == 0)
+
+      // fsck: clean (shard files are referenced metadata, not orphans)
+      assert(Snapshot.fsck(spark, t).isEmpty)
+
+      // vacuum: shards referenced only by expired versions reclaim;
+      // live shards survive
+      val before = segFiles(t).count(_.startsWith("ls-"))
+      Snapshot.vacuum(spark, t, retainLast = 1)
+      val after = segFiles(t).count(_.startsWith("ls-"))
+      assert(after < before, "expired versions' exclusive shards reclaim")
+      assert(Snapshot.fsck(spark, t).isEmpty)
+      assert(rowsOf(Snapshot.readLatest(spark, t)) ==
+        rowsOf(df.filter($"id" =!= 1L && $"part" =!= "q3" && $"id" =!= 10L))
+          + ((1L, "pay_1v2", "q1")))
+    } }
+  }
 }
