@@ -262,7 +262,13 @@ object Snapshot {
                             // count it was sharded under — same
                             // carry-forward-only role as segRefs
                             listShards: Map[Int, ListShard] = Map.empty,
-                            shardBuckets: Int = 0) {
+                            shardBuckets: Int = 0,
+                            // this COMMIT's delivered-key hull (see
+                            // [[KeyBounds]]); None = unknown — every
+                            // commit site sets it explicitly, since a
+                            // m.copy inheriting the parent's would
+                            // claim bounds the child never honored
+                            delivery: Option[KeyBounds] = None) {
     /** Physical name a logical column's bytes live under. */
     def phys(logical: String): String = columnMap.getOrElse(logical, logical)
     /** The parsed partition spec. */
@@ -427,6 +433,19 @@ object Snapshot {
     if (m.retiredCols.nonEmpty) {
       val rc = root.putArray("retired_cols")
       m.retiredCols.foreach(rc.add)
+    }
+    m.delivery.foreach { kb =>
+      val dn = root.putObject("delivery_bounds")
+      if (!kb.empty)
+        kb.bounds.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+          val cn = dn.putObject(c)
+          cn.put("kind", cs.kind)
+          cs.min.foreach(v => cn.put("min", v))
+          cs.max.foreach(v => cn.put("max", v))
+        }
+      // empty flag renders as the EMPTY object: "this commit delivered
+      // nothing that can conflict" — distinct from the field being
+      // absent (unknown)
     }
     val st = store(table)
     st.mkdirs(logDir(table))
@@ -792,7 +811,16 @@ object Snapshot {
         .getOrElse(Map.empty),
       Option(root.get("retired_cols")).map(_.elements().asScala
         .map(_.asText()).toSeq).getOrElse(Nil),
-      segRefs, listShards, shardBuckets)
+      segRefs, listShards, shardBuckets,
+      Option(root.get("delivery_bounds")).map { dn =>
+        val bounds = dn.properties().asScala.map { e =>
+          val v = e.getValue
+          e.getKey -> ColStats(v.get("kind").asText(),
+            Option(v.get("min")).map(_.asText()),
+            Option(v.get("max")).map(_.asText()), 0L)
+        }.toMap
+        KeyBounds(bounds.isEmpty, bounds)
+      })
   }
 
   /** (version, op, parent, partitions, files, rows) per retained
@@ -1178,7 +1206,8 @@ object Snapshot {
   private final case class MergePlan(affected: Seq[String],
                                      merged: Option[DataFrame],
                                      newDdl: String, caches: Seq[DataFrame],
-                                     newMap: Map[String, String])
+                                     newMap: Map[String, String],
+                                     delivery: Option[KeyBounds])
 
   private def planMerge(spark: SparkSession, table: String, m: Manifest,
                         upserts: DataFrame, deleteKeys: DataFrame): MergePlan = {
@@ -1247,6 +1276,30 @@ object Snapshot {
     val incoming = ups.select(partValueCol(m.partitionCols).as("p"))
     val affected = resident.unionByName(incoming).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
+    // this commit's DELIVERY hull ([[KeyBounds]]): one small agg over
+    // the cached delivered-key frame, recorded in the manifest so a
+    // later optimistic rebase can disprove overlap without a scan.
+    // Only for deterministic source plans; never fatal.
+    val delivery: Option[KeyBounds] = try {
+      val nonDet = Seq(upserts, deleteKeys).exists(df =>
+        df.queryExecution.analyzed.exists(_.expressions.exists(!_.deterministic)))
+      val kinds = keys.map(k => statKind(ups.schema(k).dataType))
+      if (nonDet || kinds.exists(_.isEmpty)) None
+      else {
+        val aggs = keys.flatMap(k => Seq(
+          min(col(k)).cast("string"), max(col(k)).cast("string")))
+        val row = allKeys.agg(aggs.head, aggs.tail: _*).head()
+        // a NULL hull side means the column holds no non-null values:
+        // no delivered tuple can match on full-key equality
+        val anyAllNull = keys.indices.exists(i => row.isNullAt(2 * i))
+        if (anyAllNull) Some(KeyBounds(empty = true, Map.empty))
+        else Some(KeyBounds(empty = false,
+          keys.zipWithIndex.map { case (k, i) =>
+            k -> ColStats(kinds(i).get, Some(row.getString(2 * i)),
+              Some(row.getString(2 * i + 1)), 0L)
+          }.toMap))
+      }
+    } catch { case _: Exception => None }
     val newDdl =
       if (added.isEmpty) m.schemaDdl
       else StructType((if (m.schemaDdl.nonEmpty)
@@ -1285,7 +1338,8 @@ object Snapshot {
           .unionByName(ups.select(newCols.map(col): _*),
             allowMissingColumns = true))
       }
-    MergePlan(affected, merged, newDdl, Seq(ups, dels, allKeys), newMap)
+    MergePlan(affected, merged, newDdl, Seq(ups, dels, allKeys), newMap,
+      delivery)
   }
 
   def merge(spark: SparkSession, table: String, upserts: DataFrame,
@@ -1298,7 +1352,8 @@ object Snapshot {
       val v = cur + 1
       val out = plan.merged match {
         case None => // no-op merge still commits (audit trail)
-          writeManifest(table, m.copy(version = v, parent = cur, op = op))
+          writeManifest(table, m.copy(version = v, parent = cur, op = op,
+            delivery = plan.delivery))
           CommitStats(v, Nil, Nil, 0)
         case Some(merged) =>
           writeCommit(merged, table, v, m.partitionCols, m.keys, m.layout,
@@ -1309,7 +1364,7 @@ object Snapshot {
           val dropped = plan.affected.filterNot(fresh.contains) // emptied
           writeManifestReclaiming(table, m.copy(version = v, parent = cur, op = op,
             partitions = kept ++ fresh, schemaDdl = plan.newDdl,
-            columnMap = plan.newMap))
+            columnMap = plan.newMap, delivery = plan.delivery))
           CommitStats(v, fresh.keys.toSeq.sorted, dropped,
             fresh.values.map(_.size).sum)
       }
@@ -1319,6 +1374,29 @@ object Snapshot {
 
   // ------------------------------------------- optimistic concurrency
 
+  /** A commit's DELIVERY BOUNDS: the hull, per key column, of the
+    * keys the commit actually DELIVERED (upserts ∪ deletes) — NOT of
+    * the files it wrote, whose copy-on-write survivors span the whole
+    * partition's range and would disprove nothing. `empty` = the
+    * commit delivered no conflictable keys (layout/metadata commits,
+    * no-op merges, deliveries whose every row is NULL in some key
+    * component — a NULL component never equals anything).
+    *
+    * Recorded in the manifest (`delivery_bounds`) by every merge and
+    * by the non-delivering commit kinds; ABSENT (= unknown) for
+    * commits that can move arbitrary keys (overwrite/replace/
+    * rollback) and for legacy manifests. [[commitStaged]]'s rebase
+    * walks the INTERVENING commits' recorded deliveries against the
+    * stage's own: all provably disjoint (or non-delivering) → no
+    * staged key can have moved → the key-overlap Spark probe —
+    * seconds of job latency UNDER THE COMMIT LOCK (measured in
+    * `dev.ConcurrencyBench`) — is skipped and the rebase is pure
+    * driver-side metadata. Bounds are computed only from
+    * DETERMINISTIC source plans (a re-executed non-deterministic
+    * frame could under-report its range and skip a probe that would
+    * have found a conflict). */
+  final case class KeyBounds(empty: Boolean, bounds: Map[String, ColStats])
+
   /** A merge computed and written WITHOUT the commit lock — the
     * expensive phase of an optimistic commit. [[commitStaged]]
     * publishes it; [[abort]] discards it. */
@@ -1326,7 +1404,8 @@ object Snapshot {
       table: String, readVersion: Int, stagingName: Option[String],
       subEntries: Map[String, Seq[FileEntry]], affected: Seq[String],
       newDdl: String, upserts: DataFrame, deleteKeys: DataFrame,
-      newMap: Map[String, String] = Map.empty) {
+      newMap: Map[String, String] = Map.empty,
+      private[operators] val keyBounds: Option[KeyBounds] = None) {
     /** Delete the staged files without committing (conflict cleanup). */
     def abort(): Unit = stagingName.foreach { n =>
       LogStore.forPath(table).deleteTree(s"$table/files/$n")
@@ -1353,7 +1432,7 @@ object Snapshot {
     val out = plan.merged match {
       case None =>
         StagedMerge(table, cur, None, Map.empty, Nil, plan.newDdl,
-          upserts, deleteKeys, plan.newMap)
+          upserts, deleteKeys, plan.newMap, plan.delivery)
       case Some(merged) =>
         val name = "_staging-" + java.util.UUID.randomUUID().toString.take(13)
         writeArranged(merged, s"$table/files/$name", m.partitionCols,
@@ -1361,7 +1440,7 @@ object Snapshot {
         val sub = entriesOf(spark, s"$table/files/$name", s"/$name/",
           m.statsCols, m.bloomCols, m.bloomBits, m.bloomK, m.hllCols, m.hllP)
         StagedMerge(table, cur, Some(name), sub, plan.affected, plan.newDdl,
-          upserts, deleteKeys, plan.newMap)
+          upserts, deleteKeys, plan.newMap, plan.delivery)
     }
     plan.caches.foreach(OpCache.unpersistEager)
     out
@@ -1426,21 +1505,61 @@ object Snapshot {
         val basePaths = mB.files.map(_.path).toSet
         val newFiles = mC.files.filterNot(f => basePaths.contains(f.path))
         if (newFiles.nonEmpty) {
-          val stagedKeys = staged.upserts.select(mC.keys.map(col): _*)
-            .unionByName(staged.deleteKeys.select(mC.keys.map(col): _*))
-            .distinct()
-          val moved = readManifestFiles(spark, table, mC, newFiles)
-            .select(mC.keys.map(col): _*)
-            .join(stagedKeys, mC.keys, "left_semi")
-            .limit(1).count()
-          if (moved > 0)
-            conflict("a concurrent commit wrote row(s) for the same key(s)")
+          // REBASE FAST PATH: the probe below is a Spark job UNDER THE
+          // COMMIT LOCK (measured 1-2 s in dev.ConcurrencyBench — it
+          // made 16 disjoint writers serialize on seconds each). A
+          // staged key can only have MOVED if some intervening commit
+          // DELIVERED it (copy-on-write survivors stay put; deletes/
+          // updates of staged keys hit the partition-overlap check
+          // above) — so walk the intervening commits' recorded
+          // delivery_bounds against this stage's own: every one
+          // provably disjoint (or non-delivering) → skip the probe,
+          // the rebase is pure driver-side metadata. Unknown bounds
+          // (legacy commits, overwrite/rollback, non-deterministic
+          // sources) or intersecting ranges fall through to the exact
+          // probe. File-hull disproof would NOT work here: a rewritten
+          // partition's file stats span its survivors' whole range.
+          val mightOverlap = staged.keyBounds match {
+            case Some(kb) if kb.empty => false
+            case Some(kb) if kb.bounds.nonEmpty =>
+              ((staged.readVersion + 1) to curNow).exists { iv =>
+                if (!store(table).exists(manifestPath(table, iv))) true
+                else readManifest(table, iv).delivery match {
+                  case Some(d) if d.empty => false
+                  case Some(d) if d.bounds.nonEmpty =>
+                    // potential overlap iff ranges intersect on EVERY
+                    // key column (a composite tuple needs all)
+                    mC.keys.forall { kc =>
+                      (kb.bounds.get(kc), d.bounds.get(kc)) match {
+                        case (Some(a), Some(b))
+                          if a.min.isDefined && a.max.isDefined =>
+                          admits(b, a.min.get, a.max.get)
+                        case _ => true // unknown column: can't disprove
+                      }
+                    }
+                  case _ => true
+                }
+              }
+            case _ => true
+          }
+          if (mightOverlap) {
+            val stagedKeys = staged.upserts.select(mC.keys.map(col): _*)
+              .unionByName(staged.deleteKeys.select(mC.keys.map(col): _*))
+              .distinct()
+            val moved = readManifestFiles(spark, table, mC, newFiles)
+              .select(mC.keys.map(col): _*)
+              .join(stagedKeys, mC.keys, "left_semi")
+              .limit(1).count()
+            if (moved > 0)
+              conflict("a concurrent commit wrote row(s) for the same key(s)")
+          }
         }
       }
       val v = curNow + 1
       staged.stagingName match {
         case None =>
-          writeManifest(table, mC.copy(version = v, parent = curNow, op = "merge"))
+          writeManifest(table, mC.copy(version = v, parent = curNow,
+            op = "merge", delivery = staged.keyBounds))
           CommitStats(v, Nil, Nil, 0)
         case Some(name) =>
           val prefix = f"files/c$v%08d/"
@@ -1452,7 +1571,8 @@ object Snapshot {
           val dropped = staged.affected.filterNot(fresh.contains)
           writeManifestReclaiming(table, mC.copy(version = v, parent = curNow,
             op = "merge", partitions = kept ++ fresh,
-            schemaDdl = staged.newDdl, columnMap = staged.newMap))
+            schemaDdl = staged.newDdl, columnMap = staged.newMap,
+            delivery = staged.keyBounds))
           CommitStats(v, fresh.keys.toSeq.sorted, dropped,
             fresh.values.map(_.size).sum)
       }
@@ -1590,7 +1710,8 @@ object Snapshot {
         fs.size > maxFilesPerPartition || fs.exists(_.dv.isDefined) }
       val v = cur + 1
       if (frag.isEmpty) {
-        writeManifest(table, m.copy(version = v, parent = cur, op = "compact"))
+        writeManifest(table, m.copy(version = v, parent = cur, op = "compact",
+          delivery = Some(KeyBounds(empty = true, Map.empty))))
         CommitStats(v, Nil, Nil, 0)
       } else {
         // one task per partition value → one output file per partition
@@ -1608,7 +1729,8 @@ object Snapshot {
         // manifest schema authority) and constraints forward — a
         // layout-only commit changes neither
         writeManifestReclaiming(table, m.copy(version = v, parent = cur, op = "compact",
-          partitions = m.partitions.filterNot(e => frag.contains(e._1)) ++ fresh))
+          partitions = m.partitions.filterNot(e => frag.contains(e._1)) ++ fresh,
+          delivery = Some(KeyBounds(empty = true, Map.empty))))
         CommitStats(v, fresh.keys.toSeq.sorted, Nil, fresh.values.map(_.size).sum)
       }
     }
@@ -1659,7 +1781,8 @@ object Snapshot {
       val opName = s"relayout($layoutMode x$fileRanges" +
         (if (zorderKeys.nonEmpty) s" on ${zorderKeys.mkString(",")})" else ")")
       writeManifestReclaiming(table, m.copy(version = v, parent = cur,
-        op = opName, partitions = fresh, layout = lay))
+        op = opName, partitions = fresh, layout = lay,
+        delivery = Some(KeyBounds(empty = true, Map.empty))))
       CommitStats(v, fresh.keys.toSeq.sorted,
         m.partitions.keySet.filterNot(fresh.contains).toSeq.sorted,
         fresh.values.map(_.size).sum)
@@ -1762,7 +1885,7 @@ object Snapshot {
           else s.take(8).mkString(",") + s",… +${s.size - 8} more"
         }
         writeManifestReclaiming(table, m.copy(version = v, parent = cur,
-          op = s"overwrite_partitions($opScope)",
+          op = s"overwrite_partitions($opScope)", delivery = None,
           partitions = m.partitions.filterNot(e => affected.contains(e._1))
             ++ fresh))
         CommitStats(v, fresh.keys.toSeq.sorted,
@@ -1869,7 +1992,7 @@ object Snapshot {
       writeManifestReclaiming(table, m.copy(version = v, parent = cur,
         op = "replace", partitions = fresh, schemaDdl = df.schema.toDDL,
         statsCols = statsCols, bloomCols = bloomCols, hllCols = hllCols,
-        columnMap = Map.empty, retiredCols = Nil))
+        columnMap = Map.empty, retiredCols = Nil, delivery = None))
       CommitStats(v, fresh.keys.toSeq.sorted,
         m.partitions.keySet.filterNot(fresh.contains).toSeq.sorted,
         fresh.values.map(_.size).sum)
@@ -1890,7 +2013,7 @@ object Snapshot {
     val fresh = commitEntries(spark, table, v, m.statsCols, m.bloomCols,
       m.bloomBits, m.bloomK, m.hllCols, m.hllP)
     writeManifestReclaiming(table, m.copy(version = v, parent = cur,
-      op = "overwrite", partitions = fresh))
+      op = "overwrite", partitions = fresh, delivery = None))
     CommitStats(v, fresh.keys.toSeq.sorted,
       m.partitions.keySet.filterNot(fresh.contains).toSeq.sorted,
       fresh.values.map(_.size).sum)
@@ -1958,7 +2081,8 @@ object Snapshot {
         if (steps.size == 1) steps.head._1
         else steps.map(_._1).mkString("evolve(", "; ", ")")
       writeManifest(table,
-        evolved.copy(version = cur + 1, parent = cur, op = op))
+        evolved.copy(version = cur + 1, parent = cur, op = op,
+          delivery = Some(KeyBounds(empty = true, Map.empty))))
       CommitStats(cur + 1, Nil, Nil, 0)
     }
 
@@ -2199,7 +2323,8 @@ object Snapshot {
       val cur = currentVersion(table)
       val old = readManifest(table, toVersion)
       val v = cur + 1
-      writeManifest(table, old.copy(version = v, parent = cur, op = s"rollback($toVersion)"))
+      writeManifest(table, old.copy(version = v, parent = cur,
+        op = s"rollback($toVersion)", delivery = None))
       CommitStats(v, Nil, Nil, 0)
     }
 
@@ -3057,7 +3182,8 @@ object Snapshot {
       val candidates = pruneDml(table, preds, cur)
       val v = cur + 1
       if (candidates.isEmpty) { // proven no-match: audit-only commit
-        writeManifest(table, m.copy(version = v, parent = cur, op = op))
+        writeManifest(table, m.copy(version = v, parent = cur, op = op,
+          delivery = Some(KeyBounds(empty = true, Map.empty))))
         CommitStats(v, Nil, Nil, 0)
       } else {
       val candPaths = candidates.map(_.path).toSet
@@ -3085,7 +3211,8 @@ object Snapshot {
       }.toMap
       val dropped = m.partitions.keySet.filterNot(parts.contains).toSeq.sorted
       writeManifestReclaiming(table, m.copy(version = v, parent = cur, op = op,
-        partitions = parts))
+        partitions = parts,
+        delivery = Some(KeyBounds(empty = true, Map.empty))))
       CommitStats(v, touched.toSeq.sorted, dropped,
         fresh.values.map(_.size).sum)
       }
@@ -3247,7 +3374,8 @@ object Snapshot {
     val cur = m.version
     val v = cur + 1
     if (candidates.isEmpty) { // proven no-match: audit-only commit
-      writeManifest(table, m.copy(version = v, parent = cur, op = "delete-mor"))
+      writeManifest(table, m.copy(version = v, parent = cur, op = "delete-mor",
+        delivery = Some(KeyBounds(empty = true, Map.empty))))
       CommitStats(v, Nil, Nil, 0)
     } else {
       // raw read (applyDv = false): an already-masked row may match
@@ -3295,7 +3423,8 @@ object Snapshot {
       val touched = m.partitions.collect {
         case (p, fs) if fs.exists(f => counts.contains(f.path)) => p }
       writeManifestReclaiming(table, m.copy(version = v, parent = cur,
-        op = "delete-mor", partitions = parts))
+        op = "delete-mor", partitions = parts,
+        delivery = Some(KeyBounds(empty = true, Map.empty))))
       CommitStats(v, touched.toSeq.sorted, Nil, 0)
     }
   }

@@ -635,6 +635,53 @@ class SnapshotSpec extends SparkSpecBase {
     assert(staging.isEmpty, "published staging dir must have been renamed away")
   }
 
+  test("rebase fast path: provably-disjoint staged key ranges publish with ZERO Spark jobs under the lock; overlapping ranges still probe and conflict") {
+    val t = fresh("opt_fastpath")
+    Snapshot.create(spark, t, seedDf, "id", "part")
+    // A stages keys 100-101 (disjoint from everything)
+    val staged = Snapshot.stageMerge(spark, t,
+      upserts = Seq((100L, "x", "p1"), (101L, "y", "p1"))
+        .toDF("id", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id"))
+    // concurrent writer commits keys 200-201 in ANOTHER partition
+    Snapshot.merge(spark, t,
+      upserts = Seq((200L, "c", "p2"), (201L, "d", "p2"))
+        .toDF("id", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id"))
+    // count Spark jobs during the publish: the key-overlap probe is
+    // the only job the rebase could launch, and disjoint stats must
+    // disprove it driver-side
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val st = Snapshot.commitStaged(spark, staged)
+      Thread.sleep(200) // let any in-flight job-start events drain
+      assert(st.version == 3)
+      assert(jobs.get() == 0,
+        s"disjoint rebase must be pure metadata, launched ${jobs.get()} job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(rowsOf(Snapshot.readLatest(spark, t)).contains((100L, "x", "p1")))
+    assert(rowsOf(Snapshot.readLatest(spark, t)).contains((200L, "c", "p2")))
+
+    // OVERLAPPING key ranges: the fast path must NOT skip the probe —
+    // a concurrent commit moving one of the staged keys conflicts
+    val staged2 = Snapshot.stageMerge(spark, t,
+      upserts = Seq((300L, "e", "p1")).toDF("id", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id"))
+    Snapshot.merge(spark, t, // same key lands concurrently in p3
+      upserts = Seq((300L, "stolen", "p3")).toDF("id", "payload", "part"),
+      deleteKeys = spark.emptyDataset[Long].toDF("id"))
+    val e = intercept[Snapshot.CommitConflictException](
+      Snapshot.commitStaged(spark, staged2))
+    assert(e.getMessage.contains("same key"))
+    staged2.abort()
+  }
+
   test("optimistic commit: concurrent rewrite of the SAME partition conflicts; mergeOptimistic recomputes and converges") {
     val t = fresh("opt_conflict")
     Snapshot.create(spark, t, seedDf, "id", "part")
