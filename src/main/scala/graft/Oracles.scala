@@ -2982,6 +2982,12 @@ object Oracles {
         |WHERE NOT EXISTS (SELECT 1 FROM m
         |  WHERE m.doc_id = d.doc_id AND m.lang = d.lang)""".stripMargin,
 
+    // partition-spec evolution: the respec moved bytes, never rows —
+    // the post-respec lang point-read equals the bare filter
+    "snapshot_repartition" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE lang = 'fr'""".stripMargin,
+
     // days(ts) hidden partitioning: the result is the bare range
     // filter — pruning to the matching days' files must never change
     // semantics

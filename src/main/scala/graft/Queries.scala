@@ -2570,6 +2570,27 @@ object Queries {
       .select("doc_id", "text", "lang", "source", "n_chars")
   }
 
+  private val snapshotRepartitionMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** PARTITION-SPEC EVOLUTION: a table created partitioned by
+    * `source` migrates to `(lang)` as ONE rewrite commit
+    * ([[Snapshot.repartitionTable]] — no DROP+CREATE, older versions
+    * keep their own spec), after which a lang point-read prunes on
+    * the NEW spec's partition values. The oracle is the bare filter
+    * over the base data — the respec moved bytes, never rows. */
+  def snapshotRepartition(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotRepartitionMemo.computeIfAbsent(dir, _ => {
+      val path = scratch("snapshot_resp", dir)
+      Snapshot.create(s, path, t(s, dir, "documents"),
+        key = "doc_id", partitionCol = "source")
+      Snapshot.repartitionTable(s, path, Seq("lang"))
+      path
+    })
+    Snapshot.readWhereEq(s, p, "lang", "fr")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
   private val snapshotDsv2OverwriteMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3001,6 +3022,7 @@ object Queries {
     "snapshot_dsv2_dml_in" -> snapshotDsv2DmlIn _,
     "snapshot_dsv2_dml_open" -> snapshotDsv2DmlOpen _,
     "snapshot_multikey" -> snapshotMultikey _,
+    "snapshot_repartition" -> snapshotRepartition _,
     "snapshot_days_prune" -> snapshotDaysPrune _,
     "snapshot_bucket_prune" -> snapshotBucketPrune _,
     "snapshot_dsv2_overwrite" -> snapshotDsv2Overwrite _,

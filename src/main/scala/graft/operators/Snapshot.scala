@@ -1789,6 +1789,75 @@ object Snapshot {
     }
 
   /**
+   * REWRITE the table under a NEW PARTITION SPEC as ONE commit — the
+   * `rewrite_partitioning` verb: a table created single-column can
+   * migrate to a composite spec or to hidden partitioning
+   * (`days(ts)`, `bucket(n, col)`) without DROP + CREATE. Like
+   * [[relayout]] this is a deliberate full rewrite, priced once:
+   * every visible row (deletion vectors applied) rewrites under the
+   * new spec, which becomes the version's partition contract — older
+   * versions keep THEIR spec in THEIR manifests, so time travel and
+   * rollback across the change are exact. Keys, layout, stats/bloom/
+   * HLL tracking, constraints, guards and expectations carry forward;
+   * new partition sources must exist in the schema at a
+   * transform-compatible type and be identity-mapped (rename the
+   * column after, not before).
+   */
+  def repartitionTable(spark: SparkSession, table: String,
+                       newPartitionCols: Seq[String]): CommitStats =
+    withCommitLock(table) {
+      val cur = currentVersion(table)
+      require(cur > 0, s"snapshot $table does not exist")
+      require(newPartitionCols.nonEmpty, "repartitionTable: empty spec")
+      require(newPartitionCols.distinct == newPartitionCols,
+        s"repartitionTable: duplicate spec entry in ${newPartitionCols.mkString(",")}")
+      val m = readManifest(table, cur)
+      require(m.schemaDdl.nonEmpty,
+        s"snapshot $table: no manifest schema — pre-schema table cannot repartition")
+      if (newPartitionCols == m.partitionCols)
+        return CommitStats(cur, Nil, Nil, 0) // no-op: spec unchanged
+      val schema = StructType.fromDDL(m.schemaDdl)
+      newPartitionCols.map(PartField.parse).foreach { f =>
+        val sf = schema.fields.find(_.name == f.source).getOrElse(
+          throw new IllegalArgumentException(
+            s"repartitionTable: no column '${f.source}' in the table schema"))
+        require(m.phys(f.source) == f.source,
+          s"repartitionTable: partition source '${f.source}' is a renamed " +
+            "column — sources must be identity-mapped")
+        f match {
+          case BucketField(_, src) => sf.dataType match {
+            case _: StringType | _: ByteType | _: ShortType |
+                 _: IntegerType | _: LongType => ()
+            case t => throw new IllegalArgumentException(
+              s"repartitionTable: bucket($src) needs a string/integral " +
+                s"source (got ${t.simpleString})")
+          }
+          case DaysField(src) => sf.dataType match {
+            case _: TimestampType | _: DateType => ()
+            case t => throw new IllegalArgumentException(
+              s"repartitionTable: days($src) needs a timestamp/date " +
+                s"source (got ${t.simpleString})")
+          }
+          case _: IdentityField => ()
+        }
+      }
+      val df = readManifestFiles(spark, table, m)
+      validatePartitionValues(df, newPartitionCols)
+      val v = cur + 1
+      writeCommit(df, table, v, newPartitionCols, m.keys, m.layout,
+        m.columnMap)
+      val fresh = commitEntries(spark, table, v, m.statsCols, m.bloomCols,
+        m.bloomBits, m.bloomK, m.hllCols, m.hllP)
+      writeManifestReclaiming(table, m.copy(version = v, parent = cur,
+        op = s"repartition(${newPartitionCols.mkString(",")})",
+        partitions = fresh, partitionCols = newPartitionCols,
+        delivery = Some(KeyBounds(empty = true, Map.empty))))
+      CommitStats(v, fresh.keys.toSeq.sorted,
+        m.partitions.keySet.filterNot(fresh.contains).toSeq.sorted,
+        fresh.values.map(_.size).sum)
+    }
+
+  /**
    * REPLACE the table's visible rows with `df` as ONE versioned commit
    * — the transactional face of SQL `INSERT OVERWRITE`. The incoming
    * frame becomes the table's entire state at the new version; every

@@ -142,6 +142,17 @@ private[sources] final class GraftProcedures(
         args.getUTF8String(3).toString.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq))),
 
+    new Proc("rewrite_partitioning",
+      "rewrite the table under a NEW partition spec (comma-separated; " +
+        "identity columns, days(col), bucket(n,col)) as one commit — " +
+        "older versions keep their own spec; keys/layout/invariants " +
+        "carry forward",
+      Array(in("table", StringType), in("spec", StringType)),
+      commitSchema,
+      (s, dir, args) => commitRow(Snapshot.repartitionTable(s, dir,
+        args.getUTF8String(1).toString.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq))),
+
     new Proc("tag",
       "pin a version (default: the current one) under a name; " +
         "vacuum retains it until untagged",

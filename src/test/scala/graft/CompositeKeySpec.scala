@@ -273,6 +273,56 @@ class CompositeKeySpec extends SparkSpecBase {
     spark.sql("DROP TABLE ckow.db.acc")
   }
 
+  test("repartitionTable: spec evolution as one rewrite commit — old versions keep their spec, new spec prunes, invariants carry") {
+    val t = fresh("respec")
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00"), "eu", "a"),
+      (2L, Timestamp.valueOf("2024-01-02 10:00:00"), "eu", "b"),
+      (3L, Timestamp.valueOf("2024-01-02 11:00:00"), "us", "c"),
+      (4L, Timestamp.valueOf("2024-01-03 10:00:00"), "us", "d"))
+      .toDF("id", "ts", "region", "payload")
+    Snapshot.create(spark, t, df, "id", "region",
+      constraints = Map("pos_id" -> "id > 0"))
+    // migrate region → (days(ts), region) without DROP+CREATE
+    val st = Snapshot.repartitionTable(spark, t, Seq("days(ts)", "region"))
+    assert(st.version == 2)
+    val m2 = Snapshot.readManifest(t, 2)
+    assert(m2.partitionCols == Seq("days(ts)", "region"))
+    assert(m2.partitions.keySet == Set(
+      "2024-01-01~eu", "2024-01-02~eu", "2024-01-02~us", "2024-01-03~us"))
+    // rows identical; the OLD version still reads under ITS spec
+    assert(Snapshot.readLatest(spark, t).count() == 4)
+    assert(Snapshot.readManifest(t, 1).partitionCols == Seq("region"))
+    assert(Snapshot.readAt(spark, t, 1).count() == 4)
+    // the new spec prunes on the transform source
+    val (kept, total) = Snapshot.pruneRange(t, "ts",
+      Timestamp.valueOf("2024-01-03 00:00:00"),
+      Timestamp.valueOf("2024-01-04 00:00:00"))
+    assert(kept.map(_.path).toSet ==
+      m2.partitions("2024-01-03~us").map(_.path).toSet && total == m2.files.size)
+    // invariants carry: the CHECK still gates post-respec merges
+    val e = intercept[Exception] {
+      Snapshot.merge(spark, t,
+        Seq((-5L, Timestamp.valueOf("2024-01-04 00:00:00"), "eu", "x"))
+          .toDF("id", "ts", "region", "payload"),
+        Seq.empty[Long].toDF("id"))
+    }
+    assert(e.getMessage.contains("pos_id"))
+    // merges land under the NEW spec
+    Snapshot.merge(spark, t,
+      Seq((9L, Timestamp.valueOf("2024-01-05 00:00:00"), "eu", "e"))
+        .toDF("id", "ts", "region", "payload"),
+      Seq.empty[Long].toDF("id"))
+    assert(Snapshot.readManifest(t, 3).partitions.contains("2024-01-05~eu"))
+    // same-spec respec is a no-op (no version burned); a renamed
+    // source refuses
+    assert(Snapshot.repartitionTable(spark, t,
+      Seq("days(ts)", "region")).version == 3)
+    val e2 = intercept[IllegalArgumentException](
+      Snapshot.repartitionTable(spark, t, Seq("nope")))
+    assert(e2.getMessage.contains("no column"))
+  }
+
   test("updateWhere refuses key and partition SOURCE columns on composite/transformed tables") {
     val t = fresh("updbar")
     val df = Seq(

@@ -151,6 +151,20 @@ class GraftProceduresSpec extends SparkSpecBase {
       rowsOf(Snapshot.readAt(spark, d, 1)))
   }
 
+  test("CALL rewrite_partitioning respecs the table like the Scala verb") {
+    val _ = rootDir
+    val dir = seedFragmented("resp")
+    val out = spark.sql(
+      "CALL gproc.system.rewrite_partitioning('ns.resp', 'payload')")
+      .collect()(0)
+    val m = Snapshot.readManifest(dir, Snapshot.currentVersion(dir))
+    assert(out.getInt(0) == m.version &&
+      m.partitionCols == Seq("payload"))
+    assert(Snapshot.readLatest(spark, dir).count() == 40)
+    // old spec still serves its own versions
+    assert(Snapshot.readManifest(dir, 1).partitionCols == Seq("part"))
+  }
+
   test("refusals: unknown table, unknown procedure, wrong namespace; SHOW lists the verbs") {
     val _ = rootDir
     seedFragmented("x")
@@ -177,6 +191,6 @@ class GraftProceduresSpec extends SparkSpecBase {
       .asInstanceOf[org.apache.spark.sql.connector.catalog.ProcedureCatalog]
       .listProcedures(Array("system")).map(_.name).toSet
     assert(listed == Set("compact", "vacuum", "expire_snapshots", "fsck",
-      "relayout", "tag", "untag", "rollback"))
+      "relayout", "rewrite_partitioning", "tag", "untag", "rollback"))
   }
 }
