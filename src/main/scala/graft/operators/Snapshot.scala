@@ -768,11 +768,12 @@ object Snapshot {
           mapper.readTree(st.read(s"${logDir(table)}/$rel")))
         segResolved.put(p, Segment(rel, entries))
       }
+    val propKeys = props.map(_.getKey).toSet
     val parts = (props.map { e =>
       if (e.getValue.isArray) e.getKey -> parseEntries(e.getValue)
       else e.getKey -> segResolved.get(e.getKey).entries
     } ++ segPairs.collect {
-      case (p, _) if !props.exists(_.getKey == p) =>
+      case (p, _) if !propKeys.contains(p) =>
         p -> segResolved.get(p).entries
     }).toMap
     val segRefs = segResolved.asScala.toMap
@@ -993,7 +994,25 @@ object Snapshot {
     * first ([[validatePartitionValues]]). */
   private[graft] val PartSep = "~"
   private def partValueCol(partitionCols: Seq[String]): Column = {
-    val comps = partitionCols.map(PartField.parse(_).valueCol)
+    val fields = partitionCols.map(PartField.parse)
+    // days() derives the UTC day THROUGH the session time zone
+    // (date_format); the driver-side prune mapping ([[dayOf]]) pins
+    // UTC. A non-UTC session would write/compute partition identities
+    // that disagree with the table's stored values AND with pruning —
+    // silent wrong results. This is the single chokepoint every
+    // derived-partition computation goes through (writes, merge
+    // discovery, compact, overwrite scoping), so the contract is
+    // enforced here, not per caller.
+    if (fields.exists(_.isInstanceOf[DaysField])) {
+      val tz = SparkSession.active.sessionState.conf.sessionLocalTimeZone
+      require(java.time.ZoneId.of(tz).normalized() ==
+          java.time.ZoneOffset.UTC.normalized(),
+        s"graft: days() hidden partitioning requires " +
+          s"spark.sql.session.timeZone=UTC (got '$tz') — the stored " +
+          "partition values are UTC days and a non-UTC session would " +
+          "derive different ones")
+    }
+    val comps = fields.map(_.valueCol)
     if (comps.size == 1) comps.head else concat_ws(PartSep, comps: _*)
   }
 
@@ -1523,8 +1542,12 @@ object Snapshot {
             case Some(kb) if kb.empty => false
             case Some(kb) if kb.bounds.nonEmpty =>
               ((staged.readVersion + 1) to curNow).exists { iv =>
-                if (!store(table).exists(manifestPath(table, iv))) true
-                else readManifest(table, iv).delivery match {
+                // deliveryBoundsOf STREAM-parses the root only — a
+                // full readManifest here would resolve every shard
+                // and segment file of each intervening version UNDER
+                // THE LOCK (at 100k files on an object store, minutes
+                // of fan-out to save a 2 s probe)
+                deliveryBoundsOf(table, iv) match {
                   case Some(d) if d.empty => false
                   case Some(d) if d.bounds.nonEmpty =>
                     // potential overlap iff ranges intersect on EVERY
@@ -2036,11 +2059,13 @@ object Snapshot {
       }
       val dropped = oldSchema.fieldNames.filterNot(df.columns.contains).toSeq
       dropped.foreach { c =>
-        evolutionBarred(m, c).filter(why =>
-          // stats/bloom/HLL tracking narrows instead of refusing;
-          // contract columns were already required present above
-          why.contains("CHECK") || why.contains("expectation") ||
-            why.contains("z-order")).foreach(why =>
+        // stats/bloom/HLL tracking narrows instead of refusing (and
+        // contract columns were already required present above) — but
+        // a tracked column may ALSO anchor an invariant, so ask for
+        // ALL the invariant reasons, never just the first
+        evolutionBarredAll(m, c).find(r =>
+          r.contains("CHECK") || r.contains("expectation") ||
+            r.contains("z-order")).foreach(why =>
           throw new IllegalArgumentException(
             s"snapshot replace: cannot drop '$c' — $why; drop the " +
               "invariant first"))
@@ -2095,7 +2120,7 @@ object Snapshot {
     * files directly (merge keys, partition pruning, stats/bloom/HLL
     * manifests, CHECK/expectation strings, z-order keys). Renaming or
     * dropping one is a table REDEFINITION, not an evolution. */
-  private def evolutionBarred(m: Manifest, name: String): Option[String] = {
+  private def evolutionBarredAll(m: Manifest, name: String): Seq[String] = {
     // expectation checks name their column(s) as the second `:`
     // segment (unique/null_bp/range/min_per_group/accepted_values);
     // row_count has none — substring matching would spuriously bar
@@ -2113,18 +2138,26 @@ object Snapshot {
     def sqlReferences(sql: String): Boolean =
       ("""(?<![A-Za-z0-9_`])""" + java.util.regex.Pattern.quote(name) +
         """(?![A-Za-z0-9_`])""").r.findFirstIn(sql).isDefined
-    if (m.keys.contains(name)) Some("a merge key column")
-    else if (m.partSources.contains(name)) Some("a partition source column")
-    else if (m.statsCols.contains(name)) Some("a stats column")
-    else if (m.bloomCols.contains(name)) Some("a bloom column")
-    else if (m.hllCols.contains(name)) Some("an HLL column")
-    else if (m.layout.zorderKeys.contains(name)) Some("a z-order key")
-    else if (m.constraints.exists(c => sqlReferences(c._2)))
-      Some("referenced by a CHECK constraint")
-    else if (m.expects.flatMap(expectCols).contains(name))
-      Some("referenced by a commit expectation")
-    else None
+    // EVERY reason, not just the first: callers that ignore a CLASS
+    // of reasons (replaceTable drops stats/bloom/HLL tracking instead
+    // of refusing) must still see the invariant reasons a tracked
+    // column may ALSO carry
+    val reasons = Seq.newBuilder[String]
+    if (m.keys.contains(name)) reasons += "a merge key column"
+    if (m.partSources.contains(name)) reasons += "a partition source column"
+    if (m.statsCols.contains(name)) reasons += "a stats column"
+    if (m.bloomCols.contains(name)) reasons += "a bloom column"
+    if (m.hllCols.contains(name)) reasons += "an HLL column"
+    if (m.layout.zorderKeys.contains(name)) reasons += "a z-order key"
+    if (m.constraints.exists(c => sqlReferences(c._2)))
+      reasons += "referenced by a CHECK constraint"
+    if (m.expects.flatMap(expectCols).contains(name))
+      reasons += "referenced by a commit expectation"
+    reasons.result()
   }
+
+  private def evolutionBarred(m: Manifest, name: String): Option[String] =
+    evolutionBarredAll(m, name).headOption
 
   private def evolveSchema(table: String, op: String)
                           (f: Manifest => Manifest): CommitStats =
@@ -3568,6 +3601,51 @@ object Snapshot {
       s"snapshot $table: no tag '$name' (tags: ${t.keys.toSeq.sorted.mkString(",")})")
     readAt(spark, table, t(name))
   }
+
+  /** A retained version's recorded [[KeyBounds]] (`delivery_bounds`),
+    * or None when absent/unknown/unreadable — STREAM-parsed from the
+    * manifest root like [[committedAt]]: the field precedes the
+    * partitions blob, so the parse never materializes the inventory
+    * and never touches shard/segment files. Called per intervening
+    * version by [[commitStaged]]'s rebase fast path, under the commit
+    * lock — a full [[readManifest]] there would fan out the whole
+    * metadata tree to save a 2 s probe. A vacuumed version reads as
+    * None (unknown → exact probe). */
+  private def deliveryBoundsOf(table: String, version: Int): Option[KeyBounds] =
+    try {
+      val st = store(table)
+      val p = manifestPath(table, version)
+      if (!st.exists(p)) return None
+      val jp = mapper.getFactory.createParser(st.read(p))
+      try {
+        var depth = 0
+        while (jp.nextToken() != null) {
+          val t = jp.currentToken()
+          if (t.isStructStart) depth += 1
+          else if (t.isStructEnd) depth -= 1
+          else if (depth == 1 &&
+              t == com.fasterxml.jackson.core.JsonToken.FIELD_NAME) {
+            val name = jp.currentName()
+            if (name == "delivery_bounds") {
+              jp.nextToken()
+              val dn: JsonNode = mapper.readTree(jp)
+              val bounds = dn.properties().asScala.map { e =>
+                val v = e.getValue
+                e.getKey -> ColStats(v.get("kind").asText(),
+                  Option(v.get("min")).map(_.asText()),
+                  Option(v.get("max")).map(_.asText()), 0L)
+              }.toMap
+              return Some(KeyBounds(bounds.isEmpty, bounds))
+            }
+            if (name == "partitions" || name == "partition_shards")
+              return None // field order puts delivery first; absent
+            jp.nextToken()
+            jp.skipChildren()
+          }
+        }
+        None
+      } finally jp.close()
+    } catch { case _: Exception => None } // unknown → exact probe
 
   /** Commit instant (epoch millis) of a retained version — 0 for
     * manifests written before the field existed. STREAM-parsed: the

@@ -192,21 +192,26 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     * identity columns stay bare; `days(ts)` / `bucket(n, c)` render
     * as [[graft.operators.Snapshot.PartField]]'s hidden-partitioning
     * forms. Anything else refuses. */
-  private def transformSpec(t: Transform): String = t match {
-    case _ if t.name == "identity" && t.references.length == 1 =>
-      t.references.head.fieldNames.mkString(".")
-    case _ if t.name == "days" && t.references.length == 1 =>
-      s"days(${t.references.head.fieldNames.mkString(".")})"
-    case _ if t.name == "bucket" && t.references.length == 1 =>
-      val n = t.arguments.collectFirst {
-        case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
-          lit.value.toString.toInt
-      }.getOrElse(throw new IllegalArgumentException(
-        s"graft catalog: bucket transform without a bucket count: $t"))
-      s"bucket($n,${t.references.head.fieldNames.mkString(".")})"
-    case other => throw new IllegalArgumentException(
-      "graft catalog: PARTITIONED BY supports identity columns, " +
-        s"days(col) and bucket(n, col) — got $other")
+  private def transformSpec(t: Transform): String = {
+    def src = t.references.head.fieldNames.mkString(".")
+    // render through PartField itself — ONE grammar, shared with the
+    // manifest/repartition/sink spec parsers
+    t match {
+      case _ if t.name == "identity" && t.references.length == 1 =>
+        Snapshot.IdentityField(src).spec
+      case _ if t.name == "days" && t.references.length == 1 =>
+        Snapshot.DaysField(src).spec
+      case _ if t.name == "bucket" && t.references.length == 1 =>
+        val n = t.arguments.collectFirst {
+          case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            lit.value.toString.toInt
+        }.getOrElse(throw new IllegalArgumentException(
+          s"graft catalog: bucket transform without a bucket count: $t"))
+        Snapshot.BucketField(n, src).spec
+      case other => throw new IllegalArgumentException(
+        "graft catalog: PARTITIONED BY supports identity columns, " +
+          s"days(col) and bucket(n, col) — got $other")
+    }
   }
 
   private def createSpec(schema: StructType, partitions: Array[Transform],

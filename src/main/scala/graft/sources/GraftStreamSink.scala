@@ -48,12 +48,17 @@ private[graft] class GraftStreamSink(path: String,
       .asBatchFrame(data.sparkSession, data).persist()
     try {
       if (!Snapshot.exists(path)) {
-        val key = keyOpt.getOrElse(throw new IllegalArgumentException(
+        val keys = keyOpt.getOrElse(throw new IllegalArgumentException(
           "graft sink: creating a new table needs .option(\"key\", <column>)"))
-        val part = partitionOpt.getOrElse(throw new IllegalArgumentException(
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val parts = partitionOpt.getOrElse(throw new IllegalArgumentException(
           "graft sink: creating a new table needs " +
             ".option(\"partitionCol\", <column>)"))
-        Snapshot.create(data.sparkSession, path, batch, key, part, statsCols)
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        // same comma grammar the validation branch below parses, so a
+        // composite/transformed spec creates AND validates
+        Snapshot.createMulti(data.sparkSession, path, batch, keys, parts,
+          statsCols)
       } else {
         val m = Snapshot.readManifest(path, Snapshot.currentVersion(path))
         keyOpt.foreach(k => require(

@@ -323,6 +323,55 @@ class CompositeKeySpec extends SparkSpecBase {
     assert(e2.getMessage.contains("no column"))
   }
 
+  test("days() refuses a non-UTC session: the stored partition values are UTC days and a drifted session would silently mis-prune") {
+    val t = fresh("daystz")
+    val df = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), "a"))
+      .toDF("id", "ts", "payload")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Snapshot.createMulti(spark, t, df,
+          keys = Seq("id"), partitionCols = Seq("days(ts)"))
+      }
+      assert(e.getMessage.contains("UTC"))
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // back under UTC the same create succeeds
+    Snapshot.createMulti(spark, t, df,
+      keys = Seq("id"), partitionCols = Seq("days(ts)"))
+    assert(Snapshot.readLatest(spark, t).count() == 1)
+  }
+
+  test("replaceTable consults ALL barred reasons: a stats-tracked column that ALSO anchors a CHECK refuses with the invariant message") {
+    val t = fresh("respbar")
+    val df = Seq((1L, "p1", 5.0), (2L, "p1", 7.0))
+      .toDF("id", "part", "score")
+    Snapshot.create(spark, t, df, "id", "part",
+      statsCols = Seq("score"),
+      constraints = Map("s_pos" -> "score >= 0"))
+    val e = intercept[IllegalArgumentException] {
+      Snapshot.replaceTable(spark, t,
+        Seq((1L, "p1")).toDF("id", "part"))
+    }
+    assert(e.getMessage.contains("CHECK"),
+      s"expected the invariant refusal, got: ${e.getMessage}")
+    assert(Snapshot.currentVersion(t) == 1)
+  }
+
+  test("stream sink creates composite/transformed tables from the same comma grammar it validates") {
+    val t = fresh("sinkck")
+    val sink = new graft.sources.GraftStreamSink(t,
+      Some("tenant,entity"), Some("region,tenant"), Nil)
+    sink.addBatch(0, seedDf)
+    val m = Snapshot.readManifest(t, 1)
+    assert(m.keys == Seq("tenant", "entity") &&
+      m.partitionCols == Seq("region", "tenant"))
+    // the second batch merges through the SAME spec validation
+    sink.addBatch(1, Seq(("t1", 1L, "eu", "a2"))
+      .toDF("tenant", "entity", "region", "payload"))
+    assert(Snapshot.readLatest(spark, t)
+      .filter($"payload" === "a2").count() == 1)
+  }
+
   test("updateWhere refuses key and partition SOURCE columns on composite/transformed tables") {
     val t = fresh("updbar")
     val df = Seq(
