@@ -2502,8 +2502,14 @@ object Queries {
     val p = snapshotMultikeyMemo.computeIfAbsent(dir, _ => {
       val path = scratch("snapshot_mk", dir)
       val docs = t(s, dir, "documents")
+      // fileRanges bounds files-per-partition (range layout on
+      // (__part, keys)): without it a 32-thread write sprays ~32
+      // files into EVERY (source, lang) partition and the read pays
+      // ~1600 file opens at sf1 — the layout declaration any real
+      // composite-partitioned table would carry
       Snapshot.createMulti(s, path, docs,
-        keys = Seq("lang", "doc_id"), partitionCols = Seq("source", "lang"))
+        keys = Seq("lang", "doc_id"), partitionCols = Seq("source", "lang"),
+        fileRanges = 8)
       s.sql("DROP TABLE IF EXISTS graft_mk_docs")
       s.sql(s"CREATE TABLE graft_mk_docs USING graft LOCATION '$path'")
       docs.filter(col("doc_id") % 9 === 4)
