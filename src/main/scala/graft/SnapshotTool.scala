@@ -173,6 +173,11 @@ object SnapshotTool {
         (Seq(s"relaid out $table as $mode x$ranges" +
           (if (keys.nonEmpty) s" on ${keys.mkString(",")}" else "") +
           s" → v${st.version}: ${st.filesWritten} file(s)"), 0)
+      case Seq("repartition", table, spec) =>
+        val st = Snapshot.repartitionTable(spark, table,
+          spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        (Seq(s"repartitioned $table under spec '$spec' → v${st.version}: " +
+          s"${st.filesWritten} file(s) (older versions keep their spec)"), 0)
       case Seq("rename-col", table, from, to) =>
         val st = Snapshot.renameColumn(spark, table, from, to)
         (Seq(s"renamed $table column $from -> $to → v${st.version} " +
@@ -200,7 +205,7 @@ object SnapshotTool {
         (Seq(s"unknown invocation: ${other.mkString(" ")}",
           "usage: SnapshotTool describe|history|fsck|compact|vacuum|expire-snapshots|rollback|" +
             "delete-where|delete-mor|update-where|agg|tag|untag|tags|" +
-            "rename-col|drop-col|widen-col|relayout|expect|add-check|"+
+            "rename-col|drop-col|widen-col|relayout|repartition|expect|add-check|"+
             "drop-check|set-guard|drop-guard|set-expects " +
             "<table> [args]"), 2)
     }

@@ -321,6 +321,12 @@ class CompositeKeySpec extends SparkSpecBase {
     val e2 = intercept[IllegalArgumentException](
       Snapshot.repartitionTable(spark, t, Seq("nope")))
     assert(e2.getMessage.contains("no column"))
+    // CLI face: the same verb by name
+    val (out, code) = SnapshotTool.run(spark,
+      Seq("repartition", t, "region"))
+    assert(code == 0 && out.head.contains("repartitioned"))
+    assert(Snapshot.readManifest(t, Snapshot.currentVersion(t))
+      .partitionCols == Seq("region"))
   }
 
   test("days() refuses a non-UTC session: the stored partition values are UTC days and a drifted session would silently mis-prune") {
