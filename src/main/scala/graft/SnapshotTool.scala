@@ -175,7 +175,7 @@ object SnapshotTool {
           s" → v${st.version}: ${st.filesWritten} file(s)"), 0)
       case Seq("repartition", table, spec) =>
         val st = Snapshot.repartitionTable(spark, table,
-          spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          Snapshot.PartField.splitSpecs(spec))
         (Seq(s"repartitioned $table under spec '$spec' → v${st.version}: " +
           s"${st.filesWritten} file(s) (older versions keep their spec)"), 0)
       case Seq("rename-col", table, from, to) =>

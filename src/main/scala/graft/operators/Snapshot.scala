@@ -186,6 +186,25 @@ object Snapshot {
       case BucketRe(n, src) => BucketField(n.toInt, src)
       case plain => IdentityField(plain)
     }
+    /** Split a comma-separated SPEC LIST at paren depth 0 — the one
+      * grammar every string-typed surface (TBLPROPERTIES, CALL args,
+      * CLI, sink options) parses, so `bucket(8,id),region` yields
+      * two specs, not three fragments. Trims and drops empties. */
+    def splitSpecs(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var depth = 0
+      s.foreach {
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; cur += ')'
+        case ',' if depth == 0 =>
+          if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+          cur.clear()
+        case c => cur += c
+      }
+      if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+      out.result()
+    }
   }
 
   /** Driver-side replay of [[BucketField.valueCol]]: crc32 of the
@@ -993,7 +1012,8 @@ object Snapshot {
     * composite identity — callers always validate non-null components
     * first ([[validatePartitionValues]]). */
   private[graft] val PartSep = "~"
-  private def partValueCol(partitionCols: Seq[String]): Column = {
+  private def partValueCol(partitionCols: Seq[String],
+                           owner: DataFrame): Column = {
     val fields = partitionCols.map(PartField.parse)
     // days() derives the UTC day THROUGH the session time zone
     // (date_format); the driver-side prune mapping ([[dayOf]]) pins
@@ -1004,7 +1024,10 @@ object Snapshot {
     // discovery, compact, overwrite scoping), so the contract is
     // enforced here, not per caller.
     if (fields.exists(_.isInstanceOf[DaysField])) {
-      val tz = SparkSession.active.sessionState.conf.sessionLocalTimeZone
+      // the conf of the session that OWNS (and will execute) the
+      // frame — SparkSession.active is merely the thread's default
+      // and can be a different session in a multi-session JVM
+      val tz = owner.sparkSession.sessionState.conf.sessionLocalTimeZone
       require(java.time.ZoneId.of(tz).normalized() ==
           java.time.ZoneOffset.UTC.normalized(),
         s"graft: days() hidden partitioning requires " +
@@ -1037,7 +1060,7 @@ object Snapshot {
     // (rename/drop reject them), so the arrange columns below are
     // identity-mapped by construction
     val df = physicalize(df0, columnMap)
-    val shadow = df.withColumn("__part", partValueCol(partitionCols))
+    val shadow = df.withColumn("__part", partValueCol(partitionCols, df))
     val arranged =
       if (layout.fileRanges <= 0) shadow
       else if (layout.mode == "zorder")
@@ -1088,7 +1111,10 @@ object Snapshot {
   private def validatePartitionValues(df: DataFrame,
                                       partitionCols: Seq[String]): Unit = {
     // every component of the (derived) partition identity must be
-    // non-null and hive-safe — one distinct pass over all components
+    // non-null and hive-safe — one distinct pass over all components.
+    // Building the identity column first also runs the days()-UTC
+    // session gate against df's own session.
+    partValueCol(partitionCols, df)
     val fields = partitionCols.map(PartField.parse)
     val comps = fields.zipWithIndex.map { case (f, i) =>
       f.valueCol.as(s"__pv$i") }
@@ -1289,10 +1315,11 @@ object Snapshot {
     val allKeys = OpCache.cache(
       ups.select(keys.map(col): _*).unionByName(dels).distinct())
     val resident = target
-      .select((keys.map(col) :+ partValueCol(m.partitionCols).as("__p")): _*)
+      .select((keys.map(col) :+
+        partValueCol(m.partitionCols, target).as("__p")): _*)
       .join(allKeys, keys, "left_semi")
       .select(col("__p").as("p"))
-    val incoming = ups.select(partValueCol(m.partitionCols).as("p"))
+    val incoming = ups.select(partValueCol(m.partitionCols, ups).as("p"))
     val affected = resident.unionByName(incoming).distinct()
       .collect().map(_.getString(0)).sorted.toSeq
     // this commit's DELIVERY hull ([[KeyBounds]]): one small agg over
@@ -1509,6 +1536,13 @@ object Snapshot {
         val mB = readManifest(table, staged.readVersion)
         if (mC.schemaDdl != mB.schemaDdl)
           conflict("concurrent schema evolution")
+        // a concurrent rewrite_partitioning changes the PARTITION
+        // DOMAIN itself: the staged files' __part values are
+        // old-spec renderings a new-spec manifest could never prune
+        // or re-discover — publishing would strand them silently
+        if (mC.partitionCols != mB.partitionCols)
+          conflict("concurrent partition-spec change " +
+            s"(${mB.partitionLabel} -> ${mC.partitionLabel})")
         // compare by (path, dv) identity, not FileEntry equality:
         // bloom byte arrays compare by reference (two manifest reads
         // never "equal"), and a dv change IS a real change — an
@@ -1741,9 +1775,11 @@ object Snapshot {
         // (manifest schema: post-evolution commits hold mixed-schema
         // files; the compacted file carries the full current schema);
         // the dv-applied read drops masked rows from the new files
-        physicalize(readManifestFiles(spark, table, m, frag.values.flatten.toSeq),
-            m.columnMap)
-          .withColumn("__part", partValueCol(m.partitionCols))
+        val compactBase = physicalize(
+          readManifestFiles(spark, table, m, frag.values.flatten.toSeq),
+          m.columnMap)
+        compactBase
+          .withColumn("__part", partValueCol(m.partitionCols, compactBase))
           .repartition(col("__part"))
           .write.mode("error").partitionBy("__part").parquet(commitDir(table, v))
         val fresh = commitEntries(spark, table, v, m.statsCols,
@@ -1947,7 +1983,8 @@ object Snapshot {
       validatePartitionValues(aligned, m.partitionCols)
       val cached = OpCache.cache(aligned)
       try {
-        val dfParts = cached.select(partValueCol(m.partitionCols).as("__p"))
+        val dfParts = cached.select(
+          partValueCol(m.partitionCols, cached).as("__p"))
           .distinct().collect().map(_.getString(0)).toSet
         scope.foreach { s =>
           val outside = dfParts -- s

@@ -229,7 +229,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val parts =
       if (partFromTransform.nonEmpty) partFromTransform
       else props.get("partitionCol")
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .map(graft.operators.Snapshot.PartField.splitSpecs)
         .getOrElse(throw new IllegalArgumentException(
           "graft catalog: CREATE TABLE needs PARTITIONED BY (col, …) or " +
             "TBLPROPERTIES ('partitionCol'='<column>[,…]')"))
@@ -320,7 +320,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val declaredPart =
       if (declaredParts.nonEmpty) Some(declaredParts)
       else Option(properties.get("partitionCol"))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .map(graft.operators.Snapshot.PartField.splitSpecs)
     declaredPart.filter(_ != m.partitionCols).foreach(p =>
       throw new IllegalArgumentException(
         s"graft catalog: REPLACE TABLE cannot change the partition spec " +

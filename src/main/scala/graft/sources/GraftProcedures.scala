@@ -150,8 +150,7 @@ private[sources] final class GraftProcedures(
       Array(in("table", StringType), in("spec", StringType)),
       commitSchema,
       (s, dir, args) => commitRow(Snapshot.repartitionTable(s, dir,
-        args.getUTF8String(1).toString.split(",").map(_.trim)
-          .filter(_.nonEmpty).toSeq))),
+        Snapshot.PartField.splitSpecs(args.getUTF8String(1).toString)))),
 
     new Proc("tag",
       "pin a version (default: the current one) under a name; " +

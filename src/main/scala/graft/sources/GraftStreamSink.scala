@@ -48,24 +48,26 @@ private[graft] class GraftStreamSink(path: String,
       .asBatchFrame(data.sparkSession, data).persist()
     try {
       if (!Snapshot.exists(path)) {
-        val keys = keyOpt.getOrElse(throw new IllegalArgumentException(
-          "graft sink: creating a new table needs .option(\"key\", <column>)"))
-          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        val parts = partitionOpt.getOrElse(throw new IllegalArgumentException(
-          "graft sink: creating a new table needs " +
-            ".option(\"partitionCol\", <column>)"))
-          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val keys = Snapshot.PartField.splitSpecs(
+          keyOpt.getOrElse(throw new IllegalArgumentException(
+            "graft sink: creating a new table needs .option(\"key\", <column>)")))
+        val parts = Snapshot.PartField.splitSpecs(
+          partitionOpt.getOrElse(throw new IllegalArgumentException(
+            "graft sink: creating a new table needs " +
+              ".option(\"partitionCol\", <column>)")))
         // same comma grammar the validation branch below parses, so a
         // composite/transformed spec creates AND validates
         Snapshot.createMulti(data.sparkSession, path, batch, keys, parts,
           statsCols)
       } else {
         val m = Snapshot.readManifest(path, Snapshot.currentVersion(path))
+        // the SAME spec grammar the create branch parses, so the exact
+        // option string that created a table always re-validates
         keyOpt.foreach(k => require(
-          k.split(",").map(_.trim).toSeq == m.keys,
+          Snapshot.PartField.splitSpecs(k) == m.keys,
           s"graft sink: option key '$k' disagrees with the table's '${m.keyLabel}'"))
         partitionOpt.foreach(p => require(
-          p.split(",").map(_.trim).toSeq == m.partitionCols,
+          Snapshot.PartField.splitSpecs(p) == m.partitionCols,
           s"graft sink: option partitionCol '$p' disagrees with the " +
             s"table's '${m.partitionLabel}'"))
         Snapshot.merge(data.sparkSession, path, batch,

@@ -329,6 +329,56 @@ class CompositeKeySpec extends SparkSpecBase {
       .partitionCols == Seq("region"))
   }
 
+  test("a staged merge rebased over a concurrent rewrite_partitioning CONFLICTS — never a mixed-spec manifest") {
+    val t = fresh("respecrace")
+    Snapshot.create(spark, t, seedDf.withColumnRenamed("tenant", "tkey")
+      .withColumnRenamed("entity", "eid"), "eid", "region")
+    // writer A stages a merge introducing a brand-new partition value
+    // (present in NEITHER the base nor the respec'd manifest — the
+    // partition-overlap check alone cannot see it)
+    val staged = Snapshot.stageMerge(spark, t,
+      upserts = Seq(("t9", 99L, "apac", "z"))
+        .toDF("tkey", "eid", "region", "payload"),
+      deleteKeys = Seq.empty[Long].toDF("eid"))
+    // writer B respecs the table meanwhile
+    Snapshot.repartitionTable(spark, t, Seq("tkey"))
+    val e = intercept[Snapshot.CommitConflictException](
+      Snapshot.commitStaged(spark, staged))
+    assert(e.getMessage.contains("partition-spec"))
+    staged.abort()
+    // the retry path recomputes under the NEW spec and lands cleanly
+    Snapshot.merge(spark, t,
+      Seq(("t9", 99L, "apac", "z")).toDF("tkey", "eid", "region", "payload"),
+      Seq.empty[Long].toDF("eid"))
+    assert(Snapshot.readManifest(t, Snapshot.currentVersion(t))
+      .partitions.contains("t9"))
+  }
+
+  test("splitSpecs: ONE spec grammar across CALL/CLI/sink — bucket(n,col) survives the comma split everywhere") {
+    assert(Snapshot.PartField.splitSpecs("bucket(8,id),region") ==
+      Seq("bucket(8,id)", "region"))
+    assert(Snapshot.PartField.splitSpecs(" days(ts) , bucket(4, uid) ,") ==
+      Seq("days(ts)", "bucket(4, uid)"))
+    // CLI: a bucket respec through the verb
+    val t = fresh("bucketcli")
+    Snapshot.create(spark, t,
+      (1L to 20L).map(i => (i, s"p${i % 3}")).toDF("id", "part"),
+      "id", "part")
+    val (out, code) = SnapshotTool.run(spark,
+      Seq("repartition", t, "bucket(4,id)"))
+    assert(code == 0, out.mkString("; "))
+    assert(Snapshot.readManifest(t, 2).partitionCols == Seq("bucket(4,id)"))
+    // sink: the exact option string that creates also re-validates
+    // (trailing comma and all)
+    val t2 = fresh("sinkgram")
+    val sink = new graft.sources.GraftStreamSink(t2,
+      Some("tenant,entity,"), Some("region,tenant"), Nil)
+    sink.addBatch(0, seedDf)
+    sink.addBatch(1, Seq(("t1", 2L, "eu", "b2"))
+      .toDF("tenant", "entity", "region", "payload")) // must not throw
+    assert(Snapshot.currentVersion(t2) == 2)
+  }
+
   test("days() refuses a non-UTC session: the stored partition values are UTC days and a drifted session would silently mis-prune") {
     val t = fresh("daystz")
     val df = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), "a"))

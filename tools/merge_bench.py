@@ -8,7 +8,8 @@ identical plans — BENCHNOTES r13). This script is that fold:
   usage: merge_bench.py OUT IN1 IN2 [IN3 ...]
 
 Every input must carry the same query set and zero failures; the
-output line keeps the first input's sf/runs fields, records the
+output line keeps the first input's sf (all inputs must agree),
+replaces `runs` with the median-of-N provenance string, records the
 per-run totals in a `note`, and sets value = sum of per-query medians.
 """
 import json
@@ -21,6 +22,8 @@ keys = set(runs[0]["queries"])
 for r in runs:
     assert set(r["queries"]) == keys, "query sets differ"
     assert not r.get("failed"), f"failures present: {r['failed']}"
+    assert r["sf"] == runs[0]["sf"], \
+        f"scale factors differ: {r['sf']} vs {runs[0]['sf']}"
 merged = {k: round(statistics.median([r["queries"][k] for r in runs]), 4)
           for k in sorted(keys)}
 total = round(sum(merged.values()), 3)
