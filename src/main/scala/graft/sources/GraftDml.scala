@@ -42,7 +42,8 @@ import org.apache.spark.sql.functions.{col, expr}
  *    BETWEEN/IN — the [[Snapshot.DmlPred]] forms); anything else
  *    errors at analysis with a rewrite hint, never silently widened.
  *  - MERGE is keyed: the ON condition must CONTAIN exactly one
- *    equality on the TABLE KEY; further AND-ed conjuncts narrow match
+ *    equality per TABLE KEY COLUMN (composite keys anchor every
+ *    column); further AND-ed conjuncts narrow match
  *    membership (the Delta partition-pruning merge idiom,
  *    `ON t.key = s.key AND t.part = s.part`). The full action surface
  *    rides it — conditioned actions in first-match-wins order,
