@@ -2997,6 +2997,22 @@ object Oracles {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-13 00:00:00'""".stripMargin,
 
+    // SQL-declared tracking: the bloom point lookup on the
+    // SQL-created table is the bare equality filter — bloom file
+    // skipping is IO-only
+    "snapshot_sql_tracking" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE n_chars = 500""".stripMargin,
+
+    // hours(ts) hidden partitioning: the bare intra-day range filter
+    // (the window sits inside the table's first-week slice, so the
+    // slice predicate is subsumed) — hour pruning is IO-only
+    "snapshot_hours_prune" ->
+      """SELECT event_id, ts, user_id, event_type, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-03 06:00:00'
+        |  AND ts < TIMESTAMP '2024-01-03 18:00:00'""".stripMargin,
+
     // bucket(8, doc_id) hidden partitioning: the bare IN filter (the
     // absent key 999999 matches nothing) — the bucket-mapped prune is
     // IO-only

@@ -2339,6 +2339,37 @@ object Queries {
       s"FROM graft_cat.$ns.docs VERSION AS OF 1")
   }
 
+  private val snapshotSqlTrackingMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** SQL-DECLARED TRACKING: a table created ENTIRELY through SQL —
+    * CTAS with TBLPROPERTIES declaring per-file stats on a non-key
+    * column, a BLOOM filter on `n_chars` (high-ish cardinality,
+    * UNCORRELATED with the partition layout: per-file ranges are
+    * near-full-width, so only the bloom can prove absence) and a
+    * manifest HLL sketch — then a plain SQL point lookup on the
+    * bloomed column. The pushed equality routes through
+    * [[Snapshot.pruneEq]]: only files whose bloom admits the value
+    * are scanned. The oracle is the bare filter, so hash equality
+    * proves bloom pruning is IO-only; the SQL-created table loses
+    * nothing the Scala create has. */
+  def snapshotSqlTracking(s: SparkSession, dir: String): DataFrame = {
+    val tbl = snapshotSqlTrackingMemo.computeIfAbsent(dir, _ => {
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cat.root", catalogRoot)
+      val ns = "t" + math.abs(dir.hashCode).toString
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS graft_cat.$ns")
+      t(s, dir, "documents").createOrReplaceTempView("graft_trk_docs_src")
+      s.sql(s"CREATE TABLE graft_cat.$ns.docs USING graft " +
+        "TBLPROPERTIES ('key'='doc_id','partitionCol'='source'," +
+        "'statsCols'='lang','bloom.n_chars'='65536,6','hll.lang'='12') " +
+        "AS SELECT * FROM graft_trk_docs_src")
+      s"graft_cat.$ns.docs"
+    })
+    s.sql(s"SELECT doc_id, text, lang, source, n_chars FROM $tbl " +
+      "WHERE n_chars = 500")
+  }
+
   private val snapshotDsv2UpdateMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -2574,6 +2605,38 @@ object Queries {
     })
     Snapshot.readWhereIn(s, p, "doc_id", Seq(7L, 42L, 103L, 999999L))
       .select("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  private val snapshotHoursPruneMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** HIDDEN PARTITIONING, the `hours(ts)` transform — the hour-grain
+    * event table `days(ts)` can't serve: partitions derive as the UTC
+    * hour (`yyyy-MM-dd-HH`, hive-safe) and an INTRA-DAY timestamp
+    * window prunes to the matching hours' files through the same
+    * monotone mapping as days (strict bounds relax to their inclusive
+    * hour). The oracle is the bare range filter, so hash equality
+    * proves the hour mapping is exactly the write-side derivation. */
+  def snapshotHoursPrune(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotHoursPruneMemo.computeIfAbsent(dir, _ => {
+      val path = scratch("snapshot_hours", dir)
+      // the first WEEK of events: hour-grain partitioning is for hot
+      // recent windows — a month of hours (720 dirs) is the
+      // small-files anti-pattern the layout verbs exist to fix, and
+      // a real table would hours-partition only its live tail
+      val ev = t(s, dir, "events")
+        .filter(col("ts") < lit("2024-01-08").cast("timestamp"))
+      Snapshot.createMulti(s, path, ev,
+        keys = Seq("event_id"), partitionCols = Seq("hours(ts)"),
+        statsCols = Seq("ts"), fileRanges = 4)
+      s.sql("DROP TABLE IF EXISTS graft_hours_events")
+      s.sql(s"CREATE TABLE graft_hours_events USING graft LOCATION '$path'")
+      path
+    })
+    s.sql("""SELECT event_id, ts, user_id, event_type, value
+      FROM graft_hours_events
+      WHERE ts >= TIMESTAMP'2024-01-03 06:00:00'
+        AND ts < TIMESTAMP'2024-01-03 18:00:00'""")
   }
 
   private val snapshotRepartitionMemo =
@@ -3030,11 +3093,13 @@ object Queries {
     "snapshot_multikey" -> snapshotMultikey _,
     "snapshot_repartition" -> snapshotRepartition _,
     "snapshot_days_prune" -> snapshotDaysPrune _,
+    "snapshot_hours_prune" -> snapshotHoursPrune _,
     "snapshot_bucket_prune" -> snapshotBucketPrune _,
     "snapshot_dsv2_overwrite" -> snapshotDsv2Overwrite _,
     "snapshot_dsv2_overwrite_part" -> snapshotDsv2OverwritePart _,
     "snapshot_catalog" -> snapshotCatalog _,
     "snapshot_catalog_asof" -> snapshotCatalogAsof _,
+    "snapshot_sql_tracking" -> snapshotSqlTracking _,
     "snapshot_relayout" -> snapshotRelayout _,
     "snapshot_timetravel" -> snapshotTimetravel _,
     "snapshot_pruned" -> snapshotPruned _,

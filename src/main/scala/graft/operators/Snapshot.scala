@@ -142,66 +142,117 @@ object Snapshot {
   final case class ListShard(path: String, content: Map[String, (String, Int)])
 
   /** One column of a (possibly composite) PARTITION SPEC. Identity is
-    * the classic value-per-directory layout; `days(ts)` and
-    * `bucket(n, c)` are HIDDEN partitioning (the Iceberg transform
-    * move): the table partitions by a DERIVED value — the UTC day of
-    * a timestamp, a stable hash bucket of a high-cardinality column —
-    * while queries keep filtering the SOURCE column; prune-time the
-    * predicate maps into the derived domain (days is monotone, so
-    * ranges map; bucket maps equality/IN), so a time-range query on a
-    * days-partitioned table touches only its days' files without the
-    * user ever materializing a date column. */
+    * the classic value-per-directory layout; the rest are HIDDEN
+    * partitioning (the Iceberg transform move): the table partitions
+    * by a DERIVED value — the UTC time grain (`years`/`months`/`days`/
+    * `hours` of a timestamp), a stable hash bucket, a width-truncated
+    * prefix — while queries keep filtering the SOURCE column;
+    * prune-time the predicate maps into the derived domain (the time
+    * grains and `truncate` are monotone, so ranges map; bucket maps
+    * equality/IN), so a time-range query on a days-partitioned table
+    * touches only its days' files without the user ever materializing
+    * a date column. */
   sealed trait PartField {
     /** The DATA column the partition value derives from. */
     def source: String
     /** The manifest rendering ("region", "days(ts)", "bucket(16,id)"). */
     def spec: String
     /** The derived partition value as a STRING column (what `__part`
-      * stores and the manifest keys entries by). */
-    def valueCol: Column
+      * stores and the manifest keys entries by). `owner` carries the
+      * schema for the one type-dispatched transform (`truncate`). */
+    def valueCol(owner: DataFrame): Column
+  }
+  /** Marker for the UTC time-grain transforms — they share the
+    * monotone prune mapping ([[timeKeyOf]]) and the session-UTC gate
+    * ([[partValueCol]]). `pattern` is BOTH the write-side date_format
+    * and the driver-side DateTimeFormatter pattern: hive-safe
+    * renderings whose equal width makes ISO prefixes compare
+    * lexicographically like the instants they truncate. */
+  sealed trait TimeField extends PartField {
+    def pattern: String
+    def valueCol(owner: DataFrame): Column = date_format(col(source), pattern)
   }
   final case class IdentityField(source: String) extends PartField {
     def spec: String = source
-    def valueCol: Column = col(source).cast("string")
+    def valueCol(owner: DataFrame): Column = col(source).cast("string")
   }
-  final case class DaysField(source: String) extends PartField {
+  final case class YearsField(source: String) extends TimeField {
+    def spec: String = s"years($source)"
+    def pattern: String = "yyyy"
+  }
+  final case class MonthsField(source: String) extends TimeField {
+    def spec: String = s"months($source)"
+    def pattern: String = "yyyy-MM"
+  }
+  final case class DaysField(source: String) extends TimeField {
     def spec: String = s"days($source)"
     // session TZ is pinned UTC project-wide, so the derived day is the
-    // UTC day — the same day [[dayOf]] computes driver-side at prune
-    def valueCol: Column = date_format(col(source), "yyyy-MM-dd")
+    // UTC day — the same day [[timeKeyOf]] computes driver-side at prune
+    def pattern: String = "yyyy-MM-dd"
+  }
+  final case class HoursField(source: String) extends TimeField {
+    def spec: String = s"hours($source)"
+    // the Iceberg hour rendering — '-' not ':' keeps it hive-safe
+    def pattern: String = "yyyy-MM-dd-HH"
   }
   final case class BucketField(n: Int, source: String) extends PartField {
     require(n > 0, s"bucket transform needs a positive bucket count, got $n")
     def spec: String = s"bucket($n,$source)"
     // crc32 over the value's string rendering: bit-stable across JVMs
     // and replayable driver-side ([[bucketOf]]) for prune mapping
-    def valueCol: Column = pmod(crc32(col(source).cast("string")), lit(n.toLong))
-      .cast("int").cast("string")
+    def valueCol(owner: DataFrame): Column =
+      pmod(crc32(col(source).cast("string")), lit(n.toLong))
+        .cast("int").cast("string")
+  }
+  /** Iceberg `truncate[W]`: strings keep their first `n` CODE POINTS
+    * (Spark's `substring` character unit), integrals floor to the
+    * containing width-`n` interval (`v - floorMod(v, n)`) — both
+    * MONOTONE, so range predicates on the source map to ranges over
+    * the derived values ([[truncOf]]). */
+  final case class TruncateField(n: Int, source: String) extends PartField {
+    require(n > 0, s"truncate transform needs a positive width, got $n")
+    def spec: String = s"truncate($n,$source)"
+    def valueCol(owner: DataFrame): Column =
+      owner.schema(source).dataType match {
+        case _: StringType => substring(col(source), 1, n)
+        case _ => (col(source) - pmod(col(source), lit(n.toLong))).cast("string")
+      }
   }
   object PartField {
-    private val DaysRe = """days\(([A-Za-z0-9_.]+)\)""".r
+    private val TimeRe = """(years|months|days|hours)\(([A-Za-z0-9_.]+)\)""".r
     private val BucketRe = """bucket\((\d+),\s*([A-Za-z0-9_.]+)\)""".r
+    private val TruncRe = """truncate\((\d+),\s*([A-Za-z0-9_.]+)\)""".r
     def parse(spec: String): PartField = spec match {
-      case DaysRe(src) => DaysField(src)
+      case TimeRe("years", src) => YearsField(src)
+      case TimeRe("months", src) => MonthsField(src)
+      case TimeRe("days", src) => DaysField(src)
+      case TimeRe("hours", src) => HoursField(src)
       case BucketRe(n, src) => BucketField(n.toInt, src)
+      case TruncRe(n, src) => TruncateField(n.toInt, src)
       case plain => IdentityField(plain)
     }
     /** Split a comma-separated SPEC LIST at paren depth 0 — the one
       * grammar every string-typed surface (TBLPROPERTIES, CALL args,
       * CLI, sink options) parses, so `bucket(8,id),region` yields
-      * two specs, not three fragments. Trims and drops empties. */
+      * two specs, not three fragments. Trims and drops empties.
+      * Unbalanced parens REFUSE loudly — a depth underflow would
+      * otherwise yield a garbage identity fragment whose downstream
+      * error ("no column 'a)'") hides the real grammar mistake. */
     def splitSpecs(s: String): Seq[String] = {
       val out = Seq.newBuilder[String]
       val cur = new StringBuilder
       var depth = 0
+      def unbalanced(): Nothing = throw new IllegalArgumentException(
+        s"unbalanced parens in partition spec '$s'")
       s.foreach {
         case '(' => depth += 1; cur += '('
-        case ')' => depth -= 1; cur += ')'
+        case ')' => depth -= 1; if (depth < 0) unbalanced(); cur += ')'
         case ',' if depth == 0 =>
           if (cur.toString.trim.nonEmpty) out += cur.toString.trim
           cur.clear()
         case c => cur += c
       }
+      if (depth != 0) unbalanced()
       if (cur.toString.trim.nonEmpty) out += cur.toString.trim
       out.result()
     }
@@ -217,19 +268,90 @@ object Snapshot {
     (crc.getValue % n).toString // getValue is unsigned-32 in a long: non-negative
   }
 
-  /** Driver-side replay of [[DaysField.valueCol]]: the UTC day of a
-    * timestamp/date bound. None = not mappable (prune keeps all). */
-  private[graft] def dayOf(v: Any): Option[String] = {
+  /** Is `v` a RUNTIME type whose `toString` matches the write-side
+    * `cast("string")` rendering of a bucket source column? Create
+    * restricts sources to string/integral, but a LOOKUP value of a
+    * different type (a Double 7.0 against a BIGINT source renders
+    * "7.0" vs "7") would hash into the WRONG bucket and silently drop
+    * the matching files — so the prune maps through the hash only for
+    * these types and keeps everything otherwise (conservative, like
+    * every unmappable bound). */
+  private[graft] def bucketReplayable(v: Any): Boolean = v match {
+    case _: String | _: java.lang.Byte | _: java.lang.Short |
+         _: java.lang.Integer | _: java.lang.Long => true
+    case _ => false
+  }
+
+  /** Driver-side replay of a [[TimeField]]'s `valueCol`: the UTC
+    * rendering of a timestamp/date bound at the field's grain. None =
+    * not mappable (prune keeps all). A date bound renders at midnight
+    * UTC — the instant Spark's date→timestamp cast compares it as. */
+  private[graft] def timeKeyOf(f: TimeField, v: Any): Option[String] = {
     val utc = java.time.ZoneOffset.UTC
-    v match {
-      case t: java.sql.Timestamp => Some(t.toInstant.atZone(utc).toLocalDate.toString)
-      case i: java.time.Instant => Some(i.atZone(utc).toLocalDate.toString)
-      case d: java.time.LocalDate => Some(d.toString)
-      case d: java.sql.Date => Some(d.toLocalDate.toString)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(f.pattern)
+    val zdt: Option[java.time.ZonedDateTime] = v match {
+      case t: java.sql.Timestamp => Some(t.toInstant.atZone(utc))
+      case i: java.time.Instant => Some(i.atZone(utc))
+      case d: java.time.LocalDate => Some(d.atStartOfDay(utc))
+      case d: java.sql.Date => Some(d.toLocalDate.atStartOfDay(utc))
       case s: String =>
-        scala.util.Try(java.time.LocalDate.parse(s.take(10)).toString).toOption
+        // EXACT ISO dates only — a prefix parse (s.take(10)) would map
+        // any date-shaped string ("2024-01-10-backup") to that day,
+        // pruning files the exact filter still needed to see
+        scala.util.Try(java.time.LocalDate.parse(s).atStartOfDay(utc)).toOption
       case _ => None
     }
+    zdt.map(fmt.format)
+  }
+
+  /** Driver-side replay of [[TruncateField.valueCol]]: first-n code
+    * points of a string (Spark substring's character unit), floor to
+    * the width-n interval for integrals. None = unmappable runtime
+    * type (a Double bound against a BIGINT source renders differently
+    * than the write side — keep everything, like [[bucketReplayable]]). */
+  private[graft] def truncOf(n: Int, v: Any): Option[String] = v match {
+    case s: String =>
+      val cp = s.codePointCount(0, s.length)
+      Some(if (cp <= n) s else s.substring(0, s.offsetByCodePoints(0, n)))
+    case b: java.lang.Byte => Some(truncLong(n, b.longValue))
+    case sh: java.lang.Short => Some(truncLong(n, sh.longValue))
+    case i: java.lang.Integer => Some(truncLong(n, i.longValue))
+    case l: java.lang.Long => Some(truncLong(n, l.longValue))
+    case _ => None
+  }
+  private def truncLong(n: Int, v: Long): String =
+    (v - java.lang.Math.floorMod(v, n.toLong)).toString
+
+  /** The ONE transform/source-type compatibility check every spec
+    * surface runs (create, rewrite_partitioning): time grains need a
+    * timestamp/date source, bucket and truncate need string/integral —
+    * the types whose `cast("string")` rendering is replayable
+    * driver-side for prune mapping. */
+  private[graft] def validateTransformType(f: PartField,
+                                           dt: org.apache.spark.sql.types.DataType,
+                                           ctx: String): Unit = f match {
+    case b: BucketField => dt match {
+      case _: StringType | _: ByteType | _: ShortType |
+           _: IntegerType | _: LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"$ctx: bucket(${b.source}) needs a string/integral source " +
+          s"(got ${t.simpleString}) — its rendering must be " +
+          "replayable driver-side for prune mapping")
+    }
+    case tr: TruncateField => dt match {
+      case _: StringType | _: ByteType | _: ShortType |
+           _: IntegerType | _: LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"$ctx: truncate(${tr.n},${tr.source}) needs a string/integral " +
+          s"source (got ${t.simpleString})")
+    }
+    case tf: TimeField => dt match {
+      case _: TimestampType | _: DateType => ()
+      case t => throw new IllegalArgumentException(
+        s"$ctx: ${tf.spec} needs a timestamp/date source " +
+          s"(got ${t.simpleString})")
+    }
+    case _: IdentityField => ()
   }
 
   /** A version's complete state: the live files per partition value
@@ -1015,27 +1137,27 @@ object Snapshot {
   private def partValueCol(partitionCols: Seq[String],
                            owner: DataFrame): Column = {
     val fields = partitionCols.map(PartField.parse)
-    // days() derives the UTC day THROUGH the session time zone
-    // (date_format); the driver-side prune mapping ([[dayOf]]) pins
-    // UTC. A non-UTC session would write/compute partition identities
-    // that disagree with the table's stored values AND with pruning —
-    // silent wrong results. This is the single chokepoint every
-    // derived-partition computation goes through (writes, merge
-    // discovery, compact, overwrite scoping), so the contract is
-    // enforced here, not per caller.
-    if (fields.exists(_.isInstanceOf[DaysField])) {
+    // the time grains derive their UTC rendering THROUGH the session
+    // time zone (date_format); the driver-side prune mapping
+    // ([[timeKeyOf]]) pins UTC. A non-UTC session would write/compute
+    // partition identities that disagree with the table's stored
+    // values AND with pruning — silent wrong results. This is the
+    // single chokepoint every derived-partition computation goes
+    // through (writes, merge discovery, compact, overwrite scoping),
+    // so the contract is enforced here, not per caller.
+    fields.collectFirst { case tf: TimeField => tf }.foreach { tf =>
       // the conf of the session that OWNS (and will execute) the
       // frame — SparkSession.active is merely the thread's default
       // and can be a different session in a multi-session JVM
       val tz = owner.sparkSession.sessionState.conf.sessionLocalTimeZone
       require(java.time.ZoneId.of(tz).normalized() ==
           java.time.ZoneOffset.UTC.normalized(),
-        s"graft: days() hidden partitioning requires " +
-          s"spark.sql.session.timeZone=UTC (got '$tz') — the stored " +
-          "partition values are UTC days and a non-UTC session would " +
-          "derive different ones")
+        s"graft: ${tf.spec.takeWhile(_ != '(')}() hidden partitioning " +
+          s"requires spark.sql.session.timeZone=UTC (got '$tz') — the " +
+          "stored partition values are UTC time grains and a non-UTC " +
+          "session would derive different ones")
     }
-    val comps = fields.map(_.valueCol)
+    val comps = fields.map(_.valueCol(owner))
     if (comps.size == 1) comps.head else concat_ws(PartSep, comps: _*)
   }
 
@@ -1117,7 +1239,7 @@ object Snapshot {
     partValueCol(partitionCols, df)
     val fields = partitionCols.map(PartField.parse)
     val comps = fields.zipWithIndex.map { case (f, i) =>
-      f.valueCol.as(s"__pv$i") }
+      f.valueCol(df).as(s"__pv$i") }
     val badCond = fields.indices.map(i => col(s"__pv$i").isNull ||
       !col(s"__pv$i").rlike("^[A-Za-z0-9._-]+$")).reduce(_ || _)
     val bad = df.select(comps: _*).distinct().filter(badCond).limit(1).collect()
@@ -1190,23 +1312,7 @@ object Snapshot {
       fields.foreach { f =>
         require(df.columns.contains(f.source),
           s"snapshot: df lacks partition source column '${f.source}'")
-        f match {
-          case BucketField(_, src) => df.schema(src).dataType match {
-            case _: StringType | _: ByteType | _: ShortType |
-                 _: IntegerType | _: LongType => ()
-            case t => throw new IllegalArgumentException(
-              s"snapshot: bucket($src) needs a string/integral source " +
-                s"(got ${t.simpleString}) — its rendering must be " +
-                "replayable driver-side for prune mapping")
-          }
-          case DaysField(src) => df.schema(src).dataType match {
-            case _: TimestampType | _: DateType => ()
-            case t => throw new IllegalArgumentException(
-              s"snapshot: days($src) needs a timestamp/date source " +
-                s"(got ${t.simpleString})")
-          }
-          case _: IdentityField => ()
-        }
+        validateTransformType(f, df.schema(f.source).dataType, "snapshot")
       }
       require(layoutMode == "range" || layoutMode == "zorder",
         s"snapshot: unknown layout mode '$layoutMode'")
@@ -1590,7 +1696,12 @@ object Snapshot {
                       (kb.bounds.get(kc), d.bounds.get(kc)) match {
                         case (Some(a), Some(b))
                           if a.min.isDefined && a.max.isDefined =>
-                          admits(b, a.min.get, a.max.get)
+                          // unparseable bounds (a float key rendering
+                          // "NaN"/"Infinity" breaks admits' BigDecimal
+                          // parse) must NOT fail the publish — they
+                          // just can't disprove overlap → exact probe
+                          scala.util.Try(admits(b, a.min.get, a.max.get))
+                            .getOrElse(true)
                         case _ => true // unknown column: can't disprove
                       }
                     }
@@ -1883,22 +1994,7 @@ object Snapshot {
         require(m.phys(f.source) == f.source,
           s"repartitionTable: partition source '${f.source}' is a renamed " +
             "column — sources must be identity-mapped")
-        f match {
-          case BucketField(_, src) => sf.dataType match {
-            case _: StringType | _: ByteType | _: ShortType |
-                 _: IntegerType | _: LongType => ()
-            case t => throw new IllegalArgumentException(
-              s"repartitionTable: bucket($src) needs a string/integral " +
-                s"source (got ${t.simpleString})")
-          }
-          case DaysField(src) => sf.dataType match {
-            case _: TimestampType | _: DateType => ()
-            case t => throw new IllegalArgumentException(
-              s"repartitionTable: days($src) needs a timestamp/date " +
-                s"source (got ${t.simpleString})")
-          }
-          case _: IdentityField => ()
-        }
+        validateTransformType(f, sf.dataType, "repartitionTable")
       }
       val df = readManifestFiles(spark, table, m)
       validatePartitionValues(df, newPartitionCols)
@@ -2454,6 +2550,116 @@ object Snapshot {
     m.copy(expects = exprs)
   }
 
+  /** START (or reshape) column TRACKING after create — a
+    * metadata-only commit closing the create-time-only asymmetry:
+    * `statsCols` REPLACES the non-key per-file min/max set (key
+    * columns stay tracked forever), bloom adds a per-file bloom
+    * filter, hll a per-file HLL sketch. Tracking takes effect on the
+    * NEXT rewrite of each file: files written from this version on
+    * record the new stats/sketches; PRE-EXISTING files backfill at
+    * their next rewrite — run [[compact]] once to backfill the whole
+    * table (the bloom contract since the feature landed). Until then
+    * every consumer degrades conservatively: range and bloom pruning
+    * KEEP a file with no recorded entry, and the manifest-HLL
+    * aggregate refuses with a "compact() once" error rather than
+    * undercounting. SQL face: `ALTER TABLE t SET TBLPROPERTIES
+    * ('statsCols'='a,b', 'bloom.c'='131072,6', 'hll.d'='12')`;
+    * `UNSET TBLPROPERTIES ('bloom.c')` stops tracking a column. */
+  def setStatsCols(spark: SparkSession, table: String,
+                   cols: Seq[String]): CommitStats =
+    evolveSchemaAll(table, Seq(
+      s"set_stats_cols(${cols.mkString(",")})" -> setStatsColsXform(table, cols)))
+
+  /** Column `name` must exist in the logical schema and be
+    * identity-mapped — the per-file trackers read written files by
+    * PHYSICAL name, so a renamed column's stats would never be found.
+    * (Tracked columns are barred from rename, so this only bites a
+    * column renamed BEFORE tracking started: compact rewrites don't
+    * re-physicalize, the mapping is forever — track the new name's
+    * data by adding a fresh column instead.) */
+  private def requireTrackable(m: Manifest, table: String, name: String,
+                               what: String): StructField = {
+    val fields = StructType.fromDDL(m.schemaDdl).fields
+    val f = fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"snapshot $table: no column '$name' to $what-track"))
+    require(m.phys(name) == name,
+      s"snapshot $table: cannot $what-track '$name' — it is a renamed " +
+        s"column (bytes live under '${m.phys(name)}'); tracking reads " +
+        "files by physical name")
+    f
+  }
+
+  private[graft] def setStatsColsXform(table: String, cols: Seq[String])
+                                      (m: Manifest): Manifest = {
+    cols.filterNot(m.keys.contains).foreach { c =>
+      val f = requireTrackable(m, table, c, "stats")
+      require(statKind(f.dataType).isDefined,
+        s"snapshot $table: stats-tracking '$c' (${f.dataType.simpleString}) " +
+          "is unsupported — numeric and string columns only")
+    }
+    m.copy(statsCols = m.keys ++ cols.filterNot(m.keys.contains).distinct)
+  }
+
+  /** Add a per-file BLOOM filter on `name` (effective next rewrite —
+    * see [[setStatsCols]]'s backfill contract). `bits`/`k` are
+    * TABLE-WIDE (one sizing per manifest): a table that already
+    * tracks blooms refuses a disagreeing sizing. */
+  def trackBloom(spark: SparkSession, table: String, name: String,
+                 bits: Int = 1 << 17, k: Int = 6): CommitStats =
+    evolveSchemaAll(table, Seq(
+      s"track_bloom($name)" -> addBloomXform(table, name, bits, k)))
+
+  private[graft] def addBloomXform(table: String, name: String,
+                                   bits: Int, k: Int)(m: Manifest): Manifest = {
+    requireTrackable(m, table, name, "bloom")
+    require(bits > 0 && k > 0,
+      s"snapshot $table: bloom needs positive bits/k (got $bits,$k)")
+    if (m.bloomCols.nonEmpty)
+      require(bits == m.bloomBits && k == m.bloomK,
+        s"snapshot $table: bloom sizing is table-wide " +
+          s"(${m.bloomBits},${m.bloomK}) — a new column cannot declare " +
+          s"($bits,$k)")
+    if (m.bloomCols.contains(name)) m
+    else m.copy(bloomCols = m.bloomCols :+ name, bloomBits = bits, bloomK = k)
+  }
+
+  private[graft] def dropBloomXform(table: String, name: String)
+                                   (m: Manifest): Manifest = {
+    require(m.bloomCols.contains(name),
+      s"snapshot $table: no bloom tracked for '$name' " +
+        s"(tracked: ${m.bloomCols.mkString(",")})")
+    m.copy(bloomCols = m.bloomCols.filterNot(_ == name))
+  }
+
+  /** Add a per-file HLL sketch on `name` (effective next rewrite —
+    * see [[setStatsCols]]; [[aggStats]] refuses distinct estimates
+    * until a compact backfills every file). `p` is table-wide. */
+  def trackHll(spark: SparkSession, table: String, name: String,
+               p: Int = 12): CommitStats =
+    evolveSchemaAll(table, Seq(
+      s"track_hll($name)" -> addHllXform(table, name, p)))
+
+  private[graft] def addHllXform(table: String, name: String, p: Int)
+                                (m: Manifest): Manifest = {
+    requireTrackable(m, table, name, "hll")
+    require(p >= 4 && p <= 16, s"snapshot $table: hllP out of range ($p)")
+    if (m.hllCols.nonEmpty)
+      require(p == m.hllP,
+        s"snapshot $table: HLL precision is table-wide (${m.hllP}) — a " +
+          s"new column cannot declare $p")
+    if (m.hllCols.contains(name)) m
+    else m.copy(hllCols = m.hllCols :+ name, hllP = p)
+  }
+
+  private[graft] def dropHllXform(table: String, name: String)
+                                 (m: Manifest): Manifest = {
+    require(m.hllCols.contains(name),
+      s"snapshot $table: no HLL tracked for '$name' " +
+        s"(tracked: ${m.hllCols.mkString(",")})")
+    m.copy(hllCols = m.hllCols.filterNot(_ == name))
+  }
+
   /** Publish a new version whose live file set IS `toVersion`'s — an
     * O(manifest) undo. History is preserved (rollback is itself a
     * commit); the rolled-back-over versions stay readable. */
@@ -2789,17 +2995,55 @@ object Snapshot {
               hi.forall { h => val d = cmpUtf8(c, h.toString)
                 if (hiStrict) d < 0 else d <= 0 }
         }
-      case _: DaysField =>
-        val l = lo.map(dayOf)
-        val h = hi.map(dayOf)
+      case tf: TimeField =>
+        val l = lo.map(timeKeyOf(tf, _))
+        val h = hi.map(timeKeyOf(tf, _))
         if (l.exists(_.isEmpty) || h.exists(_.isEmpty)) all
         else keep { c =>
           l.flatten.forall(d => cmpUtf8(c, d) >= 0) &&
             h.flatten.forall(d => cmpUtf8(c, d) <= 0)
         }
+      case TruncateField(n, _) =>
+        // monotone like the time grains: a bound maps to its own
+        // truncation and strict bounds relax to inclusive (a strict
+        // bound still admits other rows of its truncation bucket).
+        // The MAPPING is type-dispatched (floor for integrals, prefix
+        // for strings), so the bound's runtime type must match the
+        // source domain — integral bounds floor and compare
+        // numerically ("100" is not < "20"); string bounds prefix and
+        // compare UTF-8, but ONLY when some stored component fails a
+        // numeric parse (proof the source is a string column — an
+        // integral source's components all parse, and prefix-mapping
+        // a string bound against it would prune wrongly). Anything
+        // ambiguous keeps all files.
+        val bounds = lo.toSeq ++ hi.toSeq
+        val integral = bounds.forall {
+          case _: java.lang.Byte | _: java.lang.Short |
+               _: java.lang.Integer | _: java.lang.Long => true
+          case _ => false
+        }
+        val stringy = bounds.forall(_.isInstanceOf[String])
+        lazy val comps = m.partitions.keys.map(p => partComponent(m, p, i))
+        lazy val sourceIsString =
+          comps.exists(c => scala.util.Try(BigDecimal(c)).isFailure)
+        val l = lo.map(truncOf(n, _))
+        val h = hi.map(truncOf(n, _))
+        if (l.exists(_.isEmpty) || h.exists(_.isEmpty)) all
+        else if (integral) keep { c =>
+          scala.util.Try(BigDecimal(c)).toOption.forall { v =>
+            l.flatten.forall(d => v >= BigDecimal(d)) &&
+              h.flatten.forall(d => v <= BigDecimal(d))
+          }
+        }
+        else if (stringy && sourceIsString) keep { c =>
+          l.flatten.forall(d => cmpUtf8(c, d) >= 0) &&
+            h.flatten.forall(d => cmpUtf8(c, d) <= 0)
+        }
+        else all
       case BucketField(n, _) =>
         (lo, hi) match {
-          case (Some(a), Some(b)) if !loStrict && !hiStrict && a == b =>
+          case (Some(a), Some(b)) if !loStrict && !hiStrict && a == b &&
+              bucketReplayable(a) =>
             val want = bucketOf(n, a)
             keep(_ == want)
           case _ => all

@@ -189,28 +189,38 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   }
 
   /** One PARTITIONED BY transform → its manifest spec string:
-    * identity columns stay bare; `days(ts)` / `bucket(n, c)` render
-    * as [[graft.operators.Snapshot.PartField]]'s hidden-partitioning
+    * identity columns stay bare; the time grains (`years`/`months`/
+    * `days`/`hours`), `bucket(n, c)` and `truncate(n, c)` render as
+    * [[graft.operators.Snapshot.PartField]]'s hidden-partitioning
     * forms. Anything else refuses. */
   private def transformSpec(t: Transform): String = {
     def src = t.references.head.fieldNames.mkString(".")
+    def arg(what: String): Int = t.arguments.collectFirst {
+      case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
+        lit.value.toString.toInt
+    }.getOrElse(throw new IllegalArgumentException(
+      s"graft catalog: $what transform without its width argument: $t"))
     // render through PartField itself — ONE grammar, shared with the
     // manifest/repartition/sink spec parsers
     t match {
       case _ if t.name == "identity" && t.references.length == 1 =>
         Snapshot.IdentityField(src).spec
+      case _ if t.name == "years" && t.references.length == 1 =>
+        Snapshot.YearsField(src).spec
+      case _ if t.name == "months" && t.references.length == 1 =>
+        Snapshot.MonthsField(src).spec
       case _ if t.name == "days" && t.references.length == 1 =>
         Snapshot.DaysField(src).spec
+      case _ if t.name == "hours" && t.references.length == 1 =>
+        Snapshot.HoursField(src).spec
       case _ if t.name == "bucket" && t.references.length == 1 =>
-        val n = t.arguments.collectFirst {
-          case lit: org.apache.spark.sql.connector.expressions.Literal[_] =>
-            lit.value.toString.toInt
-        }.getOrElse(throw new IllegalArgumentException(
-          s"graft catalog: bucket transform without a bucket count: $t"))
-        Snapshot.BucketField(n, src).spec
+        Snapshot.BucketField(arg("bucket"), src).spec
+      case _ if t.name == "truncate" && t.references.length == 1 =>
+        Snapshot.TruncateField(arg("truncate"), src).spec
       case other => throw new IllegalArgumentException(
         "graft catalog: PARTITIONED BY supports identity columns, " +
-          s"days(col) and bucket(n, col) — got $other")
+          "years/months/days/hours(col), bucket(n, col) and " +
+          s"truncate(n, col) — got $other")
     }
   }
 
@@ -258,6 +268,59 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     (checks, guards, expects)
   }
 
+  /** A `bloom.<col>` property value: `'bits,k'`, `'bits'`, or `''`
+    * (library defaults). */
+  private def bloomSizing(col: String, v: String): (Int, Int) =
+    v.split(",").map(_.trim).filter(_.nonEmpty) match {
+      case Array() => (1 << 17, 6)
+      case Array(bits) => (bits.toInt, 6)
+      case Array(bits, k) => (bits.toInt, k.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"graft catalog: bloom.$col wants 'bits[,k]' (got '$v')")
+    }
+
+  /** The TRACKING TBLPROPERTIES — the per-file index surface the
+    * Scala API has had since it landed, now first-class in SQL:
+    * `'statsCols'='a,b'` (per-file min/max range skipping beyond the
+    * key), `'bloom.<col>'='bits,k'` (point-lookup bloom; sizing is
+    * table-wide, so every declaration must agree), `'hll.<col>'='p'`
+    * (manifest-HLL distinct estimates). Same keys work through
+    * `ALTER TABLE … SET TBLPROPERTIES` later — tracking then starts
+    * on each file's next rewrite (compact once to backfill). */
+  private def trackingSpec(schema: StructType,
+                           properties: JMap[String, String])
+      : (Seq[String], Seq[String], Int, Int, Seq[String], Int) = {
+    val props = properties.asScala
+    val statsCols = props.get("statsCols").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val blooms = props.collect {
+      case (k, v) if k.startsWith("bloom.") =>
+        val c = k.stripPrefix("bloom.")
+        val (bits, bk) = bloomSizing(c, v)
+        (c, bits, bk)
+    }.toSeq.sortBy(_._1)
+    require(blooms.map(b => (b._2, b._3)).distinct.size <= 1,
+      "graft catalog: bloom sizing is table-wide — every bloom.<col> " +
+        s"property must agree (got ${blooms.map(b => s"${b._1}=(${b._2},${b._3})")
+          .mkString(", ")})")
+    val hlls = props.collect {
+      case (k, v) if k.startsWith("hll.") =>
+        val c = k.stripPrefix("hll.")
+        (c, if (v.trim.isEmpty) 12 else v.trim.toInt)
+    }.toSeq.sortBy(_._1)
+    require(hlls.map(_._2).distinct.size <= 1,
+      "graft catalog: HLL precision is table-wide — every hll.<col> " +
+        s"property must agree (got ${hlls.map(h => s"${h._1}=${h._2}")
+          .mkString(", ")})")
+    (statsCols ++ blooms.map(_._1) ++ hlls.map(_._1)).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"graft catalog: tracked column '$c' not in the table schema"))
+    val (bloomBits, bloomK) = blooms.headOption
+      .map(b => (b._2, b._3)).getOrElse((1 << 17, 6))
+    (statsCols, blooms.map(_._1), bloomBits, bloomK,
+      hlls.map(_._1), hlls.headOption.map(_._2).getOrElse(12))
+  }
+
   /** Plain CREATE TABLE (no AS SELECT): the table commits at v1 with
     * its schema and zero rows — the first INSERT is the first merge. */
   override def createTable(ident: Identifier, schema: StructType,
@@ -267,13 +330,17 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     val (keys, parts) = createSpec(schema, partitions, properties)
     val (checks, guards, expects) = invariantSpec(properties)
+    val (stats, bloomCols, bBits, bK, hllCols, hP) =
+      trackingSpec(schema, properties)
     store.mkdirs(dir.substring(0, dir.lastIndexOf('/')))
     val spark = SparkSession.active
     val empty = spark.createDataFrame(
       Collections.emptyList[org.apache.spark.sql.Row](), schema)
     Snapshot.createMulti(spark, dir, empty, keys = keys,
-      partitionCols = parts, statsCols = keys,
-      constraints = checks, guards = guards, expects = expects)
+      partitionCols = parts, statsCols = stats,
+      constraints = checks, guards = guards, expects = expects,
+      bloomCols = bloomCols, bloomBits = bBits, bloomK = bK,
+      hllCols = hllCols, hllP = hP)
     loadTable(ident)
   }
 
@@ -286,8 +353,10 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     val (keys, parts) = createSpec(schema, partitions, properties)
     val (checks, guards, expects) = invariantSpec(properties)
+    val tracking = trackingSpec(schema, properties)
     new GraftStagedTable(ident, dir, store, schema, keys, parts,
-      checks = checks, guards = guards, expects = expects)
+      checks = checks, guards = guards, expects = expects,
+      tracking = Some(tracking))
   }
 
   /** ATOMIC `REPLACE TABLE … AS SELECT`: the staged source frame lands
@@ -438,6 +507,34 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           val es = sp.value.split(";").map(_.trim).filter(_.nonEmpty).toSeq
           (s"set_expects(${es.mkString(";")})",
             Snapshot.setExpectsXform(path, es)(_))
+        // the TRACKING lifecycle as TBLPROPERTIES — the SQL face of
+        // setStatsCols/trackBloom/trackHll: tracking starts on each
+        // file's NEXT rewrite (compact once to backfill; pruning and
+        // manifest aggregates degrade conservatively until then)
+        case sp: TableChange.SetProperty if sp.property == "statsCols" =>
+          val cs = sp.value.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          (s"set_stats_cols(${cs.mkString(",")})",
+            Snapshot.setStatsColsXform(path, cs)(_))
+        case sp: TableChange.SetProperty
+            if sp.property.startsWith("bloom.") =>
+          val c = sp.property.stripPrefix("bloom.")
+          val (bits, k) = bloomSizing(c, sp.value)
+          (s"track_bloom($c)", Snapshot.addBloomXform(path, c, bits, k)(_))
+        case sp: TableChange.SetProperty
+            if sp.property.startsWith("hll.") =>
+          val c = sp.property.stripPrefix("hll.")
+          val p = if (sp.value.trim.isEmpty) 12 else sp.value.trim.toInt
+          (s"track_hll($c)", Snapshot.addHllXform(path, c, p)(_))
+        case rp: TableChange.RemoveProperty if rp.property == "statsCols" =>
+          ("set_stats_cols()", Snapshot.setStatsColsXform(path, Nil)(_))
+        case rp: TableChange.RemoveProperty
+            if rp.property.startsWith("bloom.") =>
+          val c = rp.property.stripPrefix("bloom.")
+          (s"untrack_bloom($c)", Snapshot.dropBloomXform(path, c)(_))
+        case rp: TableChange.RemoveProperty
+            if rp.property.startsWith("hll.") =>
+          val c = rp.property.stripPrefix("hll.")
+          (s"untrack_hll($c)", Snapshot.dropHllXform(path, c)(_))
         case rp: TableChange.RemoveProperty
             if rp.property.startsWith("check.") =>
           val n = rp.property.stripPrefix("check.")
@@ -620,8 +717,15 @@ private[graft] class GraftStagedTable(ident: Identifier, dir: String,
                                       replace: Boolean = false,
                                       checks: Map[String, String] = Map.empty,
                                       guards: Map[String, String] = Map.empty,
-                                      expects: Seq[String] = Nil)
+                                      expects: Seq[String] = Nil,
+                                      tracking: Option[(Seq[String], Seq[String],
+                                        Int, Int, Seq[String], Int)] = None)
   extends StagedTable with SupportsWrite {
+
+  // the declared tracking surface (statsCols/bloom/HLL TBLPROPERTIES),
+  // defaulting to key-only stats like plain Scala create
+  private val (stats, bloomCols, bBits, bK, hllCols, hP) =
+    tracking.getOrElse((keys, Nil, 1 << 17, 6, Nil, 12))
 
   @volatile private var staged: Option[org.apache.spark.sql.DataFrame] = None
 
@@ -688,8 +792,10 @@ private[graft] class GraftStagedTable(ident: Identifier, dir: String,
     case Some(df) =>
       store.mkdirs(dir.substring(0, dir.lastIndexOf('/')))
       Snapshot.createMulti(df.sparkSession, dir, df, keys = keys,
-        partitionCols = parts, statsCols = keys,
-        constraints = checks, guards = guards, expects = expects)
+        partitionCols = parts, statsCols = stats,
+        constraints = checks, guards = guards, expects = expects,
+        bloomCols = bloomCols, bloomBits = bBits, bloomK = bK,
+        hllCols = hllCols, hllP = hP)
     case None if replace =>
       // plain REPLACE TABLE (no AS SELECT): empty the table — the
       // truncate commit, mirroring plain CREATE's empty v1. A declared
@@ -718,8 +824,10 @@ private[graft] class GraftStagedTable(ident: Identifier, dir: String,
       val empty = spark.createDataFrame(
         Collections.emptyList[org.apache.spark.sql.Row](), tableSchema)
       Snapshot.createMulti(spark, dir, empty, keys = keys,
-        partitionCols = parts, statsCols = keys,
-        constraints = checks, guards = guards, expects = expects)
+        partitionCols = parts, statsCols = stats,
+        constraints = checks, guards = guards, expects = expects,
+        bloomCols = bloomCols, bloomBits = bBits, bloomK = bK,
+        hllCols = hllCols, hllP = hP)
   }
 
   override def abortStagedChanges(): Unit = () // nothing was written

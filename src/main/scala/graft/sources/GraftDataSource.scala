@@ -398,8 +398,14 @@ private[graft] class GraftTable(private[graft] val path: String,
     import org.apache.spark.sql.connector.expressions.Expressions
     Snapshot.readManifest(path, resolvedVersion).partFields.map {
       case graft.operators.Snapshot.IdentityField(src) => Expressions.identity(src)
+      case graft.operators.Snapshot.YearsField(src) => Expressions.years(src)
+      case graft.operators.Snapshot.MonthsField(src) => Expressions.months(src)
       case graft.operators.Snapshot.DaysField(src) => Expressions.days(src)
+      case graft.operators.Snapshot.HoursField(src) => Expressions.hours(src)
       case graft.operators.Snapshot.BucketField(n, src) => Expressions.bucket(n, src)
+      case graft.operators.Snapshot.TruncateField(n, src) =>
+        Expressions.apply("truncate",
+          Expressions.literal(n), Expressions.column(src))
     }.toArray
   }
   override def partitioning(): Array[org.apache.spark.sql.connector
