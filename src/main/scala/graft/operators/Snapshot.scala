@@ -682,6 +682,88 @@ object Snapshot {
         throw new ConcurrentCommitException(
           s"snapshot $table: version ${m.version} already committed")
     }
+    // writer-sourced memo population: this writer KNOWS the bounds it
+    // just published, so in-JVM rebase walks over this version never
+    // re-read the manifest (see [[deliveryMemo]])
+    memoDelivery(table, m.version, m.delivery)
+  }
+
+  /** Delivery-bounds MEMO (r16, VERDICT r15 ask #4): the rebase fast
+    * path walks every INTERVENING version's `delivery_bounds` under
+    * the commit lock — O(intervening) root stream-parses, which on an
+    * object store is ~1 RTT each (at the bench's measured depth of
+    * ~95 intervening commits, seconds of lock time at 100 ms RTT).
+    * Bounds are immutable once published (putIfAbsent), version
+    * numbers never reuse within a table's lifetime, and the values
+    * are tiny (a few column-name → min/max strings), so they memoize
+    * perfectly: each version's bounds are recorded at WRITE time by
+    * its own writer and at first PARSE by everyone else — a deep walk
+    * is then pure map hits, flat in depth. Staleness: the one way a
+    * (table, version) key can change meaning is DROP + RECREATE at
+    * the same path, which [[commitStaged]] closes with ONE v1-epoch
+    * stat per publish ([[validateDeliveryMemo]]) rather than a
+    * per-version guard — a recreate rewrites v1, so its (mtime, size)
+    * is the table-incarnation fingerprint. (Mid-stage recreate is
+    * already outside the optimistic protocol's contract — it deletes
+    * the staged data files themselves — so the epoch check at publish
+    * is the right granularity.) A memoized entry for a VACUUMED
+    * version keeps serving its true recorded bounds: strictly better
+    * than the parse path's None → exact probe, and sound — vacuum
+    * removes files, never rewrites history. Capacity-bounded by a
+    * clear-on-overflow (entries are ~100 B; the cap is generous). */
+  private val deliveryMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[KeyBounds]]()
+  private val deliveryMemoEpoch =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  private val DeliveryMemoMaxEntries = 1 << 16
+
+  private def memoDelivery(table: String, version: Int,
+                           delivery: Option[KeyBounds]): Unit = {
+    if (deliveryMemo.size() >= DeliveryMemoMaxEntries) deliveryMemo.clear()
+    // normalize to the PARSE-equivalent shape so writer-sourced and
+    // parse-sourced entries are indistinguishable to the consumer
+    // (serialization drops nulls/sum; an empty hull renders as the
+    // empty object and reads back as empty=true)
+    val norm = delivery.map { kb =>
+      if (kb.empty || kb.bounds.isEmpty) KeyBounds(empty = true, Map.empty)
+      else KeyBounds(empty = false, kb.bounds.map { case (c, cs) =>
+        c -> ColStats(cs.kind, cs.min, cs.max, 0L) })
+    }
+    deliveryMemo.put((table, version), norm)
+  }
+
+  /** One head-parse per publish: if the table's v1 fingerprint —
+    * (committed_at millis, manifest size) — moved since this JVM last
+    * looked, the path was dropped and recreated, and every memoized
+    * bound for it is for a DEAD incarnation and must go. committed_at
+    * beats an mtime guard here: a fast drop+recreate can land v1 in
+    * the same coarse mtime tick at the same byte size, but not in the
+    * same wall-clock millisecond with the same size (and the
+    * stream-parse stops at the manifest head — one read, no
+    * inventory). */
+  private def validateDeliveryMemo(table: String): Unit = {
+    val st = store(table)
+    val p1 = manifestPath(table, 1)
+    val cur =
+      try {
+        if (st.exists(p1)) (committedAt(table, 1), st.size(p1)) else (0L, 0L)
+      } catch { case _: Exception => (0L, 0L) }
+    val prev = deliveryMemoEpoch.put(table, cur)
+    // prev == null: first validate for this table in this JVM — any
+    // entries already present (recorded by plain merge()/writeManifest
+    // before any commitStaged ran) were never epoch-pinned and could
+    // predate an EXTERNAL drop+recreate; drop them too. One cold walk
+    // per (table, JVM), then every later publish is warm.
+    if (prev == null || prev != cur) {
+      val it = deliveryMemo.keySet.iterator()
+      while (it.hasNext) if (it.next()._1 == table) it.remove()
+    }
+  }
+
+  /** Drop every memoized delivery bound (benchmarks measuring cold
+    * walks). */
+  private[graft] def clearDeliveryMemo(): Unit = {
+    deliveryMemo.clear(); deliveryMemoEpoch.clear()
   }
 
   /** Entry count past which [[writeManifest]] segments (tunable for
@@ -1678,6 +1760,9 @@ object Snapshot {
           // sources) or intersecting ranges fall through to the exact
           // probe. File-hull disproof would NOT work here: a rewritten
           // partition's file stats span its survivors' whole range.
+          // one stat: drop memoized bounds from a dead table
+          // incarnation before trusting any of them ([[deliveryMemo]])
+          validateDeliveryMemo(table)
           val mightOverlap = staged.keyBounds match {
             case Some(kb) if kb.empty => false
             case Some(kb) if kb.bounds.nonEmpty =>
@@ -3892,7 +3977,23 @@ object Snapshot {
     * lock — a full [[readManifest]] there would fan out the whole
     * metadata tree to save a 2 s probe. A vacuumed version reads as
     * None (unknown → exact probe). */
-  private def deliveryBoundsOf(table: String, version: Int): Option[KeyBounds] =
+  private[graft] def deliveryBoundsOf(table: String, version: Int): Option[KeyBounds] = {
+    // memo first: bounds are immutable per (table, version) within a
+    // table incarnation, and the caller (commitStaged) validated the
+    // incarnation epoch before the walk — a hit is a pure map read
+    val memoed = deliveryMemo.get((table, version))
+    if (memoed != null) return memoed
+    val parsed = parseDeliveryBounds(table, version)
+    // a MISSING manifest is not memoized: it may be a not-yet-visible
+    // or vacuumed version — absence is not an immutable fact, and a
+    // later parse may find real bounds
+    if (parsed.isDefined || store(table).exists(manifestPath(table, version)))
+      memoDelivery(table, version, parsed)
+    parsed
+  }
+
+  private def parseDeliveryBounds(table: String,
+                                  version: Int): Option[KeyBounds] =
     try {
       val st = store(table)
       val p = manifestPath(table, version)

@@ -56,19 +56,28 @@ object Writers {
     if (spec.saveMode == "snapshot") {
       require(spec.mergeKey.nonEmpty,
         s"sink '${spec.name}': saveMode snapshot needs mergeKey")
-      require(spec.partitionBy.size == 1,
-        s"sink '${spec.name}': saveMode snapshot needs exactly one partitionBy " +
-          s"column (got ${spec.partitionBy.mkString(",")})")
+      require(spec.partitionBy.nonEmpty,
+        s"sink '${spec.name}': saveMode snapshot needs partitionBy")
       require(spec.format == "parquet",
         s"sink '${spec.name}': snapshot tables are parquet (got ${spec.format})")
+      // the SAME comma/transform grammar the stream sink and the SQL
+      // catalog parse (PartField.splitSpecs): `"key": "tenant,entity"`
+      // is a composite key, partitionBy entries may be identity
+      // columns or transforms ("days(ts)", "bucket(8,id)", …) — the
+      // metadata-driven surface creates every table shape the format
+      // supports
+      val keys = graft.operators.Snapshot.PartField.splitSpecs(spec.mergeKey)
+      val parts = spec.partitionBy.flatMap(
+        graft.operators.Snapshot.PartField.splitSpecs)
       // layout range|zorder maps onto the table's commit layout — a
       // TABLE property fixed at bootstrap (later commits reuse the
       // manifest's layout; a differing spec on an existing table is
       // ignored by design, like statsCols)
       val del =
         if (df.columns.contains("__deleted"))
-          df.filter(coalesce(col("__deleted"), lit(false))).select(spec.mergeKey)
-        else df.limit(0).select(spec.mergeKey)
+          df.filter(coalesce(col("__deleted"), lit(false)))
+            .select(keys.map(col): _*)
+        else df.limit(0).select(keys.map(col): _*)
       val ups =
         if (df.columns.contains("__deleted"))
           df.filter(!coalesce(col("__deleted"), lit(false))).drop("__deleted")
@@ -78,8 +87,8 @@ object Writers {
           applyEvolve(df.sparkSession, path, spec)
         val st =
           if (!graft.operators.Snapshot.exists(path))
-            graft.operators.Snapshot.create(df.sparkSession, path, ups,
-              spec.mergeKey, spec.partitionBy.head, spec.statsCols,
+            graft.operators.Snapshot.createMulti(df.sparkSession, path, ups,
+              keys, parts, spec.statsCols,
               fileRanges = spec.layoutPartitions,
               layoutMode = if (spec.layout == "none") "range" else spec.layout,
               zorderKeys = spec.layoutKeys,

@@ -361,8 +361,18 @@ private[graft] class GraftTable(private[graft] val path: String,
     props.put("partitionCol", m.partitionLabel)
     props.put("version", resolvedVersion.toString)
     if (m.statsCols.nonEmpty) props.put("statsCols", m.statsCols.mkString(","))
-    if (m.bloomCols.nonEmpty) props.put("bloomCols", m.bloomCols.mkString(","))
-    if (m.hllCols.nonEmpty) props.put("hllCols", m.hllCols.mkString(","))
+    // tracking renders in the EXACT syntax CREATE accepts, so a SHOW
+    // CREATE TABLE / re-CREATE round-trip reproduces the index surface
+    // (the aggregate bloomCols/hllCols forms stay for dashboards)
+    if (m.bloomCols.nonEmpty) {
+      props.put("bloomCols", m.bloomCols.mkString(","))
+      m.bloomCols.foreach(c =>
+        props.put(s"bloom.$c", s"${m.bloomBits},${m.bloomK}"))
+    }
+    if (m.hllCols.nonEmpty) {
+      props.put("hllCols", m.hllCols.mkString(","))
+      m.hllCols.foreach(c => props.put(s"hll.$c", m.hllP.toString))
+    }
     if (m.layout.fileRanges > 0) {
       props.put("layout", m.layout.mode)
       props.put("fileRanges", m.layout.fileRanges.toString)

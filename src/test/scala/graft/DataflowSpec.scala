@@ -562,6 +562,52 @@ class DataflowSpec extends SparkSpecBase {
     assert(left.filter(col("doc_id") % 10 === 0 && col("doc_id") % 2 === 0).count() == 0)
   }
 
+  test("metadata sink: composite + transformed partition specs create through the JSON batch sink, and keyed merges land by TUPLE (r15 VERDICT #3)") {
+    val t = java.nio.file.Files.createTempDirectory("graft_mkjson").toString + "/tbl"
+    // first wave CREATES the table: composite key "lang,doc_id",
+    // partition spec mixing an identity column with a bucket
+    // transform — exactly what the stream sink and SQL catalog
+    // accept, now through the reference-idiom JSON surface
+    def spec(where: String) =
+      s"""{"dataflows":[{"name":"mk",
+         |  "sources":[{"name":"docs","path":"${sf()}/documents.parquet","format":"parquet"}],
+         |  "transformations":[
+         |    {"name":"chg","type":"sql","params":{"input":"docs","output":"chg",
+         |      "query":"$where"}}],
+         |  "sinks":[{"input":"chg","name":"s","paths":["$t"],
+         |    "format":"parquet","saveMode":"snapshot",
+         |    "mergeKey":"lang,doc_id",
+         |    "partitionBy":["source","bucket(4,doc_id)"]}]}]}""".stripMargin
+    graft.Dataflow.run(spark, MetaLoader.loadString(spec(
+      "SELECT doc_id, text, lang, source, n_chars FROM docs")).dataflow("mk"))
+    val m = graft.operators.Snapshot.readManifest(t, 1)
+    assert(m.keys == Seq("lang", "doc_id"))
+    assert(m.partitionCols == Seq("source", "bucket(4,doc_id)"))
+    assert(m.partitions.keySet.forall(_.contains("~")))
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val before = docs.count()
+    // second wave MERGES by tuple: revise doc_id%7==1 in place,
+    // delete doc_id%11==3
+    graft.Dataflow.run(spark, MetaLoader.loadString(spec(
+      "SELECT doc_id, concat(text, ' [v2]') AS text, lang, source, " +
+        "n_chars + 1 AS n_chars, doc_id % 11 = 3 AS __deleted " +
+        "FROM docs WHERE doc_id % 7 = 1 OR doc_id % 11 = 3")).dataflow("mk"))
+    assert(graft.operators.Snapshot.currentVersion(t) == 2)
+    val got = graft.operators.Snapshot.readLatest(spark, t)
+    assert(got.filter(col("doc_id") % 11 === 3).count() == 0)
+    val revised = got.filter(col("doc_id") % 7 === 1)
+    assert(revised.count() > 0 &&
+      revised.filter(!col("text").endsWith(" [v2]")).count() == 0)
+    assert(got.count() ==
+      before - docs.filter(col("doc_id") % 11 === 3).count())
+    // a composite-tuple point read prunes through the bucket transform
+    val someId = docs.filter(col("doc_id") % 7 === 1 && col("doc_id") % 11 =!= 3)
+      .select("doc_id").head().getLong(0)
+    val (kept, total) = graft.operators.Snapshot.pruneEq(t, "doc_id", someId)
+    assert(kept.size < total)
+  }
+
   test("metadata sink: evolve block migrates an existing snapshot target idempotently") {
     val t = java.nio.file.Files.createTempDirectory("graft_evo").toString + "/tbl"
     val docs = spark.read.parquet(sf() + "/documents.parquet")

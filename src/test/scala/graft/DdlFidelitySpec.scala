@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.Snapshot
+
+import java.nio.file.{Files, Paths}
+import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
+
+/** SHOW CREATE TABLE / DESCRIBE fidelity (r16, VERDICT r15 stretch
+  * #8): the catalog must render composite keys, transform partition
+  * specs and the tracking surface in EXACTLY the syntax CREATE
+  * accepts, so migrated DDL round-trips — `SHOW CREATE TABLE` output,
+  * re-executed against a fresh name, must reproduce the table's whole
+  * contract.
+  */
+class DdlFidelitySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def fresh(tag: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_ddlspec_$tag"
+    val root = Paths.get(p)
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
+    p
+  }
+
+  test("SHOW CREATE TABLE round-trips: composite key, hours/truncate transforms, and bloom/hll/stats tracking reproduce on re-CREATE") {
+    val root = fresh("roundtrip")
+    spark.conf.set("spark.sql.catalog.ddlcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ddlcat.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ddlcat.db")
+    Seq(("t1", 7L, Timestamp.valueOf("2024-01-10 06:30:00"), "alpha", 42),
+      ("t2", 8L, Timestamp.valueOf("2024-01-10 07:30:00"), "beta", 43))
+      .toDF("tenant", "entity", "ts", "name", "code")
+      .createOrReplaceTempView("ddl_src")
+    spark.sql("""CREATE TABLE ddlcat.db.orig USING graft
+      PARTITIONED BY (hours(ts), truncate(2, name))
+      TBLPROPERTIES ('key' = 'tenant,entity',
+        'statsCols' = 'code', 'bloom.name' = '65536,5', 'hll.code' = '12',
+        'check.pos_code' = 'code > 0')
+      AS SELECT * FROM ddl_src""")
+    val ddl = spark.sql("SHOW CREATE TABLE ddlcat.db.orig")
+      .head().getString(0)
+    // the contract renders in CREATE-accepted syntax
+    assert(ddl.contains("'key' = 'tenant,entity'") ||
+      ddl.contains("'key'='tenant,entity'"), ddl)
+    assert(ddl.contains("hours(ts)"), ddl)
+    assert(ddl.toLowerCase.contains("truncate(2, name)") ||
+      ddl.toLowerCase.contains("truncate(2,name)"), ddl)
+    assert(ddl.contains("bloom.name"), ddl)
+    assert(ddl.contains("hll.code"), ddl)
+    assert(ddl.contains("check.pos_code"), ddl)
+    // the emitted DDL, retargeted to a fresh name, reproduces the
+    // whole contract (CTAS keeps the SELECT out of SHOW CREATE TABLE,
+    // so re-create is the empty-v1 form — contract fidelity is the
+    // point, not data)
+    val retargeted = ddl.replace("ddlcat.db.orig", "ddlcat.db.clone")
+    spark.sql(retargeted)
+    val o = Snapshot.readManifest(s"$root/db/orig", 1)
+    val cDir = s"$root/db/clone"
+    val c = Snapshot.readManifest(cDir, Snapshot.currentVersion(cDir))
+    assert(c.keys == o.keys && c.keys == Seq("tenant", "entity"))
+    assert(c.partitionCols == o.partitionCols &&
+      c.partitionCols == Seq("hours(ts)", "truncate(2,name)"))
+    assert(c.statsCols == o.statsCols)
+    assert(c.bloomCols == o.bloomCols && c.bloomBits == o.bloomBits &&
+      c.bloomK == o.bloomK)
+    assert(c.hllCols == o.hllCols && c.hllP == o.hllP)
+    assert(c.constraints == o.constraints)
+    // DESCRIBE EXTENDED surfaces the same contract for humans
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED ddlcat.db.orig")
+      .collect().map(_.mkString(" ")).mkString("\n")
+    assert(desc.contains("hours(ts)"))
+    assert(desc.contains("tenant,entity"))
+  }
+}

@@ -11,8 +11,12 @@ prose can never drift again:
 - components  = numbered rows in the §2 table (`| 12 |`, `| 3b |`, ...)
 - extra rows  = un-numbered operator rows (`| — |`) — reported, not
                 counted as components (matches the judge's convention)
-- catalog queries = the prose's second number; when an oracle_sql.json
-  (written by graft.Verify) is passed, it must equal len(keys) there.
+- catalog queries = the prose's second number; checked against an
+  oracle_sql.json (written by graft.Verify) when one is passed, else
+  against the COMMITTED key list tools/catalog_keys.txt (regenerated
+  and gated by SurveyGateSpec), so the key-level diff runs with no
+  arguments between driver runs — the last drift channel (r15 VERDICT
+  ask #6).
 
 Exit 0 iff every cross-check passes.
 """
@@ -52,14 +56,24 @@ def section2(text):
     end = text.index("## §3")
     return text[start:end]
 
+keys_file = repo / "tools" / "catalog_keys.txt"
 if len(sys.argv) > 1:
-    oracle = json.loads(Path(sys.argv[1]).read_text())
+    oracle = set(json.loads(Path(sys.argv[1]).read_text()))
+    source = sys.argv[1]
+elif keys_file.exists():
+    oracle = set(keys_file.read_text().split())
+    source = "tools/catalog_keys.txt (committed)"
+else:
+    oracle = None
+    source = None
+
+if oracle is not None:
     if prose_queries != len(oracle):
         print(f"FAIL: prose says {prose_queries} catalog queries, "
-              f"oracle_sql.json has {len(oracle)}")
+              f"{source} has {len(oracle)}")
         ok = False
     else:
-        print(f"OK  catalog queries: {len(oracle)} == prose")
+        print(f"OK  catalog queries: {len(oracle)} == prose ({source})")
     # KEY-LEVEL diff (r15, VERDICT r14 #6): counts alone missed a green
     # catalog query with no §2 row (export_shards). Every catalog key
     # must appear backticked somewhere in the §2 table; every key named
@@ -86,7 +100,9 @@ if len(sys.argv) > 1:
     else:
         print("OK  no phantom keys in §2 pass cells")
 else:
-    print(f"(no oracle_sql.json given; prose claims {prose_queries} "
-          f"catalog queries — pass /tmp/verify_out/oracle_sql.json to check)")
+    print(f"FAIL: no oracle_sql.json given and tools/catalog_keys.txt is "
+          f"missing — the key-level diff cannot run (prose claims "
+          f"{prose_queries} catalog queries)")
+    ok = False
 
 sys.exit(0 if ok else 1)
