@@ -40,7 +40,7 @@ object Bench {
     "multimodal_video",
     "sample_stratified", "pack_sequences", "decontaminate",
     "text_redact", "text_chunks", "vocab_df", "search_bm25",
-    "search_hybrid", "expectations_report", "mix_sqrt",
+    "search_hybrid", "expectations_report", "mix_sqrt", "mix_clusters",
     "emb_centroids", "skew_keys", "skew_keys_approx", "contamination",
     "event_histogram",
     "strip_boilerplate", "dedup_paragraph", "shuffle_order",
@@ -59,8 +59,9 @@ object Bench {
     "snapshot_dsv2_merge", "snapshot_dsv2_merge_cond", "snapshot_dsv2_merge_on",
     "snapshot_dsv2_overwrite", "snapshot_dsv2_overwrite_part",
     "snapshot_dsv2_dml_in", "snapshot_dsv2_dml_open",
-    "snapshot_multikey", "snapshot_days_prune", "snapshot_bucket_prune",
-    "snapshot_repartition",
+    "snapshot_multikey", "snapshot_days_prune", "snapshot_hours_prune",
+    "snapshot_bucket_prune",
+    "snapshot_repartition", "snapshot_sql_tracking",
     "snapshot_catalog", "snapshot_catalog_asof",
     "snapshot_relayout",
     "fuzzy_names", "fuzzy_names_jw", "fuzzy_names_multi",

@@ -2231,6 +2231,40 @@ object Oracles {
         |  FROM k GROUP BY doc_id) WHERE n_kept > 0""".stripMargin,
 
     // per-source cap: hash-order row_number, keep rank <= 10
+    // cluster-balanced mix: nearest-pinned-centroid assignment (the
+    // semdedup cent/asg CTEs verbatim — same first-32 normalized
+    // codebook, same lowest-index tie-break) + the md5-order cap
+    "mix_clusters" ->
+      """WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS ss FROM w),
+        |u AS (SELECT vec_id,
+        |        CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0/sqrt(ss)))
+        |             ELSE v END AS uv
+        |      FROM n),
+        |cent AS (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+        |         CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0/sqrt(ss)))
+        |              ELSE v END AS c
+        |  FROM (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS ss
+        |        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |              WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 32))),
+        |asg AS (
+        |  SELECT u.vec_id, cent.cid,
+        |    list_sum(list_transform(generate_series(1, len(u.uv)),
+        |      i -> (u.uv[i] - cent.c[i]) * (u.uv[i] - cent.c[i]))) AS d2
+        |  FROM u, cent),
+        |cell AS (SELECT vec_id, cid AS cell FROM
+        |           (SELECT vec_id, cid, ROW_NUMBER() OVER
+        |              (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS p FROM asg)
+        |         WHERE p = 1),
+        |ranked AS (
+        |  SELECT vec_id AS id, cell,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cell
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT)
+        |      AS cell_rank
+        |  FROM cell)
+        |SELECT id, cell, cell_rank FROM ranked WHERE cell_rank <= 12""".stripMargin,
+
     "cap_per_source" ->
       """SELECT doc_id, source, grp_rank FROM (
         |  SELECT doc_id, source,

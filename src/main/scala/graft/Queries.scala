@@ -918,6 +918,18 @@ object Queries {
       ivfAnchorCodebook(e), threshold = 0.4)
   }
 
+  /** CLUSTER-BALANCED corpus mix (DataComp/DCLM shaping): embeddings
+    * assign to the pinned anchor codebook's nearest cells, each cell
+    * capped at 12 documents by the deterministic md5 order — latent-
+    * topic rebalancing, the embedding-space analog of the per-source
+    * cap. The oracle replays assignment (same pinned centroids, same
+    * lowest-index tie-break) and the cap relationally. */
+  def mixClustersQ(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Sampling.clusterBalancedCap(e, col("vec_id"), col("embedding"),
+      ivfAnchorCodebook(e), maxN = 12)
+  }
+
   /** Duplicate 5-gram coverage per document — the substring-level
     * dedup diagnostic (fraction of n-gram instances repeated in ≥ 2
     * docs). */
@@ -3036,6 +3048,7 @@ object Queries {
     "q_scd2_apply" -> qScd2Apply _,
     "q_pagerank" -> qPageRank _,
     "mix_sqrt" -> mixSqrt _,
+    "mix_clusters" -> mixClustersQ _,
     "emb_centroids" -> embCentroids _,
     "skew_keys" -> skewKeys _,
     "skew_keys_approx" -> skewKeysApprox _,

@@ -149,6 +149,43 @@ object Sampling {
   }
 
   /**
+   * CLUSTER-BALANCED selection (the DataComp/DCLM corpus-shaping
+   * move): assign each document's embedding to its nearest pinned
+   * centroid, then apply [[capPerGroup]] PER CLUSTER — "no more than
+   * N documents per topic", the embedding-space analog of the
+   * per-domain cap (#81). Where sqrt-temperature mixing (#71)
+   * rebalances by a DECLARED group (language, source), this
+   * rebalances by the corpus' own LATENT structure: over-represented
+   * topics (boilerplate clusters, SEO farms) are cut to the cap while
+   * the long tail survives whole.
+   *
+   * Determinism: the codebook is PINNED (caller-supplied, e.g. the
+   * first-k anchor codebook IVF training seeds from), assignment
+   * breaks distance ties by lowest centroid index, and the within-
+   * cluster order is the md5 hash order — bit-stable across runs,
+   * engines and partitionings, so the kept subset is reproducible and
+   * SQL-replayable.
+   *
+   * Scale: assignment is one scan-side codegen'd kernel (no shuffle);
+   * the cap is one shuffle keyed by cell — k cells bound the window
+   * width, and the emitted rank only has to be correct up to maxN.
+   *
+   * Output: `(id, cell, cell_rank)` for the kept rows.
+   */
+  def clusterBalancedCap(df: DataFrame, id: Column, vec: Column,
+                         centroids: Array[Array[Double]],
+                         maxN: Int): DataFrame = {
+    require(centroids.nonEmpty, "clusterBalancedCap: empty codebook")
+    import graft.functions.VectorExprs.nearestCentroids
+    // a null/absent embedding has no topic: dropped, not grouped
+    val assigned = df.select(id.as("id"),
+      element_at(nearestCentroids(vec, centroids, 1), 1).as("cell"))
+      .filter(col("cell").isNotNull)
+    capPerGroup(assigned, col("cell"), col("id"), maxN)
+      .select(col("id"), col("cell"), col("grp_rank").as("cell_rank"))
+  }
+
+  /**
    * QUANTILE QUALITY GATE: keep rows whose metric reaches their
    * group's exact `q`-quantile — "drop the worst quarter of each
    * source by quality score", the relative-threshold filtering step

@@ -279,6 +279,26 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         s"graft catalog: bloom.$col wants 'bits[,k]' (got '$v')")
     }
 
+  /** The LAYOUT TBLPROPERTIES — the commit-layout contract the Scala
+    * create has always taken (`'layout'='range|zorder'`,
+    * `'fileRanges'='8'`, `'zorderKeys'='a,b'`), so a SQL-created
+    * table bounds its files-per-partition from day one (the
+    * unlaid-out composite table cost 12.6× in file opens at sf1 —
+    * r15's measured lesson) and SHOW CREATE TABLE round-trips the
+    * layout it renders. Post-create the layout changes by REWRITE
+    * only: `CALL <cat>.system.relayout(…)`, never ALTER. */
+  private def layoutSpec(properties: JMap[String, String])
+      : (Int, String, Seq[String]) = {
+    val props = properties.asScala
+    val fileRanges = props.get("fileRanges").map(_.trim.toInt).getOrElse(0)
+    val mode = props.get("layout").map(_.trim).getOrElse("range")
+    require(mode == "range" || mode == "zorder",
+      s"graft catalog: layout must be range|zorder (got '$mode')")
+    val zorderKeys = props.get("zorderKeys").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    (fileRanges, mode, zorderKeys)
+  }
+
   /** The TRACKING TBLPROPERTIES — the per-file index surface the
     * Scala API has had since it landed, now first-class in SQL:
     * `'statsCols'='a,b'` (per-file min/max range skipping beyond the
@@ -332,12 +352,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val (checks, guards, expects) = invariantSpec(properties)
     val (stats, bloomCols, bBits, bK, hllCols, hP) =
       trackingSpec(schema, properties)
+    val (fileRanges, layoutMode, zorderKeys) = layoutSpec(properties)
     store.mkdirs(dir.substring(0, dir.lastIndexOf('/')))
     val spark = SparkSession.active
     val empty = spark.createDataFrame(
       Collections.emptyList[org.apache.spark.sql.Row](), schema)
     Snapshot.createMulti(spark, dir, empty, keys = keys,
       partitionCols = parts, statsCols = stats,
+      fileRanges = fileRanges, layoutMode = layoutMode,
+      zorderKeys = zorderKeys,
       constraints = checks, guards = guards, expects = expects,
       bloomCols = bloomCols, bloomBits = bBits, bloomK = bK,
       hllCols = hllCols, hllP = hP)
@@ -354,9 +377,10 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val (keys, parts) = createSpec(schema, partitions, properties)
     val (checks, guards, expects) = invariantSpec(properties)
     val tracking = trackingSpec(schema, properties)
+    val layout = layoutSpec(properties)
     new GraftStagedTable(ident, dir, store, schema, keys, parts,
       checks = checks, guards = guards, expects = expects,
-      tracking = Some(tracking))
+      tracking = Some(tracking), layout = Some(layout))
   }
 
   /** ATOMIC `REPLACE TABLE … AS SELECT`: the staged source frame lands
@@ -535,6 +559,16 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
             if rp.property.startsWith("hll.") =>
           val c = rp.property.stripPrefix("hll.")
           (s"untrack_hll($c)", Snapshot.dropHllXform(path, c)(_))
+        // layout is DATA PLACEMENT, not metadata: changing it means
+        // rewriting files — route to the priced verb, refuse the
+        // silent metadata edit
+        case sp: TableChange.SetProperty
+            if Set("layout", "fileRanges", "zorderKeys")(sp.property) =>
+          throw new UnsupportedOperationException(
+            s"graft catalog: '${sp.property}' is the commit LAYOUT — a " +
+              "data rewrite, not a metadata property; use CALL " +
+              s"$catName.system.relayout(...) (declared at CREATE it " +
+              "bootstraps the table's layout)")
         case rp: TableChange.RemoveProperty
             if rp.property.startsWith("check.") =>
           val n = rp.property.stripPrefix("check.")
@@ -719,13 +753,17 @@ private[graft] class GraftStagedTable(ident: Identifier, dir: String,
                                       guards: Map[String, String] = Map.empty,
                                       expects: Seq[String] = Nil,
                                       tracking: Option[(Seq[String], Seq[String],
-                                        Int, Int, Seq[String], Int)] = None)
+                                        Int, Int, Seq[String], Int)] = None,
+                                      layout: Option[(Int, String,
+                                        Seq[String])] = None)
   extends StagedTable with SupportsWrite {
 
   // the declared tracking surface (statsCols/bloom/HLL TBLPROPERTIES),
   // defaulting to key-only stats like plain Scala create
   private val (stats, bloomCols, bBits, bK, hllCols, hP) =
     tracking.getOrElse((keys, Nil, 1 << 17, 6, Nil, 12))
+  private val (fileRanges, layoutMode, zorderKeys) =
+    layout.getOrElse((0, "range", Nil))
 
   @volatile private var staged: Option[org.apache.spark.sql.DataFrame] = None
 
@@ -793,6 +831,8 @@ private[graft] class GraftStagedTable(ident: Identifier, dir: String,
       store.mkdirs(dir.substring(0, dir.lastIndexOf('/')))
       Snapshot.createMulti(df.sparkSession, dir, df, keys = keys,
         partitionCols = parts, statsCols = stats,
+        fileRanges = fileRanges, layoutMode = layoutMode,
+        zorderKeys = zorderKeys,
         constraints = checks, guards = guards, expects = expects,
         bloomCols = bloomCols, bloomBits = bBits, bloomK = bK,
         hllCols = hllCols, hllP = hP)
@@ -825,6 +865,8 @@ private[graft] class GraftStagedTable(ident: Identifier, dir: String,
         Collections.emptyList[org.apache.spark.sql.Row](), tableSchema)
       Snapshot.createMulti(spark, dir, empty, keys = keys,
         partitionCols = parts, statsCols = stats,
+        fileRanges = fileRanges, layoutMode = layoutMode,
+        zorderKeys = zorderKeys,
         constraints = checks, guards = guards, expects = expects,
         bloomCols = bloomCols, bloomBits = bBits, bloomK = bK,
         hllCols = hllCols, hllP = hP)

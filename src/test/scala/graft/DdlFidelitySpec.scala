@@ -76,4 +76,47 @@ class DdlFidelitySpec extends SparkSpecBase {
     assert(desc.contains("hours(ts)"))
     assert(desc.contains("tenant,entity"))
   }
+
+  test("layout TBLPROPERTIES: a SQL-created table declares its commit layout at CREATE, it round-trips, and ALTER refuses (layout is a rewrite)") {
+    val root = fresh("layout")
+    spark.conf.set("spark.sql.catalog.ddlcat2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ddlcat2.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ddlcat2.db")
+    (1L to 400L).map(i => (i, s"p${i % 4}", s"pay$i"))
+      .toDF("id", "part", "payload").createOrReplaceTempView("ddl_lay_src")
+    spark.sql("""CREATE TABLE ddlcat2.db.laid USING graft
+      TBLPROPERTIES ('key' = 'id', 'partitionCol' = 'part',
+        'layout' = 'range', 'fileRanges' = '4')
+      AS SELECT * FROM ddl_lay_src""")
+    val dir = s"$root/db/laid"
+    val m = Snapshot.readManifest(dir, 1)
+    assert(m.layout.fileRanges == 4 && m.layout.mode == "range")
+    // the range layout bounds files-per-partition (the r15 small-files
+    // lesson): 4 ranges over 4 partitions ≈ 1 file each, never the
+    // 32-thread spray
+    assert(m.files.size <= 8)
+    val ddl = spark.sql("SHOW CREATE TABLE ddlcat2.db.laid").head().getString(0)
+    assert(ddl.contains("fileRanges"), ddl)
+    spark.sql(ddl.replace("ddlcat2.db.laid", "ddlcat2.db.laid2"))
+    val c = Snapshot.readManifest(s"$root/db/laid2",
+      Snapshot.currentVersion(s"$root/db/laid2"))
+    assert(c.layout == m.layout)
+    // post-create the layout changes by REWRITE only
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql("ALTER TABLE ddlcat2.db.laid SET TBLPROPERTIES " +
+        "('fileRanges' = '16')")
+    }
+    assert(e.getMessage.contains("relayout"))
+    // a zorder declaration needs its keys — the Scala create's refusal
+    val eZ = intercept[Exception] {
+      spark.sql("""CREATE TABLE ddlcat2.db.zbad USING graft
+        TBLPROPERTIES ('key' = 'id', 'partitionCol' = 'part',
+          'layout' = 'zorder', 'fileRanges' = '4')
+        AS SELECT * FROM ddl_lay_src""")
+    }
+    val msgs = Iterator.iterate(eZ: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("zorder"))
+  }
 }

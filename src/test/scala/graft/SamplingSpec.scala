@@ -27,6 +27,32 @@ class SamplingSpec extends SparkSpecBase {
       "stratified sampling must not shuffle")
   }
 
+  test("clusterBalancedCap: nearest-pinned-centroid cells, per-cell md5 cap, null embeddings dropped") {
+    // two well-separated pinned topics; 5 vectors near topic A, 2
+    // near topic B, one null
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val rows = Seq(
+      (1L, Seq(0.9, 0.1)), (2L, Seq(0.8, 0.2)), (3L, Seq(0.95, 0.05)),
+      (4L, Seq(0.85, 0.15)), (5L, Seq(0.99, 0.01)),
+      (6L, Seq(0.1, 0.9)), (7L, Seq(0.2, 0.8)),
+      (8L, null.asInstanceOf[Seq[Double]]))
+      .toDF("id", "emb")
+    val out = Sampling.clusterBalancedCap(rows, col("id"), col("emb"),
+      cents, maxN = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // topic A capped 5 -> 3; topic B kept whole; the null row gone
+    assert(out.count(_._2 == 0) == 3)
+    assert(out.count(_._2 == 1) == 2)
+    assert(!out.exists(_._1 == 8L))
+    assert(out.forall(_._3 <= 3))
+    // the kept subset is the md5 hash order — recompute it
+    val keptA = out.filter(_._2 == 0).map(_._1).toSet
+    val wantA = Seq(1L, 2L, 3L, 4L, 5L)
+      .sortBy(i => (org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        i.toString), i)).take(3).toSet
+    assert(keptA == wantA)
+  }
+
   test("packSequences: seq assignment equals the exclusive-cumsum formula") {
     val d = Seq((1L, 100L), (2L, 2000L), (3L, 30L), (4L, 500L), (5L, 1500L), (6L, 10L))
       .toDF("doc_id", "n_tokens")
