@@ -713,8 +713,11 @@ object Snapshot {
     * clear-on-overflow (entries are ~100 B; the cap is generous). */
   private val deliveryMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Option[KeyBounds]]()
-  private val deliveryMemoEpoch =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+  // table → (v1 stat (mtime, size) — the cheap per-publish validator,
+  //          v1 identity (committed_at millis, size) — the
+  //          incarnation fingerprint, read only when the stat moves)
+  private val deliveryMemoEpoch = new java.util.concurrent
+    .ConcurrentHashMap[String, ((Long, Long), (Long, Long))]()
   private val DeliveryMemoMaxEntries = 1 << 16
 
   private def memoDelivery(table: String, version: Int,
@@ -732,31 +735,57 @@ object Snapshot {
     deliveryMemo.put((table, version), norm)
   }
 
-  /** One head-parse per publish: if the table's v1 fingerprint —
-    * (committed_at millis, manifest size) — moved since this JVM last
-    * looked, the path was dropped and recreated, and every memoized
-    * bound for it is for a DEAD incarnation and must go. committed_at
-    * beats an mtime guard here: a fast drop+recreate can land v1 in
-    * the same coarse mtime tick at the same byte size, but not in the
-    * same wall-clock millisecond with the same size (and the
-    * stream-parse stops at the manifest head — one read, no
-    * inventory). */
+  /** Epoch check per publish: if the table's v1 changed incarnation
+    * since this JVM last looked (the path was dropped and recreated),
+    * every memoized bound for it is for a DEAD table and must go.
+    * Steady-state cost is ONE stat (mtime, size) of v1: while the
+    * stat matches the pinned value — and is past the coarse-mtime
+    * racily-clean window — the incarnation provably did not change.
+    * When the stat moves (or is fresh), the INCARNATION FINGERPRINT
+    * re-reads: (committed_at millis, size), which a same-tick
+    * same-size recreate cannot forge (the head stream-parse stops
+    * after three fields — it never materializes the inventory, but it
+    * does fetch the file, which is why it only runs on stat change).
+    * An UNKNOWABLE epoch — v1 vacuumed, stat/parse failure, a legacy
+    * pre-instant manifest — never trusts pre-existing entries: the
+    * walk runs cold on such tables every publish (conservative; a
+    * (0,0) sentinel would conflate two unknowable incarnations, which
+    * is exactly how a stale disjoint-looking bound could skip the
+    * probe that catches a true conflict). First validate in a JVM
+    * also clears: entries recorded before any epoch pin could predate
+    * an external recreate. */
   private def validateDeliveryMemo(table: String): Unit = {
     val st = store(table)
     val p1 = manifestPath(table, 1)
-    val cur =
-      try {
-        if (st.exists(p1)) (committedAt(table, 1), st.size(p1)) else (0L, 0L)
-      } catch { case _: Exception => (0L, 0L) }
-    val prev = deliveryMemoEpoch.put(table, cur)
-    // prev == null: first validate for this table in this JVM — any
-    // entries already present (recorded by plain merge()/writeManifest
-    // before any commitStaged ran) were never epoch-pinned and could
-    // predate an EXTERNAL drop+recreate; drop them too. One cold walk
-    // per (table, JVM), then every later publish is warm.
-    if (prev == null || prev != cur) {
+    def clearTable(): Unit = {
       val it = deliveryMemo.keySet.iterator()
       while (it.hasNext) if (it.next()._1 == table) it.remove()
+    }
+    val stat =
+      try { if (st.exists(p1)) Some((st.modifiedTime(p1), st.size(p1)))
+            else None }
+      catch { case _: Exception => None }
+    stat match {
+      case None =>
+        deliveryMemoEpoch.remove(table)
+        clearTable()
+      case Some(s) =>
+        val prev = deliveryMemoEpoch.get(table)
+        val statTrusted = prev != null && prev._1 == s &&
+          System.currentTimeMillis() - s._1 >= mtimeGranularityMs
+        if (!statTrusted) {
+          val ident =
+            try (committedAt(table, 1), s._2)
+            catch { case _: Exception => (0L, 0L) }
+          if (ident._1 == 0L) { // unreadable or pre-instant legacy
+            deliveryMemoEpoch.remove(table)
+            clearTable()
+          } else {
+            val changed = prev == null || prev._2 != ident
+            deliveryMemoEpoch.put(table, (s, ident))
+            if (changed) clearTable()
+          }
+        }
     }
   }
 
@@ -1097,7 +1126,7 @@ object Snapshot {
 
   // ---------------------------------------------------------------- stats
 
-  private def statKind(dt: DataType): Option[String] = dt match {
+  private[graft] def statKind(dt: DataType): Option[String] = dt match {
     case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
          _: FloatType | _: DoubleType | _: DecimalType => Some("num")
     case _: StringType => Some("str")
@@ -2397,6 +2426,12 @@ object Snapshot {
       require(m.schemaDdl.nonEmpty,
         s"snapshot $table: no manifest schema — pre-schema table cannot evolve")
       val evolved = steps.foldLeft(m) { case (acc, (_, f)) => f(acc) }
+      // a statement whose every change is a PROVEN no-op (xforms
+      // return the manifest instance unchanged — e.g. re-tracking an
+      // already-tracked bloom) burns no version, matching
+      // repartitionTable's same-spec contract; an idempotent
+      // deployment script re-running its ALTERs leaves no history noise
+      if (evolved eq m) return CommitStats(cur, Nil, Nil, 0)
       val op =
         if (steps.size == 1) steps.head._1
         else steps.map(_._1).mkString("evolve(", "; ", ")")
@@ -3093,48 +3128,67 @@ object Snapshot {
         // truncation and strict bounds relax to inclusive (a strict
         // bound still admits other rows of its truncation bucket).
         // The MAPPING is type-dispatched (floor for integrals, prefix
-        // for strings), so the bound's runtime type must match the
-        // source domain — integral bounds floor and compare
-        // numerically ("100" is not < "20"); string bounds prefix and
-        // compare UTF-8, but ONLY when some stored component fails a
-        // numeric parse (proof the source is a string column — an
-        // integral source's components all parse, and prefix-mapping
-        // a string bound against it would prune wrongly). Anything
-        // ambiguous keeps all files.
+        // for strings), so the bound's runtime type must MATCH the
+        // source column's DECLARED domain — the manifest schema is
+        // authoritative (heuristics over stored components cannot
+        // distinguish a numeric-looking string prefix like "21" from
+        // an integral floor, and a cross-domain mapping is a wrong
+        // prune, not a conservative one). Integral bounds on an
+        // integral source floor and compare numerically ("100" is not
+        // < "20"); string bounds on a string source prefix and
+        // compare UTF-8; anything else keeps all files.
+        val domain = partSourceDomain(m, i)
         val bounds = lo.toSeq ++ hi.toSeq
-        val integral = bounds.forall {
+        val integralBounds = bounds.forall {
           case _: java.lang.Byte | _: java.lang.Short |
                _: java.lang.Integer | _: java.lang.Long => true
           case _ => false
         }
-        val stringy = bounds.forall(_.isInstanceOf[String])
-        lazy val comps = m.partitions.keys.map(p => partComponent(m, p, i))
-        lazy val sourceIsString =
-          comps.exists(c => scala.util.Try(BigDecimal(c)).isFailure)
+        val stringBounds = bounds.forall(_.isInstanceOf[String])
         val l = lo.map(truncOf(n, _))
         val h = hi.map(truncOf(n, _))
         if (l.exists(_.isEmpty) || h.exists(_.isEmpty)) all
-        else if (integral) keep { c =>
+        else if (domain.contains("int") && integralBounds) keep { c =>
           scala.util.Try(BigDecimal(c)).toOption.forall { v =>
             l.flatten.forall(d => v >= BigDecimal(d)) &&
               h.flatten.forall(d => v <= BigDecimal(d))
           }
         }
-        else if (stringy && sourceIsString) keep { c =>
+        else if (domain.contains("str") && stringBounds) keep { c =>
           l.flatten.forall(d => cmpUtf8(c, d) >= 0) &&
             h.flatten.forall(d => cmpUtf8(c, d) <= 0)
         }
         else all
       case BucketField(n, _) =>
+        // equality maps through the hash only when the bound's
+        // runtime type matches the source domain — the hash is over
+        // the RENDERING, and a cross-domain bound can render
+        // differently than the stored value it matches after the
+        // residual filter's cast ("07" casts equal to 7 but hashes
+        // apart) — same authority as truncate: the manifest schema
+        val domain = partSourceDomain(m, i)
         (lo, hi) match {
           case (Some(a), Some(b)) if !loStrict && !hiStrict && a == b &&
-              bucketReplayable(a) =>
+              bucketReplayable(a) &&
+              ((domain.contains("str") && a.isInstanceOf[String]) ||
+                (domain.contains("int") && !a.isInstanceOf[String])) =>
             val want = bucketOf(n, a)
             keep(_ == want)
           case _ => all
         }
     }
   }
+
+  /** The DECLARED type domain of partition field `i`'s source column
+    * — "str" for string, "int" for integrals, None otherwise (or for
+    * a pre-schema legacy manifest: conservative keep-all). */
+  private def partSourceDomain(m: Manifest, i: Int): Option[String] =
+    if (m.schemaDdl.isEmpty) None
+    else StructType.fromDDL(m.schemaDdl).fields
+      .find(_.name == m.partFields(i).source).map(_.dataType).collect {
+        case _: StringType => "str"
+        case _: ByteType | _: ShortType | _: IntegerType | _: LongType => "int"
+      }
 
   /** The manifest entries of `version` (latest if 0) surviving a
     * `column BETWEEN lo AND hi` predicate — partition-level pruning
@@ -3983,17 +4037,19 @@ object Snapshot {
     // incarnation epoch before the walk — a hit is a pure map read
     val memoed = deliveryMemo.get((table, version))
     if (memoed != null) return memoed
-    val parsed = parseDeliveryBounds(table, version)
-    // a MISSING manifest is not memoized: it may be a not-yet-visible
-    // or vacuumed version — absence is not an immutable fact, and a
-    // later parse may find real bounds
-    if (parsed.isDefined || store(table).exists(manifestPath(table, version)))
-      memoDelivery(table, version, parsed)
-    parsed
+    parseDeliveryBounds(table, version) match {
+      case Some(parsed) => // manifest present: bounds-or-unknown is an
+        memoDelivery(table, version, parsed) // immutable fact — memoize
+        parsed
+      case None => None // missing/unreadable: NOT memoized — a
+        // not-yet-visible or vacuumed version is not an immutable fact
+    }
   }
 
+  /** Outer None = manifest absent/unreadable; Some(inner) = manifest
+    * read, inner its bounds (None = the unknown-delivery shape). */
   private def parseDeliveryBounds(table: String,
-                                  version: Int): Option[KeyBounds] =
+                                  version: Int): Option[Option[KeyBounds]] =
     try {
       val st = store(table)
       val p = manifestPath(table, version)
@@ -4017,17 +4073,17 @@ object Snapshot {
                   Option(v.get("min")).map(_.asText()),
                   Option(v.get("max")).map(_.asText()), 0L)
               }.toMap
-              return Some(KeyBounds(bounds.isEmpty, bounds))
+              return Some(Some(KeyBounds(bounds.isEmpty, bounds)))
             }
             if (name == "partitions" || name == "partition_shards")
-              return None // field order puts delivery first; absent
+              return Some(None) // field order puts delivery first; absent
             jp.nextToken()
             jp.skipChildren()
           }
         }
-        None
+        Some(None)
       } finally jp.close()
-    } catch { case _: Exception => None } // unknown → exact probe
+    } catch { case _: Exception => None } // unreadable → exact probe
 
   /** Commit instant (epoch millis) of a retained version — 0 for
     * manifests written before the field existed. STREAM-parsed: the

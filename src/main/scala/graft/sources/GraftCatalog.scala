@@ -335,6 +335,14 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     (statsCols ++ blooms.map(_._1) ++ hlls.map(_._1)).foreach(c =>
       require(schema.fieldNames.contains(c),
         s"graft catalog: tracked column '$c' not in the table schema"))
+    // the SAME type gate the ALTER face applies (setStatsColsXform) —
+    // a silently-never-tracked column must refuse at CREATE too
+    statsCols.foreach { c =>
+      val dt = schema.fields.find(_.name == c).get.dataType
+      require(Snapshot.statKind(dt).isDefined,
+        s"graft catalog: stats-tracking '$c' (${dt.simpleString}) is " +
+          "unsupported — numeric and string columns only")
+    }
     val (bloomBits, bloomK) = blooms.headOption
       .map(b => (b._2, b._3)).getOrElse((1 << 17, 6))
     (statsCols, blooms.map(_._1), bloomBits, bloomK,
@@ -419,6 +427,44 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         s"graft catalog: REPLACE TABLE cannot change the partition spec " +
           s"('${p.mkString(",")}' vs the table's '${m.partitionLabel}') — " +
           "redefine via DROP TABLE ... PURGE + CREATE"))
+    // tracking/layout TBLPROPERTIES under REPLACE follow the same
+    // doctrine as key/partition: absent inherits, matching is
+    // redundant-but-fine, DIFFERING refuses — silently ignoring a
+    // declared property is worse than refusing (CREATE honors these,
+    // so CREATE OR REPLACE must not behave differently by existence)
+    val props = properties.asScala
+    def refuse(what: String, declared: String, actual: String,
+               via: String): Nothing = throw new IllegalArgumentException(
+      s"graft catalog: REPLACE TABLE cannot change $what ('$declared' vs " +
+        s"the table's '$actual') — $via")
+    if (props.keys.exists(k => k == "statsCols" ||
+        k.startsWith("bloom.") || k.startsWith("hll."))) {
+      val (dStats, dBloom, dBits, dK, dHll, dP) =
+        trackingSpec(schema, properties)
+      if (props.contains("statsCols")) {
+        val want = m.keys ++ dStats.filterNot(m.keys.contains)
+        if (want != m.statsCols)
+          refuse("statsCols", want.mkString(","), m.statsCols.mkString(","),
+            "tracking evolves via ALTER TABLE SET TBLPROPERTIES")
+      }
+      if (dBloom.nonEmpty &&
+          (dBloom != m.bloomCols || dBits != m.bloomBits || dK != m.bloomK))
+        refuse("bloom tracking",
+          s"${dBloom.mkString(",")} ($dBits,$dK)",
+          s"${m.bloomCols.mkString(",")} (${m.bloomBits},${m.bloomK})",
+          "tracking evolves via ALTER TABLE SET TBLPROPERTIES")
+      if (dHll.nonEmpty && (dHll != m.hllCols || dP != m.hllP))
+        refuse("HLL tracking", s"${dHll.mkString(",")} (p=$dP)",
+          s"${m.hllCols.mkString(",")} (p=${m.hllP})",
+          "tracking evolves via ALTER TABLE SET TBLPROPERTIES")
+    }
+    if (props.keys.exists(Set("layout", "fileRanges", "zorderKeys"))) {
+      val (fr, mode, zk) = layoutSpec(properties)
+      val declared = Snapshot.Layout(fr, mode, zk)
+      if (declared != m.layout)
+        refuse("the commit layout", declared.toString, m.layout.toString,
+          s"layout is a rewrite — CALL $catName.system.relayout(...)")
+    }
     new GraftStagedTable(ident, dir, store, schema, m.keys, m.partitionCols,
       replace = true)
   }

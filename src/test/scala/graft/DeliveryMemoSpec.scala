@@ -89,6 +89,43 @@ class DeliveryMemoSpec extends SparkSpecBase {
     }
   }
 
+  test("vacuumed v1 = UNKNOWABLE epoch: the memo is never trusted on such a table, and the true conflict is still detected (cold walk every publish)") {
+    val t = fresh("vacv1")
+    Snapshot.create(spark, t, seed(0 until 10, "p0"), "k", "part")
+    // burn versions so vacuum(retainLast=2) removes v1, then vacuum
+    (1 to 3).foreach { i =>
+      Snapshot.merge(spark, t,
+        Seq((100L + i, "p1", s"m$i")).toDF("k", "part", "payload"),
+        Seq.empty[Long].toDF("k"))
+    }
+    Snapshot.vacuum(spark, t, retainLast = 2)
+    assert(!graft.operators.LogStore.forPath(t)
+      .exists(s"$t/_log/v00000001.json"))
+    // overlapping rebase on the v1-less table: a (0,0)-style epoch
+    // sentinel would conflate "unknowable" with "unchanged" and could
+    // keep dead entries; the conservative contract is cold-walk —
+    // the conflict MUST be detected regardless of memo state
+    val s1 = Snapshot.stageMerge(spark, t,
+      (500 until 510).map(k => (k.toLong, "pa", "s1")).toDF("k", "part", "payload"),
+      Seq.empty[Long].toDF("k"))
+    Snapshot.merge(spark, t,
+      (500 until 510).map(k => (k.toLong, "pb", "iv")).toDF("k", "part", "payload"),
+      Seq.empty[Long].toDF("k"))
+    intercept[Snapshot.CommitConflictException] {
+      Snapshot.commitStaged(spark, s1)
+    }
+    s1.abort()
+    // and the disjoint shape still publishes fine (cold walk, parses)
+    val s2 = Snapshot.stageMerge(spark, t,
+      (700 until 710).map(k => (k.toLong, "pc", "s2")).toDF("k", "part", "payload"),
+      Seq.empty[Long].toDF("k"))
+    Snapshot.merge(spark, t,
+      (800 until 810).map(k => (k.toLong, "pd", "iv2")).toDF("k", "part", "payload"),
+      Seq.empty[Long].toDF("k"))
+    val st = Snapshot.commitStaged(spark, s2)
+    assert(st.version == Snapshot.currentVersion(t))
+  }
+
   test("drop+recreate at the same path cannot serve a dead incarnation's bounds: the epoch check clears the memo and the true conflict is detected") {
     val t = fresh("epoch")
     // INCARNATION 1: build memo entries whose v2 bounds are keys 200s

@@ -149,6 +149,75 @@ class SqlTrackingSpec extends SparkSpecBase {
       Snapshot.currentVersion(dir)).bloomCols.isEmpty)
   }
 
+  test("idempotent ALTER: re-tracking an already-tracked column burns NO version (proven no-op commits skip)") {
+    val t = fresh("idem")
+    Snapshot.create(spark, t, docsDf, key = "id", partitionCol = "part")
+    Snapshot.trackBloom(spark, t, "text", bits = 65536, k = 5)
+    val v = Snapshot.currentVersion(t)
+    // the deployment-script re-run: identical declaration, no commit
+    val st = Snapshot.trackBloom(spark, t, "text", bits = 65536, k = 5)
+    assert(st.version == v && Snapshot.currentVersion(t) == v)
+    val st2 = Snapshot.trackHll(spark, t, "code", p = 12)
+    assert(st2.version == v + 1)
+    assert(Snapshot.trackHll(spark, t, "code", p = 12).version == v + 1)
+    assert(Snapshot.currentVersion(t) == v + 1)
+  }
+
+  test("CREATE statsCols type gate matches ALTER's: an unsupported-type column refuses at CREATE instead of silently never tracking") {
+    val root = fresh("ctype")
+    spark.conf.set("spark.sql.catalog.trkcat4", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.trkcat4.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS trkcat4.db")
+    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "p0"))
+      .toDF("id", "ts", "part").createOrReplaceTempView("trk_ts_src")
+    val e = intercept[Exception] {
+      spark.sql("""CREATE TABLE trkcat4.db.bad USING graft
+        TBLPROPERTIES ('key'='id','partitionCol'='part','statsCols'='ts')
+        AS SELECT * FROM trk_ts_src""")
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("numeric and string columns only"))
+  }
+
+  test("REPLACE TABLE: differing tracking/layout TBLPROPERTIES refuse (never silently dropped); matching ones inherit") {
+    val root = fresh("repl")
+    spark.conf.set("spark.sql.catalog.trkcat5", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.trkcat5.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS trkcat5.db")
+    docsDf.createOrReplaceTempView("trk_repl_src")
+    spark.sql("""CREATE TABLE trkcat5.db.docs USING graft
+      TBLPROPERTIES ('key'='id','partitionCol'='part',
+        'bloom.text'='65536,5')
+      AS SELECT * FROM trk_repl_src""")
+    val dir = s"$root/db/docs"
+    // a DIFFERING bloom sizing refuses with the ALTER pointer
+    val e1 = intercept[IllegalArgumentException] {
+      spark.sql("""REPLACE TABLE trkcat5.db.docs USING graft
+        TBLPROPERTIES ('key'='id','partitionCol'='part',
+          'bloom.text'='1024,3')
+        AS SELECT * FROM trk_repl_src""")
+    }
+    assert(e1.getMessage.contains("bloom tracking") &&
+      e1.getMessage.contains("ALTER"))
+    // a differing layout refuses with the relayout pointer
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql("""REPLACE TABLE trkcat5.db.docs USING graft
+        TBLPROPERTIES ('key'='id','partitionCol'='part','fileRanges'='8')
+        AS SELECT * FROM trk_repl_src""")
+    }
+    assert(e2.getMessage.contains("relayout"))
+    // MATCHING properties (what SHOW CREATE TABLE emits) replace fine
+    spark.sql("""REPLACE TABLE trkcat5.db.docs USING graft
+      TBLPROPERTIES ('key'='id','partitionCol'='part',
+        'bloom.text'='65536,5')
+      AS SELECT * FROM trk_repl_src WHERE id <= 100""")
+    val m = Snapshot.readManifest(dir, Snapshot.currentVersion(dir))
+    assert(m.bloomCols == Seq("text") && m.bloomBits == 65536)
+    assert(Snapshot.readLatest(spark, dir).count() == 100)
+  }
+
   test("tracking refusals: unknown column, renamed column, disagreeing table-wide sizing, bad HLL precision") {
     val t = fresh("refuse")
     Snapshot.create(spark, t, docsDf, key = "id", partitionCol = "part")

@@ -203,6 +203,43 @@ class TransformFamilySpec extends SparkSpecBase {
     assert(keptL.size == 1)
   }
 
+  test("truncate domain guard is SCHEMA-authoritative: an integral bound against a STRING source keeps all files (the numeric-looking-prefix trap)") {
+    val t = fresh("truncdom")
+    // a string source whose truncations all LOOK numeric: "21", "9" —
+    // a component-parse heuristic would call this an integral source
+    // and floor-map the bound, wrongly pruning the "21" file
+    // (21 > truncLong(2,21)=20); the manifest schema says STRING, so
+    // integral bounds keep everything
+    // every value numeric-looking so the ANSI residual cast succeeds —
+    // the schema is still the only sound way to know the domain
+    val df = Seq((1L, "21", "a"), (2L, "9", "b"), (3L, "87", "c"))
+      .toDF("id", "name", "payload")
+    Snapshot.createMulti(spark, t, df,
+      keys = Seq("id"), partitionCols = Seq("truncate(2,name)"))
+    assert(Snapshot.readManifest(t, 1).partitions.keySet ==
+      Set("21", "9", "87"))
+    val (kept, total) = Snapshot.pruneRange(t, "name", 5L, 21L)
+    assert(kept.size == total && total == 3)
+    // the exact read still serves the row a floor-mapping would lose
+    assert(Snapshot.readWhere(spark, t, "name", 5L, 21L)
+      .select("id").as[Long].collect().toSet == Set(1L, 2L))
+    // and a string bound maps (the matching domain)
+    val (keptS, _) = Snapshot.pruneRange(t, "name", "21", "21")
+    assert(keptS.size == 1)
+  }
+
+  test("bucket domain guard is SCHEMA-authoritative: a STRING bound against a BIGINT source keeps all files (\"07\" casts equal to 7 but hashes apart)") {
+    val t = fresh("bktdom")
+    val df = (1L to 16L).map(i => (i, i, s"p$i")).toDF("id", "code", "payload")
+    Snapshot.createMulti(spark, t, df,
+      keys = Seq("id"), partitionCols = Seq("bucket(4,code)"))
+    val (kept, total) = Snapshot.pruneEq(t, "code", "7")
+    assert(kept.size == total)
+    // the residual filter still finds the row over the unpruned set
+    assert(Snapshot.readWhereEq(spark, t, "code", "07")
+      .select("id").as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("bucket prune type guard (r15 ADVICE): a Double lookup against a BIGINT bucket source keeps all files, and the exact read still matches") {
     val t = fresh("bktguard")
     // code is NOT stats-tracked (key is id), so the bucket layer's
