@@ -2235,7 +2235,8 @@ object Oracles {
     // semdedup cent/asg CTEs verbatim — same first-32 normalized
     // codebook, same lowest-index tie-break) + the md5-order cap
     "mix_clusters" ->
-      """WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      """WITH w AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |           WHERE embedding IS NOT NULL),
         |n AS (SELECT vec_id, v, list_sum(list_transform(v, x -> x*x)) AS ss FROM w),
         |u AS (SELECT vec_id,
         |        CASE WHEN ss > 0 THEN list_transform(v, x -> x * (1.0/sqrt(ss)))

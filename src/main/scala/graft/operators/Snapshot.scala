@@ -2718,7 +2718,11 @@ object Snapshot {
         s"snapshot $table: stats-tracking '$c' (${f.dataType.simpleString}) " +
           "is unsupported — numeric and string columns only")
     }
-    m.copy(statsCols = m.keys ++ cols.filterNot(m.keys.contains).distinct)
+    val next = m.keys ++ cols.filterNot(m.keys.contains).distinct
+    // proven no-op: same instance back so evolveSchemaAll skips the
+    // commit — an idempotent re-ALTER must not burn a version, the
+    // same contract addBloomXform/addHllXform already honor
+    if (next == m.statsCols) m else m.copy(statsCols = next)
   }
 
   /** Add a per-file BLOOM filter on `name` (effective next rewrite —
@@ -3181,14 +3185,26 @@ object Snapshot {
 
   /** The DECLARED type domain of partition field `i`'s source column
     * — "str" for string, "int" for integrals, None otherwise (or for
-    * a pre-schema legacy manifest: conservative keep-all). */
+    * a pre-schema legacy manifest: conservative keep-all). The parsed
+    * domain map is memoized per schema DDL: `pruneIn` reaches here
+    * once per IN-list element, and a Catalyst parser invocation per
+    * element per query is pure repeated work on an immutable string. */
+  private val ddlDomainMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, String]]()
+
   private def partSourceDomain(m: Manifest, i: Int): Option[String] =
     if (m.schemaDdl.isEmpty) None
-    else StructType.fromDDL(m.schemaDdl).fields
-      .find(_.name == m.partFields(i).source).map(_.dataType).collect {
-        case _: StringType => "str"
-        case _: ByteType | _: ShortType | _: IntegerType | _: LongType => "int"
-      }
+    else {
+      if (ddlDomainMemo.size > 256) ddlDomainMemo.clear()
+      val domains = ddlDomainMemo.computeIfAbsent(m.schemaDdl, ddl =>
+        StructType.fromDDL(ddl).fields.flatMap(f => f.dataType match {
+          case _: StringType => Some(f.name -> "str")
+          case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+            Some(f.name -> "int")
+          case _ => None
+        }).toMap)
+      domains.get(m.partFields(i).source)
+    }
 
   /** The manifest entries of `version` (latest if 0) surviving a
     * `column BETWEEN lo AND hi` predicate — partition-level pruning

@@ -336,8 +336,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       require(schema.fieldNames.contains(c),
         s"graft catalog: tracked column '$c' not in the table schema"))
     // the SAME type gate the ALTER face applies (setStatsColsXform) —
-    // a silently-never-tracked column must refuse at CREATE too
-    statsCols.foreach { c =>
+    // a silently-never-tracked column must refuse at CREATE too. Key
+    // columns are EXEMPT, exactly as the ALTER xform exempts them:
+    // createMulti always folds keys into statsCols and properties()
+    // re-emits the full list, so SHOW CREATE TABLE output for a table
+    // keyed by an unsupported type (e.g. a timestamp key) must
+    // re-execute rather than refuse on its own key.
+    val keyCols = props.get("key").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    statsCols.filterNot(keyCols.contains).foreach { c =>
       val dt = schema.fields.find(_.name == c).get.dataType
       require(Snapshot.statKind(dt).isDefined,
         s"graft catalog: stats-tracking '$c' (${dt.simpleString}) is " +
@@ -443,24 +450,36 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         trackingSpec(schema, properties)
       if (props.contains("statsCols")) {
         val want = m.keys ++ dStats.filterNot(m.keys.contains)
-        if (want != m.statsCols)
+        if (want.toSet != m.statsCols.toSet)
           refuse("statsCols", want.mkString(","), m.statsCols.mkString(","),
             "tracking evolves via ALTER TABLE SET TBLPROPERTIES")
       }
+      // SET comparison: trackingSpec sorts declarations by column
+      // name while the manifest keeps ALTER insertion order — the
+      // same columns in a different order are the SAME tracking, and
+      // SHOW CREATE TABLE output must re-execute
       if (dBloom.nonEmpty &&
-          (dBloom != m.bloomCols || dBits != m.bloomBits || dK != m.bloomK))
+          (dBloom.toSet != m.bloomCols.toSet ||
+            dBits != m.bloomBits || dK != m.bloomK))
         refuse("bloom tracking",
           s"${dBloom.mkString(",")} ($dBits,$dK)",
           s"${m.bloomCols.mkString(",")} (${m.bloomBits},${m.bloomK})",
           "tracking evolves via ALTER TABLE SET TBLPROPERTIES")
-      if (dHll.nonEmpty && (dHll != m.hllCols || dP != m.hllP))
+      if (dHll.nonEmpty && (dHll.toSet != m.hllCols.toSet || dP != m.hllP))
         refuse("HLL tracking", s"${dHll.mkString(",")} (p=$dP)",
           s"${m.hllCols.mkString(",")} (p=${m.hllP})",
           "tracking evolves via ALTER TABLE SET TBLPROPERTIES")
     }
     if (props.keys.exists(Set("layout", "fileRanges", "zorderKeys"))) {
+      // absent sub-properties INHERIT (the doctrine the refusal text
+      // states): only what the statement actually declares is
+      // compared, so REPLACE re-stating just 'fileRanges'='4' on a
+      // zorder table does not read as a mode change to the default
       val (fr, mode, zk) = layoutSpec(properties)
-      val declared = Snapshot.Layout(fr, mode, zk)
+      val declared = Snapshot.Layout(
+        if (props.contains("fileRanges")) fr else m.layout.fileRanges,
+        if (props.contains("layout")) mode else m.layout.mode,
+        if (props.contains("zorderKeys")) zk else m.layout.zorderKeys)
       if (declared != m.layout)
         refuse("the commit layout", declared.toString, m.layout.toString,
           s"layout is a rewrite — CALL $catName.system.relayout(...)")

@@ -20,16 +20,6 @@ import scala.jdk.CollectionConverters._
 class ConditionalStoreSpec extends SparkSpecBase {
   import spark.implicits._
 
-  private def freshDir(tag: String): String = {
-    val p = Paths.get(s"${System.getProperty("java.io.tmpdir")}/graft_cond_$tag")
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
-    }
-    p.toString
-  }
-
   private def withConditionalStore[A](body: => A): A =
     try {
       spark.conf.set("spark.graft.logstore.file",
@@ -49,7 +39,7 @@ class ConditionalStoreSpec extends SparkSpecBase {
     withConditionalStore {
       val st = LogStore.forPath("file:///tmp/x")
       assert(st.isInstanceOf[ConditionalWriteLogStore])
-      val dir = s"file://${freshDir("prims")}"
+      val dir = s"file://${freshDir("graft_cond_prims")}"
       st.mkdirs(dir)
       (1 to 30).foreach { round =>
         val p = s"$dir/m$round.json"
@@ -82,7 +72,7 @@ class ConditionalStoreSpec extends SparkSpecBase {
 
   test("two racing stagers through the conditional store: one wins, the loser rebases and converges") {
     withConditionalStore {
-      val t = s"file://${freshDir("race")}/tbl"
+      val t = s"file://${freshDir("graft_cond_race")}/tbl"
       Snapshot.create(spark, t, seedDf, "id", "part")
       // both stage from v1, touching the SAME partition (true conflict)
       val stagedA = Snapshot.stageMerge(spark, t,
@@ -121,7 +111,7 @@ class ConditionalStoreSpec extends SparkSpecBase {
 
   test("threaded writers serialize through the conditional lock: every merge lands exactly once") {
     withConditionalStore {
-      val t = s"file://${freshDir("threads")}/tbl"
+      val t = s"file://${freshDir("graft_cond_threads")}/tbl"
       Snapshot.create(spark, t, seedDf, "id", "part")
       val failures = new java.util.concurrent.atomic.AtomicInteger(0)
       val failMsgs = new java.util.concurrent.ConcurrentLinkedQueue[String]()

@@ -2,9 +2,7 @@ package graft
 
 import graft.operators.Snapshot
 
-import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
-import scala.jdk.CollectionConverters._
 
 /** SHOW CREATE TABLE / DESCRIBE fidelity (r16, VERDICT r15 stretch
   * #8): the catalog must render composite keys, transform partition
@@ -16,16 +14,8 @@ import scala.jdk.CollectionConverters._
 class DdlFidelitySpec extends SparkSpecBase {
   import spark.implicits._
 
-  private def fresh(tag: String): String = {
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft_ddlspec_$tag"
-    val root = Paths.get(p)
-    if (Files.exists(root)) {
-      val walk = Files.walk(root)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
-    }
-    p
-  }
+  private def fresh(tag: String): String =
+    freshDir(s"graft_ddlspec_$tag")
 
   test("SHOW CREATE TABLE round-trips: composite key, hours/truncate transforms, and bloom/hll/stats tracking reproduce on re-CREATE") {
     val root = fresh("roundtrip")
@@ -75,6 +65,29 @@ class DdlFidelitySpec extends SparkSpecBase {
       .collect().map(_.mkString(" ")).mkString("\n")
     assert(desc.contains("hours(ts)"))
     assert(desc.contains("tenant,entity"))
+  }
+
+  test("SHOW CREATE TABLE round-trips a timestamp-keyed table: the emitted statsCols include the key, and re-execution must exempt it from the stats type gate") {
+    val root = fresh("tskey")
+    spark.conf.set("spark.sql.catalog.ddlcat3", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ddlcat3.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ddlcat3.db")
+    Seq((Timestamp.valueOf("2024-01-10 06:30:00"), 1L, "p0"),
+      (Timestamp.valueOf("2024-01-11 07:30:00"), 2L, "p1"))
+      .toDF("ts", "v", "part").createOrReplaceTempView("ddl_ts_src")
+    spark.sql("""CREATE TABLE ddlcat3.db.tkeyed USING graft
+      TBLPROPERTIES ('key'='ts','partitionCol'='part')
+      AS SELECT * FROM ddl_ts_src""")
+    val ddl = spark.sql("SHOW CREATE TABLE ddlcat3.db.tkeyed")
+      .head().getString(0)
+    // properties() re-emits the manifest statsCols, which ALWAYS
+    // include the key — the re-create must run, not refuse on its own
+    // (timestamp) key column
+    assert(ddl.contains("statsCols"), ddl)
+    spark.sql(ddl.replace("ddlcat3.db.tkeyed", "ddlcat3.db.tkeyed2"))
+    val m = Snapshot.readManifest(s"$root/db/tkeyed2",
+      Snapshot.currentVersion(s"$root/db/tkeyed2"))
+    assert(m.keys == Seq("ts"))
   }
 
   test("layout TBLPROPERTIES: a SQL-created table declares its commit layout at CREATE, it round-trips, and ALTER refuses (layout is a rewrite)") {

@@ -2,8 +2,6 @@ package graft
 
 import graft.operators.Snapshot
 
-import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
 
 /** The delivery-bounds MEMO (r16, VERDICT r15 ask #4): the rebase
   * fast path's walk must cost O(1) manifest IO per (version, JVM)
@@ -17,16 +15,8 @@ import scala.jdk.CollectionConverters._
 class DeliveryMemoSpec extends SparkSpecBase {
   import spark.implicits._
 
-  private def fresh(tag: String): String = {
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft_dmspec_$tag"
-    val root = Paths.get(p)
-    if (Files.exists(root)) {
-      val walk = Files.walk(root)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
-    }
-    p
-  }
+  private def fresh(tag: String): String =
+    freshDir(s"graft_dmspec_$tag")
 
   private def seed(keys: Range, part: String) =
     keys.map(k => (k.toLong, part, "seed")).toDF("k", "part", "payload")

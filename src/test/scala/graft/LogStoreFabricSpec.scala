@@ -22,19 +22,14 @@ import scala.jdk.CollectionConverters._
 class LogStoreFabricSpec extends SparkSpecBase {
   import spark.implicits._
 
-  private def freshDir(tag: String): String = {
-    val p = Paths.get(s"${System.getProperty("java.io.tmpdir")}/graft_fabric_$tag")
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
-    }
-    Files.createDirectories(p)
-    p.toString
+  private def freshCreated(tag: String): String = {
+    val p = freshDir(s"graft_fabric_$tag")
+    Files.createDirectories(Paths.get(p))
+    p
   }
 
   test("Merge.mergeInto swaps partitions through the Hadoop store on a file:// target") {
-    val target = s"file://${freshDir("merge")}/tbl"
+    val target = s"file://${freshCreated("merge")}/tbl"
     assert(LogStore.forPath(target) eq HadoopLogStore)
     (0 until 30).map(i => (i.toLong, s"v$i", s"p${i / 10}"))
       .toDF("id", "payload", "part")
@@ -68,7 +63,7 @@ class LogStoreFabricSpec extends SparkSpecBase {
   }
 
   test("IncrementalAgg maintains through the Hadoop store: swap + ledger on a file:// aggPath") {
-    val dir = freshDir("iagg")
+    val dir = freshCreated("iagg")
     val aggPath = s"file://$dir/agg"
     def corpus(rows: Seq[(String, Long)]) = rows.toDF("source", "tokens")
     val v1 = corpus(Seq(("a", 10L), ("a", 20L), ("b", 5L)))
@@ -100,7 +95,7 @@ class LogStoreFabricSpec extends SparkSpecBase {
   }
 
   test("Schedule state + runner lock ride the store: file:// state path end-to-end") {
-    val dir = freshDir("sched")
+    val dir = freshCreated("sched")
     val statePath = s"file://$dir/state"
     // full-state round trip through HadoopLogStore, atomic replace
     Schedule.writeFullState(statePath, Schedule.SchedState(
@@ -148,7 +143,7 @@ class LogStoreFabricSpec extends SparkSpecBase {
   }
 
   test("streaming label store lists and vacuums through the store on a file:// outPath") {
-    val dir = freshDir("labels")
+    val dir = freshCreated("labels")
     val outPath = s"file://$dir/log"
     Seq(1L, 2L, 3L).foreach { b =>
       Seq((s"doc$b", b)).toDF("doc_id", "cluster")
@@ -165,7 +160,7 @@ class LogStoreFabricSpec extends SparkSpecBase {
   }
 
   test("putReplace is reader-atomic on the Hadoop store: a concurrent reader never sees a missing path") {
-    val dir = freshDir("replace")
+    val dir = freshCreated("replace")
     val p = s"file://$dir/refs.json"
     val st = LogStore.forPath(p)
     st.putReplace(p, "v0".getBytes)
@@ -193,7 +188,7 @@ class LogStoreFabricSpec extends SparkSpecBase {
   }
 
   test("local putIfAbsent is genuinely conditional: a true race has exactly one winner per round") {
-    val dir = freshDir("race")
+    val dir = freshCreated("race")
     (1 to 50).foreach { round =>
       val p = s"$dir/m$round.json"
       val wins = new java.util.concurrent.atomic.AtomicInteger(0)

@@ -41,16 +41,6 @@ object CountingLogStore {
 class LogStoreSpec extends SparkSpecBase {
   import spark.implicits._
 
-  private def freshDir(tag: String): String = {
-    val p = Paths.get(s"${System.getProperty("java.io.tmpdir")}/graft_logstore_$tag")
-    if (Files.exists(p)) {
-      val walk = Files.walk(p)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
-    }
-    p.toString
-  }
-
   test("forPath routes: bare path -> local store, scheme-qualified URI -> Hadoop store") {
     assert(LogStore.forPath("/tmp/x") eq LocalLogStore)
     assert(LogStore.forPath("relative/dir") eq LocalLogStore)
@@ -64,7 +54,7 @@ class LogStoreSpec extends SparkSpecBase {
       ("local", identity[String] _),
       ("hadoop", (d: String) => s"file://$d")
     ).foreach { case (label, wrap) =>
-      val dir = wrap(freshDir(s"prims_$label"))
+      val dir = wrap(freshDir(s"graft_logstore_prims_$label"))
       val st = LogStore.forPath(dir)
       st.mkdirs(s"$dir/a")
       assert(st.isDirectory(s"$dir/a") && !st.isDirectory(s"$dir/nope"), label)
@@ -106,7 +96,7 @@ class LogStoreSpec extends SparkSpecBase {
       assert(st.isInstanceOf[CountingLogStore], s"got ${st.getClass}")
       // the registered store carries REAL snapshot traffic: a create
       // through a file:// path must route its manifest IO through it
-      val t = s"file://${freshDir("custom")}/tbl"
+      val t = s"file://${freshDir("graft_logstore_custom")}/tbl"
       Snapshot.create(spark, t, (0 until 8).map(i => (i.toLong, s"p${i % 2}"))
         .toDF("id", "part"), key = "id", partitionCol = "part")
       assert(CountingLogStore.calls.get() > 0,
@@ -119,7 +109,7 @@ class LogStoreSpec extends SparkSpecBase {
   }
 
   test("full snapshot lifecycle through the Hadoop store: create/merge/DML/time-travel/tags/vacuum on a file:// URI") {
-    val t = s"file://${freshDir("cycle")}/tbl"
+    val t = s"file://${freshDir("graft_logstore_cycle")}/tbl"
     assert(LogStore.forPath(t) eq HadoopLogStore)
     val df = (0 until 40).map(i => (i.toLong, s"pay_$i", s"p${i / 10}"))
       .toDF("id", "payload", "part")
@@ -168,7 +158,7 @@ class LogStoreSpec extends SparkSpecBase {
   }
 
   test("writer mutual exclusion through the Hadoop store: a held lock refuses, release admits, stale locks steal") {
-    val t = s"file://${freshDir("lock")}/tbl"
+    val t = s"file://${freshDir("graft_logstore_lock")}/tbl"
     val df = (0 until 10).map(i => (i.toLong, s"p${i % 2}")).toDF("id", "part")
     Snapshot.create(spark, t, df, key = "id", partitionCol = "part")
     val st = LogStore.forPath(t)

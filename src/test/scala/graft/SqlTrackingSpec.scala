@@ -2,8 +2,6 @@ package graft
 
 import graft.operators.Snapshot
 
-import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
 
 /** SQL-declared TRACKING (r16, VERDICT r15 ask #1): statsCols / bloom
   * / HLL tracking declared through TBLPROPERTIES at CREATE, and
@@ -16,16 +14,8 @@ import scala.jdk.CollectionConverters._
 class SqlTrackingSpec extends SparkSpecBase {
   import spark.implicits._
 
-  private def fresh(tag: String): String = {
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft_trkspec_$tag"
-    val root = Paths.get(p)
-    if (Files.exists(root)) {
-      val walk = Files.walk(root)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
-    }
-    p
-  }
+  private def fresh(tag: String): String =
+    freshDir(s"graft_trkspec_$tag")
 
   private def docsDf = (1L to 200L).map(i =>
     (i, s"payload-$i", if (i % 2 == 0) "even" else "odd", (i % 37).toInt))
@@ -161,6 +151,47 @@ class SqlTrackingSpec extends SparkSpecBase {
     assert(st2.version == v + 1)
     assert(Snapshot.trackHll(spark, t, "code", p = 12).version == v + 1)
     assert(Snapshot.currentVersion(t) == v + 1)
+  }
+
+  test("idempotent statsCols re-ALTER burns NO version (the same proven-no-op contract as bloom/HLL)") {
+    val t = fresh("idemstats")
+    Snapshot.create(spark, t, docsDf, key = "id", partitionCol = "part")
+    Snapshot.setStatsCols(spark, t, Seq("code"))
+    val v = Snapshot.currentVersion(t)
+    // the deployment-script re-run: identical list, no commit
+    val st = Snapshot.setStatsCols(spark, t, Seq("code"))
+    assert(st.version == v && Snapshot.currentVersion(t) == v)
+  }
+
+  test("REPLACE TABLE accepts the table's own contract re-declared in another order; absent layout sub-properties inherit") {
+    val root = fresh("replorder")
+    spark.conf.set("spark.sql.catalog.trkcat6", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.trkcat6.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS trkcat6.db")
+    docsDf.createOrReplaceTempView("trk_ord_src")
+    spark.sql("""CREATE TABLE trkcat6.db.docs USING graft
+      TBLPROPERTIES ('key'='id','partitionCol'='part',
+        'bloom.text'='65536,5',
+        'layout'='zorder','fileRanges'='4','zorderKeys'='code')
+      AS SELECT * FROM trk_ord_src""")
+    // ALTER adds a second bloom: the manifest keeps INSERTION order
+    // (text, code), not the name-sorted order trackingSpec builds
+    spark.sql("ALTER TABLE trkcat6.db.docs SET TBLPROPERTIES " +
+      "('bloom.code'='65536,5')")
+    val dir = s"$root/db/docs"
+    assert(Snapshot.readManifest(dir, Snapshot.currentVersion(dir))
+      .bloomCols == Seq("text", "code"))
+    // same contract, different declaration order + only one layout
+    // sub-property re-stated: must REPLACE, not refuse
+    spark.sql("""REPLACE TABLE trkcat6.db.docs USING graft
+      TBLPROPERTIES ('key'='id','partitionCol'='part',
+        'bloom.code'='65536,5','bloom.text'='65536,5','fileRanges'='4')
+      AS SELECT * FROM trk_ord_src WHERE id <= 50""")
+    val m = Snapshot.readManifest(dir, Snapshot.currentVersion(dir))
+    assert(m.bloomCols.toSet == Set("text", "code"))
+    assert(m.layout.mode == "zorder" && m.layout.fileRanges == 4 &&
+      m.layout.zorderKeys == Seq("code"))
+    assert(Snapshot.readLatest(spark, dir).count() == 50)
   }
 
   test("CREATE statsCols type gate matches ALTER's: an unsupported-type column refuses at CREATE instead of silently never tracking") {

@@ -3,9 +3,7 @@ package graft
 import graft.operators.Snapshot
 import org.apache.spark.sql.DataFrame
 
-import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
-import scala.jdk.CollectionConverters._
 
 /** The r16 transform-family completion: `years(ts)` / `months(ts)` /
   * `hours(ts)` / `truncate(n, col)` hidden partitioning — for each,
@@ -19,16 +17,8 @@ import scala.jdk.CollectionConverters._
 class TransformFamilySpec extends SparkSpecBase {
   import spark.implicits._
 
-  private def fresh(tag: String): String = {
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft_tfspec_$tag"
-    val root = Paths.get(p)
-    if (Files.exists(root)) {
-      val walk = Files.walk(root)
-      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally walk.close()
-    }
-    p
-  }
+  private def fresh(tag: String): String =
+    freshDir(s"graft_tfspec_$tag")
 
   private def tsDf: DataFrame = Seq(
     (1L, Timestamp.valueOf("2023-12-31 23:59:59"), "a"),
