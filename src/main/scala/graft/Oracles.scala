@@ -3039,6 +3039,20 @@ object Oracles {
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents WHERE n_chars = 500""".stripMargin,
 
+    // trigram substring index: the bare LIKE '%needle%' union —
+    // per-file 3-gram filter pruning is IO-only (a kept file's rows
+    // still pass the exact contains filter)
+    "snapshot_substring" ->
+      """SELECT needle, doc_id, n_chars FROM (
+        |  SELECT 'vector join vector' AS needle, doc_id, n_chars
+        |    FROM documents WHERE text LIKE '%vector join vector%'
+        |  UNION ALL
+        |  SELECT 'merge slow join' AS needle, doc_id, n_chars
+        |    FROM documents WHERE text LIKE '%merge slow join%'
+        |  UNION ALL
+        |  SELECT 'the the' AS needle, doc_id, n_chars
+        |    FROM documents WHERE text LIKE '%the the%')""".stripMargin,
+
     // hours(ts) hidden partitioning: the bare intra-day range filter
     // (the window sits inside the table's first-week slice, so the
     // slice predicate is subsumed) — hour pruning is IO-only

@@ -2382,6 +2382,36 @@ object Queries {
       "WHERE n_chars = 500")
   }
 
+  private val snapshotSubstringMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val SubstringNeedles =
+    Seq("vector join vector", "merge slow join", "the the")
+
+  /** TRIGRAM SUBSTRING INDEX (r16): a documents snapshot table
+    * created with the `3g:text` bloom spec — per-file filters over
+    * the text's code-point 3-grams — then three `LIKE '%needle%'`
+    * lookups served by [[Snapshot.readWhereContains]]: a file opens
+    * only if its filter admits EVERY 3-gram of the needle, so
+    * substring search is priced by matching files, not corpus size
+    * (the LIKE-pushdown analog of the value-bloom point lookup; at
+    * some SFs one needle matches nothing and the filters prove the
+    * absence without opening a single file). The oracle is the bare
+    * LIKE union, so hash equality proves gram pruning is IO-only. */
+  def snapshotSubstring(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotSubstringMemo.computeIfAbsent(dir, _ => {
+      val path = scratch("snapshot_substr", dir)
+      Snapshot.create(s, path, t(s, dir, "documents"), key = "doc_id",
+        partitionCol = "source", fileRanges = 4,
+        bloomCols = Seq(Snapshot.TriPrefix + "text"))
+      path
+    })
+    SubstringNeedles.map { nd =>
+      Snapshot.readWhereContains(s, p, "text", nd)
+        .select(lit(nd).as("needle"), col("doc_id"), col("n_chars"))
+    }.reduce(_ unionByName _)
+  }
+
   private val snapshotDsv2UpdateMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3113,6 +3143,7 @@ object Queries {
     "snapshot_catalog" -> snapshotCatalog _,
     "snapshot_catalog_asof" -> snapshotCatalogAsof _,
     "snapshot_sql_tracking" -> snapshotSqlTracking _,
+    "snapshot_substring" -> snapshotSubstring _,
     "snapshot_relayout" -> snapshotRelayout _,
     "snapshot_timetravel" -> snapshotTimetravel _,
     "snapshot_pruned" -> snapshotPruned _,

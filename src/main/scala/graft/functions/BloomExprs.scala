@@ -121,6 +121,31 @@ object BloomExprs {
     fromBytes(bytes).mightContain(h1, h2)
   }
 
+  /** Code-point 3-gram windows of `s` (empty when shorter than 3
+    * code points) — the ONE trigram definition: the write-side
+    * aggregate and the driver-side prune must hash byte-identical
+    * grams, so both call this (UTF-16 `substring` would split
+    * surrogate pairs and disagree with itself across the two sides
+    * on non-BMP text). */
+  def trigramsOf(s: String): Iterator[String] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < 3) Iterator.empty
+    else (0 to cps.length - 3).iterator.map(i => new String(cps, i, 3))
+  }
+
+  /** Driver-side SUBSTRING-membership test on serialized bytes:
+    * false = the sketched text certainly contains no occurrence of
+    * `needle` (skip the file) — a file holding the substring holds
+    * every one of its 3-grams, so any missing gram is a proof of
+    * absence. Needles shorter than 3 code points have no grams and
+    * prove nothing (keep). Deserializes ONCE for all grams. */
+  def mightContainSubstring(bytes: Array[Byte], needle: String): Boolean = {
+    val grams = trigramsOf(needle)
+    if (grams.isEmpty) return true
+    val b = fromBytes(bytes)
+    grams.forall { g => val (h1, h2) = hashPair(g); b.mightContain(h1, h2) }
+  }
+
   /** Build a filter from string values (nulls skipped — a point
     * lookup is never `= NULL`). */
   case class BloomBuildAgg(child: Expression, numBits: Int, k: Int,
@@ -154,8 +179,55 @@ object BloomExprs {
       copy(child = newChild)
   }
 
+  /** Build a filter over the CODE-POINT 3-GRAMS of string values —
+    * the substring-search index: `text LIKE '%needle%'` can only
+    * match inside a file whose gram filter admits EVERY 3-gram of the
+    * needle ([[mightContainSubstring]]). Same serialized shape as the
+    * value filter, so it rides every manifest path (carry-forward,
+    * compaction backfill, fsck size accounting) unchanged. Duplicate
+    * grams within a row are naturally idempotent; nulls skipped. */
+  case class TrigramBloomAgg(child: Expression, numBits: Int, k: Int,
+                             mutableAggBufferOffset: Int = 0,
+                             inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Bloom] with GraftInputTypes
+      with UnaryLike[Expression] {
+    require(numBits >= 64 && numBits <= (1 << 28), "numBits must be in [64, 2^28]")
+    require(k >= 1 && k <= 16, "k must be in [1, 16]")
+    override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(StringType))
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): Bloom = empty(numBits, k)
+    override def update(buf: Bloom, row: InternalRow): Bloom = {
+      val v = child.eval(row)
+      if (v != null) {
+        val it = trigramsOf(v.asInstanceOf[UTF8String].toString)
+        while (it.hasNext) {
+          val (h1, h2) = hashPair(it.next())
+          buf.add(h1, h2)
+        }
+      }
+      buf
+    }
+    override def merge(a: Bloom, b: Bloom): Bloom = a.or(b)
+    override def eval(buf: Bloom): Any = buf.toBytes
+    override def serialize(buf: Bloom): Array[Byte] = buf.toBytes
+    override def deserialize(storage: Array[Byte]): Bloom = fromBytes(storage)
+    override def withNewMutableAggBufferOffset(o: Int): TrigramBloomAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): TrigramBloomAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): TrigramBloomAgg =
+      copy(child = newChild)
+  }
+
   /** Aggregate a string column into a serialized bloom filter. */
   def bloomBuild(c: Column, numBits: Int, k: Int = 6): Column =
     GraftBridge.column(
       BloomBuildAgg(GraftBridge.expression(c), numBits, k).toAggregateExpression())
+
+  /** Aggregate a string column's 3-grams into a serialized bloom
+    * filter (the substring index of [[TrigramBloomAgg]]). */
+  def triBloomBuild(c: Column, numBits: Int, k: Int = 6): Column =
+    GraftBridge.column(
+      TrigramBloomAgg(GraftBridge.expression(c), numBits, k).toAggregateExpression())
 }

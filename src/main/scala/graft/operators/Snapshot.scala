@@ -1161,8 +1161,13 @@ object Snapshot {
       statKind(df.schema(c).dataType).map(c -> _))
     val summed = tracked.collect {
       case (c, _) if sumTracked(df.schema(c).dataType) => c }.toSet
+    // bloom SPECS ([[bloomSpec]]): bare column = value filter,
+    // `3g:col` = trigram filter — same one-scan agg, different kernel
     val bloomed = if (bloomBits <= 0) Nil
-      else bloomCols.filter(df.columns.contains)
+      else bloomCols.flatMap { spec =>
+        val (tri, c) = bloomSpec(spec)
+        if (df.columns.contains(c)) Some((spec, c, tri)) else None
+      }
     val hlled = hllCols.filter(df.columns.contains)
     val aggs = (count(lit(1)).as("__rows") +:
       // on-disk size from the scan's own metadata column — constant
@@ -1174,8 +1179,13 @@ object Snapshot {
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
       (if (summed(c)) Seq(sum(col(c)).cast("string").as(s"__sum_$c")) else Nil)
     }) ++
-      bloomed.map(c => graft.functions.BloomExprs
-        .bloomBuild(col(c).cast("string"), bloomBits, bloomK).as(s"__bloom_$c")) ++
+      bloomed.map { case (spec, c, tri) =>
+        (if (tri) graft.functions.BloomExprs
+          .triBloomBuild(col(c).cast("string"), bloomBits, bloomK)
+        else graft.functions.BloomExprs
+          .bloomBuild(col(c).cast("string"), bloomBits, bloomK))
+          .as(s"__bloom_$spec")
+      } ++
       // per-file PORTABLE HLL sketch (md5-prefix hashing): register
       // max-merge is associative, so the union of per-file sketches is
       // bit-identical to a whole-table sketch - the manifest-only
@@ -1202,7 +1212,8 @@ object Snapshot {
               r.getAs[Long](s"__nulls_$c"),
               if (summed(c)) Option(r.getAs[String](s"__sum_$c")) else None)
           }.toMap,
-          bloomed.map(c => c -> r.getAs[Array[Byte]](s"__bloom_$c")).toMap,
+          bloomed.map { case (spec, _, _) =>
+            spec -> r.getAs[Array[Byte]](s"__bloom_$spec") }.toMap,
           None,
           hlled.map(c => c -> r.getAs[Array[Byte]](s"__hll_$c")).toMap,
           bytes = r.getAs[Long]("__bytes"))
@@ -1429,8 +1440,14 @@ object Snapshot {
         s"snapshot: unknown layout mode '$layoutMode'")
       require(layoutMode != "zorder" || zorderKeys.nonEmpty,
         "snapshot: layout zorder needs zorderKeys")
-      bloomCols.foreach(c => require(df.columns.contains(c),
-        s"snapshot: bloom column '$c' not in df"))
+      bloomCols.foreach { spec =>
+        val (tri, c) = bloomSpec(spec)
+        require(df.columns.contains(c),
+          s"snapshot: bloom column '$c' not in df")
+        if (tri) require(df.schema(c).dataType.isInstanceOf[StringType],
+          s"snapshot: trigram index '$spec' needs a string column " +
+            s"(got ${df.schema(c).dataType.simpleString})")
+      }
       hllCols.foreach(c => require(df.columns.contains(c),
         s"snapshot: hll column '$c' not in df"))
       require(hllP >= 4 && hllP <= 16, s"snapshot: hllP out of range ($hllP)")
@@ -2734,9 +2751,41 @@ object Snapshot {
     evolveSchemaAll(table, Seq(
       s"track_bloom($name)" -> addBloomXform(table, name, bits, k)))
 
+  /** A bloom SPEC is either a bare column name (the VALUE filter —
+    * point-lookup skipping) or `3g:<col>` (the TRIGRAM filter — the
+    * substring-search index of [[pruneContains]]). Two filter kinds,
+    * ONE tracking list: carry-forward, compaction backfill, REPLACE
+    * inheritance, fsck and serialization treat both uniformly, and
+    * only the build aggregate and the prune predicate differ. */
+  private[graft] val TriPrefix = "3g:"
+  private[graft] def bloomSpec(s: String): (Boolean, String) =
+    if (s.startsWith(TriPrefix)) (true, s.stripPrefix(TriPrefix))
+    else (false, s)
+
+  /** Add a per-file TRIGRAM bloom on string column `name` — the
+    * SUBSTRING index: `column LIKE '%needle%'` served by
+    * [[pruneContains]]/[[readWhereContains]] without a full scan.
+    * Tracked as the bloom spec `3g:<name>` (see [[bloomSpec]]), so
+    * sizing is the table-wide bloom sizing and the backfill contract
+    * is [[trackBloom]]'s: files index on their next rewrite,
+    * `compact` backfills, untracked files read conservatively. */
+  def trackTrigram(spark: SparkSession, table: String, name: String,
+                   bits: Int = 1 << 17, k: Int = 6): CommitStats =
+    evolveSchemaAll(table, Seq(
+      s"track_trigram($name)" -> addBloomXform(table, TriPrefix + name, bits, k)))
+
+  /** Stop trigram-tracking `name` (metadata-only commit). */
+  def untrackTrigram(spark: SparkSession, table: String, name: String): CommitStats =
+    evolveSchemaAll(table, Seq(
+      s"untrack_trigram($name)" -> dropBloomXform(table, TriPrefix + name)))
+
   private[graft] def addBloomXform(table: String, name: String,
                                    bits: Int, k: Int)(m: Manifest): Manifest = {
-    requireTrackable(m, table, name, "bloom")
+    val (tri, src) = bloomSpec(name)
+    val f = requireTrackable(m, table, src, if (tri) "trigram" else "bloom")
+    if (tri) require(f.dataType.isInstanceOf[StringType],
+      s"snapshot $table: trigram index '$src' needs a string column " +
+        s"(got ${f.dataType.simpleString}) — grams are code-point windows")
     require(bits > 0 && k > 0,
       s"snapshot $table: bloom needs positive bits/k (got $bits,$k)")
     if (m.bloomCols.nonEmpty)
@@ -3476,6 +3525,45 @@ object Snapshot {
       if (kept.isEmpty) readManifestFiles(spark, table, m).limit(0)
       else readManifestFiles(spark, table, m, kept)
     base.filter(col(column) === lit(value))
+  }
+
+  /** SUBSTRING prune `column LIKE '%needle%'` via the per-file
+    * TRIGRAM filter (`3g:<column>` in bloomCols — [[trackTrigram]]):
+    * a file holding an occurrence of the needle holds every one of
+    * its code-point 3-grams, so any gram the file's filter provably
+    * lacks is a proof of absence and the file is skipped — substring
+    * search priced by matching files, not table size. Conservative
+    * everywhere else: needles under 3 code points have no grams
+    * (keep all), files from before tracking carry no filter (keep),
+    * and an all-null/all-short file aggregates an EMPTY filter that
+    * correctly tests negative for every gram. */
+  def pruneContains(table: String, column: String, needle: String,
+                    version: Int = 0): (Seq[FileEntry], Int) = {
+    require(needle != null, "pruneContains: null needle")
+    val v = if (version > 0) version else currentVersion(table)
+    val m = readManifest(table, v)
+    val spec = TriPrefix + column
+    require(m.bloomCols.contains(spec),
+      s"snapshot $table: no trigram index for '$column' (blooms: " +
+        s"${m.bloomCols.mkString(",")}) — trackTrigram() + compact() to index")
+    val kept = m.files.filter(f => f.blooms.get(spec).forall(
+      graft.functions.BloomExprs.mightContainSubstring(_, needle)))
+    (kept, m.files.size)
+  }
+
+  /** Substring read `column LIKE '%needle%'`: [[pruneContains]] file
+    * skipping + the exact `contains` filter (pruning is an IO
+    * optimization, never a semantics change — a gram false positive
+    * is filtered away). */
+  def readWhereContains(spark: SparkSession, table: String, column: String,
+                        needle: String, version: Int = 0): DataFrame = {
+    val v = if (version > 0) version else currentVersion(table)
+    val m = readManifest(table, v)
+    val (kept, _) = pruneContains(table, column, needle, v)
+    val base =
+      if (kept.isEmpty) readManifestFiles(spark, table, m).limit(0)
+      else readManifestFiles(spark, table, m, kept)
+    base.filter(col(column).contains(needle))
   }
 
   /** [[pruneEq]] over a VALUE SET: the union of each value's kept

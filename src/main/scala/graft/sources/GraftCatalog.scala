@@ -313,11 +313,17 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val props = properties.asScala
     val statsCols = props.get("statsCols").toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    // `bloom.<col>` = value filter; `trigram.<col>` = substring index
+    // (the `3g:` bloom spec — [[Snapshot.bloomSpec]]); ONE sizing
     val blooms = props.collect {
       case (k, v) if k.startsWith("bloom.") =>
         val c = k.stripPrefix("bloom.")
         val (bits, bk) = bloomSizing(c, v)
         (c, bits, bk)
+      case (k, v) if k.startsWith("trigram.") =>
+        val c = k.stripPrefix("trigram.")
+        val (bits, bk) = bloomSizing(c, v)
+        (Snapshot.TriPrefix + c, bits, bk)
     }.toSeq.sortBy(_._1)
     require(blooms.map(b => (b._2, b._3)).distinct.size <= 1,
       "graft catalog: bloom sizing is table-wide — every bloom.<col> " +
@@ -332,9 +338,17 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       "graft catalog: HLL precision is table-wide — every hll.<col> " +
         s"property must agree (got ${hlls.map(h => s"${h._1}=${h._2}")
           .mkString(", ")})")
-    (statsCols ++ blooms.map(_._1) ++ hlls.map(_._1)).foreach(c =>
+    (statsCols ++ blooms.map(b => Snapshot.bloomSpec(b._1)._2) ++
+        hlls.map(_._1)).foreach(c =>
       require(schema.fieldNames.contains(c),
         s"graft catalog: tracked column '$c' not in the table schema"))
+    blooms.map(_._1).filter(_.startsWith(Snapshot.TriPrefix)).foreach { spec =>
+      val c = Snapshot.bloomSpec(spec)._2
+      val dt = schema.fields.find(_.name == c).get.dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.StringType],
+        s"graft catalog: trigram index '$c' needs a string column " +
+          s"(got ${dt.simpleString})")
+    }
     // the SAME type gate the ALTER face applies (setStatsColsXform) —
     // a silently-never-tracked column must refuse at CREATE too. Key
     // columns are EXEMPT, exactly as the ALTER xform exempts them:
@@ -610,6 +624,12 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           val (bits, k) = bloomSizing(c, sp.value)
           (s"track_bloom($c)", Snapshot.addBloomXform(path, c, bits, k)(_))
         case sp: TableChange.SetProperty
+            if sp.property.startsWith("trigram.") =>
+          val c = sp.property.stripPrefix("trigram.")
+          val (bits, k) = bloomSizing(c, sp.value)
+          (s"track_trigram($c)",
+            Snapshot.addBloomXform(path, Snapshot.TriPrefix + c, bits, k)(_))
+        case sp: TableChange.SetProperty
             if sp.property.startsWith("hll.") =>
           val c = sp.property.stripPrefix("hll.")
           val p = if (sp.value.trim.isEmpty) 12 else sp.value.trim.toInt
@@ -620,6 +640,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
             if rp.property.startsWith("bloom.") =>
           val c = rp.property.stripPrefix("bloom.")
           (s"untrack_bloom($c)", Snapshot.dropBloomXform(path, c)(_))
+        case rp: TableChange.RemoveProperty
+            if rp.property.startsWith("trigram.") =>
+          val c = rp.property.stripPrefix("trigram.")
+          (s"untrack_trigram($c)",
+            Snapshot.dropBloomXform(path, Snapshot.TriPrefix + c)(_))
         case rp: TableChange.RemoveProperty
             if rp.property.startsWith("hll.") =>
           val c = rp.property.stripPrefix("hll.")

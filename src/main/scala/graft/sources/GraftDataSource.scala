@@ -366,8 +366,13 @@ private[graft] class GraftTable(private[graft] val path: String,
     // (the aggregate bloomCols/hllCols forms stay for dashboards)
     if (m.bloomCols.nonEmpty) {
       props.put("bloomCols", m.bloomCols.mkString(","))
-      m.bloomCols.foreach(c =>
-        props.put(s"bloom.$c", s"${m.bloomBits},${m.bloomK}"))
+      m.bloomCols.foreach { spec =>
+        // trigram specs render under their OWN property family so the
+        // SHOW CREATE TABLE output re-executes through trackingSpec
+        val (tri, c) = Snapshot.bloomSpec(spec)
+        props.put(if (tri) s"trigram.$c" else s"bloom.$c",
+          s"${m.bloomBits},${m.bloomK}")
+      }
     }
     if (m.hllCols.nonEmpty) {
       props.put("hllCols", m.hllCols.mkString(","))
