@@ -1175,6 +1175,13 @@ private[graft] object GraftFilters {
         Some(Snapshot.pruneBounds(path, c, None, Some(v), version)._1.map(_.path).toSet)
       case LessThanOrEqual(c, v) if rangeable(c) && v != null =>
         Some(Snapshot.pruneBounds(path, c, None, Some(v), version)._1.map(_.path).toSet)
+      // `LIKE '%needle%'` compiles to StringContains: when the column
+      // carries the trigram index (the `3g:` bloom spec), prune to the
+      // files whose gram filter admits every 3-gram of the needle —
+      // substring pushdown priced by matching files
+      case StringContains(c, v)
+          if m.bloomCols.contains(Snapshot.TriPrefix + c) && v != null =>
+        Some(Snapshot.pruneContains(path, c, v, version)._1.map(_.path).toSet)
       case _ => None
     }
     if (keptSets.isEmpty) None

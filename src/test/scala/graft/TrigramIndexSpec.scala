@@ -155,6 +155,33 @@ class TrigramIndexSpec extends SparkSpecBase {
     assert(msgs.contains("string column"))
   }
 
+  test("DSv2 StringContains pushdown: LIKE '%needle%' through the connector prunes via the trigram index — REAL io skipping") {
+    import org.apache.spark.sql.sources.StringContains
+    import java.nio.file.{Files, Paths}
+    val t = fresh("dsv2")
+    Snapshot.create(spark, t, docsDf, key = "id", partitionCol = "part",
+      fileRanges = 4, bloomCols = Seq(Snapshot.TriPrefix + "text"))
+    val m = Snapshot.readManifest(t, 1)
+    val kept = graft.sources.GraftFilters.prune(t, 1,
+      Array(StringContains("text", "needle-in-haystack"))).get
+    assert(kept.nonEmpty && kept.size < m.files.size,
+      s"kept ${kept.size} of ${m.files.size}")
+    // physically delete every file the prune rejects: the LIKE read
+    // must not touch them — pruning is real IO skipping, not advisory
+    val keptPaths = kept.map(_.path).toSet
+    m.files.filterNot(f => keptPaths.contains(f.path))
+      .foreach(f => Files.delete(Paths.get(s"$t/${f.path}")))
+    spark.read.format("graft").load(t).createOrReplaceTempView("tri_dsv2")
+    val got = spark.sql(
+      "SELECT id FROM tri_dsv2 WHERE text LIKE '%needle-in-haystack%'")
+      .as[Long].collect().sorted.toSeq
+    assert(got == (291L to 300L))
+    // an unpruned full read must touch the deleted files and fail
+    intercept[Exception] {
+      spark.read.format("graft").load(t).collect()
+    }
+  }
+
   test("gram definition is shared and surrogate-safe: write-side filters admit exactly the driver-side grams, incl. non-BMP text") {
     // the two sides must hash IDENTICAL grams — a UTF-16 window would
     // split this text's surrogate pairs on one side only
