@@ -133,17 +133,48 @@ object BloomExprs {
     else (0 to cps.length - 3).iterator.map(i => new String(cps, i, 3))
   }
 
-  /** Driver-side SUBSTRING-membership test on serialized bytes:
-    * false = the sketched text certainly contains no occurrence of
-    * `needle` (skip the file) — a file holding the substring holds
-    * every one of its 3-grams, so any missing gram is a proof of
-    * absence. Needles shorter than 3 code points have no grams and
-    * prove nothing (keep). Deserializes ONCE for all grams. */
-  def mightContainSubstring(bytes: Array[Byte], needle: String): Boolean = {
-    val grams = trigramsOf(needle)
-    if (grams.isEmpty) return true
+  /** The DISTINCT base-hash pairs of a needle's 3-grams — compute
+    * ONCE per query, then test per file with [[mightContainHashes]]
+    * (a manifest-wide prune over 100k files must not re-derive and
+    * re-hash the grams 100k times). Empty for sub-3-code-point
+    * needles: no grams, nothing provable. */
+  def substringHashes(needle: String): Array[(Long, Long)] =
+    trigramsOf(needle).toSeq.distinct.map(hashPair).toArray
+
+  /** Per-file half of the substring test: false = the sketched text
+    * certainly contains no occurrence of the hashed needle (skip the
+    * file) — a file holding the substring holds every one of its
+    * 3-grams, so any missing gram is a proof of absence. An empty
+    * hash set proves nothing (keep). Deserializes ONCE. */
+  def mightContainHashes(bytes: Array[Byte],
+                         hashes: Array[(Long, Long)]): Boolean = {
+    if (hashes.isEmpty) return true
     val b = fromBytes(bytes)
-    grams.forall { g => val (h1, h2) = hashPair(g); b.mightContain(h1, h2) }
+    hashes.forall { case (h1, h2) => b.mightContain(h1, h2) }
+  }
+
+  /** One-shot convenience form of the two halves above. */
+  def mightContainSubstring(bytes: Array[Byte], needle: String): Boolean =
+    mightContainHashes(bytes, substringHashes(needle))
+
+  /** The shared buffer machinery of the bloom-building aggregates —
+    * ONE copy of the sizing gates and the serialization contract; the
+    * concrete aggregates differ only in what they ADD per value. */
+  abstract class BloomAggBase extends TypedImperativeAggregate[Bloom]
+      with GraftInputTypes with UnaryLike[Expression] {
+    def numBits: Int
+    def k: Int
+    // sizing bounds are enforced by [[empty]] at buffer creation —
+    // a require here would read the abstract accessors DURING the
+    // super constructor, before the subclass fields initialize
+    override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(StringType))
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def createAggregationBuffer(): Bloom = empty(numBits, k)
+    override def merge(a: Bloom, b: Bloom): Bloom = a.or(b)
+    override def eval(buf: Bloom): Any = buf.toBytes
+    override def serialize(buf: Bloom): Array[Byte] = buf.toBytes
+    override def deserialize(storage: Array[Byte]): Bloom = fromBytes(storage)
   }
 
   /** Build a filter from string values (nulls skipped — a point
@@ -151,14 +182,7 @@ object BloomExprs {
   case class BloomBuildAgg(child: Expression, numBits: Int, k: Int,
                            mutableAggBufferOffset: Int = 0,
                            inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[Bloom] with GraftInputTypes
-      with UnaryLike[Expression] {
-    require(numBits >= 64 && numBits <= (1 << 28), "numBits must be in [64, 2^28]")
-    require(k >= 1 && k <= 16, "k must be in [1, 16]")
-    override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(StringType))
-    override def dataType: DataType = BinaryType
-    override def nullable: Boolean = false
-    override def createAggregationBuffer(): Bloom = empty(numBits, k)
+      extends BloomAggBase {
     override def update(buf: Bloom, row: InternalRow): Bloom = {
       val v = child.eval(row)
       if (v != null) {
@@ -167,10 +191,6 @@ object BloomExprs {
       }
       buf
     }
-    override def merge(a: Bloom, b: Bloom): Bloom = a.or(b)
-    override def eval(buf: Bloom): Any = buf.toBytes
-    override def serialize(buf: Bloom): Array[Byte] = buf.toBytes
-    override def deserialize(storage: Array[Byte]): Bloom = fromBytes(storage)
     override def withNewMutableAggBufferOffset(o: Int): BloomBuildAgg =
       copy(mutableAggBufferOffset = o)
     override def withNewInputAggBufferOffset(o: Int): BloomBuildAgg =
@@ -189,14 +209,7 @@ object BloomExprs {
   case class TrigramBloomAgg(child: Expression, numBits: Int, k: Int,
                              mutableAggBufferOffset: Int = 0,
                              inputAggBufferOffset: Int = 0)
-      extends TypedImperativeAggregate[Bloom] with GraftInputTypes
-      with UnaryLike[Expression] {
-    require(numBits >= 64 && numBits <= (1 << 28), "numBits must be in [64, 2^28]")
-    require(k >= 1 && k <= 16, "k must be in [1, 16]")
-    override def graftInputTypes: Seq[Seq[DataType]] = Seq(Seq(StringType))
-    override def dataType: DataType = BinaryType
-    override def nullable: Boolean = false
-    override def createAggregationBuffer(): Bloom = empty(numBits, k)
+      extends BloomAggBase {
     override def update(buf: Bloom, row: InternalRow): Bloom = {
       val v = child.eval(row)
       if (v != null) {
@@ -208,10 +221,6 @@ object BloomExprs {
       }
       buf
     }
-    override def merge(a: Bloom, b: Bloom): Bloom = a.or(b)
-    override def eval(buf: Bloom): Any = buf.toBytes
-    override def serialize(buf: Bloom): Array[Byte] = buf.toBytes
-    override def deserialize(storage: Array[Byte]): Bloom = fromBytes(storage)
     override def withNewMutableAggBufferOffset(o: Int): TrigramBloomAgg =
       copy(mutableAggBufferOffset = o)
     override def withNewInputAggBufferOffset(o: Int): TrigramBloomAgg =

@@ -2340,7 +2340,9 @@ object Snapshot {
       val v = cur + 1
       val statsCols = (m.keys ++ m.statsCols.filterNot(m.keys.contains))
         .filter(df.columns.contains)
-      val bloomCols = m.bloomCols.filter(df.columns.contains)
+      // survival is decided by the SOURCE column (a trigram spec
+      // `3g:text` survives while `text` does), never the raw spec
+      val bloomCols = m.bloomCols.filter(s => df.columns.contains(bloomSpec(s)._2))
       val hllCols = m.hllCols.filter(df.columns.contains)
       // columnMap resets: the replace writes every live byte under the
       // new logical names, so physical == logical again
@@ -2410,7 +2412,10 @@ object Snapshot {
     if (m.keys.contains(name)) reasons += "a merge key column"
     if (m.partSources.contains(name)) reasons += "a partition source column"
     if (m.statsCols.contains(name)) reasons += "a stats column"
-    if (m.bloomCols.contains(name)) reasons += "a bloom column"
+    // a trigram spec bars its SOURCE column (the bare name never
+    // appears in bloomCols for a trigram-only tracking)
+    if (m.bloomCols.exists(s => bloomSpec(s)._2 == name))
+      reasons += "a bloom column"
     if (m.hllCols.contains(name)) reasons += "an HLL column"
     if (m.layout.zorderKeys.contains(name)) reasons += "a z-order key"
     if (m.constraints.exists(c => sqlReferences(c._2)))
@@ -3546,8 +3551,10 @@ object Snapshot {
     require(m.bloomCols.contains(spec),
       s"snapshot $table: no trigram index for '$column' (blooms: " +
         s"${m.bloomCols.mkString(",")}) — trackTrigram() + compact() to index")
+    // hash the needle's grams ONCE; per file only deserialize + test
+    val hs = graft.functions.BloomExprs.substringHashes(needle)
     val kept = m.files.filter(f => f.blooms.get(spec).forall(
-      graft.functions.BloomExprs.mightContainSubstring(_, needle)))
+      graft.functions.BloomExprs.mightContainHashes(_, hs)))
     (kept, m.files.size)
   }
 

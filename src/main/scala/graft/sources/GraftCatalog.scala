@@ -459,7 +459,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       s"graft catalog: REPLACE TABLE cannot change $what ('$declared' vs " +
         s"the table's '$actual') — $via")
     if (props.keys.exists(k => k == "statsCols" ||
-        k.startsWith("bloom.") || k.startsWith("hll."))) {
+        k.startsWith("bloom.") || k.startsWith("trigram.") ||
+        k.startsWith("hll."))) {
       val (dStats, dBloom, dBits, dK, dHll, dP) =
         trackingSpec(schema, properties)
       if (props.contains("statsCols")) {

@@ -155,6 +155,44 @@ class TrigramIndexSpec extends SparkSpecBase {
     assert(msgs.contains("string column"))
   }
 
+  test("the trigram spec's SOURCE column governs REPLACE survival, evolution bars, and the REPLACE drift gate") {
+    val t = fresh("repl")
+    Snapshot.create(spark, t, docsDf, key = "id", partitionCol = "part",
+      bloomCols = Seq(Snapshot.TriPrefix + "text"))
+    // rename of the SOURCE column refuses while trigram-tracked (the
+    // bare name never appears in bloomCols — the bar must see through
+    // the spec, or a dangling 3g:text would prune against stale grams)
+    val eRen = intercept[IllegalArgumentException] {
+      Snapshot.renameColumn(spark, t, "text", "body")
+    }
+    assert(eRen.getMessage.contains("bloom"))
+    // REPLACE with the source column surviving KEEPS the index and
+    // builds grams for the new files
+    Snapshot.replaceTable(spark, t, docsDf.filter($"id" <= 100))
+    val m2 = Snapshot.readManifest(t, Snapshot.currentVersion(t))
+    assert(m2.bloomCols == Seq("3g:text"))
+    assert(m2.files.nonEmpty && m2.files.forall(_.blooms.contains("3g:text")))
+    assert(Snapshot.pruneContains(t, "text", "zq9xv7 never")._1.isEmpty)
+    // the SQL REPLACE drift gate sees a LONE trigram property: a
+    // differing declaration refuses instead of being silently ignored
+    val root = fresh("replsql")
+    spark.conf.set("spark.sql.catalog.tricat2", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.tricat2.root", root)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS tricat2.db")
+    docsDf.createOrReplaceTempView("tri_repl_src")
+    spark.sql("""CREATE TABLE tricat2.db.docs USING graft
+      TBLPROPERTIES ('key'='id','partitionCol'='part')
+      AS SELECT * FROM tri_repl_src""")
+    val eRepl = intercept[IllegalArgumentException] {
+      spark.sql("""REPLACE TABLE tricat2.db.docs USING graft
+        TBLPROPERTIES ('key'='id','partitionCol'='part',
+          'trigram.text'='131072,6')
+        AS SELECT * FROM tri_repl_src""")
+    }
+    assert(eRepl.getMessage.contains("bloom tracking") &&
+      eRepl.getMessage.contains("ALTER"))
+  }
+
   test("DSv2 StringContains pushdown: LIKE '%needle%' through the connector prunes via the trigram index — REAL io skipping") {
     import org.apache.spark.sql.sources.StringContains
     import java.nio.file.{Files, Paths}
