@@ -62,6 +62,7 @@ object Bench {
     "snapshot_multikey", "snapshot_days_prune", "snapshot_hours_prune",
     "snapshot_bucket_prune",
     "snapshot_repartition", "snapshot_sql_tracking", "snapshot_substring",
+    "snapshot_prefix",
     "snapshot_catalog", "snapshot_catalog_asof",
     "snapshot_relayout",
     "fuzzy_names", "fuzzy_names_jw", "fuzzy_names_multi",

@@ -3039,6 +3039,12 @@ object Oracles {
       """SELECT doc_id, text, lang, source, n_chars
         |FROM documents WHERE n_chars = 500""".stripMargin,
 
+    // prefix-range pruning: the bare LIKE 'src1%' — per-file string
+    // min/max spans under the lexicographic compare are IO-only
+    "snapshot_prefix" ->
+      """SELECT doc_id, source, n_chars
+        |FROM documents WHERE source LIKE 'src1%'""".stripMargin,
+
     // trigram substring index: the bare LIKE '%needle%' union —
     // per-file 3-gram filter pruning is IO-only (a kept file's rows
     // still pass the exact contains filter)

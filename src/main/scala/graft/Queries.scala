@@ -2412,6 +2412,29 @@ object Queries {
     }.reduce(_ unionByName _)
   }
 
+  private val snapshotPrefixMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** PREFIX-RANGE pruning (r16, the stats sibling of the trigram
+    * substring index): a documents snapshot keyed by (source, doc_id)
+    * under the range layout, so each file's `source` min/max is a
+    * TIGHT span — `source LIKE 'src1%'` (src1, src10..src19) then
+    * reads only the files whose span meets `[src1, src2)` under the
+    * FORCED lexicographic compare (the numeric-when-parseable range
+    * rule would mis-order digit prefixes). The oracle is the bare
+    * LIKE, so hash equality proves prefix pruning is IO-only. */
+  def snapshotPrefix(s: SparkSession, dir: String): DataFrame = {
+    val p = snapshotPrefixMemo.computeIfAbsent(dir, _ => {
+      val path = scratch("snapshot_prefix", dir)
+      Snapshot.createMulti(s, path, t(s, dir, "documents"),
+        keys = Seq("source", "doc_id"), partitionCols = Seq("lang"),
+        fileRanges = 4)
+      path
+    })
+    Snapshot.readWhereStartsWith(s, p, "source", "src1")
+      .select("doc_id", "source", "n_chars")
+  }
+
   private val snapshotDsv2UpdateMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -3144,6 +3167,7 @@ object Queries {
     "snapshot_catalog_asof" -> snapshotCatalogAsof _,
     "snapshot_sql_tracking" -> snapshotSqlTracking _,
     "snapshot_substring" -> snapshotSubstring _,
+    "snapshot_prefix" -> snapshotPrefix _,
     "snapshot_relayout" -> snapshotRelayout _,
     "snapshot_timetravel" -> snapshotTimetravel _,
     "snapshot_pruned" -> snapshotPruned _,

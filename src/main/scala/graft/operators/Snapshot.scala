@@ -3573,6 +3573,68 @@ object Snapshot {
     base.filter(col(column).contains(needle))
   }
 
+  /** The smallest string GREATER (UTF-8 order) than every string
+    * with prefix `p`: last code point incremented (skipping the
+    * surrogate gap — an unpaired surrogate would mangle through
+    * UTF-8); max-code-point tails drop and carry; an all-max prefix
+    * has no upper bound (None). */
+  private[graft] def nextPrefix(p: String): Option[String] = {
+    val cps = p.codePoints().toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) == Character.MAX_CODE_POINT) i -= 1
+    if (i < 0) None
+    else {
+      val inc0 = cps(i) + 1
+      val inc = if (inc0 >= 0xD800 && inc0 <= 0xDFFF) 0xE000 else inc0
+      Some(new String(cps, 0, i) + new String(Array(inc), 0, 1))
+    }
+  }
+
+  /** PREFIX prune `column LIKE 'prefix%'` via per-file min/max stats:
+    * every matching value sits in `[prefix, nextPrefix)` under UTF-8
+    * order, so a file whose max < prefix or min >= nextPrefix holds
+    * no match. Sound ONLY with the lexicographic comparator on
+    * STRING-kind stats — [[pruneBounds]]' numeric-when-parseable rule
+    * would order a digit prefix numerically ("2" admits "100" but
+    * not "21"), so prefix pruning has its own compare keyed on the
+    * per-file stat KIND (numeric-kind stats keep conservatively; an
+    * all-null file never LIKE-matches and skips). */
+  def prunePrefix(table: String, column: String, prefix: String,
+                  version: Int = 0): (Seq[FileEntry], Int) = {
+    require(prefix != null && prefix.nonEmpty,
+      "prunePrefix: an empty prefix matches everything — read plainly")
+    val v = if (version > 0) version else currentVersion(table)
+    val m = readManifest(table, v)
+    require(m.statsCols.contains(column),
+      s"snapshot $table: no stats tracked for '$column' " +
+        s"(tracked: ${m.statsCols.mkString(",")})")
+    val hi = nextPrefix(prefix)
+    val kept = m.files.filter { f =>
+      f.stats.get(column).forall { cs =>
+        if (cs.kind != "str") true
+        else (cs.min, cs.max) match {
+          case (Some(mn), Some(mx)) =>
+            cmpUtf8(mx, prefix) >= 0 && hi.forall(h => cmpUtf8(mn, h) < 0)
+          case _ => false
+        }
+      }
+    }
+    (kept, m.files.size)
+  }
+
+  /** Prefix read `column LIKE 'prefix%'`: [[prunePrefix]] file
+    * skipping + the exact `startsWith` filter. */
+  def readWhereStartsWith(spark: SparkSession, table: String, column: String,
+                          prefix: String, version: Int = 0): DataFrame = {
+    val v = if (version > 0) version else currentVersion(table)
+    val m = readManifest(table, v)
+    val (kept, _) = prunePrefix(table, column, prefix, v)
+    val base =
+      if (kept.isEmpty) readManifestFiles(spark, table, m).limit(0)
+      else readManifestFiles(spark, table, m, kept)
+    base.filter(col(column).startsWith(prefix))
+  }
+
   /** [[pruneEq]] over a VALUE SET: the union of each value's kept
     * files — the IN-list lookup (e.g. an IVF query batch's probed
     * cells). Bounded driver work: |values| × manifest scans, no IO. */

@@ -1182,6 +1182,13 @@ private[graft] object GraftFilters {
       case StringContains(c, v)
           if m.bloomCols.contains(Snapshot.TriPrefix + c) && v != null =>
         Some(Snapshot.pruneContains(path, c, v, version)._1.map(_.path).toSet)
+      // `LIKE 'prefix%'` compiles to StringStartsWith: prefix pruning
+      // rides the per-file string min/max under the FORCED
+      // lexicographic compare (prunePrefix — the numeric-when-
+      // parseable range rule would mis-order digit prefixes)
+      case StringStartsWith(c, v)
+          if m.statsCols.contains(c) && v != null && v.nonEmpty =>
+        Some(Snapshot.prunePrefix(path, c, v, version)._1.map(_.path).toSet)
       case _ => None
     }
     if (keptSets.isEmpty) None
