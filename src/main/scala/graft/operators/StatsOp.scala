@@ -84,8 +84,25 @@ object StatsOp {
         graft.functions.HllExprs.hllEstimate(
           graft.functions.HllExprs.hllSketch(portableRender(c, dt), 12,
             portable = true))
-      else if (useApprox) approx_count_distinct(c)
-      else countDistinct(c)
+      else approx_count_distinct(c)
+
+    // EXACT distinct counting is kept OUT of the wide aggregate: N
+    // `countDistinct`s in one agg plan an `Expand` — every row
+    // multiplied ×(N+1) into a single hash aggregate keyed on ALL N
+    // value columns at once (measured at sf0.1: a 5× row stream into
+    // one ~750k-group, 54-buffer-slot table, the whole query 2.5 s).
+    // Instead each field gets its own two-level aggregate — a
+    // column-pruned scan, map-side partial `groupBy(value)`, then a
+    // global count — and the 1-row results union into a (field,
+    // distinct_count) frame broadcast-joined back onto the unpivoted
+    // stats (opt guide §2.3: aggregate before the shuffle / shuffle
+    // one narrow column, not an expanded row stream). Same exchange
+    // row count as the Expand plan at 1/Nth the width, no giant
+    // multi-column hash table; the extra scans are column-pruned so
+    // total column bytes read stay ~the single-scan plan's. The
+    // APPROX (100 TB) path is untouched: HLL sketches fold into the
+    // one-pass wide agg with constant state.
+    val splitDistinct = !useApprox
 
     val aggs: Seq[Column] = Seq(count(lit(1)).as("__total")) ++ fields.flatMap { f =>
       val c = col(f)
@@ -100,8 +117,10 @@ object StatsOp {
       val numeric = isNumericLike(dt)
       Seq(
         count(when(c.isNull, 1)).as(s"$f#null"),
-        count(c).as(s"$f#nonnull"),
-        distinctAgg(c, dt).as(s"$f#distinct"),
+        count(c).as(s"$f#nonnull")) ++
+      (if (splitDistinct) Nil
+       else Seq(distinctAgg(c, dt).as(s"$f#distinct"))) ++
+      Seq(
         (if (numeric) asNum(min(c)) else lit(null).cast("double")).as(s"$f#minn"),
         (if (numeric) asNum(max(c)) else lit(null).cast("double")).as(s"$f#maxn"),
         min(c).try_cast("string").as(s"$f#mins"),
@@ -111,17 +130,36 @@ object StatsOp {
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val structs = fields.map { f =>
       struct(
-        lit(f).as("field"),
-        col(s"`$f#null`").as("null_count"),
-        col(s"`$f#nonnull`").as("non_null_count"),
-        col(s"`$f#distinct`").as("distinct_count"),
-        col(s"`$f#minn`").as("min_num"),
-        col(s"`$f#maxn`").as("max_num"),
-        col(s"`$f#mins`").as("min_value"),
-        col(s"`$f#maxs`").as("max_value"),
-        (col(s"`$f#null`").cast("double") * 100.0 / col("__total")).as("null_pct"))
+        Seq(
+          lit(f).as("field"),
+          col(s"`$f#null`").as("null_count"),
+          col(s"`$f#nonnull`").as("non_null_count")) ++
+        (if (splitDistinct) Nil
+         else Seq(col(s"`$f#distinct`").as("distinct_count"))) ++
+        Seq(
+          col(s"`$f#minn`").as("min_num"),
+          col(s"`$f#maxn`").as("max_num"),
+          col(s"`$f#mins`").as("min_value"),
+          col(s"`$f#maxs`").as("max_value"),
+          (col(s"`$f#null`").cast("double") * 100.0 / col("__total")).as("null_pct")): _*)
     }
-    wide.select(explode(array(structs: _*)).as("s")).select("s.*")
+    val long = wide.select(explode(array(structs: _*)).as("s")).select("s.*")
+    if (!splitDistinct) long
+    else {
+      // per-field exact distinct: value-keyed pre-aggregation (null
+      // group dropped — countDistinct semantics), then a global count;
+      // five 1-row frames union into the broadcast side of the join
+      val dc = fields.distinct.map { f =>
+        df.select(col(f).as("__v")).where(col("__v").isNotNull)
+          .distinct()
+          .agg(count(lit(1)).as("distinct_count"))
+          .select(lit(f).as("field"), col("distinct_count"))
+      }.reduce(_ unionAll _)
+      long.join(broadcast(dc), Seq("field"))
+        .select(col("field"), col("null_count"), col("non_null_count"),
+          col("distinct_count"), col("min_num"), col("max_num"),
+          col("min_value"), col("max_value"), col("null_pct"))
+    }
   }
 
   /**
