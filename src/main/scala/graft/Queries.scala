@@ -479,12 +479,22 @@ object Queries {
         sum(dec(col("l_extendedprice"))).cast("double").as("sum_price"))
 
   /** Full CUBE over (returnflag, linestatus): all four grouping
-    * combinations in one pass. */
+    * combinations in one pass. The base rows are PRE-AGGREGATED by
+    * the full dimension pair first: CUBE plans an Expand (rows ×
+    * grouping sets — 4× the scan feeding the aggregate), and both
+    * measures are algebraic (count ≡ sum of partial counts, sum ≡ sum
+    * of exact-decimal partial sums), so cubing the ~|flag×status|
+    * pre-aggregate is row-for-row identical to cubing the raw scan
+    * (subtotal rows fold null dimension values either way) while the
+    * Expand multiplies a handful of rows instead of the corpus (opt
+    * guide §2.3: aggregate before you shuffle). */
   def qCube(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("__n"), sum(dec(col("l_quantity"))).as("__q"))
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"),
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .agg(sum(col("__n")).as("n"),
+        sum(col("__q")).cast("double").as("sum_qty"))
 
   /** Hourly resample WITH gap filling: every hour between each
     * event_type's first and last event exists in the output, empty
