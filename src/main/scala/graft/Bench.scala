@@ -80,7 +80,7 @@ object Bench {
     val selected = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(headline)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       // analysis-time rules (SQL UPDATE/MERGE routing, TVFs, native
       // functions) can only register at session construction
       .withExtensions(new GraftExtensions)
@@ -97,7 +97,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B tuning hook: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" overlays
+    // session confs for conf experiments (unset — the driver's case —
+    // is a no-op; committed artifacts never rely on it)
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      val i = kv.indexOf('=')
+      if (i > 0) builder.config(kv.take(i).trim, kv.drop(i + 1).trim)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def runOnce(name: String): Double = {

@@ -35,6 +35,14 @@ object PlanAudit {
     val shuffleRead = new LongAdder
     val diskSpill = new LongAdder
     val tasks = new LongAdder
+    // time attribution (r16): Σ executor run/CPU/GC across tasks plus
+    // the stage count — executorRun/32 ≈ wall means compute-bound;
+    // far below wall means the time is scheduling/driver/stage-count
+    // overhead, a different fix
+    val stages = new LongAdder
+    val execRunMs = new LongAdder
+    val execCpuMs = new LongAdder
+    val gcMs = new LongAdder
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
       if (m != null) {
@@ -42,7 +50,11 @@ object PlanAudit {
         shuffleWrite.add(m.shuffleWriteMetrics.bytesWritten)
         shuffleRead.add(m.shuffleReadMetrics.totalBytesRead)
         diskSpill.add(m.diskBytesSpilled)
+        execRunMs.add(m.executorRunTime)
+        execCpuMs.add(m.executorCpuTime / 1000000L)
+        gcMs.add(m.jvmGCTime)
       }
+      stages.add(1L)
       tasks.add(sc.stageInfo.numTasks)
     }
   }
@@ -70,7 +82,11 @@ object PlanAudit {
       "shuffle_write_bytes" -> l.shuffleWrite.sum,
       "shuffle_read_bytes" -> l.shuffleRead.sum,
       "disk_spill_bytes" -> l.diskSpill.sum,
-      "tasks" -> l.tasks.sum)
+      "tasks" -> l.tasks.sum,
+      "stages" -> l.stages.sum,
+      "exec_run_ms" -> l.execRunMs.sum,
+      "exec_cpu_ms" -> l.execCpuMs.sum,
+      "gc_ms" -> l.gcMs.sum)
   }
 
   def main(args: Array[String]): Unit = {
@@ -122,7 +138,9 @@ object PlanAudit {
         s""""shuffle_write_bytes":${m("shuffle_write_bytes")},""" +
         s""""shuffle_read_bytes":${m("shuffle_read_bytes")},""" +
         s""""disk_spill_bytes":${m("disk_spill_bytes")},""" +
-        s""""tasks":${m("tasks")},"shuffle_per_input":$ratio}""")
+        s""""tasks":${m("tasks")},"stages":${m("stages")},""" +
+        s""""exec_run_ms":${m("exec_run_ms")},"exec_cpu_ms":${m("exec_cpu_ms")},""" +
+        s""""gc_ms":${m("gc_ms")},"shuffle_per_input":$ratio}""")
     }
     spark.stop()
   }

@@ -406,8 +406,21 @@ object Similarity {
                      id: Column, vec: Column,
                      centroids: Array[Array[Double]],
                      attrs: Seq[Column] = Nil): Snapshot.CommitStats =
+    // DECLARED LAYOUT (opt guide §6, the r15 snapshot_multikey
+    // lesson): without it the cell-partitioned write sprays one file
+    // per (write task × cell) — measured 422 files across two commits
+    // at sf0.1 (~19 per probed cell), every serve paying ~19 tiny
+    // file opens per cell. `fileRanges` range-clusters rows by cell
+    // before the partitionBy write, so each cell lands in ~one file
+    // per commit; the layout is stored in the manifest and every
+    // ivfIndexMerge rewrite re-applies it. Sized to the session's
+    // parallelism capped at the cell count — scale-adaptive, not a
+    // local constant (build parallelism = min(cores, nlist); file
+    // count stays ~nlist either way).
     Snapshot.create(spark, table, indexRows(corpus, id, vec, centroids, attrs),
-      key = "id", partitionCol = "cell")
+      key = "id", partitionCol = "cell",
+      fileRanges = math.max(1, math.min(
+        corpus.sparkSession.sparkContext.defaultParallelism, centroids.length)))
 
   /** Apply an embedding refresh to the index: `upserts` are
     * re-embedded rows (assigned to their new cell — a vector whose
