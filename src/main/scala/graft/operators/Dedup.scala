@@ -1153,7 +1153,11 @@ object Dedup {
     val toks = when(length(trim(content)) === 0, array().cast("array<string>"))
       .otherwise(split(trim(content), "\\s+"))
     def spans(d: DataFrame): DataFrame =
-      d.select(id.as("doc_id"), toks.as("t"))
+      // both passes pay the span explode + per-span md5 (the
+      // operator's CPU mass); spread it — a single-file scan arrives
+      // as 1-2 partitions (r16: ~2.4 s serial at sf0.1), and the
+      // repartition is a no-op on multi-split inputs at scale
+      Scale.ensureParallelism(d.select(id.as("doc_id"), toks.as("t")))
         .filter(size(col("t")) >= w)
         .select(col("doc_id"), explode(
           transform(sequence(lit(1), size(col("t")) - (w - 1)),
@@ -1916,7 +1920,12 @@ object Dedup {
   def dedupSubstrings(df: DataFrame, content: Column, id: Column,
                       w: Int = 50, hash64: Boolean = false): DataFrame = {
     require(w >= 2, "window must be at least 2 tokens")
-    val base = df.select(id.as("doc_id"), content.as("__text"))
+    // spread the window-hash explode across cores: a single-file scan
+    // arrives as 1-2 partitions and the per-window md5 pass is the
+    // operator's CPU mass (r16: ~1.6 s serial at sf0.1); no-op on
+    // multi-split inputs at scale
+    val base = Scale.ensureParallelism(
+      df.select(id.as("doc_id"), content.as("__text")))
     val windowIds =
       if (hash64) graft.functions.TextHashExprs.ngramRawHashInstances(col("__text"), w)
       else graft.functions.TextHashExprs.ngramMd5Instances(col("__text"), w)
