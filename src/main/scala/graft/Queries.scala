@@ -1007,12 +1007,8 @@ object Queries {
     // first, so an open is ~µs — ×1→×100 docs probe exponent 0.11,
     // was 1.12 under per-call registry scans); 1-in-5 keeps the
     // oracle meaningful at 1/5 the open count
-    // single-file scan arrives as 1-2 partitions; spread the real
-    // encode→decode loop across cores (r16: the codec loop ran serial
-    // — 2 tasks, ~0.66 s of executor time on one core)
-    operators.Scale.ensureParallelism(
-      t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-        .filter(col("doc_id") % 5 === 0))
+    t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      .filter(col("doc_id") % 5 === 0)
       .as[(Long, Long)].mapPartitions(_.map { case (id, nc) =>
         val samples = (((nc % 100) + 2) * 8).toInt
         val amp = ((id % 9) + 1) / 10.0f
@@ -1046,12 +1042,8 @@ object Queries {
     // every 7th document: one AVI is nFrames JPEG encodes + decodes
     // (~100 µs each at 48×32); 1-in-7 keeps the real-loop oracle
     // meaningful at a bounded share of the gate's wall
-    // single-file scan arrives as 1-2 partitions; spread the real
-    // render→encode→decode loop across cores (r16: ran serial — 2
-    // tasks, ~0.66 s of executor time on one core)
-    operators.Scale.ensureParallelism(
-      t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
-        .filter(col("doc_id") % 7 === 0))
+    t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      .filter(col("doc_id") % 7 === 0)
       .as[(Long, Long)].mapPartitions(_.map { case (id, nc) =>
         val M = operators.Multimodal
         val nFrames = ((nc % 5) + 2).toInt
