@@ -77,37 +77,12 @@ object Graph {
       nodes.join(e.select(col("dst").as("node")).distinct(),
         Seq("node"), "left_anti"))
     val teleport = (15L * scale) / 100L
-    // Deliberate join strategy for the iteration (opt guide §3.1/§2.4):
-    // each round joins the EDGE frame (big, fixed, already
-    // materialized) with the RANK frame (exactly one row per node).
-    // The default sort-merge plan re-exchanges + re-sorts the edge
-    // frame EVERY round — measured 61 MB of shuffle for 5 rounds at
-    // sf0.1, ~635 MB at sf1, all but ~|nodes| of it the edge frame
-    // paying the same exchange five times. The node count is known
-    // exactly here (the frame is checkpointed; counting it is a
-    // metadata-cheap action), so when the rank side provably fits the
-    // session broadcast threshold we broadcast it and the edge frame
-    // is never shuffled at all: scan → broadcast-hash join →
-    // map-side-combined aggregate, one ~|nodes|-row exchange per
-    // round. Graphs whose rank frame outgrows the threshold keep the
-    // shuffle plan — the 100 TB-safe default — so the choice is
-    // scale-adaptive, not a local-mode constant. Results are
-    // join-strategy-invariant (same rows, same integer arithmetic).
-    val bcastRanks = {
-      val thr = edges.sparkSession.conf
-        .getOption("spark.sql.autoBroadcastJoinThreshold")
-        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
-        .getOrElse(10L * 1024 * 1024)
-      // two longs a row; 64 B/row covers HashedRelation overhead
-      thr > 0 && nodes.count() * 64L <= thr
-    }
     var r = nodes.withColumn("rank", lit(scale))
     var it = 0
     var converged = false
     while (it < iterations && !converged) {
-      val rs = r.select(col("node").as("src"), col("rank"))
       val t = ed
-        .join(if (bcastRanks) broadcast(rs) else rs, Seq("src"))
+        .join(r.select(col("node").as("src"), col("rank")), Seq("src"))
         .select(col("dst").as("node"), expr("rank div deg").as("c"))
         .groupBy("node").agg(sum(col("c")).as("t"))
       val step = t.select(col("node"),

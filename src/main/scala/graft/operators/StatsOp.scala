@@ -33,6 +33,21 @@ object StatsOp {
   val ApproxThresholdConf = "spark.graft.stats.approxThresholdBytes"
   val ApproxThresholdDefault: Long = 4L << 20
 
+  /** Conf key: leaf-size bound under which the EXACT path computes
+    * each field's distinct count as its own two-level aggregate
+    * instead of folding N countDistincts into one wide agg (the
+    * Expand plan). Size-switch, measured both ways at r16: small
+    * inputs are fixed-overhead-bound and the split wins (sf0.1
+    * lineitem, 11 MB: 2.53 → 1.10 s — the ×(N+1) Expand row stream
+    * into one ~750k-group multi-column hash table dominates); larger
+    * inputs amortize the single pass and the Expand wins (sf1,
+    * 110 MB: 2.97 s vs the split's 6.07 — N column scans + N value
+    * exchanges overtake one wide shuffle). Same philosophy as the
+    * broadcast-join threshold / duplicateClusters' local solve:
+    * adaptive by measured input size, never a fixed local tuning. */
+  val SplitDistinctMaxBytesConf = "spark.graft.stats.splitDistinctMaxBytes"
+  val SplitDistinctMaxBytesDefault: Long = 48L << 20
+
   /**
    * Long-format stats: one row per field with
    * (field, null_count, non_null_count, distinct_count,
@@ -84,7 +99,8 @@ object StatsOp {
         graft.functions.HllExprs.hllEstimate(
           graft.functions.HllExprs.hllSketch(portableRender(c, dt), 12,
             portable = true))
-      else approx_count_distinct(c)
+      else if (useApprox) approx_count_distinct(c)
+      else countDistinct(c) // exact path above the split-distinct bound
 
     // EXACT distinct counting is kept OUT of the wide aggregate: N
     // `countDistinct`s in one agg plan an `Expand` — every row
@@ -102,7 +118,12 @@ object StatsOp {
     // total column bytes read stay ~the single-scan plan's. The
     // APPROX (100 TB) path is untouched: HLL sketches fold into the
     // one-pass wide agg with constant state.
-    val splitDistinct = !useApprox
+    val splitDistinct = !useApprox && {
+      val bound = df.sparkSession.conf.getOption(SplitDistinctMaxBytesConf)
+        .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+        .getOrElse(SplitDistinctMaxBytesDefault)
+      Scale.estimatedLeafBytes(df) <= bound
+    }
 
     val aggs: Seq[Column] = Seq(count(lit(1)).as("__total")) ++ fields.flatMap { f =>
       val c = col(f)

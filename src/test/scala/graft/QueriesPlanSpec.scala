@@ -45,6 +45,35 @@ class QueriesPlanSpec extends SparkSpecBase {
       s"scan reads columns the query never touches:\n$plan")
   }
 
+  test("fieldStats exact path size-switches: split aggregates below the bound, " +
+    "Expand + exact countDistinct above — identical exact results") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 1000)
+      .select(col("id"), (col("id") % 7).as("a"), (col("id") % 13).as("b"))
+    def stats(bound: String) = {
+      spark.conf.set(operators.StatsOp.SplitDistinctMaxBytesConf, bound)
+      try operators.StatsOp.fieldStats(df, Seq("a", "b"),
+        approxDistinct = Some(false))
+      finally spark.conf.unset(operators.StatsOp.SplitDistinctMaxBytesConf)
+    }
+    val small = stats("1g") // under the bound: per-field split aggregates
+    assert(!small.queryExecution.executedPlan.toString.contains("Expand"),
+      "split path must not plan the multi-distinct Expand")
+    val big = stats("1") // over the bound: single-pass Expand plan
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("Expand"),
+      s"above the bound the exact path must keep the one-scan Expand plan:\n$bigPlan")
+    assert(!bigPlan.contains("approx_count_distinct"),
+      s"the exact path must never fall back to approximate counting:\n$bigPlan")
+    val render = (d: org.apache.spark.sql.DataFrame) =>
+      d.orderBy("field").collect().map(_.toString).toSeq
+    assert(render(small) == render(big),
+      "split and Expand plans must produce identical exact stats")
+    val dc = small.orderBy("field").select("distinct_count")
+      .collect().map(_.getLong(0)).toSeq
+    assert(dc == Seq(7L, 13L), s"exact distincts wrong: $dc")
+  }
+
   test("field_stats_approx runs the HLL branch: no exact-distinct Expand, bounded error") {
     val df = Queries.fieldStatsApproxQ(spark, sf())
     val plan = df.queryExecution.executedPlan.toString
