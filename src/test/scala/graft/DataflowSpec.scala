@@ -1020,14 +1020,23 @@ class DataflowSpec extends SparkSpecBase {
     assert(st.getAs[Double]("max_num") === 3.0)
   }
 
-  test("fieldStats plans exactly one aggregate (one scan, N fields)") {
+  test("fieldStats scan count follows the exact-distinct size switch: " +
+    "one scan above the split bound, 1 + N column-pruned scans below") {
     val df = spark.read.parquet(sf() + "/lineitem.parquet")
-    val plan = graft.operators.StatsOp
-      .fieldStats(df, Seq("l_quantity", "l_discount", "l_tax", "l_orderkey"))
-      .queryExecution.optimizedPlan
-    val scans = plan.collect { case l: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-        if l.getClass.getSimpleName == "LogicalRelation" => l }
-    assert(scans.size === 1, s"expected 1 scan, plan:\n$plan")
+    val fields = Seq("l_quantity", "l_discount", "l_tax", "l_orderkey")
+    def scansOf(bound: String) = {
+      spark.conf.set(graft.operators.StatsOp.SplitDistinctMaxBytesConf, bound)
+      try graft.operators.StatsOp.fieldStats(df, fields)
+        .queryExecution.optimizedPlan.collect {
+          case l: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+            if l.getClass.getSimpleName == "LogicalRelation" => l }
+      finally spark.conf.unset(graft.operators.StatsOp.SplitDistinctMaxBytesConf)
+    }
+    // above the bound: the single-pass Expand plan — exactly one scan
+    assert(scansOf("1").size === 1, "expected the one-scan Expand plan")
+    // below: the base aggregate + one column-pruned scan per field
+    assert(scansOf("1g").size === 1 + fields.size,
+      "expected 1 base + N per-field distinct scans")
   }
 
   test("fieldStats handles a true DATE column (epoch-second min/max)") {
@@ -1053,7 +1062,11 @@ class DataflowSpec extends SparkSpecBase {
     val small = planOf(1L)             // everything is "big" → HLL
     val large = planOf(1L << 40)       // everything is "small" → exact
     assert(small.contains("approx_count_distinct"), s"expected HLL plan:\n$small")
-    assert(!large.contains("approx_count_distinct") && large.contains("count(distinct"),
+    // exact path: either the one-scan Expand form (count(distinct …),
+    // above the r16 split bound) or the per-field split aggregates
+    // (value groupBy feeding a count) — never approximate
+    assert(!large.contains("approx_count_distinct") &&
+        (large.contains("count(distinct") || large.contains("distinct_count")),
       s"expected exact-distinct plan:\n$large")
     // the HLL plan must stay a single pass: no Expand node
     assert(!small.contains("Expand"), s"HLL path should not Expand:\n$small")
